@@ -1,0 +1,67 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The engine targets large multi-executor clusters (the reference's scenario 2
+streams 1M rows, large_dbtable_example/init_postgresql_data_scenario2.sql:143;
+production target is ~100 TB).  Everything here is cluster-safe config —
+local[N] is only the test harness.
+
+Key choices:
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting and
+  dynamic broadcast decisions replace hand-tuned partition counts at scale.
+- UTC session timezone: the reference pins UTC in every timestamp cast
+  (basic_example/clickhouse.sql:77-78 ``toDateTime64(..., 6, 'UTC')``).
+- Arrow enabled: all Python-boundary work (pandas UDFs, mapInPandas for the
+  multimodal/dedup operators) moves via Arrow batches, never row-at-a-time.
+- ANSI off: the reference pipeline is permissive (ClickHouse
+  ``kafka_skip_broken_messages``, clickhouse.sql:20) — malformed values
+  become NULL and are filtered, they do not kill the job.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "spark-cdc-analytics",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    On a real cluster, ``master`` comes from spark-submit; locally we default
+    to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # files.maxPartitionBytes default 128m is right for the 100 TB
+        # target (≈800k input splits over 1000 executors); do not shrink it
+        # for the toy SFs — AQE coalesces small shuffles instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.streaming.schemaInference", "false")
+    )
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
