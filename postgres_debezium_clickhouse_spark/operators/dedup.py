@@ -1,0 +1,173 @@
+"""Deduplication suite for large-scale training-data pipelines.
+
+Not present in the reference (it has no document corpus), but a first-class
+engine component for the 100 TB target: exact dedup, MinHash+LSH banded
+near-dup, SimHash, n-gram Jaccard.  All operators are pure DataFrame
+expressions (JVM-side, whole-stage codegen) — no Python UDFs — and every
+hash is md5-based so the DuckDB correctness oracles can reproduce results
+bit-for-bit.
+
+Scale design:
+- NO all-pairs crossJoin anywhere.  Candidate generation is banded LSH:
+  explode (band_index, band_key) → self-join on the band key → distinct
+  pairs.  Shuffle cost is O(docs × bands), join fan-out is bounded by
+  bucket size (near-dup clusters), never O(n²).
+- Exact-verification (Jaccard) runs only on the candidate pairs.
+- SimHash is linear: explode tokens×bits, two grouped aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: LSH parameters: 4 bands × 2 rows = 8 MinHash functions.  For the target
+#: near-dup threshold j≈0.8 the detect probability is 1-(1-j²)⁴ ≈ 0.996.
+N_BANDS = 4
+ROWS_PER_BAND = 2
+
+#: 60-bit portable hash: md5 hex prefix → bigint (reproducible in any SQL
+#: engine; Spark's xxhash64/hash are not portable to DuckDB).
+SIMHASH_BITS = 60
+
+
+def normalize_text(col: str = "text") -> F.Column:
+    """Canonical form used by exact dedup: lowercase + trim."""
+    return F.lower(F.trim(F.col(col)))
+
+
+def exact_dedup(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash: keep the smallest id per normalized
+    sha2-256 group.  One hash-shuffle on the digest — the canonical
+    map-side-combinable groupBy; at 100 TB the digest groupBy is the only
+    wide stage and AQE balances it."""
+    h = F.sha2(normalize_text(text_col), 256)
+    return (
+        documents.select(F.col(id_col), h.alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "text_hash")
+    )
+
+
+def with_shingles(documents: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Word k-gram shingle sets (distinct), the unit of near-dup similarity."""
+    return documents.withColumn("__tk", F.split(F.col(text_col), " ")).withColumn(
+        "shingles",
+        F.expr(
+            f"array_distinct(transform(sequence(1, greatest(size(__tk) - {k - 1}, 0)),"
+            f" i -> concat_ws(' ', slice(__tk, i, {k}))))"
+        ),
+    ).drop("__tk")
+
+
+def minhash_signature(shingled: DataFrame) -> DataFrame:
+    """MinHash signatures: sig_i = min over shingles of md5('i|'||s).
+
+    Lexicographic min over md5 hex strings is a valid MinHash family (md5
+    is a uniform permutation of the shingle space) and — unlike Spark's
+    native hash/xxhash64 — portable to the DuckDB oracle.
+    """
+    sigs = [
+        F.expr(f"array_min(transform(shingles, s -> md5(concat('{i}|', s))))").alias(f"sig_{i}")
+        for i in range(N_BANDS * ROWS_PER_BAND)
+    ]
+    return shingled.select("*", *sigs)
+
+
+def lsh_candidate_pairs(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Banded-LSH candidate pairs: docs sharing at least one band key.
+
+    Plan: explode to (doc, band_index, band_key) → shuffle on band_key →
+    self-equi-join → distinct pairs.  Never an all-pairs product.
+    """
+    signed = minhash_signature(with_shingles(documents))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.concat(*[F.col(f"sig_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]).alias("bkey"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    exploded = (
+        signed.select(F.col(id_col), F.explode(bands).alias("band"))
+        .select(id_col, F.col("band.b").alias("b"), F.col("band.bkey").alias("bkey"))
+    )
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.b") == F.col("r.b"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_on_pairs(pairs: DataFrame, shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact shingle-set Jaccard for given (doc_a, doc_b) pairs."""
+    sh = shingled.select(F.col(id_col), F.col("shingles"))
+    a = sh.withColumnRenamed(id_col, "doc_a").withColumnRenamed("shingles", "sh_a")
+    b = sh.withColumnRenamed(id_col, "doc_b").withColumnRenamed("shingles", "sh_b")
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def minhash_lsh_near_dups(documents: DataFrame, threshold: float = 0.8, id_col: str = "doc_id") -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold."""
+    shingled = with_shingles(documents)
+    cands = lsh_candidate_pairs(documents, id_col)
+    return jaccard_on_pairs(cands, shingled, id_col).filter(F.col("jaccard") >= threshold)
+
+
+def simhash(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """60-bit SimHash over distinct tokens.
+
+    bit_i(simhash) = majority over tokens of bit_i(md5₆₀(token)).
+    Linear plan: explode tokens → explode bit positions → two grouped sums.
+    Integer-only math ⇒ exact parity with the SQL oracle.
+    """
+    toks = documents.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+    ).withColumn("hv", F.expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"))
+    bits = (
+        toks.select(id_col, "hv", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("i"))
+        .withColumn("contrib", F.expr("CASE WHEN ((hv >> i) & 1) = 1 THEN 1 ELSE -1 END"))
+        .groupBy(id_col, "i")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    return (
+        bits.groupBy(id_col)
+        .agg(F.sum(F.expr(f"CASE WHEN s > 0 THEN shiftleft(cast(1 as bigint), i) ELSE cast(0 as bigint) END")).alias("simhash"))
+    )
+
+
+def ngram_jaccard_blocked(
+    documents: DataFrame, block_expr: F.Column, threshold: float = 0.0, id_col: str = "doc_id"
+) -> DataFrame:
+    """Blocked n-gram Jaccard similarity join: all pairs WITHIN a block
+    (never across), the classic bounded-blocking strategy when a natural
+    partition key exists.  Shuffles on the block key; fan-out is bounded by
+    block size."""
+    sh = with_shingles(documents).select(
+        F.col(id_col), block_expr.alias("blk"), F.col("shingles")
+    )
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("blk"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("blk"), F.col("shingles").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,113 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed via Arrow-batched pandas functions.
+
+The container ships no image/audio codecs, so the DECODE step is stubbed
+(deterministic fake features / NotImplementedError for real codecs) — but
+everything Spark-side is real and tested: schemas, binary encoding, the
+``mapInPandas`` batch shape, partition sizing.  Swapping the stub for
+PIL/librosa/ffmpeg is a one-function change.
+
+Scale notes: media blobs are large → ``mapInPandas`` (Arrow batches) keeps
+transfer columnar; partition sizing must target
+``spark.sql.files.maxPartitionBytes`` worth of BLOBS not rows — callers
+should store media in parquet binary columns with row-group sizes tuned to
+a few hundred MB, or (beyond ~1 MB/blob) as object-store files referenced
+by URI, which is what the metadata struct carries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: typed metadata carried next to every media blob.
+MEDIA_META = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("format", T.StringType()),  # png|wav|mp4|...
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("uri", T.StringType()),  # object-store pointer for >1MB blobs
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def attach_fake_media(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Fixture builder: deterministic binary 'media' derived from text (the
+    utf-8 bytes) + a metadata struct — stands in for real decoded blobs."""
+    return documents.select(
+        F.col(id_col),
+        F.col(text_col).cast("binary").alias("media"),
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("fake").alias("format"),
+            (F.length(text_col) % 64).cast("int").alias("width"),
+            (F.length(text_col) % 48).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.concat(F.lit("memory://doc/"), F.col(id_col).cast("string")).alias("uri"),
+        ).alias("media_meta"),
+    )
+
+
+def decode_media(blob: bytes, media_type: str):
+    """THE decode stub.  Real deployments replace this with PIL / libav /
+    soundfile.  Here: raises for real codecs, returns deterministic fake
+    features for the 'fake' format used in tests."""
+    raise NotImplementedError(
+        "media codecs are not available in this environment; "
+        "use extract_features(), which runs a deterministic fake decode"
+    )
+
+
+def extract_features(media_df: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Arrow-batched feature extraction over binary media columns.
+
+    The pandas function receives columnar batches (media bytes as Python
+    ``bytes``) — the exact shape a real decoder needs.  The fake 'decode'
+    is a deterministic byte-histogram projection, so tests can assert
+    values."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for blob in pdf["media"]:
+                b = bytes(blob)
+                # deterministic fake decode: 4-bin byte histogram, normalized
+                hist = [0, 0, 0, 0]
+                for byte in b:
+                    hist[byte % 4] += 1
+                n = max(len(b), 1)
+                feats.append([h / n for h in hist])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["media"].map(lambda x: len(bytes(x))),
+                    "feature": feats,
+                }
+            )
+
+    return media_df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+def media_byte_stats(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Pure-SQL metadata pass (no Python): byte length + meta projection —
+    the cheap pre-filter that runs BEFORE any decode at scale."""
+    return media_df.select(
+        F.col(id_col),
+        F.length("media").cast("long").alias("n_bytes"),
+        F.col("media_meta.media_type").alias("media_type"),
+        F.col("media_meta.uri").alias("uri"),
+    )

@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, mirroring how a 100 TB vector corpus is actually served:
+- ``cosine_topk``   — exact brute force against a SMALL broadcast query set
+  (the correctness baseline; linear scan, one pass, no shuffle of the
+  corpus, queries broadcast).
+- ``lsh_ann_buckets`` / ``lsh_ann_topk`` — sign-random-projection LSH: each
+  vector hashed to a bucket by the signs of dot products with fixed
+  hyperplanes; candidate retrieval touches only matching buckets, the scale
+  path (probes hit ~n/2^bits of the corpus).
+
+All arithmetic is promoted to double BEFORE any sum (float32→double is
+exact) and folds are sequential, so results are bit-reproducible against
+the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)"
+NORM = "sqrt(aggregate(transform({a}, x -> x * x), cast(0 as double), (acc, v) -> acc + v))"
+
+
+def as_double_vec(df: DataFrame, col: str = "embedding", out: str = "v") -> DataFrame:
+    return df.withColumn(out, F.expr(f"transform({col}, x -> cast(x as double))"))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` must be small (it is broadcast — the right shape for "find
+    neighbors of these N items in a 100 TB corpus": one scan of the corpus,
+    no corpus shuffle, then a tiny per-query top-k)."""
+    c = as_double_vec(corpus).select(F.col(id_col), F.col("v").alias("cv"))
+    q = as_double_vec(queries, col="embedding", out="v").select(
+        F.col(query_id_col), F.col("v").alias("qv")
+    )
+    dot = F.expr(DOT.format(a="qv", b="cv"))
+    qn = F.expr(NORM.format(a="qv"))
+    cn = F.expr(NORM.format(a="cv"))
+    scored = (
+        c.join(F.broadcast(q))
+        .withColumn("cosine", F.round(dot / (qn * cn), 6))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "cosine", F.col("__rn").cast("long").alias("rank"))
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for sign-LSH."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def with_lsh_bucket(
+    df: DataFrame, planes: list[list[float]], vec_col: str = "v", out: str = "bucket"
+) -> DataFrame:
+    """Sign-random-projection bucket id: bit_i = sign(v · plane_i).
+
+    The hyperplanes are literal arrays baked into the plan (broadcast by
+    value) — no shuffle; one narrow projection per row.
+    """
+    bits = []
+    for i, p in enumerate(planes):
+        lit = "array(" + ",".join(f"cast({x!r} as double)" for x in p) + ")"
+        bits.append(f"(CASE WHEN {DOT.format(a=vec_col, b=lit)} >= 0 THEN {1 << i} ELSE 0 END)")
+    return df.withColumn(out, F.expr(" + ".join(bits)).cast("long"))
+
+
+def lsh_ann_buckets(corpus: DataFrame, n_planes: int = 8, id_col: str = "vec_id", dim: int = 64) -> DataFrame:
+    """Bucket assignment + occupancy — the ANN index build."""
+    planes = random_hyperplanes(dim, n_planes)
+    bucketed = with_lsh_bucket(as_double_vec(corpus), planes)
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min(id_col).alias("min_vec_id"),
+    )
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's bucket.
+
+    At scale: corpus bucketed once (writable as a bucketed table), queries
+    hashed and joined on bucket — candidate set is n/2^planes per query
+    instead of n."""
+    planes = random_hyperplanes(dim, n_planes)
+    c = with_lsh_bucket(as_double_vec(corpus), planes).select(
+        F.col(id_col), F.col("v").alias("cv"), F.col("bucket")
+    )
+    q = with_lsh_bucket(as_double_vec(queries), planes).select(
+        F.col(query_id_col), F.col("v").alias("qv"), F.col("bucket")
+    )
+    dot = F.expr(DOT.format(a="qv", b="cv"))
+    qn = F.expr(NORM.format(a="qv"))
+    cn = F.expr(NORM.format(a="cv"))
+    scored = c.join(F.broadcast(q), "bucket").withColumn("cosine", F.round(dot / (qn * cn), 6))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "cosine")
+    )
+
+
+def embedding_near_dups(corpus: DataFrame, threshold: float, id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-dup pairs within label blocks.
+
+    Blocking on ``label`` bounds the pair fan-out (the generic trick: any
+    cheap equality key — cluster id, LSH bucket, shard — prevents n²); the
+    exact cosine then verifies within blocks."""
+    e = as_double_vec(corpus).select(F.col(id_col), F.col("label"), F.col("v"))
+    a = e.select(F.col(id_col).alias("vec_a"), F.col("label"), F.col("v").alias("va"))
+    b = e.select(F.col(id_col).alias("vec_b"), F.col("label"), F.col("v").alias("vb"))
+    dot = F.expr(DOT.format(a="va", b="vb"))
+    na = F.expr(NORM.format(a="va"))
+    nb = F.expr(NORM.format(a="vb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(dot / (na * nb), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "label", "cosine")
+    )

@@ -1,0 +1,117 @@
+"""Text analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure DataFrame expressions (whole-stage codegen; no Python UDFs) with
+md5-portable hashing so the DuckDB oracles reproduce results exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: language marker tokens for the n-gram/stopword heuristic language ID.
+#: Deliberately tiny — the operator contract is deterministic scoring +
+#: argmax with fixed precedence, not linguistic accuracy.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a"],
+    "es": ["el", "la"],
+    "de": ["der", "und"],
+    "fr": ["le", "et"],
+}
+
+#: BPE-ish pre-tokenizer: word / number / single non-space symbol — the
+#: standard GPT-2-style pre-split shape, portable between Java and RE2
+#: regex engines.
+TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+STOPWORDS = ["the", "a", "and", "of"]
+
+
+def _tokens(text_col: str) -> F.Column:
+    return F.split(F.col(text_col), " ")
+
+
+def text_stats(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document surface statistics (length/token counts/diversity)."""
+    df = documents.withColumn("__tk", _tokens(text_col))
+    n_tokens = F.size("__tk").cast("long")
+    n_distinct = F.size(F.array_distinct("__tk")).cast("long")
+    sum_len = F.expr("aggregate(transform(__tk, x -> length(x)), 0, (a, x) -> a + x)")
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).cast("long").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        F.round(sum_len * 1.0 / n_tokens, 4).alias("avg_token_len"),
+        F.round(n_distinct * 1.0 / n_tokens, 4).alias("token_diversity"),
+    )
+
+
+def language_id(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-token language ID: score = number of marker-token occurrences
+    per language; argmax with fixed precedence (en>es>de>fr), 'und' when all
+    scores are zero."""
+    df = documents.withColumn("__tk", _tokens(text_col))
+    scores = {
+        lang: F.size(F.expr(f"filter(__tk, x -> x IN ({', '.join(repr(m) for m in markers)}))"))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    mx = F.greatest(*[scores[lang] for lang in langs])
+    detected = F.lit("und")
+    # first language (in declaration order) holding the max score wins
+    chain = F.when(mx <= 0, "und")
+    for lang in langs:
+        chain = chain.when(scores[lang] == mx, lang)
+    detected = chain.otherwise("und")
+    return df.select(
+        F.col(id_col),
+        *[scores[lang].cast("long").alias(f"score_{lang}") for lang in langs],
+        detected.alias("detected_lang"),
+    )
+
+
+def quality_score(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Composite quality gate: length bounds, token diversity, stopword
+    ratio — the standard cheap pre-filter before expensive dedup/training."""
+    df = documents.withColumn("__tk", _tokens(text_col))
+    n_tokens = F.size("__tk").cast("long")
+    n_distinct = F.size(F.array_distinct("__tk")).cast("long")
+    stop = F.size(F.expr(f"filter(__tk, x -> x IN ({', '.join(repr(s) for s in STOPWORDS)}))")).cast("long")
+    diversity = F.round(n_distinct * 1.0 / n_tokens, 4)
+    stop_ratio = F.round(stop * 1.0 / n_tokens, 4)
+    len_ok = (F.length(text_col) >= 100) & (F.length(text_col) <= 1000)
+    keep = len_ok & (diversity >= F.lit(0.15)) & (stop_ratio <= F.lit(0.5))
+    return df.select(
+        F.col(id_col),
+        diversity.alias("token_diversity"),
+        stop_ratio.alias("stopword_ratio"),
+        len_ok.alias("len_ok"),
+        keep.alias("keep"),
+    )
+
+
+def token_count_regex(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """BPE-ish pre-tokenization count via regexp (portable pattern)."""
+    return documents.select(
+        F.col(id_col),
+        F.size(F.expr(f"regexp_extract_all({text_col}, '{TOKEN_RE}', 0)")).cast("long").alias("n_re_tokens"),
+        F.size(_tokens(text_col)).cast("long").alias("n_ws_tokens"),
+    )
+
+
+def fingerprint(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 4) -> DataFrame:
+    """Winnowing-style fingerprint: the n lexicographically-smallest md5
+    digests of the document's 3-gram shingles, concatenated.  Two documents
+    sharing a fingerprint prefix are near-dup candidates — a cheap
+    sortable/groupable sketch."""
+    df = documents.withColumn("__tk", _tokens(text_col)).withColumn(
+        "__sh",
+        F.expr(
+            "array_distinct(transform(sequence(1, greatest(size(__tk) - 2, 0)),"
+            " i -> concat_ws(' ', slice(__tk, i, 3))))"
+        ),
+    )
+    fp = F.expr(f"array_join(slice(array_sort(transform(__sh, s -> md5(s))), 1, {n}), '')")
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

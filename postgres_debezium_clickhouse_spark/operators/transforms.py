@@ -1,0 +1,92 @@
+"""SMT-style record transforms: envelope unwrap, field masking, field-name
+sanitization, CHECK-predicate validation (SURVEY §2.2 P6, P8-P10).
+
+Mirrors the Kafka-Connect single-message-transform chain of the secure
+connector (basic_example/abcsvb-connector-secure.json:31-49):
+
+- ``ExtractNewRecordState`` (unwrap): replace the envelope with
+  ``payload.after`` plus metadata columns ``__op/__ts_ms/__db/__table``;
+  ``delete.handling.mode=rewrite`` keeps deletes as flagged rows (lines
+  31-35).
+- ``MaskField`` on passport_number/national_id/email/phone_number (lines
+  36-37) → here: configurable column list, literal or sha2-hash mask.
+- ``sanitize.field.names=true`` (line 49) → non-word chars in column names
+  become underscores.
+- Postgres CHECK constraints (init_postgresql_data.sql:43-45) → validation
+  filters/flags, not enforced DDL.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def unwrap_envelope(parsed: DataFrame, drop_deletes: bool = True) -> DataFrame:
+    """P9 — ExtractNewRecordState (abcsvb-connector-secure.json:31-35).
+
+    ``parsed`` must have a struct column ``j`` (from
+    ``sources.cdc.parse_envelope``).  With ``drop_deletes=True`` this is the
+    basic path (``WHERE JSONHas(value,'payload','after')``, init.sql:63);
+    with False, deletes survive with ``__deleted=true`` and the row image
+    taken from ``before`` (rewrite mode).
+    """
+    p = F.col("j.payload")
+    is_delete = p.op == F.lit("d")
+    if drop_deletes:
+        body = parsed.filter(p.after.isNotNull()).select(
+            "j.payload.after.*",
+            p.op.alias("__op"),
+            p.source.ts_ms.alias("__ts_ms"),
+            p.source.db.alias("__db"),
+            p.source.table.alias("__table"),
+        )
+        return body
+    row_img = F.when(is_delete, p.before).otherwise(p.after)
+    return parsed.filter(p.isNotNull()).select(
+        row_img.alias("__row"),
+        p.op.alias("__op"),
+        p.source.ts_ms.alias("__ts_ms"),
+        p.source.db.alias("__db"),
+        p.source.table.alias("__table"),
+        is_delete.alias("__deleted"),
+    ).select("__row.*", "__op", "__ts_ms", "__db", "__table", "__deleted")
+
+
+def mask_fields(df: DataFrame, columns: list[str], mode: str = "hash") -> DataFrame:
+    """P8 — in-flight PII masking (abcsvb-connector-secure.json:36-37).
+
+    mode='hash'    → sha2-256 hex (irreversible but joinable);
+    mode='literal' → constant '***' (the Kafka-Connect MaskField behavior).
+    """
+    out = df
+    for c in columns:
+        if c not in df.columns:
+            continue
+        masked: Column = F.sha2(F.col(c).cast("string"), 256) if mode == "hash" else F.lit("***")
+        out = out.withColumn(c, masked)
+    return out
+
+
+def sanitize_field_names(df: DataFrame) -> DataFrame:
+    """P10 — ``sanitize.field.names=true`` (abcsvb-connector-secure.json:49):
+    replace non-word characters with '_' so names are safe everywhere."""
+    return df.toDF(*[re.sub(r"\W", "_", c) for c in df.columns])
+
+
+def check_violations(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
+    """P6 — row-level CHECK predicates (init_postgresql_data.sql:43-45:
+    ``quantity > 0``, ``unit_price >= 0``, ``discount_amount >= 0``).
+
+    Returns the input with one boolean column per check plus an overall
+    ``__valid`` flag — callers either filter or route invalid rows to a
+    dead-letter sink.
+    """
+    out = df
+    valid = F.lit(True)
+    for name, predicate in checks.items():
+        out = out.withColumn(name, predicate)
+        valid = valid & F.coalesce(predicate, F.lit(False))
+    return out.withColumn("__valid", valid)

@@ -1,0 +1,145 @@
+"""Latest-wins versioned upsert — the ReplacingMergeTree/FINAL equivalent.
+
+This is the single most load-bearing operator of the reference system
+(SURVEY §2.6 W1): ``ENGINE = ReplacingMergeTree(ts_ms) ORDER BY id`` +
+``SELECT ... FINAL`` (basic_example/clickhouse.sql:51-52,82;
+basic_example/init_transpassport.sql:60-61).  Semantics:
+
+- identity = the sort key (primary key columns);
+- version  = ``ts_ms`` (payload.source.ts_ms, clickhouse.sql:66);
+- conflict = keep the max-version row per key; on EQUAL versions ClickHouse
+  keeps the last-INSERTED row (init_transpassport.sql:60 has no version arg
+  at all — pure insert order), so we tie-break on Kafka offset /
+  monotonically-increasing ingest order (W2);
+- deletes  = two modes, both present in the reference:
+  * ``drop``    — the basic path filters deletes out entirely
+                  (``WHERE JSONHas(value,'payload','after')``, init.sql:63);
+  * ``rewrite`` — the secure connector keeps a tombstone row with a
+                  ``__deleted`` flag (``delete.handling.mode=rewrite``,
+                  abcsvb-connector-secure.json:33-34).
+
+Scale design (100 TB): dedup is one hash shuffle on the key columns —
+exactly the shuffle a keyed upsert fundamentally requires, nothing more.
+``apply_cdc`` merges *per micro-batch*: it unions the (small) batch with
+only the current silver rows whose keys appear in the batch when
+``changed_keys_only=True``, so a 1000-executor cluster never rewrites the
+whole silver table per trigger.  AQE handles skewed keys (session.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: name of the synthetic insert-order column used for W2 tie-breaks when the
+#: source has no Kafka offset.
+INGEST_SEQ = "__ingest_seq"
+DELETED_FLAG = "__deleted"
+
+
+def latest_wins(
+    df: DataFrame,
+    keys: list[str],
+    version_cols: list[str | Column],
+    keep: str = "last",
+) -> DataFrame:
+    """W1/W2 — keep exactly one row per key: max version (then max
+    tie-breaker).  ``version_cols`` order = significance; all descending.
+
+    Equivalent to ClickHouse ``FINAL`` on ReplacingMergeTree(version).
+    One hash shuffle on ``keys``; the window is per-key so AQE-coalesced
+    partitions stay balanced.
+    """
+    order = [
+        (F.col(c) if isinstance(c, str) else c).desc_nulls_last()
+        if keep == "last"
+        else (F.col(c) if isinstance(c, str) else c).asc_nulls_last()
+        for c in version_cols
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def apply_cdc(
+    events: DataFrame,
+    keys: list[str],
+    version_col: str = "ts_ms",
+    tiebreak_col: str | None = "offset",
+    op_col: str = "op",
+    delete_mode: str = "drop",
+    current: DataFrame | None = None,
+    changed_keys_only: bool = True,
+) -> DataFrame:
+    """S8/T3/T4 — apply a batch of CDC events (and optionally merge into an
+    existing silver ``current`` state), producing the new current state.
+
+    ``events`` must contain the row columns plus ``op`` (c/u/d/r — value.json
+    :721-725), the version column, and (ideally) a tie-break column.
+    Order-insensitive: correctness comes from version comparison, not arrival
+    order — the reference explicitly relies on this instead of watermarks
+    (SURVEY §2.9 T3; init_transpassport.sql:86-89).
+
+    delete_mode='drop'    → deleted keys disappear (init.sql:63).
+    delete_mode='rewrite' → deleted keys stay with __deleted=true
+                            (abcsvb-connector-secure.json:33-34).
+    """
+    if delete_mode not in ("drop", "rewrite"):
+        raise ValueError(f"delete_mode must be drop|rewrite, got {delete_mode!r}")
+
+    batch = events
+    if current is not None:
+        if changed_keys_only:
+            # Touch only silver rows whose key appears in this batch: a
+            # broadcast-able semi-join at micro-batch scale, so the merge
+            # cost is O(batch), not O(silver).  The untouched remainder is
+            # unioned back unchanged (no shuffle on it).
+            batch_keys = events.select(*keys).distinct()
+            touched = current.join(F.broadcast(batch_keys), on=keys, how="left_semi")
+            untouched = current.join(F.broadcast(batch_keys), on=keys, how="left_anti")
+        else:
+            touched, untouched = current, None
+        cur = touched
+        for c in batch.columns:
+            if c not in cur.columns:
+                cur = cur.withColumn(c, F.lit(None).cast(dict(batch.dtypes)[c]))
+        cur = cur.select(*batch.columns)
+        batch = batch.unionByName(cur)
+    else:
+        untouched = None
+
+    version_order: list[str | Column] = [version_col]
+    if tiebreak_col is not None and tiebreak_col in batch.columns:
+        version_order.append(tiebreak_col)
+
+    merged = latest_wins(batch, keys, version_order)
+
+    if delete_mode == "drop":
+        merged = merged.filter(F.col(op_col) != F.lit("d"))
+    else:
+        merged = merged.withColumn(DELETED_FLAG, F.col(op_col) == F.lit("d"))
+
+    if untouched is not None:
+        if delete_mode == "rewrite" and DELETED_FLAG not in untouched.columns:
+            untouched = untouched.withColumn(DELETED_FLAG, F.lit(False))
+        merged = merged.unionByName(untouched, allowMissingColumns=True)
+    return merged
+
+
+def with_ingest_seq(df: DataFrame) -> DataFrame:
+    """Attach a monotonically-increasing insert-order column for W2
+    tie-breaks when no Kafka offset exists (ReplacingMergeTree with no
+    version arg keeps insert order, init_transpassport.sql:60)."""
+    return df.withColumn(INGEST_SEQ, F.monotonically_increasing_id())
+
+
+def cluster_by_key(df: DataFrame, keys: list[str], num_partitions: int | None = None) -> DataFrame:
+    """O1 — MergeTree ``ORDER BY`` physical clustering
+    (clickhouse.sql:52; init_clickhouse_raw_tables.sql:37): hash-partition by
+    key and sort within partitions so parquet row-group min/max stats enable
+    key-range skipping on read (the sparse-primary-index equivalent)."""
+    parted = df.repartition(num_partitions, *keys) if num_partitions else df.repartition(*keys)
+    return parted.sortWithinPartitions(*keys)

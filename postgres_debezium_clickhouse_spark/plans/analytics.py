@@ -1,0 +1,476 @@
+"""Batch analytics surface: FK-lattice joins, aggregations, windows, set
+ops, event-time windows (SURVEY §2.4-§2.7, §2.9 T10).
+
+The reference's join surface is its Postgres FK lattice
+(basic_example/init_postgresql_data.sql:50-51;
+large_dbtable_example/init_postgresql_data_scenario2.sql:47,59-60) and the
+correlated per-key SUM update (scenario2:174-179); its aggregate surface is
+SUM-per-key/MAX/latest-per-key (§2.5).  We express those over the driver's
+star-schema fixtures plus the free Spark SQL surface (rollup, distinct
+aggs, set ops, ranking windows).
+
+Numeric-parity discipline for the DuckDB oracles: monetary aggregates are
+summed as DECIMAL(18,2) (exact, order-insensitive) and only cast to DOUBLE
+at the end — floating-point sums would differ between engines in the last
+bits depending on accumulation order.
+
+Scale notes: every dimension join below is broadcast-able (region/nation/
+customer are tiny vs lineitem) — Catalyst picks broadcast-hash under the
+64 MB threshold (session.py); the explicit ``broadcast()`` hints pin it.
+Aggregations are partial (map-side combine) by construction via groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.transforms import check_violations
+from ..sources.files import load_table
+
+DEC = "decimal(18,2)"
+
+
+def _dec(c: str) -> F.Column:
+    return F.col(c).cast(DEC)
+
+
+# --- J1/A1: FK-lattice star join -------------------------------------------
+
+
+def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — the FK equi-join lattice (init_postgresql_data.sql:50-51) as a
+    star join: revenue per region/nation.  Dims are broadcast; the only
+    shuffle is the final groupBy on (r_name, n_name) — 25 keys, trivially
+    AQE-coalesced."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (_dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))).alias("rev")
+    joined = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.groupBy("r_name", "n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/A1 — the decorrelated form of the reference's correlated scalar
+    subquery (scenario2:174-179 ``UPDATE … SET total_amount = (SELECT
+    SUM(line_total) …)``): per-order aggregate joined back to the header.
+    One shuffle on l_orderkey (the aggregation); the join reuses that
+    partitioning (sort-merge on the same key, no extra exchange)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    line_total = (_dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))).alias("lt")
+    per_order = lineitem.groupBy("l_orderkey").agg(F.sum(line_total).cast("double").alias("computed_total"))
+    return orders.join(per_order, orders.o_orderkey == per_order.l_orderkey, "inner").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "computed_total",
+    )
+
+
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 + deterministic top-k: top 10 customers by order revenue
+    (tie-break c_custkey so LIMIT is well-defined)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    rev = orders.groupBy("o_custkey").agg(F.sum(_dec("o_totalprice")).cast("double").alias("revenue"))
+    return (
+        rev.join(F.broadcast(customer), rev.o_custkey == customer.c_custkey)
+        .select("c_custkey", "c_name", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+# --- A2/A3/W1/W2: scalar max, argmax, window dedup -------------------------
+
+
+def max_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — scalar MAX (scenario2:152 ``SELECT MAX(id)``)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.max("o_orderkey").alias("max_orderkey"),
+        F.max(F.col("o_totalprice").cast("double")).alias("max_totalprice"),
+    )
+
+
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/W1 — latest-per-key argmax (the FINAL-dedup pattern applied to a
+    business question): each customer's most recent order, orderkey as the
+    W2-style tie-break."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (
+        orders.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", F.col("o_totalprice").cast("double").alias("o_totalprice"))
+    )
+
+
+def lineitem_version_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2/O2 — treat lineitems of an order as versions: keep the
+    max-linenumber row per orderkey (ReplacingMergeTree semantics over a
+    batch table, dropDuplicates-with-ordering)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture, so
+    # tie-break on further columns to keep the winner deterministic (the
+    # reference's W2 insert-order tie-break, init_transpassport.sql:60).
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_linenumber").desc(),
+        F.col("l_quantity").desc(),
+        F.col("l_extendedprice").desc(),
+        F.col("l_partkey").desc(),
+        F.col("l_suppkey").desc(),
+    )
+    return (
+        lineitem.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("l_orderkey", "l_linenumber", F.col("l_quantity").cast("double").alias("l_quantity"))
+    )
+
+
+# --- Q1-style pricing summary (A1/F12/F15) ---------------------------------
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/F12/F15 — grouped SUM/AVG/COUNT over lineitem (TPC-H Q1 shape;
+    exercises the reference's qty*price−discount arithmetic,
+    init_postgresql_data.sql:46)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    disc_price = (_dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))).alias("dp")
+    g = (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.round(F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)), 2).alias("avg_qty"),
+        )
+    )
+    return g
+
+
+# --- F13/F14: CASE enums, interval arithmetic ------------------------------
+
+
+def order_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14 — CASE/WHEN enum assignment (init_postgresql_data.sql:137-142)."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("high")
+    )
+    return orders.groupBy(bucket.alias("price_bucket")).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+def recent_orders_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 — timestamp − interval arithmetic (init_postgresql_data.sql:134
+    ``NOW() - random()*INTERVAL '730 days'`` shape, deterministic anchor):
+    orders within 730 days before the max order date, counted per year."""
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("mx"))
+    return (
+        orders.join(F.broadcast(anchor))
+        .filter(F.col("o_orderdate") >= F.col("mx") - F.expr("INTERVAL 730 DAYS"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def line_totals_computed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/F12/F15 — the STORED generated column
+    (init_postgresql_data.sql:46) as a computed projection with round()."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    lt = F.round((_dec("l_quantity") * _dec("l_extendedprice")).cast("double") - F.col("l_discount"), 2)
+    return lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        lt.alias("line_total"),
+    )
+
+
+def check_violation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — row-level CHECK predicates (init_postgresql_data.sql:43-45)
+    evaluated as validation flags; returns the violation tally."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    flagged = check_violations(
+        lineitem,
+        {
+            "chk_qty_pos": F.col("l_quantity") > 0,
+            "chk_price_nonneg": F.col("l_extendedprice") >= 0,
+            "chk_disc_range": (F.col("l_discount") >= 0) & (F.col("l_discount") <= 1),
+        },
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("__valid"), 0).otherwise(1)).alias("n_invalid"),
+    )
+
+
+# --- free SQL surface: distinct aggs, rollup, set ops ----------------------
+
+
+def segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation per market segment."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("sum_acctbal"),
+    )
+
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) — grouping-set surface."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+    )
+
+
+def repeat_buyer_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops (INTERSECT): customers ordering both early and late in the
+    dataset's date range."""
+    orders = load_table(spark, sf_dir, "orders")
+    early = orders.filter(F.year("o_orderdate") <= 1995).select("o_custkey")
+    late = orders.filter(F.year("o_orderdate") >= 1997).select("o_custkey")
+    return early.intersect(late)
+
+
+# --- events: JSON extraction + event-time windows (F1-F3, T10) -------------
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F3 on real data — extract ``props.k`` from the events table's
+    JSON column, aggregate per event_type."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.withColumn("k_value", k)
+        .filter(F.col("k_value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.sum("k_value").alias("sum_k"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def events_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 — tumbling event-time window (1 hour) per event_type.  Uses the
+    streaming-compatible ``window()`` operator; in batch it's the same
+    Catalyst expression."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum(_dec("value")).cast("double"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 — session windows (10-minute gap) per user over event time.
+    Spark merges events whose gap windows overlap (diff < gap ⇒ same
+    session)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+def events_micro_ts_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17 — µs-epoch ↔ timestamp round trip (MicroTimestamp,
+    value.json:96-99)."""
+    from ..functions import micros_to_ts, ts_to_micros
+
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        ts_to_micros("ts").alias("ts_us"),
+        micros_to_ts(ts_to_micros("ts")).alias("ts_rt"),
+    )
+
+
+QUERIES = {
+    "star_join_revenue": star_join_revenue,
+    "order_totals": order_totals,
+    "top_customers": top_customers,
+    "max_order": max_order,
+    "latest_order_per_customer": latest_order_per_customer,
+    "lineitem_version_dedup": lineitem_version_dedup,
+    "pricing_summary": pricing_summary,
+    "order_price_buckets": order_price_buckets,
+    "recent_orders_interval": recent_orders_interval,
+    "line_totals_computed": line_totals_computed,
+    "check_violation_counts": check_violation_counts,
+    "segment_stats": segment_stats,
+    "revenue_rollup": revenue_rollup,
+    "repeat_buyer_keys": repeat_buyer_keys,
+    "events_json_extract": events_json_extract,
+    "events_hourly_counts": events_hourly_counts,
+    "events_sessionization": events_sessionization,
+    "events_micro_ts_roundtrip": events_micro_ts_roundtrip,
+}
+
+ORACLES = {
+    "star_join_revenue": """
+        SELECT r.r_name, n.n_name,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lineitems
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    """,
+    "order_totals": """
+        SELECT o.o_orderkey,
+               CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+               t.computed_total
+        FROM orders o
+        JOIN (SELECT l_orderkey,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS computed_total
+              FROM lineitem GROUP BY l_orderkey) t
+          ON o.o_orderkey = t.l_orderkey
+    """,
+    "top_customers": """
+        SELECT c.c_custkey, c.c_name, t.revenue
+        FROM (SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+              FROM orders GROUP BY o_custkey) t
+        JOIN customer c ON t.o_custkey = c.c_custkey
+        ORDER BY t.revenue DESC, c.c_custkey ASC
+        LIMIT 10
+    """,
+    "max_order": """
+        SELECT MAX(o_orderkey) AS max_orderkey,
+               MAX(CAST(o_totalprice AS DOUBLE)) AS max_totalprice
+        FROM orders
+    """,
+    "latest_order_per_customer": """
+        SELECT o_custkey, o_orderkey, o_orderdate, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders)
+        WHERE rn = 1
+    """,
+    "lineitem_version_dedup": """
+        SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS l_quantity
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                           ORDER BY l_linenumber DESC, l_quantity DESC,
+                                                    l_extendedprice DESC, l_partkey DESC,
+                                                    l_suppkey DESC) AS rn
+              FROM lineitem)
+        WHERE rn = 1
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+               COUNT(*) AS count_order,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 2) AS avg_qty
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "order_price_buckets": """
+        SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                    WHEN o_totalprice < 150000 THEN 'mid'
+                    ELSE 'high' END AS price_bucket,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    """,
+    "recent_orders_interval": """
+        SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= (SELECT MAX(o_orderdate) FROM orders) - INTERVAL 730 DAY
+        GROUP BY 1
+    """,
+    "line_totals_computed": """
+        SELECT l_orderkey, l_linenumber,
+               ROUND(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
+                     - l_discount, 2) AS line_total
+        FROM lineitem
+    """,
+    "check_violation_counts": """
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN l_quantity > 0 AND l_extendedprice >= 0
+                             AND l_discount BETWEEN 0 AND 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid
+        FROM lineitem
+    """,
+    "segment_stats": """
+        SELECT c_mktsegment,
+               CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        FROM customer GROUP BY c_mktsegment
+    """,
+    "revenue_rollup": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "repeat_buyer_keys": """
+        SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) <= 1995
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) >= 1997
+    """,
+    "events_json_extract": """
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               COUNT(*) AS n_events
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+        GROUP BY event_type
+    """,
+    "events_hourly_counts": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n_events,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "events_sessionization": """
+        WITH g AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 10 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        s AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM g
+        )
+        SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+        FROM s GROUP BY user_id, session_id
+    """,
+    "events_micro_ts_roundtrip": """
+        SELECT event_id, epoch_us(ts) AS ts_us, make_timestamp(epoch_us(ts)) AS ts_rt
+        FROM events
+    """,
+}

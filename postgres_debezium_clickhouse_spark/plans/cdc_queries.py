@@ -1,0 +1,237 @@
+"""CDC pipeline queries — the reference's flagship path as Spark plans.
+
+Pipeline shape (SURVEY §3.1): synthetic Debezium envelope log → PERMISSIVE
+parse → existence filter → latest-wins versioned dedup → typed casts.  This
+reproduces, end-to-end, ClickHouse's
+
+    Kafka engine table → MV(JSONExtract*) → ReplacingMergeTree(ts_ms)
+    → SELECT ... FINAL  (basic_example/clickhouse.sql:10-82)
+
+Every query here has a DuckDB oracle that reconstructs the same final state
+in pure SQL from the orders/customer fixtures — possible because the event
+generator (sources/cdc.py) is deterministic.
+
+Scale notes: the dedup shuffle hashes on the table key only; dimension-free.
+The parse + projection stages are narrow (no shuffle).  At 100 TB the same
+plan applies per-table; AQE handles key skew (session.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import (
+    json_extract_long,
+    json_extract_string,
+    json_has,
+    micros_to_ts,
+    to_float64,
+)
+from ..operators.transforms import mask_fields, unwrap_envelope
+from ..operators.upsert import apply_cdc
+from ..schemas import CUSTOMER_ENVELOPE, ORDERS_ENVELOPE
+from ..sources.cdc import (
+    bronze_projection,
+    customer_cdc_events,
+    orders_cdc_events,
+    parse_envelope,
+)
+
+# ---------------------------------------------------------------------------
+# Spark queries
+# ---------------------------------------------------------------------------
+
+
+def _orders_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return parse_envelope(orders_cdc_events(spark, sf_dir), ORDERS_ENVELOPE)
+
+
+def cdc_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: typed, deduplicated current state of ``orders`` — the
+    ``products_usable_vw`` equivalent (clickhouse.sql:70-82).
+
+    Exercises S1 (static shape), P2, P3, W1, W2, S8, T3, T4(drop), F5, F17.
+    """
+    p = F.col("j.payload")
+    events = _orders_parsed(spark, sf_dir).select(
+        F.coalesce(p.after.o_orderkey, p.before.o_orderkey).alias("o_orderkey"),
+        p.after.o_custkey.alias("o_custkey"),
+        p.after.o_orderstatus.alias("o_orderstatus"),
+        p.after.o_totalprice.alias("o_totalprice_str"),
+        p.after.o_orderdate.alias("o_orderdate_us"),
+        p.after.o_orderpriority.alias("o_orderpriority"),
+        p.op.alias("op"),
+        p.source.ts_ms.alias("ts_ms"),
+        F.col("offset"),
+    )
+    merged = apply_cdc(
+        events, keys=["o_orderkey"], version_col="ts_ms", tiebreak_col="offset", delete_mode="drop"
+    )
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        to_float64("o_totalprice_str").alias("o_totalprice"),
+        micros_to_ts("o_orderdate_us").alias("o_orderdate"),
+        "o_orderpriority",
+        "op",
+        "ts_ms",
+    )
+
+
+def cdc_json_extract_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JSONExtract* route (F1-F3) mirroring products_final_mv
+    (clickhouse.sql:57-68) + init.sql:63's JSONHas filter: deletes are
+    DROPPED BEFORE dedup, so deleted keys keep their last non-delete image —
+    deliberately different semantics from cdc_current_state (basic path)."""
+    raw = orders_cdc_events(spark, sf_dir)
+    flat = raw.filter(json_has("value", "payload", "after")).select(
+        json_extract_string("value", "payload", "after", "o_orderkey").cast("long").alias("o_orderkey"),
+        json_extract_string("value", "payload", "after", "o_orderstatus").alias("o_orderstatus"),
+        to_float64(json_extract_string("value", "payload", "after", "o_totalprice")).alias("o_totalprice"),
+        json_extract_long("value", "payload", "source", "ts_ms").alias("ts_ms"),
+        F.lit("x").alias("op"),
+        F.col("offset"),
+    )
+    merged = apply_cdc(
+        flat, keys=["o_orderkey"], version_col="ts_ms", tiebreak_col="offset", delete_mode="drop",
+        op_col="op",
+    )
+    return merged.select("o_orderkey", "o_orderstatus", "o_totalprice", "ts_ms")
+
+
+def cdc_rewrite_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete rewrite mode (T4): tombstones survive as ``__deleted=true``
+    rows with the ``before`` image (delete.handling.mode=rewrite,
+    abcsvb-connector-secure.json:33-34)."""
+    p = F.col("j.payload")
+    ev = _orders_parsed(spark, sf_dir).select(
+        F.coalesce(p.after.o_orderkey, p.before.o_orderkey).alias("o_orderkey"),
+        F.when(p.op == "d", p.before.o_orderstatus).otherwise(p.after.o_orderstatus).alias("o_orderstatus"),
+        to_float64(
+            F.when(p.op == "d", p.before.o_totalprice).otherwise(p.after.o_totalprice)
+        ).alias("o_totalprice"),
+        p.op.alias("op"),
+        p.source.ts_ms.alias("ts_ms"),
+        F.col("offset"),
+    )
+    merged = apply_cdc(
+        ev, keys=["o_orderkey"], version_col="ts_ms", tiebreak_col="offset", delete_mode="rewrite"
+    )
+    return merged.select("o_orderkey", "o_orderstatus", "o_totalprice", "__deleted")
+
+
+def cdc_masked_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8+P9 — unwrap + PII masking in-flight (MaskField SMT,
+    abcsvb-connector-secure.json:36-37): c_name replaced by its sha2-256."""
+    parsed = parse_envelope(customer_cdc_events(spark, sf_dir), CUSTOMER_ENVELOPE)
+    unwrapped = unwrap_envelope(parsed, drop_deletes=True)
+    masked = mask_fields(unwrapped, ["c_name"], mode="hash")
+    return masked.select(
+        "c_custkey",
+        "c_name",
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+        to_float64("c_acctbal").alias("c_acctbal"),
+        "c_mktsegment",
+    )
+
+
+def cdc_bronze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/P1/P4/S3 — bronze raw-archive projection with Kafka lineage
+    (init_clickhouse_raw_tables.sql:28-48), summarized per partition
+    (ingestion_time excluded: wall-clock is nondeterministic)."""
+    bronze = bronze_projection(orders_cdc_events(spark, sf_dir))
+    return bronze.groupBy("partition_str").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("offset_num").alias("max_offset"),
+    )
+
+
+QUERIES = {
+    "cdc_current_state": cdc_current_state,
+    "cdc_json_extract_path": cdc_json_extract_path,
+    "cdc_rewrite_mode": cdc_rewrite_mode,
+    "cdc_masked_customers": cdc_masked_customers,
+    "cdc_bronze_stats": cdc_bronze_stats,
+}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles — reconstruct the deterministic generator's final state
+# (sources/cdc.py: updates for keys %3==0 (+100, status U), %9==0 (+200, V),
+# deletes for %7==0, snapshot ts 1e6, update ts 2e6/3e6+key, delete 4e6+key)
+# ---------------------------------------------------------------------------
+
+_FINAL_STATUS = (
+    "CASE WHEN o_orderkey % 9 = 0 THEN 'V' "
+    "WHEN o_orderkey % 3 = 0 THEN 'U' ELSE o_orderstatus END"
+)
+_FINAL_PRICE = (
+    "CAST(CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice + 200.0 "
+    "WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0 "
+    "ELSE o_totalprice END AS DOUBLE)"
+)
+_FINAL_TS = (
+    "CAST(CASE WHEN o_orderkey % 9 = 0 THEN 3000000 + o_orderkey "
+    "WHEN o_orderkey % 3 = 0 THEN 2000000 + o_orderkey "
+    "ELSE 1000000 END AS BIGINT)"
+)
+_FINAL_OP = "CASE WHEN o_orderkey % 3 = 0 THEN 'u' ELSE 'r' END"
+
+ORACLES = {
+    "cdc_current_state": f"""
+        SELECT o_orderkey, o_custkey,
+               {_FINAL_STATUS} AS o_orderstatus,
+               {_FINAL_PRICE} AS o_totalprice,
+               o_orderdate,
+               o_orderpriority,
+               {_FINAL_OP} AS op,
+               {_FINAL_TS} AS ts_ms
+        FROM orders WHERE o_orderkey % 7 <> 0
+    """,
+    "cdc_json_extract_path": f"""
+        SELECT o_orderkey,
+               {_FINAL_STATUS} AS o_orderstatus,
+               {_FINAL_PRICE} AS o_totalprice,
+               {_FINAL_TS} AS ts_ms
+        FROM orders
+    """,
+    "cdc_rewrite_mode": """
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_orderstatus
+                    WHEN o_orderkey % 9 = 0 THEN 'V'
+                    WHEN o_orderkey % 3 = 0 THEN 'U'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice
+                    WHEN o_orderkey % 9 = 0 THEN o_totalprice + 200.0
+                    WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+                    ELSE o_totalprice END AS DOUBLE) AS o_totalprice,
+               (o_orderkey % 7 = 0) AS __deleted
+        FROM orders
+    """,
+    "cdc_masked_customers": """
+        SELECT c_custkey,
+               sha256(c_name) AS c_name,
+               CAST(c_nationkey AS INT) AS c_nationkey,
+               CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+               c_mktsegment
+        FROM customer
+    """,
+    "cdc_bronze_stats": """
+        WITH ev AS (
+            SELECT CAST(o_orderkey % 8 AS VARCHAR) AS partition_str,
+                   1 + 2 * CAST(o_orderkey % 3 = 0 AS INT)
+                     + 2 * CAST(o_orderkey % 9 = 0 AS INT)
+                     + CAST(o_orderkey % 7 = 0 AS INT) AS n,
+                   o_orderkey * 10 + CASE WHEN o_orderkey % 9 = 0 THEN 6
+                                          WHEN o_orderkey % 3 = 0 THEN 5
+                                          WHEN o_orderkey % 7 = 0 THEN 3
+                                          ELSE 0 END AS max_off
+            FROM orders
+        )
+        SELECT partition_str,
+               CAST(SUM(n) AS BIGINT) AS n_events,
+               CAST(MAX(max_off) AS BIGINT) AS max_offset
+        FROM ev GROUP BY partition_str
+    """,
+}

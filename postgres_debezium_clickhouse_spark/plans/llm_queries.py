@@ -1,0 +1,270 @@
+"""LLM training-data pipeline queries: dedup suite, similarity search,
+text analysis, multimodal plumbing — wired to DuckDB oracles.
+
+These operators go beyond the reference (which has no document corpus) but
+are first-class engine components for the 100 TB target.  All hashes are
+md5-based so the oracles reproduce results exactly (see operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_near_dups,
+    ngram_jaccard_blocked,
+    simhash,
+)
+from ..operators.multimodal import attach_fake_media, extract_features, media_byte_stats
+from ..operators.similarity import (
+    cosine_topk,
+    embedding_near_dups,
+    lsh_ann_buckets,
+    lsh_ann_topk,
+)
+from ..operators.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    text_stats,
+    token_count_regex,
+)
+from ..sources.files import load_table
+
+# ---------------------------------------------------------------------------
+# Spark queries
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_near_dups(load_table(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_blocked(
+        docs, block_expr=F.concat_ws("|", "lang", "source"), threshold=0.2
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return cosine_topk(corpus, queries, k=5)
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dups(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (hyperplanes are numpy-seeded literals, not SQL-portable);
+    recall vs exact top-k is asserted in tests/test_llm_ops.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return lsh_ann_topk(corpus, queries, k=5, n_planes=4)
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only — the ANN index-build side (bucket occupancy)."""
+    return lsh_ann_buckets(load_table(spark, sf_dir, "embeddings"), n_planes=8)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_count_regex(load_table(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_byte_stats(attach_fake_media(load_table(spark, sf_dir, "documents")))
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only — Arrow-batched mapInPandas feature extraction (the decode
+    stub); value checks live in tests/test_llm_ops.py."""
+    media = attach_fake_media(load_table(spark, sf_dir, "documents"))
+    return extract_features(media)
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_ngram_jaccard,
+    "similarity_cosine_topk": q_cosine_topk,
+    "dedup_embedding_cosine": q_embedding_near_dups,
+    "similarity_ann_lsh_topk": q_ann_lsh_topk,
+    "similarity_ann_lsh_buckets": q_ann_lsh_buckets,
+    "text_stats": q_text_stats,
+    "text_lang_id": q_lang_id,
+    "text_quality_score": q_quality_score,
+    "text_token_count": q_token_count,
+    "text_fingerprint": q_fingerprint,
+    "multimodal_byte_stats": q_multimodal_bytes,
+    "multimodal_features": q_multimodal_features,
+}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_SHINGLES = """
+    toks AS (SELECT doc_id, lang, source, text, string_split(text, ' ') AS tk FROM documents),
+    sh AS (SELECT doc_id, lang, source,
+                  list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]) AS ts
+           FROM toks)
+"""
+
+ORACLES = {
+    "dedup_exact": """
+        SELECT MIN(doc_id) AS doc_id, sha256(lower(trim(text))) AS text_hash
+        FROM documents GROUP BY sha256(lower(trim(text)))
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH {_SHINGLES},
+        sig AS (SELECT doc_id, ts,
+            list_min(list_transform(ts, s -> md5('0|' || s))) || list_min(list_transform(ts, s -> md5('1|' || s))) AS band0,
+            list_min(list_transform(ts, s -> md5('2|' || s))) || list_min(list_transform(ts, s -> md5('3|' || s))) AS band1,
+            list_min(list_transform(ts, s -> md5('4|' || s))) || list_min(list_transform(ts, s -> md5('5|' || s))) AS band2,
+            list_min(list_transform(ts, s -> md5('6|' || s))) || list_min(list_transform(ts, s -> md5('7|' || s))) AS band3
+            FROM sh),
+        bands AS (
+            SELECT doc_id, 0 AS b, band0 AS bkey FROM sig UNION ALL
+            SELECT doc_id, 1, band1 FROM sig UNION ALL
+            SELECT doc_id, 2, band2 FROM sig UNION ALL
+            SELECT doc_id, 3, band3 FROM sig),
+        cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+                 FROM bands l JOIN bands r ON l.b = r.b AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+        j AS (SELECT c.doc_a, c.doc_b,
+                     ROUND(len(list_intersect(a.ts, b.ts)) * 1.0
+                           / len(list_distinct(list_concat(a.ts, b.ts))), 6) AS jaccard
+              FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id)
+        SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
+    """,
+    "dedup_simhash": """
+        WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+        h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS hv FROM toks),
+        bits AS (SELECT doc_id, i, SUM(CASE WHEN ((hv >> i) & 1) = 1 THEN 1 ELSE -1 END) AS s
+                 FROM h CROSS JOIN range(0, 60) t(i) GROUP BY doc_id, i)
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH {_SHINGLES},
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     ROUND(len(list_intersect(a.ts, b.ts)) * 1.0
+                           / len(list_distinct(list_concat(a.ts, b.ts))), 6) AS jaccard
+              FROM sh a JOIN sh b
+                ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.2
+    """,
+    "similarity_cosine_topk": """
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        c AS (SELECT vec_id, v AS cv FROM e WHERE vec_id >= 5),
+        s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                     ROUND(list_dot_product(qv, cv)
+                           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+              FROM q CROSS JOIN c),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+              FROM s)
+        SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 5
+    """,
+    "dedup_embedding_cosine": """
+        WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+                     ROUND(list_dot_product(a.v, b.v)
+                           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+              FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b, label, cosine FROM p WHERE cosine >= 0.4
+    """,
+    "text_stats": """
+        WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents)
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(tk) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct_tokens,
+               ROUND(CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk), 4) AS avg_token_len,
+               ROUND(len(list_distinct(tk)) * 1.0 / len(tk), 4) AS token_diversity
+        FROM t
+    """,
+    "text_lang_id": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        sc AS (SELECT doc_id,
+                      len(list_filter(tk, x -> x IN ('the', 'a'))) AS score_en,
+                      len(list_filter(tk, x -> x IN ('el', 'la'))) AS score_es,
+                      len(list_filter(tk, x -> x IN ('der', 'und'))) AS score_de,
+                      len(list_filter(tk, x -> x IN ('le', 'et'))) AS score_fr
+               FROM t)
+        SELECT doc_id,
+               CAST(score_en AS BIGINT) AS score_en,
+               CAST(score_es AS BIGINT) AS score_es,
+               CAST(score_de AS BIGINT) AS score_de,
+               CAST(score_fr AS BIGINT) AS score_fr,
+               CASE WHEN greatest(score_en, score_es, score_de, score_fr) <= 0 THEN 'und'
+                    WHEN score_en = greatest(score_en, score_es, score_de, score_fr) THEN 'en'
+                    WHEN score_es = greatest(score_en, score_es, score_de, score_fr) THEN 'es'
+                    WHEN score_de = greatest(score_en, score_es, score_de, score_fr) THEN 'de'
+                    WHEN score_fr = greatest(score_en, score_es, score_de, score_fr) THEN 'fr'
+                    ELSE 'und' END AS detected_lang
+        FROM sc
+    """,
+    "text_quality_score": """
+        WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents)
+        SELECT doc_id,
+               ROUND(len(list_distinct(tk)) * 1.0 / len(tk), 4) AS token_diversity,
+               ROUND(len(list_filter(tk, x -> x IN ('the', 'a', 'and', 'of'))) * 1.0 / len(tk), 4) AS stopword_ratio,
+               (length(text) >= 100 AND length(text) <= 1000) AS len_ok,
+               ((length(text) >= 100 AND length(text) <= 1000)
+                AND ROUND(len(list_distinct(tk)) * 1.0 / len(tk), 4) >= 0.15
+                AND ROUND(len(list_filter(tk, x -> x IN ('the', 'a', 'and', 'of'))) * 1.0 / len(tk), 4) <= 0.5) AS keep
+        FROM t
+    """,
+    "text_token_count": """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_re_tokens,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+        FROM documents
+    """,
+    "text_fingerprint": f"""
+        WITH {_SHINGLES}
+        SELECT doc_id,
+               array_to_string(list_sort(list_transform(ts, s -> md5(s)))[1:4], '') AS fingerprint
+        FROM sh
+    """,
+    "multimodal_byte_stats": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               'image' AS media_type,
+               'memory://doc/' || CAST(doc_id AS VARCHAR) AS uri
+        FROM documents
+    """,
+}

@@ -1,0 +1,82 @@
+"""Operational / rows-only queries: the synthetic data generator surface
+(F10/F11 — inherently nondeterministic) and the end-to-end streaming bronze
+pipeline (not SQL-expressible).  The driver records rows-only checks for
+these; value-level assertions live in tests/.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import enum_by_bucket, gen_uuid, rand_int, round2, ts_minus_random_days
+from ..schemas import ORDERS_ENVELOPE
+from ..sources.cdc import orders_cdc_events, parse_envelope
+from ..streaming.pipeline import bronze_append_stream, corrupt_filter
+
+
+def synthetic_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9-side data generator mirroring the reference's PL/pgSQL loop
+    (init_postgresql_data.sql:106-154): 10k transactions with uuid ids
+    (F10), random customer/product picks (F11), rounded amounts (F12),
+    random timestamps within 730 days (F13), enum statuses (F14), and the
+    generated total (P7/F15).  Rows-only: random() is nondeterministic by
+    contract."""
+    n = 10_000
+    base = spark.range(n).withColumnRenamed("id", "seq")
+    bucket = F.floor(F.rand(7) * 10).cast("int")
+    qty = rand_int(10, seed=1)
+    price = round2(F.rand(2) * 1000)
+    disc = round2(F.rand(3) * 10)
+    return base.select(
+        F.col("seq"),
+        gen_uuid().alias("transaction_uuid"),
+        rand_int(150, seed=4).alias("customer_id"),
+        rand_int(200, seed=5).alias("product_id"),
+        qty.alias("quantity"),
+        price.alias("unit_price"),
+        disc.alias("discount_amount"),
+        round2(qty * price - disc).alias("total_amount"),
+        enum_by_bucket(
+            bucket, {0: "pending", 1: "cancelled", 2: "refunded"}, "completed"
+        ).alias("status"),
+        ts_minus_random_days(F.current_timestamp(), 730, seed=6).alias("transaction_date"),
+    )
+
+
+def stream_bronze_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming bronze path (S1 shape → T2 corrupt filter → S7
+    append with lineage + ingestion_time), driven with availableNow over a
+    file source (the test harness stand-in for a Kafka broker; the plan is
+    identical).  Returns the archived rows re-read from parquet."""
+    run = uuid.uuid4().hex[:12]
+    root = tempfile.gettempdir()
+    src = f"{root}/bronze_src_{run}"
+    dst = f"{root}/bronze_out_{run}"
+    ckpt = f"{root}/bronze_ckpt_{run}"
+
+    events = orders_cdc_events(spark, sf_dir)
+    events.write.mode("overwrite").json(src)
+
+    stream = spark.readStream.schema(events.schema).json(src)
+    parsed = parse_envelope(stream, ORDERS_ENVELOPE)
+    good, _dead = corrupt_filter(parsed)
+    bronze = good.select(
+        F.col("value").alias("value_json"),
+        F.col("partition").cast("string").alias("partition_str"),
+        F.col("offset").alias("offset_num"),
+    )
+    q = bronze_append_stream(bronze, dst, ckpt, available_now=True)
+    q.awaitTermination(120)
+    return spark.read.parquet(dst).drop("ingestion_time")
+
+
+QUERIES = {
+    "synthetic_transactions": synthetic_transactions,
+    "stream_bronze_archive": stream_bronze_archive,
+}
+
+ORACLES: dict[str, str] = {}

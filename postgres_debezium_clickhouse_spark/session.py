@@ -6,8 +6,12 @@ production target is ~100 TB).  Everything here is cluster-safe config —
 local[N] is only the test harness.
 
 Key choices:
-- AQE on: runtime shuffle-partition coalescing, skew-join splitting and
-  dynamic broadcast decisions replace hand-tuned partition counts at scale.
+- AQE on with a HIGH initial shuffle partition count (2048): AQE coalescing
+  only ever reduces partition counts from
+  ``spark.sql.adaptive.coalescePartitions.initialPartitionNum``, it never
+  increases them.  A low ceiling (e.g. 32) would mean multi-TB shuffle
+  partitions at the 100 TB target.  2048 initial partitions coalesce down to
+  a handful on toy scale factors but keep large shuffles parallel.
 - UTC session timezone: the reference pins UTC in every timestamp cast
   (basic_example/clickhouse.sql:77-78 ``toDateTime64(..., 6, 'UTC')``).
 - Arrow enabled: all Python-boundary work (pandas UDFs, mapInPandas for the
@@ -23,7 +27,9 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+def _cpus() -> str:
+    return os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
 def get_spark(
@@ -34,21 +40,32 @@ def get_spark(
 ) -> SparkSession:
     """Build (or reuse) a SparkSession tuned for this engine.
 
-    On a real cluster, ``master`` comes from spark-submit; locally we default
-    to ``local[$SPARK_GRAFT_CPUS]``.
+    On a real cluster, ``master`` comes from spark-submit (or the
+    ``SPARK_MASTER`` env var, used directly as the master URL); locally we
+    default to ``local[$SPARK_GRAFT_CPUS]``.
+
+    Note: if a SparkSession already exists, ``getOrCreate()`` returns it and
+    ignores every config passed here — callers wanting different settings
+    must stop the existing session first.
     """
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    cpus = _cpus()
+    # Map-side partition count for shuffles.  With AQE coalescing on, the
+    # effective knob is initialPartitionNum: start high (scale-safe), let AQE
+    # coalesce down for small inputs.  shuffle.partitions stays the non-AQE
+    # fallback.
+    n_shuffle = shuffle_partitions if shuffle_partitions is not None else int(cpus) * 4
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "2048")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config(
-            "spark.sql.shuffle.partitions",
-            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
-        )
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # files.maxPartitionBytes default 128m is right for the 100 TB
@@ -57,10 +74,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.schemaInference", "false")
+        # pandas-written fixtures carry TIMESTAMP(NANOS) which Spark's
+        # reader rejects; read them as raw int64 ns and convert explicitly
+        # (sources/files.py) — same µs truncation DuckDB applies.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    env_master = os.environ.get("SPARK_MASTER")
     if master:
         builder = builder.master(master)
-    elif not os.environ.get("SPARK_MASTER"):
+    elif env_master:
+        builder = builder.master(env_master)
+    else:
         builder = builder.master(f"local[{cpus}]")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

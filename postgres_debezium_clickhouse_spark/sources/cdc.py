@@ -1,0 +1,188 @@
+"""Synthetic Debezium-envelope CDC event generation + envelope parsing.
+
+The reference's CDC source is the Debezium PostgresConnector (S4,
+basic_example/debezium-pg-connector.json:1-21): an initial consistent
+snapshot (every row emitted with ``op='r'``, ``snapshot.mode=initial``,
+line 18) followed by WAL streaming (``op`` c/u/d).  Spark has no WAL
+parser, so the engine (a) consumes the same envelope JSON from Kafka in
+production and (b) SYNTHESIZES a deterministic envelope stream from the
+driver's parquet fixtures for tests/benchmarks — modeled byte-for-byte on
+the captured sample message basic_example/value.json:760-842.
+
+The generated log covers, deterministically (no randomness — the driver's
+DuckDB oracle must reproduce the final state in pure SQL):
+
+- snapshot reads      op='r', version ts_ms=1_000_000           (T5)
+- updates             op='u' for keys %3==0  (ts 2_000_000+key)
+- second updates      op='u' for keys %9==0  (ts 3_000_000+key) — proves
+                      max-version wins over intermediate versions
+- deletes             op='d' for keys %7==0  (ts 4_000_000+key) with a full
+                      ``before`` image (REPLICA IDENTITY FULL,
+                      init_postgresql_data.sql:73-75)           (T4)
+- duplicate delivery  every update is emitted twice at distinct offsets
+                      (at-least-once Kafka semantics)           (T1)
+- out-of-order        events carry no ordering guarantee; correctness comes
+                      from version latest-wins, not arrival order (T3)
+
+Wire conventions mirrored from the reference connectors:
+- decimals as strings  (decimal.handling.mode=string,
+  debezium-pg-connector.json:19)
+- timestamps as µs-epoch int64 (MicroTimestamp, value.json:96-99)
+- Kafka record = (key JSON, value JSON, partition, offset), topic
+  ``<prefix>.<schema>.<table>`` (clickhouse.sql:17)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import ts_to_micros
+from ..schemas import CUSTOMER_CDC_ROW, ORDERS_CDC_ROW
+
+N_PARTITIONS = 8  # synthetic topic partition count
+SNAPSHOT_TS = 1_000_000
+UPDATE1_TS = 2_000_000
+UPDATE2_TS = 3_000_000
+DELETE_TS = 4_000_000
+
+
+def _orders_after(total_delta: float, status: str | None) -> F.Column:
+    """Build the wire-format ``after`` struct for an orders row."""
+    return F.struct(
+        F.col("o_orderkey").alias("o_orderkey"),
+        F.col("o_custkey").alias("o_custkey"),
+        (F.lit(status) if status else F.col("o_orderstatus")).alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(total_delta)).cast("string").alias("o_totalprice"),
+        ts_to_micros("o_orderdate").alias("o_orderdate"),
+        F.col("o_orderpriority").alias("o_orderpriority"),
+    )
+
+
+def _envelope(after: F.Column | None, before: F.Column | None, op: str, ts: F.Column) -> F.Column:
+    null_row = F.lit(None).cast(ORDERS_CDC_ROW)
+    source = F.struct(
+        F.lit("2.4.0.Final").alias("version"),
+        F.lit("postgresql").alias("connector"),
+        F.lit("poc").alias("name"),
+        ts.alias("ts_ms"),
+        F.lit("first" if op == "r" else "false").alias("snapshot"),
+        F.lit("poc").alias("db"),
+        F.lit("public").alias("schema"),
+        F.lit("orders").alias("table"),
+        (F.col("o_orderkey") + 100).alias("txId"),
+        (F.col("o_orderkey") * 1000).alias("lsn"),
+    )
+    return F.to_json(
+        F.struct(
+            F.struct(
+                (before if before is not None else null_row).alias("before"),
+                (after if after is not None else null_row).alias("after"),
+                source.alias("source"),
+                F.lit(op).alias("op"),
+                ts.alias("ts_ms"),
+                F.lit(None).cast("struct<id:string,total_order:bigint,data_collection_order:bigint>").alias(
+                    "transaction"
+                ),
+            ).alias("payload")
+        )
+    )
+
+
+def _record(df: DataFrame, value: F.Column, offset_slot: int) -> DataFrame:
+    """Shape one event class as Kafka records (S1/S3 virtual columns)."""
+    return df.select(
+        F.to_json(F.struct(F.struct(F.col("o_orderkey")).alias("payload"))).alias("key"),
+        value.alias("value"),
+        (F.col("o_orderkey") % N_PARTITIONS).cast("int").alias("partition"),
+        (F.col("o_orderkey") * 10 + offset_slot).alias("offset"),
+        F.lit("poc.public.orders").alias("topic"),
+    )
+
+
+def orders_cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic synthetic CDC log for the ``orders`` table.
+
+    Returns Kafka-shaped records: (key, value, partition, offset, topic).
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    ts1 = F.lit(SNAPSHOT_TS).cast("long")
+    ts2 = (F.lit(UPDATE1_TS) + k).cast("long")
+    ts3 = (F.lit(UPDATE2_TS) + k).cast("long")
+    ts4 = (F.lit(DELETE_TS) + k).cast("long")
+
+    snap = _record(orders, _envelope(_orders_after(0.0, None), None, "r", ts1), 0)
+    upd1 = _record(orders.filter(k % 3 == 0), _envelope(_orders_after(100.0, "U"), _orders_after(0.0, None), "u", ts2), 1)
+    # duplicate delivery of update-1: identical payload, distinct offset
+    upd1_dup = _record(orders.filter(k % 3 == 0), _envelope(_orders_after(100.0, "U"), _orders_after(0.0, None), "u", ts2), 5)
+    upd2 = _record(orders.filter(k % 9 == 0), _envelope(_orders_after(200.0, "V"), _orders_after(100.0, "U"), "u", ts3), 2)
+    upd2_dup = _record(orders.filter(k % 9 == 0), _envelope(_orders_after(200.0, "V"), _orders_after(100.0, "U"), "u", ts3), 6)
+    dele = _record(orders.filter(k % 7 == 0), _envelope(None, _orders_after(0.0, None), "d", ts4), 3)
+
+    return snap.unionByName(upd1).unionByName(upd1_dup).unionByName(upd2).unionByName(upd2_dup).unionByName(dele)
+
+
+def customer_cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-only CDC log for ``customer`` (PII-masking fixture, P8)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    after = F.struct(
+        F.col("c_custkey"),
+        F.col("c_name"),
+        F.col("c_nationkey"),
+        F.col("c_acctbal").cast("string").alias("c_acctbal"),
+        F.col("c_mktsegment"),
+    )
+    source = F.struct(
+        F.lit("2.4.0.Final").alias("version"),
+        F.lit("postgresql").alias("connector"),
+        F.lit("poc").alias("name"),
+        F.lit(SNAPSHOT_TS).cast("long").alias("ts_ms"),
+        F.lit("first").alias("snapshot"),
+        F.lit("poc").alias("db"),
+        F.lit("public").alias("schema"),
+        F.lit("customer").alias("table"),
+        F.col("c_custkey").alias("txId"),
+        (F.col("c_custkey") * 1000).alias("lsn"),
+    )
+    value = F.to_json(
+        F.struct(
+            F.struct(
+                F.lit(None).cast(CUSTOMER_CDC_ROW).alias("before"),
+                after.alias("after"),
+                source.alias("source"),
+                F.lit("r").alias("op"),
+                F.lit(SNAPSHOT_TS).cast("long").alias("ts_ms"),
+                F.lit(None).cast("struct<id:string,total_order:bigint,data_collection_order:bigint>").alias(
+                    "transaction"
+                ),
+            ).alias("payload")
+        )
+    )
+    return cust.select(
+        F.to_json(F.struct(F.struct(F.col("c_custkey")).alias("payload"))).alias("key"),
+        value.alias("value"),
+        (F.col("c_custkey") % N_PARTITIONS).cast("int").alias("partition"),
+        (F.col("c_custkey") * 10).alias("offset"),
+        F.lit("poc.public.customer").alias("topic"),
+    )
+
+
+def parse_envelope(records: DataFrame, envelope: T.StructType) -> DataFrame:
+    """S1→P2 — PERMISSIVE ``from_json`` of the value column; malformed
+    messages become NULL payloads (the ``kafka_skip_broken_messages``
+    equivalent, clickhouse.sql:20 / T2) and are filterable downstream."""
+    return records.withColumn("j", F.from_json(F.col("value"), envelope))
+
+
+def bronze_projection(records: DataFrame) -> DataFrame:
+    """S7/P1/P4 — the raw-archive projection with Kafka lineage columns
+    (init_clickhouse_raw_tables.sql:42-48): rename value→value_json, keep
+    partition/offset, drop null/empty values, stamp ingestion_time."""
+    return records.filter(F.col("value").isNotNull() & (F.col("value") != "")).select(
+        F.col("value").alias("value_json"),
+        F.col("partition").cast("string").alias("partition_str"),
+        F.col("offset").alias("offset_num"),
+        F.current_timestamp().alias("ingestion_time"),
+    )

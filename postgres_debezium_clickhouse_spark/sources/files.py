@@ -1,0 +1,73 @@
+"""File-based sources: parquet fixture tables (S9) and typed JSON
+object-store ingestion (S2/S6).
+
+The reference's object-store path (minio_cdc_example/) moves JSON files
+from a MinIO bucket through an S3 source connector into Kafka
+(connect-minio-source.json:4-14) and parses them with a typed
+``JSONEachRow`` Kafka table (clickhouse_minio.sql:14-26).  Spark's file
+source subsumes the connector: one ``readStream.schema(s).json(path)``
+replaces bucket-watch + Kafka hop (SURVEY §3.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S9 — one fixture table (columnar parquet scan; Catalyst pushes
+    filters/pruning into the scan automatically).
+
+    Timestamp normalization: the fixtures store ns-precision timestamps
+    (illegal for Spark's parquet reader) — read as int64 ns via
+    ``nanosAsLong`` (session.py) and truncate to µs TIMESTAMP_NTZ, exactly
+    what DuckDB's reader does, so oracle comparisons see identical values.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col_name, dtype in df.dtypes:
+        if name == "events" and col_name == "ts" and dtype == "bigint":
+            df = df.withColumn(
+                col_name,
+                F.timestamp_micros(F.expr(f"{col_name} div 1000")).cast("timestamp_ntz"),
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """D1/D4 — expose fixture tables to Spark SQL by name."""
+    for t, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(t)
+
+
+def read_typed_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """S2 (batch) — JSONEachRow equivalent: schema-on-write typed parse
+    (clickhouse_minio.sql:14-26).  PERMISSIVE mode: malformed rows → nulls
+    (kafka_skip_broken_messages equivalent)."""
+    return spark.read.schema(schema).json(path)
+
+
+def read_typed_json_stream(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """S6 (stream) — object-store file discovery as a streaming source: new
+    JSON objects under ``path`` become micro-batches, replacing the S3
+    source connector (connect-minio-source.json:1-18).  At 100 TB scale the
+    listing cost is bounded with ``maxFilesPerTrigger`` at the sink side."""
+    return spark.readStream.schema(schema).json(path)

@@ -1,0 +1,61 @@
+"""Kafka source/sink option builders (S1-S3, T1, T7).
+
+The live-cluster path: one ClickHouse Kafka-engine table
+(basic_example/clickhouse.sql:10-20) ≙ one ``readStream.format("kafka")``
+per topic group.  These builders produce the exact option dicts; the
+container has no Kafka broker, so tests cover the builders and the parse
+chain (sources/cdc.py) via static frames — the streaming shell is identical
+either way (streaming/pipeline.py drives any source DataFrame).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def kafka_reader_options(
+    brokers: str,
+    topics: str | list[str],
+    group_id: str | None = None,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = 1024,
+    fail_on_data_loss: bool = False,
+) -> dict[str, str]:
+    """Option dict for ``spark.readStream.format("kafka")``.
+
+    - ``subscribe`` mirrors ``kafka_topic_list`` (clickhouse.sql:17);
+    - ``kafka.group.id`` mirrors ``kafka_group_name`` (clickhouse.sql:18);
+    - ``maxOffsetsPerTrigger`` mirrors Debezium ``max.batch.size=1024``
+      backpressure (abcsvb-connector-secure.json:44, T7);
+    - offset tracking itself lives in the checkpoint (T1), not the consumer
+      group — the group id is observability parity only.
+    """
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": ",".join(topics) if isinstance(topics, list) else topics,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": str(fail_on_data_loss).lower(),
+    }
+    if group_id:
+        opts["kafka.group.id"] = group_id
+    if max_offsets_per_trigger:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def read_kafka_stream(spark: SparkSession, **kwargs) -> DataFrame:
+    """S1 — raw-string Kafka scan with virtual columns (S3): Spark's source
+    natively exposes key/value/topic/partition/offset/timestamp — the
+    ``_key/_partition/_offset`` equivalents (init.sql:33)."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(**kwargs).items():
+        reader = reader.option(k, v)
+    return reader.load().select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+        F.col("topic"),
+        F.col("partition"),
+        F.col("offset"),
+        F.col("timestamp").alias("kafka_timestamp"),
+    )
