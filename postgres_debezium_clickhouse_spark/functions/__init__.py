@@ -24,6 +24,7 @@ __all__ = [
     "json_extract_string",
     "json_extract_long",
     "json_has",
+    "json_extract_struct",
     "to_int32",
     "to_float64",
     "to_datetime64",
@@ -59,6 +60,21 @@ def json_has(col: Column | str, *path: str) -> Column:
     """F3 — ``JSONHas(v, 'payload', 'after')`` (init.sql:63): the reference
     uses this to drop deletes/tombstones/malformed messages."""
     return json_extract_string(col, *path).isNotNull()
+
+
+def json_extract_struct(col: Column | str, partial_schema) -> Column:
+    """F1-F3, scale path — extract MANY paths with ONE parse.
+
+    Each ``get_json_object`` call re-parses the whole JSON string, so a
+    projection with k extractions does k parses per row — the dominant cost
+    on wide CDC messages (measured 5× slower than parse-once on the bench).
+    This helper is still schema-on-read (callers declare only the paths they
+    want, not the registered table schema): PERMISSIVE ``from_json`` with a
+    partial StructType parses once and prunes everything else.  Use this
+    whenever extracting ≥2 paths from the same string.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.from_json(c, partial_schema)
 
 
 def to_int32(col: Column | str) -> Column:

@@ -65,9 +65,21 @@ def read_typed_json(spark: SparkSession, path: str, schema: T.StructType) -> Dat
     return spark.read.schema(schema).json(path)
 
 
-def read_typed_json_stream(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+def read_typed_json_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """S6 (stream) — object-store file discovery as a streaming source: new
     JSON objects under ``path`` become micro-batches, replacing the S3
-    source connector (connect-minio-source.json:1-18).  At 100 TB scale the
-    listing cost is bounded with ``maxFilesPerTrigger`` at the sink side."""
-    return spark.readStream.schema(schema).json(path)
+    source connector (connect-minio-source.json:1-18).
+
+    ``max_files_per_trigger`` is the T7 backpressure knob (the
+    ``max.batch.size``/``poll.interval.ms`` equivalent,
+    abcsvb-connector-secure.json:44-46): bounds per-micro-batch work so a
+    backlog of files never produces one giant batch."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(path)

@@ -1,0 +1,67 @@
+"""Dedup suite tests (exact / MinHash-LSH / SimHash / blocked Jaccard)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgres_debezium_clickhouse_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_lsh_near_dups,
+    ngram_jaccard_blocked,
+    simhash,
+    with_shingles,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog", "a"),
+    (2, "The quick brown fox jumps over the lazy dog", "a"),   # case variant of 1
+    (3, "the quick brown fox jumps over the lazy cat", "a"),   # near-dup of 1
+    (4, "completely different text about spark engines here", "b"),
+    (5, "the quick brown fox jumps over the lazy dog", "b"),   # exact dup of 1
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text", "label"])
+
+
+def test_exact_dedup_normalizes_and_keeps_min_id(spark):
+    out = exact_dedup(_docs(spark)).collect()
+    ids = sorted(r.doc_id for r in out)
+    # 1,2,5 collapse (case-insensitive) → keep 1; 3 and 4 survive
+    assert ids == [1, 3, 4]
+
+
+def test_shingles(spark):
+    sh = with_shingles(spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"]), k=3)
+    assert sh.first().shingles == ["a b c", "b c d"]
+
+
+def test_lsh_finds_identical_and_near_dups(spark):
+    pairs = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(_docs(spark)).collect()}
+    assert (1, 5) in pairs  # identical docs always share every band
+    near = minhash_lsh_near_dups(_docs(spark), threshold=0.7).collect()
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in near}
+    assert got[(1, 5)] == 1.0
+    assert all(a < b for a, b in got)  # canonical pair order, no self-pairs
+
+
+def test_lsh_no_cross_cluster_false_positives(spark):
+    near = minhash_lsh_near_dups(_docs(spark), threshold=0.7).collect()
+    assert all(4 not in (r.doc_a, r.doc_b) for r in near)
+
+
+def test_simhash_equal_for_identical_token_sets(spark):
+    out = {r.doc_id: r.simhash for r in simhash(_docs(spark)).collect()}
+    assert out[1] == out[5]
+    assert out[1] != out[4]
+    # 60-bit: fits a signed long
+    assert all(0 <= v < (1 << 60) for v in out.values())
+
+
+def test_ngram_jaccard_blocked_respects_blocks(spark):
+    out = ngram_jaccard_blocked(_docs(spark), F.col("label"), threshold=0.0)
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in out.collect()}
+    assert (1, 2) in pairs and (1, 5) not in pairs  # 5 is in block 'b'
+    assert pairs[(4, 5)] == 0.0  # same block, disjoint shingles

@@ -1,0 +1,88 @@
+"""Envelope schema + synthetic CDC generator tests (S1/S4/P2/P3/T2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgres_debezium_clickhouse_spark.schemas import (
+    ORDERS_ENVELOPE,
+    TABLE_REGISTRY,
+    envelope_schema,
+    key_schema,
+)
+from postgres_debezium_clickhouse_spark.sources.cdc import (
+    bronze_projection,
+    orders_cdc_events,
+    parse_envelope,
+)
+from postgres_debezium_clickhouse_spark.streaming.pipeline import corrupt_filter
+from pyspark.sql import types as T
+
+
+def test_generator_event_mix(spark, sf_dir):
+    ev = orders_cdc_events(spark, sf_dir)
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    parsed = parse_envelope(ev, ORDERS_ENVELOPE)
+    ops = {r.op: r.n for r in parsed.groupBy(F.col("j.payload.op").alias("op")).agg(F.count("*").alias("n")).collect()}
+    assert ops["r"] == n_orders                      # snapshot covers every row (T5)
+    assert ops["u"] > 0 and ops["d"] > 0
+    # duplicate delivery: updates emitted twice at distinct offsets
+    upd = parsed.filter(F.col("j.payload.op") == "u")
+    assert upd.count() == 2 * upd.dropDuplicates(["value"]).count()
+
+
+def test_envelope_roundtrip_fields(spark, sf_dir):
+    parsed = parse_envelope(orders_cdc_events(spark, sf_dir), ORDERS_ENVELOPE)
+    row = parsed.filter(F.col("j.payload.op") == "r").select(
+        "j.payload.after.o_orderkey", "j.payload.source.ts_ms", "j.payload.source.table",
+        "j.payload.before",
+    ).first()
+    assert row.o_orderkey is not None
+    assert row.ts_ms == 1_000_000
+    assert row.table == "orders"
+    assert row.before is None  # snapshot rows carry no before image
+
+
+def test_delete_carries_full_before_image(spark, sf_dir):
+    """REPLICA IDENTITY FULL (init_postgresql_data.sql:73-75): deletes ship
+    the complete old row in ``before`` and a null ``after``."""
+    parsed = parse_envelope(orders_cdc_events(spark, sf_dir), ORDERS_ENVELOPE)
+    d = parsed.filter(F.col("j.payload.op") == "d").select("j.payload.*").first()
+    assert d.after is None
+    assert d.before.o_orderkey is not None and d.before.o_totalprice is not None
+
+
+def test_corrupt_messages_split_not_crash(spark):
+    """T2 — kafka_skip_broken_messages equivalent: PERMISSIVE parse routes
+    poison messages to the dead-letter side."""
+    good = '{"payload": {"op": "c", "ts_ms": 5}}'
+    records = spark.createDataFrame([(good,), ("NOT JSON {",), (None,)], ["value"])
+    parsed = records.withColumn("j", F.from_json("value", ORDERS_ENVELOPE))
+    ok, dead = corrupt_filter(parsed)
+    assert ok.count() == 1
+    assert dead.count() == 2
+
+
+def test_key_schema_parse(spark):
+    ks = key_schema([("id", T.IntegerType())])
+    df = spark.createDataFrame([('{"payload": {"id": 4}}',)], ["key"])
+    assert df.select(F.from_json("key", ks).alias("k")).first().k.payload.id == 4
+
+
+def test_registry_covers_envelope(spark):
+    for name, spec in TABLE_REGISTRY.items():
+        env = envelope_schema(spec["row"])
+        names = env["payload"].dataType.fieldNames()
+        assert set(names) == {"before", "after", "source", "op", "ts_ms", "transaction"}
+        assert all(k in [f.name for f in spec["row"].fields] for k in spec["keys"])
+
+
+def test_bronze_projection_filters_empties(spark):
+    records = spark.createDataFrame(
+        [("x", "{}", 0, 1), ("y", "", 0, 2), ("z", None, 1, 3)],
+        ["key", "value", "partition", "offset"],
+    )
+    out = bronze_projection(records)
+    rows = out.collect()
+    assert [r.offset_num for r in rows] == [1]
+    assert rows[0].ingestion_time is not None

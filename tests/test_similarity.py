@@ -1,0 +1,62 @@
+"""Similarity-search tests (brute-force cosine + sign-LSH ANN)."""
+
+from __future__ import annotations
+
+from postgres_debezium_clickhouse_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dups,
+    lsh_ann_buckets,
+    lsh_ann_topk,
+)
+
+VECS = [
+    (1, [1.0, 0.0, 0.0, 0.0], "a"),
+    (2, [0.9, 0.1, 0.0, 0.0], "a"),   # close to 1
+    (3, [0.0, 1.0, 0.0, 0.0], "a"),   # orthogonal to 1
+    (4, [0.0, 0.0, 1.0, 0.0], "b"),
+    (5, [1.0, 0.0, 0.0, 0.0], "b"),   # identical direction to 1
+]
+
+
+def _corpus(spark):
+    return spark.createDataFrame(VECS, ["vec_id", "embedding", "label"])
+
+
+def _queries(spark):
+    return spark.createDataFrame([(100, [1.0, 0.0, 0.0, 0.0])], ["query_id", "embedding"])
+
+
+def test_cosine_topk_exact(spark):
+    out = cosine_topk(_corpus(spark), _queries(spark), k=3).collect()
+    assert [r.neighbor_id for r in out] == [1, 5, 2]  # ties broken by id asc
+    assert out[0].cosine == 1.0 and out[1].cosine == 1.0
+    assert out[2].cosine < 1.0
+    assert [r.rank for r in out] == [1, 2, 3]
+
+
+def test_cosine_topk_k_bound(spark):
+    assert len(cosine_topk(_corpus(spark), _queries(spark), k=2).collect()) == 2
+
+
+def test_lsh_ann_scores_match_bruteforce_on_shared_pairs(spark):
+    """ANN returns a SUBSET of candidates but identical cosine values."""
+    exact = {r.neighbor_id: r.cosine for r in cosine_topk(_corpus(spark), _queries(spark), k=5).collect()}
+    ann = lsh_ann_topk(_corpus(spark), _queries(spark), k=5, dim=4).collect()
+    assert len(ann) > 0
+    for r in ann:
+        assert exact[r.neighbor_id] == r.cosine
+
+
+def test_lsh_buckets_partition_corpus(spark):
+    buckets = lsh_ann_buckets(_corpus(spark), dim=4).collect()
+    assert sum(r.n_vectors for r in buckets) == len(VECS)  # every vector bucketed once
+    # identical vectors land in the same bucket
+    b = lsh_ann_buckets(_corpus(spark).filter("vec_id in (1, 5)"), dim=4).collect()
+    assert len(b) == 1 and b[0].n_vectors == 2
+
+
+def test_embedding_near_dups_blocked_by_label(spark):
+    out = embedding_near_dups(_corpus(spark), threshold=0.9, id_col="vec_id").collect()
+    pairs = {(r.vec_a, r.vec_b) for r in out}
+    assert (1, 2) in pairs       # same label, cosine ~0.994
+    assert (1, 5) not in pairs   # identical vectors but different label block

@@ -1,0 +1,93 @@
+"""Streaming pipeline tests: bronze append + checkpoint recovery (T1),
+silver upsert stream ≡ batch merge, MV registry lifecycle (D5/S10)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("val", T.StringType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("offset", T.LongType()),
+    ]
+)
+
+BATCH1 = [(1, "a1", "c", 100, 10), (2, "b1", "c", 100, 20), (3, "c1", "c", 100, 30)]
+BATCH2 = [(1, "a2", "u", 200, 11), (3, None, "d", 200, 31), (4, "d1", "c", 200, 40)]
+
+
+def _write_json(spark, rows, path):
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode("append").json(path)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return {k: str(tmp_path / k) for k in ("src", "bronze", "silver", "ckpt_b", "ckpt_s", "mv", "ckpt_mv")}
+
+
+def test_bronze_append_and_checkpoint_recovery(spark, dirs):
+    from postgres_debezium_clickhouse_spark.streaming.pipeline import bronze_append_stream
+
+    _write_json(spark, BATCH1, dirs["src"])
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(dirs["src"])
+    q = bronze_append_stream(stream, dirs["bronze"], dirs["ckpt_b"], available_now=True)
+    q.awaitTermination(120)
+    first = spark.read.parquet(dirs["bronze"])
+    assert first.count() == 3
+    assert "ingestion_time" in first.columns
+
+    # restart with MORE data under the same checkpoint: only the delta lands
+    _write_json(spark, BATCH2, dirs["src"])
+    stream2 = spark.readStream.schema(EVENT_SCHEMA).json(dirs["src"])
+    q2 = bronze_append_stream(stream2, dirs["bronze"], dirs["ckpt_b"], available_now=True)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(dirs["bronze"]).count() == 6  # 3 + 3, no re-ingest (T1)
+
+
+def test_silver_upsert_stream_matches_batch_semantics(spark, dirs):
+    from postgres_debezium_clickhouse_spark.streaming.pipeline import silver_upsert_stream
+
+    _write_json(spark, BATCH1, dirs["src"])
+    _write_json(spark, BATCH2, dirs["src"])
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(dirs["src"])
+    q = silver_upsert_stream(
+        stream, dirs["silver"], dirs["ckpt_s"], keys=["id"], available_now=True
+    )
+    q.awaitTermination(180)
+    state = {r.id: r.val for r in spark.read.parquet(dirs["silver"]).collect()}
+    assert state == {1: "a2", 2: "b1", 4: "d1"}  # 3 deleted, 1 updated
+
+
+def test_mv_registry_create_replace_drop(spark, dirs):
+    from postgres_debezium_clickhouse_spark.streaming.pipeline import Pipeline
+
+    _write_json(spark, BATCH1, dirs["src"])
+    pipe = Pipeline(spark)
+    src = spark.readStream.schema(EVENT_SCHEMA).json(dirs["src"])
+    mv = pipe.register_mv(
+        "mv1", src, lambda df: df.filter(F.col("op") == "c").select("id", "val"),
+        dirs["mv"], dirs["ckpt_mv"], available_now=True,
+    )
+    mv.query.awaitTermination(120)
+    assert spark.read.parquet(dirs["mv"]).count() == 3
+    assert "mv1" in pipe.views
+
+    # create-or-replace: re-register under the same name stops the old query
+    src2 = spark.readStream.schema(EVENT_SCHEMA).json(dirs["src"])
+    mv2 = pipe.register_mv(
+        "mv1", src2, lambda df: df.select("id", "val"), dirs["mv"], dirs["ckpt_mv"],
+        available_now=True,
+    )
+    mv2.query.awaitTermination(120)
+    assert pipe.views["mv1"] is mv2
+    assert not mv.query.isActive
+
+    pipe.drop_mv("mv1")
+    assert "mv1" not in pipe.views
+    pipe.drop_mv("mv1")  # idempotent (D2)
+    pipe.stop_all()

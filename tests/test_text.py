@@ -1,0 +1,59 @@
+"""Text-analysis operator tests (lang-ID, quality, tokens, fingerprint)."""
+
+from __future__ import annotations
+
+from postgres_debezium_clickhouse_spark.operators.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    text_stats,
+    token_count_regex,
+)
+
+
+def test_text_stats_values(spark):
+    df = spark.createDataFrame([(1, "aa bb aa")], ["doc_id", "text"])
+    r = text_stats(df).first()
+    assert r.n_chars == 8
+    assert r.n_tokens == 3
+    assert r.n_distinct_tokens == 2
+    assert r.avg_token_len == round(6 / 3, 4)
+    assert r.token_diversity == round(2 / 3, 4)
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "el gato y la casa"), (3, "xyz qqq")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.detected_lang for r in language_id(df).collect()}
+    assert out == {1: "en", 2: "es", 3: "und"}
+
+
+def test_quality_score_gates(spark):
+    long_ok = "word" + " unique" * 30 + " the of and a extra tail padding here now" * 2
+    df = spark.createDataFrame(
+        [(1, "too short"), (2, long_ok)], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in quality_score(df).collect()}
+    assert out[1].len_ok is False and out[1].keep is False
+    assert out[2].len_ok is True
+
+
+def test_token_count_regex_vs_ws(spark):
+    df = spark.createDataFrame([(1, "hello, world 42!")], ["doc_id", "text"])
+    r = token_count_regex(df).first()
+    # re tokens: hello , world 42 !  → 5; ws tokens: 3
+    assert r.n_re_tokens == 5
+    assert r.n_ws_tokens == 3
+
+
+def test_fingerprint_deterministic_and_discriminative(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "totally different words here now")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.fingerprint for r in fingerprint(df).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+    assert len(out[1]) == 4 * 32  # 4 md5 hex digests

@@ -1,0 +1,63 @@
+"""SMT transform tests (P6/P8/P9/P10 — abcsvb-connector-secure.json:31-49)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgres_debezium_clickhouse_spark.operators.transforms import (
+    check_violations,
+    mask_fields,
+    sanitize_field_names,
+    unwrap_envelope,
+)
+from postgres_debezium_clickhouse_spark.schemas import ORDERS_ENVELOPE
+from postgres_debezium_clickhouse_spark.sources.cdc import orders_cdc_events, parse_envelope
+
+
+def test_unwrap_drop_deletes(spark, sf_dir):
+    parsed = parse_envelope(orders_cdc_events(spark, sf_dir), ORDERS_ENVELOPE)
+    out = unwrap_envelope(parsed, drop_deletes=True)
+    assert "__op" in out.columns and "o_orderkey" in out.columns
+    assert out.filter(F.col("__op") == "d").count() == 0
+    assert out.filter(F.col("__table") != "orders").count() == 0
+
+
+def test_unwrap_rewrite_keeps_deletes_with_before_image(spark, sf_dir):
+    parsed = parse_envelope(orders_cdc_events(spark, sf_dir), ORDERS_ENVELOPE)
+    out = unwrap_envelope(parsed, drop_deletes=False)
+    dels = out.filter(F.col("__deleted"))
+    assert dels.count() > 0
+    assert dels.filter(F.col("o_orderkey").isNull()).count() == 0  # image from before
+
+
+def test_mask_fields_hash_and_literal(spark):
+    df = spark.createDataFrame([(1, "alice", "x")], ["id", "name", "other"])
+    h = mask_fields(df, ["name", "missing_col"], mode="hash").first()
+    assert len(h.name) == 64 and h.other == "x"  # sha2-256 hex, others untouched
+    lit = mask_fields(df, ["name"], mode="literal").first()
+    assert lit.name == "***"
+
+
+def test_mask_deterministic_joinable(spark):
+    """hash mode must stay joinable: equal plaintext → equal mask."""
+    df = spark.createDataFrame([(1, "bob"), (2, "bob"), (3, "eve")], ["id", "name"])
+    out = mask_fields(df, ["name"]).groupBy("name").count().collect()
+    assert sorted(r["count"] for r in out) == [1, 2]
+
+
+def test_sanitize_field_names(spark):
+    df = spark.createDataFrame([(1, 2)], ["weird name!", "ok_col"])
+    assert sanitize_field_names(df).columns == ["weird_name_", "ok_col"]
+
+
+def test_check_violations(spark):
+    df = spark.createDataFrame([(5, 1.0), (0, -2.0), (3, None)], ["quantity", "unit_price"])
+    out = check_violations(
+        df,
+        {
+            "quantity_pos": F.col("quantity") > 0,
+            "price_nonneg": F.col("unit_price") >= 0,
+        },
+    ).collect()
+    assert [r["__valid"] for r in out] == [True, False, False]
+    assert out[1].quantity_pos is False and out[0].price_nonneg is True

@@ -1,0 +1,107 @@
+"""Property-style tests for the latest-wins upsert (W1/W2/S8/T3/T4) — the
+ReplacingMergeTree+FINAL contract (basic_example/clickhouse.sql:51-52,82)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from postgres_debezium_clickhouse_spark.operators.upsert import (
+    apply_cdc,
+    cluster_by_key,
+    latest_wins,
+    with_ingest_seq,
+)
+
+COLS = ["id", "val", "op", "ts_ms", "offset"]
+
+#: event log: key 1 created then updated (out of order), key 2 with an
+#: equal-ts conflict (offset must break the tie), key 3 deleted, key 4
+#: delivered twice (duplicate delivery).
+EVENTS = [
+    (1, "a1", "c", 100, 10),
+    (1, "a3", "u", 300, 12),   # winner for key 1
+    (1, "a2", "u", 200, 11),
+    (2, "b-lo", "c", 100, 20),
+    (2, "b-hi", "u", 100, 21),  # same ts: higher offset wins (W2)
+    (3, "c1", "c", 100, 30),
+    (3, "c-del", "d", 200, 31),
+    (4, "d1", "c", 100, 40),
+    (4, "d1", "c", 100, 40),   # exact duplicate delivery (T1 at-least-once)
+]
+
+
+def _state(spark, events, **kw):
+    df = spark.createDataFrame(events, COLS)
+    out = apply_cdc(df, keys=["id"], version_col="ts_ms", tiebreak_col="offset", **kw)
+    return {r.id: r for r in out.collect()}
+
+
+def test_latest_wins_max_version(spark):
+    df = spark.createDataFrame(EVENTS, COLS)
+    out = latest_wins(df, ["id"], ["ts_ms", "offset"])
+    got = {r.id: r.val for r in out.collect()}
+    assert got == {1: "a3", 2: "b-hi", 3: "c-del", 4: "d1"}
+
+
+def test_order_insensitive(spark):
+    """T3 — the same final state for ANY arrival order (the reference's
+    no-watermark design, init_transpassport.sql:86-89)."""
+    base = _state(spark, EVENTS)
+    for seed in (1, 2, 3):
+        shuffled = EVENTS[:]
+        random.Random(seed).shuffle(shuffled)
+        assert _state(spark, shuffled) == base
+
+
+def test_delete_drop_mode(spark):
+    st = _state(spark, EVENTS, delete_mode="drop")
+    assert 3 not in st  # deleted key vanishes (init.sql:63)
+    assert st[1].val == "a3"
+    assert st[2].val == "b-hi"  # equal-ts tie → insert order (offset)
+    assert st[4].val == "d1"  # duplicates collapse
+
+
+def test_delete_rewrite_mode(spark):
+    st = _state(spark, EVENTS, delete_mode="rewrite")
+    assert st[3]["__deleted"] is True  # tombstone kept (abcsvb-connector-secure.json:33)
+    assert st[1]["__deleted"] is False
+
+
+def test_invalid_delete_mode(spark):
+    df = spark.createDataFrame(EVENTS, COLS)
+    try:
+        apply_cdc(df, keys=["id"], delete_mode="nope")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_merge_with_current_touches_only_batch_keys(spark):
+    """S8 scale contract: merging a batch against existing silver state
+    rewrites ONLY keys present in the batch (changed_keys_only)."""
+    current = spark.createDataFrame(
+        [(1, "old1", "c", 50, 1), (99, "keep", "c", 50, 2)], COLS
+    )
+    batch = spark.createDataFrame([(1, "new1", "u", 500, 100)], COLS)
+    out = apply_cdc(batch, keys=["id"], version_col="ts_ms", tiebreak_col="offset", current=current)
+    got = {r.id: r.val for r in out.collect()}
+    assert got == {1: "new1", 99: "keep"}
+
+
+def test_merge_old_version_in_batch_loses_to_current(spark):
+    """Out-of-order re-delivery of an OLD version must not regress silver."""
+    current = spark.createDataFrame([(1, "v2", "u", 200, 5)], COLS)
+    stale = spark.createDataFrame([(1, "v1", "u", 100, 99)], COLS)
+    out = apply_cdc(stale, keys=["id"], version_col="ts_ms", tiebreak_col="offset", current=current)
+    assert out.collect()[0].val == "v2"
+
+
+def test_ingest_seq_monotonic_and_cluster_preserves_rows(spark):
+    df = spark.createDataFrame(EVENTS, COLS)
+    seq = with_ingest_seq(df)
+    assert seq.filter(F.col("__ingest_seq").isNull()).count() == 0
+    clustered = cluster_by_key(df, ["id"], num_partitions=2)
+    assert clustered.count() == df.count()
+    assert clustered.rdd.getNumPartitions() == 2
