@@ -17,7 +17,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from postgres_debezium_clickhouse_spark.plans import analytics, cdc_queries, llm_queries, ops_queries
+from postgres_debezium_clickhouse_spark.plans import (
+    analytics,
+    cdc_queries,
+    llm_queries,
+    ops_queries,
+    sql_surface,
+)
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -29,15 +35,18 @@ def entry(spark: SparkSession) -> DataFrame:
     return cdc_queries.cdc_current_state(spark, SF0001)
 
 
+_MODULES = (cdc_queries, analytics, sql_surface, llm_queries, ops_queries)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (cdc_queries, analytics, llm_queries, ops_queries):
+    for mod in _MODULES:
         out.update(mod.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
-    for mod in (cdc_queries, analytics, llm_queries, ops_queries):
+    for mod in _MODULES:
         out.update(mod.ORACLES)
     return out

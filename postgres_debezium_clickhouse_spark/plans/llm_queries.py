@@ -70,7 +70,7 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only (hyperplanes are numpy-seeded literals, not SQL-portable);
-    recall vs exact top-k is asserted in tests/test_llm_ops.py."""
+    recall vs exact top-k is asserted in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
     corpus = emb.filter(F.col("vec_id") >= 5)
@@ -108,7 +108,7 @@ def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only — Arrow-batched mapInPandas feature extraction (the decode
-    stub); value checks live in tests/test_llm_ops.py."""
+    stub); value checks live in tests/test_similarity.py."""
     media = attach_fake_media(load_table(spark, sf_dir, "documents"))
     return extract_features(media)
 

@@ -1,0 +1,305 @@
+"""The free Spark-SQL surface the engine exposes beyond the reference's own
+operators (SURVEY §2.4-2.8): semi/anti/outer joins, ranking windows, set
+operations, CUBE/ROLLUP, correlated-subquery decorrelation (X10), top-k, and
+the D1-D4 DDL lifecycle.  The reference needs only a subset of these, but a
+user switching from it gets the whole relational algebra; every query here
+is oracle-checked against DuckDB.
+
+Scale notes: each query is a single declarative plan — Catalyst picks
+broadcast vs sort-merge (dims under the 64 MB threshold broadcast;
+fact-fact joins sort-merge with AQE skew handling).  Nothing here collects
+or loops on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.files import load_table, register_views
+
+DEC = "decimal(18,2)"
+
+
+def _dec(c: str) -> F.Column:
+    return F.col(c).cast(DEC)
+
+
+# --- joins beyond the FK lattice -------------------------------------------
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (the NOT EXISTS shape Catalyst plans as a broadcast
+    anti join for small builds): customers with no high-value order — the
+    filter keeps the anti set non-empty at every fixture SF."""
+    customer = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        customer.join(big, customer.c_custkey == big.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def customers_with_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): dedup-free 'has at least one order'."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+def customer_order_counts_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + group: customers with their order count, zeros
+    included — aggregate-then-join (pre-aggregation before the join keeps
+    the shuffle on the smaller grouped side, the scale-correct order)."""
+    customer = load_table(spark, sf_dir, "customer")
+    counts = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        customer.join(counts, customer.c_custkey == counts.o_custkey, "left")
+        .select("c_custkey", F.coalesce("n_orders", F.lit(0)).alias("n_orders"))
+    )
+
+
+def nation_supplier_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join over nation × supplier-presence."""
+    nation = load_table(spark, sf_dir, "nation")
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        nation.join(sup, nation.n_nationkey == sup.s_nationkey, "full_outer")
+        .select(
+            F.col("n_nationkey").cast("int").alias("n_nationkey"),
+            "n_name",
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+# --- ranking / frame windows ------------------------------------------------
+
+
+def supplier_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / lag in one pass (free window surface, SURVEY
+    §2.6): suppliers ranked by account balance within nation."""
+    sup = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey").asc())
+    return sup.select(
+        "s_suppkey",
+        F.col("s_nationkey").cast("int").alias("s_nationkey"),
+        F.col("s_acctbal").alias("s_acctbal"),
+        F.rank().over(w).cast("long").alias("bal_rank"),
+        F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
+        F.lag("s_suppkey", 1).over(w).alias("prev_suppkey"),
+    )
+
+
+def orders_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec window (rowsBetween unbounded-preceding → current): running
+    order count per customer in date order."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("orders_so_far"),
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("spend_so_far"),
+    )
+
+
+# --- set operations ---------------------------------------------------------
+
+
+def buyer_segment_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT in one result: customer keys tagged by
+    which set operation produced them."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    buyers = orders.select(F.col("o_custkey").alias("k")).distinct()
+    auto = customer.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(F.col("c_custkey").alias("k"))
+    return (
+        buyers.intersect(auto).withColumn("tag", F.lit("auto_buyer"))
+        .unionByName(auto.exceptAll(buyers).withColumn("tag", F.lit("auto_no_orders")))
+    )
+
+
+# --- grouping sets / cube ---------------------------------------------------
+
+
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) with grouping id — the
+    grouping-sets surface (free in Spark, SURVEY §2.5)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+# --- top-k / distinct aggregates -------------------------------------------
+
+
+def top_parts_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT (Spark plans TakeOrderedAndProject — a per-partition
+    top-k then a driver-side k-merge, no global sort)."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.orderBy(F.col("p_retailprice").desc(), F.col("p_partkey").asc())
+        .select("p_partkey", "p_name", "p_retailprice")
+        .limit(10)
+    )
+
+
+def segment_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group (expand + two-phase agg under the hood)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_distinct_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# --- X10: correlated scalar subquery through the SQL text surface ----------
+
+
+def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/X10 — the reference's correlated UPDATE subquery
+    (init_postgresql_data_scenario2.sql:174-179) expressed as SQL text;
+    Catalyst decorrelates it into aggregate + left join automatically."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST((SELECT SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                     FROM lineitem WHERE l_orderkey = o_orderkey) AS DOUBLE) AS total_qty
+        FROM orders
+        """
+    )
+
+
+# --- D1-D4: DDL lifecycle ---------------------------------------------------
+
+
+def ddl_view_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1-D4 — CREATE DATABASE IF NOT EXISTS / USE-equivalent / CREATE OR
+    REPLACE VIEW / idempotent DROP (init.sql:1-9, clickhouse.sql:2-6,70):
+    the catalog lifecycle, then a query through the view."""
+    register_views(spark, sf_dir)
+    spark.sql("CREATE DATABASE IF NOT EXISTS analytics")
+    spark.sql("DROP VIEW IF EXISTS analytics_region_vw")  # D2: idempotent re-init
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW analytics_region_vw AS "
+        "SELECT r_regionkey, r_name FROM region"
+    )
+    return spark.sql(
+        "SELECT n.n_name, v.r_name FROM nation n JOIN analytics_region_vw v "
+        "ON n.n_regionkey = v.r_regionkey"
+    )
+
+
+QUERIES = {
+    "customers_without_orders": customers_without_orders,
+    "customers_with_orders_semi": customers_with_orders_semi,
+    "customer_order_counts_outer": customer_order_counts_outer,
+    "nation_supplier_full_outer": nation_supplier_full_outer,
+    "supplier_balance_ranks": supplier_balance_ranks,
+    "orders_running_totals": orders_running_totals,
+    "buyer_segment_setops": buyer_segment_setops,
+    "lineitem_cube": lineitem_cube,
+    "top_parts_by_price": top_parts_by_price,
+    "segment_distinct_stats": segment_distinct_stats,
+    "sql_correlated_subquery": sql_correlated_subquery,
+    "ddl_view_roundtrip": ddl_view_roundtrip,
+}
+
+ORACLES = {
+    "customers_without_orders": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+    "customers_with_orders_semi": """
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "customer_order_counts_outer": """
+        SELECT c.c_custkey, COALESCE(t.n_orders, 0) AS n_orders
+        FROM customer c
+        LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) t
+          ON c.c_custkey = t.o_custkey
+    """,
+    "nation_supplier_full_outer": """
+        SELECT CAST(n.n_nationkey AS INT) AS n_nationkey, n.n_name,
+               COALESCE(s.n_suppliers, 0) AS n_suppliers
+        FROM nation n
+        FULL OUTER JOIN (SELECT s_nationkey, COUNT(*) AS n_suppliers
+                         FROM supplier GROUP BY s_nationkey) s
+          ON n.n_nationkey = s.s_nationkey
+    """,
+    "supplier_balance_ranks": """
+        SELECT s_suppkey, CAST(s_nationkey AS INT) AS s_nationkey, s_acctbal,
+               CAST(RANK() OVER w AS BIGINT) AS bal_rank,
+               CAST(DENSE_RANK() OVER w AS BIGINT) AS bal_dense_rank,
+               LAG(s_suppkey, 1) OVER w AS prev_suppkey
+        FROM supplier
+        WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC)
+    """,
+    "orders_running_totals": """
+        SELECT o_custkey, o_orderkey,
+               COUNT(*) OVER w AS orders_so_far,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_so_far
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    "buyer_segment_setops": """
+        WITH buyers AS (SELECT DISTINCT o_custkey AS k FROM orders),
+             auto AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+        SELECT k, 'auto_buyer' AS tag FROM (SELECT k FROM buyers INTERSECT SELECT k FROM auto)
+        UNION ALL
+        SELECT k, 'auto_no_orders' AS tag FROM (SELECT k FROM auto EXCEPT ALL SELECT k FROM buyers)
+    """,
+    "lineitem_cube": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "top_parts_by_price": """
+        SELECT p_partkey, p_name, p_retailprice
+        FROM part ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10
+    """,
+    "segment_distinct_stats": """
+        SELECT o_orderstatus,
+               COUNT(DISTINCT o_custkey) AS n_distinct_customers,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "sql_correlated_subquery": """
+        SELECT o_orderkey,
+               CAST((SELECT SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                     FROM lineitem WHERE l_orderkey = o_orderkey) AS DOUBLE) AS total_qty
+        FROM orders
+    """,
+    "ddl_view_roundtrip": """
+        SELECT n.n_name, r.r_name
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+}

@@ -32,6 +32,22 @@ def _cpus() -> str:
     return os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def ensure_session_confs(spark: SparkSession) -> SparkSession:
+    """Set the runtime-settable confs the engine's semantics depend on, for
+    sessions the engine did not create (e.g. the driver harness passes its
+    own SparkSession into the query surface):
+
+    - ANSI off — permissive casts (bad value → NULL, the
+      ``kafka_skip_broken_messages`` analogue, clickhouse.sql:20); Spark 4
+      defaults ANSI on.
+    - nanosAsLong — the events fixture stores TIMESTAMP(NANOS), which the
+      parquet reader otherwise rejects.
+    """
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
+
+
 def get_spark(
     app_name: str = "spark-cdc-analytics",
     master: str | None = None,

@@ -40,6 +40,7 @@ from pyspark.sql import types as T
 
 from ..functions import ts_to_micros
 from ..schemas import CUSTOMER_CDC_ROW, ORDERS_CDC_ROW
+from ..session import ensure_session_confs
 
 N_PARTITIONS = 8  # synthetic topic partition count
 SNAPSHOT_TS = 1_000_000
@@ -106,7 +107,7 @@ def orders_cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Returns Kafka-shaped records: (key, value, partition, offset, topic).
     """
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = ensure_session_confs(spark).read.parquet(f"{sf_dir}/orders.parquet")
     k = F.col("o_orderkey")
     ts1 = F.lit(SNAPSHOT_TS).cast("long")
     ts2 = (F.lit(UPDATE1_TS) + k).cast("long")
@@ -126,7 +127,7 @@ def orders_cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def customer_cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-only CDC log for ``customer`` (PII-masking fixture, P8)."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust = ensure_session_confs(spark).read.parquet(f"{sf_dir}/customer.parquet")
     after = F.struct(
         F.col("c_custkey"),
         F.col("c_name"),

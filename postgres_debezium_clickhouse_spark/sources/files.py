@@ -15,6 +15,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..session import ensure_session_confs
+
 TABLES = [
     "region",
     "nation",
@@ -38,6 +40,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``nanosAsLong`` (session.py) and truncate to µs TIMESTAMP_NTZ, exactly
     what DuckDB's reader does, so oracle comparisons see identical values.
     """
+    # The caller's session (e.g. the driver harness's) may not carry the
+    # engine-required confs (ANSI off, nanos read path) — set them here,
+    # idempotently, so every query works on any session.
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col_name, dtype in df.dtypes:
         if name == "events" and col_name == "ts" and dtype == "bigint":
