@@ -24,27 +24,43 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def unwrap_envelope(parsed: DataFrame, drop_deletes: bool = True) -> DataFrame:
+def apply_triggers(df: DataFrame, recompute: dict[str, Column]) -> DataFrame:
+    """D6 — the BEFORE-UPDATE-trigger equivalent
+    (``update_updated_at_column()``, init_postgresql_data.sql:55-70): inside
+    the upsert batch, recompute the given columns (e.g.
+    ``{"updated_at": F.current_timestamp()}``) on every row that flows
+    through — exactly when the trigger would have fired."""
+    out = df
+    for name, expr in recompute.items():
+        out = out.withColumn(name, expr)
+    return out
+
+
+def unwrap_envelope(parsed: DataFrame, drop_deletes: bool = True, keep_transaction: bool = False) -> DataFrame:
     """P9 — ExtractNewRecordState (abcsvb-connector-secure.json:31-35).
 
     ``parsed`` must have a struct column ``j`` (from
     ``sources.cdc.parse_envelope``).  With ``drop_deletes=True`` this is the
     basic path (``WHERE JSONHas(value,'payload','after')``, init.sql:63);
     with False, deletes survive with ``__deleted=true`` and the row image
-    taken from ``before`` (rewrite mode).
+    taken from ``before`` (rewrite mode).  ``keep_transaction=True`` carries
+    the T9 transaction-metadata struct (``provide.transaction.metadata``,
+    abcsvb-connector-secure.json:50; value.json:731-754) as ``__txn``.
     """
     p = F.col("j.payload")
     is_delete = p.op == F.lit("d")
+    txn_cols = [p.transaction.alias("__txn")] if keep_transaction else []
     if drop_deletes:
-        body = parsed.filter(p.after.isNotNull()).select(
+        return parsed.filter(p.after.isNotNull()).select(
             "j.payload.after.*",
             p.op.alias("__op"),
             p.source.ts_ms.alias("__ts_ms"),
             p.source.db.alias("__db"),
             p.source.table.alias("__table"),
+            *txn_cols,
         )
-        return body
     row_img = F.when(is_delete, p.before).otherwise(p.after)
+    tail = ["__op", "__ts_ms", "__db", "__table", "__deleted"] + (["__txn"] if keep_transaction else [])
     return parsed.filter(p.isNotNull()).select(
         row_img.alias("__row"),
         p.op.alias("__op"),
@@ -52,7 +68,8 @@ def unwrap_envelope(parsed: DataFrame, drop_deletes: bool = True) -> DataFrame:
         p.source.db.alias("__db"),
         p.source.table.alias("__table"),
         is_delete.alias("__deleted"),
-    ).select("__row.*", "__op", "__ts_ms", "__db", "__table", "__deleted")
+        *txn_cols,
+    ).select("__row.*", *tail)
 
 
 def mask_fields(df: DataFrame, columns: list[str], mode: str = "hash") -> DataFrame:
