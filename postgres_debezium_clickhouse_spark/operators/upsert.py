@@ -42,14 +42,36 @@ def latest_wins(
     keys: list[str],
     version_cols: list[str | Column],
     keep: str = "last",
+    strategy: str = "agg",
 ) -> DataFrame:
     """W1/W2 — keep exactly one row per key: max version (then max
     tie-breaker).  ``version_cols`` order = significance; all descending.
 
     Equivalent to ClickHouse ``FINAL`` on ReplacingMergeTree(version).
-    One hash shuffle on ``keys``; the window is per-key so AQE-coalesced
-    partitions stay balanced.
+
+    ``strategy='agg'`` (default): ``max_by(struct(row), struct(versions))``
+    — a grouped aggregation with MAP-SIDE partial combine, so only one
+    candidate row per key per map partition crosses the shuffle.  On a CDC
+    log with many versions per key this shrinks shuffle bytes by the
+    version multiplicity — the scale-correct plan at 100 TB.
+
+    ``strategy='window'``: ``row_number`` over (key / versions desc) — the
+    classic form; shuffles EVERY input row.  Kept for callers that need
+    null-version rows to participate with explicit nulls-last order (in agg
+    mode a NULL inside the ordering struct sorts smallest, i.e. also loses
+    — but only window mode guarantees a winner for keys whose every version
+    is NULL in all ordering columns AND preserves their arbitrary-order
+    determinism).
     """
+    if strategy == "agg":
+        other = [c for c in df.columns if c not in keys]
+        ver = [(F.col(c) if isinstance(c, str) else c) for c in version_cols]
+        picker = F.max_by if keep == "last" else F.min_by
+        return (
+            df.groupBy(*keys)
+            .agg(picker(F.struct(*other), F.struct(*ver)).alias("__row"))
+            .select(*keys, "__row.*")
+        )
     order = [
         (F.col(c) if isinstance(c, str) else c).desc_nulls_last()
         if keep == "last"
