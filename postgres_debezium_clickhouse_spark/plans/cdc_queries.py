@@ -155,6 +155,38 @@ def cdc_masked_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def products_usable_vw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference flagship, field for field (products_usable_vw,
+    clickhouse.sql:70-82): JSON-extracted strings → latest-wins FINAL dedup
+    → ``toInt32(id)``, ``toFloat64(price)``,
+    ``toDateTime64(trimRight(created_at,'Z'), 6, 'UTC')`` — F4-F7 on the
+    wire shapes the reference actually produces (decimal-as-string,
+    ISO-8601-with-Z)."""
+    from ..functions import to_datetime64, to_int32
+    from ..sources.cdc import PRODUCTS_ENVELOPE_WIRE, products_cdc_events
+
+    p = F.col("j.payload")
+    ev = parse_envelope(products_cdc_events(spark, sf_dir), PRODUCTS_ENVELOPE_WIRE).select(
+        F.coalesce(p.after["id"], p.before["id"]).cast("long").alias("key"),
+        p.after["id"].alias("id_str"),
+        p.after["name"].alias("name"),  # bracket access: .name is Column.name()
+        p.after["price"].alias("price_str"),
+        p.after["stock_quantity"].alias("stock_str"),
+        p.after["created_at"].alias("created_str"),
+        p.op.alias("op"),
+        p.source.ts_ms.alias("ts_ms"),
+        F.col("offset"),
+    )
+    merged = apply_cdc(ev, keys=["key"], version_col="ts_ms", tiebreak_col="offset", delete_mode="drop")
+    return merged.select(
+        to_int32("id_str").alias("id"),
+        F.col("name"),
+        to_float64("price_str").alias("price"),
+        to_int32("stock_str").alias("stock_quantity"),
+        to_datetime64("created_str").alias("created_at"),
+    )
+
+
 def cdc_bronze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7/P1/P4/S3 — bronze raw-archive projection with Kafka lineage
     (init_clickhouse_raw_tables.sql:28-48), summarized per partition
@@ -172,6 +204,7 @@ QUERIES = {
     "cdc_rewrite_mode": cdc_rewrite_mode,
     "cdc_masked_customers": cdc_masked_customers,
     "cdc_bronze_stats": cdc_bronze_stats,
+    "products_usable_vw": products_usable_vw,
 }
 
 # ---------------------------------------------------------------------------
@@ -234,6 +267,16 @@ ORACLES = {
                CAST(c_acctbal AS DOUBLE) AS c_acctbal,
                c_mktsegment
         FROM customer
+    """,
+    "products_usable_vw": """
+        SELECT CAST(p_partkey AS INT) AS id,
+               p_name AS name,
+               CAST(CASE WHEN p_partkey % 4 = 0 THEN p_retailprice + 50.0
+                         ELSE p_retailprice END AS DOUBLE) AS price,
+               CAST(p_size AS INT) AS stock_quantity,
+               TIMESTAMP '2024-01-01 00:00:00' + to_seconds(p_partkey) AS created_at
+        FROM part
+        WHERE p_partkey % 11 <> 0
     """,
     "cdc_bronze_stats": """
         WITH ev AS (

@@ -170,6 +170,86 @@ def customer_cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: wire-format products row for the products_usable_vw parity path: every
+#: field a STRING, as the JSONExtractString route sees them
+#: (clickhouse.sql:57-68 extracts strings; casts happen in the view).
+PRODUCTS_WIRE_ROW = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("price", T.StringType()),        # decimal-as-string
+        T.StructField("stock_quantity", T.StringType()),
+        T.StructField("created_at", T.StringType()),   # ISO-8601 with 'Z'
+    ]
+)
+
+PRODUCTS_ENVELOPE_WIRE = T.StructType(
+    [
+        T.StructField(
+            "payload",
+            T.StructType(
+                [
+                    T.StructField("before", PRODUCTS_WIRE_ROW),
+                    T.StructField("after", PRODUCTS_WIRE_ROW),
+                    T.StructField("source", T.StructType([T.StructField("ts_ms", T.LongType())])),
+                    T.StructField("op", T.StringType()),
+                ]
+            ),
+        )
+    ]
+)
+
+
+def products_cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic products CDC log over the ``part`` fixture, emitting the
+    reference's wire shapes exactly: price as decimal-string, created_at as
+    ISO-8601 with a trailing 'Z' (the ``toDateTime64(trimRight(...))`` input,
+    clickhouse.sql:77-78).  Updates for keys %4==0 (price+50, ts 2e6+key);
+    deletes (missing ``after``) for keys %11==0 (ts 3e6+key)."""
+    part = ensure_session_confs(spark).read.parquet(f"{sf_dir}/part.parquet")
+    k = F.col("p_partkey")
+    created = F.concat(
+        F.date_format(
+            F.timestamp_add("SECOND", k.cast("int"), F.to_timestamp(F.lit("2024-01-01 00:00:00"))),
+            "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+        ),
+        F.lit("Z"),
+    )
+
+    def after(price_delta: float) -> F.Column:
+        return F.struct(
+            k.cast("string").alias("id"),
+            F.col("p_name").alias("name"),
+            (F.col("p_retailprice") + price_delta).cast("decimal(12,2)").cast("string").alias("price"),
+            F.col("p_size").cast("string").alias("stock_quantity"),
+            created.alias("created_at"),
+        )
+
+    def env(a: F.Column | None, op: str, ts: F.Column) -> F.Column:
+        return F.to_json(
+            F.struct(
+                F.struct(
+                    (after(0.0) if op == "d" else F.lit(None).cast(PRODUCTS_WIRE_ROW)).alias("before"),
+                    (a if a is not None else F.lit(None).cast(PRODUCTS_WIRE_ROW)).alias("after"),
+                    F.struct(ts.alias("ts_ms")).alias("source"),
+                    F.lit(op).alias("op"),
+                ).alias("payload")
+            )
+        )
+
+    def rec(df: DataFrame, value: F.Column, slot: int) -> DataFrame:
+        return df.select(
+            value.alias("value"),
+            (k % N_PARTITIONS).cast("int").alias("partition"),
+            (k * 10 + slot).alias("offset"),
+        )
+
+    snap = rec(part, env(after(0.0), "r", F.lit(1_000_000).cast("long")), 0)
+    upd = rec(part.filter(k % 4 == 0), env(after(50.0), "u", (F.lit(2_000_000) + k).cast("long")), 1)
+    dele = rec(part.filter(k % 11 == 0), env(None, "d", (F.lit(3_000_000) + k).cast("long")), 2)
+    return snap.unionByName(upd).unionByName(dele)
+
+
 def parse_envelope(records: DataFrame, envelope: T.StructType) -> DataFrame:
     """S1→P2 — PERMISSIVE ``from_json`` of the value column; malformed
     messages become NULL payloads (the ``kafka_skip_broken_messages``
