@@ -154,6 +154,14 @@ def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- top-k / distinct aggregates -------------------------------------------
 
 
+def orders_status_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 — dedup-as-set-semantics (``dropDuplicates``): the distinct
+    (status, priority) combinations — the Replacing-merge collapse without a
+    version column (clickhouse.sql:51)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select("o_orderstatus", "o_orderpriority").dropDuplicates()
+
+
 def top_parts_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORDER BY + LIMIT (Spark plans TakeOrderedAndProject — a per-partition
     top-k then a driver-side k-merge, no global sort)."""
@@ -221,6 +229,7 @@ QUERIES = {
     "orders_running_totals": orders_running_totals,
     "buyer_segment_setops": buyer_segment_setops,
     "lineitem_cube": lineitem_cube,
+    "orders_status_dedup": orders_status_dedup,
     "top_parts_by_price": top_parts_by_price,
     "segment_distinct_stats": segment_distinct_stats,
     "sql_correlated_subquery": sql_correlated_subquery,
@@ -281,6 +290,9 @@ ORACLES = {
                CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "orders_status_dedup": """
+        SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
     """,
     "top_parts_by_price": """
         SELECT p_partkey, p_name, p_retailprice

@@ -91,3 +91,24 @@ def test_mv_registry_create_replace_drop(spark, dirs):
     assert "mv1" not in pipe.views
     pipe.drop_mv("mv1")  # idempotent (D2)
     pipe.stop_all()
+
+
+def test_failfast_exception_surfaced(spark, dirs):
+    """T8 — errors.tolerance=none: a failing stream query's exception is
+    raised to the caller via await_all, not swallowed."""
+    from postgres_debezium_clickhouse_spark.streaming.pipeline import Pipeline
+
+    _write_json(spark, BATCH1, dirs["src"])
+    pipe = Pipeline(spark)
+    src = spark.readStream.schema(EVENT_SCHEMA).json(dirs["src"])
+    pipe.register_mv(
+        "bad", src,
+        # division by a null-producing expr under ANSI would work; instead
+        # force a runtime failure via a UDF that raises
+        lambda df: df.selectExpr("raise_error('boom') AS x"),
+        dirs["mv"], dirs["ckpt_mv"], available_now=True,
+    )
+    with pytest.raises(Exception) as ei:
+        pipe.await_all(timeout_s=120)
+    assert "boom" in str(ei.value)
+    pipe.stop_all()
