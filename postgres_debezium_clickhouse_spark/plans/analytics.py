@@ -297,6 +297,18 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 — SLIDING event-time windows (2h window, 1h slide): each event
+    contributes to two windows.  Batch form of the streaming windowed agg
+    (same `window()` expression works under readStream + watermark)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
 def events_micro_ts_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F17 — µs-epoch ↔ timestamp round trip (MicroTimestamp,
     value.json:96-99)."""
@@ -328,6 +340,7 @@ QUERIES = {
     "events_json_extract": events_json_extract,
     "events_hourly_counts": events_hourly_counts,
     "events_sessionization": events_sessionization,
+    "events_sliding_counts": events_sliding_counts,
     "events_micro_ts_roundtrip": events_micro_ts_roundtrip,
 }
 
@@ -468,6 +481,15 @@ ORACLES = {
         )
         SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
         FROM s GROUP BY user_id, session_id
+    """,
+    "events_sliding_counts": """
+        WITH w AS (
+            SELECT date_trunc('hour', ts) AS window_start, event_type FROM events
+            UNION ALL
+            SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type FROM events
+        )
+        SELECT window_start, event_type, COUNT(*) AS n_events
+        FROM w GROUP BY window_start, event_type
     """,
     "events_micro_ts_roundtrip": """
         SELECT event_id, epoch_us(ts) AS ts_us, make_timestamp(epoch_us(ts)) AS ts_rt

@@ -74,9 +74,51 @@ def stream_bronze_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(dst).drop("ingestion_time")
 
 
+def object_store_typed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S6 end-to-end — the minio_cdc_example path (clickhouse_minio.sql:
+    14-30): JSON objects land in a bucket (here: a temp dir, content derived
+    deterministically from the nation fixture), are discovered and parsed
+    straight into typed columns, and pass through unchanged (the SELECT *
+    MV).  Oracle-checkable because the file content is a pure function of
+    the fixture."""
+    from pyspark.sql import types as T
+
+    from ..sources.files import load_table, read_typed_json
+
+    run = uuid.uuid4().hex[:12]
+    bucket = f"{tempfile.gettempdir()}/minio_bucket_{run}"
+    nation = load_table(spark, sf_dir, "nation")
+    # "upload" JSON objects: one per nation row
+    nation.select(
+        F.col("n_nationkey").cast("long").alias("id"),
+        F.concat(F.lit("event for "), F.col("n_name")).alias("message"),
+        F.date_format(
+            F.timestamp_add("HOUR", F.col("n_nationkey").cast("int"), F.to_timestamp(F.lit("2024-06-01 00:00:00"))),
+            "yyyy-MM-dd'T'HH:mm:ss",
+        ).alias("timestamp"),
+    ).write.mode("overwrite").json(bucket)
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("message", T.StringType()),
+            T.StructField("timestamp", T.TimestampType()),
+        ]
+    )
+    return read_typed_json(spark, bucket, schema).select("id", "message", "timestamp")
+
+
 QUERIES = {
     "synthetic_transactions": synthetic_transactions,
     "stream_bronze_archive": stream_bronze_archive,
+    "object_store_typed_ingest": object_store_typed_ingest,
 }
 
-ORACLES: dict[str, str] = {}
+ORACLES: dict[str, str] = {
+    "object_store_typed_ingest": """
+        SELECT CAST(n_nationkey AS BIGINT) AS id,
+               'event for ' || n_name AS message,
+               TIMESTAMP '2024-06-01 00:00:00' + to_hours(n_nationkey) AS timestamp
+        FROM nation
+    """,
+}
