@@ -74,6 +74,46 @@ def stream_bronze_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(dst).drop("ingestion_time")
 
 
+def stream_silver_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full streaming bronze→silver path, hash-checked: the
+    deterministic orders CDC log is replayed through a file-source STREAM in
+    multiple micro-batches (maxFilesPerTrigger) into the foreachBatch keyed
+    upsert sink — and the resulting silver store must equal the pure-batch
+    latest-wins state (same oracle as cdc_current_state modulo columns).
+    Proves S7/S8/T1/T3/T4 end-to-end under real micro-batching."""
+    from ..schemas import ORDERS_ENVELOPE
+    from ..sources.cdc import orders_cdc_events, parse_envelope
+    from ..streaming.pipeline import read_silver, silver_upsert_stream
+
+    run = uuid.uuid4().hex[:12]
+    root = tempfile.gettempdir()
+    src = f"{root}/silver_src_{run}"
+    dst = f"{root}/silver_out_{run}"
+    ckpt = f"{root}/silver_ckpt_{run}"
+
+    events = orders_cdc_events(spark, sf_dir)
+    # several files → several micro-batches under maxFilesPerTrigger
+    events.repartition(4).write.mode("overwrite").json(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "2")
+        .json(src)
+    )
+    p = F.col("j.payload")
+    flat = parse_envelope(stream, ORDERS_ENVELOPE).select(
+        F.coalesce(p.after["o_orderkey"], p.before["o_orderkey"]).alias("o_orderkey"),
+        p.after["o_orderstatus"].alias("o_orderstatus"),
+        p.after["o_totalprice"].cast("double").alias("o_totalprice"),
+        p.op.alias("op"),
+        p.source["ts_ms"].alias("ts_ms"),
+        F.col("offset"),
+    )
+    q = silver_upsert_stream(flat, dst, ckpt, keys=["o_orderkey"], available_now=True)
+    q.awaitTermination(300)
+    return read_silver(spark, dst).select("o_orderkey", "o_orderstatus", "o_totalprice", "ts_ms")
+
+
 def object_store_typed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2/S6 end-to-end — the minio_cdc_example path (clickhouse_minio.sql:
     14-30): JSON objects land in a bucket (here: a temp dir, content derived
@@ -111,10 +151,23 @@ def object_store_typed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "synthetic_transactions": synthetic_transactions,
     "stream_bronze_archive": stream_bronze_archive,
+    "stream_silver_state": stream_silver_state,
     "object_store_typed_ingest": object_store_typed_ingest,
 }
 
 ORACLES: dict[str, str] = {
+    "stream_silver_state": """
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 9 = 0 THEN 'V'
+                    WHEN o_orderkey % 3 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+               CAST(CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice + 200.0
+                    WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+                    ELSE o_totalprice END AS DOUBLE) AS o_totalprice,
+               CAST(CASE WHEN o_orderkey % 9 = 0 THEN 3000000 + o_orderkey
+                    WHEN o_orderkey % 3 = 0 THEN 2000000 + o_orderkey
+                    ELSE 1000000 END AS BIGINT) AS ts_ms
+        FROM orders WHERE o_orderkey % 7 <> 0
+    """,
     "object_store_typed_ingest": """
         SELECT CAST(n_nationkey AS BIGINT) AS id,
                'event for ' || n_name AS message,

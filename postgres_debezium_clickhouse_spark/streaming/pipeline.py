@@ -78,6 +78,15 @@ def silver_upsert_stream(
     micro-batch, merge the batch into the silver store with latest-wins
     semantics (eager FINAL — downstream readers never need dedup-on-read).
 
+    The store ALWAYS retains tombstones (``__deleted`` rows) internally,
+    regardless of ``delete_mode``: physically dropping a delete would lose
+    its version, so an older version of the same key arriving in a LATER
+    micro-batch (cross-batch disorder) would resurrect the row.  The
+    ``delete_mode`` argument selects the READ semantics: 'drop' filters
+    tombstones in ``read_silver`` (init.sql:63 behavior), 'rewrite' exposes
+    them (abcsvb-connector-secure.json:33-34).  Use ``read_silver`` (or
+    filter ``__deleted`` yourself) to consume the store.
+
     foreachBatch because the merge is keyed state over an external store;
     the merge itself is `operators.upsert.apply_cdc` (batch-tested logic —
     streaming is a thin shell, SURVEY §7.3 M4).
@@ -93,7 +102,7 @@ def silver_upsert_stream(
             keys=keys,
             version_col=version_col,
             tiebreak_col=tiebreak_col,
-            delete_mode=delete_mode,
+            delete_mode="rewrite",  # tombstones must persist across batches
             current=current,
         )
         # O1 clustering: key-sorted layout → parquet min/max row-group
@@ -108,6 +117,20 @@ def silver_upsert_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_silver(spark: SparkSession, path: str, include_deleted: bool = False) -> DataFrame:
+    """Read the silver store written by ``silver_upsert_stream``.
+
+    ``include_deleted=False`` = the basic-path drop semantics (init.sql:63);
+    True = rewrite semantics with the ``__deleted`` flag exposed
+    (abcsvb-connector-secure.json:33-34).  Tombstones always exist in the
+    store (see silver_upsert_stream) — this is where the two reference
+    delete modes diverge."""
+    df = spark.read.parquet(path)
+    if include_deleted:
+        return df
+    return df.filter(~F.col("__deleted")).drop("__deleted")
 
 
 @dataclass

@@ -50,7 +50,7 @@ def test_bronze_append_and_checkpoint_recovery(spark, dirs):
 
 
 def test_silver_upsert_stream_matches_batch_semantics(spark, dirs):
-    from postgres_debezium_clickhouse_spark.streaming.pipeline import silver_upsert_stream
+    from postgres_debezium_clickhouse_spark.streaming.pipeline import read_silver, silver_upsert_stream
 
     _write_json(spark, BATCH1, dirs["src"])
     _write_json(spark, BATCH2, dirs["src"])
@@ -59,8 +59,31 @@ def test_silver_upsert_stream_matches_batch_semantics(spark, dirs):
         stream, dirs["silver"], dirs["ckpt_s"], keys=["id"], available_now=True
     )
     q.awaitTermination(180)
-    state = {r.id: r.val for r in spark.read.parquet(dirs["silver"]).collect()}
+    state = {r.id: r.val for r in read_silver(spark, dirs["silver"]).collect()}
     assert state == {1: "a2", 2: "b1", 4: "d1"}  # 3 deleted, 1 updated
+    # tombstone retained internally (cross-batch resurrection guard)
+    full = {r.id: r["__deleted"] for r in read_silver(spark, dirs["silver"], include_deleted=True).collect()}
+    assert full[3] is True
+
+
+def test_silver_no_resurrection_across_batches(spark, dirs):
+    """A delete in an early micro-batch must not be undone by an OLDER
+    version of the key arriving in a later micro-batch."""
+    from postgres_debezium_clickhouse_spark.streaming.pipeline import read_silver, silver_upsert_stream
+
+    # one file per batch: forced ordering via maxFilesPerTrigger=1
+    _write_json(spark, [(1, "v1", "c", 100, 1), (1, None, "d", 300, 2)], dirs["src"])
+    _write_json(spark, [(1, "stale", "u", 200, 3)], dirs["src"])
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(dirs["src"])
+    )
+    q = silver_upsert_stream(stream, dirs["silver"], dirs["ckpt_s"], keys=["id"], available_now=True)
+    q.awaitTermination(180)
+    assert read_silver(spark, dirs["silver"]).count() == 0  # still deleted
+    full = read_silver(spark, dirs["silver"], include_deleted=True).collect()
+    assert len(full) == 1 and full[0]["__deleted"] is True and full[0].ts_ms == 300
 
 
 def test_mv_registry_create_replace_drop(spark, dirs):
