@@ -182,6 +182,22 @@ def segment_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe grouped SUM: the salted two-phase plan (operators/skew.py)
+    must produce bit-identical results to the plain groupBy — the oracle IS
+    the plain aggregation."""
+    from ..operators.skew import salted_agg
+
+    orders = load_table(spark, sf_dir, "orders")
+    return salted_agg(
+        orders,
+        keys=["o_custkey"],
+        sum_cols={"revenue": _dec("o_totalprice")},
+        n_salts=8,
+        count_alias="n_orders",
+    ).select("o_custkey", F.col("revenue").cast("double").alias("revenue"), "n_orders")
+
+
 # --- X10: correlated scalar subquery through the SQL text surface ----------
 
 
@@ -232,6 +248,7 @@ QUERIES = {
     "orders_status_dedup": orders_status_dedup,
     "top_parts_by_price": top_parts_by_price,
     "segment_distinct_stats": segment_distinct_stats,
+    "salted_customer_revenue": salted_customer_revenue,
     "sql_correlated_subquery": sql_correlated_subquery,
     "ddl_view_roundtrip": ddl_view_roundtrip,
 }
@@ -303,6 +320,12 @@ ORACLES = {
                COUNT(DISTINCT o_custkey) AS n_distinct_customers,
                COUNT(*) AS n_orders
         FROM orders GROUP BY o_orderstatus
+    """,
+    "salted_customer_revenue": """
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey
     """,
     "sql_correlated_subquery": """
         SELECT o_orderkey,

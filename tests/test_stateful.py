@@ -1,0 +1,79 @@
+"""applyInPandasWithState operator tests — cross-batch state semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from postgres_debezium_clickhouse_spark.streaming.stateful import (
+    stateful_dedup,
+    stateful_running_agg,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+    ]
+)
+
+
+@pytest.fixture()
+def two_batch_stream(spark, tmp_path):
+    """File stream forced into two micro-batches (maxFilesPerTrigger=1) with
+    key 1 appearing in both."""
+    src = tmp_path / "src"
+    spark.createDataFrame([(1, 10.0), (2, 20.0)], SCHEMA).coalesce(1).write.mode("append").json(str(src))
+    spark.createDataFrame([(1, 30.0), (3, 40.0)], SCHEMA).coalesce(1).write.mode("append").json(str(src))
+    return (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").json(str(src)),
+        str(tmp_path),
+    )
+
+
+def _run(df, out_dir, mode="append"):
+    q = (
+        df.writeStream.format("parquet")
+        .outputMode(mode)
+        .option("path", f"{out_dir}/out")
+        .option("checkpointLocation", f"{out_dir}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_stateful_dedup_cross_batch(spark, two_batch_stream):
+    stream, d = two_batch_stream
+    _run(stateful_dedup(stream, "id", SCHEMA), d)
+    rows = spark.read.parquet(f"{d}/out").collect()
+    got = {r.id: r.v for r in rows}
+    assert set(got) == {1, 2, 3}
+    assert len(rows) == 3  # key 1's second-batch appearance swallowed
+    assert got[1] == 10.0  # FIRST occurrence won, not the later one
+
+
+def test_stateful_running_agg_accumulates(spark, two_batch_stream):
+    stream, d = two_batch_stream
+    # update-mode sink to parquet is not supported; use memory-style noop via
+    # foreachBatch collecting the last emission per key
+    from collections import defaultdict
+
+    emissions = defaultdict(list)
+
+    def sink(batch, bid):
+        for r in batch.collect():
+            emissions[r.id].append((r.running_count, r.running_sum))
+
+    q = (
+        stateful_running_agg(stream, "id", "v")
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", f"{d}/ck2")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert emissions[1][-1] == (2, 40.0)  # 10 + 30 across two batches
+    assert emissions[2][-1] == (1, 20.0)
+    assert emissions[3][-1] == (1, 40.0)
