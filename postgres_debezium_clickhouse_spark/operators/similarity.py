@@ -127,6 +127,84 @@ def lsh_ann_topk(
     )
 
 
+def ivf_centroids(corpus: DataFrame, n_centroids: int = 16, id_col: str = "vec_id") -> list[list[float]]:
+    """IVF coarse quantizer, deterministic: the ``n_centroids``
+    lowest-id vectors ARE the centroids (reservoir-free, reproducible; a
+    k-means refinement would run as a handful of assign+mean DataFrame
+    passes over the same machinery, deliberately omitted to keep the index
+    build deterministic for the oracles).  Collecting k small vectors to
+    the driver is O(k·dim) — the index metadata, not data."""
+    rows = (
+        as_double_vec(corpus)
+        .select(id_col, "v")
+        .orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .collect()
+    )
+    return [list(r.v) for r in rows]
+
+
+def with_ivf_cell(df: DataFrame, centroids: list[list[float]], vec_col: str = "v", out: str = "cell") -> DataFrame:
+    """Assign each vector to its nearest centroid (argmin L2) — centroids
+    are literals baked into the plan (broadcast by value, no shuffle)."""
+    dists = []
+    for i, c in enumerate(centroids):
+        lit = "array(" + ",".join(f"cast({x!r} as double)" for x in c) + ")"
+        d2 = f"aggregate(zip_with({vec_col}, {lit}, (x, y) -> (x - y) * (x - y)), cast(0 as double), (a, v) -> a + v)"
+        dists.append(f"struct({d2} as d, {i} as i)")
+    argmin = f"array_min(array({', '.join(dists)})).i"
+    return df.withColumn(out, F.expr(argmin).cast("int"))
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: score only corpus vectors in the query's
+    ``n_probe`` nearest cells.
+
+    Scale shape: the corpus is assigned to cells ONCE (persistable
+    partitioned-by-cell = the IVF index); queries fan out to n_probe cells
+    via a broadcast join; candidates per query ≈ n_probe·n/n_centroids."""
+    cents = ivf_centroids(corpus, n_centroids, id_col)
+    c = with_ivf_cell(as_double_vec(corpus), cents).select(
+        F.col(id_col), F.col("v").alias("cv"), F.col("cell")
+    )
+    # query side: n_probe nearest cells each
+    dists = []
+    for i, cent in enumerate(cents):
+        lit = "array(" + ",".join(f"cast({x!r} as double)" for x in cent) + ")"
+        d2 = f"aggregate(zip_with(v, {lit}, (x, y) -> (x - y) * (x - y)), cast(0 as double), (a, v) -> a + v)"
+        dists.append(f"struct({d2} as d, {i} as i)")
+    probes = f"transform(slice(array_sort(array({', '.join(dists)})), 1, {n_probe}), s -> s.i)"
+    q = (
+        as_double_vec(queries)
+        .withColumn("__cell_raw", F.explode(F.expr(probes)))
+        .select(
+            F.col(query_id_col),
+            F.col("v").alias("qv"),
+            F.col("__cell_raw").cast("int").alias("cell"),
+        )
+    )
+    dot = F.expr(DOT.format(a="qv", b="cv"))
+    qn = F.expr(NORM.format(a="qv"))
+    cn = F.expr(NORM.format(a="cv"))
+    scored = c.join(F.broadcast(q), "cell").withColumn("cosine", F.round(dot / (qn * cn), 6))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "cosine")
+    )
+
+
 def embedding_near_dups(corpus: DataFrame, threshold: float, id_col: str = "vec_id") -> DataFrame:
     """Embedding-cosine near-dup pairs within label blocks.
 

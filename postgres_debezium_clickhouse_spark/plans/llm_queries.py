@@ -21,6 +21,7 @@ from ..operators.multimodal import attach_fake_media, extract_features, media_by
 from ..operators.similarity import (
     cosine_topk,
     embedding_near_dups,
+    ivf_ann_topk,
     lsh_ann_buckets,
     lsh_ann_topk,
 )
@@ -77,6 +78,15 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(corpus, queries, k=5, n_planes=4)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only — IVF cells over deterministic centroids; recall vs exact
+    top-k asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return ivf_ann_topk(corpus, queries, k=5, n_centroids=16, n_probe=4)
+
+
 def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only — the ANN index-build side (bucket occupancy)."""
     return lsh_ann_buckets(load_table(spark, sf_dir, "embeddings"), n_planes=8)
@@ -121,6 +131,7 @@ QUERIES = {
     "similarity_cosine_topk": q_cosine_topk,
     "dedup_embedding_cosine": q_embedding_near_dups,
     "similarity_ann_lsh_topk": q_ann_lsh_topk,
+    "similarity_ann_ivf_topk": q_ann_ivf_topk,
     "similarity_ann_lsh_buckets": q_ann_lsh_buckets,
     "text_stats": q_text_stats,
     "text_lang_id": q_lang_id,

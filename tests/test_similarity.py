@@ -55,6 +55,30 @@ def test_lsh_buckets_partition_corpus(spark):
     assert len(b) == 1 and b[0].n_vectors == 2
 
 
+def test_ivf_cells_partition_and_recall(spark):
+    from postgres_debezium_clickhouse_spark.operators.similarity import (
+        as_double_vec,
+        ivf_ann_topk,
+        ivf_centroids,
+        with_ivf_cell,
+    )
+
+    corpus = _corpus(spark)
+    cents = ivf_centroids(corpus, n_centroids=2)
+    assert len(cents) == 2 and len(cents[0]) == 4  # deterministic: vec_id 1, 2
+    cells = with_ivf_cell(as_double_vec(corpus), cents)
+    assert cells.filter(cells.cell.isNull()).count() == 0  # total assignment
+    # full probe (n_probe = n_centroids) must recover the exact top-1
+    ann = ivf_ann_topk(corpus, _queries(spark), k=1, n_centroids=2, n_probe=2).collect()
+    assert ann[0].neighbor_id == 1 and ann[0].cosine == 1.0
+    # scores match brute force on shared pairs
+    exact = {r.neighbor_id: r.cosine for r in cosine_topk(_corpus(spark), _queries(spark), k=5).collect()}
+    part = ivf_ann_topk(corpus, _queries(spark), k=5, n_centroids=2, n_probe=1).collect()
+    assert 0 < len(part) <= 5
+    for r in part:
+        assert exact[r.neighbor_id] == r.cosine
+
+
 def test_embedding_near_dups_blocked_by_label(spark):
     out = embedding_near_dups(_corpus(spark), threshold=0.9, id_col="vec_id").collect()
     pairs = {(r.vec_a, r.vec_b) for r in out}

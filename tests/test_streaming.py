@@ -116,6 +116,39 @@ def test_mv_registry_create_replace_drop(spark, dirs):
     pipe.stop_all()
 
 
+def test_streaming_dropduplicates_with_watermark(spark, dirs, tmp_path):
+    """T3 alternative path: streaming dropDuplicates bounded by a watermark
+    (the design the reference AVOIDS via version latest-wins; we support
+    both).  Duplicate (id, ts) events within the watermark horizon are
+    emitted once."""
+    rows = [
+        {"id": 1, "ts": "2024-01-01T10:00:00", "v": 1.0},
+        {"id": 1, "ts": "2024-01-01T10:00:00", "v": 1.0},  # duplicate delivery
+        {"id": 2, "ts": "2024-01-01T10:01:00", "v": 2.0},
+    ]
+    import json as _json
+
+    src = tmp_path / "wm_src"
+    src.mkdir()
+    (src / "a.jsonl").write_text("\n".join(_json.dumps(r) for r in rows))
+    schema = "id LONG, ts TIMESTAMP, v DOUBLE"
+    stream = (
+        spark.readStream.schema(schema).json(str(src))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates(["id", "ts"])
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", str(tmp_path / "wm_out"))
+        .option("checkpointLocation", str(tmp_path / "wm_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "wm_out"))
+    assert out.count() == 2  # duplicate collapsed inside the watermark
+
+
 def test_failfast_exception_surfaced(spark, dirs):
     """T8 — errors.tolerance=none: a failing stream query's exception is
     raised to the caller via await_all, not swallowed."""
