@@ -25,7 +25,8 @@ from postgres_debezium_clickhouse_spark.session import get_spark
 #: one per operator family so a regression anywhere shows up here.
 HEADLINE = [
     "cdc_current_state",      # flagship: parse → dedup → casts (W1/S8)
-    "cdc_json_extract_path",  # get_json_object route (F1-F3)
+    "products_usable_vw",     # reference flagship parity (F4-F7 casts)
+    "cdc_json_extract_path",  # schema-on-read route (F1-F3)
     "star_join_revenue",      # FK-lattice join (J1)
     "order_totals",           # decorrelated per-key SUM (J2/A1)
     "pricing_summary",        # grouped aggregation (A1/F12/F15)

@@ -176,6 +176,49 @@ class Pipeline:
         self.views[name] = mv
         return mv
 
+    def capture_table(
+        self,
+        table: str,
+        events: DataFrame,
+        base_dir: str,
+        registry: dict[str, dict] | None = None,
+        available_now: bool = False,
+    ) -> dict[str, StreamingQuery]:
+        """S10 one-call table capture — the ``POST /connectors`` equivalent
+        (start.sh:67-74): wire BOTH layers for one registry table from a
+        Kafka-shaped event stream: bronze raw archive + silver keyed upsert,
+        each with its own checkpoint.  Returns the two queries keyed
+        'bronze'/'silver'."""
+        from ..schemas import TABLE_REGISTRY
+
+        spec = (registry or TABLE_REGISTRY)[table]
+        bronze_q = bronze_append_stream(
+            events.selectExpr("value AS value_json", "CAST(partition AS STRING) AS partition_str", "offset AS offset_num"),
+            path=f"{base_dir}/bronze/{table}",
+            checkpoint=f"{base_dir}/ckpt/bronze_{table}",
+            available_now=available_now,
+        )
+        from ..sources.cdc import parse_envelope
+        from ..schemas import envelope_schema
+
+        p = F.col("j.payload")
+        parsed = parse_envelope(events, envelope_schema(spec["row"]))
+        flat = parsed.select(
+            *[F.coalesce(p.after[k], p.before[k]).alias(k) for k in spec["keys"]],
+            *[p.after[f.name].alias(f.name) for f in spec["row"].fields if f.name not in spec["keys"]],
+            p.op.alias("op"),
+            p.source["ts_ms"].alias("ts_ms"),
+            F.col("offset"),
+        )
+        silver_q = silver_upsert_stream(
+            flat,
+            path=f"{base_dir}/silver/{table}",
+            checkpoint=f"{base_dir}/ckpt/silver_{table}",
+            keys=spec["keys"],
+            available_now=available_now,
+        )
+        return {"bronze": bronze_q, "silver": silver_q}
+
     def drop_mv(self, name: str) -> None:
         """D2 — idempotent drop (DROP VIEW IF EXISTS, clickhouse.sql:2-6)."""
         mv = self.views.pop(name, None)

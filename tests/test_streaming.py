@@ -116,6 +116,37 @@ def test_mv_registry_create_replace_drop(spark, dirs):
     pipe.stop_all()
 
 
+def test_capture_table_one_call(spark, tmp_path):
+    """S10 — Pipeline.capture_table wires bronze + silver for a registry
+    table from a Kafka-shaped stream in one call."""
+    from postgres_debezium_clickhouse_spark.sources.cdc import orders_cdc_events
+    from postgres_debezium_clickhouse_spark.streaming.pipeline import Pipeline, read_silver
+
+    events = orders_cdc_events(spark, "/root/testdata/sf0.001")
+    src = str(tmp_path / "kafka_shape")
+    events.write.mode("overwrite").json(src)
+    stream = spark.readStream.schema(events.schema).json(src)
+
+    pipe = Pipeline(spark)
+    qs = pipe.capture_table("orders", stream, str(tmp_path / "lake"), available_now=True)
+    qs["bronze"].awaitTermination(180)
+    qs["silver"].awaitTermination(180)
+
+    bronze = spark.read.parquet(str(tmp_path / "lake/bronze/orders"))
+    assert bronze.count() == events.count()
+    assert {"value_json", "partition_str", "offset_num", "ingestion_time"} <= set(bronze.columns)
+
+    silver = read_silver(spark, str(tmp_path / "lake/silver/orders"))
+    # deterministic generator: keys %7==0 deleted
+    expected = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .filter(F.col("o_orderkey") % 7 != 0)
+        .count()
+    )
+    assert silver.count() == expected
+    assert silver.filter(F.col("o_orderkey") % 7 == 0).count() == 0
+
+
 def test_streaming_dropduplicates_with_watermark(spark, dirs, tmp_path):
     """T3 alternative path: streaming dropDuplicates bounded by a watermark
     (the design the reference AVOIDS via version latest-wins; we support
