@@ -75,13 +75,17 @@ def minhash_signature(shingled: DataFrame) -> DataFrame:
     return shingled.select("*", *sigs)
 
 
-def lsh_candidate_pairs(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    documents: DataFrame, id_col: str = "doc_id", shingled: DataFrame | None = None
+) -> DataFrame:
     """Banded-LSH candidate pairs: docs sharing at least one band key.
 
     Plan: explode to (doc, band_index, band_key) → shuffle on band_key →
     self-equi-join → distinct pairs.  Never an all-pairs product.
+    Pass a pre-computed (possibly persisted) ``shingled`` DF to avoid
+    recomputing the shingle arrays.
     """
-    signed = minhash_signature(with_shingles(documents))
+    signed = minhash_signature(shingled if shingled is not None else with_shingles(documents))
     bands = F.array(
         *[
             F.struct(
@@ -122,10 +126,20 @@ def jaccard_on_pairs(pairs: DataFrame, shingled: DataFrame, id_col: str = "doc_i
     )
 
 
-def minhash_lsh_near_dups(documents: DataFrame, threshold: float = 0.8, id_col: str = "doc_id") -> DataFrame:
-    """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold."""
+def minhash_lsh_near_dups(
+    documents: DataFrame, threshold: float = 0.8, id_col: str = "doc_id", persist: bool = False
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold.
+
+    The shingle arrays feed THREE plan branches (signatures + both join
+    sides of the verification); ``persist=True`` materializes them once
+    (MEMORY_AND_DISK) instead of recomputing the split/transform per branch
+    — the right call whenever the corpus scan is nontrivial.  Callers own
+    the unpersist (or let it age out)."""
     shingled = with_shingles(documents)
-    cands = lsh_candidate_pairs(documents, id_col)
+    if persist:
+        shingled = shingled.persist()
+    cands = lsh_candidate_pairs(documents, id_col, shingled=shingled)
     return jaccard_on_pairs(cands, shingled, id_col).filter(F.col("jaccard") >= threshold)
 
 

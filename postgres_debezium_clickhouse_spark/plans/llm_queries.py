@@ -44,7 +44,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_near_dups(load_table(spark, sf_dir, "documents"), threshold=0.8)
+    return minhash_lsh_near_dups(load_table(spark, sf_dir, "documents"), threshold=0.8, persist=True)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
