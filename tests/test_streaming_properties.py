@@ -1,0 +1,74 @@
+"""Property test: the streamed silver state equals batch latest-wins for
+ANY event log split ANY way into micro-batches — the invariant the
+cross-batch resurrection bug (fixed in streaming/pipeline.py) violated.
+
+Spark streaming per example is expensive → few, adversarial examples:
+hypothesis drives key collisions, delete/update interleavings, and batch
+boundaries simultaneously.
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from postgres_debezium_clickhouse_spark.operators.upsert import apply_cdc
+from postgres_debezium_clickhouse_spark.streaming.pipeline import read_silver, silver_upsert_stream
+
+SCHEMA = "id INT, val STRING, op STRING, ts_ms INT, offset INT"
+
+#: tiny domains force collisions; offset made unique per event downstream.
+raw_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),             # id
+        st.sampled_from(["a", "b", "c"]),                  # val
+        st.sampled_from(["c", "u", "d"]),                  # op
+        st.integers(min_value=1, max_value=3),             # ts_ms
+    ),
+    min_size=1,
+    max_size=8,
+)
+split_seed = st.integers(min_value=0, max_value=6)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=raw_events, seed=split_seed)
+def test_streamed_silver_equals_batch(spark, tmp_path_factory, events, seed):
+    # unique offsets = physical Kafka log
+    log = [(k, v, op, ts, i + 1) for i, (k, v, op, ts) in enumerate(events)]
+
+    d = tmp_path_factory.mktemp("prop")
+    src = d / "src"
+    src.mkdir()
+    # deterministic split into 1-3 files → micro-batches via maxFilesPerTrigger=1
+    n_files = (seed % 3) + 1
+    chunks = [log[i::n_files] for i in range(n_files)]
+    for i, chunk in enumerate(chunks):
+        if not chunk:
+            continue
+        lines = [
+            json.dumps({"id": k, "val": v, "op": op, "ts_ms": ts, "offset": off})
+            for k, v, op, ts, off in chunk
+        ]
+        (src / f"b{i}.jsonl").write_text("\n".join(lines))
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").json(str(src))
+    )
+    q = silver_upsert_stream(
+        stream, str(d / "out"), str(d / "ck"), keys=["id"], available_now=True
+    )
+    q.awaitTermination(180)
+    streamed = {
+        r.id: (r.val, r.op, r.ts_ms, r.offset)
+        for r in read_silver(spark, str(d / "out")).collect()
+    }
+
+    batch_df = spark.createDataFrame(log, SCHEMA)
+    batch = {
+        r.id: (r.val, r.op, r.ts_ms, r.offset)
+        for r in apply_cdc(batch_df, keys=["id"], delete_mode="drop").collect()
+    }
+    assert streamed == batch
