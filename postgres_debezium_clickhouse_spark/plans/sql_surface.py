@@ -182,6 +182,44 @@ def segment_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts by priority (rows) × status (columns) — the
+    wide-format reporting shape (explicit value list keeps the plan static,
+    the scale-correct pivot form: no extra distinct-scan to discover
+    columns)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+def events_props_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode over semi-structured data: count occurrences of each
+    top-level key in the events ``props`` JSON column
+    (schema-discovery-style op over schema-on-read data)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.explode(F.json_object_keys("props")).alias("key"),
+            F.get_json_object("props", "$.k").cast("long").alias("kv"),
+        )
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("kv").alias("n_distinct_values"),
+            F.sum("kv").alias("sum_values"),
+        )
+    )
+
+
 def salted_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe grouped SUM: the salted two-phase plan (operators/skew.py)
     must produce bit-identical results to the plain groupBy — the oracle IS
@@ -248,6 +286,8 @@ QUERIES = {
     "orders_status_dedup": orders_status_dedup,
     "top_parts_by_price": top_parts_by_price,
     "segment_distinct_stats": segment_distinct_stats,
+    "orders_status_pivot": orders_status_pivot,
+    "events_props_keys": events_props_keys,
     "salted_customer_revenue": salted_customer_revenue,
     "sql_correlated_subquery": sql_correlated_subquery,
     "ddl_view_roundtrip": ddl_view_roundtrip,
@@ -320,6 +360,22 @@ ORACLES = {
                COUNT(DISTINCT o_custkey) AS n_distinct_customers,
                COUNT(*) AS n_orders
         FROM orders GROUP BY o_orderstatus
+    """,
+    "orders_status_pivot": """
+        SELECT o_orderpriority,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "events_props_keys": """
+        SELECT k AS key, COUNT(*) AS n,
+               COUNT(DISTINCT kv) AS n_distinct_values,
+               SUM(kv) AS sum_values
+        FROM (SELECT unnest(json_keys(props)) AS k,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv
+              FROM events)
+        GROUP BY k
     """,
     "salted_customer_revenue": """
         SELECT o_custkey,
