@@ -158,6 +158,28 @@ def with_ingest_seq(df: DataFrame) -> DataFrame:
     return df.withColumn(INGEST_SEQ, F.monotonically_increasing_id())
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """O1/X1 at full scale — persist as a BUCKETED table on the merge key.
+
+    Two tables bucketed identically on the join key sort-merge-join with NO
+    Exchange on either side (Spark trusts the bucket layout) — this is how
+    the per-trigger silver merge, and any downstream key-join, becomes
+    shuffle-free at 100 TB.  Bucketing requires ``saveAsTable`` (catalog
+    metadata carries the layout)."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, *keys)
+        .sortBy(*keys)
+        .saveAsTable(table)
+    )
+
+
 def cluster_by_key(df: DataFrame, keys: list[str], num_partitions: int | None = None) -> DataFrame:
     """O1 — MergeTree ``ORDER BY`` physical clustering
     (clickhouse.sql:52; init_clickhouse_raw_tables.sql:37): hash-partition by

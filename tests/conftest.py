@@ -7,6 +7,8 @@ scale-oriented; tests only shrink parallelism for latency.
 
 from __future__ import annotations
 
+import tempfile
+
 import pytest
 
 from postgres_debezium_clickhouse_spark.session import get_spark
@@ -20,7 +22,12 @@ def spark():
         "engine-tests",
         master="local[4]",
         shuffle_partitions=8,
-        extra_conf={"spark.sql.adaptive.coalescePartitions.initialPartitionNum": "8"},
+        extra_conf={
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "8",
+            # static conf: bucketed-table tests saveAsTable into a tmp
+            # warehouse instead of ./spark-warehouse in the repo
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark-wh-"),
+        },
     )
     s.sparkContext.setLogLevel("ERROR")
     yield s
