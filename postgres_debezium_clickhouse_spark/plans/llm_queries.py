@@ -79,8 +79,9 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only — IVF cells over deterministic centroids; recall vs exact
-    top-k asserted in tests/test_similarity.py."""
+    """IVF ANN — fully oracle-checked (unlike sign-LSH, whose numpy
+    hyperplanes aren't SQL-portable): centroids are the 16 lowest-id corpus
+    vectors, so DuckDB reproduces the index, probes, and scores exactly."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
     corpus = emb.filter(F.col("vec_id") >= 5)
@@ -270,6 +271,32 @@ ORACLES = {
         SELECT doc_id,
                array_to_string(list_sort(list_transform(ts, s -> md5(s)))[1:4], '') AS fingerprint
         FROM sh
+    """,
+    "similarity_ann_ivf_topk": """
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        c AS (SELECT vec_id, v AS cv FROM e WHERE vec_id >= 5),
+        cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS i, cv AS ctr
+                 FROM (SELECT vec_id, cv FROM c ORDER BY vec_id LIMIT 16)),
+        cd AS (SELECT c.vec_id, c.cv, cent.i,
+                      list_sum(list_transform(list_zip(c.cv, cent.ctr), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+               FROM c CROSS JOIN cent),
+        cassign AS (SELECT vec_id, cv, i AS cell FROM
+                    (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, i) AS rn FROM cd)
+                    WHERE rn = 1),
+        qd AS (SELECT q.query_id, q.qv, cent.i,
+                      list_sum(list_transform(list_zip(q.qv, cent.ctr), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+               FROM q CROSS JOIN cent),
+        qprobe AS (SELECT query_id, qv, i AS cell FROM
+                   (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, i) AS rn FROM qd)
+                   WHERE rn <= 4),
+        s AS (SELECT qp.query_id, ca.vec_id AS neighbor_id,
+                     ROUND(list_dot_product(qp.qv, ca.cv)
+                           / (sqrt(list_dot_product(qp.qv, qp.qv)) * sqrt(list_dot_product(ca.cv, ca.cv))), 6) AS cosine
+              FROM qprobe qp JOIN cassign ca ON qp.cell = ca.cell)
+        SELECT query_id, neighbor_id, cosine FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM s)
+        WHERE rn <= 5
     """,
     "multimodal_byte_stats": """
         SELECT doc_id,
