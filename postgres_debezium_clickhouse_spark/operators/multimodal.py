@@ -102,6 +102,72 @@ def extract_features(media_df: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return media_df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("thumb", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_media(media_df: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """Resize plumbing over ``mapInPandas``: emits a fixed-size thumbnail
+    per blob.  The fake 'resampler' truncates/right-pads the byte stream to
+    ``width*height`` bytes — a real deployment swaps in PIL's
+    ``Image.resize`` inside the same batch loop; schema, Arrow transfer,
+    and output sizing are the real contract."""
+    n = width * height
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = [bytes(b)[:n].ljust(n, b"\0") for b in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "thumb": thumbs,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media_df.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(media_df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling (one blob → N rows) over ``mapInPandas`` — the video
+    path's row-expansion shape.  The fake 'decoder' slices the byte stream
+    into ``n_frames`` evenly-spaced chunks; a real deployment decodes with
+    pyav/ffmpeg at the same evenly-spaced timestamps.  Output cardinality =
+    input × n_frames (empty blobs yield zero frames)."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                b = bytes(blob)
+                if not b:
+                    continue
+                step = max(len(b) // n_frames, 1)
+                for i in range(n_frames):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(b[i * step : i * step + step] or b[-step:])
+            yield pd.DataFrame({"doc_id": ids, "frame_index": idxs, "frame": frames})
+
+    return media_df.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
 def media_byte_stats(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Pure-SQL metadata pass (no Python): byte length + meta projection —
     the cheap pre-filter that runs BEFORE any decode at scale."""

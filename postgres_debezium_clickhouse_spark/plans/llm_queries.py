@@ -17,7 +17,13 @@ from ..operators.dedup import (
     ngram_jaccard_blocked,
     simhash,
 )
-from ..operators.multimodal import attach_fake_media, extract_features, media_byte_stats
+from ..operators.multimodal import (
+    attach_fake_media,
+    extract_features,
+    media_byte_stats,
+    resize_media,
+    sample_frames,
+)
 from ..operators.similarity import (
     cosine_topk,
     embedding_near_dups,
@@ -124,6 +130,22 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media)
 
 
+def q_multimodal_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (mapInPandas; stubbed resampler) — the projected
+    (id, dims) output is deterministic, so the Arrow round trip itself is
+    oracle-checked; byte-level size invariants live in
+    tests/test_multimodal.py."""
+    media = attach_fake_media(load_table(spark, sf_dir, "documents"))
+    return resize_media(media, width=8, height=8).select("doc_id", "width", "height")
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (one blob → N rows via mapInPandas) — the expansion
+    cardinality is deterministic and oracle-checked."""
+    media = attach_fake_media(load_table(spark, sf_dir, "documents"))
+    return sample_frames(media, n_frames=4).select("doc_id", "frame_index")
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -141,6 +163,8 @@ QUERIES = {
     "text_fingerprint": q_fingerprint,
     "multimodal_byte_stats": q_multimodal_bytes,
     "multimodal_features": q_multimodal_features,
+    "multimodal_thumbnails": q_multimodal_thumbnails,
+    "multimodal_frames": q_multimodal_frames,
 }
 
 # ---------------------------------------------------------------------------
@@ -297,6 +321,15 @@ ORACLES = {
         SELECT query_id, neighbor_id, cosine FROM
         (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM s)
         WHERE rn <= 5
+    """,
+    "multimodal_thumbnails": """
+        SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height
+        FROM documents
+    """,
+    "multimodal_frames": """
+        SELECT doc_id, CAST(t.i AS INT) AS frame_index
+        FROM documents CROSS JOIN range(0, 4) t(i)
+        WHERE length(text) > 0
     """,
     "multimodal_byte_stats": """
         SELECT doc_id,

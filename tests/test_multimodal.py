@@ -41,3 +41,25 @@ def test_extract_features_deterministic_histogram(spark):
 def test_decode_stub_raises(spark):
     with pytest.raises(NotImplementedError):
         decode_media(b"bytes", "image")
+
+
+def test_resize_media_fixed_size(spark):
+    from postgres_debezium_clickhouse_spark.operators.multimodal import resize_media
+
+    out = {r.doc_id: r for r in resize_media(_media(spark), width=2, height=3).collect()}
+    assert all(len(bytes(r.thumb)) == 6 for r in out.values())  # exact target size
+    assert bytes(out[1].thumb)[:4] == b"abcd"  # content-derived, deterministic
+    assert (out[1].width, out[1].height) == (2, 3)
+
+
+def test_sample_frames_expansion(spark):
+    from postgres_debezium_clickhouse_spark.operators.multimodal import sample_frames
+
+    frames = sample_frames(_media(spark), n_frames=2).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 2}
+    assert [r.frame_index for r in sorted(by_doc[1], key=lambda x: x.frame_index)] == [0, 1]
+    # 'abcd' with 2 frames: step 2 → b'ab', b'cd'
+    assert [bytes(r.frame) for r in sorted(by_doc[1], key=lambda x: x.frame_index)] == [b"ab", b"cd"]
