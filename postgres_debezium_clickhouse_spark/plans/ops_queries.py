@@ -114,6 +114,34 @@ def stream_silver_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_silver(spark, dst).select("o_orderkey", "o_orderstatus", "o_totalprice", "ts_ms")
 
 
+def cdc_replay_from_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reprocessing: rebuild the silver current state FROM THE BRONZE
+    ARCHIVE (stored raw JSON + lineage), not from the live stream — the
+    reference's two-hop staging pattern (init.sql:31-35 stores raw, then
+    :52-63 extracts from the stored table) and the property that makes a
+    bronze layer worth keeping: replayability after a silver bug or schema
+    change.  Same oracle as the streaming path — replay must reconstruct
+    the identical state."""
+    from ..schemas import ORDERS_ENVELOPE
+    from ..sources.cdc import bronze_projection, orders_cdc_events
+    from ..operators.upsert import apply_cdc
+
+    # the durable archive: raw value_json + kafka lineage (what S7 stored)
+    bronze = bronze_projection(orders_cdc_events(spark, sf_dir))
+
+    p = F.col("j.payload")
+    flat = bronze.withColumn("j", F.from_json("value_json", ORDERS_ENVELOPE)).select(
+        F.coalesce(p.after["o_orderkey"], p.before["o_orderkey"]).alias("o_orderkey"),
+        p.after["o_orderstatus"].alias("o_orderstatus"),
+        p.after["o_totalprice"].cast("double").alias("o_totalprice"),
+        p.op.alias("op"),
+        p.source["ts_ms"].alias("ts_ms"),
+        F.col("offset_num").alias("offset"),
+    )
+    merged = apply_cdc(flat, keys=["o_orderkey"], version_col="ts_ms", tiebreak_col="offset", delete_mode="drop")
+    return merged.select("o_orderkey", "o_orderstatus", "o_totalprice", "ts_ms")
+
+
 def object_store_typed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2/S6 end-to-end — the minio_cdc_example path (clickhouse_minio.sql:
     14-30): JSON objects land in a bucket (here: a temp dir, content derived
@@ -152,10 +180,25 @@ QUERIES = {
     "synthetic_transactions": synthetic_transactions,
     "stream_bronze_archive": stream_bronze_archive,
     "stream_silver_state": stream_silver_state,
+    "cdc_replay_from_bronze": cdc_replay_from_bronze,
     "object_store_typed_ingest": object_store_typed_ingest,
 }
 
+_ORDERS_FINAL_STATE = """
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 9 = 0 THEN 'V'
+                    WHEN o_orderkey % 3 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+               CAST(CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice + 200.0
+                    WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+                    ELSE o_totalprice END AS DOUBLE) AS o_totalprice,
+               CAST(CASE WHEN o_orderkey % 9 = 0 THEN 3000000 + o_orderkey
+                    WHEN o_orderkey % 3 = 0 THEN 2000000 + o_orderkey
+                    ELSE 1000000 END AS BIGINT) AS ts_ms
+        FROM orders WHERE o_orderkey % 7 <> 0
+"""
+
 ORACLES: dict[str, str] = {
+    "cdc_replay_from_bronze": _ORDERS_FINAL_STATE,
     "stream_silver_state": """
         SELECT o_orderkey,
                CASE WHEN o_orderkey % 9 = 0 THEN 'V'

@@ -119,6 +119,41 @@ def silver_upsert_stream(
     return writer.start()
 
 
+def compact_silver(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    drop_tombstones_below_version: int | None = None,
+    version_col: str = "ts_ms",
+) -> int:
+    """The ClickHouse background-merge / ``OPTIMIZE TABLE … FINAL``
+    analogue, run on demand: rewrite the silver store key-clustered
+    (restoring the O1 layout after many incremental merges) and optionally
+    garbage-collect tombstones whose version is older than a replay
+    horizon.
+
+    Tombstones younger than the horizon MUST stay (they guard against
+    late-arriving older versions — see silver_upsert_stream); once the
+    source can no longer deliver events older than ``version``, the
+    tombstone is dead weight.  Returns the number of rows removed.
+    """
+    from ..operators.upsert import cluster_by_key
+
+    df = spark.read.parquet(path)
+    before = df.count()
+    if drop_tombstones_below_version is not None:
+        df = df.filter(
+            ~(F.col("__deleted") & (F.col(version_col) < drop_tombstones_below_version))
+        )
+    compacted = cluster_by_key(df, keys)
+    tmp = f"{path}__compact"
+    compacted.write.mode("overwrite").parquet(tmp)
+    final = spark.read.parquet(tmp)
+    n_after = final.count()
+    final.write.mode("overwrite").parquet(path)
+    return before - n_after
+
+
 def read_silver(spark: SparkSession, path: str, include_deleted: bool = False) -> DataFrame:
     """Read the silver store written by ``silver_upsert_stream``.
 

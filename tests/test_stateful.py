@@ -53,6 +53,26 @@ def test_stateful_dedup_cross_batch(spark, two_batch_stream):
     assert got[1] == 10.0  # FIRST occurrence won, not the later one
 
 
+def test_stateful_dedup_rocksdb_state_store(spark, two_batch_stream):
+    """The production state backend (bounded memory at 100 TB state): the
+    same operator runs on the RocksDB state store provider."""
+    stream, d = two_batch_stream
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    try:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        _run(stateful_dedup(stream, "id", SCHEMA), d)
+        rows = spark.read.parquet(f"{d}/out").collect()
+        assert {r.id for r in rows} == {1, 2, 3} and len(rows) == 3
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_stateful_running_agg_accumulates(spark, two_batch_stream):
     stream, d = two_batch_stream
     # update-mode sink to parquet is not supported; use memory-style noop via

@@ -147,6 +147,29 @@ def test_capture_table_one_call(spark, tmp_path):
     assert silver.filter(F.col("o_orderkey") % 7 == 0).count() == 0
 
 
+def test_compact_silver_gc_and_layout(spark, dirs):
+    """Compaction: tombstones older than the replay horizon are removed,
+    younger ones survive; live rows untouched."""
+    from postgres_debezium_clickhouse_spark.streaming.pipeline import (
+        compact_silver,
+        read_silver,
+        silver_upsert_stream,
+    )
+
+    # build a silver store with two tombstones at different versions
+    _write_json(spark, [(1, "a", "c", 100, 1), (2, None, "d", 150, 2), (3, None, "d", 500, 3)], dirs["src"])
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(dirs["src"])
+    q = silver_upsert_stream(stream, dirs["silver"], dirs["ckpt_s"], keys=["id"], available_now=True)
+    q.awaitTermination(120)
+    assert spark.read.parquet(dirs["silver"]).count() == 3  # 1 live + 2 tombstones
+
+    removed = compact_silver(spark, dirs["silver"], keys=["id"], drop_tombstones_below_version=200)
+    assert removed == 1  # only the ts=150 tombstone is past the horizon
+    full = {r.id: r["__deleted"] for r in spark.read.parquet(dirs["silver"]).collect()}
+    assert full == {1: False, 3: True}  # young tombstone retained
+    assert read_silver(spark, dirs["silver"]).count() == 1
+
+
 def test_streaming_dropduplicates_with_watermark(spark, dirs, tmp_path):
     """T3 alternative path: streaming dropDuplicates bounded by a watermark
     (the design the reference AVOIDS via version latest-wins; we support
