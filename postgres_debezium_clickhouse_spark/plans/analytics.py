@@ -309,6 +309,20 @@ def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral transition counts: (previous event_type → event_type)
+    pairs per user ordered by time — the funnel/Markov-step primitive
+    (lag window over the event stream)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    steps = events.select(
+        "user_id",
+        F.lag("event_type", 1).over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    return steps.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n_transitions"))
+
+
 def events_micro_ts_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F17 — µs-epoch ↔ timestamp round trip (MicroTimestamp,
     value.json:96-99)."""
@@ -341,6 +355,7 @@ QUERIES = {
     "events_hourly_counts": events_hourly_counts,
     "events_sessionization": events_sessionization,
     "events_sliding_counts": events_sliding_counts,
+    "events_user_funnel": events_user_funnel,
     "events_micro_ts_roundtrip": events_micro_ts_roundtrip,
 }
 
@@ -490,6 +505,15 @@ ORACLES = {
         )
         SELECT window_start, event_type, COUNT(*) AS n_events
         FROM w GROUP BY window_start, event_type
+    """,
+    "events_user_funnel": """
+        WITH s AS (SELECT user_id,
+                          LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS from_type,
+                          event_type AS to_type
+                   FROM events)
+        SELECT from_type, to_type, COUNT(*) AS n_transitions
+        FROM s WHERE from_type IS NOT NULL
+        GROUP BY from_type, to_type
     """,
     "events_micro_ts_roundtrip": """
         SELECT event_id, epoch_us(ts) AS ts_us, make_timestamp(epoch_us(ts)) AS ts_rt

@@ -146,11 +146,45 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media, n_frames=4).select("doc_id", "frame_index")
 
 
+def q_llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data prep pipeline — quality gate → exact
+    dedup → per-language corpus stats — one declarative plan (each stage's
+    operators are individually oracle-checked above; this checks the
+    composition)."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = quality_score(docs).filter(F.col("keep")).select("doc_id")
+    surviving = docs.join(kept, "doc_id", "left_semi")
+    deduped_ids = exact_dedup(surviving).select("doc_id")
+    corpus = docs.join(deduped_ids, "doc_id", "left_semi")
+    return (
+        corpus.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.avg(F.size(F.split("text", " "))).alias("avg_tokens"),
+        )
+        .select("lang", "n_docs", "total_chars", F.round("avg_tokens", 4).alias("avg_tokens"))
+    )
+
+
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-blocked dedup: docs sharing a winnowing fingerprint are
+    near-dup candidates; keep the min doc_id per fingerprint group."""
+    fp = fingerprint(load_table(spark, sf_dir, "documents"))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("group_size"))
+        .select("fingerprint", "keeper", "group_size")
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_ngram_jaccard,
+    "dedup_fingerprint": q_dedup_fingerprint,
+    "llm_prep_pipeline": q_llm_prep_pipeline,
     "similarity_cosine_topk": q_cosine_topk,
     "dedup_embedding_cosine": q_embedding_near_dups,
     "similarity_ann_lsh_topk": q_ann_lsh_topk,
@@ -295,6 +329,28 @@ ORACLES = {
         SELECT doc_id,
                array_to_string(list_sort(list_transform(ts, s -> md5(s)))[1:4], '') AS fingerprint
         FROM sh
+    """,
+    "dedup_fingerprint": f"""
+        WITH {_SHINGLES},
+        fp AS (SELECT doc_id,
+                      array_to_string(list_sort(list_transform(ts, s -> md5(s)))[1:4], '') AS fingerprint
+               FROM sh)
+        SELECT fingerprint, MIN(doc_id) AS keeper, COUNT(*) AS group_size
+        FROM fp GROUP BY fingerprint
+    """,
+    "llm_prep_pipeline": """
+        WITH t AS (SELECT doc_id, text, lang, string_split(text, ' ') AS tk FROM documents),
+        q AS (SELECT doc_id FROM t
+              WHERE (length(text) >= 100 AND length(text) <= 1000)
+                AND ROUND(len(list_distinct(tk)) * 1.0 / len(tk), 4) >= 0.15
+                AND ROUND(len(list_filter(tk, x -> x IN ('the', 'a', 'and', 'of'))) * 1.0 / len(tk), 4) <= 0.5),
+        surviving AS (SELECT d.* FROM documents d WHERE EXISTS (SELECT 1 FROM q WHERE q.doc_id = d.doc_id)),
+        dedup AS (SELECT MIN(doc_id) AS doc_id FROM surviving GROUP BY sha256(lower(trim(text)))),
+        corpus AS (SELECT d.* FROM documents d WHERE EXISTS (SELECT 1 FROM dedup x WHERE x.doc_id = d.doc_id))
+        SELECT lang, COUNT(*) AS n_docs,
+               SUM(length(text)) AS total_chars,
+               ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens
+        FROM corpus GROUP BY lang
     """,
     "similarity_ann_ivf_topk": """
         WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
