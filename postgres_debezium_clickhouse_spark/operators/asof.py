@@ -1,0 +1,77 @@
+"""As-of (temporal) join — a first-class operator Spark's DataFrame API
+lacks (pandas-on-Spark has merge_asof; plain SQL users fall back to
+per-row correlated subqueries or range cross-joins, both of which die at
+scale).
+
+Algorithm (the scale-correct form): tag both inputs, UNION them, and run a
+single ``last(right_payload, ignorenulls=True)`` window per key ordered by
+(ts, side, tiebreak).  For every left row the window yields the most recent
+right row at-or-before its timestamp.  Cost: ONE hash shuffle on the key +
+one sort within partitions — identical shape to a keyed window aggregate;
+no range explosion, no per-row lookups, AQE-balanced.
+
+Not present in the reference (SURVEY §2.4 notes no as-of/range joins), but
+part of the engine's extended surface — attribution, sensor alignment, and
+slowly-changing-dimension lookups all reduce to this operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    tiebreak: str | None = None,
+    right_prefix: str = "right_",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_ts <= left_ts`` matching on the ``on`` keys (backward as-of,
+    inclusive — DuckDB/pandas ``merge_asof`` default).  Left rows with no
+    prior right row keep NULL right columns (left-outer semantics).
+
+    ``tiebreak`` orders equal-timestamp right rows (last one wins); give a
+    unique column (event id, offset) whenever right timestamps can collide.
+    Output: every left column + each right non-key column as
+    ``{right_prefix}{name}``.
+    """
+    rcols = [c for c in right.columns if c not in on]
+    payload = F.struct(*[F.col(c) for c in rcols])
+
+    # tiebreak must be numeric (an id/offset); both sides carry it as long
+    tb = (F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")).alias("__tb")
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        tb,
+        F.lit(0).alias("__side"),  # right sorts BEFORE left at equal ts → inclusive
+        payload.alias("__rp"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in left.columns],
+    )
+    l = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(None).cast("long").alias("__tb"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__rp"].dataType).alias("__rp"),
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__tb").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = (
+        r.unionByName(l)
+        .withColumn("__match", F.last("__rp", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    out_cols = [F.col(f"__l_{c}").alias(c) for c in left.columns]
+    out_cols += [F.col("__match")[c].alias(f"{right_prefix}{c}") for c in rcols]
+    return joined.select(*out_cols)

@@ -309,6 +309,25 @@ def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each purchase event attributed to
+    the user's latest at-or-before click — one key shuffle, no range
+    explosion.  Oracle uses DuckDB's native ASOF JOIN."""
+    from ..operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    return asof_join(
+        purchases, clicks, on=["user_id"], left_ts="purchase_ts", right_ts="click_ts",
+        tiebreak="click_id", right_prefix="",
+    ).select("purchase_id", "user_id", "click_id", "click_ts")
+
+
 def events_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral transition counts: (previous event_type → event_type)
     pairs per user ordered by time — the funnel/Markov-step primitive
@@ -356,6 +375,7 @@ QUERIES = {
     "events_sessionization": events_sessionization,
     "events_sliding_counts": events_sliding_counts,
     "events_user_funnel": events_user_funnel,
+    "events_purchase_attribution": events_purchase_attribution,
     "events_micro_ts_roundtrip": events_micro_ts_roundtrip,
 }
 
@@ -505,6 +525,12 @@ ORACLES = {
         )
         SELECT window_start, event_type, COUNT(*) AS n_events
         FROM w GROUP BY window_start, event_type
+    """,
+    "events_purchase_attribution": """
+        SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id, c.ts AS click_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
     "events_user_funnel": """
         WITH s AS (SELECT user_id,

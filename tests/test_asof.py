@@ -1,0 +1,51 @@
+"""As-of join operator tests (backward inclusive, left-outer)."""
+
+from __future__ import annotations
+
+import datetime
+
+from postgres_debezium_clickhouse_spark.operators.asof import asof_join
+
+
+def _ts(s: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1, 0, 0, s)
+
+
+def test_asof_basic_backward_inclusive(spark):
+    quotes = spark.createDataFrame(
+        [(1, _ts(1), 10.0), (1, _ts(5), 11.0), (1, _ts(9), 12.0), (2, _ts(3), 99.0)],
+        "sym INT, qts TIMESTAMP, px DOUBLE",
+    )
+    trades = spark.createDataFrame(
+        [(1, _ts(5), 100), (1, _ts(7), 200), (1, _ts(0), 300), (2, _ts(2), 400)],
+        "sym INT, tts TIMESTAMP, qty INT",
+    )
+    out = {
+        (r.sym, r.qty): r.right_px
+        for r in asof_join(trades, quotes, on=["sym"], left_ts="tts", right_ts="qts").collect()
+    }
+    assert out[(1, 100)] == 11.0   # equal ts → inclusive
+    assert out[(1, 200)] == 11.0   # latest at-or-before 7 is ts5
+    assert out[(1, 300)] is None   # no prior quote → left-outer NULL
+    assert out[(2, 400)] is None   # sym 2's quote is AFTER the trade
+
+
+def test_asof_tiebreak_last_wins(spark):
+    right = spark.createDataFrame(
+        [(1, _ts(5), 1, "first"), (1, _ts(5), 2, "second")],
+        "k INT, rts TIMESTAMP, rid INT, tag STRING",
+    )
+    left = spark.createDataFrame([(1, _ts(6))], "k INT, lts TIMESTAMP")
+    row = asof_join(left, right, on=["k"], left_ts="lts", right_ts="rts", tiebreak="rid").first()
+    assert row.right_tag == "second"  # max tiebreak among equal timestamps
+
+
+def test_asof_one_shuffle(spark):
+    """Scale contract: the plan contains exactly one hash exchange (the key
+    shuffle) — no range explosion, no nested-loop."""
+    quotes = spark.createDataFrame([(1, _ts(1), 10.0)], "sym INT, qts TIMESTAMP, px DOUBLE")
+    trades = spark.createDataFrame([(1, _ts(2), 7)], "sym INT, tts TIMESTAMP, qty INT")
+    df = asof_join(trades, quotes, on=["sym"], left_ts="tts", right_ts="qts")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
