@@ -328,6 +328,29 @@ def events_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("purchase_id", "user_id", "click_id", "click_ts")
 
 
+def events_errors_after_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/range_join.py): per signup event, how many
+    error events the same user hit within the following hour —
+    time-bucket expansion, one (key, bin) shuffle, never a nested loop."""
+    from ..operators.range_join import interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    signups = events.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), "user_id", F.col("ts").alias("signup_ts")
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), F.col("ts").alias("error_ts")
+    )
+    pairs = interval_join(
+        signups, errors, on=["user_id"], left_ts="signup_ts", right_ts="error_ts",
+        lower_s=0, upper_s=3600,
+    )
+    return (
+        pairs.groupBy("signup_id", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_errors_1h"))
+    )
+
+
 def events_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral transition counts: (previous event_type → event_type)
     pairs per user ordered by time — the funnel/Markov-step primitive
@@ -376,6 +399,7 @@ QUERIES = {
     "events_sliding_counts": events_sliding_counts,
     "events_user_funnel": events_user_funnel,
     "events_purchase_attribution": events_purchase_attribution,
+    "events_errors_after_signup": events_errors_after_signup,
     "events_micro_ts_roundtrip": events_micro_ts_roundtrip,
 }
 
@@ -525,6 +549,14 @@ ORACLES = {
         )
         SELECT window_start, event_type, COUNT(*) AS n_events
         FROM w GROUP BY window_start, event_type
+    """,
+    "events_errors_after_signup": """
+        SELECT s.event_id AS signup_id, s.user_id, COUNT(*) AS n_errors_1h
+        FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        JOIN (SELECT * FROM events WHERE event_type = 'error') e
+          ON s.user_id = e.user_id
+         AND e.ts >= s.ts AND e.ts <= s.ts + INTERVAL 3600 SECOND
+        GROUP BY s.event_id, s.user_id
     """,
     "events_purchase_attribution": """
         SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id, c.ts AS click_ts
