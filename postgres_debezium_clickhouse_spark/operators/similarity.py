@@ -127,21 +127,38 @@ def lsh_ann_topk(
     )
 
 
-def ivf_centroids(corpus: DataFrame, n_centroids: int = 16, id_col: str = "vec_id") -> list[list[float]]:
-    """IVF coarse quantizer, deterministic: the ``n_centroids``
-    lowest-id vectors ARE the centroids (reservoir-free, reproducible; a
-    k-means refinement would run as a handful of assign+mean DataFrame
-    passes over the same machinery, deliberately omitted to keep the index
-    build deterministic for the oracles).  Collecting k small vectors to
-    the driver is O(k·dim) — the index metadata, not data."""
-    rows = (
-        as_double_vec(corpus)
-        .select(id_col, "v")
-        .orderBy(F.col(id_col).asc())
-        .limit(n_centroids)
-        .collect()
-    )
-    return [list(r.v) for r in rows]
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    refine_iters: int = 0,
+) -> list[list[float]]:
+    """IVF coarse quantizer, deterministic: init = the ``n_centroids``
+    lowest-id vectors; each ``refine_iters`` runs one Lloyd step as two
+    DataFrame passes (assign cells → per-cell/per-dimension mean) — still
+    deterministic (float means over fixed membership sets), so refined
+    indexes remain reproducible.  Empty cells keep their previous centroid.
+    Collecting k small vectors to the driver is O(k·dim) — index metadata,
+    not data."""
+    vecs = as_double_vec(corpus).select(id_col, "v")
+    rows = vecs.orderBy(F.col(id_col).asc()).limit(n_centroids).collect()
+    cents = [list(r.v) for r in rows]
+    for _ in range(refine_iters):
+        assigned = with_ivf_cell(vecs, cents)
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r.cell, {})[r.pos] = r.m
+        cents = [
+            [by_cell[i][p] for p in range(len(cents[i]))] if i in by_cell else cents[i]
+            for i in range(len(cents))
+        ]
+    return cents
 
 
 def with_ivf_cell(df: DataFrame, centroids: list[list[float]], vec_col: str = "v", out: str = "cell") -> DataFrame:

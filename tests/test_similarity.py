@@ -79,6 +79,38 @@ def test_ivf_cells_partition_and_recall(spark):
         assert exact[r.neighbor_id] == r.cosine
 
 
+def test_ivf_kmeans_refinement_reduces_distortion(spark, sf_dir):
+    """One Lloyd iteration must not increase total within-cell squared
+    distance (k-means monotonicity), and refined centroids stay usable."""
+    from postgres_debezium_clickhouse_spark.operators.similarity import (
+        as_double_vec,
+        ivf_centroids,
+        with_ivf_cell,
+    )
+    from postgres_debezium_clickhouse_spark.sources.files import load_table
+    from pyspark.sql import functions as F
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+
+    def distortion(cents):
+        assigned = with_ivf_cell(as_double_vec(corpus), cents)
+        exprs = []
+        for i, c in enumerate(cents):
+            lit = "array(" + ",".join(f"cast({x!r} as double)" for x in c) + ")"
+            exprs.append(
+                f"WHEN cell = {i} THEN aggregate(zip_with(v, {lit}, (x, y) -> (x - y) * (x - y)),"
+                " cast(0 as double), (a, b) -> a + b)"
+            )
+        d2 = F.expr("CASE " + " ".join(exprs) + " END")
+        return assigned.select(F.sum(d2).alias("s")).first().s
+
+    base = ivf_centroids(corpus, n_centroids=8)
+    refined = ivf_centroids(corpus, n_centroids=8, refine_iters=1)
+    assert distortion(refined) <= distortion(base) + 1e-9
+    # deterministic: same call → same centroids
+    assert refined == ivf_centroids(corpus, n_centroids=8, refine_iters=1)
+
+
 def test_embedding_near_dups_blocked_by_label(spark):
     out = embedding_near_dups(_corpus(spark), threshold=0.9, id_col="vec_id").collect()
     pairs = {(r.vec_a, r.vec_b) for r in out}
