@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import math
 import sys
+import time
 
 import duckdb
 
@@ -62,6 +63,7 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.monotonic()
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
@@ -70,8 +72,9 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
             n_fail += 1
             continue
+        dt = round(time.monotonic() - t0, 1)
         if name not in oracles:
-            print(f"ROWS-ONLY {name}: {len(srows)} rows, cols={scols}")
+            print(f"ROWS-ONLY {name}: {len(srows)} rows, cols={scols} [{dt}s]")
             n_rows_only += 1
             continue
         try:
@@ -97,7 +100,7 @@ def main() -> int:
             print(f"FAIL {name}: " + " | ".join(problems))
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(srows)} rows)")
+            print(f"PASS {name} ({len(srows)} rows) [{dt}s]")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     return 1 if n_fail else 0

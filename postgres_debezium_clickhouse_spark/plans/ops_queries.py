@@ -142,6 +142,53 @@ def cdc_replay_from_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("o_orderkey", "o_orderstatus", "o_totalprice", "ts_ms")
 
 
+def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState end-to-end, oracle-checked: cross-batch
+    first-occurrence dedup over the orders CDC stream (keys recur across
+    micro-batches via updates/duplicates) must emit every order key EXACTLY
+    once — the key set is deterministic even though which duplicate wins
+    is not, so the projection to keys is hash-checkable."""
+    from pyspark.sql import types as T
+
+    from ..streaming.stateful import stateful_dedup
+
+    run = uuid.uuid4().hex[:12]
+    root = tempfile.gettempdir()
+    src = f"{root}/state_src_{run}"
+    out = f"{root}/state_out_{run}"
+    ckpt = f"{root}/state_ckpt_{run}"
+
+    events = orders_cdc_events(spark, sf_dir).select(
+        F.get_json_object("key", "$.payload.o_orderkey").cast("long").alias("o_orderkey"),
+        "offset",
+    )
+    events.repartition(2).write.mode("overwrite").json(src)
+
+    schema = T.StructType(
+        [T.StructField("o_orderkey", T.LongType()), T.StructField("offset", T.LongType())]
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(src)
+    # the state store materializes one instance per shuffle partition per
+    # micro-batch — at harness scale that fixed overhead dominates, so run
+    # this query with a small state partition count (restored after; a real
+    # deployment sizes it to key cardinality instead)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            stateful_dedup(stream, "o_orderkey", schema)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(out).select("o_orderkey")
+
+
 def object_store_typed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2/S6 end-to-end — the minio_cdc_example path (clickhouse_minio.sql:
     14-30): JSON objects land in a bucket (here: a temp dir, content derived
@@ -181,6 +228,7 @@ QUERIES = {
     "stream_bronze_archive": stream_bronze_archive,
     "stream_silver_state": stream_silver_state,
     "cdc_replay_from_bronze": cdc_replay_from_bronze,
+    "stream_stateful_dedup": stream_stateful_dedup,
     "object_store_typed_ingest": object_store_typed_ingest,
 }
 
@@ -199,6 +247,7 @@ _ORDERS_FINAL_STATE = """
 
 ORACLES: dict[str, str] = {
     "cdc_replay_from_bronze": _ORDERS_FINAL_STATE,
+    "stream_stateful_dedup": "SELECT o_orderkey FROM orders",
     "stream_silver_state": """
         SELECT o_orderkey,
                CASE WHEN o_orderkey % 9 = 0 THEN 'V'
