@@ -34,6 +34,11 @@ Wire conventions mirrored from the reference connectors:
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
+from typing import Callable
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -43,6 +48,50 @@ from ..schemas import CUSTOMER_CDC_ROW, ORDERS_CDC_ROW
 from ..session import ensure_session_confs
 
 N_PARTITIONS = 8  # synthetic topic partition count
+
+
+def _wire_cache_root() -> str | None:
+    """Directory for the materialized wire log, or None when disabled via
+    ``SPARK_GRAFT_WIRE_CACHE=off``."""
+    root = os.environ.get("SPARK_GRAFT_WIRE_CACHE", "")
+    if root.lower() in {"off", "0", "no"}:
+        return None
+    return root or os.path.join(tempfile.gettempdir(), "spark_graft_wire")
+
+
+def materialized_wire_log(
+    spark: SparkSession, sf_dir: str, table: str, build: Callable[[], DataFrame]
+) -> DataFrame:
+    """Synthesize the deterministic wire log ONCE per (fixture dir, table),
+    persist it as parquet, and serve reads from the persisted copy.
+
+    This mirrors the reference's architecture: the Debezium→Kafka topic is a
+    DURABLE log (retention-backed; the raw-archive tables in
+    init_clickhouse_raw_tables.sql:28-48 make it permanent) — consumers parse
+    it, they never re-create it.  Re-running ``to_json`` over the base
+    fixtures on every query would bill fixture *construction* to query time.
+    The generator is deterministic (module docstring), so the cache is
+    content-stable; the key includes the fixture dir's absolute path to keep
+    different scale factors / synthetic dirs apart.  Writes go through a
+    temp dir + atomic rename so concurrent callers never see a partial log.
+    """
+    root = _wire_cache_root()
+    if root is None:
+        return build()
+    sf_abs = os.path.abspath(sf_dir)
+    tag = hashlib.md5(sf_abs.encode()).hexdigest()[:8]
+    path = os.path.join(root, f"{os.path.basename(sf_abs)}-{tag}", table)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = f"{path}.tmp-{os.getpid()}"
+        build().write.mode("overwrite").parquet(tmp)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            os.rename(tmp, path)
+        except OSError:  # lost a race: another process published it first
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(path)
 SNAPSHOT_TS = 1_000_000
 UPDATE1_TS = 2_000_000
 UPDATE2_TS = 3_000_000
@@ -103,30 +152,42 @@ def _record(df: DataFrame, value: F.Column, offset_slot: int) -> DataFrame:
 
 
 def orders_cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The deterministic synthetic CDC log for the ``orders`` table.
+    """The deterministic synthetic CDC log for the ``orders`` table, served
+    from the durable materialized wire log (see ``materialized_wire_log``).
 
     Returns Kafka-shaped records: (key, value, partition, offset, topic).
     """
-    orders = ensure_session_confs(spark).read.parquet(f"{sf_dir}/orders.parquet")
-    k = F.col("o_orderkey")
-    ts1 = F.lit(SNAPSHOT_TS).cast("long")
-    ts2 = (F.lit(UPDATE1_TS) + k).cast("long")
-    ts3 = (F.lit(UPDATE2_TS) + k).cast("long")
-    ts4 = (F.lit(DELETE_TS) + k).cast("long")
 
-    snap = _record(orders, _envelope(_orders_after(0.0, None), None, "r", ts1), 0)
-    upd1 = _record(orders.filter(k % 3 == 0), _envelope(_orders_after(100.0, "U"), _orders_after(0.0, None), "u", ts2), 1)
-    # duplicate delivery of update-1: identical payload, distinct offset
-    upd1_dup = _record(orders.filter(k % 3 == 0), _envelope(_orders_after(100.0, "U"), _orders_after(0.0, None), "u", ts2), 5)
-    upd2 = _record(orders.filter(k % 9 == 0), _envelope(_orders_after(200.0, "V"), _orders_after(100.0, "U"), "u", ts3), 2)
-    upd2_dup = _record(orders.filter(k % 9 == 0), _envelope(_orders_after(200.0, "V"), _orders_after(100.0, "U"), "u", ts3), 6)
-    dele = _record(orders.filter(k % 7 == 0), _envelope(None, _orders_after(0.0, None), "d", ts4), 3)
+    def build() -> DataFrame:
+        orders = ensure_session_confs(spark).read.parquet(f"{sf_dir}/orders.parquet")
+        k = F.col("o_orderkey")
+        ts1 = F.lit(SNAPSHOT_TS).cast("long")
+        ts2 = (F.lit(UPDATE1_TS) + k).cast("long")
+        ts3 = (F.lit(UPDATE2_TS) + k).cast("long")
+        ts4 = (F.lit(DELETE_TS) + k).cast("long")
 
-    return snap.unionByName(upd1).unionByName(upd1_dup).unionByName(upd2).unionByName(upd2_dup).unionByName(dele)
+        snap = _record(orders, _envelope(_orders_after(0.0, None), None, "r", ts1), 0)
+        upd1 = _record(orders.filter(k % 3 == 0), _envelope(_orders_after(100.0, "U"), _orders_after(0.0, None), "u", ts2), 1)
+        # duplicate delivery of update-1: identical payload, distinct offset
+        upd1_dup = _record(orders.filter(k % 3 == 0), _envelope(_orders_after(100.0, "U"), _orders_after(0.0, None), "u", ts2), 5)
+        upd2 = _record(orders.filter(k % 9 == 0), _envelope(_orders_after(200.0, "V"), _orders_after(100.0, "U"), "u", ts3), 2)
+        upd2_dup = _record(orders.filter(k % 9 == 0), _envelope(_orders_after(200.0, "V"), _orders_after(100.0, "U"), "u", ts3), 6)
+        dele = _record(orders.filter(k % 7 == 0), _envelope(None, _orders_after(0.0, None), "d", ts4), 3)
+
+        return snap.unionByName(upd1).unionByName(upd1_dup).unionByName(upd2).unionByName(upd2_dup).unionByName(dele)
+
+    return materialized_wire_log(ensure_session_confs(spark), sf_dir, "orders_events", build)
 
 
 def customer_cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-only CDC log for ``customer`` (PII-masking fixture, P8)."""
+    return materialized_wire_log(
+        ensure_session_confs(spark), sf_dir, "customer_events",
+        lambda: _customer_cdc_events_build(spark, sf_dir),
+    )
+
+
+def _customer_cdc_events_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = ensure_session_confs(spark).read.parquet(f"{sf_dir}/customer.parquet")
     after = F.struct(
         F.col("c_custkey"),
@@ -206,6 +267,13 @@ def products_cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ISO-8601 with a trailing 'Z' (the ``toDateTime64(trimRight(...))`` input,
     clickhouse.sql:77-78).  Updates for keys %4==0 (price+50, ts 2e6+key);
     deletes (missing ``after``) for keys %11==0 (ts 3e6+key)."""
+    return materialized_wire_log(
+        ensure_session_confs(spark), sf_dir, "products_events",
+        lambda: _products_cdc_events_build(spark, sf_dir),
+    )
+
+
+def _products_cdc_events_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = ensure_session_confs(spark).read.parquet(f"{sf_dir}/part.parquet")
     k = F.col("p_partkey")
     created = F.concat(
