@@ -23,6 +23,7 @@ from postgres_debezium_clickhouse_spark.plans import (
     llm_queries,
     ops_queries,
     sql_surface,
+    staging_queries,
 )
 
 SF0001 = "/root/testdata/sf0.001"
@@ -35,7 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return cdc_queries.cdc_current_state(spark, SF0001)
 
 
-_MODULES = (cdc_queries, analytics, sql_surface, llm_queries, ops_queries)
+_MODULES = (cdc_queries, analytics, sql_surface, llm_queries, ops_queries, staging_queries)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -318,6 +318,126 @@ def _products_cdc_events_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.unionByName(upd).unionByName(dele)
 
 
+#: wire-format trn_passport row (init_transpassport.sql:42-58): trn_no is the
+#: one Int (JSONExtractInt, line 69), everything else JSONExtractString.
+PASSPORT_WIRE_ROW = T.StructType(
+    [
+        T.StructField("trn_no", T.IntegerType()),
+        T.StructField("trn_id", T.StringType()),
+        T.StructField("nationality", T.StringType()),
+        T.StructField("doctype", T.StringType()),
+        T.StructField("passport_number", T.StringType()),
+        T.StructField("gender", T.StringType()),
+        T.StructField("birthday", T.StringType()),
+        T.StructField("expire_date", T.StringType()),
+        T.StructField("surname", T.StringType()),
+        T.StructField("given_name", T.StringType()),
+        T.StructField("gate_id", T.StringType()),
+        T.StructField("site_id", T.StringType()),
+        T.StructField("created_by", T.StringType()),
+        T.StructField("created_datetime", T.StringType()),
+        T.StructField("issuer", T.StringType()),
+    ]
+)
+
+PASSPORT_ENVELOPE_WIRE = T.StructType(
+    [
+        T.StructField(
+            "payload",
+            T.StructType(
+                [
+                    T.StructField("before", PASSPORT_WIRE_ROW),
+                    T.StructField("after", PASSPORT_WIRE_ROW),
+                    T.StructField("source", T.StructType([T.StructField("ts_ms", T.LongType())])),
+                    T.StructField("op", T.StringType()),
+                ]
+            ),
+        )
+    ]
+)
+
+PASSPORT_SNAPSHOT_TS = 5_000_000
+PASSPORT_UPDATE_TS = 4_400_000  # BEFORE the snapshot ts: skewed source clock
+PASSPORT_DELETE_TS = 6_000_000
+
+
+def passport_cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ``trn_passport`` CDC log over the ``customer`` fixture
+    for the transpassport layered-staging pipeline (init_transpassport.sql).
+
+    The update events deliberately carry a source ``ts_ms`` EARLIER than the
+    snapshot's (clock-skewed source) while arriving at LATER offsets: the
+    reference's final table is a **version-less** ReplacingMergeTree
+    (init_transpassport.sql:60 — no version argument), which keeps the
+    last-INSERTED row per key, so the update must win despite the older
+    timestamp.  This makes insert-order dedup distinguishable from
+    ts-version dedup in the oracles.
+
+    - snapshot  op='r' ts=5e6, offset=key*10   (every customer)
+    - update    op='u' ts=4.4e6, offset=key*10+1 for keys %5==0
+                (gate re-sync: gate_id→'G99', created_by→'gate-sync')
+    - delete    op='d' ts=6e6, offset=key*10+2 for keys %13==0, after=null
+                (the MV's JSONHas filter drops these, init_transpassport.sql:90)
+    """
+    return materialized_wire_log(
+        ensure_session_confs(spark), sf_dir, "passport_events",
+        lambda: _passport_cdc_events_build(spark, sf_dir),
+    )
+
+
+def _passport_cdc_events_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = ensure_session_confs(spark).read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+
+    def after(gate_override: bool) -> F.Column:
+        return F.struct(
+            k.cast("int").alias("trn_no"),
+            F.concat(F.lit("T"), k.cast("string")).alias("trn_id"),
+            F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias("nationality"),
+            F.lit("PASSPORT").alias("doctype"),
+            F.concat(F.lit("P"), k.cast("string")).alias("passport_number"),
+            F.when(k % 2 == 0, F.lit("F")).otherwise(F.lit("M")).alias("gender"),
+            F.concat((F.lit(1950) + k % 50).cast("string"), F.lit("-06-15")).alias("birthday"),
+            F.lit("2030-12-31").alias("expire_date"),
+            F.col("c_mktsegment").alias("surname"),
+            F.col("c_name").alias("given_name"),
+            (F.lit("G99") if gate_override else F.concat(F.lit("G"), (k % 10).cast("string"))).alias("gate_id"),
+            F.concat(F.lit("S"), (k % 5).cast("string")).alias("site_id"),
+            F.lit("gate-sync" if gate_override else "system").alias("created_by"),
+            F.date_format(
+                F.timestamp_add("SECOND", k.cast("int"), F.to_timestamp(F.lit("2024-03-01 00:00:00"))),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("created_datetime"),
+            F.lit("TH-IMM").alias("issuer"),
+        )
+
+    def env(a: F.Column | None, before: F.Column | None, op: str, ts: int) -> F.Column:
+        return F.to_json(
+            F.struct(
+                F.struct(
+                    (before if before is not None else F.lit(None).cast(PASSPORT_WIRE_ROW)).alias("before"),
+                    (a if a is not None else F.lit(None).cast(PASSPORT_WIRE_ROW)).alias("after"),
+                    F.struct(F.lit(ts).cast("long").alias("ts_ms")).alias("source"),
+                    F.lit(op).alias("op"),
+                ).alias("payload")
+            )
+        )
+
+    def rec(df: DataFrame, value: F.Column, slot: int) -> DataFrame:
+        return df.select(
+            F.concat(F.lit("T"), k.cast("string")).alias("key"),
+            value.alias("value"),
+            (k % N_PARTITIONS).cast("int").alias("partition"),
+            (k * 10 + slot).alias("offset"),
+            F.lit("poc.public.trn_passport").alias("topic"),
+        )
+
+    snap = rec(cust, env(after(False), None, "r", PASSPORT_SNAPSHOT_TS), 0)
+    upd = rec(cust.filter(k % 5 == 0), env(after(True), after(False), "u", PASSPORT_UPDATE_TS), 1)
+    dele = rec(cust.filter(k % 13 == 0), env(None, after(False), "d", PASSPORT_DELETE_TS), 2)
+    return snap.unionByName(upd).unionByName(dele)
+
+
 def parse_envelope(records: DataFrame, envelope: T.StructType) -> DataFrame:
     """S1→P2 — PERMISSIVE ``from_json`` of the value column; malformed
     messages become NULL payloads (the ``kafka_skip_broken_messages``
