@@ -143,6 +143,58 @@ def minhash_lsh_near_dups(
     return jaccard_on_pairs(cands, shingled, id_col).filter(F.col("jaccard") >= threshold)
 
 
+def connected_components(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over an undirected pair set → (node, component),
+    component = the MIN node id reachable from the node (deterministic,
+    independent of iteration order).
+
+    The step after near-dup pair generation in a training-data pipeline:
+    transitively-linked documents form ONE dup cluster, and the keep-list is
+    one canonical doc per component — pairwise drop-either-end would both
+    over- and under-delete.
+
+    Algorithm: min-label propagation — each round every node takes the min
+    of its own label and its neighbors' labels (one join + one groupBy per
+    round), stopping at fixpoint.  Rounds = graph diameter, which for dup
+    clusters is tiny (near-clique clusters); for adversarial long-chain
+    graphs the O(log n)-round alternating small-star/large-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") swaps
+    in without changing the contract.  Lineage is truncated per round with
+    an eager localCheckpoint, so the loop's plan does not grow with the
+    iteration count; the convergence check is a scalar count, never a
+    collect of data rows.
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    labels = edges.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("node").alias("b"), F.col("label").alias("nbr_label")), "b"
+            )
+            .groupBy("a")
+            .agg(F.min("nbr_label").alias("nbr_min"))
+            .select(F.col("a").alias("node"), "nbr_min")
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select("node", F.least("label", F.coalesce("nbr_min", "label")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            labels.join(new_labels.withColumnRenamed("label", "new_label"), "node")
+            .filter(F.col("label") != F.col("new_label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
 def simhash(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """60-bit SimHash over distinct tokens.
 

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    connected_components,
     exact_dedup,
     minhash_lsh_near_dups,
     ngram_jaccard_blocked,
@@ -55,6 +56,23 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: MinHash-LSH pairs → connected components → one
+    canonical doc per transitive dup group, emitted as a full-corpus
+    (doc_id, canonical_id) keep/drop assignment (singletons map to
+    themselves).  The step pairwise dedup cannot express: if A~B and B~C
+    but A≁C, dropping per-pair either loses C's cluster membership or keeps
+    a dup — the component label is the correct grouping."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_near_dups(docs, threshold=0.8, persist=True)
+    comp = connected_components(pairs.select("doc_a", "doc_b"))
+    return (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("canonical_id"))
+    )
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -181,6 +199,7 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_fingerprint": q_dedup_fingerprint,
@@ -212,14 +231,9 @@ _SHINGLES = """
            FROM toks)
 """
 
-ORACLES = {
-    "dedup_exact": """
-        SELECT MIN(doc_id) AS doc_id, sha256(lower(trim(text))) AS text_hash
-        FROM documents GROUP BY sha256(lower(trim(text)))
-    """,
-    "dedup_minhash_lsh": f"""
-        WITH {_SHINGLES},
-        sig AS (SELECT doc_id, ts,
+#: shared LSH-pair CTE chain (follows _SHINGLES; no trailing comma): MinHash
+#: signatures → band keys → candidate pairs → exact Jaccard
+_MINHASH_PAIR_CTES = """sig AS (SELECT doc_id, ts,
             list_min(list_transform(ts, s -> md5('0|' || s))) || list_min(list_transform(ts, s -> md5('1|' || s))) AS band0,
             list_min(list_transform(ts, s -> md5('2|' || s))) || list_min(list_transform(ts, s -> md5('3|' || s))) AS band1,
             list_min(list_transform(ts, s -> md5('4|' || s))) || list_min(list_transform(ts, s -> md5('5|' || s))) AS band2,
@@ -235,8 +249,34 @@ ORACLES = {
         j AS (SELECT c.doc_a, c.doc_b,
                      ROUND(len(list_intersect(a.ts, b.ts)) * 1.0
                            / len(list_distinct(list_concat(a.ts, b.ts))), 6) AS jaccard
-              FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id)
+              FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id)"""
+
+ORACLES = {
+    "dedup_exact": """
+        SELECT MIN(doc_id) AS doc_id, sha256(lower(trim(text))) AS text_hash
+        FROM documents GROUP BY sha256(lower(trim(text)))
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH {_SHINGLES},
+        {_MINHASH_PAIR_CTES}
         SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
+    """,
+    # recursive transitive closure over the near-dup pairs; component label
+    # = min reachable doc_id; singletons fall through the LEFT JOIN
+    "dedup_clusters": f"""
+        WITH RECURSIVE {_SHINGLES},
+        {_MINHASH_PAIR_CTES},
+        pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.8),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        lab AS (SELECT a AS doc_id, MIN(b) AS mn FROM reach GROUP BY a)
+        SELECT d.doc_id,
+               COALESCE(LEAST(l.doc_id, l.mn), d.doc_id) AS canonical_id
+        FROM documents d LEFT JOIN lab l USING (doc_id)
     """,
     "dedup_simhash": """
         WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),

@@ -65,3 +65,26 @@ def test_ngram_jaccard_blocked_respects_blocks(spark):
     pairs = {(r.doc_a, r.doc_b): r.jaccard for r in out.collect()}
     assert (1, 2) in pairs and (1, 5) not in pairs  # 5 is in block 'b'
     assert pairs[(4, 5)] == 0.0  # same block, disjoint shingles
+
+
+def test_connected_components_transitive_chain(spark):
+    from postgres_debezium_clickhouse_spark.operators.dedup import connected_components
+
+    # chain 1-2-3 (1~3 only transitively), separate pair 10-11, edge given
+    # in both orientations to exercise the symmetrize+distinct
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 2), (10, 11)], ["doc_a", "doc_b"]
+    )
+    out = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from postgres_debezium_clickhouse_spark.operators.dedup import connected_components
+
+    # a 12-node path graph: worst case for min-propagation (diameter 11)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["doc_a", "doc_b"]
+    )
+    out = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert set(out.values()) == {0} and len(out) == 13
