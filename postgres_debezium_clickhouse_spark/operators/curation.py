@@ -1,0 +1,96 @@
+"""Corpus-curation operators for training-data pipelines: PII scrubbing,
+deterministic split assignment, benchmark-contamination detection.
+
+Like the rest of the LLM-data suite these go beyond the reference (no
+document corpus there) but are first-class for the 100 TB target.  All
+pure DataFrame expressions (whole-stage codegen, no Python UDFs), and all
+hashing/regex is engine-portable so the DuckDB oracles reproduce results
+exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: ASCII-class-only patterns — identical semantics under Java regex (Spark)
+#: and RE2 (DuckDB): no lookaround, no backrefs, no unicode classes.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONG_DIGITS_RE = r"[0-9]{7,}"
+
+
+def pii_scrub(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Redact common PII shapes in-flight: emails → ``<EMAIL>`` first (they
+    embed digits), then long digit runs (phone/card/id numbers) → ``<NUM>``.
+
+    The narrow, linear scrub every corpus pass applies before anything else;
+    at 100 TB it is a map-only stage (no shuffle) fused into the scan."""
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>"),
+        LONG_DIGITS_RE,
+        "<NUM>",
+    )
+    return documents.select(F.col(id_col), scrubbed.alias("scrubbed"))
+
+
+def hash_split(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    boundaries: tuple[str, str] = ("cd", "e6"),
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent hash:
+    bucket = first 2 hex chars of md5(id), compared lexicographically.
+    Defaults: < 'cd' → train (205/256 ≈ 80%), < 'e6' → val (≈ 10%), else
+    test.
+
+    Hash-of-id (not random()) is the correct split at scale: stable across
+    runs, machines, and engine versions; joins/reshards never move a doc
+    across splits; and downstream dedup can run per-split without leakage.
+    Map-only, no shuffle."""
+    lo, hi = boundaries
+    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    split = (
+        F.when(h < F.lit(lo), "train").when(h < F.lit(hi), "val").otherwise("test")
+    )
+    return documents.select(F.col(id_col), split.alias("split"))
+
+
+def contamination_check(
+    train_docs: DataFrame,
+    benchmark_docs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination detection: for every training document, the
+    number of word ``k``-gram shingles it shares with ANY benchmark
+    document, and a contaminated flag.
+
+    Plan shape: the benchmark shingle set is DISTINCT'd and broadcast (a
+    benchmark suite is tiny next to a 100 TB corpus), so the check is a
+    map-side hash-join over the exploded training shingles followed by one
+    count aggregation on the doc key — no shuffle of corpus text, no
+    all-pairs comparison."""
+    from .dedup import with_shingles
+
+    bench_shingles = (
+        with_shingles(benchmark_docs, k=k)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    train_shingles = with_shingles(train_docs, k=k).select(
+        F.col(id_col), F.explode("shingles").alias("s")
+    )
+    hits = (
+        train_shingles.join(F.broadcast(bench_shingles), "s")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        train_docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -18,6 +18,7 @@ from ..operators.dedup import (
     ngram_jaccard_blocked,
     simhash,
 )
+from ..operators.curation import contamination_check, hash_split, pii_scrub
 from ..operators.multimodal import (
     attach_fake_media,
     extract_features,
@@ -80,6 +81,36 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_blocked(
         docs, block_expr=F.concat_ws("|", "lang", "source"), threshold=0.2
     )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus.  The fixture texts carry no PII, so a
+    deterministic contact line (email + long number) is appended per doc —
+    the scrub path is actually exercised, and the oracle builds the same
+    line."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com tel 55512345678"),
+        ),
+    )
+    return pii_scrub(docs)
+
+
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hash_split(load_table(spark, sf_dir, "documents"))
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination: every doc_id %50==0 plays the held-out
+    benchmark; the rest are the training corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return contamination_check(train, bench)
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -200,6 +231,9 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
+    "text_pii_scrub": q_pii_scrub,
+    "corpus_split": q_corpus_split,
+    "contamination_check": q_contamination,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_fingerprint": q_dedup_fingerprint,
@@ -277,6 +311,37 @@ ORACLES = {
         SELECT d.doc_id,
                COALESCE(LEAST(l.doc_id, l.mn), d.doc_id) AS canonical_id
         FROM documents d LEFT JOIN lab l USING (doc_id)
+    """,
+    "text_pii_scrub": r"""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com tel 55512345678',
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                 '[0-9]{7,}', '<NUM>', 'g') AS scrubbed
+        FROM documents
+    """,
+    "corpus_split": """
+        SELECT doc_id,
+               CASE WHEN h < 'cd' THEN 'train'
+                    WHEN h < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h
+              FROM documents)
+    """,
+    "contamination_check": f"""
+        WITH {_SHINGLES},
+        b AS (SELECT DISTINCT s
+              FROM (SELECT unnest(ts) AS s FROM sh WHERE doc_id % 50 = 0)),
+        t AS (SELECT doc_id, unnest(ts) AS s FROM sh WHERE doc_id % 50 <> 0),
+        hits AS (SELECT t.doc_id, COUNT(*) AS n FROM t JOIN b USING (s)
+                 GROUP BY t.doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(h.n, 0) AS BIGINT) AS n_overlap,
+               COALESCE(h.n, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % 50 <> 0
     """,
     "dedup_simhash": """
         WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),

@@ -1,0 +1,53 @@
+"""Corpus-curation operators: PII scrub, hash split, contamination check."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgres_debezium_clickhouse_spark.operators.curation import (
+    contamination_check,
+    hash_split,
+    pii_scrub,
+)
+
+
+def test_pii_scrub_redacts_and_preserves(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@corp.example.org or call 0812345678"),
+            (2, "clean text with short number 123456"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.scrubbed for r in pii_scrub(docs).collect()}
+    assert out[1] == "mail me at <EMAIL> or call <NUM>"
+    # 6 digits is below the long-run threshold; nothing to redact
+    assert out[2] == "clean text with short number 123456"
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    docs = spark.range(2000).withColumnRenamed("id", "doc_id")
+    counts = {r.split: r.n for r in hash_split(docs).groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] / 2000 > 0.75
+    assert counts["test"] / 2000 < 0.15
+    # stable across invocations: same assignment both runs
+    a = {r.doc_id: r.split for r in hash_split(docs).collect()}
+    b = {r.doc_id: r.split for r in hash_split(docs).collect()}
+    assert a == b
+
+
+def test_contamination_flags_shared_ngrams_only(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "he saw the quick brown fox run"),  # shares 3-grams
+            (2, "completely different words entirely here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: (r.n_overlap, r.contaminated) for r in contamination_check(train, bench).collect()}
+    assert out[1][0] >= 2 and out[1][1] is True
+    assert out[2] == (0, False)
