@@ -10,7 +10,7 @@ exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: ASCII-class-only patterns — identical semantics under Java regex (Spark)
@@ -53,6 +53,38 @@ def hash_split(
         F.when(h < F.lit(lo), "train").when(h < F.lit(hi), "val").otherwise("test")
     )
     return documents.select(F.col(id_col), split.alias("split"))
+
+
+def pack_chunks(
+    documents: DataFrame,
+    budget: int,
+    partition_col: str = "lang",
+    order_col: str = "doc_id",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid end-to-end in
+    deterministic ``order_col`` order within each ``partition_col`` shard,
+    and the token stream is cut into fixed ``budget``-token context windows.
+    Per document: its start offset in the shard's stream and the first/last
+    window it lands in (a doc may straddle windows — the standard
+    pretraining concat+chunk, not first-fit bin packing).
+
+    Scale: ONE window cum-sum per shard.  The shard key bounds the window's
+    partition size — pack per lang/split/date shard, never over a global
+    unpartitioned window (a 100 TB corpus through one window partition is a
+    single-task bottleneck)."""
+    n = F.size(F.split(F.col(text_col), " ")).cast("long")
+    w = Window.partitionBy(partition_col).orderBy(order_col)
+    cum = F.sum(n).over(w)
+    start = (cum - n).alias("start_token")
+    return documents.select(
+        F.col(id_col),
+        F.col(partition_col),
+        start,
+        F.floor((cum - n) / budget).alias("bin_first"),
+        F.floor((cum - 1) / budget).alias("bin_last"),
+    )
 
 
 def contamination_check(

@@ -18,7 +18,7 @@ from ..operators.dedup import (
     ngram_jaccard_blocked,
     simhash,
 )
-from ..operators.curation import contamination_check, hash_split, pii_scrub
+from ..operators.curation import contamination_check, hash_split, pack_chunks, pii_scrub
 from ..operators.multimodal import (
     attach_fake_media,
     extract_features,
@@ -111,6 +111,10 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     train = docs.filter(F.col("doc_id") % 50 != 0)
     return contamination_check(train, bench)
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_chunks(load_table(spark, sf_dir, "documents"), budget=256)
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,6 +238,7 @@ QUERIES = {
     "text_pii_scrub": q_pii_scrub,
     "corpus_split": q_corpus_split,
     "contamination_check": q_contamination,
+    "pack_chunks": q_pack_chunks,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_fingerprint": q_dedup_fingerprint,
@@ -342,6 +347,17 @@ ORACLES = {
                COALESCE(h.n, 0) > 0 AS contaminated
         FROM documents d LEFT JOIN hits h USING (doc_id)
         WHERE d.doc_id % 50 <> 0
+    """,
+    "pack_chunks": """
+        SELECT doc_id, lang,
+               CAST(c - n AS BIGINT) AS start_token,
+               CAST(FLOOR((c - n) / 256) AS BIGINT) AS bin_first,
+               CAST(FLOOR((c - 1) / 256) AS BIGINT) AS bin_last
+        FROM (SELECT doc_id, lang,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                     SUM(len(string_split(text, ' ')))
+                         OVER (PARTITION BY lang ORDER BY doc_id) AS c
+              FROM documents)
     """,
     "dedup_simhash": """
         WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),

@@ -51,3 +51,24 @@ def test_contamination_flags_shared_ngrams_only(spark):
     out = {r.doc_id: (r.n_overlap, r.contaminated) for r in contamination_check(train, bench).collect()}
     assert out[1][0] >= 2 and out[1][1] is True
     assert out[2] == (0, False)
+
+
+def test_pack_chunks_straddles_and_shards(spark):
+    from postgres_debezium_clickhouse_spark.operators.curation import pack_chunks
+
+    # 3-token and 4-token docs, budget 5: doc 2 straddles windows 0->1;
+    # shard 'b' restarts its own token stream at 0
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "t1 t2 t3"),
+            (2, "a", "t1 t2 t3 t4"),
+            (3, "a", "t1 t2"),
+            (10, "b", "t1 t2 t3 t4"),
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    out = {r.doc_id: (r.start_token, r.bin_first, r.bin_last) for r in pack_chunks(docs, budget=5).collect()}
+    assert out[1] == (0, 0, 0)
+    assert out[2] == (3, 0, 1)   # tokens 3..6 cross the 5-token boundary
+    assert out[3] == (7, 1, 1)
+    assert out[10] == (0, 0, 0)  # independent shard
