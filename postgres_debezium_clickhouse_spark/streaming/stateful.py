@@ -26,11 +26,69 @@ exactly-once recovery (T1).  Timeouts bound state size.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from contextlib import contextmanager
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def rocksdb_state_confs(
+    bounded_memory_mb: int | None = 1024,
+    changelog_checkpointing: bool = True,
+) -> dict[str, str]:
+    """The production state-store configuration for stateful streaming at
+    scale.  The default HDFS-backed provider keeps all state as JVM heap
+    objects — at 100 TB-pipeline key cardinalities that is an OOM, not a
+    tuning problem.  RocksDB keeps state off-heap/on-disk per partition:
+
+    - ``changelogCheckpointing`` writes per-batch deltas instead of
+      re-uploading full RocksDB snapshots every commit (bounds checkpoint
+      I/O by state CHANGED, not state HELD);
+    - ``boundedMemoryUsage`` caps the total block-cache+memtable budget
+      across all state partitions on an executor, so state pressure spills
+      to local disk instead of evicting the executor.
+
+    Returns plain conf k/v so callers can apply it per-session (these are
+    runtime-settable) or bake it into spark-submit."""
+    confs = {
+        "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER,
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": str(
+            changelog_checkpointing
+        ).lower(),
+    }
+    if bounded_memory_mb is not None:
+        confs["spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage"] = "true"
+        confs["spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB"] = str(bounded_memory_mb)
+    return confs
+
+
+@contextmanager
+def state_store_confs(spark: SparkSession, confs: dict[str, str]):
+    """Apply state-store confs for the duration of a block, restoring the
+    previous values after — streaming queries capture the conf at start, so
+    scoping avoids leaking the provider choice into unrelated queries in a
+    shared session (tests, notebooks)."""
+    prev: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield spark
+    finally:
+        for k, old in prev.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
 
 
 def stateful_dedup(

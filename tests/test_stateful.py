@@ -55,22 +55,25 @@ def test_stateful_dedup_cross_batch(spark, two_batch_stream):
 
 def test_stateful_dedup_rocksdb_state_store(spark, two_batch_stream):
     """The production state backend (bounded memory at 100 TB state): the
-    same operator runs on the RocksDB state store provider."""
+    same operator runs under the full rocksdb_state_confs surface, and the
+    scoped context restores the session conf afterwards."""
+    from postgres_debezium_clickhouse_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER,
+        rocksdb_state_confs,
+        state_store_confs,
+    )
+
     stream, d = two_batch_stream
-    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
-    try:
-        spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-        )
+    confs = rocksdb_state_confs(bounded_memory_mb=256)
+    with state_store_confs(spark, confs):
+        assert spark.conf.get("spark.sql.streaming.stateStore.providerClass") == ROCKSDB_PROVIDER
         _run(stateful_dedup(stream, "id", SCHEMA), d)
         rows = spark.read.parquet(f"{d}/out").collect()
         assert {r.id for r in rows} == {1, 2, 3} and len(rows) == 3
-    finally:
-        if prev:
-            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
-        else:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    # scoped: the provider choice did not leak into the shared session
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", None) != ROCKSDB_PROVIDER
+    )
 
 
 def test_stateful_running_agg_accumulates(spark, two_batch_stream):
