@@ -102,14 +102,14 @@ def contamination_check(
     map-side hash-join over the exploded training shingles followed by one
     count aggregation on the doc key — no shuffle of corpus text, no
     all-pairs comparison."""
-    from .dedup import with_shingles
+    from .dedup import spread_for_compute, with_shingles
 
     bench_shingles = (
         with_shingles(benchmark_docs, k=k)
         .select(F.explode("shingles").alias("s"))
         .distinct()
     )
-    train_shingles = with_shingles(train_docs, k=k).select(
+    train_shingles = with_shingles(spread_for_compute(train_docs), k=k).select(
         F.col(id_col), F.explode("shingles").alias("s")
     )
     hits = (

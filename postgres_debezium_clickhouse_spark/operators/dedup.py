@@ -31,6 +31,24 @@ ROWS_PER_BAND = 2
 SIMHASH_BITS = 60
 
 
+def spread_for_compute(df: DataFrame) -> DataFrame:
+    """Fan a small scan out to the cluster's parallelism before a
+    CPU-bound stage.
+
+    A small parquet file scans as 1-2 tasks, and AQE's byte-based
+    coalescing keeps it that narrow — correct for I/O, wrong for the
+    md5-per-shingle compute that follows (measured 1 task doing 100% of
+    the hashing on local[32]).  Repartitioning text rows is cheap at small
+    scale and a NO-OP at 100 TB scale, where the scan already has more
+    partitions than cores — the guard ensures we never add a full-corpus
+    shuffle to an already-parallel input."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def normalize_text(col: str = "text") -> F.Column:
     """Canonical form used by exact dedup: lowercase + trim."""
     return F.lower(F.trim(F.col(col)))
@@ -136,7 +154,7 @@ def minhash_lsh_near_dups(
     (MEMORY_AND_DISK) instead of recomputing the split/transform per branch
     — the right call whenever the corpus scan is nontrivial.  Callers own
     the unpersist (or let it age out)."""
-    shingled = with_shingles(documents)
+    shingled = with_shingles(spread_for_compute(documents))
     if persist:
         shingled = shingled.persist()
     cands = lsh_candidate_pairs(documents, id_col, shingled=shingled)
@@ -202,7 +220,7 @@ def simhash(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     Linear plan: explode tokens → explode bit positions → two grouped sums.
     Integer-only math ⇒ exact parity with the SQL oracle.
     """
-    toks = documents.select(
+    toks = spread_for_compute(documents).select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
     ).withColumn("hv", F.expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"))
