@@ -40,7 +40,9 @@ def cosine_topk(
     ``queries`` must be small (it is broadcast — the right shape for "find
     neighbors of these N items in a 100 TB corpus": one scan of the corpus,
     no corpus shuffle, then a tiny per-query top-k)."""
-    c = as_double_vec(corpus).select(F.col(id_col), F.col("v").alias("cv"))
+    from .dedup import spread_for_compute
+
+    c = as_double_vec(spread_for_compute(corpus)).select(F.col(id_col), F.col("v").alias("cv"))
     q = as_double_vec(queries, col="embedding", out="v").select(
         F.col(query_id_col), F.col("v").alias("qv")
     )
@@ -84,8 +86,10 @@ def with_lsh_bucket(
 
 def lsh_ann_buckets(corpus: DataFrame, n_planes: int = 8, id_col: str = "vec_id", dim: int = 64) -> DataFrame:
     """Bucket assignment + occupancy — the ANN index build."""
+    from .dedup import spread_for_compute
+
     planes = random_hyperplanes(dim, n_planes)
-    bucketed = with_lsh_bucket(as_double_vec(corpus), planes)
+    bucketed = with_lsh_bucket(as_double_vec(spread_for_compute(corpus)), planes)
     return bucketed.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.min(id_col).alias("min_vec_id"),
@@ -106,8 +110,10 @@ def lsh_ann_topk(
     At scale: corpus bucketed once (writable as a bucketed table), queries
     hashed and joined on bucket — candidate set is n/2^planes per query
     instead of n."""
+    from .dedup import spread_for_compute
+
     planes = random_hyperplanes(dim, n_planes)
-    c = with_lsh_bucket(as_double_vec(corpus), planes).select(
+    c = with_lsh_bucket(as_double_vec(spread_for_compute(corpus)), planes).select(
         F.col(id_col), F.col("v").alias("cv"), F.col("bucket")
     )
     q = with_lsh_bucket(as_double_vec(queries), planes).select(
@@ -188,8 +194,10 @@ def ivf_ann_topk(
     Scale shape: the corpus is assigned to cells ONCE (persistable
     partitioned-by-cell = the IVF index); queries fan out to n_probe cells
     via a broadcast join; candidates per query ≈ n_probe·n/n_centroids."""
+    from .dedup import spread_for_compute
+
     cents = ivf_centroids(corpus, n_centroids, id_col)
-    c = with_ivf_cell(as_double_vec(corpus), cents).select(
+    c = with_ivf_cell(as_double_vec(spread_for_compute(corpus)), cents).select(
         F.col(id_col), F.col("v").alias("cv"), F.col("cell")
     )
     # query side: n_probe nearest cells each
@@ -228,7 +236,9 @@ def embedding_near_dups(corpus: DataFrame, threshold: float, id_col: str = "vec_
     Blocking on ``label`` bounds the pair fan-out (the generic trick: any
     cheap equality key — cluster id, LSH bucket, shard — prevents n²); the
     exact cosine then verifies within blocks."""
-    e = as_double_vec(corpus).select(F.col(id_col), F.col("label"), F.col("v"))
+    from .dedup import spread_for_compute
+
+    e = as_double_vec(spread_for_compute(corpus)).select(F.col(id_col), F.col("label"), F.col("v"))
     a = e.select(F.col(id_col).alias("vec_a"), F.col("label"), F.col("v").alias("va"))
     b = e.select(F.col(id_col).alias("vec_b"), F.col("label"), F.col("v").alias("vb"))
     dot = F.expr(DOT.format(a="va", b="vb"))

@@ -32,6 +32,15 @@ def _cpus() -> str:
     return os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+#: AQE coalesces small shuffles down to ~bytes/minPartitionSize tasks (default
+#: floor 1 MB) — right for I/O-bound stages, wrong for compute-bound ones
+#: (array dot-products, per-shingle hashing) where a few MB of input is
+#: minutes of CPU: measured single-task post-shuffle stages on local[32].
+#: 64 KB keeps small-shuffle stages parallel; at the 100 TB target partitions
+#: are sized by advisoryPartitionSizeInBytes (64 MB), so the floor is inert.
+_MIN_PARTITION_SIZE = "65536b"
+
+
 def ensure_session_confs(spark: SparkSession) -> SparkSession:
     """Set the runtime-settable confs the engine's semantics depend on, for
     sessions the engine did not create (e.g. the driver harness passes its
@@ -45,6 +54,7 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", _MIN_PARTITION_SIZE)
     return spark
 
 
@@ -81,6 +91,7 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "2048")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", _MIN_PARTITION_SIZE)
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
