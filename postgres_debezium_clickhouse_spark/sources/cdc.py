@@ -83,7 +83,12 @@ def materialized_wire_log(
     path = os.path.join(root, f"{os.path.basename(sf_abs)}-{tag}", table)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         tmp = f"{path}.tmp-{os.getpid()}"
-        build().write.mode("overwrite").parquet(tmp)
+        # write one file per core: the downstream from_json parse is
+        # CPU-bound, and a wide file layout parallelizes it for free at
+        # read time (no repartition shuffle in the query plans)
+        build().repartition(spark.sparkContext.defaultParallelism).write.mode(
+            "overwrite"
+        ).parquet(tmp)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         try:
             os.rename(tmp, path)
