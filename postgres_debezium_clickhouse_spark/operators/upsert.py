@@ -124,10 +124,21 @@ def apply_cdc(
             untouched = current.join(F.broadcast(batch_keys), on=keys, how="left_anti")
         else:
             touched, untouched = current, None
+        # additive schema evolution, both directions (Debezium sources add
+        # and drop columns over a table's life):
+        # - column NEW in the batch → old silver rows get NULL for it;
+        # - column GONE from the batch → it is preserved in the store (NULL
+        #   for new rows), never silently dropped — historical data is not
+        #   discarded because the source narrowed.  Type changes are not
+        #   coerced (additive-only policy; unionByName surfaces them).
         cur = touched
-        for c in batch.columns:
+        cur_dtypes = dict(cur.dtypes)
+        for c, t in batch.dtypes:
             if c not in cur.columns:
-                cur = cur.withColumn(c, F.lit(None).cast(dict(batch.dtypes)[c]))
+                cur = cur.withColumn(c, F.lit(None).cast(t))
+        for c in cur.columns:
+            if c not in batch.columns and c != DELETED_FLAG:
+                batch = batch.withColumn(c, F.lit(None).cast(cur_dtypes[c]))
         cur = cur.select(*batch.columns)
         batch = batch.unionByName(cur)
     else:

@@ -105,3 +105,25 @@ def test_ingest_seq_monotonic_and_cluster_preserves_rows(spark):
     clustered = cluster_by_key(df, ["id"], num_partitions=2)
     assert clustered.count() == df.count()
     assert clustered.rdd.getNumPartitions() == 2
+
+
+def test_schema_evolution_additive_both_directions(spark):
+    """A column added by the source appears (NULL for old rows); a column
+    the source dropped is preserved in the store (NULL for new rows)."""
+    batch1 = spark.createDataFrame(
+        [(1, "a1", "c", 100, 10), (2, "b1", "c", 100, 20)], COLS
+    )
+    silver = apply_cdc(batch1, keys=["id"], version_col="ts_ms", tiebreak_col="offset")
+    # source evolved: 'val' dropped, 'val2' added; only key 2 touched
+    batch2 = spark.createDataFrame(
+        [(2, "B2", "u", 200, 21)], ["id", "val2", "op", "ts_ms", "offset"]
+    )
+    out = {
+        r.id: r
+        for r in apply_cdc(
+            batch2, keys=["id"], version_col="ts_ms", tiebreak_col="offset", current=silver
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1].val == "a1" and out[1].val2 is None   # untouched row keeps history
+    assert out[2].val2 == "B2" and out[2].val is None   # evolved row, old col NULL
