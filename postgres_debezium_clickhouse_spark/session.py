@@ -40,6 +40,14 @@ def _cpus() -> str:
 #: are sized by advisoryPartitionSizeInBytes (64 MB), so the floor is inert.
 _MIN_PARTITION_SIZE = "65536b"
 
+#: File-split cost floor.  The 4 MB default makes a ~12 MB compressed table
+#: scan as 3 tasks regardless of cores; 256 KB lets small-but-hot tables
+#: split to cluster parallelism (measured: star join 2.7→2.1 s at sf0.1).
+#: At the 100 TB target, per-table bytes/minPartitionNum dwarfs the floor,
+#: so big-table scans are unaffected; the only scale effect is slightly less
+#: combining of genuinely tiny files — one task per 256 KB file is fine.
+_OPEN_COST = "262144b"
+
 
 def ensure_session_confs(spark: SparkSession) -> SparkSession:
     """Set the runtime-settable confs the engine's semantics depend on, for
@@ -55,6 +63,7 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", _MIN_PARTITION_SIZE)
+    spark.conf.set("spark.sql.files.openCostInBytes", _OPEN_COST)
     return spark
 
 
@@ -92,6 +101,7 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "2048")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", _MIN_PARTITION_SIZE)
+        .config("spark.sql.files.openCostInBytes", _OPEN_COST)
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
