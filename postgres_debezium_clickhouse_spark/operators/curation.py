@@ -87,6 +87,30 @@ def pack_chunks(
     )
 
 
+def stratified_sample(
+    documents: DataFrame,
+    n_per_stratum: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sample: EXACTLY ``n_per_stratum`` docs per
+    stratum (fewer if the stratum is smaller), chosen by md5-of-id order —
+    uniform w.r.t. content, reproducible across runs/engines (unlike
+    ``df.sample``, whose RNG is partition-layout-dependent).
+
+    One window per stratum key; at 100 TB use a finer stratum (lang×shard)
+    if a single stratum's rows exceed one executor's window capacity."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        documents.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .select(F.col(id_col), F.col(stratum_col))
+    )
+
+
 def contamination_check(
     train_docs: DataFrame,
     benchmark_docs: DataFrame,

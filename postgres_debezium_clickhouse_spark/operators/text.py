@@ -101,6 +101,41 @@ def token_count_regex(documents: DataFrame, id_col: str = "doc_id", text_col: st
     )
 
 
+def repetition_score(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """Gopher-style repetition signal: the fraction of a document's word
+    ``k``-grams that are duplicates of an earlier one.  Boilerplate, scraped
+    nav-bars, and degenerate generations score high; clean prose scores
+    near 0.  Linear per-document array math, no shuffle."""
+    df = documents.withColumn("__tk", _tokens(text_col)).withColumn(
+        "__sh",
+        F.expr(
+            f"transform(sequence(1, greatest(size(__tk) - {k - 1}, 0)),"
+            f" i -> concat_ws(' ', slice(__tk, i, {k})))"
+        ),
+    )
+    n_sh = F.size("__sh").cast("long")
+    n_distinct = F.size(F.array_distinct("__sh")).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_sh.alias("n_ngrams"),
+        n_distinct.alias("n_distinct_ngrams"),
+        F.round((n_sh - n_distinct) * 1.0 / F.greatest(n_sh, F.lit(1)), 6).alias("dup_ratio"),
+    )
+
+
+def vocab_topk(documents: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary: the ``k`` most frequent whitespace tokens with a
+    deterministic tie-break (count desc, then token asc) so the cut line is
+    reproducible.  One explode + one map-side-combinable groupBy; the final
+    top-k is a driver-free global sort-limit (Spark's TakeOrderedAndProject)."""
+    counts = (
+        documents.select(F.explode(_tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
+
+
 def fingerprint(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 4) -> DataFrame:
     """Winnowing-style fingerprint: the n lexicographically-smallest md5
     digests of the document's 3-gram shingles, concatenated.  Two documents

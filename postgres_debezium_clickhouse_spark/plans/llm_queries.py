@@ -18,7 +18,13 @@ from ..operators.dedup import (
     ngram_jaccard_blocked,
     simhash,
 )
-from ..operators.curation import contamination_check, hash_split, pack_chunks, pii_scrub
+from ..operators.curation import (
+    contamination_check,
+    hash_split,
+    pack_chunks,
+    pii_scrub,
+    stratified_sample,
+)
 from ..operators.multimodal import (
     attach_fake_media,
     extract_features,
@@ -37,8 +43,10 @@ from ..operators.text import (
     fingerprint,
     language_id,
     quality_score,
+    repetition_score,
     text_stats,
     token_count_regex,
+    vocab_topk,
 )
 from ..sources.files import load_table
 
@@ -111,6 +119,18 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     train = docs.filter(F.col("doc_id") % 50 != 0)
     return contamination_check(train, bench)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stratified_sample(load_table(spark, sf_dir, "documents"), n_per_stratum=20)
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_score(load_table(spark, sf_dir, "documents"))
+
+
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_topk(load_table(spark, sf_dir, "documents"), k=100)
 
 
 def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,6 +259,9 @@ QUERIES = {
     "corpus_split": q_corpus_split,
     "contamination_check": q_contamination,
     "pack_chunks": q_pack_chunks,
+    "corpus_stratified_sample": q_stratified_sample,
+    "text_repetition": q_repetition,
+    "corpus_vocab_topk": q_vocab,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_fingerprint": q_dedup_fingerprint,
@@ -347,6 +370,32 @@ ORACLES = {
                COALESCE(h.n, 0) > 0 AS contaminated
         FROM documents d LEFT JOIN hits h USING (doc_id)
         WHERE d.doc_id % 50 <> 0
+    """,
+    "corpus_stratified_sample": """
+        SELECT doc_id, lang
+        FROM (SELECT doc_id, lang,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM documents)
+        WHERE rn <= 20
+    """,
+    "text_repetition": """
+        SELECT doc_id,
+               CAST(len(sh) AS BIGINT) AS n_ngrams,
+               CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct_ngrams,
+               ROUND((len(sh) - len(list_distinct(sh))) * 1.0
+                     / GREATEST(len(sh), 1), 6) AS dup_ratio
+        FROM (SELECT doc_id,
+                     [array_to_string(tk[i:i+2], ' ')
+                      for i in range(1, len(tk) - 1)] AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents))
+    """,
+    "corpus_vocab_topk": """
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+        ORDER BY n DESC, token ASC
+        LIMIT 100
     """,
     "pack_chunks": """
         SELECT doc_id, lang,

@@ -72,3 +72,18 @@ def test_pack_chunks_straddles_and_shards(spark):
     assert out[2] == (3, 0, 1)   # tokens 3..6 cross the 5-token boundary
     assert out[3] == (7, 1, 1)
     assert out[10] == (0, 0, 0)  # independent shard
+
+
+def test_stratified_sample_exact_counts(spark):
+    from postgres_debezium_clickhouse_spark.operators.curation import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(60)], ["doc_id", "lang"]
+    )
+    out = stratified_sample(docs, n_per_stratum=5)
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 5, "de": 5}
+    # deterministic: identical member set on re-run
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(r.doc_id for r in stratified_sample(docs, n_per_stratum=5).collect())
+    assert ids1 == ids2

@@ -57,3 +57,28 @@ def test_fingerprint_deterministic_and_discriminative(spark):
     assert out[1] == out[2]
     assert out[1] != out[3]
     assert len(out[1]) == 4 * 32  # 4 md5 hex digests
+
+
+def test_repetition_score_flags_boilerplate(spark):
+    from postgres_debezium_clickhouse_spark.operators.text import repetition_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now"),
+            (2, "each word here appears exactly once only"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in repetition_score(docs).collect()}
+    assert out[1].dup_ratio > 0.5
+    assert out[2].dup_ratio == 0.0
+
+
+def test_vocab_topk_deterministic_cut(spark):
+    from postgres_debezium_clickhouse_spark.operators.text import vocab_topk
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "b c d")], ["doc_id", "text"]
+    )
+    rows = vocab_topk(docs, k=3).collect()
+    assert [(r.token, r.n) for r in rows] == [("a", 3), ("b", 3), ("c", 2)]
