@@ -187,6 +187,27 @@ def products_usable_vw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def silver_cross_table_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytics over TWO silver current states — the end state the whole
+    reference pipeline exists to serve (usable views are queried jointly):
+    orders current state (latest-wins, deletes dropped) joined to the
+    masked customer dimension, revenue per market segment.
+
+    Scale shape: the dimension (customer silver) broadcasts; the fact-side
+    current state arrives pre-deduped from its own merge — no re-dedup at
+    query time, one agg shuffle on the segment key."""
+    orders_cur = cdc_current_state(spark, sf_dir).select("o_custkey", "o_totalprice")
+    cust_cur = cdc_masked_customers(spark, sf_dir).select("c_custkey", "c_mktsegment")
+    return (
+        orders_cur.join(F.broadcast(cust_cur), orders_cur.o_custkey == cust_cur.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
 def cdc_bronze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7/P1/P4/S3 — bronze raw-archive projection with Kafka lineage
     (init_clickhouse_raw_tables.sql:28-48), summarized per partition
@@ -205,6 +226,7 @@ QUERIES = {
     "cdc_masked_customers": cdc_masked_customers,
     "cdc_bronze_stats": cdc_bronze_stats,
     "products_usable_vw": products_usable_vw,
+    "silver_cross_table_revenue": silver_cross_table_revenue,
 }
 
 # ---------------------------------------------------------------------------
@@ -277,6 +299,17 @@ ORACLES = {
                TIMESTAMP '2024-01-01 00:00:00' + to_seconds(p_partkey) AS created_at
         FROM part
         WHERE p_partkey % 11 <> 0
+    """,
+    "silver_cross_table_revenue": f"""
+        WITH orders_cur AS (
+            SELECT o_custkey, {_FINAL_PRICE} AS o_totalprice
+            FROM orders WHERE o_orderkey % 7 <> 0
+        )
+        SELECT c.c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o.o_totalprice), 2) AS revenue
+        FROM orders_cur o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
     """,
     "cdc_bronze_stats": """
         WITH ev AS (

@@ -88,3 +88,38 @@ def test_connected_components_long_chain_converges(spark):
     )
     out = {r.node: r.component for r in connected_components(pairs).collect()}
     assert set(out.values()) == {0} and len(out) == 13
+
+
+def test_connected_components_matches_union_find(spark):
+    """Property check on a pseudo-random graph: the distributed min-label
+    propagation must agree with a sequential union-find."""
+    import random as _random
+
+    from postgres_debezium_clickhouse_spark.operators.dedup import connected_components
+
+    rng = _random.Random(1234)
+    nodes = list(range(200))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for n in {x for e in edges for x in e}:  # only nodes appearing in pairs
+        root = find(n)
+        expected.setdefault(root, set()).add(n)
+    want = {n: min(members) for members in expected.values() for n in members}
+
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert got == want
