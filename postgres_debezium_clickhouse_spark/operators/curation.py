@@ -111,6 +111,58 @@ def stratified_sample(
     )
 
 
+def pack_greedy(
+    documents: DataFrame,
+    budget: int,
+    partition_col: str = "lang",
+    order_col: str = "doc_id",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy next-fit packing: whole documents are placed into
+    ``budget``-token bins in deterministic ``order_col`` order per shard; a
+    doc that does not fit the current bin opens a new one (a doc larger
+    than the budget occupies a bin alone).  No document straddles bins —
+    the complement of ``pack_chunks``.
+
+    The per-shard state (current bin fill) is a sequential recurrence no
+    window function expresses, so this is the legitimate pandas boundary:
+    ``applyInPandas`` per shard, Arrow-batched, one deterministic linear
+    pass per group.  Shard key bounds group size exactly as in
+    ``pack_chunks``."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(partition_col, T.StringType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("bin_id", T.LongType()),
+        ]
+    )
+
+    n_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
+    cols = [F.col(id_col), F.col(partition_col), n_tokens.alias("n_tokens")]
+    if order_col not in (id_col, partition_col):
+        cols.append(F.col(order_col))
+    slim = documents.select(*cols)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        bins, fill, cur = [], 0, 0
+        for n in pdf["n_tokens"]:
+            if fill and fill + n > budget:
+                cur += 1
+                fill = 0
+            fill += n
+            bins.append(cur)
+        pdf["bin_id"] = bins
+        return pdf[[id_col, partition_col, "n_tokens", "bin_id"]]
+
+    return slim.groupBy(partition_col).applyInPandas(pack, schema=out_schema)
+
+
 def contamination_check(
     train_docs: DataFrame,
     benchmark_docs: DataFrame,

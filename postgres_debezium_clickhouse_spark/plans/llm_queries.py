@@ -22,6 +22,7 @@ from ..operators.curation import (
     contamination_check,
     hash_split,
     pack_chunks,
+    pack_greedy,
     pii_scrub,
     stratified_sample,
 )
@@ -135,6 +136,10 @@ def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunks(load_table(spark, sf_dir, "documents"), budget=256)
+
+
+def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_greedy(load_table(spark, sf_dir, "documents"), budget=256)
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -259,6 +264,7 @@ QUERIES = {
     "corpus_split": q_corpus_split,
     "contamination_check": q_contamination,
     "pack_chunks": q_pack_chunks,
+    "pack_greedy": q_pack_greedy,
     "corpus_stratified_sample": q_stratified_sample,
     "text_repetition": q_repetition,
     "corpus_vocab_topk": q_vocab,
@@ -370,6 +376,24 @@ ORACLES = {
                COALESCE(h.n, 0) > 0 AS contaminated
         FROM documents d LEFT JOIN hits h USING (doc_id)
         WHERE d.doc_id % 50 <> 0
+    """,
+    # the greedy per-shard recurrence, replayed row-by-row in a recursive
+    # CTE (one recursion step per doc per shard — fine at oracle scale)
+    "pack_greedy": """
+        WITH RECURSIVE rows AS (
+            SELECT doc_id, lang,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+            FROM documents),
+        state AS (
+            SELECT doc_id, lang, n, rn, CAST(0 AS BIGINT) AS bin_id, n AS fill
+            FROM rows WHERE rn = 1
+            UNION ALL
+            SELECT r.doc_id, r.lang, r.n, r.rn,
+                   CASE WHEN s.fill + r.n > 256 THEN s.bin_id + 1 ELSE s.bin_id END,
+                   CASE WHEN s.fill + r.n > 256 THEN r.n ELSE s.fill + r.n END
+            FROM state s JOIN rows r ON r.lang = s.lang AND r.rn = s.rn + 1)
+        SELECT doc_id, lang, n AS n_tokens, bin_id FROM state
     """,
     "corpus_stratified_sample": """
         SELECT doc_id, lang

@@ -87,3 +87,20 @@ def test_stratified_sample_exact_counts(spark):
     ids1 = sorted(r.doc_id for r in out.collect())
     ids2 = sorted(r.doc_id for r in stratified_sample(docs, n_per_stratum=5).collect())
     assert ids1 == ids2
+
+
+def test_pack_greedy_whole_docs_never_straddle(spark):
+    from postgres_debezium_clickhouse_spark.operators.curation import pack_greedy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "t1 t2 t3"),          # bin 0 (fill 3)
+            (2, "a", "t1 t2 t3"),          # 3+3=6 > 5 -> bin 1
+            (3, "a", "t1"),                # 3+1=4 <= 5 -> bin 1
+            (4, "a", "t1 t2 t3 t4 t5 t6"), # oversized: bin 2 alone
+            (5, "a", "t1"),                # bin 3 (previous overflowed)
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    out = {r.doc_id: r.bin_id for r in pack_greedy(docs, budget=5).collect()}
+    assert out == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
