@@ -189,6 +189,82 @@ def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select("o_orderkey")
 
 
+def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming AGGREGATING materialized view (AggregatingMergeTree
+    analogue): tumbling 1-hour event-time windows per event_type maintained
+    incrementally across micro-batches, upserted into a keyed store where
+    the LAST emission per window wins — and the final store must equal the
+    one-shot batch aggregation (same oracle as events_hourly_counts).
+
+    Update mode + per-batch version column instead of append mode: append
+    only emits windows the watermark has closed, so a finite replay would
+    withhold the trailing window(s) forever.  No watermark here — the
+    replay is finite and the micro-batch file order is arbitrary, so any
+    eviction horizon could drop late rows and emit a partial re-count; a
+    live deployment sets one to bound state (see
+    tests/test_streaming.py::test_streaming_dropduplicates_with_watermark).
+    """
+    from pyspark.sql import types as T
+
+    from ..operators.upsert import latest_wins
+
+    run = uuid.uuid4().hex[:12]
+    root = tempfile.gettempdir()
+    src = f"{root}/hourly_src_{run}"
+    out = f"{root}/hourly_out_{run}"
+    ckpt = f"{root}/hourly_ckpt_{run}"
+
+    from ..sources.files import load_table
+
+    events = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "2").parquet(src)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_dec"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_dec")
+    )
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        batch.withColumn("__bid", F.lit(batch_id)).write.mode("append").parquet(out)
+
+    # streaming aggs bypass AQE: one state-store instance per shuffle
+    # partition per micro-batch, so harness-scale runs use a small state
+    # partition count (restored after; production sizes it to key cardinality)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    emitted = spark.read.parquet(out)
+    final = latest_wins(emitted, keys=["window_start", "event_type"], version_cols=["__bid"])
+    return final.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.round(F.col("sum_dec").cast("double"), 2).alias("sum_value"),
+    )
+
+
 def object_store_typed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2/S6 end-to-end — the minio_cdc_example path (clickhouse_minio.sql:
     14-30): JSON objects land in a bucket (here: a temp dir, content derived
@@ -229,6 +305,7 @@ QUERIES = {
     "stream_silver_state": stream_silver_state,
     "cdc_replay_from_bronze": cdc_replay_from_bronze,
     "stream_stateful_dedup": stream_stateful_dedup,
+    "stream_hourly_counts": stream_hourly_counts,
     "object_store_typed_ingest": object_store_typed_ingest,
 }
 
@@ -259,6 +336,12 @@ ORACLES: dict[str, str] = {
                     WHEN o_orderkey % 3 = 0 THEN 2000000 + o_orderkey
                     ELSE 1000000 END AS BIGINT) AS ts_ms
         FROM orders WHERE o_orderkey % 7 <> 0
+    """,
+    "stream_hourly_counts": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n_events,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+        FROM events GROUP BY 1, 2
     """,
     "object_store_typed_ingest": """
         SELECT CAST(n_nationkey AS BIGINT) AS id,
