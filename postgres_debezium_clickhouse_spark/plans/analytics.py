@@ -378,6 +378,24 @@ def events_micro_ts_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p95) per event type —
+    ``percentile`` is a full-sort-per-group aggregate; at 100 TB prefer
+    ``approx_percentile`` (t-digest, combinable) and accept the error bound,
+    but the EXACT form is what an oracle can pin."""
+    events = load_table(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.5D, 0.95D))")
+    return (
+        events.groupBy("event_type")
+        .agg(pct.alias("p"))
+        .select(
+            "event_type",
+            F.round(F.col("p")[0], 4).alias("p50"),
+            F.round(F.col("p")[1], 4).alias("p95"),
+        )
+    )
+
+
 QUERIES = {
     "star_join_revenue": star_join_revenue,
     "order_totals": order_totals,
@@ -401,6 +419,7 @@ QUERIES = {
     "events_purchase_attribution": events_purchase_attribution,
     "events_errors_after_signup": events_errors_after_signup,
     "events_micro_ts_roundtrip": events_micro_ts_roundtrip,
+    "events_value_percentiles": events_value_percentiles,
 }
 
 ORACLES = {
@@ -572,6 +591,12 @@ ORACLES = {
         SELECT from_type, to_type, COUNT(*) AS n_transitions
         FROM s WHERE from_type IS NOT NULL
         GROUP BY from_type, to_type
+    """,
+    "events_value_percentiles": """
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5), 4) AS p50,
+               ROUND(quantile_cont(value, 0.95), 4) AS p95
+        FROM events GROUP BY event_type
     """,
     "events_micro_ts_roundtrip": """
         SELECT event_id, epoch_us(ts) AS ts_us, make_timestamp(epoch_us(ts)) AS ts_rt
