@@ -29,6 +29,7 @@ def asof_join(
     right_ts: str,
     tiebreak: str | None = None,
     right_prefix: str = "right_",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right_ts <= left_ts`` matching on the ``on`` keys (backward as-of,
@@ -37,8 +38,11 @@ def asof_join(
 
     ``tiebreak`` orders equal-timestamp right rows (last one wins); give a
     unique column (event id, offset) whenever right timestamps can collide.
-    Output: every left column + each right non-key column as
-    ``{right_prefix}{name}``.
+    ``tolerance_seconds`` (pandas ``merge_asof(tolerance=…)``): a match
+    older than the tolerance is discarded — the attached row becomes NULL,
+    exactly as if no prior right row existed.  Applied AFTER the window
+    match, so it adds zero shuffle.  Output: every left column + each
+    right non-key column as ``{right_prefix}{name}``.
     """
     rcols = [c for c in right.columns if c not in on]
     payload = F.struct(*[F.col(c) for c in rcols])
@@ -72,6 +76,22 @@ def asof_join(
         .withColumn("__match", F.last("__rp", ignorenulls=True).over(w))
         .filter(F.col("__side") == 1)
     )
+    if tolerance_seconds is not None:
+        if right_ts not in rcols:
+            raise ValueError("tolerance_seconds requires right_ts in the right payload")
+        # timestamp→double is epoch seconds; TIMESTAMP_NTZ can't cast to
+        # double directly, so hop via TIMESTAMP (same session-tz reading on
+        # both sides — the difference is unaffected); numeric ts subtract
+        # directly
+        is_ts = "timestamp" in joined.schema["__ts"].dataType.simpleString()
+
+        def _secs(c: F.Column) -> F.Column:
+            return c.cast("timestamp").cast("double") if is_ts else c.cast("double")
+
+        age = _secs(F.col("__ts")) - _secs(F.col("__match")[right_ts])
+        joined = joined.withColumn(
+            "__match", F.when(age <= tolerance_seconds, F.col("__match"))
+        )
     out_cols = [F.col(f"__l_{c}").alias(c) for c in left.columns]
     out_cols += [F.col("__match")[c].alias(f"{right_prefix}{c}") for c in rcols]
     return joined.select(*out_cols)

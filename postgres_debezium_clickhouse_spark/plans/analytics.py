@@ -328,6 +328,25 @@ def events_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("purchase_id", "user_id", "click_id", "click_ts")
 
 
+def events_attribution_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match horizon (pandas merge_asof ``tolerance``):
+    a click older than 30 minutes no longer earns the attribution — the
+    standard marketing-attribution window."""
+    from ..operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    return asof_join(
+        purchases, clicks, on=["user_id"], left_ts="purchase_ts", right_ts="click_ts",
+        tiebreak="click_id", right_prefix="", tolerance_seconds=1800,
+    ).select("purchase_id", "user_id", "click_id")
+
+
 def events_errors_after_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join (operators/range_join.py): per signup event, how many
     error events the same user hit within the following hour —
@@ -417,6 +436,7 @@ QUERIES = {
     "events_sliding_counts": events_sliding_counts,
     "events_user_funnel": events_user_funnel,
     "events_purchase_attribution": events_purchase_attribution,
+    "events_attribution_tolerance": events_attribution_tolerance,
     "events_errors_after_signup": events_errors_after_signup,
     "events_micro_ts_roundtrip": events_micro_ts_roundtrip,
     "events_value_percentiles": events_value_percentiles,
@@ -579,6 +599,13 @@ ORACLES = {
     """,
     "events_purchase_attribution": """
         SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id, c.ts AS click_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    "events_attribution_tolerance": """
+        SELECT p.event_id AS purchase_id, p.user_id,
+               CASE WHEN c.ts >= p.ts - INTERVAL 30 MINUTE THEN c.event_id END AS click_id
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
           ON p.user_id = c.user_id AND p.ts >= c.ts

@@ -49,3 +49,20 @@ def test_asof_one_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_tolerance_discards_stale_match(spark):
+    quotes = spark.createDataFrame(
+        [(1, _ts(1), 10.0), (1, _ts(20), 11.0)], "sym INT, qts TIMESTAMP, px DOUBLE"
+    )
+    trades = spark.createDataFrame(
+        [(1, _ts(8), 100), (1, _ts(22), 200)], "sym INT, tts TIMESTAMP, qty INT"
+    )
+    out = {
+        r.qty: r.right_px
+        for r in asof_join(
+            trades, quotes, on=["sym"], left_ts="tts", right_ts="qts", tolerance_seconds=5
+        ).collect()
+    }
+    assert out[100] is None    # nearest prior quote is 7s old > 5s tolerance
+    assert out[200] == 11.0    # 2s old, within tolerance
