@@ -254,6 +254,36 @@ def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery predicate — Catalyst rewrites it to a left-semi hash
+    join (verify: no per-row subquery execution in the plan)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_orderstatus
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING')
+        """
+    )
+
+
+def sql_scalar_subquery_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery in the projection — computed once and
+    broadcast as a literal into every row (one extra tiny job, no per-row
+    re-execution)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_partkey,
+               CAST(p_retailprice AS DOUBLE) AS price,
+               ROUND(CAST(p_retailprice - (SELECT AVG(p_retailprice) FROM part)
+                     AS DOUBLE), 4) AS price_vs_avg
+        FROM part
+        """
+    )
+
+
 # --- D1-D4: DDL lifecycle ---------------------------------------------------
 
 
@@ -290,6 +320,8 @@ QUERIES = {
     "events_props_keys": events_props_keys,
     "salted_customer_revenue": salted_customer_revenue,
     "sql_correlated_subquery": sql_correlated_subquery,
+    "sql_in_subquery": sql_in_subquery,
+    "sql_scalar_subquery_select": sql_scalar_subquery_select,
     "ddl_view_roundtrip": ddl_view_roundtrip,
 }
 
@@ -382,6 +414,19 @@ ORACLES = {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
                COUNT(*) AS n_orders
         FROM orders GROUP BY o_custkey
+    """,
+    "sql_in_subquery": """
+        SELECT o_orderkey, o_custkey, o_orderstatus
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING')
+    """,
+    "sql_scalar_subquery_select": """
+        SELECT p_partkey,
+               CAST(p_retailprice AS DOUBLE) AS price,
+               ROUND(CAST(p_retailprice - (SELECT AVG(p_retailprice) FROM part)
+                     AS DOUBLE), 4) AS price_vs_avg
+        FROM part
     """,
     "sql_correlated_subquery": """
         SELECT o_orderkey,
