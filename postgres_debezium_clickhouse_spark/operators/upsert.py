@@ -191,6 +191,40 @@ def write_bucketed(
     )
 
 
+def zorder_key(cols: list[str], bits_per_col: int = 16) -> Column:
+    """Morton (Z-order) key: interleave the low ``bits_per_col`` bits of
+    each column so rows close in EVERY dimension get close keys.  Sorting
+    by this key clusters a table for multi-dimension data skipping —
+    parquet row-group min/max stats then prune on ANY of the columns, where
+    single-key clustering (``cluster_by_key``) only prunes on the leading
+    key.  The Delta/Iceberg ``OPTIMIZE ZORDER BY`` analogue as a plain
+    column expression (pure integer bit ops, whole-stage codegen).
+
+    Columns must be non-negative integers that fit ``bits_per_col`` bits
+    (hash or bucketize anything else first)."""
+    n = len(cols)
+    terms = []
+    for i, c in enumerate(cols):
+        for b in range(bits_per_col):
+            terms.append(
+                f"shiftleft(shiftright(cast({c} as bigint), {b}) & 1, {b * n + i})"
+            )
+    return F.expr(" + ".join(terms))
+
+
+def cluster_by_zorder(df: DataFrame, cols: list[str], num_partitions: int | None = None) -> DataFrame:
+    """Physically cluster by the Morton key: range-partition + sort so both
+    partition bounds and row-group stats are tight in every dimension."""
+    zk = zorder_key(cols).alias("__zkey")
+    with_key = df.withColumn("__zkey", zk)
+    parted = (
+        with_key.repartitionByRange(num_partitions, "__zkey")
+        if num_partitions
+        else with_key.repartitionByRange("__zkey")
+    )
+    return parted.sortWithinPartitions("__zkey").drop("__zkey")
+
+
 def cluster_by_key(df: DataFrame, keys: list[str], num_partitions: int | None = None) -> DataFrame:
     """O1 — MergeTree ``ORDER BY`` physical clustering
     (clickhouse.sql:52; init_clickhouse_raw_tables.sql:37): hash-partition by

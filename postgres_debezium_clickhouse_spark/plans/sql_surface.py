@@ -284,6 +284,29 @@ def sql_scalar_subquery_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def zorder_customer_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1+ — the Morton/Z-order key (operators/upsert.zorder_key) over two
+    dimensions, the multi-column data-skipping layout.  Emitted as a value
+    query so the bit-interleave itself is oracle-pinned; the physical
+    clustering (cluster_by_zorder) is exercised in tests."""
+    from ..operators.upsert import zorder_key
+
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "ckey_mod", (F.col("c_custkey") % 256).cast("bigint")
+    ).withColumn("nkey", F.col("c_nationkey").cast("bigint"))
+    return cust.select(
+        "c_custkey",
+        zorder_key(["ckey_mod", "nkey"], bits_per_col=8).alias("zkey"),
+    )
+
+
+#: the same interleave formula, generated for the DuckDB oracle
+_Z_SQL = " + ".join(
+    f"((((c_custkey % 256) >> {b}) & 1) << {b * 2}) + (((c_nationkey >> {b}) & 1) << {b * 2 + 1})"
+    for b in range(8)
+)
+
+
 # --- D1-D4: DDL lifecycle ---------------------------------------------------
 
 
@@ -322,6 +345,7 @@ QUERIES = {
     "sql_correlated_subquery": sql_correlated_subquery,
     "sql_in_subquery": sql_in_subquery,
     "sql_scalar_subquery_select": sql_scalar_subquery_select,
+    "zorder_customer_locality": zorder_customer_locality,
     "ddl_view_roundtrip": ddl_view_roundtrip,
 }
 
@@ -414,6 +438,10 @@ ORACLES = {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
                COUNT(*) AS n_orders
         FROM orders GROUP BY o_custkey
+    """,
+    "zorder_customer_locality": f"""
+        SELECT c_custkey, CAST({_Z_SQL} AS BIGINT) AS zkey
+        FROM customer
     """,
     "sql_in_subquery": """
         SELECT o_orderkey, o_custkey, o_orderstatus

@@ -40,3 +40,34 @@ def test_bucketed_overwrite_idempotent(spark):
         assert spark.table("bkt_c").count() == 10
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_c")
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from postgres_debezium_clickhouse_spark.operators.upsert import zorder_key
+
+    df = spark.createDataFrame([(3, 1), (0, 3)], ["x", "y"])
+    out = [r.z for r in df.select(zorder_key(["x", "y"], bits_per_col=2).alias("z")).collect()]
+    # (x=0b11, y=0b01) -> bits: x0@0, y0@1, x1@2, y1@3 = 1+2+4 = 7
+    # (x=0b00, y=0b11) -> y0@1 + y1@3 = 2+8 = 10
+    assert out == [7, 10]
+
+
+def test_cluster_by_zorder_sorts_by_morton_key(spark):
+    from postgres_debezium_clickhouse_spark.operators.upsert import (
+        cluster_by_zorder,
+        zorder_key,
+    )
+
+    df = spark.createDataFrame([(x, y) for x in range(8) for y in range(8)], ["x", "y"])
+    clustered = cluster_by_zorder(df, ["x", "y"], num_partitions=2)
+    # within each partition, rows must be in morton order; z column dropped
+    assert clustered.columns == ["x", "y"]
+    import itertools
+
+    def morton(x, y):
+        return sum((((x >> b) & 1) << (2 * b)) + (((y >> b) & 1) << (2 * b + 1)) for b in range(8))
+
+    parts = clustered.rdd.glom().collect()
+    for part in parts:
+        zs = [morton(r.x, r.y) for r in part]
+        assert zs == sorted(zs)
