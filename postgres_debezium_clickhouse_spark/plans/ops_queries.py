@@ -265,6 +265,75 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INNER join with an event-time range condition: each
+    purchase stream-joined to the same user's clicks from the preceding
+    hour, both sides arriving as independent micro-batched streams.  Inner
+    join emits exactly the matching pairs regardless of batch arrival
+    order, so the result hash-matches the batch range-join oracle.
+
+    No watermark: the replay is finite and file order is arbitrary, so an
+    eviction horizon could drop late rows (a live deployment sets
+    watermarks on BOTH sides to bound the join state — Spark then prunes
+    buffered rows outside the join window)."""
+    from pyspark.sql import types as T
+
+    run = uuid.uuid4().hex[:12]
+    root = tempfile.gettempdir()
+    src = f"{root}/ssjoin_src_{run}"
+    out = f"{root}/ssjoin_out_{run}"
+    ckpt = f"{root}/ssjoin_ckpt_{run}"
+
+    from ..sources.files import load_table
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type", "user_id", "ts")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+
+    def stream():
+        return spark.readStream.schema(schema).option("maxFilesPerTrigger", "2").parquet(src)
+
+    purchases = (
+        stream().filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts"))
+    )
+    clicks = (
+        stream().filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user_id"), F.col("ts").alias("click_ts"))
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "user_id = c_user_id AND "
+            "click_ts BETWEEN purchase_ts - INTERVAL 1 HOUR AND purchase_ts"
+        ),
+        "inner",
+    ).select("purchase_id", "click_id", "user_id")
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(out)
+
+
 def object_store_typed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2/S6 end-to-end — the minio_cdc_example path (clickhouse_minio.sql:
     14-30): JSON objects land in a bucket (here: a temp dir, content derived
@@ -306,6 +375,7 @@ QUERIES = {
     "cdc_replay_from_bronze": cdc_replay_from_bronze,
     "stream_stateful_dedup": stream_stateful_dedup,
     "stream_hourly_counts": stream_hourly_counts,
+    "stream_stream_join": stream_stream_join,
     "object_store_typed_ingest": object_store_typed_ingest,
 }
 
@@ -336,6 +406,13 @@ ORACLES: dict[str, str] = {
                     WHEN o_orderkey % 3 = 0 THEN 2000000 + o_orderkey
                     ELSE 1000000 END AS BIGINT) AS ts_ms
         FROM orders WHERE o_orderkey % 7 <> 0
+    """,
+    "stream_stream_join": """
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+         AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
     """,
     "stream_hourly_counts": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
