@@ -136,6 +136,37 @@ def vocab_topk(documents: DataFrame, k: int = 100, text_col: str = "text") -> Da
     return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
 
 
+def tfidf_top_terms(
+    documents: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-``k`` terms by TF-IDF (ln(N/df) idf, raw tf),
+    deterministic tie-break (score desc, token asc) — the classic keyword
+    extraction / relevance-weighting pass.
+
+    Plan: one explode → per-(doc,token) counts (map-side combinable) →
+    token document frequencies (second small agg) joined back → per-doc
+    window top-k.  The df table is vocabulary-sized — broadcastable at any
+    corpus scale."""
+    from pyspark.sql import Window
+
+    toks = documents.select(F.col(id_col), F.explode(_tokens(text_col)).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.count()
+    scored = tf.join(F.broadcast(df_), "token").withColumn(
+        "tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(id_col, "token", "tf", "df", "tfidf", F.col("__rn").cast("long").alias("rank"))
+    )
+
+
 def fingerprint(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 4) -> DataFrame:
     """Winnowing-style fingerprint: the n lexicographically-smallest md5
     digests of the document's 3-gram shingles, concatenated.  Two documents

@@ -415,6 +415,22 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly flagging per event type (|value − µ| > 3σ) — the
+    standard monitoring pass over a metric stream.  Two aggregations (per-
+    type stats broadcast back over the events), no window."""
+    events = load_table(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .withColumn("z", F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4))
+        .filter(F.abs(F.col("z")) > 3)
+        .select("event_id", "event_type", F.round("value", 4).alias("value"), "z")
+    )
+
+
 QUERIES = {
     "star_join_revenue": star_join_revenue,
     "order_totals": order_totals,
@@ -440,6 +456,7 @@ QUERIES = {
     "events_errors_after_signup": events_errors_after_signup,
     "events_micro_ts_roundtrip": events_micro_ts_roundtrip,
     "events_value_percentiles": events_value_percentiles,
+    "events_value_anomalies": events_value_anomalies,
 }
 
 ORACLES = {
@@ -618,6 +635,15 @@ ORACLES = {
         SELECT from_type, to_type, COUNT(*) AS n_transitions
         FROM s WHERE from_type IS NOT NULL
         GROUP BY from_type, to_type
+    """,
+    "events_value_anomalies": """
+        WITH s AS (SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+                   FROM events GROUP BY event_type)
+        SELECT e.event_id, e.event_type,
+               ROUND(e.value, 4) AS value,
+               ROUND((e.value - s.mu) / s.sigma, 4) AS z
+        FROM events e JOIN s USING (event_type)
+        WHERE ABS((e.value - s.mu) / s.sigma) > 3
     """,
     "events_value_percentiles": """
         SELECT event_type,

@@ -46,6 +46,7 @@ from ..operators.text import (
     quality_score,
     repetition_score,
     text_stats,
+    tfidf_top_terms,
     token_count_regex,
     vocab_topk,
 )
@@ -132,6 +133,10 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(load_table(spark, sf_dir, "documents"), k=100)
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
 
 
 def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,6 +273,7 @@ QUERIES = {
     "corpus_stratified_sample": q_stratified_sample,
     "text_repetition": q_repetition,
     "corpus_vocab_topk": q_vocab,
+    "text_tfidf_top_terms": q_tfidf,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_fingerprint": q_dedup_fingerprint,
@@ -413,6 +419,23 @@ ORACLES = {
                      [array_to_string(tk[i:i+2], ' ')
                       for i in range(1, len(tk) - 1)] AS sh
               FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents))
+    """,
+    "text_tfidf_top_terms": """
+        WITH tf AS (SELECT doc_id, token, COUNT(*) AS tf
+                    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                          FROM documents)
+                    GROUP BY doc_id, token),
+        df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                   ROUND(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+            FROM tf JOIN df USING (token) CROSS JOIN n)
+        SELECT doc_id, token, tf, df, tfidf, rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                  ORDER BY tfidf DESC, token ASC) AS rank
+              FROM scored)
+        WHERE rank <= 3
     """,
     "corpus_vocab_topk": """
         SELECT token, CAST(COUNT(*) AS BIGINT) AS n

@@ -82,3 +82,19 @@ def test_vocab_topk_deterministic_cut(spark):
     )
     rows = vocab_topk(docs, k=3).collect()
     assert [(r.token, r.n) for r in rows] == [("a", 3), ("b", 3), ("c", 2)]
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    from postgres_debezium_clickhouse_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common rare"),
+            (2, "common other words"),
+            (3, "common more words"),
+        ],
+        ["doc_id", "text"],
+    )
+    top = {r.doc_id: r.token for r in tfidf_top_terms(docs, k=1).collect()}
+    # 'common' appears in every doc (idf=0); the doc-unique term wins
+    assert top[1] == "rare"
