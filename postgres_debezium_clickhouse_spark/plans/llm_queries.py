@@ -250,6 +250,27 @@ def q_llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation chain composed: quality gate → exact-dedup
+    keep-list → PII scrub → deterministic split assignment → token count,
+    one declarative plan producing the per-document training record."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept_q = quality_score(docs).filter(F.col("keep")).select("doc_id")
+    surviving = docs.join(kept_q, "doc_id", "left_semi")
+    dedup_ids = exact_dedup(surviving).select("doc_id")
+    corpus = surviving.join(dedup_ids, "doc_id", "left_semi")
+    scrubbed = pii_scrub(corpus)
+    split = hash_split(corpus)
+    ntok = corpus.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    return (
+        scrubbed.join(split, "doc_id")
+        .join(ntok, "doc_id")
+        .select("doc_id", "split", "n_tokens", "scrubbed")
+    )
+
+
 def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fingerprint-blocked dedup: docs sharing a winnowing fingerprint are
     near-dup candidates; keep the min doc_id per fingerprint group."""
@@ -278,6 +299,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_fingerprint": q_dedup_fingerprint,
     "llm_prep_pipeline": q_llm_prep_pipeline,
+    "llm_curation_pipeline": q_llm_curation_pipeline,
     "similarity_cosine_topk": q_cosine_topk,
     "dedup_embedding_cosine": q_embedding_near_dups,
     "similarity_ann_lsh_topk": q_ann_lsh_topk,
@@ -419,6 +441,27 @@ ORACLES = {
                      [array_to_string(tk[i:i+2], ' ')
                       for i in range(1, len(tk) - 1)] AS sh
               FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents))
+    """,
+    "llm_curation_pipeline": r"""
+        WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+        q AS (SELECT doc_id FROM t
+              WHERE (length(text) >= 100 AND length(text) <= 1000)
+                AND ROUND(len(list_distinct(tk)) * 1.0 / len(tk), 4) >= 0.15
+                AND ROUND(len(list_filter(tk, x -> x IN ('the', 'a', 'and', 'of'))) * 1.0 / len(tk), 4) <= 0.5),
+        surviving AS (SELECT d.* FROM documents d
+                      WHERE EXISTS (SELECT 1 FROM q WHERE q.doc_id = d.doc_id)),
+        dedup AS (SELECT MIN(doc_id) AS doc_id FROM surviving
+                  GROUP BY sha256(lower(trim(text))))
+        SELECT s.doc_id,
+               CASE WHEN substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                    WHEN substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(len(string_split(s.text, ' ')) AS BIGINT) AS n_tokens,
+               regexp_replace(regexp_replace(s.text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '[0-9]{7,}', '<NUM>', 'g') AS scrubbed
+        FROM surviving s
+        WHERE EXISTS (SELECT 1 FROM dedup x WHERE x.doc_id = s.doc_id)
     """,
     "text_tfidf_top_terms": """
         WITH tf AS (SELECT doc_id, token, COUNT(*) AS tf
