@@ -16,7 +16,6 @@ the DuckDB oracle.
 
 from __future__ import annotations
 
-import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -63,10 +62,25 @@ def cosine_topk(
     )
 
 
-def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
-    """Deterministic Gaussian hyperplanes for sign-LSH."""
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_planes, dim)).tolist()
+def random_hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic, ENGINE-PORTABLE hyperplanes for sign-LSH: component
+    (i, j) = uniform(−1, 1) derived from ``md5(f"{i},{j}")`` — the same
+    value any SQL engine reconstructs as
+    ``(('0x'||substr(md5(i||','||j),1,8))::BIGINT / 2^32) * 2 - 1``, so the
+    bucket assignment is fully oracle-checkable (a seeded-numpy Gaussian
+    was not).  Uniform components are a valid random-projection family for
+    sign-LSH (any sign-symmetric distribution works); every arithmetic step
+    is exact or identically-ordered in IEEE double, so Python and SQL agree
+    bit-for-bit."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{i},{j}".encode()).hexdigest()[:8], 16) / 2**32) * 2 - 1
+            for j in range(dim)
+        ]
+        for i in range(n_planes)
+    ]
 
 
 def with_lsh_bucket(

@@ -159,8 +159,11 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (hyperplanes are numpy-seeded literals, not SQL-portable);
-    recall vs exact top-k is asserted in tests/test_similarity.py."""
+    """Sign-LSH ANN — fully oracle-checked: the md5-portable hyperplanes
+    (operators/similarity.random_hyperplanes) are reconstructed inside the
+    DuckDB oracle, so bucketing, candidate retrieval, and scores all
+    hash-match; recall vs exact top-k is additionally asserted in
+    tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
     corpus = emb.filter(F.col("vec_id") >= 5)
@@ -178,7 +181,8 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only — the ANN index-build side (bucket occupancy)."""
+    """The ANN index-build side (bucket occupancy) — oracle-checked via the
+    same md5-portable hyperplanes."""
     return lsh_ann_buckets(load_table(spark, sf_dir, "embeddings"), n_planes=8)
 
 
@@ -515,6 +519,45 @@ ORACLES = {
               FROM sh a JOIN sh b
                 ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
         SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.2
+    """,
+    # the md5-portable hyperplanes reconstructed in SQL; component (i,j) =
+    # (hex32(md5("i,j"))/2^32)*2-1, identical IEEE-double steps to Python
+    "similarity_ann_lsh_buckets": """
+        WITH planes AS (
+            SELECT i, list_transform(range(64), j ->
+                (('0x' || substr(md5(i || ',' || j), 1, 8))::BIGINT / 4294967296.0) * 2 - 1) AS pv
+            FROM range(8) t(i)),
+        e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+        b AS (SELECT e.vec_id,
+                     CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+                              THEN (1 << p.i) ELSE 0 END) AS BIGINT) AS bucket
+              FROM e CROSS JOIN planes p GROUP BY e.vec_id)
+        SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+        FROM b GROUP BY bucket
+    """,
+    "similarity_ann_lsh_topk": """
+        WITH planes AS (
+            SELECT i, list_transform(range(64), j ->
+                (('0x' || substr(md5(i || ',' || j), 1, 8))::BIGINT / 4294967296.0) * 2 - 1) AS pv
+            FROM range(4) t(i)),
+        e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+        b AS (SELECT e.vec_id,
+                     CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+                              THEN (1 << p.i) ELSE 0 END) AS BIGINT) AS bucket
+              FROM e CROSS JOIN planes p GROUP BY e.vec_id),
+        q AS (SELECT e.vec_id AS query_id, e.v AS qv, b.bucket
+              FROM e JOIN b USING (vec_id) WHERE vec_id < 5),
+        c AS (SELECT e.vec_id, e.v AS cv, b.bucket
+              FROM e JOIN b USING (vec_id) WHERE vec_id >= 5),
+        s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                     ROUND(list_dot_product(qv, cv)
+                           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+              FROM q JOIN c USING (bucket)),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM s)
+        SELECT query_id, neighbor_id, cosine FROM r WHERE rnk <= 5
     """,
     "similarity_cosine_topk": """
         WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
