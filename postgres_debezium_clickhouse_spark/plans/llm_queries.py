@@ -211,8 +211,10 @@ def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only — Arrow-batched mapInPandas feature extraction (the decode
-    stub); value checks live in tests/test_similarity.py."""
+    """Arrow-batched mapInPandas feature extraction (the decode stub) —
+    fully oracle-checked: the fake decode is a byte-mod-4 histogram over
+    the utf-8 text bytes, which DuckDB reproduces character-wise (the
+    fixture text is pure ASCII, so ascii(char) == byte)."""
     media = attach_fake_media(load_table(spark, sf_dir, "documents"))
     return extract_features(media)
 
@@ -519,6 +521,20 @@ ORACLES = {
               FROM sh a JOIN sh b
                 ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
         SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.2
+    """,
+    # the mapInPandas byte-histogram decode, reproduced character-wise
+    # (fixture text is ASCII ⇒ ascii(char) == utf-8 byte; h*1.0/n is the
+    # same IEEE division Python performs)
+    "multimodal_features": """
+        WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents)
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_bytes,
+               [len(list_filter(range(1, n + 1), i -> (ascii(substr(text, i, 1)) % 4) = 0)) * 1.0 / GREATEST(n, 1),
+                len(list_filter(range(1, n + 1), i -> (ascii(substr(text, i, 1)) % 4) = 1)) * 1.0 / GREATEST(n, 1),
+                len(list_filter(range(1, n + 1), i -> (ascii(substr(text, i, 1)) % 4) = 2)) * 1.0 / GREATEST(n, 1),
+                len(list_filter(range(1, n + 1), i -> (ascii(substr(text, i, 1)) % 4) = 3)) * 1.0 / GREATEST(n, 1)
+               ] AS feature
+        FROM t
     """,
     # the md5-portable hyperplanes reconstructed in SQL; component (i,j) =
     # (hex32(md5("i,j"))/2^32)*2-1, identical IEEE-double steps to Python
