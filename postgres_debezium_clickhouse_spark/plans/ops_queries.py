@@ -51,7 +51,13 @@ def stream_bronze_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end streaming bronze path (S1 shape → T2 corrupt filter → S7
     append with lineage + ingestion_time), driven with availableNow over a
     file source (the test harness stand-in for a Kafka broker; the plan is
-    identical).  Returns the archived rows re-read from parquet."""
+    identical).
+
+    Fully oracle-checked: the archive is re-read from parquet and its
+    deterministic content — key, op, Kafka lineage — is extracted FROM THE
+    ARCHIVED value_json, so the check proves the raw log survived the
+    stream → append → re-read round trip intact (only the wall-clock
+    ingestion_time is excluded)."""
     run = uuid.uuid4().hex[:12]
     root = tempfile.gettempdir()
     src = f"{root}/bronze_src_{run}"
@@ -71,7 +77,17 @@ def stream_bronze_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = bronze_append_stream(bronze, dst, ckpt, available_now=True)
     q.awaitTermination(120)
-    return spark.read.parquet(dst).drop("ingestion_time")
+    p = F.col("j.payload")
+    return (
+        spark.read.parquet(dst)
+        .withColumn("j", F.from_json("value_json", ORDERS_ENVELOPE))
+        .select(
+            F.coalesce(p.after.o_orderkey, p.before.o_orderkey).alias("o_orderkey"),
+            p.op.alias("op"),
+            "partition_str",
+            "offset_num",
+        )
+    )
 
 
 def stream_silver_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -393,6 +409,21 @@ _ORDERS_FINAL_STATE = """
 """
 
 ORACLES: dict[str, str] = {
+    # the deterministic event log row-for-row (generator contract,
+    # sources/cdc.py: snapshot slot 0; updates %3 slots 1+5 (dup); updates
+    # %9 slots 2+6 (dup); deletes %7 slot 3; partition = key % 8)
+    "stream_bronze_archive": """
+        SELECT o_orderkey, op, CAST(o_orderkey % 8 AS VARCHAR) AS partition_str,
+               o_orderkey * 10 + slot AS offset_num
+        FROM (
+            SELECT o_orderkey, 'r' AS op, 0 AS slot FROM orders
+            UNION ALL SELECT o_orderkey, 'u', 1 FROM orders WHERE o_orderkey % 3 = 0
+            UNION ALL SELECT o_orderkey, 'u', 5 FROM orders WHERE o_orderkey % 3 = 0
+            UNION ALL SELECT o_orderkey, 'u', 2 FROM orders WHERE o_orderkey % 9 = 0
+            UNION ALL SELECT o_orderkey, 'u', 6 FROM orders WHERE o_orderkey % 9 = 0
+            UNION ALL SELECT o_orderkey, 'd', 3 FROM orders WHERE o_orderkey % 7 = 0
+        )
+    """,
     "cdc_replay_from_bronze": _ORDERS_FINAL_STATE,
     "stream_stateful_dedup": "SELECT o_orderkey FROM orders",
     "stream_silver_state": """
