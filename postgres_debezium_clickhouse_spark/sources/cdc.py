@@ -49,6 +49,14 @@ from ..session import ensure_session_confs
 
 N_PARTITIONS = 8  # synthetic topic partition count
 
+#: base fixture each wire log derives from (cache-fingerprint source)
+_WIRE_SOURCES = {
+    "orders_events": "orders.parquet",
+    "customer_events": "customer.parquet",
+    "products_events": "part.parquet",
+    "passport_events": "customer.parquet",
+}
+
 
 def _wire_cache_root() -> str | None:
     """Directory for the materialized wire log, or None when disabled via
@@ -57,6 +65,21 @@ def _wire_cache_root() -> str | None:
     if root.lower() in {"off", "0", "no"}:
         return None
     return root or os.path.join(tempfile.gettempdir(), "spark_graft_wire")
+
+
+def _fixture_fingerprint(path: str) -> str:
+    """mtime+size fingerprint of a fixture file (or directory of files):
+    the cache must invalidate if the driver regenerates the fixtures in
+    place — path identity alone would serve stale events silently."""
+    entries = []
+    if os.path.isdir(path):
+        for f in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, f))
+            entries.append(f"{f}:{st.st_mtime_ns}:{st.st_size}")
+    elif os.path.exists(path):
+        st = os.stat(path)
+        entries.append(f"{st.st_mtime_ns}:{st.st_size}")
+    return hashlib.md5("|".join(entries).encode()).hexdigest()[:10]
 
 
 def materialized_wire_log(
@@ -71,16 +94,20 @@ def materialized_wire_log(
     it, they never re-create it.  Re-running ``to_json`` over the base
     fixtures on every query would bill fixture *construction* to query time.
     The generator is deterministic (module docstring), so the cache is
-    content-stable; the key includes the fixture dir's absolute path to keep
-    different scale factors / synthetic dirs apart.  Writes go through a
-    temp dir + atomic rename so concurrent callers never see a partial log.
+    content-stable; the key includes the fixture dir's absolute path (keeps
+    scale factors apart) AND an mtime+size fingerprint of the source table
+    (invalidates if the fixtures are regenerated in place).  Writes go
+    through a temp dir + atomic rename so concurrent callers never see a
+    partial log.
     """
     root = _wire_cache_root()
     if root is None:
         return build()
     sf_abs = os.path.abspath(sf_dir)
+    src = _WIRE_SOURCES.get(table)
+    fp = _fixture_fingerprint(os.path.join(sf_abs, src)) if src else "nosrc"
     tag = hashlib.md5(sf_abs.encode()).hexdigest()[:8]
-    path = os.path.join(root, f"{os.path.basename(sf_abs)}-{tag}", table)
+    path = os.path.join(root, f"{os.path.basename(sf_abs)}-{tag}", f"{table}-{fp}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         tmp = f"{path}.tmp-{os.getpid()}"
         # write one file per core: the downstream from_json parse is
