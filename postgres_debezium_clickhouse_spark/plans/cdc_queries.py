@@ -208,6 +208,29 @@ def silver_cross_table_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_deadletter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 on the scoreboard — poison messages (every offset %101==0 is
+    deterministically truncated to invalid JSON) survive the PERMISSIVE
+    parse as NULL payloads and split into the dead-letter side; the good
+    side flows on.  The reference caps this with
+    ``kafka_skip_broken_messages=1`` (clickhouse.sql:20); the engine keeps
+    the poison rows addressable instead of dropping them."""
+    from ..streaming.pipeline import corrupt_filter
+
+    ev = orders_cdc_events(spark, sf_dir)
+    corrupted = ev.withColumn(
+        "value",
+        F.when(F.col("offset") % 101 == 0, F.expr("substring(value, 1, 10)")).otherwise(
+            F.col("value")
+        ),
+    )
+    parsed = parse_envelope(corrupted, ORDERS_ENVELOPE)
+    good, dead = corrupt_filter(parsed)
+    return good.select(F.lit("good").alias("side")).union(
+        dead.select(F.lit("dead").alias("side"))
+    ).groupBy("side").agg(F.count(F.lit(1)).alias("n"))
+
+
 def cdc_bronze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7/P1/P4/S3 — bronze raw-archive projection with Kafka lineage
     (init_clickhouse_raw_tables.sql:28-48), summarized per partition
@@ -227,6 +250,7 @@ QUERIES = {
     "cdc_bronze_stats": cdc_bronze_stats,
     "products_usable_vw": products_usable_vw,
     "silver_cross_table_revenue": silver_cross_table_revenue,
+    "cdc_deadletter_stats": cdc_deadletter_stats,
 }
 
 # ---------------------------------------------------------------------------
@@ -310,6 +334,20 @@ ORACLES = {
                ROUND(SUM(o.o_totalprice), 2) AS revenue
         FROM orders_cur o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment
+    """,
+    "cdc_deadletter_stats": """
+        WITH ev AS (
+            SELECT o_orderkey * 10 + 0 AS offset_num FROM orders
+            UNION ALL SELECT o_orderkey * 10 + 1 FROM orders WHERE o_orderkey % 3 = 0
+            UNION ALL SELECT o_orderkey * 10 + 5 FROM orders WHERE o_orderkey % 3 = 0
+            UNION ALL SELECT o_orderkey * 10 + 2 FROM orders WHERE o_orderkey % 9 = 0
+            UNION ALL SELECT o_orderkey * 10 + 6 FROM orders WHERE o_orderkey % 9 = 0
+            UNION ALL SELECT o_orderkey * 10 + 3 FROM orders WHERE o_orderkey % 7 = 0
+        )
+        SELECT side, CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT CASE WHEN offset_num % 101 = 0 THEN 'dead' ELSE 'good' END AS side
+            FROM ev)
+        GROUP BY side
     """,
     "cdc_bronze_stats": """
         WITH ev AS (
