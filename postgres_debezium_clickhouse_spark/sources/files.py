@@ -89,3 +89,29 @@ def read_typed_json_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.json(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-style partitioned layout (``path/col=value/…``): the directory
+    scheme that makes partition PRUNING possible — a filter on a partition
+    column never touches non-matching directories, the single biggest I/O
+    lever on a date/tenant-partitioned 100 TB table.  Pair with
+    ``cluster_by_key``/``cluster_by_zorder`` INSIDE partitions for
+    row-group skipping on the remaining columns."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def compute_table_stats(spark: SparkSession, tables: list[str], columns: bool = True) -> None:
+    """ANALYZE TABLE for the cost-based optimizer: row counts + (optionally)
+    per-column min/max/ndv/null stats.  At 100 TB this is what lets
+    Catalyst reorder multi-way joins by true selectivity and pick
+    broadcast sides by measured size rather than file-size guesses — run it
+    after large loads/compactions, like the reference relies on
+    ClickHouse's part-level statistics."""
+    for t in tables:
+        if columns:
+            spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR ALL COLUMNS")
+        else:
+            spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS")

@@ -42,3 +42,34 @@ def test_typed_json_file_source_stream(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.read.parquet(str(out)).first().id == 7
+
+
+def test_partitioned_write_enables_partition_pruning(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from postgres_debezium_clickhouse_spark.sources.files import write_partitioned
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("shard")
+    )
+    path = str(tmp_path / "parted")
+    write_partitioned(df, path, ["shard"])
+    read = spark.read.parquet(path).filter(F.col("shard") == "2")
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    # directory-level pruning: the shard filter appears as a PartitionFilter
+    # on the scan, not a post-scan Filter over all partitions
+    assert "PartitionFilters" in plan and "shard" in plan.split("PartitionFilters")[1][:200]
+    assert read.count() == 25
+
+
+def test_compute_table_stats_feeds_cbo(spark, tmp_path):
+    from postgres_debezium_clickhouse_spark.sources.files import compute_table_stats
+
+    spark.range(50).write.mode("overwrite").saveAsTable("stats_probe")
+    try:
+        compute_table_stats(spark, ["stats_probe"], columns=False)
+        desc = spark.sql("DESCRIBE TABLE EXTENDED stats_probe").collect()
+        stats_rows = [r for r in desc if r.col_name == "Statistics"]
+        assert stats_rows and "50 rows" in stats_rows[0].data_type
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stats_probe")
