@@ -107,3 +107,36 @@ def check_violations(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
         out = out.withColumn(name, predicate)
         valid = valid & F.coalesce(predicate, F.lit(False))
     return out.withColumn("__valid", valid)
+
+
+def diff_states(
+    prev: DataFrame,
+    next: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-data-feed between two keyed states: full-outer join on the
+    keys, classify each key as 'c' (new), 'u' (any compared column
+    changed), or 'd' (gone); unchanged keys drop out.  This is the
+    downstream-incrementality primitive ClickHouse gets from cascading
+    materialized views — feed the emitted delta to the next layer instead
+    of recomputing it from the full state.
+
+    One hash shuffle on the keys (the join); at 100 TB run it per
+    partition/bucket so only co-located state compares.  Output: keys +
+    ``change_op`` + the NEXT image of the compared columns (NULL for 'd').
+    """
+    cols = compare_cols or [c for c in next.columns if c not in keys]
+    p = prev.select(*keys, F.struct(*cols).alias("__prev"))
+    n = next.select(*keys, F.struct(*cols).alias("__next"))
+    joined = p.join(n, keys, "full_outer")
+    op = (
+        F.when(F.col("__prev").isNull(), "c")
+        .when(F.col("__next").isNull(), "d")
+        .when(~F.col("__prev").eqNullSafe(F.col("__next")), "u")
+    )
+    return (
+        joined.withColumn("change_op", op)
+        .filter(F.col("change_op").isNotNull())
+        .select(*keys, "change_op", *[F.col(f"__next.{c}").alias(c) for c in cols])
+    )

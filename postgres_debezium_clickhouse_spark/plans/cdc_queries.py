@@ -208,6 +208,36 @@ def silver_cross_table_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two points in the log (operators/
+    transforms.diff_states): the state as of ts ≤ 3e6 (snapshot + first
+    updates) diffed against the final state.  Second updates (%9 keys,
+    ts 3e6+key) surface as 'u' with the new image; deletes (%7 keys,
+    ts 4e6+key) as 'd'; everything else is unchanged and drops out —
+    the delta a downstream layer consumes instead of a full recompute."""
+    from ..operators.transforms import diff_states
+
+    p = F.col("j.payload")
+    events = _orders_parsed(spark, sf_dir).select(
+        F.coalesce(p.after.o_orderkey, p.before.o_orderkey).alias("o_orderkey"),
+        p.after.o_orderstatus.alias("o_orderstatus"),
+        to_float64(p.after.o_totalprice).alias("o_totalprice"),
+        p.op.alias("op"),
+        p.source.ts_ms.alias("ts_ms"),
+        F.col("offset"),
+    )
+    prev = apply_cdc(
+        events.filter(F.col("ts_ms") <= 3_000_000),
+        keys=["o_orderkey"], version_col="ts_ms", tiebreak_col="offset", delete_mode="drop",
+    )
+    nxt = apply_cdc(
+        events, keys=["o_orderkey"], version_col="ts_ms", tiebreak_col="offset", delete_mode="drop"
+    )
+    return diff_states(
+        prev, nxt, keys=["o_orderkey"], compare_cols=["o_orderstatus", "o_totalprice"]
+    )
+
+
 def cdc_deadletter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2 on the scoreboard — poison messages (every offset %101==0 is
     deterministically truncated to invalid JSON) survive the PERMISSIVE
@@ -251,6 +281,7 @@ QUERIES = {
     "products_usable_vw": products_usable_vw,
     "silver_cross_table_revenue": silver_cross_table_revenue,
     "cdc_deadletter_stats": cdc_deadletter_stats,
+    "cdc_change_feed": cdc_change_feed,
 }
 
 # ---------------------------------------------------------------------------
@@ -334,6 +365,17 @@ ORACLES = {
                ROUND(SUM(o.o_totalprice), 2) AS revenue
         FROM orders_cur o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment
+    """,
+    # prev state (ts ≤ 3e6) vs final: %9 keys updated again → 'u' with the
+    # +200/V image; %7 keys deleted → 'd' with NULL image; rest unchanged
+    "cdc_change_feed": """
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'd' ELSE 'u' END AS change_op,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE 'V' END AS o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE CAST(o_totalprice + 200.0 AS DOUBLE) END AS o_totalprice
+        FROM orders
+        WHERE o_orderkey % 7 = 0 OR o_orderkey % 9 = 0
     """,
     "cdc_deadletter_stats": """
         WITH ev AS (

@@ -61,3 +61,17 @@ def test_check_violations(spark):
     ).collect()
     assert [r["__valid"] for r in out] == [True, False, False]
     assert out[1].quantity_pos is False and out[0].price_nonneg is True
+
+
+def test_diff_states_classifies_all_ops(spark):
+    from postgres_debezium_clickhouse_spark.operators.transforms import diff_states
+
+    prev = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["id", "s", "v"]
+    )
+    nxt = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (4, "d", 40.0)], ["id", "s", "v"]
+    )
+    out = {r.id: (r.change_op, r.s) for r in diff_states(prev, nxt, ["id"]).collect()}
+    # 1 unchanged -> absent; 2 updated; 3 deleted (NULL image); 4 created
+    assert out == {2: ("u", "B"), 3: ("d", None), 4: ("c", "d")}
