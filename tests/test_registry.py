@@ -1,0 +1,37 @@
+"""Registry hygiene + scale-contract plan assertions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_query_registry_integrity():
+    """Every oracle key has a query; no module silently shadows another's
+    query name (dict.update would hide the earlier one)."""
+    import __spark_entry__ as m
+
+    seen: dict[str, str] = {}
+    for mod in m._MODULES:
+        for name in mod.QUERIES:
+            assert name not in seen, f"{name} defined in both {seen[name]} and {mod.__name__}"
+            seen[name] = mod.__name__
+        for name in mod.ORACLES:
+            assert name in mod.QUERIES, f"oracle {name} in {mod.__name__} has no query"
+    assert set(m.oracle_sql()) <= set(m.queries())
+
+
+def test_latest_wins_agg_is_map_side_combinable(spark):
+    """Scale contract of the flagship dedup: the agg strategy must plan as
+    partial + final aggregate around ONE key exchange, so only one
+    candidate row per key per map partition crosses the shuffle."""
+    from postgres_debezium_clickhouse_spark.operators.upsert import latest_wins
+
+    df = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (2, "c", 1)], ["id", "v", "ts"]
+    )
+    plan = (
+        latest_wins(df, ["id"], ["ts"])._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    # partial (map-side) max_by before the exchange, final after
+    assert "partial_max_by" in plan or plan.count("max_by") >= 2
