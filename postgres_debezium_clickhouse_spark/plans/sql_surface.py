@@ -119,6 +119,27 @@ def orders_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_trailing_30d_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window with VALUE bounds (not row counts): per customer,
+    the average order price over the trailing 30 days of each order —
+    orders 31+ days back fall out of the frame regardless of how many rows
+    sit between.  Ordered on epoch-days so the range arithmetic is integer
+    and engine-portable."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day.cast("long"))
+        .rangeBetween(-30, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg(_dec("o_totalprice")).over(w).cast("double"), 4).alias("avg_30d"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )
+
+
 # --- set operations ---------------------------------------------------------
 
 
@@ -346,6 +367,7 @@ QUERIES = {
     "sql_in_subquery": sql_in_subquery,
     "sql_scalar_subquery_select": sql_scalar_subquery_select,
     "zorder_customer_locality": zorder_customer_locality,
+    "orders_trailing_30d_avg": orders_trailing_30d_avg,
     "ddl_view_roundtrip": ddl_view_roundtrip,
 }
 
@@ -438,6 +460,15 @@ ORACLES = {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
                COUNT(*) AS n_orders
         FROM orders GROUP BY o_custkey
+    """,
+    "orders_trailing_30d_avg": """
+        SELECT o_custkey, o_orderkey,
+               ROUND(CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE), 4) AS avg_30d,
+               COUNT(*) OVER w AS n_in_window
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY datediff('day', DATE '1970-01-01', o_orderdate)
+                     RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
     """,
     "zorder_customer_locality": f"""
         SELECT c_custkey, CAST({_Z_SQL} AS BIGINT) AS zkey
