@@ -261,6 +261,24 @@ def cdc_deadletter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("side").agg(F.count(F.lit(1)).alias("n"))
 
 
+def cdc_multiplex_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 on the data path — one consumer over MULTIPLE topics (the
+    ``table.include.list`` runtime shape: Debezium emits
+    ``<prefix>.<schema>.<table>`` per table, clickhouse.sql:17): the fan-in
+    union is routed by table name parsed from the topic, summarized per
+    destination table.  At scale this is the one-consumer-many-tables
+    deployment; each routed branch feeds its own silver store."""
+    orders_ev = orders_cdc_events(spark, sf_dir).select("topic", "offset")
+    cust_ev = customer_cdc_events(spark, sf_dir).select("topic", "offset")
+    fanin = orders_ev.unionByName(cust_ev)
+    table = F.element_at(F.split("topic", "\\."), 3)
+    return (
+        fanin.withColumn("dest_table", table)
+        .groupBy("dest_table")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("offset").alias("max_offset"))
+    )
+
+
 def cdc_bronze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7/P1/P4/S3 — bronze raw-archive projection with Kafka lineage
     (init_clickhouse_raw_tables.sql:28-48), summarized per partition
@@ -282,6 +300,7 @@ QUERIES = {
     "silver_cross_table_revenue": silver_cross_table_revenue,
     "cdc_deadletter_stats": cdc_deadletter_stats,
     "cdc_change_feed": cdc_change_feed,
+    "cdc_multiplex_route": cdc_multiplex_route,
 }
 
 # ---------------------------------------------------------------------------
@@ -365,6 +384,20 @@ ORACLES = {
                ROUND(SUM(o.o_totalprice), 2) AS revenue
         FROM orders_cur o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment
+    """,
+    "cdc_multiplex_route": """
+        WITH ev AS (
+            SELECT 'orders' AS dest_table, o_orderkey * 10 + 0 AS off FROM orders
+            UNION ALL SELECT 'orders', o_orderkey * 10 + 1 FROM orders WHERE o_orderkey % 3 = 0
+            UNION ALL SELECT 'orders', o_orderkey * 10 + 5 FROM orders WHERE o_orderkey % 3 = 0
+            UNION ALL SELECT 'orders', o_orderkey * 10 + 2 FROM orders WHERE o_orderkey % 9 = 0
+            UNION ALL SELECT 'orders', o_orderkey * 10 + 6 FROM orders WHERE o_orderkey % 9 = 0
+            UNION ALL SELECT 'orders', o_orderkey * 10 + 3 FROM orders WHERE o_orderkey % 7 = 0
+            UNION ALL SELECT 'customer', c_custkey * 10 FROM customer
+        )
+        SELECT dest_table, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MAX(off) AS BIGINT) AS max_offset
+        FROM ev GROUP BY dest_table
     """,
     # prev state (ts ≤ 3e6) vs final: %9 keys updated again → 'u' with the
     # +200/V image; %7 keys deleted → 'd' with NULL image; rest unchanged
