@@ -177,3 +177,37 @@ def media_byte_stats(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.col("media_meta.media_type").alias("media_type"),
         F.col("media_meta.uri").alias("uri"),
     )
+
+
+def read_media_from_uris(
+    df: DataFrame, uri_col: str = "uri", out_col: str = "media"
+) -> DataFrame:
+    """Fetch out-of-band media blobs by URI — the >1 MB pattern where
+    parquet carries only a pointer (MEDIA_META.uri) and bytes live in an
+    object store.  ``file://`` URIs are read directly (works against any
+    fuse/NFS mount); other schemes raise until a fetcher is wired in.
+
+    mapInPandas so fetches batch per partition and bytes move back
+    Arrow-columnar; partition count should track blob bytes, not rows
+    (repartition upstream by expected size class)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.BinaryType())])
+
+    def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for uri in pdf[uri_col]:
+                if uri is None:
+                    blobs.append(None)
+                elif uri.startswith("file://"):
+                    with open(uri[len("file://"):], "rb") as f:
+                        blobs.append(f.read())
+                else:
+                    raise NotImplementedError(f"no fetcher for scheme of {uri!r}")
+            pdf = pdf.copy()
+            pdf[out_col] = blobs
+            yield pdf
+
+    return df.mapInPandas(_fetch, schema=schema)

@@ -63,3 +63,20 @@ def test_sample_frames_expansion(spark):
     assert [r.frame_index for r in sorted(by_doc[1], key=lambda x: x.frame_index)] == [0, 1]
     # 'abcd' with 2 frames: step 2 → b'ab', b'cd'
     assert [bytes(r.frame) for r in sorted(by_doc[1], key=lambda x: x.frame_index)] == [b"ab", b"cd"]
+
+
+def test_read_media_from_uris_fetches_file_blobs(spark, tmp_path):
+    from postgres_debezium_clickhouse_spark.operators.multimodal import (
+        read_media_from_uris,
+    )
+
+    blobs = {1: b"\x00\x01binary-one", 2: b"\xffsecond"}
+    uris = []
+    for k, b in blobs.items():
+        p = tmp_path / f"blob{k}.bin"
+        p.write_bytes(b)
+        uris.append((k, f"file://{p}"))
+    df = spark.createDataFrame(uris + [(3, None)], ["doc_id", "uri"])
+    out = {r.doc_id: r.media for r in read_media_from_uris(df).collect()}
+    assert bytes(out[1]) == blobs[1] and bytes(out[2]) == blobs[2]
+    assert out[3] is None
