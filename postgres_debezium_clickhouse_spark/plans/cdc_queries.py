@@ -261,6 +261,27 @@ def cdc_deadletter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("side").agg(F.count(F.lit(1)).alias("n"))
 
 
+def cdc_first_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``latest_wins(keep='first')`` — the min_by path: the EARLIEST
+    version per key (first-touch image), the batch form of the streaming
+    first-occurrence dedup (stateful_dedup).  On the orders log the first
+    event per key is always the snapshot read."""
+    from ..operators.upsert import latest_wins
+
+    p = F.col("j.payload")
+    events = _orders_parsed(spark, sf_dir).select(
+        F.coalesce(p.after.o_orderkey, p.before.o_orderkey).alias("o_orderkey"),
+        p.after.o_orderstatus.alias("o_orderstatus"),
+        to_float64(p.after.o_totalprice).alias("o_totalprice"),
+        p.op.alias("op"),
+        p.source.ts_ms.alias("ts_ms"),
+        F.col("offset"),
+    )
+    return latest_wins(events, ["o_orderkey"], ["ts_ms", "offset"], keep="first").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "op", "ts_ms"
+    )
+
+
 def cdc_multiplex_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 on the data path — one consumer over MULTIPLE topics (the
     ``table.include.list`` runtime shape: Debezium emits
@@ -301,6 +322,7 @@ QUERIES = {
     "cdc_deadletter_stats": cdc_deadletter_stats,
     "cdc_change_feed": cdc_change_feed,
     "cdc_multiplex_route": cdc_multiplex_route,
+    "cdc_first_image": cdc_first_image,
 }
 
 # ---------------------------------------------------------------------------
@@ -384,6 +406,13 @@ ORACLES = {
                ROUND(SUM(o.o_totalprice), 2) AS revenue
         FROM orders_cur o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment
+    """,
+    # first event per key = the snapshot read (ts 1e6, unmodified image)
+    "cdc_first_image": """
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+               'r' AS op, CAST(1000000 AS BIGINT) AS ts_ms
+        FROM orders
     """,
     "cdc_multiplex_route": """
         WITH ev AS (

@@ -127,3 +127,12 @@ def test_schema_evolution_additive_both_directions(spark):
     assert set(out) == {1, 2}
     assert out[1].val == "a1" and out[1].val2 is None   # untouched row keeps history
     assert out[2].val2 == "B2" and out[2].val is None   # evolved row, old col NULL
+
+
+def test_latest_wins_keep_first(spark):
+    from postgres_debezium_clickhouse_spark.operators.upsert import latest_wins
+
+    df = spark.createDataFrame(EVENTS, COLS)
+    out = {r.id: r.val for r in latest_wins(df, ["id"], ["ts_ms", "offset"], keep="first").collect()}
+    # min version (then min offset) per key: the creation image everywhere
+    assert out == {1: "a1", 2: "b-lo", 3: "c1", 4: "d1"}
