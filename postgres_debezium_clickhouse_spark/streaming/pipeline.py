@@ -195,6 +195,11 @@ class Pipeline:
         checkpoint: str,
         available_now: bool = False,
     ) -> MaterializedView:
+        """D5 — ``CREATE [OR REPLACE] MATERIALIZED VIEW name TO target AS
+        transform(source)`` (init.sql:31-35): registers the transform as a
+        named streaming query appending to ``target_path``.  Re-registering
+        an existing name stops the old query first (the PUT-reconfigure
+        lifecycle, connect.txt:20-31)."""
         if name in self.views:
             self.views[name].query.stop()
         transformed = transform(source)
