@@ -140,3 +140,18 @@ def diff_states(
         .filter(F.col("change_op").isNotNull())
         .select(*keys, "change_op", *[F.col(f"__next.{c}").alias(c) for c in cols])
     )
+
+
+def apply_change_feed(prev: DataFrame, changes: DataFrame, keys: list[str]) -> DataFrame:
+    """Inverse of ``diff_states``: apply a c/u/d delta to a keyed state.
+    Deleted keys drop, created/updated keys take the delta's image,
+    untouched keys pass through — ``apply_change_feed(prev,
+    diff_states(prev, next, keys), keys) == next`` by construction.
+
+    One broadcast-able semi/anti join pair on the (small) delta plus a
+    union: O(delta) work against the big state, the same
+    touch-only-changed-keys shape as the silver merge."""
+    changed_keys = changes.select(*keys)
+    untouched = prev.join(F.broadcast(changed_keys), keys, "left_anti")
+    replacements = changes.filter(F.col("change_op") != "d").drop("change_op")
+    return untouched.unionByName(replacements)

@@ -75,3 +75,27 @@ def test_diff_states_classifies_all_ops(spark):
     out = {r.id: (r.change_op, r.s) for r in diff_states(prev, nxt, ["id"]).collect()}
     # 1 unchanged -> absent; 2 updated; 3 deleted (NULL image); 4 created
     assert out == {2: ("u", "B"), 3: ("d", None), 4: ("c", "d")}
+
+
+def test_change_feed_round_trip(spark):
+    """Algebraic contract: applying the diff to prev reproduces next."""
+    import random as _random
+
+    from postgres_debezium_clickhouse_spark.operators.transforms import (
+        apply_change_feed,
+        diff_states,
+    )
+
+    rng = _random.Random(7)
+    prev_rows = [(i, rng.choice("abc"), float(rng.randint(0, 5))) for i in range(80)]
+    # next: drop some keys, mutate some, add new ones
+    nxt_rows = [
+        (i, rng.choice("abc"), float(rng.randint(0, 5)))
+        for i in range(80) if rng.random() > 0.2
+    ] + [(i, "new", 1.0) for i in range(100, 110)]
+    prev = spark.createDataFrame(prev_rows, ["id", "s", "v"])
+    nxt = spark.createDataFrame(nxt_rows, ["id", "s", "v"])
+
+    delta = diff_states(prev, nxt, ["id"])
+    rebuilt = apply_change_feed(prev, delta, ["id"])
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, nxt.collect()))
