@@ -66,3 +66,18 @@ def test_asof_tolerance_discards_stale_match(spark):
     }
     assert out[100] is None    # nearest prior quote is 7s old > 5s tolerance
     assert out[200] == 11.0    # 2s old, within tolerance
+
+
+def test_asof_tolerance_requires_right_ts_in_payload(spark):
+    import pytest as _pytest
+
+    right = spark.createDataFrame([(1, _ts(5), 9.0)], "k INT, rts TIMESTAMP, px DOUBLE")
+    left = spark.createDataFrame([(1, _ts(6))], "k INT, lts TIMESTAMP")
+    # right_ts lands in the payload by default; dropping it via on-keys is
+    # impossible here, so exercise the guard with a right frame whose ts
+    # column doubles as a join key (excluded from the payload)
+    with _pytest.raises(ValueError, match="tolerance"):
+        asof_join(
+            left.withColumnRenamed("lts", "rts"), right, on=["k", "rts"],
+            left_ts="rts", right_ts="rts", tolerance_seconds=1,
+        )

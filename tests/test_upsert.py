@@ -136,3 +136,11 @@ def test_latest_wins_keep_first(spark):
     out = {r.id: r.val for r in latest_wins(df, ["id"], ["ts_ms", "offset"], keep="first").collect()}
     # min version (then min offset) per key: the creation image everywhere
     assert out == {1: "a1", 2: "b-lo", 3: "c1", 4: "d1"}
+
+
+def test_apply_cdc_rejects_unknown_delete_mode(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(EVENTS, COLS)
+    with _pytest.raises(ValueError, match="delete_mode"):
+        apply_cdc(df, keys=["id"], delete_mode="purge")
