@@ -222,3 +222,28 @@ def test_failfast_exception_surfaced(spark, dirs):
         pipe.await_all(timeout_s=120)
     assert "boom" in str(ei.value)
     pipe.stop_all()
+
+
+def test_silver_restart_under_same_checkpoint_is_exactly_once(spark, dirs):
+    """T1 for the SILVER sink: stop after batch 1, restart with more data
+    under the same checkpoint — batch 1 is not re-applied, the final state
+    equals the one-shot merge of both batches."""
+    from postgres_debezium_clickhouse_spark.streaming.pipeline import (
+        read_silver,
+        silver_upsert_stream,
+    )
+
+    _write_json(spark, BATCH1, dirs["src"])
+    s1 = spark.readStream.schema(EVENT_SCHEMA).json(dirs["src"])
+    q1 = silver_upsert_stream(s1, dirs["silver"], dirs["ckpt_s"], keys=["id"], available_now=True)
+    q1.awaitTermination(180)
+    assert {r.id: r.val for r in read_silver(spark, dirs["silver"]).collect()} == {
+        1: "a1", 2: "b1", 3: "c1",
+    }
+
+    _write_json(spark, BATCH2, dirs["src"])
+    s2 = spark.readStream.schema(EVENT_SCHEMA).json(dirs["src"])
+    q2 = silver_upsert_stream(s2, dirs["silver"], dirs["ckpt_s"], keys=["id"], available_now=True)
+    q2.awaitTermination(180)
+    state = {r.id: r.val for r in read_silver(spark, dirs["silver"]).collect()}
+    assert state == {1: "a2", 2: "b1", 4: "d1"}  # same as the one-shot run
