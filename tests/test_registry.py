@@ -35,3 +35,30 @@ def test_latest_wins_agg_is_map_side_combinable(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     # partial (map-side) max_by before the exchange, final after
     assert "partial_max_by" in plan or plan.count("max_by") >= 2
+
+
+def test_no_query_plans_a_cartesian_product(spark, sf_dir):
+    """Plan hygiene across the ENTIRE registered surface: no query may
+    plan a CartesianProduct, and BroadcastNestedLoopJoin is allowed only
+    where it is the documented design (brute-force cosine baseline scores
+    every corpus row against a broadcast query set)."""
+    import __spark_entry__ as m
+
+    # side-effecting queries (run streams / write temp data on build)
+    skip_prefixes = ("stream_",)
+    skip = {"synthetic_transactions", "object_store_typed_ingest"}
+    allow_nested_loop = {
+        "similarity_cosine_topk",   # brute-force baseline: broadcast × corpus scan
+        "dedup_embedding_cosine",   # block-join verified within label blocks
+        "recent_orders_interval",   # scalar attach: 1-row broadcast aggregate
+    }
+    checked = 0
+    for name, fn in m.queries().items():
+        if name in skip or name.startswith(skip_prefixes):
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+        if name not in allow_nested_loop:
+            assert "BroadcastNestedLoopJoin" not in plan, f"{name} plans a nested-loop join"
+        checked += 1
+    assert checked > 80
