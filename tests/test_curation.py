@@ -104,3 +104,34 @@ def test_pack_greedy_whole_docs_never_straddle(spark):
     )
     out = {r.doc_id: r.bin_id for r in pack_greedy(docs, budget=5).collect()}
     assert out == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    token_counts=st.lists(st.integers(min_value=1, max_value=12), min_size=1, max_size=30),
+    budget=st.integers(min_value=3, max_value=15),
+)
+def test_pack_greedy_matches_python_reference(spark, token_counts, budget):
+    """Property: the distributed greedy packer agrees with a sequential
+    Python reference on arbitrary doc sizes and budgets (incl. oversized
+    docs and exact-fit boundaries)."""
+    from postgres_debezium_clickhouse_spark.operators.curation import pack_greedy
+
+    docs = spark.createDataFrame(
+        [(i, "x", " ".join(["t"] * n)) for i, n in enumerate(token_counts)],
+        ["doc_id", "lang", "text"],
+    )
+    got = {r.doc_id: r.bin_id for r in pack_greedy(docs, budget=budget).collect()}
+
+    expected, fill, cur = {}, 0, 0
+    for i, n in enumerate(token_counts):
+        if fill and fill + n > budget:
+            cur += 1
+            fill = 0
+        fill += n
+        expected[i] = cur
+    assert got == expected
