@@ -71,3 +71,26 @@ def test_rewrite_mode_matches_model(spark, events):
     df = spark.createDataFrame(phys, COLS)
     got = {r.id: (r.val, r["__deleted"]) for r in apply_cdc(df, keys=["id"], delete_mode="rewrite").collect()}
     assert got == model_final_state(phys, "rewrite")
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=events_strategy)
+def test_agg_and_window_strategies_agree(spark, events):
+    """Internal consistency: the map-side-combinable max_by strategy and
+    the row_number window strategy are two plans for ONE semantics — they
+    must pick identical winners on any log (given the physical invariant
+    of unique (key, ts, offset) slots)."""
+    from postgres_debezium_clickhouse_spark.operators.upsert import latest_wins
+
+    seen, phys = set(), []
+    for ev in events:
+        slot = (ev[0], ev[3], ev[4])
+        if slot not in seen:
+            seen.add(slot)
+            phys.append(ev)
+    df = spark.createDataFrame(phys, COLS)
+    agg = {r.id: (r.val, r.ts_ms, r.offset)
+           for r in latest_wins(df, ["id"], ["ts_ms", "offset"], strategy="agg").collect()}
+    win = {r.id: (r.val, r.ts_ms, r.offset)
+           for r in latest_wins(df, ["id"], ["ts_ms", "offset"], strategy="window").collect()}
+    assert agg == win
