@@ -86,3 +86,43 @@ def test_bronze_projection_filters_empties(spark):
     rows = out.collect()
     assert [r.offset_num for r in rows] == [1]
     assert rows[0].ingestion_time is not None
+
+
+def test_wire_cache_invalidates_when_fixture_changes(spark, tmp_path):
+    """The materialized wire log must rebuild when the base fixture is
+    regenerated in place — path identity alone would serve stale events."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from postgres_debezium_clickhouse_spark.sources.cdc import orders_cdc_events
+
+    fixture_dir = tmp_path / "sfx"
+    fixture_dir.mkdir()
+    src = spark.range(1, 20).select(
+        F.col("id").alias("o_orderkey"),
+        (F.col("id") % 5).alias("o_custkey"),
+        F.lit("O").alias("o_orderstatus"),
+        (F.col("id") * 10.0).alias("o_totalprice"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("o_orderdate"),
+        F.lit("1-URGENT").alias("o_orderpriority"),
+    )
+    src.coalesce(1).write.mode("overwrite").parquet(str(fixture_dir / "orders.parquet"))
+    n1 = orders_cdc_events(spark, str(fixture_dir)).count()
+
+    # regenerate the fixture IN PLACE with more rows
+    src2 = spark.range(1, 40).select(
+        F.col("id").alias("o_orderkey"),
+        (F.col("id") % 5).alias("o_custkey"),
+        F.lit("O").alias("o_orderstatus"),
+        (F.col("id") * 10.0).alias("o_totalprice"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("o_orderdate"),
+        F.lit("1-URGENT").alias("o_orderpriority"),
+    )
+    tmp_out = fixture_dir / "orders_new.parquet"
+    src2.coalesce(1).write.mode("overwrite").parquet(str(tmp_out))
+    shutil.rmtree(fixture_dir / "orders.parquet")
+    tmp_out.rename(fixture_dir / "orders.parquet")
+
+    n2 = orders_cdc_events(spark, str(fixture_dir)).count()
+    assert n2 > n1  # stale cache would have returned n1 again
