@@ -36,18 +36,40 @@ def entry(spark: SparkSession) -> DataFrame:
     return cdc_queries.cdc_current_state(spark, SF0001)
 
 
-_MODULES = (cdc_queries, analytics, sql_surface, llm_queries, ops_queries, staging_queries)
+# Driver-window insurance (standing order): the driver's CORRECTNESS gate
+# evaluates only the FIRST ~50 entries of queries() in registration order,
+# so the least-driver-validated queries must register first.  Rounds 1-2
+# greened: all of cdc_queries + analytics + 14 of sql_surface
+# (CORRECTNESS_r02.json).  _FRONT therefore hoists the 47 never-checked
+# names (sql_surface tail, all llm/ops/staging) plus any new round-3
+# queries into this round's window; previously-green queries keep their
+# r02 record.  When adding a query, insert its name at the TOP of _FRONT.
+_MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries, analytics)
+
+_FRONT = (
+    # sql_surface tail — registered past position 50 in r02's order:
+    "sql_correlated_subquery",
+    "sql_in_subquery",
+    "sql_scalar_subquery_select",
+    "zorder_customer_locality",
+    "orders_trailing_30d_avg",
+    "ddl_view_roundtrip",
+    # llm_queries / ops_queries / staging_queries follow via _MODULES order.
+)
+
+
+def _merge(attr: str) -> dict:
+    merged: dict = {}
+    for mod in _MODULES:
+        merged.update(getattr(mod, attr))
+    out = {n: merged[n] for n in _FRONT if n in merged}
+    out.update((n, v) for n, v in merged.items() if n not in out)
+    return out
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in _MODULES:
-        out.update(mod.QUERIES)
-    return out
+    return _merge("QUERIES")
 
 
 def oracle_sql() -> dict[str, str]:
-    out: dict[str, str] = {}
-    for mod in _MODULES:
-        out.update(mod.ORACLES)
-    return out
+    return _merge("ORACLES")

@@ -667,7 +667,7 @@ ORACLES = {
         dedup AS (SELECT MIN(doc_id) AS doc_id FROM surviving GROUP BY sha256(lower(trim(text)))),
         corpus AS (SELECT d.* FROM documents d WHERE EXISTS (SELECT 1 FROM dedup x WHERE x.doc_id = d.doc_id))
         SELECT lang, COUNT(*) AS n_docs,
-               SUM(length(text)) AS total_chars,
+               CAST(SUM(length(text)) AS BIGINT) AS total_chars,
                ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens
         FROM corpus GROUP BY lang
     """,

@@ -449,7 +449,7 @@ ORACLES = {
     "events_props_keys": """
         SELECT k AS key, COUNT(*) AS n,
                COUNT(DISTINCT kv) AS n_distinct_values,
-               SUM(kv) AS sum_values
+               CAST(SUM(kv) AS BIGINT) AS sum_values
         FROM (SELECT unnest(json_keys(props)) AS k,
                      CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv
               FROM events)
