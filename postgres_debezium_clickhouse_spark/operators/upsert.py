@@ -95,6 +95,7 @@ def apply_cdc(
     delete_mode: str = "drop",
     current: DataFrame | None = None,
     changed_keys_only: bool = True,
+    max_broadcast_keys: int = 1_000_000,
 ) -> DataFrame:
     """S8/T3/T4 — apply a batch of CDC events (and optionally merge into an
     existing silver ``current`` state), producing the new current state.
@@ -108,6 +109,16 @@ def apply_cdc(
     delete_mode='drop'    → deleted keys disappear (init.sql:63).
     delete_mode='rewrite' → deleted keys stay with __deleted=true
                             (abcsvb-connector-secure.json:33-34).
+
+    ``max_broadcast_keys`` bounds the changed-keys semi-join strategy: a
+    steady-state micro-batch has few distinct keys, so broadcasting them is
+    the right plan — but the T5 snapshot/backfill "batch" is the whole
+    table, and an unconditional broadcast of millions of keys OOMs the
+    driver.  When the batch's distinct key count exceeds the limit the join
+    falls back to a plain (shuffle) semi/anti join.  Set 0 to never
+    broadcast.  The deciding ``count()`` is one extra pass over the batch
+    keys — trivial per-trigger, and exactly the backfill case where paying
+    one scan beats a failed broadcast.
     """
     if delete_mode not in ("drop", "rewrite"):
         raise ValueError(f"delete_mode must be drop|rewrite, got {delete_mode!r}")
@@ -120,8 +131,10 @@ def apply_cdc(
             # cost is O(batch), not O(silver).  The untouched remainder is
             # unioned back unchanged (no shuffle on it).
             batch_keys = events.select(*keys).distinct()
-            touched = current.join(F.broadcast(batch_keys), on=keys, how="left_semi")
-            untouched = current.join(F.broadcast(batch_keys), on=keys, how="left_anti")
+            if max_broadcast_keys and batch_keys.count() <= max_broadcast_keys:
+                batch_keys = F.broadcast(batch_keys)
+            touched = current.join(batch_keys, on=keys, how="left_semi")
+            untouched = current.join(batch_keys, on=keys, how="left_anti")
         else:
             touched, untouched = current, None
         # additive schema evolution, both directions (Debezium sources add
@@ -150,10 +163,14 @@ def apply_cdc(
 
     merged = latest_wins(batch, keys, version_order)
 
+    # Null-safe: a caller-supplied current state may lack the op column
+    # (padded with NULL by schema evolution above); NULL != 'd' evaluates
+    # NULL and would silently drop those winning rows under 'drop' / flag
+    # them NULL instead of false under 'rewrite'.
     if delete_mode == "drop":
-        merged = merged.filter(F.col(op_col) != F.lit("d"))
+        merged = merged.filter(~F.col(op_col).eqNullSafe(F.lit("d")))
     else:
-        merged = merged.withColumn(DELETED_FLAG, F.col(op_col) == F.lit("d"))
+        merged = merged.withColumn(DELETED_FLAG, F.col(op_col).eqNullSafe(F.lit("d")))
 
     if untouched is not None:
         if delete_mode == "rewrite" and DELETED_FLAG not in untouched.columns:

@@ -22,14 +22,35 @@ Mapping:
   errors.tolerance=none, abcsvb-connector-secure.json:51-53)
 
 Scale: bronze append is shuffle-free (narrow projection → partitioned
-parquet).  Silver upsert shuffles only the micro-batch by key and merges
-against the keyed silver store via ``apply_cdc(changed_keys_only=True)`` —
-never a full-table rewrite per trigger.
+parquet).  Silver upsert is bounded O(touched) on BOTH sides per trigger:
+the merge *computation* via ``apply_cdc(changed_keys_only=True)`` and the
+merge *write I/O* via the hash-bucketed store — only buckets whose keys
+appear in the batch are re-published; every other bucket's files are
+untouched (the write-side analogue of ReplacingMergeTree merging only
+affected parts, basic_example/clickhouse.sql:51).
+
+Silver store layout (manifest-committed, bucketed)::
+
+    <path>/_manifest.json                      # atomic commit point
+    <path>/__epoch=<v>/__bucket=<b>/part-*.parquet
+
+``_manifest.json`` lists the LIVE data files; each publish writes fresh
+files for the touched buckets under a new ``__epoch`` dir, then atomically
+replaces the manifest (write-temp + ``os.replace``).  Files referenced by
+any committed manifest are never mutated, so a reader that loaded a
+manifest sees a consistent snapshot even while a publish is in flight;
+replaced files stay on disk until ``vacuum_silver`` passes their grace
+period.  The atomic-rename commit is a local-filesystem assumption — on an
+object store, swap ``os.replace`` for a conditional put (or use
+Delta/Iceberg, whose MERGE this layout deliberately mirrors).
 """
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
+import time
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -37,7 +58,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.upsert import apply_cdc, cluster_by_key
+from ..operators.upsert import apply_cdc
 
 
 def bronze_append_stream(
@@ -64,6 +85,94 @@ def bronze_append_stream(
     return writer.start()
 
 
+#: silver-store manifest file name (the atomic commit point).
+MANIFEST = "_manifest.json"
+#: default number of hash buckets for a new silver store.  Per-trigger
+#: write I/O is O(touched buckets); at 100 TB raise this so a single
+#: bucket stays executor-sized (the value is recorded in the manifest at
+#: store creation, so readers/writers never depend on the default).
+DEFAULT_SILVER_BUCKETS = 64
+
+
+def _read_manifest(path: str) -> dict | None:
+    try:
+        with open(os.path.join(path, MANIFEST)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
+
+
+def _write_manifest(path: str, manifest: dict) -> None:
+    """Atomic publish: readers see the old or the new manifest, never a
+    partial one (local-FS ``os.replace``; see module docstring for the
+    object-store variant)."""
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, f".{MANIFEST}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(path, MANIFEST))
+
+
+def _bucket_expr(keys: list[str], n_buckets: int):
+    return F.pmod(F.hash(*keys), F.lit(n_buckets))
+
+
+def _read_live_files(spark: SparkSession, path: str, files: list[str]) -> DataFrame:
+    """Load an explicit live-file set as one DataFrame.  ``basePath`` keeps
+    the ``__epoch``/``__bucket`` partition columns derivable; mergeSchema
+    honors additive schema evolution across epochs (an untouched bucket may
+    predate a column the source added later)."""
+    return (
+        spark.read.option("basePath", path)
+        .option("mergeSchema", "true")
+        .parquet(*[os.path.join(path, f) for f in files])
+        .drop("__epoch", "__bucket")
+    )
+
+
+def _publish_buckets(
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    manifest: dict,
+    replaced_buckets: set[int],
+) -> None:
+    """Write ``df`` as fresh files under a new ``__epoch`` dir (one
+    key-sorted file per bucket — the O1 sparse-index layout within a
+    bucket), then commit: new manifest = old live files minus
+    ``replaced_buckets`` plus the new epoch's files."""
+    epoch = manifest["version"] + 1
+    n_buckets = manifest["n_buckets"]
+    out = (
+        df.withColumn("__bucket", _bucket_expr(keys, n_buckets))
+        .withColumn("__epoch", F.lit(epoch))
+        .repartition("__bucket")
+        .sortWithinPartitions(*keys)
+    )
+    out.write.mode("append").partitionBy("__epoch", "__bucket").parquet(path)
+
+    epoch_dir = os.path.join(path, f"__epoch={epoch}")
+    new_files = []
+    for bucket_dir in sorted(os.listdir(epoch_dir)):
+        full = os.path.join(epoch_dir, bucket_dir)
+        if not bucket_dir.startswith("__bucket=") or not os.path.isdir(full):
+            continue
+        new_files += [
+            f"__epoch={epoch}/{bucket_dir}/{f}"
+            for f in sorted(os.listdir(full))
+            if f.endswith(".parquet")
+        ]
+    kept = [
+        f for f in manifest["files"]
+        if int(f.split("__bucket=")[1].split("/")[0]) not in replaced_buckets
+    ]
+    _write_manifest(path, {
+        "version": epoch,
+        "n_buckets": n_buckets,
+        "files": kept + new_files,
+    })
+
+
 def silver_upsert_stream(
     events: DataFrame,
     path: str,
@@ -73,6 +182,7 @@ def silver_upsert_stream(
     tiebreak_col: str | None = "offset",
     delete_mode: str = "drop",
     available_now: bool = False,
+    n_buckets: int = DEFAULT_SILVER_BUCKETS,
 ) -> StreamingQuery:
     """S8 — the ReplacingMergeTree-equivalent keyed upsert sink: per
     micro-batch, merge the batch into the silver store with latest-wins
@@ -87,6 +197,11 @@ def silver_upsert_stream(
     them (abcsvb-connector-secure.json:33-34).  Use ``read_silver`` (or
     filter ``__deleted`` yourself) to consume the store.
 
+    Per trigger, only the hash buckets containing batch keys are read,
+    merged (``apply_cdc`` bounds the merge computation to touched keys) and
+    re-published; untouched buckets' files are not opened, written, or
+    moved (see the store-layout contract in the module docstring).
+
     foreachBatch because the merge is keyed state over an external store;
     the merge itself is `operators.upsert.apply_cdc` (batch-tested logic —
     streaming is a thin shell, SURVEY §7.3 M4).
@@ -94,9 +209,21 @@ def silver_upsert_stream(
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        current = None
-        if os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path)):
-            current = spark.read.parquet(path)
+        manifest = _read_manifest(path) or {
+            "version": 0, "n_buckets": n_buckets, "files": [],
+        }
+        nb = manifest["n_buckets"]
+        touched = {
+            r[0]
+            for r in batch.select(_bucket_expr(keys, nb).alias("b")).distinct().collect()
+        }
+        if not touched:
+            return  # empty batch: nothing to publish
+        live_touched = [
+            f for f in manifest["files"]
+            if int(f.split("__bucket=")[1].split("/")[0]) in touched
+        ]
+        current = _read_live_files(spark, path, live_touched) if live_touched else None
         merged = apply_cdc(
             batch,
             keys=keys,
@@ -105,18 +232,45 @@ def silver_upsert_stream(
             delete_mode="rewrite",  # tombstones must persist across batches
             current=current,
         )
-        # O1 clustering: key-sorted layout → parquet min/max row-group
-        # skipping for key lookups (the sparse-index equivalent).
-        out = cluster_by_key(merged, keys)
-        tmp = f"{path}__staging_{batch_id}"
-        out.write.mode("overwrite").parquet(tmp)
-        final = spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(path)
+        _publish_buckets(merged, path, keys, manifest, touched)
+        vacuum_silver(path)
 
     writer = events.writeStream.foreachBatch(_merge).option("checkpointLocation", checkpoint)
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def vacuum_silver(path: str, grace_s: float = 600.0) -> int:
+    """Delete data files no committed manifest references anymore, once
+    older than ``grace_s`` (grace covers readers that loaded a previous
+    manifest — their snapshot stays intact for at least that long; the
+    Delta ``VACUUM`` analogue).  Runs automatically after each publish so a
+    long-running stream never accumulates unbounded dead files.  Returns
+    the number of files deleted."""
+    manifest = _read_manifest(path)
+    if manifest is None:
+        return 0
+    live = set(manifest["files"])
+    cutoff = time.time() - grace_s
+    removed = 0
+    for epoch_dir in list(os.listdir(path)):
+        if not epoch_dir.startswith("__epoch="):
+            continue
+        for root, _dirs, files in os.walk(os.path.join(path, epoch_dir)):
+            for f in files:
+                full = os.path.join(root, f)
+                rel = os.path.relpath(full, path)
+                if rel in live or not f.endswith(".parquet"):
+                    continue
+                if os.path.getmtime(full) <= cutoff:
+                    os.remove(full)
+                    removed += 1
+        # prune dirs emptied of data files (ignore _SUCCESS etc. leftovers)
+        for root, dirs, files in os.walk(os.path.join(path, epoch_dir), topdown=False):
+            if not dirs and not any(f.endswith(".parquet") for f in files):
+                shutil.rmtree(root, ignore_errors=True)
+    return removed
 
 
 def compact_silver(
@@ -125,44 +279,56 @@ def compact_silver(
     keys: list[str],
     drop_tombstones_below_version: int | None = None,
     version_col: str = "ts_ms",
+    vacuum_grace_s: float = 600.0,
 ) -> int:
     """The ClickHouse background-merge / ``OPTIMIZE TABLE … FINAL``
-    analogue, run on demand: rewrite the silver store key-clustered
-    (restoring the O1 layout after many incremental merges) and optionally
-    garbage-collect tombstones whose version is older than a replay
-    horizon.
+    analogue, run on demand: re-publish every bucket as a single
+    key-sorted file (restoring the O1 layout after many incremental
+    merges) and optionally garbage-collect tombstones whose version is
+    older than a replay horizon.
 
     Tombstones younger than the horizon MUST stay (they guard against
     late-arriving older versions — see silver_upsert_stream); once the
     source can no longer deliver events older than ``version``, the
     tombstone is dead weight.  Returns the number of rows removed.
-    """
-    from ..operators.upsert import cluster_by_key
 
-    df = spark.read.parquet(path)
+    Commit is the same manifest swap as the streaming publish, so readers
+    holding the previous manifest keep a consistent snapshot until
+    ``vacuum_grace_s`` expires (pass 0 to reclaim space immediately when no
+    concurrent readers exist)."""
+    manifest = _read_manifest(path)
+    if manifest is None:  # legacy flat layout: nothing to compact here
+        raise FileNotFoundError(f"no silver manifest at {path}")
+    df = _read_live_files(spark, path, manifest["files"])
     before = df.count()
     if drop_tombstones_below_version is not None:
         df = df.filter(
             ~(F.col("__deleted") & (F.col(version_col) < drop_tombstones_below_version))
         )
-    compacted = cluster_by_key(df, keys)
-    tmp = f"{path}__compact"
-    compacted.write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    n_after = final.count()
-    final.write.mode("overwrite").parquet(path)
+    n_after = df.count()
+    all_buckets = set(range(manifest["n_buckets"]))
+    _publish_buckets(df, path, keys, manifest, all_buckets)
+    vacuum_silver(path, grace_s=vacuum_grace_s)
     return before - n_after
 
 
 def read_silver(spark: SparkSession, path: str, include_deleted: bool = False) -> DataFrame:
     """Read the silver store written by ``silver_upsert_stream``.
 
+    Loads the last-committed manifest's file set — a consistent snapshot
+    even mid-publish, since committed files are immutable until vacuumed
+    (falls back to a plain directory read for legacy flat stores).
+
     ``include_deleted=False`` = the basic-path drop semantics (init.sql:63);
     True = rewrite semantics with the ``__deleted`` flag exposed
     (abcsvb-connector-secure.json:33-34).  Tombstones always exist in the
     store (see silver_upsert_stream) — this is where the two reference
     delete modes diverge."""
-    df = spark.read.parquet(path)
+    manifest = _read_manifest(path)
+    if manifest is not None:
+        df = _read_live_files(spark, path, manifest["files"])
+    else:
+        df = spark.read.parquet(path)
     if include_deleted:
         return df
     return df.filter(~F.col("__deleted")).drop("__deleted")

@@ -161,11 +161,13 @@ def test_compact_silver_gc_and_layout(spark, dirs):
     stream = spark.readStream.schema(EVENT_SCHEMA).json(dirs["src"])
     q = silver_upsert_stream(stream, dirs["silver"], dirs["ckpt_s"], keys=["id"], available_now=True)
     q.awaitTermination(120)
-    assert spark.read.parquet(dirs["silver"]).count() == 3  # 1 live + 2 tombstones
+    assert read_silver(spark, dirs["silver"], include_deleted=True).count() == 3  # 1 live + 2 tombstones
 
-    removed = compact_silver(spark, dirs["silver"], keys=["id"], drop_tombstones_below_version=200)
+    removed = compact_silver(
+        spark, dirs["silver"], keys=["id"], drop_tombstones_below_version=200, vacuum_grace_s=0
+    )
     assert removed == 1  # only the ts=150 tombstone is past the horizon
-    full = {r.id: r["__deleted"] for r in spark.read.parquet(dirs["silver"]).collect()}
+    full = {r.id: r["__deleted"] for r in read_silver(spark, dirs["silver"], include_deleted=True).collect()}
     assert full == {1: False, 3: True}  # young tombstone retained
     assert read_silver(spark, dirs["silver"]).count() == 1
 
@@ -247,3 +249,106 @@ def test_silver_restart_under_same_checkpoint_is_exactly_once(spark, dirs):
     q2.awaitTermination(180)
     state = {r.id: r.val for r in read_silver(spark, dirs["silver"]).collect()}
     assert state == {1: "a2", 2: "b1", 4: "d1"}  # same as the one-shot run
+
+
+def test_silver_untouched_buckets_not_rewritten(spark, dirs):
+    """The write-side scale contract (VERDICT r2 #2): a trigger re-publishes
+    ONLY buckets containing batch keys — every other bucket's files keep
+    the same path, size, and mtime (never opened for write)."""
+    import json as _json
+    import os as _os
+
+    from postgres_debezium_clickhouse_spark.streaming.pipeline import (
+        read_silver,
+        silver_upsert_stream,
+    )
+
+    def _stats(path, files):
+        return {
+            f: (_os.path.getsize(_os.path.join(path, f)),
+                _os.path.getmtime(_os.path.join(path, f)))
+            for f in files
+        }
+
+    def _manifest(path):
+        with open(_os.path.join(path, "_manifest.json")) as fh:
+            return _json.load(fh)
+
+    _write_json(spark, BATCH1, dirs["src"])
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(dirs["src"])
+    q = silver_upsert_stream(stream, dirs["silver"], dirs["ckpt_s"], keys=["id"], available_now=True)
+    q.awaitTermination(120)
+    m1 = _manifest(dirs["silver"])
+    nb = m1["n_buckets"]
+    bucket_of = {
+        r.id: r.b
+        for r in spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], ["id"])
+        .select("id", F.pmod(F.hash("id"), F.lit(nb)).alias("b")).collect()
+    }
+    # precondition: key 1 does not share a bucket with every other key
+    untouched_keys = [k for k in (2, 3) if bucket_of[k] != bucket_of[1]]
+    assert untouched_keys, "hash collision across all keys; vary test ids"
+    before = _stats(dirs["silver"], m1["files"])
+
+    # second trigger touches ONLY key 1
+    _write_json(spark, [(1, "a2", "u", 200, 11)], dirs["src"])
+    stream2 = spark.readStream.schema(EVENT_SCHEMA).json(dirs["src"])
+    q2 = silver_upsert_stream(stream2, dirs["silver"], dirs["ckpt_s"], keys=["id"], available_now=True)
+    q2.awaitTermination(120)
+    m2 = _manifest(dirs["silver"])
+
+    touched_bucket = bucket_of[1]
+    for f in m1["files"]:
+        b = int(f.split("__bucket=")[1].split("/")[0])
+        if b == touched_bucket:
+            assert f not in m2["files"]  # replaced by a new epoch file
+        else:
+            assert f in m2["files"]      # carried over verbatim
+            assert _stats(dirs["silver"], [f])[f] == before[f]  # same bytes on disk
+    assert {r.id: r.val for r in read_silver(spark, dirs["silver"]).collect()} == {
+        1: "a2", 2: "b1", 3: "c1"
+    }
+
+
+def test_silver_snapshot_reads_survive_publish_and_vacuum(spark, dirs):
+    """Concurrent-reader contract (VERDICT r2 #6): a reader that loaded the
+    manifest before a publish still reads its full consistent snapshot
+    afterwards (committed files are immutable until vacuum grace expires);
+    vacuum(grace=0) then reclaims the dead files without disturbing the
+    live state."""
+    import json as _json
+    import os as _os
+
+    from postgres_debezium_clickhouse_spark.streaming.pipeline import (
+        _read_live_files,
+        read_silver,
+        silver_upsert_stream,
+        vacuum_silver,
+    )
+
+    _write_json(spark, BATCH1, dirs["src"])
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(dirs["src"])
+    q = silver_upsert_stream(stream, dirs["silver"], dirs["ckpt_s"], keys=["id"], available_now=True)
+    q.awaitTermination(120)
+    with open(_os.path.join(dirs["silver"], "_manifest.json")) as fh:
+        old_manifest = _json.load(fh)
+
+    _write_json(spark, BATCH2, dirs["src"])
+    stream2 = spark.readStream.schema(EVENT_SCHEMA).json(dirs["src"])
+    q2 = silver_upsert_stream(stream2, dirs["silver"], dirs["ckpt_s"], keys=["id"], available_now=True)
+    q2.awaitTermination(120)
+
+    # old-manifest reader: exact pre-publish snapshot, no partial state
+    old_snap = _read_live_files(spark, dirs["silver"], old_manifest["files"])
+    assert {r.id: r.val for r in old_snap.collect()} == {1: "a1", 2: "b1", 3: "c1"}
+    # new reader: post-publish state
+    assert {r.id: r.val for r in read_silver(spark, dirs["silver"]).collect()} == {
+        1: "a2", 2: "b1", 4: "d1"
+    }
+
+    removed = vacuum_silver(dirs["silver"], grace_s=0)
+    assert removed > 0  # the replaced epoch-1 files are reclaimed
+    assert {r.id: r.val for r in read_silver(spark, dirs["silver"]).collect()} == {
+        1: "a2", 2: "b1", 4: "d1"
+    }
+    assert vacuum_silver(dirs["silver"], grace_s=0) == 0  # idempotent

@@ -144,3 +144,40 @@ def test_apply_cdc_rejects_unknown_delete_mode(spark):
     df = spark.createDataFrame(EVENTS, COLS)
     with _pytest.raises(ValueError, match="delete_mode"):
         apply_cdc(df, keys=["id"], delete_mode="purge")
+
+
+def test_backfill_batch_falls_back_to_shuffle_semi_join(spark):
+    """T5 guard — a snapshot/backfill 'batch' (whole-table scale) must not
+    broadcast its key set: with the threshold forced low the plan uses a
+    shuffle semi/anti join (no BroadcastExchange), results unchanged."""
+    current = spark.createDataFrame(
+        [(i, f"old{i}", "c", 50, i) for i in range(1, 8)], COLS
+    )
+    batch = spark.createDataFrame(
+        [(i, f"new{i}", "u", 500, 100 + i) for i in range(1, 6)], COLS
+    )
+    kw = dict(keys=["id"], version_col="ts_ms", tiebreak_col="offset", current=current)
+    small = apply_cdc(batch, **kw)                          # broadcast path
+    big = apply_cdc(batch, max_broadcast_keys=0, **kw)      # forced shuffle path
+    assert "BroadcastExchange" not in big._jdf.queryExecution().executedPlan().toString()
+    assert {tuple(r) for r in big.collect()} == {tuple(r) for r in small.collect()}
+    got = {r.id: r.val for r in big.collect()}
+    assert got == {1: "new1", 2: "new2", 3: "new3", 4: "new4", 5: "new5",
+                   6: "old6", 7: "old7"}
+
+
+def test_delete_drop_null_op_rows_survive(spark):
+    """A caller-supplied current state without an op column is padded with
+    NULL op; NULL != 'd' is NULL in SQL, so a non-null-safe filter would
+    silently drop those winning rows (ADVICE r2)."""
+    current = spark.createDataFrame([(1, "keep", 100, 1)], ["id", "val", "ts_ms", "offset"])
+    batch = spark.createDataFrame([(2, "new", "c", 200, 2)], COLS)
+    out = apply_cdc(batch, keys=["id"], version_col="ts_ms",
+                    tiebreak_col="offset", current=current, delete_mode="drop")
+    got = {r.id: r.val for r in out.collect()}
+    assert got == {1: "keep", 2: "new"}
+    # rewrite mode: NULL op must flag False, not NULL
+    out2 = apply_cdc(batch, keys=["id"], version_col="ts_ms",
+                     tiebreak_col="offset", current=current, delete_mode="rewrite")
+    flags = {r.id: r["__deleted"] for r in out2.collect()}
+    assert flags == {1: False, 2: False}
