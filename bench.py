@@ -36,6 +36,9 @@ HEADLINE = [
     "dedup_minhash_lsh",      # LLM: banded near-dup
     "similarity_cosine_topk", # LLM: brute-force ANN baseline
     "text_quality_score",     # LLM: text analysis
+    "dedup_clusters",         # LLM: iterative label propagation (plan-unusual)
+    "pack_greedy",            # LLM: applyInPandas Arrow path
+    "similarity_ann_ivf_topk",  # LLM: IVF probe (16-literal argmin projection)
 ]
 
 
