@@ -197,17 +197,20 @@ def connected_components(
             .agg(F.min("nbr_label").alias("nbr_min"))
             .select(F.col("a").alias("node"), "nbr_min")
         )
-        new_labels = (
+        # carry the old label through the same join so the convergence
+        # check needs no second join — one scalar count on the
+        # checkpointed frame per round
+        merged = (
             labels.join(nbr_min, "node", "left")
-            .select("node", F.least("label", F.coalesce("nbr_min", "label")).alias("label"))
+            .select(
+                "node",
+                F.col("label").alias("__old"),
+                F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            labels.join(new_labels.withColumnRenamed("label", "new_label"), "node")
-            .filter(F.col("label") != F.col("new_label"))
-            .count()
-        )
-        labels = new_labels
+        changed = merged.filter(F.col("__old") != F.col("label")).count()
+        labels = merged.drop("__old")
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("component"))

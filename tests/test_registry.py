@@ -62,3 +62,17 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
             assert "BroadcastNestedLoopJoin" not in plan, f"{name} plans a nested-loop join"
         checked += 1
     assert checked > 80
+
+
+def test_every_oracle_is_engine_portable():
+    """No oracle may emit a type Spark cannot hash-match (DuckDB HUGEINT
+    from bare integer SUM, unsigned ints) — the r2 events_props_keys trap.
+    Runs the same type-precise audit as scripts/audit_oracles.py."""
+    import importlib.util
+    import pathlib
+
+    script = pathlib.Path(__file__).resolve().parents[1] / "scripts" / "audit_oracles.py"
+    spec = importlib.util.spec_from_file_location("audit_oracles", script)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.audit() == []
