@@ -47,6 +47,10 @@ def entry(spark: SparkSession) -> DataFrame:
 _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries, analytics)
 
 _FRONT = (
+    # new in round 3 — never driver-checked:
+    "corpus_domain_mix",
+    "token_length_histogram",
+    "chunk_sliding_windows",
     # sql_surface tail — registered past position 50 in r02's order:
     "sql_correlated_subquery",
     "sql_in_subquery",

@@ -202,3 +202,94 @@ def contamination_check(
             (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def domain_mix_weights(
+    documents: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain sampling weights that would rebalance the corpus to a
+    UNIFORM token share per domain — the mixture-weighting step every
+    pretraining corpus goes through (oversample scarce domains, downsample
+    dominant ones); any target distribution is this output times the
+    target shares.
+
+    Scale: one map-side-combinable aggregation (|domains| rows cross the
+    shuffle), then a scalar-total broadcast window over those |domains|
+    rows — nothing here grows with corpus size.  Weight arithmetic uses a
+    single integer→double division so the oracle is bit-identical.
+    """
+    n_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
+    per = documents.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens).alias("total_tokens"),
+    )
+    w = Window.partitionBy()
+    grand = F.sum("total_tokens").over(w)
+    k = F.count(F.lit(1)).over(w)
+    return per.select(
+        F.col(domain_col),
+        F.col("n_docs"),
+        F.col("total_tokens"),
+        F.round(F.col("total_tokens") / grand, 6).alias("token_share"),
+        # uniform-target weight = (grand/k)/total, as ONE division
+        F.round(grand / (k * F.col("total_tokens")), 6).alias("mix_weight"),
+    )
+
+
+def token_length_histogram(
+    documents: DataFrame,
+    bin_tokens: int = 64,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence-length distribution in fixed ``bin_tokens`` bins — the
+    packing/truncation diagnostic (how much of the corpus fits a context
+    window; what padding waste a given seq-len costs).
+
+    Scale: a two-column map-side-combinable groupBy; ~(max_len/bin) rows
+    total.  Bins use ``floor(n/bin)`` on exact integers — portable."""
+    n = F.size(F.split(F.col(text_col), " ")).cast("long")
+    return (
+        documents.select((F.floor(n / bin_tokens) * bin_tokens).alias("bin_start"), n.alias("n"))
+        .groupBy("bin_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("total_tokens"),
+            F.min("n").alias("min_tokens"),
+            F.max("n").alias("max_tokens"),
+        )
+    )
+
+
+def sliding_window_chunks(
+    documents: DataFrame,
+    window_tokens: int = 64,
+    stride: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping fixed-size token windows per document (window 64,
+    stride 32 by default) — the standard chunker for long-document
+    pretraining / retrieval indexing, where hard cuts at chunk boundaries
+    lose cross-boundary context.  Emits one row per (doc, window) with the
+    window's token count and an md5 content fingerprint (portable to the
+    oracle; downstream dedup/indexing operates on the fingerprint).
+
+    Scale: pure narrow ops — split, ``sequence`` of start offsets,
+    ``posexplode``, ``slice`` — all whole-stage codegen, no shuffle at all;
+    output is ~len/stride rows per doc, produced streaming per partition.
+    """
+    tk = F.split(F.col(text_col), " ")
+    starts = F.sequence(F.lit(0), F.greatest(F.size(tk) - 1, F.lit(0)), F.lit(stride))
+    chunk = F.slice(F.col("tk"), F.col("start") + 1, window_tokens)
+    return (
+        documents.select(F.col(id_col), tk.alias("tk"), F.posexplode(starts).alias("chunk_id", "start"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_id"),
+            F.col("start").cast("long").alias("start_token"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+        )
+    )

@@ -20,11 +20,14 @@ from ..operators.dedup import (
 )
 from ..operators.curation import (
     contamination_check,
+    domain_mix_weights,
     hash_split,
     pack_chunks,
     pack_greedy,
     pii_scrub,
+    sliding_window_chunks,
     stratified_sample,
+    token_length_histogram,
 )
 from ..operators.multimodal import (
     attach_fake_media,
@@ -288,7 +291,27 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform-target domain mixture weights over the documents corpus."""
+    return domain_mix_weights(load_table(spark, sf_dir, "documents"))
+
+
+def q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution (64-token bins) — packing diagnostics."""
+    return token_length_histogram(load_table(spark, sf_dir, "documents"))
+
+
+def q_chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64/32 token windows per doc with portable md5
+    fingerprints — the long-document chunker."""
+    return sliding_window_chunks(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
+    "corpus_domain_mix": q_domain_mix,
+    "token_length_histogram": q_token_length_histogram,
+    "chunk_sliding_windows": q_chunk_sliding_windows,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
@@ -354,6 +377,37 @@ _MINHASH_PAIR_CTES = """sig AS (SELECT doc_id, ts,
               FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id)"""
 
 ORACLES = {
+    "corpus_domain_mix": """
+        WITH per AS (SELECT source, COUNT(*) AS n_docs,
+                            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+                     FROM documents GROUP BY source)
+        SELECT source, n_docs, total_tokens,
+               ROUND(total_tokens / SUM(total_tokens) OVER (), 6) AS token_share,
+               ROUND(SUM(total_tokens) OVER ()
+                     / (COUNT(*) OVER () * total_tokens), 6) AS mix_weight
+        FROM per
+    """,
+    "token_length_histogram": """
+        WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents)
+        SELECT CAST(FLOOR(n / 64) * 64 AS BIGINT) AS bin_start,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS total_tokens,
+               MIN(n) AS min_tokens,
+               MAX(n) AS max_tokens
+        FROM t GROUP BY 1
+    """,
+    "chunk_sliding_windows": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        s AS (SELECT doc_id, tk,
+                     unnest(range(0, greatest(len(tk) - 1, 0) + 1, 32)) AS start
+              FROM t)
+        SELECT doc_id,
+               CAST(FLOOR(start / 32) AS INTEGER) AS chunk_id,
+               CAST(start AS BIGINT) AS start_token,
+               CAST(len(list_slice(tk, start + 1, start + 64)) AS BIGINT) AS n_tokens,
+               md5(array_to_string(list_slice(tk, start + 1, start + 64), ' ')) AS chunk_md5
+        FROM s
+    """,
     "dedup_exact": """
         SELECT MIN(doc_id) AS doc_id, sha256(lower(trim(text))) AS text_hash
         FROM documents GROUP BY sha256(lower(trim(text)))

@@ -135,3 +135,48 @@ def test_pack_greedy_matches_python_reference(spark, token_counts, budget):
         fill += n
         expected[i] = cur
     assert got == expected
+
+
+def test_domain_mix_weights_uniform_target(spark):
+    from postgres_debezium_clickhouse_spark.operators.curation import domain_mix_weights
+
+    # srcA: 2 docs x 4 tokens = 8; srcB: 1 doc x 2 tokens = 2; grand = 10
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "srcA"), (2, "e f g h", "srcA"), (3, "i j", "srcB")],
+        ["doc_id", "text", "source"],
+    )
+    got = {r.source: r for r in domain_mix_weights(docs).collect()}
+    assert got["srcA"].n_docs == 2 and got["srcA"].total_tokens == 8
+    assert got["srcA"].token_share == 0.8 and got["srcB"].token_share == 0.2
+    # uniform target = 5 tokens/domain: srcA downsampled, srcB oversampled
+    assert got["srcA"].mix_weight == 0.625   # 5/8
+    assert got["srcB"].mix_weight == 2.5     # 5/2
+
+
+def test_token_length_histogram_bins(spark):
+    from postgres_debezium_clickhouse_spark.operators.curation import token_length_histogram
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["w"] * 10)), (2, " ".join(["w"] * 63)),
+         (3, " ".join(["w"] * 64)), (4, " ".join(["w"] * 200))],
+        ["doc_id", "text"],
+    )
+    got = {r.bin_start: r for r in token_length_histogram(docs).collect()}
+    assert set(got) == {0, 64, 192}
+    assert got[0].n_docs == 2 and got[0].min_tokens == 10 and got[0].max_tokens == 63
+    assert got[64].n_docs == 1 and got[192].total_tokens == 200
+
+
+def test_sliding_window_chunks_overlap_and_tail(spark):
+    from postgres_debezium_clickhouse_spark.operators.curation import sliding_window_chunks
+
+    toks = [f"t{i}" for i in range(100)]
+    docs = spark.createDataFrame([(1, " ".join(toks)), (2, "only three words")], ["doc_id", "text"])
+    rows = sliding_window_chunks(docs, window_tokens=64, stride=32).collect()
+    d1 = sorted([r for r in rows if r.doc_id == 1], key=lambda r: r.chunk_id)
+    # starts 0, 32, 64, 96 → windows of 64, 64, 36, 4 tokens
+    assert [(r.start_token, r.n_tokens) for r in d1] == [(0, 64), (32, 64), (64, 36), (96, 4)]
+    # consecutive windows overlap by window-stride tokens
+    assert d1[0].chunk_id == 0 and d1[1].start_token - d1[0].start_token == 32
+    d2 = [r for r in rows if r.doc_id == 2]
+    assert len(d2) == 1 and d2[0].n_tokens == 3  # shorter than one window
