@@ -183,6 +183,7 @@ def silver_upsert_stream(
     delete_mode: str = "drop",
     available_now: bool = False,
     n_buckets: int = DEFAULT_SILVER_BUCKETS,
+    max_broadcast_keys: int = 1_000_000,
 ) -> StreamingQuery:
     """S8 — the ReplacingMergeTree-equivalent keyed upsert sink: per
     micro-batch, merge the batch into the silver store with latest-wins
@@ -231,6 +232,10 @@ def silver_upsert_stream(
             tiebreak_col=tiebreak_col,
             delete_mode="rewrite",  # tombstones must persist across batches
             current=current,
+            # replayed-backfill triggers (availableNow over a whole bronze
+            # archive, T5) can be table-sized: let apply_cdc fall back to a
+            # shuffle semi-join past the threshold
+            max_broadcast_keys=max_broadcast_keys,
         )
         _publish_buckets(merged, path, keys, manifest, touched)
         vacuum_silver(path)

@@ -352,3 +352,28 @@ def test_silver_snapshot_reads_survive_publish_and_vacuum(spark, dirs):
         1: "a2", 2: "b1", 4: "d1"
     }
     assert vacuum_silver(dirs["silver"], grace_s=0) == 0  # idempotent
+
+
+def test_silver_stream_backfill_threshold_same_state(spark, dirs):
+    """T5 through the streaming sink: with the broadcast threshold forced
+    to 0 (every merge takes the shuffle semi-join path) the final silver
+    state is identical to the default broadcast path."""
+    from postgres_debezium_clickhouse_spark.streaming.pipeline import (
+        read_silver,
+        silver_upsert_stream,
+    )
+
+    _write_json(spark, BATCH1, dirs["src"])
+    _write_json(spark, BATCH2, dirs["src"])
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(dirs["src"])
+    )
+    q = silver_upsert_stream(
+        stream, dirs["silver"], dirs["ckpt_s"], keys=["id"],
+        available_now=True, max_broadcast_keys=0,
+    )
+    q.awaitTermination(180)
+    state = {r.id: r.val for r in read_silver(spark, dirs["silver"]).collect()}
+    assert state == {1: "a2", 2: "b1", 4: "d1"}
