@@ -181,3 +181,78 @@ def fingerprint(documents: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
     fp = F.expr(f"array_join(slice(array_sort(transform(__sh, s -> md5(s))), 1, {n}), '')")
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def commonness_score(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document token-commonness: the mean corpus document-frequency
+    ratio over the document's DISTINCT tokens — a perplexity proxy built
+    from exact integer counts (no ``log``, so the oracle is bit-exact).
+    Low score = tokens few other documents use (gibberish, code dumps,
+    boilerplate IDs); high = everyday vocabulary.
+
+    Plan: explode distinct tokens → vocabulary-sized df table (map-side
+    combinable, broadcastable at any corpus scale) → join back → one
+    grouped AVG.  Same shape as TF-IDF minus the window."""
+    toks = documents.select(
+        F.col(id_col), F.explode(F.array_distinct(_tokens(text_col))).alias("token")
+    )
+    df_ = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.count()
+    return (
+        toks.join(F.broadcast(df_), "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            # = AVG(df/n_docs), but as ONE division over exact integer
+            # sums — no float-summation-order sensitivity in the oracle
+            F.round(
+                F.sum("df") / (F.count(F.lit(1)) * F.lit(n_docs)), 6
+            ).alias("commonness"),
+        )
+    )
+
+
+def adaptive_length_threshold(
+    documents: DataFrame,
+    pct_num: int = 1,
+    pct_den: int = 10,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum adaptive quality cutoff: the token-count value at the
+    ``pct_num/pct_den`` order statistic (default P10), plus how many
+    documents fall below it — fixed global thresholds misfire when corpora
+    mix languages/domains with different natural lengths.
+
+    The order statistic is DISCRETE (the value at integer index
+    ``ceil(n·p)``, computed with integer arithmetic) — deliberately not an
+    interpolating percentile, whose float interpolation is not
+    engine-portable.  One window per stratum (rank by token count) + one
+    grouped agg; at 100 TB shard the stratum finer (lang×source) if one
+    stratum exceeds a single executor's window capacity."""
+    from pyspark.sql import Window
+
+    n = F.size(_tokens(text_col)).cast("long")
+    d = documents.select(F.col(id_col), F.col(stratum_col), n.alias("n_tokens"))
+    w = Window.partitionBy(stratum_col).orderBy(F.col("n_tokens").asc(), F.col(id_col).asc())
+    ranked = d.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__cnt", F.count(F.lit(1)).over(Window.partitionBy(stratum_col))
+    )
+    # ceil(cnt·num/den) in exact integer arithmetic
+    idx = F.floor((F.col("__cnt") * pct_num + (pct_den - 1)) / pct_den)
+    thresholds = (
+        ranked.filter(F.col("__rn") == F.greatest(idx, F.lit(1)))
+        .select(F.col(stratum_col), F.col("n_tokens").alias("threshold_tokens"))
+    )
+    return (
+        d.join(thresholds, stratum_col)
+        .groupBy(stratum_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.first("threshold_tokens").alias("threshold_tokens"),
+            F.sum((F.col("n_tokens") < F.col("threshold_tokens")).cast("long")).alias("n_below"),
+        )
+    )

@@ -44,6 +44,8 @@ from ..operators.similarity import (
     lsh_ann_topk,
 )
 from ..operators.text import (
+    adaptive_length_threshold,
+    commonness_score,
     fingerprint,
     language_id,
     quality_score,
@@ -308,6 +310,43 @@ def q_chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_window_chunks(load_table(spark, sf_dir, "documents"))
 
 
+
+def q_text_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-commonness (mean corpus df ratio over distinct tokens) — the
+    log-free perplexity proxy."""
+    return commonness_score(load_table(spark, sf_dir, "documents"))
+
+
+def q_quality_adaptive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language P10 token-count cutoff via discrete order statistics
+    (engine-portable integer index, no interpolating percentile)."""
+    return adaptive_length_threshold(load_table(spark, sf_dir, "documents"))
+
+
+def q_similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: per-query recall@5 of sign-LSH retrieval
+    against the brute-force exact top-5 — the metric that decides whether
+    an ANN index is good enough to replace the exact scan at 100 TB.  Both
+    sides reuse the oracle-checked operators; the exact side is the small
+    query set, so the comparison joins k·|queries| rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    exact = cosine_topk(corpus, queries, k=5).select("query_id", "neighbor_id")
+    approx = lsh_ann_topk(corpus, queries, k=5, n_planes=4).select(
+        "query_id", "neighbor_id"
+    ).withColumn("__hit", F.lit(1))
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_hits"),
+            F.round(F.sum(F.coalesce("__hit", F.lit(0))) / F.count(F.lit(1)), 6).alias("recall"),
+        )
+    )
+
+
 QUERIES = {
     "corpus_domain_mix": q_domain_mix,
     "token_length_histogram": q_token_length_histogram,
@@ -343,6 +382,10 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "multimodal_thumbnails": q_multimodal_thumbnails,
     "multimodal_frames": q_multimodal_frames,
+    # round-3 additions past the driver window — front these in round 4:
+    "text_commonness": q_text_commonness,
+    "quality_adaptive_filter": q_quality_adaptive_filter,
+    "similarity_lsh_recall": q_similarity_lsh_recall,
 }
 
 # ---------------------------------------------------------------------------
@@ -377,6 +420,71 @@ _MINHASH_PAIR_CTES = """sig AS (SELECT doc_id, ts,
               FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id)"""
 
 ORACLES = {
+    "text_commonness": """
+        WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+                      FROM documents),
+        dfreq AS (SELECT token, COUNT(*) AS df FROM toks GROUP BY token),
+        nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT t.doc_id,
+               COUNT(*) AS n_distinct_tokens,
+               ROUND(SUM(d.df) * 1.0 / (COUNT(*) * nd.n_docs), 6) AS commonness
+        FROM toks t JOIN dfreq d USING (token) CROSS JOIN nd
+        GROUP BY t.doc_id, nd.n_docs
+    """,
+    "quality_adaptive_filter": """
+        WITH d AS (SELECT doc_id, lang,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                   FROM documents),
+        ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY n_tokens ASC, doc_id ASC) AS rn,
+                      COUNT(*) OVER (PARTITION BY lang) AS cnt
+                   FROM d),
+        thr AS (SELECT lang, n_tokens AS threshold_tokens FROM ranked
+                WHERE rn = GREATEST(CAST(FLOOR((cnt * 1 + 9) / 10) AS BIGINT), 1))
+        SELECT d.lang, COUNT(*) AS n_docs,
+               MIN(t.threshold_tokens) AS threshold_tokens,
+               CAST(SUM(CASE WHEN d.n_tokens < t.threshold_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_below
+        FROM d JOIN thr t USING (lang)
+        GROUP BY d.lang
+    """,
+    "similarity_lsh_recall": """
+        WITH planes AS (
+            SELECT i, list_transform(range(64), j ->
+                (('0x' || substr(md5(i || ',' || j), 1, 8))::BIGINT / 4294967296.0) * 2 - 1) AS pv
+            FROM range(4) t(i)),
+        e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+        b AS (SELECT e.vec_id,
+                     CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+                              THEN (1 << p.i) ELSE 0 END) AS BIGINT) AS bucket
+              FROM e CROSS JOIN planes p GROUP BY e.vec_id),
+        q AS (SELECT e.vec_id AS query_id, e.v AS qv, b.bucket
+              FROM e JOIN b USING (vec_id) WHERE vec_id < 5),
+        c AS (SELECT e.vec_id, e.v AS cv, b.bucket
+              FROM e JOIN b USING (vec_id) WHERE vec_id >= 5),
+        sa AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                      ROUND(list_dot_product(qv, cv)
+                            / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+               FROM q JOIN c USING (bucket)),
+        ra AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM sa),
+        approx AS (SELECT query_id, neighbor_id FROM ra WHERE rnk <= 5),
+        qx AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        cx AS (SELECT vec_id, v AS cv FROM e WHERE vec_id >= 5),
+        sx AS (SELECT qx.query_id, cx.vec_id AS neighbor_id,
+                      ROUND(list_dot_product(qv, cv)
+                            / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+               FROM qx CROSS JOIN cx),
+        rx AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM sx),
+        exact AS (SELECT query_id, neighbor_id FROM rx WHERE rnk <= 5)
+        SELECT x.query_id, COUNT(*) AS n_exact,
+               CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+               ROUND(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS recall
+        FROM exact x LEFT JOIN approx a
+             ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+        GROUP BY x.query_id
+    """,
     "corpus_domain_mix": """
         WITH per AS (SELECT source, COUNT(*) AS n_docs,
                             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens

@@ -51,6 +51,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "similarity_cosine_topk",   # brute-force baseline: broadcast × corpus scan
         "dedup_embedding_cosine",   # block-join verified within label blocks
         "recent_orders_interval",   # scalar attach: 1-row broadcast aggregate
+        "similarity_lsh_recall",    # embeds the brute-force exact side as ground truth
     }
     checked = 0
     for name, fn in m.queries().items():

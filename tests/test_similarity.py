@@ -116,3 +116,15 @@ def test_embedding_near_dups_blocked_by_label(spark):
     pairs = {(r.vec_a, r.vec_b) for r in out}
     assert (1, 2) in pairs       # same label, cosine ~0.994
     assert (1, 5) not in pairs   # identical vectors but different label block
+
+
+def test_lsh_recall_bounds_and_exact_self(spark, sf_dir):
+    """Recall@k is in [0,1] per query; every hit the LSH returns that is
+    also in the exact top-k counts once; n_exact == k."""
+    import __spark_entry__ as m
+
+    rows = m.queries()["similarity_lsh_recall"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.n_exact == 5 and 0 <= r.n_hits <= 5
+        assert r.recall == round(r.n_hits / r.n_exact, 6)

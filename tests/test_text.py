@@ -98,3 +98,33 @@ def test_tfidf_rare_term_outranks_common(spark):
     top = {r.doc_id: r.token for r in tfidf_top_terms(docs, k=1).collect()}
     # 'common' appears in every doc (idf=0); the doc-unique term wins
     assert top[1] == "rare"
+
+
+def test_commonness_score_ranks_everyday_vocab(spark):
+    from postgres_debezium_clickhouse_spark.operators.text import commonness_score
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog sat"), (3, "zqx jkl vvv")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in commonness_score(docs).collect()}
+    # doc 3's tokens appear in 1/3 docs each; docs 1/2 share 'the'/'sat' (2/3)
+    assert got[3].commonness < got[1].commonness
+    assert got[1].n_distinct_tokens == 3
+    # exact integer ratio: doc1 = (1+2+2)/(3*3)
+    assert got[1].commonness == round(5 / 9, 6)
+    assert got[3].commonness == round(3 / 9, 6)
+
+
+def test_adaptive_length_threshold_discrete_p10(spark):
+    from postgres_debezium_clickhouse_spark.operators.text import adaptive_length_threshold
+
+    # lang 'en': 20 docs with 1..20 tokens → P10 index = ceil(20/10) = 2 → threshold 2
+    rows = [(i, " ".join(["w"] * i), "en") for i in range(1, 21)]
+    # lang 'de': 3 docs → index ceil(3/10)=1 → threshold = min length
+    rows += [(100, "a b c", "de"), (101, "a b", "de"), (102, "a b c d", "de")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {r.lang: r for r in adaptive_length_threshold(docs).collect()}
+    assert got["en"].threshold_tokens == 2 and got["en"].n_below == 1
+    assert got["de"].threshold_tokens == 2 and got["de"].n_below == 0
+    assert got["en"].n_docs == 20 and got["de"].n_docs == 3
