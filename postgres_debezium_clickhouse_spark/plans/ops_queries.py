@@ -384,7 +384,51 @@ def object_store_typed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_typed_json(spark, bucket, schema).select("id", "message", "timestamp")
 
 
+
+def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 end-to-end: a REGISTERED materialized view (Pipeline.register_mv,
+    the CREATE MATERIALIZED VIEW analogue) applying the quality gate to a
+    multi-micro-batch documents replay in append mode — the stateless-MV
+    counterpart of stream_hourly_counts.  The MV target must equal the
+    batch filter (full value oracle).
+
+    Scale: the transform is per-row (no state, no shuffle); append mode
+    writes each batch's survivors once — the cheapest possible MV shape.
+    """
+    from ..operators.text import quality_score
+    from ..sources.files import load_table
+    from ..streaming.pipeline import Pipeline
+
+    run = uuid.uuid4().hex[:12]
+    root = tempfile.gettempdir()
+    src = f"{root}/qmv_src_{run}"
+    out = f"{root}/qmv_out_{run}"
+    ckpt = f"{root}/qmv_ckpt_{run}"
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    pipe = Pipeline(spark)
+    mv = pipe.register_mv(
+        f"quality_mv_{run}",
+        stream,
+        lambda df: quality_score(df)
+        .filter(F.col("keep"))
+        .select("doc_id", "token_diversity", "stopword_ratio"),
+        out,
+        ckpt,
+        available_now=True,
+    )
+    mv.query.awaitTermination(300)
+    pipe.drop_mv(f"quality_mv_{run}")
+    return spark.read.parquet(out)
+
 QUERIES = {
+    "stream_quality_filter": stream_quality_filter,
     "synthetic_transactions": synthetic_transactions,
     "stream_bronze_archive": stream_bronze_archive,
     "stream_silver_state": stream_silver_state,
@@ -409,6 +453,16 @@ _ORDERS_FINAL_STATE = """
 """
 
 ORACLES: dict[str, str] = {
+    "stream_quality_filter": """
+        WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents)
+        SELECT doc_id,
+               ROUND(len(list_distinct(tk)) * 1.0 / len(tk), 4) AS token_diversity,
+               ROUND(len(list_filter(tk, x -> x IN ('the', 'a', 'and', 'of'))) * 1.0 / len(tk), 4) AS stopword_ratio
+        FROM t
+        WHERE (length(text) >= 100 AND length(text) <= 1000)
+          AND ROUND(len(list_distinct(tk)) * 1.0 / len(tk), 4) >= 0.15
+          AND ROUND(len(list_filter(tk, x -> x IN ('the', 'a', 'and', 'of'))) * 1.0 / len(tk), 4) <= 0.5
+    """,
     # the deterministic event log row-for-row (generator contract,
     # sources/cdc.py: snapshot slot 0; updates %3 slots 1+5 (dup); updates
     # %9 slots 2+6 (dup); deletes %7 slot 3; partition = key % 8)

@@ -180,3 +180,39 @@ def test_sliding_window_chunks_overlap_and_tail(spark):
     assert d1[0].chunk_id == 0 and d1[1].start_token - d1[0].start_token == 32
     d2 = [r for r in rows if r.doc_id == 2]
     assert len(d2) == 1 and d2[0].n_tokens == 3  # shorter than one window
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    n_tokens=st.integers(min_value=1, max_value=300),
+    window=st.integers(min_value=2, max_value=64),
+    data=st.data(),
+)
+def test_sliding_window_chunks_matches_python_reference(spark, n_tokens, window, data):
+    """Property: chunk starts, sizes, and fingerprints agree with a
+    sequential Python reference for arbitrary doc length / window / stride
+    (stride ≤ window so every token is covered)."""
+    import hashlib
+
+    from postgres_debezium_clickhouse_spark.operators.curation import sliding_window_chunks
+
+    stride = data.draw(st.integers(min_value=1, max_value=window))
+    toks = [f"t{i}" for i in range(n_tokens)]
+    docs = spark.createDataFrame([(1, " ".join(toks))], ["doc_id", "text"])
+    got = sorted(
+        (r.chunk_id, r.start_token, r.n_tokens, r.chunk_md5)
+        for r in sliding_window_chunks(docs, window_tokens=window, stride=stride).collect()
+    )
+    expected = []
+    for cid, start in enumerate(range(0, n_tokens, stride)):
+        chunk = toks[start : start + window]
+        expected.append(
+            (cid, start, len(chunk),
+             hashlib.md5(" ".join(chunk).encode()).hexdigest())
+        )
+    assert got == expected
+    # coverage: every token index falls inside at least one window
+    covered = set()
+    for _, start, n, _ in expected:
+        covered.update(range(start, start + n))
+    assert covered == set(range(n_tokens))
