@@ -258,3 +258,39 @@ def ngram_jaccard_blocked(
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Delta dedup — the shape a continuously-ingesting pipeline actually
+    runs: dedup a NEW batch against itself and against the existing corpus
+    WITHOUT re-hashing or shuffling the corpus-sized side into a join.
+
+    Plan: (1) hash the batch; (2) scan the corpus ONCE, map-side
+    semi-filtered by the broadcast batch hash set — only colliding corpus
+    hashes (a batch-bounded set) survive; (3) anti-join the batch against
+    that small set (broadcast again) and keep the min-id row per remaining
+    hash.  Corpus cost is one map-side-filtered scan; both joins broadcast
+    batch-sized sets — nothing corpus-sized ever shuffles.  (Persisting
+    corpus hashes once and bucketing them by digest makes step 2 a pruned
+    scan at 100 TB.)
+
+    Returns the surviving new rows as (id, text_hash), min id per hash."""
+    h = F.sha2(normalize_text(text_col), 256)
+    batch = new_docs.select(F.col(id_col), h.alias("text_hash"))
+    batch_hashes = batch.select("text_hash").distinct()
+    hits = (
+        corpus.select(h.alias("text_hash"))
+        .join(F.broadcast(batch_hashes), "text_hash", "left_semi")
+        .distinct()
+    )
+    return (
+        batch.join(F.broadcast(hits), "text_hash", "left_anti")
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "text_hash")
+    )

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup import (
     connected_components,
     exact_dedup,
+    incremental_dedup,
     minhash_lsh_near_dups,
     ngram_jaccard_blocked,
     simhash,
@@ -347,6 +348,17 @@ def q_similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta dedup: every 5th doc is the \'new batch\', the rest the
+    existing corpus — survivors are batch docs whose content exists in
+    neither the corpus nor earlier in the batch."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return incremental_dedup(new, corpus)
+
+
 QUERIES = {
     "corpus_domain_mix": q_domain_mix,
     "token_length_histogram": q_token_length_histogram,
@@ -386,6 +398,7 @@ QUERIES = {
     "text_commonness": q_text_commonness,
     "quality_adaptive_filter": q_quality_adaptive_filter,
     "similarity_lsh_recall": q_similarity_lsh_recall,
+    "dedup_incremental": q_dedup_incremental,
 }
 
 # ---------------------------------------------------------------------------
@@ -420,6 +433,18 @@ _MINHASH_PAIR_CTES = """sig AS (SELECT doc_id, ts,
               FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id)"""
 
 ORACLES = {
+    "dedup_incremental": """
+        WITH h AS (SELECT doc_id, sha256(lower(trim(text))) AS text_hash,
+                          (doc_id % 5 = 0) AS isnew
+                   FROM documents),
+        hits AS (SELECT DISTINCT text_hash FROM h
+                 WHERE NOT isnew
+                   AND text_hash IN (SELECT text_hash FROM h WHERE isnew))
+        SELECT MIN(doc_id) AS doc_id, text_hash
+        FROM h
+        WHERE isnew AND text_hash NOT IN (SELECT text_hash FROM hits)
+        GROUP BY text_hash
+    """,
     "text_commonness": """
         WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
                       FROM documents),

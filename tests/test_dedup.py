@@ -123,3 +123,29 @@ def test_connected_components_matches_union_find(spark):
     pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
     got = {r.node: r.component for r in connected_components(pairs).collect()}
     assert got == want
+
+
+def test_incremental_dedup_batch_vs_corpus(spark):
+    from postgres_debezium_clickhouse_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "existing doc one"), (2, "existing doc two")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "existing doc one"),    # dup of corpus -> dropped
+            (11, "brand new content"),   # survives
+            (12, "brand new content"),   # within-batch dup -> min id kept
+            (13, "Existing Doc Two  "),  # normalized dup of corpus -> dropped
+            (14, "another fresh one"),   # survives
+        ],
+        ["doc_id", "text"],
+    )
+    out = incremental_dedup(new, corpus)
+    assert sorted(r.doc_id for r in out.collect()) == [11, 14]
+    # scale contract: both joins broadcast the batch-derived side — the
+    # corpus is never shuffled for a join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final_plan = plan.split("== Initial Plan ==")[0]  # AQE prints both
+    assert final_plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in final_plan
