@@ -377,3 +377,35 @@ def test_silver_stream_backfill_threshold_same_state(spark, dirs):
     q.awaitTermination(180)
     state = {r.id: r.val for r in read_silver(spark, dirs["silver"]).collect()}
     assert state == {1: "a2", 2: "b1", 4: "d1"}
+
+
+def test_silver_orphan_files_invisible_until_vacuumed(spark, dirs):
+    """Manifest is the single source of truth: files on disk that no
+    committed manifest references (e.g. leftovers of a publish that died
+    before its manifest swap) are invisible to readers and reclaimed by
+    vacuum — the crash-consistency contract of the store."""
+    import os as _os
+    import shutil as _shutil
+
+    from postgres_debezium_clickhouse_spark.streaming.pipeline import (
+        read_silver,
+        silver_upsert_stream,
+        vacuum_silver,
+    )
+
+    _write_json(spark, BATCH1, dirs["src"])
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(dirs["src"])
+    q = silver_upsert_stream(stream, dirs["silver"], dirs["ckpt_s"], keys=["id"], available_now=True)
+    q.awaitTermination(120)
+    before = {r.id: r.val for r in read_silver(spark, dirs["silver"]).collect()}
+
+    # simulate a publish that crashed after writing files, before commit:
+    # copy the real epoch-1 data into an uncommitted epoch-99 dir
+    epoch1 = _os.path.join(dirs["silver"], "__epoch=1")
+    orphan = _os.path.join(dirs["silver"], "__epoch=99")
+    _shutil.copytree(epoch1, orphan)
+
+    assert {r.id: r.val for r in read_silver(spark, dirs["silver"]).collect()} == before
+    removed = vacuum_silver(dirs["silver"], grace_s=0)
+    assert removed > 0 and not _os.path.exists(_os.path.join(orphan, _os.listdir(epoch1)[0]))
+    assert {r.id: r.val for r in read_silver(spark, dirs["silver"]).collect()} == before
