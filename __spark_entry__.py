@@ -61,13 +61,26 @@ _FRONT = (
     # llm_queries / ops_queries / staging_queries follow via _MODULES order.
 )
 
+# Queries added mid-round-3 AFTER the window was already full (module dict
+# order would otherwise land them inside the first 50, pushing the
+# ops/staging tail out).  Deferred to the END of the registry this round;
+# round 4: move these to the top of _FRONT for driver evidence.
+_BACK = (
+    "text_commonness",
+    "quality_adaptive_filter",
+    "similarity_lsh_recall",
+    "dedup_incremental",
+    "stream_quality_filter",
+)
+
 
 def _merge(attr: str) -> dict:
     merged: dict = {}
     for mod in _MODULES:
         merged.update(getattr(mod, attr))
     out = {n: merged[n] for n in _FRONT if n in merged}
-    out.update((n, v) for n, v in merged.items() if n not in out)
+    out.update((n, v) for n, v in merged.items() if n not in out and n not in _BACK)
+    out.update((n, merged[n]) for n in _BACK if n in merged)
     return out
 
 

@@ -394,7 +394,8 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "multimodal_thumbnails": q_multimodal_thumbnails,
     "multimodal_frames": q_multimodal_frames,
-    # round-3 additions past the driver window — front these in round 4:
+    # round-3 late additions — __spark_entry__._BACK defers these to the
+    # END of the registry (driver window protection); front them in round 4:
     "text_commonness": q_text_commonness,
     "quality_adaptive_filter": q_quality_adaptive_filter,
     "similarity_lsh_recall": q_similarity_lsh_recall,

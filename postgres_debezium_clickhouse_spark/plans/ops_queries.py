@@ -76,7 +76,11 @@ def stream_bronze_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("offset").alias("offset_num"),
     )
     q = bronze_append_stream(bronze, dst, ckpt, available_now=True)
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        raise TimeoutError(
+            "stream did not finish in 120s — refusing to "
+            "return a partial result"
+        )
     p = F.col("j.payload")
     return (
         spark.read.parquet(dst)
@@ -126,7 +130,11 @@ def stream_silver_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("offset"),
     )
     q = silver_upsert_stream(flat, dst, ckpt, keys=["o_orderkey"], available_now=True)
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        raise TimeoutError(
+            "stream did not finish in 300s — refusing to "
+            "return a partial result"
+        )
     return read_silver(spark, dst).select("o_orderkey", "o_orderstatus", "o_totalprice", "ts_ms")
 
 
@@ -199,7 +207,11 @@ def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            raise TimeoutError(
+                "stream did not finish in 300s — refusing to "
+                "return a partial result"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(out).select("o_orderkey")
@@ -268,7 +280,11 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            raise TimeoutError(
+                "stream did not finish in 300s — refusing to "
+                "return a partial result"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     emitted = spark.read.parquet(out)
@@ -344,7 +360,11 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            raise TimeoutError(
+                "stream did not finish in 300s — refusing to "
+                "return a partial result"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(out)
@@ -423,7 +443,11 @@ def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ckpt,
         available_now=True,
     )
-    mv.query.awaitTermination(300)
+    if not mv.query.awaitTermination(300):
+        raise TimeoutError(
+            "stream did not finish in 300s — refusing to "
+            "return a partial result"
+        )
     pipe.drop_mv(f"quality_mv_{run}")
     return spark.read.parquet(out)
 

@@ -117,11 +117,19 @@ def _bucket_expr(keys: list[str], n_buckets: int):
     return F.pmod(F.hash(*keys), F.lit(n_buckets))
 
 
-def _read_live_files(spark: SparkSession, path: str, files: list[str]) -> DataFrame:
-    """Load an explicit live-file set as one DataFrame.  ``basePath`` keeps
-    the ``__epoch``/``__bucket`` partition columns derivable; mergeSchema
-    honors additive schema evolution across epochs (an untouched bucket may
-    predate a column the source added later)."""
+def _read_live_files(spark: SparkSession, path: str, manifest: dict) -> DataFrame:
+    """Load the manifest's live-file set as one DataFrame.  ``basePath``
+    keeps the ``__epoch``/``__bucket`` partition columns derivable;
+    mergeSchema honors additive schema evolution across epochs (an
+    untouched bucket may predate a column the source added later).  A
+    zero-file manifest (e.g. compaction GC'd every row) reconstructs an
+    empty frame from the schema recorded at publish time."""
+    files = manifest["files"]
+    if not files:
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+        return spark.createDataFrame([], schema)
     return (
         spark.read.option("basePath", path)
         .option("mergeSchema", "true")
@@ -143,6 +151,14 @@ def _publish_buckets(
     ``replaced_buckets`` plus the new epoch's files."""
     epoch = manifest["version"] + 1
     n_buckets = manifest["n_buckets"]
+    epoch_dir = os.path.join(path, f"__epoch={epoch}")
+    # Crash recovery: epoch v+1 is by definition UNCOMMITTED (the manifest
+    # holds v), so anything already under its dir is leftovers of a publish
+    # that died between the file write and the manifest swap.  A replayed
+    # batch must not commit those alongside its own files — that would
+    # silently duplicate every row in the touched buckets.
+    if os.path.isdir(epoch_dir):
+        shutil.rmtree(epoch_dir)
     out = (
         df.withColumn("__bucket", _bucket_expr(keys, n_buckets))
         .withColumn("__epoch", F.lit(epoch))
@@ -151,9 +167,8 @@ def _publish_buckets(
     )
     out.write.mode("append").partitionBy("__epoch", "__bucket").parquet(path)
 
-    epoch_dir = os.path.join(path, f"__epoch={epoch}")
     new_files = []
-    for bucket_dir in sorted(os.listdir(epoch_dir)):
+    for bucket_dir in sorted(os.listdir(epoch_dir)) if os.path.isdir(epoch_dir) else []:
         full = os.path.join(epoch_dir, bucket_dir)
         if not bucket_dir.startswith("__bucket=") or not os.path.isdir(full):
             continue
@@ -170,6 +185,7 @@ def _publish_buckets(
         "version": epoch,
         "n_buckets": n_buckets,
         "files": kept + new_files,
+        "schema": df.schema.json(),  # empty-store reads reconstruct from this
     })
 
 
@@ -210,21 +226,44 @@ def silver_upsert_stream(
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        manifest = _read_manifest(path) or {
-            "version": 0, "n_buckets": n_buckets, "files": [],
-        }
+        manifest = _read_manifest(path)
+        legacy_files = []
+        if manifest is None and os.path.isdir(path):
+            # pre-manifest flat store: migrate it in this trigger — read it
+            # as the current state, publish EVERYTHING bucketed (one-time
+            # O(store) cost), then drop the superseded flat files.  Without
+            # this the first manifest commit would hide the legacy rows
+            # from read_silver forever.
+            legacy_files = [
+                f for f in os.listdir(path)
+                if f.endswith(".parquet") and os.path.isfile(os.path.join(path, f))
+            ]
+        if manifest is None:
+            manifest = {"version": 0, "n_buckets": n_buckets, "files": []}
         nb = manifest["n_buckets"]
+        # the batch feeds three actions (touched-bucket collect, the key
+        # count inside apply_cdc, the merge itself) — evaluate the source
+        # once, not per action
+        batch.persist()
         touched = {
             r[0]
             for r in batch.select(_bucket_expr(keys, nb).alias("b")).distinct().collect()
         }
-        if not touched:
+        if not touched and not legacy_files:
+            batch.unpersist()
             return  # empty batch: nothing to publish
-        live_touched = [
-            f for f in manifest["files"]
-            if int(f.split("__bucket=")[1].split("/")[0]) in touched
-        ]
-        current = _read_live_files(spark, path, live_touched) if live_touched else None
+        if legacy_files:
+            current = spark.read.parquet(path)
+            touched = set(range(nb))  # full one-time bucketed publish
+        else:
+            live_touched = [
+                f for f in manifest["files"]
+                if int(f.split("__bucket=")[1].split("/")[0]) in touched
+            ]
+            current = (
+                _read_live_files(spark, path, {**manifest, "files": live_touched})
+                if live_touched else None
+            )
         merged = apply_cdc(
             batch,
             keys=keys,
@@ -237,8 +276,17 @@ def silver_upsert_stream(
             # shuffle semi-join past the threshold
             max_broadcast_keys=max_broadcast_keys,
         )
-        _publish_buckets(merged, path, keys, manifest, touched)
-        vacuum_silver(path)
+        try:
+            _publish_buckets(merged, path, keys, manifest, touched)
+        finally:
+            batch.unpersist()
+        for f in legacy_files:  # superseded by the first manifest commit
+            os.remove(os.path.join(path, f))
+        # vacuum walks the store tree (O(files), not O(touched)) — run it
+        # on a cadence, not per trigger, so steady-state trigger cost stays
+        # bounded by the touched buckets; grace still protects readers
+        if (manifest["version"] + 1) % 16 == 0:
+            vacuum_silver(path)
 
     writer = events.writeStream.foreachBatch(_merge).option("checkpointLocation", checkpoint)
     if available_now:
@@ -250,9 +298,10 @@ def vacuum_silver(path: str, grace_s: float = 600.0) -> int:
     """Delete data files no committed manifest references anymore, once
     older than ``grace_s`` (grace covers readers that loaded a previous
     manifest — their snapshot stays intact for at least that long; the
-    Delta ``VACUUM`` analogue).  Runs automatically after each publish so a
-    long-running stream never accumulates unbounded dead files.  Returns
-    the number of files deleted."""
+    Delta ``VACUUM`` analogue).  The streaming sink runs it automatically
+    every 16 publishes (it walks the store tree — O(files) — so per-trigger
+    would break the O(touched) trigger bound), keeping a long-running
+    stream's dead files bounded.  Returns the number of files deleted."""
     manifest = _read_manifest(path)
     if manifest is None:
         return 0
@@ -304,7 +353,7 @@ def compact_silver(
     manifest = _read_manifest(path)
     if manifest is None:  # legacy flat layout: nothing to compact here
         raise FileNotFoundError(f"no silver manifest at {path}")
-    df = _read_live_files(spark, path, manifest["files"])
+    df = _read_live_files(spark, path, manifest)
     before = df.count()
     if drop_tombstones_below_version is not None:
         df = df.filter(
@@ -331,7 +380,7 @@ def read_silver(spark: SparkSession, path: str, include_deleted: bool = False) -
     delete modes diverge."""
     manifest = _read_manifest(path)
     if manifest is not None:
-        df = _read_live_files(spark, path, manifest["files"])
+        df = _read_live_files(spark, path, manifest)
     else:
         df = spark.read.parquet(path)
     if include_deleted:

@@ -21,6 +21,7 @@ is flagged.  Run after adding or editing any oracle.
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
@@ -42,7 +43,12 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
-SF_DIR = "/root/testdata/sf0.001"
+# Any fixture scale works — DESCRIBE only needs the schemas.  Overridable
+# for checkouts whose fixtures live elsewhere.
+SF_DIR = os.environ.get(
+    "SPARK_GRAFT_AUDIT_SF_DIR",
+    os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
+)
 
 BAD_TYPES = {"HUGEINT", "UHUGEINT", "UTINYINT", "USMALLINT",
              "UINTEGER", "UBIGINT"}

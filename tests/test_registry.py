@@ -72,8 +72,14 @@ def test_every_oracle_is_engine_portable():
     import importlib.util
     import pathlib
 
+    import os
+
+    import pytest as _pytest
+
     script = pathlib.Path(__file__).resolve().parents[1] / "scripts" / "audit_oracles.py"
     spec = importlib.util.spec_from_file_location("audit_oracles", script)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
+    if not os.path.isdir(mod.SF_DIR):
+        _pytest.skip(f"no fixtures at {mod.SF_DIR} (set SPARK_GRAFT_AUDIT_SF_DIR)")
     assert mod.audit() == []

@@ -339,7 +339,7 @@ def test_silver_snapshot_reads_survive_publish_and_vacuum(spark, dirs):
     q2.awaitTermination(120)
 
     # old-manifest reader: exact pre-publish snapshot, no partial state
-    old_snap = _read_live_files(spark, dirs["silver"], old_manifest["files"])
+    old_snap = _read_live_files(spark, dirs["silver"], old_manifest)
     assert {r.id: r.val for r in old_snap.collect()} == {1: "a1", 2: "b1", 3: "c1"}
     # new reader: post-publish state
     assert {r.id: r.val for r in read_silver(spark, dirs["silver"]).collect()} == {
@@ -409,3 +409,74 @@ def test_silver_orphan_files_invisible_until_vacuumed(spark, dirs):
     removed = vacuum_silver(dirs["silver"], grace_s=0)
     assert removed > 0 and not _os.path.exists(_os.path.join(orphan, _os.listdir(epoch1)[0]))
     assert {r.id: r.val for r in read_silver(spark, dirs["silver"]).collect()} == before
+
+
+def test_silver_crash_replay_does_not_duplicate(spark, dirs):
+    """Crash between the epoch-file write and the manifest swap, then
+    replay: the replayed publish must discard the crashed attempt's
+    files for ITS epoch instead of committing both copies (which would
+    silently duplicate every row in the touched buckets)."""
+    import os as _os
+    import shutil as _shutil
+
+    from postgres_debezium_clickhouse_spark.streaming.pipeline import (
+        read_silver,
+        silver_upsert_stream,
+    )
+
+    _write_json(spark, BATCH1, dirs["src"])
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(dirs["src"])
+    q = silver_upsert_stream(stream, dirs["silver"], dirs["ckpt_s"], keys=["id"], available_now=True)
+    q.awaitTermination(120)
+
+    # simulate: a publish for epoch 2 wrote its files, then died before the
+    # manifest swap (manifest still at version 1) — on disk this looks like
+    # a fully-populated uncommitted __epoch=2
+    _shutil.copytree(
+        _os.path.join(dirs["silver"], "__epoch=1"),
+        _os.path.join(dirs["silver"], "__epoch=2"),
+    )
+
+    # the checkpoointed batch replays (new stream, same checkpoint, more data)
+    _write_json(spark, [(1, "a2", "u", 200, 11)], dirs["src"])
+    stream2 = spark.readStream.schema(EVENT_SCHEMA).json(dirs["src"])
+    q2 = silver_upsert_stream(stream2, dirs["silver"], dirs["ckpt_s"], keys=["id"], available_now=True)
+    q2.awaitTermination(120)
+
+    rows = read_silver(spark, dirs["silver"]).collect()
+    assert len(rows) == 3  # one row per key — no duplication
+    assert {r.id: r.val for r in rows} == {1: "a2", 2: "b1", 3: "c1"}
+
+
+def test_silver_legacy_flat_store_migrates_not_discarded(spark, dirs):
+    """A pre-manifest flat parquet silver store (previous release's layout)
+    must be absorbed into the bucketed store on the first trigger — not
+    silently shadowed by the new manifest."""
+    import os as _os
+
+    from postgres_debezium_clickhouse_spark.streaming.pipeline import (
+        read_silver,
+        silver_upsert_stream,
+    )
+
+    # legacy layout: flat parquet files directly under the store path
+    legacy = spark.createDataFrame(
+        [(90, "legacy90", "c", 50, 1, False), (91, "legacy91", "c", 50, 2, True)],
+        ["id", "val", "op", "ts_ms", "offset", "__deleted"],
+    )
+    legacy.coalesce(1).write.mode("overwrite").parquet(dirs["silver"])
+
+    _write_json(spark, BATCH1, dirs["src"])
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(dirs["src"])
+    q = silver_upsert_stream(stream, dirs["silver"], dirs["ckpt_s"], keys=["id"], available_now=True)
+    q.awaitTermination(120)
+
+    state = {r.id: r.val for r in read_silver(spark, dirs["silver"]).collect()}
+    assert state == {1: "a1", 2: "b1", 3: "c1", 90: "legacy90"}  # legacy live row kept
+    full = {r.id: r["__deleted"] for r in read_silver(spark, dirs["silver"], include_deleted=True).collect()}
+    assert full[91] is True  # legacy tombstone preserved too
+    # flat files physically superseded
+    assert not any(
+        f.endswith(".parquet") and _os.path.isfile(_os.path.join(dirs["silver"], f))
+        for f in _os.listdir(dirs["silver"])
+    )
