@@ -71,6 +71,7 @@ _BACK = (
     "similarity_lsh_recall",
     "dedup_incremental",
     "stream_quality_filter",
+    "llm_quality_funnel",
 )
 
 

@@ -359,6 +359,44 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(new, corpus)
 
 
+
+def q_llm_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel report: per-stage survivor counts as the corpus
+    flows raw → quality gate → adaptive per-lang length cutoff → exact
+    dedup — the one-page answer to "where did my tokens go?".  Composes
+    quality_score, adaptive_length_threshold and exact_dedup; every stage
+    count is a map-side-combinable aggregate."""
+    from ..operators.text import adaptive_length_threshold, quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_raw = docs.count()
+    gated = docs.join(
+        quality_score(docs).filter(F.col("keep")).select("doc_id"), "doc_id"
+    )
+    thr = adaptive_length_threshold(gated).select("lang", "threshold_tokens")
+    gated2 = (
+        gated.withColumn("n_tokens", F.size(F.split("text", " ")).cast("long"))
+        .join(thr, "lang")
+        .filter(F.col("n_tokens") >= F.col("threshold_tokens"))
+    )
+    deduped = exact_dedup(gated2)
+
+    def stage(i: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(i).alias("stage_id"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.count(F.lit(1)) / F.lit(n_raw), 6).alias("pct_of_raw"),
+        )
+
+    return (
+        stage(0, "raw", docs)
+        .unionByName(stage(1, "quality_gate", gated))
+        .unionByName(stage(2, "adaptive_length", gated2))
+        .unionByName(stage(3, "exact_dedup", deduped))
+    )
+
+
 QUERIES = {
     "corpus_domain_mix": q_domain_mix,
     "token_length_histogram": q_token_length_histogram,
@@ -400,6 +438,7 @@ QUERIES = {
     "quality_adaptive_filter": q_quality_adaptive_filter,
     "similarity_lsh_recall": q_similarity_lsh_recall,
     "dedup_incremental": q_dedup_incremental,
+    "llm_quality_funnel": q_llm_quality_funnel,
 }
 
 # ---------------------------------------------------------------------------
@@ -434,6 +473,29 @@ _MINHASH_PAIR_CTES = """sig AS (SELECT doc_id, ts,
               FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id)"""
 
 ORACLES = {
+    "llm_quality_funnel": """
+        WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS tk FROM documents),
+        g AS (SELECT doc_id, lang, text, CAST(len(tk) AS BIGINT) AS n_tokens FROM t
+              WHERE length(text) >= 100 AND length(text) <= 1000
+                AND ROUND(len(list_distinct(tk)) * 1.0 / len(tk), 4) >= 0.15
+                AND ROUND(len(list_filter(tk, x -> x IN ('the', 'a', 'and', 'of'))) * 1.0 / len(tk), 4) <= 0.5),
+        ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tokens ASC, doc_id ASC) AS rn,
+                          COUNT(*) OVER (PARTITION BY lang) AS cnt
+                   FROM g),
+        thr AS (SELECT lang, n_tokens AS th FROM ranked
+                WHERE rn = GREATEST(CAST(FLOOR((cnt * 1 + 9) / 10) AS BIGINT), 1)),
+        g2 AS (SELECT g.* FROM g JOIN thr USING (lang) WHERE g.n_tokens >= thr.th),
+        dd AS (SELECT MIN(doc_id) AS doc_id FROM g2 GROUP BY sha256(lower(trim(text)))),
+        raw AS (SELECT COUNT(*) AS n FROM documents)
+        SELECT stage_id, stage, n_docs,
+               ROUND(n_docs * 1.0 / (SELECT n FROM raw), 6) AS pct_of_raw
+        FROM (
+            SELECT 0 AS stage_id, 'raw' AS stage, (SELECT COUNT(*) FROM documents) AS n_docs
+            UNION ALL SELECT 1, 'quality_gate', (SELECT COUNT(*) FROM g)
+            UNION ALL SELECT 2, 'adaptive_length', (SELECT COUNT(*) FROM g2)
+            UNION ALL SELECT 3, 'exact_dedup', (SELECT COUNT(*) FROM dd)
+        )
+    """,
     "dedup_incremental": """
         WITH h AS (SELECT doc_id, sha256(lower(trim(text))) AS text_hash,
                           (doc_id % 5 = 0) AS isnew
