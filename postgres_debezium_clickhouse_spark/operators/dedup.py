@@ -265,6 +265,7 @@ def incremental_dedup(
     corpus: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_broadcast_hashes: int = 1_000_000,
 ) -> DataFrame:
     """Delta dedup — the shape a continuously-ingesting pipeline actually
     runs: dedup a NEW batch against itself and against the existing corpus
@@ -279,17 +280,22 @@ def incremental_dedup(
     corpus hashes once and bucketing them by digest makes step 2 a pruned
     scan at 100 TB.)
 
+    A backfill-sized "new batch" (more than ``max_broadcast_hashes``
+    distinct hashes) falls back to plain shuffle joins instead of
+    broadcasting — the same size-aware guard as ``apply_cdc``.
+
     Returns the surviving new rows as (id, text_hash), min id per hash."""
     h = F.sha2(normalize_text(text_col), 256)
     batch = new_docs.select(F.col(id_col), h.alias("text_hash"))
     batch_hashes = batch.select("text_hash").distinct()
+    small = bool(max_broadcast_hashes) and batch_hashes.count() <= max_broadcast_hashes
     hits = (
         corpus.select(h.alias("text_hash"))
-        .join(F.broadcast(batch_hashes), "text_hash", "left_semi")
+        .join(F.broadcast(batch_hashes) if small else batch_hashes, "text_hash", "left_semi")
         .distinct()
     )
     return (
-        batch.join(F.broadcast(hits), "text_hash", "left_anti")
+        batch.join(F.broadcast(hits) if small else hits, "text_hash", "left_anti")
         .groupBy("text_hash")
         .agg(F.min(id_col).alias(id_col))
         .select(id_col, "text_hash")

@@ -149,3 +149,22 @@ def test_incremental_dedup_batch_vs_corpus(spark):
     final_plan = plan.split("== Initial Plan ==")[0]  # AQE prints both
     assert final_plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in final_plan
+
+
+def test_incremental_dedup_shuffle_fallback_same_result(spark):
+    """Backfill-sized batches must not broadcast: threshold 0 forces the
+    shuffle path; results identical to the broadcast path."""
+    from postgres_debezium_clickhouse_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame([(i, f"doc {i}") for i in range(20)], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(100 + i, f"doc {i}") for i in range(10)]       # dups of corpus
+        + [(200 + i, f"fresh {i}") for i in range(5)],   # survivors
+        ["doc_id", "text"],
+    )
+    fast = incremental_dedup(new, corpus)
+    slow = incremental_dedup(new, corpus, max_broadcast_hashes=0)
+    plan = slow._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" not in plan
+    assert {tuple(r) for r in slow.collect()} == {tuple(r) for r in fast.collect()}
+    assert sorted(r.doc_id for r in slow.collect()) == [200, 201, 202, 203, 204]
