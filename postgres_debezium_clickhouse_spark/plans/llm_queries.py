@@ -368,8 +368,9 @@ def q_llm_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is a map-side-combinable aggregate."""
     from ..operators.text import adaptive_length_threshold, quality_score
 
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
-    n_raw = docs.count()
     gated = docs.join(
         quality_score(docs).filter(F.col("keep")).select("doc_id"), "doc_id"
     )
@@ -386,14 +387,22 @@ def q_llm_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(i).alias("stage_id"),
             F.lit(name).alias("stage"),
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.count(F.lit(1)) / F.lit(n_raw), 6).alias("pct_of_raw"),
         )
 
-    return (
+    union = (
         stage(0, "raw", docs)
         .unionByName(stage(1, "quality_gate", gated))
         .unionByName(stage(2, "adaptive_length", gated2))
         .unionByName(stage(3, "exact_dedup", deduped))
+    )
+    # pct from the stage-0 row of the SAME frame — fully lazy, no separate
+    # eager count() job at plan-build time
+    raw_n = F.max(F.when(F.col("stage_id") == 0, F.col("n_docs"))).over(
+        Window.partitionBy()
+    )
+    return union.select(
+        "stage_id", "stage", "n_docs",
+        F.round(F.col("n_docs") / raw_n, 6).alias("pct_of_raw"),
     )
 
 

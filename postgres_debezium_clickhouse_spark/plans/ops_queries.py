@@ -77,6 +77,7 @@ def stream_bronze_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = bronze_append_stream(bronze, dst, ckpt, available_now=True)
     if not q.awaitTermination(120):
+        q.stop()  # don't leave a zombie stream behind the error
         raise TimeoutError(
             "stream did not finish in 120s — refusing to "
             "return a partial result"
@@ -131,6 +132,7 @@ def stream_silver_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = silver_upsert_stream(flat, dst, ckpt, keys=["o_orderkey"], available_now=True)
     if not q.awaitTermination(300):
+        q.stop()  # don't leave a zombie stream behind the error
         raise TimeoutError(
             "stream did not finish in 300s — refusing to "
             "return a partial result"
@@ -208,6 +210,7 @@ def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         if not q.awaitTermination(300):
+            q.stop()  # don't leave a zombie stream behind the error
             raise TimeoutError(
                 "stream did not finish in 300s — refusing to "
                 "return a partial result"
@@ -281,6 +284,7 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         if not q.awaitTermination(300):
+            q.stop()  # don't leave a zombie stream behind the error
             raise TimeoutError(
                 "stream did not finish in 300s — refusing to "
                 "return a partial result"
@@ -361,6 +365,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         if not q.awaitTermination(300):
+            q.stop()  # don't leave a zombie stream behind the error
             raise TimeoutError(
                 "stream did not finish in 300s — refusing to "
                 "return a partial result"
@@ -444,6 +449,7 @@ def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         available_now=True,
     )
     if not mv.query.awaitTermination(300):
+        mv.query.stop()  # don't leave a zombie stream behind the error
         raise TimeoutError(
             "stream did not finish in 300s — refusing to "
             "return a partial result"

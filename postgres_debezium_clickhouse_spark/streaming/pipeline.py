@@ -243,40 +243,46 @@ def silver_upsert_stream(
         nb = manifest["n_buckets"]
         # the batch feeds three actions (touched-bucket collect, the key
         # count inside apply_cdc, the merge itself) — evaluate the source
-        # once, not per action
+        # once, not per action; the try spans every action so a failing
+        # merge can't leak the cached batch
         batch.persist()
-        touched = {
-            r[0]
-            for r in batch.select(_bucket_expr(keys, nb).alias("b")).distinct().collect()
-        }
-        if not touched and not legacy_files:
-            batch.unpersist()
-            return  # empty batch: nothing to publish
-        if legacy_files:
-            current = spark.read.parquet(path)
-            touched = set(range(nb))  # full one-time bucketed publish
-        else:
-            live_touched = [
-                f for f in manifest["files"]
-                if int(f.split("__bucket=")[1].split("/")[0]) in touched
-            ]
-            current = (
-                _read_live_files(spark, path, {**manifest, "files": live_touched})
-                if live_touched else None
-            )
-        merged = apply_cdc(
-            batch,
-            keys=keys,
-            version_col=version_col,
-            tiebreak_col=tiebreak_col,
-            delete_mode="rewrite",  # tombstones must persist across batches
-            current=current,
-            # replayed-backfill triggers (availableNow over a whole bronze
-            # archive, T5) can be table-sized: let apply_cdc fall back to a
-            # shuffle semi-join past the threshold
-            max_broadcast_keys=max_broadcast_keys,
-        )
         try:
+            touched = {
+                r[0]
+                for r in batch.select(_bucket_expr(keys, nb).alias("b")).distinct().collect()
+            }
+            if not touched and not legacy_files:
+                return  # empty batch: nothing to publish
+            if legacy_files:
+                # explicit file list, not the directory: a crashed earlier
+                # migration may have left an __epoch dir next to the flat
+                # files, and a whole-dir read would fail on the conflicting
+                # partition structures
+                current = spark.read.parquet(
+                    *[os.path.join(path, f) for f in legacy_files]
+                )
+                touched = set(range(nb))  # full one-time bucketed publish
+            else:
+                live_touched = [
+                    f for f in manifest["files"]
+                    if int(f.split("__bucket=")[1].split("/")[0]) in touched
+                ]
+                current = (
+                    _read_live_files(spark, path, {**manifest, "files": live_touched})
+                    if live_touched else None
+                )
+            merged = apply_cdc(
+                batch,
+                keys=keys,
+                version_col=version_col,
+                tiebreak_col=tiebreak_col,
+                delete_mode="rewrite",  # tombstones must persist across batches
+                current=current,
+                # replayed-backfill triggers (availableNow over a whole bronze
+                # archive, T5) can be table-sized: let apply_cdc fall back to a
+                # shuffle semi-join past the threshold
+                max_broadcast_keys=max_broadcast_keys,
+            )
             _publish_buckets(merged, path, keys, manifest, touched)
         finally:
             batch.unpersist()
@@ -308,6 +314,18 @@ def vacuum_silver(path: str, grace_s: float = 600.0) -> int:
     live = set(manifest["files"])
     cutoff = time.time() - grace_s
     removed = 0
+    for entry in list(os.listdir(path)):
+        # top-level flat parquet next to a manifest = a legacy migration
+        # that crashed after its commit but before its cleanup; manifest
+        # files all live under __epoch=, so these are dead by definition
+        full = os.path.join(path, entry)
+        if (
+            entry.endswith(".parquet")
+            and os.path.isfile(full)
+            and os.path.getmtime(full) <= cutoff
+        ):
+            os.remove(full)
+            removed += 1
     for epoch_dir in list(os.listdir(path)):
         if not epoch_dir.startswith("__epoch="):
             continue

@@ -501,8 +501,17 @@ def test_silver_long_stream_dead_files_bounded(spark, dirs):
         .option("maxFilesPerTrigger", "1")
         .json(dirs["src"])
     )
-    q = silver_upsert_stream(stream, dirs["silver"], dirs["ckpt_s"], keys=["id"], available_now=True)
-    q.awaitTermination(600)
+    import postgres_debezium_clickhouse_spark.streaming.pipeline as _pl
+
+    calls = []
+    real_vacuum = _pl.vacuum_silver
+    _pl.vacuum_silver = lambda *a, **kw: calls.append(a) or real_vacuum(*a, **kw)
+    try:
+        q = silver_upsert_stream(stream, dirs["silver"], dirs["ckpt_s"], keys=["id"], available_now=True)
+        q.awaitTermination(600)
+    finally:
+        _pl.vacuum_silver = real_vacuum
+    assert len(calls) == 1  # cadence: exactly one vacuum (epoch 16) in 17 triggers
 
     assert {r.id: r.val for r in read_silver(spark, dirs["silver"]).collect()} == {1: "v16"}
     with open(_os.path.join(dirs["silver"], "_manifest.json")) as fh:
