@@ -72,6 +72,7 @@ _BACK = (
     "dedup_incremental",
     "stream_quality_filter",
     "llm_quality_funnel",
+    "pack_efficiency",
 )
 
 

@@ -406,6 +406,25 @@ def q_llm_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-quality report over the greedy packer's output: bins used,
+    capacity, and padding-waste fraction per shard — the number that tells
+    you whether a packing strategy (or budget) is worth its cost.  Exact
+    integer arithmetic end-to-end; one tiny agg on top of pack_greedy."""
+    packed = pack_greedy(load_table(spark, sf_dir, "documents"), budget=256)
+    return packed.groupBy("lang").agg(
+        (F.max("bin_id") + 1).alias("n_bins"),
+        F.sum("n_tokens").alias("total_tokens"),
+        ((F.max("bin_id") + 1) * 256).alias("capacity_tokens"),
+        F.round(
+            ((F.max("bin_id") + 1) * 256 - F.sum("n_tokens"))
+            / ((F.max("bin_id") + 1) * 256),
+            6,
+        ).alias("waste_pct"),
+    )
+
+
 QUERIES = {
     "corpus_domain_mix": q_domain_mix,
     "token_length_histogram": q_token_length_histogram,
@@ -448,6 +467,7 @@ QUERIES = {
     "similarity_lsh_recall": q_similarity_lsh_recall,
     "dedup_incremental": q_dedup_incremental,
     "llm_quality_funnel": q_llm_quality_funnel,
+    "pack_efficiency": q_pack_efficiency,
 }
 
 # ---------------------------------------------------------------------------
@@ -482,6 +502,28 @@ _MINHASH_PAIR_CTES = """sig AS (SELECT doc_id, ts,
               FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id)"""
 
 ORACLES = {
+    "pack_efficiency": """
+        WITH RECURSIVE rows AS (
+            SELECT doc_id, lang,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+            FROM documents),
+        state AS (
+            SELECT doc_id, lang, n, rn, CAST(0 AS BIGINT) AS bin_id, n AS fill
+            FROM rows WHERE rn = 1
+            UNION ALL
+            SELECT r.doc_id, r.lang, r.n, r.rn,
+                   CASE WHEN s.fill + r.n > 256 THEN s.bin_id + 1 ELSE s.bin_id END,
+                   CASE WHEN s.fill + r.n > 256 THEN r.n ELSE s.fill + r.n END
+            FROM state s JOIN rows r ON r.lang = s.lang AND r.rn = s.rn + 1)
+        SELECT lang,
+               CAST(MAX(bin_id) + 1 AS BIGINT) AS n_bins,
+               CAST(SUM(n) AS BIGINT) AS total_tokens,
+               CAST((MAX(bin_id) + 1) * 256 AS BIGINT) AS capacity_tokens,
+               ROUND(((MAX(bin_id) + 1) * 256 - SUM(n)) * 1.0
+                     / ((MAX(bin_id) + 1) * 256), 6) AS waste_pct
+        FROM state GROUP BY lang
+    """,
     "llm_quality_funnel": """
         WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS tk FROM documents),
         g AS (SELECT doc_id, lang, text, CAST(len(tk) AS BIGINT) AS n_tokens FROM t
