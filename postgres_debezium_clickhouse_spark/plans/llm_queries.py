@@ -220,9 +220,18 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction (the decode stub) —
     fully oracle-checked: the fake decode is a byte-mod-4 histogram over
     the utf-8 text bytes, which DuckDB reproduces character-wise (the
-    fixture text is pure ASCII, so ascii(char) == byte)."""
+    fixture text is pure ASCII, so ascii(char) == byte).
+
+    The feature vector is posexploded to scalar (pos, value) rows: the
+    driver's canonicalizer sorts every output column and cannot sort an
+    array column, so registered queries must emit scalar columns only
+    (enforced by tests/test_registry.py)."""
     media = attach_fake_media(load_table(spark, sf_dir, "documents"))
-    return extract_features(media)
+    return extract_features(media).select(
+        "doc_id",
+        "n_bytes",
+        F.posexplode("feature").alias("feature_pos", "feature_value"),
+    ).withColumn("feature_pos", F.col("feature_pos").cast("long"))
 
 
 def q_multimodal_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -825,17 +834,17 @@ ORACLES = {
     """,
     # the mapInPandas byte-histogram decode, reproduced character-wise
     # (fixture text is ASCII ⇒ ascii(char) == utf-8 byte; h*1.0/n is the
-    # same IEEE division Python performs)
+    # same IEEE division Python performs).  Posexploded to scalar rows —
+    # the driver's canonicalizer cannot sort array columns.
     "multimodal_features": """
         WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents)
         SELECT doc_id,
                CAST(n AS BIGINT) AS n_bytes,
-               [len(list_filter(range(1, n + 1), i -> (ascii(substr(text, i, 1)) % 4) = 0)) * 1.0 / GREATEST(n, 1),
-                len(list_filter(range(1, n + 1), i -> (ascii(substr(text, i, 1)) % 4) = 1)) * 1.0 / GREATEST(n, 1),
-                len(list_filter(range(1, n + 1), i -> (ascii(substr(text, i, 1)) % 4) = 2)) * 1.0 / GREATEST(n, 1),
-                len(list_filter(range(1, n + 1), i -> (ascii(substr(text, i, 1)) % 4) = 3)) * 1.0 / GREATEST(n, 1)
-               ] AS feature
-        FROM t
+               p.i AS feature_pos,
+               len(list_filter(range(1, n + 1),
+                               x -> (ascii(substr(text, x, 1)) % 4) = p.i)) * 1.0
+                   / GREATEST(n, 1) AS feature_value
+        FROM t CROSS JOIN range(4) p(i)
     """,
     # the md5-portable hyperplanes reconstructed in SQL; component (i,j) =
     # (hex32(md5("i,j"))/2^32)*2-1, identical IEEE-double steps to Python

@@ -38,11 +38,16 @@ def test_latest_wins_agg_is_map_side_combinable(spark):
 
 
 def test_no_query_plans_a_cartesian_product(spark, sf_dir):
-    """Plan hygiene across the ENTIRE registered surface: no query may
-    plan a CartesianProduct, and BroadcastNestedLoopJoin is allowed only
+    """Plan + schema hygiene across the ENTIRE registered surface: no query
+    may plan a CartesianProduct, BroadcastNestedLoopJoin is allowed only
     where it is the documented design (brute-force cosine baseline scores
-    every corpus row against a broadcast query set)."""
+    every corpus row against a broadcast query set), and every
+    oracle-checked query must emit scalar output columns only — the
+    driver's canonicalizer sorts each column and dies on array/map/struct
+    cells (the r3 multimodal_features trap)."""
     import __spark_entry__ as m
+
+    from pyspark.sql import types as T
 
     # side-effecting queries (run streams / write temp data on build)
     skip_prefixes = ("stream_",)
@@ -53,11 +58,18 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "recent_orders_interval",   # scalar attach: 1-row broadcast aggregate
         "similarity_lsh_recall",    # embeds the brute-force exact side as ground truth
     }
+    oracle_checked = set(m.oracle_sql())
     checked = 0
     for name, fn in m.queries().items():
         if name in skip or name.startswith(skip_prefixes):
             continue
-        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        df = fn(spark, sf_dir)
+        if name in oracle_checked:
+            for field in df.schema.fields:
+                assert not isinstance(
+                    field.dataType, (T.ArrayType, T.MapType, T.StructType)
+                ), f"{name} emits non-scalar column {field.name}: {field.dataType}"
+        plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
         if name not in allow_nested_loop:
             assert "BroadcastNestedLoopJoin" not in plan, f"{name} plans a nested-loop join"
