@@ -55,6 +55,15 @@ def hash_split(
     return documents.select(F.col(id_col), split.alias("split"))
 
 
+def shard_of(id_col: str, n_shards: int):
+    """Deterministic, engine-portable corpus shard: the first 16 bits of
+    md5(id) mod ``n_shards``.  md5 (not ``hash()``) so DuckDB oracles and
+    any other engine reproduce the assignment bit-for-bit; content- and
+    layout-independent, so reshards/joins never move a doc across shards."""
+    h16 = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+    return h16.cast("long") % n_shards
+
+
 def pack_chunks(
     documents: DataFrame,
     budget: int,
@@ -62,25 +71,33 @@ def pack_chunks(
     order_col: str = "doc_id",
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_shards: int = 16,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: documents are laid end-to-end in
-    deterministic ``order_col`` order within each ``partition_col`` shard,
-    and the token stream is cut into fixed ``budget``-token context windows.
-    Per document: its start offset in the shard's stream and the first/last
-    window it lands in (a doc may straddle windows — the standard
-    pretraining concat+chunk, not first-fit bin packing).
+    deterministic ``order_col`` order within each (``partition_col``,
+    ``shard``) group, and the token stream is cut into fixed
+    ``budget``-token context windows.  Per document: its start offset in
+    the group's stream and the first/last window it lands in (a doc may
+    straddle windows — the standard pretraining concat+chunk, not first-fit
+    bin packing).  Bin ids are group-local; ``(partition_col, shard,
+    bin)`` identifies a context window globally.
 
-    Scale: ONE window cum-sum per shard.  The shard key bounds the window's
-    partition size — pack per lang/split/date shard, never over a global
-    unpartitioned window (a 100 TB corpus through one window partition is a
-    single-task bottleneck)."""
+    Scale: ONE window cum-sum per (partition, shard) group.  The default
+    composite key — ``partition_col`` × md5-shard (``n_shards`` ways) — is
+    deliberate: ``lang`` alone has ~5 values, so at corpus scale one
+    language would be one window partition = one straggler task.  The
+    md5 shard keeps every group bounded at ~1/n_shards of a language
+    regardless of skew; raise ``n_shards`` with corpus size (it only
+    changes which docs share a context window, not packing quality)."""
     n = F.size(F.split(F.col(text_col), " ")).cast("long")
-    w = Window.partitionBy(partition_col).orderBy(order_col)
+    sharded = documents.withColumn("shard", shard_of(id_col, n_shards))
+    w = Window.partitionBy(partition_col, "shard").orderBy(order_col)
     cum = F.sum(n).over(w)
     start = (cum - n).alias("start_token")
-    return documents.select(
+    return sharded.select(
         F.col(id_col),
         F.col(partition_col),
+        F.col("shard"),
         start,
         F.floor((cum - n) / budget).alias("bin_first"),
         F.floor((cum - 1) / budget).alias("bin_last"),
@@ -118,18 +135,23 @@ def pack_greedy(
     order_col: str = "doc_id",
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_shards: int = 16,
 ) -> DataFrame:
     """Greedy next-fit packing: whole documents are placed into
-    ``budget``-token bins in deterministic ``order_col`` order per shard; a
-    doc that does not fit the current bin opens a new one (a doc larger
-    than the budget occupies a bin alone).  No document straddles bins —
-    the complement of ``pack_chunks``.
+    ``budget``-token bins in deterministic ``order_col`` order per
+    (``partition_col``, ``shard``) group; a doc that does not fit the
+    current bin opens a new one (a doc larger than the budget occupies a
+    bin alone).  No document straddles bins — the complement of
+    ``pack_chunks``.  Bin ids are group-local; ``(partition_col, shard,
+    bin_id)`` is the global bin key.
 
-    The per-shard state (current bin fill) is a sequential recurrence no
+    The per-group state (current bin fill) is a sequential recurrence no
     window function expresses, so this is the legitimate pandas boundary:
-    ``applyInPandas`` per shard, Arrow-batched, one deterministic linear
-    pass per group.  Shard key bounds group size exactly as in
-    ``pack_chunks``."""
+    ``applyInPandas`` per group, Arrow-batched, one deterministic linear
+    pass.  The composite default key (``partition_col`` × md5-shard,
+    see ``shard_of``) bounds every pandas group to ~1/n_shards of a
+    language — ``lang`` alone would hand applyInPandas one multi-TB group
+    per language at corpus scale."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -137,13 +159,19 @@ def pack_greedy(
         [
             T.StructField(id_col, T.LongType()),
             T.StructField(partition_col, T.StringType()),
+            T.StructField("shard", T.LongType()),
             T.StructField("n_tokens", T.LongType()),
             T.StructField("bin_id", T.LongType()),
         ]
     )
 
     n_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
-    cols = [F.col(id_col), F.col(partition_col), n_tokens.alias("n_tokens")]
+    cols = [
+        F.col(id_col),
+        F.col(partition_col),
+        shard_of(id_col, n_shards).alias("shard"),
+        n_tokens.alias("n_tokens"),
+    ]
     if order_col not in (id_col, partition_col):
         cols.append(F.col(order_col))
     slim = documents.select(*cols)
@@ -158,9 +186,9 @@ def pack_greedy(
             fill += n
             bins.append(cur)
         pdf["bin_id"] = bins
-        return pdf[[id_col, partition_col, "n_tokens", "bin_id"]]
+        return pdf[[id_col, partition_col, "shard", "n_tokens", "bin_id"]]
 
-    return slim.groupBy(partition_col).applyInPandas(pack, schema=out_schema)
+    return slim.groupBy(partition_col, "shard").applyInPandas(pack, schema=out_schema)
 
 
 def contamination_check(

@@ -420,15 +420,20 @@ def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing-quality report over the greedy packer's output: bins used,
     capacity, and padding-waste fraction per shard — the number that tells
     you whether a packing strategy (or budget) is worth its cost.  Exact
-    integer arithmetic end-to-end; one tiny agg on top of pack_greedy."""
+    integer arithmetic end-to-end; two tiny aggs on top of pack_greedy
+    (per-shard bin counts roll up to the per-language report, since bin
+    ids are shard-local)."""
     packed = pack_greedy(load_table(spark, sf_dir, "documents"), budget=256)
-    return packed.groupBy("lang").agg(
-        (F.max("bin_id") + 1).alias("n_bins"),
-        F.sum("n_tokens").alias("total_tokens"),
-        ((F.max("bin_id") + 1) * 256).alias("capacity_tokens"),
+    per_shard = packed.groupBy("lang", "shard").agg(
+        (F.max("bin_id") + 1).alias("bins"),
+        F.sum("n_tokens").alias("toks"),
+    )
+    return per_shard.groupBy("lang").agg(
+        F.sum("bins").alias("n_bins"),
+        F.sum("toks").alias("total_tokens"),
+        (F.sum("bins") * 256).alias("capacity_tokens"),
         F.round(
-            ((F.max("bin_id") + 1) * 256 - F.sum("n_tokens"))
-            / ((F.max("bin_id") + 1) * 256),
+            (F.sum("bins") * 256 - F.sum("toks")) / (F.sum("bins") * 256),
             6,
         ).alias("waste_pct"),
     )
@@ -513,25 +518,31 @@ _MINHASH_PAIR_CTES = """sig AS (SELECT doc_id, ts,
 ORACLES = {
     "pack_efficiency": """
         WITH RECURSIVE rows AS (
-            SELECT doc_id, lang,
+            SELECT doc_id, lang, shard,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
-                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
-            FROM documents),
+                   ROW_NUMBER() OVER (PARTITION BY lang, shard ORDER BY doc_id) AS rn
+            FROM (SELECT *,
+                         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 16 AS shard
+                  FROM documents)),
         state AS (
-            SELECT doc_id, lang, n, rn, CAST(0 AS BIGINT) AS bin_id, n AS fill
+            SELECT doc_id, lang, shard, n, rn, CAST(0 AS BIGINT) AS bin_id, n AS fill
             FROM rows WHERE rn = 1
             UNION ALL
-            SELECT r.doc_id, r.lang, r.n, r.rn,
+            SELECT r.doc_id, r.lang, r.shard, r.n, r.rn,
                    CASE WHEN s.fill + r.n > 256 THEN s.bin_id + 1 ELSE s.bin_id END,
                    CASE WHEN s.fill + r.n > 256 THEN r.n ELSE s.fill + r.n END
-            FROM state s JOIN rows r ON r.lang = s.lang AND r.rn = s.rn + 1)
+            FROM state s JOIN rows r
+              ON r.lang = s.lang AND r.shard = s.shard AND r.rn = s.rn + 1),
+        per_shard AS (
+            SELECT lang, shard, MAX(bin_id) + 1 AS bins, SUM(n) AS toks
+            FROM state GROUP BY lang, shard)
         SELECT lang,
-               CAST(MAX(bin_id) + 1 AS BIGINT) AS n_bins,
-               CAST(SUM(n) AS BIGINT) AS total_tokens,
-               CAST((MAX(bin_id) + 1) * 256 AS BIGINT) AS capacity_tokens,
-               ROUND(((MAX(bin_id) + 1) * 256 - SUM(n)) * 1.0
-                     / ((MAX(bin_id) + 1) * 256), 6) AS waste_pct
-        FROM state GROUP BY lang
+               CAST(SUM(bins) AS BIGINT) AS n_bins,
+               CAST(SUM(toks) AS BIGINT) AS total_tokens,
+               CAST(SUM(bins) * 256 AS BIGINT) AS capacity_tokens,
+               ROUND((SUM(bins) * 256 - SUM(toks)) * 1.0
+                     / (SUM(bins) * 256), 6) AS waste_pct
+        FROM per_shard GROUP BY lang
     """,
     "llm_quality_funnel": """
         WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS tk FROM documents),
@@ -725,19 +736,22 @@ ORACLES = {
     # CTE (one recursion step per doc per shard — fine at oracle scale)
     "pack_greedy": """
         WITH RECURSIVE rows AS (
-            SELECT doc_id, lang,
+            SELECT doc_id, lang, shard,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
-                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
-            FROM documents),
+                   ROW_NUMBER() OVER (PARTITION BY lang, shard ORDER BY doc_id) AS rn
+            FROM (SELECT *,
+                         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 16 AS shard
+                  FROM documents)),
         state AS (
-            SELECT doc_id, lang, n, rn, CAST(0 AS BIGINT) AS bin_id, n AS fill
+            SELECT doc_id, lang, shard, n, rn, CAST(0 AS BIGINT) AS bin_id, n AS fill
             FROM rows WHERE rn = 1
             UNION ALL
-            SELECT r.doc_id, r.lang, r.n, r.rn,
+            SELECT r.doc_id, r.lang, r.shard, r.n, r.rn,
                    CASE WHEN s.fill + r.n > 256 THEN s.bin_id + 1 ELSE s.bin_id END,
                    CASE WHEN s.fill + r.n > 256 THEN r.n ELSE s.fill + r.n END
-            FROM state s JOIN rows r ON r.lang = s.lang AND r.rn = s.rn + 1)
-        SELECT doc_id, lang, n AS n_tokens, bin_id FROM state
+            FROM state s JOIN rows r
+              ON r.lang = s.lang AND r.shard = s.shard AND r.rn = s.rn + 1)
+        SELECT doc_id, lang, shard, n AS n_tokens, bin_id FROM state
     """,
     "corpus_stratified_sample": """
         SELECT doc_id, lang
@@ -804,15 +818,17 @@ ORACLES = {
         LIMIT 100
     """,
     "pack_chunks": """
-        SELECT doc_id, lang,
+        SELECT doc_id, lang, shard,
                CAST(c - n AS BIGINT) AS start_token,
                CAST(FLOOR((c - n) / 256) AS BIGINT) AS bin_first,
                CAST(FLOOR((c - 1) / 256) AS BIGINT) AS bin_last
-        FROM (SELECT doc_id, lang,
+        FROM (SELECT doc_id, lang, shard,
                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
                      SUM(len(string_split(text, ' ')))
-                         OVER (PARTITION BY lang ORDER BY doc_id) AS c
-              FROM documents)
+                         OVER (PARTITION BY lang, shard ORDER BY doc_id) AS c
+              FROM (SELECT *,
+                           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 16 AS shard
+                    FROM documents))
     """,
     "dedup_simhash": """
         WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),

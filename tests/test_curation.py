@@ -67,7 +67,10 @@ def test_pack_chunks_straddles_and_shards(spark):
         ],
         ["doc_id", "lang", "text"],
     )
-    out = {r.doc_id: (r.start_token, r.bin_first, r.bin_last) for r in pack_chunks(docs, budget=5).collect()}
+    out = {
+        r.doc_id: (r.start_token, r.bin_first, r.bin_last)
+        for r in pack_chunks(docs, budget=5, n_shards=1).collect()
+    }
     assert out[1] == (0, 0, 0)
     assert out[2] == (3, 0, 1)   # tokens 3..6 cross the 5-token boundary
     assert out[3] == (7, 1, 1)
@@ -102,8 +105,44 @@ def test_pack_greedy_whole_docs_never_straddle(spark):
         ],
         ["doc_id", "lang", "text"],
     )
-    out = {r.doc_id: r.bin_id for r in pack_greedy(docs, budget=5).collect()}
+    out = {r.doc_id: r.bin_id for r in pack_greedy(docs, budget=5, n_shards=1).collect()}
     assert out == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+
+
+def test_pack_default_shard_splits_languages(spark):
+    """Scale contract: with the DEFAULT shard key, a single language must
+    fan out into many (lang, shard) groups — one language may NOT collapse
+    into one window partition / one applyInPandas group (the 100 TB
+    straggler shape).  Shards are md5-deterministic and consistent between
+    the two packers, and bin ids stay shard-local."""
+    from postgres_debezium_clickhouse_spark.operators.curation import (
+        pack_chunks,
+        pack_greedy,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "en", " ".join(["t"] * (1 + i % 7))) for i in range(200)],
+        ["doc_id", "lang", "text"],
+    )
+    greedy = pack_greedy(docs, budget=16).collect()
+    chunks = pack_chunks(docs, budget=16).collect()
+
+    g_shards = {r.shard for r in greedy}
+    assert len(g_shards) >= 8, f"only {len(g_shards)} shards for 200 docs"
+    # both packers assign the same md5 shard to the same doc
+    c_shard = {r.doc_id: r.shard for r in chunks}
+    assert all(r.shard == c_shard[r.doc_id] for r in greedy)
+    # bin ids restart per shard: every shard has a bin 0
+    for s in g_shards:
+        assert min(r.bin_id for r in greedy if r.shard == s) == 0
+    # greedy invariant holds within each (shard, bin): fill <= budget
+    # unless the bin holds a single oversized doc
+    fills: dict[tuple, int] = {}
+    for r in greedy:
+        fills[(r.shard, r.bin_id)] = fills.get((r.shard, r.bin_id), 0) + r.n_tokens
+    for (s, b), fill in fills.items():
+        members = [r for r in greedy if r.shard == s and r.bin_id == b]
+        assert fill <= 16 or len(members) == 1
 
 
 from hypothesis import HealthCheck, given, settings
@@ -125,7 +164,7 @@ def test_pack_greedy_matches_python_reference(spark, token_counts, budget):
         [(i, "x", " ".join(["t"] * n)) for i, n in enumerate(token_counts)],
         ["doc_id", "lang", "text"],
     )
-    got = {r.doc_id: r.bin_id for r in pack_greedy(docs, budget=budget).collect()}
+    got = {r.doc_id: r.bin_id for r in pack_greedy(docs, budget=budget, n_shards=1).collect()}
 
     expected, fill, cur = {}, 0, 0
     for i, n in enumerate(token_counts):
