@@ -155,9 +155,18 @@ def tfidf_top_terms(
     toks = documents.select(F.col(id_col), F.explode(_tokens(text_col)).alias("token"))
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = documents.count()
-    scored = tf.join(F.broadcast(df_), "token").withColumn(
-        "tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+    # N as an IN-PLAN count-star branch, not a driver-side
+    # documents.count(): the count(*) scan reads NO columns (empty
+    # ReadSchema — parquet row-group metadata only), so the corpus text is
+    # decoded and tokenized exactly once per run even at 100 TB, and the
+    # whole query stays one lazy plan (no extra blocking job).
+    n_df = documents.groupBy().agg(F.count(F.lit(1)).alias("__n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n_df))
+        .withColumn(
+            "tfidf", F.round(F.col("tf") * F.log(F.col("__n_docs") / F.col("df")), 6)
+        )
     )
     w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("token").asc())
     return (
@@ -194,23 +203,31 @@ def commonness_score(
 
     Plan: explode distinct tokens → vocabulary-sized df table (map-side
     combinable, broadcastable at any corpus scale) → join back → one
-    grouped AVG.  Same shape as TF-IDF minus the window."""
-    toks = documents.select(
+    grouped AVG.  Same shape as TF-IDF minus the window.  N docs is an
+    in-plan count-star branch (empty-ReadSchema scan: parquet row-group
+    metadata only) broadcast as one row — NOT a driver-side ``count()``,
+    which would decode and tokenize the corpus a second time."""
+    pairs = documents.select(
         F.col(id_col), F.explode(F.array_distinct(_tokens(text_col))).alias("token")
     )
-    df_ = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = documents.count()
-    return (
-        toks.join(F.broadcast(df_), "token")
+    df_ = pairs.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_df = documents.groupBy().agg(F.count(F.lit(1)).alias("__n_docs"))
+    per_doc = (
+        pairs.join(F.broadcast(df_), "token")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_distinct_tokens"),
-            # = AVG(df/n_docs), but as ONE division over exact integer
-            # sums — no float-summation-order sensitivity in the oracle
-            F.round(
-                F.sum("df") / (F.count(F.lit(1)) * F.lit(n_docs)), 6
-            ).alias("commonness"),
+            F.sum("df").alias("__sum_df"),
         )
+    )
+    return per_doc.crossJoin(F.broadcast(n_df)).select(
+        F.col(id_col),
+        F.col("n_distinct_tokens"),
+        # = AVG(df/n_docs), but as ONE division over exact integer
+        # sums — no float-summation-order sensitivity in the oracle
+        F.round(
+            F.col("__sum_df") / (F.col("n_distinct_tokens") * F.col("__n_docs")), 6
+        ).alias("commonness"),
     )
 
 

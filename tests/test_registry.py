@@ -57,6 +57,8 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "dedup_embedding_cosine",   # block-join verified within label blocks
         "recent_orders_interval",   # scalar attach: 1-row broadcast aggregate
         "similarity_lsh_recall",    # embeds the brute-force exact side as ground truth
+        "text_tfidf_top_terms",     # scalar attach: 1-row broadcast N-docs (metadata-only scan)
+        "text_commonness",          # scalar attach: 1-row broadcast N-docs (metadata-only scan)
     }
     oracle_checked = set(m.oracle_sql())
     checked = 0
@@ -75,6 +77,30 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
             assert "BroadcastNestedLoopJoin" not in plan, f"{name} plans a nested-loop join"
         checked += 1
     assert checked > 80
+
+
+def test_corpus_scalar_counts_are_metadata_only(spark, sf_dir):
+    """Scale contract for corpus-wide scalars (the r3 text.py count()
+    finding): N-docs must be an IN-PLAN count-star branch whose scan reads
+    NO columns (empty ReadSchema — parquet footer metadata only), never a
+    driver-side .count() (an extra blocking job that decodes the whole
+    corpus).  The tf/df recompute keeps at most 2 text-decoding scans —
+    the documented tree-not-DAG trade (persisting tf would cost a
+    corpus-sized cache; a window-df would skew on hot tokens)."""
+    import re
+
+    import __spark_entry__ as m
+
+    for name in ("text_tfidf_top_terms", "text_commonness"):
+        plan = (
+            m.queries()[name](spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        schemas = re.findall(r"ReadSchema: (struct<[^>]*>)", plan)
+        empty = [s for s in schemas if s == "struct<>"]
+        texty = [s for s in schemas if "text" in s]
+        assert len(empty) == 1, f"{name}: N-docs branch must be a metadata-only scan: {schemas}"
+        assert len(texty) <= 2, f"{name}: too many text-decoding scans: {schemas}"
 
 
 def test_every_oracle_is_engine_portable():
