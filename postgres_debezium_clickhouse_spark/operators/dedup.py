@@ -18,7 +18,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: LSH parameters: 4 bands × 2 rows = 8 MinHash functions.  For the target
@@ -94,7 +94,10 @@ def minhash_signature(shingled: DataFrame) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    documents: DataFrame, id_col: str = "doc_id", shingled: DataFrame | None = None
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    shingled: DataFrame | None = None,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Banded-LSH candidate pairs: docs sharing at least one band key.
 
@@ -102,7 +105,19 @@ def lsh_candidate_pairs(
     self-equi-join → distinct pairs.  Never an all-pairs product.
     Pass a pre-computed (possibly persisted) ``shingled`` DF to avoid
     recomputing the shingle arrays.
-    """
+
+    Worst-case bound: a degenerate band bucket (k mass-identical docs —
+    boilerplate, scraped nav pages — all sharing one band key) would fan
+    out k²/2 pairs inside the self-join.  Buckets larger than
+    ``max_bucket_size`` are therefore salted into ⌈k/cap⌉ md5 sub-buckets
+    before the join, bounding the fan-out at ~k·cap/2 (linear in k).
+    Within-sub-bucket pairs are still emitted, so recall loss applies only
+    across sub-buckets of degenerate buckets — whose members are near- or
+    exact-identical and already collapsed by ``exact_dedup``.  The bucket
+    census is a count-only window over the band-key shuffle (no ordering,
+    no second signature computation; Spark spills oversized window
+    partitions).  The salt is md5-derived, so oracles reproduce it, though
+    fixture-scale buckets never exceed the default cap."""
     signed = minhash_signature(shingled if shingled is not None else with_shingles(documents))
     bands = F.array(
         *[
@@ -117,13 +132,21 @@ def lsh_candidate_pairs(
         signed.select(F.col(id_col), F.explode(bands).alias("band"))
         .select(id_col, F.col("band.b").alias("b"), F.col("band.bkey").alias("bkey"))
     )
-    left = exploded.alias("l")
-    right = exploded.alias("r")
+    bucket_n = F.count(F.lit(1)).over(Window.partitionBy("b", "bkey"))
+    n_sub = F.ceil(bucket_n / max_bucket_size)
+    h16 = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+    capped = exploded.withColumn(
+        "__salt",
+        F.when(bucket_n <= max_bucket_size, F.lit(0)).otherwise(h16.cast("long") % n_sub),
+    )
+    left = capped.alias("l")
+    right = capped.alias("r")
     return (
         left.join(
             right,
             (F.col("l.b") == F.col("r.b"))
             & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l.__salt") == F.col("r.__salt"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
         .select(F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b"))

@@ -52,6 +52,28 @@ def test_lsh_no_cross_cluster_false_positives(spark):
     assert all(4 not in (r.doc_a, r.doc_b) for r in near)
 
 
+def test_lsh_hot_bucket_fanout_is_capped(spark):
+    """Scale bound: 1k mass-identical docs share every band key (the
+    degenerate-bucket worst case).  With max_bucket_size=50 the salt must
+    keep candidate pairs ~linear in k (≈ n_sub · C(cap,2) per band), never
+    the quadratic C(1000,2); without a cap the same corpus must produce
+    the full quadratic set — proving the cap is what bounds the blow-up."""
+    k, cap = 1000, 50
+    docs = spark.createDataFrame(
+        [(i, "spam boilerplate page repeated nav text here") for i in range(k)],
+        ["doc_id", "text"],
+    )
+    capped = lsh_candidate_pairs(docs, max_bucket_size=cap).count()
+    quadratic = k * (k - 1) // 2
+    # ⌈k/cap⌉ sub-buckets of ≤~cap docs, ≤4 bands: comfortably linear-ish
+    assert capped <= 4 * (k // cap + 1) * (cap * (cap - 1) // 2)
+    assert capped < quadratic / 5
+    # sanity: pairs inside a sub-bucket are still emitted
+    assert capped > 0
+    # and the uncapped path really is quadratic on this corpus
+    assert lsh_candidate_pairs(docs, max_bucket_size=k).count() == quadratic
+
+
 def test_simhash_equal_for_identical_token_sets(spark):
     out = {r.doc_id: r.simhash for r in simhash(_docs(spark)).collect()}
     assert out[1] == out[5]
