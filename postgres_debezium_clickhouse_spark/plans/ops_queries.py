@@ -448,13 +448,17 @@ def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ckpt,
         available_now=True,
     )
-    if not mv.query.awaitTermination(300):
-        mv.query.stop()  # don't leave a zombie stream behind the error
-        raise TimeoutError(
-            "stream did not finish in 300s — refusing to "
-            "return a partial result"
-        )
-    pipe.drop_mv(f"quality_mv_{run}")
+    try:
+        if not mv.query.awaitTermination(300):
+            mv.query.stop()  # don't leave a zombie stream behind the error
+            raise TimeoutError(
+                "stream did not finish in 300s — refusing to "
+                "return a partial result"
+            )
+    finally:
+        # also on the timeout path: a stale registry entry would make a
+        # same-process retry re-register over a live name
+        pipe.drop_mv(f"quality_mv_{run}")
     return spark.read.parquet(out)
 
 QUERIES = {

@@ -40,9 +40,17 @@ replaces the manifest (write-temp + ``os.replace``).  Files referenced by
 any committed manifest are never mutated, so a reader that loaded a
 manifest sees a consistent snapshot even while a publish is in flight;
 replaced files stay on disk until ``vacuum_silver`` passes their grace
-period.  The atomic-rename commit is a local-filesystem assumption — on an
-object store, swap ``os.replace`` for a conditional put (or use
-Delta/Iceberg, whose MERGE this layout deliberately mirrors).
+period.
+
+Writer contract: ONE writer per store (the streaming sink; run
+``compact_silver`` only while the stream is stopped).  Two guards turn a
+violated assumption into a loud :class:`ManifestCommitError` instead of
+silent row loss: an exclusive per-epoch claim file taken before any file
+I/O, and a conditional (compare-and-swap on version) manifest commit.
+On an object store, implement the same commit contract with a conditional
+put on the manifest object (S3 ``If-Match``/ETag, GCS generation
+preconditions) — no separate lock object needed — or use Delta/Iceberg,
+whose MERGE this layout deliberately mirrors.
 """
 
 from __future__ import annotations
@@ -102,15 +110,95 @@ def _read_manifest(path: str) -> dict | None:
         return None
 
 
-def _write_manifest(path: str, manifest: dict) -> None:
-    """Atomic publish: readers see the old or the new manifest, never a
-    partial one (local-FS ``os.replace``; see module docstring for the
-    object-store variant)."""
+class ManifestCommitError(RuntimeError):
+    """A publish lost the commit race: the store moved past the version the
+    publisher based its epoch on (or another publisher holds the epoch
+    claim).  The store is untouched by the loser — retry by re-reading the
+    manifest and re-deriving the merge."""
+
+
+def _write_manifest(path: str, manifest: dict, expected_version: int | None = None) -> None:
+    """Commit a manifest.  ``expected_version`` makes it a CONDITIONAL put
+    (compare-and-swap): the commit succeeds only if the store's current
+    version still equals it, else raises :class:`ManifestCommitError` —
+    the loser of a race fails loudly instead of silently dropping the
+    winner's rows.  Local-FS impl: an ``O_EXCL`` lock file serializes
+    check+replace; an object-store port implements the SAME contract with
+    a conditional put (S3 ``If-Match``/ETag, GCS generation preconditions)
+    on the manifest object itself — no lock object needed.  Readers are
+    unaffected either way: they see the old or the new manifest, never a
+    partial one (write-temp + ``os.replace``)."""
     os.makedirs(path, exist_ok=True)
-    tmp = os.path.join(path, f".{MANIFEST}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.replace(tmp, os.path.join(path, MANIFEST))
+
+    def _swap() -> None:
+        tmp = os.path.join(path, f".{MANIFEST}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(path, MANIFEST))
+
+    if expected_version is None:
+        _swap()
+        return
+    lock = os.path.join(path, f".{MANIFEST}.lock")
+    deadline = time.time() + 10.0
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            if time.time() > deadline:
+                raise ManifestCommitError(f"manifest lock stuck: {lock}")
+            time.sleep(0.02)
+    try:
+        cur = _read_manifest(path)
+        cur_version = cur["version"] if cur is not None else 0
+        if cur_version != expected_version:
+            raise ManifestCommitError(
+                f"concurrent publish at {path}: store is at version "
+                f"{cur_version}, expected {expected_version}"
+            )
+        _swap()
+    finally:
+        os.close(fd)
+        os.unlink(lock)
+
+
+#: a crashed publisher's epoch claim is stealable after this many seconds.
+EPOCH_CLAIM_STALE_S = 3600.0
+
+
+def _claim_epoch(path: str, epoch: int, stale_s: float = EPOCH_CLAIM_STALE_S) -> str:
+    """Single-writer guard for one epoch: create ``.epoch-<v>.claim``
+    exclusively BEFORE touching the epoch dir, so a second publisher
+    racing for the same epoch fails here — before its leftover-cleanup
+    ``rmtree`` could delete the first publisher's in-flight files.  A
+    claim older than ``stale_s`` belongs to a crashed publisher (its epoch
+    is uncommitted by definition) and is stolen.  Returns the claim path;
+    the caller removes it after the manifest commit (or on failure)."""
+    os.makedirs(path, exist_ok=True)
+    claim = os.path.join(path, f".epoch-{epoch}.claim")
+    for attempt in (0, 1):
+        try:
+            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            return claim
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(claim)
+            except FileNotFoundError:
+                continue  # claimant just released/stole; retry once
+            if attempt == 0 and age > stale_s:
+                try:
+                    os.unlink(claim)  # crashed publisher; steal
+                except FileNotFoundError:
+                    pass
+                continue
+            raise ManifestCommitError(
+                f"epoch {epoch} at {path} already claimed by a concurrent "
+                f"publisher ({claim}, {age:.0f}s old)"
+            )
+    raise ManifestCommitError(f"could not claim epoch {epoch} at {path}")
 
 
 def _bucket_expr(keys: list[str], n_buckets: int):
@@ -148,45 +236,80 @@ def _publish_buckets(
     """Write ``df`` as fresh files under a new ``__epoch`` dir (one
     key-sorted file per bucket — the O1 sparse-index layout within a
     bucket), then commit: new manifest = old live files minus
-    ``replaced_buckets`` plus the new epoch's files."""
+    ``replaced_buckets`` plus the new epoch's files.
+
+    Two guards make a concurrent publisher fail LOUDLY instead of losing
+    data: the epoch claim (taken before any file I/O — the leftover
+    ``rmtree`` below may only run while holding it) and the conditional
+    manifest commit (CAS on the version this publish was derived from).
+    The silver store is still a single-writer-per-store design — one
+    streaming sink, with ``compact_silver`` run only while the stream is
+    stopped — these guards turn a violated assumption into an error."""
     epoch = manifest["version"] + 1
     n_buckets = manifest["n_buckets"]
     epoch_dir = os.path.join(path, f"__epoch={epoch}")
-    # Crash recovery: epoch v+1 is by definition UNCOMMITTED (the manifest
-    # holds v), so anything already under its dir is leftovers of a publish
-    # that died between the file write and the manifest swap.  A replayed
-    # batch must not commit those alongside its own files — that would
-    # silently duplicate every row in the touched buckets.
-    if os.path.isdir(epoch_dir):
-        shutil.rmtree(epoch_dir)
-    out = (
-        df.withColumn("__bucket", _bucket_expr(keys, n_buckets))
-        .withColumn("__epoch", F.lit(epoch))
-        .repartition("__bucket")
-        .sortWithinPartitions(*keys)
-    )
-    out.write.mode("append").partitionBy("__epoch", "__bucket").parquet(path)
+    claim = _claim_epoch(path, epoch)
+    try:
+        # Re-verify AFTER claiming and BEFORE any file I/O: a publisher
+        # holding a STALE manifest (another publish committed since it
+        # read) would otherwise treat the committed epoch v+1 as crash
+        # leftovers and rmtree the winner's live files.  Loud failure
+        # here, while the store is still untouched.
+        cur = _read_manifest(path)
+        cur_version = cur["version"] if cur is not None else 0
+        if cur_version != manifest["version"]:
+            raise ManifestCommitError(
+                f"concurrent publish at {path}: store is at version "
+                f"{cur_version}, expected {manifest['version']}"
+            )
+        # Crash recovery: epoch v+1 is by definition UNCOMMITTED (the
+        # manifest holds v), so anything already under its dir is leftovers
+        # of a publish that died between the file write and the manifest
+        # swap.  A replayed batch must not commit those alongside its own
+        # files — that would silently duplicate every row in the touched
+        # buckets.  Safe only under the epoch claim + version recheck: a
+        # LIVE concurrent publisher can't be mid-write here (it would have
+        # failed the claim), and a committed epoch can't be mistaken for
+        # leftovers (the recheck would have failed).
+        if os.path.isdir(epoch_dir):
+            shutil.rmtree(epoch_dir)
+        out = (
+            df.withColumn("__bucket", _bucket_expr(keys, n_buckets))
+            .withColumn("__epoch", F.lit(epoch))
+            .repartition("__bucket")
+            .sortWithinPartitions(*keys)
+        )
+        out.write.mode("append").partitionBy("__epoch", "__bucket").parquet(path)
 
-    new_files = []
-    for bucket_dir in sorted(os.listdir(epoch_dir)) if os.path.isdir(epoch_dir) else []:
-        full = os.path.join(epoch_dir, bucket_dir)
-        if not bucket_dir.startswith("__bucket=") or not os.path.isdir(full):
-            continue
-        new_files += [
-            f"__epoch={epoch}/{bucket_dir}/{f}"
-            for f in sorted(os.listdir(full))
-            if f.endswith(".parquet")
+        new_files = []
+        for bucket_dir in sorted(os.listdir(epoch_dir)) if os.path.isdir(epoch_dir) else []:
+            full = os.path.join(epoch_dir, bucket_dir)
+            if not bucket_dir.startswith("__bucket=") or not os.path.isdir(full):
+                continue
+            new_files += [
+                f"__epoch={epoch}/{bucket_dir}/{f}"
+                for f in sorted(os.listdir(full))
+                if f.endswith(".parquet")
+            ]
+        kept = [
+            f for f in manifest["files"]
+            if int(f.split("__bucket=")[1].split("/")[0]) not in replaced_buckets
         ]
-    kept = [
-        f for f in manifest["files"]
-        if int(f.split("__bucket=")[1].split("/")[0]) not in replaced_buckets
-    ]
-    _write_manifest(path, {
-        "version": epoch,
-        "n_buckets": n_buckets,
-        "files": kept + new_files,
-        "schema": df.schema.json(),  # empty-store reads reconstruct from this
-    })
+        _write_manifest(
+            path,
+            {
+                "version": epoch,
+                "n_buckets": n_buckets,
+                "files": kept + new_files,
+                "schema": df.schema.json(),  # empty-store reads reconstruct from this
+            },
+            expected_version=manifest["version"],
+        )
+    finally:
+        try:
+            os.unlink(claim)
+        except FileNotFoundError:
+            pass
 
 
 def silver_upsert_stream(
@@ -367,11 +490,27 @@ def compact_silver(
     Commit is the same manifest swap as the streaming publish, so readers
     holding the previous manifest keep a consistent snapshot until
     ``vacuum_grace_s`` expires (pass 0 to reclaim space immediately when no
-    concurrent readers exist)."""
+    concurrent readers exist).
+
+    A pre-manifest flat store (plain ``part-*.parquet`` under ``path``) is
+    migrated in place: its rows are read as the current state, published
+    bucketed under the first manifest, and the superseded flat files
+    removed — compaction doesn't require a streaming trigger to have
+    migrated the store first."""
     manifest = _read_manifest(path)
-    if manifest is None:  # legacy flat layout: nothing to compact here
-        raise FileNotFoundError(f"no silver manifest at {path}")
-    df = _read_live_files(spark, path, manifest)
+    legacy_files: list[str] = []
+    if manifest is None:
+        if os.path.isdir(path):
+            legacy_files = [
+                f for f in os.listdir(path)
+                if f.endswith(".parquet") and os.path.isfile(os.path.join(path, f))
+            ]
+        if not legacy_files:
+            raise FileNotFoundError(f"no silver store at {path}")
+        manifest = {"version": 0, "n_buckets": DEFAULT_SILVER_BUCKETS, "files": []}
+        df = spark.read.parquet(*[os.path.join(path, f) for f in legacy_files])
+    else:
+        df = _read_live_files(spark, path, manifest)
     before = df.count()
     if drop_tombstones_below_version is not None:
         df = df.filter(
@@ -380,6 +519,8 @@ def compact_silver(
     n_after = df.count()
     all_buckets = set(range(manifest["n_buckets"]))
     _publish_buckets(df, path, keys, manifest, all_buckets)
+    for f in legacy_files:  # superseded by the manifest commit just made
+        os.remove(os.path.join(path, f))
     vacuum_silver(path, grace_s=vacuum_grace_s)
     return before - n_after
 

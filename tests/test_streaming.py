@@ -529,3 +529,92 @@ def test_silver_long_stream_dead_files_bounded(spark, dirs):
     # walk-based cadence bound is that dead files < total epochs written
     assert live == 1
     assert on_disk <= 17  # bounded: one file per epoch at most, not growing per re-run
+
+
+def test_racing_publishers_one_fails_loudly(spark, dirs):
+    """Fault injection for the single-writer guard: two publishers derive
+    the next epoch from the SAME manifest; the first commits, the second
+    must raise ManifestCommitError (CAS on version) — never silently drop
+    the winner's rows.  A held epoch claim likewise rejects a publisher
+    BEFORE it can rmtree the claimant's in-flight files; a stale claim
+    (crashed publisher) is stolen."""
+    import os as _os
+    import time as _time
+
+    from postgres_debezium_clickhouse_spark.streaming.pipeline import (
+        ManifestCommitError,
+        _publish_buckets,
+        _read_manifest,
+        read_silver,
+        silver_upsert_stream,
+    )
+
+    _write_json(spark, BATCH1, dirs["src"])
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(dirs["src"])
+    q = silver_upsert_stream(stream, dirs["silver"], dirs["ckpt_s"], keys=["id"], available_now=True)
+    q.awaitTermination(120)
+
+    stale = _read_manifest(dirs["silver"])
+    extra = spark.createDataFrame(
+        [(50, "winner", "c", 500, 1, False)],
+        ["id", "val", "op", "ts_ms", "offset", "__deleted"],
+    )
+    _publish_buckets(extra, dirs["silver"], ["id"], stale, set(range(stale["n_buckets"])))
+    loser = spark.createDataFrame(
+        [(60, "loser", "c", 600, 1, False)],
+        ["id", "val", "op", "ts_ms", "offset", "__deleted"],
+    )
+    with pytest.raises(ManifestCommitError, match="version"):
+        _publish_buckets(loser, dirs["silver"], ["id"], stale, set(range(stale["n_buckets"])))
+    # winner's commit intact, loser's rows absent
+    state = {r.id: r.val for r in read_silver(spark, dirs["silver"]).collect()}
+    assert state == {50: "winner"}
+
+    # a live claim rejects publishers up front...
+    cur = _read_manifest(dirs["silver"])
+    claim = _os.path.join(dirs["silver"], f".epoch-{cur['version'] + 1}.claim")
+    with open(claim, "w") as fh:
+        fh.write("other")
+    with pytest.raises(ManifestCommitError, match="claimed"):
+        _publish_buckets(loser, dirs["silver"], ["id"], cur, set(range(cur["n_buckets"])))
+    # ...but a stale claim (crashed publisher) is stolen and publish proceeds
+    _os.utime(claim, (_time.time() - 7200, _time.time() - 7200))
+    _publish_buckets(loser, dirs["silver"], ["id"], cur, set(range(cur["n_buckets"])))
+    assert not _os.path.exists(claim)
+    assert {r.id: r.val for r in read_silver(spark, dirs["silver"]).collect()} == {60: "loser"}
+
+
+def test_compact_silver_migrates_legacy_flat_store(spark, dirs):
+    """compact_silver on a pre-manifest flat store migrates it in place
+    (no streaming trigger required): rows preserved, tombstone horizon
+    applied, flat files superseded, manifest committed."""
+    import os as _os
+
+    from postgres_debezium_clickhouse_spark.streaming.pipeline import (
+        _read_manifest,
+        compact_silver,
+        read_silver,
+    )
+
+    legacy = spark.createDataFrame(
+        [
+            (1, "live", "c", 100, 1, False),
+            (2, None, "d", 150, 2, True),   # past horizon: GC'd
+            (3, None, "d", 500, 3, True),   # young tombstone: kept
+        ],
+        ["id", "val", "op", "ts_ms", "offset", "__deleted"],
+    )
+    legacy.coalesce(1).write.mode("overwrite").parquet(dirs["silver"])
+
+    removed = compact_silver(
+        spark, dirs["silver"], keys=["id"], drop_tombstones_below_version=200, vacuum_grace_s=0
+    )
+    assert removed == 1
+    manifest = _read_manifest(dirs["silver"])
+    assert manifest is not None and manifest["version"] == 1
+    full = {r.id: r["__deleted"] for r in read_silver(spark, dirs["silver"], include_deleted=True).collect()}
+    assert full == {1: False, 3: True}
+    assert not any(
+        f.endswith(".parquet") and _os.path.isfile(_os.path.join(dirs["silver"], f))
+        for f in _os.listdir(dirs["silver"])
+    )
