@@ -29,6 +29,60 @@ needs_jdbc = pytest.mark.skipif(
 )
 
 
+def _listening(port: int, host: str = "127.0.0.1") -> bool:
+    import socket
+
+    s = socket.socket()
+    s.settimeout(0.3)
+    try:
+        return s.connect_ex((host, port)) == 0
+    finally:
+        s.close()
+
+
+def _spark_has_jar(substring: str) -> bool:
+    import glob
+
+    import pyspark
+
+    jars = glob.glob(os.path.join(os.path.dirname(pyspark.__file__), "jars", "*.jar"))
+    return any(substring in os.path.basename(j) for j in jars)
+
+
+def test_live_skip_condition_is_intentional():
+    """The 3 smoke tests above must never skip SILENTLY past a reachable
+    service: if something is listening on the conventional broker/DB ports
+    while the env vars are unset, that's a misconfigured gate, not a
+    sandbox — fail with instructions instead of skipping.  Conversely,
+    when the env DOES claim a service, the Spark-side driver jar must be
+    present, or the smoke test would die in ClassNotFound noise instead
+    of a clear message.  (In this container neither the spark-sql-kafka
+    connector nor a postgresql JDBC driver jar ships with the Spark
+    build, so the env-gated skips are the documented-intentional state
+    even though a postgres server binary exists.)"""
+    if not KAFKA and _listening(9092):
+        pytest.fail(
+            "a broker is listening on 127.0.0.1:9092 but SPARK_KAFKA_BOOTSTRAP "
+            "is unset — set it so the live Kafka smoke tests RUN instead of skipping"
+        )
+    if not JDBC and _listening(5432):
+        pytest.fail(
+            "a database is listening on 127.0.0.1:5432 but SPARK_JDBC_URL "
+            "is unset — set it so the live JDBC smoke test RUNS instead of skipping"
+        )
+    if KAFKA and not _spark_has_jar("spark-sql-kafka"):
+        pytest.fail(
+            "SPARK_KAFKA_BOOTSTRAP is set but the spark-sql-kafka connector jar "
+            "is not on the Spark classpath — add it (e.g. spark.jars.packages "
+            "org.apache.spark:spark-sql-kafka-0-10_2.13) or unset the env var"
+        )
+    if JDBC and JDBC.startswith("jdbc:postgresql") and not _spark_has_jar("postgresql"):
+        pytest.fail(
+            "SPARK_JDBC_URL points at Postgres but no postgresql JDBC driver jar "
+            "is on the Spark classpath — add it or unset the env var"
+        )
+
+
 @needs_kafka
 def test_kafka_stream_smoke(spark, tmp_path):
     """S1-S3 live: read one availableNow pass from a real topic; the raw
