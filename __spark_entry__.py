@@ -48,6 +48,11 @@ def entry(spark: SparkSession) -> DataFrame:
 _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries, analytics)
 
 _FRONT = (
+    # round-4 additions (never driver-checked):
+    "text_boilerplate",
+    "quality_gopher_rules",
+    "corpus_token_budget_sample",
+    "dedup_semantic",
     # never driver-green — r3 _BACK deferrals, verified locally 7/7:
     "text_commonness",
     "quality_adaptive_filter",

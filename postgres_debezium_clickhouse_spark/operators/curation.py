@@ -191,6 +191,42 @@ def pack_greedy(
     return slim.groupBy(partition_col, "shard").applyInPandas(pack, schema=out_schema)
 
 
+def token_budget_sample(
+    documents: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sample each ``group_col`` group down to ~``budget_tokens`` tokens by
+    deterministic hash fraction: keep a doc iff ``u(id) < min(1,
+    budget/group_total_tokens)`` where ``u(id)`` = first 32 md5 bits of the
+    id as a uniform [0,1) — the mixture-execution step after
+    ``domain_mix_weights`` decides the shares.
+
+    This is deliberately NOT an exact-cutoff sample (no per-group cum-sum
+    window): the budget is hit in expectation, which is the scalable shape —
+    per-group totals are a tiny map-side-combinable aggregate broadcast
+    back, and the keep decision is map-only, reshard-stable, and identical
+    no matter how the corpus is partitioned.  An exact cutoff needs a
+    global per-group ordered cum-sum = one window partition per group = a
+    straggler at 100 TB (use ``stratified_sample``'s ranked variant on a
+    finer stratum when exactness matters).  Every float step (one division,
+    one multiply-free compare) is IEEE-identical in the oracle."""
+    n = F.size(F.split(F.col(text_col), " ")).cast("long")
+    d = documents.select(F.col(id_col), F.col(group_col), n.alias("n_tokens"))
+    totals = d.groupBy(group_col).agg(F.sum("n_tokens").alias("total_tokens"))
+    u = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(4294967296.0)
+    frac = F.least(F.lit(1.0), F.lit(float(budget_tokens)) / F.col("total_tokens"))
+    return (
+        d.join(F.broadcast(totals), group_col)
+        .filter(u < frac)
+        .select(F.col(id_col), F.col(group_col), F.col("n_tokens"))
+    )
+
+
 def contamination_check(
     train_docs: DataFrame,
     benchmark_docs: DataFrame,

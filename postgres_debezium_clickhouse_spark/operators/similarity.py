@@ -244,6 +244,58 @@ def ivf_ann_topk(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    paper): cluster embeddings with the deterministic IVF coarse quantizer,
+    compare pairs only WITHIN a cluster, and drop the higher-id member of
+    any pair with cosine ≥ ``threshold``.  Output is a full-corpus
+    assignment: ``(vec_id, cell, keep)`` — semantically-redundant docs get
+    ``keep = false``.
+
+    Scale shape: the cluster id is the blocking key (the same trick as
+    every dedup in this package — LSH bands, label blocks, IVF cells), so
+    the pairwise stage is bounded by the largest cell (~n/n_centroids for a
+    balanced quantizer; raise ``n_centroids`` with corpus size) and nothing
+    is ever all-pairs.  Cell assignment is one narrow projection against
+    plan-literal centroids; the within-cell join shuffles on the cell key
+    once.  SemDeDup's per-pair rule (not transitive closure) is the
+    published semantics — chain A~B~C with A≁C still drops B and C, keeping
+    only the lowest id per dup neighborhood."""
+    from .dedup import spread_for_compute
+
+    cents = ivf_centroids(corpus, n_centroids, id_col)
+    c = with_ivf_cell(as_double_vec(spread_for_compute(corpus)), cents).select(
+        F.col(id_col), F.col("v"), F.col("cell")
+    )
+    a = c.select(F.col(id_col).alias("vec_a"), F.col("cell"), F.col("v").alias("va"))
+    b = c.select(F.col(id_col).alias("vec_b"), F.col("cell"), F.col("v").alias("vb"))
+    dot = F.expr(DOT.format(a="va", b="vb"))
+    na = F.expr(NORM.format(a="va"))
+    nb = F.expr(NORM.format(a="vb"))
+    drops = (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(dot / (na * nb), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("vec_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        c.select(F.col(id_col), F.col("cell").cast("long").alias("cell"))
+        .join(drops.withColumn("__drop", F.lit(True)), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.col("__drop").isNull().alias("keep"),
+        )
+    )
+
+
 def embedding_near_dups(corpus: DataFrame, threshold: float, id_col: str = "vec_id") -> DataFrame:
     """Embedding-cosine near-dup pairs within label blocks.
 

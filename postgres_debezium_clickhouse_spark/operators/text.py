@@ -231,6 +231,101 @@ def commonness_score(
     )
 
 
+def boilerplate_ngrams(
+    documents: DataFrame,
+    k: int = 5,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document boilerplate signal (C4-style): the fraction of a
+    document's DISTINCT word ``k``-grams that also appear in at least
+    ``min_docs`` documents corpus-wide.  Nav bars, license headers, and
+    template scaffolding score high; original prose scores near 0 — the
+    standard companion to per-doc ``repetition_score`` (which only sees
+    repeats WITHIN one document).
+
+    Plan: explode distinct k-grams → corpus document-frequency per k-gram
+    (map-side combinable groupBy) → join back on the k-gram key → one
+    grouped sum per doc.  Unlike the token-vocabulary joins (tfidf/
+    commonness) the k-gram table grows with the corpus, so the join-back is
+    a plain shuffle join on the k-gram key, NOT a broadcast — both sides
+    shuffle once on the same key and nothing is ever all-pairs.  Documents
+    with fewer than ``k`` tokens have no k-grams and are absent from the
+    output (mirrored by the oracle)."""
+    grams = documents.withColumn("__tk", _tokens(text_col)).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(__tk) >= {k} THEN "
+                f"array_distinct(transform(sequence(1, size(__tk) - {k - 1}),"
+                f" i -> concat_ws(' ', slice(__tk, i, {k}))))"
+                f" ELSE array() END"
+            )
+        ).alias("ngram"),
+    )
+    df_ = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        grams.join(df_, "ngram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_ngrams"),
+            F.sum((F.col("df") >= min_docs).cast("long")).alias("n_common_ngrams"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_distinct_ngrams"),
+            F.col("n_common_ngrams"),
+            # ONE division over exact integer counts — oracle-bit-exact
+            F.round(F.col("n_common_ngrams") / F.col("n_distinct_ngrams"), 6).alias(
+                "boilerplate_ratio"
+            ),
+        )
+    )
+
+
+def gopher_rules(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style rule-based quality flags (Rae et al. 2021 §A1.1, public
+    paper): word-count bounds, mean-word-length bounds, symbol-to-word
+    ratio, and a stopword-presence check, plus the conjunction.
+
+    Every flag is computed in EXACT INTEGER arithmetic (e.g. the
+    mean-word-length band 3..10 is tested as ``3·n_words ≤ Σlen ≤
+    10·n_words``) so the pass/fail line is engine-portable — no float
+    threshold can flip between Spark and the oracle.  The reported ratio
+    columns are informational roundings of the same integers.  Map-only,
+    no shuffle; fuses into the scan at any scale."""
+    df = documents.withColumn("__tk", _tokens(text_col))
+    n_words = F.size("__tk").cast("long")
+    sum_len = F.expr(
+        "aggregate(transform(__tk, x -> length(x)), cast(0 as bigint), (a, x) -> a + x)"
+    )
+    # stripping [A-Za-z0-9 ] leaves exactly the symbol characters
+    n_sym = F.length(F.regexp_replace(F.col(text_col), "[A-Za-z0-9 ]", "")).cast("long")
+    stop_lits = ", ".join(repr(s) for s in STOPWORDS)
+    n_stop_distinct = F.size(
+        F.expr(f"array_intersect(array_distinct(__tk), array({stop_lits}))")
+    ).cast("long")
+    words_ok = (n_words >= 50) & (n_words <= 100000)
+    mean_len_ok = (sum_len >= 3 * n_words) & (sum_len <= 10 * n_words)
+    symbol_ok = n_sym * 10 < n_words
+    stop_ok = n_stop_distinct >= 2
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(sum_len / n_words, 6).alias("mean_word_len"),
+        F.round(n_sym / n_words, 6).alias("symbol_word_ratio"),
+        n_stop_distinct.alias("n_stop_distinct"),
+        words_ok.alias("words_ok"),
+        mean_len_ok.alias("mean_len_ok"),
+        symbol_ok.alias("symbol_ok"),
+        stop_ok.alias("stop_ok"),
+        (words_ok & mean_len_ok & symbol_ok & stop_ok).alias("passes"),
+    )
+
+
 def adaptive_length_threshold(
     documents: DataFrame,
     pct_num: int = 1,

@@ -28,6 +28,7 @@ from ..operators.curation import (
     pii_scrub,
     sliding_window_chunks,
     stratified_sample,
+    token_budget_sample,
     token_length_histogram,
 )
 from ..operators.multimodal import (
@@ -43,11 +44,14 @@ from ..operators.similarity import (
     ivf_ann_topk,
     lsh_ann_buckets,
     lsh_ann_topk,
+    semantic_dedup,
 )
 from ..operators.text import (
     adaptive_length_threshold,
+    boilerplate_ngrams,
     commonness_score,
     fingerprint,
+    gopher_rules,
     language_id,
     quality_score,
     repetition_score,
@@ -439,7 +443,29 @@ def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return boilerplate_ngrams(load_table(spark, sf_dir, "documents"))
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_rules(load_table(spark, sf_dir, "documents"))
+
+
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_budget_sample(
+        load_table(spark, sf_dir, "documents"), budget_tokens=1000
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semantic_dedup(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
 QUERIES = {
+    "text_boilerplate": q_text_boilerplate,
+    "quality_gopher_rules": q_gopher_rules,
+    "corpus_token_budget_sample": q_token_budget_sample,
+    "dedup_semantic": q_semantic_dedup,
     "corpus_domain_mix": q_domain_mix,
     "token_length_histogram": q_token_length_histogram,
     "chunk_sliding_windows": q_chunk_sliding_windows,
@@ -516,6 +542,73 @@ _MINHASH_PAIR_CTES = """sig AS (SELECT doc_id, ts,
               FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id)"""
 
 ORACLES = {
+    "text_boilerplate": """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        g AS (SELECT doc_id,
+                     unnest(list_distinct([array_to_string(tk[i:i+4], ' ')
+                                           for i in range(1, len(tk) - 3)])) AS ngram
+              FROM toks WHERE len(tk) >= 5),
+        dfreq AS (SELECT ngram, COUNT(*) AS df FROM g GROUP BY ngram)
+        SELECT g.doc_id,
+               COUNT(*) AS n_distinct_ngrams,
+               CAST(SUM(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_common_ngrams,
+               ROUND(SUM(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS boilerplate_ratio
+        FROM g JOIN dfreq d USING (ngram)
+        GROUP BY g.doc_id
+    """,
+    "quality_gopher_rules": """
+        WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+        s AS (SELECT doc_id,
+                     CAST(len(tk) AS BIGINT) AS n_words,
+                     CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT) AS sum_len,
+                     CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS n_sym,
+                     CAST(len(list_intersect(list_distinct(tk), ['the', 'a', 'and', 'of'])) AS BIGINT) AS n_stop_distinct
+              FROM t)
+        SELECT doc_id,
+               n_words,
+               ROUND(sum_len * 1.0 / n_words, 6) AS mean_word_len,
+               ROUND(n_sym * 1.0 / n_words, 6) AS symbol_word_ratio,
+               n_stop_distinct,
+               (n_words >= 50 AND n_words <= 100000) AS words_ok,
+               (sum_len >= 3 * n_words AND sum_len <= 10 * n_words) AS mean_len_ok,
+               (n_sym * 10 < n_words) AS symbol_ok,
+               (n_stop_distinct >= 2) AS stop_ok,
+               ((n_words >= 50 AND n_words <= 100000)
+                AND (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
+                AND (n_sym * 10 < n_words)
+                AND (n_stop_distinct >= 2)) AS passes
+        FROM s
+    """,
+    "corpus_token_budget_sample": """
+        WITH d AS (SELECT doc_id, source,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                   FROM documents),
+        tot AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+                FROM d GROUP BY source)
+        SELECT d.doc_id, d.source, d.n_tokens
+        FROM d JOIN tot USING (source)
+        WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0)
+              < least(1.0, 1000.0 / tot.total_tokens)
+    """,
+    "dedup_semantic": """
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS i, v AS ctr
+                 FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+        cd AS (SELECT e.vec_id, e.v, cent.i,
+                      list_sum(list_transform(list_zip(e.v, cent.ctr), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+               FROM e CROSS JOIN cent),
+        asg AS (SELECT vec_id, v, i AS cell FROM
+                (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, i) AS rn FROM cd)
+                WHERE rn = 1),
+        drops AS (SELECT DISTINCT b.vec_id
+                  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+                  WHERE ROUND(list_dot_product(a.v, b.v)
+                              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4)
+        SELECT asg.vec_id, CAST(asg.cell AS BIGINT) AS cell,
+               (dr.vec_id IS NULL) AS keep
+        FROM asg LEFT JOIN drops dr ON asg.vec_id = dr.vec_id
+    """,
     "pack_efficiency": """
         WITH RECURSIVE rows AS (
             SELECT doc_id, lang, shard,

@@ -255,3 +255,23 @@ def test_sliding_window_chunks_matches_python_reference(spark, n_tokens, window,
     for _, start, n, _ in expected:
         covered.update(range(start, start + n))
     assert covered == set(range(n_tokens))
+
+
+def test_token_budget_sample_selectivity_and_stability(spark):
+    """Groups under budget keep everything; groups over budget keep a
+    hash-selected subset; the kept set is identical under any
+    partitioning (reshard-stable)."""
+    from postgres_debezium_clickhouse_spark.operators.curation import token_budget_sample
+
+    rows = [(i, "small", "w " * 4) for i in range(5)]  # 5 docs x 5 tokens = 25 < 100
+    rows += [(100 + i, "big", "w " * 99) for i in range(200)]  # 200 x 100 = 20000 >> 100
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    kept = token_budget_sample(docs, budget_tokens=100).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    assert by_src["small"] == {0, 1, 2, 3, 4}  # under budget → all kept
+    assert 0 < len(by_src.get("big", set())) < 200  # sampled, not empty
+    # reshard stability: a different layout yields the same kept set
+    kept2 = token_budget_sample(docs.repartition(7, "doc_id"), budget_tokens=100).collect()
+    assert {r.doc_id for r in kept2} == {r.doc_id for r in kept}

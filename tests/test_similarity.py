@@ -128,3 +128,19 @@ def test_lsh_recall_bounds_and_exact_self(spark, sf_dir):
     for r in rows:
         assert r.n_exact == 5 and 0 <= r.n_hits <= 5
         assert r.recall == round(r.n_hits / r.n_exact, 6)
+
+
+def test_semantic_dedup_drops_higher_id_near_dup(spark):
+    """Colinear vectors (cosine 1.0) in one cell: the higher id is dropped;
+    an orthogonal vector survives; output covers the full corpus."""
+    from postgres_debezium_clickhouse_spark.operators.similarity import semantic_dedup
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [2.0, 0.0]), (2, [0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    out = {r.vec_id: r for r in semantic_dedup(vecs, threshold=0.99, n_centroids=1).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0].keep is True
+    assert out[1].keep is False  # colinear with vec 0, higher id
+    assert out[2].keep is True

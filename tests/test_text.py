@@ -128,3 +128,46 @@ def test_adaptive_length_threshold_discrete_p10(spark):
     assert got["en"].threshold_tokens == 2 and got["en"].n_below == 1
     assert got["de"].threshold_tokens == 2 and got["de"].n_below == 0
     assert got["en"].n_docs == 20 and got["de"].n_docs == 3
+
+
+def test_boilerplate_ngrams_cross_doc(spark):
+    """A 5-gram shared by >= min_docs docs counts as common; a doc of
+    unique text scores 0; docs shorter than k have no rows."""
+    from postgres_debezium_clickhouse_spark.operators.text import boilerplate_ngrams
+
+    footer = "copyright notice legal footer text"
+    docs = spark.createDataFrame(
+        [
+            (1, footer + " alpha beta gamma delta epsilon"),
+            (2, footer + " zeta eta theta iota kappa"),
+            (3, footer + " lam mu nu xi omicron"),
+            (4, "completely original prose nobody else wrote today"),
+            (5, "too short"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in boilerplate_ngrams(docs, k=5, min_docs=3).collect()}
+    assert 5 not in out  # < k tokens → no k-grams
+    assert out[4].n_common_ngrams == 0 and out[4].boilerplate_ratio == 0.0
+    for d in (1, 2, 3):  # each contains the shared footer 5-gram
+        assert out[d].n_common_ngrams >= 1
+        assert out[d].boilerplate_ratio > 0.0
+
+
+def test_gopher_rules_flags(spark):
+    from postgres_debezium_clickhouse_spark.operators.text import gopher_rules
+
+    good = ("the quick brown fox jumps over a lazy dog and runs far " * 5).strip()
+    symbols = "the " + "@#$% " * 60 + "a and of word list here now"
+    short = "the a tiny doc"
+    docs = spark.createDataFrame(
+        [(1, good), (2, symbols), (3, short)], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in gopher_rules(docs).collect()}
+    assert out[1].words_ok and out[1].mean_len_ok and out[1].symbol_ok and out[1].stop_ok
+    assert out[1].passes
+    assert not out[2].symbol_ok and not out[2].passes
+    assert not out[3].words_ok and not out[3].passes
+    # integer-arithmetic flags agree with the reported float ratios
+    assert out[2].symbol_word_ratio >= 0.1
+    assert 3.0 <= out[1].mean_word_len <= 10.0
