@@ -49,6 +49,7 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 
 _FRONT = (
     # round-4 additions (never driver-checked):
+    "dedup_clusters_star",
     "text_boilerplate",
     "quality_gopher_rules",
     "corpus_token_budget_sample",

@@ -239,6 +239,90 @@ def connected_components(
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 
+def connected_components_star(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 50
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star rounds
+    (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond",
+    public paper) → (node, component), component = min reachable node id —
+    the SAME contract as ``connected_components``.
+
+    Why a second implementation: min-label propagation converges in
+    diameter rounds — ideal for near-clique dup clusters, adversarial for
+    long chains (a 10 000-link chain = 10 000 shuffle rounds).  Star
+    contraction converges in O(log² n) rounds REGARDLESS of diameter by
+    repeatedly rewiring every node to the minimum of its neighborhood:
+
+    - large-star: every node's strictly-LARGER neighbors re-attach to the
+      minimum of its closed neighborhood (keeps big ids falling toward
+      component minima without ever detaching them);
+    - small-star: every node and its smaller-or-equal neighbors re-attach
+      to that minimum (contracts the local star).
+
+    Each phase is one groupBy + one join on the node key; edges are kept
+    directed ``(hi, lo)`` so both phases stay single-shuffle.  Lineage is
+    truncated per round (eager localCheckpoint); convergence = the edge
+    set reaches a fixpoint (scalar ``exceptAll().count()``, never a
+    collect).  At the fixpoint the graph is a forest of stars centered at
+    component minima, so the label map is one final groupBy-min."""
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    nodes = (
+        pairs.select(F.col(src).alias("node"))
+        .union(pairs.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # directed invariant: hi > lo
+    edges = (
+        e.select(
+            F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # ---- large-star over the symmetric view: neighbors v > u attach
+        # to m(u) = min(closed neighborhood of u)
+        sym = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+            edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("u", "mv").alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            # v > u ≥ m ⇒ the (hi, lo) invariant holds by construction
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # ---- small-star over directed edges: each hi and its lo-neighbors
+        # attach to m(hi) = min of those neighbors
+        smins = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        att = large.join(smins, "hi").select(F.col("lo").alias("x"), F.col("m"))
+        self_att = smins.select(F.col("hi").alias("x"), F.col("m"))
+        new_edges = (
+            att.union(self_att)
+            .filter(F.col("x") != F.col("m"))
+            .select(F.col("x").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = new_edges.exceptAll(edges).count()
+        edges = new_edges
+        if changed == 0:
+            break
+    labels = edges.groupBy("hi").agg(F.min("lo").alias("component"))
+    return nodes.join(
+        labels.withColumnRenamed("hi", "node"), "node", "left"
+    ).select("node", F.coalesce("component", "node").alias("component"))
+
+
 def simhash(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """60-bit SimHash over distinct tokens.
 

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     connected_components,
+    connected_components_star,
     exact_dedup,
     incremental_dedup,
     minhash_lsh_near_dups,
@@ -89,6 +90,22 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_near_dups(docs, threshold=0.8, persist=True)
     comp = connected_components(pairs.select("doc_a", "doc_b"))
+    return (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("canonical_id"))
+    )
+
+
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract and oracle as ``dedup_clusters``, computed by the
+    O(log²n)-round star-contraction algorithm instead of diameter-round
+    min-label propagation — the documented scale swap-in for long-chain
+    dup graphs, driver-checked against the identical recursive-CTE
+    closure."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_near_dups(docs, threshold=0.8, persist=True)
+    comp = connected_components_star(pairs.select("doc_a", "doc_b"))
     return (
         docs.select("doc_id")
         .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
@@ -472,6 +489,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_clusters_star": q_dedup_clusters_star,
     "text_pii_scrub": q_pii_scrub,
     "corpus_split": q_corpus_split,
     "contamination_check": q_contamination,
@@ -1133,3 +1151,8 @@ ORACLES = {
         FROM documents
     """,
 }
+
+# The star-contraction clusters query has the SAME contract as
+# dedup_clusters (component = min reachable doc_id), so the recursive-CTE
+# closure oracle is shared verbatim — only the Spark-side algorithm differs.
+ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]

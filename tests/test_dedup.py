@@ -190,3 +190,53 @@ def test_incremental_dedup_shuffle_fallback_same_result(spark):
     assert "BroadcastHashJoin" not in plan
     assert {tuple(r) for r in slow.collect()} == {tuple(r) for r in fast.collect()}
     assert sorted(r.doc_id for r in slow.collect()) == [200, 201, 202, 203, 204]
+
+
+def test_star_cc_matches_min_label_and_union_find(spark):
+    """The star-contraction implementation must produce EXACTLY the same
+    (node, component) map as min-label propagation / sequential union-find
+    on a pseudo-random graph."""
+    import random as _random
+
+    from postgres_debezium_clickhouse_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = _random.Random(99)
+    nodes = list(range(150))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(120)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    want = {r.node: r.component for r in connected_components(pairs).collect()}
+    got = {r.node: r.component for r in connected_components_star(pairs).collect()}
+    assert got == want
+
+
+def test_star_cc_long_chain_logarithmic_rounds(spark):
+    """A 200-link path graph (diameter 200): min-label propagation needs
+    ~200 rounds, star contraction must finish well inside its default
+    iteration budget — the scale reason the variant exists."""
+    from postgres_debezium_clickhouse_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], ["doc_a", "doc_b"]
+    )
+    out = {r.node: r.component for r in connected_components_star(pairs, max_iter=15).collect()}
+    assert set(out.values()) == {0} and len(out) == 201
+
+
+def test_star_cc_symmetric_input_and_singletons(spark):
+    from postgres_debezium_clickhouse_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    # duplicate + reversed edges must not break the invariant; nodes only
+    # ever seen as src or dst still get labeled
+    pairs = spark.createDataFrame(
+        [(2, 1), (1, 2), (3, 2), (10, 11)], ["doc_a", "doc_b"]
+    )
+    out = {r.node: r.component for r in connected_components_star(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
