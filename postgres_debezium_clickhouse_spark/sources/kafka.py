@@ -21,6 +21,7 @@ def kafka_reader_options(
     starting_offsets: str = "earliest",
     max_offsets_per_trigger: int | None = 1024,
     fail_on_data_loss: bool = False,
+    min_partitions: int | None = None,
 ) -> dict[str, str]:
     """Option dict for ``spark.readStream.format("kafka")``.
 
@@ -28,6 +29,10 @@ def kafka_reader_options(
     - ``kafka.group.id`` mirrors ``kafka_group_name`` (clickhouse.sql:18);
     - ``maxOffsetsPerTrigger`` mirrors Debezium ``max.batch.size=1024``
       backpressure (abcsvb-connector-secure.json:44, T7);
+    - ``minPartitions`` mirrors ``tasks.max``
+      (debezium-pg-connector.json:5): how many Spark tasks consume the
+      topic even when it has fewer Kafka partitions (the source splits
+      offset ranges);
     - offset tracking itself lives in the checkpoint (T1), not the consumer
       group — the group id is observability parity only.
     """
@@ -41,6 +46,8 @@ def kafka_reader_options(
         opts["kafka.group.id"] = group_id
     if max_offsets_per_trigger:
         opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    if min_partitions:
+        opts["minPartitions"] = str(min_partitions)
     return opts
 
 

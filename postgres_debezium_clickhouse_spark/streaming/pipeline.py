@@ -75,10 +75,13 @@ def bronze_append_stream(
     checkpoint: str,
     partition_by: list[str] | None = None,
     available_now: bool = False,
+    processing_interval_ms: int | None = None,
 ) -> StreamingQuery:
     """S7 — durable raw archive: append-mode parquet sink with Kafka lineage
     + ingestion_time (init_clickhouse_raw_tables.sql:28-37).  Exactly-once
-    to the file sink via the checkpoint (T1)."""
+    to the file sink via the checkpoint (T1).  ``processing_interval_ms``
+    is the Debezium ``poll.interval.ms`` analogue (a processingTime
+    trigger); ignored under ``available_now``."""
     bronze = records.withColumn("ingestion_time", F.current_timestamp())
     writer = (
         bronze.writeStream.format("parquet")
@@ -90,6 +93,8 @@ def bronze_append_stream(
         writer = writer.partitionBy(*partition_by)
     if available_now:
         writer = writer.trigger(availableNow=True)
+    elif processing_interval_ms is not None:
+        writer = writer.trigger(processingTime=f"{processing_interval_ms} milliseconds")
     return writer.start()
 
 
@@ -323,6 +328,7 @@ def silver_upsert_stream(
     available_now: bool = False,
     n_buckets: int = DEFAULT_SILVER_BUCKETS,
     max_broadcast_keys: int = 1_000_000,
+    processing_interval_ms: int | None = None,
 ) -> StreamingQuery:
     """S8 — the ReplacingMergeTree-equivalent keyed upsert sink: per
     micro-batch, merge the batch into the silver store with latest-wins
@@ -420,6 +426,8 @@ def silver_upsert_stream(
     writer = events.writeStream.foreachBatch(_merge).option("checkpointLocation", checkpoint)
     if available_now:
         writer = writer.trigger(availableNow=True)
+    elif processing_interval_ms is not None:
+        writer = writer.trigger(processingTime=f"{processing_interval_ms} milliseconds")
     return writer.start()
 
 
@@ -554,6 +562,52 @@ class MaterializedView:
     target: str
 
 
+@dataclass(frozen=True)
+class ConnectorConfig:
+    """Per-table connector tuning — the Debezium knob set (``tasks.max``,
+    ``max.batch.size``, ``poll.interval.ms``; debezium-pg-connector.json:5,
+    abcsvb-connector-secure.json:44-46) mapped to its honest Spark levers:
+
+    - ``tasks_max`` → SOURCE read parallelism: ``minPartitions`` on a Kafka
+      source (how many Spark tasks consume the topic, regardless of its
+      Kafka partition count).  Compute-side parallelism needs no knob —
+      shuffle partitioning/AQE already parallelizes the merge, which is why
+      the reference's ``tasks.max=1`` ceiling doesn't exist here.
+    - ``max_batch_size`` → per-trigger admission (``maxOffsetsPerTrigger``
+      for Kafka, ``maxFilesPerTrigger`` for file sources) — backpressure,
+      T7.
+    - ``poll_interval_ms`` → a ``processingTime`` trigger on every sink of
+      the capture.
+    - ``scheduler_pool`` → fair-scheduler pool name, so N registered table
+      captures share the cluster by pool weight instead of FIFO job order
+      (set ``spark.scheduler.mode=FAIR`` cluster-side to activate).
+
+    Source options apply where the source DataFrame is BUILT (pass
+    ``kafka_source_options()`` / ``file_source_options()`` to the builder);
+    trigger + pool apply at registration (``Pipeline.capture_table``).
+    """
+
+    tasks_max: int = 1
+    max_batch_size: int | None = 1024
+    max_files_per_trigger: int | None = None
+    poll_interval_ms: int | None = None
+    scheduler_pool: str | None = None
+
+    def kafka_source_options(self) -> dict[str, str]:
+        opts: dict[str, str] = {}
+        if self.max_batch_size is not None:
+            opts["maxOffsetsPerTrigger"] = str(self.max_batch_size)
+        if self.tasks_max > 1:
+            opts["minPartitions"] = str(self.tasks_max)
+        return opts
+
+    def file_source_options(self) -> dict[str, str]:
+        opts: dict[str, str] = {}
+        if self.max_files_per_trigger is not None:
+            opts["maxFilesPerTrigger"] = str(self.max_files_per_trigger)
+        return opts
+
+
 @dataclass
 class Pipeline:
     """S10/D5 — named-streaming-query registry: the engine-side analogue of
@@ -602,40 +656,59 @@ class Pipeline:
         base_dir: str,
         registry: dict[str, dict] | None = None,
         available_now: bool = False,
+        config: ConnectorConfig | None = None,
     ) -> dict[str, StreamingQuery]:
         """S10 one-call table capture — the ``POST /connectors`` equivalent
         (start.sh:67-74): wire BOTH layers for one registry table from a
         Kafka-shaped event stream: bronze raw archive + silver keyed upsert,
         each with its own checkpoint.  Returns the two queries keyed
-        'bronze'/'silver'."""
+        'bronze'/'silver'.
+
+        ``config`` applies the connector-level knobs this call owns: the
+        ``poll.interval.ms``-equivalent processingTime trigger on both
+        sinks, and the fair-scheduler pool both queries run in (set on the
+        starting thread, inherited by each query's microbatch thread, then
+        restored).  Source-side options (``tasks_max``/``max_batch_size``)
+        must be applied where ``events`` is built — see ConnectorConfig."""
         from ..schemas import TABLE_REGISTRY
 
         spec = (registry or TABLE_REGISTRY)[table]
-        bronze_q = bronze_append_stream(
-            events.selectExpr("value AS value_json", "CAST(partition AS STRING) AS partition_str", "offset AS offset_num"),
-            path=f"{base_dir}/bronze/{table}",
-            checkpoint=f"{base_dir}/ckpt/bronze_{table}",
-            available_now=available_now,
-        )
-        from ..sources.cdc import parse_envelope
-        from ..schemas import envelope_schema
+        interval = config.poll_interval_ms if config else None
+        sc = self.spark.sparkContext
+        prev_pool = sc.getLocalProperty("spark.scheduler.pool")
+        if config and config.scheduler_pool:
+            sc.setLocalProperty("spark.scheduler.pool", config.scheduler_pool)
+        try:
+            bronze_q = bronze_append_stream(
+                events.selectExpr("value AS value_json", "CAST(partition AS STRING) AS partition_str", "offset AS offset_num"),
+                path=f"{base_dir}/bronze/{table}",
+                checkpoint=f"{base_dir}/ckpt/bronze_{table}",
+                available_now=available_now,
+                processing_interval_ms=interval,
+            )
+            from ..sources.cdc import parse_envelope
+            from ..schemas import envelope_schema
 
-        p = F.col("j.payload")
-        parsed = parse_envelope(events, envelope_schema(spec["row"]))
-        flat = parsed.select(
-            *[F.coalesce(p.after[k], p.before[k]).alias(k) for k in spec["keys"]],
-            *[p.after[f.name].alias(f.name) for f in spec["row"].fields if f.name not in spec["keys"]],
-            p.op.alias("op"),
-            p.source["ts_ms"].alias("ts_ms"),
-            F.col("offset"),
-        )
-        silver_q = silver_upsert_stream(
-            flat,
-            path=f"{base_dir}/silver/{table}",
-            checkpoint=f"{base_dir}/ckpt/silver_{table}",
-            keys=spec["keys"],
-            available_now=available_now,
-        )
+            p = F.col("j.payload")
+            parsed = parse_envelope(events, envelope_schema(spec["row"]))
+            flat = parsed.select(
+                *[F.coalesce(p.after[k], p.before[k]).alias(k) for k in spec["keys"]],
+                *[p.after[f.name].alias(f.name) for f in spec["row"].fields if f.name not in spec["keys"]],
+                p.op.alias("op"),
+                p.source["ts_ms"].alias("ts_ms"),
+                F.col("offset"),
+            )
+            silver_q = silver_upsert_stream(
+                flat,
+                path=f"{base_dir}/silver/{table}",
+                checkpoint=f"{base_dir}/ckpt/silver_{table}",
+                keys=spec["keys"],
+                available_now=available_now,
+                processing_interval_ms=interval,
+            )
+        finally:
+            if config and config.scheduler_pool:
+                sc.setLocalProperty("spark.scheduler.pool", prev_pool)
         return {"bronze": bronze_q, "silver": silver_q}
 
     def drop_mv(self, name: str) -> None:

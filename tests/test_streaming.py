@@ -618,3 +618,69 @@ def test_compact_silver_migrates_legacy_flat_store(spark, dirs):
         f.endswith(".parquet") and _os.path.isfile(_os.path.join(dirs["silver"], f))
         for f in _os.listdir(dirs["silver"])
     )
+
+def test_connector_config_option_mapping():
+    """ConnectorConfig maps the Debezium knob set to the right Spark source
+    options (tasks.max → minPartitions, max.batch.size →
+    maxOffsetsPerTrigger / maxFilesPerTrigger)."""
+    from postgres_debezium_clickhouse_spark.sources.kafka import kafka_reader_options
+    from postgres_debezium_clickhouse_spark.streaming.pipeline import ConnectorConfig
+
+    cfg = ConnectorConfig(tasks_max=8, max_batch_size=2048, max_files_per_trigger=4)
+    assert cfg.kafka_source_options() == {
+        "maxOffsetsPerTrigger": "2048",
+        "minPartitions": "8",
+    }
+    assert cfg.file_source_options() == {"maxFilesPerTrigger": "4"}
+    # single-task default emits no minPartitions (Kafka's own partitioning rules)
+    assert "minPartitions" not in ConnectorConfig().kafka_source_options()
+    # the builder accepts the tasks.max analogue directly too
+    opts = kafka_reader_options(
+        brokers="b:9092", topics="t", min_partitions=8
+    )
+    assert opts["minPartitions"] == "8"
+
+
+def test_capture_table_with_connector_config(spark, tmp_path):
+    """capture_table under a ConnectorConfig: queries run in the named
+    fair-scheduler pool (thread property restored afterwards) and both
+    layers land the same rows as the unconfigured path."""
+    from postgres_debezium_clickhouse_spark.sources.cdc import orders_cdc_events
+    from postgres_debezium_clickhouse_spark.streaming.pipeline import (
+        ConnectorConfig,
+        Pipeline,
+        read_silver,
+    )
+
+    events = orders_cdc_events(spark, "/root/testdata/sf0.001")
+    src = str(tmp_path / "kafka_shape")
+    events.write.mode("overwrite").json(src)
+    stream = spark.readStream.schema(events.schema).json(src)
+
+    sc = spark.sparkContext
+    sc.setLocalProperty("spark.scheduler.pool", "outer")
+    try:
+        pipe = Pipeline(spark)
+        qs = pipe.capture_table(
+            "orders",
+            stream,
+            str(tmp_path / "lake"),
+            available_now=True,
+            config=ConnectorConfig(scheduler_pool="cdc_orders", poll_interval_ms=500),
+        )
+        # the starting thread's pool is restored after registration
+        assert sc.getLocalProperty("spark.scheduler.pool") == "outer"
+        qs["bronze"].awaitTermination(180)
+        qs["silver"].awaitTermination(180)
+    finally:
+        sc.setLocalProperty("spark.scheduler.pool", None)
+
+    bronze = spark.read.parquet(str(tmp_path / "lake/bronze/orders"))
+    assert bronze.count() == events.count()
+    silver = read_silver(spark, str(tmp_path / "lake/silver/orders"))
+    expected = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .filter(F.col("o_orderkey") % 7 != 0)
+        .count()
+    )
+    assert silver.count() == expected
