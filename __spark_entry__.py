@@ -49,6 +49,10 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 
 _FRONT = (
     # round-4 additions (never driver-checked):
+    "corpus_remove_boilerplate",
+    "quality_classifier_score",
+    "corpus_temperature_mix",
+    "dedup_cluster_keep",
     "dedup_clusters_star",
     "text_boilerplate",
     "quality_gopher_rules",

@@ -326,6 +326,104 @@ def token_length_histogram(
     )
 
 
+def domain_temperature_weights(
+    documents: DataFrame,
+    temperature: float = 2.0,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled domain mixture (the multilingual-sampling rule of
+    Conneau & Lample 2019 / mT5, public papers): domain share ∝
+    ``tokens^(1/T)``, renormalized.  ``T=1`` reproduces natural shares,
+    ``T→∞`` approaches uniform — the standard middle ground between
+    ``domain_mix_weights``' uniform target and no rebalancing at all.
+    ``boost`` is the per-domain up/down-sampling factor (temp share over
+    natural share) a sampler applies downstream.
+
+    Scale: identical shape to ``domain_mix_weights`` — one
+    map-side-combinable agg to |domains| rows, then scalar-total windows
+    over those rows only.  The default ``T=2`` uses ``sqrt`` (IEEE
+    exact-rounded, engine-portable); other temperatures go through ``pow``
+    and are rounded to 6 places like every float column here."""
+    n_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
+    per = documents.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens).alias("total_tokens"),
+    )
+    x = F.col("total_tokens").cast("double")
+    tempered = F.sqrt(x) if temperature == 2.0 else F.pow(x, 1.0 / temperature)
+    w = Window.partitionBy()
+    per = per.withColumn("__tw", tempered)
+    grand = F.sum("total_tokens").over(w)
+    grand_tw = F.sum("__tw").over(w)
+    return per.select(
+        F.col(domain_col),
+        F.col("n_docs"),
+        F.col("total_tokens"),
+        F.round(F.col("total_tokens") / grand, 6).alias("token_share"),
+        F.round(F.col("__tw") / grand_tw, 6).alias("temp_share"),
+        F.round((F.col("__tw") / grand_tw) / (F.col("total_tokens") / grand), 6).alias("boost"),
+    )
+
+
+def remove_common_spans(
+    documents: DataFrame,
+    k: int = 10,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style boilerplate-span REMOVAL (Raffel et al. 2020 §2.2, public
+    paper — the "three-sentence span" rule re-cast on token spans): cut each
+    document into consecutive non-overlapping ``k``-token spans, find spans
+    occurring in ≥ ``min_docs`` distinct documents corpus-wide (nav bars,
+    license headers, templating), and REWRITE each document with those
+    spans dropped.  This is the corpus transformation
+    ``boilerplate_ngrams`` only scores: output is the cleaned text plus
+    span-count accounting, one row per input document (possibly empty
+    ``clean_text``).
+
+    Scale: spans shuffle on their md5 digest (never the span text) for the
+    distinct-doc frequency count, join back on the same digest key, then
+    one groupBy(doc) to reassemble in span order — three keyed shuffles,
+    all map-side combinable, nothing all-pairs.  The frequent-span table is
+    the only state and is boilerplate-sized, not corpus-sized."""
+    n_segs = f"(size(__tk) + {k - 1}) div {k}"
+    spans = (
+        documents.withColumn("__tk", F.split(F.col(text_col), " "))
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, {n_segs}),"
+                    f" i -> concat_ws(' ', slice(__tk, (i - 1) * {k} + 1, {k})))"
+                )
+            ).alias("span_idx", "span"),
+        )
+        .withColumn("span_key", F.md5("span"))
+    )
+    span_df = (
+        spans.select("span_key", id_col)
+        .distinct()
+        .groupBy("span_key")
+        .agg(F.count(F.lit(1)).alias("span_docs"))
+    )
+    flagged = spans.join(span_df, "span_key").withColumn(
+        "keep", F.col("span_docs") < min_docs
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(array_sort(collect_list("
+                "CASE WHEN keep THEN struct(span_idx, span) END)), s -> s.span)"
+            ),
+        ).alias("clean_text"),
+    )
+
+
 def sliding_window_chunks(
     documents: DataFrame,
     window_tokens: int = 64,

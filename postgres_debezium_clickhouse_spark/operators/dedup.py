@@ -323,6 +323,37 @@ def connected_components_star(
     ).select("node", F.coalesce("component", "node").alias("component"))
 
 
+def cluster_representatives(
+    assignment: DataFrame,
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Keep-list selection over a dup-cluster assignment: for every
+    ``canonical_id`` cluster, mark ONE representative — the member with the
+    highest ``quality_col`` (ties → lowest id).  This is the curation
+    policy min-id canonical labeling deliberately does not encode: the doc
+    you KEEP should be the best one (longest, highest quality score), not
+    whichever happened to get the smallest id.  Emits the full corpus
+    (singletons are their own representative) with cluster size and the
+    ``is_rep`` keep flag.
+
+    Scale: one broadcast-or-shuffle join to attach the quality column, then
+    one window per cluster (clusters are near-dup groups — tiny partitions)
+    — no state beyond the assignment itself."""
+    joined = assignment.join(documents.select(F.col(id_col), F.col(quality_col)), id_col)
+    by_cluster = Window.partitionBy("canonical_id")
+    rank = Window.partitionBy("canonical_id").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return joined.select(
+        F.col(id_col),
+        F.col("canonical_id"),
+        F.count(F.lit(1)).over(by_cluster).alias("n_members"),
+        (F.row_number().over(rank) == 1).alias("is_rep"),
+    )
+
+
 def simhash(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """60-bit SimHash over distinct tokens.
 

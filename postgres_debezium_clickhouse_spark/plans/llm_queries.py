@@ -1156,3 +1156,134 @@ ORACLES = {
 # dedup_clusters (component = min reachable doc_id), so the recursive-CTE
 # closure oracle is shared verbatim — only the Spark-side algorithm differs.
 ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: boilerplate-span rewrite, learned quality classifier
+# scoring, temperature mixture, cluster keep-list
+# ---------------------------------------------------------------------------
+
+from ..operators.classifier import classifier_score, pseudo_weights  # noqa: E402
+from ..operators.curation import (  # noqa: E402
+    domain_temperature_weights,
+    remove_common_spans,
+)
+from ..operators.dedup import cluster_representatives  # noqa: E402
+
+#: classifier demo dimensions — small enough that the oracle's literal
+#: weight list stays readable; the operator takes any length
+_CLS_DIM = 64
+_CLS_WEIGHTS = pseudo_weights(_CLS_DIM)
+
+
+def q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus REWRITE, not just a score: drop every 10-token span that
+    appears in ≥3 distinct documents and re-emit the cleaned text — the
+    C4 boilerplate-removal transformation."""
+    return remove_common_spans(load_table(spark, sf_dir, "documents"), k=10, min_docs=3)
+
+
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear classifier scoring pass with the deterministic
+    demo weight vector (the trained path is exercised in
+    tests/test_classifier.py — training is iterative ML, not SQL)."""
+    return classifier_score(load_table(spark, sf_dir, "documents"), _CLS_WEIGHTS)
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return domain_temperature_weights(load_table(spark, sf_dir, "documents"), temperature=2.0)
+
+
+def q_dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters → keep-list: the best member (longest, then lowest
+    id) of every transitive dup cluster is the representative; everything
+    else is the drop set.  The end-to-end answer a curation pipeline
+    actually needs from the dedup stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_near_dups(docs, threshold=0.8, persist=True)
+    comp = connected_components(pairs.select("doc_a", "doc_b"))
+    assignment = (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("canonical_id"))
+    )
+    return cluster_representatives(assignment, docs)
+
+
+QUERIES["corpus_remove_boilerplate"] = q_remove_boilerplate
+QUERIES["quality_classifier_score"] = q_classifier_score
+QUERIES["corpus_temperature_mix"] = q_temperature_mix
+QUERIES["dedup_cluster_keep"] = q_dedup_cluster_keep
+
+ORACLES["corpus_remove_boilerplate"] = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    segs AS (
+        SELECT doc_id, unnest(lst, recursive := true)
+        FROM (SELECT doc_id,
+                     [{'span_idx': i - 1,
+                       'span': array_to_string(tk[(i - 1) * 10 + 1 : i * 10], ' ')}
+                      for i in range(1, ((len(tk) + 9) // 10) + 1)] AS lst
+              FROM toks)),
+    sdf AS (SELECT span, count(DISTINCT doc_id) AS span_docs FROM segs GROUP BY span),
+    j AS (SELECT s.doc_id, s.span_idx, s.span, d.span_docs < 3 AS keep
+          FROM segs s JOIN sdf d USING (span))
+    SELECT doc_id,
+           count(*) AS n_spans,
+           count(*) FILTER (WHERE NOT keep) AS n_dropped,
+           coalesce(string_agg(span, ' ' ORDER BY span_idx) FILTER (WHERE keep), '')
+               AS clean_text
+    FROM j GROUP BY doc_id
+"""
+
+ORACLES["quality_classifier_score"] = f"""
+    WITH w AS (SELECT {_CLS_WEIGHTS} AS wv),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    scored AS (
+        SELECT doc_id, tk,
+               CAST(list_sum(list_transform(tk,
+                   t -> wv[('0x' || substr(md5(t), 1, 8))::BIGINT % {_CLS_DIM} + 1]))
+                   AS BIGINT) AS m
+        FROM toks, w)
+    SELECT doc_id,
+           len(tk) AS n_tokens,
+           m AS margin_milli,
+           ROUND(m / 1000.0, 6) AS margin,
+           m > 0 AS pred_keep
+    FROM scored
+"""
+
+ORACLES["corpus_temperature_mix"] = """
+    WITH per AS (SELECT source, count(*) AS n_docs,
+                        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+                 FROM documents GROUP BY source)
+    SELECT source, n_docs, total_tokens,
+           ROUND(total_tokens / sum(total_tokens) OVER (), 6) AS token_share,
+           ROUND(sqrt(total_tokens) / sum(sqrt(total_tokens)) OVER (), 6) AS temp_share,
+           ROUND((sqrt(total_tokens) / sum(sqrt(total_tokens)) OVER ())
+                 / (total_tokens / sum(total_tokens) OVER ()), 6) AS boost
+    FROM per
+"""
+
+# same transitive-closure assignment as dedup_clusters, extended with the
+# per-cluster representative window (longest member wins, id tie-break)
+ORACLES["dedup_cluster_keep"] = f"""
+    WITH RECURSIVE {_SHINGLES},
+    {_MINHASH_PAIR_CTES},
+    pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.8),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    lab AS (SELECT a AS doc_id, MIN(b) AS mn FROM reach GROUP BY a),
+    asg AS (SELECT d.doc_id,
+                   COALESCE(LEAST(l.doc_id, l.mn), d.doc_id) AS canonical_id,
+                   d.n_chars
+            FROM documents d LEFT JOIN lab l USING (doc_id))
+    SELECT doc_id, canonical_id,
+           count(*) OVER (PARTITION BY canonical_id) AS n_members,
+           (row_number() OVER (PARTITION BY canonical_id
+                               ORDER BY n_chars DESC, doc_id ASC)) = 1 AS is_rep
+    FROM asg
+"""

@@ -1,0 +1,83 @@
+"""Hashing-trick quality classifier: scoring semantics, plan shape, and the
+pyspark.ml training round-trip (train → export milli-int weights → score
+with the same map-only operator)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgres_debezium_clickhouse_spark.operators.classifier import (
+    classifier_score,
+    hashed_count_features,
+    pseudo_weights,
+    train_quality_classifier,
+)
+from postgres_debezium_clickhouse_spark.operators.text import gopher_rules
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_classifier_score_exact_margin(spark):
+    """Margin = bias + Σ w[bucket(token)] over ALL occurrences (a repeated
+    token counts twice), in exact integer milli-units."""
+    w = pseudo_weights(8)
+    docs = _docs(spark, [(1, "alpha alpha beta")])
+    row = classifier_score(docs, w, bias_milli=5, id_col="doc_id").collect()[0]
+
+    import hashlib
+
+    def bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 8
+
+    expected = 5 + 2 * w[bucket("alpha")] + w[bucket("beta")]
+    assert row.margin_milli == expected
+    assert row.n_tokens == 3
+    assert row.pred_keep == (expected > 0)
+    assert abs(row.margin - expected / 1000.0) < 1e-9
+
+
+def test_classifier_score_is_map_only(spark):
+    """The 100 TB contract: scoring is one narrow projection — no Exchange,
+    no Python UDF (BatchEvalPython) anywhere in the physical plan."""
+    docs = _docs(spark, [(1, "a b c")])
+    plan = classifier_score(docs, pseudo_weights(16))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_hashed_count_features_shape(spark):
+    docs = _docs(spark, [(1, "x x y")])
+    feats = hashed_count_features(docs, dim=4).collect()[0].features
+    assert len(feats) == 4
+    assert sum(feats) == 3.0  # every token lands in exactly one bucket
+
+
+def test_train_then_score_roundtrip(spark):
+    """LogisticRegression on gopher weak labels, exported to milli-int
+    weights, applied by the map-only scorer: the learned filter must beat
+    the majority-class baseline on its own training distribution (fixed
+    data + L-BFGS ⇒ deterministic)."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    labels = gopher_rules(docs).select(
+        "doc_id", F.col("passes").cast("int").alias("label")
+    )
+    weights, bias = train_quality_classifier(docs, labels, dim=32)
+    assert len(weights) == 32
+
+    scored = classifier_score(docs, weights, bias_milli=bias)
+    joined = scored.join(labels, "doc_id")
+    n = joined.count()
+    correct = joined.filter(
+        F.col("pred_keep").cast("int") == F.col("label")
+    ).count()
+    majority = max(
+        r.n for r in labels.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert correct / n >= majority / n
+    assert correct / n > 0.5

@@ -275,3 +275,58 @@ def test_token_budget_sample_selectivity_and_stability(spark):
     # reshard stability: a different layout yields the same kept set
     kept2 = token_budget_sample(docs.repartition(7, "doc_id"), budget_tokens=100).collect()
     assert {r.doc_id for r in kept2} == {r.doc_id for r in kept}
+
+
+def test_remove_common_spans_rewrites_boilerplate(spark):
+    """Spans shared by >= min_docs docs are cut from every document; unique
+    spans survive in original order; a fully-boilerplate doc comes back
+    with empty clean_text (not a missing row)."""
+    from postgres_debezium_clickhouse_spark.operators.curation import remove_common_spans
+
+    boiler = "nav home about contact"  # 4-token span shared by 3 docs
+    rows = [
+        (1, boiler + " alpha beta gamma delta"),
+        (2, boiler + " epsilon zeta eta theta"),
+        (3, boiler),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in remove_common_spans(docs, k=4, min_docs=3).collect()}
+    assert len(out) == 3
+    assert out[1].clean_text == "alpha beta gamma delta"
+    assert out[2].clean_text == "epsilon zeta eta theta"
+    assert out[3].clean_text == "" and out[3].n_dropped == 1
+    assert out[1].n_spans == 2 and out[1].n_dropped == 1
+
+
+def test_remove_common_spans_span_segmentation(spark):
+    """Non-overlapping k-token segmentation: a 7-token doc under k=3 yields
+    spans of 3+3+1 tokens and reassembles to the original text when nothing
+    is boilerplate."""
+    from postgres_debezium_clickhouse_spark.operators.curation import remove_common_spans
+
+    text = "a b c d e f g"
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    row = remove_common_spans(docs, k=3, min_docs=2).collect()[0]
+    assert row.n_spans == 3 and row.n_dropped == 0
+    assert row.clean_text == text
+
+
+def test_domain_temperature_weights_semantics(spark):
+    """T=2 weights sit between natural shares and uniform: the dominant
+    domain's temp_share drops below its token_share (boost < 1), the scarce
+    domain's rises (boost > 1); both share columns sum to ~1."""
+    from postgres_debezium_clickhouse_spark.operators.curation import (
+        domain_temperature_weights,
+    )
+
+    rows = [(i, "big", "w " * 90) for i in range(90)]
+    rows += [(1000 + i, "small", "w " * 90) for i in range(10)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r.source: r for r in domain_temperature_weights(docs, temperature=2.0).collect()}
+    assert abs(sum(r.token_share for r in out.values()) - 1.0) < 1e-5
+    assert abs(sum(r.temp_share for r in out.values()) - 1.0) < 1e-5
+    assert out["big"].temp_share < out["big"].token_share
+    assert out["small"].temp_share > out["small"].token_share
+    assert out["small"].boost > 1.0 > out["big"].boost
+    # T=2 exact: sqrt(0.9)/(sqrt(0.9)+sqrt(0.1)) ≈ 0.75
+    assert abs(out["big"].temp_share - 0.75) < 0.01

@@ -240,3 +240,22 @@ def test_star_cc_symmetric_input_and_singletons(spark):
     )
     out = {r.node: r.component for r in connected_components_star(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_cluster_representatives_policy(spark):
+    """One representative per cluster: highest quality wins, doc_id breaks
+    ties; singleton docs are their own representative."""
+    from postgres_debezium_clickhouse_spark.operators.dedup import cluster_representatives
+
+    assignment = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9)], ["doc_id", "canonical_id"]
+    )
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (9, 7)], ["doc_id", "n_chars"]
+    )
+    out = {r.doc_id: r for r in cluster_representatives(assignment, docs).collect()}
+    # 2 and 3 tie on n_chars=50 -> lower doc_id (2) wins
+    assert out[2].is_rep and not out[3].is_rep and not out[1].is_rep
+    assert out[9].is_rep and out[9].n_members == 1
+    assert out[1].n_members == 3
+    assert sum(1 for r in out.values() if r.is_rep) == 2
