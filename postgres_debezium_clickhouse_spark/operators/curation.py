@@ -384,9 +384,10 @@ def remove_common_spans(
     ``clean_text``).
 
     Scale: spans shuffle on their md5 digest (never the span text) for the
-    distinct-doc frequency count, join back on the same digest key, then
-    one groupBy(doc) to reassemble in span order — three keyed shuffles,
-    all map-side combinable, nothing all-pairs.  The frequent-span table is
+    distinct-doc frequency count (two-phase: per-(span, doc) dedup then
+    per-span count), join back on the same digest key, then one
+    groupBy(doc) to reassemble in span order — every shuffle is keyed and
+    map-side combinable, nothing all-pairs.  The frequent-span table is
     the only state and is boilerplate-sized, not corpus-sized."""
     n_segs = f"(size(__tk) + {k - 1}) div {k}"
     spans = (
@@ -402,11 +403,11 @@ def remove_common_spans(
         )
         .withColumn("span_key", F.md5("span"))
     )
-    span_df = (
-        spans.select("span_key", id_col)
-        .distinct()
-        .groupBy("span_key")
-        .agg(F.count(F.lit(1)).alias("span_docs"))
+    # per-(span, doc) dedup is required — a span repeated WITHIN one doc
+    # must count once — so the frequency count is necessarily two-phase:
+    # partial distinct on (span_key, doc) then count per span_key
+    span_df = spans.groupBy("span_key").agg(
+        F.countDistinct(id_col).alias("span_docs")
     )
     flagged = spans.join(span_df, "span_key").withColumn(
         "keep", F.col("span_docs") < min_docs
