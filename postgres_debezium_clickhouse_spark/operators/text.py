@@ -231,6 +231,46 @@ def commonness_score(
     )
 
 
+def lm_unigram_logprob(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style language-model perplexity filter (Wenzek et al. 2020,
+    public paper), with the corpus's own unigram LM standing in for the
+    external KenLM 5-gram: score every document by its mean token
+    log-probability ``avg_logprob = (Σ_t ln cnt_t)/n − ln(total)`` and the
+    corresponding perplexity ``exp(−avg_logprob)``.  High perplexity =
+    improbable token stream (gibberish, code dumps, OCR noise) — the
+    standard cut is dropping the worst-perplexity tail per language.
+
+    Unlike ``commonness_score`` (document-frequency ratio over DISTINCT
+    tokens) this is occurrence-weighted and log-space — the actual LM
+    quantity, directly comparable to a KenLM-scored pipeline.
+
+    Plan: one explode → vocabulary-sized unigram count table (map-side
+    combinable, broadcast back) → per-doc grouped sum of ``ln cnt``.  The
+    corpus-total token count folds FROM the unigram table (vocabulary-sized
+    input, one row out) — no second corpus scan, and ``ln(total)`` is
+    applied once per doc, not per token."""
+    toks = documents.select(F.col(id_col), F.explode(_tokens(text_col)).alias("token"))
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = uni.groupBy().agg(F.sum("cnt").alias("__total"))
+    per = (
+        toks.join(F.broadcast(uni), "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.log("cnt")).alias("__sum_ln"),
+        )
+    )
+    avg = F.col("__sum_ln") / F.col("n_tokens") - F.log("__total")
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round(avg, 6).alias("avg_logprob"),
+        F.round(F.exp(-avg), 4).alias("ppl"),
+    )
+
+
 def boilerplate_ngrams(
     documents: DataFrame,
     k: int = 5,

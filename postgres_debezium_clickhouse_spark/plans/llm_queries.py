@@ -1210,6 +1210,29 @@ def q_dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_representatives(assignment, docs)
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity scoring with the corpus's own unigram LM —
+    occurrence-weighted log-space quality signal."""
+    from ..operators.text import lm_unigram_logprob
+
+    return lm_unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES["text_lm_perplexity"] = q_lm_perplexity
+
+ORACLES["text_lm_perplexity"] = """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                  FROM documents),
+    uni AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM uni),
+    per AS (SELECT t.doc_id, count(*) AS n_tokens, sum(ln(u.cnt)) AS sum_ln
+            FROM toks t JOIN uni u USING (token) GROUP BY t.doc_id)
+    SELECT doc_id, n_tokens,
+           ROUND(sum_ln / n_tokens - ln(total), 6) AS avg_logprob,
+           ROUND(exp(-(sum_ln / n_tokens - ln(total))), 4) AS ppl
+    FROM per, tot
+"""
+
 QUERIES["corpus_remove_boilerplate"] = q_remove_boilerplate
 QUERIES["quality_classifier_score"] = q_classifier_score
 QUERIES["corpus_temperature_mix"] = q_temperature_mix

@@ -171,3 +171,23 @@ def test_gopher_rules_flags(spark):
     # integer-arithmetic flags agree with the reported float ratios
     assert out[2].symbol_word_ratio >= 0.1
     assert 3.0 <= out[1].mean_word_len <= 10.0
+
+
+def test_lm_perplexity_ranks_rare_token_docs_worse(spark):
+    """Occurrence-weighted unigram LM: a document of corpus-rare tokens gets
+    lower avg_logprob / higher perplexity than one of corpus-common tokens;
+    ppl = exp(-avg_logprob) within rounding."""
+    import math
+
+    from postgres_debezium_clickhouse_spark.operators.text import lm_unigram_logprob
+
+    rows = [(i, "common common common common") for i in range(1, 10)]
+    rows.append((100, "zzyzx qwfp common common"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in lm_unigram_logprob(docs).collect()}
+    assert out[100].avg_logprob < out[1].avg_logprob
+    assert out[100].ppl > out[1].ppl
+    assert out[100].n_tokens == 4
+    assert abs(out[100].ppl - math.exp(-out[100].avg_logprob)) < 0.01
+    # all-common docs share identical scores (same token multiset)
+    assert out[1].avg_logprob == out[9].avg_logprob
