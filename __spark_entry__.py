@@ -50,6 +50,7 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 _FRONT = (
     # round-4 additions (never driver-checked):
     "text_lm_perplexity",
+    "llm_filter_report",
     "corpus_remove_boilerplate",
     "quality_classifier_score",
     "corpus_temperature_mix",

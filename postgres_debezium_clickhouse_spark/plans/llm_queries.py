@@ -1218,7 +1218,91 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_unigram_logprob(load_table(spark, sf_dir, "documents"))
 
 
+def q_llm_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed RefinedWeb/CCNet-style filter decision per document:
+    Gopher rule conjunction + learned classifier sign + cross-doc
+    boilerplate bound + unigram-LM perplexity bound, with the final keep
+    verdict — every signal individually oracle-checked above, this checks
+    the composed decision.  Docs too short to have 5-gram boilerplate
+    evidence pass that gate vacuously (left join + coalesce true).
+
+    One lazy plan; the two shuffle-bearing signals (boilerplate df,
+    unigram LM) stay independent branches so neither blocks the map-only
+    signals (gopher, classifier) from fusing into their scan."""
+    from ..operators.text import lm_unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = gopher_rules(docs).select("doc_id", F.col("passes").alias("gopher_ok"))
+    c = classifier_score(docs, _CLS_WEIGHTS).select(
+        "doc_id", F.col("pred_keep").alias("clf_ok")
+    )
+    b = boilerplate_ngrams(docs).select(
+        "doc_id", (F.col("boilerplate_ratio") <= 0.2).alias("boiler_ok")
+    )
+    p = lm_unigram_logprob(docs).select(
+        "doc_id", (F.col("avg_logprob") >= -3.42).alias("ppl_ok")
+    )
+    boiler = F.coalesce(F.col("boiler_ok"), F.lit(True))
+    return (
+        g.join(c, "doc_id")
+        .join(b, "doc_id", "left")
+        .join(p, "doc_id")
+        .select(
+            "doc_id",
+            "gopher_ok",
+            "clf_ok",
+            boiler.alias("boiler_ok"),
+            "ppl_ok",
+            (F.col("gopher_ok") & F.col("clf_ok") & boiler & F.col("ppl_ok")).alias("keep"),
+        )
+    )
+
+
 QUERIES["text_lm_perplexity"] = q_lm_perplexity
+QUERIES["llm_filter_report"] = q_llm_filter_report
+
+ORACLES["llm_filter_report"] = f"""
+    WITH w AS (SELECT {_CLS_WEIGHTS} AS wv),
+    toks AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+    gop AS (SELECT doc_id,
+                   (CAST(len(tk) AS BIGINT) >= 50 AND CAST(len(tk) AS BIGINT) <= 100000
+                    AND CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT) >= 3 * len(tk)
+                    AND CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT) <= 10 * len(tk)
+                    AND CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) * 10 < len(tk)
+                    AND len(list_intersect(list_distinct(tk), ['the', 'a', 'and', 'of'])) >= 2)
+                   AS gopher_ok
+            FROM toks),
+    clf AS (SELECT doc_id,
+                   CAST(list_sum(list_transform(tk,
+                       t -> wv[('0x' || substr(md5(t), 1, 8))::BIGINT % {_CLS_DIM} + 1]))
+                       AS BIGINT) > 0 AS clf_ok
+            FROM toks, w),
+    g AS (SELECT doc_id,
+                 unnest(list_distinct([array_to_string(tk[i:i+4], ' ')
+                                       for i in range(1, len(tk) - 3)])) AS ngram
+          FROM toks WHERE len(tk) >= 5),
+    dfreq AS (SELECT ngram, COUNT(*) AS df FROM g GROUP BY ngram),
+    boil AS (SELECT g.doc_id,
+                    (ROUND(SUM(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) * 1.0
+                           / COUNT(*), 6) <= 0.2) AS boiler_ok
+             FROM g JOIN dfreq d USING (ngram) GROUP BY g.doc_id),
+    tu AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+    uni AS (SELECT token, count(*) AS cnt FROM tu GROUP BY token),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM uni),
+    ppl AS (SELECT tu.doc_id,
+                   (ROUND(sum(ln(u.cnt)) / count(*) - ln(tot.total), 6) >= -3.42)
+                   AS ppl_ok
+            FROM tu JOIN uni u USING (token), tot GROUP BY tu.doc_id, tot.total)
+    SELECT t.doc_id, gop.gopher_ok, clf.clf_ok,
+           COALESCE(boil.boiler_ok, TRUE) AS boiler_ok, ppl.ppl_ok,
+           (gop.gopher_ok AND clf.clf_ok AND COALESCE(boil.boiler_ok, TRUE)
+            AND ppl.ppl_ok) AS keep
+    FROM toks t
+    JOIN gop USING (doc_id)
+    JOIN clf USING (doc_id)
+    LEFT JOIN boil USING (doc_id)
+    JOIN ppl USING (doc_id)
+"""
 
 ORACLES["text_lm_perplexity"] = """
     WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
