@@ -59,6 +59,8 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "similarity_lsh_recall",    # embeds the brute-force exact side as ground truth
         "text_tfidf_top_terms",     # scalar attach: 1-row broadcast N-docs (metadata-only scan)
         "text_commonness",          # scalar attach: 1-row broadcast N-docs (metadata-only scan)
+        "text_lm_perplexity",       # scalar attach: 1-row broadcast corpus-total (vocab-sized input)
+        "llm_filter_report",        # embeds the perplexity branch above
     }
     oracle_checked = set(m.oracle_sql())
     checked = 0
