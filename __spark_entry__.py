@@ -48,7 +48,21 @@ def entry(spark: SparkSession) -> DataFrame:
 _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries, analytics)
 
 _FRONT = (
-    # round-4 additions (never driver-checked):
+    # round-5 additions (never driver-checked):
+    "multimodal_decode",
+    "similarity_ann_ivf_table",
+    "stream_filter_report",
+    # r4-verdict item 2: re-green the ledger.  events_props_keys' ONLY
+    # driver record ever is a stale r02 FAIL (fixed in r3, locally
+    # verified); the CDC flagship set has ridden r02 evidence for three
+    # rounds.  Top of the window so CORRECTNESS_r05 carries fresh rows.
+    "events_props_keys",
+    "cdc_current_state",
+    "products_usable_vw",
+    "star_join_revenue",
+    "trn_passport_current",
+    # round-4 additions, all driver-green in r04 — keep in-window once
+    # more so the newest surface has ≥2 driver rows:
     "text_lm_perplexity",
     "llm_filter_report",
     "corpus_remove_boilerplate",
@@ -60,16 +74,6 @@ _FRONT = (
     "quality_gopher_rules",
     "corpus_token_budget_sample",
     "dedup_semantic",
-    # never driver-green — r3 _BACK deferrals, verified locally 7/7:
-    "text_commonness",
-    "quality_adaptive_filter",
-    "similarity_lsh_recall",
-    "dedup_incremental",
-    "stream_quality_filter",
-    "llm_quality_funnel",
-    "pack_efficiency",
-    # r3 driver-ERR (array column crashed the canonicalizer) — reshaped
-    # to posexploded scalars this round:
     "multimodal_features",
     # llm_queries / ops_queries / staging_queries follow via _MODULES order.
 )

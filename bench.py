@@ -1,14 +1,29 @@
-"""Benchmark harness — times the engine's headline queries.
+"""Benchmark harness — times the engine's headline queries, noise-robustly.
 
 Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 
     {"metric": "headline_total", "value": N, "unit": "sec",
-     "queries": {"q": sec, ...}, "sf": 0.1}
+     "queries": {"q": sec, ...}, "sf": 0.1, ...}
 
-Each query executes fully (noop sink — all partitions materialize, nothing
-collects to the driver), after one untimed warm-up of a trivial action to
-absorb JVM/session startup.
+Noise model (r4 post-mortem): this container shows multi-second scheduler
+stalls that land on *random* queries — identical code benched 10.2 s /
+31.3 s / 41.0 s across three runs, each time with a different query slow.
+Wall-clock best-of-2 was not enough to reject that.  Counter-measures:
+
+* **best-of-3, interleaved in passes** — pass 1 runs every query once,
+  then pass 2, then pass 3 (with a cooldown between passes).  Repeats of
+  the same query are therefore separated by a full pass (~10 s), so one
+  localized stall cannot poison all runs of one query.
+* **``value`` IS the floor** — per-query minimum across the 3 passes,
+  summed.  ``runs`` carries every observation so the spread is auditable.
+* **process-CPU time per query** — in ``local[*]`` all executor work
+  happens inside the one JVM, so the delta of the JVM's OS-level process
+  CPU (utime+stime from ``/proc/<jvm_pid>/stat``) plus the Python
+  driver's ``time.process_time`` measures work done, not time waited.  A scheduler stall inflates wall-clock but not CPU, so
+  ``queries_cpu`` / ``value_cpu`` stay comparable across noisy runs.
+  (CPU *sums* thread-seconds across the 32 local cores, so it sits above
+  wall-clock for parallel stages; compare CPU to CPU across rounds.)
 """
 
 from __future__ import annotations
@@ -41,6 +56,55 @@ HEADLINE = [
     "similarity_ann_ivf_topk",  # LLM: IVF probe (16-literal argmin projection)
 ]
 
+PASSES = 3
+COOLDOWN_S = 2.0
+
+
+def _find_jvm_pid() -> int:
+    """Pid of the local-mode Spark JVM (a java child of this driver).
+
+    Java 17's module system blocks py4j reflective access to
+    ``sun.management`` (getProcessCpuTime), so we read the OS's own
+    accounting instead: scan /proc for a ``java`` process whose parent is
+    this Python driver.  Returns -1 if not found (non-Linux).
+    """
+    me = os.getpid()
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    parts = f.read().split()
+                # fields: pid (comm) state ppid ...  — comm may hold spaces,
+                # but java's comm is "(java)"
+                if parts[1] == "(java)" and int(parts[3]) == me:
+                    return int(pid)
+            except (OSError, IndexError, ValueError):
+                continue
+    except OSError:
+        pass
+    return -1
+
+
+_CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+
+
+def _jvm_cpu_s(pid: int) -> float:
+    """utime+stime of the JVM process in seconds (from /proc/pid/stat).
+
+    OS-level process CPU summed over all threads — immune to wall-clock
+    scheduling stalls: a stalled query burns wall time but not CPU, so the
+    CPU floor stays comparable across noisy container states.
+    Returns -1.0 on failure.
+    """
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            parts = f.read().split()
+        return (int(parts[13]) + int(parts[14])) / _CLK_TCK
+    except (OSError, IndexError, ValueError):
+        return -1.0
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -49,33 +113,50 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = entrymod.queries()
+    names = [n for n in HEADLINE if n in queries]
     # warm-up: JVM + parquet footer caches, untimed
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries.get(name)
-        if fn is None:
-            continue
-        # best-of-2: the shared container shows multi-second scheduling
-        # stalls that land on random queries; min-of-runs measures the plan,
-        # not the noise.
-        best = float("inf")
-        for _ in range(2):
+    wall_runs: dict[str, list[float]] = {n: [] for n in names}
+    cpu_runs: dict[str, list[float]] = {n: [] for n in names}
+    jvm_pid = _find_jvm_pid()
+    have_cpu = jvm_pid > 0 and _jvm_cpu_s(jvm_pid) >= 0
+
+    for pass_i in range(PASSES):
+        if pass_i:
+            time.sleep(COOLDOWN_S)
+        for name in names:
+            fn = queries[name]
+            cpu0 = _jvm_cpu_s(jvm_pid) if have_cpu else 0.0
+            py0 = time.process_time()
             t0 = time.monotonic()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.monotonic() - t0)
-        timings[name] = round(best, 3)
-        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+            wall = time.monotonic() - t0
+            py_cpu = time.process_time() - py0
+            wall_runs[name].append(round(wall, 3))
+            if have_cpu:
+                jvm_cpu = _jvm_cpu_s(jvm_pid) - cpu0
+                cpu_runs[name].append(round(jvm_cpu + py_cpu, 3))
+        print(f"  pass {pass_i + 1}/{PASSES}: "
+              f"{round(sum(w[-1] for w in wall_runs.values()), 2)}s wall",
+              file=sys.stderr)
 
+    timings = {n: min(w) for n, w in wall_runs.items()}   # per-query floor
+    cpu = {n: min(c) for n, c in cpu_runs.items() if c}
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_total",
-        "value": total,
+        "value": total,               # sum of per-query wall floors
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+        "value_floor": total,         # alias: value IS the floor (min-of-3)
+        "queries_cpu": cpu,           # per-query process-CPU floor (JVM+driver)
+        "value_cpu": round(sum(cpu.values()), 3) if cpu else None,
+        "runs": wall_runs,            # every observation — noise is auditable
+        "passes": PASSES,
+    }
+    print(json.dumps(out))
     return 0
 
 
