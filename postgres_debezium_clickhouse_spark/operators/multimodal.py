@@ -63,12 +63,17 @@ def attach_fake_media(documents: DataFrame, id_col: str = "doc_id", text_col: st
 
 
 def decode_media(blob: bytes, media_type: str):
-    """THE decode stub.  Real deployments replace this with PIL / libav /
-    soundfile.  Here: raises for real codecs, returns deterministic fake
-    features for the 'fake' format used in tests."""
+    """Media decode dispatch.  As of r5, PNG is decoded for REAL (stdlib
+    zlib + chunk walk + un-filtering — operators/imaging.py) and JPEG at
+    header level (dims + channels).  Audio/video still need codec
+    libraries the container lacks and raise honestly."""
+    if media_type == "image":
+        from .imaging import decode_image
+
+        return decode_image(bytes(blob))
     raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "use extract_features(), which runs a deterministic fake decode"
+        f"no stdlib codec for media_type={media_type!r}; "
+        "wire in soundfile/pyav inside the same mapInPandas batch loop"
     )
 
 

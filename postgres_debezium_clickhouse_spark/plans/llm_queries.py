@@ -32,6 +32,7 @@ from ..operators.curation import (
     token_budget_sample,
     token_length_histogram,
 )
+from ..operators.imaging import decode_images, synth_images
 from ..operators.multimodal import (
     attach_fake_media,
     extract_features,
@@ -269,6 +270,18 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality is deterministic and oracle-checked."""
     media = attach_fake_media(load_table(spark, sf_dir, "documents"))
     return sample_frames(media, n_frames=4).select("doc_id", "frame_index")
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (r5): synthesize a real PNG per document (pixel
+    values a closed-form function of doc_id; scanline filters cycling 0-4)
+    or, every 4th doc, a JPEG header — then run the stdlib decoder
+    (operators/imaging.py) and emit integer-exact channel sums.  The
+    DuckDB oracle recomputes the sums from the pixel formula with range()
+    cross joins, so chunk parsing, CRC checks, zlib inflate, and all five
+    un-filter branches are value-checked end-to-end."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_images(synth_images(docs))
 
 
 def q_llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -518,6 +531,7 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "multimodal_thumbnails": q_multimodal_thumbnails,
     "multimodal_frames": q_multimodal_frames,
+    "multimodal_decode": q_multimodal_decode,
     # round-3 late additions — __spark_entry__._BACK defers these to the
     # END of the registry (driver window protection); front them in round 4:
     "text_commonness": q_text_commonness,
@@ -1149,6 +1163,43 @@ ORACLES = {
                'image' AS media_type,
                'memory://doc/' || CAST(doc_id AS VARCHAR) AS uri
         FROM documents
+    """,
+    # first-principles oracle for the REAL PNG decoder: the fixture pixel
+    # value is (d*7 + (y*w + x)*3 + c) % 256, so the per-channel sums the
+    # decoder must produce (after CRC walk + inflate + un-filtering all 5
+    # filter types) are recomputable with integer arithmetic alone.
+    # JPEG-header docs (d % 4 = 0) carry dims only — stats NULL.
+    "multimodal_decode": """
+        WITH params AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 = 0 THEN 'jpeg' ELSE 'png' END AS format,
+                   CAST(3 + doc_id % 5 AS INT) AS width,
+                   CAST(2 + doc_id % 7 AS INT) AS height
+            FROM documents
+        ),
+        px AS (
+            SELECT p.doc_id, c.c AS c,
+                   (p.doc_id * 7 + (y.y * p.width + x.x) * 3 + c.c) % 256 AS v
+            FROM params p
+            CROSS JOIN range(8) y(y)
+            CROSS JOIN range(8) x(x)
+            CROSS JOIN range(3) c(c)
+            WHERE p.format = 'png' AND y.y < p.height AND x.x < p.width
+        ),
+        stats AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+                   CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+                   CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b,
+                   CAST(MIN(v) AS INT) AS min_px,
+                   CAST(MAX(v) AS INT) AS max_px
+            FROM px GROUP BY doc_id
+        )
+        SELECT p.doc_id, p.format, p.width, p.height,
+               CAST(3 AS INT) AS channels,
+               CAST(p.width * p.height AS BIGINT) AS n_pixels,
+               s.sum_r, s.sum_g, s.sum_b, s.min_px, s.max_px
+        FROM params p LEFT JOIN stats s USING (doc_id)
     """,
 }
 

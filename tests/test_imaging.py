@@ -1,0 +1,125 @@
+"""Tests for the stdlib image codec (operators/imaging.py) — the real
+PNG decode path plus the JPEG header parser and their Spark surface."""
+
+from __future__ import annotations
+
+import random
+import struct
+import zlib
+from binascii import crc32
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from postgres_debezium_clickhouse_spark.operators.imaging import (
+    PNG_SIG,
+    decode_image,
+    decode_images,
+    jpeg_dims,
+    jpeg_header_bytes,
+    png_decode,
+    png_encode,
+    synth_images,
+)
+
+
+# ---------------------------------------------------------------------------
+# pure-Python codec
+# ---------------------------------------------------------------------------
+
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 9),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_property(w, h, ch, seed):
+    rng = random.Random(seed)
+    px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+    d = png_decode(png_encode(w, h, px, ch))
+    assert (d["width"], d["height"], d["channels"]) == (w, h, ch)
+    assert d["pixels"] == px
+
+
+def test_png_all_filters_exercised():
+    # height 5+ → the encoder's y%5 cycle hits filters 0..4; a decoder bug
+    # in any un-filter branch corrupts the round trip.
+    px = bytes((i * 37) % 256 for i in range(6 * 7 * 3))
+    assert png_decode(png_encode(6, 7, px, 3))["pixels"] == px
+
+
+def test_png_rejects_corrupt_crc():
+    blob = bytearray(png_encode(3, 2, bytes(18), 3))
+    blob[20] ^= 0xFF  # flip a byte inside IHDR data
+    with pytest.raises(ValueError, match="CRC"):
+        png_decode(bytes(blob))
+
+
+def test_png_rejects_bad_signature_and_unsupported():
+    with pytest.raises(ValueError, match="signature"):
+        png_decode(b"GIF89a" + bytes(32))
+    # 16-bit depth: build an IHDR claiming depth 16
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + struct.pack(
+        ">I", crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="bit depth"):
+        png_decode(PNG_SIG + chunk)
+
+
+def test_png_rejects_truncated_idat():
+    # valid chunks but IDAT inflates to the wrong size → loud failure
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(
+            ">I", crc32(t + d) & 0xFFFFFFFF)
+
+    idat = zlib.compress(bytes(10))  # too short for 4x4 RGB
+    blob = PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="size mismatch"):
+        png_decode(blob)
+
+
+def test_jpeg_dims_walks_past_other_segments():
+    # APP0 before SOF0 — the walker must skip by segment length
+    sof = struct.pack(">BHHB", 8, 33, 44, 3) + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00"
+    blob = (b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 6) + b"JFIF"
+            + b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+            + b"\xff\xd9")
+    assert jpeg_dims(blob) == {"width": 44, "height": 33, "channels": 3}
+    assert jpeg_dims(jpeg_header_bytes(640, 480)) == {
+        "width": 640, "height": 480, "channels": 3}
+
+
+def test_decode_image_dispatch():
+    p = decode_image(png_encode(2, 3, bytes(range(18)), 3))
+    assert p["format"] == "png" and p["pixels"] is not None
+    j = decode_image(jpeg_header_bytes(10, 20))
+    assert j["format"] == "jpeg" and j["pixels"] is None
+    with pytest.raises(NotImplementedError):
+        decode_image(b"RIFF....WEBP")
+
+
+# ---------------------------------------------------------------------------
+# Spark surface
+# ---------------------------------------------------------------------------
+
+def test_decode_images_matches_closed_form(spark):
+    ids = spark.createDataFrame([(d,) for d in range(1, 13)], ["doc_id"])
+    out = {r.doc_id: r for r in decode_images(synth_images(ids)).collect()}
+    assert len(out) == 12
+    for d in range(1, 13):
+        r = out[d]
+        w, h = 3 + d % 5, 2 + d % 7
+        assert (r.width, r.height, r.channels) == (w, h, 3)
+        if d % 4 == 0:
+            assert r.format == "jpeg" and r.sum_r is None
+        else:
+            assert r.format == "png"
+            assert r.n_pixels == w * h
+            for c, col in enumerate(("sum_r", "sum_g", "sum_b")):
+                assert getattr(r, col) == sum(
+                    (d * 7 + p * 3 + c) % 256 for p in range(w * h))

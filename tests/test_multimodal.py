@@ -38,9 +38,17 @@ def test_extract_features_deterministic_histogram(spark):
     assert abs(sum(out[2].feature) - 1.0) < 1e-9
 
 
-def test_decode_stub_raises(spark):
+def test_decode_media_dispatch(spark):
+    # r5: image decode is REAL for PNG/JPEG; unknown image bytes and
+    # non-image media types still raise honestly.
+    from postgres_debezium_clickhouse_spark.operators.imaging import png_encode
+
+    d = decode_media(png_encode(2, 2, bytes(range(12)), 3), "image")
+    assert (d["format"], d["width"], d["height"]) == ("png", 2, 2)
     with pytest.raises(NotImplementedError):
-        decode_media(b"bytes", "image")
+        decode_media(b"not-an-image", "image")
+    with pytest.raises(NotImplementedError):
+        decode_media(b"RIFF....WAVE", "audio")
 
 
 def test_resize_media_fixed_size(spark):
