@@ -181,9 +181,152 @@ def ivf_centroids(
     return cents
 
 
+def ivf_centroids_df(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    refine_iters: int = 0,
+) -> DataFrame:
+    """IVF coarse quantizer as a DataFrame ``(cell int, cv array<double>)``
+    — the scale path for large k: nothing is ever collected to the driver.
+
+    Init = the ``n_centroids`` lowest-id vectors (same contract as
+    ``ivf_centroids``, so both variants build identical indexes).  Each
+    Lloyd step is pure DataFrame algebra: assign cells (broadcast centroid
+    array, see ``assign_ivf_cells``) → per-cell/per-dimension mean →
+    re-assemble vectors; empty cells keep their previous centroid via a
+    left-join coalesce.  ``localCheckpoint`` bounds lineage per iteration
+    (k rows of executor state — index metadata, not data)."""
+    from pyspark.sql import Window
+
+    vecs = as_double_vec(corpus).select(id_col, "v")
+    cents = (
+        vecs.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .withColumn(
+            "cell",
+            (F.row_number().over(Window.orderBy(F.col(id_col).asc())) - 1).cast("int"),
+        )
+        .select("cell", F.col("v").alias("cv"))
+    )
+    for _ in range(refine_iters):
+        assigned = assign_ivf_cells(vecs, cents)
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+        )
+        new = means.groupBy("cell").agg(
+            F.expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").alias("nv")
+        )
+        cents = (
+            cents.join(new, "cell", "left")
+            .select("cell", F.coalesce("nv", "cv").alias("cv"))
+            .localCheckpoint()
+        )
+    return cents
+
+
+def _centroid_array(centroids_df: DataFrame):
+    """Fold the centroid table into ONE row holding a cell-sorted
+    ``array<struct<i,ctr>>`` — broadcast as a 1-row scalar attach (the
+    repo's allow-listed BroadcastNestedLoop pattern), so the per-row argmin
+    is an ``array_min(transform(...))`` over a data value.  k lives in the
+    DATA, not the plan: 10^4-10^5 centroids neither explode plan
+    compilation (the literal variant's limit) nor force a shuffle (an
+    explode-join argmin would need a re-reduce by row id)."""
+    return centroids_df.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cell").cast("int").alias("i"), F.col("cv").alias("ctr")))
+        ).alias("__cents")
+    )
+
+
+#: squared L2 between two double arrays (sequential fold — bit-reproducible)
+D2 = "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), cast(0 as double), (acc, v) -> acc + v)"
+
+
+def assign_ivf_cells(
+    df: DataFrame, centroids_df: DataFrame, vec_col: str = "v", out: str = "cell"
+) -> DataFrame:
+    """Nearest-centroid assignment against a centroid TABLE: one broadcast
+    exchange, zero shuffle of ``df``, ties broken toward the lowest cell
+    index (same ordering as the literal variant's struct array_min)."""
+    d2 = D2.format(a=vec_col, b="s.ctr")
+    argmin = f"array_min(transform(__cents, s -> struct({d2} as d, s.i as i))).i"
+    return (
+        df.join(F.broadcast(_centroid_array(centroids_df)))
+        .withColumn(out, F.expr(argmin).cast("int"))
+        .drop("__cents")
+    )
+
+
+def ivf_ann_topk_table(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    centroids_df: DataFrame | None = None,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k with the centroid index as a DataFrame — the
+    large-k scale path (crossover note: plan-literal ``ivf_ann_topk`` wins
+    at ≤256 cells where constant folding is free; above that, use this).
+    Same semantics, same tie-breaks → bit-identical results at equal
+    centroids (asserted in tests/test_similarity.py)."""
+    from .dedup import spread_for_compute
+
+    cents = centroids_df if centroids_df is not None else ivf_centroids_df(
+        corpus, n_centroids, id_col
+    )
+    carr = _centroid_array(cents)
+    c = assign_ivf_cells(
+        as_double_vec(spread_for_compute(corpus)), cents
+    ).select(F.col(id_col), F.col("v").alias("cv"), "cell")
+    d2 = D2.format(a="v", b="s.ctr")
+    probes = (
+        f"transform(slice(array_sort(transform(__cents, s -> struct({d2} as d, s.i as i)))"
+        f", 1, {n_probe}), s -> s.i)"
+    )
+    q = (
+        as_double_vec(queries)
+        .join(F.broadcast(carr))
+        .withColumn("__cell_raw", F.explode(F.expr(probes)))
+        .select(
+            F.col(query_id_col),
+            F.col("v").alias("qv"),
+            F.col("__cell_raw").cast("int").alias("cell"),
+        )
+    )
+    dot = F.expr(DOT.format(a="qv", b="cv"))
+    qn = F.expr(NORM.format(a="qv"))
+    cn = F.expr(NORM.format(a="cv"))
+    scored = c.join(F.broadcast(q), "cell").withColumn("cosine", F.round(dot / (qn * cn), 6))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "cosine")
+    )
+
+
 def with_ivf_cell(df: DataFrame, centroids: list[list[float]], vec_col: str = "v", out: str = "cell") -> DataFrame:
     """Assign each vector to its nearest centroid (argmin L2) — centroids
-    are literals baked into the plan (broadcast by value, no shuffle)."""
+    are literals baked into the plan (broadcast by value, no shuffle).
+
+    Scale guard: a k-term literal projection is the right call at ≤256
+    cells (constant-folded, zero exchanges); beyond that, plan compilation
+    cost grows with k — use ``assign_ivf_cells`` / ``ivf_ann_topk_table``,
+    which carry centroids as broadcast DATA instead."""
+    if len(centroids) > 256:
+        raise ValueError(
+            f"{len(centroids)} centroids as plan literals would explode plan "
+            "compilation; use the centroid-table variant (ivf_ann_topk_table)"
+        )
     dists = []
     for i, c in enumerate(centroids):
         lit = "array(" + ",".join(f"cast({x!r} as double)" for x in c) + ")"

@@ -44,6 +44,7 @@ from ..operators.similarity import (
     cosine_topk,
     embedding_near_dups,
     ivf_ann_topk,
+    ivf_ann_topk_table,
     lsh_ann_buckets,
     lsh_ann_topk,
     semantic_dedup,
@@ -206,6 +207,18 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
     corpus = emb.filter(F.col("vec_id") >= 5)
     return ivf_ann_topk(corpus, queries, k=5, n_centroids=16, n_probe=4)
+
+
+def q_ann_ivf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-TABLE IVF (r5): identical semantics/parameters to
+    ``similarity_ann_ivf_topk`` but the index is a DataFrame folded into a
+    one-row broadcast array — the large-k scale path (plan literals stop
+    at 256 cells; this holds to 10^4-10^5).  Shares the literal variant's
+    oracle: results must match bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return ivf_ann_topk_table(corpus, queries, k=5, n_centroids=16, n_probe=4)
 
 
 def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -521,6 +534,7 @@ QUERIES = {
     "dedup_embedding_cosine": q_embedding_near_dups,
     "similarity_ann_lsh_topk": q_ann_lsh_topk,
     "similarity_ann_ivf_topk": q_ann_ivf_topk,
+    "similarity_ann_ivf_table": q_ann_ivf_table,
     "similarity_ann_lsh_buckets": q_ann_lsh_buckets,
     "text_stats": q_text_stats,
     "text_lang_id": q_lang_id,
@@ -1207,6 +1221,11 @@ ORACLES = {
 # dedup_clusters (component = min reachable doc_id), so the recursive-CTE
 # closure oracle is shared verbatim — only the Spark-side algorithm differs.
 ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]
+
+# The centroid-table IVF has the SAME index/probe/score contract as the
+# plan-literal variant (init = 16 lowest-id vectors, lowest-cell tie-break),
+# so the oracle is shared verbatim — bit-for-bit equality is the point.
+ORACLES["similarity_ann_ivf_table"] = ORACLES["similarity_ann_ivf_topk"]
 
 
 # ---------------------------------------------------------------------------

@@ -61,6 +61,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "text_commonness",          # scalar attach: 1-row broadcast N-docs (metadata-only scan)
         "text_lm_perplexity",       # scalar attach: 1-row broadcast corpus-total (vocab-sized input)
         "llm_filter_report",        # embeds the perplexity branch above
+        "similarity_ann_ivf_table", # scalar attach: 1-row broadcast centroid array (index metadata)
     }
     oracle_checked = set(m.oracle_sql())
     checked = 0

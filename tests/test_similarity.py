@@ -144,3 +144,99 @@ def test_semantic_dedup_drops_higher_id_near_dup(spark):
     assert out[0].keep is True
     assert out[1].keep is False  # colinear with vec 0, higher id
     assert out[2].keep is True
+
+
+def test_ivf_table_variant_matches_literal_bit_for_bit(spark, sf_dir):
+    """The centroid-table IVF must reproduce the plan-literal variant
+    exactly (same init, same tie-breaks) — the scale path cannot change
+    answers."""
+    from postgres_debezium_clickhouse_spark.operators.similarity import (
+        ivf_ann_topk,
+        ivf_ann_topk_table,
+    )
+    from postgres_debezium_clickhouse_spark.sources.files import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    lit = sorted(map(tuple, ivf_ann_topk(corpus, queries, k=5, n_centroids=16, n_probe=4).collect()))
+    tab = sorted(map(tuple, ivf_ann_topk_table(corpus, queries, k=5, n_centroids=16, n_probe=4).collect()))
+    assert lit == tab
+
+
+def test_ivf_centroids_df_refines_without_collect(spark, sf_dir):
+    """Lloyd refinement as pure DataFrame algebra: refine_iters=2 works,
+    no .collect() anywhere in the loop (source-asserted), distortion is
+    monotone non-increasing vs the unrefined index."""
+    import inspect
+
+    from postgres_debezium_clickhouse_spark.operators import similarity
+    from postgres_debezium_clickhouse_spark.operators.similarity import (
+        as_double_vec,
+        assign_ivf_cells,
+        ivf_centroids_df,
+    )
+    from postgres_debezium_clickhouse_spark.sources.files import load_table
+    from pyspark.sql import functions as F
+
+    src = inspect.getsource(similarity.ivf_centroids_df)
+    assert ".collect()" not in src
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+
+    def distortion(cents_df):
+        d2 = similarity.D2.format(a="v", b="s.ctr")
+        best = f"array_min(transform(__cents, s -> struct({d2} as d, s.i as i))).d"
+        return (
+            assign_ivf_cells(as_double_vec(corpus), cents_df)  # plan shape check
+            .limit(1).count()
+            and as_double_vec(corpus)
+            .join(F.broadcast(similarity._centroid_array(cents_df)))
+            .select(F.sum(F.expr(best)).alias("s"))
+            .first().s
+        )
+
+    base = ivf_centroids_df(corpus, n_centroids=8, refine_iters=0)
+    refined = ivf_centroids_df(corpus, n_centroids=8, refine_iters=2)
+    assert refined.count() == 8
+    assert distortion(refined) <= distortion(base) + 1e-9
+    # parity with the collect-based quantizer at refine_iters=0
+    from postgres_debezium_clickhouse_spark.operators.similarity import ivf_centroids
+
+    legacy = ivf_centroids(corpus, n_centroids=8)
+    table = {r.cell: list(r.cv) for r in base.collect()}
+    assert [table[i] for i in range(8)] == legacy
+
+
+def test_ivf_literal_guard_and_table_plan_at_1024_cells(spark):
+    """Above 256 cells the literal variant must refuse (plan-compilation
+    guard) and the table variant must plan exactly one broadcast exchange
+    for the centroid attach — no shuffle of the corpus, no cartesian."""
+    import pytest
+    from postgres_debezium_clickhouse_spark.operators.similarity import (
+        as_double_vec,
+        assign_ivf_cells,
+        with_ivf_cell,
+    )
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError, match="centroid-table"):
+        with_ivf_cell(None, [[0.0, 0.0]] * 257)
+
+    cents = spark.range(1024).select(
+        F.col("id").cast("int").alias("cell"),
+        F.array(F.col("id").cast("double"), F.lit(0.0).cast("double")).alias("cv"),
+    )
+    corpus = spark.range(5000).select(
+        F.col("id").alias("vec_id"),
+        F.array((F.col("id") % 1024).cast("double"), F.lit(0.0)).alias("v"),
+    )
+    assigned = assign_ivf_cells(corpus, cents)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastExchange") == 1
+    assert "Exchange hashpartitioning" not in plan
+    assert "CartesianProduct" not in plan
+    # and it computes the right cells
+    sample = {r.vec_id: r.cell for r in assigned.filter(F.col("vec_id") < 2050).collect()}
+    assert sample[7] == 7 and sample[1024 + 7] == 7 and sample[2048 + 1] == 1
