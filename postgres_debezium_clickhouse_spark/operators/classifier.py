@@ -53,6 +53,7 @@ def classifier_score(
     bias_milli: int = 0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Score every document with a hashing-trick linear classifier: each
     token hashes to a bucket (md5 mod ``len(weights_milli)``), the margin is
@@ -74,6 +75,7 @@ def classifier_score(
         .withColumn("__w", w_arr)
         .select(
             F.col(id_col),
+            *[F.col(c) for c in passthrough],
             F.size("__tk").cast("long").alias("n_tokens"),
             margin.alias("margin_milli"),
             F.round(margin / 1000.0, 6).alias("margin"),

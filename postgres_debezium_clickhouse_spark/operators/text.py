@@ -325,7 +325,10 @@ def boilerplate_ngrams(
 
 
 def gopher_rules(
-    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher-style rule-based quality flags (Rae et al. 2021 §A1.1, public
     paper): word-count bounds, mean-word-length bounds, symbol-to-word
@@ -354,6 +357,7 @@ def gopher_rules(
     stop_ok = n_stop_distinct >= 2
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         n_words.alias("n_words"),
         F.round(sum_len / n_words, 6).alias("mean_word_len"),
         F.round(n_sym / n_words, 6).alias("symbol_word_ratio"),

@@ -461,8 +461,69 @@ def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         pipe.drop_mv(f"quality_mv_{run}")
     return spark.read.parquet(out)
 
+def stream_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5: the r4 LLM-curation gate running as a REGISTERED streaming MV —
+    Gopher rules + learned-classifier sign composed per document over a
+    multi-micro-batch replay, hash-matching the batch composition.
+
+    No stream-stream join: both signals are row expressions, chained
+    map-only via operator ``passthrough`` (one scan, no state, no shuffle
+    — the cheapest streaming-MV shape, same as the 100 TB scoring pass).
+    The corpus-level signals of the full batch report (cross-doc
+    boilerplate, LM perplexity) are deliberately absent: they aggregate
+    over the corpus and belong to batch/compaction passes, not a
+    stateless per-row MV."""
+    from ..operators.classifier import classifier_score, pseudo_weights
+    from ..operators.text import gopher_rules
+    from ..sources.files import load_table
+    from ..streaming.pipeline import Pipeline
+
+    run = uuid.uuid4().hex[:12]
+    root = tempfile.gettempdir()
+    src = f"{root}/fmv_src_{run}"
+    out = f"{root}/fmv_out_{run}"
+    ckpt = f"{root}/fmv_ckpt_{run}"
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+
+    weights = pseudo_weights(64)
+
+    def _gate(df: DataFrame) -> DataFrame:
+        g = gopher_rules(df, passthrough=("text",)).select(
+            "doc_id", "text", F.col("passes").alias("gopher_ok")
+        )
+        return classifier_score(g, weights, passthrough=("gopher_ok",)).select(
+            "doc_id",
+            "gopher_ok",
+            F.col("pred_keep").alias("clf_ok"),
+            (F.col("gopher_ok") & F.col("pred_keep")).alias("keep"),
+        )
+
+    pipe = Pipeline(spark)
+    mv = pipe.register_mv(
+        f"filter_mv_{run}", stream, _gate, out, ckpt, available_now=True
+    )
+    try:
+        if not mv.query.awaitTermination(300):
+            mv.query.stop()
+            raise TimeoutError(
+                "stream did not finish in 300s — refusing to "
+                "return a partial result"
+            )
+    finally:
+        pipe.drop_mv(f"filter_mv_{run}")
+    return spark.read.parquet(out)
+
+
 QUERIES = {
     "stream_quality_filter": stream_quality_filter,
+    "stream_filter_report": stream_filter_report,
     "synthetic_transactions": synthetic_transactions,
     "stream_bronze_archive": stream_bronze_archive,
     "stream_silver_state": stream_silver_state,
@@ -486,7 +547,37 @@ _ORDERS_FINAL_STATE = """
         FROM orders WHERE o_orderkey % 7 <> 0
 """
 
+from ..operators.classifier import pseudo_weights as _pw
+
 ORACLES: dict[str, str] = {
+    # batch re-derivation of the streaming gate: Gopher integer-exact flags
+    # (same fragments as quality_gopher_rules) ∧ hashing-trick classifier
+    # sign (same md5 bucketing as quality_classifier_score, dim 64)
+    "stream_filter_report": f"""
+        WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+        s AS (SELECT doc_id, tk,
+                     CAST(len(tk) AS BIGINT) AS n_words,
+                     CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT) AS sum_len,
+                     CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS n_sym,
+                     CAST(len(list_intersect(list_distinct(tk), ['the', 'a', 'and', 'of'])) AS BIGINT) AS n_stop
+              FROM t),
+        m AS (SELECT doc_id, n_words, sum_len, n_sym, n_stop,
+                     CAST(list_sum(list_transform(tk,
+                         t -> wv[('0x' || substr(md5(t), 1, 8))::BIGINT % 64 + 1]))
+                         AS BIGINT) AS margin
+              FROM s, (SELECT {_pw(64)} AS wv) w)
+        SELECT doc_id,
+               ((n_words >= 50 AND n_words <= 100000)
+                AND (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
+                AND (n_sym * 10 < n_words)
+                AND (n_stop >= 2)) AS gopher_ok,
+               margin > 0 AS clf_ok,
+               (((n_words >= 50 AND n_words <= 100000)
+                 AND (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
+                 AND (n_sym * 10 < n_words)
+                 AND (n_stop >= 2)) AND margin > 0) AS keep
+        FROM m
+    """,
     "stream_quality_filter": """
         WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents)
         SELECT doc_id,

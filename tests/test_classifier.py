@@ -81,3 +81,31 @@ def test_train_then_score_roundtrip(spark):
     )
     assert correct / n >= majority / n
     assert correct / n > 0.5
+
+
+def test_passthrough_chains_map_only(spark):
+    """The streaming-gate composition (gopher ∧ classifier) must chain as
+    pure projections — one scan, zero Exchange — via the operators'
+    passthrough columns."""
+    from pyspark.sql import functions as F
+
+    from postgres_debezium_clickhouse_spark.operators.classifier import (
+        classifier_score,
+        pseudo_weights,
+    )
+    from postgres_debezium_clickhouse_spark.operators.text import gopher_rules
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox and a dog of note " * 10)], ["doc_id", "text"]
+    )
+    g = gopher_rules(docs, passthrough=("text",)).select(
+        "doc_id", "text", F.col("passes").alias("gopher_ok")
+    )
+    out = classifier_score(g, pseudo_weights(64), passthrough=("gopher_ok",)).select(
+        "doc_id", "gopher_ok", F.col("pred_keep").alias("clf_ok"),
+        (F.col("gopher_ok") & F.col("pred_keep")).alias("keep"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    row = out.collect()[0]
+    assert row.keep == (row.gopher_ok and row.clf_ok)
