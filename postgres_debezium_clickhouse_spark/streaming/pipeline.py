@@ -500,6 +500,15 @@ def compact_silver(
     ``vacuum_grace_s`` expires (pass 0 to reclaim space immediately when no
     concurrent readers exist).
 
+    Single-writer contract, end to end: compaction publishes through the
+    same ``_publish_buckets`` guards as the streaming sink — the exclusive
+    epoch claim plus the CAS manifest commit — so compacting while a
+    publisher is live makes the LOSER raise ``ManifestCommitError`` with
+    the store untouched (fault-injection: tests/test_streaming.py
+    ``test_compact_silver_loses_race_to_stream_publish_loudly``).  Run it
+    while the stream is stopped; the guards exist to turn a violated
+    assumption into an error, not to enable concurrent writers.
+
     A pre-manifest flat store (plain ``part-*.parquet`` under ``path``) is
     migrated in place: its rows are read as the current state, published
     bucketed under the first manifest, and the superseded flat files

@@ -684,3 +684,66 @@ def test_capture_table_with_connector_config(spark, tmp_path):
         .count()
     )
     assert silver.count() == expected
+
+
+def test_compact_silver_loses_race_to_stream_publish_loudly(spark, dirs, monkeypatch):
+    """compact_silver is on the same single-writer path as the streaming
+    publish: if a publisher commits AFTER compaction read the manifest but
+    BEFORE it publishes, compaction must raise ManifestCommitError and
+    leave the winner's commit untouched — never resurrect the pre-publish
+    state it compacted from."""
+    import postgres_debezium_clickhouse_spark.streaming.pipeline as pl
+
+    _write_json(spark, BATCH1, dirs["src"])
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(dirs["src"])
+    q = pl.silver_upsert_stream(
+        stream, dirs["silver"], dirs["ckpt_s"], keys=["id"], available_now=True
+    )
+    q.awaitTermination(120)
+
+    real_read = pl._read_manifest
+    fired = {"done": False}
+
+    def read_then_lose_the_race(path):
+        m = real_read(path)
+        if not fired["done"]:
+            fired["done"] = True
+            winner = spark.createDataFrame(
+                [(50, "winner", "c", 500, 1, False)],
+                ["id", "val", "op", "ts_ms", "offset", "__deleted"],
+            )
+            pl._publish_buckets(winner, path, ["id"], m, set(range(m["n_buckets"])))
+        return m
+
+    monkeypatch.setattr(pl, "_read_manifest", read_then_lose_the_race)
+    with pytest.raises(pl.ManifestCommitError, match="version"):
+        pl.compact_silver(spark, dirs["silver"], keys=["id"], vacuum_grace_s=600)
+    monkeypatch.setattr(pl, "_read_manifest", real_read)
+    state = {r.id: r.val for r in pl.read_silver(spark, dirs["silver"]).collect()}
+    assert state == {50: "winner"}  # winner intact, no pre-publish resurrection
+
+
+def test_compact_silver_refused_by_live_claim(spark, dirs):
+    """A live epoch claim (concurrent publisher mid-write) must reject
+    compaction BEFORE any file I/O — the store stays byte-identical."""
+    import os as _os
+
+    import postgres_debezium_clickhouse_spark.streaming.pipeline as pl
+
+    _write_json(spark, BATCH1, dirs["src"])
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(dirs["src"])
+    q = pl.silver_upsert_stream(
+        stream, dirs["silver"], dirs["ckpt_s"], keys=["id"], available_now=True
+    )
+    q.awaitTermination(120)
+
+    cur = pl._read_manifest(dirs["silver"])
+    claim = _os.path.join(dirs["silver"], f".epoch-{cur['version'] + 1}.claim")
+    with open(claim, "w") as fh:
+        fh.write("concurrent-publisher")
+    before = sorted(cur["files"])
+    with pytest.raises(pl.ManifestCommitError, match="claimed"):
+        pl.compact_silver(spark, dirs["silver"], keys=["id"], vacuum_grace_s=600)
+    after = pl._read_manifest(dirs["silver"])
+    assert after["version"] == cur["version"]
+    assert sorted(after["files"]) == before
