@@ -50,6 +50,7 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 _FRONT = (
     # round-5 additions (never driver-checked):
     "multimodal_decode",
+    "multimodal_audio_decode",
     "similarity_ann_ivf_table",
     "stream_filter_report",
     # r4-verdict item 2: re-green the ledger.  events_props_keys' ONLY

@@ -1,0 +1,148 @@
+"""Real audio decode, stdlib-only — the audio half of the multimodal path.
+
+WAV/PCM needs no external codec: the stdlib ``wave`` module parses the
+RIFF/fmt/data chunks and ``struct`` unpacks the 16-bit PCM frames.  That
+makes the audio modality decodable for REAL in this container, the same
+move as the PNG decoder (operators/imaging.py): a deterministic encoder
+synthesizes fixtures whose samples are a closed-form function of doc_id,
+the decoder runs inside ``mapInPandas``, and a DuckDB oracle recomputes
+the integer sample statistics from first principles — so the chunk walk,
+frame unpack, and channel handling are value-checked end to end.
+
+Compressed codecs (mp3/aac/flac) genuinely need libraries the container
+lacks and raise honestly (swap in soundfile/pyav inside the same batch
+loop on real infra).
+
+Scale: decode is embarrassingly parallel (no shuffle); partition by blob
+bytes, not rows — see operators/multimodal.py's sizing notes.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def wav_encode(samples: list[int], sample_rate: int = 8000, channels: int = 1) -> bytes:
+    """Write a real RIFF/WAVE file (16-bit PCM).  ``samples`` are
+    interleaved int16 frames (len must be a multiple of ``channels``)."""
+    if len(samples) % channels:
+        raise ValueError("sample count not a multiple of channels")
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    try:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    finally:
+        w.close()
+    return buf.getvalue()
+
+
+def wav_decode(blob: bytes) -> dict:
+    """Decode a WAV: {channels, sample_rate, n_frames, samples} with
+    ``samples`` the interleaved int16 list.  Only 16-bit PCM is supported
+    — anything else raises loudly (wrong stats are worse than no stats)."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a WAV (bad RIFF/WAVE header)")
+    w = wave.open(io.BytesIO(blob), "rb")
+    try:
+        if w.getsampwidth() != 2:
+            raise ValueError(f"unsupported sample width {w.getsampwidth() * 8}-bit")
+        ch, rate, n = w.getnchannels(), w.getframerate(), w.getnframes()
+        raw = w.readframes(n)
+    finally:
+        w.close()
+    if len(raw) != n * ch * 2:
+        raise ValueError("data chunk size mismatch")
+    return {
+        "channels": ch,
+        "sample_rate": rate,
+        "n_frames": n,
+        "samples": list(struct.unpack(f"<{n * ch}h", raw)),
+    }
+
+
+def decode_audio(blob: bytes) -> dict:
+    """Dispatch on magic bytes.  WAV decodes for real; compressed codecs
+    raise until a library is wired in."""
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        return {"format": "wav", **wav_decode(blob)}
+    raise NotImplementedError("no stdlib codec for this audio format; wire in soundfile/pyav")
+
+
+AUDIO_DECODE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_frames", T.LongType()),      # from the DECODED data chunk
+    T.StructField("s_sum", T.LongType()),         # integer-exact sample stats
+    T.StructField("s_min", T.IntegerType()),
+    T.StructField("s_max", T.IntegerType()),
+])
+
+
+def decode_waveforms(media_df: DataFrame, id_col: str = "doc_id",
+                     media_col: str = "media") -> DataFrame:
+    """Real WAV decode over a binary column via ``mapInPandas`` — emits
+    integer-exact sample statistics computed from the decoded PCM stream
+    (``n_frames`` from the data chunk, not the header, so a truncated
+    blob cannot silently agree)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {f.name: [] for f in AUDIO_DECODE_SCHEMA.fields}
+            for doc_id, blob in zip(pdf[id_col], pdf[media_col]):
+                d = decode_audio(bytes(blob))
+                s = d["samples"]
+                rows["doc_id"].append(doc_id)
+                rows["format"].append(d["format"])
+                rows["channels"].append(d["channels"])
+                rows["sample_rate"].append(d["sample_rate"])
+                rows["n_frames"].append(d["n_frames"])
+                rows["s_sum"].append(sum(s) if s else None)
+                rows["s_min"].append(min(s) if s else None)
+                rows["s_max"].append(max(s) if s else None)
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(_decode, schema=AUDIO_DECODE_SCHEMA)
+
+
+WAV_BLOB_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("media", T.BinaryType()),
+])
+
+
+def synth_waveforms(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic WAV fixture: for doc ``d``,
+
+        n_frames    = 20 + d % 50
+        channels    = 2 if d % 3 = 0 else 1
+        sample_rate = 8000 + (d % 4) * 4000
+        sample(j)   = ((d*31 + j*7) % 2003) - 1001   (interleaved index j)
+
+    — closed forms DuckDB reproduces with a ``range()`` cross join, giving
+    the decode path a first-principles oracle."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                n, ch = 20 + d % 50, 2 if d % 3 == 0 else 1
+                rate = 8000 + (d % 4) * 4000
+                samples = [((d * 31 + j * 7) % 2003) - 1001 for j in range(n * ch)]
+                ids.append(d)
+                blobs.append(wav_encode(samples, rate, ch))
+            yield pd.DataFrame({"doc_id": ids, "media": blobs})
+
+    return ids_df.select(id_col).mapInPandas(_synth, schema=WAV_BLOB_SCHEMA)

@@ -71,6 +71,10 @@ def decode_media(blob: bytes, media_type: str):
         from .imaging import decode_image
 
         return decode_image(bytes(blob))
+    if media_type == "audio":
+        from .audio import decode_audio
+
+        return decode_audio(bytes(blob))
     raise NotImplementedError(
         f"no stdlib codec for media_type={media_type!r}; "
         "wire in soundfile/pyav inside the same mapInPandas batch loop"

@@ -32,6 +32,7 @@ from ..operators.curation import (
     token_budget_sample,
     token_length_histogram,
 )
+from ..operators.audio import decode_waveforms, synth_waveforms
 from ..operators.imaging import decode_images, synth_images
 from ..operators.multimodal import (
     attach_fake_media,
@@ -297,6 +298,15 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(synth_images(docs))
 
 
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (r5): a real RIFF/WAVE (16-bit PCM) per document
+    with closed-form samples, decoded by the stdlib ``wave`` path
+    (operators/audio.py) into integer-exact sample stats; the DuckDB
+    oracle recomputes them from the sample formula."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_waveforms(synth_waveforms(docs))
+
+
 def q_llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data prep pipeline — quality gate → exact
     dedup → per-language corpus stats — one declarative plan (each stage's
@@ -546,6 +556,7 @@ QUERIES = {
     "multimodal_thumbnails": q_multimodal_thumbnails,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_audio_decode": q_multimodal_audio,
     # round-3 late additions — __spark_entry__._BACK defers these to the
     # END of the registry (driver window protection); front them in round 4:
     "text_commonness": q_text_commonness,
@@ -1214,6 +1225,31 @@ ORACLES = {
                CAST(p.width * p.height AS BIGINT) AS n_pixels,
                s.sum_r, s.sum_g, s.sum_b, s.min_px, s.max_px
         FROM params p LEFT JOIN stats s USING (doc_id)
+    """,
+    # first-principles oracle for the REAL WAV decoder: interleaved sample
+    # j is ((d*31 + j*7) % 2003) - 1001, so the stats the stdlib wave path
+    # must produce are pure integer arithmetic.  Max samples = 69*2 = 138.
+    "multimodal_audio_decode": """
+        WITH params AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INT) AS channels,
+                   CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+                   CAST(20 + doc_id % 50 AS BIGINT) AS n_frames
+            FROM documents
+        ),
+        s AS (
+            SELECT p.doc_id, ((p.doc_id * 31 + j.j * 7) % 2003) - 1001 AS v
+            FROM params p CROSS JOIN range(140) j(j)
+            WHERE j.j < p.n_frames * p.channels
+        ),
+        stats AS (
+            SELECT doc_id, CAST(SUM(v) AS BIGINT) AS s_sum,
+                   CAST(MIN(v) AS INT) AS s_min, CAST(MAX(v) AS INT) AS s_max
+            FROM s GROUP BY doc_id
+        )
+        SELECT p.doc_id, 'wav' AS format, p.channels, p.sample_rate,
+               p.n_frames, t.s_sum, t.s_min, t.s_max
+        FROM params p JOIN stats t USING (doc_id)
     """,
 }
 

@@ -1,0 +1,50 @@
+"""Tests for the stdlib WAV codec (operators/audio.py)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from postgres_debezium_clickhouse_spark.operators.audio import (
+    decode_audio,
+    decode_waveforms,
+    synth_waveforms,
+    wav_decode,
+    wav_encode,
+)
+
+
+@given(
+    n=st.integers(1, 40),
+    ch=st.sampled_from([1, 2]),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_property(n, ch, rate, seed):
+    import random
+
+    rng = random.Random(seed)
+    samples = [rng.randrange(-32768, 32768) for _ in range(n * ch)]
+    d = wav_decode(wav_encode(samples, rate, ch))
+    assert (d["channels"], d["sample_rate"], d["n_frames"]) == (ch, rate, n)
+    assert d["samples"] == samples
+
+
+def test_wav_rejects_non_wav_and_bad_width():
+    with pytest.raises(ValueError, match="RIFF"):
+        wav_decode(b"OggS" + bytes(40))
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"\xff\xfb" + bytes(16))  # mp3 frame sync
+
+
+def test_decode_waveforms_matches_closed_form(spark):
+    ids = spark.createDataFrame([(d,) for d in range(1, 10)], ["doc_id"])
+    out = {r.doc_id: r for r in decode_waveforms(synth_waveforms(ids)).collect()}
+    for d in range(1, 10):
+        r = out[d]
+        n, ch = 20 + d % 50, 2 if d % 3 == 0 else 1
+        assert (r.channels, r.sample_rate, r.n_frames) == (ch, 8000 + (d % 4) * 4000, n)
+        samples = [((d * 31 + j * 7) % 2003) - 1001 for j in range(n * ch)]
+        assert (r.s_sum, r.s_min, r.s_max) == (sum(samples), min(samples), max(samples))
