@@ -278,8 +278,13 @@ def ivf_ann_topk_table(
     centroids (asserted in tests/test_similarity.py)."""
     from .dedup import spread_for_compute
 
-    cents = centroids_df if centroids_df is not None else ivf_centroids_df(
-        corpus, n_centroids, id_col
+    # materialize the k-row index once (executor-side, bounded): the seed
+    # subplan scans the corpus, and both the assign and probe branches
+    # reference it — without this the scan would run twice.
+    cents = (
+        centroids_df
+        if centroids_df is not None
+        else ivf_centroids_df(corpus, n_centroids, id_col).localCheckpoint()
     )
     carr = _centroid_array(cents)
     c = assign_ivf_cells(
