@@ -51,6 +51,7 @@ _FRONT = (
     # round-5 additions (never driver-checked):
     "multimodal_decode",
     "multimodal_audio_decode",
+    "multimodal_video_frames",
     "similarity_ann_ivf_table",
     "stream_filter_report",
     # r4-verdict item 2: re-green the ledger.  events_props_keys' ONLY

@@ -75,6 +75,10 @@ def decode_media(blob: bytes, media_type: str):
         from .audio import decode_audio
 
         return decode_audio(bytes(blob))
+    if media_type == "video":
+        from .video import decode_video
+
+        return decode_video(bytes(blob))
     raise NotImplementedError(
         f"no stdlib codec for media_type={media_type!r}; "
         "wire in soundfile/pyav inside the same mapInPandas batch loop"

@@ -33,6 +33,7 @@ from ..operators.curation import (
     token_length_histogram,
 )
 from ..operators.audio import decode_waveforms, synth_waveforms
+from ..operators.video import decode_video_frames, synth_videos
 from ..operators.imaging import decode_images, synth_images
 from ..operators.multimodal import (
     attach_fake_media,
@@ -307,6 +308,17 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_waveforms(synth_waveforms(docs))
 
 
+def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container decode (r5): a real Y4M stream per document
+    (closed-form plane bytes), walked by the stdlib decoder
+    (operators/video.py) into one row per frame with integer-exact plane
+    sums — frame sampling over actual decoded video, not a byte-slicing
+    stand-in.  The DuckDB oracle recomputes every frame's stats from the
+    byte formula."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_video_frames(synth_videos(docs))
+
+
 def q_llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data prep pipeline — quality gate → exact
     dedup → per-language corpus stats — one declarative plan (each stage's
@@ -557,6 +569,7 @@ QUERIES = {
     "multimodal_frames": q_multimodal_frames,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_audio_decode": q_multimodal_audio,
+    "multimodal_video_frames": q_multimodal_video,
     # round-3 late additions — __spark_entry__._BACK defers these to the
     # END of the registry (driver window protection); front them in round 4:
     "text_commonness": q_text_commonness,
@@ -1250,6 +1263,40 @@ ORACLES = {
         SELECT p.doc_id, 'wav' AS format, p.channels, p.sample_rate,
                p.n_frames, t.s_sum, t.s_min, t.s_max
         FROM params p JOIN stats t USING (doc_id)
+    """,
+    # first-principles oracle for the REAL Y4M decoder: global byte j of
+    # doc d is (d*11 + j*5) % 256, planar C444 layout (frame f, plane p,
+    # pixel k → j = (f*3 + p)*w*h + k).  Max plane = 4*6 = 24 bytes.
+    "multimodal_video_frames": """
+        WITH params AS (
+            SELECT doc_id,
+                   CAST(2 + doc_id % 3 AS INT) AS width,
+                   CAST(2 + doc_id % 5 AS INT) AS height,
+                   CAST(1 + doc_id % 4 AS BIGINT) AS n_frames
+            FROM documents
+        ),
+        b AS (
+            SELECT p.doc_id, f.f AS fi, pl.p AS plane,
+                   (p.doc_id * 11
+                    + ((f.f * 3 + pl.p) * p.width * p.height + k.k) * 5) % 256 AS v
+            FROM params p
+            CROSS JOIN range(4) f(f)
+            CROSS JOIN range(3) pl(p)
+            CROSS JOIN range(24) k(k)
+            WHERE f.f < p.n_frames AND k.k < p.width * p.height
+        ),
+        fs AS (
+            SELECT doc_id, fi,
+                   CAST(SUM(CASE WHEN plane = 0 THEN v END) AS BIGINT) AS sum_y,
+                   CAST(SUM(CASE WHEN plane = 1 THEN v END) AS BIGINT) AS sum_u,
+                   CAST(SUM(CASE WHEN plane = 2 THEN v END) AS BIGINT) AS sum_v,
+                   CAST(MIN(v) AS INT) AS min_b,
+                   CAST(MAX(v) AS INT) AS max_b
+            FROM b GROUP BY doc_id, fi
+        )
+        SELECT p.doc_id, CAST(s.fi AS INT) AS frame_index, p.width, p.height,
+               p.n_frames, s.sum_y, s.sum_u, s.sum_v, s.min_b, s.max_b
+        FROM params p JOIN fs s USING (doc_id)
     """,
 }
 
