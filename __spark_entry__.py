@@ -52,6 +52,7 @@ _FRONT = (
     "multimodal_decode",
     "multimodal_audio_decode",
     "multimodal_video_frames",
+    "cdc_schema_drift",
     "similarity_ann_ivf_table",
     "stream_filter_report",
     # r4-verdict item 2: re-green the ledger.  events_props_keys' ONLY

@@ -99,3 +99,29 @@ def test_change_feed_round_trip(spark):
     delta = diff_states(prev, nxt, ["id"])
     rebuilt = apply_change_feed(prev, delta, ["id"])
     assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, nxt.collect()))
+
+
+def test_schema_drift_report_detects_and_stays_silent(spark):
+    """Unknown/missing fields surface with counts + first offsets;
+    tombstones (no after image) are skipped; zero drift → ZERO rows (the
+    no-news-is-no-rows contract that makes the report alert-able)."""
+    from postgres_debezium_clickhouse_spark.operators.transforms import (
+        schema_drift_report,
+    )
+
+    rows = [
+        (10, '{"payload":{"after":{"id":1,"val":"a","extra":1}}}'),
+        (11, '{"payload":{"after":{"id":2,"val":"b"}}}'),
+        (12, '{"payload":{"after":{"id":3,"extra":2}}}'),   # also missing val
+        (13, '{"payload":{"after":null}}'),                  # tombstone: skipped
+    ]
+    raw = spark.createDataFrame(rows, ["offset", "value"])
+    out = {(r.field, r.kind): r for r in schema_drift_report(raw, ["id", "val"]).collect()}
+    assert set(out) == {("extra", "unknown"), ("val", "missing")}
+    assert out[("extra", "unknown")].n_rows == 2
+    assert out[("extra", "unknown")].first_offset == 10
+    assert out[("val", "missing")].n_rows == 1
+    assert out[("val", "missing")].first_offset == 12
+
+    clean = spark.createDataFrame(rows[1:2], ["offset", "value"])
+    assert schema_drift_report(clean, ["id", "val"]).count() == 0
