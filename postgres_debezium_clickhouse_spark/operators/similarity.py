@@ -465,3 +465,54 @@ def embedding_near_dups(corpus: DataFrame, threshold: float, id_col: str = "vec_
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "label", "cosine")
     )
+
+
+def quantize_embeddings(corpus: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Int8 scalar quantization of an embedding column — the storage-layer
+    workhorse for a 100 TB vector corpus (4x smaller than float32, and the
+    form ANN indexes ship in).  Per-dimension corpus min/max define the
+    grid; ``code = least(255, floor((x - mn) * 256 / (mx - mn)))`` —
+    ``floor``, not ``round``, because floor has ONE definition across
+    engines (round-half ties differ), keeping the codes integer-exact
+    against the DuckDB oracle.
+
+    Emits a per-vector report (n_dims, code sum/min/max, max reconstruction
+    error at grid-cell midpoints) rather than the code arrays themselves —
+    scalar columns for the driver canonicalizer; writing the codes is the
+    same ``transform`` without the final aggregates.
+
+    Scale shape: one posexplode shuffle whose OUTPUT is dim-sized (the
+    min/max table), folded to a one-row broadcast array (the allow-listed
+    scalar-attach pattern); coding itself is map-only — the corpus is
+    scanned twice and shuffled never."""
+    e = as_double_vec(corpus).select(id_col, "v")
+    stats = (
+        e.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    grid = stats.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))).alias("__q")
+    )
+    code = (
+        "transform(v, (x, i) -> CASE WHEN element_at(__q, i + 1).mx > element_at(__q, i + 1).mn "
+        "THEN least(255, cast(floor((x - element_at(__q, i + 1).mn) * 256.0D "
+        "/ (element_at(__q, i + 1).mx - element_at(__q, i + 1).mn)) as int)) ELSE 0 END)"
+    )
+    err = (
+        "transform(v, (x, i) -> abs(x - (element_at(__q, i + 1).mn "
+        "+ (cast(element_at(__codes, i + 1) as double) + 0.5D) "
+        "* (element_at(__q, i + 1).mx - element_at(__q, i + 1).mn) / 256.0D)))"
+    )
+    return (
+        e.join(F.broadcast(grid))
+        .withColumn("__codes", F.expr(code))
+        .select(
+            F.col(id_col),
+            F.size("v").cast("long").alias("n_dims"),
+            F.expr("aggregate(__codes, cast(0 as bigint), (a, c) -> a + c)").alias("sum_codes"),
+            F.array_min("__codes").alias("min_code"),
+            F.array_max("__codes").alias("max_code"),
+            F.round(F.array_max(F.expr(err)), 6).alias("max_abs_err"),
+        )
+    )

@@ -223,6 +223,16 @@ def q_ann_ivf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk_table(corpus, queries, k=5, n_centroids=16, n_probe=4)
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization report (r5): per-dimension corpus min/max
+    grid, floor-based codes (engine-unambiguous — round-half ties are
+    not), per-vector code stats + max reconstruction error.  The oracle
+    recomputes the grid and every code in SQL."""
+    from ..operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN index-build side (bucket occupancy) — oracle-checked via the
     same md5-portable hyperplanes."""
@@ -557,6 +567,7 @@ QUERIES = {
     "similarity_ann_lsh_topk": q_ann_lsh_topk,
     "similarity_ann_ivf_topk": q_ann_ivf_topk,
     "similarity_ann_ivf_table": q_ann_ivf_table,
+    "embedding_quantize": q_embedding_quantize,
     "similarity_ann_lsh_buckets": q_ann_lsh_buckets,
     "text_stats": q_text_stats,
     "text_lang_id": q_lang_id,
@@ -1309,6 +1320,30 @@ ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]
 # plan-literal variant (init = 16 lowest-id vectors, lowest-cell tie-break),
 # so the oracle is shared verbatim — bit-for-bit equality is the point.
 ORACLES["similarity_ann_ivf_table"] = ORACLES["similarity_ann_ivf_topk"]
+
+# int8 scalar quantization: the grid (per-dim corpus min/max) and every
+# floor-based code recomputed in SQL; float steps identically associated
+# ((x-mn)*256/(mx-mn); mn+(code+0.5)*(mx-mn)/256) so doubles agree bitwise
+ORACLES["embedding_quantize"] = """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    x AS (SELECT e.vec_id, i.i AS pos, e.v[i.i + 1] AS x
+          FROM e CROSS JOIN range(64) i(i) WHERE i.i < len(e.v)),
+    g AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM x GROUP BY pos),
+    c AS (SELECT x.vec_id, x.x, g.mn, g.mx,
+                 CASE WHEN g.mx > g.mn
+                      THEN LEAST(255, CAST(FLOOR((x.x - g.mn) * 256.0 / (g.mx - g.mn)) AS INT))
+                      ELSE 0 END AS code
+          FROM x JOIN g USING (pos))
+    SELECT vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dims,
+           CAST(SUM(code) AS BIGINT) AS sum_codes,
+           CAST(MIN(code) AS INT) AS min_code,
+           CAST(MAX(code) AS INT) AS max_code,
+           ROUND(MAX(ABS(x - (mn + (CAST(code AS DOUBLE) + 0.5) * (mx - mn) / 256.0))), 6)
+               AS max_abs_err
+    FROM c GROUP BY vec_id
+"""
 
 
 # ---------------------------------------------------------------------------

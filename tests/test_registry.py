@@ -62,6 +62,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "text_lm_perplexity",       # scalar attach: 1-row broadcast corpus-total (vocab-sized input)
         "llm_filter_report",        # embeds the perplexity branch above
         "similarity_ann_ivf_table", # scalar attach: 1-row broadcast centroid array (index metadata)
+        "embedding_quantize",       # scalar attach: 1-row broadcast min/max grid (dim-sized)
     }
     oracle_checked = set(m.oracle_sql())
     checked = 0

@@ -240,3 +240,28 @@ def test_ivf_literal_guard_and_table_plan_at_1024_cells(spark):
     # and it computes the right cells
     sample = {r.vec_id: r.cell for r in assigned.filter(F.col("vec_id") < 2050).collect()}
     assert sample[7] == 7 and sample[1024 + 7] == 7 and sample[2048 + 1] == 1
+
+
+def test_quantize_embeddings_codes_and_error_bound(spark):
+    """Codes span [0,255] with endpoints mapped correctly (x=mn → 0,
+    x=mx → 255), constant dimensions quantize to 0 everywhere, and every
+    reconstruction error is bounded by half a grid cell."""
+    from postgres_debezium_clickhouse_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    vecs = spark.createDataFrame(
+        [(0, [0.0, 5.0, 1.0]), (1, [10.0, 5.0, 3.0]), (2, [5.0, 5.0, 2.0])],
+        ["vec_id", "embedding"],
+    )
+    out = {r.vec_id: r for r in quantize_embeddings(vecs).collect()}
+    # dim0 grid [0,10]: 0→0, 10→255, 5→floor(128)=128; dim1 constant→0;
+    # dim2 grid [1,3]: 1→0, 3→255, 2→128
+    assert (out[0].min_code, out[0].max_code) == (0, 0)
+    assert out[1].max_code == 255 and out[1].min_code == 0
+    assert out[0].sum_codes == 0 and out[1].sum_codes == 510
+    assert out[2].sum_codes == 128 + 0 + 128
+    # max error ≤ half a cell: dim0 cell = 10/256
+    for r in out.values():
+        assert r.max_abs_err <= 10.0 / 256 / 2 + 1e-9
+        assert r.n_dims == 3
