@@ -54,6 +54,7 @@ _FRONT = (
     "multimodal_video_frames",
     "cdc_schema_drift",
     "embedding_quantize",
+    "stream_schema_drift",
     "similarity_ann_ivf_table",
     "stream_filter_report",
     # r4-verdict item 2: re-green the ledger.  events_props_keys' ONLY

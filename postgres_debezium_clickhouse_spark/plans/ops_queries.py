@@ -521,9 +521,69 @@ def stream_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def stream_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5: schema-drift detection on the LIVE path — each micro-batch runs
+    ``schema_drift_report`` inside ``foreachBatch`` and appends its
+    per-batch drift rows; reading the sink re-aggregates to exactly the
+    batch-mode totals (sum of counts, min of first-seen offsets — both
+    associative, so batch boundaries cannot change the answer).  This is
+    how drift becomes an alert in production: a per-trigger report stream
+    instead of a post-hoc scan.
+
+    Scale: per batch the report is a map pass + schema-width groupBy (see
+    schema_drift_report); the sink grows by O(drifted-fields) rows per
+    trigger, not per event."""
+    from ..operators.transforms import schema_drift_report
+
+    run = uuid.uuid4().hex[:12]
+    root = tempfile.gettempdir()
+    src = f"{root}/drift_src_{run}"
+    out = f"{root}/drift_out_{run}"
+    ckpt = f"{root}/drift_ckpt_{run}"
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    after = F.struct(
+        F.col("o_orderkey"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("gold")).alias("loyalty_tier"),
+    )
+    wire = orders.select(
+        F.col("o_orderkey").alias("offset"),
+        F.to_json(F.struct(F.struct(after.alias("after")).alias("payload"))).alias("value"),
+    )
+    wire.repartition(4).write.mode("overwrite").parquet(src)
+
+    expected = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    stream = (
+        spark.readStream.schema(wire.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+    def _report_batch(batch_df: DataFrame, _epoch: int) -> None:
+        schema_drift_report(batch_df, expected).write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(_report_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("drift stream did not finish in 300s")
+    per_batch = spark.read.parquet(out)
+    return per_batch.groupBy("field", "kind").agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.min("first_offset").cast("long").alias("first_offset"),
+    )
+
+
 QUERIES = {
     "stream_quality_filter": stream_quality_filter,
     "stream_filter_report": stream_filter_report,
+    "stream_schema_drift": stream_schema_drift,
     "synthetic_transactions": synthetic_transactions,
     "stream_bronze_archive": stream_bronze_archive,
     "stream_silver_state": stream_silver_state,
@@ -550,6 +610,18 @@ _ORDERS_FINAL_STATE = """
 from ..operators.classifier import pseudo_weights as _pw
 
 ORACLES: dict[str, str] = {
+    # identical closed-form drift facts as the batch cdc_schema_drift —
+    # sum/min are associative, so micro-batching cannot change them
+    "stream_schema_drift": """
+        SELECT 'loyalty_tier' AS field, 'unknown' AS kind,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(o_orderkey) AS BIGINT) AS first_offset
+        FROM orders WHERE o_orderkey % 5 = 0 HAVING COUNT(*) > 0
+        UNION ALL
+        SELECT 'o_orderpriority', 'missing',
+               CAST(COUNT(*) AS BIGINT), CAST(MIN(o_orderkey) AS BIGINT)
+        FROM orders HAVING COUNT(*) > 0
+    """,
     # batch re-derivation of the streaming gate: Gopher integer-exact flags
     # (same fragments as quality_gopher_rules) ∧ hashing-trick classifier
     # sign (same md5 bucketing as quality_classifier_score, dim 64)
