@@ -456,3 +456,73 @@ def sliding_window_chunks(
             F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
         )
     )
+
+
+def assign_shards(
+    documents: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic shard assignment for training-data export:
+    ``shard = int(md5(id)[:8], 16) % n_shards`` — content-independent,
+    reshard-stable, engine-portable (the same md5-prefix idiom as
+    hash_split / token_budget_sample).  Map-only."""
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+    return documents.select(
+        F.col(id_col),
+        (h.cast("long") % n_shards).cast("int").alias("shard"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+
+
+def shard_manifest(
+    documents: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-shard export manifest (doc/token counts + id range) — the
+    sanity report a 100 TB export job publishes next to its files.  One
+    map-side-combinable groupBy on the shard id."""
+    return (
+        assign_shards(documents, n_shards, id_col, text_col)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min(id_col).alias("min_doc_id"),
+            F.max(id_col).alias("max_doc_id"),
+        )
+    )
+
+
+def write_training_shards(
+    documents: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_records_per_file: int = 100_000,
+) -> DataFrame:
+    """Export the corpus as hash-sharded parquet
+    (``path/shard=<k>/part-*.parquet``) and return the manifest.
+
+    Scale notes: ``repartition(shard)`` gives one shuffle keyed on the
+    (uniform, md5-derived) shard id — no skew by construction;
+    ``partitionBy('shard')`` maps partitions 1:1 onto directories;
+    ``maxRecordsPerFile`` bounds individual file size for downstream
+    loaders.  The manifest is computed from the SAME assignment expression,
+    so counts match files exactly."""
+    out = documents.join(
+        assign_shards(documents, n_shards, id_col, text_col).select(id_col, "shard"),
+        id_col,
+    )
+    (
+        out.repartition("shard")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", str(max_records_per_file))
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return shard_manifest(documents, n_shards, id_col, text_col)
