@@ -52,14 +52,24 @@ def wav_decode(blob: bytes) -> dict:
     — anything else raises loudly (wrong stats are worse than no stats)."""
     if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         raise ValueError("not a WAV (bad RIFF/WAVE header)")
-    w = wave.open(io.BytesIO(blob), "rb")
+    # Normalize stdlib parse failures to ValueError so callers can write ONE
+    # except clause across media types (the PNG path's contract —
+    # operators/imaging.py png_decode): wave.open throws raw wave.Error on a
+    # RIFF container missing fmt/data chunks, struct.error/EOFError on
+    # truncated chunk headers, and chunk.py's seek a bare RuntimeError on
+    # chunk-size fields corrupted past the buffer (found by the hypothesis
+    # bit-flip sweep in tests/test_deadletter_media.py).
     try:
-        if w.getsampwidth() != 2:
-            raise ValueError(f"unsupported sample width {w.getsampwidth() * 8}-bit")
-        ch, rate, n = w.getnchannels(), w.getframerate(), w.getnframes()
-        raw = w.readframes(n)
-    finally:
-        w.close()
+        w = wave.open(io.BytesIO(blob), "rb")
+        try:
+            if w.getsampwidth() != 2:
+                raise ValueError(f"unsupported sample width {w.getsampwidth() * 8}-bit")
+            ch, rate, n = w.getnchannels(), w.getframerate(), w.getnframes()
+            raw = w.readframes(n)
+        finally:
+            w.close()
+    except (wave.Error, struct.error, EOFError, RuntimeError, OSError) as e:
+        raise ValueError(f"malformed WAV: {e}") from e
     if len(raw) != n * ch * 2:
         raise ValueError("data chunk size mismatch")
     return {
@@ -90,18 +100,41 @@ AUDIO_DECODE_SCHEMA = T.StructType([
 ])
 
 
+#: Permissive-mode output: decode columns + dead-letter ``err`` column
+#: (see operators/imaging.py DECODE_DEADLETTER_SCHEMA for the policy).
+AUDIO_DEADLETTER_SCHEMA = T.StructType(
+    AUDIO_DECODE_SCHEMA.fields + [T.StructField("err", T.StringType())]
+)
+
+
 def decode_waveforms(media_df: DataFrame, id_col: str = "doc_id",
-                     media_col: str = "media") -> DataFrame:
+                     media_col: str = "media", strict: bool = True) -> DataFrame:
     """Real WAV decode over a binary column via ``mapInPandas`` — emits
     integer-exact sample statistics computed from the decoded PCM stream
     (``n_frames`` from the data chunk, not the header, so a truncated
-    blob cannot silently agree)."""
+    blob cannot silently agree).
+
+    ``strict=False`` is dead-letter mode (the reference's
+    ``kafka_skip_broken_messages`` policy applied to media): a corrupt or
+    unsupported blob becomes one row with ``err`` set, stats NULL, and
+    the job survives."""
+    schema = AUDIO_DECODE_SCHEMA if strict else AUDIO_DEADLETTER_SCHEMA
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {f.name: [] for f in AUDIO_DECODE_SCHEMA.fields}
+            rows = {f.name: [] for f in schema.fields}
             for doc_id, blob in zip(pdf[id_col], pdf[media_col]):
-                d = decode_audio(bytes(blob))
+                try:
+                    d = decode_audio(bytes(blob))
+                except (ValueError, NotImplementedError) as e:
+                    if strict:
+                        raise
+                    rows["doc_id"].append(doc_id)
+                    for k in ("format", "channels", "sample_rate",
+                              "n_frames", "s_sum", "s_min", "s_max"):
+                        rows[k].append(None)
+                    rows["err"].append(str(e))
+                    continue
                 s = d["samples"]
                 rows["doc_id"].append(doc_id)
                 rows["format"].append(d["format"])
@@ -111,9 +144,11 @@ def decode_waveforms(media_df: DataFrame, id_col: str = "doc_id",
                 rows["s_sum"].append(sum(s) if s else None)
                 rows["s_min"].append(min(s) if s else None)
                 rows["s_max"].append(max(s) if s else None)
+                if not strict:
+                    rows["err"].append(None)
             yield pd.DataFrame(rows)
 
-    return media_df.mapInPandas(_decode, schema=AUDIO_DECODE_SCHEMA)
+    return media_df.mapInPandas(_decode, schema=schema)
 
 
 WAV_BLOB_SCHEMA = T.StructType([

@@ -165,12 +165,19 @@ def png_decode(blob: bytes) -> dict:
     idat = bytearray()
     while pos + 8 <= len(blob):
         (length,) = struct.unpack(">I", blob[pos:pos + 4])
+        if pos + 12 + length > len(blob):
+            # A blob truncated mid-chunk would otherwise hand struct.unpack a
+            # short CRC slice and leak struct.error — the error contract is
+            # ValueError for ALL corrupt input.
+            raise ValueError("truncated PNG chunk")
         ctype = blob[pos + 4:pos + 8]
         data = blob[pos + 8:pos + 8 + length]
         (crc,) = struct.unpack(">I", blob[pos + 8 + length:pos + 12 + length])
         if crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"CRC mismatch in {ctype!r} chunk")
         if ctype == b"IHDR":
+            if len(data) != 13:
+                raise ValueError("bad IHDR length")
             width, height, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
@@ -188,7 +195,11 @@ def png_decode(blob: bytes) -> dict:
         pos += 12 + length
     if width is None or not idat:
         raise ValueError("missing IHDR/IDAT")
-    pixels = _unfilter_scanlines(zlib.decompress(bytes(idat)), width, height, channels)
+    try:
+        inflated = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # corrupt IDAT payload → same ValueError contract
+        raise ValueError(f"bad IDAT stream: {e}") from e
+    pixels = _unfilter_scanlines(inflated, width, height, channels)
     return {"width": width, "height": height, "channels": channels, "pixels": pixels}
 
 
@@ -207,17 +218,25 @@ def jpeg_dims(blob: bytes) -> dict:
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (bad SOI)")
     pos = 2
-    while pos + 4 <= len(blob):
+    while pos + 2 <= len(blob):
         if blob[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
+        # Spec-legal fill: any number of 0xFF pad bytes may precede the
+        # marker byte between segments — skip them instead of desyncing.
+        while pos + 1 < len(blob) and blob[pos + 1] == 0xFF:
+            pos += 1
         marker = blob[pos + 1]
         if marker == 0xD9:  # EOI
             break
         if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # RSTn/TEM: no payload
             pos += 2
             continue
+        if pos + 4 > len(blob):
+            raise ValueError("truncated JPEG segment header")
         (seglen,) = struct.unpack(">H", blob[pos + 2:pos + 4])
         if marker in _SOF_MARKERS:
+            if pos + 10 > len(blob):  # SOF fields run past EOF
+                raise ValueError("truncated JPEG SOF segment")
             _prec, height, width, ncomp = struct.unpack(
                 ">BHHB", blob[pos + 4:pos + 10]
             )
@@ -270,21 +289,51 @@ DECODE_SCHEMA = T.StructType([
 ])
 
 
+#: Permissive-mode output: the decode columns plus a dead-letter ``err``
+#: column (NULL = decoded clean; non-NULL = the normalized failure reason,
+#: decode columns NULL).  The reference's poison-message policy
+#: (``kafka_skip_broken_messages = 1``, basic_example/clickhouse.sql:20)
+#: applied to media blobs: at 100 TB of scraped media, corrupt blobs are a
+#: certainty, and one must not kill the job.
+DECODE_DEADLETTER_SCHEMA = T.StructType(
+    DECODE_SCHEMA.fields + [T.StructField("err", T.StringType())]
+)
+
+
 def decode_images(media_df: DataFrame, id_col: str = "doc_id",
-                  media_col: str = "media") -> DataFrame:
+                  media_col: str = "media", strict: bool = True) -> DataFrame:
     """Real image decode over a binary column via ``mapInPandas``.
 
     Emits integer-exact stats (per-channel sums, global min/max) computed
     from the *decoded pixel stream* — ``n_pixels`` comes from
     ``len(pixels)//channels``, so a truncated inflate or a bad un-filter
     cannot silently agree with the IHDR dims.  JPEG rows carry dims only
-    (pixel stats NULL) — the honest limit of header-level decode."""
+    (pixel stats NULL) — the honest limit of header-level decode.
+
+    ``strict=True`` (default) fails fast on the first corrupt blob.
+    ``strict=False`` is dead-letter mode: each corrupt/unsupported blob
+    becomes one row with ``err`` set and decode columns NULL, and the job
+    survives — every decoder failure is normalized to ValueError (corrupt)
+    or NotImplementedError (no codec), so the catch here is exhaustive by
+    the decoders' documented error contract."""
+    schema = DECODE_SCHEMA if strict else DECODE_DEADLETTER_SCHEMA
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {k.name: [] for k in DECODE_SCHEMA.fields}
+            rows = {k.name: [] for k in schema.fields}
             for doc_id, blob in zip(pdf[id_col], pdf[media_col]):
-                d = decode_image(bytes(blob))
+                try:
+                    d = decode_image(bytes(blob))
+                except (ValueError, NotImplementedError) as e:
+                    if strict:
+                        raise
+                    rows["doc_id"].append(doc_id)
+                    for k in ("format", "width", "height", "channels",
+                              "n_pixels", "sum_r", "sum_g", "sum_b",
+                              "min_px", "max_px"):
+                        rows[k].append(None)
+                    rows["err"].append(str(e))
+                    continue
                 rows["doc_id"].append(doc_id)
                 rows["format"].append(d["format"])
                 rows["width"].append(d["width"])
@@ -302,9 +351,11 @@ def decode_images(media_df: DataFrame, id_col: str = "doc_id",
                         rows[k].append(sum(px[c::ch]) if c < ch else None)
                     rows["min_px"].append(min(px))
                     rows["max_px"].append(max(px))
+                if not strict:
+                    rows["err"].append(None)
             yield pd.DataFrame(rows)
 
-    return media_df.mapInPandas(_decode, schema=DECODE_SCHEMA)
+    return media_df.mapInPandas(_decode, schema=schema)
 
 
 MEDIA_BLOB_SCHEMA = T.StructType([
@@ -313,7 +364,8 @@ MEDIA_BLOB_SCHEMA = T.StructType([
 ])
 
 
-def synth_images(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synth_images(ids_df: DataFrame, id_col: str = "doc_id",
+                 corrupt_every: int | None = None) -> DataFrame:
     """Deterministic image fixture: for doc ``d``, a real PNG (or, every
     4th doc, a JPEG header) whose pixel bytes follow the closed form
 
@@ -323,7 +375,19 @@ def synth_images(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     — a formula DuckDB reproduces with ``range()`` cross joins, giving the
     decode path a first-principles oracle.  Filter types cycle per
     scanline inside ``png_encode``, so all five un-filter branches are
-    under oracle check."""
+    under oracle check.
+
+    With ``corrupt_every = m``, a deterministic subset is damaged to feed
+    the dead-letter decode path (``decode_images(strict=False)``):
+
+        d % m == 2 → truncated mid-structure (PNG cut at byte 20 → chunk
+                     walk fails; JPEG cut at byte 10 → SOF fields past
+                     EOF) — the ValueError class;
+        d % m == 7 → magic bytes destroyed (unknown format) — the
+                     NotImplementedError class.
+
+    Both rules and the resulting ``err`` strings are closed-form in
+    ``d``, so the oracle checks the dead-letter routing by value."""
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -339,6 +403,11 @@ def synth_images(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         for y in range(h) for x in range(w) for c in range(3)
                     )
                     blob = png_encode(w, h, px, 3)
+                if corrupt_every:
+                    if d % corrupt_every == 2:
+                        blob = blob[:20] if blob[:8] == PNG_SIG else blob[:10]
+                    elif d % corrupt_every == 7:
+                        blob = b"\x00corrupt" + blob[:8]
                 ids.append(d)
                 blobs.append(blob)
             yield pd.DataFrame({"doc_id": ids, "media": blobs})

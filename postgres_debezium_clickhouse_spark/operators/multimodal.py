@@ -63,10 +63,12 @@ def attach_fake_media(documents: DataFrame, id_col: str = "doc_id", text_col: st
 
 
 def decode_media(blob: bytes, media_type: str):
-    """Media decode dispatch.  As of r5, PNG is decoded for REAL (stdlib
-    zlib + chunk walk + un-filtering — operators/imaging.py) and JPEG at
-    header level (dims + channels).  Audio/video still need codec
-    libraries the container lacks and raise honestly."""
+    """Media decode dispatch.  PNG (full stdlib decode), JPEG (header
+    dims), WAV (16-bit PCM), and Y4M (C444 frames) decode for REAL —
+    operators/imaging.py, audio.py, video.py.  Error contract: corrupt
+    input in a recognized container raises ValueError (uniform across
+    modalities); formats needing codec libraries the container lacks
+    raise NotImplementedError (honest swap-in points for Pillow/pyav)."""
     if media_type == "image":
         from .imaging import decode_image
 

@@ -103,18 +103,41 @@ VIDEO_FRAME_SCHEMA = T.StructType([
 ])
 
 
+#: Permissive-mode output: frame columns + dead-letter ``err`` column
+#: (see operators/imaging.py DECODE_DEADLETTER_SCHEMA for the policy).
+VIDEO_DEADLETTER_SCHEMA = T.StructType(
+    VIDEO_FRAME_SCHEMA.fields + [T.StructField("err", T.StringType())]
+)
+
+
 def decode_video_frames(media_df: DataFrame, id_col: str = "doc_id",
-                        media_col: str = "media") -> DataFrame:
+                        media_col: str = "media", strict: bool = True) -> DataFrame:
     """Real frame extraction over a binary video column via
     ``mapInPandas`` — one output row per decoded frame with integer-exact
     per-plane statistics (the video row-expansion shape, now backed by an
-    actual container walk instead of the byte-slicing stand-in)."""
+    actual container walk instead of the byte-slicing stand-in).
+
+    ``strict=False`` is dead-letter mode: a corrupt or unsupported blob
+    becomes ONE row (``frame_index`` NULL) with ``err`` set, and the job
+    survives — the blob's identity is preserved for quarantine even
+    though no frames could be extracted."""
+    schema = VIDEO_FRAME_SCHEMA if strict else VIDEO_DEADLETTER_SCHEMA
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {f.name: [] for f in VIDEO_FRAME_SCHEMA.fields}
+            rows = {f.name: [] for f in schema.fields}
             for doc_id, blob in zip(pdf[id_col], pdf[media_col]):
-                d = decode_video(bytes(blob))
+                try:
+                    d = decode_video(bytes(blob))
+                except (ValueError, NotImplementedError) as e:
+                    if strict:
+                        raise
+                    rows["doc_id"].append(doc_id)
+                    for k in ("frame_index", "width", "height", "n_frames",
+                              "sum_y", "sum_u", "sum_v", "min_b", "max_b"):
+                        rows[k].append(None)
+                    rows["err"].append(str(e))
+                    continue
                 w, h = d["width"], d["height"]
                 plane = w * h
                 for fi, frame in enumerate(d["frames"]):
@@ -128,9 +151,11 @@ def decode_video_frames(media_df: DataFrame, id_col: str = "doc_id",
                     rows["sum_v"].append(sum(frame[2 * plane:]))
                     rows["min_b"].append(min(frame))
                     rows["max_b"].append(max(frame))
+                    if not strict:
+                        rows["err"].append(None)
             yield pd.DataFrame(rows)
 
-    return media_df.mapInPandas(_decode, schema=VIDEO_FRAME_SCHEMA)
+    return media_df.mapInPandas(_decode, schema=schema)
 
 
 VIDEO_BLOB_SCHEMA = T.StructType([

@@ -329,6 +329,19 @@ def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_video_frames(synth_videos(docs))
 
 
+def q_multimodal_decode_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter decode (r6): the reference's poison-message policy
+    (``kafka_skip_broken_messages = 1``, basic_example/clickhouse.sql:20)
+    applied to media blobs.  The fixture deterministically corrupts doc
+    subsets (doc_id % 10 = 2 → truncated mid-structure, ValueError class;
+    doc_id % 10 = 7 → magic destroyed, NotImplementedError class); the
+    permissive decoder routes each corrupt blob to one ``err`` row while
+    every clean blob still decodes to oracle-exact stats — so BOTH the
+    survival and the routing are value-checked, not just 'did not crash'."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_images(synth_images(docs, corrupt_every=10), strict=False)
+
+
 def q_llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data prep pipeline — quality gate → exact
     dedup → per-language corpus stats — one declarative plan (each stage's
@@ -579,6 +592,7 @@ QUERIES = {
     "multimodal_thumbnails": q_multimodal_thumbnails,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_decode_deadletter": q_multimodal_decode_deadletter,
     "multimodal_audio_decode": q_multimodal_audio,
     "multimodal_video_frames": q_multimodal_video,
     # round-3 late additions — __spark_entry__._BACK defers these to the
@@ -1248,6 +1262,58 @@ ORACLES = {
                CAST(3 AS INT) AS channels,
                CAST(p.width * p.height AS BIGINT) AS n_pixels,
                s.sum_r, s.sum_g, s.sum_b, s.min_px, s.max_px
+        FROM params p LEFT JOIN stats s USING (doc_id)
+    """,
+    # dead-letter decode oracle: corruption classes are closed-form in
+    # doc_id (d%10=2 truncated → ValueError text per format; d%10=7 magic
+    # destroyed → the no-codec message), so the oracle checks the routing
+    # itself by value — clean docs must still produce exact pixel stats,
+    # corrupt docs must produce exactly the right err string and NULLs.
+    "multimodal_decode_deadletter": """
+        WITH params AS (
+            SELECT doc_id,
+                   doc_id % 10 IN (2, 7) AS corrupt,
+                   CASE
+                       WHEN doc_id % 10 = 2 AND doc_id % 4 = 0
+                           THEN 'truncated JPEG SOF segment'
+                       WHEN doc_id % 10 = 2
+                           THEN 'truncated PNG chunk'
+                       WHEN doc_id % 10 = 7
+                           THEN 'no stdlib codec for this format; wire in Pillow/pyav'
+                   END AS err,
+                   CASE WHEN doc_id % 4 = 0 THEN 'jpeg' ELSE 'png' END AS format,
+                   CAST(3 + doc_id % 5 AS INT) AS width,
+                   CAST(2 + doc_id % 7 AS INT) AS height
+            FROM documents
+        ),
+        px AS (
+            SELECT p.doc_id, c.c AS c,
+                   (p.doc_id * 7 + (y.y * p.width + x.x) * 3 + c.c) % 256 AS v
+            FROM params p
+            CROSS JOIN range(8) y(y)
+            CROSS JOIN range(8) x(x)
+            CROSS JOIN range(3) c(c)
+            WHERE p.format = 'png' AND NOT p.corrupt
+              AND y.y < p.height AND x.x < p.width
+        ),
+        stats AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+                   CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+                   CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b,
+                   CAST(MIN(v) AS INT) AS min_px,
+                   CAST(MAX(v) AS INT) AS max_px
+            FROM px GROUP BY doc_id
+        )
+        SELECT p.doc_id,
+               CASE WHEN p.corrupt THEN NULL ELSE p.format END AS format,
+               CASE WHEN p.corrupt THEN NULL ELSE p.width END AS width,
+               CASE WHEN p.corrupt THEN NULL ELSE p.height END AS height,
+               CASE WHEN p.corrupt THEN NULL ELSE CAST(3 AS INT) END AS channels,
+               CASE WHEN p.corrupt THEN NULL
+                    ELSE CAST(p.width * p.height AS BIGINT) END AS n_pixels,
+               s.sum_r, s.sum_g, s.sum_b, s.min_px, s.max_px,
+               p.err
         FROM params p LEFT JOIN stats s USING (doc_id)
     """,
     # first-principles oracle for the REAL WAV decoder: interleaved sample

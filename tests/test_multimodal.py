@@ -39,16 +39,34 @@ def test_extract_features_deterministic_histogram(spark):
 
 
 def test_decode_media_dispatch(spark):
-    # r5: image decode is REAL for PNG/JPEG; unknown image bytes and
-    # non-image media types still raise honestly.
+    # r5: PNG/JPEG, WAV, and Y4M decode for REAL.  The error contract:
+    # recognized-but-malformed blobs raise ValueError (uniformly, across
+    # all three modalities); genuinely unsupported formats raise
+    # NotImplementedError (honest no-codec guard).
+    from postgres_debezium_clickhouse_spark.operators.audio import wav_encode
     from postgres_debezium_clickhouse_spark.operators.imaging import png_encode
+    from postgres_debezium_clickhouse_spark.operators.video import y4m_encode
 
     d = decode_media(png_encode(2, 2, bytes(range(12)), 3), "image")
     assert (d["format"], d["width"], d["height"]) == ("png", 2, 2)
+    a = decode_media(wav_encode([1, -2, 3], 8000, 1), "audio")
+    assert (a["format"], a["n_frames"], a["samples"]) == ("wav", 3, [1, -2, 3])
+    v = decode_media(y4m_encode(1, 1, [bytes([9, 8, 7])]), "video")
+    assert (v["format"], len(v["frames"])) == ("y4m", 1)
+    # Unknown formats: honest NotImplementedError (no codec in container).
     with pytest.raises(NotImplementedError):
         decode_media(b"not-an-image", "image")
     with pytest.raises(NotImplementedError):
-        decode_media(b"RIFF....WAVE", "audio")
+        decode_media(b"ID3\x04mp3-ish-bytes", "audio")
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x00\x00\x00 ftypisom", "video")
+    # Recognized container, corrupt payload: normalized ValueError.
+    with pytest.raises(ValueError):
+        decode_media(b"RIFF....WAVE", "audio")  # RIFF missing fmt/data chunks
+    with pytest.raises(ValueError):
+        decode_media(png_encode(2, 2, bytes(range(12)), 3)[:20], "image")
+    with pytest.raises(ValueError):
+        decode_media(b"YUV4MPEG2 W2 H2 C444\nFRAME\n\x00", "video")
 
 
 def test_resize_media_fixed_size(spark):
