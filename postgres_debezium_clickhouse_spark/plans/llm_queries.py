@@ -329,6 +329,17 @@ def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_video_frames(synth_videos(docs))
 
 
+def q_corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-export manifest (r6): deterministic md5-prefix shard
+    assignment + per-shard doc/token counts and id ranges — the sanity
+    report a 100 TB export publishes next to its files.  The assignment
+    (int(md5(id)[:8], 16) % 16) is the same engine-portable idiom as
+    hash_split, so DuckDB recomputes the whole manifest by value."""
+    from ..operators.curation import shard_manifest
+
+    return shard_manifest(load_table(spark, sf_dir, "documents"), n_shards=16)
+
+
 def q_multimodal_decode_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dead-letter decode (r6): the reference's poison-message policy
     (``kafka_skip_broken_messages = 1``, basic_example/clickhouse.sql:20)
@@ -593,6 +604,7 @@ QUERIES = {
     "multimodal_frames": q_multimodal_frames,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_decode_deadletter": q_multimodal_decode_deadletter,
+    "corpus_shard_manifest": q_corpus_shard_manifest,
     "multimodal_audio_decode": q_multimodal_audio,
     "multimodal_video_frames": q_multimodal_video,
     # round-3 late additions — __spark_entry__._BACK defers these to the
@@ -1263,6 +1275,22 @@ ORACLES = {
                CAST(p.width * p.height AS BIGINT) AS n_pixels,
                s.sum_r, s.sum_g, s.sum_b, s.min_px, s.max_px
         FROM params p LEFT JOIN stats s USING (doc_id)
+    """,
+    # shard-export manifest: the md5-prefix assignment is engine-portable
+    # (same idiom as corpus_split), so doc/token counts and id ranges per
+    # shard are recomputed exactly.
+    "corpus_shard_manifest": """
+        WITH a AS (
+            SELECT doc_id,
+                   CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS BIGINT) % 16 AS INT) AS shard,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        )
+        SELECT shard, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+        FROM a GROUP BY shard
     """,
     # dead-letter decode oracle: corruption classes are closed-form in
     # doc_id (d%10=2 truncated → ValueError text per format; d%10=7 magic

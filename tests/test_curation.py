@@ -5,9 +5,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from postgres_debezium_clickhouse_spark.operators.curation import (
+    assign_shards,
     contamination_check,
     hash_split,
     pii_scrub,
+    shard_manifest,
+    write_training_shards,
 )
 
 
@@ -330,3 +333,57 @@ def test_domain_temperature_weights_semantics(spark):
     assert out["small"].boost > 1.0 > out["big"].boost
     # T=2 exact: sqrt(0.9)/(sqrt(0.9)+sqrt(0.1)) ≈ 0.75
     assert abs(out["big"].temp_share - 0.75) < 0.01
+
+
+# ---------------------------------------------------------------------------
+# shard export (assign_shards / shard_manifest / write_training_shards)
+# ---------------------------------------------------------------------------
+
+def _docs(spark, n=200):
+    return (
+        spark.range(n)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("text", F.concat(F.lit("tok "), F.col("doc_id").cast("string")))
+    )
+
+
+def test_assign_shards_deterministic_and_reshard_stable(spark):
+    import hashlib
+
+    docs = _docs(spark)
+    a = {r.doc_id: r.shard for r in assign_shards(docs, n_shards=16).collect()}
+    b = {r.doc_id: r.shard for r in assign_shards(docs, n_shards=16).collect()}
+    assert a == b  # same input → same assignment, independent of run
+    # matches the documented closed form exactly (engine-portable idiom)
+    for d, s in a.items():
+        assert s == int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 16
+    # adding docs never moves an existing doc's shard (reshard stability:
+    # assignment is a pure function of the id, not of the dataset)
+    bigger = {r.doc_id: r.shard
+              for r in assign_shards(_docs(spark, 400), n_shards=16).collect()}
+    assert all(bigger[d] == s for d, s in a.items())
+    assert set(a.values()) <= set(range(16))
+
+
+def test_shard_manifest_totals_consistent(spark):
+    docs = _docs(spark)
+    man = shard_manifest(docs, n_shards=8).collect()
+    assert sum(r.n_docs for r in man) == 200
+    # every doc's text is "tok <id>" → 2 whitespace tokens
+    assert sum(r.total_tokens for r in man) == 400
+    for r in man:
+        assert r.min_doc_id <= r.max_doc_id
+
+
+def test_write_training_shards_manifest_matches_files(spark, tmp_path):
+    docs = _docs(spark)
+    path = str(tmp_path / "shards")
+    man = {r.shard: r for r in write_training_shards(docs, path, n_shards=8).collect()}
+    # read back what was actually written: per-directory counts must agree
+    # with the manifest EXACTLY (same assignment expression on both sides)
+    back = spark.read.parquet(path)
+    counts = {r.shard: r.n for r in back.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    assert counts == {s: r.n_docs for s, r in man.items()}
+    # round trip preserves every doc exactly once
+    assert back.select("doc_id").distinct().count() == 200
+    assert back.count() == 200
