@@ -38,48 +38,69 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Driver-window insurance (standing order): the driver's CORRECTNESS gate
 # evaluates only the FIRST ~50 entries of queries() in registration order,
-# so the least-driver-validated queries must register first.  Evidence so
-# far: r02 greened all of cdc_queries + analytics + 14 of sql_surface;
-# r03 greened the 47-query llm/ops/staging/sql-tail window.  _FRONT now
-# hoists the 8 remaining never-green names (the r3 _BACK deferrals plus
-# the reshaped multimodal_features) to positions 1-8; the rest of the
-# window re-validates this round's touched llm/ops surface.  When adding
-# a query, insert its name at the TOP of _FRONT.
+# so the least-driver-validated queries must register first.  Rotation
+# policy (r5 verdict item 4): _FRONT = never-driver-checked names first,
+# then the queries whose LAST driver evidence is oldest (computed from
+# CORRECTNESS_r0*.json).  r5 greened 50; the r2-evidence tail (46 names,
+# untouched by the driver since round 2) now rotates in, plus the two
+# oldest streaming entries from r3.  When adding a query, insert its name
+# at the TOP of _FRONT and drop the tail name to keep the window honest.
 _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries, analytics)
 
 _FRONT = (
-    # round-5 additions (never driver-checked):
-    "multimodal_decode",
-    "multimodal_audio_decode",
-    "multimodal_video_frames",
-    "cdc_schema_drift",
-    "embedding_quantize",
-    "stream_schema_drift",
-    "similarity_ann_ivf_table",
-    "stream_filter_report",
-    # r4-verdict item 2: re-green the ledger.  events_props_keys' ONLY
-    # driver record ever is a stale r02 FAIL (fixed in r3, locally
-    # verified); the CDC flagship set has ridden r02 evidence for three
-    # rounds.  Top of the window so CORRECTNESS_r05 carries fresh rows.
-    "events_props_keys",
-    "cdc_current_state",
-    "products_usable_vw",
-    "star_join_revenue",
-    "trn_passport_current",
-    # round-4 additions, all driver-green in r04 — keep in-window once
-    # more so the newest surface has ≥2 driver rows:
-    "text_lm_perplexity",
-    "llm_filter_report",
-    "corpus_remove_boilerplate",
-    "quality_classifier_score",
-    "corpus_temperature_mix",
-    "dedup_cluster_keep",
-    "dedup_clusters_star",
-    "text_boilerplate",
-    "quality_gopher_rules",
-    "corpus_token_budget_sample",
-    "dedup_semantic",
-    "multimodal_features",
+    # round-6 additions (never driver-checked):
+    "multimodal_decode_deadletter",
+    "corpus_shard_manifest",
+    # last driver evidence = r02 (46 names, oldest first window cohort):
+    "customers_without_orders",
+    "customers_with_orders_semi",
+    "customer_order_counts_outer",
+    "nation_supplier_full_outer",
+    "supplier_balance_ranks",
+    "orders_running_totals",
+    "buyer_segment_setops",
+    "lineitem_cube",
+    "orders_status_dedup",
+    "top_parts_by_price",
+    "segment_distinct_stats",
+    "orders_status_pivot",
+    "salted_customer_revenue",
+    "cdc_json_extract_path",
+    "cdc_rewrite_mode",
+    "cdc_masked_customers",
+    "cdc_bronze_stats",
+    "silver_cross_table_revenue",
+    "cdc_deadletter_stats",
+    "cdc_change_feed",
+    "cdc_multiplex_route",
+    "cdc_first_image",
+    "order_totals",
+    "top_customers",
+    "max_order",
+    "latest_order_per_customer",
+    "lineitem_version_dedup",
+    "pricing_summary",
+    "order_price_buckets",
+    "recent_orders_interval",
+    "line_totals_computed",
+    "check_violation_counts",
+    "segment_stats",
+    "revenue_rollup",
+    "repeat_buyer_keys",
+    "events_json_extract",
+    "events_hourly_counts",
+    "events_sessionization",
+    "events_sliding_counts",
+    "events_user_funnel",
+    "events_purchase_attribution",
+    "events_attribution_tolerance",
+    "events_errors_after_signup",
+    "events_micro_ts_roundtrip",
+    "events_value_percentiles",
+    "events_value_anomalies",
+    # last driver evidence = r03 (the two flagship streaming stores):
+    "stream_bronze_archive",
+    "stream_silver_state",
     # llm_queries / ops_queries / staging_queries follow via _MODULES order.
 )
 
