@@ -142,6 +142,7 @@ def main() -> int:
               file=sys.stderr)
 
     timings = {n: min(w) for n, w in wall_runs.items()}   # per-query floor
+    medians = {n: sorted(w)[len(w) // 2] for n, w in wall_runs.items()}
     cpu = {n: min(c) for n, c in cpu_runs.items() if c}
     total = round(sum(timings.values()), 3)
     out = {
@@ -151,6 +152,11 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
         "value_floor": total,         # alias: value IS the floor (min-of-3)
+        # like-for-like estimator across rounds (r5 advice): the floor
+        # biases lower as PASSES grows, so also publish the per-query
+        # MEDIAN sum — sample-count-insensitive for odd PASSES.
+        "value_median": round(sum(medians.values()), 3),
+        "queries_median": medians,
         "queries_cpu": cpu,           # per-query process-CPU floor (JVM+driver)
         "value_cpu": round(sum(cpu.values()), 3) if cpu else None,
         "runs": wall_runs,            # every observation — noise is auditable

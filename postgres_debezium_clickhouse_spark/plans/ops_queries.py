@@ -561,8 +561,13 @@ def stream_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
 
-    def _report_batch(batch_df: DataFrame, _epoch: int) -> None:
-        schema_drift_report(batch_df, expected).write.mode("append").parquet(out)
+    def _report_batch(batch_df: DataFrame, epoch: int) -> None:
+        # foreachBatch is at-least-once: a retried epoch must OVERWRITE its
+        # own prior output, not append a duplicate — epoch-keyed subdirs
+        # make the write idempotent (r5 advice item).
+        schema_drift_report(batch_df, expected).write.mode("overwrite").parquet(
+            f"{out}/epoch={epoch}"
+        )
 
     q = (
         stream.writeStream.foreachBatch(_report_batch)
