@@ -1,0 +1,233 @@
+"""Silver-store commit backends — the manifest/claim control plane behind
+the bucketed store in streaming/pipeline.py, extracted to an interface so
+the SAME commit contract runs against a local filesystem today and an
+object store's conditional put in deployment.
+
+The contract (see pipeline.py's module docstring for the full store
+design):
+
+* ``read_manifest`` / ``commit_manifest`` — the manifest is the atomic
+  commit point.  With ``expected_version`` set, the commit is a
+  CONDITIONAL put (compare-and-swap on version): it succeeds only if the
+  store's current version still equals it, else raises
+  :class:`ManifestCommitError`.  A loser of a publish race fails loudly
+  instead of silently dropping the winner's rows.
+* ``claim_epoch`` / ``release_claim`` — the single-writer guard for one
+  epoch, taken BEFORE any data-file I/O (the crash-leftover cleanup in
+  ``_publish_buckets`` may only run while holding it).  A claim older
+  than ``stale_s`` belongs to a crashed publisher — its epoch is
+  uncommitted by definition — and is stolen.
+
+Backends:
+
+* :class:`LocalFSCommitBackend` — ``os.replace`` for atomic manifest
+  swap, an ``O_EXCL`` lock file to serialize check+replace, ``O_EXCL``
+  claim files.  The production impl for a POSIX filesystem.
+* :class:`InMemoryConditionalPutBackend` — models an object store's
+  control plane: NO lock objects; the conditional manifest put and the
+  create-if-absent claim put are each one atomic primitive (S3
+  ``If-Match``/ETag and ``If-None-Match: *``, GCS generation
+  preconditions).  Used by the fault-injection tests to prove the store's
+  race behavior holds under object-store semantics, not just flock-style
+  locking — the shape a real S3/GCS port drops into.
+
+Only the CONTROL plane (manifest + claims) goes through the backend; data
+files are parquet written by Spark wherever ``path`` points.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+from abc import ABC, abstractmethod
+
+#: silver-store manifest file name (the atomic commit point).
+MANIFEST = "_manifest.json"
+
+#: a crashed publisher's epoch claim is stealable after this many seconds.
+EPOCH_CLAIM_STALE_S = 3600.0
+
+
+class ManifestCommitError(RuntimeError):
+    """A publish lost the commit race: the store moved past the version the
+    publisher based its epoch on (or another publisher holds the epoch
+    claim).  The store is untouched by the loser — retry by re-reading the
+    manifest and re-deriving the merge."""
+
+
+class CommitBackend(ABC):
+    """Manifest + epoch-claim primitives for one silver store root."""
+
+    @abstractmethod
+    def read_manifest(self, path: str) -> dict | None:
+        """Current committed manifest, or None for a fresh store."""
+
+    @abstractmethod
+    def commit_manifest(self, path: str, manifest: dict,
+                        expected_version: int | None = None) -> None:
+        """Commit a manifest; conditional (CAS on current version) when
+        ``expected_version`` is given — raise ManifestCommitError if the
+        store moved.  Readers must see old-or-new, never a partial."""
+
+    @abstractmethod
+    def claim_epoch(self, path: str, epoch: int,
+                    stale_s: float = EPOCH_CLAIM_STALE_S) -> str:
+        """Exclusively claim ``epoch``; returns an opaque token for
+        :meth:`release_claim`.  Raises ManifestCommitError if a live
+        publisher holds it; steals claims older than ``stale_s``."""
+
+    @abstractmethod
+    def release_claim(self, token: str) -> None:
+        """Release a claim taken by :meth:`claim_epoch` (idempotent)."""
+
+
+class LocalFSCommitBackend(CommitBackend):
+    """POSIX impl: O_EXCL lock/claim files + atomic ``os.replace`` swap.
+
+    The claim token is the claim file's path; staleness is the file's
+    mtime (so tests — and operators — can age a claim with ``os.utime``).
+    """
+
+    def read_manifest(self, path: str) -> dict | None:
+        try:
+            with open(os.path.join(path, MANIFEST)) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return None
+
+    def commit_manifest(self, path: str, manifest: dict,
+                        expected_version: int | None = None) -> None:
+        os.makedirs(path, exist_ok=True)
+
+        def _swap() -> None:
+            tmp = os.path.join(path, f".{MANIFEST}.tmp")
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh)
+            os.replace(tmp, os.path.join(path, MANIFEST))
+
+        if expected_version is None:
+            _swap()
+            return
+        # O_EXCL lock file serializes check+replace — the local-FS stand-in
+        # for the object store's single conditional-put primitive.
+        lock = os.path.join(path, f".{MANIFEST}.lock")
+        deadline = time.time() + 10.0
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if time.time() > deadline:
+                    raise ManifestCommitError(f"manifest lock stuck: {lock}")
+                time.sleep(0.02)
+        try:
+            cur = self.read_manifest(path)
+            cur_version = cur["version"] if cur is not None else 0
+            if cur_version != expected_version:
+                raise ManifestCommitError(
+                    f"concurrent publish at {path}: store is at version "
+                    f"{cur_version}, expected {expected_version}"
+                )
+            _swap()
+        finally:
+            os.close(fd)
+            os.unlink(lock)
+
+    def claim_epoch(self, path: str, epoch: int,
+                    stale_s: float = EPOCH_CLAIM_STALE_S) -> str:
+        os.makedirs(path, exist_ok=True)
+        claim = os.path.join(path, f".epoch-{epoch}.claim")
+        for attempt in (0, 1):
+            try:
+                fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return claim
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(claim)
+                except FileNotFoundError:
+                    continue  # claimant just released/stole; retry once
+                if attempt == 0 and age > stale_s:
+                    try:
+                        os.unlink(claim)  # crashed publisher; steal
+                    except FileNotFoundError:
+                        pass
+                    continue
+                raise ManifestCommitError(
+                    f"epoch {epoch} at {path} already claimed by a concurrent "
+                    f"publisher ({claim}, {age:.0f}s old)"
+                )
+        raise ManifestCommitError(f"could not claim epoch {epoch} at {path}")
+
+    def release_claim(self, token: str) -> None:
+        try:
+            os.unlink(token)
+        except FileNotFoundError:
+            pass
+
+
+class InMemoryConditionalPutBackend(CommitBackend):
+    """Object-store-semantics fake: every mutation is ONE atomic
+    conditional primitive under a single lock — no lock objects, exactly
+    the operations S3 (``If-Match`` / ``If-None-Match: *``) and GCS
+    (generation preconditions) give you.  A real port replaces the dict
+    ops with the corresponding HTTP calls and keeps everything else."""
+
+    def __init__(self) -> None:
+        self._mu = threading.Lock()
+        self._manifests: dict[str, dict] = {}
+        self._claims: dict[tuple[str, int], float] = {}  # → created-at
+
+    def read_manifest(self, path: str) -> dict | None:
+        with self._mu:
+            m = self._manifests.get(os.path.abspath(path))
+            return json.loads(json.dumps(m)) if m is not None else None
+
+    def commit_manifest(self, path: str, manifest: dict,
+                        expected_version: int | None = None) -> None:
+        key = os.path.abspath(path)
+        with self._mu:  # the conditional put: compare generation, then swap
+            if expected_version is not None:
+                cur = self._manifests.get(key)
+                cur_version = cur["version"] if cur is not None else 0
+                if cur_version != expected_version:
+                    raise ManifestCommitError(
+                        f"concurrent publish at {path}: store is at version "
+                        f"{cur_version}, expected {expected_version}"
+                    )
+            self._manifests[key] = json.loads(json.dumps(manifest))
+
+    def claim_epoch(self, path: str, epoch: int,
+                    stale_s: float = EPOCH_CLAIM_STALE_S) -> str:
+        key = (os.path.abspath(path), epoch)
+        with self._mu:  # the If-None-Match:* put — create-if-absent
+            created = self._claims.get(key)
+            if created is not None:
+                age = time.time() - created
+                if age <= stale_s:
+                    raise ManifestCommitError(
+                        f"epoch {epoch} at {path} already claimed by a "
+                        f"concurrent publisher ({age:.0f}s old)"
+                    )
+                # stale → crashed publisher; steal (delete + recreate is
+                # one overwrite put here)
+            self._claims[key] = time.time()
+        return f"{key[0]}\x00{epoch}"
+
+    def release_claim(self, token: str) -> None:
+        root, _, epoch = token.rpartition("\x00")
+        with self._mu:
+            self._claims.pop((root, int(epoch)), None)
+
+    # -- test hooks (fault injection) ------------------------------------
+    def hold_claim(self, path: str, epoch: int, age_s: float = 0.0) -> None:
+        """Simulate another publisher's live (or aged) claim."""
+        with self._mu:
+            self._claims[(os.path.abspath(path), epoch)] = time.time() - age_s
+
+    def has_claim(self, path: str, epoch: int) -> bool:
+        with self._mu:
+            return (os.path.abspath(path), epoch) in self._claims

@@ -47,10 +47,15 @@ Writer contract: ONE writer per store (the streaming sink; run
 violated assumption into a loud :class:`ManifestCommitError` instead of
 silent row loss: an exclusive per-epoch claim file taken before any file
 I/O, and a conditional (compare-and-swap on version) manifest commit.
-On an object store, implement the same commit contract with a conditional
-put on the manifest object (S3 ``If-Match``/ETag, GCS generation
-preconditions) — no separate lock object needed — or use Delta/Iceberg,
-whose MERGE this layout deliberately mirrors.
+The commit contract lives behind :class:`CommitBackend`
+(streaming/commit.py): local-FS impl today; an object-store port
+implements the same two primitives as conditional puts (S3
+``If-Match``/ETag + ``If-None-Match: *``, GCS generation preconditions)
+— no lock objects — and the fault-injection suite
+(tests/test_commit_backends.py) already proves the race behavior holds
+under exactly those semantics via the in-memory conditional-put fake.
+Alternatively use Delta/Iceberg, whose MERGE this layout deliberately
+mirrors.
 """
 
 from __future__ import annotations
@@ -98,112 +103,38 @@ def bronze_append_stream(
     return writer.start()
 
 
-#: silver-store manifest file name (the atomic commit point).
-MANIFEST = "_manifest.json"
+from .commit import (  # noqa: E402  (re-exported: the store's public commit API)
+    EPOCH_CLAIM_STALE_S,
+    MANIFEST,
+    CommitBackend,
+    InMemoryConditionalPutBackend,
+    LocalFSCommitBackend,
+    ManifestCommitError,
+)
+
 #: default number of hash buckets for a new silver store.  Per-trigger
 #: write I/O is O(touched buckets); at 100 TB raise this so a single
 #: bucket stays executor-sized (the value is recorded in the manifest at
 #: store creation, so readers/writers never depend on the default).
 DEFAULT_SILVER_BUCKETS = 64
 
+#: The active commit backend (manifest + epoch-claim control plane).
+#: LocalFS by default; swap for :class:`InMemoryConditionalPutBackend`
+#: (tests) or an S3/GCS conditional-put impl (deployment) — the store
+#: code only ever talks through the three wrappers below.
+COMMIT_BACKEND: CommitBackend = LocalFSCommitBackend()
+
 
 def _read_manifest(path: str) -> dict | None:
-    try:
-        with open(os.path.join(path, MANIFEST)) as fh:
-            return json.load(fh)
-    except FileNotFoundError:
-        return None
-
-
-class ManifestCommitError(RuntimeError):
-    """A publish lost the commit race: the store moved past the version the
-    publisher based its epoch on (or another publisher holds the epoch
-    claim).  The store is untouched by the loser — retry by re-reading the
-    manifest and re-deriving the merge."""
+    return COMMIT_BACKEND.read_manifest(path)
 
 
 def _write_manifest(path: str, manifest: dict, expected_version: int | None = None) -> None:
-    """Commit a manifest.  ``expected_version`` makes it a CONDITIONAL put
-    (compare-and-swap): the commit succeeds only if the store's current
-    version still equals it, else raises :class:`ManifestCommitError` —
-    the loser of a race fails loudly instead of silently dropping the
-    winner's rows.  Local-FS impl: an ``O_EXCL`` lock file serializes
-    check+replace; an object-store port implements the SAME contract with
-    a conditional put (S3 ``If-Match``/ETag, GCS generation preconditions)
-    on the manifest object itself — no lock object needed.  Readers are
-    unaffected either way: they see the old or the new manifest, never a
-    partial one (write-temp + ``os.replace``)."""
-    os.makedirs(path, exist_ok=True)
-
-    def _swap() -> None:
-        tmp = os.path.join(path, f".{MANIFEST}.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-        os.replace(tmp, os.path.join(path, MANIFEST))
-
-    if expected_version is None:
-        _swap()
-        return
-    lock = os.path.join(path, f".{MANIFEST}.lock")
-    deadline = time.time() + 10.0
-    while True:
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            break
-        except FileExistsError:
-            if time.time() > deadline:
-                raise ManifestCommitError(f"manifest lock stuck: {lock}")
-            time.sleep(0.02)
-    try:
-        cur = _read_manifest(path)
-        cur_version = cur["version"] if cur is not None else 0
-        if cur_version != expected_version:
-            raise ManifestCommitError(
-                f"concurrent publish at {path}: store is at version "
-                f"{cur_version}, expected {expected_version}"
-            )
-        _swap()
-    finally:
-        os.close(fd)
-        os.unlink(lock)
-
-
-#: a crashed publisher's epoch claim is stealable after this many seconds.
-EPOCH_CLAIM_STALE_S = 3600.0
+    COMMIT_BACKEND.commit_manifest(path, manifest, expected_version)
 
 
 def _claim_epoch(path: str, epoch: int, stale_s: float = EPOCH_CLAIM_STALE_S) -> str:
-    """Single-writer guard for one epoch: create ``.epoch-<v>.claim``
-    exclusively BEFORE touching the epoch dir, so a second publisher
-    racing for the same epoch fails here — before its leftover-cleanup
-    ``rmtree`` could delete the first publisher's in-flight files.  A
-    claim older than ``stale_s`` belongs to a crashed publisher (its epoch
-    is uncommitted by definition) and is stolen.  Returns the claim path;
-    the caller removes it after the manifest commit (or on failure)."""
-    os.makedirs(path, exist_ok=True)
-    claim = os.path.join(path, f".epoch-{epoch}.claim")
-    for attempt in (0, 1):
-        try:
-            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(os.getpid()).encode())
-            os.close(fd)
-            return claim
-        except FileExistsError:
-            try:
-                age = time.time() - os.path.getmtime(claim)
-            except FileNotFoundError:
-                continue  # claimant just released/stole; retry once
-            if attempt == 0 and age > stale_s:
-                try:
-                    os.unlink(claim)  # crashed publisher; steal
-                except FileNotFoundError:
-                    pass
-                continue
-            raise ManifestCommitError(
-                f"epoch {epoch} at {path} already claimed by a concurrent "
-                f"publisher ({claim}, {age:.0f}s old)"
-            )
-    raise ManifestCommitError(f"could not claim epoch {epoch} at {path}")
+    return COMMIT_BACKEND.claim_epoch(path, epoch, stale_s)
 
 
 def _bucket_expr(keys: list[str], n_buckets: int):
@@ -311,10 +242,7 @@ def _publish_buckets(
             expected_version=manifest["version"],
         )
     finally:
-        try:
-            os.unlink(claim)
-        except FileNotFoundError:
-            pass
+        COMMIT_BACKEND.release_claim(claim)
 
 
 def silver_upsert_stream(

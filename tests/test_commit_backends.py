@@ -1,0 +1,185 @@
+"""CommitBackend fault-injection — the silver-store race tests from
+test_streaming.py re-run against BOTH control planes: the local-FS impl
+(O_EXCL lock + os.replace) and the in-memory object-store fake whose
+every mutation is one atomic conditional primitive (S3 If-Match /
+If-None-Match:*, GCS generation preconditions).  Passing on the fake is
+the evidence that the store's race behavior is a property of the COMMIT
+CONTRACT, not of flock-style locking — i.e. that the documented S3/GCS
+port (pipeline.py module docstring) actually preserves the guarantees.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import types as T
+
+import postgres_debezium_clickhouse_spark.streaming.pipeline as pl
+from postgres_debezium_clickhouse_spark.streaming.commit import (
+    InMemoryConditionalPutBackend,
+    LocalFSCommitBackend,
+    ManifestCommitError,
+)
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("val", T.StringType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("offset", T.LongType()),
+    ]
+)
+BATCH1 = [(1, "a1", "c", 100, 10), (2, "b1", "c", 100, 20), (3, "c1", "c", 100, 30)]
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return {k: str(tmp_path / k) for k in ("src", "silver", "ckpt_s")}
+
+
+class _Backend:
+    """Backend under test + the fault-injection hooks that differ by impl."""
+
+    def __init__(self, backend, kind):
+        self.backend, self.kind = backend, kind
+
+    def hold_claim(self, path, epoch, age_s=0.0):
+        if self.kind == "localfs":
+            claim = os.path.join(path, f".epoch-{epoch}.claim")
+            os.makedirs(path, exist_ok=True)
+            with open(claim, "w") as fh:
+                fh.write("other-publisher")
+            if age_s:
+                os.utime(claim, (time.time() - age_s, time.time() - age_s))
+        else:
+            self.backend.hold_claim(path, epoch, age_s)
+
+    def claim_held(self, path, epoch):
+        if self.kind == "localfs":
+            return os.path.exists(os.path.join(path, f".epoch-{epoch}.claim"))
+        return self.backend.has_claim(path, epoch)
+
+
+@pytest.fixture(params=["localfs", "inmemory"])
+def commit_backend(request, monkeypatch):
+    backend = (
+        LocalFSCommitBackend() if request.param == "localfs"
+        else InMemoryConditionalPutBackend()
+    )
+    monkeypatch.setattr(pl, "COMMIT_BACKEND", backend)
+    return _Backend(backend, request.param)
+
+
+def _seed_store(spark, dirs):
+    spark.createDataFrame(BATCH1, EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).json(dirs["src"])
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(dirs["src"])
+    q = pl.silver_upsert_stream(
+        stream, dirs["silver"], dirs["ckpt_s"], keys=["id"], available_now=True
+    )
+    q.awaitTermination(120)
+
+
+def _row(spark, id_, val):
+    return spark.createDataFrame(
+        [(id_, val, "c", 500, 1, False)],
+        ["id", "val", "op", "ts_ms", "offset", "__deleted"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# pure control-plane semantics (no Spark)
+# ---------------------------------------------------------------------------
+
+def test_conditional_put_semantics(tmp_path, commit_backend):
+    b, path = commit_backend.backend, str(tmp_path / "store")
+    assert b.read_manifest(path) is None
+    b.commit_manifest(path, {"version": 1, "files": []}, expected_version=0)
+    assert b.read_manifest(path)["version"] == 1
+    # CAS failure: expected_version no longer current
+    with pytest.raises(ManifestCommitError, match="version"):
+        b.commit_manifest(path, {"version": 2, "files": []}, expected_version=0)
+    assert b.read_manifest(path)["version"] == 1  # loser changed nothing
+    b.commit_manifest(path, {"version": 2, "files": []}, expected_version=1)
+    assert b.read_manifest(path)["version"] == 2
+
+
+def test_claim_exclusivity_and_steal(tmp_path, commit_backend):
+    b, path = commit_backend.backend, str(tmp_path / "store")
+    token = b.claim_epoch(path, 3)
+    with pytest.raises(ManifestCommitError, match="claimed"):
+        b.claim_epoch(path, 3)
+    b.release_claim(token)
+    b.release_claim(token)  # idempotent
+    token2 = b.claim_epoch(path, 3)  # released → claimable again
+    b.release_claim(token2)
+    # a stale claim (crashed publisher) is stolen
+    commit_backend.hold_claim(path, 4, age_s=7200)
+    token3 = b.claim_epoch(path, 4)
+    b.release_claim(token3)
+
+
+# ---------------------------------------------------------------------------
+# full-store fault injection (the test_streaming.py scenarios, both backends)
+# ---------------------------------------------------------------------------
+
+def test_racing_publishers_one_fails_loudly(spark, dirs, commit_backend):
+    _seed_store(spark, dirs)
+    stale = pl._read_manifest(dirs["silver"])
+    all_buckets = set(range(stale["n_buckets"]))
+    pl._publish_buckets(_row(spark, 50, "winner"), dirs["silver"], ["id"], stale, all_buckets)
+    with pytest.raises(ManifestCommitError, match="version"):
+        pl._publish_buckets(_row(spark, 60, "loser"), dirs["silver"], ["id"], stale, all_buckets)
+    state = {r.id: r.val for r in pl.read_silver(spark, dirs["silver"]).collect()}
+    assert state == {50: "winner"}
+
+    # a live claim rejects publishers up front...
+    cur = pl._read_manifest(dirs["silver"])
+    commit_backend.hold_claim(dirs["silver"], cur["version"] + 1)
+    with pytest.raises(ManifestCommitError, match="claimed"):
+        pl._publish_buckets(_row(spark, 60, "loser"), dirs["silver"], ["id"], cur, all_buckets)
+    # ...but a stale claim (crashed publisher) is stolen and publish proceeds
+    commit_backend.hold_claim(dirs["silver"], cur["version"] + 1, age_s=7200)
+    pl._publish_buckets(_row(spark, 60, "loser"), dirs["silver"], ["id"], cur, all_buckets)
+    assert not commit_backend.claim_held(dirs["silver"], cur["version"] + 1)
+    assert {r.id: r.val for r in pl.read_silver(spark, dirs["silver"]).collect()} == {60: "loser"}
+
+
+def test_compact_silver_loses_race_to_stream_publish_loudly(
+    spark, dirs, commit_backend, monkeypatch
+):
+    _seed_store(spark, dirs)
+    real_read = pl._read_manifest
+    fired = {"done": False}
+
+    def read_then_lose_the_race(path):
+        m = real_read(path)
+        if not fired["done"]:
+            fired["done"] = True
+            pl._publish_buckets(
+                _row(spark, 50, "winner"), path, ["id"], m, set(range(m["n_buckets"]))
+            )
+        return m
+
+    monkeypatch.setattr(pl, "_read_manifest", read_then_lose_the_race)
+    with pytest.raises(ManifestCommitError, match="version"):
+        pl.compact_silver(spark, dirs["silver"], keys=["id"], vacuum_grace_s=600)
+    monkeypatch.setattr(pl, "_read_manifest", real_read)
+    state = {r.id: r.val for r in pl.read_silver(spark, dirs["silver"]).collect()}
+    assert state == {50: "winner"}  # winner intact, no pre-publish resurrection
+
+
+def test_compact_silver_refused_by_live_claim(spark, dirs, commit_backend):
+    _seed_store(spark, dirs)
+    cur = pl._read_manifest(dirs["silver"])
+    commit_backend.hold_claim(dirs["silver"], cur["version"] + 1)
+    before = sorted(cur["files"])
+    with pytest.raises(ManifestCommitError, match="claimed"):
+        pl.compact_silver(spark, dirs["silver"], keys=["id"], vacuum_grace_s=600)
+    after = pl._read_manifest(dirs["silver"])
+    assert after["version"] == cur["version"]
+    assert sorted(after["files"]) == before
