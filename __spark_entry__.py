@@ -51,6 +51,7 @@ _FRONT = (
     # round-6 additions (never driver-checked):
     "multimodal_decode_deadletter",
     "corpus_shard_manifest",
+    "stream_ann_assign",
     # last driver evidence = r02 (46 names, oldest first window cohort):
     "customers_without_orders",
     "customers_with_orders_semi",
@@ -98,9 +99,8 @@ _FRONT = (
     "events_micro_ts_roundtrip",
     "events_value_percentiles",
     "events_value_anomalies",
-    # last driver evidence = r03 (the two flagship streaming stores):
+    # last driver evidence = r03 (oldest streaming-store entry):
     "stream_bronze_archive",
-    "stream_silver_state",
     # llm_queries / ops_queries / staging_queries follow via _MODULES order.
 )
 

@@ -521,6 +521,66 @@ def stream_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def stream_ann_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6: streaming ANN ingest — the one LLM-pipeline surface that had no
+    streaming evidence.  New embeddings arrive as a stream and get IVF
+    cell assignments incrementally against a FIXED centroid table (the
+    deployed-index pattern: the coarse quantizer is rebuilt by batch
+    compaction jobs, while ingest only ever does the cheap map-side
+    assign).  Registered through the same MV lifecycle as
+    ``stream_filter_report``; the DuckDB oracle recomputes every
+    assignment from the closed-form init (16 lowest-id vectors), so the
+    stream hash-matches the batch assignment exactly.
+
+    Scale: ``assign_ivf_cells`` is one broadcast exchange (the k-row
+    centroid table folded to a 1-row array) + a map — no shuffle of the
+    stream, no state store; identical per-trigger cost profile to the
+    batch scoring pass.  The stream-static broadcast is re-resolved per
+    micro-batch from a ``localCheckpoint``-frozen index, so the index
+    subplan never re-scans the corpus."""
+    from ..operators.similarity import as_double_vec, assign_ivf_cells, ivf_centroids_df
+    from ..sources.files import load_table
+    from ..streaming.pipeline import Pipeline
+
+    run = uuid.uuid4().hex[:12]
+    root = tempfile.gettempdir()
+    src = f"{root}/ann_src_{run}"
+    out = f"{root}/ann_out_{run}"
+    ckpt = f"{root}/ann_ckpt_{run}"
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # The fixed index: same init contract as ivf_ann_topk_table (16
+    # lowest-id vectors), frozen so micro-batches share one materialization.
+    cents = ivf_centroids_df(emb, n_centroids=16, id_col="vec_id").localCheckpoint()
+
+    emb.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+
+    pipe = Pipeline(spark)
+    mv = pipe.register_mv(
+        f"ann_mv_{run}",
+        stream,
+        lambda df: assign_ivf_cells(as_double_vec(df), cents).select("vec_id", "cell"),
+        out,
+        ckpt,
+        available_now=True,
+    )
+    try:
+        if not mv.query.awaitTermination(300):
+            mv.query.stop()
+            raise TimeoutError(
+                "stream did not finish in 300s — refusing to "
+                "return a partial result"
+            )
+    finally:
+        pipe.drop_mv(f"ann_mv_{run}")
+    return spark.read.parquet(out)
+
+
 def stream_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r5: schema-drift detection on the LIVE path — each micro-batch runs
     ``schema_drift_report`` inside ``foreachBatch`` and appends its
@@ -589,6 +649,7 @@ QUERIES = {
     "stream_quality_filter": stream_quality_filter,
     "stream_filter_report": stream_filter_report,
     "stream_schema_drift": stream_schema_drift,
+    "stream_ann_assign": stream_ann_assign,
     "synthetic_transactions": synthetic_transactions,
     "stream_bronze_archive": stream_bronze_archive,
     "stream_silver_state": stream_silver_state,
@@ -615,6 +676,23 @@ _ORDERS_FINAL_STATE = """
 from ..operators.classifier import pseudo_weights as _pw
 
 ORACLES: dict[str, str] = {
+    # streaming IVF assignment against the fixed index: init = 16
+    # lowest-id vectors (the ivf_centroids_df contract), assignment =
+    # argmin squared-L2 with lowest-cell tie-break — per-row map, so the
+    # stream MUST equal the batch recomputation exactly.
+    "stream_ann_assign": """
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS i, v AS ctr
+                 FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+        d AS (SELECT e.vec_id, cent.i,
+                     list_sum(list_transform(list_zip(e.v, cent.ctr),
+                                             p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+              FROM e CROSS JOIN cent)
+        SELECT vec_id, CAST(i AS INT) AS cell FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, i) AS rn FROM d)
+        WHERE rn = 1
+    """,
     # identical closed-form drift facts as the batch cdc_schema_drift —
     # sum/min are associative, so micro-batching cannot change them
     "stream_schema_drift": """
