@@ -52,6 +52,7 @@ _FRONT = (
     "multimodal_decode_deadletter",
     "corpus_shard_manifest",
     "stream_ann_assign",
+    "stream_drift_quarantine",
     # last driver evidence = r02 (46 names, oldest first window cohort):
     "customers_without_orders",
     "customers_with_orders_semi",
@@ -99,8 +100,6 @@ _FRONT = (
     "events_micro_ts_roundtrip",
     "events_value_percentiles",
     "events_value_anomalies",
-    # last driver evidence = r03 (oldest streaming-store entry):
-    "stream_bronze_archive",
     # llm_queries / ops_queries / staging_queries follow via _MODULES order.
 )
 

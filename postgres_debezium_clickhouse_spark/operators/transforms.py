@@ -157,6 +157,50 @@ def apply_change_feed(prev: DataFrame, changes: DataFrame, keys: list[str]) -> D
     return untouched.unionByName(replacements)
 
 
+def split_on_drift(
+    raw: DataFrame,
+    expected_fields: list[str],
+    policy: str = "quarantine",
+    value_col: str = "value",
+    after_path: str = "$.payload.after",
+) -> tuple[DataFrame, DataFrame]:
+    """Schema-drift POLICY hook — detection's missing other half: what to
+    DO with an event whose ``after`` image carries fields the registry
+    doesn't know.  Returns ``(conforming, quarantined)``:
+
+    * ``policy='quarantine'`` — drifted events are routed to the second
+      frame (a dead-letter path for operator review + replay once the
+      registry is updated; same shape as the T2 poison-message split,
+      ``corrupt_filter``); conforming events keep flowing.
+    * ``policy='widen'`` — nothing is quarantined: unknown fields ride
+      through to the sink, which accepts additive evolution (apply_cdc's
+      mergeSchema path / _read_live_files) — the second frame is empty by
+      construction.
+
+    A row with no ``after`` image (delete/tombstone) carries no field
+    evidence and is always conforming — same contract as
+    ``schema_drift_report``.  MISSING registered fields do not quarantine:
+    a narrower image is valid additive history, only UNKNOWN fields are
+    unrepresentable without a registry change.
+
+    Scale: one map pass (``json_object_keys`` + ``array_except`` +
+    boolean), no shuffle, both outputs filters over the same scan —
+    Catalyst shares the parse across the two branches inside one
+    foreachBatch trigger."""
+    if policy not in ("quarantine", "widen"):
+        raise ValueError(f"unknown drift policy {policy!r}")
+    keys = F.json_object_keys(F.get_json_object(F.col(value_col), after_path))
+    known = F.array(*[F.lit(f) for f in expected_fields])
+    drifted = F.size(F.array_except(keys, known)) > 0
+    flagged = raw.withColumn("__drift", F.coalesce(drifted, F.lit(False)))
+    if policy == "widen":
+        return flagged.drop("__drift"), flagged.filter(F.lit(False)).drop("__drift")
+    return (
+        flagged.filter(~F.col("__drift")).drop("__drift"),
+        flagged.filter(F.col("__drift")).drop("__drift"),
+    )
+
+
 def schema_drift_report(
     raw: DataFrame,
     expected_fields: list[str],

@@ -645,11 +645,82 @@ def stream_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_drift_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6: schema-drift alert → ACTION.  ``stream_schema_drift`` detects;
+    this query reacts: each micro-batch is split by ``split_on_drift``
+    (policy='quarantine') — events whose ``after`` image carries unknown
+    fields land on a dead-letter path (preserved verbatim for replay once
+    the registry adds the column), conforming events flow to the main
+    sink.  Returns the per-route summary; the oracle recomputes it from
+    the closed-form fixture (loyalty_tier appears iff o_orderkey % 5 = 0),
+    so the ROUTING itself is value-checked, including offset ranges.
+
+    Scale: the split is a map-pass filter pair over one shared parse —
+    no shuffle, no state; both writes are epoch-keyed for at-least-once
+    idempotence (same pattern as stream_schema_drift)."""
+    from ..operators.transforms import split_on_drift
+
+    run = uuid.uuid4().hex[:12]
+    root = tempfile.gettempdir()
+    src = f"{root}/quar_src_{run}"
+    out = f"{root}/quar_out_{run}"
+    ckpt = f"{root}/quar_ckpt_{run}"
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    after = F.struct(
+        F.col("o_orderkey"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("gold")).alias("loyalty_tier"),
+    )
+    wire = orders.select(
+        F.col("o_orderkey").alias("offset"),
+        F.to_json(F.struct(F.struct(after.alias("after")).alias("payload"))).alias("value"),
+    )
+    wire.repartition(4).write.mode("overwrite").parquet(src)
+
+    expected = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    stream = (
+        spark.readStream.schema(wire.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+    def _route_batch(batch_df: DataFrame, epoch: int) -> None:
+        ok, bad = split_on_drift(batch_df, expected, policy="quarantine")
+        ok.write.mode("overwrite").parquet(f"{out}/conforming/epoch={epoch}")
+        bad.write.mode("overwrite").parquet(f"{out}/quarantine/epoch={epoch}")
+
+    q = (
+        stream.writeStream.foreachBatch(_route_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("quarantine stream did not finish in 300s")
+
+    def _summary(route: str) -> DataFrame:
+        return (
+            spark.read.parquet(f"{out}/{route}")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.min("offset").cast("long").alias("min_offset"),
+                F.max("offset").cast("long").alias("max_offset"),
+            )
+            .select(F.lit(route).alias("route"), "n_rows", "min_offset", "max_offset")
+        )
+
+    return _summary("conforming").unionByName(_summary("quarantine"))
+
+
 QUERIES = {
     "stream_quality_filter": stream_quality_filter,
     "stream_filter_report": stream_filter_report,
     "stream_schema_drift": stream_schema_drift,
     "stream_ann_assign": stream_ann_assign,
+    "stream_drift_quarantine": stream_drift_quarantine,
     "synthetic_transactions": synthetic_transactions,
     "stream_bronze_archive": stream_bronze_archive,
     "stream_silver_state": stream_silver_state,
@@ -692,6 +763,21 @@ ORACLES: dict[str, str] = {
         SELECT vec_id, CAST(i AS INT) AS cell FROM
         (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, i) AS rn FROM d)
         WHERE rn = 1
+    """,
+    # routing oracle: loyalty_tier (unknown field) appears iff
+    # o_orderkey % 5 = 0 — so the quarantine/conforming row counts and
+    # offset ranges are closed-form.  COUNT/MIN/MAX are associative:
+    # micro-batching cannot change them.
+    "stream_drift_quarantine": """
+        SELECT 'conforming' AS route, COUNT(*) AS n_rows,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_offset,
+               CAST(MAX(o_orderkey) AS BIGINT) AS max_offset
+        FROM orders WHERE o_orderkey % 5 <> 0
+        UNION ALL
+        SELECT 'quarantine' AS route, COUNT(*) AS n_rows,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_offset,
+               CAST(MAX(o_orderkey) AS BIGINT) AS max_offset
+        FROM orders WHERE o_orderkey % 5 = 0
     """,
     # identical closed-form drift facts as the batch cdc_schema_drift —
     # sum/min are associative, so micro-batching cannot change them

@@ -125,3 +125,37 @@ def test_schema_drift_report_detects_and_stays_silent(spark):
 
     clean = spark.createDataFrame(rows[1:2], ["offset", "value"])
     assert schema_drift_report(clean, ["id", "val"]).count() == 0
+
+
+def test_split_on_drift_quarantine_and_widen_policies(spark):
+    """The drift POLICY hook: quarantine routes unknown-field events to
+    the dead-letter frame (verbatim, replayable) while conforming rows —
+    including tombstones and rows with MISSING fields — keep flowing;
+    widen quarantines nothing (additive evolution downstream)."""
+    import pytest as _pytest
+
+    from postgres_debezium_clickhouse_spark.operators.transforms import (
+        split_on_drift,
+    )
+
+    rows = [
+        (10, '{"payload":{"after":{"id":1,"val":"a","extra":1}}}'),  # drifted
+        (11, '{"payload":{"after":{"id":2,"val":"b"}}}'),            # conforming
+        (12, '{"payload":{"after":{"id":3}}}'),      # missing val: conforming
+        (13, '{"payload":{"after":null}}'),          # tombstone: conforming
+    ]
+    raw = spark.createDataFrame(rows, ["offset", "value"])
+
+    ok, bad = split_on_drift(raw, ["id", "val"], policy="quarantine")
+    assert sorted(r.offset for r in ok.collect()) == [11, 12, 13]
+    quarantined = bad.collect()
+    assert [r.offset for r in quarantined] == [10]
+    # dead-letter rows are the ORIGINAL wire bytes — replayable as-is
+    assert quarantined[0].value == rows[0][1]
+    assert ok.columns == raw.columns and bad.columns == raw.columns
+
+    ok_w, bad_w = split_on_drift(raw, ["id", "val"], policy="widen")
+    assert ok_w.count() == 4 and bad_w.count() == 0
+
+    with _pytest.raises(ValueError, match="policy"):
+        split_on_drift(raw, ["id", "val"], policy="dropit")
