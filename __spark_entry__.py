@@ -53,6 +53,8 @@ _FRONT = (
     "corpus_shard_manifest",
     "stream_ann_assign",
     "stream_drift_quarantine",
+    "text_html_extract",
+    "similarity_ivf_recall",
     # last driver evidence = r02 (46 names, oldest first window cohort):
     "customers_without_orders",
     "customers_with_orders_semi",
@@ -99,7 +101,6 @@ _FRONT = (
     "events_errors_after_signup",
     "events_micro_ts_roundtrip",
     "events_value_percentiles",
-    "events_value_anomalies",
     # llm_queries / ops_queries / staging_queries follow via _MODULES order.
 )
 

@@ -329,6 +329,52 @@ def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_video_frames(synth_videos(docs))
 
 
+def q_text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6: markup → text extraction.  Each document is wrapped in a
+    deterministic HTML shell (title header, paragraph body, a script
+    block that must vanish WITH its contents, an ``&amp;`` entity);
+    ``strip_markup`` recovers the text.  The oracle rebuilds the same
+    shell and runs the identical RE2-subset regex chain in DuckDB, so
+    tag removal, block elision, entity decode, and whitespace collapse
+    are all value-checked per document."""
+    from ..operators.text import strip_markup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><style>p{color:red}</style></head><body><h1>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1>\n<p class=\"body\">"),
+            F.col("text"),
+            F.lit("</p> &amp; <script type=\"text/javascript\">var x = \"<p>\";</script></body></html>"),
+        ).alias("html"),
+    )
+    return strip_markup(docs)
+
+
+def q_similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6: ANN quality evaluation for the IVF index — per-query recall@5
+    of IVF retrieval (16 cells, n_probe=4) against the brute-force exact
+    top-5, completing the eval symmetry with ``similarity_lsh_recall``.
+    The metric that decides how many probes the 100 TB index needs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    exact = cosine_topk(corpus, queries, k=5).select("query_id", "neighbor_id")
+    approx = ivf_ann_topk(corpus, queries, k=5, n_centroids=16, n_probe=4).select(
+        "query_id", "neighbor_id"
+    ).withColumn("__hit", F.lit(1))
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_hits"),
+            F.round(F.sum(F.coalesce("__hit", F.lit(0))) / F.count(F.lit(1)), 6).alias("recall"),
+        )
+    )
+
+
 def q_corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shard-export manifest (r6): deterministic md5-prefix shard
     assignment + per-shard doc/token counts and id ranges — the sanity
@@ -605,6 +651,8 @@ QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "multimodal_decode_deadletter": q_multimodal_decode_deadletter,
     "corpus_shard_manifest": q_corpus_shard_manifest,
+    "text_html_extract": q_text_html_extract,
+    "similarity_ivf_recall": q_similarity_ivf_recall,
     "multimodal_audio_decode": q_multimodal_audio,
     "multimodal_video_frames": q_multimodal_video,
     # round-3 late additions — __spark_entry__._BACK defers these to the
@@ -1275,6 +1323,80 @@ ORACLES = {
                CAST(p.width * p.height AS BIGINT) AS n_pixels,
                s.sum_r, s.sum_g, s.sum_b, s.min_px, s.max_px
         FROM params p LEFT JOIN stats s USING (doc_id)
+    """,
+    # markup extraction: the IDENTICAL RE2-subset regex chain (script/style
+    # elision → tag strip → entity decode → whitespace collapse) over the
+    # same deterministic HTML shell — per-doc string equality.
+    "text_html_extract": """
+        WITH h AS (
+            SELECT doc_id,
+                   '<html><head><style>p{color:red}</style></head><body><h1>Doc '
+                   || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10)
+                   || '<p class="body">' || text
+                   || '</p> &amp; <script type="text/javascript">var x = "<p>";</script></body></html>'
+                   AS html
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, html,
+                   trim(regexp_replace(
+                       replace(replace(replace(replace(replace(replace(
+                           regexp_replace(
+                               regexp_replace(
+                                   regexp_replace(html,
+                                       '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
+                                   '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
+                               '(?s)<[^>]*>', ' ', 'g'),
+                           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                           '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+                       '\\s+', ' ', 'g')) AS clean
+            FROM h
+        )
+        SELECT doc_id, clean,
+               CAST(length(html) - length(clean) AS BIGINT) AS n_removed
+        FROM s
+    """,
+    # IVF recall: approx side = the similarity_ann_ivf_topk oracle's
+    # assignment/probe/score pipeline; exact side = brute-force top-5;
+    # recall agg identical to similarity_lsh_recall.
+    "similarity_ivf_recall": """
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        c AS (SELECT vec_id, v AS cv FROM e WHERE vec_id >= 5),
+        cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS i, cv AS ctr
+                 FROM (SELECT vec_id, cv FROM c ORDER BY vec_id LIMIT 16)),
+        cd AS (SELECT c.vec_id, c.cv, cent.i,
+                      list_sum(list_transform(list_zip(c.cv, cent.ctr), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+               FROM c CROSS JOIN cent),
+        cassign AS (SELECT vec_id, cv, i AS cell FROM
+                    (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, i) AS rn FROM cd)
+                    WHERE rn = 1),
+        qd AS (SELECT q.query_id, q.qv, cent.i,
+                      list_sum(list_transform(list_zip(q.qv, cent.ctr), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+               FROM q CROSS JOIN cent),
+        qprobe AS (SELECT query_id, qv, i AS cell FROM
+                   (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, i) AS rn FROM qd)
+                   WHERE rn <= 4),
+        sa AS (SELECT qp.query_id, ca.vec_id AS neighbor_id,
+                      ROUND(list_dot_product(qp.qv, ca.cv)
+                            / (sqrt(list_dot_product(qp.qv, qp.qv)) * sqrt(list_dot_product(ca.cv, ca.cv))), 6) AS cosine
+               FROM qprobe qp JOIN cassign ca ON qp.cell = ca.cell),
+        ra AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM sa),
+        approx AS (SELECT query_id, neighbor_id FROM ra WHERE rnk <= 5),
+        sx AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                      ROUND(list_dot_product(q.qv, c.cv)
+                            / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cosine
+               FROM q CROSS JOIN c),
+        rx AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM sx),
+        exact AS (SELECT query_id, neighbor_id FROM rx WHERE rnk <= 5)
+        SELECT x.query_id, COUNT(*) AS n_exact,
+               CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+               ROUND(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS recall
+        FROM exact x LEFT JOIN approx a
+             ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+        GROUP BY x.query_id
     """,
     # shard-export manifest: the md5-prefix assignment is engine-portable
     # (same idiom as corpus_split), so doc/token counts and id ranges per

@@ -191,3 +191,25 @@ def test_lm_perplexity_ranks_rare_token_docs_worse(spark):
     assert abs(out[100].ppl - math.exp(-out[100].avg_logprob)) < 0.01
     # all-common docs share identical scores (same token multiset)
     assert out[1].avg_logprob == out[9].avg_logprob
+
+
+def test_strip_markup_blocks_entities_and_malformed(spark):
+    from postgres_debezium_clickhouse_spark.operators.text import strip_markup
+
+    rows = [
+        (1, '<p>Hello <b>world</b></p>'),
+        (2, '<script>var s = "<p>sneaky</p>";</script>after'),
+        (3, '<STYLE media="x">h1 {}</STYLE>kept'),
+        (4, 'a &amp;&amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39; x&nbsp;y'),
+        (5, 'broken <tag attr="unclosed  still fine'),   # malformed: degrade, no crash
+        (6, '  lots \t of \n whitespace  '),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "html"])
+    out = {r.doc_id: r for r in strip_markup(docs).collect()}
+    assert out[1].clean == "Hello world"
+    assert out[2].clean == "after"          # script CONTENTS die too
+    assert out[3].clean == "kept"           # case-insensitive style block
+    assert out[4].clean == 'a && b <tag> "q" \'s\' x y'
+    assert out[5].clean == "broken <tag attr=\"unclosed still fine"  # no closing > → not a tag
+    assert out[6].clean == "lots of whitespace"
+    assert out[1].n_removed == len(rows[0][1]) - len("Hello world")
