@@ -57,6 +57,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "dedup_embedding_cosine",   # block-join verified within label blocks
         "recent_orders_interval",   # scalar attach: 1-row broadcast aggregate
         "similarity_lsh_recall",    # embeds the brute-force exact side as ground truth
+        "similarity_ivf_recall",    # embeds the brute-force exact side as ground truth
         "text_tfidf_top_terms",     # scalar attach: 1-row broadcast N-docs (metadata-only scan)
         "text_commonness",          # scalar attach: 1-row broadcast N-docs (metadata-only scan)
         "text_lm_perplexity",       # scalar attach: 1-row broadcast corpus-total (vocab-sized input)
