@@ -55,6 +55,7 @@ _FRONT = (
     "stream_drift_quarantine",
     "text_html_extract",
     "similarity_ivf_recall",
+    "multimodal_audio_features",
     # last driver evidence = r02 (46 names, oldest first window cohort):
     "customers_without_orders",
     "customers_with_orders_semi",

@@ -151,6 +151,63 @@ def decode_waveforms(media_df: DataFrame, id_col: str = "doc_id",
     return media_df.mapInPandas(_decode, schema=schema)
 
 
+AUDIO_ENERGY_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("window_index", T.IntegerType()),
+    T.StructField("n_frames", T.LongType()),      # frames in THIS window (tail may be short)
+    T.StructField("sq_sum", T.LongType()),        # integer-exact Σ sample² over the window
+    T.StructField("s_peak", T.IntegerType()),     # max |sample| in the window
+])
+
+
+def audio_energy_windows(media_df: DataFrame, window_frames: int = 16,
+                         id_col: str = "doc_id", media_col: str = "media",
+                         strict: bool = True) -> DataFrame:
+    """Audio feature extraction over decoded PCM: fixed-size frame windows
+    with integer-exact energy (Σ sample², summed over channels) and peak
+    amplitude — the windowed-energy shape every audio curation pass needs
+    (silence trimming, clipping detection, loudness gating), kept in exact
+    integers so the DuckDB oracle recomputes it from the synth formula.
+    One blob → ceil(n_frames/window) rows: the audio row-expansion shape,
+    mirroring the video path's frame rows.
+
+    ``strict=False`` routes corrupt blobs to one err row (see
+    decode_waveforms); the schema gains ``err``."""
+    schema = (AUDIO_ENERGY_SCHEMA if strict else
+              T.StructType(AUDIO_ENERGY_SCHEMA.fields + [T.StructField("err", T.StringType())]))
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {f.name: [] for f in schema.fields}
+            for doc_id, blob in zip(pdf[id_col], pdf[media_col]):
+                try:
+                    d = decode_audio(bytes(blob))
+                except (ValueError, NotImplementedError) as e:
+                    if strict:
+                        raise
+                    rows["doc_id"].append(doc_id)
+                    for k in ("window_index", "n_frames", "sq_sum", "s_peak"):
+                        rows[k].append(None)
+                    rows["err"].append(str(e))
+                    continue
+                ch, samples = d["channels"], d["samples"]
+                step = window_frames * ch
+                for wi in range(0, max(len(samples), 1), step):
+                    win = samples[wi:wi + step]
+                    if not win:
+                        break
+                    rows["doc_id"].append(doc_id)
+                    rows["window_index"].append(wi // step)
+                    rows["n_frames"].append(len(win) // ch)
+                    rows["sq_sum"].append(sum(s * s for s in win))
+                    rows["s_peak"].append(max(abs(s) for s in win))
+                    if not strict:
+                        rows["err"].append(None)
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(_extract, schema=schema)
+
+
 WAV_BLOB_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("media", T.BinaryType()),

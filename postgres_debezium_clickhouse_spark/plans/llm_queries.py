@@ -399,6 +399,18 @@ def q_multimodal_decode_deadletter(spark: SparkSession, sf_dir: str) -> DataFram
     return decode_images(synth_images(docs, corrupt_every=10), strict=False)
 
 
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6: audio feature extraction — windowed energy (integer-exact
+    Σ sample² per 16-frame window, summed over channels) + peak amplitude
+    over REAL decoded WAV fixtures; the silence-trim/clipping-gate shape.
+    The oracle recomputes every window from the closed-form sample
+    formula, so decode AND windowing are value-checked."""
+    from ..operators.audio import audio_energy_windows
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return audio_energy_windows(synth_waveforms(docs), window_frames=16)
+
+
 def q_llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data prep pipeline — quality gate → exact
     dedup → per-language corpus stats — one declarative plan (each stage's
@@ -654,6 +666,7 @@ QUERIES = {
     "text_html_extract": q_text_html_extract,
     "similarity_ivf_recall": q_similarity_ivf_recall,
     "multimodal_audio_decode": q_multimodal_audio,
+    "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_video_frames": q_multimodal_video,
     # round-3 late additions — __spark_entry__._BACK defers these to the
     # END of the registry (driver window protection); front them in round 4:
@@ -1490,6 +1503,29 @@ ORACLES = {
         SELECT p.doc_id, 'wav' AS format, p.channels, p.sample_rate,
                p.n_frames, t.s_sum, t.s_min, t.s_max
         FROM params p JOIN stats t USING (doc_id)
+    """,
+    # windowed audio energy: window w of doc d covers interleaved sample
+    # indices [w*16*ch, (w+1)*16*ch); Σv² and max|v| are pure integer
+    # arithmetic over the closed-form samples.
+    "multimodal_audio_features": """
+        WITH params AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INT) AS ch,
+                   CAST(20 + doc_id % 50 AS BIGINT) AS nf
+            FROM documents
+        ),
+        s AS (
+            SELECT p.doc_id, p.ch, j.j AS j,
+                   ((p.doc_id * 31 + j.j * 7) % 2003) - 1001 AS v
+            FROM params p CROSS JOIN range(140) j(j)
+            WHERE j.j < p.nf * p.ch
+        ),
+        w AS (SELECT doc_id, ch, CAST(j // (16 * ch) AS INT) AS window_index, v FROM s)
+        SELECT doc_id, window_index,
+               CAST(COUNT(*) // ANY_VALUE(ch) AS BIGINT) AS n_frames,
+               CAST(SUM(v * v) AS BIGINT) AS sq_sum,
+               CAST(MAX(ABS(v)) AS INT) AS s_peak
+        FROM w GROUP BY doc_id, window_index
     """,
     # first-principles oracle for the REAL Y4M decoder: global byte j of
     # doc d is (d*11 + j*5) % 256, planar C444 layout (frame f, plane p,

@@ -48,3 +48,40 @@ def test_decode_waveforms_matches_closed_form(spark):
         assert (r.channels, r.sample_rate, r.n_frames) == (ch, 8000 + (d % 4) * 4000, n)
         samples = [((d * 31 + j * 7) % 2003) - 1001 for j in range(n * ch)]
         assert (r.s_sum, r.s_min, r.s_max) == (sum(samples), min(samples), max(samples))
+
+
+def test_audio_energy_windows_values_and_tail(spark):
+    from pyspark.sql import functions as F
+
+    from postgres_debezium_clickhouse_spark.operators.audio import (
+        audio_energy_windows,
+        synth_waveforms,
+    )
+
+    ids = spark.range(0, 6).withColumnRenamed("id", "doc_id")
+    out = audio_energy_windows(synth_waveforms(ids), window_frames=16).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d, rows in by_doc.items():
+        ch = 2 if d % 3 == 0 else 1
+        nf = 20 + d % 50
+        samples = [((d * 31 + j * 7) % 2003) - 1001 for j in range(nf * ch)]
+        rows.sort(key=lambda r: r.window_index)
+        assert sum(r.n_frames for r in rows) == nf
+        assert rows[-1].n_frames == nf - 16 * (len(rows) - 1)  # short tail kept
+        for r in rows:
+            win = samples[r.window_index * 16 * ch:(r.window_index + 1) * 16 * ch]
+            assert r.sq_sum == sum(s * s for s in win)
+            assert r.s_peak == max(abs(s) for s in win)
+
+    # dead-letter mode: corrupt blob → one err row, clean docs unaffected
+    media = synth_waveforms(ids).withColumn(
+        "media",
+        F.when(F.col("doc_id") == 3, F.expr("substring(media, 1, 6)"))
+        .otherwise(F.col("media")),
+    )
+    dl = audio_energy_windows(media, window_frames=16, strict=False).collect()
+    bad = [r for r in dl if r.doc_id == 3]
+    assert len(bad) == 1 and bad[0].err is not None and bad[0].sq_sum is None
+    assert all(r.err is None for r in dl if r.doc_id != 3)
