@@ -56,6 +56,7 @@ _FRONT = (
     "text_html_extract",
     "similarity_ivf_recall",
     "multimodal_audio_features",
+    "multimodal_resize_real",
     # last driver evidence = r02 (46 names, oldest first window cohort):
     "customers_without_orders",
     "customers_with_orders_semi",

@@ -358,6 +358,91 @@ def decode_images(media_df: DataFrame, id_col: str = "doc_id",
     return media_df.mapInPandas(_decode, schema=schema)
 
 
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("src_w", T.IntegerType()),
+    T.StructField("src_h", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("sum_r", T.LongType()),     # channel sums of the RESIZED image
+    T.StructField("sum_g", T.LongType()),
+    T.StructField("sum_b", T.LongType()),
+])
+
+
+def nn_resize(pixels: bytes, src_w: int, src_h: int, channels: int,
+              width: int, height: int) -> bytes:
+    """Nearest-neighbor resample of a raw 8-bit pixel stream: output pixel
+    (x, y) takes source pixel (x*src_w//width, y*src_h//height) — pure
+    integer index math, so the result is bit-deterministic and a SQL
+    oracle can recompute it from the pixel formula."""
+    out = bytearray(width * height * channels)
+    pos = 0
+    for y in range(height):
+        sy = y * src_h // height
+        row = sy * src_w * channels
+        for x in range(width):
+            sx = x * src_w // width
+            src = row + sx * channels
+            out[pos:pos + channels] = pixels[src:src + channels]
+            pos += channels
+    return bytes(out)
+
+
+def resize_images(media_df: DataFrame, width: int, height: int,
+                  id_col: str = "doc_id", media_col: str = "media",
+                  strict: bool = True) -> DataFrame:
+    """REAL image resize (r6) — replaces the byte-slicing resize stand-in
+    for decodable formats: decode (operators/imaging.py), nearest-neighbor
+    resample over the actual pixel stream, emit integer-exact channel sums
+    of the RESIZED image.  JPEG rows (header-only decode) carry dims with
+    NULL sums — the honest limit until a codec library lands.  On real
+    infra the same batch loop swaps in Pillow's resampling filters.
+
+    Scale: embarrassingly parallel mapInPandas, no shuffle; output size is
+    width×height×channels per row regardless of input dims — the
+    normalize-for-training shape.  ``strict=False`` adds the dead-letter
+    ``err`` column (see DECODE_DEADLETTER_SCHEMA)."""
+    schema = (RESIZE_SCHEMA if strict else
+              T.StructType(RESIZE_SCHEMA.fields + [T.StructField("err", T.StringType())]))
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in schema.fields}
+            for doc_id, blob in zip(pdf[id_col], pdf[media_col]):
+                try:
+                    d = decode_image(bytes(blob))
+                except (ValueError, NotImplementedError) as e:
+                    if strict:
+                        raise
+                    rows["doc_id"].append(doc_id)
+                    for k in ("format", "src_w", "src_h", "width", "height",
+                              "sum_r", "sum_g", "sum_b"):
+                        rows[k].append(None)
+                    rows["err"].append(str(e))
+                    continue
+                rows["doc_id"].append(doc_id)
+                rows["format"].append(d["format"])
+                rows["src_w"].append(d["width"])
+                rows["src_h"].append(d["height"])
+                rows["width"].append(width)
+                rows["height"].append(height)
+                if d["pixels"] is None:
+                    for k in ("sum_r", "sum_g", "sum_b"):
+                        rows[k].append(None)
+                else:
+                    ch = d["channels"]
+                    px = nn_resize(d["pixels"], d["width"], d["height"], ch, width, height)
+                    for c, k in enumerate(("sum_r", "sum_g", "sum_b")):
+                        rows[k].append(sum(px[c::ch]) if c < ch else None)
+                if not strict:
+                    rows["err"].append(None)
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(_resize, schema=schema)
+
+
 MEDIA_BLOB_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("media", T.BinaryType()),

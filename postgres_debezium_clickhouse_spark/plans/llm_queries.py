@@ -399,6 +399,20 @@ def q_multimodal_decode_deadletter(spark: SparkSession, sf_dir: str) -> DataFram
     return decode_images(synth_images(docs, corrupt_every=10), strict=False)
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6: REAL image resize — nearest-neighbor over actually-decoded PNG
+    pixels to a fixed 4×4 (the normalize-for-training shape), emitting
+    integer-exact channel sums of the resized image.  The oracle maps
+    every output pixel back to its source coordinate (x*src_w//4) and
+    recomputes the sum from the pixel formula, so decode AND the resample
+    index math are value-checked.  JPEG (header-only) rows: dims, NULL
+    sums."""
+    from ..operators.imaging import resize_images
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return resize_images(synth_images(docs), width=4, height=4)
+
+
 def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r6: audio feature extraction — windowed energy (integer-exact
     Σ sample² per 16-frame window, summed over channels) + peak amplitude
@@ -667,6 +681,7 @@ QUERIES = {
     "similarity_ivf_recall": q_similarity_ivf_recall,
     "multimodal_audio_decode": q_multimodal_audio,
     "multimodal_audio_features": q_multimodal_audio_features,
+    "multimodal_resize_real": q_multimodal_resize,
     "multimodal_video_frames": q_multimodal_video,
     # round-3 late additions — __spark_entry__._BACK defers these to the
     # END of the registry (driver window protection); front them in round 4:
@@ -1503,6 +1518,38 @@ ORACLES = {
         SELECT p.doc_id, 'wav' AS format, p.channels, p.sample_rate,
                p.n_frames, t.s_sum, t.s_min, t.s_max
         FROM params p JOIN stats t USING (doc_id)
+    """,
+    # real resize oracle: output pixel (x,y,c) of doc d sources
+    # (sx, sy) = (x*w//4, y*h//4), value (d*7 + (sy*w + sx)*3 + c) % 256.
+    "multimodal_resize_real": """
+        WITH params AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 = 0 THEN 'jpeg' ELSE 'png' END AS format,
+                   CAST(3 + doc_id % 5 AS INT) AS w,
+                   CAST(2 + doc_id % 7 AS INT) AS h
+            FROM documents
+        ),
+        px AS (
+            SELECT p.doc_id, c.c AS c,
+                   (p.doc_id * 7
+                    + ((y.y * p.h // 4) * p.w + (x.x * p.w // 4)) * 3 + c.c) % 256 AS v
+            FROM params p
+            CROSS JOIN range(4) y(y)
+            CROSS JOIN range(4) x(x)
+            CROSS JOIN range(3) c(c)
+            WHERE p.format = 'png'
+        ),
+        stats AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+                   CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+                   CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b
+            FROM px GROUP BY doc_id
+        )
+        SELECT p.doc_id, p.format, p.w AS src_w, p.h AS src_h,
+               CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+               s.sum_r, s.sum_g, s.sum_b
+        FROM params p LEFT JOIN stats s USING (doc_id)
     """,
     # windowed audio energy: window w of doc d covers interleaved sample
     # indices [w*16*ch, (w+1)*16*ch); Σv² and max|v| are pure integer

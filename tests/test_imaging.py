@@ -123,3 +123,51 @@ def test_decode_images_matches_closed_form(spark):
             for c, col in enumerate(("sum_r", "sum_g", "sum_b")):
                 assert getattr(r, col) == sum(
                     (d * 7 + p * 3 + c) % 256 for p in range(w * h))
+
+
+def test_nn_resize_identity_and_scaling():
+    from postgres_debezium_clickhouse_spark.operators.imaging import nn_resize
+
+    # 2×2 RGB: distinct per-pixel values
+    px = bytes(range(12))
+    assert nn_resize(px, 2, 2, 3, 2, 2) == px            # identity
+    up = nn_resize(px, 2, 2, 3, 4, 4)                     # 2× upsample: each src pixel 4×
+    assert len(up) == 4 * 4 * 3
+    assert up[0:3] == px[0:3] and up[3:6] == px[0:3]      # row 0: sx = 0,0,1,1
+    assert up[6:9] == px[3:6] and up[9:12] == px[3:6]
+    down = nn_resize(px, 2, 2, 3, 1, 1)                   # downsample keeps top-left
+    assert down == px[0:3]
+
+
+def test_resize_images_real_values_and_deadletter(spark):
+    from pyspark.sql import functions as F
+
+    from postgres_debezium_clickhouse_spark.operators.imaging import resize_images
+
+    ids = spark.range(1, 8).withColumnRenamed("id", "doc_id")  # 4 is the only jpeg
+    out = {r.doc_id: r for r in resize_images(synth_images(ids), 4, 4).collect()}
+    for d, r in out.items():
+        w, h = 3 + d % 5, 2 + d % 7
+        assert (r.src_w, r.src_h, r.width, r.height) == (w, h, 4, 4)
+        if d % 4 == 0:
+            assert r.format == "jpeg" and r.sum_r is None
+        else:
+            exp = [0, 0, 0]
+            for y in range(4):
+                for x in range(4):
+                    sy, sx = y * h // 4, x * w // 4
+                    for c in range(3):
+                        exp[c] += (d * 7 + (sy * w + sx) * 3 + c) % 256
+            assert [r.sum_r, r.sum_g, r.sum_b] == exp
+
+    dl = resize_images(
+        synth_images(ids).withColumn(
+            "media",
+            F.when(F.col("doc_id") == 2, F.expr("substring(media, 1, 20)"))
+            .otherwise(F.col("media")),
+        ),
+        4, 4, strict=False,
+    ).collect()
+    bad = [r for r in dl if r.doc_id == 2]
+    assert len(bad) == 1 and bad[0].err == "truncated PNG chunk"
+    assert all(r.err is None for r in dl if r.doc_id != 2)
