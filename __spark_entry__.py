@@ -57,6 +57,7 @@ _FRONT = (
     "similarity_ivf_recall",
     "multimodal_audio_features",
     "multimodal_resize_real",
+    "corpus_training_order",
     # last driver evidence = r02 (46 names, oldest first window cohort):
     "customers_without_orders",
     "customers_with_orders_semi",

@@ -64,6 +64,53 @@ def shard_of(id_col: str, n_shards: int):
     return h16.cast("long") % n_shards
 
 
+def training_order(documents: DataFrame, id_col: str = "doc_id",
+                   n_shards: int = 256) -> DataFrame:
+    """Deterministic global training order — the export 'shuffle': every
+    doc gets a dense 0-based position in md5(id) order (uniform w.r.t.
+    content, reproducible across runs/engines — the property
+    ``df.orderBy(rand())`` lacks).
+
+    Scale shape: a naive global ``row_number`` collapses to ONE partition.
+    Instead: the leading md5 BYTE is a range shard (prefix-contiguous, so
+    shard-asc + hash-asc IS global hash order); rank within each shard's
+    parallel window, then add the shard's offset via a prefix sum over the
+    256-row shard-count table, broadcast back.  Two narrow shuffles (shard
+    window + the broadcast join); the only serial step is the 256-row
+    cumulative sum.  Same decomposition at any corpus size — the md5
+    prefix is uniform, so shards stay balanced."""
+    from pyspark.sql import Window
+
+    if n_shards != 256:
+        raise ValueError("n_shards must be 256 (one md5 leading byte per shard)")
+    h = F.md5(F.col(id_col).cast("string"))
+    ranked = documents.select(F.col(id_col), h.alias("__h")).withColumn(
+        "__shard", F.conv(F.substring("__h", 1, 2), 16, 10).cast("int")
+    ).withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("__shard").orderBy(F.col("__h").asc(), F.col(id_col).asc())
+        ),
+    )
+    counts = ranked.groupBy("__shard").agg(F.count("*").alias("__n"))
+    offsets = counts.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum("__n").over(
+                Window.orderBy("__shard").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("__shard", "__off")
+    return (
+        ranked.join(F.broadcast(offsets), "__shard")
+        .select(
+            F.col(id_col),
+            (F.col("__off") + F.col("__rn") - 1).cast("long").alias("train_order"),
+        )
+    )
+
+
 def pack_chunks(
     documents: DataFrame,
     budget: int,

@@ -399,6 +399,17 @@ def q_multimodal_decode_deadletter(spark: SparkSession, sf_dir: str) -> DataFram
     return decode_images(synth_images(docs, corrupt_every=10), strict=False)
 
 
+def q_corpus_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6: deterministic global training order (the export shuffle) —
+    dense md5-order positions computed with parallel per-byte-shard
+    windows + a broadcast prefix sum instead of a one-partition global
+    window.  The oracle is the direct global ROW_NUMBER, so the sharded
+    decomposition must agree with it exactly, position by position."""
+    from ..operators.curation import training_order
+
+    return training_order(load_table(spark, sf_dir, "documents"))
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r6: REAL image resize — nearest-neighbor over actually-decoded PNG
     pixels to a fixed 4×4 (the normalize-for-training shape), emitting
@@ -682,6 +693,7 @@ QUERIES = {
     "multimodal_audio_decode": q_multimodal_audio,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_resize_real": q_multimodal_resize,
+    "corpus_training_order": q_corpus_training_order,
     "multimodal_video_frames": q_multimodal_video,
     # round-3 late additions — __spark_entry__._BACK defers these to the
     # END of the registry (driver window protection); front them in round 4:
@@ -1518,6 +1530,15 @@ ORACLES = {
         SELECT p.doc_id, 'wav' AS format, p.channels, p.sample_rate,
                p.n_frames, t.s_sum, t.s_min, t.s_max
         FROM params p JOIN stats t USING (doc_id)
+    """,
+    # training order: the oracle is the naive global row_number; the
+    # engine's sharded prefix-sum decomposition must reproduce it exactly.
+    "corpus_training_order": """
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+               ) - 1 AS BIGINT) AS train_order
+        FROM documents
     """,
     # real resize oracle: output pixel (x,y,c) of doc d sources
     # (sx, sy) = (x*w//4, y*h//4), value (d*7 + (sy*w + sx)*3 + c) % 256.

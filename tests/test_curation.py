@@ -387,3 +387,26 @@ def test_write_training_shards_manifest_matches_files(spark, tmp_path):
     # round trip preserves every doc exactly once
     assert back.select("doc_id").distinct().count() == 200
     assert back.count() == 200
+
+
+def test_training_order_dense_and_matches_global_sort(spark):
+    import hashlib
+
+    from postgres_debezium_clickhouse_spark.operators.curation import training_order
+
+    docs = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    out = {r.doc_id: r.train_order for r in training_order(docs).collect()}
+    assert sorted(out.values()) == list(range(500))          # dense permutation
+    expected = sorted(out, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d))
+    assert [out[d] for d in expected] == list(range(500))    # exact md5 order
+    # plan: the DATA-side rank window is hash-partitioned by shard (the
+    # scale point); the only single-partition step is the 256-row
+    # shard-count prefix sum, which sits above a count aggregate.
+    plan = training_order(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(__shard" in plan
+    import re as _re
+
+    # no SinglePartition exchange feeds directly from the corpus scan —
+    # each one must consume the (256-row) aggregate
+    for m in _re.finditer(r"Exchange SinglePartition[\s\S]{0,400}", plan):
+        assert "HashAggregate" in m.group(0)
