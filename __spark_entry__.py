@@ -58,6 +58,7 @@ _FRONT = (
     "multimodal_audio_features",
     "multimodal_resize_real",
     "corpus_training_order",
+    "corpus_vocab_coverage",
     # last driver evidence = r02 (46 names, oldest first window cohort):
     "customers_without_orders",
     "customers_with_orders_semi",

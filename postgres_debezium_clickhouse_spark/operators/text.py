@@ -173,6 +173,48 @@ def vocab_topk(documents: DataFrame, k: int = 100, text_col: str = "text") -> Da
     return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
 
 
+def vocab_coverage(documents: DataFrame, ks: list[int] | None = None,
+                   text_col: str = "text") -> DataFrame:
+    """Tokenizer-design report: for each candidate vocabulary size ``k``,
+    what fraction of all token OCCURRENCES the top-``k`` vocabulary covers
+    (count-desc, token-asc cut — same deterministic line as
+    ``vocab_topk``).  The curve that picks a vocab size before training a
+    tokenizer on the corpus.
+
+    One explode + one map-side-combinable token groupBy; the top-max(k)
+    cut is a driver-free global sort-limit (TakeOrderedAndProject — never
+    a one-partition window over the full vocab), the rank window then runs
+    over ≤max(k) rows, and the occurrence total folds off the count table
+    — no second corpus scan."""
+    from pyspark.sql import Window
+
+    ks = ks or [10, 30, 100]
+    counts = (
+        documents.select(F.explode(_tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(max(ks))
+    ranked = top.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("token").asc()))
+    )
+    total = ranked.agg(F.sum("n").alias("__total"))
+    rows = [
+        ranked.filter(F.col("rnk") <= k)
+        .agg(F.sum("n").alias("covered"))
+        .select(F.lit(k).alias("k"), "covered")
+        for k in sorted(ks)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.join(F.broadcast(total)).select(
+        "k",
+        F.col("covered").cast("long").alias("covered"),
+        F.round(F.col("covered") / F.col("__total"), 6).alias("coverage"),
+    )
+
+
 def tfidf_top_terms(
     documents: DataFrame,
     k: int = 3,

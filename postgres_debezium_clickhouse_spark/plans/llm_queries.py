@@ -399,6 +399,15 @@ def q_multimodal_decode_deadletter(spark: SparkSession, sf_dir: str) -> DataFram
     return decode_images(synth_images(docs, corrupt_every=10), strict=False)
 
 
+def q_corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6: vocabulary-coverage curve — fraction of token occurrences
+    covered by the top-k vocab at k ∈ {10, 30, 100}; the report that sizes
+    a tokenizer's vocabulary before training it."""
+    from ..operators.text import vocab_coverage
+
+    return vocab_coverage(load_table(spark, sf_dir, "documents"))
+
+
 def q_corpus_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r6: deterministic global training order (the export shuffle) —
     dense md5-order positions computed with parallel per-byte-shard
@@ -694,6 +703,7 @@ QUERIES = {
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_resize_real": q_multimodal_resize,
     "corpus_training_order": q_corpus_training_order,
+    "corpus_vocab_coverage": q_corpus_vocab_coverage,
     "multimodal_video_frames": q_multimodal_video,
     # round-3 late additions — __spark_entry__._BACK defers these to the
     # END of the registry (driver window protection); front them in round 4:
@@ -1530,6 +1540,25 @@ ORACLES = {
         SELECT p.doc_id, 'wav' AS format, p.channels, p.sample_rate,
                p.n_frames, t.s_sum, t.s_min, t.s_max
         FROM params p JOIN stats t USING (doc_id)
+    """,
+    # vocab coverage: rank tokens by (count desc, token asc), sum counts
+    # at each k cut over the grand total.
+    "corpus_vocab_coverage": """
+        WITH counts AS (
+            SELECT token, COUNT(*) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+            GROUP BY token
+        ),
+        ranked AS (
+            SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rnk
+            FROM counts
+        ),
+        total AS (SELECT SUM(n) AS t FROM counts)
+        SELECT k.k AS k,
+               CAST((SELECT SUM(n) FROM ranked WHERE rnk <= k.k) AS BIGINT) AS covered,
+               ROUND((SELECT SUM(n) FROM ranked WHERE rnk <= k.k) * 1.0
+                     / (SELECT t FROM total), 6) AS coverage
+        FROM (VALUES (10), (30), (100)) k(k)
     """,
     # training order: the oracle is the naive global row_number; the
     # engine's sharded prefix-sum decomposition must reproduce it exactly.

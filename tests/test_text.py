@@ -213,3 +213,17 @@ def test_strip_markup_blocks_entities_and_malformed(spark):
     assert out[5].clean == "broken <tag attr=\"unclosed still fine"  # no closing > → not a tag
     assert out[6].clean == "lots of whitespace"
     assert out[1].n_removed == len(rows[0][1]) - len("Hello world")
+
+
+def test_vocab_coverage_curve(spark):
+    from postgres_debezium_clickhouse_spark.operators.text import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b d")],
+        ["doc_id", "text"],
+    )
+    out = {r.k: r for r in vocab_coverage(docs, ks=[1, 2, 4]).collect()}
+    # counts: a=4 b=3 c=1 d=1 (total 9); ties broken token-asc
+    assert out[1].covered == 4 and abs(out[1].coverage - 4 / 9) < 1e-6
+    assert out[2].covered == 7
+    assert out[4].covered == 9 and out[4].coverage == 1.0
