@@ -59,6 +59,7 @@ _FRONT = (
     "multimodal_resize_real",
     "corpus_training_order",
     "corpus_vocab_coverage",
+    "stream_dedup_new_docs",
     # last driver evidence = r02 (46 names, oldest first window cohort):
     "customers_without_orders",
     "customers_with_orders_semi",

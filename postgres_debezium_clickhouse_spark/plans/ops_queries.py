@@ -645,6 +645,68 @@ def stream_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6: ingest-time dedup against the EXISTING corpus — the streaming
+    half of ``incremental_dedup``: new documents arrive as a stream and
+    pass only if their content digest is absent from the static corpus
+    digest set (stream-static LEFT ANTI join; the corpus side is a
+    digest-only projection, never the full text).  Within-batch
+    duplicates deliberately pass — deduping inside the stream is
+    ``stream_stateful_dedup``'s job; composing the two gives the full
+    ingest gate.
+
+    Scale: the static side is one digest column (32B/doc); Spark
+    broadcasts it per micro-batch under the configured threshold, else
+    shuffles the (small) batch against it — either way the corpus text is
+    scanned once at stream start, not per trigger."""
+    from ..operators.dedup import normalize_text
+    from ..sources.files import load_table
+
+    run = uuid.uuid4().hex[:12]
+    root = tempfile.gettempdir()
+    src = f"{root}/sdd_src_{run}"
+    out = f"{root}/sdd_out_{run}"
+    ckpt = f"{root}/sdd_ckpt_{run}"
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus_digests = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .select(F.sha2(normalize_text(), 256).alias("__digest"))
+        .distinct()
+    )
+    new_docs = docs.filter(F.col("doc_id") % 5 == 0)
+    new_docs.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(new_docs.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    from ..streaming.pipeline import Pipeline
+
+    pipe = Pipeline(spark)
+    mv = pipe.register_mv(
+        f"sdd_mv_{run}",
+        stream,
+        lambda df: df.withColumn("__digest", F.sha2(normalize_text(), 256))
+        .join(corpus_digests, "__digest", "left_anti")
+        .select("doc_id"),
+        out,
+        ckpt,
+        available_now=True,
+    )
+    try:
+        if not mv.query.awaitTermination(300):
+            mv.query.stop()
+            raise TimeoutError(
+                "stream did not finish in 300s — refusing to "
+                "return a partial result"
+            )
+    finally:
+        pipe.drop_mv(f"sdd_mv_{run}")
+    return spark.read.parquet(out)
+
+
 def stream_drift_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r6: schema-drift alert → ACTION.  ``stream_schema_drift`` detects;
     this query reacts: each micro-batch is split by ``split_on_drift``
@@ -721,6 +783,7 @@ QUERIES = {
     "stream_schema_drift": stream_schema_drift,
     "stream_ann_assign": stream_ann_assign,
     "stream_drift_quarantine": stream_drift_quarantine,
+    "stream_dedup_new_docs": stream_dedup_new_docs,
     "synthetic_transactions": synthetic_transactions,
     "stream_bronze_archive": stream_bronze_archive,
     "stream_silver_state": stream_silver_state,
@@ -763,6 +826,15 @@ ORACLES: dict[str, str] = {
         SELECT vec_id, CAST(i AS INT) AS cell FROM
         (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, i) AS rn FROM d)
         WHERE rn = 1
+    """,
+    # ingest dedup vs static corpus: survivors are the %5==0 docs whose
+    # normalized text exists in no %5!=0 doc (within-batch dups pass by
+    # contract — the anti join is against the CORPUS only).
+    "stream_dedup_new_docs": """
+        SELECT doc_id FROM documents d
+        WHERE doc_id % 5 = 0
+          AND lower(trim(text)) NOT IN (
+              SELECT lower(trim(text)) FROM documents WHERE doc_id % 5 <> 0)
     """,
     # routing oracle: loyalty_tier (unknown field) appears iff
     # o_orderkey % 5 = 0 — so the quarantine/conforming row counts and
