@@ -516,3 +516,84 @@ def quantize_embeddings(corpus: DataFrame, id_col: str = "vec_id") -> DataFrame:
             F.round(F.array_max(F.expr(err)), 6).alias("max_abs_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF index persistence — the deployed-index serving shape (r6)
+# ---------------------------------------------------------------------------
+
+def ivf_write_index(corpus: DataFrame, path: str,
+                    centroids_df: DataFrame | None = None,
+                    n_centroids: int = 16, id_col: str = "vec_id") -> None:
+    """Materialize an IVF index on disk: vectors partitioned BY CELL
+    (``path/cell=<k>/part-*.parquet``) plus the centroid table as a
+    ``_centroids`` sidecar (underscore prefix → invisible to Spark's data
+    reads of ``path``).  This is the index-BUILD batch job of a deployed
+    ANN system; probes then touch only the probed cells' directories —
+    Spark's partition pruning is the cell-level inverted-list seek.
+
+    One shuffle keyed on the (bounded-cardinality) cell id; raise
+    ``n_centroids`` so cells stay executor-sized at corpus scale."""
+    cents = (
+        centroids_df if centroids_df is not None
+        else ivf_centroids_df(corpus, n_centroids, id_col).localCheckpoint()
+    )
+    assigned = assign_ivf_cells(as_double_vec(corpus), cents)
+    (
+        assigned.select(id_col, "v", "cell")
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/_centroids")
+
+
+def ivf_search_index(spark, path: str, queries: DataFrame, k: int = 5,
+                     n_probe: int = 2, id_col: str = "vec_id",
+                     query_id_col: str = "query_id") -> DataFrame:
+    """Probe a persisted IVF index: pick each query's ``n_probe`` nearest
+    cells from the ``_centroids`` sidecar, then scan ONLY those cells'
+    partitions (a literal ``cell IN (...)`` filter → static partition
+    pruning; the plan's PartitionFilters prove the unprobed cells' files
+    are never opened — asserted in tests/test_similarity.py).  Same
+    semantics and tie-breaks as ``ivf_ann_topk_table``, so results are
+    bit-identical to the in-memory variants at equal centroids.
+
+    The probed-cell collect is ≤ |queries|·n_probe ints — index metadata,
+    same bounded-driver-state class as the ≤256-cell literal seed."""
+    from pyspark.sql import Window
+
+    cents = spark.read.parquet(f"{path}/_centroids")
+    carr = _centroid_array(cents)
+    d2 = D2.format(a="v", b="s.ctr")
+    probes = (
+        f"transform(slice(array_sort(transform(__cents, s -> struct({d2} as d, s.i as i)))"
+        f", 1, {n_probe}), s -> s.i)"
+    )
+    q = (
+        as_double_vec(queries)
+        .join(F.broadcast(carr))
+        .withColumn("__cell_raw", F.explode(F.expr(probes)))
+        .select(
+            F.col(query_id_col),
+            F.col("v").alias("qv"),
+            F.col("__cell_raw").cast("int").alias("cell"),
+        )
+    )
+    probed = sorted({r.cell for r in q.select("cell").distinct().collect()})
+    index = spark.read.parquet(path).where(F.col("cell").isin(probed))
+    dot = F.expr(DOT.format(a="qv", b="cv"))
+    qn = F.expr(NORM.format(a="qv"))
+    cn = F.expr(NORM.format(a="cv"))
+    scored = (
+        index.select(F.col(id_col), F.col("v").alias("cv"), F.col("cell").cast("int").alias("cell"))
+        .join(F.broadcast(q), "cell")
+        .withColumn("cosine", F.round(dot / (qn * cn), 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "cosine")
+    )

@@ -399,6 +399,25 @@ def q_multimodal_decode_deadletter(spark: SparkSession, sf_dir: str) -> DataFram
     return decode_images(synth_images(docs, corrupt_every=10), strict=False)
 
 
+def q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6: PERSISTED IVF index probe — build the cell-partitioned index on
+    disk (centroid sidecar + vectors under ``cell=<k>/``), then search it
+    with static partition pruning (only the probed cells' files are
+    opened).  Same semantics/tie-breaks as the in-memory variants, so the
+    shared similarity_ann_ivf_topk oracle must match bit-for-bit."""
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from ..operators.similarity import ivf_search_index, ivf_write_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    path = f"{_tf.gettempdir()}/ivf_idx_{_uuid.uuid4().hex[:12]}"
+    ivf_write_index(corpus, path, n_centroids=16)
+    return ivf_search_index(spark, path, queries, k=5, n_probe=4)
+
+
 def q_corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r6: vocabulary-coverage curve — fraction of token occurrences
     covered by the top-k vocab at k ∈ {10, 30, 100}; the report that sizes
@@ -704,6 +723,7 @@ QUERIES = {
     "multimodal_resize_real": q_multimodal_resize,
     "corpus_training_order": q_corpus_training_order,
     "corpus_vocab_coverage": q_corpus_vocab_coverage,
+    "similarity_ann_ivf_index": q_ann_ivf_index,
     "multimodal_video_frames": q_multimodal_video,
     # round-3 late additions — __spark_entry__._BACK defers these to the
     # END of the registry (driver window protection); front them in round 4:
@@ -1669,6 +1689,9 @@ ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]
 # plan-literal variant (init = 16 lowest-id vectors, lowest-cell tie-break),
 # so the oracle is shared verbatim — bit-for-bit equality is the point.
 ORACLES["similarity_ann_ivf_table"] = ORACLES["similarity_ann_ivf_topk"]
+# The persisted-index probe (r6) has the SAME index/probe/score contract —
+# build-on-disk + partition-pruned search must be bit-identical too.
+ORACLES["similarity_ann_ivf_index"] = ORACLES["similarity_ann_ivf_topk"]
 
 # int8 scalar quantization: the grid (per-dim corpus min/max) and every
 # floor-based code recomputed in SQL; float steps identically associated

@@ -265,3 +265,35 @@ def test_quantize_embeddings_codes_and_error_bound(spark):
     for r in out.values():
         assert r.max_abs_err <= 10.0 / 256 / 2 + 1e-9
         assert r.n_dims == 3
+
+
+def test_ivf_persisted_index_prunes_partitions_and_matches(spark, tmp_path):
+    from postgres_debezium_clickhouse_spark.operators.similarity import (
+        ivf_ann_topk_table,
+        ivf_search_index,
+        ivf_write_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id < 3").withColumnRenamed("vec_id", "query_id")
+    corpus = emb.filter("vec_id >= 3")
+    path = str(tmp_path / "ivf")
+    ivf_write_index(corpus, path, n_centroids=16)
+
+    out = ivf_search_index(spark, path, queries, k=5, n_probe=2)
+    # bit-identical to the in-memory table variant at equal centroids
+    mem = ivf_ann_topk_table(corpus, queries, k=5, n_centroids=16, n_probe=2)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, mem.collect()))
+
+    # the probe plan must carry a partition filter on cell — unprobed
+    # cells' directories are never opened (the inverted-list seek)
+    import re as _re
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters")[1][:300]
+    assert "cell" in pf
+    # ≤ 3 queries × 2 probes = ≤ 6 distinct cells scanned, not all 16
+    m = _re.search(r"IN \(([0-9, ]+)\)", pf)
+    assert m, f"no IN-list partition filter: {pf}"
+    cells = {int(x) for x in m.group(1).replace(" ", "").split(",")}
+    assert 0 < len(cells) <= 6
