@@ -65,6 +65,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "similarity_ann_ivf_table", # scalar attach: 1-row broadcast centroid array (index metadata)
         "embedding_quantize",       # scalar attach: 1-row broadcast min/max grid (dim-sized)
         "corpus_vocab_coverage",    # scalar attach: 1-row broadcast occurrence total
+        "similarity_ann_ivf_index", # scalar attach: 1-row broadcast centroid array (index metadata)
     }
     oracle_checked = set(m.oracle_sql())
     checked = 0
