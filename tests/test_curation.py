@@ -410,3 +410,13 @@ def test_training_order_dense_and_matches_global_sort(spark):
     # each one must consume the (256-row) aggregate
     for m in _re.finditer(r"Exchange SinglePartition[\s\S]{0,400}", plan):
         assert "HashAggregate" in m.group(0)
+
+
+def test_training_order_edge_sizes(spark):
+    from postgres_debezium_clickhouse_spark.operators.curation import training_order
+
+    assert training_order(
+        spark.createDataFrame([], "doc_id long")
+    ).count() == 0
+    one = training_order(spark.createDataFrame([(42,)], ["doc_id"])).collect()
+    assert [(r.doc_id, r.train_order) for r in one] == [(42, 0)]

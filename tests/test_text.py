@@ -227,3 +227,34 @@ def test_vocab_coverage_curve(spark):
     assert out[1].covered == 4 and abs(out[1].coverage - 4 / 9) < 1e-6
     assert out[2].covered == 7
     assert out[4].covered == 9 and out[4].coverage == 1.0
+
+
+def test_strip_markup_matches_python_reference_on_adversarial_inputs(spark):
+    """The Spark regexp_replace chain vs an independent Python `re`
+    implementation of the SAME documented spec, over adversarial
+    markup-ish strings (nested brackets, unterminated tags/blocks, entity
+    pileups, mixed case) — catches any Java-regex/spec divergence."""
+    import random
+    import re
+
+    from postgres_debezium_clickhouse_spark.operators.text import strip_markup
+
+    def reference(s: str) -> str:
+        s = re.sub(r"(?is)<script\b[^>]*>.*?</script\s*>", " ", s)
+        s = re.sub(r"(?is)<style\b[^>]*>.*?</style\s*>", " ", s)
+        s = re.sub(r"(?s)<[^>]*>", " ", s)
+        for ent, ch in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                        ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")]:
+            s = s.replace(ent, ch)
+        return re.sub(r"\s+", " ", s).strip()
+
+    rng = random.Random(7)
+    atoms = ["<p>", "</p>", "<ScRiPt>", "</script >", "<style x=1>", "</STYLE>",
+             "<b", ">", "<", "text", "&amp;", "&lt;", "&nbsp;", "a&b", "\n", "\t",
+             "  ", '<a href="x">', "<!-- c -->", "<>", "</>", "x<y>z"]
+    rows = [(i, "".join(rng.choice(atoms) for _ in range(rng.randrange(0, 25))))
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, ["doc_id", "html"])
+    out = {r.doc_id: r.clean for r in strip_markup(docs).collect()}
+    for i, html in rows:
+        assert out[i] == reference(html), f"divergence on {html!r}"
