@@ -141,8 +141,10 @@ def main() -> int:
               f"{round(sum(w[-1] for w in wall_runs.values()), 2)}s wall",
               file=sys.stderr)
 
+    import statistics
+
     timings = {n: min(w) for n, w in wall_runs.items()}   # per-query floor
-    medians = {n: sorted(w)[len(w) // 2] for n, w in wall_runs.items()}
+    medians = {n: round(statistics.median(w), 3) for n, w in wall_runs.items()}
     cpu = {n: min(c) for n, c in cpu_runs.items() if c}
     total = round(sum(timings.values()), 3)
     out = {

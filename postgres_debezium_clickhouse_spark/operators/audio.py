@@ -192,10 +192,8 @@ def audio_energy_windows(media_df: DataFrame, window_frames: int = 16,
                     continue
                 ch, samples = d["channels"], d["samples"]
                 step = window_frames * ch
-                for wi in range(0, max(len(samples), 1), step):
+                for wi in range(0, len(samples), step):  # empty → zero rows
                     win = samples[wi:wi + step]
-                    if not win:
-                        break
                     rows["doc_id"].append(doc_id)
                     rows["window_index"].append(wi // step)
                     rows["n_frames"].append(len(win) // ch)

@@ -225,6 +225,11 @@ def jpeg_dims(blob: bytes) -> dict:
         # marker byte between segments — skip them instead of desyncing.
         while pos + 1 < len(blob) and blob[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= len(blob):
+            # blob ends inside a fill run — indexing blob[pos+1] would
+            # leak IndexError past the ValueError contract the
+            # dead-letter mode's catch depends on
+            raise ValueError("truncated JPEG (fill bytes to EOF)")
         marker = blob[pos + 1]
         if marker == 0xD9:  # EOI
             break

@@ -261,6 +261,48 @@ def assign_ivf_cells(
     )
 
 
+def _probe_cells(queries: DataFrame, carr: DataFrame, n_probe: int,
+                 query_id_col: str) -> DataFrame:
+    """Explode each query to its ``n_probe`` nearest cells against the
+    1-row broadcast centroid array: (query_id, qv, cell).  Shared by every
+    centroid-TABLE probe path so the probe expression (and its lowest-cell
+    tie-break) has exactly one definition."""
+    d2 = D2.format(a="v", b="s.ctr")
+    probes = (
+        f"transform(slice(array_sort(transform(__cents, s -> struct({d2} as d, s.i as i)))"
+        f", 1, {n_probe}), s -> s.i)"
+    )
+    return (
+        as_double_vec(queries)
+        .join(F.broadcast(carr))
+        .withColumn("__cell_raw", F.explode(F.expr(probes)))
+        .select(
+            F.col(query_id_col),
+            F.col("v").alias("qv"),
+            F.col("__cell_raw").cast("int").alias("cell"),
+        )
+    )
+
+
+def _score_topk(c: DataFrame, q: DataFrame, k: int, id_col: str,
+                query_id_col: str) -> DataFrame:
+    """Join probed queries to their cells' candidates, cosine-score, keep
+    top-k per query (cosine desc, id asc tie-break).  The one definition
+    of the scoring contract every IVF variant must match bit-for-bit."""
+    from pyspark.sql import Window
+
+    dot = F.expr(DOT.format(a="qv", b="cv"))
+    qn = F.expr(NORM.format(a="qv"))
+    cn = F.expr(NORM.format(a="cv"))
+    scored = c.join(F.broadcast(q), "cell").withColumn("cosine", F.round(dot / (qn * cn), 6))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "cosine")
+    )
+
+
 def ivf_ann_topk_table(
     corpus: DataFrame,
     queries: DataFrame,
@@ -286,37 +328,11 @@ def ivf_ann_topk_table(
         if centroids_df is not None
         else ivf_centroids_df(corpus, n_centroids, id_col).localCheckpoint()
     )
-    carr = _centroid_array(cents)
     c = assign_ivf_cells(
         as_double_vec(spread_for_compute(corpus)), cents
     ).select(F.col(id_col), F.col("v").alias("cv"), "cell")
-    d2 = D2.format(a="v", b="s.ctr")
-    probes = (
-        f"transform(slice(array_sort(transform(__cents, s -> struct({d2} as d, s.i as i)))"
-        f", 1, {n_probe}), s -> s.i)"
-    )
-    q = (
-        as_double_vec(queries)
-        .join(F.broadcast(carr))
-        .withColumn("__cell_raw", F.explode(F.expr(probes)))
-        .select(
-            F.col(query_id_col),
-            F.col("v").alias("qv"),
-            F.col("__cell_raw").cast("int").alias("cell"),
-        )
-    )
-    dot = F.expr(DOT.format(a="qv", b="cv"))
-    qn = F.expr(NORM.format(a="qv"))
-    cn = F.expr(NORM.format(a="cv"))
-    scored = c.join(F.broadcast(q), "cell").withColumn("cosine", F.round(dot / (qn * cn), 6))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "cosine")
-    )
+    q = _probe_cells(queries, _centroid_array(cents), n_probe, query_id_col)
+    return _score_topk(c, q, k, id_col, query_id_col)
 
 
 def with_ivf_cell(df: DataFrame, centroids: list[list[float]], vec_col: str = "v", out: str = "cell") -> DataFrame:
@@ -562,38 +578,12 @@ def ivf_search_index(spark, path: str, queries: DataFrame, k: int = 5,
 
     The probed-cell collect is ≤ |queries|·n_probe ints — index metadata,
     same bounded-driver-state class as the ≤256-cell literal seed."""
-    from pyspark.sql import Window
-
     cents = spark.read.parquet(f"{path}/_centroids")
-    carr = _centroid_array(cents)
-    d2 = D2.format(a="v", b="s.ctr")
-    probes = (
-        f"transform(slice(array_sort(transform(__cents, s -> struct({d2} as d, s.i as i)))"
-        f", 1, {n_probe}), s -> s.i)"
-    )
-    q = (
-        as_double_vec(queries)
-        .join(F.broadcast(carr))
-        .withColumn("__cell_raw", F.explode(F.expr(probes)))
-        .select(
-            F.col(query_id_col),
-            F.col("v").alias("qv"),
-            F.col("__cell_raw").cast("int").alias("cell"),
-        )
-    )
+    q = _probe_cells(queries, _centroid_array(cents), n_probe, query_id_col)
     probed = sorted({r.cell for r in q.select("cell").distinct().collect()})
-    index = spark.read.parquet(path).where(F.col("cell").isin(probed))
-    dot = F.expr(DOT.format(a="qv", b="cv"))
-    qn = F.expr(NORM.format(a="qv"))
-    cn = F.expr(NORM.format(a="cv"))
-    scored = (
-        index.select(F.col(id_col), F.col("v").alias("cv"), F.col("cell").cast("int").alias("cell"))
-        .join(F.broadcast(q), "cell")
-        .withColumn("cosine", F.round(dot / (qn * cn), 6))
+    c = (
+        spark.read.parquet(path)
+        .where(F.col("cell").isin(probed))
+        .select(F.col(id_col), F.col("v").alias("cv"), F.col("cell").cast("int").alias("cell"))
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "cosine")
-    )
+    return _score_topk(c, q, k, id_col, query_id_col)

@@ -198,7 +198,10 @@ def vocab_coverage(documents: DataFrame, ks: list[int] | None = None,
     ranked = top.withColumn(
         "rnk", F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("token").asc()))
     )
-    total = ranked.agg(F.sum("n").alias("__total"))
+    # denominator = ALL occurrences (the full counts table) — summing the
+    # top-max(ks) cut instead would inflate coverage on any corpus with
+    # more than max(ks) distinct tokens
+    total = counts.agg(F.sum("n").alias("__total"))
     rows = [
         ranked.filter(F.col("rnk") <= k)
         .agg(F.sum("n").alias("covered"))

@@ -171,3 +171,16 @@ def test_resize_images_real_values_and_deadletter(spark):
     bad = [r for r in dl if r.doc_id == 2]
     assert len(bad) == 1 and bad[0].err == "truncated PNG chunk"
     assert all(r.err is None for r in dl if r.doc_id != 2)
+
+
+def test_jpeg_fill_run_to_eof_raises_valueerror():
+    # review finding (r6): a blob ending inside a 0xFF fill run indexed
+    # past the end and leaked IndexError through the dead-letter catch
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xff")
+    with pytest.raises(ValueError):
+        jpeg_dims(b"\xff\xd8\xff\xff\xff")
+    # a legal fill run before a real marker still parses
+    d = jpeg_dims(b"\xff\xd8\xff\xff\xc0" + bytes([0, 17, 8, 0, 2, 0, 3, 3])
+                  + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]) + b"\xff\xd9")
+    assert (d["width"], d["height"]) == (3, 2)

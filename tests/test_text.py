@@ -258,3 +258,17 @@ def test_strip_markup_matches_python_reference_on_adversarial_inputs(spark):
     out = {r.doc_id: r.clean for r in strip_markup(docs).collect()}
     for i, html in rows:
         assert out[i] == reference(html), f"divergence on {html!r}"
+
+
+def test_vocab_coverage_denominator_includes_tail_tokens(spark):
+    # review finding (r6): the total must count ALL occurrences, including
+    # tokens outside the top-max(ks) cut — coverage at k=max(ks) is < 1.0
+    # whenever a tail exists
+    from postgres_debezium_clickhouse_spark.operators.text import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c d e f g")], ["doc_id", "text"]
+    )  # 7 distinct tokens, 10 occurrences
+    out = {r.k: r for r in vocab_coverage(docs, ks=[1, 2]).collect()}
+    assert out[1].covered == 3 and abs(out[1].coverage - 0.3) < 1e-6
+    assert out[2].covered == 5 and abs(out[2].coverage - 0.5) < 1e-6
