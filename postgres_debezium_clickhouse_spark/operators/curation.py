@@ -64,6 +64,58 @@ def shard_of(id_col: str, n_shards: int):
     return h16.cast("long") % n_shards
 
 
+def chunk_content_defined(documents: DataFrame, w: int = 3, modulus: int = 8,
+                          id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Content-defined chunking (the FastCDC idea at token granularity):
+    a chunk boundary falls AFTER token ``i`` whenever the md5 of the
+    ``w``-token window ending at ``i`` hashes to 0 mod ``modulus`` —
+    boundaries depend only on local content, so inserting or deleting a
+    sentence re-chunks ONE neighborhood instead of shifting every
+    subsequent chunk the way fixed sliding windows do.  That makes the
+    emitted chunk fingerprints stable keys for sub-document dedup across
+    crawl snapshots.
+
+    Emits (doc_id, chunk_index, start_token, n_tokens, chunk_md5); mean
+    chunk length ≈ ``modulus`` tokens.
+
+    Scale: pure array expressions — tokenize, one ``filter`` over
+    positions for boundaries, one ``posexplode`` over the chunk spans;
+    no shuffle, no UDF, whole-stage codegen end to end (same narrow shape
+    as ``sliding_window_chunks``)."""
+    tk = F.split(F.col(text_col), " ")
+    # boundary positions: i in [w-1, n-2] where md5(window ending at i) ≡ 0
+    # (never the last token — a trailing boundary would emit an empty
+    # chunk).  The size guard matters: Spark's sequence(a, b) DESCENDS
+    # when a > b, so a doc shorter than w+1 tokens must yield no
+    # boundaries, not a reversed out-of-range position list.
+    bpos = (
+        f"if(size(__tk) >= {w + 1}, "
+        f"filter(sequence({w - 1}, size(__tk) - 2), i -> "
+        f"conv(substring(md5(array_join(slice(__tk, i - {w - 2}, {w}), ' ')), 1, 4), 16, 10) "
+        f"% {modulus} = 0), array())"
+    )
+    # chunk j spans (B[j-1]+1 .. B[j]), with B[-1] = -1 and B[last] = n-1
+    spans = (
+        "zip_with(transform(concat(array(-1), __b), x -> x + 1), "
+        "concat(__b, array(size(__tk) - 1)), (s, e) -> struct(s, e))"
+    )
+    return (
+        documents.filter(F.length(text_col) > 0)
+        .select(F.col(id_col), tk.alias("__tk"))
+        .withColumn("__b", F.expr(bpos))
+        .select(F.col(id_col), "__tk", F.posexplode(F.expr(spans)).alias("chunk_index", "__s"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_index"),
+            F.col("__s.s").cast("long").alias("start_token"),
+            (F.col("__s.e") - F.col("__s.s") + 1).cast("long").alias("n_tokens"),
+            F.md5(
+                F.array_join(F.expr("slice(__tk, __s.s + 1, __s.e - __s.s + 1)"), " ")
+            ).alias("chunk_md5"),
+        )
+    )
+
+
 def training_order(documents: DataFrame, id_col: str = "doc_id",
                    n_shards: int = 256) -> DataFrame:
     """Deterministic global training order — the export 'shuffle': every

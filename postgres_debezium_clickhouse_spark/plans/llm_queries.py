@@ -399,6 +399,16 @@ def q_multimodal_decode_deadletter(spark: SparkSession, sf_dir: str) -> DataFram
     return decode_images(synth_images(docs, corrupt_every=10), strict=False)
 
 
+def q_chunk_content_defined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6: content-defined chunking — rolling-hash boundaries (FastCDC at
+    token granularity), so chunk fingerprints survive insertions across
+    crawl snapshots where fixed windows shift.  The oracle recomputes the
+    boundary rule and every chunk fingerprint in SQL."""
+    from ..operators.curation import chunk_content_defined
+
+    return chunk_content_defined(load_table(spark, sf_dir, "documents"))
+
+
 def q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r6: PERSISTED IVF index probe — build the cell-partitioned index on
     disk (centroid sidecar + vectors under ``cell=<k>/``), then search it
@@ -724,6 +734,7 @@ QUERIES = {
     "corpus_training_order": q_corpus_training_order,
     "corpus_vocab_coverage": q_corpus_vocab_coverage,
     "similarity_ann_ivf_index": q_ann_ivf_index,
+    "chunk_content_defined": q_chunk_content_defined,
     "multimodal_video_frames": q_multimodal_video,
     # round-3 late additions — __spark_entry__._BACK defers these to the
     # END of the registry (driver window protection); front them in round 4:
@@ -1560,6 +1571,30 @@ ORACLES = {
         SELECT p.doc_id, 'wav' AS format, p.channels, p.sample_rate,
                p.n_frames, t.s_sum, t.s_min, t.s_max
         FROM params p JOIN stats t USING (doc_id)
+    """,
+    # content-defined chunking: boundary after 0-based token i (w-1 ≤ i ≤
+    # n-2, n ≥ w+1) iff int(md5(window of w tokens ending at i)[:4], 16)
+    # ≡ 0 mod 8; chunk index of token p = boundaries strictly before p.
+    "chunk_content_defined": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+                   FROM documents WHERE length(text) > 0),
+        pos AS (SELECT doc_id, tk, unnest(range(len(tk))) AS i FROM t),
+        b AS (SELECT doc_id, i, tk[i + 1] AS tok,
+                     CASE WHEN i >= 2 AND i <= len(tk) - 2 AND len(tk) >= 4
+                          AND CAST(concat('0x', substr(md5(
+                              array_to_string(tk[i - 1:i + 1], ' ')), 1, 4)) AS BIGINT)
+                              % 8 = 0
+                     THEN 1 ELSE 0 END AS is_b
+              FROM pos),
+        c AS (SELECT doc_id, i, tok,
+                     COALESCE(SUM(is_b) OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ci
+              FROM b)
+        SELECT doc_id, CAST(ci AS INT) AS chunk_index,
+               CAST(MIN(i) AS BIGINT) AS start_token,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_md5
+        FROM c GROUP BY doc_id, ci
     """,
     # vocab coverage: rank tokens by (count desc, token asc), sum counts
     # at each k cut over the grand total.

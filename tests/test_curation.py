@@ -420,3 +420,37 @@ def test_training_order_edge_sizes(spark):
     ).count() == 0
     one = training_order(spark.createDataFrame([(42,)], ["doc_id"])).collect()
     assert [(r.doc_id, r.train_order) for r in one] == [(42, 0)]
+
+
+def test_chunk_content_defined_invariants_and_insertion_stability(spark):
+    from postgres_debezium_clickhouse_spark.operators.curation import (
+        chunk_content_defined,
+    )
+
+    base = "t%d " * 40
+    text = " ".join(f"w{i * 7 % 23}" for i in range(60))
+    docs = spark.createDataFrame([(1, text), (2, "a b"), (3, "single")], ["doc_id", "text"])
+    rows = chunk_content_defined(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # chunks tile each doc exactly: contiguous, complete, non-empty
+    for d, rs in by_doc.items():
+        rs.sort(key=lambda r: r.chunk_index)
+        assert rs[0].start_token == 0
+        assert all(r.n_tokens >= 1 for r in rs)
+        for a, b in zip(rs, rs[1:]):
+            assert b.start_token == a.start_token + a.n_tokens
+    assert sum(r.n_tokens for r in by_doc[1]) == 60
+    assert len(by_doc[2]) == 1 and len(by_doc[3]) == 1  # too short for boundaries
+
+    # THE content-defined property: prepending tokens re-chunks only the
+    # head; chunk fingerprints for the unchanged tail are preserved
+    # (fixed sliding windows would shift and lose every downstream chunk)
+    shifted = spark.createDataFrame([(1, "zzz qqq " + text)], ["doc_id", "text"])
+    orig_md5 = {r.chunk_md5 for r in by_doc[1]}
+    new_md5 = {r.chunk_md5 for r in chunk_content_defined(shifted).collect()}
+    shared = orig_md5 & new_md5
+    assert len(shared) >= len(orig_md5) - 2, (
+        f"insertion destroyed {len(orig_md5) - len(shared)} of {len(orig_md5)} chunks"
+    )
