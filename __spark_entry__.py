@@ -62,6 +62,7 @@ _FRONT = (
     "stream_dedup_new_docs",
     "similarity_ann_ivf_index",
     "chunk_content_defined",
+    "dedup_chunks_crossdoc",
     # last driver evidence = r02 (46 names, oldest first window cohort):
     "customers_without_orders",
     "customers_with_orders_semi",

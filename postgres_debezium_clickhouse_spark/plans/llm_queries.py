@@ -409,6 +409,27 @@ def q_chunk_content_defined(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_content_defined(load_table(spark, sf_dir, "documents"))
 
 
+def q_dedup_chunks_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6: sub-document duplication report — content-defined chunk
+    fingerprints shared by ≥2 documents, with occurrence and document
+    counts (the crawl-data signal exact whole-doc dedup misses: pages
+    sharing boilerplate paragraphs or syndicated spans).  One digest-keyed
+    map-side-combinable groupBy over the shuffle-free chunker."""
+    from ..operators.curation import chunk_content_defined
+
+    chunks = chunk_content_defined(load_table(spark, sf_dir, "documents"))
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("n_tokens").alias("n_tokens"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 def q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r6: PERSISTED IVF index probe — build the cell-partitioned index on
     disk (centroid sidecar + vectors under ``cell=<k>/``), then search it
@@ -735,6 +756,7 @@ QUERIES = {
     "corpus_vocab_coverage": q_corpus_vocab_coverage,
     "similarity_ann_ivf_index": q_ann_ivf_index,
     "chunk_content_defined": q_chunk_content_defined,
+    "dedup_chunks_crossdoc": q_dedup_chunks_crossdoc,
     "multimodal_video_frames": q_multimodal_video,
     # round-3 late additions — __spark_entry__._BACK defers these to the
     # END of the registry (driver window protection); front them in round 4:
@@ -1595,6 +1617,31 @@ ORACLES = {
                CAST(COUNT(*) AS BIGINT) AS n_tokens,
                md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_md5
         FROM c GROUP BY doc_id, ci
+    """,
+    # cross-doc chunk dedup: the chunker CTE + a digest GROUP BY.
+    "dedup_chunks_crossdoc": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+                   FROM documents WHERE length(text) > 0),
+        pos AS (SELECT doc_id, tk, unnest(range(len(tk))) AS i FROM t),
+        b AS (SELECT doc_id, i, tk[i + 1] AS tok,
+                     CASE WHEN i >= 2 AND i <= len(tk) - 2 AND len(tk) >= 4
+                          AND CAST(concat('0x', substr(md5(
+                              array_to_string(tk[i - 1:i + 1], ' ')), 1, 4)) AS BIGINT)
+                              % 8 = 0
+                     THEN 1 ELSE 0 END AS is_b
+              FROM pos),
+        c AS (SELECT doc_id, i, tok,
+                     COALESCE(SUM(is_b) OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ci
+              FROM b),
+        ch AS (SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_md5,
+                      COUNT(*) AS n_tokens
+               FROM c GROUP BY doc_id, ci)
+        SELECT chunk_md5, COUNT(*) AS n_occurrences,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               MIN(doc_id) AS first_doc_id,
+               CAST(MAX(n_tokens) AS BIGINT) AS n_tokens
+        FROM ch GROUP BY chunk_md5 HAVING COUNT(DISTINCT doc_id) >= 2
     """,
     # vocab coverage: rank tokens by (count desc, token asc), sum counts
     # at each k cut over the grand total.
