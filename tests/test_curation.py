@@ -454,3 +454,45 @@ def test_chunk_content_defined_invariants_and_insertion_stability(spark):
     assert len(shared) >= len(orig_md5) - 2, (
         f"insertion destroyed {len(orig_md5) - len(shared)} of {len(orig_md5)} chunks"
     )
+
+
+def test_chunk_content_defined_matches_python_reference(spark):
+    """Boundary rule + chunk assembly vs an independent Python impl of the
+    documented spec, over adversarial token sequences (repeats, n==w
+    edges, alternating patterns)."""
+    import hashlib
+    import random
+
+    from postgres_debezium_clickhouse_spark.operators.curation import (
+        chunk_content_defined,
+    )
+
+    def reference(text, w=3, m=8):
+        tk = text.split(" ")
+        n = len(tk)
+        bs = [i for i in range(w - 1, n - 1)
+              if n >= w + 1
+              and int(hashlib.md5(" ".join(tk[i - w + 1:i + 1]).encode()).hexdigest()[:4], 16) % m == 0]
+        spans, prev = [], 0
+        for b in bs:
+            spans.append((prev, b))
+            prev = b + 1
+        spans.append((prev, n - 1))
+        return [
+            (ci, s, e - s + 1, hashlib.md5(" ".join(tk[s:e + 1]).encode()).hexdigest())
+            for ci, (s, e) in enumerate(spans)
+        ]
+
+    rng = random.Random(11)
+    vocab = ["x", "y", "zz", "w1", "w2"]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 40))))
+            for i in range(40)]
+    rows += [(100, "a a a a a a a a"), (101, "p q r"), (102, "p q r s")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {}
+    for r in chunk_content_defined(docs).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_index, r.start_token, r.n_tokens, r.chunk_md5)
+        )
+    for i, text in rows:
+        assert sorted(got[i]) == reference(text), f"divergence on doc {i}: {text!r}"
