@@ -1603,7 +1603,7 @@ ORACLES = {
         pos AS (SELECT doc_id, tk, unnest(range(len(tk))) AS i FROM t),
         b AS (SELECT doc_id, i, tk[i + 1] AS tok,
                      CASE WHEN i >= 2 AND i <= len(tk) - 2 AND len(tk) >= 4
-                          AND CAST(concat('0x', substr(md5(
+                          AND TRY_CAST(concat('0x', substr(md5(
                               array_to_string(tk[i - 1:i + 1], ' ')), 1, 4)) AS BIGINT)
                               % 8 = 0
                      THEN 1 ELSE 0 END AS is_b
@@ -1625,7 +1625,7 @@ ORACLES = {
         pos AS (SELECT doc_id, tk, unnest(range(len(tk))) AS i FROM t),
         b AS (SELECT doc_id, i, tk[i + 1] AS tok,
                      CASE WHEN i >= 2 AND i <= len(tk) - 2 AND len(tk) >= 4
-                          AND CAST(concat('0x', substr(md5(
+                          AND TRY_CAST(concat('0x', substr(md5(
                               array_to_string(tk[i - 1:i + 1], ' ')), 1, 4)) AS BIGINT)
                               % 8 = 0
                      THEN 1 ELSE 0 END AS is_b
