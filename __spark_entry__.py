@@ -63,6 +63,7 @@ _FRONT = (
     "similarity_ann_ivf_index",
     "chunk_content_defined",
     "dedup_chunks_crossdoc",
+    "text_url_extract",
     # last driver evidence = r02 (46 names, oldest first window cohort):
     "customers_without_orders",
     "customers_with_orders_semi",

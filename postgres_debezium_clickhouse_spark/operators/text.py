@@ -218,6 +218,20 @@ def vocab_coverage(documents: DataFrame, ks: list[int] | None = None,
     )
 
 
+def extract_urls(documents: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """URL extraction — one row per ``https?://`` match with its domain
+    (the link-analysis primitive behind link-density quality signals,
+    domain-level dedup, and source attribution in web-scrape pipelines).
+    Whitespace-delimited match, RE2-subset regex → the DuckDB oracle runs
+    the identical pattern.  Map + explode, no shuffle."""
+    urls = F.expr(f"regexp_extract_all({text_col}, 'https?://[^ ]+', 0)")
+    return (
+        documents.select(F.col(id_col), F.explode(urls).alias("url"))
+        .withColumn("domain", F.regexp_extract("url", "^https?://([^/]+)", 1))
+    )
+
+
 def tfidf_top_terms(
     documents: DataFrame,
     k: int = 3,

@@ -409,6 +409,25 @@ def q_chunk_content_defined(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_content_defined(load_table(spark, sf_dir, "documents"))
 
 
+def q_text_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6: URL/domain extraction — deterministic URLs are injected into
+    each document (closed forms of doc_id) and the extractor must recover
+    every one with its domain; the oracle runs the identical RE2-subset
+    regexes in DuckDB."""
+    from ..operators.text import extract_urls
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://src"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/doc/"), F.col("doc_id").cast("string"),
+            F.lit(" and http://cdn.example.org/a/"), (F.col("doc_id") % 13).cast("string"),
+        ).alias("text"),
+    )
+    return extract_urls(docs)
+
+
 def q_dedup_chunks_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r6: sub-document duplication report — content-defined chunk
     fingerprints shared by ≥2 documents, with occurrence and document
@@ -757,6 +776,7 @@ QUERIES = {
     "similarity_ann_ivf_index": q_ann_ivf_index,
     "chunk_content_defined": q_chunk_content_defined,
     "dedup_chunks_crossdoc": q_dedup_chunks_crossdoc,
+    "text_url_extract": q_text_url_extract,
     "multimodal_video_frames": q_multimodal_video,
     # round-3 late additions — __spark_entry__._BACK defers these to the
     # END of the registry (driver window protection); front them in round 4:
@@ -1617,6 +1637,21 @@ ORACLES = {
                CAST(COUNT(*) AS BIGINT) AS n_tokens,
                md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_md5
         FROM c GROUP BY doc_id, ci
+    """,
+    # URL extraction: identical regexes over the same injected-URL text.
+    "text_url_extract": """
+        WITH h AS (
+            SELECT doc_id,
+                   text || ' see https://src' || CAST(doc_id % 7 AS VARCHAR)
+                        || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+                        || ' and http://cdn.example.org/a/' || CAST(doc_id % 13 AS VARCHAR)
+                   AS text
+            FROM documents
+        ),
+        u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^ ]+')) AS url
+              FROM h)
+        SELECT doc_id, url, regexp_extract(url, '^https?://([^/]+)', 1) AS domain
+        FROM u
     """,
     # cross-doc chunk dedup: the chunker CTE + a digest GROUP BY.
     "dedup_chunks_crossdoc": """

@@ -272,3 +272,23 @@ def test_vocab_coverage_denominator_includes_tail_tokens(spark):
     out = {r.k: r for r in vocab_coverage(docs, ks=[1, 2]).collect()}
     assert out[1].covered == 3 and abs(out[1].coverage - 0.3) < 1e-6
     assert out[2].covered == 5 and abs(out[2].coverage - 0.5) < 1e-6
+
+
+def test_extract_urls_domains_and_no_match(spark):
+    from postgres_debezium_clickhouse_spark.operators.text import extract_urls
+
+    docs = spark.createDataFrame(
+        [
+            (1, "visit https://a.example.com/x?q=1 or http://b.org plain"),
+            (2, "no links here"),
+            (3, "bare https://just-domain.io"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = extract_urls(docs).collect()
+    got = {(r.doc_id, r.url, r.domain) for r in rows}
+    assert got == {
+        (1, "https://a.example.com/x?q=1", "a.example.com"),
+        (1, "http://b.org", "b.org"),
+        (3, "https://just-domain.io", "just-domain.io"),
+    }
