@@ -64,6 +64,7 @@ _FRONT = (
     "chunk_content_defined",
     "dedup_chunks_crossdoc",
     "text_url_extract",
+    "corpus_domain_blocklist",
     # last driver evidence = r02 (46 names, oldest first window cohort):
     "customers_without_orders",
     "customers_with_orders_semi",

@@ -428,6 +428,35 @@ def q_text_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_urls(docs)
 
 
+def q_corpus_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6: domain-blocklist gate — documents are dropped when ANY of their
+    extracted URLs lands on a blocked domain (broadcast LEFT ANTI against
+    the blocklist, the standard crawl-curation filter).  Fixture: the
+    injected source domain is blocked for doc_id % 7 ∈ {2, 5}, so the
+    keep-set is closed-form.  Scale: the blocklist is small by nature —
+    always the broadcast side; one map+explode over the corpus."""
+    from ..operators.text import extract_urls
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" via https://src"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/doc/"), F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    blocklist = spark.createDataFrame(
+        [("src2.example.com",), ("src5.example.com",)], ["domain"]
+    )
+    hits = (
+        extract_urls(docs)
+        .join(F.broadcast(blocklist), "domain", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return docs.join(F.broadcast(hits), "doc_id", "left_anti").select("doc_id")
+
+
 def q_dedup_chunks_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r6: sub-document duplication report — content-defined chunk
     fingerprints shared by ≥2 documents, with occurrence and document
@@ -777,6 +806,7 @@ QUERIES = {
     "chunk_content_defined": q_chunk_content_defined,
     "dedup_chunks_crossdoc": q_dedup_chunks_crossdoc,
     "text_url_extract": q_text_url_extract,
+    "corpus_domain_blocklist": q_corpus_domain_blocklist,
     "multimodal_video_frames": q_multimodal_video,
     # round-3 late additions — __spark_entry__._BACK defers these to the
     # END of the registry (driver window protection); front them in round 4:
@@ -1652,6 +1682,10 @@ ORACLES = {
               FROM h)
         SELECT doc_id, url, regexp_extract(url, '^https?://([^/]+)', 1) AS domain
         FROM u
+    """,
+    # blocklist gate: keep docs whose injected source domain is not blocked.
+    "corpus_domain_blocklist": """
+        SELECT doc_id FROM documents WHERE doc_id % 7 NOT IN (2, 5)
     """,
     # cross-doc chunk dedup: the chunker CTE + a digest GROUP BY.
     "dedup_chunks_crossdoc": """
