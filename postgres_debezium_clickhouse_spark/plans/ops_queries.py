@@ -410,6 +410,43 @@ def object_store_typed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _mv_replay(spark: SparkSession, tag: str, source_df: DataFrame,
+               transform, files_per_trigger: int = 2) -> DataFrame:
+    """The shared lifecycle of every registered-MV oracle query: persist
+    the fixture, replay it as a multi-micro-batch stream
+    (``maxFilesPerTrigger`` forces >1 trigger so batch boundaries are
+    actually exercised), register the MV, await with a LOUD timeout (a
+    partial result must never reach the oracle compare), and always drop
+    the registration — a stale entry would make a same-process retry
+    re-register over a live name."""
+    from ..streaming.pipeline import Pipeline
+
+    run = uuid.uuid4().hex[:12]
+    root = tempfile.gettempdir()
+    src = f"{root}/{tag}_src_{run}"
+    out = f"{root}/{tag}_out_{run}"
+    ckpt = f"{root}/{tag}_ckpt_{run}"
+    source_df.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(source_df.schema)
+        .option("maxFilesPerTrigger", str(files_per_trigger))
+        .parquet(src)
+    )
+    pipe = Pipeline(spark)
+    name = f"{tag}_mv_{run}"
+    mv = pipe.register_mv(name, stream, transform, out, ckpt, available_now=True)
+    try:
+        if not mv.query.awaitTermination(300):
+            mv.query.stop()  # don't leave a zombie stream behind the error
+            raise TimeoutError(
+                "stream did not finish in 300s — refusing to "
+                "return a partial result"
+            )
+    finally:
+        pipe.drop_mv(name)
+    return spark.read.parquet(out)
+
+
 def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5 end-to-end: a REGISTERED materialized view (Pipeline.register_mv,
     the CREATE MATERIALIZED VIEW analogue) applying the quality gate to a
@@ -422,44 +459,14 @@ def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.text import quality_score
     from ..sources.files import load_table
-    from ..streaming.pipeline import Pipeline
-
-    run = uuid.uuid4().hex[:12]
-    root = tempfile.gettempdir()
-    src = f"{root}/qmv_src_{run}"
-    out = f"{root}/qmv_out_{run}"
-    ckpt = f"{root}/qmv_ckpt_{run}"
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    docs.repartition(4).write.mode("overwrite").parquet(src)
-    stream = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "2")
-        .parquet(src)
-    )
-    pipe = Pipeline(spark)
-    mv = pipe.register_mv(
-        f"quality_mv_{run}",
-        stream,
+    return _mv_replay(
+        spark, "qmv", docs,
         lambda df: quality_score(df)
         .filter(F.col("keep"))
         .select("doc_id", "token_diversity", "stopword_ratio"),
-        out,
-        ckpt,
-        available_now=True,
     )
-    try:
-        if not mv.query.awaitTermination(300):
-            mv.query.stop()  # don't leave a zombie stream behind the error
-            raise TimeoutError(
-                "stream did not finish in 300s — refusing to "
-                "return a partial result"
-            )
-    finally:
-        # also on the timeout path: a stale registry entry would make a
-        # same-process retry re-register over a live name
-        pipe.drop_mv(f"quality_mv_{run}")
-    return spark.read.parquet(out)
 
 def stream_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r5: the r4 LLM-curation gate running as a REGISTERED streaming MV —
@@ -476,21 +483,6 @@ def stream_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.classifier import classifier_score, pseudo_weights
     from ..operators.text import gopher_rules
     from ..sources.files import load_table
-    from ..streaming.pipeline import Pipeline
-
-    run = uuid.uuid4().hex[:12]
-    root = tempfile.gettempdir()
-    src = f"{root}/fmv_src_{run}"
-    out = f"{root}/fmv_out_{run}"
-    ckpt = f"{root}/fmv_ckpt_{run}"
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    docs.repartition(4).write.mode("overwrite").parquet(src)
-    stream = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "2")
-        .parquet(src)
-    )
 
     weights = pseudo_weights(64)
 
@@ -505,20 +497,8 @@ def stream_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("gopher_ok") & F.col("pred_keep")).alias("keep"),
         )
 
-    pipe = Pipeline(spark)
-    mv = pipe.register_mv(
-        f"filter_mv_{run}", stream, _gate, out, ckpt, available_now=True
-    )
-    try:
-        if not mv.query.awaitTermination(300):
-            mv.query.stop()
-            raise TimeoutError(
-                "stream did not finish in 300s — refusing to "
-                "return a partial result"
-            )
-    finally:
-        pipe.drop_mv(f"filter_mv_{run}")
-    return spark.read.parquet(out)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _mv_replay(spark, "fmv", docs, _gate)
 
 
 def stream_ann_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -540,45 +520,15 @@ def stream_ann_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     subplan never re-scans the corpus."""
     from ..operators.similarity import as_double_vec, assign_ivf_cells, ivf_centroids_df
     from ..sources.files import load_table
-    from ..streaming.pipeline import Pipeline
-
-    run = uuid.uuid4().hex[:12]
-    root = tempfile.gettempdir()
-    src = f"{root}/ann_src_{run}"
-    out = f"{root}/ann_out_{run}"
-    ckpt = f"{root}/ann_ckpt_{run}"
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # The fixed index: same init contract as ivf_ann_topk_table (16
     # lowest-id vectors), frozen so micro-batches share one materialization.
     cents = ivf_centroids_df(emb, n_centroids=16, id_col="vec_id").localCheckpoint()
-
-    emb.repartition(4).write.mode("overwrite").parquet(src)
-    stream = (
-        spark.readStream.schema(emb.schema)
-        .option("maxFilesPerTrigger", "2")
-        .parquet(src)
-    )
-
-    pipe = Pipeline(spark)
-    mv = pipe.register_mv(
-        f"ann_mv_{run}",
-        stream,
+    return _mv_replay(
+        spark, "ann", emb,
         lambda df: assign_ivf_cells(as_double_vec(df), cents).select("vec_id", "cell"),
-        out,
-        ckpt,
-        available_now=True,
     )
-    try:
-        if not mv.query.awaitTermination(300):
-            mv.query.stop()
-            raise TimeoutError(
-                "stream did not finish in 300s — refusing to "
-                "return a partial result"
-            )
-    finally:
-        pipe.drop_mv(f"ann_mv_{run}")
-    return spark.read.parquet(out)
 
 
 def stream_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -662,49 +612,18 @@ def stream_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import normalize_text
     from ..sources.files import load_table
 
-    run = uuid.uuid4().hex[:12]
-    root = tempfile.gettempdir()
-    src = f"{root}/sdd_src_{run}"
-    out = f"{root}/sdd_out_{run}"
-    ckpt = f"{root}/sdd_ckpt_{run}"
-
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus_digests = (
         docs.filter(F.col("doc_id") % 5 != 0)
         .select(F.sha2(normalize_text(), 256).alias("__digest"))
         .distinct()
     )
-    new_docs = docs.filter(F.col("doc_id") % 5 == 0)
-    new_docs.repartition(4).write.mode("overwrite").parquet(src)
-
-    stream = (
-        spark.readStream.schema(new_docs.schema)
-        .option("maxFilesPerTrigger", "2")
-        .parquet(src)
-    )
-    from ..streaming.pipeline import Pipeline
-
-    pipe = Pipeline(spark)
-    mv = pipe.register_mv(
-        f"sdd_mv_{run}",
-        stream,
+    return _mv_replay(
+        spark, "sdd", docs.filter(F.col("doc_id") % 5 == 0),
         lambda df: df.withColumn("__digest", F.sha2(normalize_text(), 256))
         .join(corpus_digests, "__digest", "left_anti")
         .select("doc_id"),
-        out,
-        ckpt,
-        available_now=True,
     )
-    try:
-        if not mv.query.awaitTermination(300):
-            mv.query.stop()
-            raise TimeoutError(
-                "stream did not finish in 300s — refusing to "
-                "return a partial result"
-            )
-    finally:
-        pipe.drop_mv(f"sdd_mv_{run}")
-    return spark.read.parquet(out)
 
 
 def stream_drift_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
