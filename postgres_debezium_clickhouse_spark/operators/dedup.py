@@ -79,18 +79,39 @@ def with_shingles(documents: DataFrame, text_col: str = "text", k: int = 3) -> D
     ).drop("__tk")
 
 
-def minhash_signature(shingled: DataFrame) -> DataFrame:
-    """MinHash signatures: sig_i = min over shingles of md5('i|'||s).
+#: Affine MinHash family over ONE md5 base hash per shingle (r6 — was
+#: md5 per permutation, an 8× hashing overcharge): h(s) = first 32 md5
+#: bits; sig_i = min over shingles of (a_i·h + b_i) mod p with p = 2⁶¹-1.
+#: a_i < 2²⁸ (odd) and h < 2³² keep every product under 2⁶⁰ — no signed-64
+#: overflow in Spark OR DuckDB, so the family stays oracle-portable.  The
+#: constants derive from md5(i) so both engines can regenerate them.
+MINHASH_PRIME = (1 << 61) - 1
+import hashlib as _hashlib  # noqa: E402
 
-    Lexicographic min over md5 hex strings is a valid MinHash family (md5
-    is a uniform permutation of the shingle space) and — unlike Spark's
-    native hash/xxhash64 — portable to the DuckDB oracle.
-    """
+MINHASH_PERMS = [
+    (
+        int(_hashlib.md5(f"a{i}".encode()).hexdigest()[:7], 16) | 1,
+        int(_hashlib.md5(f"b{i}".encode()).hexdigest()[:7], 16),
+    )
+    for i in range(N_BANDS * ROWS_PER_BAND)
+]
+
+
+def minhash_signature(shingled: DataFrame) -> DataFrame:
+    """MinHash signatures: ONE portable base hash per shingle
+    (``int(md5(s)[:8], 16)``), then each of the 8 permutations is pure
+    arithmetic ``(a_i·h + b_i) mod p`` — a universal-hash family, valid
+    for MinHash, and 8× cheaper than hashing per permutation.  All ops
+    reproduce bit-for-bit in the DuckDB oracle (unlike Spark's native
+    hash/xxhash64)."""
+    base = "transform(shingles, s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint))"
     sigs = [
-        F.expr(f"array_min(transform(shingles, s -> md5(concat('{i}|', s))))").alias(f"sig_{i}")
-        for i in range(N_BANDS * ROWS_PER_BAND)
+        F.expr(
+            f"array_min(transform(__hs, h -> ({a}L * h + {b}L) % {MINHASH_PRIME}L))"
+        ).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS)
     ]
-    return shingled.select("*", *sigs)
+    return shingled.withColumn("__hs", F.expr(base)).select("*", *sigs).drop("__hs")
 
 
 def lsh_candidate_pairs(
@@ -123,7 +144,13 @@ def lsh_candidate_pairs(
         *[
             F.struct(
                 F.lit(b).alias("b"),
-                F.concat(*[F.col(f"sig_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]).alias("bkey"),
+                # '|'-separated so integer sigs can't collide by digit
+                # regrouping (concat(12,345) vs concat(123,45))
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"sig_{b * ROWS_PER_BAND + r}").cast("string")
+                      for r in range(ROWS_PER_BAND)],
+                ).alias("bkey"),
             )
             for b in range(N_BANDS)
         ]

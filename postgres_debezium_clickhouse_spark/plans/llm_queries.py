@@ -830,13 +830,31 @@ _SHINGLES = """
 """
 
 #: shared LSH-pair CTE chain (follows _SHINGLES; no trailing comma): MinHash
-#: signatures → band keys → candidate pairs → exact Jaccard
-_MINHASH_PAIR_CTES = """sig AS (SELECT doc_id, ts,
-            list_min(list_transform(ts, s -> md5('0|' || s))) || list_min(list_transform(ts, s -> md5('1|' || s))) AS band0,
-            list_min(list_transform(ts, s -> md5('2|' || s))) || list_min(list_transform(ts, s -> md5('3|' || s))) AS band1,
-            list_min(list_transform(ts, s -> md5('4|' || s))) || list_min(list_transform(ts, s -> md5('5|' || s))) AS band2,
-            list_min(list_transform(ts, s -> md5('6|' || s))) || list_min(list_transform(ts, s -> md5('7|' || s))) AS band3
+#: signatures → band keys → candidate pairs → exact Jaccard.  The affine
+#: permutation constants are IMPORTED from the operator (one definition),
+#: so the oracle regenerates whenever the family changes.
+from ..operators.dedup import MINHASH_PERMS as _MH_PERMS
+from ..operators.dedup import MINHASH_PRIME as _MH_P
+from ..operators.dedup import ROWS_PER_BAND as _MH_R
+
+
+def _mh_band_sql(b: int) -> str:
+    parts = [
+        f"CAST(list_min(list_transform(hs, h -> ({a} * h + {bb}) % {_MH_P})) AS VARCHAR)"
+        for a, bb in _MH_PERMS[b * _MH_R:(b + 1) * _MH_R]
+    ]
+    return " || '|' || ".join(parts)
+
+
+_MINHASH_PAIR_CTES = f"""hsx AS (SELECT doc_id, ts,
+            list_transform(ts, s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)) AS hs
             FROM sh),
+        sig AS (SELECT doc_id, ts,
+            {_mh_band_sql(0)} AS band0,
+            {_mh_band_sql(1)} AS band1,
+            {_mh_band_sql(2)} AS band2,
+            {_mh_band_sql(3)} AS band3
+            FROM hsx),
         bands AS (
             SELECT doc_id, 0 AS b, band0 AS bkey FROM sig UNION ALL
             SELECT doc_id, 1, band1 FROM sig UNION ALL
