@@ -388,19 +388,24 @@ def simhash(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     Linear plan: explode tokens → explode bit positions → two grouped sums.
     Integer-only math ⇒ exact parity with the SQL oracle.
     """
-    toks = spread_for_compute(documents).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
-    ).withColumn("hv", F.expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"))
-    bits = (
-        toks.select(id_col, "hv", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("i"))
-        .withColumn("contrib", F.expr("CASE WHEN ((hv >> i) & 1) = 1 THEN 1 ELSE -1 END"))
-        .groupBy(id_col, "i")
-        .agg(F.sum("contrib").alias("s"))
+    # r6: fully map-only — the old plan exploded 60 bit-rows per token
+    # through a (doc, bit) shuffle; the bit majorities are computable
+    # inside one row from the token-hash array (strict majority via
+    # 2·#set > n, identical to the old contrib-sum > 0 rule), so the
+    # whole operator is now a projection: zero shuffles, zero explodes.
+    hvs = (
+        f"transform(array_distinct(split({text_col}, ' ')), "
+        "t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
+    )
+    sim = (
+        f"aggregate(sequence(0, {SIMHASH_BITS - 1}), cast(0 as bigint), (acc, i) -> "
+        "acc + IF(2 * size(filter(__hvs, h -> ((h >> i) & 1) = 1)) > size(__hvs), "
+        "shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"
     )
     return (
-        bits.groupBy(id_col)
-        .agg(F.sum(F.expr(f"CASE WHEN s > 0 THEN shiftleft(cast(1 as bigint), i) ELSE cast(0 as bigint) END")).alias("simhash"))
+        spread_for_compute(documents)
+        .withColumn("__hvs", F.expr(hvs))
+        .select(F.col(id_col), F.expr(sim).alias("simhash"))
     )
 
 
