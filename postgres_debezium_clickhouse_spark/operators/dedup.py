@@ -81,17 +81,22 @@ def with_shingles(documents: DataFrame, text_col: str = "text", k: int = 3) -> D
 
 #: Affine MinHash family over ONE md5 base hash per shingle (r6 — was
 #: md5 per permutation, an 8× hashing overcharge): h(s) = first 32 md5
-#: bits; sig_i = min over shingles of (a_i·h + b_i) mod p with p = 2⁶¹-1.
-#: a_i < 2²⁸ (odd) and h < 2³² keep every product under 2⁶⁰ — no signed-64
-#: overflow in Spark OR DuckDB, so the family stays oracle-portable.  The
-#: constants derive from md5(i) so both engines can regenerate them.
-MINHASH_PRIME = (1 << 61) - 1
+#: bits reduced mod p; sig_i = min over shingles of (a_i·h + b_i) mod p
+#: with p = 2³¹-1 (Mersenne).  The modulus must be COMPARABLE to the hash
+#: domain so the map actually wraps — with a too-large p the affine map
+#: is order-preserving, every "permutation" picks the same minimal-hash
+#: shingle, and 4-band LSH silently collapses to a single MinHash trial
+#: (r6 review finding; regression-tested below).  a_i ∈ [1, p-1],
+#: h < p ⇒ products < 2⁶² — no signed-64 overflow in Spark OR DuckDB, so
+#: the family stays oracle-portable.  Constants derive from md5(i) so
+#: both engines regenerate together.
+MINHASH_PRIME = (1 << 31) - 1
 import hashlib as _hashlib  # noqa: E402
 
 MINHASH_PERMS = [
     (
-        int(_hashlib.md5(f"a{i}".encode()).hexdigest()[:7], 16) | 1,
-        int(_hashlib.md5(f"b{i}".encode()).hexdigest()[:7], 16),
+        int(_hashlib.md5(f"a{i}".encode()).hexdigest()[:12], 16) % (MINHASH_PRIME - 1) + 1,
+        int(_hashlib.md5(f"b{i}".encode()).hexdigest()[:12], 16) % MINHASH_PRIME,
     )
     for i in range(N_BANDS * ROWS_PER_BAND)
 ]
@@ -104,7 +109,10 @@ def minhash_signature(shingled: DataFrame) -> DataFrame:
     for MinHash, and 8× cheaper than hashing per permutation.  All ops
     reproduce bit-for-bit in the DuckDB oracle (unlike Spark's native
     hash/xxhash64)."""
-    base = "transform(shingles, s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint))"
+    base = (
+        "transform(shingles, s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)"
+        f" % {MINHASH_PRIME}L)"
+    )
     sigs = [
         F.expr(
             f"array_min(transform(__hs, h -> ({a}L * h + {b}L) % {MINHASH_PRIME}L))"
@@ -404,6 +412,10 @@ def simhash(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
     return (
         spread_for_compute(documents)
+        # NULL text must stay absent from the output (the old explode plan
+        # dropped it implicitly; without this filter the map-only plan
+        # would emit simhash = 0 and cluster all NULL docs as near-dups)
+        .filter(F.col(text_col).isNotNull())
         .withColumn("__hvs", F.expr(hvs))
         .select(F.col(id_col), F.expr(sim).alias("simhash"))
     )

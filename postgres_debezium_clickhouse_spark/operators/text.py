@@ -225,7 +225,10 @@ def extract_urls(documents: DataFrame, id_col: str = "doc_id",
     domain-level dedup, and source attribution in web-scrape pipelines).
     Whitespace-delimited match, RE2-subset regex → the DuckDB oracle runs
     the identical pattern.  Map + explode, no shuffle."""
-    urls = F.expr(f"regexp_extract_all({text_col}, 'https?://[^ ]+', 0)")
+    # Spark SQL string literals process backslash escapes, so the regex
+    # needs a DOUBLED backslash at the SQL level to deliver \s to the
+    # engine ('[^\s]' would silently become '[^s]' — match-until-letter-s)
+    urls = F.expr(f"regexp_extract_all({text_col}, 'https?://[^\\\\s]+', 0)")
     return (
         documents.select(F.col(id_col), F.explode(urls).alias("url"))
         .withColumn("domain", F.regexp_extract("url", "^https?://([^/]+)", 1))

@@ -818,6 +818,24 @@ QUERIES = {
     "pack_efficiency": q_pack_efficiency,
 }
 
+#: shared content-defined-chunk CTE chain (token split → boundary rule →
+#: cumulative chunk index) — ONE definition for both chunk oracles, so a
+#: w/modulus/prefix change can never desynchronize them.
+_CDC_CHUNK_CTES = """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+                   FROM documents WHERE length(text) > 0),
+        pos AS (SELECT doc_id, tk, unnest(range(len(tk))) AS i FROM t),
+        b AS (SELECT doc_id, i, tk[i + 1] AS tok,
+                     CASE WHEN i >= 2 AND i <= len(tk) - 2 AND len(tk) >= 4
+                          AND TRY_CAST(concat('0x', substr(md5(
+                              array_to_string(tk[i - 1:i + 1], ' ')), 1, 4)) AS BIGINT)
+                              % 8 = 0
+                     THEN 1 ELSE 0 END AS is_b
+              FROM pos),
+        c AS (SELECT doc_id, i, tok,
+                     COALESCE(SUM(is_b) OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ci
+              FROM b)"""
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -847,7 +865,7 @@ def _mh_band_sql(b: int) -> str:
 
 
 _MINHASH_PAIR_CTES = f"""hsx AS (SELECT doc_id, ts,
-            list_transform(ts, s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)) AS hs
+            list_transform(ts, s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) % {_MH_P}) AS hs
             FROM sh),
         sig AS (SELECT doc_id, ts,
             {_mh_band_sql(0)} AS band0,
@@ -1666,20 +1684,7 @@ ORACLES = {
     # n-2, n ≥ w+1) iff int(md5(window of w tokens ending at i)[:4], 16)
     # ≡ 0 mod 8; chunk index of token p = boundaries strictly before p.
     "chunk_content_defined": """
-        WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
-                   FROM documents WHERE length(text) > 0),
-        pos AS (SELECT doc_id, tk, unnest(range(len(tk))) AS i FROM t),
-        b AS (SELECT doc_id, i, tk[i + 1] AS tok,
-                     CASE WHEN i >= 2 AND i <= len(tk) - 2 AND len(tk) >= 4
-                          AND TRY_CAST(concat('0x', substr(md5(
-                              array_to_string(tk[i - 1:i + 1], ' ')), 1, 4)) AS BIGINT)
-                              % 8 = 0
-                     THEN 1 ELSE 0 END AS is_b
-              FROM pos),
-        c AS (SELECT doc_id, i, tok,
-                     COALESCE(SUM(is_b) OVER (PARTITION BY doc_id ORDER BY i
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ci
-              FROM b)
+        {CDC_CHUNK_CTES}
         SELECT doc_id, CAST(ci AS INT) AS chunk_index,
                CAST(MIN(i) AS BIGINT) AS start_token,
                CAST(COUNT(*) AS BIGINT) AS n_tokens,
@@ -1696,7 +1701,7 @@ ORACLES = {
                    AS text
             FROM documents
         ),
-        u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^ ]+')) AS url
+        u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url
               FROM h)
         SELECT doc_id, url, regexp_extract(url, '^https?://([^/]+)', 1) AS domain
         FROM u
@@ -1707,20 +1712,7 @@ ORACLES = {
     """,
     # cross-doc chunk dedup: the chunker CTE + a digest GROUP BY.
     "dedup_chunks_crossdoc": """
-        WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
-                   FROM documents WHERE length(text) > 0),
-        pos AS (SELECT doc_id, tk, unnest(range(len(tk))) AS i FROM t),
-        b AS (SELECT doc_id, i, tk[i + 1] AS tok,
-                     CASE WHEN i >= 2 AND i <= len(tk) - 2 AND len(tk) >= 4
-                          AND TRY_CAST(concat('0x', substr(md5(
-                              array_to_string(tk[i - 1:i + 1], ' ')), 1, 4)) AS BIGINT)
-                              % 8 = 0
-                     THEN 1 ELSE 0 END AS is_b
-              FROM pos),
-        c AS (SELECT doc_id, i, tok,
-                     COALESCE(SUM(is_b) OVER (PARTITION BY doc_id ORDER BY i
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ci
-              FROM b),
+        {CDC_CHUNK_CTES},
         ch AS (SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_md5,
                       COUNT(*) AS n_tokens
                FROM c GROUP BY doc_id, ci)
@@ -1861,6 +1853,11 @@ ORACLES["similarity_ann_ivf_table"] = ORACLES["similarity_ann_ivf_topk"]
 # The persisted-index probe (r6) has the SAME index/probe/score contract —
 # build-on-disk + partition-pruned search must be bit-identical too.
 ORACLES["similarity_ann_ivf_index"] = ORACLES["similarity_ann_ivf_topk"]
+
+# Splice the shared content-defined-chunk CTE chain into both chunk
+# oracles (one definition — see _CDC_CHUNK_CTES).
+for _k in ("chunk_content_defined", "dedup_chunks_crossdoc"):
+    ORACLES[_k] = ORACLES[_k].replace("{CDC_CHUNK_CTES}", _CDC_CHUNK_CTES)
 
 # int8 scalar quantization: the grid (per-dim corpus min/max) and every
 # floor-based code recomputed in SQL; float steps identically associated

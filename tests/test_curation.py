@@ -427,7 +427,6 @@ def test_chunk_content_defined_invariants_and_insertion_stability(spark):
         chunk_content_defined,
     )
 
-    base = "t%d " * 40
     text = " ".join(f"w{i * 7 % 23}" for i in range(60))
     docs = spark.createDataFrame([(1, text), (2, "a b"), (3, "single")], ["doc_id", "text"])
     rows = chunk_content_defined(docs).collect()

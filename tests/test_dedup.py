@@ -259,3 +259,31 @@ def test_cluster_representatives_policy(spark):
     assert out[9].is_rep and out[9].n_members == 1
     assert out[1].n_members == 3
     assert sum(1 for r in out.values() if r.is_rep) == 2
+
+
+def test_minhash_affine_family_is_not_degenerate():
+    """r6 review regression: with a modulus much larger than the hash
+    domain the affine map never wraps, every 'permutation' is
+    order-preserving, and all 8 signatures pick the same minimal-hash
+    shingle — LSH collapses to ONE MinHash trial.  The family must
+    actually permute: different permutations must select different argmin
+    shingles on a realistic shingle set."""
+    import hashlib
+
+    from postgres_debezium_clickhouse_spark.operators.dedup import (
+        MINHASH_PERMS,
+        MINHASH_PRIME,
+    )
+
+    shingles = [f"tok{i} tok{i+1}" for i in range(200)]
+    hs = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % MINHASH_PRIME
+          for s in shingles]
+    argmins = []
+    for a, b in MINHASH_PERMS:
+        assert 1 <= a < MINHASH_PRIME and 0 <= b < MINHASH_PRIME
+        vals = [(a * h + b) % MINHASH_PRIME for h in hs]
+        assert max(a * h + b for h in hs) > MINHASH_PRIME  # the map DOES wrap
+        argmins.append(vals.index(min(vals)))
+    # 8 independent permutations on 200 shingles: selecting one shared
+    # argmin across all of them is the degenerate signature
+    assert len(set(argmins)) > 1, f"all permutations picked shingle {argmins[0]}"

@@ -282,6 +282,7 @@ def test_extract_urls_domains_and_no_match(spark):
             (1, "visit https://a.example.com/x?q=1 or http://b.org plain"),
             (2, "no links here"),
             (3, "bare https://just-domain.io"),
+            (4, "https://tab.example.com\tafter and https://nl.example.com\nnext"),
         ],
         ["doc_id", "text"],
     )
@@ -291,4 +292,7 @@ def test_extract_urls_domains_and_no_match(spark):
         (1, "https://a.example.com/x?q=1", "a.example.com"),
         (1, "http://b.org", "b.org"),
         (3, "https://just-domain.io", "just-domain.io"),
+        # r6 review regression: ALL whitespace terminates a URL, not just space
+        (4, "https://tab.example.com", "tab.example.com"),
+        (4, "https://nl.example.com", "nl.example.com"),
     }
