@@ -287,3 +287,35 @@ def test_minhash_affine_family_is_not_degenerate():
     # 8 independent permutations on 200 shingles: selecting one shared
     # argmin across all of them is the degenerate signature
     assert len(set(argmins)) > 1, f"all permutations picked shingle {argmins[0]}"
+
+
+def test_minhash_lsh_detects_planted_near_dups(spark):
+    """Behavioral recall guard, deliberately NOT oracle-mirrored: plant
+    high-Jaccard pairs by editing one token of each base doc and assert
+    the banded LSH actually detects (nearly) all of them.  The r6 family
+    regression (degenerate permutations → single MinHash trial → detect
+    probability j instead of 1-(1-j²)⁴) would fail this test while every
+    mirrored oracle stayed green."""
+    import random
+
+    from postgres_debezium_clickhouse_spark.operators.dedup import (
+        minhash_lsh_near_dups,
+    )
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(400)]
+    rows = []
+    n_planted = 30
+    for d in range(n_planted):
+        toks = [rng.choice(vocab) for _ in range(40)]
+        rows.append((d, " ".join(toks)))
+        edited = list(toks)
+        edited[20] = "EDITED"  # one substitution → shingle Jaccard ≈ 0.90
+        rows.append((1000 + d, " ".join(edited)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r.doc_a, r.doc_b)
+             for r in minhash_lsh_near_dups(docs, threshold=0.8).collect()}
+    detected = sum((d, 1000 + d) in pairs for d in range(n_planted))
+    # detect probability per planted pair at j≈0.9: 1-(1-j²)⁴ ≈ 0.9987 —
+    # 30 trials should essentially never miss 3+
+    assert detected >= n_planted - 2, f"only {detected}/{n_planted} planted pairs detected"
