@@ -319,3 +319,35 @@ def test_minhash_lsh_detects_planted_near_dups(spark):
     # detect probability per planted pair at j≈0.9: 1-(1-j²)⁴ ≈ 0.9987 —
     # 30 trials should essentially never miss 3+
     assert detected >= n_planted - 2, f"only {detected}/{n_planted} planted pairs detected"
+
+
+def test_simhash_planted_edits_stay_hamming_close(spark):
+    """Oracle-independent quality guard for the SimHash family: one-token
+    edits must stay Hamming-close while unrelated docs stay far — the
+    separation that makes simhash usable for near-dup bucketing (a
+    degenerate hash family collapses it)."""
+    import random
+
+    from postgres_debezium_clickhouse_spark.operators.dedup import simhash
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(400)]
+    rows = []
+    for d in range(20):
+        toks = [rng.choice(vocab) for _ in range(40)]
+        rows.append((d, " ".join(toks)))
+        edited = list(toks)
+        edited[10] = "EDITED"
+        rows.append((1000 + d, " ".join(edited)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    planted = [ham(sh[d], sh[1000 + d]) for d in range(20)]
+    unrelated = [ham(sh[d], sh[(d + 7) % 20]) for d in range(20)]
+    # edits flip a handful of majority bits; unrelated 60-bit hashes sit
+    # around 30 — the distributions must be cleanly separated
+    assert max(planted) < 15, planted
+    assert sum(unrelated) / len(unrelated) > 20, unrelated
