@@ -297,3 +297,28 @@ def test_ivf_persisted_index_prunes_partitions_and_matches(spark, tmp_path):
     assert m, f"no IN-list partition filter: {pf}"
     cells = {int(x) for x in m.group(1).replace(" ", "").split(",")}
     assert 0 < len(cells) <= 6
+
+
+def test_lsh_ann_planted_copies_always_retrieved(spark):
+    """Behavioral guard for sign-LSH (oracle-independent): an exact copy
+    of a query vector hashes to the SAME bucket by construction (identical
+    hyperplane signs), so it must always come back as the top neighbor
+    with cosine 1.0 — a degenerate plane family would break this."""
+    import random
+
+    from postgres_debezium_clickhouse_spark.operators.similarity import lsh_ann_topk
+
+    rng = random.Random(9)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(5)]
+    corpus_rows = [(100 + i, v) for i, v in vecs]                       # planted copies
+    corpus_rows += [(200 + j, [rng.uniform(-1, 1) for _ in range(64)]) for j in range(50)]
+    corpus = spark.createDataFrame(corpus_rows, ["vec_id", "embedding"])
+    queries = spark.createDataFrame(
+        [(i, v) for i, v in vecs], ["query_id", "embedding"]
+    )
+    top = {}
+    for r in lsh_ann_topk(corpus, queries, k=3, n_planes=4).collect():
+        top.setdefault(r.query_id, []).append((r.cosine, r.neighbor_id))
+    for i in range(5):
+        best = max(top[i])
+        assert best == (1.0, 100 + i), f"query {i}: planted copy not top-1 ({top[i]})"
