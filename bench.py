@@ -147,22 +147,43 @@ def main() -> int:
     medians = {n: round(statistics.median(w), 3) for n, w in wall_runs.items()}
     cpu = {n: min(c) for n, c in cpu_runs.items() if c}
     total = round(sum(timings.values()), 3)
-    out = {
+    # Full detail (every observation, per-query medians/CPU) goes to a FILE —
+    # the driver captures only a 2000-char stdout tail, and the r6 summary
+    # line outgrew it (BENCH_r06 parsed:null).  Stdout gets ONE compact line.
+    detail = {
         "metric": "headline_total",
-        "value": total,               # sum of per-query wall floors
+        "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "value_floor": total,         # alias: value IS the floor (min-of-3)
-        # like-for-like estimator across rounds (r5 advice): the floor
-        # biases lower as PASSES grows, so also publish the per-query
-        # MEDIAN sum — sample-count-insensitive for odd PASSES.
+        "value_floor": total,
         "value_median": round(sum(medians.values()), 3),
         "queries_median": medians,
         "queries_cpu": cpu,           # per-query process-CPU floor (JVM+driver)
         "value_cpu": round(sum(cpu.values()), 3) if cpu else None,
         "runs": wall_runs,            # every observation — noise is auditable
         "passes": PASSES,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_detail.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+        print(f"  full detail -> {detail_path}", file=sys.stderr)
+    except OSError as e:  # never let detail-write failure kill the metric
+        print(f"  detail write failed: {e}", file=sys.stderr)
+    # compact machine-readable summary — MUST be the LAST stdout line
+    out = {
+        "metric": "headline_total",
+        "value": total,               # sum of per-query wall floors (min-of-3)
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        # like-for-like estimator across rounds (r5 advice): the floor
+        # biases lower as PASSES grows; the per-query MEDIAN sum is
+        # sample-count-insensitive for odd PASSES.
+        "value_median": round(sum(medians.values()), 3),
+        "value_cpu": round(sum(cpu.values()), 3) if cpu else None,
     }
     print(json.dumps(out))
     return 0

@@ -28,7 +28,12 @@ from ..functions import (
 )
 from ..operators.transforms import mask_fields, unwrap_envelope
 from ..operators.upsert import apply_cdc
-from ..schemas import CUSTOMER_ENVELOPE, ORDERS_ENVELOPE
+from ..schemas import (
+    CUSTOMER_ENVELOPE,
+    ORDERS_CDC_ROW,
+    ORDERS_ENVELOPE,
+    pruned_envelope,
+)
 from ..sources.cdc import (
     bronze_projection,
     customer_cdc_events,
@@ -40,9 +45,29 @@ from ..sources.cdc import (
 # Spark queries
 # ---------------------------------------------------------------------------
 
+import pyspark.sql.types as _T
 
-def _orders_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return parse_envelope(orders_cdc_events(spark, sf_dir), ORDERS_ENVELOPE)
+#: pruned parse schemas (r7): Catalyst cannot prune from_json here (the
+#: parsed column feeds several expressions, so the Project never collapses
+#: into the GetStructField-over-from_json shape OptimizeJsonExprs rewrites —
+#: verified on the optimized plan), so each query declares exactly the
+#: envelope subtree it consumes and Jackson skips the rest.  Results are
+#: bit-identical to the full-envelope parse (same oracle hashes).
+_ENV_CURRENT = pruned_envelope(
+    ORDERS_CDC_ROW, after=None, before=["o_orderkey"], source=["ts_ms"]
+)
+_ENV_STATUS_PRICE = pruned_envelope(
+    ORDERS_CDC_ROW,
+    after=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    before=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    source=["ts_ms"],
+)
+
+
+def _orders_parsed(
+    spark: SparkSession, sf_dir: str, envelope: _T.StructType = ORDERS_ENVELOPE
+) -> DataFrame:
+    return parse_envelope(orders_cdc_events(spark, sf_dir), envelope)
 
 
 def cdc_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -52,7 +77,7 @@ def cdc_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exercises S1 (static shape), P2, P3, W1, W2, S8, T3, T4(drop), F5, F17.
     """
     p = F.col("j.payload")
-    events = _orders_parsed(spark, sf_dir).select(
+    events = _orders_parsed(spark, sf_dir, _ENV_CURRENT).select(
         F.coalesce(p.after.o_orderkey, p.before.o_orderkey).alias("o_orderkey"),
         p.after.o_custkey.alias("o_custkey"),
         p.after.o_orderstatus.alias("o_orderstatus"),
@@ -124,7 +149,7 @@ def cdc_rewrite_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows with the ``before`` image (delete.handling.mode=rewrite,
     abcsvb-connector-secure.json:33-34)."""
     p = F.col("j.payload")
-    ev = _orders_parsed(spark, sf_dir).select(
+    ev = _orders_parsed(spark, sf_dir, _ENV_STATUS_PRICE).select(
         F.coalesce(p.after.o_orderkey, p.before.o_orderkey).alias("o_orderkey"),
         F.when(p.op == "d", p.before.o_orderstatus).otherwise(p.after.o_orderstatus).alias("o_orderstatus"),
         to_float64(
@@ -163,10 +188,13 @@ def products_usable_vw(spark: SparkSession, sf_dir: str) -> DataFrame:
     wire shapes the reference actually produces (decimal-as-string,
     ISO-8601-with-Z)."""
     from ..functions import to_datetime64, to_int32
-    from ..sources.cdc import PRODUCTS_ENVELOPE_WIRE, products_cdc_events
+    from ..sources.cdc import PRODUCTS_WIRE_ROW, products_cdc_events
 
+    # pruned parse (r7): only before.id is consumed — skip the other four
+    # before-image strings instead of converting them
+    env = pruned_envelope(PRODUCTS_WIRE_ROW, after=None, before=["id"], source=["ts_ms"])
     p = F.col("j.payload")
-    ev = parse_envelope(products_cdc_events(spark, sf_dir), PRODUCTS_ENVELOPE_WIRE).select(
+    ev = parse_envelope(products_cdc_events(spark, sf_dir), env).select(
         F.coalesce(p.after["id"], p.before["id"]).cast("long").alias("key"),
         p.after["id"].alias("id_str"),
         p.after["name"].alias("name"),  # bracket access: .name is Column.name()
@@ -218,7 +246,7 @@ def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.transforms import diff_states
 
     p = F.col("j.payload")
-    events = _orders_parsed(spark, sf_dir).select(
+    events = _orders_parsed(spark, sf_dir, _ENV_STATUS_PRICE).select(
         F.coalesce(p.after.o_orderkey, p.before.o_orderkey).alias("o_orderkey"),
         p.after.o_orderstatus.alias("o_orderstatus"),
         to_float64(p.after.o_totalprice).alias("o_totalprice"),
@@ -269,7 +297,7 @@ def cdc_first_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.upsert import latest_wins
 
     p = F.col("j.payload")
-    events = _orders_parsed(spark, sf_dir).select(
+    events = _orders_parsed(spark, sf_dir, _ENV_STATUS_PRICE).select(
         F.coalesce(p.after.o_orderkey, p.before.o_orderkey).alias("o_orderkey"),
         p.after.o_orderstatus.alias("o_orderstatus"),
         to_float64(p.after.o_totalprice).alias("o_totalprice"),

@@ -493,8 +493,18 @@ def q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
     corpus = emb.filter(F.col("vec_id") >= 5)
     path = f"{_tf.gettempdir()}/ivf_idx_{_uuid.uuid4().hex[:12]}"
-    ivf_write_index(corpus, path, n_centroids=16)
-    return ivf_search_index(spark, path, queries, k=5, n_probe=4)
+    try:
+        ivf_write_index(corpus, path, n_centroids=16)
+        # materialize the (tiny, top-k) result before deleting the index
+        # files it reads — otherwise every invocation leaks a full corpus
+        # copy under tempdir (ADVICE r6)
+        return ivf_search_index(spark, path, queries, k=5, n_probe=4).localCheckpoint(
+            eager=True
+        )
+    finally:
+        import shutil as _sh
+
+        _sh.rmtree(path, ignore_errors=True)
 
 
 def q_corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -434,17 +434,27 @@ def _mv_replay(spark: SparkSession, tag: str, source_df: DataFrame,
     )
     pipe = Pipeline(spark)
     name = f"{tag}_mv_{run}"
-    mv = pipe.register_mv(name, stream, transform, out, ckpt, available_now=True)
     try:
-        if not mv.query.awaitTermination(300):
-            mv.query.stop()  # don't leave a zombie stream behind the error
-            raise TimeoutError(
-                "stream did not finish in 300s — refusing to "
-                "return a partial result"
-            )
+        mv = pipe.register_mv(name, stream, transform, out, ckpt, available_now=True)
+        try:
+            if not mv.query.awaitTermination(300):
+                mv.query.stop()  # don't leave a zombie stream behind the error
+                raise TimeoutError(
+                    "stream did not finish in 300s — refusing to "
+                    "return a partial result"
+                )
+        finally:
+            pipe.drop_mv(name)
+        # materialize the (small) MV result before deleting the run's
+        # scratch dirs it reads from — each invocation used to leak a
+        # src+out+ckpt trio under tempdir (ADVICE r6, same pattern as
+        # q_ann_ivf_index)
+        return spark.read.parquet(out).localCheckpoint(eager=True)
     finally:
-        pipe.drop_mv(name)
-    return spark.read.parquet(out)
+        import shutil as _sh
+
+        for d in (src, out, ckpt):
+            _sh.rmtree(d, ignore_errors=True)
 
 
 def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -748,12 +758,17 @@ ORACLES: dict[str, str] = {
     """,
     # ingest dedup vs static corpus: survivors are the %5==0 docs whose
     # normalized text exists in no %5!=0 doc (within-batch dups pass by
-    # contract — the anti join is against the CORPUS only).
+    # contract — the anti join is against the CORPUS only).  NOT EXISTS,
+    # not NOT IN (ADVICE r6): one NULL corpus text would make NOT IN
+    # return zero rows, while the engine's left-anti join keeps
+    # NULL-digest rows — NOT EXISTS has the matching anti-join semantics.
     "stream_dedup_new_docs": """
-        SELECT doc_id FROM documents d
-        WHERE doc_id % 5 = 0
-          AND lower(trim(text)) NOT IN (
-              SELECT lower(trim(text)) FROM documents WHERE doc_id % 5 <> 0)
+        SELECT d.doc_id FROM documents d
+        WHERE d.doc_id % 5 = 0
+          AND NOT EXISTS (
+              SELECT 1 FROM documents c
+              WHERE c.doc_id % 5 <> 0
+                AND lower(trim(c.text)) = lower(trim(d.text)))
     """,
     # routing oracle: loyalty_tier (unknown field) appears iff
     # o_orderkey % 5 = 0 — so the quarantine/conforming row counts and

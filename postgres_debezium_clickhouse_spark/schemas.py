@@ -76,6 +76,64 @@ def envelope_schema(row_schema: T.StructType) -> T.StructType:
     return T.StructType([T.StructField("payload", payload)])
 
 
+def pruned_envelope(
+    row_schema: T.StructType,
+    *,
+    after: list[str] | None = None,
+    before: list[str] | tuple = (),
+    source: list[str] | tuple = ("ts_ms",),
+    op: bool = True,
+    ts_ms: bool = False,
+    transaction: bool = False,
+) -> T.StructType:
+    """Envelope schema pruned to exactly the fields one query consumes.
+
+    Catalyst's JSON expression optimization cannot prune ``from_json`` here:
+    the parsed column is referenced by several downstream expressions, so
+    CollapseProject keeps the parse in its own Project and the
+    GetStructField-over-from_json pattern the rule rewrites never forms
+    (verified on the optimized plan — the full envelope survived).  Parsing
+    with an explicitly pruned StructType makes Jackson *skip* the unused
+    subtrees (``before`` images, 9 of 10 ``source`` fields, ``transaction``)
+    instead of converting them — measured ~20% of flagship-query CPU at
+    sf0.1 (BASELINE.md r7 note).
+
+    ``after``/``before`` list field names from ``row_schema`` (None = all
+    fields, empty = omit the struct entirely); ``source`` prunes
+    SOURCE_STRUCT the same way.  Field order always follows the registered
+    schema so results are bit-identical to the full parse.
+    """
+
+    def _sub(names, base: T.StructType):
+        if names is None:
+            return base
+        keep = set(names)
+        if not keep:
+            return None
+        missing = keep - {f.name for f in base.fields}
+        if missing:
+            raise ValueError(f"unknown envelope fields: {sorted(missing)}")
+        return T.StructType([f for f in base.fields if f.name in keep])
+
+    fields = []
+    b = _sub(before, row_schema)
+    if b is not None:
+        fields.append(T.StructField("before", b))
+    a = _sub(after, row_schema)
+    if a is not None:
+        fields.append(T.StructField("after", a))
+    s = _sub(source, SOURCE_STRUCT)
+    if s is not None:
+        fields.append(T.StructField("source", s))
+    if op:
+        fields.append(T.StructField("op", T.StringType()))
+    if ts_ms:
+        fields.append(T.StructField("ts_ms", T.LongType()))
+    if transaction:
+        fields.append(T.StructField("transaction", TRANSACTION_STRUCT))
+    return T.StructType([T.StructField("payload", T.StructType(fields))])
+
+
 def key_schema(key_fields: list[tuple[str, T.DataType]]) -> T.StructType:
     """Kafka message key: PK struct (key.json:15-17 ``{"id": 4}``)."""
     payload = T.StructType([T.StructField(n, t) for n, t in key_fields])

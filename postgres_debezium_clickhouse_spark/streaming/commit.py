@@ -137,36 +137,90 @@ class LocalFSCommitBackend(CommitBackend):
 
     def claim_epoch(self, path: str, epoch: int,
                     stale_s: float = EPOCH_CLAIM_STALE_S) -> str:
+        import uuid
+
         os.makedirs(path, exist_ok=True)
         claim = os.path.join(path, f".epoch-{epoch}.claim")
-        for attempt in (0, 1):
-            try:
-                fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
-                os.close(fd)
-                return claim
-            except FileExistsError:
+        nonce = uuid.uuid4().hex
+        # Conditional put via hard link: the claim's content (pid:nonce) is
+        # written to a private file first, then linked into place — link(2)
+        # fails if the name exists (If-None-Match:*) and on success the
+        # claim appears WITH its full content atomically, so readers never
+        # see a half-written owner record.
+        tmp = os.path.join(path, f".epoch-{epoch}.{nonce}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(f"{os.getpid()}:{nonce}")
+        try:
+            for attempt in range(3):
+                try:
+                    os.link(tmp, claim)
+                    return f"{claim}\x00{nonce}"
+                except FileExistsError:
+                    pass
                 try:
                     age = time.time() - os.path.getmtime(claim)
                 except FileNotFoundError:
-                    continue  # claimant just released/stole; retry once
-                if attempt == 0 and age > stale_s:
+                    continue  # claimant just released/was stolen; retry
+                if age > stale_s:
+                    # Steal by ATOMIC rename to an owner-unique grave
+                    # (ADVICE r6): two stealers cannot both win — the
+                    # second rename gets FileNotFoundError and retries,
+                    # where it either links fresh or sees the first
+                    # stealer's new live claim.  The old unlink+create
+                    # steal let the slower stealer unlink the faster one's
+                    # freshly recreated claim.
+                    grave = f"{claim}.stale-{nonce}"
                     try:
-                        os.unlink(claim)  # crashed publisher; steal
+                        os.rename(claim, grave)
                     except FileNotFoundError:
-                        pass
+                        continue
+                    os.unlink(grave)
                     continue
                 raise ManifestCommitError(
                     f"epoch {epoch} at {path} already claimed by a concurrent "
                     f"publisher ({claim}, {age:.0f}s old)"
                 )
-        raise ManifestCommitError(f"could not claim epoch {epoch} at {path}")
+            raise ManifestCommitError(f"could not claim epoch {epoch} at {path}")
+        finally:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
 
     def release_claim(self, token: str) -> None:
+        claim, _, nonce = token.partition("\x00")
+        if not nonce:
+            # pre-nonce token (bare path): best-effort unconditional delete
+            try:
+                os.unlink(claim)
+            except FileNotFoundError:
+                pass
+            return
+        # Delete-if-match (ADVICE r6): a revived publisher whose stale claim
+        # was stolen must NOT delete the new owner's claim.  Take the file
+        # atomically (rename), check the owner record, and restore it via
+        # link-if-absent when it is not ours.  The restore can race a third
+        # claimant in a microscopic window — the manifest CAS remains the
+        # last-line guard there — but the common revived-publisher case is
+        # now a guaranteed no-op instead of a guaranteed clobber.
+        grave = f"{claim}.rel-{nonce}"
         try:
-            os.unlink(token)
+            os.rename(claim, grave)
         except FileNotFoundError:
+            return  # already released / stolen+released
+        try:
+            with open(grave) as fh:
+                owner = fh.read()
+        except OSError:
+            owner = ""
+        if owner.rpartition(":")[2] == nonce:
+            os.unlink(grave)
+            return
+        try:
+            os.link(grave, claim)  # not ours — put it back (if still absent)
+        except FileExistsError:
             pass
+        os.unlink(grave)
 
 
 class InMemoryConditionalPutBackend(CommitBackend):
@@ -179,7 +233,8 @@ class InMemoryConditionalPutBackend(CommitBackend):
     def __init__(self) -> None:
         self._mu = threading.Lock()
         self._manifests: dict[str, dict] = {}
-        self._claims: dict[tuple[str, int], float] = {}  # → created-at
+        #: (root, epoch) → (created-at, owner-nonce)
+        self._claims: dict[tuple[str, int], tuple[float, str]] = {}
 
     def read_manifest(self, path: str) -> dict | None:
         with self._mu:
@@ -202,11 +257,14 @@ class InMemoryConditionalPutBackend(CommitBackend):
 
     def claim_epoch(self, path: str, epoch: int,
                     stale_s: float = EPOCH_CLAIM_STALE_S) -> str:
+        import uuid
+
         key = (os.path.abspath(path), epoch)
+        nonce = uuid.uuid4().hex
         with self._mu:  # the If-None-Match:* put — create-if-absent
-            created = self._claims.get(key)
-            if created is not None:
-                age = time.time() - created
+            cur = self._claims.get(key)
+            if cur is not None:
+                age = time.time() - cur[0]
                 if age <= stale_s:
                     raise ManifestCommitError(
                         f"epoch {epoch} at {path} already claimed by a "
@@ -214,19 +272,28 @@ class InMemoryConditionalPutBackend(CommitBackend):
                     )
                 # stale → crashed publisher; steal (delete + recreate is
                 # one overwrite put here)
-            self._claims[key] = time.time()
-        return f"{key[0]}\x00{epoch}"
+            self._claims[key] = (time.time(), nonce)
+        return f"{key[0]}\x00{epoch}\x00{nonce}"
 
     def release_claim(self, token: str) -> None:
-        root, _, epoch = token.rpartition("\x00")
+        root, epoch, nonce = token.split("\x00")
+        key = (root, int(epoch))
         with self._mu:
-            self._claims.pop((root, int(epoch)), None)
+            cur = self._claims.get(key)
+            # delete-if-match (ADVICE r6, S3/GCS conditional delete): a
+            # revived publisher whose claim was stolen must not release
+            # the new owner's claim
+            if cur is not None and cur[1] == nonce:
+                del self._claims[key]
 
     # -- test hooks (fault injection) ------------------------------------
     def hold_claim(self, path: str, epoch: int, age_s: float = 0.0) -> None:
         """Simulate another publisher's live (or aged) claim."""
         with self._mu:
-            self._claims[(os.path.abspath(path), epoch)] = time.time() - age_s
+            self._claims[(os.path.abspath(path), epoch)] = (
+                time.time() - age_s,
+                "other-publisher",
+            )
 
     def has_claim(self, path: str, epoch: int) -> bool:
         with self._mu:

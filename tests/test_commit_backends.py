@@ -183,3 +183,111 @@ def test_compact_silver_refused_by_live_claim(spark, dirs, commit_backend):
     after = pl._read_manifest(dirs["silver"])
     assert after["version"] == cur["version"]
     assert sorted(after["files"]) == before
+
+
+# ---------------------------------------------------------------------------
+# owner-scoped release + REAL concurrency (VERDICT r6 #5, ADVICE r6)
+# ---------------------------------------------------------------------------
+
+def _age_claim(commit_backend, path, epoch, age_s):
+    """Age an EXISTING claim in place (preserves its owner nonce)."""
+    if commit_backend.kind == "localfs":
+        claim = os.path.join(path, f".epoch-{epoch}.claim")
+        os.utime(claim, (time.time() - age_s, time.time() - age_s))
+    else:
+        b = commit_backend.backend
+        with b._mu:
+            created, nonce = b._claims[(os.path.abspath(path), epoch)]
+            b._claims[(os.path.abspath(path), epoch)] = (created - age_s, nonce)
+
+
+def test_release_is_owner_scoped(tmp_path, commit_backend):
+    """A revived publisher whose stale claim was STOLEN must not release
+    the new owner's claim (delete-if-match) — previously the token was just
+    the path, so the victim's release re-opened the epoch to a third
+    publisher while the thief was still mid-publish."""
+    b, path = commit_backend.backend, str(tmp_path / "store")
+    victim = b.claim_epoch(path, 7)
+    _age_claim(commit_backend, path, 7, 7200)       # victim "crashes"
+    thief = b.claim_epoch(path, 7)                  # stale → stolen
+    b.release_claim(victim)                         # revived victim: no-op
+    assert commit_backend.claim_held(path, 7)       # thief's claim intact
+    with pytest.raises(ManifestCommitError, match="claimed"):
+        b.claim_epoch(path, 7)                      # third publisher rejected
+    b.release_claim(thief)                          # owner release works
+    assert not commit_backend.claim_held(path, 7)
+
+
+def test_threaded_claim_race_exactly_one_winner(tmp_path, commit_backend):
+    """N actual threads race claim_epoch on the SAME epoch — exactly one
+    must win; and when the contested claim is a stale leftover, exactly one
+    STEALS it (the rename-steal closes the old check-then-unlink TOCTOU
+    where two stealers could both proceed)."""
+    import threading
+
+    b, path = commit_backend.backend, str(tmp_path / "store")
+    for seed_stale in (False, True):
+        epoch = 11 if seed_stale else 10
+        if seed_stale:
+            commit_backend.hold_claim(path, epoch, age_s=7200)
+        barrier = threading.Barrier(8)
+        wins, errs = [], []
+
+        def racer():
+            barrier.wait()
+            try:
+                wins.append(b.claim_epoch(path, epoch))
+            except ManifestCommitError:
+                errs.append(1)
+
+        ts = [threading.Thread(target=racer) for _ in range(8)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert len(wins) == 1, f"stale={seed_stale}: {len(wins)} winners"
+        assert len(errs) == 7
+        assert commit_backend.claim_held(path, epoch)
+        b.release_claim(wins[0])
+        assert not commit_backend.claim_held(path, epoch)
+
+
+def test_threaded_commit_manifest_no_version_skipped(tmp_path, commit_backend):
+    """Four writer threads loop CAS commits with injected delays: every
+    version 1..N must be written by EXACTLY one thread (no skips, no double
+    winners), losers always observe ManifestCommitError."""
+    import random
+    import threading
+
+    b, path = commit_backend.backend, str(tmp_path / "store")
+    winners: dict[int, int] = {}
+    mu = threading.Lock()
+    N = 40
+
+    def writer(tid):
+        rnd = random.Random(tid)
+        while True:
+            cur = b.read_manifest(path)
+            cur_v = cur["version"] if cur else 0
+            if cur_v >= N:
+                return
+            time.sleep(rnd.uniform(0, 0.004))  # widen the race window
+            try:
+                b.commit_manifest(
+                    path, {"version": cur_v + 1, "writer": tid},
+                    expected_version=cur_v,
+                )
+            except ManifestCommitError:
+                continue
+            with mu:
+                assert cur_v + 1 not in winners, "two winners for one version"
+                winners[cur_v + 1] = tid
+
+    ts = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert sorted(winners) == list(range(1, N + 1))  # contiguous, no skip
+    assert b.read_manifest(path)["version"] == N
+    assert len(set(winners.values())) > 1  # the race was actually contested

@@ -181,3 +181,31 @@ def test_delete_drop_null_op_rows_survive(spark):
                      tiebreak_col="offset", current=current, delete_mode="rewrite")
     flags = {r.id: r["__deleted"] for r in out2.collect()}
     assert flags == {1: False, 2: False}
+
+
+def test_latest_wins_tie_on_full_version_is_deterministic(spark):
+    """r7: the orderable-payload agg path (max over struct(versions, rest))
+    breaks full-version-tuple ties by the payload's lexicographic order —
+    deterministic, where max_by left the winner arbitrary."""
+    rows = [(1, "zzz", 100, 5), (1, "aaa", 100, 5), (1, "mmm", 100, 5)]
+    df = spark.createDataFrame(rows, ["id", "val", "ts_ms", "offset"])
+    for _ in range(3):
+        out = latest_wins(df, ["id"], ["ts_ms", "offset"])
+        assert [(r.id, r.val) for r in out.collect()] == [(1, "zzz")]
+    first = latest_wins(df, ["id"], ["ts_ms", "offset"], keep="first")
+    assert [(r.id, r.val) for r in first.collect()] == [(1, "aaa")]
+
+
+def test_latest_wins_map_column_falls_back_to_max_by(spark):
+    """MapType payloads are not orderable — the agg strategy must route to
+    the max_by form (struct ordering would fail analysis) and still pick
+    the max-version row."""
+    df = spark.createDataFrame(
+        [(1, {"a": 1}, 100, 1), (1, {"b": 2}, 200, 2)],
+        "id int, m map<string,int>, ts_ms long, offset long",
+    )
+    out = latest_wins(df, ["id"], ["ts_ms", "offset"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "max_by" in plan
+    got = out.collect()
+    assert len(got) == 1 and got[0].m == {"b": 2}
