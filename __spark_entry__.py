@@ -39,67 +39,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # Driver-window insurance (standing order): the driver's CORRECTNESS gate
 # evaluates only the FIRST ~50 entries of queries() in registration order,
 # so the least-driver-validated queries must register first.  Rotation
-# policy (r5 verdict item 4): _FRONT = never-driver-checked names first,
-# then the queries whose LAST driver evidence is oldest (computed from
-# CORRECTNESS_r0*.json).  r5 greened 50; the r2-evidence tail (46 names,
-# untouched by the driver since round 2) now rotates in, plus the two
-# oldest streaming entries from r3.  When adding a query, insert its name
-# at the TOP of _FRONT and drop the tail name to keep the window honest.
+# policy (r5 verdict item 4, r6 verdict item 4): _FRONT = never-checked
+# r7 additions first, then last-evidence cohorts oldest-first (computed
+# from CORRECTNESS_r0*.json: r2 = repeat_buyer_keys + the events_* family
+# that missed r6's cut, then r3 incl. the streaming quartet, then r4),
+# with r5-evidence names filling the remaining slots.  When adding a
+# query, insert its name at the TOP of _FRONT to keep the window honest.
 _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries, analytics)
 
 _FRONT = (
-    # round-6 additions (never driver-checked):
-    "multimodal_decode_deadletter",
-    "corpus_shard_manifest",
-    "stream_ann_assign",
-    "stream_drift_quarantine",
-    "text_html_extract",
-    "similarity_ivf_recall",
-    "multimodal_audio_features",
-    "multimodal_resize_real",
-    "corpus_training_order",
-    "corpus_vocab_coverage",
-    "stream_dedup_new_docs",
-    "similarity_ann_ivf_index",
-    "chunk_content_defined",
-    "dedup_chunks_crossdoc",
-    "text_url_extract",
-    "corpus_domain_blocklist",
-    # last driver evidence = r02 (46 names, oldest first window cohort):
-    "customers_without_orders",
-    "customers_with_orders_semi",
-    "customer_order_counts_outer",
-    "nation_supplier_full_outer",
-    "supplier_balance_ranks",
-    "orders_running_totals",
-    "buyer_segment_setops",
-    "lineitem_cube",
-    "orders_status_dedup",
-    "top_parts_by_price",
-    "segment_distinct_stats",
-    "orders_status_pivot",
-    "salted_customer_revenue",
-    "cdc_json_extract_path",
-    "cdc_rewrite_mode",
-    "cdc_masked_customers",
-    "cdc_bronze_stats",
-    "silver_cross_table_revenue",
-    "cdc_deadletter_stats",
-    "cdc_change_feed",
-    "cdc_multiplex_route",
-    "cdc_first_image",
-    "order_totals",
-    "top_customers",
-    "max_order",
-    "latest_order_per_customer",
-    "lineitem_version_dedup",
-    "pricing_summary",
-    "order_price_buckets",
-    "recent_orders_interval",
-    "line_totals_computed",
-    "check_violation_counts",
-    "segment_stats",
-    "revenue_rollup",
+    # round-7 additions (never driver-checked):
+    "cdc_hotkey_state",
+    "llm_multimodal_pipeline",
+    "stream_late_events",
+    "text_perplexity_separation",
+    "quality_classifier_auc",
+    "text_commonness_separation",
+    # last driver evidence = r02 (missed the r6 window cut):
     "repeat_buyer_keys",
     "events_json_extract",
     "events_hourly_counts",
@@ -111,6 +67,47 @@ _FRONT = (
     "events_errors_after_signup",
     "events_micro_ts_roundtrip",
     "events_value_percentiles",
+    "events_value_anomalies",
+    # last driver evidence = r03 (synthetic_transactions stays in _BACK):
+    "stream_bronze_archive",
+    "stream_silver_state",
+    "cdc_replay_from_bronze",
+    "stream_stateful_dedup",
+    "stream_hourly_counts",
+    "stream_stream_join",
+    "object_store_typed_ingest",
+    "sql_correlated_subquery",
+    "sql_in_subquery",
+    "sql_scalar_subquery_select",
+    "zorder_customer_locality",
+    "orders_trailing_30d_avg",
+    "ddl_view_roundtrip",
+    "multimodal_thumbnails",
+    "multimodal_frames",
+    "trn_passport_ts_version",
+    # last driver evidence = r04:
+    "text_stats",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_count",
+    "text_fingerprint",
+    "multimodal_byte_stats",
+    "text_commonness",
+    "quality_adaptive_filter",
+    "similarity_lsh_recall",
+    "dedup_incremental",
+    "stream_quality_filter",
+    "llm_quality_funnel",
+    "pack_efficiency",
+    # r5-evidence filler for the remaining window slots:
+    "cdc_current_state",
+    "products_usable_vw",
+    "dedup_minhash_lsh",
+    "similarity_ann_ivf_table",
+    "trn_passport_current",
+    "llm_curation_pipeline",
+    "dedup_clusters_star",
+    "text_lm_perplexity",
     # llm_queries / ops_queries / staging_queries follow via _MODULES order.
 )
 

@@ -2130,3 +2130,156 @@ ORACLES["dedup_cluster_keep"] = f"""
                                ORDER BY n_chars DESC, doc_id ASC)) = 1 AS is_rep
     FROM asg
 """
+
+
+# ---------------------------------------------------------------------------
+# r7: oracle-INDEPENDENT quality guards for the mirrored scoring families
+# (the p=2^61-1 MinHash lesson, VERDICT r6 #3).  The text_lm_perplexity /
+# text_commonness / quality_classifier_score oracles MIRROR the engine's
+# constants, so a family-level degeneracy that changes both sides
+# identically is invisible to them.  These queries instead plant a corpus
+# with a KNOWN statistical contrast (fluent common-vocab docs vs gibberish
+# unique-token docs, derived deterministically from the documents fixture's
+# doc_ids) and emit whether the scoring family SEPARATES the classes — the
+# oracle states the expected contrast as closed-form constants it derives
+# from doc_id arithmetic alone, never from the scoring formula.  If the
+# family silently degenerates (all scores collapse, counts stop counting,
+# weights stop training), `separated` flips false and the driver gate
+# fails even though both mirrored formulas would still agree.
+# ---------------------------------------------------------------------------
+
+#: 8-word "fluent" vocabulary for the planted corpora — every fluent token
+#: recurs across a third of the corpus, while each gibberish token appears
+#: exactly once corpus-wide.
+_PLANT_VOCAB = "array('the','quick','brown','fox','jumps','over','a','dog')"
+_PLANT_LEN = 24  # tokens per planted document
+
+
+def _planted_quality_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text, label): label=1 fluent (cyclic draws from the shared
+    8-word vocab, phase-shifted by doc_id), label=0 gibberish (doc_id %
+    3 == 0; tokens ``g<doc_id>x<i>`` unique corpus-wide)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    fluent = F.expr(
+        f"concat_ws(' ', transform(sequence(0, {_PLANT_LEN - 1}),"
+        f" i -> element_at({_PLANT_VOCAB}, cast((i + doc_id) % 8 as int) + 1)))"
+    )
+    gibberish = F.expr(
+        f"concat_ws(' ', transform(sequence(0, {_PLANT_LEN - 1}),"
+        " i -> concat('g', doc_id, 'x', i)))"
+    )
+    is_gib = F.col("doc_id") % 3 == 0
+    return docs.select(
+        "doc_id",
+        F.when(is_gib, gibberish).otherwise(fluent).alias("text"),
+        F.when(is_gib, F.lit(0)).otherwise(F.lit(1)).alias("label"),
+    )
+
+
+def q_perplexity_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-contrast guard for the unigram-LM perplexity family
+    (operators/text.py lm_unigram_logprob): every gibberish doc's ppl must
+    exceed every fluent doc's ppl — unit-count tokens give avg_logprob =
+    −ln(total), the corpus maximum, so a healthy LM separates the classes
+    with a wide margin; a degenerate one (collapsed counts) cannot."""
+    from ..operators.text import lm_unigram_logprob
+
+    corpus = _planted_quality_corpus(spark, sf_dir)
+    scored = lm_unigram_logprob(corpus).join(corpus.select("doc_id", "label"), "doc_id")
+    return scored.groupBy().agg(
+        (
+            F.min(F.when(F.col("label") == 0, F.col("ppl")))
+            > F.max(F.when(F.col("label") == 1, F.col("ppl")))
+        ).alias("separated"),
+        F.count(F.when(F.col("label") == 1, F.lit(1))).alias("n_fluent"),
+        F.count(F.when(F.col("label") == 0, F.lit(1))).alias("n_gibberish"),
+    )
+
+
+def q_commonness_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-contrast guard for the token-commonness family
+    (operators/text.py commonness_score): fluent docs' tokens recur across
+    the corpus (df ≈ n_fluent/... high), gibberish tokens have df = 1, so
+    every fluent doc must out-score every gibberish doc."""
+    corpus = _planted_quality_corpus(spark, sf_dir)
+    scored = commonness_score(corpus).join(corpus.select("doc_id", "label"), "doc_id")
+    return scored.groupBy().agg(
+        (
+            F.min(F.when(F.col("label") == 1, F.col("commonness")))
+            > F.max(F.when(F.col("label") == 0, F.col("commonness")))
+        ).alias("separated"),
+        F.count(F.when(F.col("label") == 1, F.lit(1))).alias("n_fluent"),
+        F.count(F.when(F.col("label") == 0, F.lit(1))).alias("n_gibberish"),
+    )
+
+
+def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out-AUC guard for the learned quality classifier
+    (operators/classifier.py train_quality_classifier → classifier_score):
+    train on the even-doc_id half of the planted corpus, score the odd
+    half, and compute the rank-statistic AUC (average ranks over score
+    ties).  A healthy hashing-trick LR separates the disjoint vocabularies
+    essentially perfectly; a degenerate family (dead buckets, zeroed
+    weights, broken export) collapses AUC toward 0.5 and flips the gate."""
+    from ..operators.classifier import classifier_score, train_quality_classifier
+    from pyspark.sql import Window
+
+    corpus = _planted_quality_corpus(spark, sf_dir)
+    train = corpus.filter(F.col("doc_id") % 2 == 0)
+    test = corpus.filter(F.col("doc_id") % 2 == 1)
+    weights, bias = train_quality_classifier(
+        train, train.select("doc_id", "label"), dim=32
+    )
+    scored = classifier_score(test, weights, bias_milli=bias).join(
+        test.select("doc_id", "label"), "doc_id"
+    )
+    # Mann-Whitney AUC with average ranks over ties (rank() is MIN-rank
+    # for tied scores — no tie-break column in the ordering, or the ties
+    # correction would double-count); the held-out set is intentionally
+    # small (a guard, not a corpus pass), so the one single-partition rank
+    # window is bounded by design.
+    rk = F.rank().over(Window.orderBy("margin_milli")).cast("double")
+    ties = F.count(F.lit(1)).over(Window.partitionBy("margin_milli"))
+    ranked = scored.select(
+        "label", (rk + (ties - F.lit(1)) / F.lit(2.0)).alias("r")
+    )
+    agg = ranked.groupBy().agg(
+        F.sum(F.when(F.col("label") == 1, F.col("r"))).alias("rsum"),
+        F.count(F.when(F.col("label") == 1, F.lit(1))).alias("np"),
+        F.count(F.when(F.col("label") == 0, F.lit(1))).alias("nn"),
+    )
+    auc = (F.col("rsum") - F.col("np") * (F.col("np") + 1) / 2) / (
+        F.col("np") * F.col("nn")
+    )
+    return agg.select(
+        (auc >= 0.9).alias("auc_ge_090"),
+        F.col("np").alias("n_pos_test"),
+        F.col("nn").alias("n_neg_test"),
+    )
+
+
+QUERIES["text_perplexity_separation"] = q_perplexity_separation
+QUERIES["text_commonness_separation"] = q_commonness_separation
+QUERIES["quality_classifier_auc"] = q_classifier_auc
+
+# The oracles state the planted contrast from doc_id arithmetic ALONE —
+# no scoring formula on the oracle side, so an engine/oracle-mirrored
+# degeneracy cannot satisfy them by construction.
+ORACLES["text_perplexity_separation"] = """
+    SELECT true AS separated,
+           COUNT(*) FILTER (WHERE doc_id % 3 <> 0) AS n_fluent,
+           COUNT(*) FILTER (WHERE doc_id % 3 = 0) AS n_gibberish
+    FROM documents
+"""
+ORACLES["text_commonness_separation"] = """
+    SELECT true AS separated,
+           COUNT(*) FILTER (WHERE doc_id % 3 <> 0) AS n_fluent,
+           COUNT(*) FILTER (WHERE doc_id % 3 = 0) AS n_gibberish
+    FROM documents
+"""
+ORACLES["quality_classifier_auc"] = """
+    SELECT true AS auc_ge_090,
+           COUNT(*) FILTER (WHERE doc_id % 3 <> 0) AS n_pos_test,
+           COUNT(*) FILTER (WHERE doc_id % 3 = 0) AS n_neg_test
+    FROM documents WHERE doc_id % 2 = 1
+"""

@@ -69,6 +69,8 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "embedding_quantize",       # scalar attach: 1-row broadcast min/max grid (dim-sized)
         "corpus_vocab_coverage",    # scalar attach: 1-row broadcast occurrence total
         "similarity_ann_ivf_index", # scalar attach: 1-row broadcast centroid array (index metadata)
+        "text_perplexity_separation",  # embeds the perplexity branch (1-row corpus-total attach)
+        "text_commonness_separation",  # embeds the commonness branch (1-row N-docs attach)
     }
     oracle_checked = set(m.oracle_sql())
     checked = 0
