@@ -368,8 +368,50 @@ def cdc_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return schema_drift_report(wire, expected)
 
 
+def cdc_hotkey_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 (VERDICT r6 #6) — skew-stress evidence for the latest-wins
+    upsert: a synthetic micro-batch where 50% of ALL events hit one key
+    (a hot entity receiving an update per source row — the worst realistic
+    CDC skew: one row updated millions of times between triggers).
+
+    Why this is safe at 100 TB without AQE skew-join or salting: the dedup
+    is an AGGREGATION, not a join, and ``latest_wins`` plans a PARTIAL
+    (map-side) aggregate before the key exchange — every map partition
+    collapses the hot key to ONE candidate row locally, so the reduce task
+    for the hot key receives at most n_map_partitions rows regardless of
+    the key's event multiplicity.  Skew is neutralized by construction;
+    AQE skew handling (which only applies to joins) never needs to
+    engage.  tests/test_skew.py asserts the partial-aggregate plan shape
+    on this exact query.
+
+    The hot key is −1 (disjoint from every real o_orderkey) so the final
+    state is closed-form: all snapshot images unchanged + one hot row
+    whose winning update carries the MAX source o_orderkey's image."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    snap = orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit(1_000_000).cast("long").alias("ts_ms"),
+        (F.col("o_orderkey") * 10).alias("offset"),
+        F.lit("r").alias("op"),
+    )
+    hot = orders.select(
+        F.lit(-1).cast("long").alias("key"),
+        F.concat(F.lit("H"), (F.col("o_orderkey") % 10).cast("string")).alias("status"),
+        (F.lit(5_000_000) + F.col("o_orderkey")).alias("ts_ms"),
+        (F.col("o_orderkey") * 10 + 7).alias("offset"),
+        F.lit("u").alias("op"),
+    )
+    merged = apply_cdc(
+        snap.unionByName(hot), keys=["key"], version_col="ts_ms",
+        tiebreak_col="offset", delete_mode="drop",
+    )
+    return merged.select("key", "status", "ts_ms")
+
+
 QUERIES = {
     "cdc_current_state": cdc_current_state,
+    "cdc_hotkey_state": cdc_hotkey_state,
     "cdc_schema_drift": cdc_schema_drift,
     "cdc_json_extract_path": cdc_json_extract_path,
     "cdc_rewrite_mode": cdc_rewrite_mode,
@@ -419,6 +461,17 @@ ORACLES = {
         SELECT 'o_orderpriority', 'missing',
                CAST(COUNT(*) AS BIGINT), CAST(MIN(o_orderkey) AS BIGINT)
         FROM orders HAVING COUNT(*) > 0
+    """,
+    # snapshot images survive untouched; the hot key's winner is the
+    # max-o_orderkey update (ts 5e6+key strictly increasing)
+    "cdc_hotkey_state": """
+        SELECT o_orderkey AS key, o_orderstatus AS status,
+               CAST(1000000 AS BIGINT) AS ts_ms
+        FROM orders
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT), 'H' || CAST(MAX(o_orderkey) % 10 AS VARCHAR),
+               CAST(5000000 + MAX(o_orderkey) AS BIGINT)
+        FROM orders
     """,
     "cdc_current_state": f"""
         SELECT o_orderkey, o_custkey,

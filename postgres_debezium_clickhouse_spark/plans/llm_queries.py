@@ -2283,3 +2283,87 @@ ORACLES["quality_classifier_auc"] = """
            COUNT(*) FILTER (WHERE doc_id % 3 = 0) AS n_neg_test
     FROM documents WHERE doc_id % 2 = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# r7: end-to-end multimodal curation pipeline (VERDICT r6 #7) — the
+# multimodal analogue of llm_curation_pipeline: decode with dead-letter
+# routing → decoded-feature quality gates → export-shard assignment, one
+# composed plan whose oracle value-checks the per-doc ROUTE (which stage
+# consumed each document) and the survivors' shard assignment.
+# ---------------------------------------------------------------------------
+
+
+def q_llm_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed media curation: synth corpus (doc_id %10∈{2,7} corrupt) →
+    permissive decode (corrupt → 'deadletter') → size gate (< 20 px →
+    'too_small') → brightness gate on DECODED pixel sums, integer-exact
+    (PNG mean pixel < 120 ⟺ sum_rgb < 360·n_pixels → 'too_dark'; JPEG
+    rows are header-only by the decoder's honest contract and pass by
+    policy) → md5 export shard for survivors.  Every stage is a map-only
+    expression over the dead-letter decode — the whole pipeline is one
+    mapInPandas + one projection, no shuffle until a downstream consumer
+    groups by shard."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    decoded = decode_images(synth_images(docs, corrupt_every=10), strict=False)
+    sum_rgb = F.col("sum_r") + F.col("sum_g") + F.col("sum_b")
+    stage = (
+        F.when(F.col("err").isNotNull(), F.lit("deadletter"))
+        .when(F.col("n_pixels") < 20, F.lit("too_small"))
+        .when(
+            (F.col("format") == "png") & (sum_rgb < 360 * F.col("n_pixels")),
+            F.lit("too_dark"),
+        )
+        .otherwise(F.lit("survived"))
+    )
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+    return decoded.select(
+        "doc_id",
+        stage.alias("stage"),
+        "n_pixels",
+        F.when(stage == "survived", (h.cast("long") % 8).cast("int")).alias("shard"),
+    )
+
+
+QUERIES["llm_multimodal_pipeline"] = q_llm_multimodal_pipeline
+
+# Route oracle from first principles: corruption classes, header dims, and
+# pixel values are all closed forms of doc_id (same formulas as the
+# multimodal_decode_deadletter oracle), so each document's stage and the
+# survivors' md5 shard are pure SQL — no decoder on the oracle side.
+ORACLES["llm_multimodal_pipeline"] = """
+    WITH params AS (
+        SELECT doc_id,
+               doc_id % 10 IN (2, 7) AS corrupt,
+               CASE WHEN doc_id % 4 = 0 THEN 'jpeg' ELSE 'png' END AS format,
+               CAST(3 + doc_id % 5 AS INT) AS width,
+               CAST(2 + doc_id % 7 AS INT) AS height
+        FROM documents
+    ),
+    px AS (
+        SELECT p.doc_id,
+               (p.doc_id * 7 + (y.y * p.width + x.x) * 3 + c.c) % 256 AS v
+        FROM params p
+        CROSS JOIN range(8) y(y) CROSS JOIN range(8) x(x) CROSS JOIN range(3) c(c)
+        WHERE p.format = 'png' AND NOT p.corrupt
+          AND y.y < p.height AND x.x < p.width
+    ),
+    sums AS (SELECT doc_id, SUM(v) AS sum_rgb FROM px GROUP BY doc_id),
+    staged AS (
+        SELECT p.doc_id,
+               CASE WHEN p.corrupt THEN 'deadletter'
+                    WHEN p.width * p.height < 20 THEN 'too_small'
+                    WHEN p.format = 'png'
+                         AND s.sum_rgb < 360 * p.width * p.height THEN 'too_dark'
+                    ELSE 'survived' END AS stage,
+               CASE WHEN p.corrupt THEN NULL
+                    ELSE CAST(p.width * p.height AS BIGINT) END AS n_pixels
+        FROM params p LEFT JOIN sums s USING (doc_id)
+    )
+    SELECT doc_id, stage, n_pixels,
+           CASE WHEN stage = 'survived'
+                THEN CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 8 AS INT)
+           END AS shard
+    FROM staged
+"""

@@ -220,6 +220,107 @@ def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select("o_orderkey")
 
 
+def stream_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 (VERDICT r6 #8) — late-arrival POLICY evidence for the windowed
+    events path.  The CDC path needs no watermark (order-insensitive
+    latest-wins, T3), but windowed event aggregation must bound its state,
+    and the documented policy is Structured Streaming's watermark DROP
+    semantics: in append mode a window emits once the watermark passes its
+    end, and an event arriving after that is discarded, never triggering a
+    partial re-count.
+
+    The EXACT semantics (measured, not assumed — the naive two-trigger
+    version of this fixture proved subtler): a late row arriving while its
+    window's state is STILL in the store merges into it (Spark's drop is
+    best-effort until eviction; eviction runs at batch end using the
+    watermark computed from the PREVIOUS batch).  The guarantee is:
+
+    * a window is emitted+evicted in the first trigger whose operative
+      watermark passes its end;
+    * a late row arriving in any LATER trigger is dropped on input
+      (``numRowsDroppedByWatermark``) — it can neither re-open the window
+      nor cause a duplicate append emission.
+
+    Controlled four-trigger replay (file mtimes force batch order):
+    t1 = two 10:xx events; t2 = 14:00 (advances the computed watermark to
+    13:00); t3 = 14:05 (runs WITH wm 13:00 → emits+evicts [10:00, 11:00)
+    at n=2); t4 = the LATE 10:45 (dropped — state gone) + on-time 14:15
+    (open window, withheld by append mode).  Final sink ≡ exactly one
+    row ([10:00], 'view', 2): n=3 would mean the late row landed after
+    eviction; a second [10:00] row would mean a duplicate emission; any
+    14:00 window row would mean append mode leaked open state.
+
+    Rows-only by nature: the outcome depends on watermark state eviction
+    across triggers, which no batch SQL reproduces (the whole point is
+    that the late row does NOT land where a batch recompute would put
+    it)."""
+    import os as _os
+    import shutil as _sh
+
+    from pyspark.sql import types as T
+
+    run = uuid.uuid4().hex[:12]
+    root = tempfile.gettempdir()
+    src = f"{root}/late_src_{run}"
+    out = f"{root}/late_out_{run}"
+    ckpt = f"{root}/late_ckpt_{run}"
+    schema = T.StructType(
+        [T.StructField("event_type", T.StringType()), T.StructField("ts", T.TimestampType())]
+    )
+
+    def _one_file(rows, name, mtime):
+        tmp = f"{root}/late_tmp_{run}_{name}"
+        spark.createDataFrame(
+            [(e, t) for e, t in rows], "event_type string, ts string"
+        ).select("event_type", F.to_timestamp("ts").alias("ts")).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(f for f in _os.listdir(tmp) if f.endswith(".parquet"))
+        _os.makedirs(src, exist_ok=True)
+        dst = _os.path.join(src, f"{name}.parquet")
+        _sh.copyfile(_os.path.join(tmp, part), dst)
+        _os.utime(dst, (mtime, mtime))  # file source orders by mtime
+        _sh.rmtree(tmp, ignore_errors=True)
+
+    now = 1_700_000_000
+    _one_file([("view", "2024-01-01 10:05:00"), ("view", "2024-01-01 10:40:00")],
+              "b1", now)
+    _one_file([("view", "2024-01-01 14:00:00")], "b2", now + 60)
+    _one_file([("view", "2024-01-01 14:05:00")], "b3", now + 120)
+    _one_file(
+        [("view", "2024-01-01 10:45:00"),   # LATE: state evicted in t3
+         ("view", "2024-01-01 14:15:00")],  # on-time; window still open
+        "b4", now + 180,
+    )
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("late-event replay did not finish in 300s")
+        return spark.read.parquet(out).localCheckpoint(eager=True)
+    finally:
+        for d in (src, out, ckpt):
+            _sh.rmtree(d, ignore_errors=True)
+
+
 def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming AGGREGATING materialized view (AggregatingMergeTree
     analogue): tumbling 1-hour event-time windows per event_type maintained
@@ -719,6 +820,7 @@ QUERIES = {
     "cdc_replay_from_bronze": cdc_replay_from_bronze,
     "stream_stateful_dedup": stream_stateful_dedup,
     "stream_hourly_counts": stream_hourly_counts,
+    "stream_late_events": stream_late_events,
     "stream_stream_join": stream_stream_join,
     "object_store_typed_ingest": object_store_typed_ingest,
 }

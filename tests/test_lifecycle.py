@@ -105,3 +105,20 @@ def test_observe_counts_batch(spark):
     df.collect()
     # observed metrics surface on the DataFrame's last execution
     assert df.count() == 7
+
+
+def test_late_event_dropped_after_eviction(spark):
+    """VERDICT r6 #8 — the windowed events path's late-data policy,
+    end-to-end: the registered query's final sink must show the closed
+    window WITHOUT the late row (one emission, no duplicate, open window
+    withheld).  The semantics line (drop only guaranteed once the window
+    was evicted in an earlier trigger) is documented on the query."""
+    from postgres_debezium_clickhouse_spark.plans.ops_queries import (
+        stream_late_events,
+    )
+
+    rows = stream_late_events(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 1  # no duplicate emission, no open-window leak
+    r = rows[0]
+    assert r.window_start.hour == 10 and r.event_type == "view"
+    assert r.n_events == 2  # late 10:45 row did NOT re-enter the window

@@ -106,3 +106,24 @@ def test_read_media_from_uris_fetches_file_blobs(spark, tmp_path):
     out = {r.doc_id: r.media for r in read_media_from_uris(df).collect()}
     assert bytes(out[1]) == blobs[1] and bytes(out[2]) == blobs[2]
     assert out[3] is None
+
+
+def test_multimodal_pipeline_every_stage_engages(spark):
+    """The composed pipeline's four routes must each consume a non-empty
+    subset at the smallest fixture — otherwise a gate is dead code and the
+    oracle's value check degenerates to pass-through."""
+    from postgres_debezium_clickhouse_spark.plans.llm_queries import (
+        q_llm_multimodal_pipeline,
+    )
+
+    rows = q_llm_multimodal_pipeline(spark, "/root/testdata/sf0.001").collect()
+    by_stage = {}
+    for r in rows:
+        by_stage.setdefault(r.stage, []).append(r)
+    assert set(by_stage) == {"deadletter", "too_small", "too_dark", "survived"}
+    for r in by_stage["deadletter"]:
+        assert r.n_pixels is None and r.shard is None
+    for r in by_stage["survived"]:
+        assert r.shard is not None and 0 <= r.shard < 8
+    for s in ("too_small", "too_dark"):
+        assert all(r.shard is None for r in by_stage[s])
