@@ -232,38 +232,42 @@ def connected_components(
     over- and under-delete.
 
     Algorithm: min-label propagation — each round every node takes the min
-    of its own label and its neighbors' labels (one join + one groupBy per
-    round), stopping at fixpoint.  Rounds = graph diameter, which for dup
-    clusters is tiny (near-clique clusters); for adversarial long-chain
-    graphs the O(log n)-round alternating small-star/large-star algorithm
-    (Kiveris et al., "Connected Components in MapReduce and Beyond") swaps
-    in without changing the contract.  Lineage is truncated per round with
-    an eager localCheckpoint, so the loop's plan does not grow with the
-    iteration count; the convergence check is a scalar count, never a
-    collect of data rows.
+    of its own label and its neighbors' labels, stopping at fixpoint.
+    Rounds = graph diameter, which for dup clusters is tiny (near-clique
+    clusters); for adversarial long-chain graphs the O(log n)-round
+    alternating small-star/large-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") swaps in without
+    changing the contract.  Lineage is truncated per round with an eager
+    localCheckpoint, so the loop's plan does not grow with the iteration
+    count; the convergence check is a scalar count, never a collect of
+    data rows.
+
+    Round shape (r7): TWO shuffles per round, down from three — the
+    neighbor labels and each node's own labeled row are UNIONED and
+    reduced by one groupBy-min (the self row carries an ``is_self`` flag,
+    so the old label rides the same aggregate and the convergence check
+    needs no join-back).  The edge set is hash-partitioned on the join key
+    ONCE before the loop, so every round's edge-label join reuses that
+    layout and only the (node-sized) label frame moves.
     """
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.repartition(F.col("b")).localCheckpoint(eager=True)
     labels = edges.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
     for _ in range(max_iter):
-        nbr_min = (
-            edges.join(
-                labels.select(F.col("node").alias("b"), F.col("label").alias("nbr_label")), "b"
-            )
-            .groupBy("a")
-            .agg(F.min("nbr_label").alias("nbr_min"))
-            .select(F.col("a").alias("node"), "nbr_min")
+        nbr = edges.join(
+            labels.select(F.col("node").alias("b"), F.col("label").alias("l")), "b"
+        ).select(F.col("a").alias("node"), "l", F.lit(False).alias("is_self"))
+        cand = nbr.unionByName(
+            labels.select("node", F.col("label").alias("l"), F.lit(True).alias("is_self"))
         )
-        # carry the old label through the same join so the convergence
-        # check needs no second join — one scalar count on the
-        # checkpointed frame per round
         merged = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.col("label").alias("__old"),
-                F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
+            cand.groupBy("node")
+            .agg(
+                F.min("l").alias("label"),
+                # each node has exactly ONE self row (labels is keyed), so
+                # max-over-the-flagged-value recovers the previous label
+                F.max(F.when(F.col("is_self"), F.col("l"))).alias("__old"),
             )
             .localCheckpoint(eager=True)
         )

@@ -126,3 +126,51 @@ def test_wire_cache_invalidates_when_fixture_changes(spark, tmp_path):
 
     n2 = orders_cdc_events(spark, str(fixture_dir)).count()
     assert n2 > n1  # stale cache would have returned n1 again
+
+
+def test_pruned_envelope_parse_is_bit_identical(spark, sf_dir):
+    """r7 regression guard for schemas.pruned_envelope: parsing with the
+    pruned schema must extract values bit-identical to the full-envelope
+    parse for every field the pruned schema keeps — pruning may only skip
+    subtrees, never change what a kept path yields."""
+    from pyspark.sql import functions as F
+
+    from postgres_debezium_clickhouse_spark.schemas import (
+        ORDERS_CDC_ROW,
+        ORDERS_ENVELOPE,
+        pruned_envelope,
+    )
+    from postgres_debezium_clickhouse_spark.sources.cdc import (
+        orders_cdc_events,
+        parse_envelope,
+    )
+
+    pruned = pruned_envelope(
+        ORDERS_CDC_ROW, after=None, before=["o_orderkey"], source=["ts_ms"]
+    )
+    ev = orders_cdc_events(spark, sf_dir)
+    p = F.col("j.payload")
+    cols = [
+        F.coalesce(p.after.o_orderkey, p.before.o_orderkey).alias("k"),
+        p.after.o_orderstatus.alias("st"),
+        p.after.o_totalprice.alias("pr"),
+        p.op.alias("op"),
+        p.source.ts_ms.alias("ts"),
+        F.col("offset"),
+    ]
+    key = lambda r: tuple((x is None, str(x)) for x in r)  # noqa: E731
+    full_rows = sorted(map(tuple, parse_envelope(ev, ORDERS_ENVELOPE).select(*cols).collect()), key=key)
+    pruned_rows = sorted(map(tuple, parse_envelope(ev, pruned).select(*cols).collect()), key=key)
+    assert full_rows == pruned_rows
+
+
+def test_pruned_envelope_rejects_unknown_fields():
+    import pytest
+
+    from postgres_debezium_clickhouse_spark.schemas import (
+        ORDERS_CDC_ROW,
+        pruned_envelope,
+    )
+
+    with pytest.raises(ValueError, match="unknown envelope fields"):
+        pruned_envelope(ORDERS_CDC_ROW, before=["nope"])
