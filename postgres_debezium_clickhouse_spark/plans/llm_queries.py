@@ -2367,3 +2367,36 @@ ORACLES["llm_multimodal_pipeline"] = """
            END AS shard
     FROM staged
 """
+
+
+def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: distinct-count SKETCH accuracy — per-language
+    ``approx_count_distinct`` (HyperLogLog++, Spark's mergeable sketch: the
+    100 TB path where exact COUNT(DISTINCT) would shuffle every digest)
+    validated against the exact distinct count computed in the same plan.
+    The sketch value itself is engine-specific, so the emitted columns are
+    the EXACT count (oracle-checkable) plus the accuracy verdict — HLL++
+    at default rsd=0.05 must land within 10% of truth on every language
+    slice.  A broken sketch (register collapse, merge bug) flips the
+    verdict; the oracle states it as a constant, oracle-independent of the
+    sketch's internals — same pattern as the planted scoring guards."""
+    docs = load_table(spark, sf_dir, "documents")
+    digest = F.sha2(F.lower(F.trim(F.col("text"))), 256)
+    per = docs.groupBy("lang").agg(
+        F.countDistinct(digest).alias("n_exact"),
+        F.approx_count_distinct(digest).alias("__n_approx"),
+    )
+    ok = (
+        F.abs(F.col("__n_approx") - F.col("n_exact"))
+        <= F.col("n_exact") * F.lit(0.10)
+    )
+    return per.select("lang", "n_exact", ok.alias("sketch_within_10pct"))
+
+
+QUERIES["corpus_sketch_distinct"] = q_sketch_distinct
+ORACLES["corpus_sketch_distinct"] = """
+    SELECT lang,
+           COUNT(DISTINCT sha256(lower(trim(text)))) AS n_exact,
+           true AS sketch_within_10pct
+    FROM documents GROUP BY lang
+"""
