@@ -174,3 +174,59 @@ def test_pruned_envelope_rejects_unknown_fields():
 
     with pytest.raises(ValueError, match="unknown envelope fields"):
         pruned_envelope(ORDERS_CDC_ROW, before=["nope"])
+
+
+def test_pruned_envelope_random_subsets_extract_identically(spark, sf_dir):
+    """Property: for ANY subset of after/before/source fields, the pruned
+    parse yields the same values for the kept paths as the full parse.
+    Hypothesis drives the subset choice; one shared parsed-full baseline
+    keeps the test fast."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from postgres_debezium_clickhouse_spark.schemas import (
+        ORDERS_CDC_ROW,
+        ORDERS_ENVELOPE,
+        SOURCE_STRUCT,
+        pruned_envelope,
+    )
+    from postgres_debezium_clickhouse_spark.sources.cdc import (
+        orders_cdc_events,
+        parse_envelope,
+    )
+
+    row_fields = [f.name for f in ORDERS_CDC_ROW.fields]
+    src_fields = [f.name for f in SOURCE_STRUCT.fields]
+    ev = orders_cdc_events(spark, sf_dir).limit(200).localCheckpoint(eager=True)
+
+    def extract(env, after, before, source):
+        p = F.col("j.payload")
+        cols = [F.col("offset")]
+        for f in after:
+            cols.append(p.after.getField(f).alias(f"a_{f}"))
+        for f in before:
+            cols.append(p.before.getField(f).alias(f"b_{f}"))
+        for f in source:
+            cols.append(p.source.getField(f).alias(f"s_{f}"))
+        rows = parse_envelope(ev, env).select(*cols).collect()
+        key = lambda r: tuple((x is None, str(x)) for x in r)  # noqa: E731
+        return sorted(map(tuple, rows), key=key)
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        after=st.sets(st.sampled_from(row_fields), min_size=1),
+        before=st.sets(st.sampled_from(row_fields)),
+        source=st.sets(st.sampled_from(src_fields), min_size=1),
+    )
+    def prop(after, before, source):
+        env = pruned_envelope(
+            ORDERS_CDC_ROW, after=sorted(after), before=sorted(before),
+            source=sorted(source),
+        )
+        a, b, s = sorted(after), sorted(before), sorted(source)
+        # before=() omits the struct — only compare when kept
+        assert extract(env, a, b, s) == extract(ORDERS_ENVELOPE, a, b, s)
+
+    prop()
