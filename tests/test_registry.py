@@ -133,3 +133,15 @@ def test_every_oracle_is_engine_portable():
     if not os.path.isdir(mod.SF_DIR):
         _pytest.skip(f"no fixtures at {mod.SF_DIR} (set SPARK_GRAFT_AUDIT_SF_DIR)")
     assert mod.audit() == []
+
+
+def test_front_window_names_all_resolve():
+    """Every _FRONT name must exist in the registry — a typo would
+    silently shrink the driver's ~50-query evidence window instead of
+    failing anywhere."""
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    missing = [n for n in m._FRONT if n not in qs]
+    assert missing == [], f"_FRONT names not in registry: {missing}"
+    assert len(m._FRONT) >= 50  # window stays fully specified
