@@ -269,18 +269,26 @@ def stream_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _one_file(rows, name, mtime):
-        tmp = f"{root}/late_tmp_{run}_{name}"
-        spark.createDataFrame(
-            [(e, t) for e, t in rows], "event_type string, ts string"
-        ).select("event_type", F.to_timestamp("ts").alias("ts")).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        part = next(f for f in _os.listdir(tmp) if f.endswith(".parquet"))
+        # pyarrow, not a Spark job, per 2-row file: the replay's cost is
+        # its 5 micro-batch triggers — don't add 4 write jobs on top
+        from datetime import datetime
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         _os.makedirs(src, exist_ok=True)
         dst = _os.path.join(src, f"{name}.parquet")
-        _sh.copyfile(_os.path.join(tmp, part), dst)
+        table = pa.table(
+            {
+                "event_type": pa.array([e for e, _ in rows], pa.string()),
+                "ts": pa.array(
+                    [datetime.strptime(t, "%Y-%m-%d %H:%M:%S") for _, t in rows],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+        pq.write_table(table, dst)
         _os.utime(dst, (mtime, mtime))  # file source orders by mtime
-        _sh.rmtree(tmp, ignore_errors=True)
 
     now = 1_700_000_000
     _one_file([("view", "2024-01-01 10:05:00"), ("view", "2024-01-01 10:40:00")],
