@@ -49,6 +49,7 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 
 _FRONT = (
     # round-7 additions (never driver-checked):
+    "text_normalize_unicode",
     "corpus_sketch_distinct",
     "cdc_hotkey_state",
     "llm_multimodal_pipeline",

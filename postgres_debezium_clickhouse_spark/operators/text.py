@@ -511,3 +511,63 @@ def adaptive_length_threshold(
             F.sum((F.col("n_tokens") < F.col("threshold_tokens")).cast("long")).alias("n_below"),
         )
     )
+
+
+def normalize_unicode(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unicode repair pass — the standard first normalization step of a
+    crawl-curation pipeline (C4/CCNet both NFC-normalize before anything
+    hashes text): strip C0 control characters (keeping \\t \\n \\r), then
+    NFC-compose combining sequences so visually-identical strings hash
+    identically downstream (exact dedup, MinHash shingles, URL digests all
+    key on bytes).  Also surfaces the U+FFFD replacement-char count — the
+    standing mojibake signal of a mis-decoded source.
+
+    Spark has no NFC builtin, so this is an Arrow-batched ``mapInPandas``
+    (stdlib ``unicodedata``, vectorized per batch — the documented slow
+    path, used only because the JVM surface genuinely lacks the op).  At
+    100 TB the pass is map-only: no shuffle, fuses with the scan, and the
+    output feeds every digest-keyed operator.
+
+    Emits (id, normalized, changed, n_controls, n_mojibake); ``changed``
+    compares against the ORIGINAL text, so callers can cheaply count how
+    much of the corpus needed repair."""
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    ctrl = _re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("normalized", T.StringType()),
+            T.StructField("changed", T.BooleanType()),
+            T.StructField("n_controls", T.IntegerType()),
+            T.StructField("n_mojibake", T.IntegerType()),
+        ]
+    )
+
+    def _norm(batches):
+        import unicodedata
+
+        for pdf in batches:
+            ids, out, chg, nc, nm = [], [], [], [], []
+            for doc_id, s in zip(pdf[id_col], pdf[text_col]):
+                ids.append(doc_id)
+                if s is None or (isinstance(s, float) and pd.isna(s)):
+                    out.append(None), chg.append(None), nc.append(None), nm.append(None)
+                    continue
+                stripped = ctrl.sub("", s)
+                n = unicodedata.normalize("NFC", stripped)
+                out.append(n)
+                chg.append(n != s)
+                nc.append(len(s) - len(stripped))
+                nm.append(s.count("�"))
+            yield pd.DataFrame(
+                {id_col: ids, "normalized": out, "changed": chg,
+                 "n_controls": nc, "n_mojibake": nm}
+            )
+
+    return documents.select(id_col, text_col).mapInPandas(_norm, schema)

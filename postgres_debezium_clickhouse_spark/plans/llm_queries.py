@@ -2400,3 +2400,51 @@ ORACLES["corpus_sketch_distinct"] = """
            true AS sketch_within_10pct
     FROM documents GROUP BY lang
 """
+
+
+def q_text_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: Unicode repair over a deterministically denormalized fixture —
+    every doc gains a decomposed e+COMBINING-ACUTE sequence (NFC must
+    compose it), doc_id %4 == 0 rows gain a BEL control char (must strip),
+    %6 == 0 rows gain a U+FFFD replacement char (mojibake count).  The
+    oracle reruns the same strip+NFC chain with DuckDB's nfc_normalize —
+    two independent UAX#15 implementations must agree byte-for-byte on
+    every normalized string."""
+    from ..operators.text import normalize_unicode
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" cafe\u0301"),  # DECOMPOSED e + U+0301 (explicit escape)
+            F.when(F.col("doc_id") % 4 == 0, F.lit("\x07ding")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 6 == 0, F.lit(" �")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return normalize_unicode(docs)
+
+
+QUERIES["text_normalize_unicode"] = q_text_normalize_unicode
+ORACLES["text_normalize_unicode"] = """
+    WITH planted AS (
+        SELECT doc_id,
+               text || ' cafe' || chr(769)
+                    || CASE WHEN doc_id % 4 = 0 THEN chr(7) || 'ding' ELSE '' END
+                    || CASE WHEN doc_id % 6 = 0 THEN ' ' || chr(65533) ELSE '' END
+               AS text
+        FROM documents
+    ),
+    stripped AS (
+        SELECT doc_id, text,
+               regexp_replace(text,
+                   '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g') AS s
+        FROM planted
+    )
+    SELECT doc_id,
+           nfc_normalize(s) AS normalized,
+           nfc_normalize(s) <> text AS changed,
+           CAST(length(text) - length(s) AS INT) AS n_controls,
+           CAST(length(text) - length(replace(text, chr(65533), ''))
+                AS INT) AS n_mojibake
+    FROM stripped
+"""

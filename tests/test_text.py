@@ -296,3 +296,26 @@ def test_extract_urls_domains_and_no_match(spark):
         (4, "https://tab.example.com", "tab.example.com"),
         (4, "https://nl.example.com", "nl.example.com"),
     }
+
+
+def test_normalize_unicode_semantics(spark):
+    """NFC composes combining sequences, C0 controls are stripped (tab/
+    newline/CR preserved), U+FFFD is counted not removed, NULL text
+    passes through as NULL rows."""
+    from postgres_debezium_clickhouse_spark.operators.text import normalize_unicode
+
+    rows = [
+        (1, "cafe\u0301 ok"),     # DECOMPOSED input -> must compose
+        (2, "a\x07b\tc\nd"),           # BEL stripped; tab/newline kept
+        (3, "bad � decode �"),
+        (4, None),
+        (5, "caf\u00e9"),         # already NFC (composed) -> unchanged
+    ]
+    out = {r[0]: r for r in normalize_unicode(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    ).collect()}
+    assert out[1].normalized == "caf\u00e9 ok" and out[1].changed is True
+    assert out[2].normalized == "ab\tc\nd" and out[2].n_controls == 1
+    assert out[3].n_mojibake == 2 and out[3].changed is False
+    assert out[4].normalized is None and out[4].changed is None
+    assert out[5].changed is False and out[5].n_controls == 0
