@@ -2448,3 +2448,84 @@ ORACLES["text_normalize_unicode"] = """
                 AS INT) AS n_mojibake
     FROM stripped
 """
+
+
+def q_langid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: planted-contrast guard for the marker-token language-ID family
+    (operators/text.py language_id) — each doc's text is built IN the
+    language doc_id % 4 dictates (marker tokens + a per-doc unique filler),
+    and the detector must recover every planted label.  The oracle states
+    the class counts and the all-correct verdict from doc_id arithmetic
+    alone (same oracle-independence pattern as the perplexity guard)."""
+    from ..operators.text import language_id
+
+    phrases = F.array(
+        F.lit("the cat sat and the dog ran a mile"),      # en markers
+        F.lit("el gato y la casa con el perro"),          # es markers
+        F.lit("der hund und der mann und die katze"),     # de markers
+        F.lit("le chat et le chien et la maison"),        # fr markers
+    )
+    expected = F.element_at(
+        F.array(F.lit("en"), F.lit("es"), F.lit("de"), F.lit("fr")),
+        (F.col("doc_id") % 4).cast("int") + 1,
+    )
+    planted = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        expected.alias("planted_lang"),
+        F.concat(
+            F.element_at(phrases, (F.col("doc_id") % 4).cast("int") + 1),
+            F.lit(" w"), F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    scored = language_id(planted).join(planted.select("doc_id", "planted_lang"), "doc_id")
+    return (
+        scored.groupBy("planted_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(F.col("detected_lang") == F.col("planted_lang")).alias("all_correct"),
+        )
+    )
+
+
+def q_quality_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: planted-contrast guard for the composite quality gate
+    (operators/text.py quality_score) — 'good' docs (30 distinct per-doc
+    words, in-bounds length, no stopwords) must ALL keep; 'degenerate'
+    docs (one stopword repeated 60×: diversity ~0.017, stopword ratio 1.0)
+    must ALL drop.  A silently-degenerated gate (thresholds collapsed,
+    ratios mis-computed) flips a verdict; the oracle states both verdicts
+    as constants from doc_id arithmetic alone."""
+    from ..operators.text import quality_score
+
+    good = F.expr(
+        "concat_ws(' ', transform(sequence(0, 29),"
+        " i -> concat('w', doc_id, 'x', i)))"
+    )
+    bad = F.expr("concat_ws(' ', transform(sequence(0, 59), i -> 'the'))")
+    is_bad = F.col("doc_id") % 3 == 0
+    planted = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(is_bad, F.lit("degenerate")).otherwise(F.lit("good")).alias("cls"),
+        F.when(is_bad, bad).otherwise(good).alias("text"),
+    )
+    scored = quality_score(planted).join(planted.select("doc_id", "cls"), "doc_id")
+    return scored.groupBy("cls").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(F.col("keep") == (F.col("cls") == "good")).alias("all_verdicts_correct"),
+    )
+
+
+QUERIES["text_langid_separation"] = q_langid_separation
+QUERIES["text_quality_separation"] = q_quality_separation
+
+ORACLES["text_langid_separation"] = """
+    SELECT CASE doc_id % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'es'
+                           WHEN 2 THEN 'de' ELSE 'fr' END AS planted_lang,
+           COUNT(*) AS n_docs, true AS all_correct
+    FROM documents GROUP BY 1
+"""
+ORACLES["text_quality_separation"] = """
+    SELECT CASE WHEN doc_id % 3 = 0 THEN 'degenerate' ELSE 'good' END AS cls,
+           COUNT(*) AS n_docs, true AS all_verdicts_correct
+    FROM documents GROUP BY 1
+"""
