@@ -2529,3 +2529,34 @@ ORACLES["text_quality_separation"] = """
            COUNT(*) AS n_docs, true AS all_verdicts_correct
     FROM documents GROUP BY 1
 """
+
+
+def q_corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: BPE tokenizer training (operators/tokenizer.py bpe_top_merges)
+    over a planted corpus whose merge sequence is closed-form: every doc's
+    text is "abc abc ab de", so the weighted pair counts are (a,b)=3N,
+    (b,c)=2N, (d,e)=N and the learned merge table must be exactly
+    [(a+b, 3N), (ab+c, 2N), (d+e, N)] — including the second round's
+    dependence on the FIRST round's merged symbol (ab+c only exists after
+    a+b is applied), so a broken merge application cannot pass.  The
+    oracle states the table with counts scaled by COUNT(documents)."""
+    from ..operators.tokenizer import bpe_top_merges
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.lit("abc abc ab de").alias("text")
+    )
+    return bpe_top_merges(docs, k=3)
+
+
+QUERIES["corpus_bpe_merges"] = q_corpus_bpe_merges
+ORACLES["corpus_bpe_merges"] = """
+    WITH n AS (SELECT COUNT(*) AS c FROM documents)
+    SELECT * FROM (
+        SELECT 1 AS merge_rank, 'a' AS left_sym, 'b' AS right_sym,
+               'ab' AS merged, CAST(3 * c AS BIGINT) AS pair_count FROM n
+        UNION ALL
+        SELECT 2, 'ab', 'c', 'abc', CAST(2 * c AS BIGINT) FROM n
+        UNION ALL
+        SELECT 3, 'd', 'e', 'de', CAST(c AS BIGINT) FROM n
+    )
+"""
