@@ -50,6 +50,7 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 _FRONT = (
     # round-7 additions (never driver-checked):
     "corpus_bpe_merges",
+    "corpus_bpe_encode",
     "text_langid_separation",
     "text_quality_separation",
     "text_normalize_unicode",

@@ -115,3 +115,51 @@ def bpe_top_merges(
             _apply_merge(F.col("syms"), l, r).alias("syms"), "cnt"
         ).localCheckpoint(eager=True)
     return spark.createDataFrame(merges, MERGES_SCHEMA)
+
+
+def bpe_encode(
+    documents: DataFrame,
+    merges: list[tuple],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode text with a LEARNED merge table (rank order) — the
+    deployment half of the tokenizer loop: ``bpe_top_merges`` learns on a
+    sample, the exported K-row table ships to the full-corpus encode pass.
+
+    Per document emits word/subword/base-symbol counts and the
+    compression ratio (base symbols per subword) — the metric that sizes
+    context budgets and validates a tokenizer against a corpus.
+
+    Map-only: each word's symbol array is folded once per merge rule
+    (rank order, same greedy application as training), all inside array
+    expressions — no shuffle, no UDF.  Plan size grows with K, so this
+    expression form is for small merge tables (the oracle-checkable
+    demo); a production-vocab encoder would move the same loop into an
+    Arrow-batched ``mapInPandas`` with the merge table broadcast."""
+    pairs = [(m[0], m[1]) for m in merges]
+
+    def encode_word(w):
+        syms = F.split(w, "")
+        for left, right in pairs:
+            syms = _apply_merge(syms, left, right)
+        return syms
+
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    sub_counts = F.transform(words, lambda w: F.size(encode_word(w)))
+    n_words = F.size(words).cast("long")
+    n_subwords = F.aggregate(
+        sub_counts, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    n_base = F.aggregate(
+        F.transform(words, lambda w: F.length(w)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return documents.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_subwords.alias("n_subwords"),
+        n_base.alias("n_base_symbols"),
+        F.round(n_base / n_subwords, 4).alias("compression"),
+    )

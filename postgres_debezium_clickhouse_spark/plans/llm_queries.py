@@ -2560,3 +2560,33 @@ ORACLES["corpus_bpe_merges"] = """
         SELECT 3, 'd', 'e', 'de', CAST(c AS BIGINT) FROM n
     )
 """
+
+
+def q_corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: the tokenizer loop closed — learn merges on the planted train
+    corpus (same closed-form table as corpus_bpe_merges), then ENCODE a
+    different planted eval text with them.  "abcd ab ae" under merges
+    [a+b, ab+c, d+e] folds to [abc·d, ab, a·e] = 5 subwords over 8 base
+    symbols per doc, so every per-doc stat is a constant the oracle
+    states; a broken rank order or application pass shifts the counts."""
+    from ..operators.tokenizer import bpe_encode, bpe_top_merges
+
+    train = load_table(spark, sf_dir, "documents").select(
+        F.lit("abc abc ab de").alias("text")
+    )
+    table = sorted(bpe_top_merges(train, k=3).collect(), key=lambda r: r.merge_rank)
+    merges = [(r.left_sym, r.right_sym) for r in table]
+    eval_docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lit("abcd ab ae").alias("text")
+    )
+    return bpe_encode(eval_docs, merges)
+
+
+QUERIES["corpus_bpe_encode"] = q_corpus_bpe_encode
+ORACLES["corpus_bpe_encode"] = """
+    SELECT doc_id, CAST(3 AS BIGINT) AS n_words,
+           CAST(5 AS BIGINT) AS n_subwords,
+           CAST(8 AS BIGINT) AS n_base_symbols,
+           CAST(1.6 AS DOUBLE) AS compression
+    FROM documents
+"""

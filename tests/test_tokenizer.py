@@ -49,3 +49,22 @@ def test_bpe_on_real_corpus_is_sane(spark, sf_dir):
     # determinism: same corpus, same table
     again = bpe_top_merges(docs, k=3).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+
+def test_bpe_encode_roundtrip_with_learned_table(spark):
+    """Train → encode end-to-end on hand-computable text; unknown symbols
+    pass through unmerged, empty text encodes to zeros."""
+    train = spark.createDataFrame([("abc abc ab de",)] * 3, ["text"])
+    table = bpe_top_merges(train, k=3).collect()
+    merges = [(r.left_sym, r.right_sym) for r in sorted(table, key=lambda r: r.merge_rank)]
+    from postgres_debezium_clickhouse_spark.operators.tokenizer import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "abcd ab ae"), (2, "zzz"), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in bpe_encode(docs, merges).collect()}
+    assert (out[1].n_words, out[1].n_subwords, out[1].n_base_symbols) == (3, 5, 8)
+    assert out[1].compression == 1.6
+    assert (out[2].n_subwords, out[2].n_base_symbols) == (3, 3)  # no rule applies
+    assert (out[3].n_words, out[3].n_subwords) == (0, 0)
