@@ -129,8 +129,77 @@ def _read_manifest(path: str) -> dict | None:
     return COMMIT_BACKEND.read_manifest(path)
 
 
+#: immutable per-version manifest copies for time travel live here.
+HISTORY_DIR = "_history"
+
+
 def _write_manifest(path: str, manifest: dict, expected_version: int | None = None) -> None:
     COMMIT_BACKEND.commit_manifest(path, manifest, expected_version)
+    # Data-plane history copy (r7, time travel): one immutable
+    # `_manifest.v<N>.json` per committed version, written AFTER the CAS
+    # succeeds.  Plain file IO, not the commit backend — history is an
+    # audit/reproducibility artifact on the data plane (like the parquet
+    # itself), not a coordination primitive, and it must never fail a
+    # commit that already won.
+    v = manifest.get("version")
+    if v is None:
+        return
+    try:
+        hdir = os.path.join(path, HISTORY_DIR)
+        os.makedirs(hdir, exist_ok=True)
+        hpath = os.path.join(hdir, f"_manifest.v{v}.json")
+        if not os.path.exists(hpath):  # versions are immutable once written
+            tmp = f"{hpath}.tmp-{os.getpid()}"
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh)
+            os.replace(tmp, hpath)
+    except OSError:
+        pass
+
+
+def silver_versions(path: str) -> list[int]:
+    """Committed manifest versions available for time travel (history
+    copies plus the current manifest), ascending."""
+    versions: set[int] = set()
+    hdir = os.path.join(path, HISTORY_DIR)
+    if os.path.isdir(hdir):
+        for f in os.listdir(hdir):
+            if f.startswith("_manifest.v") and f.endswith(".json"):
+                try:
+                    versions.add(int(f[len("_manifest.v"):-len(".json")]))
+                except ValueError:
+                    continue
+    cur = _read_manifest(path)
+    if cur is not None and "version" in cur:
+        versions.add(cur["version"])
+    return sorted(versions)
+
+
+def _read_manifest_version(path: str, version: int) -> dict:
+    """Manifest as of ``version`` — current if it matches, else the history
+    copy; raises with the available versions when absent, and when any of
+    the version's data files was already vacuumed (a stale snapshot must
+    fail loudly, not return silently partial state)."""
+    cur = _read_manifest(path)
+    if cur is not None and cur.get("version") == version:
+        return cur
+    hpath = os.path.join(path, HISTORY_DIR, f"_manifest.v{version}.json")
+    try:
+        with open(hpath) as fh:
+            manifest = json.load(fh)
+    except FileNotFoundError:
+        raise ValueError(
+            f"no manifest for version {version} at {path}; "
+            f"available: {silver_versions(path)}"
+        ) from None
+    missing = [f for f in manifest["files"] if not os.path.exists(os.path.join(path, f))]
+    if missing:
+        raise ValueError(
+            f"version {version} at {path} was vacuumed: {len(missing)} of "
+            f"{len(manifest['files'])} files gone (first: {missing[0]}); "
+            "retain versions with vacuum_silver(retain_versions=...)"
+        )
+    return manifest
 
 
 def _claim_epoch(path: str, epoch: int, stale_s: float = EPOCH_CLAIM_STALE_S) -> str:
@@ -359,18 +428,30 @@ def silver_upsert_stream(
     return writer.start()
 
 
-def vacuum_silver(path: str, grace_s: float = 600.0) -> int:
+def vacuum_silver(path: str, grace_s: float = 600.0, retain_versions: int = 0) -> int:
     """Delete data files no committed manifest references anymore, once
     older than ``grace_s`` (grace covers readers that loaded a previous
     manifest — their snapshot stays intact for at least that long; the
     Delta ``VACUUM`` analogue).  The streaming sink runs it automatically
     every 16 publishes (it walks the store tree — O(files) — so per-trigger
     would break the O(touched) trigger bound), keeping a long-running
-    stream's dead files bounded.  Returns the number of files deleted."""
+    stream's dead files bounded.  Returns the number of files deleted.
+
+    ``retain_versions`` (r7, time travel): additionally pin the files of
+    the newest N HISTORY versions, so ``read_silver(as_of_version=...)``
+    keeps working across vacuums for those versions (the Delta
+    ``delta.deletedFileRetentionDuration`` analogue, expressed in
+    versions).  0 preserves the pre-r7 behavior exactly."""
     manifest = _read_manifest(path)
     if manifest is None:
         return 0
     live = set(manifest["files"])
+    if retain_versions > 0:
+        for v in silver_versions(path)[-retain_versions:]:
+            try:
+                live |= set(_read_manifest_version(path, v)["files"])
+            except ValueError:
+                continue  # already partially vacuumed — nothing left to pin
     cutoff = time.time() - grace_s
     removed = 0
     for entry in list(os.listdir(path)):
@@ -470,23 +551,38 @@ def compact_silver(
     return before - n_after
 
 
-def read_silver(spark: SparkSession, path: str, include_deleted: bool = False) -> DataFrame:
+def read_silver(
+    spark: SparkSession,
+    path: str,
+    include_deleted: bool = False,
+    as_of_version: int | None = None,
+) -> DataFrame:
     """Read the silver store written by ``silver_upsert_stream``.
 
     Loads the last-committed manifest's file set — a consistent snapshot
     even mid-publish, since committed files are immutable until vacuumed
     (falls back to a plain directory read for legacy flat stores).
 
+    ``as_of_version`` (r7, time travel): read the store exactly as it was
+    at that committed manifest version — the reproducibility primitive a
+    training pipeline needs to pin "the corpus we trained run X on".
+    Works until the version's files are vacuumed (see ``vacuum_silver``'s
+    ``retain_versions``); a vacuumed version fails loudly, never returns
+    partial state.  ``silver_versions(path)`` lists what's available.
+
     ``include_deleted=False`` = the basic-path drop semantics (init.sql:63);
     True = rewrite semantics with the ``__deleted`` flag exposed
     (abcsvb-connector-secure.json:33-34).  Tombstones always exist in the
     store (see silver_upsert_stream) — this is where the two reference
     delete modes diverge."""
-    manifest = _read_manifest(path)
-    if manifest is not None:
-        df = _read_live_files(spark, path, manifest)
+    if as_of_version is not None:
+        df = _read_live_files(spark, path, _read_manifest_version(path, as_of_version))
     else:
-        df = spark.read.parquet(path)
+        manifest = _read_manifest(path)
+        if manifest is not None:
+            df = _read_live_files(spark, path, manifest)
+        else:
+            df = spark.read.parquet(path)
     if include_deleted:
         return df
     return df.filter(~F.col("__deleted")).drop("__deleted")

@@ -1,0 +1,103 @@
+"""Silver-store time travel (r7): per-version manifest history →
+`read_silver(as_of_version=...)` — the reproducibility primitive that
+pins "the corpus training run X used".  Contract under test:
+
+- every committed version leaves an immutable history manifest;
+- an as-of read returns EXACTLY the state at that version;
+- vacuum with ``retain_versions=N`` keeps those versions readable;
+- a vacuumed version fails loudly, never returns partial state.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import types as T
+
+import postgres_debezium_clickhouse_spark.streaming.pipeline as pl
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("val", T.StringType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("offset", T.LongType()),
+    ]
+)
+
+
+def _publish(spark, dirs, batch_no, rows):
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode("append").json(
+        dirs["src"] + f"/b{batch_no}"
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(dirs["src"] + f"/b{batch_no}")
+    q = pl.silver_upsert_stream(
+        stream, dirs["silver"], dirs["ckpt"] + f"/b{batch_no}",
+        keys=["id"], available_now=True,
+    )
+    q.awaitTermination(120)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return {k: str(tmp_path / k) for k in ("src", "silver", "ckpt")}
+
+
+def _state(spark, dirs, **kw):
+    return {r.id: r.val for r in pl.read_silver(spark, dirs["silver"], **kw).collect()}
+
+
+def test_as_of_read_returns_each_committed_state(spark, dirs):
+    _publish(spark, dirs, 1, [(1, "a1", "c", 100, 1), (2, "b1", "c", 100, 2)])
+    _publish(spark, dirs, 2, [(1, "a2", "u", 200, 3)])
+    _publish(spark, dirs, 3, [(2, None, "d", 300, 4), (3, "c1", "c", 300, 5)])
+
+    versions = pl.silver_versions(dirs["silver"])
+    assert len(versions) >= 3
+    v1, v2, v3 = versions[0], versions[1], versions[-1]
+    assert _state(spark, dirs, as_of_version=v1) == {1: "a1", 2: "b1"}
+    assert _state(spark, dirs, as_of_version=v2) == {1: "a2", 2: "b1"}
+    assert _state(spark, dirs, as_of_version=v3) == {1: "a2", 3: "c1"}
+    # as-of the current version ≡ the plain read
+    assert _state(spark, dirs, as_of_version=v3) == _state(spark, dirs)
+    # unknown version lists what IS available
+    with pytest.raises(ValueError, match="available"):
+        pl.read_silver(spark, dirs["silver"], as_of_version=99999)
+
+
+def _age_store(path, seconds=7200):
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            full = os.path.join(root, f)
+            t = time.time() - seconds
+            os.utime(full, (t, t))
+
+
+def test_vacuum_retain_versions_keeps_time_travel_alive(spark, dirs):
+    _publish(spark, dirs, 1, [(1, "a1", "c", 100, 1)])
+    _publish(spark, dirs, 2, [(1, "a2", "u", 200, 2)])
+    _publish(spark, dirs, 3, [(1, "a3", "u", 300, 3)])
+    versions = pl.silver_versions(dirs["silver"])
+    _age_store(dirs["silver"])  # every file clears the grace window
+    removed = pl.vacuum_silver(dirs["silver"], grace_s=600,
+                               retain_versions=len(versions))
+    # all versions pinned → every as-of read still exact
+    assert _state(spark, dirs, as_of_version=versions[0]) == {1: "a1"}
+    assert _state(spark, dirs, as_of_version=versions[1]) == {1: "a2"}
+    assert removed == 0
+
+
+def test_vacuumed_version_fails_loudly(spark, dirs):
+    _publish(spark, dirs, 1, [(1, "a1", "c", 100, 1)])
+    _publish(spark, dirs, 2, [(1, "a2", "u", 200, 2)])
+    versions = pl.silver_versions(dirs["silver"])
+    _age_store(dirs["silver"])
+    removed = pl.vacuum_silver(dirs["silver"], grace_s=600, retain_versions=0)
+    assert removed > 0  # v1's superseded bucket file reclaimed
+    # current state survives any vacuum
+    assert _state(spark, dirs) == {1: "a2"}
+    with pytest.raises(ValueError, match="vacuumed"):
+        pl.read_silver(spark, dirs["silver"], as_of_version=versions[0])
