@@ -145,3 +145,40 @@ def test_front_window_names_all_resolve():
     missing = [n for n in m._FRONT if n not in qs]
     assert missing == [], f"_FRONT names not in registry: {missing}"
     assert len(m._FRONT) >= 50  # window stays fully specified
+
+
+def test_star_join_broadcasts_every_dimension(spark, sf_dir):
+    """Scale contract of the FK-lattice join (J1): all four dimension
+    joins must be BroadcastHashJoin (no shuffle on the fact side for the
+    join itself) — losing a broadcast to a config regression would turn
+    the 100 TB plan into five full shuffles."""
+    import __spark_entry__ as m
+
+    df = m.queries()["star_join_revenue"](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()  # AQE final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_and_projection_reach_the_scan(spark, sf_dir):
+    """Pushdown contract: literal predicates must appear in the parquet
+    scan's PushedFilters, and the scan's ReadSchema must carry only the
+    columns the query consumes — a scan reading all columns for a narrow
+    projection is wrong at any scale.  (recent_orders_interval's date
+    bound is a scalar-subquery value, which parquet pushdown cannot take —
+    the literal-predicate queries are the right pin.)"""
+    import re
+
+    import __spark_entry__ as m
+
+    plan = (
+        m.queries()["events_errors_after_signup"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("EqualTo(event_type,signup)" in p for p in pushed), pushed
+    assert any("EqualTo(event_type,error)" in p for p in pushed), pushed
+    schemas = re.findall(r"ReadSchema: (struct<[^>]*>)", plan)
+    # events carries 6+ columns; the funnel needs only type/user/ts
+    assert schemas and all(s.count(",") <= 2 for s in schemas), schemas
