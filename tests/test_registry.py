@@ -180,5 +180,7 @@ def test_filter_and_projection_reach_the_scan(spark, sf_dir):
     assert any("EqualTo(event_type,signup)" in p for p in pushed), pushed
     assert any("EqualTo(event_type,error)" in p for p in pushed), pushed
     schemas = re.findall(r"ReadSchema: (struct<[^>]*>)", plan)
-    # events carries 6+ columns; the funnel needs only type/user/ts
-    assert schemas and all(s.count(",") <= 2 for s in schemas), schemas
+    # the events fixture carries 7 columns (incl. props/value/session);
+    # the funnel scans must prune to its ≤4 consumed columns
+    assert schemas and all(s.count(",") <= 3 for s in schemas), schemas
+    assert all("props" not in s and "value" not in s for s in schemas), schemas
