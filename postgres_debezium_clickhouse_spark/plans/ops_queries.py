@@ -329,6 +329,108 @@ def stream_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sh.rmtree(d, ignore_errors=True)
 
 
+def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 — STREAMING session windows (T10's hardest shape): sessions
+    merge across micro-batches in the state store, and append mode emits a
+    session only when the watermark passes its close.  Must hash-match the
+    BATCH events_sessionization oracle exactly.
+
+    Finite-replay protocol: (a) the watermark delay is set to the
+    fixture's full time span, so no real event is ever late regardless of
+    which micro-batch delivers it (the files are unordered in event time);
+    (b) a synthetic FLUSH event (user −1) with an mtime-forced LAST file
+    advances the watermark past every real session's close so append mode
+    releases them all — the streaming analogue of end-of-stream flush.
+    The flush user's own session is filtered from the output.  The
+    min/max pre-read is one 2-scalar driver row (bounded, like the BPE
+    argmax).
+
+    Scale: session_window state is per (user, open session) — bounded by
+    the watermark in a live deployment; one shuffle on user_id per
+    trigger."""
+    import os as _os
+    import shutil as _sh
+
+    from pyspark.sql import types as T
+
+    from ..sources.files import load_table
+
+    run = uuid.uuid4().hex[:12]
+    root = tempfile.gettempdir()
+    src = f"{root}/sess_src_{run}"
+    out = f"{root}/sess_out_{run}"
+    ckpt = f"{root}/sess_ckpt_{run}"
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    lo, hi = events.groupBy().agg(F.min("ts"), F.max("ts")).collect()[0]
+    span_s = int((hi - lo).total_seconds()) + 1
+    flush_delay_s = span_s + 3600  # past every session close + gap
+
+    try:
+        events.repartition(4).write.mode("overwrite").parquet(src)
+        now = 1_700_000_000.0
+        for f in _os.listdir(src):
+            _os.utime(_os.path.join(src, f), (now, now))
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from datetime import timedelta
+
+        flush = pa.table(
+            {
+                "user_id": pa.array([-1], pa.int64()),
+                "ts": pa.array([hi + timedelta(seconds=flush_delay_s)],
+                               pa.timestamp("us")),
+            }
+        )
+        fpath = _os.path.join(src, "zz_flush.parquet")
+        pq.write_table(flush, fpath)
+        _os.utime(fpath, (now + 60, now + 60))  # mtime order: flush LAST
+
+        schema = T.StructType(
+            [T.StructField("user_id", T.LongType()),
+             T.StructField("ts", events.schema["ts"].dataType)]
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+            # watermarks require TIMESTAMP (LTZ); the fixture is NTZ.
+            # Session tz is pinned UTC (session.py), so the cast — and the
+            # cast back on output — are wall-clock identities.
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        agg = (
+            stream.withWatermark("ts", f"{span_s} seconds")
+            .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+                "n_events",
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("session replay did not finish in 300s")
+        return (
+            spark.read.parquet(out)
+            .filter(F.col("user_id") >= 0)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for d in (src, out, ckpt):
+            _sh.rmtree(d, ignore_errors=True)
+
+
 def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming AGGREGATING materialized view (AggregatingMergeTree
     analogue): tumbling 1-hour event-time windows per event_type maintained
@@ -828,6 +930,7 @@ QUERIES = {
     "cdc_replay_from_bronze": cdc_replay_from_bronze,
     "stream_stateful_dedup": stream_stateful_dedup,
     "stream_hourly_counts": stream_hourly_counts,
+    "stream_sessionization": stream_sessionization,
     "stream_late_events": stream_late_events,
     "stream_stream_join": stream_stream_join,
     "object_store_typed_ingest": object_store_typed_ingest,
@@ -994,3 +1097,23 @@ ORACLES: dict[str, str] = {
         FROM nation
     """,
 }
+
+# streaming sessionization must equal the batch computation exactly —
+# same recursive gap-grouping oracle as events_sessionization
+ORACLES["stream_sessionization"] = """
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 10 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM g
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+"""
