@@ -329,6 +329,76 @@ def stream_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sh.rmtree(d, ignore_errors=True)
 
 
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 — completes the T10 streaming matrix (tumbling =
+    stream_hourly_counts, session = stream_sessionization, sliding =
+    this): SLIDING 2h/1h event-time windows maintained incrementally
+    across micro-batches, update mode into a last-emission-wins keyed
+    store, final state ≡ the batch events_sliding_counts (same oracle).
+    Window starts are a fixed grid, so the keyed-upsert protocol is exact
+    — each (window, type) key's final emission carries its total count.
+    No watermark for the same finite-replay reason as stream_hourly_counts
+    (arbitrary file order; a live deployment sets one to bound state)."""
+    import shutil as _sh
+
+    from pyspark.sql import types as T
+
+    from ..operators.upsert import latest_wins
+    from ..sources.files import load_table
+
+    run = uuid.uuid4().hex[:12]
+    root = tempfile.gettempdir()
+    src = f"{root}/slide_src_{run}"
+    out = f"{root}/slide_out_{run}"
+    ckpt = f"{root}/slide_ckpt_{run}"
+    try:
+        events = load_table(spark, sf_dir, "events").select("event_type", "ts")
+        events.repartition(4).write.mode("overwrite").parquet(src)
+        schema = T.StructType(
+            [T.StructField("event_type", T.StringType()),
+             T.StructField("ts", events.schema["ts"].dataType)]
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+        )
+        agg = (
+            stream.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        )
+
+        def sink(batch: DataFrame, batch_id: int) -> None:
+            batch.withColumn("__bid", F.lit(batch_id)).write.mode("append").parquet(out)
+
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = (
+                agg.writeStream.outputMode("update")
+                .foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("sliding replay did not finish in 300s")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        emitted = spark.read.parquet(out)
+        final = latest_wins(
+            emitted, keys=["window_start", "event_type"], version_cols=["__bid"]
+        )
+        return final.select(
+            "window_start", "event_type", "n_events"
+        ).localCheckpoint(eager=True)
+    finally:
+        for d in (src, out, ckpt):
+            _sh.rmtree(d, ignore_errors=True)
+
+
 def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r7 — STREAMING session windows (T10's hardest shape): sessions
     merge across micro-batches in the state store, and append mode emits a
@@ -930,6 +1000,7 @@ QUERIES = {
     "cdc_replay_from_bronze": cdc_replay_from_bronze,
     "stream_stateful_dedup": stream_stateful_dedup,
     "stream_hourly_counts": stream_hourly_counts,
+    "stream_sliding_counts": stream_sliding_counts,
     "stream_sessionization": stream_sessionization,
     "stream_late_events": stream_late_events,
     "stream_stream_join": stream_stream_join,
@@ -1116,4 +1187,16 @@ ORACLES["stream_sessionization"] = """
     )
     SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
     FROM s GROUP BY user_id, session_id
+"""
+
+# streaming sliding windows must equal the batch computation — same
+# two-branch hour-grid oracle as events_sliding_counts
+ORACLES["stream_sliding_counts"] = """
+    WITH w AS (
+        SELECT date_trunc('hour', ts) AS window_start, event_type FROM events
+        UNION ALL
+        SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type FROM events
+    )
+    SELECT window_start, event_type, COUNT(*) AS n_events
+    FROM w GROUP BY window_start, event_type
 """
