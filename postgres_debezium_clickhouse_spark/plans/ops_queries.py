@@ -58,41 +58,49 @@ def stream_bronze_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
     ARCHIVED value_json, so the check proves the raw log survived the
     stream → append → re-read round trip intact (only the wall-clock
     ingestion_time is excluded)."""
+    import shutil as _sh
+
     run = uuid.uuid4().hex[:12]
     root = tempfile.gettempdir()
     src = f"{root}/bronze_src_{run}"
     dst = f"{root}/bronze_out_{run}"
     ckpt = f"{root}/bronze_ckpt_{run}"
+    try:
+        events = orders_cdc_events(spark, sf_dir)
+        events.write.mode("overwrite").json(src)
 
-    events = orders_cdc_events(spark, sf_dir)
-    events.write.mode("overwrite").json(src)
-
-    stream = spark.readStream.schema(events.schema).json(src)
-    parsed = parse_envelope(stream, ORDERS_ENVELOPE)
-    good, _dead = corrupt_filter(parsed)
-    bronze = good.select(
-        F.col("value").alias("value_json"),
-        F.col("partition").cast("string").alias("partition_str"),
-        F.col("offset").alias("offset_num"),
-    )
-    q = bronze_append_stream(bronze, dst, ckpt, available_now=True)
-    if not q.awaitTermination(120):
-        q.stop()  # don't leave a zombie stream behind the error
-        raise TimeoutError(
-            "stream did not finish in 120s — refusing to "
-            "return a partial result"
+        stream = spark.readStream.schema(events.schema).json(src)
+        parsed = parse_envelope(stream, ORDERS_ENVELOPE)
+        good, _dead = corrupt_filter(parsed)
+        bronze = good.select(
+            F.col("value").alias("value_json"),
+            F.col("partition").cast("string").alias("partition_str"),
+            F.col("offset").alias("offset_num"),
         )
-    p = F.col("j.payload")
-    return (
-        spark.read.parquet(dst)
-        .withColumn("j", F.from_json("value_json", ORDERS_ENVELOPE))
-        .select(
-            F.coalesce(p.after.o_orderkey, p.before.o_orderkey).alias("o_orderkey"),
-            p.op.alias("op"),
-            "partition_str",
-            "offset_num",
+        q = bronze_append_stream(bronze, dst, ckpt, available_now=True)
+        if not q.awaitTermination(120):
+            q.stop()  # don't leave a zombie stream behind the error
+            raise TimeoutError(
+                "stream did not finish in 120s — refusing to "
+                "return a partial result"
+            )
+        p = F.col("j.payload")
+        return (
+            spark.read.parquet(dst)
+            .withColumn("j", F.from_json("value_json", ORDERS_ENVELOPE))
+            .select(
+                F.coalesce(p.after.o_orderkey, p.before.o_orderkey).alias("o_orderkey"),
+                p.op.alias("op"),
+                "partition_str",
+                "offset_num",
+            )
+            # materialize before the finally deletes the dirs it reads
+            # (ADVICE r6 scratch-leak pattern, applied to every stream query)
+            .localCheckpoint(eager=True)
         )
-    )
+    finally:
+        for d in (src, dst, ckpt):
+            _sh.rmtree(d, ignore_errors=True)
 
 
 def stream_silver_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -106,38 +114,45 @@ def stream_silver_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.cdc import orders_cdc_events, parse_envelope
     from ..streaming.pipeline import read_silver, silver_upsert_stream
 
+    import shutil as _sh
+
     run = uuid.uuid4().hex[:12]
     root = tempfile.gettempdir()
     src = f"{root}/silver_src_{run}"
     dst = f"{root}/silver_out_{run}"
     ckpt = f"{root}/silver_ckpt_{run}"
+    try:
+        events = orders_cdc_events(spark, sf_dir)
+        # several files → several micro-batches under maxFilesPerTrigger
+        events.repartition(4).write.mode("overwrite").json(src)
 
-    events = orders_cdc_events(spark, sf_dir)
-    # several files → several micro-batches under maxFilesPerTrigger
-    events.repartition(4).write.mode("overwrite").json(src)
-
-    stream = (
-        spark.readStream.schema(events.schema)
-        .option("maxFilesPerTrigger", "2")
-        .json(src)
-    )
-    p = F.col("j.payload")
-    flat = parse_envelope(stream, ORDERS_ENVELOPE).select(
-        F.coalesce(p.after["o_orderkey"], p.before["o_orderkey"]).alias("o_orderkey"),
-        p.after["o_orderstatus"].alias("o_orderstatus"),
-        p.after["o_totalprice"].cast("double").alias("o_totalprice"),
-        p.op.alias("op"),
-        p.source["ts_ms"].alias("ts_ms"),
-        F.col("offset"),
-    )
-    q = silver_upsert_stream(flat, dst, ckpt, keys=["o_orderkey"], available_now=True)
-    if not q.awaitTermination(300):
-        q.stop()  # don't leave a zombie stream behind the error
-        raise TimeoutError(
-            "stream did not finish in 300s — refusing to "
-            "return a partial result"
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "2")
+            .json(src)
         )
-    return read_silver(spark, dst).select("o_orderkey", "o_orderstatus", "o_totalprice", "ts_ms")
+        p = F.col("j.payload")
+        flat = parse_envelope(stream, ORDERS_ENVELOPE).select(
+            F.coalesce(p.after["o_orderkey"], p.before["o_orderkey"]).alias("o_orderkey"),
+            p.after["o_orderstatus"].alias("o_orderstatus"),
+            p.after["o_totalprice"].cast("double").alias("o_totalprice"),
+            p.op.alias("op"),
+            p.source["ts_ms"].alias("ts_ms"),
+            F.col("offset"),
+        )
+        q = silver_upsert_stream(flat, dst, ckpt, keys=["o_orderkey"], available_now=True)
+        if not q.awaitTermination(300):
+            q.stop()  # don't leave a zombie stream behind the error
+            raise TimeoutError(
+                "stream did not finish in 300s — refusing to "
+                "return a partial result"
+            )
+        return read_silver(spark, dst).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice", "ts_ms"
+        ).localCheckpoint(eager=True)
+    finally:
+        for d in (src, dst, ckpt):
+            _sh.rmtree(d, ignore_errors=True)
 
 
 def cdc_replay_from_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -178,6 +193,8 @@ def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.stateful import stateful_dedup
 
+    import shutil as _sh
+
     run = uuid.uuid4().hex[:12]
     root = tempfile.gettempdir()
     src = f"{root}/state_src_{run}"
@@ -217,7 +234,11 @@ def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.read.parquet(out).select("o_orderkey")
+    try:
+        return spark.read.parquet(out).select("o_orderkey").localCheckpoint(eager=True)
+    finally:
+        for d in (src, out, ckpt):
+            _sh.rmtree(d, ignore_errors=True)
 
 
 def stream_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -572,14 +593,20 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    emitted = spark.read.parquet(out)
-    final = latest_wins(emitted, keys=["window_start", "event_type"], version_cols=["__bid"])
-    return final.select(
-        "window_start",
-        "event_type",
-        "n_events",
-        F.round(F.col("sum_dec").cast("double"), 2).alias("sum_value"),
-    )
+    import shutil as _sh
+
+    try:
+        emitted = spark.read.parquet(out)
+        final = latest_wins(emitted, keys=["window_start", "event_type"], version_cols=["__bid"])
+        return final.select(
+            "window_start",
+            "event_type",
+            "n_events",
+            F.round(F.col("sum_dec").cast("double"), 2).alias("sum_value"),
+        ).localCheckpoint(eager=True)
+    finally:
+        for d in (src, out, ckpt):
+            _sh.rmtree(d, ignore_errors=True)
 
 
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -653,7 +680,13 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.read.parquet(out)
+    import shutil as _sh
+
+    try:
+        return spark.read.parquet(out).localCheckpoint(eager=True)
+    finally:
+        for d in (src, out, ckpt):
+            _sh.rmtree(d, ignore_errors=True)
 
 
 def object_store_typed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -687,7 +720,14 @@ def object_store_typed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("timestamp", T.TimestampType()),
         ]
     )
-    return read_typed_json(spark, bucket, schema).select("id", "message", "timestamp")
+    import shutil as _sh
+
+    try:
+        return read_typed_json(spark, bucket, schema).select(
+            "id", "message", "timestamp"
+        ).localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(bucket, ignore_errors=True)
 
 
 
@@ -879,11 +919,17 @@ def stream_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not q.awaitTermination(300):
         q.stop()
         raise TimeoutError("drift stream did not finish in 300s")
-    per_batch = spark.read.parquet(out)
-    return per_batch.groupBy("field", "kind").agg(
-        F.sum("n_rows").cast("long").alias("n_rows"),
-        F.min("first_offset").cast("long").alias("first_offset"),
-    )
+    import shutil as _sh
+
+    try:
+        per_batch = spark.read.parquet(out)
+        return per_batch.groupBy("field", "kind").agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.min("first_offset").cast("long").alias("first_offset"),
+        ).localCheckpoint(eager=True)
+    finally:
+        for d in (src, out, ckpt):
+            _sh.rmtree(d, ignore_errors=True)
 
 
 def stream_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -984,7 +1030,15 @@ def stream_drift_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(route).alias("route"), "n_rows", "min_offset", "max_offset")
         )
 
-    return _summary("conforming").unionByName(_summary("quarantine"))
+    import shutil as _sh
+
+    try:
+        return _summary("conforming").unionByName(
+            _summary("quarantine")
+        ).localCheckpoint(eager=True)
+    finally:
+        for d in (src, out, ckpt):
+            _sh.rmtree(d, ignore_errors=True)
 
 
 QUERIES = {
