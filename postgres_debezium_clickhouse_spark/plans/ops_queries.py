@@ -333,17 +333,22 @@ def stream_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_events"))
             .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
         )
-        q = (
-            agg.writeStream.format("parquet")
-            .outputMode("append")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("late-event replay did not finish in 300s")
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = (
+                agg.writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("late-event replay did not finish in 300s")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         return spark.read.parquet(out).localCheckpoint(eager=True)
     finally:
         for d in (src, out, ckpt):
@@ -501,17 +506,25 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_events",
             )
         )
-        q = (
-            agg.writeStream.format("parquet")
-            .outputMode("append")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("session replay did not finish in 300s")
+        # streaming aggs bypass AQE: one state-store instance per shuffle
+        # partition per micro-batch — use a small state partition count at
+        # harness scale (restored after; production sizes it to key count)
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = (
+                agg.writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("session replay did not finish in 300s")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         return (
             spark.read.parquet(out)
             .filter(F.col("user_id") >= 0)
