@@ -101,3 +101,26 @@ def test_vacuumed_version_fails_loudly(spark, dirs):
     assert _state(spark, dirs) == {1: "a2"}
     with pytest.raises(ValueError, match="vacuumed"):
         pl.read_silver(spark, dirs["silver"], as_of_version=versions[0])
+
+
+def test_compaction_commits_a_version_and_history_survives(spark, dirs):
+    """OPTIMIZE-style compaction is itself a versioned commit: the
+    pre-compaction state stays reachable via as-of (its superseded files
+    survive inside the vacuum grace window / retain pinning), and the
+    post-compaction version reads identically to the pre-compaction
+    CURRENT state — compaction must never change logical content."""
+    _publish(spark, dirs, 1, [(1, "a1", "c", 100, 1), (2, "b1", "c", 100, 2)])
+    _publish(spark, dirs, 2, [(1, "a2", "u", 200, 3)])
+    before_versions = pl.silver_versions(dirs["silver"])
+    state_before = _state(spark, dirs)
+
+    pl.compact_silver(spark, dirs["silver"], keys=["id"], vacuum_grace_s=600)
+    after_versions = pl.silver_versions(dirs["silver"])
+    assert len(after_versions) > len(before_versions)  # compaction committed
+
+    # logical content unchanged by compaction
+    assert _state(spark, dirs) == state_before
+    assert _state(spark, dirs, as_of_version=after_versions[-1]) == state_before
+    # the pre-compaction version is still exactly reachable
+    assert _state(spark, dirs, as_of_version=before_versions[-1]) == state_before
+    assert _state(spark, dirs, as_of_version=before_versions[0]) == {1: "a1", 2: "b1"}
