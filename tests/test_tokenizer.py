@@ -68,3 +68,33 @@ def test_bpe_encode_roundtrip_with_learned_table(spark):
     assert out[1].compression == 1.6
     assert (out[2].n_subwords, out[2].n_base_symbols) == (3, 3)  # no rule applies
     assert (out[3].n_words, out[3].n_subwords) == (0, 0)
+
+
+def test_bpe_subwords_always_reconstruct_the_word(spark):
+    """Property (hypothesis): for ANY corpus of random small-alphabet
+    words and the merge table learned from it, every word's subword
+    sequence concatenates back to exactly the original word — merging can
+    regroup symbols but never lose or invent characters."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from postgres_debezium_clickhouse_spark.operators.tokenizer import _apply_merge
+
+    word = st.text(alphabet="abcd", min_size=1, max_size=8)
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(words=st.lists(word, min_size=1, max_size=12))
+    def prop(words):
+        docs = spark.createDataFrame([(" ".join(words),)], ["text"])
+        table = bpe_top_merges(docs, k=3).collect()
+        df = spark.createDataFrame([(w,) for w in set(words)], ["w"])
+        syms = F.split("w", "")
+        for r in sorted(table, key=lambda r: r.merge_rank):
+            syms = _apply_merge(syms, r.left_sym, r.right_sym)
+        out = df.select("w", F.concat_ws("", syms).alias("rejoined")).collect()
+        for row in out:
+            assert row.rejoined == row.w, (row.w, row.rejoined)
+
+    prop()
