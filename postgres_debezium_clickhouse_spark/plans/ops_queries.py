@@ -355,6 +355,57 @@ def stream_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sh.rmtree(d, ignore_errors=True)
 
 
+def silver_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 — time travel, ORACLE-checked: three deterministic store
+    versions are committed (snapshot → %3-keys updated to 'U' → %7 keys
+    deleted), then EVERY version is read back via
+    ``read_silver(as_of_version=)`` and emitted tagged by version rank.
+    The oracle reconstructs all three states closed-form from the orders
+    fixture, so the as-of read path (history manifest → exact live-file
+    set) is value-hashed, not just lifecycle-tested.
+
+    Scale: each publish writes O(touched buckets) files and one manifest;
+    the as-of read costs the same as a current read (manifest lookup +
+    pruned file scan)."""
+    import shutil as _sh
+
+    from ..streaming.pipeline import (
+        _publish_buckets,
+        _read_manifest,
+        read_silver,
+        silver_versions,
+    )
+
+    path = f"{tempfile.gettempdir()}/tt_store_{uuid.uuid4().hex[:12]}"
+    try:
+        base = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_orderstatus"
+        )
+        v1 = base.withColumn("__deleted", F.lit(False))
+        v2 = base.withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 3 == 0, "U").otherwise(F.col("o_orderstatus")),
+        ).withColumn("__deleted", F.lit(False))
+        v3 = v2.filter(F.col("o_orderkey") % 7 != 0)
+        for state in (v1, v2, v3):
+            manifest = _read_manifest(path) or {
+                "version": 0, "n_buckets": 8, "files": [],
+            }
+            _publish_buckets(
+                state, path, ["o_orderkey"], manifest,
+                set(range(manifest["n_buckets"])),
+            )
+        out = None
+        for rank, v in enumerate(sorted(silver_versions(path)), 1):
+            df = read_silver(spark, path, as_of_version=v).select(
+                F.lit(rank).alias("version_rank"), "o_orderkey", "o_orderstatus"
+            )
+            out = df if out is None else out.unionByName(df)
+        return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(path, ignore_errors=True)
+
+
 def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r7 — completes the T10 streaming matrix (tumbling =
     stream_hourly_counts, session = stream_sessionization, sliding =
@@ -1067,6 +1118,7 @@ QUERIES = {
     "cdc_replay_from_bronze": cdc_replay_from_bronze,
     "stream_stateful_dedup": stream_stateful_dedup,
     "stream_hourly_counts": stream_hourly_counts,
+    "silver_time_travel": silver_time_travel,
     "stream_sliding_counts": stream_sliding_counts,
     "stream_sessionization": stream_sessionization,
     "stream_late_events": stream_late_events,
@@ -1266,4 +1318,18 @@ ORACLES["stream_sliding_counts"] = """
     )
     SELECT window_start, event_type, COUNT(*) AS n_events
     FROM w GROUP BY window_start, event_type
+"""
+
+# as-of reads of three closed-form committed states — the oracle knows
+# exactly what each version must contain
+ORACLES["silver_time_travel"] = """
+    SELECT 1 AS version_rank, o_orderkey, o_orderstatus FROM orders
+    UNION ALL
+    SELECT 2, o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'U' ELSE o_orderstatus END
+    FROM orders
+    UNION ALL
+    SELECT 3, o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'U' ELSE o_orderstatus END
+    FROM orders WHERE o_orderkey % 7 <> 0
 """
