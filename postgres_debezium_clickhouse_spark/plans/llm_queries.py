@@ -2590,3 +2590,75 @@ ORACLES["corpus_bpe_encode"] = """
            CAST(1.6 AS DOUBLE) AS compression
     FROM documents
 """
+
+
+def q_similarity_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: dimension-truncation evaluation (the Matryoshka-representation
+    question: how much of the embedding can be cut before retrieval
+    degrades) — exact top-5 under the FIRST-16-dims prefix vs the full
+    64-dim top-5, overlap@5 per query.  The metric that sizes a cheap
+    first-stage index (prefix dims → 4× less compute/memory) against its
+    recall cost.  Both sides reuse the brute-force cosine machinery; the
+    oracle recomputes both rankings in SQL with the same tie-breaks."""
+    from ..operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    full = cosine_topk(corpus, queries, k=5).select("query_id", "neighbor_id")
+    tq = queries.withColumn("embedding", F.slice("embedding", 1, 16))
+    tc = corpus.withColumn("embedding", F.slice("embedding", 1, 16))
+    trunc = cosine_topk(tc, tq, k=5).select("query_id", "neighbor_id")
+    hits = (
+        full.join(trunc, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        full.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(F.coalesce("n_overlap", F.lit(0)) / 5.0, 2).alias("recall_at_5"),
+        )
+    )
+
+
+QUERIES["similarity_truncated_recall"] = q_similarity_truncated_recall
+ORACLES["similarity_truncated_recall"] = """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    c AS (SELECT vec_id, v AS cv FROM e WHERE vec_id >= 5),
+    full_r AS (
+        SELECT query_id, vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                   ROUND(list_dot_product(qv, cv)
+                         / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
+                   vec_id ASC) AS rnk
+        FROM q CROSS JOIN c
+    ),
+    tq AS (SELECT query_id, qv[1:16] AS qv FROM q),
+    tc AS (SELECT vec_id, cv[1:16] AS cv FROM c),
+    trunc_r AS (
+        SELECT query_id, vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                   ROUND(list_dot_product(qv, cv)
+                         / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
+                   vec_id ASC) AS rnk
+        FROM tq CROSS JOIN tc
+    ),
+    hits AS (
+        SELECT f.query_id, COUNT(*) AS n_overlap
+        FROM (SELECT * FROM full_r WHERE rnk <= 5) f
+        JOIN (SELECT * FROM trunc_r WHERE rnk <= 5) t
+          ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+        GROUP BY f.query_id
+    )
+    SELECT q2.query_id,
+           COALESCE(h.n_overlap, 0) AS n_overlap,
+           ROUND(COALESCE(h.n_overlap, 0) / 5.0, 2) AS recall_at_5
+    FROM (SELECT DISTINCT query_id FROM q) q2
+    LEFT JOIN hits h USING (query_id)
+"""

@@ -72,6 +72,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "similarity_ann_ivf_index", # scalar attach: 1-row broadcast centroid array (index metadata)
         "text_perplexity_separation",  # embeds the perplexity branch (1-row corpus-total attach)
         "text_commonness_separation",  # embeds the commonness branch (1-row N-docs attach)
+        "similarity_truncated_recall",  # embeds brute-force cosine twice (eval ground truth)
     }
     oracle_checked = set(m.oracle_sql())
     checked = 0
