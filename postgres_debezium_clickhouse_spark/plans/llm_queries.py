@@ -2662,3 +2662,48 @@ ORACLES["similarity_truncated_recall"] = """
     FROM (SELECT DISTINCT query_id FROM q) q2
     LEFT JOIN hits h USING (query_id)
 """
+
+
+def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: quality-WEIGHTED sampling — the step between hard filtering and
+    uniform sampling in a data recipe: each document is kept with
+    probability proportional to its classifier quality margin, but
+    DETERMINISTICALLY (md5-uniform draw per doc_id, exact-integer accept
+    test), so the sample is reproducible and the oracle can state every
+    keep decision.  accept weight w = clamp(margin_milli + 2000, 0, 4000)
+    (p = w/4000); draw u16 = first 4 md5 hex digits of the id (0..65535);
+    keep ⟺ u16·4000 < w·65536 — pure integer comparison, engine-portable.
+    Map-only at any scale (classifier margin + two hashes per row)."""
+    from ..operators.classifier import classifier_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = classifier_score(docs, _CLS_WEIGHTS)
+    w = F.greatest(F.lit(0), F.least(F.lit(4000), F.col("margin_milli") + 2000)).cast("long")
+    u16 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
+    return scored.select(
+        "doc_id",
+        "margin_milli",
+        w.alias("accept_weight"),
+        ((u16 * 4000) < (w * 65536)).alias("kept"),
+    )
+
+
+QUERIES["corpus_weighted_sample"] = q_quality_weighted_sample
+ORACLES["corpus_weighted_sample"] = f"""
+    WITH w AS (SELECT {_CLS_WEIGHTS} AS wv),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    scored AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(tk,
+                   t -> wv[('0x' || substr(md5(t), 1, 8))::BIGINT % {_CLS_DIM} + 1]))
+                   AS BIGINT) AS m
+        FROM toks, w),
+    acc AS (
+        SELECT doc_id, m,
+               LEAST(GREATEST(m + 2000, 0), 4000) AS aw,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS u16
+        FROM scored)
+    SELECT doc_id, m AS margin_milli, CAST(aw AS BIGINT) AS accept_weight,
+           u16 * 4000 < aw * 65536 AS kept
+    FROM acc
+"""
