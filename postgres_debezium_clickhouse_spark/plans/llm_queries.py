@@ -2707,3 +2707,47 @@ ORACLES["corpus_weighted_sample"] = f"""
            u16 * 4000 < aw * 65536 AS kept
     FROM acc
 """
+
+
+def q_corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: per-language duplication report — doc counts, distinct
+    normalized-content counts, and the dup rate (the per-slice summary a
+    curation run publishes before/after dedup; skewed slices tell you
+    which source needs crawling fixes).  One map-side-combinable
+    two-level aggregation, no joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    digest = F.sha2(F.lower(F.trim(F.col("text"))), 256)
+    per = docs.groupBy("lang", digest.alias("__d")).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_unique"),
+            F.sum(F.when(F.col("n") > 1, F.col("n"))).alias("__dup_mass"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_unique",
+            F.round(
+                (F.col("n_docs") - F.col("n_unique")) / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+            F.coalesce("__dup_mass", F.lit(0)).alias("docs_in_dup_groups"),
+        )
+    )
+
+
+QUERIES["corpus_dedup_report"] = q_corpus_dedup_report
+ORACLES["corpus_dedup_report"] = """
+    WITH per AS (
+        SELECT lang, sha256(lower(trim(text))) AS d, COUNT(*) AS n
+        FROM documents GROUP BY lang, d
+    )
+    SELECT lang,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_unique,
+           ROUND((SUM(n) - COUNT(*)) * 1.0 / SUM(n), 6) AS dup_rate,
+           CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n END), 0) AS BIGINT)
+               AS docs_in_dup_groups
+    FROM per GROUP BY lang
+"""
