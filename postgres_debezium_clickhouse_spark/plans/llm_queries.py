@@ -2751,3 +2751,30 @@ ORACLES["corpus_dedup_report"] = """
                AS docs_in_dup_groups
     FROM per GROUP BY lang
 """
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: quantile SKETCH accuracy — per-event-type
+    ``approx_percentile`` (the mergeable KLL-style path for 100 TB, where
+    exact percentiles would sort every group) validated in-plan against
+    the exact p40/p60 band: the approximate median must land inside it.
+    Like corpus_sketch_distinct, the sketch value itself is
+    engine-specific, so the emitted columns are the group count plus the
+    accuracy verdict the oracle states as a constant."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("percentile(value, array(0.4, 0.6))").alias("__band"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("__ap50"),
+    )
+    ok = (F.col("__ap50") >= F.col("__band")[0]) & (
+        F.col("__ap50") <= F.col("__band")[1]
+    )
+    return per.select("event_type", "n_events", ok.alias("median_in_p40_p60"))
+
+
+QUERIES["events_quantile_sketch"] = q_quantile_sketch
+ORACLES["events_quantile_sketch"] = """
+    SELECT event_type, COUNT(*) AS n_events, true AS median_in_p40_p60
+    FROM events GROUP BY event_type
+"""
