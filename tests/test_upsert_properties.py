@@ -76,10 +76,11 @@ def test_rewrite_mode_matches_model(spark, events):
 @settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(events=events_strategy)
 def test_agg_and_window_strategies_agree(spark, events):
-    """Internal consistency: the map-side-combinable max_by strategy and
-    the row_number window strategy are two plans for ONE semantics — they
-    must pick identical winners on any log (given the physical invariant
-    of unique (key, ts, offset) slots)."""
+    """Internal consistency: the map-side-combinable agg strategy (r7:
+    max-over-struct with a max_by fallback) and the row_number window
+    strategy are two plans for ONE semantics — they must pick identical
+    winners on any log (given the physical invariant of unique
+    (key, ts, offset) slots)."""
     from postgres_debezium_clickhouse_spark.operators.upsert import latest_wins
 
     seen, phys = set(), []
