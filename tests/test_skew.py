@@ -51,3 +51,51 @@ def test_hotkey_dedup_partial_agg_neutralizes_skew(spark, sf_dir):
     # the hot key accounted for half of all input events, yet every other
     # key's snapshot image is intact
     assert df.count() == orders.count() + 1
+
+
+def test_aqe_skew_join_engages_and_initial_partitions_interaction(spark):
+    """AQE skew-join evidence (the JOIN-side backstop; the agg paths are
+    partial-agg/salting): with a 50%-one-key fact side, lowered skew
+    thresholds, and an initialPartitionNum comparable to key cardinality,
+    the final adaptive plan must read `SortMergeJoin(skew=true)` over
+    `AQEShuffleRead skewed`.
+
+    Measured interaction worth pinning: with the session's scale-oriented
+    initialPartitionNum (2048) the splitter does NOT engage at this data
+    size (the hot key sits alone in a near-empty partition map and the
+    split never fires) — so at 100 TB the engine's first-line skew answers
+    remain the map-side partial aggregate and salted_agg, with AQE
+    skew-join as a backstop whose thresholds/partitioning must be sized
+    together.  Documented in docs/SCALE.md."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "16",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1b",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(200_000).select(
+            F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id") % 1000).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("pad"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("dv")
+        )
+        j = fact.join(dim, "k")
+        assert len(j.collect()) == 200_000  # every fact row matched
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:800]
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
