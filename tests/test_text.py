@@ -319,3 +319,41 @@ def test_normalize_unicode_semantics(spark):
     assert out[3].n_mojibake == 2 and out[3].changed is False
     assert out[4].normalized is None and out[4].changed is None
     assert out[5].changed is False and out[5].n_controls == 0
+
+
+def test_normalize_unicode_idempotent_property(spark):
+    """Property (hypothesis): normalize is IDEMPOTENT — feeding its own
+    output back yields changed=False, zero controls, identical text — and
+    the output never contains stripped control characters."""
+    import re
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from postgres_debezium_clickhouse_spark.operators.text import normalize_unicode
+
+    ctrl = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+    text = st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_categories=("Cs",)
+        ),
+        max_size=40,
+    )
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(texts=st.lists(text, min_size=1, max_size=8))
+    def prop(texts):
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        out1 = normalize_unicode(docs).collect()
+        for r in out1:
+            assert not ctrl.search(r.normalized or "")
+        again = spark.createDataFrame(
+            [(r.doc_id, r.normalized) for r in out1], "doc_id long, text string"
+        )
+        for r in normalize_unicode(again).collect():
+            assert r.changed is False and r.n_controls == 0
+
+    prop()
