@@ -2778,3 +2778,72 @@ ORACLES["events_quantile_sketch"] = """
     SELECT event_type, COUNT(*) AS n_events, true AS median_in_p40_p60
     FROM events GROUP BY event_type
 """
+
+
+def q_domain_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: domain-level quality aggregation (RefinedWeb-style domain
+    filtering signal): each document's extracted source domain joined to
+    its quality-gate verdict, aggregated per domain — doc counts, keep
+    counts, keep rate, and a suggest-block flag for domains whose keep
+    rate falls under 50%.  The step that turns per-doc quality into
+    crawl-level policy.  One map+explode for the URLs, a broadcast-safe
+    per-doc join (both sides keyed by doc_id), one grouped agg."""
+    from ..operators.text import extract_urls, quality_score
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" via https://src"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/doc/"), F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    domains = extract_urls(docs).select("doc_id", "domain").distinct()
+    verdicts = quality_score(docs).select("doc_id", "keep")
+    return (
+        domains.join(verdicts, "doc_id")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        )
+        .select(
+            "domain",
+            "n_docs",
+            "n_keep",
+            F.round(F.col("n_keep") / F.col("n_docs"), 6).alias("keep_rate"),
+            (F.col("n_keep") * 2 < F.col("n_docs")).alias("suggest_block"),
+        )
+    )
+
+
+QUERIES["corpus_domain_quality"] = q_domain_quality_report
+# quality_score on text || injected URL: length 100-1000, diversity >= .15,
+# stopword ratio <= .5 — replicated with the same DuckDB expressions the
+# text_quality_score oracle uses, grouped by the injected domain
+ORACLES["corpus_domain_quality"] = """
+    WITH planted AS (
+        SELECT doc_id,
+               text || ' via https://src' || CAST(doc_id % 7 AS VARCHAR)
+                    || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS text,
+               'src' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS domain
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, domain,
+               (length(text) BETWEEN 100 AND 1000)
+               AND (len(list_distinct(string_split(text, ' '))) * 1.0
+                    / len(string_split(text, ' ')) >= 0.15)
+               AND (len(list_filter(string_split(text, ' '),
+                        t -> t IN ('the', 'a', 'and', 'of'))) * 1.0
+                    / len(string_split(text, ' ')) <= 0.5) AS keep
+        FROM planted
+    )
+    SELECT domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           ROUND(SUM(CASE WHEN keep THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+               AS keep_rate,
+           SUM(CASE WHEN keep THEN 1 ELSE 0 END) * 2 < COUNT(*) AS suggest_block
+    FROM q GROUP BY domain
+"""
