@@ -2847,3 +2847,76 @@ ORACLES["corpus_domain_quality"] = """
            SUM(CASE WHEN keep THEN 1 ELSE 0 END) * 2 < COUNT(*) AS suggest_block
     FROM q GROUP BY domain
 """
+
+
+def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: domain PageRank over the corpus link graph (operators/graph.py
+    — the Common-Crawl-style crawl-prioritization rank).  Each doc gets a
+    source domain (src<id%7>.example.com) and an outlink target
+    (dst<id%5>.example.org) injected; edges = distinct (source → target)
+    pairs recovered through the REAL URL extractor; 3 power iterations at
+    damping 0.85.  The oracle derives the identical closed-form edge set
+    from doc_id arithmetic and unrolls the same three iterations in SQL —
+    every rank value must agree to 6 decimals."""
+    from ..operators.graph import pagerank
+    from ..operators.text import extract_urls
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" from https://src"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+            F.lit(" links https://dst"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.org/q/"), F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    urls = extract_urls(docs)
+    per_doc = urls.groupBy("doc_id").agg(
+        F.min(F.when(F.col("domain").endswith(".example.com"), F.col("domain"))).alias("src"),
+        F.min(F.when(F.col("domain").endswith(".example.org"), F.col("domain"))).alias("dst"),
+    )
+    edges = (
+        per_doc.filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .select("src", "dst")
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=3, damping=0.85)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+QUERIES["corpus_domain_pagerank"] = q_domain_pagerank
+ORACLES["corpus_domain_pagerank"] = """
+    WITH e AS (
+        SELECT DISTINCT
+               'src' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS s,
+               'dst' || CAST(doc_id % 5 AS VARCHAR) || '.example.org' AS d
+        FROM documents
+    ),
+    nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+    p AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    od AS (SELECT s, COUNT(*) AS outdeg FROM e GROUP BY s),
+    r0 AS (SELECT node, 1.0 / n AS rank FROM nodes, p),
+    r1 AS (
+        SELECT no.node, 0.15 / p.n + 0.85 * COALESCE(c.m, 0) AS rank
+        FROM nodes no CROSS JOIN p
+        LEFT JOIN (SELECT e.d AS node, SUM(r0.rank / od.outdeg) AS m
+                   FROM e JOIN od USING (s) JOIN r0 ON r0.node = e.s
+                   GROUP BY e.d) c ON c.node = no.node
+    ),
+    r2 AS (
+        SELECT no.node, 0.15 / p.n + 0.85 * COALESCE(c.m, 0) AS rank
+        FROM nodes no CROSS JOIN p
+        LEFT JOIN (SELECT e.d AS node, SUM(r1.rank / od.outdeg) AS m
+                   FROM e JOIN od USING (s) JOIN r1 ON r1.node = e.s
+                   GROUP BY e.d) c ON c.node = no.node
+    ),
+    r3 AS (
+        SELECT no.node, 0.15 / p.n + 0.85 * COALESCE(c.m, 0) AS rank
+        FROM nodes no CROSS JOIN p
+        LEFT JOIN (SELECT e.d AS node, SUM(r2.rank / od.outdeg) AS m
+                   FROM e JOIN od USING (s) JOIN r2 ON r2.node = e.s
+                   GROUP BY e.d) c ON c.node = no.node
+    )
+    SELECT node, ROUND(rank, 6) AS rank FROM r3
+"""
