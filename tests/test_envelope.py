@@ -230,3 +230,26 @@ def test_pruned_envelope_random_subsets_extract_identically(spark, sf_dir):
         assert extract(env, a, b, s) == extract(ORDERS_ENVELOPE, a, b, s)
 
     prop()
+
+
+def test_flagship_plan_parses_pruned_schema(spark, sf_dir):
+    """Regression pin for the r7 CPU win: cdc_current_state's optimized
+    plan must parse with the PRUNED envelope — no `transaction` subtree,
+    no source fields beyond ts_ms, before-image limited to the key.  A
+    revert to the registered full envelope would silently re-decode ~40%
+    more of every message at 100 TB."""
+    from postgres_debezium_clickhouse_spark.plans.cdc_queries import cdc_current_state
+
+    plan = (
+        cdc_current_state(spark, sf_dir)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    i = plan.find("from_json")
+    assert i >= 0
+    frag = plan[i : plan.index(" AS ", i)]
+    assert "transaction" not in frag
+    assert frag.count("ts_ms") == 1          # source.ts_ms only
+    assert "txId" not in frag and "lsn" not in frag
+    # before image = the key only
+    before = frag[frag.index("before") : frag.index("after")]
+    assert "o_orderkey" in before and "o_orderstatus" not in before
