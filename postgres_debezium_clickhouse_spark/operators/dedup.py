@@ -122,6 +122,33 @@ def minhash_signature(shingled: DataFrame) -> DataFrame:
     return shingled.withColumn("__hs", F.expr(base)).select("*", *sigs).drop("__hs")
 
 
+def lsh_band_keys(signed: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, b, bkey) band-key rows from a MinHash-signed frame — the
+    joinable LSH index unit, shared by the batch self-join
+    (``lsh_candidate_pairs``) and the streaming stream-static near-dup
+    gate (``stream_neardup_gate``: corpus band keys precomputed once, new
+    docs probe them per trigger)."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                # '|'-separated so integer sigs can't collide by digit
+                # regrouping (concat(12,345) vs concat(123,45))
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"sig_{b * ROWS_PER_BAND + r}").cast("string")
+                      for r in range(ROWS_PER_BAND)],
+                ).alias("bkey"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return (
+        signed.select(F.col(id_col), F.explode(bands).alias("band"))
+        .select(id_col, F.col("band.b").alias("b"), F.col("band.bkey").alias("bkey"))
+    )
+
+
 def lsh_candidate_pairs(
     documents: DataFrame,
     id_col: str = "doc_id",
@@ -148,25 +175,7 @@ def lsh_candidate_pairs(
     partitions).  The salt is md5-derived, so oracles reproduce it, though
     fixture-scale buckets never exceed the default cap."""
     signed = minhash_signature(shingled if shingled is not None else with_shingles(documents))
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("b"),
-                # '|'-separated so integer sigs can't collide by digit
-                # regrouping (concat(12,345) vs concat(123,45))
-                F.concat_ws(
-                    "|",
-                    *[F.col(f"sig_{b * ROWS_PER_BAND + r}").cast("string")
-                      for r in range(ROWS_PER_BAND)],
-                ).alias("bkey"),
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    exploded = (
-        signed.select(F.col(id_col), F.explode(bands).alias("band"))
-        .select(id_col, F.col("band.b").alias("b"), F.col("band.bkey").alias("bkey"))
-    )
+    exploded = lsh_band_keys(signed, id_col)
     bucket_n = F.count(F.lit(1)).over(Window.partitionBy("b", "bkey"))
     n_sub = F.ceil(bucket_n / max_bucket_size)
     h16 = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)

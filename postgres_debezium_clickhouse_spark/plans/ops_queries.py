@@ -1027,6 +1027,99 @@ def stream_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: ingest-time NEAR-dup gate — the MinHash-LSH completion of the
+    ingest gate family (``stream_dedup_new_docs`` catches exact content,
+    ``stream_stateful_dedup`` catches within-stream keys; this catches
+    near-identical rewrites): new documents stream in, probe the STATIC
+    corpus's precomputed LSH band-key index (stream-static join, no
+    state), candidates are verified by exact Jaccard against only the
+    matched corpus docs' shingles, and docs with any corpus neighbor at
+    j ≥ 0.8 are dropped.
+
+    Scale: the corpus is shingled/banded ONCE at stream start (at 100 TB
+    this is the persisted signature store an ingest service maintains);
+    per trigger the new batch computes its own band keys and joins —
+    candidate verification touches only matched corpus rows.  Per-doc
+    decisions are batch-independent, so micro-batching cannot change the
+    result and the batch-derived oracle is exact."""
+    from ..operators.dedup import (
+        lsh_band_keys,
+        minhash_signature,
+        with_shingles,
+    )
+    from ..sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    corpus_sh = with_shingles(corpus).select("doc_id", "shingles").localCheckpoint(
+        eager=True
+    )
+    corpus_bands = (
+        lsh_band_keys(minhash_signature(corpus_sh))
+        .select(F.col("doc_id").alias("corpus_id"), "b", "bkey")
+        .localCheckpoint(eager=True)
+    )
+    corpus_sh_j = corpus_sh.select(
+        F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("c_sh")
+    )
+
+    import shutil as _sh_
+
+    run = uuid.uuid4().hex[:12]
+    root = tempfile.gettempdir()
+    src = f"{root}/ndg_src_{run}"
+    out = f"{root}/ndg_out_{run}"
+    ckpt = f"{root}/ndg_ckpt_{run}"
+    try:
+        new_docs = docs.filter(F.col("doc_id") % 5 == 0)
+        new_docs.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(new_docs.schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+        )
+
+        # per-batch gate (foreachBatch — the anti join's right side derives
+        # from the batch, which a continuous stream transform cannot do);
+        # epoch-keyed overwrite keeps the sink idempotent on retries
+        def gate(batch: DataFrame, epoch: int) -> None:
+            sh = with_shingles(batch).select("doc_id", "shingles")
+            nb = lsh_band_keys(minhash_signature(sh))
+            cand = (
+                nb.join(corpus_bands, ["b", "bkey"])
+                .select("doc_id", "corpus_id")
+                .distinct()
+            )
+            inter = F.size(F.array_intersect("shingles", "c_sh"))
+            union = F.size(F.array_distinct(F.concat("shingles", "c_sh")))
+            matched = (
+                cand.join(sh, "doc_id")
+                .join(corpus_sh_j, "corpus_id")
+                .withColumn("j", F.round(inter / union, 6))
+                .filter(F.col("j") >= 0.8)
+                .select("doc_id")
+                .distinct()
+            )
+            batch.join(matched, "doc_id", "left_anti").select("doc_id").write.mode(
+                "overwrite"
+            ).parquet(f"{out}/epoch={epoch}")
+
+        q = (
+            stream.writeStream.foreachBatch(gate)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("near-dup gate replay did not finish in 300s")
+        return spark.read.parquet(out).select("doc_id").localCheckpoint(eager=True)
+    finally:
+        for d in (src, out, ckpt):
+            _sh_.rmtree(d, ignore_errors=True)
+
+
 def stream_drift_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r6: schema-drift alert → ACTION.  ``stream_schema_drift`` detects;
     this query reacts: each micro-batch is split by ``split_on_drift``
@@ -1112,6 +1205,7 @@ QUERIES = {
     "stream_ann_assign": stream_ann_assign,
     "stream_drift_quarantine": stream_drift_quarantine,
     "stream_dedup_new_docs": stream_dedup_new_docs,
+    "stream_neardup_gate": stream_neardup_gate,
     "synthetic_transactions": synthetic_transactions,
     "stream_bronze_archive": stream_bronze_archive,
     "stream_silver_state": stream_silver_state,
@@ -1332,4 +1426,26 @@ ORACLES["silver_time_travel"] = """
     SELECT 3, o_orderkey,
            CASE WHEN o_orderkey % 3 = 0 THEN 'U' ELSE o_orderstatus END
     FROM orders WHERE o_orderkey % 7 <> 0
+"""
+
+# near-dup ingest gate: survivors are the %5==0 docs with NO corpus
+# (%5!=0) LSH-candidate neighbor at jaccard >= 0.8 — reuses the shared
+# MinHash CTE chain; the symmetric pair set is post-filtered to
+# cross-split pairs (new vs corpus), so the oracle is the exact batch
+# form of the per-doc-independent streaming decision
+from .llm_queries import _MINHASH_PAIR_CTES as _MH_CTES  # noqa: E402
+from .llm_queries import _SHINGLES as _SH_CTES  # noqa: E402
+
+ORACLES["stream_neardup_gate"] = f"""
+    WITH {_SH_CTES},
+    {_MH_CTES},
+    matched AS (
+        SELECT CASE WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END AS new_id
+        FROM j
+        WHERE jaccard >= 0.8
+          AND ((doc_a % 5 = 0) <> (doc_b % 5 = 0))
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id % 5 = 0
+      AND doc_id NOT IN (SELECT new_id FROM matched)
 """
