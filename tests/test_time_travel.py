@@ -124,3 +124,24 @@ def test_compaction_commits_a_version_and_history_survives(spark, dirs):
     # the pre-compaction version is still exactly reachable
     assert _state(spark, dirs, as_of_version=before_versions[-1]) == state_before
     assert _state(spark, dirs, as_of_version=before_versions[0]) == {1: "a1", 2: "b1"}
+
+
+def test_as_of_composes_with_include_deleted(spark, dirs):
+    """Time travel must compose with the rewrite-mode read: as-of a
+    version where a key was deleted, include_deleted=True shows its
+    tombstone with __deleted=true, while the default read drops it —
+    exactly like the current-state read."""
+    _publish(spark, dirs, 1, [(1, "a1", "c", 100, 1), (2, "b1", "c", 100, 2)])
+    _publish(spark, dirs, 2, [(2, None, "d", 200, 3)])
+    versions = pl.silver_versions(dirs["silver"])
+    v2 = versions[-1]
+    assert _state(spark, dirs, as_of_version=v2) == {1: "a1"}
+    flags = {
+        r.id: r["__deleted"]
+        for r in pl.read_silver(
+            spark, dirs["silver"], include_deleted=True, as_of_version=v2
+        ).collect()
+    }
+    assert flags == {1: False, 2: True}
+    # and the pre-delete version still shows the live row either way
+    assert _state(spark, dirs, as_of_version=versions[0]) == {1: "a1", 2: "b1"}
