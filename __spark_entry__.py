@@ -49,6 +49,7 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 
 _FRONT = (
     # round-7 additions (never driver-checked):
+    "silver_mutation",
     "stream_neardup_gate",
     "corpus_domain_pagerank",
     "corpus_domain_quality",

@@ -406,6 +406,51 @@ def silver_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sh.rmtree(path, ignore_errors=True)
 
 
+def silver_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 — ClickHouse ``ALTER TABLE … UPDATE / DELETE`` (mutation)
+    analogue, ORACLE-checked: publish the orders snapshot as a store,
+    UPDATE status → 'X' where key %3 == 0, DELETE where key %7 == 0, then
+    emit BOTH the final state and the pre-mutation state read back via
+    time travel — so one query value-checks the mutation semantics AND
+    the audit path a destructive mutation needs.  Each mutation is one
+    O(touched-buckets) versioned publish."""
+    import shutil as _sh
+
+    from ..streaming.pipeline import (
+        _publish_buckets,
+        _read_manifest,
+        mutate_silver,
+        read_silver,
+        silver_versions,
+    )
+
+    path = f"{tempfile.gettempdir()}/mut_store_{uuid.uuid4().hex[:12]}"
+    try:
+        base = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            F.col("o_orderkey").alias("key"),
+            F.col("o_orderstatus").alias("status"),
+        ).withColumn("__deleted", F.lit(False))
+        _publish_buckets(
+            base, path, ["key"],
+            {"version": 0, "n_buckets": 8, "files": []}, set(range(8)),
+        )
+        v_base = silver_versions(path)[-1]
+        mutate_silver(
+            spark, path, ["key"], F.col("key") % 3 == 0,
+            set_exprs={"status": F.lit("X")},
+        )
+        mutate_silver(spark, path, ["key"], F.col("key") % 7 == 0, delete=True)
+        final = read_silver(spark, path).select(
+            F.lit("after").alias("stage"), "key", "status"
+        )
+        before = read_silver(spark, path, as_of_version=v_base).select(
+            F.lit("before").alias("stage"), "key", "status"
+        )
+        return final.unionByName(before).localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(path, ignore_errors=True)
+
+
 def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r7 — completes the T10 streaming matrix (tumbling =
     stream_hourly_counts, session = stream_sessionization, sliding =
@@ -1213,6 +1258,7 @@ QUERIES = {
     "stream_stateful_dedup": stream_stateful_dedup,
     "stream_hourly_counts": stream_hourly_counts,
     "silver_time_travel": silver_time_travel,
+    "silver_mutation": silver_mutation,
     "stream_sliding_counts": stream_sliding_counts,
     "stream_sessionization": stream_sessionization,
     "stream_late_events": stream_late_events,
@@ -1448,4 +1494,14 @@ ORACLES["stream_neardup_gate"] = f"""
     SELECT doc_id FROM documents
     WHERE doc_id % 5 = 0
       AND doc_id NOT IN (SELECT new_id FROM matched)
+"""
+
+# mutation semantics closed-form: after = %3 updated to 'X' minus %7
+# deleted; before = the untouched snapshot via time travel
+ORACLES["silver_mutation"] = """
+    SELECT 'after' AS stage, o_orderkey AS key,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END AS status
+    FROM orders WHERE o_orderkey % 7 <> 0
+    UNION ALL
+    SELECT 'before', o_orderkey, o_orderstatus FROM orders
 """

@@ -71,7 +71,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.upsert import apply_cdc
+from ..operators.upsert import DELETED_FLAG, apply_cdc
 
 
 def bronze_append_stream(
@@ -549,6 +549,60 @@ def compact_silver(
         os.remove(os.path.join(path, f))
     vacuum_silver(path, grace_s=vacuum_grace_s)
     return before - n_after
+
+
+def mutate_silver(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    where,
+    set_exprs: dict | None = None,
+    delete: bool = False,
+) -> int:
+    """r7 — the ClickHouse ``ALTER TABLE … UPDATE / DELETE`` (mutation)
+    analogue: rewrite the rows matching ``where`` as ONE new committed
+    manifest version.  ``set_exprs`` maps column → Column applied to
+    matching rows (UPDATE); ``delete=True`` turns matches into tombstones
+    (``__deleted = true`` — the store's uniform delete representation, so
+    reads/compaction/time travel all compose unchanged).
+
+    O(touched buckets): only buckets containing matching rows are
+    republished; the rest keep their committed files.  The publish goes
+    through the same epoch-claim + CAS commit as every other writer, and
+    — with manifest history — the pre-mutation state stays reachable via
+    ``read_silver(as_of_version=…)``, which is exactly the audit story a
+    destructive mutation needs.  Returns the number of rows mutated."""
+    if not delete and not set_exprs:
+        raise ValueError("mutation needs set_exprs or delete=True")
+    manifest = _read_manifest(path)
+    if manifest is None:
+        raise FileNotFoundError(f"no silver store at {path}")
+    df = _read_live_files(spark, path, manifest)
+    nb = manifest["n_buckets"]
+    live_match = where & ~F.col(DELETED_FLAG)
+    touched = {
+        int(r[0])
+        for r in df.filter(live_match)
+        .select(_bucket_expr(keys, nb).alias("b"))
+        .distinct()
+        .collect()
+    }
+    if not touched:
+        return 0
+    sub = df.filter(_bucket_expr(keys, nb).isin(sorted(touched)))
+    n = sub.filter(live_match).count()
+    mutated = sub
+    if delete:
+        mutated = mutated.withColumn(
+            DELETED_FLAG, F.when(live_match, F.lit(True)).otherwise(F.col(DELETED_FLAG))
+        )
+    else:
+        for c, expr in set_exprs.items():
+            mutated = mutated.withColumn(
+                c, F.when(live_match, expr).otherwise(F.col(c))
+            )
+    _publish_buckets(mutated, path, keys, manifest, touched)
+    return n
 
 
 def read_silver(

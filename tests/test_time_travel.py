@@ -145,3 +145,37 @@ def test_as_of_composes_with_include_deleted(spark, dirs):
     assert flags == {1: False, 2: True}
     # and the pre-delete version still shows the live row either way
     assert _state(spark, dirs, as_of_version=versions[0]) == {1: "a1", 2: "b1"}
+
+
+def test_mutation_touches_only_matching_buckets(spark, dirs):
+    """mutate_silver must be O(touched buckets): an UPDATE matching one
+    key republished only that key's bucket (manifest keeps every other
+    bucket's original files), returns the mutated-row count, refuses
+    no-op argument sets, and leaves tombstoned rows untouched."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    _publish(spark, dirs, 1, [(i, f"v{i}", "c", 100, i) for i in range(1, 9)])
+    before = pl._read_manifest(dirs["silver"])
+    n = pl.mutate_silver(
+        spark, dirs["silver"], ["id"], F.col("id") == 3,
+        set_exprs={"val": F.lit("MUT")},
+    )
+    assert n == 1
+    after = pl._read_manifest(dirs["silver"])
+    assert after["version"] == before["version"] + 1
+    kept = set(before["files"]) & set(after["files"])
+    assert kept, "untouched buckets must keep their committed files"
+    assert _state(spark, dirs)[3] == "MUT"
+    assert _state(spark, dirs)[4] == "v4"
+    # delete mutation → tombstone, visible via include_deleted
+    assert pl.mutate_silver(spark, dirs["silver"], ["id"], F.col("id") == 5, delete=True) == 1
+    st = _state(spark, dirs)
+    assert 5 not in st and st[3] == "MUT"
+    flags = {r.id: r["__deleted"] for r in pl.read_silver(
+        spark, dirs["silver"], include_deleted=True).collect()}
+    assert flags[5] is True
+    # deleting an already-deleted row is a no-op (0 mutated)
+    assert pl.mutate_silver(spark, dirs["silver"], ["id"], F.col("id") == 5, delete=True) == 0
+    with _pytest.raises(ValueError, match="set_exprs or delete"):
+        pl.mutate_silver(spark, dirs["silver"], ["id"], F.col("id") == 1)
