@@ -179,3 +179,32 @@ def test_mutation_touches_only_matching_buckets(spark, dirs):
     assert pl.mutate_silver(spark, dirs["silver"], ["id"], F.col("id") == 5, delete=True) == 0
     with _pytest.raises(ValueError, match="set_exprs or delete"):
         pl.mutate_silver(spark, dirs["silver"], ["id"], F.col("id") == 1)
+
+
+def test_mutation_loses_race_to_concurrent_publish_loudly(spark, dirs):
+    """A mutation racing a concurrent publisher must fail with
+    ManifestCommitError and leave the store untouched — same single-writer
+    guards (epoch claim + CAS) as compaction."""
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    _publish(spark, dirs, 1, [(1, "a1", "c", 100, 1)])
+    cur = pl._read_manifest(dirs["silver"])
+    claim = _os.path.join(dirs["silver"], f".epoch-{cur['version'] + 1}.claim")
+    with open(claim, "w") as fh:
+        fh.write("concurrent-publisher")
+    import pytest as _pytest
+
+    with _pytest.raises(pl.ManifestCommitError, match="claimed"):
+        pl.mutate_silver(spark, dirs["silver"], ["id"], F.col("id") == 1,
+                         set_exprs={"val": F.lit("MUT")})
+    after = pl._read_manifest(dirs["silver"])
+    assert after["version"] == cur["version"]  # store untouched
+    assert _state(spark, dirs) == {1: "a1"}
+    # stale claim (crashed publisher) is stolen and the mutation proceeds
+    _os.utime(claim, (_time.time() - 7200, _time.time() - 7200))
+    assert pl.mutate_silver(spark, dirs["silver"], ["id"], F.col("id") == 1,
+                            set_exprs={"val": F.lit("MUT")}) == 1
+    assert _state(spark, dirs) == {1: "MUT"}
