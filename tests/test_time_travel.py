@@ -208,3 +208,18 @@ def test_mutation_loses_race_to_concurrent_publish_loudly(spark, dirs):
     assert pl.mutate_silver(spark, dirs["silver"], ["id"], F.col("id") == 1,
                             set_exprs={"val": F.lit("MUT")}) == 1
     assert _state(spark, dirs) == {1: "MUT"}
+
+
+def test_silver_versions_ignores_junk_history_files(spark, dirs):
+    """Foreign files in _history (editor droppings, partial tmp writes)
+    must not break version listing or as-of reads."""
+    import os as _os
+
+    _publish(spark, dirs, 1, [(1, "a1", "c", 100, 1)])
+    hdir = _os.path.join(dirs["silver"], pl.HISTORY_DIR)
+    for junk in ("_manifest.vNOPE.json", "README.txt", "_manifest.v2.json.tmp-99"):
+        with open(_os.path.join(hdir, junk), "w") as fh:
+            fh.write("junk")
+    versions = pl.silver_versions(dirs["silver"])
+    assert versions and all(isinstance(v, int) for v in versions)
+    assert _state(spark, dirs, as_of_version=versions[-1]) == {1: "a1"}
