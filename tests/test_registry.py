@@ -187,3 +187,14 @@ def test_filter_and_projection_reach_the_scan(spark, sf_dir):
     # the funnel scans must prune to its ≤4 consumed columns
     assert schemas and all(s.count(",") <= 3 for s in schemas), schemas
     assert all("props" not in s and "value" not in s for s in schemas), schemas
+
+
+def test_back_listed_queries_stay_out_of_the_window():
+    """_BACK names (oracle-inexpressible by contract) must register LAST —
+    if one drifted into the driver's ~50-query window it would burn an
+    evidence slot on a rows-only check."""
+    import __spark_entry__ as m
+
+    names = list(m.queries())
+    for n in m._BACK:
+        assert n in names and names.index(n) >= len(names) - len(m._BACK)
