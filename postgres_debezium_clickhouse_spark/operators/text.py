@@ -541,7 +541,10 @@ def normalize_unicode(
     ctrl = _re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
     schema = T.StructType(
         [
-            T.StructField(id_col, T.LongType()),
+            # id passes through untouched, so its output type is whatever
+            # the input column already is (ADVICE r7: hardcoding LongType
+            # broke string/int32 doc-id corpora at the Arrow boundary)
+            T.StructField(id_col, documents.schema[id_col].dataType),
             T.StructField("normalized", T.StringType()),
             T.StructField("changed", T.BooleanType()),
             T.StructField("n_controls", T.IntegerType()),

@@ -117,6 +117,37 @@ def bpe_top_merges(
     return spark.createDataFrame(merges, MERGES_SCHEMA)
 
 
+def _merge_pairs(merges) -> list:
+    """Normalize a merge table to rank-ordered ``(left, right)`` string
+    pairs.  Accepts bare 2-tuples/lists of symbols, full MERGES_SCHEMA
+    rows (pyspark ``Row`` / 5-tuples from ``bpe_top_merges(...).collect()``
+    — rank-sorted so collect order cannot matter), and raises on anything
+    else.  ADVICE r7: the old positional ``(m[0], m[1])`` on a 5-tuple
+    silently used the int rank as the left symbol and applied NO merges;
+    schema rows are now detected and malformed entries fail loudly."""
+    norm = []
+    for i, m in enumerate(merges):
+        if hasattr(m, "left_sym") and hasattr(m, "right_sym"):
+            rank, left, right = getattr(m, "merge_rank", i), m.left_sym, m.right_sym
+        elif isinstance(m, (list, tuple)) and len(m) == 5:
+            rank, left, right = m[0], m[1], m[2]
+        elif isinstance(m, (list, tuple)) and len(m) == 2:
+            rank, left, right = i, m[0], m[1]
+        else:
+            raise TypeError(
+                f"merge entry {i} must be a (left, right) pair or a "
+                f"MERGES_SCHEMA row, got {type(m).__name__}: {m!r}"
+            )
+        if not (isinstance(left, str) and isinstance(right, str)):
+            raise TypeError(
+                f"merge entry {i}: symbols must be strings, got "
+                f"({type(left).__name__}, {type(right).__name__})"
+            )
+        norm.append((rank, i, left, right))
+    norm.sort(key=lambda t: (t[0], t[1]))
+    return [(left, right) for _, _, left, right in norm]
+
+
 def bpe_encode(
     documents: DataFrame,
     merges: list[tuple],
@@ -135,9 +166,10 @@ def bpe_encode(
     (rank order, same greedy application as training), all inside array
     expressions — no shuffle, no UDF.  Plan size grows with K, so this
     expression form is for small merge tables (the oracle-checkable
-    demo); a production-vocab encoder would move the same loop into an
-    Arrow-batched ``mapInPandas`` with the merge table broadcast."""
-    pairs = [(m[0], m[1]) for m in merges]
+    demo); ``bpe_encode_arrow`` is the same loop as an Arrow-batched
+    ``mapInPandas`` for production-sized vocabularies (bit-equal output,
+    property-tested in tests/test_tokenizer.py)."""
+    pairs = _merge_pairs(merges)
 
     def encode_word(w):
         syms = F.split(w, "")
@@ -163,3 +195,95 @@ def bpe_encode(
         n_base.alias("n_base_symbols"),
         F.round(n_base / n_subwords, 4).alias("compression"),
     )
+
+
+def bpe_encode_arrow(
+    documents: DataFrame,
+    merges: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``bpe_encode``'s production-vocab path (r7 verdict item 6): the
+    SAME rank-ordered greedy merge loop, but executed in an Arrow-batched
+    ``mapInPandas`` instead of inlined plan expressions — plan size stays
+    constant while the merge table grows to real-vocabulary K (32k+),
+    where the expression form's plan would explode.
+
+    Bit-equal to ``bpe_encode`` by construction (identical greedy pass per
+    rule; ``compression`` rounded HALF_UP to 4 places exactly like Spark's
+    ``round``); equality is property-tested with K≥100 learned merges in
+    tests/test_tokenizer.py.  Map-only: no shuffle, fuses with the scan;
+    the merge table ships once per task inside the serialized closure
+    (K·bytes — index metadata, not data).  Per-batch word→length memo:
+    each distinct word is encoded once per Arrow batch regardless of how
+    often it repeats (Zipf makes this the dominant saving on real text)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    pairs = _merge_pairs(merges)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, documents.schema[id_col].dataType),
+            T.StructField("n_words", T.LongType()),
+            T.StructField("n_subwords", T.LongType()),
+            T.StructField("n_base_symbols", T.LongType()),
+            T.StructField("compression", T.DoubleType()),
+        ]
+    )
+
+    def _encode_len(word: str, memo: dict) -> int:
+        n = memo.get(word)
+        if n is not None:
+            return n
+        syms = list(word)
+        for left, right in pairs:
+            merged_sym, out, pend = left + right, [], None
+            for s in syms:
+                if pend is None:
+                    pend = s
+                elif pend == left and s == right:
+                    out.append(merged_sym)
+                    pend = None
+                else:
+                    out.append(pend)
+                    pend = s
+            if pend is not None:
+                out.append(pend)
+            syms = out
+        memo[word] = n = len(syms)
+        return n
+
+    def _encode(batches):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        for pdf in batches:
+            memo: dict = {}
+            ids, nw, ns, nb, comp = [], [], [], [], []
+            for doc_id, s in zip(pdf[id_col], pdf[text_col]):
+                ids.append(doc_id)
+                if s is None or (isinstance(s, float) and pd.isna(s)):
+                    # expression-path parity: size(NULL) = -1 under
+                    # spark.sql.legacy.sizeOfNull, aggregates/div = NULL
+                    nw.append(-1), ns.append(None), nb.append(None)
+                    comp.append(None)
+                    continue
+                words = [w for w in s.split(" ") if w != ""]
+                subs = sum(_encode_len(w, memo) for w in words)
+                base = sum(len(w) for w in words)
+                nw.append(len(words)), ns.append(subs), nb.append(base)
+                if subs == 0:
+                    comp.append(None)  # Spark: x/0 → null (non-ANSI)
+                else:
+                    comp.append(
+                        float(
+                            Decimal(repr(base / subs)).quantize(
+                                Decimal("0.0001"), rounding=ROUND_HALF_UP
+                            )
+                        )
+                    )
+            yield pd.DataFrame(
+                {id_col: ids, "n_words": nw, "n_subwords": ns,
+                 "n_base_symbols": nb, "compression": comp}
+            )
+
+    return documents.select(id_col, text_col).mapInPandas(_encode, schema)

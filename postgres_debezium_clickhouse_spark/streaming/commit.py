@@ -196,13 +196,24 @@ class LocalFSCommitBackend(CommitBackend):
             except FileNotFoundError:
                 pass
             return
-        # Delete-if-match (ADVICE r6): a revived publisher whose stale claim
-        # was stolen must NOT delete the new owner's claim.  Take the file
-        # atomically (rename), check the owner record, and restore it via
-        # link-if-absent when it is not ours.  The restore can race a third
-        # claimant in a microscopic window — the manifest CAS remains the
-        # last-line guard there — but the common revived-publisher case is
-        # now a guaranteed no-op instead of a guaranteed clobber.
+        # Delete-if-match (ADVICE r6/r7): a revived publisher whose stale
+        # claim was stolen must NOT delete the new owner's claim.  First
+        # READ the live claim's owner record without touching it (ADVICE
+        # r7: the old rename-first restore path left the live claim absent
+        # for a window a third claimant could slip into) — a non-owner now
+        # returns here having never removed the claim, even transiently.
+        try:
+            with open(claim) as fh:
+                if fh.read().rpartition(":")[2] != nonce:
+                    return  # stolen — the new owner's claim stays live
+        except OSError:
+            return  # already released / stolen+released
+        # We are the recorded owner: take the file atomically and
+        # re-verify.  The read→rename window only matters if OUR claim
+        # went stale and was stolen in between (steal threshold is
+        # EPOCH_CLAIM_STALE_S, the window is microseconds); the re-check +
+        # link-if-absent restore covers it, with the manifest CAS as the
+        # last-line guard.
         grave = f"{claim}.rel-{nonce}"
         try:
             os.rename(claim, grave)

@@ -428,7 +428,19 @@ def silver_upsert_stream(
     return writer.start()
 
 
-def vacuum_silver(path: str, grace_s: float = 600.0, retain_versions: int = 0) -> int:
+#: vacuum keeps at most this many newest history manifests by default —
+#: one version is written per publish, so an unbounded history dir grows
+#: forever on a long-running stream (ADVICE r7); the Delta
+#: ``delta.logRetentionDuration`` analogue, expressed in versions.
+HISTORY_RETAIN_DEFAULT = 64
+
+
+def vacuum_silver(
+    path: str,
+    grace_s: float = 600.0,
+    retain_versions: int = 0,
+    retain_history: int = HISTORY_RETAIN_DEFAULT,
+) -> int:
     """Delete data files no committed manifest references anymore, once
     older than ``grace_s`` (grace covers readers that loaded a previous
     manifest — their snapshot stays intact for at least that long; the
@@ -441,7 +453,15 @@ def vacuum_silver(path: str, grace_s: float = 600.0, retain_versions: int = 0) -
     the newest N HISTORY versions, so ``read_silver(as_of_version=...)``
     keeps working across vacuums for those versions (the Delta
     ``delta.deletedFileRetentionDuration`` analogue, expressed in
-    versions).  0 preserves the pre-r7 behavior exactly."""
+    versions).  0 preserves the pre-r7 behavior exactly.
+
+    ``retain_history`` (ADVICE r7): prune ``_history/_manifest.v<N>.json``
+    copies beyond the newest N versions (never below ``retain_versions``,
+    never the current manifest's version), mirroring Delta's log-retention
+    cleanup — a long-running stream writes one history file per trigger,
+    and without pruning ``silver_versions``/vacuum pinning become O(total
+    versions ever committed).  History prunes are free bookkeeping and
+    are NOT counted in the returned data-file total."""
     manifest = _read_manifest(path)
     if manifest is None:
         return 0
@@ -482,6 +502,22 @@ def vacuum_silver(path: str, grace_s: float = 600.0, retain_versions: int = 0) -
         for root, dirs, files in os.walk(os.path.join(path, epoch_dir), topdown=False):
             if not dirs and not any(f.endswith(".parquet") for f in files):
                 shutil.rmtree(root, ignore_errors=True)
+    # History-manifest retention (ADVICE r7): drop history copies beyond
+    # the newest keep-count.  Versions below the vacuum horizon are
+    # unreadable anyway (their files are gone above); keeping their
+    # manifests only bloats the listing and the pinning walk.
+    if retain_history >= 0:
+        keep = max(retain_history, retain_versions)
+        cur_v = manifest.get("version")
+        hdir = os.path.join(path, HISTORY_DIR)
+        versions = silver_versions(path)
+        for v in versions[: max(0, len(versions) - keep)]:
+            if v == cur_v:
+                continue
+            try:
+                os.unlink(os.path.join(hdir, f"_manifest.v{v}.json"))
+            except FileNotFoundError:
+                pass
     return removed
 
 

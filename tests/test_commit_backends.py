@@ -291,3 +291,28 @@ def test_threaded_commit_manifest_no_version_skipped(tmp_path, commit_backend):
     assert sorted(winners) == list(range(1, N + 1))  # contiguous, no skip
     assert b.read_manifest(path)["version"] == N
     assert len(set(winners.values())) > 1  # the race was actually contested
+
+
+def test_non_owner_release_never_touches_live_claim(tmp_path):
+    """ADVICE r7 (LocalFS): a non-owner's release must verify ownership by
+    READING the claim before any rename — the old rename-first restore
+    left the live claim absent for a window a third claimant could win.
+    Proven by instrumentation: os.rename must not run at all when the
+    releasing token is not the recorded owner."""
+    import postgres_debezium_clickhouse_spark.streaming.commit as commit_mod
+
+    b, path = LocalFSCommitBackend(), str(tmp_path / "store")
+    victim = b.claim_epoch(path, 9)
+    claim_file = victim.partition("\x00")[0]
+    os.utime(claim_file, (time.time() - 7200, time.time() - 7200))
+    thief = b.claim_epoch(path, 9)  # stale → stolen
+    real_rename, renamed = os.rename, []
+    commit_mod.os.rename = lambda *a: renamed.append(a) or real_rename(*a)
+    try:
+        b.release_claim(victim)
+    finally:
+        commit_mod.os.rename = real_rename
+    assert renamed == []                      # claim never transiently absent
+    assert os.path.exists(claim_file)         # thief's claim intact
+    b.release_claim(thief)
+    assert not os.path.exists(claim_file)

@@ -357,3 +357,23 @@ def test_normalize_unicode_idempotent_property(spark):
             assert r.changed is False and r.n_controls == 0
 
     prop()
+
+
+def test_normalize_unicode_preserves_id_dtype(spark):
+    """ADVICE r7: the mapInPandas output schema must take the id column's
+    ACTUAL type from the input — string or int32 doc ids previously hit an
+    Arrow schema mismatch against the hardcoded LongType."""
+    from pyspark.sql import types as T
+
+    from postgres_debezium_clickhouse_spark.operators.text import normalize_unicode
+
+    docs_str = spark.createDataFrame(
+        [("d-1", "café"), ("d-2", "ok")], "doc_id string, text string")
+    out = normalize_unicode(docs_str)
+    assert isinstance(out.schema["doc_id"].dataType, T.StringType)
+    got = {r.doc_id: r for r in out.collect()}
+    assert got["d-1"].normalized == "café" and got["d-1"].changed
+    docs_int = spark.createDataFrame([(7, "x")], "doc_id int, text string")
+    out_int = normalize_unicode(docs_int)
+    assert isinstance(out_int.schema["doc_id"].dataType, T.IntegerType)
+    assert out_int.collect()[0].doc_id == 7

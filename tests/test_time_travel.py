@@ -223,3 +223,32 @@ def test_silver_versions_ignores_junk_history_files(spark, dirs):
     versions = pl.silver_versions(dirs["silver"])
     assert versions and all(isinstance(v, int) for v in versions)
     assert _state(spark, dirs, as_of_version=versions[-1]) == {1: "a1"}
+
+
+def test_vacuum_prunes_history_manifests_beyond_retention(tmp_path):
+    """ADVICE r7: one history manifest is written per publish, so a
+    long-running stream must not accumulate them forever — vacuum keeps
+    only the newest ``retain_history`` (never below ``retain_versions``,
+    never the current version)."""
+    root = str(tmp_path / "store")
+    for v in range(1, 11):
+        pl._write_manifest(root, {"version": v, "files": []})
+    assert pl.silver_versions(root) == list(range(1, 11))
+    pl.vacuum_silver(root, grace_s=0, retain_history=3)
+    assert pl.silver_versions(root) == [8, 9, 10]
+    # retain_versions pins at least that many history entries
+    pl.vacuum_silver(root, grace_s=0, retain_versions=2, retain_history=0)
+    assert pl.silver_versions(root) == [9, 10]
+    # the current manifest's version always survives
+    pl.vacuum_silver(root, grace_s=0, retain_history=0)
+    assert pl.silver_versions(root) == [10]
+
+
+def test_vacuum_default_history_retention_keeps_small_stores_intact(tmp_path):
+    """Stores with fewer versions than HISTORY_RETAIN_DEFAULT are
+    untouched — the pre-r8 time-travel behavior is preserved exactly."""
+    root = str(tmp_path / "store")
+    for v in range(1, 6):
+        pl._write_manifest(root, {"version": v, "files": []})
+    pl.vacuum_silver(root, grace_s=0)
+    assert pl.silver_versions(root) == [1, 2, 3, 4, 5]

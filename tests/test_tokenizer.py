@@ -98,3 +98,128 @@ def test_bpe_subwords_always_reconstruct_the_word(spark):
             assert row.rejoined == row.w, (row.w, row.rejoined)
 
     prop()
+
+
+def test_merge_pairs_accepts_schema_rows_and_validates(spark):
+    """ADVICE r7: passing bpe_top_merges rows (5-tuples / Rows) straight to
+    bpe_encode must work — rank-sorted, identical to the 2-tuple form —
+    and malformed entries (int rank where a symbol belongs) must raise
+    instead of silently applying no merges."""
+    import pytest
+
+    from postgres_debezium_clickhouse_spark.operators.tokenizer import (
+        bpe_encode,
+        bpe_top_merges,
+    )
+
+    train = spark.createDataFrame([("abc abc ab de",)] * 3, ["text"])
+    rows = bpe_top_merges(train, k=3).collect()
+    docs = spark.createDataFrame([(1, "abcd ab ae"), (2, "zzz")], ["doc_id", "text"])
+    want = sorted(map(tuple, bpe_encode(
+        docs, [(r.left_sym, r.right_sym) for r in rows]).collect()))
+    # Row objects straight from collect(), deliberately shuffled
+    got_rows = sorted(map(tuple, bpe_encode(docs, rows[::-1]).collect()))
+    # full 5-tuples, also shuffled
+    got_tuples = sorted(map(tuple, bpe_encode(
+        docs, [tuple(r) for r in rows][::-1]).collect()))
+    assert got_rows == want and got_tuples == want
+    with pytest.raises(TypeError, match="symbols must be strings"):
+        bpe_encode(docs, [("a", 2)])
+    with pytest.raises(TypeError, match="pair or a"):
+        bpe_encode(docs, ["ab"])
+    with pytest.raises(TypeError, match="pair or a"):
+        bpe_encode(docs, [(1, "a", "b")])  # 3-tuple: neither form
+
+
+def test_bpe_encode_arrow_bit_equal_small_table(spark):
+    """Arrow path vs expression path on the planted fixture: identical
+    rows including nulls/empty-text edge cases and the rounded
+    compression column."""
+    from postgres_debezium_clickhouse_spark.operators.tokenizer import (
+        bpe_encode,
+        bpe_encode_arrow,
+        bpe_top_merges,
+    )
+
+    train = spark.createDataFrame([("abc abc ab de",)] * 3, ["text"])
+    rows = bpe_top_merges(train, k=3).collect()
+    docs = spark.createDataFrame(
+        [(1, "abcd ab ae"), (2, "zzz"), (3, ""), (4, None), (5, "abc abc abc")],
+        "doc_id long, text string",
+    )
+    expr = sorted(map(tuple, bpe_encode(docs, rows).collect()))
+    arrow = sorted(map(tuple, bpe_encode_arrow(docs, rows).collect()))
+    assert arrow == expr
+
+
+def test_bpe_encode_arrow_k100_learned_merges(spark):
+    """K≥100 LEARNED merges (r7 verdict item 6).  At K=110 the expression
+    path cannot even ANALYZE (Catalyst hits `Max iterations (100) reached
+    for batch Resolution` — measured, this is the plan explosion the Arrow
+    path exists for), so at production K the Arrow path is checked against
+    an in-test pure-Python reference; expression-vs-arrow bit-equality is
+    pinned at K=40, inside the expression form's working range."""
+    import string
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from postgres_debezium_clickhouse_spark.operators.tokenizer import (
+        bpe_encode,
+        bpe_encode_arrow,
+        bpe_top_merges,
+    )
+
+    # 26 run-words of length 24 → 5 merges each (24→12→6→3→1 symbols),
+    # 130 learnable merges total
+    words = [c * 24 for c in string.ascii_lowercase]
+    train = spark.createDataFrame([(" ".join(words),)] * 2, ["text"])
+    rows = bpe_top_merges(train, k=110).collect()
+    assert len(rows) >= 100
+    docs = [(i, words[i % 26] + " " + words[(i * 7) % 26][: 3 + i % 19])
+            for i in range(24)]
+    docs_df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def ref_row(doc_id, s, pairs):
+        ws = [w for w in s.split(" ") if w]
+
+        def enc_len(w):
+            syms = list(w)
+            for left, right in pairs:
+                out, pend = [], None
+                for c in syms:
+                    if pend is None:
+                        pend = c
+                    elif pend == left and c == right:
+                        out.append(left + right)
+                        pend = None
+                    else:
+                        out.append(pend)
+                        pend = c
+                if pend is not None:
+                    out.append(pend)
+                syms = out
+            return len(syms)
+
+        subs = sum(enc_len(w) for w in ws)
+        base = sum(len(w) for w in ws)
+        comp = None if subs == 0 else float(
+            Decimal(repr(base / subs)).quantize(
+                Decimal("0.0001"), rounding=ROUND_HALF_UP))
+        return (doc_id, len(ws), subs, base, comp)
+
+    pairs = [(r.left_sym, r.right_sym) for r in rows]
+    expected = sorted(ref_row(i, s, pairs) for i, s in docs)
+    arrow = sorted(map(tuple, bpe_encode_arrow(docs_df, rows).collect()))
+    assert arrow == expected
+    # expression-vs-arrow bit-equality at K=40 (same learned table prefix)
+    expr40 = sorted(map(tuple, bpe_encode(docs_df, rows[:40]).collect()))
+    arrow40 = sorted(map(tuple, bpe_encode_arrow(docs_df, rows[:40]).collect()))
+    assert arrow40 == expr40
+
+
+def test_bpe_encode_arrow_preserves_id_dtype(spark):
+    """String doc ids flow through the Arrow boundary unchanged."""
+    from postgres_debezium_clickhouse_spark.operators.tokenizer import bpe_encode_arrow
+
+    docs = spark.createDataFrame([("d-1", "ab ab")], "doc_id string, text string")
+    out = bpe_encode_arrow(docs, [("a", "b")]).collect()
+    assert out[0].doc_id == "d-1" and out[0].n_subwords == 2
