@@ -39,68 +39,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # Driver-window insurance (standing order): the driver's CORRECTNESS gate
 # evaluates only the FIRST ~50 entries of queries() in registration order,
 # so the least-driver-validated queries must register first.  Rotation
-# policy (r5 verdict item 4, r6 verdict item 4): _FRONT = never-checked
-# r7 additions first, then last-evidence cohorts oldest-first (computed
-# from CORRECTNESS_r0*.json: r2 = repeat_buyer_keys + the events_* family
-# that missed r6's cut, then r3 incl. the streaming quartet, then r4),
-# with r5-evidence names filling the remaining slots.  When adding a
-# query, insert its name at the TOP of _FRONT to keep the window honest.
+# policy (r5 item 4 → r7 item 1): _FRONT = never-checked r8 additions
+# first, then stream_late_events (first round WITH a full-value oracle),
+# then last-evidence cohorts oldest-first (r3: trn_passport_ts_version —
+# it sat at position 51 in r7, one past the cut — then the 13-name r4
+# cohort), then the r5-evidence cohort with the 10 names the judge
+# independently re-ran in r7 LAST (freshest third-party evidence).  When
+# adding a query, insert its name at the TOP of _FRONT.
 _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries, analytics)
 
 _FRONT = (
-    # round-7 additions (never driver-checked):
-    "silver_mutation",
-    "stream_neardup_gate",
-    "corpus_domain_pagerank",
-    "corpus_domain_quality",
-    "events_quantile_sketch",
-    "corpus_dedup_report",
-    "corpus_weighted_sample",
-    "similarity_truncated_recall",
-    "silver_time_travel",
-    "stream_sliding_counts",
-    "stream_sessionization",
-    "corpus_bpe_merges",
-    "corpus_bpe_encode",
-    "text_langid_separation",
-    "text_quality_separation",
-    "text_normalize_unicode",
-    "corpus_sketch_distinct",
-    "cdc_hotkey_state",
-    "llm_multimodal_pipeline",
+    # round-8 additions (never driver-checked) go here, newest first:
+    # late-events policy query: first round with a full-value planted
+    # oracle (r7 item 3) — never hash-checked by the driver before:
     "stream_late_events",
-    "text_perplexity_separation",
-    "quality_classifier_auc",
-    "text_commonness_separation",
-    # last driver evidence = r02 (missed the r6 window cut):
-    "repeat_buyer_keys",
-    "events_json_extract",
-    "events_hourly_counts",
-    "events_sessionization",
-    "events_sliding_counts",
-    "events_user_funnel",
-    "events_purchase_attribution",
-    "events_attribution_tolerance",
-    "events_errors_after_signup",
-    "events_micro_ts_roundtrip",
-    "events_value_percentiles",
-    "events_value_anomalies",
-    # last driver evidence = r03 (synthetic_transactions stays in _BACK):
-    "stream_bronze_archive",
-    "stream_silver_state",
-    "cdc_replay_from_bronze",
-    "stream_stateful_dedup",
-    "stream_hourly_counts",
-    "stream_stream_join",
-    "object_store_typed_ingest",
-    "sql_correlated_subquery",
-    "sql_in_subquery",
-    "sql_scalar_subquery_select",
-    "zorder_customer_locality",
-    "orders_trailing_30d_avg",
-    "ddl_view_roundtrip",
-    "multimodal_thumbnails",
-    "multimodal_frames",
+    # last driver evidence = r03 (position 51 in the r7 window):
     "trn_passport_ts_version",
     # last driver evidence = r04:
     "text_stats",
@@ -116,7 +69,48 @@ _FRONT = (
     "stream_quality_filter",
     "llm_quality_funnel",
     "pack_efficiency",
-    # r5-evidence filler for the remaining window slots:
+    # last driver evidence = r05, not judge-re-run in r7:
+    "cdc_schema_drift",
+    "chunk_sliding_windows",
+    "contamination_check",
+    "corpus_domain_mix",
+    "corpus_remove_boilerplate",
+    "corpus_split",
+    "corpus_stratified_sample",
+    "corpus_temperature_mix",
+    "corpus_token_budget_sample",
+    "corpus_vocab_topk",
+    "dedup_cluster_keep",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "embedding_quantize",
+    "events_props_keys",
+    "llm_filter_report",
+    "llm_prep_pipeline",
+    "multimodal_audio_decode",
+    "multimodal_decode",
+    "multimodal_features",
+    "multimodal_video_frames",
+    "pack_chunks",
+    "quality_classifier_score",
+    "quality_gopher_rules",
+    "similarity_ann_ivf_topk",
+    "similarity_ann_lsh_buckets",
+    "similarity_ann_lsh_topk",
+    "similarity_cosine_topk",
+    "stream_filter_report",
+    "stream_schema_drift",
+    "text_boilerplate",
+    "text_lm_perplexity",
+    "text_pii_scrub",
+    "text_repetition",
+    "text_tfidf_top_terms",
+    "token_length_histogram",
+    # last driver evidence = r05, judge re-ran in r7 (freshest evidence):
     "cdc_current_state",
     "products_usable_vw",
     "dedup_minhash_lsh",
@@ -124,7 +118,9 @@ _FRONT = (
     "trn_passport_current",
     "llm_curation_pipeline",
     "dedup_clusters_star",
-    "text_lm_perplexity",
+    "dedup_semantic",
+    "star_join_revenue",
+    "pack_greedy",
     # llm_queries / ops_queries / staging_queries follow via _MODULES order.
 )
 

@@ -271,10 +271,16 @@ def stream_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     eviction; a second [10:00] row would mean a duplicate emission; any
     14:00 window row would mean append mode leaked open state.
 
-    Rows-only by nature: the outcome depends on watermark state eviction
-    across triggers, which no batch SQL reproduces (the whole point is
-    that the late row does NOT land where a batch recompute would put
-    it)."""
+    Full-value oracle (r8, VERDICT r7 #3): the final sink is DETERMINISTIC
+    given the fixture's watermark math — exactly one row
+    ([10:00, 'view', 2]) — so the oracle states that expected outcome as
+    planted CONSTANTS (the same pattern as the scoring-contrast guards;
+    the constants encode the policy: n=3 would mean the late row landed
+    after eviction, a second [10:00] row a duplicate emission, any 14:00
+    row an append-mode leak).  No batch SQL can DERIVE this — a batch
+    recompute would count the late row — which is precisely what the
+    constant pins.  The eviction-timing narrative stays in
+    tests/test_lifecycle.py::test_late_event_dropped_after_eviction."""
     import os as _os
     import shutil as _sh
 
@@ -1425,6 +1431,15 @@ ORACLES: dict[str, str] = {
                'event for ' || n_name AS message,
                TIMESTAMP '2024-06-01 00:00:00' + to_hours(n_nationkey) AS timestamp
         FROM nation
+    """,
+    # Planted-constant oracle (see stream_late_events' docstring): the
+    # four-trigger watermark replay must end with EXACTLY this sink — the
+    # [10:00,11:00) window at n=2 (late 10:45 row dropped after eviction),
+    # no duplicate emission, no open-window leak.
+    "stream_late_events": """
+        SELECT TIMESTAMP '2024-01-01 10:00:00' AS window_start,
+               'view' AS event_type,
+               CAST(2 AS BIGINT) AS n_events
     """,
 }
 
