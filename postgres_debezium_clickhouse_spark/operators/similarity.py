@@ -181,34 +181,165 @@ def ivf_centroids(
     return cents
 
 
+def kmeans_par_seeds(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    oversample: int | None = None,
+    rounds: int = 3,
+) -> DataFrame:
+    """k-means‖-style distance-weighted seeding (Bahmani et al. 2012,
+    "Scalable K-Means++", public paper) → ``(cell int, cv array<double>)``
+    — the seeding quality fix for id-order init (r7 verdict item 5): at
+    100 TB, id-order seeds can all land in one dense region (ids correlate
+    with ingest order, ingest order with source), collapsing probes into
+    few giant cells.  Recall and probe balance suffer even though
+    correctness never does.
+
+    Deterministic throughout, so indexes stay reproducible: the paper's
+    uniform draw is replaced by a per-(id, round) ``xxhash64`` uniform,
+    and the final reduction of the O(k·rounds) candidate set to k uses
+    GREEDY weighted k-means++ (argmax of weight·d² instead of sampling by
+    it — the standard derandomization; ties break on lowest id).
+
+    Scale shape: each round is one map over the corpus against the
+    broadcast candidate array (min-d² + a 1-row φ attach — the repo's
+    allow-listed scalar-attach pattern) with NO shuffle of the corpus;
+    the only driver state is the final candidate set, O(k·rounds) rows of
+    (id, weight, vector) — index metadata within the bounded-collect
+    budget (≤256 seeds for the shipped k=16 defaults)."""
+    l = oversample if oversample is not None else 2 * n_centroids
+    vecs = as_double_vec(corpus).select(id_col, "v")
+    first = (
+        vecs.orderBy(F.col(id_col).asc()).limit(1)
+        .select(F.col(id_col).alias("cid"), F.col("v").alias("cv"))
+        .localCheckpoint(eager=True)
+    )
+    cands = first
+    d2min = (
+        "array_min(transform(__cents, s -> "
+        + D2.format(a="v", b="s.ctr")
+        + "))"
+    )
+    for t in range(rounds):
+        carr = cands.agg(
+            F.collect_list(F.struct(F.col("cv").alias("ctr"))).alias("__cents")
+        )
+        scored = (
+            vecs.join(F.broadcast(carr))
+            .withColumn("__d2", F.expr(d2min))
+            .drop("__cents")
+        )
+        phi = scored.agg(F.sum("__d2").alias("__phi"))
+        accepted = (
+            scored.join(F.broadcast(phi))
+            # uniform in [0,1) from xxhash64(id, round) — deterministic
+            .withColumn(
+                "__u",
+                F.pmod(F.xxhash64(F.col(id_col), F.lit(t)), F.lit(1_000_000_007))
+                / F.lit(1_000_000_007.0),
+            )
+            .filter(
+                (F.col("__phi") > 0)
+                & (F.col("__u") < F.lit(float(l)) * F.col("__d2") / F.col("__phi"))
+            )
+            .select(F.col(id_col).alias("cid"), F.col("v").alias("cv"))
+        )
+        # the candidate set is O(k·rounds) rows of index metadata — collapse
+        # it to one partition so each round's downstream jobs stay
+        # single-task regardless of the corpus's partitioning
+        cands = (
+            cands.unionByName(accepted).distinct().repartition(1)
+            .localCheckpoint(eager=True)
+        )
+    # weight candidates by the corpus mass nearest to each (argmin with
+    # lowest-candidate-id tie-break), then reduce to k on the driver
+    carr = cands.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cid").alias("i"), F.col("cv").alias("ctr")))
+        ).alias("__cents")
+    )
+    d2arg = (
+        "array_min(transform(__cents, s -> struct("
+        + D2.format(a="v", b="s.ctr")
+        + " as d, s.i as i))).i"
+    )
+    weights = {
+        r.cid: r.w
+        for r in (
+            vecs.join(F.broadcast(carr))
+            .select(F.expr(d2arg).alias("cid"))
+            .groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("w"))
+            .collect()
+        )
+    }
+    cand_rows = cands.collect()  # O(k·rounds) — bounded index metadata
+    by_id = {r.cid: list(r.cv) for r in cand_rows}
+    ids = sorted(by_id)
+    # greedy weighted k-means++: start at the heaviest candidate, then
+    # repeatedly take argmax over weight(c)·d²(c, chosen)
+    chosen = [max(ids, key=lambda i: (weights.get(i, 0), -_id_rank(i, ids)))]
+    while len(chosen) < min(n_centroids, len(ids)):
+        def score(i):
+            d2 = min(
+                sum((a - b) * (a - b) for a, b in zip(by_id[i], by_id[c]))
+                for c in chosen
+            )
+            return (weights.get(i, 0) * d2, -_id_rank(i, ids))
+        nxt = max((i for i in ids if i not in chosen), key=score)
+        chosen.append(nxt)
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(cell, by_id[i]) for cell, i in enumerate(chosen)],
+        "cell int, cv array<double>",
+    )
+
+
+def _id_rank(i, ids) -> int:
+    """Stable tie-break rank for ids of any orderable type."""
+    return ids.index(i)
+
+
 def ivf_centroids_df(
     corpus: DataFrame,
     n_centroids: int = 16,
     id_col: str = "vec_id",
     refine_iters: int = 0,
+    seeding: str = "idorder",
 ) -> DataFrame:
     """IVF coarse quantizer as a DataFrame ``(cell int, cv array<double>)``
-    — the scale path for large k: nothing is ever collected to the driver.
+    — the scale path for large k: nothing data-sized is ever collected to
+    the driver.
 
-    Init = the ``n_centroids`` lowest-id vectors (same contract as
-    ``ivf_centroids``, so both variants build identical indexes).  Each
-    Lloyd step is pure DataFrame algebra: assign cells (broadcast centroid
-    array, see ``assign_ivf_cells``) → per-cell/per-dimension mean →
-    re-assemble vectors; empty cells keep their previous centroid via a
-    left-join coalesce.  ``localCheckpoint`` bounds lineage per iteration
-    (k rows of executor state — index metadata, not data)."""
+    ``seeding="idorder"`` (default) = the ``n_centroids`` lowest-id
+    vectors (same contract as ``ivf_centroids``, so both variants build
+    identical indexes — and the oracle-checked queries stay exact);
+    ``seeding="kmeans_par"`` = deterministic k-means‖ distance-weighted
+    seeds (see :func:`kmeans_par_seeds`) — the 100 TB quality path, where
+    id-order seeds can collapse into one dense region.  Each Lloyd step is
+    pure DataFrame algebra: assign cells (broadcast centroid array, see
+    ``assign_ivf_cells``) → per-cell/per-dimension mean → re-assemble
+    vectors; empty cells keep their previous centroid via a left-join
+    coalesce.  ``localCheckpoint`` bounds lineage per iteration (k rows of
+    executor state — index metadata, not data)."""
     from pyspark.sql import Window
 
     vecs = as_double_vec(corpus).select(id_col, "v")
-    cents = (
-        vecs.orderBy(F.col(id_col).asc())
-        .limit(n_centroids)
-        .withColumn(
-            "cell",
-            (F.row_number().over(Window.orderBy(F.col(id_col).asc())) - 1).cast("int"),
+    if seeding == "kmeans_par":
+        cents = kmeans_par_seeds(corpus, n_centroids, id_col)
+    elif seeding == "idorder":
+        cents = (
+            vecs.orderBy(F.col(id_col).asc())
+            .limit(n_centroids)
+            .withColumn(
+                "cell",
+                (F.row_number().over(Window.orderBy(F.col(id_col).asc())) - 1).cast("int"),
+            )
+            .select("cell", F.col("v").alias("cv"))
         )
-        .select("cell", F.col("v").alias("cv"))
-    )
+    else:
+        raise ValueError(f"unknown seeding {seeding!r}: use 'idorder' or 'kmeans_par'")
     for _ in range(refine_iters):
         assigned = assign_ivf_cells(vecs, cents)
         means = (

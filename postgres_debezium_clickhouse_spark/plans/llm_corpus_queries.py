@@ -1,0 +1,300 @@
+"""Corpus/domain family: domain blocklist/quality/PageRank, BPE tokenizer train+encode, and sketch accuracy guards.
+
+Split out of plans/llm_queries.py (r7 verdict item 8); the
+aggregator there merges every family's QUERIES/ORACLES so the driver
+contract (__spark_entry__._MODULES) is unchanged.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.files import load_table
+
+
+def q_corpus_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6: domain-blocklist gate — documents are dropped when ANY of their
+    extracted URLs lands on a blocked domain (broadcast LEFT ANTI against
+    the blocklist, the standard crawl-curation filter).  Fixture: the
+    injected source domain is blocked for doc_id % 7 ∈ {2, 5}, so the
+    keep-set is closed-form.  Scale: the blocklist is small by nature —
+    always the broadcast side; one map+explode over the corpus."""
+    from ..operators.text import extract_urls
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" via https://src"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/doc/"), F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    blocklist = spark.createDataFrame(
+        [("src2.example.com",), ("src5.example.com",)], ["domain"]
+    )
+    hits = (
+        extract_urls(docs)
+        .join(F.broadcast(blocklist), "domain", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return docs.join(F.broadcast(hits), "doc_id", "left_anti").select("doc_id")
+
+
+def q_domain_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: domain-level quality aggregation (RefinedWeb-style domain
+    filtering signal): each document's extracted source domain joined to
+    its quality-gate verdict, aggregated per domain — doc counts, keep
+    counts, keep rate, and a suggest-block flag for domains whose keep
+    rate falls under 50%.  The step that turns per-doc quality into
+    crawl-level policy.  One map+explode for the URLs, a broadcast-safe
+    per-doc join (both sides keyed by doc_id), one grouped agg."""
+    from ..operators.text import extract_urls, quality_score
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" via https://src"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/doc/"), F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    domains = extract_urls(docs).select("doc_id", "domain").distinct()
+    verdicts = quality_score(docs).select("doc_id", "keep")
+    return (
+        domains.join(verdicts, "doc_id")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        )
+        .select(
+            "domain",
+            "n_docs",
+            "n_keep",
+            F.round(F.col("n_keep") / F.col("n_docs"), 6).alias("keep_rate"),
+            (F.col("n_keep") * 2 < F.col("n_docs")).alias("suggest_block"),
+        )
+    )
+
+
+def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: domain PageRank over the corpus link graph (operators/graph.py
+    — the Common-Crawl-style crawl-prioritization rank).  Each doc gets a
+    source domain (src<id%7>.example.com) and an outlink target
+    (dst<id%5>.example.org) injected; edges = distinct (source → target)
+    pairs recovered through the REAL URL extractor; 3 power iterations at
+    damping 0.85.  The oracle derives the identical closed-form edge set
+    from doc_id arithmetic and unrolls the same three iterations in SQL —
+    every rank value must agree to 6 decimals."""
+    from ..operators.graph import pagerank
+    from ..operators.text import extract_urls
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" from https://src"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+            F.lit(" links https://dst"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.org/q/"), F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    urls = extract_urls(docs)
+    per_doc = urls.groupBy("doc_id").agg(
+        F.min(F.when(F.col("domain").endswith(".example.com"), F.col("domain"))).alias("src"),
+        F.min(F.when(F.col("domain").endswith(".example.org"), F.col("domain"))).alias("dst"),
+    )
+    edges = (
+        per_doc.filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .select("src", "dst")
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=3, damping=0.85)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def q_corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: BPE tokenizer training (operators/tokenizer.py bpe_top_merges)
+    over a planted corpus whose merge sequence is closed-form: every doc's
+    text is "abc abc ab de", so the weighted pair counts are (a,b)=3N,
+    (b,c)=2N, (d,e)=N and the learned merge table must be exactly
+    [(a+b, 3N), (ab+c, 2N), (d+e, N)] — including the second round's
+    dependence on the FIRST round's merged symbol (ab+c only exists after
+    a+b is applied), so a broken merge application cannot pass.  The
+    oracle states the table with counts scaled by COUNT(documents)."""
+    from ..operators.tokenizer import bpe_top_merges
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.lit("abc abc ab de").alias("text")
+    )
+    return bpe_top_merges(docs, k=3)
+
+
+def q_corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: the tokenizer loop closed — learn merges on the planted train
+    corpus (same closed-form table as corpus_bpe_merges), then ENCODE a
+    different planted eval text with them.  "abcd ab ae" under merges
+    [a+b, ab+c, d+e] folds to [abc·d, ab, a·e] = 5 subwords over 8 base
+    symbols per doc, so every per-doc stat is a constant the oracle
+    states; a broken rank order or application pass shifts the counts."""
+    from ..operators.tokenizer import bpe_encode, bpe_top_merges
+
+    train = load_table(spark, sf_dir, "documents").select(
+        F.lit("abc abc ab de").alias("text")
+    )
+    table = sorted(bpe_top_merges(train, k=3).collect(), key=lambda r: r.merge_rank)
+    merges = [(r.left_sym, r.right_sym) for r in table]
+    eval_docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lit("abcd ab ae").alias("text")
+    )
+    return bpe_encode(eval_docs, merges)
+
+
+def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: distinct-count SKETCH accuracy — per-language
+    ``approx_count_distinct`` (HyperLogLog++, Spark's mergeable sketch: the
+    100 TB path where exact COUNT(DISTINCT) would shuffle every digest)
+    validated against the exact distinct count computed in the same plan.
+    The sketch value itself is engine-specific, so the emitted columns are
+    the EXACT count (oracle-checkable) plus the accuracy verdict — HLL++
+    at default rsd=0.05 must land within 10% of truth on every language
+    slice.  A broken sketch (register collapse, merge bug) flips the
+    verdict; the oracle states it as a constant, oracle-independent of the
+    sketch's internals — same pattern as the planted scoring guards."""
+    docs = load_table(spark, sf_dir, "documents")
+    digest = F.sha2(F.lower(F.trim(F.col("text"))), 256)
+    per = docs.groupBy("lang").agg(
+        F.countDistinct(digest).alias("n_exact"),
+        F.approx_count_distinct(digest).alias("__n_approx"),
+    )
+    ok = (
+        F.abs(F.col("__n_approx") - F.col("n_exact"))
+        <= F.col("n_exact") * F.lit(0.10)
+    )
+    return per.select("lang", "n_exact", ok.alias("sketch_within_10pct"))
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: quantile SKETCH accuracy — per-event-type
+    ``approx_percentile`` (the mergeable KLL-style path for 100 TB, where
+    exact percentiles would sort every group) validated in-plan against
+    the exact p40/p60 band: the approximate median must land inside it.
+    Like corpus_sketch_distinct, the sketch value itself is
+    engine-specific, so the emitted columns are the group count plus the
+    accuracy verdict the oracle states as a constant."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("percentile(value, array(0.4, 0.6))").alias("__band"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("__ap50"),
+    )
+    ok = (F.col("__ap50") >= F.col("__band")[0]) & (
+        F.col("__ap50") <= F.col("__band")[1]
+    )
+    return per.select("event_type", "n_events", ok.alias("median_in_p40_p60"))
+
+
+QUERIES = {
+    "corpus_domain_blocklist": q_corpus_domain_blocklist,
+    "corpus_domain_quality": q_domain_quality_report,
+    "corpus_domain_pagerank": q_domain_pagerank,
+    "corpus_bpe_merges": q_corpus_bpe_merges,
+    "corpus_bpe_encode": q_corpus_bpe_encode,
+    "corpus_sketch_distinct": q_sketch_distinct,
+    "events_quantile_sketch": q_quantile_sketch,
+}
+
+ORACLES = {
+    "corpus_domain_blocklist": """
+        SELECT doc_id FROM documents WHERE doc_id % 7 NOT IN (2, 5)
+    """,
+    "corpus_domain_quality": """
+    WITH planted AS (
+        SELECT doc_id,
+               text || ' via https://src' || CAST(doc_id % 7 AS VARCHAR)
+                    || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS text,
+               'src' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS domain
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, domain,
+               (length(text) BETWEEN 100 AND 1000)
+               AND (len(list_distinct(string_split(text, ' '))) * 1.0
+                    / len(string_split(text, ' ')) >= 0.15)
+               AND (len(list_filter(string_split(text, ' '),
+                        t -> t IN ('the', 'a', 'and', 'of'))) * 1.0
+                    / len(string_split(text, ' ')) <= 0.5) AS keep
+        FROM planted
+    )
+    SELECT domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           ROUND(SUM(CASE WHEN keep THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+               AS keep_rate,
+           SUM(CASE WHEN keep THEN 1 ELSE 0 END) * 2 < COUNT(*) AS suggest_block
+    FROM q GROUP BY domain
+""",
+    "corpus_domain_pagerank": """
+    WITH e AS (
+        SELECT DISTINCT
+               'src' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS s,
+               'dst' || CAST(doc_id % 5 AS VARCHAR) || '.example.org' AS d
+        FROM documents
+    ),
+    nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+    p AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    od AS (SELECT s, COUNT(*) AS outdeg FROM e GROUP BY s),
+    r0 AS (SELECT node, 1.0 / n AS rank FROM nodes, p),
+    r1 AS (
+        SELECT no.node, 0.15 / p.n + 0.85 * COALESCE(c.m, 0) AS rank
+        FROM nodes no CROSS JOIN p
+        LEFT JOIN (SELECT e.d AS node, SUM(r0.rank / od.outdeg) AS m
+                   FROM e JOIN od USING (s) JOIN r0 ON r0.node = e.s
+                   GROUP BY e.d) c ON c.node = no.node
+    ),
+    r2 AS (
+        SELECT no.node, 0.15 / p.n + 0.85 * COALESCE(c.m, 0) AS rank
+        FROM nodes no CROSS JOIN p
+        LEFT JOIN (SELECT e.d AS node, SUM(r1.rank / od.outdeg) AS m
+                   FROM e JOIN od USING (s) JOIN r1 ON r1.node = e.s
+                   GROUP BY e.d) c ON c.node = no.node
+    ),
+    r3 AS (
+        SELECT no.node, 0.15 / p.n + 0.85 * COALESCE(c.m, 0) AS rank
+        FROM nodes no CROSS JOIN p
+        LEFT JOIN (SELECT e.d AS node, SUM(r2.rank / od.outdeg) AS m
+                   FROM e JOIN od USING (s) JOIN r2 ON r2.node = e.s
+                   GROUP BY e.d) c ON c.node = no.node
+    )
+    SELECT node, ROUND(rank, 6) AS rank FROM r3
+""",
+    "corpus_bpe_merges": """
+    WITH n AS (SELECT COUNT(*) AS c FROM documents)
+    SELECT * FROM (
+        SELECT 1 AS merge_rank, 'a' AS left_sym, 'b' AS right_sym,
+               'ab' AS merged, CAST(3 * c AS BIGINT) AS pair_count FROM n
+        UNION ALL
+        SELECT 2, 'ab', 'c', 'abc', CAST(2 * c AS BIGINT) FROM n
+        UNION ALL
+        SELECT 3, 'd', 'e', 'de', CAST(c AS BIGINT) FROM n
+    )
+""",
+    "corpus_bpe_encode": """
+    SELECT doc_id, CAST(3 AS BIGINT) AS n_words,
+           CAST(5 AS BIGINT) AS n_subwords,
+           CAST(8 AS BIGINT) AS n_base_symbols,
+           CAST(1.6 AS DOUBLE) AS compression
+    FROM documents
+""",
+    "corpus_sketch_distinct": """
+    SELECT lang,
+           COUNT(DISTINCT sha256(lower(trim(text)))) AS n_exact,
+           true AS sketch_within_10pct
+    FROM documents GROUP BY lang
+""",
+    "events_quantile_sketch": """
+    SELECT event_type, COUNT(*) AS n_events, true AS median_in_p40_p60
+    FROM events GROUP BY event_type
+""",
+}

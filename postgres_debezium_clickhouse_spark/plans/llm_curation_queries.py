@@ -1,0 +1,529 @@
+"""Curation family: splits, sampling, mixes, packing, chunking, boilerplate removal, shard export, training order, and the composed prep/curation/funnel pipelines.
+
+Split out of plans/llm_queries.py (r7 verdict item 8); the
+aggregator there merges every family's QUERIES/ORACLES so the driver
+contract (__spark_entry__._MODULES) is unchanged.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.classifier import classifier_score
+from ..operators.curation import (
+    domain_mix_weights,
+    domain_temperature_weights,
+    hash_split,
+    pack_chunks,
+    pack_greedy,
+    pii_scrub,
+    remove_common_spans,
+    sliding_window_chunks,
+    stratified_sample,
+    token_budget_sample,
+    token_length_histogram,
+)
+from ..operators.dedup import exact_dedup
+from ..operators.text import quality_score
+from ..sources.files import load_table
+from .llm_common import CDC_CHUNK_CTES as _CDC_CHUNK_CTES
+from .llm_common import CLS_DIM as _CLS_DIM
+from .llm_common import CLS_WEIGHTS as _CLS_WEIGHTS
+
+
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hash_split(load_table(spark, sf_dir, "documents"))
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stratified_sample(load_table(spark, sf_dir, "documents"), n_per_stratum=20)
+
+
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_budget_sample(
+        load_table(spark, sf_dir, "documents"), budget_tokens=1000
+    )
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return domain_temperature_weights(load_table(spark, sf_dir, "documents"), temperature=2.0)
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform-target domain mixture weights over the documents corpus."""
+    return domain_mix_weights(load_table(spark, sf_dir, "documents"))
+
+
+def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: quality-WEIGHTED sampling — the step between hard filtering and
+    uniform sampling in a data recipe: each document is kept with
+    probability proportional to its classifier quality margin, but
+    DETERMINISTICALLY (md5-uniform draw per doc_id, exact-integer accept
+    test), so the sample is reproducible and the oracle can state every
+    keep decision.  accept weight w = clamp(margin_milli + 2000, 0, 4000)
+    (p = w/4000); draw u16 = first 4 md5 hex digits of the id (0..65535);
+    keep ⟺ u16·4000 < w·65536 — pure integer comparison, engine-portable.
+    Map-only at any scale (classifier margin + two hashes per row)."""
+    from ..operators.classifier import classifier_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = classifier_score(docs, _CLS_WEIGHTS)
+    w = F.greatest(F.lit(0), F.least(F.lit(4000), F.col("margin_milli") + 2000)).cast("long")
+    u16 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
+    return scored.select(
+        "doc_id",
+        "margin_milli",
+        w.alias("accept_weight"),
+        ((u16 * 4000) < (w * 65536)).alias("kept"),
+    )
+
+
+def q_corpus_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6: deterministic global training order (the export shuffle) —
+    dense md5-order positions computed with parallel per-byte-shard
+    windows + a broadcast prefix sum instead of a one-partition global
+    window.  The oracle is the direct global ROW_NUMBER, so the sharded
+    decomposition must agree with it exactly, position by position."""
+    from ..operators.curation import training_order
+
+    return training_order(load_table(spark, sf_dir, "documents"))
+
+
+def q_corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-export manifest (r6): deterministic md5-prefix shard
+    assignment + per-shard doc/token counts and id ranges — the sanity
+    report a 100 TB export publishes next to its files.  The assignment
+    (int(md5(id)[:8], 16) % 16) is the same engine-portable idiom as
+    hash_split, so DuckDB recomputes the whole manifest by value."""
+    from ..operators.curation import shard_manifest
+
+    return shard_manifest(load_table(spark, sf_dir, "documents"), n_shards=16)
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_chunks(load_table(spark, sf_dir, "documents"), budget=256)
+
+
+def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_greedy(load_table(spark, sf_dir, "documents"), budget=256)
+
+
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-quality report over the greedy packer's output: bins used,
+    capacity, and padding-waste fraction per shard — the number that tells
+    you whether a packing strategy (or budget) is worth its cost.  Exact
+    integer arithmetic end-to-end; two tiny aggs on top of pack_greedy
+    (per-shard bin counts roll up to the per-language report, since bin
+    ids are shard-local)."""
+    packed = pack_greedy(load_table(spark, sf_dir, "documents"), budget=256)
+    per_shard = packed.groupBy("lang", "shard").agg(
+        (F.max("bin_id") + 1).alias("bins"),
+        F.sum("n_tokens").alias("toks"),
+    )
+    return per_shard.groupBy("lang").agg(
+        F.sum("bins").alias("n_bins"),
+        F.sum("toks").alias("total_tokens"),
+        (F.sum("bins") * 256).alias("capacity_tokens"),
+        F.round(
+            (F.sum("bins") * 256 - F.sum("toks")) / (F.sum("bins") * 256),
+            6,
+        ).alias("waste_pct"),
+    )
+
+
+def q_chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64/32 token windows per doc with portable md5
+    fingerprints — the long-document chunker."""
+    return sliding_window_chunks(load_table(spark, sf_dir, "documents"))
+
+
+def q_chunk_content_defined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6: content-defined chunking — rolling-hash boundaries (FastCDC at
+    token granularity), so chunk fingerprints survive insertions across
+    crawl snapshots where fixed windows shift.  The oracle recomputes the
+    boundary rule and every chunk fingerprint in SQL."""
+    from ..operators.curation import chunk_content_defined
+
+    return chunk_content_defined(load_table(spark, sf_dir, "documents"))
+
+
+def q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution (64-token bins) — packing diagnostics."""
+    return token_length_histogram(load_table(spark, sf_dir, "documents"))
+
+
+def q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus REWRITE, not just a score: drop every 10-token span that
+    appears in ≥3 distinct documents and re-emit the cleaned text — the
+    C4 boilerplate-removal transformation."""
+    return remove_common_spans(load_table(spark, sf_dir, "documents"), k=10, min_docs=3)
+
+
+def q_llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data prep pipeline — quality gate → exact
+    dedup → per-language corpus stats — one declarative plan (each stage's
+    operators are individually oracle-checked above; this checks the
+    composition)."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = quality_score(docs).filter(F.col("keep")).select("doc_id")
+    surviving = docs.join(kept, "doc_id", "left_semi")
+    deduped_ids = exact_dedup(surviving).select("doc_id")
+    corpus = docs.join(deduped_ids, "doc_id", "left_semi")
+    return (
+        corpus.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.avg(F.size(F.split("text", " "))).alias("avg_tokens"),
+        )
+        .select("lang", "n_docs", "total_chars", F.round("avg_tokens", 4).alias("avg_tokens"))
+    )
+
+
+def q_llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation chain composed: quality gate → exact-dedup
+    keep-list → PII scrub → deterministic split assignment → token count,
+    one declarative plan producing the per-document training record."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept_q = quality_score(docs).filter(F.col("keep")).select("doc_id")
+    surviving = docs.join(kept_q, "doc_id", "left_semi")
+    dedup_ids = exact_dedup(surviving).select("doc_id")
+    corpus = surviving.join(dedup_ids, "doc_id", "left_semi")
+    scrubbed = pii_scrub(corpus)
+    split = hash_split(corpus)
+    ntok = corpus.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    return (
+        scrubbed.join(split, "doc_id")
+        .join(ntok, "doc_id")
+        .select("doc_id", "split", "n_tokens", "scrubbed")
+    )
+
+
+def q_llm_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel report: per-stage survivor counts as the corpus
+    flows raw → quality gate → adaptive per-lang length cutoff → exact
+    dedup — the one-page answer to "where did my tokens go?".  Composes
+    quality_score, adaptive_length_threshold and exact_dedup; every stage
+    count is a map-side-combinable aggregate."""
+    from ..operators.text import adaptive_length_threshold, quality_score
+
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    gated = docs.join(
+        quality_score(docs).filter(F.col("keep")).select("doc_id"), "doc_id"
+    )
+    thr = adaptive_length_threshold(gated).select("lang", "threshold_tokens")
+    gated2 = (
+        gated.withColumn("n_tokens", F.size(F.split("text", " ")).cast("long"))
+        .join(thr, "lang")
+        .filter(F.col("n_tokens") >= F.col("threshold_tokens"))
+    )
+    deduped = exact_dedup(gated2)
+
+    def stage(i: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(i).alias("stage_id"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+
+    union = (
+        stage(0, "raw", docs)
+        .unionByName(stage(1, "quality_gate", gated))
+        .unionByName(stage(2, "adaptive_length", gated2))
+        .unionByName(stage(3, "exact_dedup", deduped))
+    )
+    # pct from the stage-0 row of the SAME frame — fully lazy, no separate
+    # eager count() job at plan-build time
+    raw_n = F.max(F.when(F.col("stage_id") == 0, F.col("n_docs"))).over(
+        Window.partitionBy()
+    )
+    return union.select(
+        "stage_id", "stage", "n_docs",
+        F.round(F.col("n_docs") / raw_n, 6).alias("pct_of_raw"),
+    )
+
+
+QUERIES = {
+    "corpus_split": q_corpus_split,
+    "corpus_stratified_sample": q_stratified_sample,
+    "corpus_token_budget_sample": q_token_budget_sample,
+    "corpus_temperature_mix": q_temperature_mix,
+    "corpus_domain_mix": q_domain_mix,
+    "corpus_weighted_sample": q_quality_weighted_sample,
+    "corpus_training_order": q_corpus_training_order,
+    "corpus_shard_manifest": q_corpus_shard_manifest,
+    "pack_chunks": q_pack_chunks,
+    "pack_greedy": q_pack_greedy,
+    "pack_efficiency": q_pack_efficiency,
+    "chunk_sliding_windows": q_chunk_sliding_windows,
+    "chunk_content_defined": q_chunk_content_defined,
+    "token_length_histogram": q_token_length_histogram,
+    "corpus_remove_boilerplate": q_remove_boilerplate,
+    "llm_prep_pipeline": q_llm_prep_pipeline,
+    "llm_curation_pipeline": q_llm_curation_pipeline,
+    "llm_quality_funnel": q_llm_quality_funnel,
+}
+
+ORACLES = {
+    "corpus_split": """
+        SELECT doc_id,
+               CASE WHEN h < 'cd' THEN 'train'
+                    WHEN h < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h
+              FROM documents)
+    """,
+    "corpus_stratified_sample": """
+        SELECT doc_id, lang
+        FROM (SELECT doc_id, lang,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM documents)
+        WHERE rn <= 20
+    """,
+    "corpus_token_budget_sample": """
+        WITH d AS (SELECT doc_id, source,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                   FROM documents),
+        tot AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+                FROM d GROUP BY source)
+        SELECT d.doc_id, d.source, d.n_tokens
+        FROM d JOIN tot USING (source)
+        WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0)
+              < least(1.0, 1000.0 / tot.total_tokens)
+    """,
+    "corpus_temperature_mix": """
+    WITH per AS (SELECT source, count(*) AS n_docs,
+                        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+                 FROM documents GROUP BY source)
+    SELECT source, n_docs, total_tokens,
+           ROUND(total_tokens / sum(total_tokens) OVER (), 6) AS token_share,
+           ROUND(sqrt(total_tokens) / sum(sqrt(total_tokens)) OVER (), 6) AS temp_share,
+           ROUND((sqrt(total_tokens) / sum(sqrt(total_tokens)) OVER ())
+                 / (total_tokens / sum(total_tokens) OVER ()), 6) AS boost
+    FROM per
+""",
+    "corpus_domain_mix": """
+        WITH per AS (SELECT source, COUNT(*) AS n_docs,
+                            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+                     FROM documents GROUP BY source)
+        SELECT source, n_docs, total_tokens,
+               ROUND(total_tokens / SUM(total_tokens) OVER (), 6) AS token_share,
+               ROUND(SUM(total_tokens) OVER ()
+                     / (COUNT(*) OVER () * total_tokens), 6) AS mix_weight
+        FROM per
+    """,
+    "corpus_weighted_sample": f"""
+    WITH w AS (SELECT {_CLS_WEIGHTS} AS wv),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    scored AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(tk,
+                   t -> wv[('0x' || substr(md5(t), 1, 8))::BIGINT % {_CLS_DIM} + 1]))
+                   AS BIGINT) AS m
+        FROM toks, w),
+    acc AS (
+        SELECT doc_id, m,
+               LEAST(GREATEST(m + 2000, 0), 4000) AS aw,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS u16
+        FROM scored)
+    SELECT doc_id, m AS margin_milli, CAST(aw AS BIGINT) AS accept_weight,
+           u16 * 4000 < aw * 65536 AS kept
+    FROM acc
+""",
+    "corpus_training_order": """
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+               ) - 1 AS BIGINT) AS train_order
+        FROM documents
+    """,
+    "corpus_shard_manifest": """
+        WITH a AS (
+            SELECT doc_id,
+                   CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS BIGINT) % 16 AS INT) AS shard,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        )
+        SELECT shard, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+        FROM a GROUP BY shard
+    """,
+    "pack_chunks": """
+        SELECT doc_id, lang, shard,
+               CAST(c - n AS BIGINT) AS start_token,
+               CAST(FLOOR((c - n) / 256) AS BIGINT) AS bin_first,
+               CAST(FLOOR((c - 1) / 256) AS BIGINT) AS bin_last
+        FROM (SELECT doc_id, lang, shard,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                     SUM(len(string_split(text, ' ')))
+                         OVER (PARTITION BY lang, shard ORDER BY doc_id) AS c
+              FROM (SELECT *,
+                           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 16 AS shard
+                    FROM documents))
+    """,
+    "pack_greedy": """
+        WITH RECURSIVE rows AS (
+            SELECT doc_id, lang, shard,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                   ROW_NUMBER() OVER (PARTITION BY lang, shard ORDER BY doc_id) AS rn
+            FROM (SELECT *,
+                         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 16 AS shard
+                  FROM documents)),
+        state AS (
+            SELECT doc_id, lang, shard, n, rn, CAST(0 AS BIGINT) AS bin_id, n AS fill
+            FROM rows WHERE rn = 1
+            UNION ALL
+            SELECT r.doc_id, r.lang, r.shard, r.n, r.rn,
+                   CASE WHEN s.fill + r.n > 256 THEN s.bin_id + 1 ELSE s.bin_id END,
+                   CASE WHEN s.fill + r.n > 256 THEN r.n ELSE s.fill + r.n END
+            FROM state s JOIN rows r
+              ON r.lang = s.lang AND r.shard = s.shard AND r.rn = s.rn + 1)
+        SELECT doc_id, lang, shard, n AS n_tokens, bin_id FROM state
+    """,
+    "pack_efficiency": """
+        WITH RECURSIVE rows AS (
+            SELECT doc_id, lang, shard,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                   ROW_NUMBER() OVER (PARTITION BY lang, shard ORDER BY doc_id) AS rn
+            FROM (SELECT *,
+                         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 16 AS shard
+                  FROM documents)),
+        state AS (
+            SELECT doc_id, lang, shard, n, rn, CAST(0 AS BIGINT) AS bin_id, n AS fill
+            FROM rows WHERE rn = 1
+            UNION ALL
+            SELECT r.doc_id, r.lang, r.shard, r.n, r.rn,
+                   CASE WHEN s.fill + r.n > 256 THEN s.bin_id + 1 ELSE s.bin_id END,
+                   CASE WHEN s.fill + r.n > 256 THEN r.n ELSE s.fill + r.n END
+            FROM state s JOIN rows r
+              ON r.lang = s.lang AND r.shard = s.shard AND r.rn = s.rn + 1),
+        per_shard AS (
+            SELECT lang, shard, MAX(bin_id) + 1 AS bins, SUM(n) AS toks
+            FROM state GROUP BY lang, shard)
+        SELECT lang,
+               CAST(SUM(bins) AS BIGINT) AS n_bins,
+               CAST(SUM(toks) AS BIGINT) AS total_tokens,
+               CAST(SUM(bins) * 256 AS BIGINT) AS capacity_tokens,
+               ROUND((SUM(bins) * 256 - SUM(toks)) * 1.0
+                     / (SUM(bins) * 256), 6) AS waste_pct
+        FROM per_shard GROUP BY lang
+    """,
+    "chunk_sliding_windows": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        s AS (SELECT doc_id, tk,
+                     unnest(range(0, greatest(len(tk) - 1, 0) + 1, 32)) AS start
+              FROM t)
+        SELECT doc_id,
+               CAST(FLOOR(start / 32) AS INTEGER) AS chunk_id,
+               CAST(start AS BIGINT) AS start_token,
+               CAST(len(list_slice(tk, start + 1, start + 64)) AS BIGINT) AS n_tokens,
+               md5(array_to_string(list_slice(tk, start + 1, start + 64), ' ')) AS chunk_md5
+        FROM s
+    """,
+    "chunk_content_defined": """
+        {CDC_CHUNK_CTES}
+        SELECT doc_id, CAST(ci AS INT) AS chunk_index,
+               CAST(MIN(i) AS BIGINT) AS start_token,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_md5
+        FROM c GROUP BY doc_id, ci
+    """,
+    "token_length_histogram": """
+        WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents)
+        SELECT CAST(FLOOR(n / 64) * 64 AS BIGINT) AS bin_start,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS total_tokens,
+               MIN(n) AS min_tokens,
+               MAX(n) AS max_tokens
+        FROM t GROUP BY 1
+    """,
+    "corpus_remove_boilerplate": """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    segs AS (
+        SELECT doc_id, unnest(lst, recursive := true)
+        FROM (SELECT doc_id,
+                     [{'span_idx': i - 1,
+                       'span': array_to_string(tk[(i - 1) * 10 + 1 : i * 10], ' ')}
+                      for i in range(1, ((len(tk) + 9) // 10) + 1)] AS lst
+              FROM toks)),
+    sdf AS (SELECT span, count(DISTINCT doc_id) AS span_docs FROM segs GROUP BY span),
+    j AS (SELECT s.doc_id, s.span_idx, s.span, d.span_docs < 3 AS keep
+          FROM segs s JOIN sdf d USING (span))
+    SELECT doc_id,
+           count(*) AS n_spans,
+           count(*) FILTER (WHERE NOT keep) AS n_dropped,
+           coalesce(string_agg(span, ' ' ORDER BY span_idx) FILTER (WHERE keep), '')
+               AS clean_text
+    FROM j GROUP BY doc_id
+""",
+    "llm_prep_pipeline": """
+        WITH t AS (SELECT doc_id, text, lang, string_split(text, ' ') AS tk FROM documents),
+        q AS (SELECT doc_id FROM t
+              WHERE (length(text) >= 100 AND length(text) <= 1000)
+                AND ROUND(len(list_distinct(tk)) * 1.0 / len(tk), 4) >= 0.15
+                AND ROUND(len(list_filter(tk, x -> x IN ('the', 'a', 'and', 'of'))) * 1.0 / len(tk), 4) <= 0.5),
+        surviving AS (SELECT d.* FROM documents d WHERE EXISTS (SELECT 1 FROM q WHERE q.doc_id = d.doc_id)),
+        dedup AS (SELECT MIN(doc_id) AS doc_id FROM surviving GROUP BY sha256(lower(trim(text)))),
+        corpus AS (SELECT d.* FROM documents d WHERE EXISTS (SELECT 1 FROM dedup x WHERE x.doc_id = d.doc_id))
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+               ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens
+        FROM corpus GROUP BY lang
+    """,
+    "llm_curation_pipeline": r"""
+        WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+        q AS (SELECT doc_id FROM t
+              WHERE (length(text) >= 100 AND length(text) <= 1000)
+                AND ROUND(len(list_distinct(tk)) * 1.0 / len(tk), 4) >= 0.15
+                AND ROUND(len(list_filter(tk, x -> x IN ('the', 'a', 'and', 'of'))) * 1.0 / len(tk), 4) <= 0.5),
+        surviving AS (SELECT d.* FROM documents d
+                      WHERE EXISTS (SELECT 1 FROM q WHERE q.doc_id = d.doc_id)),
+        dedup AS (SELECT MIN(doc_id) AS doc_id FROM surviving
+                  GROUP BY sha256(lower(trim(text))))
+        SELECT s.doc_id,
+               CASE WHEN substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                    WHEN substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(len(string_split(s.text, ' ')) AS BIGINT) AS n_tokens,
+               regexp_replace(regexp_replace(s.text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '[0-9]{7,}', '<NUM>', 'g') AS scrubbed
+        FROM surviving s
+        WHERE EXISTS (SELECT 1 FROM dedup x WHERE x.doc_id = s.doc_id)
+    """,
+    "llm_quality_funnel": """
+        WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS tk FROM documents),
+        g AS (SELECT doc_id, lang, text, CAST(len(tk) AS BIGINT) AS n_tokens FROM t
+              WHERE length(text) >= 100 AND length(text) <= 1000
+                AND ROUND(len(list_distinct(tk)) * 1.0 / len(tk), 4) >= 0.15
+                AND ROUND(len(list_filter(tk, x -> x IN ('the', 'a', 'and', 'of'))) * 1.0 / len(tk), 4) <= 0.5),
+        ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tokens ASC, doc_id ASC) AS rn,
+                          COUNT(*) OVER (PARTITION BY lang) AS cnt
+                   FROM g),
+        thr AS (SELECT lang, n_tokens AS th FROM ranked
+                WHERE rn = GREATEST(CAST(FLOOR((cnt * 1 + 9) / 10) AS BIGINT), 1)),
+        g2 AS (SELECT g.* FROM g JOIN thr USING (lang) WHERE g.n_tokens >= thr.th),
+        dd AS (SELECT MIN(doc_id) AS doc_id FROM g2 GROUP BY sha256(lower(trim(text)))),
+        raw AS (SELECT COUNT(*) AS n FROM documents)
+        SELECT stage_id, stage, n_docs,
+               ROUND(n_docs * 1.0 / (SELECT n FROM raw), 6) AS pct_of_raw
+        FROM (
+            SELECT 0 AS stage_id, 'raw' AS stage, (SELECT COUNT(*) FROM documents) AS n_docs
+            UNION ALL SELECT 1, 'quality_gate', (SELECT COUNT(*) FROM g)
+            UNION ALL SELECT 2, 'adaptive_length', (SELECT COUNT(*) FROM g2)
+            UNION ALL SELECT 3, 'exact_dedup', (SELECT COUNT(*) FROM dd)
+        )
+    """,
+}
+
+# splice the shared content-defined-chunk CTE chain (one definition
+# in llm_common so the two chunk oracles can never desynchronize)
+ORACLES["chunk_content_defined"] = ORACLES["chunk_content_defined"].replace("{CDC_CHUNK_CTES}", _CDC_CHUNK_CTES)

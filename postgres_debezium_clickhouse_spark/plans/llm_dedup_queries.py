@@ -1,0 +1,357 @@
+"""Dedup family: exact/MinHash-LSH/SimHash/n-gram/fingerprint/semantic dedup, connected-component clustering, incremental dedup, cross-doc chunk dup, contamination, dup report.
+
+Split out of plans/llm_queries.py (r7 verdict item 8); the
+aggregator there merges every family's QUERIES/ORACLES so the driver
+contract (__spark_entry__._MODULES) is unchanged.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.curation import contamination_check
+from ..operators.dedup import (
+    cluster_representatives,
+    connected_components,
+    connected_components_star,
+    exact_dedup,
+    incremental_dedup,
+    minhash_lsh_near_dups,
+    ngram_jaccard_blocked,
+    simhash,
+)
+from ..operators.similarity import embedding_near_dups, semantic_dedup
+from ..operators.text import fingerprint
+from ..sources.files import load_table
+from .llm_common import CDC_CHUNK_CTES as _CDC_CHUNK_CTES
+from .llm_common import MINHASH_PAIR_CTES as _MINHASH_PAIR_CTES
+from .llm_common import SHINGLES as _SHINGLES
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_near_dups(load_table(spark, sf_dir, "documents"), threshold=0.8, persist=True)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: MinHash-LSH pairs → connected components → one
+    canonical doc per transitive dup group, emitted as a full-corpus
+    (doc_id, canonical_id) keep/drop assignment (singletons map to
+    themselves).  The step pairwise dedup cannot express: if A~B and B~C
+    but A≁C, dropping per-pair either loses C's cluster membership or keeps
+    a dup — the component label is the correct grouping."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_near_dups(docs, threshold=0.8, persist=True)
+    comp = connected_components(pairs.select("doc_a", "doc_b"))
+    return (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("canonical_id"))
+    )
+
+
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract and oracle as ``dedup_clusters``, computed by the
+    O(log²n)-round star-contraction algorithm instead of diameter-round
+    min-label propagation — the documented scale swap-in for long-chain
+    dup graphs, driver-checked against the identical recursive-CTE
+    closure."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_near_dups(docs, threshold=0.8, persist=True)
+    comp = connected_components_star(pairs.select("doc_a", "doc_b"))
+    return (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("canonical_id"))
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_blocked(
+        docs, block_expr=F.concat_ws("|", "lang", "source"), threshold=0.2
+    )
+
+
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-blocked dedup: docs sharing a winnowing fingerprint are
+    near-dup candidates; keep the min doc_id per fingerprint group."""
+    fp = fingerprint(load_table(spark, sf_dir, "documents"))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("group_size"))
+        .select("fingerprint", "keeper", "group_size")
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semantic_dedup(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dups(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta dedup: every 5th doc is the \'new batch\', the rest the
+    existing corpus — survivors are batch docs whose content exists in
+    neither the corpus nor earlier in the batch."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return incremental_dedup(new, corpus)
+
+
+def q_dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters → keep-list: the best member (longest, then lowest
+    id) of every transitive dup cluster is the representative; everything
+    else is the drop set.  The end-to-end answer a curation pipeline
+    actually needs from the dedup stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_near_dups(docs, threshold=0.8, persist=True)
+    comp = connected_components(pairs.select("doc_a", "doc_b"))
+    assignment = (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("canonical_id"))
+    )
+    return cluster_representatives(assignment, docs)
+
+
+def q_dedup_chunks_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6: sub-document duplication report — content-defined chunk
+    fingerprints shared by ≥2 documents, with occurrence and document
+    counts (the crawl-data signal exact whole-doc dedup misses: pages
+    sharing boilerplate paragraphs or syndicated spans).  One digest-keyed
+    map-side-combinable groupBy over the shuffle-free chunker."""
+    from ..operators.curation import chunk_content_defined
+
+    chunks = chunk_content_defined(load_table(spark, sf_dir, "documents"))
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("n_tokens").alias("n_tokens"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def q_corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: per-language duplication report — doc counts, distinct
+    normalized-content counts, and the dup rate (the per-slice summary a
+    curation run publishes before/after dedup; skewed slices tell you
+    which source needs crawling fixes).  One map-side-combinable
+    two-level aggregation, no joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    digest = F.sha2(F.lower(F.trim(F.col("text"))), 256)
+    per = docs.groupBy("lang", digest.alias("__d")).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_unique"),
+            F.sum(F.when(F.col("n") > 1, F.col("n"))).alias("__dup_mass"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_unique",
+            F.round(
+                (F.col("n_docs") - F.col("n_unique")) / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+            F.coalesce("__dup_mass", F.lit(0)).alias("docs_in_dup_groups"),
+        )
+    )
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination: every doc_id %50==0 plays the held-out
+    benchmark; the rest are the training corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return contamination_check(train, bench)
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_clusters_star": q_dedup_clusters_star,
+    "dedup_ngram_jaccard": q_ngram_jaccard,
+    "dedup_fingerprint": q_dedup_fingerprint,
+    "dedup_semantic": q_semantic_dedup,
+    "dedup_embedding_cosine": q_embedding_near_dups,
+    "dedup_incremental": q_dedup_incremental,
+    "dedup_cluster_keep": q_dedup_cluster_keep,
+    "dedup_chunks_crossdoc": q_dedup_chunks_crossdoc,
+    "corpus_dedup_report": q_corpus_dedup_report,
+    "contamination_check": q_contamination,
+}
+
+ORACLES = {
+    "dedup_exact": """
+        SELECT MIN(doc_id) AS doc_id, sha256(lower(trim(text))) AS text_hash
+        FROM documents GROUP BY sha256(lower(trim(text)))
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH {_SHINGLES},
+        {_MINHASH_PAIR_CTES}
+        SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
+    """,
+    "dedup_simhash": """
+        WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+        h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS hv FROM toks),
+        bits AS (SELECT doc_id, i, SUM(CASE WHEN ((hv >> i) & 1) = 1 THEN 1 ELSE -1 END) AS s
+                 FROM h CROSS JOIN range(0, 60) t(i) GROUP BY doc_id, i)
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id
+    """,
+    "dedup_clusters": f"""
+        WITH RECURSIVE {_SHINGLES},
+        {_MINHASH_PAIR_CTES},
+        pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.8),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        lab AS (SELECT a AS doc_id, MIN(b) AS mn FROM reach GROUP BY a)
+        SELECT d.doc_id,
+               COALESCE(LEAST(l.doc_id, l.mn), d.doc_id) AS canonical_id
+        FROM documents d LEFT JOIN lab l USING (doc_id)
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH {_SHINGLES},
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     ROUND(len(list_intersect(a.ts, b.ts)) * 1.0
+                           / len(list_distinct(list_concat(a.ts, b.ts))), 6) AS jaccard
+              FROM sh a JOIN sh b
+                ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.2
+    """,
+    "dedup_fingerprint": f"""
+        WITH {_SHINGLES},
+        fp AS (SELECT doc_id,
+                      array_to_string(list_sort(list_transform(ts, s -> md5(s)))[1:4], '') AS fingerprint
+               FROM sh)
+        SELECT fingerprint, MIN(doc_id) AS keeper, COUNT(*) AS group_size
+        FROM fp GROUP BY fingerprint
+    """,
+    "dedup_semantic": """
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS i, v AS ctr
+                 FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+        cd AS (SELECT e.vec_id, e.v, cent.i,
+                      list_sum(list_transform(list_zip(e.v, cent.ctr), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+               FROM e CROSS JOIN cent),
+        asg AS (SELECT vec_id, v, i AS cell FROM
+                (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, i) AS rn FROM cd)
+                WHERE rn = 1),
+        drops AS (SELECT DISTINCT b.vec_id
+                  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+                  WHERE ROUND(list_dot_product(a.v, b.v)
+                              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4)
+        SELECT asg.vec_id, CAST(asg.cell AS BIGINT) AS cell,
+               (dr.vec_id IS NULL) AS keep
+        FROM asg LEFT JOIN drops dr ON asg.vec_id = dr.vec_id
+    """,
+    "dedup_embedding_cosine": """
+        WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+                     ROUND(list_dot_product(a.v, b.v)
+                           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+              FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b, label, cosine FROM p WHERE cosine >= 0.4
+    """,
+    "dedup_incremental": """
+        WITH h AS (SELECT doc_id, sha256(lower(trim(text))) AS text_hash,
+                          (doc_id % 5 = 0) AS isnew
+                   FROM documents),
+        hits AS (SELECT DISTINCT text_hash FROM h
+                 WHERE NOT isnew
+                   AND text_hash IN (SELECT text_hash FROM h WHERE isnew))
+        SELECT MIN(doc_id) AS doc_id, text_hash
+        FROM h
+        WHERE isnew AND text_hash NOT IN (SELECT text_hash FROM hits)
+        GROUP BY text_hash
+    """,
+    "dedup_cluster_keep": f"""
+    WITH RECURSIVE {_SHINGLES},
+    {_MINHASH_PAIR_CTES},
+    pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.8),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    lab AS (SELECT a AS doc_id, MIN(b) AS mn FROM reach GROUP BY a),
+    asg AS (SELECT d.doc_id,
+                   COALESCE(LEAST(l.doc_id, l.mn), d.doc_id) AS canonical_id,
+                   d.n_chars
+            FROM documents d LEFT JOIN lab l USING (doc_id))
+    SELECT doc_id, canonical_id,
+           count(*) OVER (PARTITION BY canonical_id) AS n_members,
+           (row_number() OVER (PARTITION BY canonical_id
+                               ORDER BY n_chars DESC, doc_id ASC)) = 1 AS is_rep
+    FROM asg
+""",
+    "dedup_chunks_crossdoc": """
+        {CDC_CHUNK_CTES},
+        ch AS (SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_md5,
+                      COUNT(*) AS n_tokens
+               FROM c GROUP BY doc_id, ci)
+        SELECT chunk_md5, COUNT(*) AS n_occurrences,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               MIN(doc_id) AS first_doc_id,
+               CAST(MAX(n_tokens) AS BIGINT) AS n_tokens
+        FROM ch GROUP BY chunk_md5 HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+    "corpus_dedup_report": """
+    WITH per AS (
+        SELECT lang, sha256(lower(trim(text))) AS d, COUNT(*) AS n
+        FROM documents GROUP BY lang, d
+    )
+    SELECT lang,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_unique,
+           ROUND((SUM(n) - COUNT(*)) * 1.0 / SUM(n), 6) AS dup_rate,
+           CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n END), 0) AS BIGINT)
+               AS docs_in_dup_groups
+    FROM per GROUP BY lang
+""",
+    "contamination_check": f"""
+        WITH {_SHINGLES},
+        b AS (SELECT DISTINCT s
+              FROM (SELECT unnest(ts) AS s FROM sh WHERE doc_id % 50 = 0)),
+        t AS (SELECT doc_id, unnest(ts) AS s FROM sh WHERE doc_id % 50 <> 0),
+        hits AS (SELECT t.doc_id, COUNT(*) AS n FROM t JOIN b USING (s)
+                 GROUP BY t.doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(h.n, 0) AS BIGINT) AS n_overlap,
+               COALESCE(h.n, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % 50 <> 0
+    """,
+}
+
+# shares its contract (and therefore its oracle) verbatim:
+ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]
+
+# splice the shared content-defined-chunk CTE chain (one definition
+# in llm_common so the two chunk oracles can never desynchronize)
+ORACLES["dedup_chunks_crossdoc"] = ORACLES["dedup_chunks_crossdoc"].replace("{CDC_CHUNK_CTES}", _CDC_CHUNK_CTES)

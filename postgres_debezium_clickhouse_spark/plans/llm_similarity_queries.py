@@ -1,0 +1,529 @@
+"""Similarity family: brute-force cosine, sign-LSH and IVF ANN (literal/table/persisted index), quantization, recall and truncation evals.
+
+Split out of plans/llm_queries.py (r7 verdict item 8); the
+aggregator there merges every family's QUERIES/ORACLES so the driver
+contract (__spark_entry__._MODULES) is unchanged.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import (
+    cosine_topk,
+    ivf_ann_topk,
+    ivf_ann_topk_table,
+    lsh_ann_buckets,
+    lsh_ann_topk,
+)
+from ..sources.files import load_table
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return cosine_topk(corpus, queries, k=5)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN — fully oracle-checked: the md5-portable hyperplanes
+    (operators/similarity.random_hyperplanes) are reconstructed inside the
+    DuckDB oracle, so bucketing, candidate retrieval, and scores all
+    hash-match; recall vs exact top-k is additionally asserted in
+    tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return lsh_ann_topk(corpus, queries, k=5, n_planes=4)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN — fully oracle-checked (unlike sign-LSH, whose numpy
+    hyperplanes aren't SQL-portable): centroids are the 16 lowest-id corpus
+    vectors, so DuckDB reproduces the index, probes, and scores exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return ivf_ann_topk(corpus, queries, k=5, n_centroids=16, n_probe=4)
+
+
+def q_ann_ivf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-TABLE IVF (r5): identical semantics/parameters to
+    ``similarity_ann_ivf_topk`` but the index is a DataFrame folded into a
+    one-row broadcast array — the large-k scale path (plan literals stop
+    at 256 cells; this holds to 10^4-10^5).  Shares the literal variant's
+    oracle: results must match bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return ivf_ann_topk_table(corpus, queries, k=5, n_centroids=16, n_probe=4)
+
+
+def q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6: PERSISTED IVF index probe — build the cell-partitioned index on
+    disk (centroid sidecar + vectors under ``cell=<k>/``), then search it
+    with static partition pruning (only the probed cells' files are
+    opened).  Same semantics/tie-breaks as the in-memory variants, so the
+    shared similarity_ann_ivf_topk oracle must match bit-for-bit."""
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from ..operators.similarity import ivf_search_index, ivf_write_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    path = f"{_tf.gettempdir()}/ivf_idx_{_uuid.uuid4().hex[:12]}"
+    try:
+        ivf_write_index(corpus, path, n_centroids=16)
+        # materialize the (tiny, top-k) result before deleting the index
+        # files it reads — otherwise every invocation leaks a full corpus
+        # copy under tempdir (ADVICE r6)
+        return ivf_search_index(spark, path, queries, k=5, n_probe=4).localCheckpoint(
+            eager=True
+        )
+    finally:
+        import shutil as _sh
+
+        _sh.rmtree(path, ignore_errors=True)
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN index-build side (bucket occupancy) — oracle-checked via the
+    same md5-portable hyperplanes."""
+    return lsh_ann_buckets(load_table(spark, sf_dir, "embeddings"), n_planes=8)
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization report (r5): per-dimension corpus min/max
+    grid, floor-based codes (engine-unambiguous — round-half ties are
+    not), per-vector code stats + max reconstruction error.  The oracle
+    recomputes the grid and every code in SQL."""
+    from ..operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6: ANN quality evaluation for the IVF index — per-query recall@5
+    of IVF retrieval (16 cells, n_probe=4) against the brute-force exact
+    top-5, completing the eval symmetry with ``similarity_lsh_recall``.
+    The metric that decides how many probes the 100 TB index needs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    exact = cosine_topk(corpus, queries, k=5).select("query_id", "neighbor_id")
+    approx = ivf_ann_topk(corpus, queries, k=5, n_centroids=16, n_probe=4).select(
+        "query_id", "neighbor_id"
+    ).withColumn("__hit", F.lit(1))
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_hits"),
+            F.round(F.sum(F.coalesce("__hit", F.lit(0))) / F.count(F.lit(1)), 6).alias("recall"),
+        )
+    )
+
+
+def q_similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: per-query recall@5 of sign-LSH retrieval
+    against the brute-force exact top-5 — the metric that decides whether
+    an ANN index is good enough to replace the exact scan at 100 TB.  Both
+    sides reuse the oracle-checked operators; the exact side is the small
+    query set, so the comparison joins k·|queries| rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    exact = cosine_topk(corpus, queries, k=5).select("query_id", "neighbor_id")
+    approx = lsh_ann_topk(corpus, queries, k=5, n_planes=4).select(
+        "query_id", "neighbor_id"
+    ).withColumn("__hit", F.lit(1))
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_hits"),
+            F.round(F.sum(F.coalesce("__hit", F.lit(0))) / F.count(F.lit(1)), 6).alias("recall"),
+        )
+    )
+
+
+def q_similarity_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: dimension-truncation evaluation (the Matryoshka-representation
+    question: how much of the embedding can be cut before retrieval
+    degrades) — exact top-5 under the FIRST-16-dims prefix vs the full
+    64-dim top-5, overlap@5 per query.  The metric that sizes a cheap
+    first-stage index (prefix dims → 4× less compute/memory) against its
+    recall cost.  Both sides reuse the brute-force cosine machinery; the
+    oracle recomputes both rankings in SQL with the same tie-breaks."""
+    from ..operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    full = cosine_topk(corpus, queries, k=5).select("query_id", "neighbor_id")
+    tq = queries.withColumn("embedding", F.slice("embedding", 1, 16))
+    tc = corpus.withColumn("embedding", F.slice("embedding", 1, 16))
+    trunc = cosine_topk(tc, tq, k=5).select("query_id", "neighbor_id")
+    hits = (
+        full.join(trunc, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        full.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(F.coalesce("n_overlap", F.lit(0)) / 5.0, 2).alias("recall_at_5"),
+        )
+    )
+
+
+QUERIES = {
+    "similarity_cosine_topk": q_cosine_topk,
+    "similarity_ann_lsh_topk": q_ann_lsh_topk,
+    "similarity_ann_ivf_topk": q_ann_ivf_topk,
+    "similarity_ann_ivf_table": q_ann_ivf_table,
+    "similarity_ann_ivf_index": q_ann_ivf_index,
+    "similarity_ann_lsh_buckets": q_ann_lsh_buckets,
+    "embedding_quantize": q_embedding_quantize,
+    "similarity_ivf_recall": q_similarity_ivf_recall,
+    "similarity_lsh_recall": q_similarity_lsh_recall,
+    "similarity_truncated_recall": q_similarity_truncated_recall,
+}
+
+ORACLES = {
+    "similarity_cosine_topk": """
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        c AS (SELECT vec_id, v AS cv FROM e WHERE vec_id >= 5),
+        s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                     ROUND(list_dot_product(qv, cv)
+                           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+              FROM q CROSS JOIN c),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+              FROM s)
+        SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 5
+    """,
+    "similarity_ann_lsh_topk": """
+        WITH planes AS (
+            SELECT i, list_transform(range(64), j ->
+                (('0x' || substr(md5(i || ',' || j), 1, 8))::BIGINT / 4294967296.0) * 2 - 1) AS pv
+            FROM range(4) t(i)),
+        e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+        b AS (SELECT e.vec_id,
+                     CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+                              THEN (1 << p.i) ELSE 0 END) AS BIGINT) AS bucket
+              FROM e CROSS JOIN planes p GROUP BY e.vec_id),
+        q AS (SELECT e.vec_id AS query_id, e.v AS qv, b.bucket
+              FROM e JOIN b USING (vec_id) WHERE vec_id < 5),
+        c AS (SELECT e.vec_id, e.v AS cv, b.bucket
+              FROM e JOIN b USING (vec_id) WHERE vec_id >= 5),
+        s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                     ROUND(list_dot_product(qv, cv)
+                           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+              FROM q JOIN c USING (bucket)),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM s)
+        SELECT query_id, neighbor_id, cosine FROM r WHERE rnk <= 5
+    """,
+    "similarity_ann_ivf_topk": """
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        c AS (SELECT vec_id, v AS cv FROM e WHERE vec_id >= 5),
+        cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS i, cv AS ctr
+                 FROM (SELECT vec_id, cv FROM c ORDER BY vec_id LIMIT 16)),
+        cd AS (SELECT c.vec_id, c.cv, cent.i,
+                      list_sum(list_transform(list_zip(c.cv, cent.ctr), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+               FROM c CROSS JOIN cent),
+        cassign AS (SELECT vec_id, cv, i AS cell FROM
+                    (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, i) AS rn FROM cd)
+                    WHERE rn = 1),
+        qd AS (SELECT q.query_id, q.qv, cent.i,
+                      list_sum(list_transform(list_zip(q.qv, cent.ctr), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+               FROM q CROSS JOIN cent),
+        qprobe AS (SELECT query_id, qv, i AS cell FROM
+                   (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, i) AS rn FROM qd)
+                   WHERE rn <= 4),
+        s AS (SELECT qp.query_id, ca.vec_id AS neighbor_id,
+                     ROUND(list_dot_product(qp.qv, ca.cv)
+                           / (sqrt(list_dot_product(qp.qv, qp.qv)) * sqrt(list_dot_product(ca.cv, ca.cv))), 6) AS cosine
+              FROM qprobe qp JOIN cassign ca ON qp.cell = ca.cell)
+        SELECT query_id, neighbor_id, cosine FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM s)
+        WHERE rn <= 5
+    """,
+    "similarity_ann_lsh_buckets": """
+        WITH planes AS (
+            SELECT i, list_transform(range(64), j ->
+                (('0x' || substr(md5(i || ',' || j), 1, 8))::BIGINT / 4294967296.0) * 2 - 1) AS pv
+            FROM range(8) t(i)),
+        e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+        b AS (SELECT e.vec_id,
+                     CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+                              THEN (1 << p.i) ELSE 0 END) AS BIGINT) AS bucket
+              FROM e CROSS JOIN planes p GROUP BY e.vec_id)
+        SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+        FROM b GROUP BY bucket
+    """,
+    "embedding_quantize": """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    x AS (SELECT e.vec_id, i.i AS pos, e.v[i.i + 1] AS x
+          FROM e CROSS JOIN range(64) i(i) WHERE i.i < len(e.v)),
+    g AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM x GROUP BY pos),
+    c AS (SELECT x.vec_id, x.x, g.mn, g.mx,
+                 CASE WHEN g.mx > g.mn
+                      THEN LEAST(255, CAST(FLOOR((x.x - g.mn) * 256.0 / (g.mx - g.mn)) AS INT))
+                      ELSE 0 END AS code
+          FROM x JOIN g USING (pos))
+    SELECT vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dims,
+           CAST(SUM(code) AS BIGINT) AS sum_codes,
+           CAST(MIN(code) AS INT) AS min_code,
+           CAST(MAX(code) AS INT) AS max_code,
+           ROUND(MAX(ABS(x - (mn + (CAST(code AS DOUBLE) + 0.5) * (mx - mn) / 256.0))), 6)
+               AS max_abs_err
+    FROM c GROUP BY vec_id
+""",
+    "similarity_ivf_recall": """
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        c AS (SELECT vec_id, v AS cv FROM e WHERE vec_id >= 5),
+        cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS i, cv AS ctr
+                 FROM (SELECT vec_id, cv FROM c ORDER BY vec_id LIMIT 16)),
+        cd AS (SELECT c.vec_id, c.cv, cent.i,
+                      list_sum(list_transform(list_zip(c.cv, cent.ctr), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+               FROM c CROSS JOIN cent),
+        cassign AS (SELECT vec_id, cv, i AS cell FROM
+                    (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, i) AS rn FROM cd)
+                    WHERE rn = 1),
+        qd AS (SELECT q.query_id, q.qv, cent.i,
+                      list_sum(list_transform(list_zip(q.qv, cent.ctr), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+               FROM q CROSS JOIN cent),
+        qprobe AS (SELECT query_id, qv, i AS cell FROM
+                   (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, i) AS rn FROM qd)
+                   WHERE rn <= 4),
+        sa AS (SELECT qp.query_id, ca.vec_id AS neighbor_id,
+                      ROUND(list_dot_product(qp.qv, ca.cv)
+                            / (sqrt(list_dot_product(qp.qv, qp.qv)) * sqrt(list_dot_product(ca.cv, ca.cv))), 6) AS cosine
+               FROM qprobe qp JOIN cassign ca ON qp.cell = ca.cell),
+        ra AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM sa),
+        approx AS (SELECT query_id, neighbor_id FROM ra WHERE rnk <= 5),
+        sx AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                      ROUND(list_dot_product(q.qv, c.cv)
+                            / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cosine
+               FROM q CROSS JOIN c),
+        rx AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM sx),
+        exact AS (SELECT query_id, neighbor_id FROM rx WHERE rnk <= 5)
+        SELECT x.query_id, COUNT(*) AS n_exact,
+               CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+               ROUND(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS recall
+        FROM exact x LEFT JOIN approx a
+             ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+        GROUP BY x.query_id
+    """,
+    "similarity_lsh_recall": """
+        WITH planes AS (
+            SELECT i, list_transform(range(64), j ->
+                (('0x' || substr(md5(i || ',' || j), 1, 8))::BIGINT / 4294967296.0) * 2 - 1) AS pv
+            FROM range(4) t(i)),
+        e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+        b AS (SELECT e.vec_id,
+                     CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+                              THEN (1 << p.i) ELSE 0 END) AS BIGINT) AS bucket
+              FROM e CROSS JOIN planes p GROUP BY e.vec_id),
+        q AS (SELECT e.vec_id AS query_id, e.v AS qv, b.bucket
+              FROM e JOIN b USING (vec_id) WHERE vec_id < 5),
+        c AS (SELECT e.vec_id, e.v AS cv, b.bucket
+              FROM e JOIN b USING (vec_id) WHERE vec_id >= 5),
+        sa AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                      ROUND(list_dot_product(qv, cv)
+                            / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+               FROM q JOIN c USING (bucket)),
+        ra AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM sa),
+        approx AS (SELECT query_id, neighbor_id FROM ra WHERE rnk <= 5),
+        qx AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        cx AS (SELECT vec_id, v AS cv FROM e WHERE vec_id >= 5),
+        sx AS (SELECT qx.query_id, cx.vec_id AS neighbor_id,
+                      ROUND(list_dot_product(qv, cv)
+                            / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+               FROM qx CROSS JOIN cx),
+        rx AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM sx),
+        exact AS (SELECT query_id, neighbor_id FROM rx WHERE rnk <= 5)
+        SELECT x.query_id, COUNT(*) AS n_exact,
+               CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+               ROUND(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS recall
+        FROM exact x LEFT JOIN approx a
+             ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+        GROUP BY x.query_id
+    """,
+    "similarity_truncated_recall": """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    c AS (SELECT vec_id, v AS cv FROM e WHERE vec_id >= 5),
+    full_r AS (
+        SELECT query_id, vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                   ROUND(list_dot_product(qv, cv)
+                         / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
+                   vec_id ASC) AS rnk
+        FROM q CROSS JOIN c
+    ),
+    tq AS (SELECT query_id, qv[1:16] AS qv FROM q),
+    tc AS (SELECT vec_id, cv[1:16] AS cv FROM c),
+    trunc_r AS (
+        SELECT query_id, vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                   ROUND(list_dot_product(qv, cv)
+                         / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
+                   vec_id ASC) AS rnk
+        FROM tq CROSS JOIN tc
+    ),
+    hits AS (
+        SELECT f.query_id, COUNT(*) AS n_overlap
+        FROM (SELECT * FROM full_r WHERE rnk <= 5) f
+        JOIN (SELECT * FROM trunc_r WHERE rnk <= 5) t
+          ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+        GROUP BY f.query_id
+    )
+    SELECT q2.query_id,
+           COALESCE(h.n_overlap, 0) AS n_overlap,
+           ROUND(COALESCE(h.n_overlap, 0) / 5.0, 2) AS recall_at_5
+    FROM (SELECT DISTINCT query_id FROM q) q2
+    LEFT JOIN hits h USING (query_id)
+""",
+}
+
+# shares its contract (and therefore its oracle) verbatim:
+ORACLES["similarity_ann_ivf_table"] = ORACLES["similarity_ann_ivf_topk"]
+
+# shares its contract (and therefore its oracle) verbatim:
+ORACLES["similarity_ann_ivf_index"] = ORACLES["similarity_ann_ivf_topk"]
+
+
+def q_similarity_ivf_seeding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8 (VERDICT r7 #5): seeding-quality guard for the IVF coarse
+    quantizer — planted 4-cluster corpus (8-dim, well separated, the 40
+    LOWEST ids all in cluster 0: the adversarial layout for id-order
+    seeding, since ids correlate with ingest order and ingest order with
+    source).  Emits recall@5 at n_probe=1 for id-order seeds vs the
+    deterministic k-means‖ seeds (operators/similarity.kmeans_par_seeds)
+    plus both occupancy profiles.  The oracle states the planted outcome
+    as constants (same pattern as stream_late_events): k-means‖ must give
+    one cell per planted cluster (occupancy exactly 20/20/20/40, recall
+    1.0) while id-order seeds — all four in cluster 0 — cannot.  A
+    silently-degenerated sampler (φ collapapse, hash-uniform broken,
+    greedy reduction picking one region) flips the constants.
+
+    The fixture is built from ``spark.range`` (not the embeddings table)
+    so the planted constants are scale-factor-independent — the same
+    trade the planted-contrast scoring guards make."""
+    from ..operators.similarity import (
+        as_double_vec,
+        assign_ivf_cells,
+        cosine_topk,
+        ivf_ann_topk_table,
+        ivf_centroids_df,
+    )
+
+    # 4 planted clusters: cluster c at 10·e_{2c} + jitter; ids 0-39 are ALL
+    # cluster 0, then 20 ids per remaining cluster (mirrors the pytest
+    # fixture in tests/test_similarity.py so both stay in lockstep)
+    base = spark.range(0, 100, 1, 4).select(F.col("id").alias("vec_id"))
+    c = F.when(F.col("vec_id") < 40, F.lit(0)).otherwise(
+        ((F.col("vec_id") - 40) / 20 + 1).cast("int")
+    )
+    j = F.col("vec_id") % 7
+    k5 = F.col("vec_id") % 5
+    corpus = base.select(
+        "vec_id",
+        F.expr(
+            "transform(sequence(0, 7), i -> cast(0.0 as double))"
+        ).alias("__z"),
+        c.alias("__c"), j.alias("__j"), k5.alias("__k"),
+    ).select(
+        "vec_id",
+        F.expr(
+            "transform(sequence(0, 7), i -> "
+            " cast(if(i = __c * 2, 10.0, 0.0) as double)"
+            " + cast(if(i = __c * 2 + 1, 1.0 + 0.01 * __j, 0.0) as double)"
+            " + cast(if(i = (__c * 2 + 3) % 8, 0.02 * __k, 0.0) as double))"
+        ).alias("embedding"),
+    )
+    queries = spark.range(0, 4, 1, 1).select(
+        (F.col("id") + 100).alias("query_id"),
+        F.expr(
+            "transform(sequence(0, 7), i -> "
+            " cast(if(i = id * 2, 10.0, 0.0) as double)"
+            " + cast(if(i = id * 2 + 1, 1.0, 0.0) as double))"
+        ).alias("embedding"),
+    )
+
+    def recall(cents):
+        exact = cosine_topk(corpus, queries, k=5).select("query_id", "neighbor_id")
+        approx = ivf_ann_topk_table(
+            corpus, queries, k=5, centroids_df=cents, n_probe=1
+        ).select("query_id", "neighbor_id").withColumn("__hit", F.lit(1))
+        return (
+            exact.join(approx, ["query_id", "neighbor_id"], "left")
+            .agg((F.sum(F.coalesce("__hit", F.lit(0))) / F.count(F.lit(1))).alias("r"))
+        )
+
+    def occupancy(cents):
+        return (
+            assign_ivf_cells(as_double_vec(corpus), cents)
+            .groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.count(F.lit(1)).alias("cells"),
+                F.min("n").alias("mn"),
+                F.max("n").alias("mx"),
+            )
+        )
+
+    id_c = ivf_centroids_df(corpus, n_centroids=4, seeding="idorder")
+    km_c = ivf_centroids_df(corpus, n_centroids=4, seeding="kmeans_par")
+    r_id, r_km = recall(id_c), recall(km_c)
+    o_id, o_km = occupancy(id_c), occupancy(km_c)
+    return (
+        r_km.join(F.broadcast(r_id.withColumnRenamed("r", "r_id")))
+        .join(F.broadcast(o_km.select(
+            F.col("cells").alias("km_cells"),
+            F.col("mn").alias("km_min_cell"), F.col("mx").alias("km_max_cell"))))
+        .join(F.broadcast(o_id.select(F.col("mn").alias("id_min_cell"))))
+        .select(
+            F.round("r", 2).alias("recall_kmeans_par"),
+            F.round("r_id", 2).alias("recall_idorder"),
+            (F.col("r") >= F.col("r_id")).alias("kmeans_not_worse"),
+            "km_cells", "km_min_cell", "km_max_cell",
+            (F.col("id_min_cell") < 20).alias("idorder_splits_a_cluster"),
+        )
+    )
+
+
+QUERIES["similarity_ivf_seeding"] = q_similarity_ivf_seeding
+# Planted constants (see docstring): k-means‖ seeds must recover exactly
+# the planted structure; id-order seeds (all in cluster 0) must not.
+ORACLES["similarity_ivf_seeding"] = """
+    SELECT CAST(1.0 AS DOUBLE) AS recall_kmeans_par,
+           CAST(0.9 AS DOUBLE) AS recall_idorder,
+           true AS kmeans_not_worse,
+           CAST(4 AS BIGINT) AS km_cells,
+           CAST(20 AS BIGINT) AS km_min_cell,
+           CAST(40 AS BIGINT) AS km_max_cell,
+           true AS idorder_splits_a_cluster
+"""

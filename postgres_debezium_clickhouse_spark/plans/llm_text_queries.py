@@ -1,0 +1,408 @@
+"""Text-analysis family: stats, lang-ID, quality score, token counts, fingerprints, repetition, boilerplate, PII scrub, TF-IDF, commonness, HTML/URL extraction, LM perplexity, Unicode repair, vocabulary reports.
+
+Split out of plans/llm_queries.py (r7 verdict item 8); the
+aggregator there merges every family's QUERIES/ORACLES so the driver
+contract (__spark_entry__._MODULES) is unchanged.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.text import (
+    boilerplate_ngrams,
+    commonness_score,
+    fingerprint,
+    language_id,
+    quality_score,
+    repetition_score,
+    text_stats,
+    tfidf_top_terms,
+    token_count_regex,
+    vocab_topk,
+)
+from ..operators.curation import pii_scrub
+from ..sources.files import load_table
+from .llm_common import SHINGLES as _SHINGLES
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_count_regex(load_table(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_score(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return boilerplate_ngrams(load_table(spark, sf_dir, "documents"))
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus.  The fixture texts carry no PII, so a
+    deterministic contact line (email + long number) is appended per doc —
+    the scrub path is actually exercised, and the oracle builds the same
+    line."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com tel 55512345678"),
+        ),
+    )
+    return pii_scrub(docs)
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+def q_text_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-commonness (mean corpus df ratio over distinct tokens) — the
+    log-free perplexity proxy."""
+    return commonness_score(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6: markup → text extraction.  Each document is wrapped in a
+    deterministic HTML shell (title header, paragraph body, a script
+    block that must vanish WITH its contents, an ``&amp;`` entity);
+    ``strip_markup`` recovers the text.  The oracle rebuilds the same
+    shell and runs the identical RE2-subset regex chain in DuckDB, so
+    tag removal, block elision, entity decode, and whitespace collapse
+    are all value-checked per document."""
+    from ..operators.text import strip_markup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><style>p{color:red}</style></head><body><h1>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1>\n<p class=\"body\">"),
+            F.col("text"),
+            F.lit("</p> &amp; <script type=\"text/javascript\">var x = \"<p>\";</script></body></html>"),
+        ).alias("html"),
+    )
+    return strip_markup(docs)
+
+
+def q_text_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6: URL/domain extraction — deterministic URLs are injected into
+    each document (closed forms of doc_id) and the extractor must recover
+    every one with its domain; the oracle runs the identical RE2-subset
+    regexes in DuckDB."""
+    from ..operators.text import extract_urls
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://src"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/doc/"), F.col("doc_id").cast("string"),
+            F.lit(" and http://cdn.example.org/a/"), (F.col("doc_id") % 13).cast("string"),
+        ).alias("text"),
+    )
+    return extract_urls(docs)
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity scoring with the corpus's own unigram LM —
+    occurrence-weighted log-space quality signal."""
+    from ..operators.text import lm_unigram_logprob
+
+    return lm_unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: Unicode repair over a deterministically denormalized fixture —
+    every doc gains a decomposed e+COMBINING-ACUTE sequence (NFC must
+    compose it), doc_id %4 == 0 rows gain a BEL control char (must strip),
+    %6 == 0 rows gain a U+FFFD replacement char (mojibake count).  The
+    oracle reruns the same strip+NFC chain with DuckDB's nfc_normalize —
+    two independent UAX#15 implementations must agree byte-for-byte on
+    every normalized string."""
+    from ..operators.text import normalize_unicode
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" cafe\u0301"),  # DECOMPOSED e + U+0301 (explicit escape)
+            F.when(F.col("doc_id") % 4 == 0, F.lit("\x07ding")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 6 == 0, F.lit(" �")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return normalize_unicode(docs)
+
+
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_topk(load_table(spark, sf_dir, "documents"), k=100)
+
+
+def q_corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6: vocabulary-coverage curve — fraction of token occurrences
+    covered by the top-k vocab at k ∈ {10, 30, 100}; the report that sizes
+    a tokenizer's vocabulary before training it."""
+    from ..operators.text import vocab_coverage
+
+    return vocab_coverage(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES = {
+    "text_stats": q_text_stats,
+    "text_lang_id": q_lang_id,
+    "text_quality_score": q_quality_score,
+    "text_token_count": q_token_count,
+    "text_fingerprint": q_fingerprint,
+    "text_repetition": q_repetition,
+    "text_boilerplate": q_text_boilerplate,
+    "text_pii_scrub": q_pii_scrub,
+    "text_tfidf_top_terms": q_tfidf,
+    "text_commonness": q_text_commonness,
+    "text_html_extract": q_text_html_extract,
+    "text_url_extract": q_text_url_extract,
+    "text_lm_perplexity": q_lm_perplexity,
+    "text_normalize_unicode": q_text_normalize_unicode,
+    "corpus_vocab_topk": q_vocab,
+    "corpus_vocab_coverage": q_corpus_vocab_coverage,
+}
+
+ORACLES = {
+    "text_stats": """
+        WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents)
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(tk) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct_tokens,
+               ROUND(CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk), 4) AS avg_token_len,
+               ROUND(len(list_distinct(tk)) * 1.0 / len(tk), 4) AS token_diversity
+        FROM t
+    """,
+    "text_lang_id": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        sc AS (SELECT doc_id,
+                      len(list_filter(tk, x -> x IN ('the', 'a'))) AS score_en,
+                      len(list_filter(tk, x -> x IN ('el', 'la'))) AS score_es,
+                      len(list_filter(tk, x -> x IN ('der', 'und'))) AS score_de,
+                      len(list_filter(tk, x -> x IN ('le', 'et'))) AS score_fr
+               FROM t)
+        SELECT doc_id,
+               CAST(score_en AS BIGINT) AS score_en,
+               CAST(score_es AS BIGINT) AS score_es,
+               CAST(score_de AS BIGINT) AS score_de,
+               CAST(score_fr AS BIGINT) AS score_fr,
+               CASE WHEN greatest(score_en, score_es, score_de, score_fr) <= 0 THEN 'und'
+                    WHEN score_en = greatest(score_en, score_es, score_de, score_fr) THEN 'en'
+                    WHEN score_es = greatest(score_en, score_es, score_de, score_fr) THEN 'es'
+                    WHEN score_de = greatest(score_en, score_es, score_de, score_fr) THEN 'de'
+                    WHEN score_fr = greatest(score_en, score_es, score_de, score_fr) THEN 'fr'
+                    ELSE 'und' END AS detected_lang
+        FROM sc
+    """,
+    "text_quality_score": """
+        WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents)
+        SELECT doc_id,
+               ROUND(len(list_distinct(tk)) * 1.0 / len(tk), 4) AS token_diversity,
+               ROUND(len(list_filter(tk, x -> x IN ('the', 'a', 'and', 'of'))) * 1.0 / len(tk), 4) AS stopword_ratio,
+               (length(text) >= 100 AND length(text) <= 1000) AS len_ok,
+               ((length(text) >= 100 AND length(text) <= 1000)
+                AND ROUND(len(list_distinct(tk)) * 1.0 / len(tk), 4) >= 0.15
+                AND ROUND(len(list_filter(tk, x -> x IN ('the', 'a', 'and', 'of'))) * 1.0 / len(tk), 4) <= 0.5) AS keep
+        FROM t
+    """,
+    "text_token_count": """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_re_tokens,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+        FROM documents
+    """,
+    "text_fingerprint": f"""
+        WITH {_SHINGLES}
+        SELECT doc_id,
+               array_to_string(list_sort(list_transform(ts, s -> md5(s)))[1:4], '') AS fingerprint
+        FROM sh
+    """,
+    "text_repetition": """
+        SELECT doc_id,
+               CAST(len(sh) AS BIGINT) AS n_ngrams,
+               CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct_ngrams,
+               ROUND((len(sh) - len(list_distinct(sh))) * 1.0
+                     / GREATEST(len(sh), 1), 6) AS dup_ratio
+        FROM (SELECT doc_id,
+                     [array_to_string(tk[i:i+2], ' ')
+                      for i in range(1, len(tk) - 1)] AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents))
+    """,
+    "text_boilerplate": """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        g AS (SELECT doc_id,
+                     unnest(list_distinct([array_to_string(tk[i:i+4], ' ')
+                                           for i in range(1, len(tk) - 3)])) AS ngram
+              FROM toks WHERE len(tk) >= 5),
+        dfreq AS (SELECT ngram, COUNT(*) AS df FROM g GROUP BY ngram)
+        SELECT g.doc_id,
+               COUNT(*) AS n_distinct_ngrams,
+               CAST(SUM(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_common_ngrams,
+               ROUND(SUM(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS boilerplate_ratio
+        FROM g JOIN dfreq d USING (ngram)
+        GROUP BY g.doc_id
+    """,
+    "text_pii_scrub": r"""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com tel 55512345678',
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                 '[0-9]{7,}', '<NUM>', 'g') AS scrubbed
+        FROM documents
+    """,
+    "text_tfidf_top_terms": """
+        WITH tf AS (SELECT doc_id, token, COUNT(*) AS tf
+                    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                          FROM documents)
+                    GROUP BY doc_id, token),
+        df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                   ROUND(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+            FROM tf JOIN df USING (token) CROSS JOIN n)
+        SELECT doc_id, token, tf, df, tfidf, rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                  ORDER BY tfidf DESC, token ASC) AS rank
+              FROM scored)
+        WHERE rank <= 3
+    """,
+    "text_commonness": """
+        WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+                      FROM documents),
+        dfreq AS (SELECT token, COUNT(*) AS df FROM toks GROUP BY token),
+        nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT t.doc_id,
+               COUNT(*) AS n_distinct_tokens,
+               ROUND(SUM(d.df) * 1.0 / (COUNT(*) * nd.n_docs), 6) AS commonness
+        FROM toks t JOIN dfreq d USING (token) CROSS JOIN nd
+        GROUP BY t.doc_id, nd.n_docs
+    """,
+    "text_html_extract": """
+        WITH h AS (
+            SELECT doc_id,
+                   '<html><head><style>p{color:red}</style></head><body><h1>Doc '
+                   || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10)
+                   || '<p class="body">' || text
+                   || '</p> &amp; <script type="text/javascript">var x = "<p>";</script></body></html>'
+                   AS html
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, html,
+                   trim(regexp_replace(
+                       replace(replace(replace(replace(replace(replace(
+                           regexp_replace(
+                               regexp_replace(
+                                   regexp_replace(html,
+                                       '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
+                                   '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
+                               '(?s)<[^>]*>', ' ', 'g'),
+                           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                           '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+                       '\\s+', ' ', 'g')) AS clean
+            FROM h
+        )
+        SELECT doc_id, clean,
+               CAST(length(html) - length(clean) AS BIGINT) AS n_removed
+        FROM s
+    """,
+    "text_url_extract": """
+        WITH h AS (
+            SELECT doc_id,
+                   text || ' see https://src' || CAST(doc_id % 7 AS VARCHAR)
+                        || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+                        || ' and http://cdn.example.org/a/' || CAST(doc_id % 13 AS VARCHAR)
+                   AS text
+            FROM documents
+        ),
+        u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url
+              FROM h)
+        SELECT doc_id, url, regexp_extract(url, '^https?://([^/]+)', 1) AS domain
+        FROM u
+    """,
+    "text_lm_perplexity": """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                  FROM documents),
+    uni AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM uni),
+    per AS (SELECT t.doc_id, count(*) AS n_tokens, sum(ln(u.cnt)) AS sum_ln
+            FROM toks t JOIN uni u USING (token) GROUP BY t.doc_id)
+    SELECT doc_id, n_tokens,
+           ROUND(sum_ln / n_tokens - ln(total), 6) AS avg_logprob,
+           ROUND(exp(-(sum_ln / n_tokens - ln(total))), 4) AS ppl
+    FROM per, tot
+""",
+    "text_normalize_unicode": """
+    WITH planted AS (
+        SELECT doc_id,
+               text || ' cafe' || chr(769)
+                    || CASE WHEN doc_id % 4 = 0 THEN chr(7) || 'ding' ELSE '' END
+                    || CASE WHEN doc_id % 6 = 0 THEN ' ' || chr(65533) ELSE '' END
+               AS text
+        FROM documents
+    ),
+    stripped AS (
+        SELECT doc_id, text,
+               regexp_replace(text,
+                   '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g') AS s
+        FROM planted
+    )
+    SELECT doc_id,
+           nfc_normalize(s) AS normalized,
+           nfc_normalize(s) <> text AS changed,
+           CAST(length(text) - length(s) AS INT) AS n_controls,
+           CAST(length(text) - length(replace(text, chr(65533), ''))
+                AS INT) AS n_mojibake
+    FROM stripped
+""",
+    "corpus_vocab_topk": """
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+        ORDER BY n DESC, token ASC
+        LIMIT 100
+    """,
+    "corpus_vocab_coverage": """
+        WITH counts AS (
+            SELECT token, COUNT(*) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+            GROUP BY token
+        ),
+        ranked AS (
+            SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rnk
+            FROM counts
+        ),
+        total AS (SELECT SUM(n) AS t FROM counts)
+        SELECT k.k AS k,
+               CAST((SELECT SUM(n) FROM ranked WHERE rnk <= k.k) AS BIGINT) AS covered,
+               ROUND((SELECT SUM(n) FROM ranked WHERE rnk <= k.k) * 1.0
+                     / (SELECT t FROM total), 6) AS coverage
+        FROM (VALUES (10), (30), (100)) k(k)
+    """,
+}

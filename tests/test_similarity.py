@@ -322,3 +322,99 @@ def test_lsh_ann_planted_copies_always_retrieved(spark):
     for i in range(5):
         best = max(top[i])
         assert best == (1.0, 100 + i), f"query {i}: planted copy not top-1 ({top[i]})"
+
+
+# ---------------------------------------------------------------------------
+# k-means‖ seeding (r7 verdict item 5)
+# ---------------------------------------------------------------------------
+
+def _planted_clusters(spark):
+    """4 well-separated clusters in 8-dim; ids are assigned so the LOWEST
+    ids all sit in cluster 0 — the adversarial case for id-order seeding
+    (ids correlate with ingest order, ingest order with source)."""
+    rows = []
+    vid = 0
+    for c in range(4):
+        n = 40 if c == 0 else 20
+        for j in range(n):
+            v = [0.0] * 8
+            v[c * 2] = 10.0
+            v[c * 2 + 1] = 1.0 + 0.01 * (j % 7)   # small deterministic jitter
+            v[(c * 2 + 3) % 8] += 0.02 * (j % 5)
+            rows.append((vid, v))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _recall_at5(spark, corpus, queries, cents):
+    from postgres_debezium_clickhouse_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann_topk_table,
+    )
+
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(corpus, queries, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in ivf_ann_topk_table(
+                  corpus, queries, k=5, centroids_df=cents, n_probe=1
+              ).collect()}
+    return len(exact & approx) / len(exact)
+
+
+def test_kmeans_par_seeding_beats_idorder_on_planted_clusters(spark):
+    """Planted fixture where id-order seeds (the 4 lowest ids, ALL in
+    cluster 0) measurably under-recall at n_probe=1, while the
+    distance-weighted k-means‖ seeds cover every cluster."""
+    from pyspark.sql import functions as F
+
+    from postgres_debezium_clickhouse_spark.operators.similarity import (
+        assign_ivf_cells,
+        ivf_centroids_df,
+    )
+
+    corpus = _planted_clusters(spark)
+    # one query per cluster, aimed at its center
+    qrows = []
+    for c in range(4):
+        v = [0.0] * 8
+        v[c * 2] = 10.0
+        v[c * 2 + 1] = 1.0
+        qrows.append((100 + c, v))
+    queries = spark.createDataFrame(qrows, "query_id long, embedding array<double>")
+
+    id_cents = ivf_centroids_df(corpus, n_centroids=4, seeding="idorder")
+    km_cents = ivf_centroids_df(corpus, n_centroids=4, seeding="kmeans_par")
+
+    r_id = _recall_at5(spark, corpus, queries, id_cents)
+    r_km = _recall_at5(spark, corpus, queries, km_cents)
+    assert r_id < 1.0              # id-order seeding measurably under-recalls
+    assert r_km >= r_id            # the gate: kmeans_par >= id-order baseline
+    assert r_km == 1.0             # every planted cluster got its own cell
+
+    # cell-occupancy balance: id-order seeds (all in cluster 0) leave one
+    # cell holding at least half the corpus; k-means-par caps every cell
+    # at its planted-cluster size
+    from postgres_debezium_clickhouse_spark.operators.similarity import as_double_vec
+
+    def occupancy(cents):
+        rows = (
+            assign_ivf_cells(as_double_vec(corpus), cents)
+            .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+        return sorted(r.n for r in rows)
+
+    occ_km = occupancy(km_cents)
+    assert occ_km == [20, 20, 20, 40]  # exactly the planted cluster sizes
+    occ_id = occupancy(id_cents)
+    # id-order cells do NOT align with the planted structure: far clusters
+    # get split across same-cluster seeds by jitter noise
+    assert occ_id != [20, 20, 20, 40] and min(occ_id) < 20
+
+
+def test_kmeans_par_seeding_is_deterministic(spark):
+    from postgres_debezium_clickhouse_spark.operators.similarity import kmeans_par_seeds
+
+    corpus = _planted_clusters(spark)
+    a = sorted((r.cell, tuple(r.cv)) for r in kmeans_par_seeds(corpus, 4).collect())
+    b = sorted((r.cell, tuple(r.cv)) for r in kmeans_par_seeds(corpus, 4).collect())
+    assert a == b and len(a) == 4
