@@ -298,3 +298,86 @@ ORACLES = {
     FROM events GROUP BY event_type
 """,
 }
+
+
+def q_domain_pagerank_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8 (VERDICT r7 #7): PageRank with DANGLING-MASS REDISTRIBUTION over
+    the same injected link graph as ``corpus_domain_pagerank`` — whose
+    five dst*.example.org nodes are true sinks (no outlinks), so the two
+    modes measurably diverge: under redistribution total rank stays
+    exactly 1 and the sinks' held mass flows back uniformly each round.
+    The oracle unrolls the same three iterations in SQL including the
+    per-round sink-mass scalar, so every rank value is checked to 6
+    decimals — no graph code on the oracle side."""
+    from ..operators.graph import pagerank
+    from ..operators.text import extract_urls
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" from https://src"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+            F.lit(" links https://dst"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.org/q/"), F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    urls = extract_urls(docs)
+    per_doc = urls.groupBy("doc_id").agg(
+        F.min(F.when(F.col("domain").endswith(".example.com"), F.col("domain"))).alias("src"),
+        F.min(F.when(F.col("domain").endswith(".example.org"), F.col("domain"))).alias("dst"),
+    )
+    edges = (
+        per_doc.filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .select("src", "dst")
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=3, damping=0.85, dangling="redistribute")
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+QUERIES["corpus_pagerank_sink"] = q_domain_pagerank_sink
+# Three redistribution iterations unrolled: per round the sink mass S
+# (rank held by nodes with no outlinks) folds back uniformly —
+# rank' = 0.15/n + 0.85*(contrib + S/n); total rank stays exactly 1.
+ORACLES["corpus_pagerank_sink"] = """
+    WITH e AS (
+        SELECT DISTINCT
+               'src' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS s,
+               'dst' || CAST(doc_id % 5 AS VARCHAR) || '.example.org' AS d
+        FROM documents
+    ),
+    nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+    p AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    od AS (SELECT s, COUNT(*) AS outdeg FROM e GROUP BY s),
+    sinks AS (SELECT node FROM nodes WHERE node NOT IN (SELECT s FROM od)),
+    r0 AS (SELECT node, 1.0 / n AS rank FROM nodes, p),
+    s0 AS (SELECT COALESCE(SUM(r0.rank), 0) AS m FROM r0 JOIN sinks USING (node)),
+    r1 AS (
+        SELECT no.node,
+               0.15 / p.n + 0.85 * (COALESCE(c.m, 0) + s0.m / p.n) AS rank
+        FROM nodes no CROSS JOIN p CROSS JOIN s0
+        LEFT JOIN (SELECT e.d AS node, SUM(r0.rank / od.outdeg) AS m
+                   FROM e JOIN od USING (s) JOIN r0 ON r0.node = e.s
+                   GROUP BY e.d) c ON c.node = no.node
+    ),
+    s1 AS (SELECT COALESCE(SUM(r1.rank), 0) AS m FROM r1 JOIN sinks USING (node)),
+    r2 AS (
+        SELECT no.node,
+               0.15 / p.n + 0.85 * (COALESCE(c.m, 0) + s1.m / p.n) AS rank
+        FROM nodes no CROSS JOIN p CROSS JOIN s1
+        LEFT JOIN (SELECT e.d AS node, SUM(r1.rank / od.outdeg) AS m
+                   FROM e JOIN od USING (s) JOIN r1 ON r1.node = e.s
+                   GROUP BY e.d) c ON c.node = no.node
+    ),
+    s2 AS (SELECT COALESCE(SUM(r2.rank), 0) AS m FROM r2 JOIN sinks USING (node)),
+    r3 AS (
+        SELECT no.node,
+               0.15 / p.n + 0.85 * (COALESCE(c.m, 0) + s2.m / p.n) AS rank
+        FROM nodes no CROSS JOIN p CROSS JOIN s2
+        LEFT JOIN (SELECT e.d AS node, SUM(r2.rank / od.outdeg) AS m
+                   FROM e JOIN od USING (s) JOIN r2 ON r2.node = e.s
+                   GROUP BY e.d) c ON c.node = no.node
+    )
+    SELECT node, ROUND(rank, 6) AS rank FROM r3
+"""

@@ -38,3 +38,45 @@ def test_pagerank_loop_is_lineage_truncated(spark):
     assert plan.count("Join") == 0  # checkpointed: no residual join tower
     total = sum(r.rank for r in ranks.collect())
     assert math.isclose(total, 1.0, rel_tol=1e-9)  # 2-cycle conserves mass
+
+
+def test_pagerank_redistribute_conserves_total_mass(spark):
+    """a→b with b a sink: redistribution must keep Σrank = 1 exactly each
+    round and match the hand-computed first iteration."""
+    from postgres_debezium_clickhouse_spark.operators.graph import (
+        pagerank,
+        pagerank_with_report,
+    )
+
+    edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    r1 = {r.node: r.rank for r in pagerank(
+        edges, iterations=1, dangling="redistribute").collect()}
+    # r0 = (.5, .5); S = .5; rank' = .075 + .85*(contrib + .25)
+    assert round(r1["a"], 6) == 0.2875 and round(r1["b"], 6) == 0.7125
+    ranks, report = pagerank_with_report(
+        edges, iterations=4, dangling="redistribute")
+    total = sum(r.rank for r in ranks.collect())
+    assert abs(total - 1.0) < 1e-9
+    deltas = [r.l1_delta for r in report.orderBy("iteration").collect()]
+    assert len(deltas) == 4 and all(d >= 0 for d in deltas)
+    assert deltas[-1] < deltas[0]          # converging, not oscillating
+
+
+def test_pagerank_drop_mode_unchanged_by_refactor(spark):
+    """The drop path must still match its hand-computed value (the shared
+    corpus_domain_pagerank oracle depends on it bit-for-bit)."""
+    from postgres_debezium_clickhouse_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    r1 = {r.node: r.rank for r in pagerank(edges, iterations=1).collect()}
+    assert round(r1["a"], 6) == 0.075 and round(r1["b"], 6) == 0.5
+
+
+def test_pagerank_rejects_unknown_dangling_mode(spark):
+    import pytest
+
+    from postgres_debezium_clickhouse_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    with pytest.raises(ValueError, match="dangling"):
+        pagerank(edges, dangling="teleport")
