@@ -50,6 +50,11 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 
 _FRONT = (
     # round-8 additions (never driver-checked) go here, newest first:
+    "corpus_topk_tokens",
+    "events_cohort_retention",
+    "events_sequence_match",
+    "corpus_pagerank_sink",
+    "similarity_ivf_seeding",
     # late-events policy query: first round with a full-value planted
     # oracle (r7 item 3) — never hash-checked by the driver before:
     "stream_late_events",

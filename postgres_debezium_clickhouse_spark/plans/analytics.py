@@ -431,6 +431,68 @@ def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8: cohort retention matrix — the ClickHouse ``retention()``
+    aggregate's standard product-analytics use (reference surface: CH
+    retention/windowFunnel family).  Cohort = the user's first active ISO
+    week; a cell (cohort, week_offset) counts distinct cohort users active
+    that many weeks later, with the rate over the cohort size.  Two
+    user-keyed aggregations plus one small join — the per-user frame is
+    the only shuffle at any scale, and the output is O(weeks²)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    active = ev.distinct()
+    off = (
+        (F.unix_timestamp("wk") - F.unix_timestamp("cohort")) / (7 * 86400)
+    ).cast("long")
+    ret = (
+        active.join(first, "user_id")
+        .groupBy(F.col("cohort"), off.alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    size = first.groupBy("cohort").agg(F.countDistinct("user_id").alias("cohort_users"))
+    return (
+        ret.join(size, "cohort")
+        .select(
+            F.col("cohort").cast("date").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "cohort_users",
+            F.round(F.col("n_active") / F.col("cohort_users"), 6).alias("retention"),
+        )
+    )
+
+
+def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8: event-sequence pattern matching — the ClickHouse
+    ``sequenceMatch('(?1).*(?2)')`` analogue: per user, did a ``signup``
+    ever precede a ``purchase``?  Each user's events collapse to an
+    ordered symbol string (s = signup, p = purchase, x = other; total
+    order via (ts, event_id)) and the pattern is one regex over it — the
+    general form handles any CH sequence pattern by rewriting ``(?N)`` to
+    its symbol and ``.*`` verbatim.  One per-user shuffle; per-user
+    sequences are bounded by nature at any corpus scale."""
+    ev = load_table(spark, sf_dir, "events")
+    sym = (
+        F.when(F.col("event_type") == "signup", F.lit("s"))
+        .when(F.col("event_type") == "purchase", F.lit("p"))
+        .otherwise(F.lit("x"))
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("ts"), F.col("event_id"), sym.alias("sym")))
+        ).alias("seq")
+    )
+    s = F.expr("concat_ws('', transform(seq, e -> e.sym))")
+    return per_user.select(
+        "user_id",
+        F.size("seq").cast("long").alias("n_events"),
+        s.rlike("s.*p").alias("matched"),
+    )
+
+
 QUERIES = {
     "star_join_revenue": star_join_revenue,
     "order_totals": order_totals,
@@ -457,6 +519,8 @@ QUERIES = {
     "events_micro_ts_roundtrip": events_micro_ts_roundtrip,
     "events_value_percentiles": events_value_percentiles,
     "events_value_anomalies": events_value_anomalies,
+    "events_cohort_retention": events_cohort_retention,
+    "events_sequence_match": events_sequence_match,
 }
 
 ORACLES = {
@@ -656,3 +720,37 @@ ORACLES = {
         FROM events
     """,
 }
+
+
+ORACLES["events_cohort_retention"] = """
+    WITH ev AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+    first AS (SELECT user_id, MIN(wk) AS cohort FROM ev GROUP BY user_id),
+    active AS (SELECT DISTINCT user_id, wk FROM ev),
+    ret AS (
+        SELECT f.cohort,
+               CAST(date_diff('day', f.cohort, a.wk) / 7 AS BIGINT) AS week_offset,
+               COUNT(DISTINCT a.user_id) AS n_active
+        FROM active a JOIN first f USING (user_id)
+        GROUP BY f.cohort, week_offset
+    ),
+    sz AS (SELECT cohort, COUNT(DISTINCT user_id) AS cohort_users
+           FROM first GROUP BY cohort)
+    SELECT CAST(r.cohort AS DATE) AS cohort_week, r.week_offset, r.n_active,
+           s.cohort_users,
+           ROUND(r.n_active * 1.0 / s.cohort_users, 6) AS retention
+    FROM ret r JOIN sz s USING (cohort)
+"""
+
+ORACLES["events_sequence_match"] = """
+    WITH s AS (
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               string_agg(CASE WHEN event_type = 'signup' THEN 's'
+                               WHEN event_type = 'purchase' THEN 'p'
+                               ELSE 'x' END, '' ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           regexp_matches(seq, 's.*p') AS matched
+    FROM s
+"""

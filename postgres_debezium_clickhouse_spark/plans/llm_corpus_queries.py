@@ -381,3 +381,35 @@ ORACLES["corpus_pagerank_sink"] = """
     )
     SELECT node, ROUND(rank, 6) AS rank FROM r3
 """
+
+
+def q_corpus_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8: frequent-items sketch — the ClickHouse ``topK()`` analogue
+    (operators/sketch.py space_saving_topk: per-partition Space-Saving
+    with bounded counters, then an exact recount of only the candidate
+    union).  Top-50 corpus tokens with EXACT counts; the oracle is the
+    straight exact top-50, so the sketch path's candidate guarantee is
+    value-checked end-to-end — a candidate set that dropped a true heavy
+    hitter hash-mismatches immediately."""
+    from ..operators.sketch import space_saving_topk
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    return space_saving_topk(toks, col="token", k=50)
+
+
+QUERIES["corpus_topk_tokens"] = q_corpus_topk_tokens
+ORACLES["corpus_topk_tokens"] = """
+    WITH counts AS (
+        SELECT token, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        WHERE token <> ''
+        GROUP BY token
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS rank,
+           token AS item, n
+    FROM counts
+    ORDER BY n DESC, token ASC
+    LIMIT 50
+"""

@@ -1,0 +1,35 @@
+"""Space-saving heavy-hitters sketch (operators/sketch.py): the bounded
+counter table must keep every true heavy hitter through eviction, the
+recount phase must return exact counts, and ties must break on item asc."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgres_debezium_clickhouse_spark.operators.sketch import space_saving_topk
+
+
+def test_topk_exact_counts_and_tiebreak(spark):
+    rows = [("a",)] * 10 + [("b",)] * 7 + [("c",)] * 7 + [("d",)] * 2 + [("e",)] * 1
+    items = spark.createDataFrame(rows, ["token"])
+    out = space_saving_topk(items, k=3, capacity=16).collect()
+    assert [(r.rank, r.item, r.n) for r in out] == [(1, "a", 10), (2, "b", 7), (3, "c", 7)]
+
+
+def test_topk_survives_tight_capacity(spark):
+    """capacity=4 with 40 distinct light items + 2 planted heavy hitters
+    spread across partitions: eviction churns the counter table, but the
+    heavy hitters (count >> N/capacity) must survive into the candidate
+    set and come back with EXACT counts."""
+    rows = [("hot1",)] * 50 + [("hot2",)] * 30 + [(f"cold{i}",) for i in range(40)]
+    items = spark.createDataFrame(rows, ["token"]).repartition(4)
+    out = space_saving_topk(items, k=2, capacity=4).collect()
+    assert [(r.item, r.n) for r in out] == [("hot1", 50), ("hot2", 30)]
+
+
+def test_topk_null_and_empty_input(spark):
+    items = spark.createDataFrame([(None,), ("x",)], "token string")
+    out = space_saving_topk(items, k=5).collect()
+    assert [(r.item, r.n) for r in out] == [("x", 1)]
+    empty = spark.createDataFrame([], "token string")
+    assert space_saving_topk(empty, k=5).collect() == []
