@@ -50,6 +50,8 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 
 _FRONT = (
     # round-8 additions (never driver-checked) go here, newest first:
+    "stream_summing_state",
+    "silver_ttl",
     "corpus_topk_tokens",
     "events_cohort_retention",
     "events_sequence_match",

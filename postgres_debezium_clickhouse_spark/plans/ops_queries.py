@@ -724,6 +724,96 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sh.rmtree(d, ignore_errors=True)
 
 
+def stream_summing_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8 — the SummingMergeTree sink end-to-end, hash-checked: the events
+    fixture replayed as a multi-micro-batch file stream into
+    ``silver_summing_stream`` keyed by (user_id, event_type); the store's
+    per-key running sums must equal the whole-table GROUP BY exactly.
+    Addition commutes, so batch boundaries cannot shift a bit — the sums
+    are carried as DECIMAL(30,2), which is also what makes the DuckDB
+    oracle exact (a double sum would differ in the last bits by
+    accumulation order)."""
+    from ..streaming.pipeline import read_silver, silver_summing_stream
+
+    import shutil as _sh
+
+    run = uuid.uuid4().hex[:12]
+    root = tempfile.gettempdir()
+    src = f"{root}/summing_src_{run}"
+    dst = f"{root}/summing_out_{run}"
+    ckpt = f"{root}/summing_ckpt_{run}"
+    try:
+        events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "user_id", "event_type", "value"
+        )
+        events.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+        )
+        # streaming disables AQE, so the session's initialPartitionNum
+        # becomes the RAW shuffle width of every merge groupBy — shrink it
+        # for the replay (restored after; same pattern as
+        # stream_stateful_dedup)
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = silver_summing_stream(
+                stream, dst, ckpt, keys=["user_id", "event_type"],
+                sum_cols=["value"], available_now=True,
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("summing stream did not finish in 300s")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        return read_silver(spark, dst).select(
+            "user_id", "event_type",
+            F.col("value").cast("double").alias("sum_value"),
+            F.col("__n_rows").alias("n_rows"),
+        ).localCheckpoint(eager=True)
+    finally:
+        for d in (src, dst, ckpt):
+            _sh.rmtree(d, ignore_errors=True)
+
+
+def silver_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8 — table TTL (the ClickHouse ``TTL <col> DELETE`` analogue): the
+    orders snapshot is published to a bucketed store, then every row with
+    ``o_orderdate < 1997-01-01`` is expired via ``ttl_silver`` as one
+    committed mutation version.  The post-TTL live state must equal the
+    closed-form survivor set; expiry is tombstones, so the pre-TTL state
+    stays reachable by time travel (lifecycle-tested in
+    tests/test_time_travel.py)."""
+    from ..streaming.pipeline import (
+        _publish_buckets,
+        _read_manifest,
+        read_silver,
+        ttl_silver,
+    )
+
+    import shutil as _sh
+
+    path = f"{tempfile.gettempdir()}/ttl_store_{uuid.uuid4().hex[:12]}"
+    try:
+        base = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_orderdate", "o_totalprice"
+        ).withColumn("__deleted", F.lit(False))
+        manifest = {"version": 0, "n_buckets": 8, "files": []}
+        _publish_buckets(base, path, ["o_orderkey"], manifest, set(range(8)))
+        ttl_silver(
+            spark, path, ["o_orderkey"], "o_orderdate",
+            F.lit("1997-01-01").cast("timestamp"),
+        )
+        return read_silver(spark, path).select(
+            "o_orderkey", "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        ).localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(path, ignore_errors=True)
+
+
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream INNER join with an event-time range condition: each
     purchase stream-joined to the same user's clicks from the preceding
@@ -871,6 +961,8 @@ QUERIES = {
     "silver_time_travel": silver_time_travel,
     "silver_mutation": silver_mutation,
     "stream_sliding_counts": stream_sliding_counts,
+    "stream_summing_state": stream_summing_state,
+    "silver_ttl": silver_ttl,
     "stream_sessionization": stream_sessionization,
     "stream_late_events": stream_late_events,
     "stream_stream_join": stream_stream_join,
@@ -1024,6 +1116,18 @@ ORACLES["silver_time_travel"] = """
 
 # mutation semantics closed-form: after = %3 updated to 'X' minus %7
 # deleted; before = the untouched snapshot via time travel
+ORACLES["stream_summing_state"] = """
+    SELECT user_id, event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           COUNT(*) AS n_rows
+    FROM events GROUP BY user_id, event_type
+"""
+
+ORACLES["silver_ttl"] = """
+    SELECT o_orderkey, o_orderdate, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+"""
+
 ORACLES["silver_mutation"] = """
     SELECT 'after' AS stage, o_orderkey AS key,
            CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END AS status

@@ -281,7 +281,13 @@ def _publish_buckets(
         out = (
             df.withColumn("__bucket", _bucket_expr(keys, n_buckets))
             .withColumn("__epoch", F.lit(epoch))
-            .repartition("__bucket")
+            # EXPLICIT width: a bare repartition(col) starts at AQE's
+            # initialPartitionNum (2048 in the scale-tuned session) and AQE
+            # never coalesces user repartitions — every publish was paying
+            # a 2048-task exchange regardless of store size (measured r8:
+            # the whole silver family, upsert/mutation/TTL/summing).  One
+            # partition per bucket is the store's natural write width.
+            .repartition(n_buckets, "__bucket")
             .sortWithinPartitions(*keys)
         )
         out.write.mode("append").partitionBy("__epoch", "__bucket").parquet(path)
@@ -639,6 +645,119 @@ def mutate_silver(
             )
     _publish_buckets(mutated, path, keys, manifest, touched)
     return n
+
+
+def silver_summing_stream(
+    events: DataFrame,
+    path: str,
+    checkpoint: str,
+    keys: list[str],
+    sum_cols: list[str],
+    available_now: bool = False,
+    n_buckets: int = DEFAULT_SILVER_BUCKETS,
+    processing_interval_ms: int | None = None,
+) -> StreamingQuery:
+    """r8 — the SummingMergeTree-equivalent keyed AGGREGATING sink
+    (ClickHouse's second MergeTree family after the Replacing one S8
+    covers; reference surface: the same ENGINE= slot as clickhouse.sql's
+    ReplacingMergeTree tables).  Per micro-batch the batch collapses to
+    ONE partial-sum row per key (map-side combinable groupBy), then
+    merges into the store by per-key ADDITION — the store always holds
+    exactly one row per key carrying the running sums plus ``__n_rows``
+    (the count() companion column CH users keep, since source rows
+    collapse on merge).
+
+    Sums are carried as DECIMAL(30,2) (each batch's doubles enter as
+    DECIMAL(18,2)) so the running total is EXACT and order-insensitive —
+    disorder, replay order, and bucket boundaries cannot change a single
+    bit, which is also what makes the DuckDB oracle exact.  No version /
+    tiebreak columns are needed: addition commutes, so this sink needs
+    even less from the source than latest-wins does (exactly-once still
+    comes from the checkpoint + the CAS commit).
+
+    Same touched-bucket versioned publish as ``silver_upsert_stream``:
+    per trigger only buckets containing batch keys are read, merged (one
+    union + one keyed groupBy over those buckets), and re-published
+    behind the epoch claim + CAS manifest commit.  Read with
+    ``read_silver`` (rows carry ``__deleted = false``; TTL/mutations
+    compose unchanged)."""
+    acc = "decimal(30,2)"
+
+    def _batch_partial(batch: DataFrame) -> DataFrame:
+        return batch.groupBy(*keys).agg(
+            *[
+                F.sum(F.col(c).cast("decimal(18,2)")).cast(acc).alias(c)
+                for c in sum_cols
+            ],
+            F.count(F.lit(1)).alias("__n_rows"),
+        )
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        manifest = _read_manifest(path)
+        if manifest is None:
+            manifest = {"version": 0, "n_buckets": n_buckets, "files": []}
+        nb = manifest["n_buckets"]
+        agg = _batch_partial(batch)
+        agg.persist()
+        try:
+            touched = {
+                r[0]
+                for r in agg.select(_bucket_expr(keys, nb).alias("b")).distinct().collect()
+            }
+            if not touched:
+                return  # empty batch: nothing to publish
+            live_touched = [
+                f for f in manifest["files"]
+                if int(f.split("__bucket=")[1].split("/")[0]) in touched
+            ]
+            merged = agg
+            if live_touched:
+                current = _read_live_files(
+                    spark, path, {**manifest, "files": live_touched}
+                ).drop(DELETED_FLAG)
+                merged = (
+                    current.unionByName(agg)
+                    .groupBy(*keys)
+                    .agg(
+                        *[F.sum(F.col(c)).cast(acc).alias(c) for c in sum_cols],
+                        F.sum("__n_rows").alias("__n_rows"),
+                    )
+                )
+            merged = merged.withColumn(DELETED_FLAG, F.lit(False))
+            _publish_buckets(merged, path, keys, manifest, touched)
+        finally:
+            agg.unpersist()
+        if (manifest["version"] + 1) % 16 == 0:
+            vacuum_silver(path)
+
+    writer = events.writeStream.foreachBatch(_merge).option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_interval_ms is not None:
+        writer = writer.trigger(processingTime=f"{processing_interval_ms} milliseconds")
+    return writer.start()
+
+
+def ttl_silver(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    ttl_col: str,
+    older_than,
+) -> int:
+    """r8 — the ClickHouse table-TTL analogue (``TTL <col> + INTERVAL …
+    DELETE``): expire every live row whose ``ttl_col`` is strictly below
+    ``older_than``, as one committed mutation version (tombstones, so
+    read/compaction/time-travel semantics compose unchanged — run
+    ``compact_silver(drop_tombstones_below_version=…)`` to reclaim the
+    bytes, exactly like CH's background TTL merges).  O(touched buckets);
+    returns the number of rows expired.  Run on a cadence from the
+    owning writer — TTL is a mutation, and the store remains
+    single-writer."""
+    return mutate_silver(
+        spark, path, keys, where=F.col(ttl_col) < older_than, delete=True
+    )
 
 
 def read_silver(

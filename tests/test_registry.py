@@ -56,7 +56,8 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
     skip_prefixes = ("stream_",)
     skip = {"synthetic_transactions", "object_store_typed_ingest",
             "silver_time_travel",  # publishes a 3-version store on build
-            "silver_mutation"}     # publishes + mutates a store on build
+            "silver_mutation",     # publishes + mutates a store on build
+            "silver_ttl"}          # publishes + TTL-mutates a store on build
     allow_nested_loop = {
         "similarity_cosine_topk",   # brute-force baseline: broadcast × corpus scan
         "dedup_embedding_cosine",   # block-join verified within label blocks
