@@ -647,15 +647,22 @@ def mutate_silver(
     return n
 
 
+#: associative+commutative merge ops the aggregating sink supports — each
+#: is exact and order-insensitive, so batch boundaries can never shift a
+#: result ("sum" runs in DECIMAL, see silver_summing_stream).
+AGG_OPS = ("sum", "min", "max")
+
+
 def silver_summing_stream(
     events: DataFrame,
     path: str,
     checkpoint: str,
     keys: list[str],
-    sum_cols: list[str],
+    sum_cols: list[str] | None = None,
     available_now: bool = False,
     n_buckets: int = DEFAULT_SILVER_BUCKETS,
     processing_interval_ms: int | None = None,
+    agg_spec: dict[str, tuple[str, str]] | None = None,
 ) -> StreamingQuery:
     """r8 — the SummingMergeTree-equivalent keyed AGGREGATING sink
     (ClickHouse's second MergeTree family after the Replacing one S8
@@ -675,6 +682,13 @@ def silver_summing_stream(
     even less from the source than latest-wins does (exactly-once still
     comes from the checkpoint + the CAS commit).
 
+    ``agg_spec`` (AggregatingMergeTree generalization — CH's third
+    MergeTree family): ``{out_col: (src_col, op)}`` with op ∈ ``sum`` /
+    ``min`` / ``max`` — every supported op is associative+commutative, so
+    the same batch-boundary-insensitivity argument holds for all of them
+    (avg = a sum column + ``__n_rows`` at read time; non-decomposable
+    aggs belong in the latest-wins store or a sketch column).
+
     Same touched-bucket versioned publish as ``silver_upsert_stream``:
     per trigger only buckets containing batch keys are read, merged (one
     union + one keyed groupBy over those buckets), and re-published
@@ -682,13 +696,28 @@ def silver_summing_stream(
     ``read_silver`` (rows carry ``__deleted = false``; TTL/mutations
     compose unchanged)."""
     acc = "decimal(30,2)"
+    spec: dict[str, tuple[str, str]] = dict(agg_spec or {})
+    for c in sum_cols or []:
+        spec[c] = (c, "sum")
+    if not spec:
+        raise ValueError("need sum_cols and/or agg_spec")
+    for out, (src, op) in spec.items():
+        if op not in AGG_OPS:
+            raise ValueError(f"agg_spec[{out!r}]: op must be one of {AGG_OPS}, got {op!r}")
+
+    def _ingest(out: str, src: str, op: str):
+        if op == "sum":
+            return F.sum(F.col(src).cast("decimal(18,2)")).cast(acc).alias(out)
+        return getattr(F, op)(F.col(src)).alias(out)
+
+    def _remerge(out: str, op: str):
+        if op == "sum":
+            return F.sum(F.col(out)).cast(acc).alias(out)
+        return getattr(F, op)(F.col(out)).alias(out)
 
     def _batch_partial(batch: DataFrame) -> DataFrame:
         return batch.groupBy(*keys).agg(
-            *[
-                F.sum(F.col(c).cast("decimal(18,2)")).cast(acc).alias(c)
-                for c in sum_cols
-            ],
+            *[_ingest(out, src, op) for out, (src, op) in spec.items()],
             F.count(F.lit(1)).alias("__n_rows"),
         )
 
@@ -720,7 +749,7 @@ def silver_summing_stream(
                     current.unionByName(agg)
                     .groupBy(*keys)
                     .agg(
-                        *[F.sum(F.col(c)).cast(acc).alias(c) for c in sum_cols],
+                        *[_remerge(out, op) for out, (_, op) in spec.items()],
                         F.sum("__n_rows").alias("__n_rows"),
                     )
                 )
