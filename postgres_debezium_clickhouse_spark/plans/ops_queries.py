@@ -778,6 +778,57 @@ def stream_summing_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sh.rmtree(d, ignore_errors=True)
 
 
+def stream_agg_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8 — the AggregatingMergeTree generalization, hash-checked: the
+    events replay merged with ``agg_spec`` (sum in DECIMAL + min + max of
+    ``value`` per event_type).  Every op is associative+commutative, so
+    the multi-micro-batch result must equal the whole-table GROUP BY —
+    min/max are float-exact (no accumulation), the sum is exact decimal."""
+    from ..streaming.pipeline import read_silver, silver_summing_stream
+
+    import shutil as _sh
+
+    run = uuid.uuid4().hex[:12]
+    root = tempfile.gettempdir()
+    src = f"{root}/aggst_src_{run}"
+    dst = f"{root}/aggst_out_{run}"
+    ckpt = f"{root}/aggst_ckpt_{run}"
+    try:
+        events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_type", "value"
+        )
+        events.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+        )
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = silver_summing_stream(
+                stream, dst, ckpt, keys=["event_type"],
+                agg_spec={"v_sum": ("value", "sum"),
+                          "v_min": ("value", "min"),
+                          "v_max": ("value", "max")},
+                available_now=True,
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("agg stream did not finish in 300s")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        return read_silver(spark, dst).select(
+            "event_type",
+            F.col("v_sum").cast("double").alias("v_sum"),
+            "v_min", "v_max",
+            F.col("__n_rows").alias("n_rows"),
+        ).localCheckpoint(eager=True)
+    finally:
+        for d in (src, dst, ckpt):
+            _sh.rmtree(d, ignore_errors=True)
+
+
 def silver_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r8 — table TTL (the ClickHouse ``TTL <col> DELETE`` analogue): the
     orders snapshot is published to a bucketed store, then every row with
@@ -962,6 +1013,7 @@ QUERIES = {
     "silver_mutation": silver_mutation,
     "stream_sliding_counts": stream_sliding_counts,
     "stream_summing_state": stream_summing_state,
+    "stream_agg_state": stream_agg_state,
     "silver_ttl": silver_ttl,
     "stream_sessionization": stream_sessionization,
     "stream_late_events": stream_late_events,
@@ -1121,6 +1173,14 @@ ORACLES["stream_summing_state"] = """
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
            COUNT(*) AS n_rows
     FROM events GROUP BY user_id, event_type
+"""
+
+ORACLES["stream_agg_state"] = """
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+           MIN(value) AS v_min, MAX(value) AS v_max,
+           COUNT(*) AS n_rows
+    FROM events GROUP BY event_type
 """
 
 ORACLES["silver_ttl"] = """
