@@ -277,6 +277,9 @@ def kmeans_par_seeds(
     cand_rows = cands.collect()  # O(k·rounds) — bounded index metadata
     by_id = {r.cid: list(r.cv) for r in cand_rows}
     ids = sorted(by_id)
+    spark = corpus.sparkSession
+    if not ids:  # empty corpus → empty centroid table, same schema
+        return spark.createDataFrame([], "cell int, cv array<double>")
     # greedy weighted k-means++: start at the heaviest candidate, then
     # repeatedly take argmax over weight(c)·d²(c, chosen)
     chosen = [max(ids, key=lambda i: (weights.get(i, 0), -_id_rank(i, ids)))]
@@ -289,7 +292,6 @@ def kmeans_par_seeds(
             return (weights.get(i, 0) * d2, -_id_rank(i, ids))
         nxt = max((i for i in ids if i not in chosen), key=score)
         chosen.append(nxt)
-    spark = corpus.sparkSession
     return spark.createDataFrame(
         [(cell, by_id[i]) for cell, i in enumerate(chosen)],
         "cell int, cv array<double>",

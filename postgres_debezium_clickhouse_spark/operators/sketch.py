@@ -55,25 +55,36 @@ def space_saving_topk(
     )
 
     def _partition_sketch(batches):
-        counters: dict = {}
+        # Batch-amortized Space-Saving: each Arrow batch is counted
+        # EXACTLY (vectorized value_counts) and merged in full, then the
+        # table is trimmed back to ``capacity`` in one pass — evicted mass
+        # is remembered as ``floor`` and every later NEW item enters at
+        # floor + cnt (the per-item min-counter inheritance, amortized:
+        # any evicted item had count ≤ floor, so a re-entering item is
+        # always credited conservatively and the overestimate guarantee
+        # holds).  Cost per batch: O(batch distinct + capacity·log c)
+        # instead of the textbook O(misses × capacity) min-scans.
+        import heapq
 
-        def merge(val, cnt):
-            if val in counters:
-                counters[val] += cnt
-                return
-            if len(counters) < capacity:
-                counters[val] = cnt
-                return
-            # space-saving eviction: replace the min counter, inheriting
-            # its count as the new item's overestimation error
-            mn_val = min(counters, key=lambda v: (counters[v], str(v)))
-            mn = counters.pop(mn_val)
-            counters[val] = mn + cnt
+        counters: dict = {}
+        floor = 0
 
         for pdf in batches:
             vc = pdf[col].dropna().value_counts()  # vectorized batch count
             for val, cnt in vc.items():
-                merge(val, int(cnt))
+                if val in counters:
+                    counters[val] += int(cnt)
+                else:
+                    counters[val] = floor + int(cnt)
+            excess = len(counters) - capacity
+            if excess > 0:
+                evict = heapq.nsmallest(
+                    excess, counters.items(), key=lambda kv: (kv[1], str(kv[0]))
+                )
+                for val, cnt in evict:
+                    del counters[val]
+                    if cnt > floor:
+                        floor = cnt
         yield pd.DataFrame(
             {"item": list(counters), "cnt_upper": list(counters.values())}
         )

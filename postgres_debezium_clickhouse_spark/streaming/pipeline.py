@@ -663,6 +663,7 @@ def silver_summing_stream(
     n_buckets: int = DEFAULT_SILVER_BUCKETS,
     processing_interval_ms: int | None = None,
     agg_spec: dict[str, tuple[str, str]] | None = None,
+    sum_scale: int = 2,
 ) -> StreamingQuery:
     """r8 — the SummingMergeTree-equivalent keyed AGGREGATING sink
     (ClickHouse's second MergeTree family after the Replacing one S8
@@ -695,7 +696,12 @@ def silver_summing_stream(
     behind the epoch claim + CAS manifest commit.  Read with
     ``read_silver`` (rows carry ``__deleted = false``; TTL/mutations
     compose unchanged)."""
-    acc = "decimal(30,2)"
+    # "sum" enters as DECIMAL(18,sum_scale) and accumulates in
+    # DECIMAL(30,sum_scale): values with MORE fractional digits than
+    # sum_scale are rounded at ingestion — the monetary 2-dp default
+    # matches the reference's money columns; widen for other domains.
+    acc = f"decimal(30,{sum_scale})"
+    ingest_t = f"decimal(18,{sum_scale})"
     spec: dict[str, tuple[str, str]] = dict(agg_spec or {})
     for c in sum_cols or []:
         spec[c] = (c, "sum")
@@ -707,7 +713,7 @@ def silver_summing_stream(
 
     def _ingest(out: str, src: str, op: str):
         if op == "sum":
-            return F.sum(F.col(src).cast("decimal(18,2)")).cast(acc).alias(out)
+            return F.sum(F.col(src).cast(ingest_t)).cast(acc).alias(out)
         return getattr(F, op)(F.col(src)).alias(out)
 
     def _remerge(out: str, op: str):

@@ -33,3 +33,16 @@ def test_topk_null_and_empty_input(spark):
     assert [(r.item, r.n) for r in out] == [("x", 1)]
     empty = spark.createDataFrame([], "token string")
     assert space_saving_topk(empty, k=5).collect() == []
+
+
+def test_topk_batch_amortized_floor_keeps_guarantee(spark):
+    """Distinct-heavy stream (capacity far below distinct count, many
+    Arrow batches): the floor-credited eviction must still surface the
+    true heavy hitters with exact final counts."""
+    rows = ([("hh",)] * 200
+            + [(f"mid{i % 5}",) for i in range(100)]     # 5 items × 20
+            + [(f"one{i}",) for i in range(500)])        # 500 singletons
+    items = spark.createDataFrame(rows, ["token"]).repartition(2)
+    out = space_saving_topk(items, k=6, capacity=8).collect()
+    assert (out[0].item, out[0].n) == ("hh", 200)
+    assert {(r.item, r.n) for r in out[1:6]} == {(f"mid{i}", 20) for i in range(5)}
