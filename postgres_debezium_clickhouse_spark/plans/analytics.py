@@ -493,6 +493,41 @@ def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8: dense time-series gap filling — the ClickHouse ``ORDER BY …
+    WITH FILL STEP INTERVAL 1 HOUR`` analogue: per event_type, every hour
+    between that type's first and last qualifying event appears exactly
+    once, zero-filled where no event landed.  The fixture is made sparse
+    (value >= 200 keeps ~1% of events) so real gaps exist and the fill
+    path is actually exercised.  Plan shape: one grouped agg for the
+    counts, one tiny per-type bounds agg exploded through ``sequence()``
+    into the dense grid (O(types × hours) rows — never O(events)), one
+    left join + coalesce."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") >= 200)
+    hour = F.date_trunc("hour", F.col("ts"))
+    counts = ev.groupBy(hour.alias("h"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = counts.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.expr("sequence(h0, h1, interval 1 hour)")
+        ).alias("h"),
+    )
+    return (
+        grid.join(counts, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.col("h").alias("hour"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.col("n").isNull().alias("filled"),
+        )
+    )
+
+
 QUERIES = {
     "star_join_revenue": star_join_revenue,
     "order_totals": order_totals,
@@ -520,6 +555,7 @@ QUERIES = {
     "events_value_percentiles": events_value_percentiles,
     "events_value_anomalies": events_value_anomalies,
     "events_cohort_retention": events_cohort_retention,
+    "events_hourly_gapfill": events_hourly_gapfill,
     "events_sequence_match": events_sequence_match,
 }
 
@@ -753,4 +789,23 @@ ORACLES["events_sequence_match"] = """
     SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
            regexp_matches(seq, 's.*p') AS matched
     FROM s
+"""
+
+
+ORACLES["events_hourly_gapfill"] = """
+    WITH c AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+        FROM events WHERE value >= 200
+        GROUP BY event_type, h
+    ),
+    b AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM c GROUP BY event_type),
+    grid AS (
+        SELECT b.event_type, g.h
+        FROM b, LATERAL (SELECT unnest(generate_series(b.h0, b.h1,
+                                                       INTERVAL 1 HOUR)) AS h) g
+    )
+    SELECT grid.event_type, grid.h AS hour,
+           COALESCE(c.n, 0) AS n_events,
+           c.n IS NULL AS filled
+    FROM grid LEFT JOIN c ON grid.event_type = c.event_type AND grid.h = c.h
 """
