@@ -46,10 +46,9 @@ def pagerank(
     as a 1-row broadcast (no collect, no extra pass over the edges).
 
     Use :func:`pagerank_with_report` when the caller needs per-round
-    convergence deltas."""
-    ranks, _ = pagerank_with_report(
-        edges, iterations, damping, src, dst, dangling
-    )
+    convergence deltas — this entry point skips the report's extra
+    node-sized join + scalar per round entirely (review r8)."""
+    ranks, _ = _pagerank(edges, iterations, damping, src, dst, dangling, report=False)
     return ranks
 
 
@@ -66,6 +65,18 @@ def pagerank_with_report(
     double)`` — the per-round Σ|rank' − rank| callers watch to pick an
     iteration count.  Each round's delta is one scalar (the same bounded
     driver-state budget as the connected-components convergence count)."""
+    return _pagerank(edges, iterations, damping, src, dst, dangling, report=True)
+
+
+def _pagerank(
+    edges: DataFrame,
+    iterations: int,
+    damping: float,
+    src: str,
+    dst: str,
+    dangling: str,
+    report: bool,
+):
     if dangling not in ("drop", "redistribute"):
         raise ValueError(f"dangling must be 'drop' or 'redistribute', got {dangling!r}")
     spark = edges.sparkSession
@@ -84,10 +95,13 @@ def pagerank_with_report(
         .repartition(F.col("from"))
         .localCheckpoint(eager=True)
     )
-    # sinks = nodes with no outgoing edge (only needed for redistribution)
-    sinks = nodes.join(
-        outdeg.select(F.col(src).alias("node")), "node", "left_anti"
-    ).localCheckpoint(eager=True)
+    sinks = None
+    if dangling == "redistribute":
+        # nodes with no outgoing edge — only the redistribution mode pays
+        # for this frame (review r8)
+        sinks = nodes.join(
+            outdeg.select(F.col(src).alias("node")), "node", "left_anti"
+        ).localCheckpoint(eager=True)
     base = (1.0 - damping) / n_nodes
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     deltas: list[tuple[int, float]] = []
@@ -120,13 +134,17 @@ def pagerank_with_report(
                 ),
             )
         new = new.localCheckpoint(eager=True)
-        # per-round L1 delta (one scalar per round — bounded driver state)
-        d = (
-            new.join(ranks.select("node", F.col("rank").alias("__old")), "node")
-            .agg(F.sum(F.abs(F.col("rank") - F.col("__old"))).alias("d"))
-            .collect()[0].d
-        )
-        deltas.append((it, float(d)))
+        if report:
+            # per-round L1 delta (one scalar per round — bounded driver state)
+            d = (
+                new.join(ranks.select("node", F.col("rank").alias("__old")), "node")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("__old"))).alias("d"))
+                .collect()[0].d
+            )
+            deltas.append((it, float(d)))
         ranks = new
-    report = spark.createDataFrame(deltas, "iteration int, l1_delta double")
-    return ranks, report
+    rep = (
+        spark.createDataFrame(deltas, "iteration int, l1_delta double")
+        if report else None
+    )
+    return ranks, rep

@@ -230,6 +230,11 @@ def kmeans_par_seeds(
             .withColumn("__d2", F.expr(d2min))
             .drop("__cents")
         )
+        # φ and the acceptance filter both consume the distance map —
+        # persist it so the round really is ONE pass over the corpus
+        # (review r8: un-persisted, each round scanned + re-transformed
+        # the corpus twice)
+        scored = scored.persist()
         phi = scored.agg(F.sum("__d2").alias("__phi"))
         accepted = (
             scored.join(F.broadcast(phi))
@@ -250,8 +255,9 @@ def kmeans_par_seeds(
         # single-task regardless of the corpus's partitioning
         cands = (
             cands.unionByName(accepted).distinct().repartition(1)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True)  # eager: materialized before unpersist
         )
+        scored.unpersist()
     # weight candidates by the corpus mass nearest to each (argmin with
     # lowest-candidate-id tie-break), then reduce to k on the driver
     carr = cands.agg(

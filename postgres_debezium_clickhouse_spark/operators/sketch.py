@@ -95,9 +95,13 @@ def space_saving_topk(
         .select("item")
         .distinct()
     )
+    # no broadcast FORCE (review r8): the candidate union is tiny for sane
+    # capacity×partitions, but at extreme fan-out a forced broadcast would
+    # bypass autoBroadcastJoinThreshold and OOM the driver — let AQE pick
+    # broadcast vs shuffle from the measured size
     exact = (
         src.join(
-            F.broadcast(candidates.withColumnRenamed("item", col)), col, "left_semi"
+            candidates.withColumnRenamed("item", col), col, "left_semi"
         )
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("n"))

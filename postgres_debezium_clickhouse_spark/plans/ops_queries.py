@@ -837,12 +837,7 @@ def silver_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form survivor set; expiry is tombstones, so the pre-TTL state
     stays reachable by time travel (lifecycle-tested in
     tests/test_time_travel.py)."""
-    from ..streaming.pipeline import (
-        _publish_buckets,
-        _read_manifest,
-        read_silver,
-        ttl_silver,
-    )
+    from ..streaming.pipeline import _publish_buckets, read_silver, ttl_silver
 
     import shutil as _sh
 

@@ -288,7 +288,13 @@ def _publish_buckets(
             # the whole silver family, upsert/mutation/TTL/summing).  One
             # partition per bucket is the store's natural write width.
             .repartition(n_buckets, "__bucket")
-            .sortWithinPartitions(*keys)
+            # __bucket leads the sort: at n_buckets partitions multi-bucket
+            # tasks are the COMMON case (hash collisions), and without the
+            # partition column first the dynamic-partition writer inserts
+            # its own sort by (__epoch, __bucket), which need not be stable
+            # — the per-bucket key order the O1 layout documents would be
+            # silently lost (review r8)
+            .sortWithinPartitions("__bucket", *keys)
         )
         out.write.mode("append").partitionBy("__epoch", "__bucket").parquet(path)
 
@@ -318,6 +324,97 @@ def _publish_buckets(
         )
     finally:
         COMMIT_BACKEND.release_claim(claim)
+
+
+
+def _touched_bucket_merge(
+    batch: DataFrame,
+    path: str,
+    keys: list[str],
+    n_buckets: int,
+    prepare,
+    merge_fn,
+    legacy_mode: str = "migrate",
+    vacuum_every: int = 16,
+) -> None:
+    """Shared per-trigger scaffolding for every keyed silver sink (review
+    r8: the upsert and summing sinks had copy-pasted this and could
+    silently diverge): read the manifest (or default a fresh store),
+    compute the batch's touched buckets from ``prepare(batch)``, load ONLY
+    those buckets' live files, delegate the merge to
+    ``merge_fn(current_or_None, prepared)``, publish through the
+    epoch-claim + CAS commit, and run vacuum on a cadence.
+
+    ``legacy_mode`` decides what happens on a pre-manifest flat store:
+    ``"migrate"`` (the upsert sink) reads it as current state and
+    publishes everything bucketed once; any other sink must fail LOUDLY —
+    committing a first manifest over unmigrated flat files would hide the
+    legacy rows from ``read_silver`` forever."""
+    spark = batch.sparkSession
+    manifest = _read_manifest(path)
+    legacy_files = []
+    if manifest is None and os.path.isdir(path):
+        legacy_files = [
+            f for f in os.listdir(path)
+            if f.endswith(".parquet") and os.path.isfile(os.path.join(path, f))
+        ]
+        if legacy_files and legacy_mode != "migrate":
+            raise ValueError(
+                f"pre-manifest flat store at {path}: this sink cannot migrate "
+                "it; run silver_upsert_stream or compact_silver once to "
+                "convert it to the bucketed manifest layout"
+            )
+    if manifest is None:
+        manifest = {"version": 0, "n_buckets": n_buckets, "files": []}
+    nb = manifest["n_buckets"]
+    # the batch feeds several actions (touched-bucket collect + the merge
+    # itself) — evaluate the source once; the try spans every action so a
+    # failing merge can't leak the cached frames
+    batch.persist()
+    try:
+        prepared = prepare(batch)
+        if prepared is not batch:
+            prepared.persist()
+        try:
+            touched = {
+                r[0]
+                for r in prepared.select(
+                    _bucket_expr(keys, nb).alias("b")
+                ).distinct().collect()
+            }
+            if not touched and not legacy_files:
+                return  # empty batch: nothing to publish
+            if legacy_files:
+                # explicit file list, not the directory: a crashed earlier
+                # migration may have left an __epoch dir next to the flat
+                # files, and a whole-dir read would fail on the conflicting
+                # partition structures
+                current = spark.read.parquet(
+                    *[os.path.join(path, f) for f in legacy_files]
+                )
+                touched = set(range(nb))  # full one-time bucketed publish
+            else:
+                live_touched = [
+                    f for f in manifest["files"]
+                    if int(f.split("__bucket=")[1].split("/")[0]) in touched
+                ]
+                current = (
+                    _read_live_files(spark, path, {**manifest, "files": live_touched})
+                    if live_touched else None
+                )
+            _publish_buckets(merge_fn(current, prepared), path, keys, manifest, touched)
+        finally:
+            if prepared is not batch:
+                prepared.unpersist()
+    finally:
+        batch.unpersist()
+    for f in legacy_files:  # superseded by the first manifest commit
+        os.remove(os.path.join(path, f))
+    # vacuum walks the store tree (O(files), not O(touched)) — run it on a
+    # cadence, not per trigger, so steady-state trigger cost stays bounded
+    # by the touched buckets; grace still protects readers
+    if (manifest["version"] + 1) % vacuum_every == 0:
+        vacuum_silver(path)
 
 
 def silver_upsert_stream(
@@ -357,74 +454,24 @@ def silver_upsert_stream(
     """
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        manifest = _read_manifest(path)
-        legacy_files = []
-        if manifest is None and os.path.isdir(path):
-            # pre-manifest flat store: migrate it in this trigger — read it
-            # as the current state, publish EVERYTHING bucketed (one-time
-            # O(store) cost), then drop the superseded flat files.  Without
-            # this the first manifest commit would hide the legacy rows
-            # from read_silver forever.
-            legacy_files = [
-                f for f in os.listdir(path)
-                if f.endswith(".parquet") and os.path.isfile(os.path.join(path, f))
-            ]
-        if manifest is None:
-            manifest = {"version": 0, "n_buckets": n_buckets, "files": []}
-        nb = manifest["n_buckets"]
-        # the batch feeds three actions (touched-bucket collect, the key
-        # count inside apply_cdc, the merge itself) — evaluate the source
-        # once, not per action; the try spans every action so a failing
-        # merge can't leak the cached batch
-        batch.persist()
-        try:
-            touched = {
-                r[0]
-                for r in batch.select(_bucket_expr(keys, nb).alias("b")).distinct().collect()
-            }
-            if not touched and not legacy_files:
-                return  # empty batch: nothing to publish
-            if legacy_files:
-                # explicit file list, not the directory: a crashed earlier
-                # migration may have left an __epoch dir next to the flat
-                # files, and a whole-dir read would fail on the conflicting
-                # partition structures
-                current = spark.read.parquet(
-                    *[os.path.join(path, f) for f in legacy_files]
-                )
-                touched = set(range(nb))  # full one-time bucketed publish
-            else:
-                live_touched = [
-                    f for f in manifest["files"]
-                    if int(f.split("__bucket=")[1].split("/")[0]) in touched
-                ]
-                current = (
-                    _read_live_files(spark, path, {**manifest, "files": live_touched})
-                    if live_touched else None
-                )
-            merged = apply_cdc(
-                batch,
+        def merge_fn(current: DataFrame | None, prepared: DataFrame) -> DataFrame:
+            return apply_cdc(
+                prepared,
                 keys=keys,
                 version_col=version_col,
                 tiebreak_col=tiebreak_col,
                 delete_mode="rewrite",  # tombstones must persist across batches
                 current=current,
-                # replayed-backfill triggers (availableNow over a whole bronze
-                # archive, T5) can be table-sized: let apply_cdc fall back to a
-                # shuffle semi-join past the threshold
+                # replayed-backfill triggers (availableNow over a whole
+                # bronze archive, T5) can be table-sized: let apply_cdc fall
+                # back to a shuffle semi-join past the threshold
                 max_broadcast_keys=max_broadcast_keys,
             )
-            _publish_buckets(merged, path, keys, manifest, touched)
-        finally:
-            batch.unpersist()
-        for f in legacy_files:  # superseded by the first manifest commit
-            os.remove(os.path.join(path, f))
-        # vacuum walks the store tree (O(files), not O(touched)) — run it
-        # on a cadence, not per trigger, so steady-state trigger cost stays
-        # bounded by the touched buckets; grace still protects readers
-        if (manifest["version"] + 1) % 16 == 0:
-            vacuum_silver(path)
+
+        _touched_bucket_merge(
+            batch, path, keys, n_buckets,
+            prepare=lambda b: b, merge_fn=merge_fn, legacy_mode="migrate",
+        )
 
     writer = events.writeStream.foreachBatch(_merge).option("checkpointLocation", checkpoint)
     if available_now:
@@ -694,8 +741,10 @@ def silver_summing_stream(
     per trigger only buckets containing batch keys are read, merged (one
     union + one keyed groupBy over those buckets), and re-published
     behind the epoch claim + CAS manifest commit.  Read with
-    ``read_silver`` (rows carry ``__deleted = false``; TTL/mutations
-    compose unchanged)."""
+    ``read_silver``.  TTL/mutations compose: tombstoned keys stay out of
+    the running sums and stay hidden until (unless) the stream delivers
+    NEW rows for the key — which restarts it from the new partial only,
+    never resurrecting the expired totals."""
     # "sum" enters as DECIMAL(18,sum_scale) and accumulates in
     # DECIMAL(30,sum_scale): values with MORE fractional digits than
     # sum_scale are rounded at ingestion — the monetary 2-dp default
@@ -728,43 +777,33 @@ def silver_summing_stream(
         )
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        manifest = _read_manifest(path)
-        if manifest is None:
-            manifest = {"version": 0, "n_buckets": n_buckets, "files": []}
-        nb = manifest["n_buckets"]
-        agg = _batch_partial(batch)
-        agg.persist()
-        try:
-            touched = {
-                r[0]
-                for r in agg.select(_bucket_expr(keys, nb).alias("b")).distinct().collect()
-            }
-            if not touched:
-                return  # empty batch: nothing to publish
-            live_touched = [
-                f for f in manifest["files"]
-                if int(f.split("__bucket=")[1].split("/")[0]) in touched
-            ]
-            merged = agg
-            if live_touched:
-                current = _read_live_files(
-                    spark, path, {**manifest, "files": live_touched}
-                ).drop(DELETED_FLAG)
-                merged = (
-                    current.unionByName(agg)
-                    .groupBy(*keys)
-                    .agg(
-                        *[_remerge(out, op) for out, (_, op) in spec.items()],
-                        F.sum("__n_rows").alias("__n_rows"),
-                    )
+        def merge_fn(current: DataFrame | None, agg: DataFrame) -> DataFrame:
+            if current is None:
+                return agg.withColumn(DELETED_FLAG, F.lit(False))
+            # Tombstone-correct composition (review r8: the first cut
+            # dropped the flag and resurrected TTL/mutation deletes with
+            # their full pre-expiry totals): tombstoned keys are EXCLUDED
+            # from the re-sum; a tombstone survives unless the batch
+            # carries new rows for its key, in which case the key restarts
+            # from the new partial only (the CH TTL-then-reinsert shape).
+            live = current.filter(~F.col(DELETED_FLAG)).drop(DELETED_FLAG)
+            tombs = current.filter(F.col(DELETED_FLAG))
+            merged = (
+                live.unionByName(agg)
+                .groupBy(*keys)
+                .agg(
+                    *[_remerge(out, op) for out, (_, op) in spec.items()],
+                    F.sum("__n_rows").alias("__n_rows"),
                 )
-            merged = merged.withColumn(DELETED_FLAG, F.lit(False))
-            _publish_buckets(merged, path, keys, manifest, touched)
-        finally:
-            agg.unpersist()
-        if (manifest["version"] + 1) % 16 == 0:
-            vacuum_silver(path)
+                .withColumn(DELETED_FLAG, F.lit(False))
+            )
+            kept_tombs = tombs.join(merged.select(*keys), keys, "left_anti")
+            return merged.unionByName(kept_tombs)
+
+        _touched_bucket_merge(
+            batch, path, keys, n_buckets,
+            prepare=_batch_partial, merge_fn=merge_fn, legacy_mode="error",
+        )
 
     writer = events.writeStream.foreachBatch(_merge).option("checkpointLocation", checkpoint)
     if available_now:

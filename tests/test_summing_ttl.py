@@ -166,3 +166,67 @@ def test_merge_stage_width_stays_bounded(spark, dirs):
         t.join(2)
     assert seen, "listener saw no stages"
     assert max(seen) <= 256, f"cached-plan shuffle ran a {max(seen)}-task stage"
+
+
+def test_summing_does_not_resurrect_tombstones(spark, dirs):
+    """Review r8: a TTL/mutation tombstone must survive later merges of
+    its bucket untouched — and a NEW batch row for the expired key must
+    restart it from the new partial only, never fold back the expired
+    totals."""
+    _run_summing(spark, dirs, [(1, "a", 10.0), (1, "b", 20.0), (1, "c", 5.0)], 0)
+    # expire key ('a',) — wait: keys are (k, grp); expire grp='a' row
+    n = pl.mutate_silver(
+        spark, dirs["silver"], ["k", "grp"],
+        where=F.col("grp") == "a", delete=True,
+    )
+    assert n == 1
+    # next batch touches the same bucket space; 'b' gets more mass,
+    # tombstoned 'a' is NOT in the batch
+    _run_summing(spark, dirs, [(1, "b", 1.5)], 1)
+    state = {r.grp: float(r.v) for r in pl.read_silver(spark, dirs["silver"]).collect()}
+    assert state == {"b": 21.5, "c": 5.0}          # 'a' stayed expired
+    tomb = pl.read_silver(spark, dirs["silver"], include_deleted=True)
+    assert tomb.filter(F.col("__deleted")).count() == 1
+    # a NEW row for the expired key restarts it from the new partial only
+    _run_summing(spark, dirs, [(1, "a", 2.0)], 2)
+    state = {r.grp: (float(r.v), r["__n_rows"])
+             for r in pl.read_silver(spark, dirs["silver"]).collect()}
+    assert state["a"] == (2.0, 1)                  # NOT 12.0 / not 2 rows
+    assert (
+        pl.read_silver(spark, dirs["silver"], include_deleted=True)
+        .filter(F.col("__deleted")).count() == 0   # tombstone replaced
+    )
+
+
+def test_summing_refuses_legacy_flat_store(spark, dirs):
+    """Review r8: committing a first manifest over an unmigrated flat
+    store would hide the legacy rows forever — the summing sink must fail
+    loudly instead (only the upsert sink migrates)."""
+    import os
+
+    os.makedirs(dirs["silver"], exist_ok=True)
+    spark.createDataFrame([(1, "a", 1.0)], SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(dirs["silver"] + "_flat")
+    # move a flat parquet file into the store root
+    import shutil
+
+    flat = [f for f in os.listdir(dirs["silver"] + "_flat") if f.endswith(".parquet")]
+    shutil.copy(
+        os.path.join(dirs["silver"] + "_flat", flat[0]),
+        os.path.join(dirs["silver"], "part-legacy.parquet"),
+    )
+    spark.createDataFrame([(2, "b", 1.0)], SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).json(dirs["src"])
+    stream = spark.readStream.schema(SCHEMA).json(dirs["src"])
+    q = pl.silver_summing_stream(
+        stream, dirs["silver"], dirs["ckpt"], keys=["k", "grp"],
+        sum_cols=["v"], available_now=True,
+    )
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="pre-manifest flat store"):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))
