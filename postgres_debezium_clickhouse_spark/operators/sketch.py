@@ -17,9 +17,10 @@ The sketch path instead:
    counter table, so any GLOBAL heavy hitter (count > N/capacity summed
    over partitions) is emitted by at least one partition.
 2. **Exact candidate recount**: the union of per-partition candidates is
-   tiny (≤ capacity × partitions — sketch metadata, not data); a
-   broadcast semi-join + one groupBy recounts ONLY the candidates
-   exactly.  The shuffle carries candidate items only.
+   small (≤ capacity × partitions — sketch metadata, not data); a
+   semi-join (AQE picks broadcast vs shuffle from its measured size) +
+   one groupBy recounts ONLY the candidates exactly.  The shuffle
+   carries candidate items only.
 
 Result: exact counts for the true top-k (provided ``capacity`` covers the
 heavy-hitter threshold — the same sizing rule ClickHouse documents for
