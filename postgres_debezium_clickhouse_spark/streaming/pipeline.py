@@ -237,6 +237,7 @@ def _publish_buckets(
     keys: list[str],
     manifest: dict,
     replaced_buckets: set[int],
+    manifest_extra: dict | None = None,
 ) -> None:
     """Write ``df`` as fresh files under a new ``__epoch`` dir (one
     key-sorted file per bucket — the O1 sparse-index layout within a
@@ -319,6 +320,7 @@ def _publish_buckets(
                 "n_buckets": n_buckets,
                 "files": kept + new_files,
                 "schema": df.schema.json(),  # empty-store reads reconstruct from this
+                **(manifest_extra or {}),
             },
             expected_version=manifest["version"],
         )
@@ -336,6 +338,7 @@ def _touched_bucket_merge(
     merge_fn,
     legacy_mode: str = "migrate",
     vacuum_every: int = 16,
+    manifest_extra: dict | None = None,
 ) -> None:
     """Shared per-trigger scaffolding for every keyed silver sink (review
     r8: the upsert and summing sinks had copy-pasted this and could
@@ -402,7 +405,10 @@ def _touched_bucket_merge(
                     _read_live_files(spark, path, {**manifest, "files": live_touched})
                     if live_touched else None
                 )
-            _publish_buckets(merge_fn(current, prepared), path, keys, manifest, touched)
+            _publish_buckets(
+                merge_fn(current, prepared), path, keys, manifest, touched,
+                manifest_extra=manifest_extra,
+            )
         finally:
             if prepared is not batch:
                 prepared.unpersist()
@@ -776,7 +782,25 @@ def silver_summing_stream(
             F.count(F.lit(1)).alias("__n_rows"),
         )
 
+    import hashlib as _hashlib
+
+    ckpt_key = _hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+
     def _merge(batch: DataFrame, batch_id: int) -> None:
+        # REPLAY GUARD (r8 review): unlike latest-wins (where re-merging an
+        # identical batch is a no-op), ADDITION is not idempotent — a
+        # micro-batch replayed after a crash between the manifest commit
+        # and the checkpoint write would double every sum it carries.  The
+        # manifest records the last applied batch id per checkpoint (keyed
+        # by checkpoint-path hash so a fresh checkpoint over an existing
+        # store starts its own sequence); an already-applied batch id is
+        # skipped.  Bounded: only the newest 8 checkpoint keys are kept.
+        applied = (_read_manifest(path) or {}).get("applied", {})
+        if applied.get(ckpt_key, -1) >= batch_id:
+            return
+        keep = dict(list(applied.items())[-7:])
+        keep[ckpt_key] = batch_id
+
         def merge_fn(current: DataFrame | None, agg: DataFrame) -> DataFrame:
             if current is None:
                 return agg.withColumn(DELETED_FLAG, F.lit(False))
@@ -803,6 +827,7 @@ def silver_summing_stream(
         _touched_bucket_merge(
             batch, path, keys, n_buckets,
             prepare=_batch_partial, merge_fn=merge_fn, legacy_mode="error",
+            manifest_extra={"applied": keep},
         )
 
     writer = events.writeStream.foreachBatch(_merge).option("checkpointLocation", checkpoint)

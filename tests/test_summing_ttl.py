@@ -230,3 +230,29 @@ def test_summing_refuses_legacy_flat_store(spark, dirs):
         q.awaitTermination(120)
         if q.exception() is not None:
             raise RuntimeError(str(q.exception()))
+
+
+def test_summing_replay_guard_skips_applied_batch(spark, dirs):
+    """Review r8: addition is not idempotent, so a micro-batch replayed
+    after a crash-between-commit-and-checkpoint must be skipped — the
+    manifest's per-checkpoint applied-batch watermark is the guard."""
+    import hashlib
+
+    _run_summing(spark, dirs, [(1, "a", 1.0)], 0)
+    m = pl._read_manifest(dirs["silver"])
+    ck0 = hashlib.md5((dirs["ckpt"] + "/b0").encode()).hexdigest()[:12]
+    assert m.get("applied", {}).get(ck0) == 0     # watermark recorded
+    # simulate "this batch already committed" for the NEXT run's
+    # checkpoint: pre-seed its watermark past batch 0
+    ck1 = hashlib.md5((dirs["ckpt"] + "/b1").encode()).hexdigest()[:12]
+    m["applied"] = {**m.get("applied", {}), ck1: 99}
+    pl._write_manifest(dirs["silver"], m)
+    before = pl.silver_versions(dirs["silver"])
+    _run_summing(spark, dirs, [(1, "a", 5.0)], 1)  # replayed → skipped
+    state = {r.grp: float(r.v) for r in pl.read_silver(spark, dirs["silver"]).collect()}
+    assert state == {"a": 1.0}                     # NOT doubled/added
+    assert pl.silver_versions(dirs["silver"]) == before
+    # a genuinely new checkpoint still applies (fresh sequence)
+    _run_summing(spark, dirs, [(1, "a", 2.0)], 2)
+    state = {r.grp: float(r.v) for r in pl.read_silver(spark, dirs["silver"]).collect()}
+    assert state == {"a": 3.0}
