@@ -316,6 +316,13 @@ def _publish_buckets(
         _write_manifest(
             path,
             {
+                # sink-specific fields (e.g. the summing sink's applied-
+                # batch watermarks) CARRY FORWARD through every publisher
+                # — compaction/mutations must not silently drop them
+                **{
+                    k: v for k, v in manifest.items()
+                    if k not in ("version", "n_buckets", "files", "schema")
+                },
                 "version": epoch,
                 "n_buckets": n_buckets,
                 "files": kept + new_files,

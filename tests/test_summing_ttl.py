@@ -256,3 +256,19 @@ def test_summing_replay_guard_skips_applied_batch(spark, dirs):
     _run_summing(spark, dirs, [(1, "a", 2.0)], 2)
     state = {r.grp: float(r.v) for r in pl.read_silver(spark, dirs["silver"]).collect()}
     assert state == {"a": 3.0}
+
+
+def test_compaction_preserves_replay_watermarks(spark, dirs):
+    """compact_silver (plain re-publish, no version_col needed) must work
+    on a summing store AND carry the applied-batch watermark forward —
+    dropping it would re-open the replay window the guard closes."""
+    _run_summing(spark, dirs, [(1, "a", 1.0), (2, "b", 2.0)], 0)
+    applied_before = pl._read_manifest(dirs["silver"])["applied"]
+    removed = pl.compact_silver(
+        spark, dirs["silver"], keys=["k", "grp"], vacuum_grace_s=0
+    )
+    assert removed == 0                           # nothing to GC, pure merge
+    m = pl._read_manifest(dirs["silver"])
+    assert m["applied"] == applied_before         # watermark survived
+    state = {r.grp: float(r.v) for r in pl.read_silver(spark, dirs["silver"]).collect()}
+    assert state == {"a": 1.0, "b": 2.0}
