@@ -64,6 +64,10 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", _MIN_PARTITION_SIZE)
     spark.conf.set("spark.sql.files.openCostInBytes", _OPEN_COST)
+    # cached plans must stay AQE-coalescible (see get_spark) — without it a
+    # foreign session with a high initialPartitionNum pays uncoalesced
+    # shuffles under every persist() in the foreachBatch merges
+    spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     return spark
 
 
