@@ -72,3 +72,58 @@ def test_streamed_silver_equals_batch(spark, tmp_path_factory, events, seed):
         for r in apply_cdc(batch_df, keys=["id"], delete_mode="drop").collect()
     }
     assert streamed == batch
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),              # key
+            st.integers(min_value=-500, max_value=500),         # cents
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    seed=split_seed,
+)
+def test_streamed_summing_equals_batch_groupby(spark, tmp_path_factory, rows, seed):
+    """r8 invariant: the summing sink's state equals the whole-log GROUP
+    BY for ANY split of the log into micro-batches — addition commutes,
+    so batch boundaries (driven adversarially here together with key
+    collisions and negative values) must never shift a cent."""
+    from collections import defaultdict
+
+    from postgres_debezium_clickhouse_spark.streaming.pipeline import (
+        silver_summing_stream,
+    )
+
+    d = tmp_path_factory.mktemp("sumprop")
+    src = d / "src"
+    src.mkdir()
+    n_files = (seed % 3) + 1
+    chunks = [rows[i::n_files] for i in range(n_files)]
+    for i, chunk in enumerate(chunks):
+        if not chunk:
+            continue
+        lines = [json.dumps({"k": k, "v": cents / 100.0}) for k, cents in chunk]
+        (src / f"b{i}.jsonl").write_text("\n".join(lines))
+
+    stream = (
+        spark.readStream.schema("k INT, v DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = silver_summing_stream(
+        stream, str(d / "out"), str(d / "ck"), keys=["k"], sum_cols=["v"],
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    streamed = {
+        r.k: (float(r.v), r["__n_rows"])
+        for r in read_silver(spark, str(d / "out")).collect()
+    }
+    expect: dict = defaultdict(lambda: [0, 0])
+    for k, cents in rows:
+        expect[k][0] += cents
+        expect[k][1] += 1
+    assert streamed == {k: (c / 100.0, n) for k, (c, n) in expect.items()}
