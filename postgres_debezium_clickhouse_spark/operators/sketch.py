@@ -115,3 +115,69 @@ def space_saving_topk(
         .filter(F.col("rank") <= k)
         .select("rank", F.col(col).alias("item"), "n")
     )
+
+
+def kmv_sketch(
+    items: DataFrame,
+    group_col: str,
+    item_col: str,
+    k: int = 256,
+    n_partials: int = 64,
+) -> DataFrame:
+    """K-Minimum-Values distinct sketch per group → ``(group, sketch)``
+    where ``sketch`` is the sorted array of the K smallest md5-derived
+    item hashes — the mergeable theta-sketch family (Beyer et al. 2007,
+    "On Synopses for Distinct-Value Estimation Under Multiset
+    Operations", public paper; the ClickHouse ``uniqCombined`` /
+    DataSketches territory).  Unlike HLL, KMV sketches support SET
+    ALGEBRA: union = K smallest of concatenated sketches, and Jaccard
+    between two groups is estimated from sketch intersections alone
+    (:func:`kmv_jaccard`).
+
+    Scale shape — bounded state at every level: level 1 groups by
+    ``(group, hash % n_partials)`` and keeps each bucket's K smallest
+    (collect_set state is bucket-local and immediately sliced); level 2
+    merges the ≤ n_partials×K values per group with one
+    flatten+sort+slice.  No level ever holds a group's full distinct
+    universe.  The hash is the md5-prefix idiom every oracle reproduces
+    (``('0x'||substr(md5(item),1,15))::BIGINT``)."""
+    h = F.conv(F.substring(F.md5(F.col(item_col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    lvl1 = (
+        items.select(F.col(group_col).alias("grp"), h.alias("h"))
+        .groupBy("grp", (F.col("h") % n_partials).alias("__b"))
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("part"))
+    )
+    return (
+        lvl1.groupBy("grp")
+        .agg(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("part"))), 1, k
+            ).alias("sketch")
+        )
+        .select(F.col("grp").alias(group_col), "sketch")
+    )
+
+
+def kmv_jaccard(sketches: DataFrame, group_col: str, k: int = 256) -> DataFrame:
+    """Pairwise Jaccard estimates between every two groups' KMV sketches
+    → (group_a, group_b, est_jaccard).  Standard KMV estimator: take the
+    K smallest of the UNION of both sketches, and count how many of those
+    appear in BOTH — |A∩B∩U_K| / |U_K|.  Pure array expressions over the
+    (tiny, group-count-sized) sketch table; the pair join is group×group,
+    never data-sized."""
+    a = sketches.select(
+        F.col(group_col).alias("group_a"), F.col("sketch").alias("sa")
+    )
+    b = sketches.select(
+        F.col(group_col).alias("group_b"), F.col("sketch").alias("sb")
+    )
+    pairs = a.join(b, F.col("group_a") < F.col("group_b"))
+    uk = F.slice(F.array_sort(F.array_union("sa", "sb")), 1, k)
+    inter = F.size(F.array_intersect(uk, F.array_intersect("sa", "sb")))
+    return pairs.select(
+        "group_a",
+        "group_b",
+        F.round(inter / F.size(uk), 6).alias("est_jaccard"),
+    )

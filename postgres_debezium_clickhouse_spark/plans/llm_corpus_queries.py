@@ -413,3 +413,80 @@ ORACLES["corpus_topk_tokens"] = """
     ORDER BY n DESC, token ASC
     LIMIT 50
 """
+
+
+def q_corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8: cross-slice vocabulary overlap via KMV sketches
+    (operators/sketch.py kmv_sketch/kmv_jaccard — the mergeable
+    theta-sketch family, CH uniqCombined/DataSketches territory): per
+    source-pair, the EXACT distinct-token Jaccard (oracle-checked by
+    value) next to the sketch ESTIMATE and an accuracy verdict the
+    oracle states as a constant, oracle-independent of the sketch
+    internals (same pattern as the HLL and quantile guards).  The
+    measurement a data recipe needs before merging two crawl sources —
+    near-identical vocabularies mean near-duplicate slices.
+
+    At 100 TB the exact side is the expensive one (a distinct
+    (source, token) shuffle); the sketch side touches each token once
+    and then works on K-sized arrays — here both run so the estimate is
+    graded against the truth."""
+    from ..operators.sketch import kmv_jaccard, kmv_sketch
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    est = kmv_jaccard(kmv_sketch(toks, "source", "token", k=256), "source", k=256)
+    distinct = toks.distinct()
+    a = distinct.select(F.col("source").alias("group_a"), "token")
+    b = distinct.select(F.col("source").alias("group_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = distinct.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    exact = (
+        inter.join(sizes.withColumnRenamed("source", "group_a")
+                   .withColumnRenamed("n", "na"), "group_a")
+        .join(sizes.withColumnRenamed("source", "group_b")
+              .withColumnRenamed("n", "nb"), "group_b")
+        .select(
+            "group_a", "group_b",
+            F.round(
+                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
+            ).alias("exact_jaccard"),
+        )
+    )
+    return exact.join(est, ["group_a", "group_b"]).select(
+        "group_a", "group_b", "exact_jaccard",
+        (F.abs(F.col("est_jaccard") - F.col("exact_jaccard")) <= 0.15).alias(
+            "sketch_within_015"
+        ),
+    )
+
+
+QUERIES["corpus_source_overlap"] = q_corpus_source_overlap
+# exact side recomputed in SQL; the sketch's accuracy verdict stated as a
+# constant (oracle-independent of the sketch formula)
+ORACLES["corpus_source_overlap"] = """
+    WITH t AS (
+        SELECT DISTINCT source, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    tt AS (SELECT DISTINCT source, token FROM t WHERE token <> ''),
+    sizes AS (SELECT source, COUNT(*) AS n FROM tt GROUP BY source),
+    inter AS (
+        SELECT a.source AS group_a, b.source AS group_b, COUNT(*) AS n_inter
+        FROM tt a JOIN tt b ON a.token = b.token AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT i.group_a, i.group_b,
+           ROUND(i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter), 6) AS exact_jaccard,
+           true AS sketch_within_015
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.group_a
+    JOIN sizes sb ON sb.source = i.group_b
+"""

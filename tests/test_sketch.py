@@ -46,3 +46,41 @@ def test_topk_batch_amortized_floor_keeps_guarantee(spark):
     out = space_saving_topk(items, k=6, capacity=8).collect()
     assert (out[0].item, out[0].n) == ("hh", 200)
     assert {(r.item, r.n) for r in out[1:6]} == {(f"mid{i}", 20) for i in range(5)}
+
+
+def test_kmv_sketch_exact_when_k_covers_universe(spark):
+    """k ≥ distinct count → the sketch IS the full sorted hash set, so the
+    Jaccard estimate is exact."""
+    from postgres_debezium_clickhouse_spark.operators.sketch import (
+        kmv_jaccard,
+        kmv_sketch,
+    )
+
+    rows = [("A", t) for t in "abcdef"] + [("B", t) for t in "defghi"]
+    items = spark.createDataFrame(rows, ["grp", "token"])
+    sk = kmv_sketch(items, "grp", "token", k=64)
+    out = kmv_jaccard(sk, "grp", k=64).collect()
+    assert len(out) == 1
+    # |{d,e,f}| / |{a..i}| = 3/9
+    assert out[0].est_jaccard == 0.333333
+
+
+def test_kmv_estimate_tracks_true_jaccard_under_small_k(spark):
+    """k far below the universe: the estimate must still land near the
+    planted truth (0.5 here: 200 shared tokens of 400 total)."""
+    from postgres_debezium_clickhouse_spark.operators.sketch import (
+        kmv_jaccard,
+        kmv_sketch,
+    )
+
+    rows = ([("A", f"shared{i}") for i in range(200)]
+            + [("B", f"shared{i}") for i in range(200)]
+            + [("A", f"onlya{i}") for i in range(100)]
+            + [("B", f"onlyb{i}") for i in range(100)])
+    items = spark.createDataFrame(rows, ["grp", "token"]).repartition(4)
+    sk = kmv_sketch(items, "grp", "token", k=64)
+    est = kmv_jaccard(sk, "grp", k=64).collect()[0].est_jaccard
+    assert abs(est - 0.5) <= 0.15
+    # determinism: same inputs, same sketch, same estimate
+    est2 = kmv_jaccard(kmv_sketch(items, "grp", "token", k=64), "grp", k=64).collect()[0].est_jaccard
+    assert est2 == est
