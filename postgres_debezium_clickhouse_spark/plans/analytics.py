@@ -384,6 +384,52 @@ def events_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return steps.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n_transitions"))
 
 
+def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8: the ClickHouse ``windowFunnel(window)(ts, cond1, cond2, cond3)``
+    analogue with EXPLICIT, deterministic semantics — the earliest-anchored
+    chain with a per-step window: t1 = the user's earliest signup, t2 = the
+    earliest click in [t1, t1+24h], t3 = the earliest purchase in
+    [t2, t2+24h]; funnel level = how deep the cascade reaches.  (CH's own
+    implementation is similarly earliest-anchored; stating the anchor rule
+    makes the result a pure function of the event set, which is what lets
+    the oracle pin every level by value.)  Three filtered per-user aggs —
+    each pass touches only its condition's events, all map-side
+    combinable; output is O(levels)."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.expr("INTERVAL 24 HOURS")  # 24h: all three levels populated at fixture scale
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") >= F.col("t1")) & (F.col("ts") <= F.col("t1") + win))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") >= F.col("t2")) & (F.col("ts") <= F.col("t2") + win))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    users = ev.select("user_id").distinct()
+    level = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        users.join(s1, "user_id", "left")
+        .join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select("user_id", level.alias("funnel_level"))
+        .groupBy("funnel_level")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def events_micro_ts_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F17 — µs-epoch ↔ timestamp round trip (MicroTimestamp,
     value.json:96-99)."""
@@ -557,6 +603,7 @@ QUERIES = {
     "events_cohort_retention": events_cohort_retention,
     "events_hourly_gapfill": events_hourly_gapfill,
     "events_sequence_match": events_sequence_match,
+    "events_window_funnel": events_window_funnel,
 }
 
 ORACLES = {
@@ -808,4 +855,38 @@ ORACLES["events_hourly_gapfill"] = """
            COALESCE(c.n, 0) AS n_events,
            c.n IS NULL AS filled
     FROM grid LEFT JOIN c ON grid.event_type = c.event_type AND grid.h = c.h
+"""
+
+
+ORACLES["events_window_funnel"] = """
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click'
+          AND e.ts >= s1.t1 AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase'
+          AND e.ts >= s2.t2 AND e.ts <= s2.t2 + INTERVAL 24 HOUR
+        GROUP BY e.user_id
+    ),
+    lv AS (
+        SELECT u.user_id,
+               CASE WHEN s3.t3 IS NOT NULL THEN 3
+                    WHEN s2.t2 IS NOT NULL THEN 2
+                    WHEN s1.t1 IS NOT NULL THEN 1
+                    ELSE 0 END AS funnel_level
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN s1 USING (user_id)
+        LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id)
+    )
+    SELECT funnel_level, COUNT(*) AS n_users FROM lv GROUP BY funnel_level
 """
