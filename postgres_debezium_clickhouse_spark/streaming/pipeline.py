@@ -805,7 +805,13 @@ def silver_summing_stream(
         applied = (_read_manifest(path) or {}).get("applied", {})
         if applied.get(ckpt_key, -1) >= batch_id:
             return
-        keep = dict(list(applied.items())[-7:])
+        # prune by RECENCY of update, not raw insertion order: every merge
+        # re-inserts its own key at the END, so position == last-update
+        # order only if the key is removed first (review r8: the plain
+        # [-7:] slice could evict the long-lived stream's watermark while
+        # keeping seven stale ad-hoc ones)
+        keep = {k: v for k, v in applied.items() if k != ckpt_key}
+        keep = dict(list(keep.items())[-7:])
         keep[ckpt_key] = batch_id
 
         def merge_fn(current: DataFrame | None, agg: DataFrame) -> DataFrame:

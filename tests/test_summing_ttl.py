@@ -272,3 +272,32 @@ def test_compaction_preserves_replay_watermarks(spark, dirs):
     assert m["applied"] == applied_before         # watermark survived
     state = {r.grp: float(r.v) for r in pl.read_silver(spark, dirs["silver"]).collect()}
     assert state == {"a": 1.0, "b": 2.0}
+
+
+def test_replay_watermark_prunes_stale_keys_not_recent_ones(spark, dirs):
+    """Review r8: the watermark map keeps the 8 most RECENTLY UPDATED
+    checkpoint keys — a long-lived stream's entry must survive any number
+    of ad-hoc one-shot checkpoints interleaved with its updates (the
+    plain [-7:] slice evicted by first-insertion order instead)."""
+    import hashlib
+
+    ck0 = hashlib.md5((dirs["ckpt"] + "/b0").encode()).hexdigest()[:12]
+    # long-lived stream commits first (its key enters at position 0)...
+    _run_summing(spark, dirs, [(1, "a", 1.0)], 0)
+    # ...five ad-hoc runs with fresh checkpoints pile up behind it...
+    for i in range(1, 6):
+        _run_summing(spark, dirs, [(i + 100, "x", 1.0)], i)
+    # ...then the long-lived stream commits AGAIN from the SAME checkpoint
+    # (new source file, same ckpt dir → next batch id) — its key must
+    # re-enter at the END of the map
+    _run_summing(spark, dirs, [(1, "a", 0.5)], 0)
+    # ...and five more ad-hoc runs push the map past the 8-key cap
+    for i in range(6, 11):
+        _run_summing(spark, dirs, [(i + 100, "x", 1.0)], i)
+    applied = pl._read_manifest(dirs["silver"])["applied"]
+    assert len(applied) == 8
+    assert ck0 in applied          # recently-updated key survived the prune
+    assert applied[ck0] == 1       # and carries its SECOND batch's id
+    state = {(r.k, r.grp): float(r.v)
+             for r in pl.read_silver(spark, dirs["silver"]).collect()}
+    assert state[(1, "a")] == 1.5  # both commits landed exactly once
