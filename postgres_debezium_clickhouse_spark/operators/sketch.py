@@ -38,13 +38,20 @@ def space_saving_topk(
     col: str = "token",
     k: int = 10,
     capacity: int = 4096,
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """Top-``k`` most frequent values of ``items[col]`` → (rank, item, n).
+    """Top-``k`` values of ``items[col]`` by count — or by total WEIGHT
+    when ``weight_col`` is given (the ClickHouse ``topKWeighted``
+    analogue; e.g. top domains by token mass rather than page count) —
+    → (rank, item, n).
 
-    ``n`` is the EXACT global count (phase-2 recount), ties broken by item
-    ascending — fully oracle-checkable against the exact SQL top-k
-    whenever ``capacity`` covers the heavy-hitter threshold (see module
-    docstring).  ``capacity`` bounds phase-1 memory per partition."""
+    ``n`` is the EXACT global count/weight (phase-2 recount), ties broken
+    by item ascending — fully oracle-checkable against the exact SQL
+    top-k whenever ``capacity`` covers the heavy-hitter threshold (see
+    module docstring).  ``capacity`` bounds phase-1 memory per partition;
+    the weighted form runs the identical counter algorithm with weight
+    sums in place of counts (Space-Saving is weight-agnostic: the
+    guarantee bounds total MASS per counter, not occurrences)."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -71,7 +78,10 @@ def space_saving_topk(
         floor = 0
 
         for pdf in batches:
-            vc = pdf[col].dropna().value_counts()  # vectorized batch count
+            if weight_col is None:
+                vc = pdf[col].dropna().value_counts()  # vectorized count
+            else:
+                vc = pdf.dropna(subset=[col]).groupby(col)[weight_col].sum()
             for val, cnt in vc.items():
                 if val in counters:
                     counters[val] += int(cnt)
@@ -90,7 +100,8 @@ def space_saving_topk(
             {"item": list(counters), "cnt_upper": list(counters.values())}
         )
 
-    src = items.select(F.col(col))
+    cols = [F.col(col)] + ([F.col(weight_col)] if weight_col else [])
+    src = items.select(*cols)
     candidates = (
         src.mapInPandas(_partition_sketch, out_schema)
         .select("item")
@@ -105,7 +116,9 @@ def space_saving_topk(
             candidates.withColumnRenamed("item", col), col, "left_semi"
         )
         .groupBy(col)
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            (F.sum(weight_col) if weight_col else F.count(F.lit(1))).alias("n")
+        )
     )
     from pyspark.sql import Window
 

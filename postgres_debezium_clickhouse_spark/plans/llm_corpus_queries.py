@@ -490,3 +490,46 @@ ORACLES["corpus_source_overlap"] = """
     JOIN sizes sa ON sa.source = i.group_a
     JOIN sizes sb ON sb.source = i.group_b
 """
+
+
+def q_corpus_topk_domains_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8: weighted heavy hitters — the ClickHouse ``topKWeighted``
+    analogue: top source domains by TOKEN MASS (each doc weighs its token
+    count), not by page count — the ranking a crawl budget actually
+    allocates against.  Same Space-Saving machinery with weight sums in
+    place of counts; exact recount keeps the result oracle-checkable by
+    value."""
+    from ..operators.sketch import space_saving_topk
+    from ..operators.text import extract_urls
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.concat(
+            F.col("text"),
+            F.lit(" via https://src"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/doc/"), F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    domains = (
+        extract_urls(docs).select("doc_id", "domain").distinct()
+        .join(docs.select("doc_id", "n_tokens"), "doc_id")
+    )
+    return space_saving_topk(
+        domains, col="domain", k=5, weight_col="n_tokens"
+    )
+
+
+QUERIES["corpus_topk_domains_weighted"] = q_corpus_topk_domains_weighted
+ORACLES["corpus_topk_domains_weighted"] = """
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               'src' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS domain
+        FROM documents
+    ),
+    agg AS (SELECT domain, SUM(n_tokens) AS n FROM d GROUP BY domain)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, domain ASC) AS BIGINT) AS rank,
+           domain AS item, n
+    FROM agg ORDER BY n DESC, domain ASC LIMIT 5
+"""

@@ -84,3 +84,11 @@ def test_kmv_estimate_tracks_true_jaccard_under_small_k(spark):
     # determinism: same inputs, same sketch, same estimate
     est2 = kmv_jaccard(kmv_sketch(items, "grp", "token", k=64), "grp", k=64).collect()[0].est_jaccard
     assert est2 == est
+
+
+def test_topk_weighted_mode(spark):
+    """topKWeighted analogue: ranking by summed weight, exact recount."""
+    rows = [("a", 1), ("a", 1), ("b", 50), ("c", 3), ("c", 4)]
+    items = spark.createDataFrame(rows, ["token", "w"])
+    out = space_saving_topk(items, k=3, capacity=8, weight_col="w").collect()
+    assert [(r.rank, r.item, r.n) for r in out] == [(1, "b", 50), (2, "c", 7), (3, "a", 2)]
