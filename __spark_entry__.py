@@ -50,6 +50,7 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 
 _FRONT = (
     # round-8 additions (never driver-checked) go here, newest first:
+    "corpus_content_drift",
     "corpus_topk_domains_weighted",
     "events_window_funnel",
     "corpus_source_overlap",

@@ -533,3 +533,84 @@ ORACLES["corpus_topk_domains_weighted"] = """
            domain AS item, n
     FROM agg ORDER BY n DESC, domain ASC LIMIT 5
 """
+
+
+def q_corpus_content_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8: per-source CONTENT drift — Jensen-Shannon divergence between
+    each source's token distribution and the corpus-wide distribution
+    (the content counterpart of the schema-drift family: schema drift
+    says a source changed SHAPE, JS divergence says it changed LANGUAGE).
+    The standard retrain/rebalance trigger for a corpus mix, and the
+    number that ranks which source to investigate first.
+
+    JS(P,M) = 0.5·Σ p·ln(p/m) + 0.5·Σ q·ln(q/m) with M the even mixture —
+    bounded [0, ln 2], symmetric, defined even for disjoint vocabularies.
+    One (source, token) groupBy + a broadcast corpus-totals attach; every
+    arithmetic step is identically-ordered IEEE double so DuckDB agrees
+    to 6 decimals."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    per = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n"))
+    src_tot = per.groupBy("source").agg(F.sum("n").alias("src_n"))
+    corpus = per.groupBy("token").agg(F.sum("n").alias("cn"))
+    corpus_tot = corpus.agg(F.sum("cn").alias("tot"))
+    j = (
+        per.join(src_tot, "source")
+        .join(corpus, "token")
+        .join(F.broadcast(corpus_tot))
+    )
+    p = F.col("n") / F.col("src_n")            # P(token | source)
+    q = F.col("cn") / F.col("tot")             # Q(token | corpus)
+    m = (p + q) / 2
+    # per-token contributions; tokens absent from a source contribute only
+    # through the Q side: 0.5·q·ln(q/m) with p=0 → m=q/2 → 0.5·q·ln(2)
+    plog = F.when(p > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+    qlog = q * F.log(q / m)
+    present = j.groupBy("source").agg(
+        F.sum(plog / 2 + qlog / 2).alias("__present"),
+        F.sum(q).alias("__q_mass"),
+    )
+    import math
+
+    return (
+        present.select(
+            "source",
+            F.round(
+                F.col("__present")
+                + (F.lit(1.0) - F.col("__q_mass")) * F.lit(math.log(2.0) / 2),
+                6,
+            ).alias("js_divergence"),
+        )
+    )
+
+
+QUERIES["corpus_content_drift"] = q_corpus_content_drift
+ORACLES["corpus_content_drift"] = """
+    WITH t AS (
+        SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tt AS (SELECT source, token FROM t WHERE token <> ''),
+    per AS (SELECT source, token, COUNT(*) AS n FROM tt GROUP BY source, token),
+    st AS (SELECT source, SUM(n) AS src_n FROM per GROUP BY source),
+    c AS (SELECT token, SUM(n) AS cn FROM per GROUP BY token),
+    ct AS (SELECT SUM(cn) AS tot FROM c),
+    j AS (
+        SELECT per.source,
+               per.n * 1.0 / st.src_n AS p,
+               c.cn * 1.0 / ct.tot AS q
+        FROM per JOIN st USING (source) JOIN c USING (token) CROSS JOIN ct
+    ),
+    agg AS (
+        SELECT source,
+               SUM(CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0 END) / 2
+               + SUM(q * ln(q / ((p + q) / 2))) / 2 AS present,
+               SUM(q) AS q_mass
+        FROM j GROUP BY source
+    )
+    SELECT source,
+           ROUND(present + (1.0 - q_mass) * ln(2) / 2, 6) AS js_divergence
+    FROM agg
+"""

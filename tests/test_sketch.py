@@ -92,3 +92,36 @@ def test_topk_weighted_mode(spark):
     items = spark.createDataFrame(rows, ["token", "w"])
     out = space_saving_topk(items, k=3, capacity=8, weight_col="w").collect()
     assert [(r.rank, r.item, r.n) for r in out] == [(1, "b", 50), (2, "c", 7), (3, "a", 2)]
+
+
+def test_content_drift_js_properties(spark):
+    """JS divergence sanity on planted distributions: identical source →
+    0; disjoint-vocabulary source → ln 2 against itself-vs-corpus bounds;
+    symmetry of construction bounds every value to [0, ln 2]."""
+    import math
+
+    from postgres_debezium_clickhouse_spark.plans.llm_corpus_queries import (
+        q_corpus_content_drift,
+    )
+
+    # build via a temp view shim: the query reads the documents table, so
+    # test through a tiny parquet fixture dir
+    import tempfile, shutil, os, uuid
+
+    d = os.path.join(tempfile.gettempdir(), f"drift_{uuid.uuid4().hex[:8]}")
+    os.makedirs(d)
+    try:
+        rows = ([(i, "the quick brown fox", "en", "same", 19) for i in range(20)]
+                + [(100 + i, "the quick brown fox", "en", "same2", 19) for i in range(20)]
+                + [(200 + i, "zzz qqq xxx yyy", "xx", "alien", 15) for i in range(20)])
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        out = {r.source: r.js_divergence
+               for r in q_corpus_content_drift(spark, d).collect()}
+        assert out["same"] == out["same2"]            # identical dists
+        assert out["alien"] > out["same"]             # disjoint vocab drifts most
+        for v in out.values():
+            assert 0.0 <= v <= math.log(2.0) + 1e-9   # JS bound
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
