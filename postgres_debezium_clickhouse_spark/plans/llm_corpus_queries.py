@@ -528,7 +528,7 @@ ORACLES["corpus_topk_domains_weighted"] = """
                'src' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS domain
         FROM documents
     ),
-    agg AS (SELECT domain, SUM(n_tokens) AS n FROM d GROUP BY domain)
+    agg AS (SELECT domain, CAST(SUM(n_tokens) AS BIGINT) AS n FROM d GROUP BY domain)
     SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, domain ASC) AS BIGINT) AS rank,
            domain AS item, n
     FROM agg ORDER BY n DESC, domain ASC LIMIT 5

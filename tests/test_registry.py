@@ -77,6 +77,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "similarity_truncated_recall",  # embeds brute-force cosine twice (eval ground truth)
         "similarity_ivf_seeding",   # 1-row scalar attaches: recall/occupancy contrast row + k-means-par phi attach
         "corpus_source_overlap",    # KMV pair join: group×group over the sketch TABLE (group-count-sized metadata, never data)
+        "corpus_content_drift",     # scalar attach: 1-row broadcast corpus-total
     }
     oracle_checked = set(m.oracle_sql())
     checked = 0
