@@ -12,10 +12,16 @@ The sketch path instead:
    memory): each batch is counted VECTORIZED (``value_counts``), then the
    batch counts merge into a ``capacity``-bounded counter table with the
    standard min-counter eviction.  No shuffle; memory is O(capacity) per
-   partition regardless of the item universe.  Guarantee: any item whose
-   true partition count exceeds N_p/capacity survives in that partition's
-   counter table, so any GLOBAL heavy hitter (count > N/capacity summed
-   over partitions) is emitted by at least one partition.
+   partition regardless of the item universe.  Bound (amortized variant):
+   eviction credits every later NEW item with the GLOBAL eviction floor
+   rather than a per-evicted-item floor, so ``sum(counters)`` may exceed
+   the processed mass N_p and the textbook "count > N_p/capacity
+   survives" line loosens to "count > N_p/capacity + floor_overshoot"
+   — in exchange for O(batch distinct) merges instead of O(misses ×
+   capacity) min-scans.  In practice size ``capacity`` with headroom
+   (the same rule ClickHouse documents for ``topK``: capacity ≳ 5-10×
+   k); an adversarial capacity/partition setting can drop a MARGINAL
+   candidate whose count sits inside the overshoot band.
 2. **Exact candidate recount**: the union of per-partition candidates is
    small (≤ capacity × partitions — sketch metadata, not data); a
    semi-join (AQE picks broadcast vs shuffle from its measured size) +
@@ -58,7 +64,10 @@ def space_saving_topk(
     out_schema = T.StructType(
         [
             T.StructField("item", items.schema[col].dataType),
-            T.StructField("cnt_upper", T.LongType()),
+            # DoubleType: the amortized counters accumulate floats (the
+            # weighted path is fractional); cnt_upper only drives candidate
+            # selection, the exact phase-2 recount re-derives n
+            T.StructField("cnt_upper", T.DoubleType()),
         ]
     )
 
@@ -75,7 +84,7 @@ def space_saving_topk(
         import heapq
 
         counters: dict = {}
-        floor = 0
+        floor = 0.0
 
         for pdf in batches:
             if weight_col is None:
@@ -83,10 +92,12 @@ def space_saving_topk(
             else:
                 vc = pdf.dropna(subset=[col]).groupby(col)[weight_col].sum()
             for val, cnt in vc.items():
+                # float accumulation: weighted counters may be fractional;
+                # truncating here would mis-rank candidate selection
                 if val in counters:
-                    counters[val] += int(cnt)
+                    counters[val] += float(cnt)
                 else:
-                    counters[val] = floor + int(cnt)
+                    counters[val] = floor + float(cnt)
             excess = len(counters) - capacity
             if excess > 0:
                 evict = heapq.nsmallest(
@@ -122,11 +133,15 @@ def space_saving_topk(
     )
     from pyspark.sql import Window
 
+    # driver-free top-k cut FIRST (TakeOrderedAndProject — never a
+    # one-partition window over the full candidate recount, which at
+    # capacity × thousands-of-partitions could carry millions of rows);
+    # the rank window then runs over ≤ k rows (same idiom as
+    # text.vocab_coverage)
+    top = exact.orderBy(F.col("n").desc(), F.col(col).asc()).limit(k)
     w = Window.orderBy(F.col("n").desc(), F.col(col).asc())
-    return (
-        exact.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("rank", F.col(col).alias("item"), "n")
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", F.col(col).alias("item"), "n"
     )
 
 

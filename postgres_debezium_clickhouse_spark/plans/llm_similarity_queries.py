@@ -507,7 +507,12 @@ def q_similarity_ivf_seeding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(o_id.select(F.col("mn").alias("id_min_cell"))))
         .select(
             F.round("r", 2).alias("recall_kmeans_par"),
-            F.round("r_id", 2).alias("recall_idorder"),
+            # PROPERTY, not the raw number (advice r9): the id-order
+            # path's exact recall (0.9 on this fixture) is a byproduct of
+            # jitter/tie-breaks/probe details — pinning it would flip the
+            # whole query red on any benign change even when the guarded
+            # property (kmeans strictly recovers, id-order doesn't) holds
+            (F.col("r_id") < 1.0).alias("idorder_below_perfect"),
             (F.col("r") >= F.col("r_id")).alias("kmeans_not_worse"),
             "km_cells", "km_min_cell", "km_max_cell",
             (F.col("id_min_cell") < 20).alias("idorder_splits_a_cluster"),
@@ -517,10 +522,12 @@ def q_similarity_ivf_seeding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["similarity_ivf_seeding"] = q_similarity_ivf_seeding
 # Planted constants (see docstring): k-means‖ seeds must recover exactly
-# the planted structure; id-order seeds (all in cluster 0) must not.
+# the planted structure (recall 1.0 is the guarantee, kept pinned);
+# id-order seeds (all in cluster 0) must not — asserted as the PROPERTY
+# recall < 1.0, not its incidental fixture value (advice r9).
 ORACLES["similarity_ivf_seeding"] = """
     SELECT CAST(1.0 AS DOUBLE) AS recall_kmeans_par,
-           CAST(0.9 AS DOUBLE) AS recall_idorder,
+           true AS idorder_below_perfect,
            true AS kmeans_not_worse,
            CAST(4 AS BIGINT) AS km_cells,
            CAST(20 AS BIGINT) AS km_min_cell,

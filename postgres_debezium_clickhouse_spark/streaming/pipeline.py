@@ -289,13 +289,16 @@ def _publish_buckets(
             # the whole silver family, upsert/mutation/TTL/summing).  One
             # partition per bucket is the store's natural write width.
             .repartition(n_buckets, "__bucket")
-            # __bucket leads the sort: at n_buckets partitions multi-bucket
-            # tasks are the COMMON case (hash collisions), and without the
-            # partition column first the dynamic-partition writer inserts
-            # its own sort by (__epoch, __bucket), which need not be stable
-            # — the per-bucket key order the O1 layout documents would be
-            # silently lost (review r8)
-            .sortWithinPartitions("__bucket", *keys)
+            # the FULL partition-column prefix (__epoch, __bucket) leads the
+            # sort: V1Writes' required-ordering check matches on the exact
+            # partition-column list, and __epoch alone being constant per
+            # publish doesn't help — Spark treats it as an attribute, so a
+            # sort missing it makes the dynamic-partition writer insert its
+            # own sort over only the partition columns, and the per-bucket
+            # key order the O1 layout documents would then survive only by
+            # TimSort stability, not by contract (review r8 + advice r9).
+            # __epoch is one value per publish, so leading with it is free.
+            .sortWithinPartitions("__epoch", "__bucket", *keys)
         )
         out.write.mode("append").partitionBy("__epoch", "__bucket").parquet(path)
 
@@ -707,6 +710,49 @@ def mutate_silver(
     return n
 
 
+def _replay_guard(path: str, ckpt_key: str, batch_id: int) -> dict | None:
+    """Shared replay guard for the NON-IDEMPOTENT sinks (summing /
+    aggregating / collapsing — anything whose merge ADDS rather than
+    displaces): the manifest records the last applied batch id per
+    checkpoint (keyed by checkpoint-path hash so a fresh checkpoint over
+    an existing store starts its own sequence).
+
+    Returns the updated ``applied`` map to commit with this batch, or
+    ``None`` if the batch is the legitimate crash-replay (batch_id ==
+    watermark: crash between manifest commit and checkpoint write) and
+    must be SKIPPED.  Two loud-failure modes (advice r9):
+
+    - batch_id strictly BELOW the watermark = the checkpoint path was
+      wiped and reused against existing store state; silently skipping
+      would drop every restarted batch until ids catch up → raise.
+    - a 9th checkpoint sequence would need a silent eviction, re-arming
+      double-apply for the evicted stream → raise with the remedy.
+    """
+    applied = (_read_manifest(path) or {}).get("applied", {})
+    watermark = applied.get(ckpt_key, -1)
+    if watermark >= batch_id:
+        if batch_id < watermark:
+            raise RuntimeError(
+                f"non-idempotent sink at {path!r}: batch_id {batch_id} is "
+                f"below this checkpoint's applied watermark {watermark} — "
+                "the checkpoint path was wiped/reused against existing "
+                "store state. The merge is not idempotent; use a NEW "
+                "checkpoint path (fresh batch sequence) or a fresh store "
+                "path to reprocess."
+            )
+        return None
+    keep = {k: v for k, v in applied.items() if k != ckpt_key}
+    if len(keep) > 7:
+        raise RuntimeError(
+            f"non-idempotent sink at {path!r}: more than 8 checkpoint "
+            "sequences recorded in the manifest; evicting one would re-arm "
+            "replay double-apply for its stream. Retire stale checkpoints "
+            "(new store path) instead of accumulating them."
+        )
+    keep[ckpt_key] = batch_id
+    return keep
+
+
 #: associative+commutative merge ops the aggregating sink supports — each
 #: is exact and order-insensitive, so batch boundaries can never shift a
 #: result ("sum" runs in DECIMAL, see silver_summing_stream).
@@ -797,22 +843,10 @@ def silver_summing_stream(
         # REPLAY GUARD (r8 review): unlike latest-wins (where re-merging an
         # identical batch is a no-op), ADDITION is not idempotent — a
         # micro-batch replayed after a crash between the manifest commit
-        # and the checkpoint write would double every sum it carries.  The
-        # manifest records the last applied batch id per checkpoint (keyed
-        # by checkpoint-path hash so a fresh checkpoint over an existing
-        # store starts its own sequence); an already-applied batch id is
-        # skipped.  Bounded: only the newest 8 checkpoint keys are kept.
-        applied = (_read_manifest(path) or {}).get("applied", {})
-        if applied.get(ckpt_key, -1) >= batch_id:
+        # and the checkpoint write would double every sum it carries.
+        keep = _replay_guard(path, ckpt_key, batch_id)
+        if keep is None:
             return
-        # prune by RECENCY of update, not raw insertion order: every merge
-        # re-inserts its own key at the END, so position == last-update
-        # order only if the key is removed first (review r8: the plain
-        # [-7:] slice could evict the long-lived stream's watermark while
-        # keeping seven stale ad-hoc ones)
-        keep = {k: v for k, v in applied.items() if k != ckpt_key}
-        keep = dict(list(keep.items())[-7:])
-        keep[ckpt_key] = batch_id
 
         def merge_fn(current: DataFrame | None, agg: DataFrame) -> DataFrame:
             if current is None:
@@ -849,6 +883,173 @@ def silver_summing_stream(
     elif processing_interval_ms is not None:
         writer = writer.trigger(processingTime=f"{processing_interval_ms} milliseconds")
     return writer.start()
+
+
+def silver_collapsing_stream(
+    events: DataFrame,
+    path: str,
+    checkpoint: str,
+    keys: list[str],
+    sign_col: str = "sign",
+    seq_col: str | None = None,
+    version_col: str | None = None,
+    available_now: bool = False,
+    n_buckets: int = DEFAULT_SILVER_BUCKETS,
+    processing_interval_ms: int | None = None,
+) -> StreamingQuery:
+    """r9 — the CollapsingMergeTree / VersionedCollapsingMergeTree sink,
+    the last ClickHouse MergeTree family the engine was missing
+    (reference surface: the same ``ENGINE=`` slot as clickhouse.sql:51's
+    ReplacingMergeTree).  Rows carry ``sign ∈ {1,-1}``: a state row is
+    inserted with +1; updating/deleting a key inserts a CANCEL row (-1,
+    a copy of the previously-written state) and optionally a new +1.
+    Merge cancels +1/-1 pairs per key; a key is visible iff its sign
+    balance is positive (``read_collapsed``).
+
+    **Plain mode** (``version_col=None``): ClickHouse resolves "which +1
+    is current" by insert order — a distributed engine has no global
+    insert order, so the engine requires an explicit monotone ``seq_col``
+    (the same move as the version-less ReplacingMergeTree's offset
+    tie-break, SURVEY W2).  State per key is one row: the latest +1
+    payload by seq + the running sign balance.  Both components are
+    associative+commutative merges (max-by-seq, sum), so batch
+    boundaries / replay order cannot change the result — which is what
+    makes the DuckDB oracle exact.  Caveat inherited from CH: a cancel
+    arriving in an EARLIER batch than its +1 only works because the
+    balance is a sum (order-free); "current payload" still needs the +1
+    to carry the higher seq, exactly CH's well-formed-stream contract.
+
+    **Versioned mode** (``version_col=...``): cancellation is exact per
+    (key, version) — a -1 cancels the +1 with the SAME version no matter
+    the arrival order (CH's VersionedCollapsing semantics for out-of-order
+    streams).  State is one row per (key, version) with non-zero net;
+    fully-cancelled versions leave the store at merge time, so state
+    stays bounded for well-formed streams.  Visible state = the
+    highest-version positive-net row per key.
+
+    Merge is ADDITIVE (sign balances), not idempotent → same replay
+    guard + epoch-claim/CAS publish as ``silver_summing_stream``; TTL /
+    mutations compose through the same tombstone rules."""
+    if version_col is None and seq_col is None:
+        raise ValueError(
+            "plain collapsing needs seq_col (no global insert order in a "
+            "distributed engine); out-of-order streams want version_col"
+        )
+    state_keys = list(keys) + ([version_col] if version_col else [])
+    order_col = version_col or seq_col
+    payload = [
+        c for c in events.columns
+        if c not in set(state_keys) | {sign_col, seq_col}
+    ]
+
+    def _batch_partial(batch: DataFrame) -> DataFrame:
+        # one row per state key: net sign balance + the payload of the
+        # winning +1 row (max struct skips the NULL entries the when()
+        # leaves for cancel rows, so only +1 payloads compete; in
+        # versioned mode all rows of a (key, version) carry the same
+        # payload by CH contract — sign leads the struct so a +1 row
+        # still wins over its cancel copy)
+        win = F.max(
+            F.when(
+                F.col(sign_col) == 1,
+                F.struct(
+                    F.col(sign_col).alias("__sg"),
+                    F.col(order_col).cast("long").alias("__ord"),
+                    *[F.col(c) for c in payload],
+                ),
+            )
+        ).alias("__w")
+        return batch.groupBy(*state_keys).agg(
+            F.sum(sign_col).cast("long").alias("__sign_net"), win
+        ).select(
+            *state_keys,
+            "__sign_net",
+            F.col("__w.__ord").alias("__ord"),
+            *[F.col(f"__w.{c}").alias(c) for c in payload],
+        )
+
+    def _remerge(frame: DataFrame) -> DataFrame:
+        merged = (
+            frame.groupBy(*state_keys)
+            .agg(
+                F.sum("__sign_net").alias("__sign_net"),
+                F.max(
+                    F.when(
+                        F.col("__ord").isNotNull(),
+                        F.struct(
+                            F.col("__ord").alias("__ord"),
+                            *[F.col(c) for c in payload],
+                        ),
+                    )
+                ).alias("__w"),
+            )
+            .select(
+                *state_keys,
+                "__sign_net",
+                F.col("__w.__ord").alias("__ord"),
+                *[F.col(f"__w.{c}").alias(c) for c in payload],
+            )
+        )
+        if version_col:
+            # fully-cancelled versions leave the store — this is what
+            # bounds versioned state for well-formed streams
+            merged = merged.filter(F.col("__sign_net") != 0)
+        return merged
+
+    import hashlib as _hashlib
+
+    ckpt_key = _hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        keep = _replay_guard(path, ckpt_key, batch_id)
+        if keep is None:
+            return
+
+        def merge_fn(current: DataFrame | None, part: DataFrame) -> DataFrame:
+            if current is None:
+                return part.withColumn(DELETED_FLAG, F.lit(False))
+            # same tombstone composition as the summing sink: tombstoned
+            # keys stay out of the re-merge; new rows for the key restart
+            # its balance from the batch partial only
+            live = current.filter(~F.col(DELETED_FLAG)).drop(DELETED_FLAG)
+            tombs = current.filter(F.col(DELETED_FLAG))
+            merged = _remerge(live.unionByName(part)).withColumn(
+                DELETED_FLAG, F.lit(False)
+            )
+            kept_tombs = tombs.join(merged.select(*keys).distinct(), keys, "left_anti")
+            return merged.unionByName(kept_tombs)
+
+        _touched_bucket_merge(
+            batch, path, keys, n_buckets,
+            prepare=_batch_partial, merge_fn=merge_fn, legacy_mode="error",
+            manifest_extra={"applied": keep},
+        )
+
+    writer = events.writeStream.foreachBatch(_merge).option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_interval_ms is not None:
+        writer = writer.trigger(processingTime=f"{processing_interval_ms} milliseconds")
+    return writer.start()
+
+
+def read_collapsed(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    version_col: str | None = None,
+) -> DataFrame:
+    """Current visible state of a collapsing store: keys with positive
+    sign balance, one row each — plain mode exposes the stored latest-+1
+    payload directly; versioned mode resolves the highest surviving
+    version per key (a keyed max-struct over the already-collapsed state
+    table, never the event log)."""
+    state = read_silver(spark, path).filter(F.col("__sign_net") > 0)
+    if version_col is None:
+        return state.drop("__ord")
+    from ..operators.upsert import latest_wins
+
+    return latest_wins(state, keys=keys, version_cols=[version_col]).drop("__ord")
 
 
 def ttl_silver(

@@ -243,9 +243,11 @@ def test_summing_replay_guard_skips_applied_batch(spark, dirs):
     ck0 = hashlib.md5((dirs["ckpt"] + "/b0").encode()).hexdigest()[:12]
     assert m.get("applied", {}).get(ck0) == 0     # watermark recorded
     # simulate "this batch already committed" for the NEXT run's
-    # checkpoint: pre-seed its watermark past batch 0
+    # checkpoint: pre-seed its watermark AT batch 0 (the crash-between-
+    # manifest-commit-and-checkpoint-write shape — the only legitimate
+    # replay is batch_id == watermark; below it raises, see next test)
     ck1 = hashlib.md5((dirs["ckpt"] + "/b1").encode()).hexdigest()[:12]
-    m["applied"] = {**m.get("applied", {}), ck1: 99}
+    m["applied"] = {**m.get("applied", {}), ck1: 0}
     pl._write_manifest(dirs["silver"], m)
     before = pl.silver_versions(dirs["silver"])
     _run_summing(spark, dirs, [(1, "a", 5.0)], 1)  # replayed → skipped
@@ -256,6 +258,25 @@ def test_summing_replay_guard_skips_applied_batch(spark, dirs):
     _run_summing(spark, dirs, [(1, "a", 2.0)], 2)
     state = {r.grp: float(r.v) for r in pl.read_silver(spark, dirs["silver"]).collect()}
     assert state == {"a": 3.0}
+
+
+def test_summing_wiped_checkpoint_reuse_fails_loudly(spark, dirs):
+    """Advice r9: batch ids restarting BELOW the recorded watermark mean
+    the checkpoint path was wiped and reused against existing store state
+    — silently skipping would drop every restarted batch until ids catch
+    up, so the sink must raise with the remedy instead."""
+    import hashlib
+
+    _run_summing(spark, dirs, [(1, "a", 1.0)], 0)
+    m = pl._read_manifest(dirs["silver"])
+    ck1 = hashlib.md5((dirs["ckpt"] + "/b1").encode()).hexdigest()[:12]
+    m["applied"] = {**m.get("applied", {}), ck1: 99}   # far above batch 0
+    pl._write_manifest(dirs["silver"], m)
+    with pytest.raises(Exception, match="below this checkpoint's applied watermark"):
+        _run_summing(spark, dirs, [(1, "a", 5.0)], 1)
+    # state untouched by the failed run
+    state = {r.grp: float(r.v) for r in pl.read_silver(spark, dirs["silver"]).collect()}
+    assert state == {"a": 1.0}
 
 
 def test_compaction_preserves_replay_watermarks(spark, dirs):
@@ -274,30 +295,31 @@ def test_compaction_preserves_replay_watermarks(spark, dirs):
     assert state == {"a": 1.0, "b": 2.0}
 
 
-def test_replay_watermark_prunes_stale_keys_not_recent_ones(spark, dirs):
-    """Review r8: the watermark map keeps the 8 most RECENTLY UPDATED
-    checkpoint keys — a long-lived stream's entry must survive any number
-    of ad-hoc one-shot checkpoints interleaved with its updates (the
-    plain [-7:] slice evicted by first-insertion order instead)."""
+def test_replay_watermark_never_evicts_silently(spark, dirs):
+    """Advice r9 (supersedes the r8 recency-prune): evicting ANY
+    checkpoint's watermark re-arms the double-apply hazard for that
+    stream, so the map never prunes — up to 8 sequences coexist, updates
+    to an existing key always work, and a 9th NEW sequence fails loudly
+    with the remedy."""
     import hashlib
 
     ck0 = hashlib.md5((dirs["ckpt"] + "/b0").encode()).hexdigest()[:12]
-    # long-lived stream commits first (its key enters at position 0)...
+    # long-lived stream commits first...
     _run_summing(spark, dirs, [(1, "a", 1.0)], 0)
-    # ...five ad-hoc runs with fresh checkpoints pile up behind it...
-    for i in range(1, 6):
+    # ...seven ad-hoc runs with fresh checkpoints fill the map to 8 keys...
+    for i in range(1, 8):
         _run_summing(spark, dirs, [(i + 100, "x", 1.0)], i)
-    # ...then the long-lived stream commits AGAIN from the SAME checkpoint
-    # (new source file, same ckpt dir → next batch id) — its key must
-    # re-enter at the END of the map
+    # ...the long-lived stream still commits from the SAME checkpoint
+    # (new source file, same ckpt dir → next batch id): updating an
+    # existing key is always allowed at the cap
     _run_summing(spark, dirs, [(1, "a", 0.5)], 0)
-    # ...and five more ad-hoc runs push the map past the 8-key cap
-    for i in range(6, 11):
-        _run_summing(spark, dirs, [(i + 100, "x", 1.0)], i)
     applied = pl._read_manifest(dirs["silver"])["applied"]
     assert len(applied) == 8
-    assert ck0 in applied          # recently-updated key survived the prune
-    assert applied[ck0] == 1       # and carries its SECOND batch's id
+    assert applied[ck0] == 1       # carries its SECOND batch's id
     state = {(r.k, r.grp): float(r.v)
              for r in pl.read_silver(spark, dirs["silver"]).collect()}
     assert state[(1, "a")] == 1.5  # both commits landed exactly once
+    # a 9th NEW checkpoint sequence would need a silent eviction → raises
+    with pytest.raises(Exception, match="more than 8 checkpoint sequences"):
+        _run_summing(spark, dirs, [(999, "x", 1.0)], 8)
+    assert pl._read_manifest(dirs["silver"])["applied"] == applied
