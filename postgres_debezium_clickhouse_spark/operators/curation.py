@@ -326,15 +326,41 @@ def token_budget_sample(
     )
 
 
+def decontam_normalize(col) -> "F.Column":
+    """Benchmark-side text normalization for long-n-gram decontamination
+    (the industry-standard prep: case-fold, strip punctuation, collapse
+    whitespace) so cosmetic edits can't hide a verbatim benchmark span.
+    Applied to BOTH sides — normalization must be symmetric or the
+    n-grams never align."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(c), "[^a-z0-9 ]+", " "), " +", " "
+        )
+    )
+
+
 def contamination_check(
     train_docs: DataFrame,
     benchmark_docs: DataFrame,
     id_col: str = "doc_id",
     k: int = 3,
+    normalize: bool = False,
+    text_col: str = "text",
 ) -> DataFrame:
     """Benchmark-contamination detection: for every training document, the
     number of word ``k``-gram shingles it shares with ANY benchmark
     document, and a contaminated flag.
+
+    ``k`` GOVERNS THE FALSE-POSITIVE RATE (r9, verdict item 5): short
+    shingles (k=3) flag any doc that reuses three common consecutive
+    words — at corpus scale that flags nearly everything and would gut a
+    real corpus; production benchmark decontamination uses LONG n-grams
+    (k≈8-13: a verbatim 13-word span is vanishingly unlikely by chance).
+    The k=3 default is kept for the legacy oracle query; use k=13 +
+    ``normalize=True`` (``decontam_normalize`` on both sides) for the
+    real thing — the planted-contrast fixture in
+    ``contamination_check_13g`` demonstrates exactly this divergence.
 
     Plan shape: the benchmark shingle set is DISTINCT'd and broadcast (a
     benchmark suite is tiny next to a 100 TB corpus), so the check is a
@@ -343,6 +369,11 @@ def contamination_check(
     all-pairs comparison."""
     from .dedup import spread_for_compute, with_shingles
 
+    if normalize:
+        train_docs = train_docs.withColumn(text_col, decontam_normalize(text_col))
+        benchmark_docs = benchmark_docs.withColumn(
+            text_col, decontam_normalize(text_col)
+        )
     bench_shingles = (
         with_shingles(benchmark_docs, k=k)
         .select(F.explode("shingles").alias("s"))

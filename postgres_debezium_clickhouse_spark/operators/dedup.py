@@ -70,11 +70,15 @@ def exact_dedup(documents: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 def with_shingles(documents: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     """Word k-gram shingle sets (distinct), the unit of near-dup similarity."""
+    # guard the short-doc case explicitly: sequence(1, 0) steps BACKWARD
+    # ([1, 0]) and slice(_, 0, k) throws — a doc with fewer than k tokens
+    # simply has no k-shingles (surfaced by the k=13 decontam path, r9)
     return documents.withColumn("__tk", F.split(F.col(text_col), " ")).withColumn(
         "shingles",
         F.expr(
-            f"array_distinct(transform(sequence(1, greatest(size(__tk) - {k - 1}, 0)),"
-            f" i -> concat_ws(' ', slice(__tk, i, {k}))))"
+            f"if(size(__tk) < {k}, array(),"
+            f" array_distinct(transform(sequence(1, size(__tk) - {k - 1}),"
+            f" i -> concat_ws(' ', slice(__tk, i, {k})))))"
         ),
     ).drop("__tk")
 

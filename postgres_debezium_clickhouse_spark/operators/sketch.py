@@ -145,6 +145,36 @@ def space_saving_topk(
     )
 
 
+#: the KMV hash domain: 15 hex digits of md5 = 60 bits, so hashes are
+#: uniform on [0, 2^60) — every estimator and every DuckDB oracle
+#: normalizes by this same constant
+KMV_HASH_SPACE = 1 << 60
+
+
+def kmv_hash_expr(item_col: str):
+    """The md5-prefix hash every KMV component shares (sketch, sink
+    state column, oracles): uniform 60-bit long from the item's string
+    form — DuckDB reproduces it as
+    ``('0x'||substr(md5(item),1,15))::BIGINT``."""
+    return F.conv(
+        F.substring(F.md5(F.col(item_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def kmv_estimate_expr(sketch_col, k: int):
+    """Distinct-count estimate from a KMV sketch array (Beyer 2007): if
+    the sketch holds fewer than ``k`` hashes the count is EXACT (=
+    size); otherwise D̂ = (k-1) / U_k with U_k = k-th smallest hash
+    normalized to (0,1).  Pure column expression — usable on the
+    aggregating sink's stored state without any reshuffle."""
+    c = F.col(sketch_col) if isinstance(sketch_col, str) else sketch_col
+    full = F.size(c) >= k
+    u_k = F.element_at(c, k).cast("double") / F.lit(float(KMV_HASH_SPACE))
+    return F.when(full, (F.lit(float(k - 1)) / u_k)).otherwise(
+        F.size(c).cast("double")
+    )
+
+
 def kmv_sketch(
     items: DataFrame,
     group_col: str,
@@ -169,9 +199,7 @@ def kmv_sketch(
     flatten+sort+slice.  No level ever holds a group's full distinct
     universe.  The hash is the md5-prefix idiom every oracle reproduces
     (``('0x'||substr(md5(item),1,15))::BIGINT``)."""
-    h = F.conv(F.substring(F.md5(F.col(item_col).cast("string")), 1, 15), 16, 10).cast(
-        "long"
-    )
+    h = kmv_hash_expr(item_col)
     lvl1 = (
         items.select(F.col(group_col).alias("grp"), h.alias("h"))
         .groupBy("grp", (F.col("h") % n_partials).alias("__b"))

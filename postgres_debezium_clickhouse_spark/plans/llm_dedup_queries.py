@@ -183,8 +183,64 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(train, bench)
 
 
+def q_contamination_13g(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9 (verdict item 5) — industry-standard LONG-n-gram benchmark
+    decontamination (k=13, symmetric case/punct normalization), with the
+    planted contrast that justifies it: a doc that merely REUSES common
+    3-word phrases from the benchmark is a k=3 FALSE POSITIVE (at corpus
+    scale k=3 flags nearly everything and would gut the corpus) but k=13
+    correctly clears it, while a doc carrying a verbatim 13-word
+    benchmark span is flagged by both.  The normalization leg: the
+    contaminated doc's span differs from the benchmark in case and
+    punctuation only — without ``decontam_normalize`` on both sides the
+    13-gram would never align.
+
+    The fixture is planted (spark.range-built, scale-independent), so
+    the oracle states all verdicts as constants — any regression in
+    shingling, normalization, or the broadcast-join path flips a
+    constant.  Plan shape is the production one: benchmark shingles
+    broadcast, corpus never shuffled."""
+    from ..operators.curation import contamination_check
+
+    span = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliett kilo lima mike november oscar papa"
+    )  # 16 tokens
+    bench_text = "Alpha bravo, charlie DELTA echo; " + span.split(" ", 5)[5] + "!"
+    # ^ same 16 tokens as `span` after normalization, but cased/punctuated
+    docs = spark.createDataFrame(
+        [
+            # verbatim (post-normalization) 16-token benchmark span inside
+            ("copied", "intro words here " + span + " and an outro"),
+            # shares four scattered 3-grams with the benchmark but no long
+            # run: classic k=3 false positive
+            (
+                "phrasal",
+                "alpha bravo charlie nine delta echo foxtrot nine "
+                "golf hotel india nine juliett kilo lima",
+            ),
+            # no overlap at all (guards against everything-flags degeneracy)
+            ("clean", "zulu yankee xray whiskey victor uniform tango sierra"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([("bench", bench_text)], ["doc_id", "text"])
+
+    def verdict(k):
+        return contamination_check(docs, bench, k=k, normalize=True).select(
+            "doc_id", F.col("contaminated").alias(f"flagged_{k}g")
+        )
+
+    return (
+        verdict(3)
+        .join(verdict(13), "doc_id")
+        .select("doc_id", "flagged_3g", "flagged_13g")
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "contamination_check_13g": q_contamination_13g,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_clusters": q_dedup_clusters,
@@ -348,6 +404,17 @@ ORACLES = {
         WHERE d.doc_id % 50 <> 0
     """,
 }
+
+# planted-contrast constants (see q_contamination_13g): verbatim-span doc
+# flagged by both k; phrase-reuse doc is the k=3 false positive k=13
+# clears; disjoint doc flagged by neither
+ORACLES["contamination_check_13g"] = """
+    SELECT * FROM (VALUES
+        ('copied',  true,  true),
+        ('phrasal', true,  false),
+        ('clean',   false, false)
+    ) AS t(doc_id, flagged_3g, flagged_13g)
+"""
 
 # shares its contract (and therefore its oracle) verbatim:
 ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]

@@ -829,6 +829,176 @@ def stream_agg_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sh.rmtree(d, ignore_errors=True)
 
 
+def stream_agg_kmv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9 — mergeable sketch-STATE columns in the aggregating sink (the
+    real AggregatingMergeTree use, CH ``AggregateFunction(uniq, …)``):
+    the events replay maintains a per-event_type KMV distinct-user
+    sketch (k=64 < the 150 true distinct users, so the ESTIMATION path
+    is exercised, not the exact small-set path — ``sketch_full`` pins
+    that) merged batch-by-batch with bounded state.  Scored with the
+    established oracle-independent accuracy-verdict pattern
+    (corpus_source_overlap's): the oracle states the exact distinct
+    count and the verdict ``accurate`` (within 15% — KMV σ≈1/√(k-1)≈13%,
+    and the md5 hash makes the estimate DETERMINISTIC, so the verdict is
+    a constant of the fixture, not a flaky sample)."""
+    from ..operators.sketch import kmv_estimate_expr
+    from ..streaming.pipeline import read_silver, silver_summing_stream
+
+    import shutil as _sh
+
+    kmv_k = 64
+    run = uuid.uuid4().hex[:12]
+    root = tempfile.gettempdir()
+    src = f"{root}/kmvst_src_{run}"
+    dst = f"{root}/kmvst_out_{run}"
+    ckpt = f"{root}/kmvst_ckpt_{run}"
+    try:
+        events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_type", "user_id"
+        )
+        events.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+        )
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = silver_summing_stream(
+                stream, dst, ckpt, keys=["event_type"],
+                agg_spec={"u_sketch": ("user_id", "kmv")},
+                kmv_k=kmv_k, available_now=True,
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("kmv-state stream did not finish in 300s")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        state = read_silver(spark, dst)
+        exact = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("exact_users"))
+        )
+        est = kmv_estimate_expr("u_sketch", kmv_k)
+        return (
+            state.join(F.broadcast(exact), "event_type")
+            .select(
+                "event_type",
+                "exact_users",
+                (F.size("u_sketch") >= kmv_k).alias("sketch_full"),
+                (
+                    F.abs(est / F.col("exact_users") - 1.0) <= 0.15
+                ).alias("accurate"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for d in (src, dst, ckpt):
+            _sh.rmtree(d, ignore_errors=True)
+
+
+def _signed_order_stream(spark: SparkSession, sf_dir: str, versioned: bool):
+    """Deterministic sign-collapse workload from the orders fixture:
+    every order is inserted (+1); keys ≡3 (mod 10) are then updated
+    (cancel old, insert price×2); keys ≡7 (mod 10) are deleted (cancel
+    only).  The collapse result is a closed form over orders — exactly
+    what the DuckDB oracle states.  Plain mode orders rows by an explicit
+    ``seq``; versioned mode carries ``ver`` instead (1 for the original
+    state, 2 for the update) and no seq at all — cancellation is exact
+    per (key, version) regardless of arrival order."""
+    k = F.col("o_orderkey")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        k.alias("k"), F.col("o_totalprice").alias("price")
+    )
+    kk = F.col("k")
+
+    def row(df, sign, step, price_col):
+        return df.select(
+            "k",
+            F.lit(sign).cast("int").alias("sign"),
+            (kk * 10 + step).alias("seq") if not versioned
+            else F.lit(1 if step <= 2 else 2).cast("long").alias("ver"),
+            price_col.alias("price"),
+        )
+
+    upd = orders.filter(kk % 10 == 3)
+    dele = orders.filter(kk % 10 == 7)
+    # step encodes the lifecycle position: 1 = original +1, 2 = cancel of
+    # the original (ver 1), 3 = the update's +1 (ver 2)
+    return (
+        row(orders, 1, 1, F.col("price"))
+        .unionByName(row(upd, -1, 2, F.col("price")))
+        .unionByName(row(upd, 1, 3, F.col("price") * 2))
+        .unionByName(row(dele, -1, 2, F.col("price")))
+    )
+
+
+def _run_collapsing(spark: SparkSession, sf_dir: str, versioned: bool) -> DataFrame:
+    from ..streaming.pipeline import read_collapsed, silver_collapsing_stream
+
+    import shutil as _sh
+
+    run = uuid.uuid4().hex[:12]
+    root = tempfile.gettempdir()
+    src = f"{root}/clps_src_{run}"
+    dst = f"{root}/clps_out_{run}"
+    ckpt = f"{root}/clps_ckpt_{run}"
+    try:
+        signed = _signed_order_stream(spark, sf_dir, versioned)
+        # repartition SCATTERS inserts/cancels across files, so cancels
+        # routinely land in EARLIER micro-batches than their +1 rows —
+        # the replay is a genuine out-of-order stress, not a politely
+        # ordered log
+        signed.repartition(6).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(signed.schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+        )
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = silver_collapsing_stream(
+                stream, dst, ckpt, keys=["k"],
+                **({"version_col": "ver"} if versioned else {"seq_col": "seq"}),
+                available_now=True,
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("collapsing stream did not finish in 300s")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        return read_collapsed(
+            spark, dst, keys=["k"], version_col="ver" if versioned else None
+        ).select(
+            "k", "price", F.col("__sign_net").alias("sign_net")
+        ).localCheckpoint(eager=True)
+    finally:
+        for d in (src, dst, ckpt):
+            _sh.rmtree(d, ignore_errors=True)
+
+
+def stream_collapsing_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9 — the CollapsingMergeTree sink end-to-end, hash-checked: the
+    signed insert/update/delete workload over orders replayed as a
+    multi-micro-batch file stream (cancels scattered across batches);
+    the visible collapsed state must equal the closed-form survivor set
+    (deleted keys invisible, updated keys at price×2, balance exactly
+    +1 everywhere)."""
+    return _run_collapsing(spark, sf_dir, versioned=False)
+
+
+def stream_vcollapsing_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9 — VersionedCollapsingMergeTree: same workload but cancellation
+    is exact per (key, version) with NO ordering column — out-of-order
+    cancels (which the scattered replay guarantees) must still annihilate
+    exactly their own version, and fully-cancelled versions must leave
+    the store (bounded state, asserted in tests/test_collapsing.py)."""
+    return _run_collapsing(spark, sf_dir, versioned=True)
+
+
 def silver_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r8 — table TTL (the ClickHouse ``TTL <col> DELETE`` analogue): the
     orders snapshot is published to a bucketed store, then every row with
@@ -1008,6 +1178,9 @@ QUERIES = {
     "silver_mutation": silver_mutation,
     "stream_sliding_counts": stream_sliding_counts,
     "stream_summing_state": stream_summing_state,
+    "stream_collapsing_state": stream_collapsing_state,
+    "stream_agg_kmv_state": stream_agg_kmv_state,
+    "stream_vcollapsing_state": stream_vcollapsing_state,
     "stream_agg_state": stream_agg_state,
     "silver_ttl": silver_ttl,
     "stream_sessionization": stream_sessionization,
@@ -1177,6 +1350,33 @@ ORACLES["stream_agg_state"] = """
            COUNT(*) AS n_rows
     FROM events GROUP BY event_type
 """
+
+# sign-collapse closed form: survivors = every key except the deleted
+# class (%10=7); updated class (%10=3) carries price×2 (its ver-2 / max-seq
+# +1 row); balance is exactly +1 for every visible key.  IDENTICAL for the
+# plain and versioned variants — what differs is HOW the engine reaches it
+# (seq argmax vs per-version cancellation under out-of-order replay).
+_COLLAPSE_ORACLE = """
+    SELECT o_orderkey AS k,
+           CAST(CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2
+                ELSE o_totalprice END AS DOUBLE) AS price,
+           CAST(1 AS BIGINT) AS sign_net
+    FROM orders WHERE o_orderkey % 10 <> 7
+"""
+ORACLES["stream_collapsing_state"] = _COLLAPSE_ORACLE
+
+# KMV sketch-state verdict: exact distinct by value; sketch_full because
+# 150 distinct users > k=64 (estimation path, not the exact small-set
+# path); accurate is deterministic (md5 hashes) — a constant of the
+# fixture within the stated 15% band, not a flaky sample
+ORACLES["stream_agg_kmv_state"] = """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           true AS sketch_full,
+           true AS accurate
+    FROM events GROUP BY event_type
+"""
+ORACLES["stream_vcollapsing_state"] = _COLLAPSE_ORACLE
 
 ORACLES["silver_ttl"] = """
     SELECT o_orderkey, o_orderdate, CAST(o_totalprice AS DOUBLE) AS o_totalprice

@@ -755,8 +755,15 @@ def _replay_guard(path: str, ckpt_key: str, batch_id: int) -> dict | None:
 
 #: associative+commutative merge ops the aggregating sink supports — each
 #: is exact and order-insensitive, so batch boundaries can never shift a
-#: result ("sum" runs in DECIMAL, see silver_summing_stream).
-AGG_OPS = ("sum", "min", "max")
+#: result ("sum" runs in DECIMAL, see silver_summing_stream).  "kmv" (r9)
+#: is the mergeable-sketch STATE column — the real AggregatingMergeTree
+#: use (CH ``AggregateFunction(uniq, …)``): the stored value is the KMV
+#: distinct sketch (K smallest md5-derived hashes, operators/sketch.py's
+#: algebra), merged per batch by union+sort+slice; union is
+#: associative+commutative+idempotent, so the state is batch-boundary-
+#: AND duplicate-insensitive.  Read the estimate with
+#: ``operators.sketch.kmv_estimate_expr``.
+AGG_OPS = ("sum", "min", "max", "kmv")
 
 
 def silver_summing_stream(
@@ -770,6 +777,7 @@ def silver_summing_stream(
     processing_interval_ms: int | None = None,
     agg_spec: dict[str, tuple[str, str]] | None = None,
     sum_scale: int = 2,
+    kmv_k: int = 256,
 ) -> StreamingQuery:
     """r8 — the SummingMergeTree-equivalent keyed AGGREGATING sink
     (ClickHouse's second MergeTree family after the Replacing one S8
@@ -796,6 +804,19 @@ def silver_summing_stream(
     (avg = a sum column + ``__n_rows`` at read time; non-decomposable
     aggs belong in the latest-wins store or a sketch column).
 
+    ``op="kmv"`` (r9) stores a MERGEABLE DISTINCT SKETCH per key — the
+    CH ``AggregateFunction(uniq, col)``-state-column analogue: the value
+    is the array of the ``kmv_k`` smallest md5-derived hashes of ``src``
+    (the exact algebra of ``operators.sketch.kmv_sketch``, so estimates/
+    set-ops compose with the batch sketches).  Merge = union+sort+slice;
+    union is associative, commutative AND idempotent, so the sketch state
+    is insensitive to batch boundaries and even to duplicate delivery —
+    strictly stronger than the additive columns (which need the replay
+    guard; the sketch gets it for free but shares the sink's guard
+    anyway).  Per-key state is bounded at ``kmv_k`` longs regardless of
+    the true distinct count; read the estimate with
+    ``operators.sketch.kmv_estimate_expr(col, kmv_k)``.
+
     Same touched-bucket versioned publish as ``silver_upsert_stream``:
     per trigger only buckets containing batch keys are read, merged (one
     union + one keyed groupBy over those buckets), and re-published
@@ -819,14 +840,33 @@ def silver_summing_stream(
         if op not in AGG_OPS:
             raise ValueError(f"agg_spec[{out!r}]: op must be one of {AGG_OPS}, got {op!r}")
 
+    from ..operators.sketch import kmv_hash_expr
+
     def _ingest(out: str, src: str, op: str):
         if op == "sum":
             return F.sum(F.col(src).cast(ingest_t)).cast(acc).alias(out)
+        if op == "kmv":
+            # batch partial sketch: K smallest hashes of the batch's
+            # values for this key (collect_set state is key-local within
+            # one micro-batch, immediately sliced to kmv_k)
+            return F.slice(
+                F.array_sort(F.collect_set(kmv_hash_expr(src))), 1, kmv_k
+            ).alias(out)
         return getattr(F, op)(F.col(src)).alias(out)
 
     def _remerge(out: str, op: str):
         if op == "sum":
             return F.sum(F.col(out)).cast(acc).alias(out)
+        if op == "kmv":
+            # sketch union: ≤2 arrays per key (store row + batch partial)
+            # → flatten, dedup, K smallest — bounded at 2·kmv_k inputs
+            return F.slice(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list(F.col(out))))
+                ),
+                1,
+                kmv_k,
+            ).alias(out)
         return getattr(F, op)(F.col(out)).alias(out)
 
     def _batch_partial(batch: DataFrame) -> DataFrame:

@@ -56,6 +56,39 @@ def test_contamination_flags_shared_ngrams_only(spark):
     assert out[2] == (0, False)
 
 
+def test_contamination_13g_planted_contrast(spark):
+    """r9 verdict item 5: k=3 false-positives a doc that merely reuses
+    common phrases; k=13 clears it; a verbatim (case/punct-mangled) span
+    is caught by both — and only via the symmetric normalization."""
+    span = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliett kilo lima mike")
+    bench = spark.createDataFrame(
+        [(0, "ALPHA bravo, charlie! " + span.split(" ", 3)[3])],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix " + span + " suffix"),
+            (2, "alpha bravo charlie nine juliett kilo lima nine"),
+            (3, "zulu yankee xray whiskey"),   # 4 tokens: < k, shingle-free
+        ],
+        ["doc_id", "text"],
+    )
+
+    def flags(k, normalize=True):
+        return {
+            r.doc_id: r.contaminated
+            for r in contamination_check(
+                train, bench, k=k, normalize=normalize
+            ).collect()
+        }
+
+    assert flags(3) == {1: True, 2: True, 3: False}     # 2 = false positive
+    assert flags(13) == {1: True, 2: False, 3: False}   # 13g clears it
+    # without normalization the cased/punctuated benchmark never aligns
+    assert flags(13, normalize=False) == {1: False, 2: False, 3: False}
+
+
 def test_pack_chunks_straddles_and_shards(spark):
     from postgres_debezium_clickhouse_spark.operators.curation import pack_chunks
 

@@ -260,6 +260,37 @@ def test_summing_replay_guard_skips_applied_batch(spark, dirs):
     assert state == {"a": 3.0}
 
 
+def test_kmv_state_column_batch_boundary_insensitive(spark, dirs, tmp_path):
+    """r9 (verdict item 3): the kmv sketch-STATE column must produce the
+    BIT-IDENTICAL sketch whether the rows arrive as one batch or three —
+    union+sort+slice is associative/commutative/idempotent, and the test
+    also replays a duplicate row to exercise idempotence."""
+    rows = [(i % 4, "g", float(i % 37)) for i in range(200)] + [(0, "g", 5.0)]
+
+    def run(d, chunks):
+        for bi, chunk in enumerate(chunks):
+            spark.createDataFrame(chunk, SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).json(d["src"] + f"/b{bi}")
+            stream = spark.readStream.schema(SCHEMA).json(d["src"] + f"/b{bi}")
+            q = pl.silver_summing_stream(
+                stream, d["silver"], d["ckpt"] + f"/b{bi}", keys=["k"],
+                agg_spec={"vs": ("v", "kmv")}, kmv_k=16, available_now=True,
+            )
+            assert q.awaitTermination(120)
+        return {
+            r["k"]: list(r["vs"])
+            for r in pl.read_silver(spark, d["silver"]).collect()
+        }
+
+    split = run(dirs, [rows[:70], rows[70:71], rows[71:]])
+    d2 = {n: str(tmp_path / ("one_" + n)) for n in ("src", "silver", "ckpt")}
+    whole = run(d2, [rows])
+    assert split == whole
+    # k=16 < 37 distinct values → every sketch is exactly 16 hashes
+    assert all(len(v) == 16 for v in split.values())
+
+
 def test_summing_wiped_checkpoint_reuse_fails_loudly(spark, dirs):
     """Advice r9: batch ids restarting BELOW the recorded watermark mean
     the checkpoint path was wiped and reused against existing store state
