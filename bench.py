@@ -185,23 +185,15 @@ def _bench_streaming(spark, sf_dir: str, passes: int = 2) -> dict:
     }
 
 
-def main() -> int:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0")
-    spark = get_spark("bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    queries = entrymod.queries()
-    names = [n for n in HEADLINE if n in queries]
-    # warm-up: JVM + parquet footer caches, untimed
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
-
+def _run_passes(spark, sf_dir: str, names, queries, passes: int = PASSES):
+    """The interleaved-pass measurement loop (see module docstring):
+    returns (wall_runs, cpu_runs) with every observation."""
     wall_runs: dict[str, list[float]] = {n: [] for n in names}
     cpu_runs: dict[str, list[float]] = {n: [] for n in names}
     jvm_pid = _find_jvm_pid()
     have_cpu = jvm_pid > 0 and _jvm_cpu_s(jvm_pid) >= 0
 
-    for pass_i in range(PASSES):
+    for pass_i in range(passes):
         if pass_i:
             time.sleep(COOLDOWN_S)
         for name in names:
@@ -216,9 +208,64 @@ def main() -> int:
             if have_cpu:
                 jvm_cpu = _jvm_cpu_s(jvm_pid) - cpu0
                 cpu_runs[name].append(round(jvm_cpu + py_cpu, 3))
-        print(f"  pass {pass_i + 1}/{PASSES}: "
+        print(f"  pass {pass_i + 1}/{passes}: "
               f"{round(sum(w[-1] for w in wall_runs.values()), 2)}s wall",
               file=sys.stderr)
+    return wall_runs, cpu_runs
+
+
+def scaling_main() -> int:
+    """``python bench.py --scaling`` (r9 verdict item 8): the sf0.01 vs
+    sf0.1 cost-ratio table for the headline queries — the standing
+    super-linearity check.  Data grows 10×; a query whose wall/CPU ratio
+    sits FAR above 10× is a super-linear red flag the 100× scale claim
+    needs caught before any real scale-up.  (Sub-10× ratios are normal:
+    fixed per-query constants — plan build, session round-trips, task
+    launch — dominate at sf0.01.)  Prints a markdown table for
+    BASELINE.md plus one JSON line."""
+    spark = get_spark("bench-scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+    names = [n for n in HEADLINE if n in queries]
+    res = {}
+    for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        spark.read.parquet(f"{sf_dir}/region.parquet").count()  # warm
+        print(f"  scaling pass @ {sf_dir} (load {os.getloadavg()[0]:.1f})",
+              file=sys.stderr)
+        wall_runs, cpu_runs = _run_passes(spark, sf_dir, names, queries)
+        res[sf_dir] = (
+            {n: min(w) for n, w in wall_runs.items()},
+            {n: min(c) for n, c in cpu_runs.items() if c},
+        )
+    small_w, small_c = res["/root/testdata/sf0.01"]
+    big_w, big_c = res["/root/testdata/sf0.1"]
+    print("| query | sf0.01 wall | sf0.1 wall | ratio | sf0.01 CPU | sf0.1 CPU | ratio |")
+    print("|---|---|---|---|---|---|---|")
+    ratios = {}
+    for n in names:
+        rw = round(big_w[n] / small_w[n], 1) if small_w[n] else None
+        rc = (round(big_c[n] / small_c[n], 1)
+              if n in small_c and n in big_c and small_c[n] else None)
+        ratios[n] = {"wall": rw, "cpu": rc}
+        print(f"| {n} | {small_w[n]:.2f} | {big_w[n]:.2f} | {rw}× "
+              f"| {small_c.get(n, float('nan')):.1f} | {big_c.get(n, float('nan')):.1f} | {rc}× |")
+    print(json.dumps({"metric": "scaling_ratios", "ratios": ratios,
+                      "sf_small": 0.01, "sf_big": 0.1}))
+    return 0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entrymod.queries()
+    names = [n for n in HEADLINE if n in queries]
+    # warm-up: JVM + parquet footer caches, untimed
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    wall_runs, cpu_runs = _run_passes(spark, sf_dir, names, queries)
 
     import statistics
 
@@ -285,4 +332,4 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    raise SystemExit(scaling_main() if "--scaling" in sys.argv[1:] else main())

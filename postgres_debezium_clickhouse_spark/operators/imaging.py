@@ -503,3 +503,188 @@ def synth_images(ids_df: DataFrame, id_col: str = "doc_id",
             yield pd.DataFrame({"doc_id": ids, "media": blobs})
 
     return ids_df.select(id_col).mapInPandas(_synth, schema=MEDIA_BLOB_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual near-dup: dHash (r9, verdict item 7)
+# ---------------------------------------------------------------------------
+
+#: dHash geometry: 8×8 comparison grid over a 9-wide nearest-neighbor
+#: downscale — 64 bits, carried as two 32-bit halves (``dhash_hi`` = grid
+#: rows 0-3, ``dhash_lo`` = rows 4-7; bit position (row%4)*8 + col).  Two
+#: longs ≤ 2³² keep every shift/band expression inside safe signed-64
+#: arithmetic in BOTH engines — a single 64-bit hash would need bit 63,
+#: which overflows DuckDB's checked BIGINT shift and wraps negative in
+#: Spark (non-portable).
+DHASH_W = 8
+DHASH_H = 8
+
+DHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("dhash_hi", T.LongType()),
+    T.StructField("dhash_lo", T.LongType()),
+])
+DHASH_DEADLETTER_SCHEMA = T.StructType(
+    DHASH_SCHEMA.fields + [T.StructField("err", T.StringType())]
+)
+
+
+def rgb_to_gray(pixels: bytes, channels: int) -> bytes:
+    """Integer-exact grayscale: mean of the channels, floor division —
+    the simplest luma that a SQL oracle reproduces bit-for-bit (no
+    601/709 weights: those only matter perceptually, not for hashing)."""
+    if channels == 1:
+        return pixels
+    return bytes(
+        sum(pixels[i + c] for c in range(channels)) // channels
+        for i in range(0, len(pixels), channels)
+    )
+
+
+def dhash_halves(gray: bytes, w: int, h: int) -> tuple[int, int]:
+    """The difference hash over a grayscale pixel stream: nearest-neighbor
+    downscale to (DHASH_W+1)×DHASH_H, then bit = (left > right) per
+    horizontal neighbor pair — gradient direction survives resizing,
+    re-encoding, and small pixel edits, which is exactly what makes it
+    the image analogue of MinHash for text near-dup."""
+    gw = DHASH_W + 1
+    rg = nn_resize(gray, w, h, 1, gw, DHASH_H)
+    hi = lo = 0
+    for y in range(DHASH_H):
+        for x in range(DHASH_W):
+            if rg[y * gw + x] > rg[y * gw + x + 1]:
+                bit = 1 << ((y % 4) * 8 + x)
+                if y < 4:
+                    hi |= bit
+                else:
+                    lo |= bit
+    return hi, lo
+
+
+def dhash_images(media_df: DataFrame, id_col: str = "doc_id",
+                 media_col: str = "media", strict: bool = True) -> DataFrame:
+    """64-bit perceptual dHash per image (two 32-bit halves) over the REAL
+    decode path — decode (PNG: full pixels), integer grayscale,
+    nearest-neighbor 9×8 downscale, horizontal-gradient bits.
+
+    Header-only formats (JPEG) have no pixel stream and raise
+    ``NotImplementedError`` — dead-lettered under ``strict=False`` like
+    every other codec gap.  Embarrassingly parallel ``mapInPandas``; the
+    output is hash-sized metadata (2 longs/image), so everything
+    downstream (banding, pair join) is decoupled from image bytes."""
+    schema = DHASH_SCHEMA if strict else DHASH_DEADLETTER_SCHEMA
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in schema.fields}
+            for doc_id, blob in zip(pdf[id_col], pdf[media_col]):
+                try:
+                    d = decode_image(bytes(blob))
+                    if d["pixels"] is None:
+                        raise NotImplementedError(
+                            "header-only decode has no pixels for dhash"
+                        )
+                except (ValueError, NotImplementedError) as e:
+                    if strict:
+                        raise
+                    rows["doc_id"].append(doc_id)
+                    rows["dhash_hi"].append(None)
+                    rows["dhash_lo"].append(None)
+                    rows["err"].append(str(e))
+                    continue
+                gray = rgb_to_gray(d["pixels"], d["channels"])
+                hi, lo = dhash_halves(gray, d["width"], d["height"])
+                rows["doc_id"].append(doc_id)
+                rows["dhash_hi"].append(hi)
+                rows["dhash_lo"].append(lo)
+                if not strict:
+                    rows["err"].append(None)
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(_hash, schema=schema)
+
+
+def dhash_near_dups(hashes: DataFrame, max_hamming: int = 8,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Banded near-dup join over dHashes — the image analogue of the text
+    MinHash-LSH pipeline, same scale shape: 4 bands of 16 bits; only
+    pairs agreeing on ≥1 whole band meet (hash-partitioned join on the
+    band value, NEVER all-pairs), then the exact Hamming distance over
+    the full 64 bits verifies each candidate.  A near-dup differing in
+    ≤ max_hamming bits can break at most ⌈max_hamming/1⌉ bands, so with
+    max_hamming < 16·4 spread across bands the standard LSH guarantee
+    applies (identical-band survival); candidates are deduped before the
+    verify.
+
+    Output: (doc_a, doc_b, hamming, near_dup) for every banded candidate
+    pair — near_dup = hamming ≤ max_hamming."""
+    bands = hashes.select(
+        F.col(id_col),
+        "dhash_hi",
+        "dhash_lo",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), (F.col("dhash_hi") % 65536).alias("val")),
+                F.struct(F.lit(1).alias("band"), F.shiftright("dhash_hi", 16).cast("long").alias("val")),
+                F.struct(F.lit(2).alias("band"), (F.col("dhash_lo") % 65536).alias("val")),
+                F.struct(F.lit(3).alias("band"), F.shiftright("dhash_lo", 16).cast("long").alias("val")),
+            )
+        ).alias("bk"),
+    ).select(id_col, "dhash_hi", "dhash_lo", "bk.band", "bk.val")
+    a = bands.select(
+        F.col(id_col).alias("doc_a"), F.col("dhash_hi").alias("hi_a"),
+        F.col("dhash_lo").alias("lo_a"), "band", "val",
+    )
+    b = bands.select(
+        F.col(id_col).alias("doc_b"), F.col("dhash_hi").alias("hi_b"),
+        F.col("dhash_lo").alias("lo_b"), "band", "val",
+    )
+    cand = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b")
+        .distinct()
+    )
+    ham = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).cast("int")
+    return cand.select(
+        "doc_a", "doc_b", ham.alias("hamming"),
+        (ham <= max_hamming).alias("near_dup"),
+    )
+
+
+def synth_dhash_images(ids_df: DataFrame, id_col: str = "doc_id",
+                       perturb: int = 0) -> DataFrame:
+    """Deterministic dHash fixture: a real PNG per id with a QUADRATIC
+    pixel formula —
+
+        w = 8 + d%5, h = 8 + d%3, RGB
+        value(d, idx, c) = (d*d*3 + idx*idx*7 + idx*d + c*11) % 256
+
+    (idx = y·w + x).  The decode fixture's linear ramp won't do here: a
+    monotone gradient makes every dHash bit 1 and all images collide;
+    the quadratic's second difference (14) wraps mod 256 at varying
+    phase per d, giving well-spread hashes.  ``perturb`` adds its value
+    to pixel idx 0 (all channels) — the planted one-pixel edit whose
+    near-duplicate the banded LSH must find.  Everything is closed-form
+    in d, so the DuckDB oracle recomputes hashes AND pairs from first
+    principles."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                w, h = 8 + d % 5, 8 + d % 3
+                px = bytes(
+                    (d * d * 3 + idx * idx * 7 + idx * d + c * 11
+                     + (perturb if idx == 0 else 0)) % 256
+                    for idx in range(w * h) for c in range(3)
+                )
+                ids.append(d)
+                blobs.append(png_encode(w, h, px, 3))
+            yield pd.DataFrame({"doc_id": ids, "media": blobs})
+
+    return ids_df.select(id_col).mapInPandas(_synth, schema=MEDIA_BLOB_SCHEMA)

@@ -238,9 +238,38 @@ def q_contamination_13g(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9 (verdict item 7) — perceptual image near-dup via dHash, the
+    image analogue of MinHash for text: REAL PNG decode → integer
+    grayscale → 9×8 nearest-neighbor downscale → 64 horizontal-gradient
+    bits (two 32-bit halves) → 4×16-bit banded LSH join → exact Hamming
+    verify.  Joins the real-decode path (operators/imaging.py) to the
+    dedup family.
+
+    Planted fixture (spark.range-built, scale-independent): 60 quadratic-
+    formula PNGs + a one-pixel-perturbed copy of every d≡1 (mod 3) image
+    at id 1000+d.  Measured on this fixture: planted-dup Hamming ≤ 1,
+    cross-pair Hamming ≥ 18, so the ≤8 threshold separates perfectly;
+    the 3 accidental single-band collisions among originals surface as
+    candidates with near_dup=false — the oracle RECOMPUTES hashes, bands,
+    candidates, and Hamming from the pixel formula, so decode, grayscale,
+    resize, bit packing, and banding are all value-checked end-to-end."""
+    from ..operators.imaging import dhash_images, dhash_near_dups, synth_dhash_images
+
+    base = spark.range(0, 60).select(F.col("id").alias("doc_id"))
+    dup_src = base.filter(F.col("doc_id") % 3 == 1)
+    media = synth_dhash_images(base).unionByName(
+        synth_dhash_images(dup_src, perturb=128).withColumn(
+            "doc_id", F.col("doc_id") + 1000
+        )
+    )
+    return dhash_near_dups(dhash_images(media), max_hamming=8)
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "contamination_check_13g": q_contamination_13g,
+    "dedup_image_dhash": q_dedup_image_dhash,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_clusters": q_dedup_clusters,
@@ -404,6 +433,75 @@ ORACLES = {
         WHERE d.doc_id % 50 <> 0
     """,
 }
+
+# first-principles dHash oracle (see q_dedup_image_dhash): recompute
+# grayscale pixels from the quadratic formula, nn-resize by index math,
+# pack gradient bits into 32-bit halves, band, pair, and Hamming — the
+# entire Spark pipeline re-derived from the closed form, zero constants
+ORACLES["dedup_image_dhash"] = """
+    WITH imgs AS (
+        SELECT d AS doc_id, d, 0 AS pert FROM range(60) t(d)
+        UNION ALL
+        SELECT 1000 + d, d, 128 FROM range(60) t(d) WHERE d % 3 = 1
+    ),
+    dims AS (
+        SELECT doc_id, d, pert, 8 + d % 5 AS w, 8 + d % 3 AS h FROM imgs
+    ),
+    g AS (  -- integer grayscale of the closed-form RGB pixels
+        SELECT dm.doc_id, i.i AS idx,
+               ((dm.d*dm.d*3 + i.i*i.i*7 + i.i*dm.d
+                 + CASE WHEN i.i = 0 THEN dm.pert ELSE 0 END) % 256
+              + (dm.d*dm.d*3 + i.i*i.i*7 + i.i*dm.d + 11
+                 + CASE WHEN i.i = 0 THEN dm.pert ELSE 0 END) % 256
+              + (dm.d*dm.d*3 + i.i*i.i*7 + i.i*dm.d + 22
+                 + CASE WHEN i.i = 0 THEN dm.pert ELSE 0 END) % 256) // 3 AS v
+        FROM dims dm CROSS JOIN range(120) i(i)
+        WHERE i.i < dm.w * dm.h
+    ),
+    rg AS (  -- 9x8 nearest-neighbor downscale by pure index math
+        SELECT dm.doc_id, yy.y AS gy, xx.x AS gx, g.v
+        FROM dims dm
+        CROSS JOIN range(8) yy(y)
+        CROSS JOIN range(9) xx(x)
+        JOIN g ON g.doc_id = dm.doc_id
+              AND g.idx = (yy.y * dm.h // 8) * dm.w + (xx.x * dm.w // 9)
+    ),
+    bits AS (
+        SELECT l.doc_id, l.gy, l.gx,
+               CASE WHEN l.v > r.v THEN 1 ELSE 0 END AS b
+        FROM rg l JOIN rg r
+          ON r.doc_id = l.doc_id AND r.gy = l.gy AND r.gx = l.gx + 1
+        WHERE l.gx < 8
+    ),
+    hashes AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN gy < 4
+                    THEN b * (CAST(1 AS BIGINT) << ((gy % 4) * 8 + gx))
+                    ELSE 0 END) AS BIGINT) AS hi,
+               CAST(SUM(CASE WHEN gy >= 4
+                    THEN b * (CAST(1 AS BIGINT) << ((gy % 4) * 8 + gx))
+                    ELSE 0 END) AS BIGINT) AS lo
+        FROM bits GROUP BY doc_id
+    ),
+    bands AS (
+                  SELECT doc_id, hi, lo, 0 AS band, hi % 65536 AS val FROM hashes
+        UNION ALL SELECT doc_id, hi, lo, 1, hi // 65536 FROM hashes
+        UNION ALL SELECT doc_id, hi, lo, 2, lo % 65536 FROM hashes
+        UNION ALL SELECT doc_id, hi, lo, 3, lo // 65536 FROM hashes
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS INT)
+               AS hamming,
+           (bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))) <= 8
+               AS near_dup
+    FROM cand
+"""
 
 # planted-contrast constants (see q_contamination_13g): verbatim-span doc
 # flagged by both k; phrase-reuse doc is the k=3 false positive k=13

@@ -184,3 +184,71 @@ def test_jpeg_fill_run_to_eof_raises_valueerror():
     d = jpeg_dims(b"\xff\xd8\xff\xff\xc0" + bytes([0, 17, 8, 0, 2, 0, 3, 3])
                   + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]) + b"\xff\xd9")
     assert (d["width"], d["height"]) == (3, 2)
+
+
+# ---------------------------------------------------------------------------
+# dHash perceptual near-dup (r9)
+# ---------------------------------------------------------------------------
+
+def test_dhash_one_pixel_edit_is_near_identical_pure_python():
+    """The planted contract at the function level: a one-pixel edit moves
+    the dHash by ≤ a few bits; a different image is tens of bits away."""
+    from postgres_debezium_clickhouse_spark.operators.imaging import (
+        decode_image, dhash_halves, png_encode, rgb_to_gray,
+    )
+
+    def make(d, perturb=0):
+        w, h = 8 + d % 5, 8 + d % 3
+        px = bytes(
+            (d * d * 3 + i * i * 7 + i * d + c * 11
+             + (perturb if i == 0 else 0)) % 256
+            for i in range(w * h) for c in range(3)
+        )
+        dec = decode_image(png_encode(w, h, px, 3))
+        return dhash_halves(rgb_to_gray(dec["pixels"], 3), w, h)
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    for d in (1, 4, 13):
+        assert ham(make(d), make(d, perturb=128)) <= 2
+    assert ham(make(1), make(2)) > 10
+    # halves stay inside 32 bits (portability contract with the oracle)
+    hi, lo = make(7)
+    assert 0 <= hi < (1 << 32) and 0 <= lo < (1 << 32)
+
+
+def test_dhash_images_deadletters_jpeg(spark):
+    """JPEG is header-only decode — no pixels, no hash: strict raises,
+    permissive routes to the err column like every other codec gap."""
+    import pytest as _pt
+
+    from postgres_debezium_clickhouse_spark.operators.imaging import (
+        dhash_images, jpeg_header_bytes, png_encode,
+    )
+
+    rows = [
+        (1, png_encode(9, 8, bytes(i % 256 for i in range(9 * 8 * 3)), 3)),
+        (2, jpeg_header_bytes(4, 4, 3)),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "media"])
+    out = {r.doc_id: r.err for r in dhash_images(df, strict=False).collect()}
+    assert out[1] is None and "no pixels" in out[2]
+    with _pt.raises(Exception):
+        dhash_images(df, strict=True).collect()
+
+
+def test_dhash_near_dups_bands_find_planted_pair(spark):
+    from pyspark.sql import functions as F
+
+    from postgres_debezium_clickhouse_spark.operators.imaging import (
+        dhash_images, dhash_near_dups, synth_dhash_images,
+    )
+
+    base = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+    dup = synth_dhash_images(
+        base.filter(F.col("doc_id") == 4), perturb=128
+    ).withColumn("doc_id", F.col("doc_id") + 1000)
+    hashes = dhash_images(synth_dhash_images(base).unionByName(dup))
+    pairs = {(r.doc_a, r.doc_b): r.near_dup for r in dhash_near_dups(hashes).collect()}
+    assert pairs.get((4, 1004)) is True
