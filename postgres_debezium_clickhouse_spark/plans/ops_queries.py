@@ -899,6 +899,50 @@ def stream_agg_kmv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sh.rmtree(d, ignore_errors=True)
 
 
+def silver_ttl_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9 — rollup TTL (the ClickHouse ``TTL … GROUP BY k SET v=sum(v)``
+    / GraphiteMergeTree downsampling pattern): an hour-granularity
+    metrics store built from events (exact DECIMAL sums, the summing
+    sink's ingestion rule) has every hour before Jan 15 rolled up to DAY
+    granularity as one committed version — old mass is preserved at
+    coarser keys, not deleted.  The post-rollup state must equal the
+    closed form: day-aggregated before the cutoff, hour rows after."""
+    from ..streaming.pipeline import _publish_buckets, read_silver, ttl_rollup_silver
+
+    import shutil as _sh
+
+    path = f"{tempfile.gettempdir()}/ttlru_store_{uuid.uuid4().hex[:12]}"
+    try:
+        hours = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .groupBy(
+                F.date_trunc("hour", "ts").alias("ts"),
+                "event_type",
+            )
+            .agg(
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("decimal(30,2)").alias("v"),
+                F.count(F.lit(1)).alias("__n_rows"),
+            )
+            .withColumn("__deleted", F.lit(False))
+        )
+        manifest = {"version": 0, "n_buckets": 8, "files": []}
+        _publish_buckets(hours, path, ["ts", "event_type"], manifest, set(range(8)))
+        ttl_rollup_silver(
+            spark, path, ["ts", "event_type"], "ts",
+            F.lit("2024-01-15").cast("timestamp_ntz"),
+            coarsen={"ts": lambda c: F.date_trunc("day", c)},
+            agg_spec={"v": "sum"},
+        )
+        return read_silver(spark, path).select(
+            "ts", "event_type",
+            F.col("v").cast("double").alias("v"),
+            F.col("__n_rows").alias("n_rows"),
+        ).localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(path, ignore_errors=True)
+
+
 def _signed_order_stream(spark: SparkSession, sf_dir: str, versioned: bool):
     """Deterministic sign-collapse workload from the orders fixture:
     every order is inserted (+1); keys ≡3 (mod 10) are then updated
@@ -1180,6 +1224,7 @@ QUERIES = {
     "stream_summing_state": stream_summing_state,
     "stream_collapsing_state": stream_collapsing_state,
     "stream_agg_kmv_state": stream_agg_kmv_state,
+    "silver_ttl_rollup": silver_ttl_rollup,
     "stream_vcollapsing_state": stream_vcollapsing_state,
     "stream_agg_state": stream_agg_state,
     "silver_ttl": silver_ttl,
@@ -1377,6 +1422,20 @@ ORACLES["stream_agg_kmv_state"] = """
     FROM events GROUP BY event_type
 """
 ORACLES["stream_vcollapsing_state"] = _COLLAPSE_ORACLE
+
+ORACLES["silver_ttl_rollup"] = """
+    WITH hours AS (
+        SELECT date_trunc('hour', ts) AS h, event_type,
+               SUM(CAST(value AS DECIMAL(18,2))) AS v, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT date_trunc('day', h) AS ts, event_type,
+           CAST(SUM(v) AS DOUBLE) AS v, CAST(SUM(n) AS BIGINT) AS n_rows
+    FROM hours WHERE h < TIMESTAMP '2024-01-15' GROUP BY 1, 2
+    UNION ALL
+    SELECT h, event_type, CAST(v AS DOUBLE), n
+    FROM hours WHERE h >= TIMESTAMP '2024-01-15'
+"""
 
 ORACLES["silver_ttl"] = """
     SELECT o_orderkey, o_orderdate, CAST(o_totalprice AS DOUBLE) AS o_totalprice

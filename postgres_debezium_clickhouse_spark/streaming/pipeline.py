@@ -1113,6 +1113,105 @@ def ttl_silver(
     )
 
 
+def ttl_rollup_silver(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    ttl_col: str,
+    older_than,
+    coarsen: dict,
+    agg_spec: dict[str, str],
+) -> int:
+    """r9 — the ClickHouse ``TTL … GROUP BY k SET v = sum(v)`` analogue
+    (rollup TTL, the GraphiteMergeTree use case): rows past the cutoff
+    are NOT deleted — they are DOWNSAMPLED: their key columns are
+    coarsened (``coarsen``: col → expression, e.g. hour → day truncation)
+    and their measures aggregated (``agg_spec``: col → op ∈ sum/min/max),
+    one committed version, O(touched buckets).  The metrics-retention
+    pattern: full granularity recent, coarse granularity old, bounded
+    total size — without losing the old mass entirely like plain TTL.
+
+    Rolled rows MERGE with any existing row at the coarsened key by the
+    same ops (sum/min/max are associative+commutative), so REPEATED
+    rollups compose: a later cutoff folds newly-expired rows into the
+    day rows earlier rollups created — same algebra as the summing sink.
+    ``__n_rows`` (the summing sink's companion count) is summed
+    automatically when present.  Tombstones pass through untouched;
+    aggregated dtypes are cast back to the store's, so the schema is
+    stable across any number of rollups.  Touched buckets = the expired
+    rows' buckets ∪ the coarsened keys' target buckets; everything
+    publishes through the usual epoch claim + CAS commit.  Returns the
+    number of rows rolled up."""
+    manifest = _read_manifest(path)
+    if manifest is None:
+        raise FileNotFoundError(f"no silver store at {path}")
+    df = _read_live_files(spark, path, manifest)
+    nb = manifest["n_buckets"]
+    spec = dict(agg_spec)
+    if "__n_rows" in df.columns and "__n_rows" not in spec:
+        spec["__n_rows"] = "sum"
+    covered = set(keys) | set(spec) | {DELETED_FLAG, ttl_col}
+    uncovered = [c for c in df.columns if c not in covered]
+    if uncovered:
+        raise ValueError(
+            f"rollup needs an agg_spec op for every non-key column; missing: {uncovered}"
+        )
+    if ttl_col not in keys and ttl_col not in spec:
+        raise ValueError("ttl_col must be a key (coarsened) or carry an agg op")
+    for c, op in spec.items():
+        if op not in ("sum", "min", "max"):
+            raise ValueError(f"agg_spec[{c!r}]: op must be sum/min/max, got {op!r}")
+
+    expired_pred = (F.col(ttl_col) < older_than) & ~F.col(DELETED_FLAG)
+    src_buckets = {
+        int(r[0])
+        for r in df.filter(expired_pred)
+        .select(_bucket_expr(keys, nb).alias("b")).distinct().collect()
+    }
+    if not src_buckets:
+        return 0
+    coarse_cols = [
+        (coarsen[k](F.col(k)) if callable(coarsen.get(k)) else coarsen[k]).alias(k)
+        if k in coarsen else F.col(k)
+        for k in keys
+    ]
+    rolled_keys = df.filter(expired_pred).select(*coarse_cols)
+    tgt_buckets = {
+        int(r[0])
+        for r in rolled_keys.select(_bucket_expr(keys, nb).alias("b"))
+        .distinct().collect()
+    }
+    touched = src_buckets | tgt_buckets
+    sub = df.filter(_bucket_expr(keys, nb).isin(sorted(touched)))
+    n = sub.filter(expired_pred).count()
+    dtypes = {f.name: f.dataType for f in sub.schema.fields}
+    aggs = [getattr(F, op)(F.col(c)).cast(dtypes[c]).alias(c) for c, op in spec.items()]
+    rolled = (
+        sub.filter(expired_pred)
+        .select(*coarse_cols, *spec)
+        .groupBy(*keys)
+        .agg(*aggs)
+    )
+    live_keep = sub.filter(~F.col(DELETED_FLAG) & ~(F.col(ttl_col) < older_than))
+    tombs = sub.filter(F.col(DELETED_FLAG))
+    # single-row groups are identity under sum/min/max (dtype restored by
+    # the cast), so re-aggregating every kept live row alongside the
+    # rolled rows is the uniform merge, not a correctness trade
+    merged = (
+        live_keep.drop(DELETED_FLAG)
+        .select(*keys, *spec)
+        .unionByName(rolled)
+        .groupBy(*keys)
+        .agg(*aggs)
+        .withColumn(DELETED_FLAG, F.lit(False))
+    )
+    _publish_buckets(
+        merged.unionByName(tombs.select(*merged.columns)),
+        path, keys, manifest, touched,
+    )
+    return n
+
+
 def read_silver(
     spark: SparkSession,
     path: str,

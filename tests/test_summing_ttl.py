@@ -354,3 +354,80 @@ def test_replay_watermark_never_evicts_silently(spark, dirs):
     with pytest.raises(Exception, match="more than 8 checkpoint sequences"):
         _run_summing(spark, dirs, [(999, "x", 1.0)], 8)
     assert pl._read_manifest(dirs["silver"])["applied"] == applied
+
+
+def test_ttl_rollup_downsamples_and_composes(spark, tmp_path):
+    """r9: TTL GROUP BY rollup (GraphiteMergeTree use case) — expired
+    hour rows collapse into day rows (keys coarsened, measures summed);
+    a SECOND rollup with a later cutoff must merge newly-expired hours
+    into the day rows the first rollup created (associative algebra);
+    tombstones pass through; schema/dtypes stable."""
+    import datetime as dt
+
+    path = str(tmp_path / "store")
+    ts = lambda d, h: dt.datetime(2024, 1, d, h)  # noqa: E731
+    rows = [
+        # day 1: three hour buckets
+        (ts(1, 0), "click", 1.0, 1), (ts(1, 5), "click", 2.0, 1),
+        (ts(1, 9), "view", 4.0, 2),
+        # day 2: two hour buckets
+        (ts(2, 3), "click", 8.0, 1), (ts(2, 7), "click", 16.0, 3),
+        # day 3 (stays full-granularity)
+        (ts(3, 1), "click", 32.0, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, ["ts", "event_type", "v", "__n_rows"]
+    ).withColumn("__deleted", F.lit(False))
+    manifest = {"version": 0, "n_buckets": 4, "files": []}
+    pl._publish_buckets(df, path, ["ts", "event_type"], manifest, set(range(4)))
+
+    day = lambda c: F.date_trunc("day", c)  # noqa: E731
+    # rollup 1: everything before day 2 → day granularity
+    n = pl.ttl_rollup_silver(
+        spark, path, ["ts", "event_type"], "ts", dt.datetime(2024, 1, 2),
+        coarsen={"ts": day}, agg_spec={"v": "sum"},
+    )
+    assert n == 3
+    state = {(r.ts, r.event_type): (r.v, r["__n_rows"])
+             for r in pl.read_silver(spark, path).collect()}
+    assert state[(ts(1, 0), "click")] == (3.0, 2)      # 1+2 summed, day key
+    assert state[(ts(1, 0), "view")] == (4.0, 2)
+    assert state[(ts(2, 3), "click")] == (8.0, 1)      # untouched
+    assert len(state) == 5
+    # rollup 2 with a later cutoff: day-2 hours fold to a NEW day-2 row;
+    # re-rolling day 1 rows (already at day keys, still < cutoff) must be
+    # an identity merge, not a duplication
+    n = pl.ttl_rollup_silver(
+        spark, path, ["ts", "event_type"], "ts", dt.datetime(2024, 1, 3),
+        coarsen={"ts": day}, agg_spec={"v": "sum"},
+    )
+    assert n == 4   # 2 day-1 rolled rows (identity re-roll) + 2 day-2 hours
+    state = {(r.ts, r.event_type): (r.v, r["__n_rows"])
+             for r in pl.read_silver(spark, path).collect()}
+    assert state == {
+        (ts(1, 0), "click"): (3.0, 2),
+        (ts(1, 0), "view"): (4.0, 2),
+        (ts(2, 0), "click"): (24.0, 4),
+        (ts(3, 1), "click"): (32.0, 1),
+    }
+    # dtype stability: v stayed double, __n_rows stayed long
+    sch = {f.name: f.dataType.simpleString()
+           for f in pl.read_silver(spark, path).schema.fields}
+    assert sch["v"] == "double" and sch["__n_rows"] == "bigint"
+
+
+def test_ttl_rollup_rejects_uncovered_columns(spark, tmp_path):
+    import datetime as dt
+
+    path = str(tmp_path / "store2")
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), "a", 1.0, "extra")],
+        ["ts", "k", "v", "other"],
+    ).withColumn("__deleted", F.lit(False))
+    pl._publish_buckets(df, path, ["ts", "k"], {"version": 0, "n_buckets": 2, "files": []}, {0, 1})
+    with pytest.raises(ValueError, match="missing: \\['other'\\]"):
+        pl.ttl_rollup_silver(
+            spark, path, ["ts", "k"], "ts", dt.datetime(2025, 1, 1),
+            coarsen={"ts": lambda c: F.date_trunc("day", c)},
+            agg_spec={"v": "sum"},
+        )
