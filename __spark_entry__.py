@@ -50,6 +50,7 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 
 _FRONT = (
     # round-9 additions (never driver-checked) go here, newest first:
+    "stream_schema_evolution",
     "silver_ttl_rollup",
     "dedup_image_dhash",
     "contamination_check_13g",

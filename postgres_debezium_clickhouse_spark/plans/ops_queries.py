@@ -899,6 +899,71 @@ def stream_agg_kmv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sh.rmtree(d, ignore_errors=True)
 
 
+def stream_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9 — mid-stream ADDITIVE SCHEMA WIDENING through the upsert store,
+    end-to-end: phase 1 streams the orders snapshot under the original
+    schema; phase 2 (the connector-redeploy shape — a restarted stream
+    with a wider schema) streams updates carrying a NEW ``channel``
+    column for keys ≡3 (mod 10).  The store must evolve in place:
+    old epochs' files lack the column (mergeSchema null-fills them,
+    pipeline._read_live_files), untouched rows read back with NULL
+    channel, updated rows carry value + doubled price via latest-wins.
+    Closed form over orders — exactly what the oracle states."""
+    from ..streaming.pipeline import read_silver, silver_upsert_stream
+
+    import shutil as _sh
+
+    run = uuid.uuid4().hex[:12]
+    root = tempfile.gettempdir()
+    src1, src2 = f"{root}/sev_src1_{run}", f"{root}/sev_src2_{run}"
+    dst = f"{root}/sev_out_{run}"
+    ck1, ck2 = f"{root}/sev_ck1_{run}", f"{root}/sev_ck2_{run}"
+    try:
+        k = F.col("o_orderkey")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", F.col("o_totalprice").alias("price")
+        )
+        phase1 = orders.select(
+            "o_orderkey", "price", F.lit("r").alias("op"),
+            F.lit(1).cast("long").alias("ts_ms"), k.alias("offset"),
+        )
+        phase2 = orders.filter(k % 10 == 3).select(
+            "o_orderkey", (F.col("price") * 2).alias("price"),
+            F.lit("u").alias("op"), F.lit(2).cast("long").alias("ts_ms"),
+            k.alias("offset"), F.lit("web").alias("channel"),
+        )
+        phase1.repartition(4).write.mode("overwrite").json(src1)
+        phase2.repartition(2).write.mode("overwrite").json(src2)
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            for src, ck, schema in (
+                (src1, ck1, phase1.schema),
+                (src2, ck2, phase2.schema),
+            ):
+                stream = (
+                    spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", "2").json(src)
+                )
+                q = silver_upsert_stream(
+                    stream, dst, ck, keys=["o_orderkey"],
+                    version_col="ts_ms", available_now=True,
+                )
+                if not q.awaitTermination(300):
+                    q.stop()
+                    raise TimeoutError("schema-evolution stream did not finish")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        return read_silver(spark, dst).select(
+            "o_orderkey",
+            F.col("price").cast("double").alias("price"),
+            "channel",
+        ).localCheckpoint(eager=True)
+    finally:
+        for d in (src1, src2, dst, ck1, ck2):
+            _sh.rmtree(d, ignore_errors=True)
+
+
 def silver_ttl_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r9 — rollup TTL (the ClickHouse ``TTL … GROUP BY k SET v=sum(v)``
     / GraphiteMergeTree downsampling pattern): an hour-granularity
@@ -1225,6 +1290,7 @@ QUERIES = {
     "stream_collapsing_state": stream_collapsing_state,
     "stream_agg_kmv_state": stream_agg_kmv_state,
     "silver_ttl_rollup": silver_ttl_rollup,
+    "stream_schema_evolution": stream_schema_evolution,
     "stream_vcollapsing_state": stream_vcollapsing_state,
     "stream_agg_state": stream_agg_state,
     "silver_ttl": silver_ttl,
@@ -1422,6 +1488,14 @@ ORACLES["stream_agg_kmv_state"] = """
     FROM events GROUP BY event_type
 """
 ORACLES["stream_vcollapsing_state"] = _COLLAPSE_ORACLE
+
+ORACLES["stream_schema_evolution"] = """
+    SELECT o_orderkey,
+           CAST(CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2
+                ELSE o_totalprice END AS DOUBLE) AS price,
+           CASE WHEN o_orderkey % 10 = 3 THEN 'web' END AS channel
+    FROM orders
+"""
 
 ORACLES["silver_ttl_rollup"] = """
     WITH hours AS (

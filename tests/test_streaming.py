@@ -747,3 +747,36 @@ def test_compact_silver_refused_by_live_claim(spark, dirs):
     after = pl._read_manifest(dirs["silver"])
     assert after["version"] == cur["version"]
     assert sorted(after["files"]) == before
+
+
+def test_store_schema_narrows_without_losing_history(spark, tmp_path):
+    """r9 schema-evolution reverse direction at the STORE level: a
+    restarted stream whose schema DROPPED a column must not erase it —
+    the store preserves the column (NULL on rows the narrow stream
+    rewrites, value intact on untouched rows)."""
+    import postgres_debezium_clickhouse_spark.streaming.pipeline as pl
+
+    d = {n: str(tmp_path / n) for n in ("s1", "s2", "silver", "c1", "c2")}
+    wide = spark.createDataFrame(
+        [(1, "x", "gold", "r", 1, 1), (2, "y", "silver", "r", 1, 2)],
+        "k long, val string, tier string, op string, ts_ms long, offset long",
+    )
+    narrow = spark.createDataFrame(
+        [(1, "x2", "u", 2, 3)],
+        "k long, val string, op string, ts_ms long, offset long",
+    )
+    wide.coalesce(1).write.json(d["s1"])
+    narrow.coalesce(1).write.json(d["s2"])
+    for src, ck, schema in ((d["s1"], d["c1"], wide.schema),
+                            (d["s2"], d["c2"], narrow.schema)):
+        q = pl.silver_upsert_stream(
+            spark.readStream.schema(schema).json(src),
+            d["silver"], ck, keys=["k"], version_col="ts_ms",
+            available_now=True,
+        )
+        assert q.awaitTermination(120)
+    state = {r.k: (r.val, r.tier) for r in pl.read_silver(spark, d["silver"]).collect()}
+    # tier survives as a column; the rewritten key carries NULL (additive
+    # policy: the source narrowed, history is not discarded), the
+    # untouched key keeps its value
+    assert state == {1: ("x2", None), 2: ("y", "silver")}
