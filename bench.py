@@ -54,6 +54,9 @@ HEADLINE = [
     "dedup_clusters",         # LLM: iterative label propagation (plan-unusual)
     "pack_greedy",            # LLM: applyInPandas Arrow path
     "similarity_ann_ivf_topk",  # LLM: IVF probe (16-literal argmin projection)
+    "similarity_ann_ivf_table", # LLM: IVF probe, centroid-TABLE scale path (r9
+                                # adjudication: equal CPU floor, better wall —
+                                # kept alongside the literal series, BASELINE.md)
 ]
 
 PASSES = 3
