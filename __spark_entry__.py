@@ -50,6 +50,9 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 
 _FRONT = (
     # round-9 additions (never driver-checked) go here, newest first:
+    "events_uniq_upto",
+    "ch_limit_by",
+    "ch_sample_clause",
     "stream_schema_evolution",
     "silver_ttl_rollup",
     "dedup_image_dhash",

@@ -216,6 +216,46 @@ def kmv_sketch(
     )
 
 
+def uniq_upto(
+    items: DataFrame,
+    group_col: str,
+    item_col: str,
+    n: int = 100,
+    n_partials: int = 64,
+) -> DataFrame:
+    """The ClickHouse ``uniqUpTo(N)(col)`` aggregate: EXACT distinct count
+    per group while it is ≤ N, else N+1 — the bounded-state way to ask
+    "are there more than N distinct?" without paying full countDistinct
+    at unbounded cardinality.
+
+    Exactness with bounded state: the N+1 SMALLEST distinct values of a
+    group are the sorted-slice of the union of each partial's N+1
+    smallest (the same order-statistics algebra as the KMV sketch, but
+    over the VALUES themselves, so the answer is exact — no hash
+    collisions in play).  Level 1 buckets by value hash (bucket-local
+    collect_set sliced immediately); level 2 is one flatten+sort+slice
+    over ≤ n_partials·(N+1) values per group.  Result column ``u`` =
+    min(true distinct, N+1)."""
+    lvl1 = (
+        items.select(F.col(group_col).alias("grp"), F.col(item_col).alias("it"))
+        .groupBy("grp", (kmv_hash_expr("it") % n_partials).alias("__b"))
+        .agg(F.slice(F.array_sort(F.collect_set("it")), 1, n + 1).alias("part"))
+    )
+    return (
+        lvl1.groupBy("grp")
+        .agg(
+            F.size(
+                F.slice(
+                    F.array_sort(F.array_distinct(F.flatten(F.collect_list("part")))),
+                    1,
+                    n + 1,
+                )
+            ).cast("long").alias("u")
+        )
+        .select(F.col("grp").alias(group_col), "u")
+    )
+
+
 def kmv_jaccard(sketches: DataFrame, group_col: str, k: int = 256) -> DataFrame:
     """Pairwise Jaccard estimates between every two groups' KMV sketches
     → (group_a, group_b, est_jaccard).  Standard KMV estimator: take the

@@ -574,6 +574,22 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_uniq_upto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9 — the ClickHouse ``uniqUpTo(N)(col)`` aggregate
+    (operators/sketch.uniq_upto): exact distinct users per event_type
+    while ≤ N, else N+1, with bounded state (the N+1-smallest-values
+    order-statistics algebra — see the operator).  Run at two Ns that
+    straddle the fixture's 150 distinct users per type: N=100 must
+    saturate at 101 (the "more than N" answer), N=200 must return the
+    exact 150 — both closed-form for the oracle."""
+    from ..operators.sketch import uniq_upto
+
+    ev = load_table(spark, sf_dir, "events")
+    lo = uniq_upto(ev, "event_type", "user_id", n=100).withColumnRenamed("u", "u100")
+    hi = uniq_upto(ev, "event_type", "user_id", n=200).withColumnRenamed("u", "u200")
+    return lo.join(hi, "event_type")
+
+
 QUERIES = {
     "star_join_revenue": star_join_revenue,
     "order_totals": order_totals,
@@ -601,6 +617,7 @@ QUERIES = {
     "events_value_percentiles": events_value_percentiles,
     "events_value_anomalies": events_value_anomalies,
     "events_cohort_retention": events_cohort_retention,
+    "events_uniq_upto": events_uniq_upto,
     "events_hourly_gapfill": events_hourly_gapfill,
     "events_sequence_match": events_sequence_match,
     "events_window_funnel": events_window_funnel,
@@ -804,6 +821,13 @@ ORACLES = {
     """,
 }
 
+
+ORACLES["events_uniq_upto"] = """
+    SELECT event_type,
+           LEAST(COUNT(DISTINCT user_id), 101) AS u100,
+           LEAST(COUNT(DISTINCT user_id), 201) AS u200
+    FROM events GROUP BY event_type
+"""
 
 ORACLES["events_cohort_retention"] = """
     WITH ev AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),

@@ -348,7 +348,48 @@ def ddl_view_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ch_limit_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9 — the ClickHouse ``ORDER BY … LIMIT n BY group`` clause: the
+    top-2 orders per customer by price (deterministic tie-break on
+    orderkey).  Spark shape: one ranked window partitioned by the group
+    key — a single hash shuffle on o_custkey, no global sort (the CH
+    clause's whole point is per-group limits without a global top-k)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 2)
+        .select(
+            "o_custkey", "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("__rn").cast("int").alias("rank_in_customer"),
+        )
+    )
+
+
+def ch_sample_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9 — the ClickHouse ``SAMPLE f`` clause: a DETERMINISTIC f-fraction
+    of the table keyed on the sampling key's hash (CH samples by
+    intHash of the PK so repeated queries see the SAME subset — unlike
+    Bernoulli rand() sampling).  Portable hash: the md5-60-bit idiom
+    every sketch oracle shares; keep rows whose key hash falls in the
+    lowest 10% of the hash space.  Map-only: the filter pushes to the
+    scan side of any downstream plan."""
+    from ..operators.sketch import KMV_HASH_SPACE, kmv_hash_expr
+
+    orders = load_table(spark, sf_dir, "orders")
+    cut = int(KMV_HASH_SPACE * 0.10)
+    return orders.filter(kmv_hash_expr("o_orderkey") < cut).select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+
+
 QUERIES = {
+    "ch_limit_by": ch_limit_by,
+    "ch_sample_clause": ch_sample_clause,
     "customers_without_orders": customers_without_orders,
     "customers_with_orders_semi": customers_with_orders_semi,
     "customer_order_counts_outer": customer_order_counts_outer,
@@ -372,6 +413,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ch_limit_by": """
+        SELECT o_custkey, o_orderkey,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+               CAST(rn AS INT) AS rank_in_customer
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders)
+        WHERE rn <= 2
+    """,
+    "ch_sample_clause": """
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders
+        WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+              < CAST(0.10 * 1152921504606846976 AS BIGINT)
+    """,
     "customers_without_orders": """
         SELECT c_custkey, c_name, c_mktsegment
         FROM customer c

@@ -125,3 +125,27 @@ def test_content_drift_js_properties(spark):
             assert 0.0 <= v <= math.log(2.0) + 1e-9   # JS bound
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_uniq_upto_exact_below_saturated_above(spark):
+    """r9 — uniqUpTo(N): exact while distinct ≤ N, pinned at N+1 beyond;
+    the order-statistics merge must be partition-layout-insensitive."""
+    from pyspark.sql import functions as F
+
+    from postgres_debezium_clickhouse_spark.operators.sketch import uniq_upto
+
+    # group 'a': 5 distinct; group 'b': 30 distinct — run with n=10
+    rows = [("a", f"v{i % 5}") for i in range(50)] + [
+        ("b", f"w{i}") for i in range(30)
+    ]
+    for parts in (1, 7):
+        df = spark.createDataFrame(rows, ["g", "item"]).repartition(parts)
+        out = {r.g: r.u for r in uniq_upto(df, "g", "item", n=10).collect()}
+        assert out == {"a": 5, "b": 11}
+    # boundary: exactly n distinct stays exact; n+1 distinct saturates
+    df = spark.createDataFrame(
+        [("x", f"t{i}") for i in range(10)] + [("y", f"t{i}") for i in range(11)],
+        ["g", "item"],
+    )
+    out = {r.g: r.u for r in uniq_upto(df, "g", "item", n=10).collect()}
+    assert out == {"x": 10, "y": 11}
