@@ -162,19 +162,22 @@ class LocalFSCommitBackend(CommitBackend):
                 except FileNotFoundError:
                     continue  # claimant just released/was stolen; retry
                 if age > stale_s:
-                    # Steal by ATOMIC rename to an owner-unique grave
-                    # (ADVICE r6): two stealers cannot both win — the
-                    # second rename gets FileNotFoundError and retries,
-                    # where it either links fresh or sees the first
-                    # stealer's new live claim.  The old unlink+create
-                    # steal let the slower stealer unlink the faster one's
-                    # freshly recreated claim.
-                    grave = f"{claim}.stale-{nonce}"
-                    try:
-                        os.rename(claim, grave)
-                    except FileNotFoundError:
-                        continue
-                    os.unlink(grave)
+                    # Steal under a per-claim STEAL MUTEX (r9 flake fix):
+                    # the r6 rename-to-grave closed the two-stealers race,
+                    # but a second TOCTOU survived between getmtime and
+                    # rename — a slow stealer whose age-read predates a
+                    # fast steal+fresh-relink would rename the FRESH
+                    # claim away (observed as a 2-winner flake under
+                    # container load).  The mutex serializes stealers, so
+                    # while one holds it no other thread removes claim
+                    # files; the fresh-age recheck AFTER the rename then
+                    # detects the only remaining displacement window (a
+                    # crashed-presumed owner releasing + a fresh claimant
+                    # linking mid-steal) and RESTORES via conditional
+                    # link.  The CAS manifest commit remains the hard
+                    # backstop either way (claims fail fast; CAS fails
+                    # safe).
+                    self._steal_claim(claim, nonce, stale_s)
                     continue
                 raise ManifestCommitError(
                     f"epoch {epoch} at {path} already claimed by a concurrent "
@@ -184,6 +187,71 @@ class LocalFSCommitBackend(CommitBackend):
         finally:
             try:
                 os.unlink(tmp)
+            except FileNotFoundError:
+                pass
+
+    def _steal_claim(self, claim: str, nonce: str, stale_s: float) -> None:
+        """Remove a stale claim file, serialized through a per-claim
+        steal mutex (see the call site for the race this closes).  On
+        ANY contention or recheck failure it simply returns — the caller
+        loops, re-links or re-evaluates, and the CAS manifest commit is
+        the hard backstop behind all of it."""
+        mutex = claim + ".steal-mutex"
+        mtmp = f"{claim}.mutex.{nonce}.tmp"
+        with open(mtmp, "w") as fh:
+            fh.write(nonce)
+        try:
+            try:
+                os.link(mtmp, mutex)
+            except FileExistsError:
+                # another stealer is mid-steal (mutex tenure is a few
+                # syscalls); break the mutex only if its holder crashed —
+                # break-by-rename so two breakers cannot double-free
+                try:
+                    if time.time() - os.path.getmtime(mutex) > 60.0:
+                        broken = f"{mutex}.stale-{nonce}"
+                        os.rename(mutex, broken)
+                        os.unlink(broken)
+                except FileNotFoundError:
+                    pass
+                return
+            try:
+                # under the mutex no other thread removes claim files, so
+                # a recheck-then-rename here is race-free against peer
+                # stealers; only an owner release + fresh relink can still
+                # interleave, and the post-rename age check catches it
+                try:
+                    if time.time() - os.path.getmtime(claim) <= stale_s:
+                        return  # re-claimed while we queued for the mutex
+                except FileNotFoundError:
+                    return
+                grave = f"{claim}.stale-{nonce}"
+                try:
+                    os.rename(claim, grave)
+                except FileNotFoundError:
+                    return
+                try:
+                    displaced_live = time.time() - os.path.getmtime(grave) <= stale_s
+                except FileNotFoundError:
+                    return
+                if displaced_live:
+                    # we yanked a LIVE claim (owner woke up mid-steal):
+                    # conditional restore — if the name re-filled in the
+                    # window, the displaced owner fails at the CAS commit,
+                    # loudly, never silently
+                    try:
+                        os.link(grave, claim)
+                    except FileExistsError:
+                        pass
+                os.unlink(grave)
+            finally:
+                try:
+                    os.unlink(mutex)
+                except FileNotFoundError:
+                    pass  # a breaker renamed it away during a stall
+        finally:
+            try:
+                os.unlink(mtmp)
             except FileNotFoundError:
                 pass
 

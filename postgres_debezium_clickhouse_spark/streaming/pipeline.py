@@ -1113,6 +1113,35 @@ def ttl_silver(
     )
 
 
+def rebucket_silver(spark: SparkSession, path: str, keys: list[str],
+                    new_n_buckets: int) -> int:
+    """r9 — change a silver store's bucket width as ONE committed
+    version: read every live file, republish the full state at
+    ``new_n_buckets``, commit via the usual epoch claim + CAS.  The
+    resize every long-lived store eventually needs — a width sized for
+    the first TB is wrong at 100 TB (too few buckets ⇒ huge per-bucket
+    rewrites per trigger; too many ⇒ small-file pressure).  Tombstones
+    and every sink-specific manifest field (replay watermarks) carry
+    through; history manifests remain readable because committed files
+    are immutable until vacuumed — but as-of reads PREDATING the
+    rebucket still see the old width via their own manifest's
+    ``n_buckets``, so time travel composes.  Run like compaction: only
+    while the owning stream is stopped (single-writer store).  Returns
+    the new version number."""
+    manifest = _read_manifest(path)
+    if manifest is None:
+        raise FileNotFoundError(f"no silver store at {path}")
+    if new_n_buckets == manifest["n_buckets"]:
+        return manifest["version"]
+    df = _read_live_files(spark, path, manifest)
+    new_manifest = {**manifest, "n_buckets": new_n_buckets}
+    _publish_buckets(
+        df, path, keys, new_manifest,
+        replaced_buckets=set(range(manifest["n_buckets"])),
+    )
+    return _read_manifest(path)["version"]
+
+
 def ttl_rollup_silver(
     spark: SparkSession,
     path: str,

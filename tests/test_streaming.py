@@ -780,3 +780,55 @@ def test_store_schema_narrows_without_losing_history(spark, tmp_path):
     # policy: the source narrowed, history is not discarded), the
     # untouched key keeps its value
     assert state == {1: ("x2", None), 2: ("y", "silver")}
+
+
+def test_rebucket_preserves_state_and_future_merges(spark, tmp_path):
+    """r9: rebucket_silver changes the store width as one committed
+    version — state identical before/after, tombstones carried, later
+    streaming merges use the NEW width, and pre-rebucket versions stay
+    time-travelable at the OLD width."""
+    import postgres_debezium_clickhouse_spark.streaming.pipeline as pl
+
+    d = {n: str(tmp_path / n) for n in ("s1", "s2", "silver", "c1", "c2")}
+    phase1 = spark.createDataFrame(
+        [(i, f"v{i}", "r", 1, i) for i in range(40)] + [(7, "gone", "d", 2, 99)],
+        "k long, val string, op string, ts_ms long, offset long",
+    )
+    phase1.coalesce(1).write.json(d["s1"])
+    q = pl.silver_upsert_stream(
+        spark.readStream.schema(phase1.schema).json(d["s1"]),
+        d["silver"], d["c1"], keys=["k"], version_col="ts_ms",
+        available_now=True, n_buckets=4,
+    )
+    assert q.awaitTermination(120)
+    before = {r.k: r.val for r in pl.read_silver(spark, d["silver"]).collect()}
+    v_old = pl.silver_versions(d["silver"])[-1]
+
+    new_v = pl.rebucket_silver(spark, d["silver"], ["k"], 16)
+    m = pl._read_manifest(d["silver"])
+    assert m["n_buckets"] == 16 and m["version"] == new_v
+    after = {r.k: r.val for r in pl.read_silver(spark, d["silver"]).collect()}
+    assert after == before
+    # tombstone carried (k=7 deleted, not resurrected)
+    assert 7 not in after
+    tomb = pl.read_silver(spark, d["silver"], include_deleted=True)
+    assert tomb.filter("k = 7").count() == 1
+    # later merges work at the new width
+    phase2 = spark.createDataFrame(
+        [(3, "v3b", "u", 5, 100)],
+        "k long, val string, op string, ts_ms long, offset long",
+    )
+    phase2.coalesce(1).write.json(d["s2"])
+    q = pl.silver_upsert_stream(
+        spark.readStream.schema(phase2.schema).json(d["s2"]),
+        d["silver"], d["c2"], keys=["k"], version_col="ts_ms",
+        available_now=True,
+    )
+    assert q.awaitTermination(120)
+    state = {r.k: r.val for r in pl.read_silver(spark, d["silver"]).collect()}
+    assert state[3] == "v3b" and len(state) == 39
+    # pre-rebucket version still readable (old width, own manifest)
+    old = pl.read_silver(spark, d["silver"], as_of_version=v_old)
+    assert {r.k: r.val for r in old.collect()} == before
+    # idempotent no-op at same width
+    assert pl.rebucket_silver(spark, d["silver"], ["k"], 16) == pl._read_manifest(d["silver"])["version"]
