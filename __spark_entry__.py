@@ -50,6 +50,8 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 
 _FRONT = (
     # round-9 additions (never driver-checked) go here, newest first:
+    "ch_dict_get",
+    "silver_version_diff",
     "events_uniq_upto",
     "ch_limit_by",
     "ch_sample_clause",

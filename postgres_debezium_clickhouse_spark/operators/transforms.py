@@ -253,3 +253,35 @@ def schema_drift_report(
             F.min("__off").cast("long").alias("first_offset"),
         )
     )
+
+
+def dict_get(
+    df,
+    dictionary,
+    key: str,
+    attrs: dict[str, tuple[str, object]],
+    dict_key: str | None = None,
+):
+    """r9 — the ClickHouse external-dictionary lookup
+    (``dictGet('dim', 'attr', key)``): enrich ``df`` with attribute
+    columns from a DICTIONARY table, with CH's missing-key semantics —
+    a key absent from the dictionary yields the attribute's DEFAULT
+    (CH returns the type default / ``dictGetOrDefault``'s value), never
+    a dropped row and never NULL-by-accident.
+
+    ``attrs`` maps output column → (dictionary value column, default).
+    Plan shape: dictionaries are small by contract (CH loads them in
+    RAM on every server), so the lookup is a BROADCAST left join +
+    coalesce — map-side, no shuffle of the fact side, which is exactly
+    what dictGet is for at 100 TB: a fact-table scan decorated with
+    in-memory lookups."""
+    from pyspark.sql import functions as F
+
+    dk = dict_key or key
+    proj = dictionary.select(
+        F.col(dk).alias(key), *[F.col(src).alias(out) for out, (src, _) in attrs.items()]
+    )
+    out = df.join(F.broadcast(proj), key, "left")
+    for out_col, (_, default) in attrs.items():
+        out = out.withColumn(out_col, F.coalesce(F.col(out_col), F.lit(default)))
+    return out

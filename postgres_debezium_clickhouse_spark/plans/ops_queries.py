@@ -899,6 +899,56 @@ def stream_agg_kmv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sh.rmtree(d, ignore_errors=True)
 
 
+def silver_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9 — the keyed diff between two committed store versions
+    (``diff_silver``: two manifest-pruned as-of reads + one full-outer
+    key join — never a version-log replay).  Fixture: v1 = orders with
+    keys ≡1 (mod 11) withheld; v2 = statuses of ≡3 (mod 3) updated to
+    'U', keys ≡0 (mod 7) deleted, and the withheld keys inserted.  The
+    diff v1→v2 is then a pure closed form over o_orderkey arithmetic:
+    inserted / deleted / updated with the documented precedence (an
+    inserted key that is also ≡0 (mod 7) was never live in v1 and got
+    deleted in v2 → absent from the diff entirely; an inserted ≡0
+    (mod 3) key reads as inserted, not updated)."""
+    from ..streaming.pipeline import _publish_buckets, _read_manifest, diff_silver
+
+    import shutil as _sh
+
+    path = f"{tempfile.gettempdir()}/diff_store_{uuid.uuid4().hex[:12]}"
+    try:
+        k = F.col("o_orderkey")
+        base = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_orderstatus"
+        )
+        v1 = base.filter(k % 11 != 1).withColumn("__deleted", F.lit(False))
+        v2 = (
+            base.withColumn(
+                "o_orderstatus",
+                F.when(k % 3 == 0, "U").otherwise(F.col("o_orderstatus")),
+            )
+            .filter(k % 7 != 0)
+            .withColumn("__deleted", F.lit(False))
+        )
+        for state in (v1, v2):
+            manifest = _read_manifest(path) or {
+                "version": 0, "n_buckets": 8, "files": [],
+            }
+            _publish_buckets(
+                state, path, ["o_orderkey"], manifest,
+                set(range(manifest["n_buckets"])),
+            )
+        from ..streaming.pipeline import silver_versions
+
+        first = sorted(silver_versions(path))[0]
+        return (
+            diff_silver(spark, path, ["o_orderkey"], from_version=first)
+            .select("o_orderkey", "change")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _sh.rmtree(path, ignore_errors=True)
+
+
 def stream_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r9 — mid-stream ADDITIVE SCHEMA WIDENING through the upsert store,
     end-to-end: phase 1 streams the orders snapshot under the original
@@ -1291,6 +1341,7 @@ QUERIES = {
     "stream_agg_kmv_state": stream_agg_kmv_state,
     "silver_ttl_rollup": silver_ttl_rollup,
     "stream_schema_evolution": stream_schema_evolution,
+    "silver_version_diff": silver_version_diff,
     "stream_vcollapsing_state": stream_vcollapsing_state,
     "stream_agg_state": stream_agg_state,
     "silver_ttl": silver_ttl,
@@ -1488,6 +1539,21 @@ ORACLES["stream_agg_kmv_state"] = """
     FROM events GROUP BY event_type
 """
 ORACLES["stream_vcollapsing_state"] = _COLLAPSE_ORACLE
+
+# closed-form diff (see silver_version_diff): v1 withholds %11=1, v2
+# updates %3=0 to 'U' and drops %7=0 — precedence: inserted-then-deleted
+# keys absent, inserted wins over updated
+ORACLES["silver_version_diff"] = """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 11 = 1 AND o_orderkey % 7 <> 0 THEN 'inserted'
+                WHEN o_orderkey % 11 <> 1 AND o_orderkey % 7 = 0 THEN 'deleted'
+                WHEN o_orderkey % 11 <> 1 AND o_orderkey % 7 <> 0
+                     AND o_orderkey % 3 = 0 THEN 'updated'
+           END AS change
+    FROM orders
+    WHERE NOT (o_orderkey % 11 = 1 AND o_orderkey % 7 = 0)
+      AND (o_orderkey % 11 = 1 OR o_orderkey % 7 = 0 OR o_orderkey % 3 = 0)
+"""
 
 ORACLES["stream_schema_evolution"] = """
     SELECT o_orderkey,

@@ -348,6 +348,34 @@ def ddl_view_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ch_dict_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9 — the ClickHouse external-dictionary lookup
+    (``dictGetOrDefault('customers', 'name', o_custkey, 'unknown')``):
+    orders enriched from a customer dictionary via
+    ``operators.transforms.dict_get`` — broadcast lookup, CH's
+    missing-key default semantics exercised for real by restricting the
+    dictionary to c_custkey < 500 (every other order gets the
+    defaults).  One broadcast hash join, fact side never shuffles."""
+    from ..operators.transforms import dict_get
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 500)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+    return dict_get(
+        orders, dim, key="o_custkey", dict_key="c_custkey",
+        attrs={
+            "cust_name": ("c_name", "unknown"),
+            "cust_acctbal": ("c_acctbal", 0.0),
+        },
+    ).select(
+        "o_orderkey", "o_custkey", "cust_name",
+        F.col("cust_acctbal").cast("double").alias("cust_acctbal"),
+    )
+
+
 def ch_limit_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r9 — the ClickHouse ``ORDER BY … LIMIT n BY group`` clause: the
     top-2 orders per customer by price (deterministic tie-break on
@@ -388,6 +416,7 @@ def ch_sample_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "ch_dict_get": ch_dict_get,
     "ch_limit_by": ch_limit_by,
     "ch_sample_clause": ch_sample_clause,
     "customers_without_orders": customers_without_orders,
@@ -413,6 +442,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ch_dict_get": """
+        SELECT o.o_orderkey, o.o_custkey,
+               COALESCE(c.c_name, 'unknown') AS cust_name,
+               CAST(COALESCE(c.c_acctbal, 0.0) AS DOUBLE) AS cust_acctbal
+        FROM orders o
+        LEFT JOIN (SELECT c_custkey, c_name, c_acctbal FROM customer
+                   WHERE c_custkey < 500) c
+          ON o.o_custkey = c.c_custkey
+    """,
     "ch_limit_by": """
         SELECT o_custkey, o_orderkey,
                CAST(o_totalprice AS DOUBLE) AS o_totalprice,

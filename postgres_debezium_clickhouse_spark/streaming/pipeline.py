@@ -1113,6 +1113,55 @@ def ttl_silver(
     )
 
 
+def diff_silver(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """r9 — keyed diff between two committed store versions: one row per
+    key whose LIVE state changed, tagged ``inserted`` / ``deleted`` /
+    ``updated`` (tombstones and absent keys both count as not-live, so a
+    TTL expiry reads as ``deleted`` and a delete-then-reinsert as
+    ``updated``).  The audit companion to time travel: "what changed
+    between the corpus pin run X trained on and today" as a DataFrame —
+    with ``before``/``after`` structs for the updated rows' payloads.
+
+    Plan: two manifest-pruned as-of reads + ONE full-outer join on the
+    key — no version log is replayed, no file outside the two manifests
+    is opened.  Columns present in only one version (schema evolution
+    between the pins) are excluded from the equality test and surfaced
+    through the structs instead."""
+    a = read_silver(spark, path, include_deleted=True, as_of_version=from_version)
+    b = (
+        read_silver(spark, path, include_deleted=True, as_of_version=to_version)
+        if to_version is not None
+        else read_silver(spark, path, include_deleted=True)
+    )
+    shared = sorted((set(a.columns) & set(b.columns)) - set(keys) - {DELETED_FLAG})
+    A = a.select(
+        *keys, F.col(DELETED_FLAG).alias("__da"), F.struct(*shared).alias("before")
+    )
+    B = b.select(
+        *keys, F.col(DELETED_FLAG).alias("__db"), F.struct(*shared).alias("after")
+    )
+    live_a = F.coalesce(~F.col("__da"), F.lit(False))
+    live_b = F.coalesce(~F.col("__db"), F.lit(False))
+    change = (
+        F.when(~live_a & live_b, F.lit("inserted"))
+        .when(live_a & ~live_b, F.lit("deleted"))
+        .when(live_a & live_b & ~F.col("before").eqNullSafe(F.col("after")),
+              F.lit("updated"))
+    )
+    return (
+        A.join(B, keys, "full_outer")
+        .withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(*keys, "change", "before", "after")
+    )
+
+
 def rebucket_silver(spark: SparkSession, path: str, keys: list[str],
                     new_n_buckets: int) -> int:
     """r9 — change a silver store's bucket width as ONE committed
