@@ -829,6 +829,59 @@ def stream_agg_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sh.rmtree(d, ignore_errors=True)
 
 
+def stream_agg_argmax_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9 — the CH ``argMaxState``/``argMinState`` columns in the
+    aggregating sink: per event_type the store maintains (latest-ts
+    value, earliest-ts value) as lexicographic struct-extremum state —
+    associative+commutative with a deterministic payload tie-break, so
+    the multi-batch replay must equal the whole-table argmax/argmin
+    exactly (the oracle's row_number with the same tie-break)."""
+    from ..streaming.pipeline import read_silver, silver_summing_stream
+
+    import shutil as _sh
+
+    run = uuid.uuid4().hex[:12]
+    root = tempfile.gettempdir()
+    src = f"{root}/argm_src_{run}"
+    dst = f"{root}/argm_out_{run}"
+    ckpt = f"{root}/argm_ckpt_{run}"
+    try:
+        events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_type", "ts", "value"
+        )
+        events.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+        )
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = silver_summing_stream(
+                stream, dst, ckpt, keys=["event_type"],
+                agg_spec={"last": ("value", "argmax:ts"),
+                          "first": ("value", "argmin:ts")},
+                available_now=True,
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("argmax stream did not finish in 300s")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        return read_silver(spark, dst).select(
+            "event_type",
+            F.col("last.o").alias("last_ts"),
+            F.col("last.v").alias("last_value"),
+            F.col("first.o").alias("first_ts"),
+            F.col("first.v").alias("first_value"),
+            F.col("__n_rows").alias("n_rows"),
+        ).localCheckpoint(eager=True)
+    finally:
+        for d in (src, dst, ckpt):
+            _sh.rmtree(d, ignore_errors=True)
+
+
 def stream_agg_kmv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r9 — mergeable sketch-STATE columns in the aggregating sink (the
     real AggregatingMergeTree use, CH ``AggregateFunction(uniq, …)``):
@@ -1339,6 +1392,7 @@ QUERIES = {
     "stream_summing_state": stream_summing_state,
     "stream_collapsing_state": stream_collapsing_state,
     "stream_agg_kmv_state": stream_agg_kmv_state,
+    "stream_agg_argmax_state": stream_agg_argmax_state,
     "silver_ttl_rollup": silver_ttl_rollup,
     "stream_schema_evolution": stream_schema_evolution,
     "silver_version_diff": silver_version_diff,
@@ -1531,6 +1585,27 @@ ORACLES["stream_collapsing_state"] = _COLLAPSE_ORACLE
 # 150 distinct users > k=64 (estimation path, not the exact small-set
 # path); accurate is deterministic (md5 hashes) — a constant of the
 # fixture within the stated 15% band, not a flaky sample
+# argmax/argmin state: lexicographic (ts, value) extremum — the oracle
+# mirrors the tie-break exactly (value DESC for argmax, ASC for argmin)
+ORACLES["stream_agg_argmax_state"] = """
+    WITH lastv AS (
+        SELECT event_type, ts AS last_ts, value AS last_value
+        FROM (SELECT event_type, ts, value, ROW_NUMBER() OVER (
+                  PARTITION BY event_type ORDER BY ts DESC, value DESC) AS rn
+              FROM events) WHERE rn = 1
+    ),
+    firstv AS (
+        SELECT event_type, ts AS first_ts, value AS first_value
+        FROM (SELECT event_type, ts, value, ROW_NUMBER() OVER (
+                  PARTITION BY event_type ORDER BY ts ASC, value ASC) AS rn
+              FROM events) WHERE rn = 1
+    ),
+    n AS (SELECT event_type, COUNT(*) AS n_rows FROM events GROUP BY event_type)
+    SELECT l.event_type, l.last_ts, l.last_value,
+           f.first_ts, f.first_value, n.n_rows
+    FROM lastv l JOIN firstv f USING (event_type) JOIN n USING (event_type)
+"""
+
 ORACLES["stream_agg_kmv_state"] = """
     SELECT event_type,
            COUNT(DISTINCT user_id) AS exact_users,

@@ -763,7 +763,28 @@ def _replay_guard(path: str, ckpt_key: str, batch_id: int) -> dict | None:
 #: associative+commutative+idempotent, so the state is batch-boundary-
 #: AND duplicate-insensitive.  Read the estimate with
 #: ``operators.sketch.kmv_estimate_expr``.
+#:
+#: "argmax:<ord_col>" / "argmin:<ord_col>" (r9) are the CH
+#: ``argMaxState/argMinState`` analogues — the stored value is a struct
+#: ``(o, v)`` of the extremal ordering value and its payload; merge =
+#: lexicographic struct max/min, associative+commutative with a
+#: deterministic payload tie-break, so the state is batch-boundary-
+#: insensitive like every other op here.  Read the payload as
+#: ``col("<out>.v")``.
 AGG_OPS = ("sum", "min", "max", "kmv")
+
+
+def _parse_agg_op(op: str) -> tuple[str, str | None]:
+    base, _, ord_col = op.partition(":")
+    if base in ("argmax", "argmin"):
+        if not ord_col:
+            raise ValueError(f"{base} op needs an ordering column: '{base}:<col>'")
+        return base, ord_col
+    if op not in AGG_OPS:
+        raise ValueError(
+            f"op must be one of {AGG_OPS} or argmax:<col>/argmin:<col>, got {op!r}"
+        )
+    return op, None
 
 
 def silver_summing_stream(
@@ -837,27 +858,36 @@ def silver_summing_stream(
     if not spec:
         raise ValueError("need sum_cols and/or agg_spec")
     for out, (src, op) in spec.items():
-        if op not in AGG_OPS:
-            raise ValueError(f"agg_spec[{out!r}]: op must be one of {AGG_OPS}, got {op!r}")
+        try:
+            _parse_agg_op(op)
+        except ValueError as e:
+            raise ValueError(f"agg_spec[{out!r}]: {e}") from None
 
     from ..operators.sketch import kmv_hash_expr
 
     def _ingest(out: str, src: str, op: str):
-        if op == "sum":
+        base, ord_col = _parse_agg_op(op)
+        if base == "sum":
             return F.sum(F.col(src).cast(ingest_t)).cast(acc).alias(out)
-        if op == "kmv":
+        if base == "kmv":
             # batch partial sketch: K smallest hashes of the batch's
             # values for this key (collect_set state is key-local within
             # one micro-batch, immediately sliced to kmv_k)
             return F.slice(
                 F.array_sort(F.collect_set(kmv_hash_expr(src))), 1, kmv_k
             ).alias(out)
-        return getattr(F, op)(F.col(src)).alias(out)
+        if base in ("argmax", "argmin"):
+            picker = F.max if base == "argmax" else F.min
+            return picker(
+                F.struct(F.col(ord_col).alias("o"), F.col(src).alias("v"))
+            ).alias(out)
+        return getattr(F, base)(F.col(src)).alias(out)
 
     def _remerge(out: str, op: str):
-        if op == "sum":
+        base, _ = _parse_agg_op(op)
+        if base == "sum":
             return F.sum(F.col(out)).cast(acc).alias(out)
-        if op == "kmv":
+        if base == "kmv":
             # sketch union: ≤2 arrays per key (store row + batch partial)
             # → flatten, dedup, K smallest — bounded at 2·kmv_k inputs
             return F.slice(
@@ -867,7 +897,9 @@ def silver_summing_stream(
                 1,
                 kmv_k,
             ).alias(out)
-        return getattr(F, op)(F.col(out)).alias(out)
+        if base in ("argmax", "argmin"):
+            return (F.max if base == "argmax" else F.min)(F.col(out)).alias(out)
+        return getattr(F, base)(F.col(out)).alias(out)
 
     def _batch_partial(batch: DataFrame) -> DataFrame:
         return batch.groupBy(*keys).agg(

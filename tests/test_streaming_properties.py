@@ -127,3 +127,66 @@ def test_streamed_summing_equals_batch_groupby(spark, tmp_path_factory, rows, se
         expect[k][0] += cents
         expect[k][1] += 1
     assert streamed == {k: (c / 100.0, n) for k, (c, n) in expect.items()}
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),   # key
+            st.sampled_from([1, -1]),                # sign
+            st.sampled_from(["p", "q", "r"]),        # payload
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    seed=st.integers(min_value=0, max_value=6),
+)
+def test_streamed_collapse_equals_whole_log(spark, tmp_path_factory, ops, seed):
+    """r9 property (verdict item 2's Done bar): the collapsing store's
+    state equals the whole-log signed collapse for ANY event log split
+    ANY way into micro-batches — per key: balance = Σsign, visible iff
+    > 0, payload = the max-seq +1 row's."""
+    from postgres_debezium_clickhouse_spark.streaming.pipeline import (
+        read_collapsed,
+        silver_collapsing_stream,
+    )
+
+    log = [(k, s, i + 1, v) for i, (k, s, v) in enumerate(ops)]
+    d = tmp_path_factory.mktemp("clps")
+    src = d / "src"
+    src.mkdir()
+    n_files = (seed % 3) + 1
+    for i in range(n_files):
+        chunk = log[i::n_files]
+        if not chunk:
+            continue
+        lines = [
+            json.dumps({"k": k, "sign": s, "seq": q, "payload": v})
+            for k, s, q, v in chunk
+        ]
+        (src / f"b{i}.jsonl").write_text("\n".join(lines))
+    stream = (
+        spark.readStream.schema("k LONG, sign INT, seq LONG, payload STRING")
+        .option("maxFilesPerTrigger", "1").json(str(src))
+    )
+    q = silver_collapsing_stream(
+        stream, str(d / "out"), str(d / "ck"), keys=["k"], seq_col="seq",
+        available_now=True,
+    )
+    assert q.awaitTermination(180)
+    got = {
+        r["k"]: (r["payload"], r["__sign_net"])
+        for r in read_collapsed(spark, str(d / "out"), keys=["k"]).collect()
+    }
+    # reference collapse in plain Python
+    want = {}
+    for k in {k for k, *_ in log}:
+        rows = [(s, q, v) for kk, s, q, v in log if kk == k]
+        net = sum(s for s, _, _ in rows)
+        plus = [(q, v) for s, q, v in rows if s == 1]
+        if net > 0 and plus:
+            want[k] = (max(plus)[1], net)
+        elif net > 0:
+            want[k] = (None, net)
+    assert got == want
