@@ -1461,12 +1461,23 @@ class Pipeline:
         registry: dict[str, dict] | None = None,
         available_now: bool = False,
         config: ConnectorConfig | None = None,
+        engine: str = "replacing",
+        engine_opts: dict | None = None,
     ) -> dict[str, StreamingQuery]:
         """S10 one-call table capture — the ``POST /connectors`` equivalent
         (start.sh:67-74): wire BOTH layers for one registry table from a
-        Kafka-shaped event stream: bronze raw archive + silver keyed upsert,
+        Kafka-shaped event stream: bronze raw archive + silver keyed sink,
         each with its own checkpoint.  Returns the two queries keyed
         'bronze'/'silver'.
+
+        ``engine`` (r9) is the ClickHouse ``ENGINE=`` slot of the silver
+        table (clickhouse.sql:51 chooses it per table): ``"replacing"``
+        (default — the latest-wins upsert, ReplacingMergeTree),
+        ``"summing"`` (additive per-key aggregation; pass ``sum_cols`` /
+        ``agg_spec`` via ``engine_opts``), or ``"collapsing"`` (sign
+        collapse; pass ``sign_col``/``seq_col``/``version_col`` via
+        ``engine_opts``).  All three share the bucketed manifest store,
+        checkpointing, and the registration lifecycle.
 
         ``config`` applies the connector-level knobs this call owns: the
         ``poll.interval.ms``-equivalent processingTime trigger on both
@@ -1502,13 +1513,23 @@ class Pipeline:
                 p.source["ts_ms"].alias("ts_ms"),
                 F.col("offset"),
             )
-            silver_q = silver_upsert_stream(
+            sink = {
+                "replacing": silver_upsert_stream,
+                "summing": silver_summing_stream,
+                "collapsing": silver_collapsing_stream,
+            }
+            if engine not in sink:
+                raise ValueError(
+                    f"engine must be one of {sorted(sink)}, got {engine!r}"
+                )
+            silver_q = sink[engine](
                 flat,
                 path=f"{base_dir}/silver/{table}",
                 checkpoint=f"{base_dir}/ckpt/silver_{table}",
                 keys=spec["keys"],
                 available_now=available_now,
                 processing_interval_ms=interval,
+                **(engine_opts or {}),
             )
         finally:
             if config and config.scheduler_pool:

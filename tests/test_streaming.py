@@ -832,3 +832,38 @@ def test_rebucket_preserves_state_and_future_merges(spark, tmp_path):
     assert {r.k: r.val for r in old.collect()} == before
     # idempotent no-op at same width
     assert pl.rebucket_silver(spark, d["silver"], ["k"], 16) == pl._read_manifest(d["silver"])["version"]
+
+
+def test_capture_table_engine_slot(spark, tmp_path):
+    """r9 — the ENGINE= slot on capture_table (clickhouse.sql:51 parity):
+    the same registration call wires a SUMMING silver table when asked;
+    unknown engines fail loudly."""
+    import pytest as _pt
+
+    from postgres_debezium_clickhouse_spark.sources.cdc import orders_cdc_events
+    from postgres_debezium_clickhouse_spark.streaming.pipeline import (
+        Pipeline,
+        read_silver,
+    )
+
+    events = orders_cdc_events(spark, "/root/testdata/sf0.001")
+    src = str(tmp_path / "kafka_shape")
+    events.write.mode("overwrite").json(src)
+    stream = spark.readStream.schema(events.schema).json(src)
+
+    pipe = Pipeline(spark)
+    qs = pipe.capture_table(
+        "orders", stream, str(tmp_path / "lake"), available_now=True,
+        engine="summing", engine_opts={"sum_cols": ["o_totalprice"]},
+    )
+    qs["bronze"].awaitTermination(180)
+    qs["silver"].awaitTermination(180)
+    state = read_silver(spark, str(tmp_path / "lake/silver/orders"))
+    # summing store: one row per key, carrying the running DECIMAL sum
+    assert state.groupBy("o_orderkey").count().filter("count > 1").count() == 0
+    assert dict(state.dtypes)["o_totalprice"].startswith("decimal(30")
+
+    with _pt.raises(ValueError, match="engine must be one of"):
+        pipe.capture_table(
+            "orders", stream, str(tmp_path / "lake2"), engine="graphite"
+        )
