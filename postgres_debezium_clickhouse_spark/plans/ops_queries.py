@@ -952,6 +952,51 @@ def stream_agg_kmv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sh.rmtree(d, ignore_errors=True)
 
 
+def silver_projection_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9 — CH-style per-part PROJECTION end-to-end: orders published to
+    a store keyed by o_orderkey, ``ADD PROJECTION by_cust (ORDER BY
+    o_custkey)`` materialized, then an UPDATE wave (statuses of keys ≡3
+    (mod 3) → 'U') re-publishes through the projection-maintaining
+    writer.  The secondary-key range read goes through the projection
+    (custkey-sorted files → parquet row-group pruning serves it; the
+    sortedness is pinned by tests/test_projections.py) and must equal
+    the closed form — proving the projection tracked the mutation
+    atomically, not just the backfill."""
+    from ..streaming.pipeline import (
+        _publish_buckets,
+        _read_manifest,
+        add_projection,
+        mutate_silver,
+        read_silver_projection,
+    )
+
+    import shutil as _sh
+
+    path = f"{tempfile.gettempdir()}/proj_store_{uuid.uuid4().hex[:12]}"
+    try:
+        base = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey", "o_orderstatus"
+        ).withColumn("__deleted", F.lit(False))
+        _publish_buckets(
+            base, path, ["o_orderkey"],
+            {"version": 0, "n_buckets": 8, "files": []}, set(range(8)),
+        )
+        add_projection(spark, path, ["o_orderkey"], "by_cust", ["o_custkey"])
+        mutate_silver(
+            spark, path, ["o_orderkey"],
+            where=F.col("o_orderkey") % 3 == 0,
+            set_exprs={"o_orderstatus": F.lit("U")},
+        )
+        return (
+            read_silver_projection(spark, path, "by_cust")
+            .filter((F.col("o_custkey") >= 100) & (F.col("o_custkey") < 200))
+            .select("o_orderkey", "o_custkey", "o_orderstatus")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _sh.rmtree(path, ignore_errors=True)
+
+
 def silver_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r9 — the keyed diff between two committed store versions
     (``diff_silver``: two manifest-pruned as-of reads + one full-outer
@@ -1396,6 +1441,7 @@ QUERIES = {
     "silver_ttl_rollup": silver_ttl_rollup,
     "stream_schema_evolution": stream_schema_evolution,
     "silver_version_diff": silver_version_diff,
+    "silver_projection_scan": silver_projection_scan,
     "stream_vcollapsing_state": stream_vcollapsing_state,
     "stream_agg_state": stream_agg_state,
     "silver_ttl": silver_ttl,
@@ -1618,6 +1664,13 @@ ORACLES["stream_vcollapsing_state"] = _COLLAPSE_ORACLE
 # closed-form diff (see silver_version_diff): v1 withholds %11=1, v2
 # updates %3=0 to 'U' and drops %7=0 — precedence: inserted-then-deleted
 # keys absent, inserted wins over updated
+ORACLES["silver_projection_scan"] = """
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'U' ELSE o_orderstatus END
+               AS o_orderstatus
+    FROM orders WHERE o_custkey >= 100 AND o_custkey < 200
+"""
+
 ORACLES["silver_version_diff"] = """
     SELECT o_orderkey,
            CASE WHEN o_orderkey % 11 = 1 AND o_orderkey % 7 <> 0 THEN 'inserted'

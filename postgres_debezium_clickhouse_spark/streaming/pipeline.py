@@ -281,7 +281,6 @@ def _publish_buckets(
             shutil.rmtree(epoch_dir)
         out = (
             df.withColumn("__bucket", _bucket_expr(keys, n_buckets))
-            .withColumn("__epoch", F.lit(epoch))
             # EXPLICIT width: a bare repartition(col) starts at AQE's
             # initialPartitionNum (2048 in the scale-tuned session) and AQE
             # never coalesces user repartitions — every publish was paying
@@ -289,51 +288,98 @@ def _publish_buckets(
             # the whole silver family, upsert/mutation/TTL/summing).  One
             # partition per bucket is the store's natural write width.
             .repartition(n_buckets, "__bucket")
-            # the FULL partition-column prefix (__epoch, __bucket) leads the
-            # sort: V1Writes' required-ordering check matches on the exact
-            # partition-column list, and __epoch alone being constant per
-            # publish doesn't help — Spark treats it as an attribute, so a
-            # sort missing it makes the dynamic-partition writer insert its
-            # own sort over only the partition columns, and the per-bucket
-            # key order the O1 layout documents would then survive only by
-            # TimSort stability, not by contract (review r8 + advice r9).
-            # __epoch is one value per publish, so leading with it is free.
-            .sortWithinPartitions("__epoch", "__bucket", *keys)
+            .sortWithinPartitions("__bucket", *keys)
         )
-        out.write.mode("append").partitionBy("__epoch", "__bucket").parquet(path)
+        # Write INTO the epoch dir, partitioned by __bucket ONLY (r9 fix,
+        # closes ADVICE r9 item 1 for real): with __epoch as a partition
+        # column its sort key is a foldable literal, so ConstantFolding
+        # strips it from OUR sort while the writer's required ordering
+        # still references the attribute — never satisfied → the
+        # dynamic-partition writer inserted its own (epoch, bucket) sort,
+        # which is NOT stable and silently destroyed the per-bucket key
+        # order (measured: a sec-sorted projection came out scan-ordered).
+        # With the requirement reduced to (__bucket), our (__bucket, keys)
+        # sort satisfies it by prefix and the writer adds nothing — the O1
+        # in-bucket order is now contractual, not TimSort luck.  The
+        # directory layout is unchanged (path/__epoch=N/__bucket=B/), so
+        # readers and vacuum see the exact same tree.
+        projections = manifest.get("projections", {})
+        if projections:
+            # every projection write re-evaluates df's plan — pin it once
+            df.persist()
+        try:
+            out.write.mode("append").partitionBy("__bucket").parquet(epoch_dir)
 
-        new_files = []
-        for bucket_dir in sorted(os.listdir(epoch_dir)) if os.path.isdir(epoch_dir) else []:
-            full = os.path.join(epoch_dir, bucket_dir)
-            if not bucket_dir.startswith("__bucket=") or not os.path.isdir(full):
-                continue
-            new_files += [
-                f"__epoch={epoch}/{bucket_dir}/{f}"
-                for f in sorted(os.listdir(full))
-                if f.endswith(".parquet")
-            ]
-        kept = [
-            f for f in manifest["files"]
-            if int(f.split("__bucket=")[1].split("/")[0]) not in replaced_buckets
-        ]
-        _write_manifest(
-            path,
-            {
-                # sink-specific fields (e.g. the summing sink's applied-
-                # batch watermarks) CARRY FORWARD through every publisher
-                # — compaction/mutations must not silently drop them
-                **{
-                    k: v for k, v in manifest.items()
-                    if k not in ("version", "n_buckets", "files", "schema")
+            def _collect_epoch_files(root: str, rel_prefix: str) -> list[str]:
+                edir = os.path.join(root, f"__epoch={epoch}")
+                files = []
+                for bucket_dir in sorted(os.listdir(edir)) if os.path.isdir(edir) else []:
+                    full = os.path.join(edir, bucket_dir)
+                    if not bucket_dir.startswith("__bucket=") or not os.path.isdir(full):
+                        continue
+                    files += [
+                        f"{rel_prefix}__epoch={epoch}/{bucket_dir}/{f}"
+                        for f in sorted(os.listdir(full))
+                        if f.endswith(".parquet")
+                    ]
+                return files
+
+            def _kept(files: list[str]) -> list[str]:
+                return [
+                    f for f in files
+                    if int(f.split("__bucket=")[1].split("/")[0]) not in replaced_buckets
+                ]
+
+            new_files = _collect_epoch_files(path, "")
+            kept = _kept(manifest["files"])
+
+            # CH-style per-part PROJECTIONS (r9): for every declared
+            # projection, the SAME replaced buckets are rewritten under
+            # __proj_<name>/, sorted by the projection's keys — one extra
+            # write per projection per publish (CH's own maintenance
+            # cost), atomically committed by the same manifest swap.  The
+            # projection shares the primary's bucket ids, so kept/replaced
+            # bookkeeping is identical.
+            proj_updates = {}
+            for pname, pspec in projections.items():
+                proot = os.path.join(path, f"__proj_{pname}")
+                pepoch_dir = os.path.join(proot, f"__epoch={epoch}")
+                if os.path.isdir(pepoch_dir):  # crash leftovers, same rule
+                    shutil.rmtree(pepoch_dir)
+                pout = (
+                    df.withColumn("__bucket", _bucket_expr(keys, n_buckets))
+                    .repartition(n_buckets, "__bucket")
+                    .sortWithinPartitions("__bucket", *pspec["keys"])
+                )
+                pout.write.mode("append").partitionBy("__bucket").parquet(pepoch_dir)
+                proj_updates[pname] = {
+                    **pspec,
+                    "files": _kept(pspec.get("files", []))
+                    + _collect_epoch_files(proot, f"__proj_{pname}/"),
+                }
+
+            _write_manifest(
+                path,
+                {
+                    # sink-specific fields (e.g. the summing sink's applied-
+                    # batch watermarks) CARRY FORWARD through every publisher
+                    # — compaction/mutations must not silently drop them
+                    **{
+                        k: v for k, v in manifest.items()
+                        if k not in ("version", "n_buckets", "files", "schema")
+                    },
+                    "version": epoch,
+                    "n_buckets": n_buckets,
+                    "files": kept + new_files,
+                    "schema": df.schema.json(),  # empty-store reads reconstruct from this
+                    **({"projections": proj_updates} if projections else {}),
+                    **(manifest_extra or {}),
                 },
-                "version": epoch,
-                "n_buckets": n_buckets,
-                "files": kept + new_files,
-                "schema": df.schema.json(),  # empty-store reads reconstruct from this
-                **(manifest_extra or {}),
-            },
-            expected_version=manifest["version"],
-        )
+                expected_version=manifest["version"],
+            )
+        finally:
+            if projections:
+                df.unpersist()
     finally:
         COMMIT_BACKEND.release_claim(claim)
 
@@ -534,11 +580,18 @@ def vacuum_silver(
     manifest = _read_manifest(path)
     if manifest is None:
         return 0
-    live = set(manifest["files"])
+
+    def _all_files(m: dict) -> set[str]:
+        files = set(m["files"])
+        for pspec in m.get("projections", {}).values():
+            files |= set(pspec.get("files", []))
+        return files
+
+    live = _all_files(manifest)
     if retain_versions > 0:
         for v in silver_versions(path)[-retain_versions:]:
             try:
-                live |= set(_read_manifest_version(path, v)["files"])
+                live |= _all_files(_read_manifest_version(path, v))
             except ValueError:
                 continue  # already partially vacuumed — nothing left to pin
     cutoff = time.time() - grace_s
@@ -555,9 +608,18 @@ def vacuum_silver(
         ):
             os.remove(full)
             removed += 1
-    for epoch_dir in list(os.listdir(path)):
-        if not epoch_dir.startswith("__epoch="):
-            continue
+    # projection subtrees (__proj_<name>/) are vacuumed by the same rules:
+    # their files are manifest-listed (store-root-relative), so dead
+    # projection epochs — and the whole subtree of a DROPPED projection —
+    # age out with the grace period like any other dead file
+    sweep_roots = [e for e in os.listdir(path) if e.startswith("__epoch=")]
+    for proj_dir in (e for e in os.listdir(path) if e.startswith("__proj_")):
+        sweep_roots += [
+            os.path.join(proj_dir, e)
+            for e in os.listdir(os.path.join(path, proj_dir))
+            if e.startswith("__epoch=")
+        ]
+    for epoch_dir in sweep_roots:
         for root, _dirs, files in os.walk(os.path.join(path, epoch_dir)):
             for f in files:
                 full = os.path.join(root, f)
@@ -1143,6 +1205,88 @@ def ttl_silver(
     return mutate_silver(
         spark, path, keys, where=F.col(ttl_col) < older_than, delete=True
     )
+
+
+def add_projection(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    name: str,
+    proj_keys: list[str],
+) -> None:
+    """r9 — the ClickHouse ``ALTER TABLE … ADD PROJECTION p (SELECT *
+    ORDER BY k2) … MATERIALIZE`` analogue, built the way CH builds it:
+    PER PART.  Each primary bucket gets a copy of its rows sorted by
+    ``proj_keys`` under ``__proj_<name>/`` — so a query filtering on the
+    secondary key reads the projection and parquet row-group pruning
+    (min/max stats on the SORTED column) skips most of every file,
+    which a primary-key-sorted file cannot offer for that column.  From
+    this call on, every publisher maintains the projection for the
+    buckets it touches (one extra sorted write per publish — CH's own
+    maintenance cost), committed atomically by the same manifest swap.
+
+    Scale: the projection doubles write volume for this store but adds
+    ZERO shuffles (same repartition, different in-bucket sort) and its
+    read path needs no coordination — it is a second file set under the
+    same snapshot-isolated manifest.  Backfill here republishes every
+    bucket once (O(store), like CH MATERIALIZE)."""
+    manifest = _read_manifest(path)
+    if manifest is None:
+        raise FileNotFoundError(f"no silver store at {path}")
+    if name in manifest.get("projections", {}):
+        raise ValueError(f"projection {name!r} already exists at {path}")
+    df = _read_live_files(spark, path, manifest)
+    staged = {
+        **manifest,
+        "projections": {
+            **manifest.get("projections", {}),
+            name: {"keys": list(proj_keys), "files": []},
+        },
+    }
+    # the backfill is a full republish (all buckets touched): the main
+    # files are rewritten too — one wasted main write, in exchange for
+    # reusing the entire epoch-claim + CAS + crash-recovery machinery
+    # instead of a second bespoke commit path
+    _publish_buckets(df, path, keys, staged, set(range(manifest["n_buckets"])))
+
+
+def drop_projection(path: str, name: str) -> None:
+    """D2-style idempotent drop: removes the projection from the manifest
+    (same version — metadata-only edit); its files become unreferenced
+    and the next vacuum reclaims them."""
+    manifest = _read_manifest(path)
+    if manifest is None or name not in manifest.get("projections", {}):
+        return
+    projections = dict(manifest["projections"])
+    projections.pop(name)
+    _write_manifest(
+        path,
+        {**manifest, "projections": projections},
+        expected_version=manifest["version"],
+    )
+
+
+def read_silver_projection(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    include_deleted: bool = False,
+) -> DataFrame:
+    """Read a projection's file set (the proj-key-sorted copy) from the
+    current manifest — same snapshot isolation and tombstone semantics
+    as ``read_silver``, different physical order.  Use for secondary-key
+    point/range queries: the pushed filter prunes row groups via the
+    sorted column's min/max stats."""
+    manifest = _read_manifest(path)
+    if manifest is None:
+        raise FileNotFoundError(f"no silver store at {path}")
+    pspec = manifest.get("projections", {}).get(name)
+    if pspec is None:
+        raise ValueError(f"no projection {name!r} at {path}")
+    df = _read_live_files(spark, path, {**manifest, "files": pspec["files"]})
+    if DELETED_FLAG in df.columns and not include_deleted:
+        df = df.filter(~F.col(DELETED_FLAG)).drop(DELETED_FLAG)
+    return df
 
 
 def diff_silver(

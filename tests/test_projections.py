@@ -1,0 +1,157 @@
+"""CH-style per-part projections (r9): a secondary-key-sorted copy of
+every bucket, maintained by every publisher, committed by the same
+manifest swap — so secondary-key range queries get parquet row-group
+pruning a primary-sorted file cannot offer."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import postgres_debezium_clickhouse_spark.streaming.pipeline as pl
+
+
+def _seed_store(spark, path, n=400, n_buckets=4):
+    df = spark.createDataFrame(
+        [(i, (i * 7919) % 1000, f"v{i}") for i in range(n)],
+        "k long, sec long, val string",
+    ).withColumn("__deleted", F.lit(False))
+    pl._publish_buckets(
+        df, path, ["k"], {"version": 0, "n_buckets": n_buckets, "files": []},
+        set(range(n_buckets)),
+    )
+    return df
+
+
+def test_projection_backfill_matches_primary(spark, tmp_path):
+    path = str(tmp_path / "store")
+    _seed_store(spark, path)
+    pl.add_projection(spark, path, ["k"], "by_sec", ["sec"])
+    prim = {(r.k, r.sec, r.val) for r in pl.read_silver(spark, path).collect()}
+    proj = {
+        (r.k, r.sec, r.val)
+        for r in pl.read_silver_projection(spark, path, "by_sec").collect()
+    }
+    assert proj == prim and len(prim) == 400
+    with pytest.raises(ValueError, match="already exists"):
+        pl.add_projection(spark, path, ["k"], "by_sec", ["sec"])
+    with pytest.raises(ValueError, match="no projection"):
+        pl.read_silver_projection(spark, path, "nope")
+
+
+def test_projection_maintained_by_later_publishers(spark, tmp_path):
+    """An upsert wave after ADD PROJECTION must update BOTH layouts in one
+    commit — and a TTL mutation (a different publisher) must too."""
+    path = str(tmp_path / "store")
+    _seed_store(spark, path)
+    pl.add_projection(spark, path, ["k"], "by_sec", ["sec"])
+    # mutation publisher: delete k % 5 == 0
+    n = pl.mutate_silver(spark, path, ["k"], where=F.col("k") % 5 == 0, delete=True)
+    assert n == 80
+    prim = {r.k for r in pl.read_silver(spark, path).collect()}
+    proj = {r.k for r in pl.read_silver_projection(spark, path, "by_sec").collect()}
+    assert proj == prim and len(prim) == 320
+    # tombstones visible through the projection too, same semantics
+    withd = pl.read_silver_projection(spark, path, "by_sec", include_deleted=True)
+    assert withd.filter("__deleted").count() == 80
+
+
+def test_projection_rowgroup_stats_are_narrow(spark, tmp_path):
+    """The POINT of the projection: in the proj files the secondary
+    column's parquet row-group min/max spans are narrow (sorted), so a
+    pushed filter skips row groups; in the primary files (sorted by k)
+    the same column spans nearly the full domain per row group."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "store")
+    # small row groups so files carry several groups (hadoop conf, not a
+    # SQL conf — set on the context so task-side writers see it)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    prev = hconf.get("parquet.block.size")
+    hconf.set("parquet.block.size", str(16 * 1024))
+    try:
+        _seed_store(spark, path, n=20000, n_buckets=2)
+        pl.add_projection(spark, path, ["k"], "by_sec", ["sec"])
+    finally:
+        if prev is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", prev)
+    m = pl._read_manifest(path)
+
+    def spans(files, col):
+        out = []
+        import os
+
+        for rel in files:
+            md = pq.ParquetFile(os.path.join(path, rel)).metadata
+            idx = md.schema.names.index(col)
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                out.append(st.max - st.min)
+        return out
+
+    proj_files = m["projections"]["by_sec"]["files"]
+    prim_spans = spans(m["files"], "sec")
+    proj_spans = spans(proj_files, "sec")
+    # enough row groups for the comparison to mean something
+    assert len(proj_spans) >= 4, "fixture produced too few row groups"
+    # sorted copy: average span a fraction of the primary's
+    avg = lambda xs: sum(xs) / len(xs)  # noqa: E731
+    assert avg(proj_spans) < avg(prim_spans) / 3, (prim_spans, proj_spans)
+
+
+def test_projection_vacuum_and_drop(spark, tmp_path):
+    path = str(tmp_path / "store")
+    _seed_store(spark, path)
+    pl.add_projection(spark, path, ["k"], "by_sec", ["sec"])
+    pl.mutate_silver(spark, path, ["k"], where=F.col("k") == 1, delete=True)
+    # the backfill epoch's proj files are now dead for touched buckets;
+    # vacuum with zero grace reclaims dead files in BOTH subtrees but
+    # keeps every live one
+    removed = pl.vacuum_silver(path, grace_s=0.0)
+    assert removed > 0
+    assert {r.k for r in pl.read_silver_projection(spark, path, "by_sec").collect()} \
+        == {r.k for r in pl.read_silver(spark, path).collect()}
+    # drop: metadata-only, files reclaimed by the next vacuum
+    pl.drop_projection(path, "by_sec")
+    pl.drop_projection(path, "by_sec")  # idempotent
+    with pytest.raises(ValueError, match="no projection"):
+        pl.read_silver_projection(spark, path, "by_sec")
+    assert pl.vacuum_silver(path, grace_s=0.0) > 0  # orphaned proj files
+    import os
+
+    leftovers = []
+    for root, _d, files in os.walk(str(tmp_path / "store")):
+        if "__proj_" in root:
+            leftovers += [f for f in files if f.endswith(".parquet")]
+    assert not leftovers
+
+
+def test_primary_bucket_files_key_sorted_by_contract(spark, tmp_path):
+    """r9 regression pin for the write-path fix: with __epoch as a
+    partition column, ConstantFolding stripped its (literal) sort key
+    while the writer still required it — the dynamic-partition writer
+    then re-sorted by partition columns only, silently destroying the
+    per-bucket key order on adversarially-ordered input.  Files must now
+    be key-sorted BY CONTRACT (writer requirement satisfied by prefix,
+    no writer sort)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "store")
+    df = (
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(5000)], "k long, val string"
+        )
+        .orderBy(F.rand(7))  # adversarial upstream order
+        .withColumn("__deleted", F.lit(False))
+    )
+    pl._publish_buckets(
+        df, path, ["k"], {"version": 0, "n_buckets": 4, "files": []}, set(range(4))
+    )
+    m = pl._read_manifest(path)
+    for rel in m["files"]:
+        ks = pq.ParquetFile(os.path.join(path, rel)).read(columns=["k"])["k"].to_pylist()
+        assert ks == sorted(ks), f"bucket file {rel} lost key order"
