@@ -376,6 +376,21 @@ def ch_dict_get(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ch_with_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9 — the ClickHouse ``GROUP BY … WITH TOTALS`` modifier: the
+    grouped result plus ONE extra row carrying the whole-input aggregate
+    (group key NULL) — exactly Spark's ROLLUP at one level, so Catalyst
+    plans a single pass with grouping sets, not a second scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
 def ch_limit_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r9 — the ClickHouse ``ORDER BY … LIMIT n BY group`` clause: the
     top-2 orders per customer by price (deterministic tie-break on
@@ -417,6 +432,7 @@ def ch_sample_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "ch_dict_get": ch_dict_get,
+    "ch_with_totals": ch_with_totals,
     "ch_limit_by": ch_limit_by,
     "ch_sample_clause": ch_sample_clause,
     "customers_without_orders": customers_without_orders,
@@ -442,6 +458,11 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ch_with_totals": """
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY ROLLUP (o_orderstatus)
+    """,
     "ch_dict_get": """
         SELECT o.o_orderkey, o.o_custkey,
                COALESCE(c.c_name, 'unknown') AS cust_name,

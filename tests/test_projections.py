@@ -155,3 +155,17 @@ def test_primary_bucket_files_key_sorted_by_contract(spark, tmp_path):
     for rel in m["files"]:
         ks = pq.ParquetFile(os.path.join(path, rel)).read(columns=["k"])["k"].to_pylist()
         assert ks == sorted(ks), f"bucket file {rel} lost key order"
+
+
+def test_compaction_preserves_projections(spark, tmp_path):
+    """compact_silver is just another publisher — a compaction on a
+    projected store must rebuild the projection files too and keep both
+    layouts content-equal."""
+    path = str(tmp_path / "store")
+    _seed_store(spark, path)
+    pl.add_projection(spark, path, ["k"], "by_sec", ["sec"])
+    pl.mutate_silver(spark, path, ["k"], where=F.col("k") % 2 == 0, delete=True)
+    pl.compact_silver(spark, path, keys=["k"], vacuum_grace_s=0.0)
+    prim = {r.k for r in pl.read_silver(spark, path).collect()}
+    proj = {r.k for r in pl.read_silver_projection(spark, path, "by_sec").collect()}
+    assert proj == prim and len(prim) == 200
