@@ -50,6 +50,7 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 
 _FRONT = (
     # round-9 additions (never driver-checked) go here, newest first:
+    "stream_image_dedup_gate",
     "ch_with_totals",
     "silver_projection_scan",
     "stream_agg_argmax_state",

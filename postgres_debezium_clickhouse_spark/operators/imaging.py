@@ -604,6 +604,33 @@ def dhash_images(media_df: DataFrame, id_col: str = "doc_id",
     return media_df.mapInPandas(_hash, schema=schema)
 
 
+def dhash_band_keys(hashes: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Explode each dHash into its 4 × 16-bit LSH band keys →
+    (id, dhash_hi, dhash_lo, band, val).  Shared by the batch all-pairs
+    join (``dhash_near_dups``) and the streaming ingest gate (new images
+    probe a static corpus index built from this same frame)."""
+    return hashes.select(
+        F.col(id_col),
+        "dhash_hi",
+        "dhash_lo",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), (F.col("dhash_hi") % 65536).alias("val")),
+                F.struct(F.lit(1).alias("band"), F.shiftright("dhash_hi", 16).cast("long").alias("val")),
+                F.struct(F.lit(2).alias("band"), (F.col("dhash_lo") % 65536).alias("val")),
+                F.struct(F.lit(3).alias("band"), F.shiftright("dhash_lo", 16).cast("long").alias("val")),
+            )
+        ).alias("bk"),
+    ).select(id_col, "dhash_hi", "dhash_lo", "bk.band", "bk.val")
+
+
+def dhash_hamming(hi_a, lo_a, hi_b, lo_b):
+    """Exact 64-bit Hamming distance between two (hi, lo) dHash pairs."""
+    return (
+        F.bit_count(hi_a.bitwiseXOR(hi_b)) + F.bit_count(lo_a.bitwiseXOR(lo_b))
+    ).cast("int")
+
+
 def dhash_near_dups(hashes: DataFrame, max_hamming: int = 8,
                     id_col: str = "doc_id") -> DataFrame:
     """Banded near-dup join over dHashes — the image analogue of the text
@@ -618,19 +645,7 @@ def dhash_near_dups(hashes: DataFrame, max_hamming: int = 8,
 
     Output: (doc_a, doc_b, hamming, near_dup) for every banded candidate
     pair — near_dup = hamming ≤ max_hamming."""
-    bands = hashes.select(
-        F.col(id_col),
-        "dhash_hi",
-        "dhash_lo",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("band"), (F.col("dhash_hi") % 65536).alias("val")),
-                F.struct(F.lit(1).alias("band"), F.shiftright("dhash_hi", 16).cast("long").alias("val")),
-                F.struct(F.lit(2).alias("band"), (F.col("dhash_lo") % 65536).alias("val")),
-                F.struct(F.lit(3).alias("band"), F.shiftright("dhash_lo", 16).cast("long").alias("val")),
-            )
-        ).alias("bk"),
-    ).select(id_col, "dhash_hi", "dhash_lo", "bk.band", "bk.val")
+    bands = dhash_band_keys(hashes, id_col)
     a = bands.select(
         F.col(id_col).alias("doc_a"), F.col("dhash_hi").alias("hi_a"),
         F.col("dhash_lo").alias("lo_a"), "band", "val",

@@ -427,7 +427,103 @@ def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sh_.rmtree(d, ignore_errors=True)
 
 
+def stream_image_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9: ingest-time IMAGE near-dup gate — the dHash completion of the
+    ingest-gate family (exact digests, within-stream keys, text
+    MinHash-LSH, now perceptual images): new image blobs stream in, are
+    REALLY decoded and dHashed per batch, probe the static corpus's
+    precomputed band index (stream-static join, no state), candidates
+    are verified by exact 64-bit Hamming against only the matched corpus
+    hashes, and images within 8 bits of any corpus image are dropped.
+
+    Fixture (scale-independent spark.range build, the dHash planted
+    family): corpus = the 60 quadratic-formula PNGs; the stream carries
+    one-pixel-perturbed copies of every d≡1 (mod 3) corpus image
+    (near-dups → dropped) interleaved with 20 genuinely new images at
+    ids 200+ (admitted).  Per-image decisions are batch-independent, so
+    the closed-form oracle is exact.
+
+    Scale: the corpus index is hash-sized metadata (2 longs + 4 band
+    keys per image) built once; per trigger only the batch's blobs are
+    decoded (embarrassingly parallel mapInPandas) and only matched
+    candidates are Hamming-verified."""
+    from ..operators.imaging import (
+        dhash_band_keys,
+        dhash_hamming,
+        dhash_images,
+        synth_dhash_images,
+    )
+
+    base = spark.range(0, 60).select(F.col("id").alias("doc_id"))
+    corpus_hashes = dhash_images(synth_dhash_images(base)).localCheckpoint(eager=True)
+    corpus_bands = dhash_band_keys(corpus_hashes).select(
+        F.col("doc_id").alias("corpus_id"),
+        F.col("dhash_hi").alias("c_hi"),
+        F.col("dhash_lo").alias("c_lo"),
+        "band",
+        "val",
+    ).localCheckpoint(eager=True)
+
+    import shutil as _sh_
+
+    run = uuid.uuid4().hex[:12]
+    root = tempfile.gettempdir()
+    src = f"{root}/idg_src_{run}"
+    out = f"{root}/idg_out_{run}"
+    ckpt = f"{root}/idg_ckpt_{run}"
+    try:
+        dup_src = base.filter(F.col("doc_id") % 3 == 1)
+        new_media = (
+            synth_dhash_images(dup_src, perturb=128)
+            .withColumn("doc_id", F.col("doc_id") + 1000)
+            .unionByName(
+                synth_dhash_images(
+                    spark.range(200, 220).select(F.col("id").alias("doc_id"))
+                )
+            )
+        )
+        new_media.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(new_media.schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+        )
+
+        def gate(batch: DataFrame, epoch: int) -> None:
+            hashes = dhash_images(batch)
+            nb = dhash_band_keys(hashes)
+            dropped = (
+                nb.join(corpus_bands, ["band", "val"])
+                .filter(
+                    dhash_hamming(
+                        F.col("dhash_hi"), F.col("dhash_lo"),
+                        F.col("c_hi"), F.col("c_lo"),
+                    ) <= 8
+                )
+                .select("doc_id")
+                .distinct()
+            )
+            batch.join(dropped, "doc_id", "left_anti").select("doc_id").write.mode(
+                "overwrite"
+            ).parquet(f"{out}/epoch={epoch}")
+
+        q = (
+            stream.writeStream.foreachBatch(gate)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("image gate replay did not finish in 300s")
+        return spark.read.parquet(out).select("doc_id").localCheckpoint(eager=True)
+    finally:
+        for d in (src, out, ckpt):
+            _sh_.rmtree(d, ignore_errors=True)
+
+
 QUERIES = {
+    "stream_image_dedup_gate": stream_image_dedup_gate,
     "stream_quality_filter": stream_quality_filter,
     "stream_filter_report": stream_filter_report,
     "stream_schema_drift": stream_schema_drift,
@@ -438,6 +534,13 @@ QUERIES = {
 }
 
 ORACLES: dict[str, str] = {
+    # closed form (see the fixture): every perturbed corpus copy is a
+    # near-dup (planted Hamming ≤ 1, banded ≥ 1 shared band → dropped);
+    # every genuinely-new image is ≥ 15 bits from the whole corpus
+    # (measured over the deterministic formula) → admitted
+    "stream_image_dedup_gate": """
+        SELECT CAST(200 + i AS BIGINT) AS doc_id FROM range(20) t(i)
+    """,
     "stream_quality_filter": """
         WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents)
         SELECT doc_id,
