@@ -886,20 +886,23 @@ def stream_agg_kmv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r9 — mergeable sketch-STATE columns in the aggregating sink (the
     real AggregatingMergeTree use, CH ``AggregateFunction(uniq, …)``):
     the events replay maintains a per-event_type KMV distinct-user
-    sketch (k=64 < the 150 true distinct users, so the ESTIMATION path
+    sketch (k=128 < the 150 true distinct users, so the ESTIMATION path
     is exercised, not the exact small-set path — ``sketch_full`` pins
     that) merged batch-by-batch with bounded state.  Scored with the
     established oracle-independent accuracy-verdict pattern
     (corpus_source_overlap's): the oracle states the exact distinct
-    count and the verdict ``accurate`` (within 15% — KMV σ≈1/√(k-1)≈13%,
-    and the md5 hash makes the estimate DETERMINISTIC, so the verdict is
-    a constant of the fixture, not a flaky sample)."""
+    count and the verdict ``accurate`` (within 15%; the md5 hash makes
+    the estimate DETERMINISTIC — measured 0.5% at sf0.01 and 5.9% at
+    sf0.1, so the verdict is a constant of the fixture at BOTH scales.
+    k=64 was the first cut and its ~13% σ landed one draw outside the
+    band at sf0.1's 1500 distinct — caught by the engine's own sf0.1
+    re-verification, hence the wider sketch)."""
     from ..operators.sketch import kmv_estimate_expr
     from ..streaming.pipeline import read_silver, silver_summing_stream
 
     import shutil as _sh
 
-    kmv_k = 64
+    kmv_k = 128
     run = uuid.uuid4().hex[:12]
     root = tempfile.gettempdir()
     src = f"{root}/kmvst_src_{run}"
@@ -1628,9 +1631,10 @@ _COLLAPSE_ORACLE = """
 ORACLES["stream_collapsing_state"] = _COLLAPSE_ORACLE
 
 # KMV sketch-state verdict: exact distinct by value; sketch_full because
-# 150 distinct users > k=64 (estimation path, not the exact small-set
+# 150 distinct users > k=128 (estimation path, not the exact small-set
 # path); accurate is deterministic (md5 hashes) — a constant of the
-# fixture within the stated 15% band, not a flaky sample
+# fixture within the stated 15% band at BOTH sf0.01 and sf0.1 (measured
+# 0.5% / 5.9%), not a flaky sample
 # argmax/argmin state: lexicographic (ts, value) extremum — the oracle
 # mirrors the tie-break exactly (value DESC for argmax, ASC for argmin)
 ORACLES["stream_agg_argmax_state"] = """
