@@ -40,7 +40,7 @@ from binascii import crc32
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F  # noqa: F401  (kept for parity with sibling modules)
 from pyspark.sql import types as T
 
@@ -632,30 +632,56 @@ def dhash_hamming(hi_a, lo_a, hi_b, lo_b):
 
 
 def dhash_near_dups(hashes: DataFrame, max_hamming: int = 8,
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    max_band_bucket: int = 1000) -> DataFrame:
     """Banded near-dup join over dHashes — the image analogue of the text
     MinHash-LSH pipeline, same scale shape: 4 bands of 16 bits; only
     pairs agreeing on ≥1 whole band meet (hash-partitioned join on the
     band value, NEVER all-pairs), then the exact Hamming distance over
-    the full 64 bits verifies each candidate.  A near-dup differing in
-    ≤ max_hamming bits can break at most ⌈max_hamming/1⌉ bands, so with
-    max_hamming < 16·4 spread across bands the standard LSH guarantee
-    applies (identical-band survival); candidates are deduped before the
-    verify.
+    the full 64 bits verifies each candidate.
+
+    Recall contract (pigeonhole over 4 × 16-bit bands): a pair within
+    Hamming distance 3 can break at most 3 of the 4 bands, so it is
+    GUARANTEED to share an intact band and be found.  Pairs at distance
+    4..max_hamming may place one differing bit in every band, so banded
+    recall for them is probabilistic (high in practice — real near-dup
+    bit flips cluster in the rows the perturbation touched — but not
+    certain).  Use 8 × 8-bit bands if full recall at hamming ≤ 7 is
+    required; this function keeps the 4 × 16 layout for candidate-set
+    sparsity.
+
+    Hot-band cap (same salted idiom as the text LSH,
+    dedup.py:lsh_candidate_pairs): a degenerate band value shared by k
+    images (solid-color thumbnails, letterboxed frames — dHash bands of
+    flat regions are all-zero) would fan out k²/2 candidates in the
+    self-join.  Band buckets larger than ``max_band_bucket`` are salted
+    into ⌈k/cap⌉ md5 sub-buckets before the join, bounding fan-out at
+    ~k·cap/2 (linear in k).  Recall loss applies only across sub-buckets
+    of degenerate buckets, whose members still meet through their other
+    (non-degenerate) bands; the census is a count-only window over the
+    band shuffle and the salt is md5-derived, so results are
+    deterministic and oracle-reproducible.
 
     Output: (doc_a, doc_b, hamming, near_dup) for every banded candidate
     pair — near_dup = hamming ≤ max_hamming."""
     bands = dhash_band_keys(hashes, id_col)
+    bucket_n = F.count(F.lit(1)).over(Window.partitionBy("band", "val"))
+    n_sub = F.ceil(bucket_n / max_band_bucket)
+    h16 = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+    bands = bands.withColumn(
+        "__salt",
+        F.when(bucket_n <= max_band_bucket, F.lit(0)).otherwise(h16.cast("long") % n_sub),
+    )
     a = bands.select(
         F.col(id_col).alias("doc_a"), F.col("dhash_hi").alias("hi_a"),
-        F.col("dhash_lo").alias("lo_a"), "band", "val",
+        F.col("dhash_lo").alias("lo_a"), "band", "val", "__salt",
     )
     b = bands.select(
         F.col(id_col).alias("doc_b"), F.col("dhash_hi").alias("hi_b"),
-        F.col("dhash_lo").alias("lo_b"), "band", "val",
+        F.col("dhash_lo").alias("lo_b"), "band", "val", "__salt",
     )
     cand = (
-        a.join(b, ["band", "val"])
+        a.join(b, ["band", "val", "__salt"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b")
         .distinct()

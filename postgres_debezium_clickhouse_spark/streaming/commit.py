@@ -245,10 +245,34 @@ class LocalFSCommitBackend(CommitBackend):
                         pass
                 os.unlink(grave)
             finally:
+                # Release by OWNERSHIP, not unconditionally (ADVICE r9):
+                # if we stalled >60s a breaker removed our mutex and a new
+                # stealer linked a fresh one — an unconditional unlink here
+                # would free the NEW holder's mutex and reopen the 2-winner
+                # race.  Rename-to-grave with our nonce, then verify the
+                # grave's content: ours → done; someone else's → restore it
+                # (link-back; FileExistsError means the slot re-filled and
+                # the displaced holder's own release will no-op the same way).
+                mgrave = f"{mutex}.rel-{nonce}"
                 try:
-                    os.unlink(mutex)
+                    os.rename(mutex, mgrave)
                 except FileNotFoundError:
                     pass  # a breaker renamed it away during a stall
+                else:
+                    try:
+                        with open(mgrave) as fh:
+                            mine = fh.read() == nonce
+                    except OSError:
+                        mine = False
+                    if not mine:
+                        try:
+                            os.link(mgrave, mutex)
+                        except (FileExistsError, FileNotFoundError):
+                            pass
+                    try:
+                        os.unlink(mgrave)
+                    except FileNotFoundError:
+                        pass
         finally:
             try:
                 os.unlink(mtmp)

@@ -1125,8 +1125,23 @@ def silver_collapsing_stream(
             )
         )
         if version_col:
-            # fully-cancelled versions leave the store — this is what
-            # bounds versioned state for well-formed streams
+            # fully-cancelled versions leave the store at merge time —
+            # safe because cancellation is exact per (key, version) with
+            # no ordering, so a purged version can never be needed again;
+            # this is what bounds versioned state for well-formed streams.
+            #
+            # Plain-seq mode must NOT purge at merge time (ADVICE r9
+            # adjudicated AGAINST the suggested fix, caught by the
+            # sf0.01 scattered replay): a net-0 key's row carries the
+            # winning max-seq payload, and a straggler +1 with a LOWER
+            # seq arriving later must lose to it — purging the row would
+            # resurrect the straggler's stale payload and break the
+            # batch-boundary-insensitivity contract.  ClickHouse gets to
+            # drop collapsed pairs in plain mode only because it demands
+            # strict insert order; our plain mode is order-independent.
+            # Delete-heavy plain streams bound state with the explicit
+            # ``collapse_purge_silver`` maintenance op (OPTIMIZE FINAL
+            # analogue) once the owner knows the log is quiescent.
             merged = merged.filter(F.col("__sign_net") != 0)
         return merged
 
@@ -1141,6 +1156,11 @@ def silver_collapsing_stream(
 
         def merge_fn(current: DataFrame | None, part: DataFrame) -> DataFrame:
             if current is None:
+                # the partial IS the merged state for a fresh bucket, so
+                # versioned mode's net-0 purge applies here too (plain
+                # mode keeps net-0 rows — see _remerge for why)
+                if version_col:
+                    part = part.filter(F.col("__sign_net") != 0)
                 return part.withColumn(DELETED_FLAG, F.lit(False))
             # same tombstone composition as the summing sink: tombstoned
             # keys stay out of the re-merge; new rows for the key restart
@@ -1184,6 +1204,36 @@ def read_collapsed(
     from ..operators.upsert import latest_wins
 
     return latest_wins(state, keys=keys, version_cols=[version_col]).drop("__ord")
+
+
+def collapse_purge_silver(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+) -> int:
+    """r10 — ``OPTIMIZE TABLE … FINAL`` analogue for PLAIN collapsing
+    stores: drop every fully-cancelled (net-0) key as one committed
+    tombstone mutation, bounding state for delete-heavy streams.
+
+    Plain-seq mode cannot purge net-0 rows at merge time (ADVICE r9,
+    adjudicated): the net-0 row carries the winning max-seq payload that
+    a straggler +1 with a lower seq must lose to, so an automatic purge
+    would break batch-boundary insensitivity.  ClickHouse sidesteps this
+    by demanding strict insert order and declaring disorder
+    "unpredictable"; this engine instead keeps net-0 rows live and makes
+    the purge an EXPLICIT maintenance call, to run when the owner knows
+    the log is quiescent for those keys (end of replay, compaction
+    window) — the same contract as running OPTIMIZE FINAL.  After a
+    purge, a re-insert of a purged key starts a fresh +1 balance (the
+    sink's tombstone rules already restart tombstoned keys from the
+    batch partial).  Versioned stores never need this: exact
+    per-version cancellation lets their merge purge net-0 safely.
+
+    O(touched buckets) like every mutation; tombstones reclaim bytes via
+    ``compact_silver``.  Returns the number of keys purged."""
+    return mutate_silver(
+        spark, path, keys, where=F.col("__sign_net") == 0, delete=True
+    )
 
 
 def ttl_silver(
@@ -1416,7 +1466,11 @@ def ttl_rollup_silver(
         if op not in ("sum", "min", "max"):
             raise ValueError(f"agg_spec[{c!r}]: op must be sum/min/max, got {op!r}")
 
-    expired_pred = (F.col(ttl_col) < older_than) & ~F.col(DELETED_FLAG)
+    # NULL ttl means "never expires": coalesce to False so NULL-ttl rows
+    # are neither rolled up nor dropped from live_keep (a bare
+    # ~(ttl < cutoff) is NULL for NULL ttl and would filter the row out)
+    expired = F.coalesce(F.col(ttl_col) < older_than, F.lit(False))
+    expired_pred = expired & ~F.col(DELETED_FLAG)
     src_buckets = {
         int(r[0])
         for r in df.filter(expired_pred)
@@ -1446,7 +1500,7 @@ def ttl_rollup_silver(
         .groupBy(*keys)
         .agg(*aggs)
     )
-    live_keep = sub.filter(~F.col(DELETED_FLAG) & ~(F.col(ttl_col) < older_than))
+    live_keep = sub.filter(~F.col(DELETED_FLAG) & ~expired)
     tombs = sub.filter(F.col(DELETED_FLAG))
     # single-row groups are identity under sum/min/max (dtype restored by
     # the cast), so re-aggregating every kept live row alongside the

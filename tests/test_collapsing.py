@@ -120,3 +120,49 @@ def test_collapsing_replay_guard(spark, dirs):
     pl._write_manifest(dirs["silver"], m)
     _run(spark, dirs, [(1, -1, 2, 0, "a")], 1, seq_col="seq")  # skipped
     assert _state(spark, dirs) == {1: ("a", 1)}       # balance NOT touched
+
+
+def test_plain_net_zero_payload_beats_straggler(spark, dirs):
+    """ADVICE r9 adjudication: plain mode must KEEP net-0 rows at merge
+    time — the net-0 row carries the winning max-seq payload, and a
+    straggler +1 with a LOWER seq arriving later must lose to it.  (An
+    automatic merge-time purge — the advised fix — resurrects the
+    straggler's stale payload; caught by the scattered sf0.01 replay.)"""
+    # batch 0: k=1's UPDATE arrives first — cancel(seq 2) + new state
+    # (seq 3).  Net 0, but the seq-3 payload must be remembered.
+    _run(spark, dirs, [(1, -1, 2, 0, "old"), (1, 1, 3, 0, "new")], 0,
+         seq_col="seq")
+    raw = {r["k"]: (r["payload"], r["__sign_net"])
+           for r in pl.read_silver(spark, dirs["silver"]).collect()}
+    assert raw[1] == ("new", 0)              # net-0 row kept, payload "new"
+    # batch 1: the ORIGINAL +1 (seq 1) straggles in → visible state must
+    # be the seq-3 "new" payload, not the straggler's
+    _run(spark, dirs, [(1, 1, 1, 0, "old")], 1, seq_col="seq")
+    assert _state(spark, dirs) == {1: ("new", 1)}
+
+
+def test_plain_collapse_explicit_purge_bounds_state(spark, dirs):
+    """ADVICE r9 (low), resolved as an explicit OPTIMIZE-FINAL analogue:
+    ``collapse_purge_silver`` tombstones fully-cancelled (net-0) keys in
+    one committed mutation; negative nets stay (an early cancel still
+    annihilates its late +1); a post-purge re-insert starts a fresh
+    balance via the sink's tombstone-restart rule."""
+    _run(spark, dirs, [
+        (1, 1, 10, 0, "one"),
+        (2, 1, 11, 0, "two"), (2, -1, 12, 0, "two"),   # net 0
+        (3, -1, 13, 0, "three"),                       # early cancel
+    ], 0, seq_col="seq")
+    assert pl.collapse_purge_silver(spark, dirs["silver"], keys=["k"]) == 1
+    raw = {r["k"]: r["__sign_net"]
+           for r in pl.read_silver(spark, dirs["silver"]).collect()}
+    assert 2 not in raw                      # purged (tombstoned)
+    assert raw[3] == -1                      # negative net untouched
+    # k=2 re-inserts after the purge: fresh balance, fresh payload;
+    # k=3's late +1 annihilates against the kept negative net
+    _run(spark, dirs, [(2, 1, 15, 0, "two-b"), (3, 1, 14, 0, "three")], 1,
+         seq_col="seq")
+    assert _state(spark, dirs) == {1: ("one", 1), 2: ("two-b", 1)}
+    # a second purge sweeps the now-annihilated k=3
+    assert pl.collapse_purge_silver(spark, dirs["silver"], keys=["k"]) == 1
+    raw = {r["k"] for r in pl.read_silver(spark, dirs["silver"]).collect()}
+    assert raw == {1, 2}

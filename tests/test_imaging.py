@@ -252,3 +252,43 @@ def test_dhash_near_dups_bands_find_planted_pair(spark):
     hashes = dhash_images(synth_dhash_images(base).unionByName(dup))
     pairs = {(r.doc_a, r.doc_b): r.near_dup for r in dhash_near_dups(hashes).collect()}
     assert pairs.get((4, 1004)) is True
+
+
+def test_dhash_hot_band_cap_bounds_fanout(spark):
+    """ADVICE r9 / verdict item 3: a degenerate band value shared by many
+    images (solid-color thumbnails → identical dHash, every band hot)
+    must NOT fan out k²/2 candidates.  With k=60 identical hashes and
+    cap=10 the salted join bounds distinct pairs to ~⌈k/cap⌉·C(cap,2)
+    per sub-bucket set — an order of magnitude under C(60,2)=1770 — and
+    a planted genuine near-dup pair outside the hot bucket must still be
+    found (the cap only slices degenerate buckets, never normal ones)."""
+    from pyspark.sql import functions as F
+
+    from postgres_debezium_clickhouse_spark.operators.imaging import (
+        dhash_images, dhash_near_dups, synth_dhash_images,
+    )
+
+    k, cap = 60, 10
+    # the hot cluster: 60 docs with the same (hi, lo) — the solid-color
+    # analogue where every one of the 4 band buckets holds all k docs
+    hot = spark.range(0, k).select(
+        (F.col("id") + 10_000).alias("doc_id"),
+        F.lit(0).cast("long").alias("dhash_hi"),
+        F.lit(0).cast("long").alias("dhash_lo"),
+    )
+    # a normal planted near-dup pair, well away from the hot value
+    base = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+    dup = synth_dhash_images(
+        base.filter(F.col("doc_id") == 4), perturb=128
+    ).withColumn("doc_id", F.col("doc_id") + 1000)
+    normal = dhash_images(synth_dhash_images(base).unionByName(dup)).select(
+        "doc_id", "dhash_hi", "dhash_lo"
+    )
+    out = dhash_near_dups(
+        hot.unionByName(normal), max_band_bucket=cap
+    ).collect()
+    hot_pairs = [r for r in out if r.doc_a >= 10_000 and r.doc_b >= 10_000]
+    # uncapped would emit C(60,2)=1770 hot pairs; salted ≈ 6·C(10,2)=270
+    assert 0 < len(hot_pairs) <= k * cap // 2 + k
+    assert all(r.hamming == 0 and r.near_dup for r in hot_pairs)
+    assert any(r.doc_a == 4 and r.doc_b == 1004 and r.near_dup for r in out)

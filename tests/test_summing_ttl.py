@@ -431,3 +431,37 @@ def test_ttl_rollup_rejects_uncovered_columns(spark, tmp_path):
             coarsen={"ts": lambda c: F.date_trunc("day", c)},
             agg_spec={"v": "sum"},
         )
+
+
+def test_ttl_rollup_keeps_null_ttl_rows(spark, tmp_path):
+    """ADVICE r9 (high): a live row with NULL ttl in a touched bucket
+    must survive the rollup untouched — NULL means "never expires", like
+    plain ttl_silver.  Before the fix, expired_pred was NULL-false (OK)
+    but live_keep's ~(ttl < cutoff) was NULL (row silently dropped)."""
+    import datetime as dt
+
+    path = str(tmp_path / "store")
+    ts = lambda d, h: dt.datetime(2024, 1, d, h)  # noqa: E731
+    rows = [
+        (ts(1, 0), "click", 1.0), (ts(1, 5), "click", 2.0),
+        (None, "click", 64.0),       # NULL ttl: must never roll or vanish
+        (ts(3, 1), "click", 32.0),
+    ]
+    df = spark.createDataFrame(rows, ["ts", "event_type", "v"]).withColumn(
+        "__deleted", F.lit(False)
+    )
+    manifest = {"version": 0, "n_buckets": 1, "files": []}
+    pl._publish_buckets(df, path, ["ts", "event_type"], manifest, {0})
+    n = pl.ttl_rollup_silver(
+        spark, path, ["ts", "event_type"], "ts", dt.datetime(2024, 1, 2),
+        coarsen={"ts": lambda c: F.date_trunc("day", c)},
+        agg_spec={"v": "sum"},
+    )
+    assert n == 2
+    state = {(r.ts, r.event_type): r.v
+             for r in pl.read_silver(spark, path).collect()}
+    assert state == {
+        (ts(1, 0), "click"): 3.0,
+        (None, "click"): 64.0,       # survived, un-aggregated
+        (ts(3, 1), "click"): 32.0,
+    }
