@@ -1000,6 +1000,61 @@ def silver_projection_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sh.rmtree(path, ignore_errors=True)
 
 
+def silver_projection_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10 — AUTOMATIC projection selection (verdict item 1): the same
+    store/projection/mutation fixture as ``silver_projection_scan``, but
+    the read goes through ``read_silver_auto`` with only a WHERE — the
+    engine, not the caller, must route the custkey filter to the
+    ``by_cust`` projection (ClickHouse's MergeTree ORDER BY routing,
+    clickhouse.sql:52).  The query hard-asserts BOTH routes before
+    returning: the custkey read scanned only ``__proj_by_cust/`` files,
+    and an orderkey read scanned only primary files — so a silent
+    routing regression fails the oracle run, not just a unit test.
+    Values must equal the primary-path closed form exactly (the routed
+    read is an access-path choice, never a semantic one)."""
+    from ..streaming.pipeline import (
+        _publish_buckets,
+        add_projection,
+        mutate_silver,
+        read_silver_auto,
+    )
+
+    import shutil as _sh
+
+    path = f"{tempfile.gettempdir()}/projr_store_{uuid.uuid4().hex[:12]}"
+    try:
+        base = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey", "o_orderstatus"
+        ).withColumn("__deleted", F.lit(False))
+        _publish_buckets(
+            base, path, ["o_orderkey"],
+            {"version": 0, "n_buckets": 8, "files": []}, set(range(8)),
+        )
+        add_projection(spark, path, ["o_orderkey"], "by_cust", ["o_custkey"])
+        mutate_silver(
+            spark, path, ["o_orderkey"],
+            where=F.col("o_orderkey") % 3 == 0,
+            set_exprs={"o_orderstatus": F.lit("U")},
+        )
+        routed = read_silver_auto(
+            spark, path,
+            where=(F.col("o_custkey") >= 200) & (F.col("o_custkey") < 300),
+        )
+        files = routed.inputFiles()
+        if not files or not all("__proj_by_cust" in f for f in files):
+            raise AssertionError("custkey filter was not routed to by_cust")
+        primary = read_silver_auto(spark, path, where=F.col("o_orderkey") < 100)
+        pfiles = primary.inputFiles()
+        if not pfiles or any("__proj_" in f for f in pfiles):
+            raise AssertionError("orderkey filter left the primary layout")
+        return (
+            routed.select("o_orderkey", "o_custkey", "o_orderstatus")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _sh.rmtree(path, ignore_errors=True)
+
+
 def silver_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r9 — the keyed diff between two committed store versions
     (``diff_silver``: two manifest-pruned as-of reads + one full-outer
@@ -1445,6 +1500,7 @@ QUERIES = {
     "stream_schema_evolution": stream_schema_evolution,
     "silver_version_diff": silver_version_diff,
     "silver_projection_scan": silver_projection_scan,
+    "silver_projection_route": silver_projection_route,
     "stream_vcollapsing_state": stream_vcollapsing_state,
     "stream_agg_state": stream_agg_state,
     "silver_ttl": silver_ttl,
@@ -1673,6 +1729,13 @@ ORACLES["silver_projection_scan"] = """
            CASE WHEN o_orderkey % 3 = 0 THEN 'U' ELSE o_orderstatus END
                AS o_orderstatus
     FROM orders WHERE o_custkey >= 100 AND o_custkey < 200
+"""
+
+ORACLES["silver_projection_route"] = """
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'U' ELSE o_orderstatus END
+               AS o_orderstatus
+    FROM orders WHERE o_custkey >= 200 AND o_custkey < 300
 """
 
 ORACLES["silver_version_diff"] = """
