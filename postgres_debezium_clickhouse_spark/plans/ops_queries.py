@@ -9,7 +9,7 @@ from __future__ import annotations
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import enum_by_bucket, gen_uuid, rand_int, round2, ts_minus_random_days
@@ -1295,6 +1295,136 @@ def _run_collapsing(spark: SparkSession, sf_dir: str, versioned: bool) -> DataFr
             _sh.rmtree(d, ignore_errors=True)
 
 
+def stream_txn_consistent_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10 (verdict item 2, T9) — transaction-consistent CDC visibility
+    end-to-end: orders become multi-row source transactions (txn =
+    ``floor(o_orderkey / 8)``, so sparse TPC-H keys give 1..8-row
+    transactions; ``txn_total`` = the transaction's actual row count,
+    Debezium END-marker style), plus a DELETE wave (keys ≡0 mod 7,
+    version 2) as its own transactions.  The delete wave targets NEGATED
+    keys (tombstones for rows absent from this store — deletes for
+    unseen keys are valid CDC and, crucially, keep every transaction's
+    key set DISJOINT, so per-key presence is a sound all-or-none
+    atomicity probe; deletes against live rows are unit-tested in
+    tests/test_txn_consistent.py).  The log is replayed in THREE staged
+    runs split by ``o_orderkey % 3`` — consecutive keys land in
+    different stages, so almost every multi-row transaction is cut
+    mid-flight — and each staged run is itself micro-batched.
+
+    After EVERY stage the query hard-asserts the atomicity invariant on
+    the store: for each transaction, either ALL of its keys are applied
+    (tombstones count, via include_deleted) or NONE.  A partially-applied
+    transaction fails the oracle run itself, not just a unit test.
+    After the last stage: pending fully drained, every delete tombstone
+    present.  Final visible state = all orders."""
+    from ..streaming.pipeline import (
+        _read_manifest,
+        read_silver,
+        silver_txn_upsert_stream,
+    )
+
+    import shutil as _sh
+
+    run = uuid.uuid4().hex[:12]
+    root = tempfile.gettempdir()
+    src = f"{root}/txn_src_{run}"
+    dst = f"{root}/txn_out_{run}"
+    ckpt = f"{root}/txn_ckpt_{run}"
+    try:
+        k = F.col("o_orderkey")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_totalprice"
+        )
+        w = Window.partitionBy("txn_id")
+        inserts = (
+            orders.withColumn("txn_id", F.concat(F.lit("i"), (k / 8).cast("long")))
+            .withColumn("op", F.lit("c"))
+            .withColumn("ts", F.lit(1).cast("long"))
+        )
+        deletes = (
+            orders.filter(k % 7 == 0)
+            .withColumn("txn_id", F.concat(F.lit("d"), (k / 8).cast("long")))
+            .withColumn("op", F.lit("d"))
+            .withColumn("ts", F.lit(2).cast("long"))
+            # -(k+1), not -k: the fixture HAS o_orderkey=0 and -0 == 0
+            # would collide the delete wave with insert txn i0
+            .withColumn("o_orderkey", -(k + 1))
+        )
+        signed = (
+            inserts.unionByName(deletes)
+            .withColumn("txn_order", k)
+            .withColumn("txn_total", F.count(F.lit(1)).over(w))
+        )
+        for stage in range(3):
+            # abs(): the delete wave's keys are negated, and Spark's %
+            # keeps the dividend's sign — without abs they'd all pile
+            # into one stage (or none)
+            signed.filter(F.abs(k) % 3 == stage).repartition(2).write.mode(
+                "overwrite"
+            ).parquet(f"{src}/s{stage}")
+
+        # closed-form txn → keys map (both waves; key sets disjoint)
+        txn_keys = signed.select("txn_id", "o_orderkey")
+
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            for stage in range(3):
+                stream = (
+                    spark.readStream.schema(signed.schema)
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(f"{src}/s{stage}")
+                )
+                q = silver_txn_upsert_stream(
+                    stream, dst, f"{ckpt}/s{stage}", keys=["o_orderkey"],
+                    version_col="ts", available_now=True, n_buckets=8,
+                )
+                if not q.awaitTermination(300):
+                    q.stop()
+                    raise TimeoutError(f"txn stage {stage} did not finish in 300s")
+                if _read_manifest(dst) is None:
+                    continue  # nothing released yet — trivially atomic
+                applied = read_silver(spark, dst, include_deleted=True).select(
+                    "o_orderkey"
+                )
+                status = (
+                    txn_keys.join(
+                        applied.withColumn("__hit", F.lit(1)), "o_orderkey", "left"
+                    )
+                    .groupBy("txn_id")
+                    .agg(F.sum("__hit").alias("n_hit"), F.count(F.lit(1)).alias("n"))
+                    .filter(F.col("n_hit").isNotNull() & (F.col("n_hit") != F.col("n")))
+                )
+                torn = status.count()
+                if torn:
+                    raise AssertionError(
+                        f"stage {stage}: {torn} transactions partially applied"
+                    )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        from ..streaming.pipeline import read_txn_pending
+
+        n_pending = read_txn_pending(spark, dst + "_txn_pending").count()
+        if n_pending:
+            raise AssertionError(f"{n_pending} rows never released from pending")
+        full = read_silver(spark, dst, include_deleted=True)
+        n_tombs = full.filter("__deleted").count()
+        n_expected = orders.filter(k % 7 == 0).count()
+        if n_tombs != n_expected:
+            raise AssertionError(f"delete wave: {n_tombs} tombstones, expected {n_expected}")
+        return (
+            read_silver(spark, dst)
+            .select(
+                "o_orderkey",
+                F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for d in (src, dst, ckpt, dst + "_txn_pending"):
+            _sh.rmtree(d, ignore_errors=True)
+
+
 def stream_collapsing_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r9 — the CollapsingMergeTree sink end-to-end, hash-checked: the
     signed insert/update/delete workload over orders replayed as a
@@ -1494,6 +1624,7 @@ QUERIES = {
     "stream_sliding_counts": stream_sliding_counts,
     "stream_summing_state": stream_summing_state,
     "stream_collapsing_state": stream_collapsing_state,
+    "stream_txn_consistent_state": stream_txn_consistent_state,
     "stream_agg_kmv_state": stream_agg_kmv_state,
     "stream_agg_argmax_state": stream_agg_argmax_state,
     "silver_ttl_rollup": silver_ttl_rollup,
@@ -1729,6 +1860,14 @@ ORACLES["silver_projection_scan"] = """
            CASE WHEN o_orderkey % 3 = 0 THEN 'U' ELSE o_orderstatus END
                AS o_orderstatus
     FROM orders WHERE o_custkey >= 100 AND o_custkey < 200
+"""
+
+# final visible state = every order (the delete wave tombstones negated
+# keys that never had live rows; asserts inside the query prove the
+# atomicity + drain invariants before this closed form is returned)
+ORACLES["stream_txn_consistent_state"] = """
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
 """
 
 ORACLES["silver_projection_route"] = """

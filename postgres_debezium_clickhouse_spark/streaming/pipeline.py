@@ -544,6 +544,171 @@ def silver_upsert_stream(
     return writer.start()
 
 
+def silver_txn_upsert_stream(
+    events: DataFrame,
+    path: str,
+    checkpoint: str,
+    keys: list[str],
+    version_col: str = "ts_ms",
+    tiebreak_col: str | None = None,
+    txn_id_col: str = "txn_id",
+    txn_order_col: str = "txn_order",
+    txn_total_col: str = "txn_total",
+    pending_path: str | None = None,
+    available_now: bool = False,
+    n_buckets: int = DEFAULT_SILVER_BUCKETS,
+    max_broadcast_keys: int = 1_000_000,
+    processing_interval_ms: int | None = None,
+) -> StreamingQuery:
+    """r10 (verdict item 2, T9) — TRANSACTION-CONSISTENT upsert sink:
+    readers of the silver store never see a partially-applied multi-row
+    source transaction, no matter how micro-batch boundaries cut the
+    stream.  This is the CDC-correctness feature Debezium's
+    ``provide.transaction.metadata=true`` exists for
+    (abcsvb-connector-secure.json:50): each event carries
+    ``transaction {id, total_order, data_collection_order}``
+    (value.json:731-754) and the transaction topic's END marker carries
+    the event count.
+
+    Contract columns on ``events`` (beyond the upsert sink's):
+
+    - ``txn_id_col``    — source transaction id;
+    - ``txn_order_col`` — Debezium ``total_order``: unique within the
+      transaction (this is the row identity that makes re-buffering
+      idempotent under batch replay);
+    - ``txn_total_col`` — the transaction's total DATA-row count.  Either
+      stamped on every row, or carried by an END-MARKER row (a row whose
+      ``keys`` are all NULL — the transaction-topic END event unioned
+      into the stream); rows of a transaction whose total is still
+      unknown simply stay buffered.
+
+    Mechanics per trigger, all O(touched buckets):
+
+    1. The batch's rows join the PENDING store (a sibling bucketed
+       manifest store keyed by ``txn_id_col`` — a transaction's rows
+       co-locate in ONE bucket, so completeness is a per-bucket groupBy,
+       never a global pass), deduped on (txn id, order).
+    2. A transaction is COMPLETE when its distinct data-row count equals
+       its declared total.  Complete transactions' data rows are RELEASED
+       through the normal ``apply_cdc`` latest-wins merge into the main
+       store; markers and released rows leave pending; incomplete rows
+       stay buffered.
+    3. Commit order is silver FIRST, pending SECOND, with the replay
+       watermark (``_replay_guard``) on the PENDING commit.  Every crash
+       window is safe: a replay after both commits is skipped by the
+       guard; a crash between the commits re-runs the trigger, where the
+       release is idempotent (latest-wins displaces, it never adds) and
+       the pending republish is a deterministic recompute.
+
+    Scale: pending state is bounded by in-flight transactions (steady
+    state: seconds of source activity); a transaction is never split
+    across buckets, so a 1000-executor cluster checks completeness with
+    one bucket-local aggregation.  Source-level duplicate delivery of a
+    row AFTER its transaction was released re-buffers it forever —
+    run ``stream_stateful_dedup`` upstream if the transport is
+    at-least-once (Spark's Kafka/file sources with checkpointing are
+    exactly-once into foreachBatch, where only whole-batch replays
+    happen, which the guard handles)."""
+    from ..operators.upsert import apply_cdc
+
+    ppath = pending_path if pending_path is not None else path + "_txn_pending"
+    txn_cols = [txn_id_col, txn_order_col, txn_total_col]
+
+    import hashlib as _hashlib
+
+    ckpt_key = _hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        keep = _replay_guard(ppath, ckpt_key, batch_id)
+        if keep is None:
+            return
+        if not batch.take(1):
+            return
+        pmanifest = _read_manifest(ppath) or {
+            "version": 0, "n_buckets": n_buckets, "files": [],
+        }
+        nbp = pmanifest["n_buckets"]
+        batch.persist()
+        try:
+            tx_buckets = {
+                int(r[0])
+                for r in batch.select(
+                    _bucket_expr([txn_id_col], nbp).alias("b")
+                ).distinct().collect()
+            }
+            pend_files = [
+                f for f in pmanifest["files"]
+                if int(f.split("__bucket=")[1].split("/")[0]) in tx_buckets
+            ]
+            universe = batch
+            if pend_files:
+                universe = _read_live_files(
+                    spark, ppath, {**pmanifest, "files": pend_files}
+                ).unionByName(batch, allowMissingColumns=True)
+            universe = universe.dropDuplicates([txn_id_col, txn_order_col])
+            universe.persist()
+            try:
+                is_data = F.lit(False)
+                for k in keys:
+                    is_data = is_data | F.col(k).isNotNull()
+                totals = universe.groupBy(txn_id_col).agg(
+                    F.sum(F.when(is_data, 1).otherwise(0)).alias("__seen"),
+                    F.max(txn_total_col).alias("__expect"),
+                )
+                complete = totals.filter(
+                    F.col("__expect").isNotNull()
+                    & (F.col("__seen") == F.col("__expect"))
+                ).select(txn_id_col)
+                if max_broadcast_keys and complete.count() <= max_broadcast_keys:
+                    complete = F.broadcast(complete)
+                released = (
+                    universe.filter(is_data)
+                    .join(complete, txn_id_col)
+                    .drop(*txn_cols)
+                )
+
+                def merge_fn(current, prepared):
+                    return apply_cdc(
+                        prepared, keys=keys, version_col=version_col,
+                        tiebreak_col=tiebreak_col, delete_mode="rewrite",
+                        current=current, max_broadcast_keys=max_broadcast_keys,
+                    )
+
+                _touched_bucket_merge(
+                    released, path, keys, n_buckets,
+                    prepare=lambda b: b, merge_fn=merge_fn, legacy_mode="error",
+                )
+                incomplete = universe.join(complete, txn_id_col, "left_anti")
+                _publish_buckets(
+                    incomplete, ppath, [txn_id_col], pmanifest, tx_buckets,
+                    manifest_extra={"applied": keep},
+                )
+            finally:
+                universe.unpersist()
+        finally:
+            batch.unpersist()
+
+    writer = events.writeStream.foreachBatch(_merge).option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_interval_ms is not None:
+        writer = writer.trigger(processingTime=f"{processing_interval_ms} milliseconds")
+    return writer.start()
+
+
+def read_txn_pending(spark: SparkSession, pending_path: str) -> DataFrame:
+    """The buffered rows of still-incomplete transactions (raw batch
+    schema — ``__deleted`` here is CDC payload, not a store tombstone).
+    Observability surface for the txn-consistent sink: alert when a
+    transaction has been pending longer than the source's commit
+    latency."""
+    manifest = _read_manifest(pending_path)
+    if manifest is None:
+        raise FileNotFoundError(f"no pending store at {pending_path}")
+    return _read_live_files(spark, pending_path, manifest)
+
+
 #: vacuum keeps at most this many newest history manifests by default —
 #: one version is written per publish, so an unbounded history dir grows
 #: forever on a long-running stream (ADVICE r7); the Delta

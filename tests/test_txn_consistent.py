@@ -1,0 +1,135 @@
+"""Transaction-consistent CDC visibility (r10, verdict item 2 / T9):
+readers of the silver store must never observe a partially-applied
+multi-row source transaction, however micro-batch boundaries cut the
+stream — the feature Debezium's ``provide.transaction.metadata=true``
+(abcsvb-connector-secure.json:50; value.json:731-754) exists for."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+import postgres_debezium_clickhouse_spark.streaming.pipeline as pl
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("txn_id", T.StringType()),
+        T.StructField("txn_order", T.LongType()),
+        T.StructField("txn_total", T.LongType()),
+    ]
+)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return {n: str(tmp_path / n) for n in ("src", "silver", "ckpt")}
+
+
+def _run(spark, dirs, rows, batch_no, **kw):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").json(
+        dirs["src"] + f"/b{batch_no}"
+    )
+    stream = spark.readStream.schema(SCHEMA).json(dirs["src"] + f"/b{batch_no}")
+    q = pl.silver_txn_upsert_stream(
+        stream, dirs["silver"], dirs["ckpt"] + f"/b{batch_no}",
+        keys=["k"], version_col="ts", available_now=True, **kw,
+    )
+    assert q.awaitTermination(120)
+
+
+def _silver(spark, dirs):
+    if pl._read_manifest(dirs["silver"]) is None:
+        return {}
+    return {r["k"]: r["v"] for r in pl.read_silver(spark, dirs["silver"]).collect()}
+
+
+def _pending_rows(spark, dirs):
+    return pl.read_txn_pending(spark, dirs["silver"] + "_txn_pending").count()
+
+
+def test_partial_transactions_stay_invisible(spark, dirs):
+    """Batches cut transactions mid-flight; after EVERY batch the store
+    holds only whole transactions, and the final state equals the plain
+    latest-wins result over the full log."""
+    A = [(1, "a1", "c", 1, "A", 1, 3), (2, "a2", "c", 1, "A", 2, 3),
+         (3, "a3", "c", 1, "A", 3, 3)]
+    B = [(4, "b4", "c", 2, "B", 1, 2), (1, "b1", "u", 2, "B", 2, 2)]
+    # b0: A is 2/3, B is 1/2 → NOTHING may be visible
+    _run(spark, dirs, A[:2] + B[:1], 0)
+    assert _silver(spark, dirs) == {}
+    assert _pending_rows(spark, dirs) == 3
+    # b1: B completes (its key-1 update must not appear without key 4)
+    _run(spark, dirs, B[1:], 1)
+    assert _silver(spark, dirs) == {4: "b4", 1: "b1"}
+    assert _pending_rows(spark, dirs) == 2          # A still buffered
+    # b2: A completes; key 1 keeps B's newer version (latest-wins)
+    _run(spark, dirs, A[2:], 2)
+    assert _silver(spark, dirs) == {1: "b1", 2: "a2", 3: "a3", 4: "b4"}
+    assert _pending_rows(spark, dirs) == 0
+
+
+def test_end_marker_declares_completeness(spark, dirs):
+    """Data rows carry NO total (embedded Debezium metadata has none);
+    the transaction-topic END marker — a row with NULL keys carrying
+    txn_total — is what completes the transaction."""
+    data = [(1, "m1", "c", 1, "M", 1, None), (2, "m2", "c", 1, "M", 2, None)]
+    marker = [(None, None, None, None, "M", None, 2)]
+    _run(spark, dirs, data, 0)
+    assert _silver(spark, dirs) == {}               # total unknown → buffered
+    _run(spark, dirs, marker, 1)
+    assert _silver(spark, dirs) == {1: "m1", 2: "m2"}
+    assert _pending_rows(spark, dirs) == 0          # marker drained too
+
+
+def test_delete_inside_transaction(spark, dirs):
+    """A transaction mixing an update and a delete applies atomically:
+    the tombstone and the update become visible in the same commit."""
+    _run(spark, dirs, [(1, "x1", "c", 1, "A", 1, 2), (2, "x2", "c", 1, "A", 2, 2)], 0)
+    assert _silver(spark, dirs) == {1: "x1", 2: "x2"}
+    _run(spark, dirs, [(1, "y1", "u", 2, "B", 1, 2)], 1)
+    assert _silver(spark, dirs) == {1: "x1", 2: "x2"}    # B mid-flight
+    _run(spark, dirs, [(2, None, "d", 2, "B", 2, 2)], 2)
+    assert _silver(spark, dirs) == {1: "y1"}             # update + delete together
+    withd = pl.read_silver(spark, dirs["silver"], include_deleted=True)
+    assert withd.filter("__deleted").count() == 1        # tombstone retained
+
+
+def test_batch_boundary_insensitive(spark, dirs, tmp_path):
+    """State after adversarial splits == state after one batch with the
+    whole log (both fully released)."""
+    rows = [
+        (1, "a1", "c", 1, "A", 1, 3), (2, "a2", "c", 1, "A", 2, 3),
+        (3, "a3", "c", 1, "A", 3, 3),
+        (4, "b4", "c", 2, "B", 1, 2), (1, "b1", "u", 2, "B", 2, 2),
+        (3, None, "d", 3, "C", 1, 1),
+    ]
+    for i, chunk in enumerate([rows[:2], rows[2:5], rows[5:]]):
+        _run(spark, dirs, chunk, i)
+    split_state = _silver(spark, dirs)
+    dirs2 = {n: str(tmp_path / ("x_" + n)) for n in ("src", "silver", "ckpt")}
+    _run(spark, dirs2, rows, 0)
+    assert split_state == _silver(spark, dirs2) == {1: "b1", 2: "a2", 4: "b4"}
+
+
+def test_duplicate_rows_within_buffer_are_idempotent(spark, dirs):
+    """(txn_id, txn_order) is the row identity: re-delivery of a buffered
+    row must not inflate the seen-count into a premature release."""
+    r1 = (1, "a1", "c", 1, "A", 1, 2)
+    _run(spark, dirs, [r1], 0)
+    _run(spark, dirs, [r1], 1)                       # duplicate delivery
+    assert _silver(spark, dirs) == {}                # still 1/2, not 2/2
+    _run(spark, dirs, [(2, "a2", "c", 1, "A", 2, 2)], 2)
+    assert _silver(spark, dirs) == {1: "a1", 2: "a2"}
+
+
+def test_pending_store_is_directoried_beside_silver(spark, dirs):
+    _run(spark, dirs, [(1, "a1", "c", 1, "A", 1, 2)], 0)
+    assert os.path.isdir(dirs["silver"] + "_txn_pending")
+    assert not os.path.isdir(dirs["silver"])         # nothing released yet
