@@ -175,6 +175,28 @@ def kmv_estimate_expr(sketch_col, k: int):
     )
 
 
+def qsample_quantile_expr(sketch_col, q: float):
+    """Quantile estimate from a bottom-k rank-sample state column (the
+    aggregating sink's ``qsample:<id_col>`` op — the CH
+    ``quantileTDigestMerge`` read-side analogue): the stored array is
+    the k (id-hash, value) pairs with smallest hashes, i.e. a uniform
+    row sample, so the q-quantile is the nearest-rank element of the
+    sampled VALUES.  Rank error is O(√(q(1-q)/k)) (Cohen & Kaplan 2007
+    bottom-k sketches); with the default k=512 that is ~2.2σ=5% around
+    the median, and the md5-derived hash makes every estimate
+    DETERMINISTIC for a given dataset.  Pure column expression — no
+    reshuffle to read the stored state."""
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"q must be in (0, 1], got {q}")
+    c = F.col(sketch_col) if isinstance(sketch_col, str) else sketch_col
+    vals = F.array_sort(F.transform(c, lambda x: x["v"]))
+    idx = F.greatest(
+        F.ceil(F.lit(float(q)) * F.size(vals).cast("double")).cast("int"),
+        F.lit(1),
+    )
+    return F.element_at(vals, idx)
+
+
 def kmv_sketch(
     items: DataFrame,
     group_col: str,

@@ -999,18 +999,35 @@ def _replay_guard(path: str, ckpt_key: str, batch_id: int) -> dict | None:
 #: deterministic payload tie-break, so the state is batch-boundary-
 #: insensitive like every other op here.  Read the payload as
 #: ``col("<out>.v")``.
+#:
+#: "qsample:<id_col>" (r10, verdict item 4) is the QUANTILE state column
+#: — the CH ``AggregateFunction(quantileTDigest, …)`` slot, realized as
+#: a bottom-k rank sample (Cohen & Kaplan 2007, "Summarizing data using
+#: bottom-k sketches", public paper) instead of a t-digest: the state is
+#: the ``qsample_k`` (hash-of-id, value) pairs with smallest hashes — a
+#: deterministic uniform row sample, so any quantile is read off the
+#: sampled values with rank error O(√(q(1-q)/k)).  Chosen over t-digest
+#: because its merge is the SAME pure-JVM array algebra as the kmv
+#: column (union+dedup+sort+slice: associative, commutative AND
+#: idempotent — duplicate-delivery-proof), where a t-digest merge would
+#: drop to per-row Python.  ``id_col`` must identify a source row
+#: stably across replays (a Kafka offset, an event id): it is the
+#: sampling key that makes the multiset weighting and the determinism
+#: work.  Read with ``operators.sketch.qsample_quantile_expr``.
 AGG_OPS = ("sum", "min", "max", "kmv")
+_KEYED_OPS = ("argmax", "argmin", "qsample")
 
 
 def _parse_agg_op(op: str) -> tuple[str, str | None]:
     base, _, ord_col = op.partition(":")
-    if base in ("argmax", "argmin"):
+    if base in _KEYED_OPS:
         if not ord_col:
-            raise ValueError(f"{base} op needs an ordering column: '{base}:<col>'")
+            raise ValueError(f"{base} op needs a column argument: '{base}:<col>'")
         return base, ord_col
     if op not in AGG_OPS:
         raise ValueError(
-            f"op must be one of {AGG_OPS} or argmax:<col>/argmin:<col>, got {op!r}"
+            f"op must be one of {AGG_OPS} or "
+            f"argmax:<col>/argmin:<col>/qsample:<id_col>, got {op!r}"
         )
     return op, None
 
@@ -1027,6 +1044,7 @@ def silver_summing_stream(
     agg_spec: dict[str, tuple[str, str]] | None = None,
     sum_scale: int = 2,
     kmv_k: int = 256,
+    qsample_k: int = 512,
 ) -> StreamingQuery:
     """r8 — the SummingMergeTree-equivalent keyed AGGREGATING sink
     (ClickHouse's second MergeTree family after the Replacing one S8
@@ -1104,6 +1122,22 @@ def silver_summing_stream(
             return F.slice(
                 F.array_sort(F.collect_set(kmv_hash_expr(src))), 1, kmv_k
             ).alias(out)
+        if base == "qsample":
+            # batch partial: the qsample_k (id-hash, value) pairs with
+            # smallest hashes — a deterministic uniform row sample
+            # (collect_set dedups same-id redelivery within the batch)
+            return F.slice(
+                F.array_sort(
+                    F.collect_set(
+                        F.struct(
+                            kmv_hash_expr(ord_col).alias("h"),
+                            F.col(src).cast("double").alias("v"),
+                        )
+                    )
+                ),
+                1,
+                qsample_k,
+            ).alias(out)
         if base in ("argmax", "argmin"):
             picker = F.max if base == "argmax" else F.min
             return picker(
@@ -1124,6 +1158,17 @@ def silver_summing_stream(
                 ),
                 1,
                 kmv_k,
+            ).alias(out)
+        if base == "qsample":
+            # sample union: ≤2 arrays per key → flatten, dedup, K
+            # smallest by hash — bounded at 2·qsample_k inputs, and
+            # idempotent (same id+value → identical struct)
+            return F.slice(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list(F.col(out))))
+                ),
+                1,
+                qsample_k,
             ).alias(out)
         if base in ("argmax", "argmin"):
             return (F.max if base == "argmax" else F.min)(F.col(out)).alias(out)

@@ -465,3 +465,54 @@ def test_ttl_rollup_keeps_null_ttl_rows(spark, tmp_path):
         (None, "click"): 64.0,       # survived, un-aggregated
         (ts(3, 1), "click"): 32.0,
     }
+
+
+def test_qsample_state_column_batch_boundary_insensitive(spark, dirs, tmp_path):
+    """r10 (verdict item 4): the quantile bottom-k-sample state must be
+    BIT-IDENTICAL whether rows arrive as one batch or three, and a
+    duplicate delivery of the same sampling id must be absorbed (the
+    struct dedup makes the union idempotent).  grp doubles as the
+    sampling id here: unique per row, replayed once."""
+    rows = [(i % 4, str(i), float((i * 31) % 97)) for i in range(200)]
+    rows.append(rows[0])                       # duplicate id delivery
+
+    def run(d, chunks):
+        for bi, chunk in enumerate(chunks):
+            spark.createDataFrame(chunk, SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).json(d["src"] + f"/b{bi}")
+            stream = spark.readStream.schema(SCHEMA).json(d["src"] + f"/b{bi}")
+            q = pl.silver_summing_stream(
+                stream, d["silver"], d["ckpt"] + f"/b{bi}", keys=["k"],
+                agg_spec={"vq": ("v", "qsample:grp")}, qsample_k=16,
+                available_now=True,
+            )
+            assert q.awaitTermination(120)
+        return {
+            r["k"]: [(x["h"], x["v"]) for x in r["vq"]]
+            for r in pl.read_silver(spark, d["silver"]).collect()
+        }
+
+    split = run(dirs, [rows[:70], rows[70:71], rows[71:]])
+    d2 = {n: str(tmp_path / ("one_" + n)) for n in ("src", "silver", "ckpt")}
+    whole = run(d2, [rows])
+    assert split == whole
+    # 50 rows per key > k=16 → every sample is full and hash-sorted
+    for v in split.values():
+        assert len(v) == 16 and v == sorted(v)
+
+    # read-side estimator: nearest-rank quantiles of the sampled values,
+    # exact on a handmade two-element state
+    from postgres_debezium_clickhouse_spark.operators.sketch import (
+        qsample_quantile_expr,
+    )
+
+    df = spark.createDataFrame(
+        [([(1, 10.0), (2, 20.0)],)],
+        "s array<struct<h:long,v:double>>",
+    )
+    got = df.select(
+        qsample_quantile_expr("s", 0.5).alias("p50"),
+        qsample_quantile_expr("s", 1.0).alias("p100"),
+    ).first()
+    assert (got.p50, got.p100) == (10.0, 20.0)
