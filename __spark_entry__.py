@@ -49,110 +49,73 @@ def entry(spark: SparkSession) -> DataFrame:
 _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries, analytics)
 
 _FRONT = (
-    # round-9 additions (never driver-checked) go here, newest first:
-    "stream_image_dedup_gate",
-    "ch_with_totals",
-    "silver_projection_scan",
-    "stream_agg_argmax_state",
-    "ch_dict_get",
-    "silver_version_diff",
-    "events_uniq_upto",
-    "ch_limit_by",
-    "ch_sample_clause",
-    "stream_schema_evolution",
-    "silver_ttl_rollup",
-    "dedup_image_dhash",
-    "contamination_check_13g",
-    "stream_agg_kmv_state",
-    "stream_vcollapsing_state",
-    "stream_collapsing_state",
-    # the LAST pre-r6-evidence cohort (r8 verdict item 1: driver evidence
-    # still r5; r8's window cut at multimodal_audio_decode, one before
-    # these).  After this round's 50-query gate covers them, NO registry
-    # name's latest driver evidence predates r6 and the rotation becomes
-    # steady-state cycling:
-    "multimodal_decode",
-    "multimodal_features",
-    "multimodal_video_frames",
-    "pack_chunks",
-    "quality_classifier_score",
-    "quality_gopher_rules",
-    "similarity_ann_ivf_topk",
-    "similarity_ann_lsh_buckets",
-    "similarity_ann_lsh_topk",
-    "similarity_cosine_topk",
-    "stream_filter_report",
-    "stream_schema_drift",
-    "text_boilerplate",
-    "text_lm_perplexity",
-    "text_pii_scrub",
-    "text_repetition",
-    "text_tfidf_top_terms",
-    "token_length_histogram",
-    # last driver evidence = r05, judge re-ran in r7 (third-party
-    # evidence, but driver evidence still r5 — close them out too):
-    "cdc_current_state",
-    "products_usable_vw",
-    "dedup_minhash_lsh",
-    "similarity_ann_ivf_table",
-    "trn_passport_current",
-    "llm_curation_pipeline",
-    "dedup_clusters_star",
-    "dedup_semantic",
-    "star_join_revenue",
-    "pack_greedy",
-    # 33 names above; the remaining ~17 window slots re-check the oldest
-    # of the r8-checked cohort (steady-state cycling begins here):
-    "corpus_content_drift",
-    "corpus_topk_domains_weighted",
-    "events_window_funnel",
-    "corpus_source_overlap",
-    "events_hourly_gapfill",
-    "stream_agg_state",
-    "stream_summing_state",
-    "silver_ttl",
-    "corpus_topk_tokens",
-    "events_cohort_retention",
-    "events_sequence_match",
-    "corpus_pagerank_sink",
-    "similarity_ivf_seeding",
-    "stream_late_events",
-    "trn_passport_ts_version",
-    "text_stats",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_count",
-    "text_fingerprint",
-    "multimodal_byte_stats",
-    "text_commonness",
-    "quality_adaptive_filter",
-    "similarity_lsh_recall",
-    "dedup_incremental",
-    "stream_quality_filter",
-    "llm_quality_funnel",
-    "pack_efficiency",
-    "cdc_schema_drift",
-    "chunk_sliding_windows",
-    "contamination_check",
-    "corpus_domain_mix",
-    "corpus_remove_boilerplate",
-    "corpus_split",
-    "corpus_stratified_sample",
-    "corpus_temperature_mix",
-    "corpus_token_budget_sample",
-    "corpus_vocab_topk",
-    "dedup_cluster_keep",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_fingerprint",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "embedding_quantize",
-    "events_props_keys",
-    "llm_filter_report",
-    "llm_prep_pipeline",
-    "multimodal_audio_decode",
+    # round-10 additions (never driver-checked) go here, newest first:
+    "multimodal_decode_jpeg",
+    "stream_agg_quantile_state",
+    "stream_txn_consistent_state",
+    "silver_projection_route",
+    # steady-state cycling (r9 verdict item 5): the entire cohort whose
+    # latest driver evidence is r6 — 50 names, so with the r10 additions
+    # ahead of them the ~50-query window covers all but the last few;
+    # any runoff stays at the top of r11's list.  After this round no
+    # name's driver evidence predates r7 except that runoff.
+    "buyer_segment_setops",
+    "cdc_bronze_stats",
+    "cdc_change_feed",
+    "cdc_deadletter_stats",
+    "cdc_first_image",
+    "cdc_json_extract_path",
+    "cdc_masked_customers",
+    "cdc_multiplex_route",
+    "cdc_rewrite_mode",
+    "check_violation_counts",
+    "chunk_content_defined",
+    "corpus_domain_blocklist",
+    "corpus_shard_manifest",
+    "corpus_training_order",
+    "corpus_vocab_coverage",
+    "customer_order_counts_outer",
+    "customers_with_orders_semi",
+    "customers_without_orders",
+    "dedup_chunks_crossdoc",
+    "latest_order_per_customer",
+    "line_totals_computed",
+    "lineitem_cube",
+    "lineitem_version_dedup",
+    "max_order",
+    "multimodal_audio_features",
+    "multimodal_decode_deadletter",
+    "multimodal_resize_real",
+    "nation_supplier_full_outer",
+    "order_price_buckets",
+    "order_totals",
+    "orders_running_totals",
+    "orders_status_dedup",
+    "orders_status_pivot",
+    "pricing_summary",
+    "recent_orders_interval",
+    "revenue_rollup",
+    "salted_customer_revenue",
+    "segment_distinct_stats",
+    "segment_stats",
+    "silver_cross_table_revenue",
+    "similarity_ann_ivf_index",
+    "similarity_ivf_recall",
+    "stream_ann_assign",
+    "stream_dedup_new_docs",
+    "stream_drift_quarantine",
+    "supplier_balance_ranks",
+    "text_html_extract",
+    "text_url_extract",
+    "top_customers",
+    "top_parts_by_price",
+    # r7-evidence cohort follows for window slack:
+    "cdc_hotkey_state",
+    "cdc_replay_from_bronze",
+    "corpus_bpe_encode",
+    "corpus_bpe_merges",
+    "corpus_dedup_report",
+    "corpus_domain_pagerank",
     # llm_queries / ops_queries / staging_queries follow via _MODULES order.
 )
 

@@ -188,6 +188,68 @@ def _bench_streaming(spark, sf_dir: str, passes: int = 2) -> dict:
     }
 
 
+def _bench_collapsing(spark, sf_dir: str, passes: int = 2) -> dict:
+    """Collapsing-sink replay throughput (r9 verdict item 7: the new sink
+    families need the same super-linearity evidence as the upsert path).
+    Replays the signed insert/update/delete workload of
+    ``stream_collapsing_state`` (plain mode, seq-ordered) through
+    ``silver_collapsing_stream`` and reports events/s, best of
+    ``passes``."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from postgres_debezium_clickhouse_spark.plans.ops_queries import (
+        _signed_order_stream,
+    )
+    from postgres_debezium_clickhouse_spark.streaming.pipeline import (
+        silver_collapsing_stream,
+    )
+
+    signed = _signed_order_stream(spark, sf_dir, versioned=False)
+    root = tempfile.gettempdir()
+    src = f"{root}/bench_clps_src_{uuid.uuid4().hex[:12]}"
+    signed.repartition(4).write.mode("overwrite").parquet(src)
+    n_events = spark.read.parquet(src).count()
+
+    rates, walls = [], []
+    try:
+        for _ in range(passes):
+            dst = f"{root}/bench_clps_out_{uuid.uuid4().hex[:12]}"
+            ckpt = f"{root}/bench_clps_ckpt_{uuid.uuid4().hex[:12]}"
+            try:
+                stream = (
+                    spark.readStream.schema(signed.schema)
+                    .option("maxFilesPerTrigger", "2")
+                    .parquet(src)
+                )
+                t0 = time.monotonic()
+                q = silver_collapsing_stream(
+                    stream, dst, ckpt, keys=["k"], seq_col="seq",
+                    available_now=True,
+                )
+                if not q.awaitTermination(600):
+                    q.stop()
+                    raise TimeoutError("collapsing bench did not finish in 600s")
+                wall = time.monotonic() - t0
+                walls.append(round(wall, 3))
+                rates.append(round(n_events / wall, 1))
+            finally:
+                shutil.rmtree(dst, ignore_errors=True)
+                shutil.rmtree(ckpt, ignore_errors=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return {
+        "metric": "collapsing_events_per_sec",
+        "value": max(rates) if rates else None,
+        "unit": "events/sec",
+        "n_events": n_events,
+        "walls": walls,
+        "rates": rates,
+        "passes": passes,
+    }
+
+
 def _run_passes(spark, sf_dir: str, names, queries, passes: int = PASSES):
     """The interleaved-pass measurement loop (see module docstring):
     returns (wall_runs, cpu_runs) with every observation."""
@@ -252,7 +314,33 @@ def scaling_main() -> int:
         ratios[n] = {"wall": rw, "cpu": rc}
         print(f"| {n} | {small_w[n]:.2f} | {big_w[n]:.2f} | {rw}× "
               f"| {small_c.get(n, float('nan')):.1f} | {big_c.get(n, float('nan')):.1f} | {rc}× |")
+    # streaming rows (r9 verdict item 7): the silver upsert path and one
+    # collapsing-sink replay get the same sf0.01-vs-sf0.1 check.  The
+    # comparable quantity is per-event COST (wall/event = 1/rate): ratio
+    # = cost_big/cost_small against 10× data, same reading as above.
+    stream_rows = {}
+    for label, fn in (("streaming_silver_upsert", _bench_streaming),
+                      ("streaming_collapsing", _bench_collapsing)):
+        obs = {}
+        for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+            print(f"  {label} @ {sf_dir}", file=sys.stderr)
+            r = fn(spark, sf_dir, passes=2)
+            obs[sf_dir] = r
+        small, big = obs["/root/testdata/sf0.01"], obs["/root/testdata/sf0.1"]
+        cost_ratio = (
+            round((1.0 / big["value"]) / (1.0 / small["value"]), 2)
+            if small["value"] and big["value"] else None
+        )
+        stream_rows[label] = {
+            "events_per_sec_small": small["value"],
+            "events_per_sec_big": big["value"],
+            "n_events": {"small": small["n_events"], "big": big["n_events"]},
+            "per_event_cost_ratio": cost_ratio,
+        }
+        print(f"| {label} (events/s) | {small['value']} | {big['value']} "
+              f"| {cost_ratio}× per-event cost |  |  |  |")
     print(json.dumps({"metric": "scaling_ratios", "ratios": ratios,
+                      "streaming": stream_rows,
                       "sf_small": 0.01, "sf_big": 0.1}))
     return 0
 
