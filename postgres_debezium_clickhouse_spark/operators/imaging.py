@@ -265,13 +265,26 @@ def jpeg_header_bytes(width: int, height: int, channels: int = 3) -> bytes:
 
 def decode_image(blob: bytes) -> dict:
     """Dispatch on magic bytes → {format, width, height, channels, pixels}.
-    ``pixels`` is None when only header-level decode is available (JPEG).
-    Replaces the round-1..4 ``NotImplementedError`` stub for PNG/JPEG;
-    other formats still raise (honestly) until a codec is wired in."""
+
+    JPEG is a FULL baseline-sequential pixel decode since r10
+    (operators/jpeg.py — T.81 Huffman + IDCT + chroma upsampling, like
+    PNG before it); progressive/arithmetic variants raise
+    NotImplementedError into the dead-letter route.  A header-only JPEG
+    (valid SOF but EOI before any SOS — the pre-r10 fixture shape, and
+    what a dims-only probe of a stripped stream sees) degrades to
+    ``pixels=None`` with dims, preserving the old contract.  Other
+    formats still raise (honestly) until a codec is wired in."""
     if blob[:8] == PNG_SIG:
         return {"format": "png", **png_decode(blob)}
     if blob[:2] == b"\xff\xd8":
-        return {"format": "jpeg", "pixels": None, **jpeg_dims(blob)}
+        from .jpeg import jpeg_decode
+
+        try:
+            return jpeg_decode(blob)
+        except ValueError as e:
+            if "EOI before SOS" in str(e):
+                return {"format": "jpeg", "pixels": None, **jpeg_dims(blob)}
+            raise
     raise NotImplementedError("no stdlib codec for this format; wire in Pillow/pyav")
 
 
@@ -694,6 +707,91 @@ def dhash_near_dups(hashes: DataFrame, max_hamming: int = 8,
         "doc_a", "doc_b", ham.alias("hamming"),
         (ham <= max_hamming).alias("near_dup"),
     )
+
+
+def synth_jpeg_images(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL baseline-JPEG fixture (r10): one full SOI→SOS→EOI stream per
+    id, encoded by operators/jpeg.py with all-ones quant tables.  Pixels
+    follow the dhash fixture's quadratic closed form —
+
+        w = 8 + d%5, h = 8 + d%3, RGB
+        value(d, idx, c) = (d*d*3 + idx*idx*7 + idx*d + c*11) % 256
+
+    (idx = y·w + x) — so w>8 ids exercise multi-MCU scans and the
+    encoder's edge-replication padding.  The DuckDB side can state dims
+    and the accuracy verdict; pixel values are checked Spark-side by
+    ``jpeg_roundtrip_check`` against the same closed form (quant=1 keeps
+    the DCT round trip within ±2/255 float rounding — exactness is
+    impossible for a transform codec, hence the verdict pattern)."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg import jpeg_encode_baseline
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                w, h = 8 + d % 5, 8 + d % 3
+                px = bytes(
+                    (d * d * 3 + idx * idx * 7 + idx * d + c * 11) % 256
+                    for idx in range(w * h)
+                    for c in range(3)
+                )
+                ids.append(d)
+                blobs.append(jpeg_encode_baseline(w, h, px, 3))
+            yield pd.DataFrame({id_col: ids, "media": blobs})
+
+    return ids_df.mapInPandas(_synth, schema=f"{id_col} long, media binary")
+
+
+def jpeg_roundtrip_check(media_df: DataFrame, id_col: str = "doc_id",
+                         tol: int = 2) -> DataFrame:
+    """Decode each ``synth_jpeg_images`` blob with the ENGINE decoder
+    (decode_image → jpeg_decode: Huffman + IDCT + color convert) and
+    compare every sample against the fixture's closed form → one row
+    (id, format, width, height, channels, n_pixels, pixels_ok) per doc.
+    ``pixels_ok`` = max |err| ≤ tol (2 = the documented float-rounding
+    band of the quant=1 round trip)."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("format", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("n_pixels", T.LongType()),
+            T.StructField("pixels_ok", T.BooleanType()),
+        ]
+    )
+
+    def _check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {f.name: [] for f in schema.fields}
+            for doc_id, blob in zip(pdf[id_col], pdf["media"]):
+                d = int(doc_id)
+                dec = decode_image(bytes(blob))
+                w, h = 8 + d % 5, 8 + d % 3
+                exp = bytes(
+                    (d * d * 3 + idx * idx * 7 + idx * d + c * 11) % 256
+                    for idx in range(w * h)
+                    for c in range(3)
+                )
+                got = dec["pixels"]
+                ok = (
+                    got is not None
+                    and len(got) == len(exp)
+                    and max(abs(a - b) for a, b in zip(got, exp)) <= tol
+                )
+                rows[id_col].append(d)
+                rows["format"].append(dec["format"])
+                rows["width"].append(dec["width"])
+                rows["height"].append(dec["height"])
+                rows["channels"].append(dec["channels"])
+                rows["n_pixels"].append(dec["width"] * dec["height"])
+                rows["pixels_ok"].append(bool(ok))
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(_check, schema=schema)
 
 
 def synth_dhash_images(ids_df: DataFrame, id_col: str = "doc_id",

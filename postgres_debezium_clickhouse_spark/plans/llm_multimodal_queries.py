@@ -72,6 +72,23 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(synth_images(docs))
 
 
+def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10 (verdict item 8) — REAL baseline JPEG decode: a full
+    SOI→DQT/DHT/SOF0/SOS→EOI stream per document (operators/jpeg.py,
+    T.81 baseline; all-ones quant tables), decoded by the engine's
+    Huffman+IDCT path and compared sample-by-sample against the
+    fixture's closed-form quadratic pixels.  Dims are oracle-exact; the
+    pixel comparison uses the accuracy-verdict pattern (``pixels_ok`` =
+    max |err| ≤ 2, the documented float-rounding band of a quant=1
+    transform round trip — a transform codec cannot be bit-exact).
+    Progressive/arithmetic variants stay honest dead-letter classes
+    (tests/test_jpeg.py)."""
+    from ..operators.imaging import jpeg_roundtrip_check, synth_jpeg_images
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return jpeg_roundtrip_check(synth_jpeg_images(docs))
+
+
 def q_multimodal_decode_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dead-letter decode (r6): the reference's poison-message policy
     (``kafka_skip_broken_messages = 1``, basic_example/clickhouse.sql:20)
@@ -168,6 +185,7 @@ QUERIES = {
     "multimodal_thumbnails": q_multimodal_thumbnails,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
     "multimodal_decode_deadletter": q_multimodal_decode_deadletter,
     "multimodal_audio_decode": q_multimodal_audio,
     "multimodal_audio_features": q_multimodal_audio_features,
@@ -234,6 +252,16 @@ ORACLES = {
                CAST(p.width * p.height AS BIGINT) AS n_pixels,
                s.sum_r, s.sum_g, s.sum_b, s.min_px, s.max_px
         FROM params p LEFT JOIN stats s USING (doc_id)
+    """,
+    "multimodal_decode_jpeg": """
+        SELECT doc_id,
+               'jpeg' AS format,
+               CAST(8 + doc_id % 5 AS INT) AS width,
+               CAST(8 + doc_id % 3 AS INT) AS height,
+               CAST(3 AS INT) AS channels,
+               CAST((8 + doc_id % 5) * (8 + doc_id % 3) AS BIGINT) AS n_pixels,
+               true AS pixels_ok
+        FROM documents
     """,
     "multimodal_decode_deadletter": """
         WITH params AS (

@@ -1,0 +1,187 @@
+"""Baseline-sequential JPEG codec (r10, verdict item 8): full T.81
+pixel decode — Huffman entropy decode, dequantize, IDCT, chroma
+upsampling, restart markers — plus the fixture encoder that makes the
+first-principles oracle possible."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from postgres_debezium_clickhouse_spark.operators.jpeg import (
+    AC_CHROMA_BITS, AC_CHROMA_VALS, AC_LUMA_BITS, AC_LUMA_VALS,
+    DC_CHROMA_BITS, DC_CHROMA_VALS, DC_LUMA_BITS, DC_LUMA_VALS, ZIGZAG,
+    _BitWriter, _canonical_codes, _fdct, _idct,
+    jpeg_decode, jpeg_encode_baseline,
+)
+
+
+def _quad_pixels(w, h, ch, seed=0):
+    return bytes(
+        (seed * 3 + i * i * 7 + i * seed + c * 11) % 256
+        for i in range(w * h) for c in range(ch)
+    )
+
+
+def test_dct_is_orthonormal():
+    rng = np.random.RandomState(0)
+    b = rng.rand(8, 8) * 255
+    assert np.abs(_idct(_fdct(b)) - b).max() < 1e-9
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(1, 24), h=st.integers(1, 20),
+    ch=st.sampled_from([1, 3]), seed=st.integers(0, 500),
+)
+def test_roundtrip_within_float_rounding(w, h, ch, seed):
+    px = _quad_pixels(w, h, ch, seed)
+    d = jpeg_decode(jpeg_encode_baseline(w, h, px, ch))
+    assert (d["width"], d["height"], d["channels"]) == (w, h, ch)
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).astype(int)
+    exp = np.frombuffer(px, dtype=np.uint8).astype(int)
+    assert np.abs(got - exp).max() <= 2
+
+
+def _flat_420_jpeg(w, h, rgb, dri=0, n_mcux=None):
+    """Hand-assembled 4:2:0 JPEG of a flat color — every block is
+    DC-only, so the stream is exactly derivable: tests the decoder's
+    multi-block MCU interleave, chroma upsampling, and (with dri) the
+    restart-marker path, none of which the 4:4:4 encoder emits."""
+    r, g, b = rgb
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    seg(0xDB, bytes([0x01]) + bytes([1] * 64))
+    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([3])
+    sof += bytes([1, 0x22, 0])          # Y: 2x2 sampling
+    sof += bytes([2, 0x11, 1])          # Cb
+    sof += bytes([3, 0x11, 1])          # Cr
+    seg(0xC0, bytes(sof))
+    for tid, bits, vals in (
+        (0x00, DC_LUMA_BITS, DC_LUMA_VALS), (0x10, AC_LUMA_BITS, AC_LUMA_VALS),
+        (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS), (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS),
+    ):
+        seg(0xC4, bytes([tid] + bits[1:] + vals))
+    if dri:
+        seg(0xDD, struct.pack(">H", dri))
+    seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+
+    dc_y = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_y = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+    def cat(v):
+        return int(abs(v)).bit_length()
+
+    mcus_x = -(-w // 16)
+    mcus_y = -(-h // 16)
+    wr = _BitWriter()
+    pred = [0, 0, 0]
+
+    def emit_dc_only(dc, dc_codes, ac_codes, ci):
+        diff = dc - pred[ci]
+        pred[ci] = dc
+        s = cat(diff)
+        c, ln = dc_codes[s]
+        wr.write(c, ln)
+        if s:
+            wr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        c, ln = ac_codes[0x00]          # EOB
+        wr.write(c, ln)
+
+    mcu_i = 0
+    entropy_parts = []
+    for _my in range(mcus_y):
+        for _mx in range(mcus_x):
+            if dri and mcu_i and mcu_i % dri == 0:
+                entropy_parts.append(wr.flush())
+                entropy_parts.append(bytes([0xFF, 0xD0 + ((mcu_i // dri - 1) % 8)]))
+                wr = _BitWriter()
+                pred = [0, 0, 0]
+            for _ in range(4):          # 2x2 Y blocks
+                emit_dc_only(int(round(8 * (y - 128))), dc_y, ac_y, 0)
+            emit_dc_only(int(round(8 * (cb - 128))), dc_c, ac_c, 1)
+            emit_dc_only(int(round(8 * (cr - 128))), dc_c, ac_c, 2)
+            mcu_i += 1
+    entropy_parts.append(wr.flush())
+    out.extend(b"".join(entropy_parts))
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+@pytest.mark.parametrize("w,h", [(16, 16), (16, 8), (24, 18)])
+def test_decodes_420_subsampled(w, h):
+    rgb = (90, 150, 210)
+    d = jpeg_decode(_flat_420_jpeg(w, h, rgb))
+    assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(h, w, 3).astype(int)
+    for c in range(3):
+        assert np.abs(got[..., c] - rgb[c]).max() <= 2
+
+
+def test_decodes_restart_markers():
+    d = jpeg_decode(_flat_420_jpeg(48, 16, (200, 40, 120), dri=1))
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(16, 48, 3).astype(int)
+    for c, v in enumerate((200, 40, 120)):
+        assert np.abs(got[..., c] - v).max() <= 2
+
+
+def test_unsupported_processes_deadletter_class():
+    blob = bytearray(jpeg_encode_baseline(8, 8, _quad_pixels(8, 8, 3), 3))
+    i = blob.index(b"\xff\xc0")
+    blob[i + 1] = 0xC2                 # rewrite SOF0 → SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        jpeg_decode(bytes(blob))
+    blob[i + 1] = 0xC9                 # arithmetic coding
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        jpeg_decode(bytes(blob))
+
+
+def test_corruption_is_valueerror_class():
+    good = jpeg_encode_baseline(8, 8, _quad_pixels(8, 8, 3), 3)
+    with pytest.raises(ValueError, match="truncated JPEG entropy"):
+        jpeg_decode(good[:-20])        # cut inside the scan
+    with pytest.raises(ValueError, match="bad SOI"):
+        jpeg_decode(b"\x00\x00" + good[2:])
+
+
+def test_decode_image_full_pixels_and_header_only_fallback():
+    from postgres_debezium_clickhouse_spark.operators.imaging import (
+        decode_image, jpeg_header_bytes,
+    )
+
+    px = _quad_pixels(9, 10, 3, seed=4)
+    full = decode_image(jpeg_encode_baseline(9, 10, px, 3))
+    assert full["format"] == "jpeg" and full["pixels"] is not None
+    assert len(full["pixels"]) == 9 * 10 * 3
+    hdr = decode_image(jpeg_header_bytes(9, 10, 3))
+    assert hdr["pixels"] is None and (hdr["width"], hdr["height"]) == (9, 10)
+
+
+def test_spark_fixture_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from postgres_debezium_clickhouse_spark.operators.imaging import (
+        jpeg_roundtrip_check, synth_jpeg_images,
+    )
+
+    ids = spark.range(0, 30).select(F.col("id").alias("doc_id"))
+    out = jpeg_roundtrip_check(synth_jpeg_images(ids)).collect()
+    assert len(out) == 30
+    for r in out:
+        assert r.pixels_ok, r
+        assert (r.width, r.height) == (8 + r.doc_id % 5, 8 + r.doc_id % 3)
