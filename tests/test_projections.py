@@ -259,3 +259,24 @@ def test_auto_routing_scan_is_pushed_and_prunable(spark, tmp_path):
     prim_hit, prim_total = matching_groups(m["files"])
     assert proj_total >= 4 and prim_hit == prim_total  # primary: no pruning
     assert proj_hit <= proj_total // 3                 # projection: most skipped
+
+
+def test_rebucket_preserves_projections(spark, tmp_path):
+    """r10: the two r9 features compose — a width change republishes the
+    projection file set at the new width in the same commit, and the
+    auto-router still reaches it."""
+    path = str(tmp_path / "store")
+    _seed_store(spark, path, n=200, n_buckets=2)
+    pl.add_projection(spark, path, ["k"], "by_sec", ["sec"])
+    pl.rebucket_silver(spark, path, ["k"], 8)
+    m = pl._read_manifest(path)
+    assert m["n_buckets"] == 8
+    pfiles = m["projections"]["by_sec"]["files"]
+    assert pfiles and all("__epoch=" in f for f in pfiles)
+    assert {int(f.split("__bucket=")[1].split("/")[0]) for f in pfiles} <= set(range(8))
+    prim = {(r.k, r.sec) for r in pl.read_silver(spark, path).collect()}
+    proj = {(r.k, r.sec)
+            for r in pl.read_silver_projection(spark, path, "by_sec").collect()}
+    assert prim == proj and len(prim) == 200
+    routed = pl.read_silver_auto(spark, path, where=F.col("sec") == (7 * 7919) % 1000)
+    assert routed.inputFiles() and all("__proj_by_sec" in f for f in routed.inputFiles())
