@@ -285,6 +285,10 @@ def decode_image(blob: bytes) -> dict:
             if "EOI before SOS" in str(e):
                 return {"format": "jpeg", "pixels": None, **jpeg_dims(blob)}
             raise
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import gif_decode
+
+        return gif_decode(blob)
     raise NotImplementedError("no stdlib codec for this format; wire in Pillow/pyav")
 
 
@@ -707,6 +711,33 @@ def dhash_near_dups(hashes: DataFrame, max_hamming: int = 8,
         "doc_a", "doc_b", ham.alias("hamming"),
         (ham <= max_hamming).alias("near_dup"),
     )
+
+
+def synth_gif_images(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL GIF fixture (r10): one GIF87a per id (operators/gif.py), the
+    256-color palette ``palette[i] = (i, 7i mod 256, 13i mod 256)`` and
+    index stream ``index(d, i) = (5d + 11i) mod 256`` over w = 3+d%5,
+    h = 2+d%7 (the PNG fixture's dim family); every 3rd id is
+    INTERLACED, so the 4-pass row reorder is part of what the oracle
+    checks.  GIF is lossless, so the decoded channel sums are
+    integer-exact closed forms — the PNG-strength oracle, not JPEG's
+    tolerance band."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .gif import gif_encode
+
+        pal = bytes(c for i in range(256) for c in (i, (i * 7) % 256, (i * 13) % 256))
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                w, h = 3 + d % 5, 2 + d % 7
+                idx = bytes((5 * d + 11 * i) % 256 for i in range(w * h))
+                ids.append(d)
+                blobs.append(gif_encode(w, h, idx, pal, interlace=(d % 3 == 0)))
+            yield pd.DataFrame({id_col: ids, "media": blobs})
+
+    return ids_df.mapInPandas(_synth, schema=f"{id_col} long, media binary")
 
 
 def synth_jpeg_images(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:

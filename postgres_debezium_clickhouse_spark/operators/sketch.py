@@ -197,6 +197,45 @@ def qsample_quantile_expr(sketch_col, q: float):
     return F.element_at(vals, idx)
 
 
+def qsample_sketch(
+    items: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: int = 512,
+    n_partials: int = 64,
+) -> DataFrame:
+    """Batch-side bottom-k rank-sample quantile sketch per group →
+    ``(group, qsketch)`` — the batch twin of the aggregating sink's
+    ``qsample:<id_col>`` state column, same array layout (sorted
+    (id-hash, value) structs), so stored stream states and batch sketches
+    MERGE with each other (Cohen & Kaplan 2007: bottom-k sketches
+    compose under union).  The CH ``quantileTDigest(q)(col)`` batch
+    slot; read with :func:`qsample_quantile_expr`.
+
+    Scale shape mirrors ``kmv_sketch``: level 1 groups by (group,
+    hash % n_partials) and keeps each bucket's k smallest pairs, so no
+    level ever holds a group's full row universe; level 2 is one
+    flatten+sort+slice over ≤ n_partials·k structs per group."""
+    h = kmv_hash_expr(id_col)
+    pair = F.struct(h.alias("h"), F.col(value_col).cast("double").alias("v"))
+    lvl1 = (
+        items.select(F.col(group_col).alias("grp"), pair.alias("p"))
+        .groupBy("grp", (F.col("p.h") % n_partials).alias("__b"))
+        .agg(F.slice(F.array_sort(F.collect_set("p")), 1, k).alias("part"))
+    )
+    return (
+        lvl1.groupBy("grp")
+        .agg(
+            F.slice(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("part")))),
+                1, k,
+            ).alias("qsketch")
+        )
+        .select(F.col("grp").alias(group_col), "qsketch")
+    )
+
+
 def kmv_sketch(
     items: DataFrame,
     group_col: str,

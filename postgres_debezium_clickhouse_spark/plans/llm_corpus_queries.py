@@ -195,7 +195,31 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.select("event_type", "n_events", ok.alias("median_in_p40_p60"))
 
 
+def q_qsample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10 — the batch bottom-k rank-sample quantile sketch
+    (``qsample_sketch``, same array algebra as the aggregating sink's
+    qsample state column, so the two MERGE).  Unlike r7's
+    ``events_quantile_sketch`` (approx_percentile — engine-specific
+    state, accuracy-verdict oracle only), the md5-derived sample is
+    DETERMINISTIC, so DuckDB reproduces the exact same k-smallest-hash
+    sample and the exact same nearest-rank quantiles — a FULL VALUE
+    oracle for a sketch, the strongest check this family admits."""
+    from ..operators.sketch import qsample_quantile_expr, qsample_sketch
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    sk = qsample_sketch(ev, "event_type", "value", "event_id", k=512)
+    return sk.select(
+        "event_type",
+        F.size("qsketch").alias("n_sample"),
+        F.round(qsample_quantile_expr("qsketch", 0.5), 6).alias("p50"),
+        F.round(qsample_quantile_expr("qsketch", 0.9), 6).alias("p90"),
+    )
+
+
 QUERIES = {
+    "events_qsample_quantiles": q_qsample_quantiles,
     "corpus_domain_blocklist": q_corpus_domain_blocklist,
     "corpus_domain_quality": q_domain_quality_report,
     "corpus_domain_pagerank": q_domain_pagerank,
@@ -206,6 +230,32 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_qsample_quantiles": """
+        WITH h AS (
+            SELECT event_type, value,
+                   ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+            FROM events
+        ),
+        r AS (
+            SELECT event_type, value,
+                   row_number() OVER (PARTITION BY event_type ORDER BY hh, value) AS rn
+            FROM h
+        ),
+        s AS (SELECT event_type, value FROM r WHERE rn <= 512),
+        o AS (
+            SELECT event_type, value,
+                   row_number() OVER (PARTITION BY event_type ORDER BY value) AS vr,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM s
+        )
+        SELECT event_type,
+               CAST(MAX(n) AS INT) AS n_sample,
+               ROUND(MAX(CASE WHEN vr = GREATEST(CAST(CEIL(0.5 * n) AS BIGINT), 1)
+                              THEN value END), 6) AS p50,
+               ROUND(MAX(CASE WHEN vr = GREATEST(CAST(CEIL(0.9 * n) AS BIGINT), 1)
+                              THEN value END), 6) AS p90
+        FROM o GROUP BY event_type
+    """,
     "corpus_domain_blocklist": """
         SELECT doc_id FROM documents WHERE doc_id % 7 NOT IN (2, 5)
     """,

@@ -89,6 +89,20 @@ def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jpeg_roundtrip_check(synth_jpeg_images(docs))
 
 
+def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10 — REAL GIF decode (operators/gif.py: sub-block reassembly +
+    full LZW with code-width growth + palette lookup + 4-pass
+    de-interlacing on every 3rd doc), through the same decode_images
+    stats path as PNG.  GIF is lossless, so the channel sums are
+    INTEGER-EXACT closed forms the DuckDB oracle recomputes from the
+    palette/index formulas — the strongest oracle class, unlike JPEG's
+    tolerance band."""
+    from ..operators.imaging import synth_gif_images
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_images(synth_gif_images(docs))
+
+
 def q_multimodal_decode_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dead-letter decode (r6): the reference's poison-message policy
     (``kafka_skip_broken_messages = 1``, basic_example/clickhouse.sql:20)
@@ -186,6 +200,7 @@ QUERIES = {
     "multimodal_frames": q_multimodal_frames,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
+    "multimodal_decode_gif": q_multimodal_decode_gif,
     "multimodal_decode_deadletter": q_multimodal_decode_deadletter,
     "multimodal_audio_decode": q_multimodal_audio,
     "multimodal_audio_features": q_multimodal_audio_features,
@@ -252,6 +267,35 @@ ORACLES = {
                CAST(p.width * p.height AS BIGINT) AS n_pixels,
                s.sum_r, s.sum_g, s.sum_b, s.min_px, s.max_px
         FROM params p LEFT JOIN stats s USING (doc_id)
+    """,
+    "multimodal_decode_gif": """
+        WITH params AS (
+            SELECT doc_id,
+                   CAST(3 + doc_id % 5 AS INT) AS width,
+                   CAST(2 + doc_id % 7 AS INT) AS height
+            FROM documents
+        ),
+        px AS (
+            SELECT p.doc_id,
+                   (5 * p.doc_id + 11 * i.i) % 256 AS r
+            FROM params p
+            CROSS JOIN range(77) i(i)
+            WHERE i.i < p.width * p.height
+        ),
+        stats AS (
+            SELECT doc_id,
+                   CAST(SUM(r) AS BIGINT) AS sum_r,
+                   CAST(SUM((r * 7) % 256) AS BIGINT) AS sum_g,
+                   CAST(SUM((r * 13) % 256) AS BIGINT) AS sum_b,
+                   CAST(MIN(LEAST(r, (r * 7) % 256, (r * 13) % 256)) AS INT) AS min_px,
+                   CAST(MAX(GREATEST(r, (r * 7) % 256, (r * 13) % 256)) AS INT) AS max_px
+            FROM px GROUP BY doc_id
+        )
+        SELECT p.doc_id, 'gif' AS format, p.width, p.height,
+               CAST(3 AS INT) AS channels,
+               CAST(p.width * p.height AS BIGINT) AS n_pixels,
+               s.sum_r, s.sum_g, s.sum_b, s.min_px, s.max_px
+        FROM params p JOIN stats s USING (doc_id)
     """,
     "multimodal_decode_jpeg": """
         SELECT doc_id,
