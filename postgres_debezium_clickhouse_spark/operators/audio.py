@@ -46,12 +46,98 @@ def wav_encode(samples: list[int], sample_rate: int = 8000, channels: int = 1) -
     return buf.getvalue()
 
 
+def mulaw_expand(b: int) -> int:
+    """G.711 µ-law byte → linear int16 (ITU-T G.711, public spec;
+    verified bit-exact against the stdlib ``audioop.ulaw2lin`` table in
+    tests/test_audio.py).  Closed-form integer arithmetic, so DuckDB
+    oracles recompute it exactly."""
+    u = ~b & 0xFF
+    sign = u & 0x80
+    e = (u >> 4) & 7
+    m = u & 0x0F
+    mag = (((m << 3) + 0x84) << e) - 0x84
+    return -mag if sign else mag
+
+
+def alaw_expand(b: int) -> int:
+    """G.711 A-law byte → linear int16 (sign bit SET = negative after
+    the 0x55 toggle — audioop-verified)."""
+    u = b ^ 0x55
+    sign = u & 0x80
+    e = (u >> 4) & 7
+    m = u & 0x0F
+    mag = (m << 4) + 8 if e == 0 else ((m << 4) + 0x108) << (e - 1)
+    return mag if sign else -mag
+
+
+def wav_encode_g711(codes: bytes, law: str, sample_rate: int = 8000,
+                    channels: int = 1) -> bytes:
+    """Fixture-grade RIFF writer for G.711 streams: format tag 7 (µ-law)
+    or 6 (A-law), 8 bits per sample — the telephony WAV variants the
+    stdlib ``wave`` module refuses to write."""
+    tag = {"mulaw": 7, "alaw": 6}[law]
+    fmt = struct.pack(
+        "<HHIIHH", tag, channels, sample_rate, sample_rate * channels,
+        channels, 8,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(codes)) + codes
+        + (b"\x00" if len(codes) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _g711_decode(blob: bytes) -> dict | None:
+    """Manual RIFF walk for the G.711 format tags (6 = A-law, 7 = µ-law)
+    the stdlib ``wave`` module cannot parse.  Returns None when the fmt
+    chunk says plain PCM (tag 1) so the stdlib path keeps handling it."""
+    i = 12
+    fmt = data = None
+    while i + 8 <= len(blob):
+        cid = blob[i:i + 4]
+        (sz,) = struct.unpack("<I", blob[i + 4:i + 8])
+        chunk = blob[i + 8:i + 8 + sz]
+        if len(chunk) != sz:
+            raise ValueError("malformed WAV: truncated chunk")
+        if cid == b"fmt ":
+            fmt = chunk
+        elif cid == b"data":
+            data = chunk
+        i += 8 + sz + (sz & 1)
+    if fmt is None or len(fmt) < 16:
+        raise ValueError("malformed WAV: no fmt chunk")
+    tag, ch, rate = struct.unpack("<HHI", fmt[:8])
+    if tag == 1:
+        return None
+    if tag not in (6, 7):
+        raise NotImplementedError(
+            f"unsupported WAV format tag {tag}; wire in soundfile/pyav"
+        )
+    if data is None:
+        raise ValueError("malformed WAV: no data chunk")
+    expand = mulaw_expand if tag == 7 else alaw_expand
+    samples = [expand(b) for b in data]
+    if len(samples) % ch:
+        raise ValueError("data chunk size mismatch")
+    return {
+        "channels": ch,
+        "sample_rate": rate,
+        "n_frames": len(samples) // ch,
+        "samples": samples,
+    }
+
+
 def wav_decode(blob: bytes) -> dict:
     """Decode a WAV: {channels, sample_rate, n_frames, samples} with
     ``samples`` the interleaved int16 list.  Only 16-bit PCM is supported
     — anything else raises loudly (wrong stats are worse than no stats)."""
     if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         raise ValueError("not a WAV (bad RIFF/WAVE header)")
+    g711 = _g711_decode(blob)
+    if g711 is not None:
+        return g711
     # Normalize stdlib parse failures to ValueError so callers can write ONE
     # except clause across media types (the PNG path's contract —
     # operators/imaging.py png_decode): wave.open throws raw wave.Error on a
@@ -210,6 +296,34 @@ WAV_BLOB_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("media", T.BinaryType()),
 ])
+
+
+def synth_g711_waveforms(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """G.711 telephony-WAV fixture (r10): for doc ``d``,
+
+        n_codes = 40 + d % 17   (mono, 8 kHz)
+        code(i) = (5d + 7i) % 256
+        law     = µ-law (tag 7) if d even else A-law (tag 6)
+
+    The decoded samples are ``mulaw_expand/alaw_expand`` of the code
+    bytes — pure integer closed forms DuckDB restates exactly, so the
+    RIFF walk for non-PCM tags AND both expansion tables are
+    value-checked end to end (the audioop cross-check in
+    tests/test_audio.py independently pins the tables)."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                codes = bytes((5 * d + 7 * i) % 256 for i in range(40 + d % 17))
+                ids.append(d)
+                blobs.append(
+                    wav_encode_g711(codes, "mulaw" if d % 2 == 0 else "alaw")
+                )
+            yield pd.DataFrame({"doc_id": ids, "media": blobs})
+
+    return ids_df.select(id_col).mapInPandas(_synth, schema=WAV_BLOB_SCHEMA)
 
 
 def synth_waveforms(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:

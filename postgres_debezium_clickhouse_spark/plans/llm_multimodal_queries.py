@@ -125,6 +125,18 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_waveforms(synth_waveforms(docs))
 
 
+def q_multimodal_audio_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10 — G.711 telephony WAV decode (format tags 7 µ-law / 6 A-law,
+    alternating per doc): the manual RIFF walk for non-PCM tags + both
+    ITU expansion tables (audioop-verified), emitting integer-exact
+    sample stats the DuckDB oracle recomputes from the closed-form code
+    bytes through the same expansion arithmetic."""
+    from ..operators.audio import synth_g711_waveforms
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_waveforms(synth_g711_waveforms(docs))
+
+
 def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r6: audio feature extraction — windowed energy (integer-exact
     Σ sample² per 16-frame window, summed over channels) + peak amplitude
@@ -203,6 +215,7 @@ QUERIES = {
     "multimodal_decode_gif": q_multimodal_decode_gif,
     "multimodal_decode_deadletter": q_multimodal_decode_deadletter,
     "multimodal_audio_decode": q_multimodal_audio,
+    "multimodal_audio_g711": q_multimodal_audio_g711,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_resize_real": q_multimodal_resize,
     "multimodal_video_frames": q_multimodal_video,
@@ -267,6 +280,51 @@ ORACLES = {
                CAST(p.width * p.height AS BIGINT) AS n_pixels,
                s.sum_r, s.sum_g, s.sum_b, s.min_px, s.max_px
         FROM params p LEFT JOIN stats s USING (doc_id)
+    """,
+    "multimodal_audio_g711": """
+        WITH codes AS (
+            SELECT doc_id,
+                   (5 * doc_id + 7 * i.i) % 256 AS b
+            FROM documents
+            CROSS JOIN range(57) i(i)
+            WHERE i.i < 40 + doc_id % 17
+        ),
+        expanded AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN
+                       -- mu-law: u = ~b; mag = ((m*8+132)<<e)-132
+                       CASE WHEN (255 - b) >= 128
+                            THEN -((((255 - b) % 16) * 8 + 132)
+                                   * CAST(POWER(2, ((255 - b) // 16) % 8) AS BIGINT) - 132)
+                            ELSE  ((((255 - b) % 16) * 8 + 132)
+                                   * CAST(POWER(2, ((255 - b) // 16) % 8) AS BIGINT) - 132)
+                       END
+                   ELSE
+                       -- A-law: u = b XOR 0x55; sign bit set = positive
+                       CASE WHEN xor(b, 85) >= 128 THEN
+                           CASE WHEN (xor(b, 85) // 16) % 8 = 0
+                                THEN (xor(b, 85) % 16) * 16 + 8
+                                ELSE ((xor(b, 85) % 16) * 16 + 264)
+                                     * CAST(POWER(2, (xor(b, 85) // 16) % 8 - 1) AS BIGINT)
+                           END
+                       ELSE
+                           -(CASE WHEN (xor(b, 85) // 16) % 8 = 0
+                                  THEN (xor(b, 85) % 16) * 16 + 8
+                                  ELSE ((xor(b, 85) % 16) * 16 + 264)
+                                       * CAST(POWER(2, (xor(b, 85) // 16) % 8 - 1) AS BIGINT)
+                             END)
+                       END
+                   END AS s
+            FROM codes
+        )
+        SELECT doc_id, 'wav' AS format,
+               CAST(1 AS INT) AS channels,
+               CAST(8000 AS INT) AS sample_rate,
+               CAST(40 + doc_id % 17 AS BIGINT) AS n_frames,
+               CAST(SUM(s) AS BIGINT) AS s_sum,
+               CAST(MIN(s) AS INT) AS s_min,
+               CAST(MAX(s) AS INT) AS s_max
+        FROM expanded GROUP BY doc_id
     """,
     "multimodal_decode_gif": """
         WITH params AS (

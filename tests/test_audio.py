@@ -85,3 +85,58 @@ def test_audio_energy_windows_values_and_tail(spark):
     bad = [r for r in dl if r.doc_id == 3]
     assert len(bad) == 1 and bad[0].err is not None and bad[0].sq_sum is None
     assert all(r.err is None for r in dl if r.doc_id != 3)
+
+
+def test_g711_expansion_matches_audioop():
+    """The ITU G.711 tables, independently pinned: every one of the 256
+    mu-law and A-law codes must expand to exactly what the stdlib
+    audioop tables say (import-gated: audioop is removed in 3.13)."""
+    import struct as _struct
+
+    audioop = pytest.importorskip("audioop")
+    from postgres_debezium_clickhouse_spark.operators.audio import (
+        alaw_expand, mulaw_expand,
+    )
+
+    for b in range(256):
+        assert mulaw_expand(b) == _struct.unpack(
+            "<h", audioop.ulaw2lin(bytes([b]), 2))[0]
+        assert alaw_expand(b) == _struct.unpack(
+            "<h", audioop.alaw2lin(bytes([b]), 2))[0]
+
+
+def test_g711_wav_roundtrip_and_dispatch():
+    from postgres_debezium_clickhouse_spark.operators.audio import (
+        alaw_expand, decode_audio, mulaw_expand, wav_encode_g711,
+    )
+
+    codes = bytes((5 * 3 + 7 * i) % 256 for i in range(50))
+    for law, expand, tag_name in (("mulaw", mulaw_expand, 7), ("alaw", alaw_expand, 6)):
+        d = decode_audio(wav_encode_g711(codes, law, 8000, 1))
+        assert d["format"] == "wav" and d["channels"] == 1
+        assert d["sample_rate"] == 8000 and d["n_frames"] == 50
+        assert d["samples"] == [expand(b) for b in codes]
+    # stereo frame accounting
+    d = decode_audio(wav_encode_g711(codes, "mulaw", 16000, 2))
+    assert d["channels"] == 2 and d["n_frames"] == 25
+    # PCM files still take the stdlib path untouched
+    from postgres_debezium_clickhouse_spark.operators.audio import wav_encode
+
+    d = decode_audio(wav_encode([1, -2, 3], 8000, 1))
+    assert d["samples"] == [1, -2, 3]
+
+
+def test_g711_unsupported_tag_and_truncation():
+    import struct as _struct
+
+    from postgres_debezium_clickhouse_spark.operators.audio import (
+        wav_decode, wav_encode_g711,
+    )
+
+    blob = bytearray(wav_encode_g711(bytes(10), "mulaw"))
+    i = blob.index(b"fmt ") + 8
+    _struct.pack_into("<H", blob, i, 0x11)      # IMA ADPCM tag
+    with pytest.raises(NotImplementedError, match="format tag 17"):
+        wav_decode(bytes(blob))
+    with pytest.raises(ValueError, match="truncated chunk"):
+        wav_decode(bytes(wav_encode_g711(bytes(10), "mulaw"))[:-4])
