@@ -72,6 +72,48 @@ def unwrap_envelope(parsed: DataFrame, drop_deletes: bool = True, keep_transacti
     ).select("__row.*", *tail)
 
 
+def with_txn_columns(df: DataFrame, txn_col: str = "__txn") -> DataFrame:
+    """r10 (T9) — flatten the carried Debezium transaction struct
+    (``unwrap_envelope(keep_transaction=True)`` → ``__txn {id,
+    total_order, data_collection_order}``, value.json:731-754) into the
+    contract columns of ``silver_txn_upsert_stream``: ``txn_id`` /
+    ``txn_order`` / ``txn_total``.  The embedded metadata carries no
+    event count — that arrives on the transaction topic's END events —
+    so ``txn_total`` is NULL here and :func:`txn_end_markers` supplies
+    it.  Rows OUTSIDE any transaction (Debezium omits the struct for
+    snapshot reads) come out with NULL ``txn_id`` and would buffer
+    forever: pre-split them to the plain upsert sink
+    (``df.filter(col("txn_id").isNull())``) — snapshot rows need no
+    transactional gating by definition."""
+    t = F.col(txn_col)
+    return (
+        df.withColumn("txn_id", t["id"])
+        .withColumn("txn_order", t["total_order"])
+        .withColumn("txn_total", F.lit(None).cast("long"))
+        .drop(txn_col)
+    )
+
+
+def txn_end_markers(ends: DataFrame, data_df: DataFrame,
+                    id_col: str = "id",
+                    count_col: str = "event_count") -> DataFrame:
+    """Shape Debezium transaction-topic END events (``{id, event_count,
+    …}``) into NULL-key marker rows matching ``data_df``'s schema, ready
+    to ``unionByName`` into the txn sink's stream: every column NULL
+    except ``txn_id`` (from ``id_col``) and ``txn_total`` (from
+    ``count_col``) — the completeness declaration
+    ``silver_txn_upsert_stream`` waits for."""
+    cols = []
+    for f in data_df.schema.fields:
+        if f.name == "txn_id":
+            cols.append(F.col(id_col).cast(f.dataType).alias(f.name))
+        elif f.name == "txn_total":
+            cols.append(F.col(count_col).cast("long").alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return ends.select(*cols)
+
+
 def mask_fields(df: DataFrame, columns: list[str], mode: str = "hash") -> DataFrame:
     """P8 — in-flight PII masking (abcsvb-connector-secure.json:36-37).
 

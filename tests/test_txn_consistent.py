@@ -133,3 +133,66 @@ def test_pending_store_is_directoried_beside_silver(spark, dirs):
     _run(spark, dirs, [(1, "a1", "c", 1, "A", 1, 2)], 0)
     assert os.path.isdir(dirs["silver"] + "_txn_pending")
     assert not os.path.isdir(dirs["silver"])         # nothing released yet
+
+
+def test_envelope_to_txn_sink_wiring(spark, dirs):
+    """T9 end-to-end from the REFERENCE SURFACE: Debezium envelope JSON
+    (payload.transaction carried by parse_envelope + unwrap_envelope
+    keep_transaction) → with_txn_columns → txn_end_markers from the
+    transaction topic's END events → the txn-consistent sink."""
+    import json
+
+    from postgres_debezium_clickhouse_spark.operators.transforms import (
+        txn_end_markers, unwrap_envelope, with_txn_columns,
+    )
+    from postgres_debezium_clickhouse_spark.schemas import ORDERS_ENVELOPE
+    from postgres_debezium_clickhouse_spark.sources.cdc import parse_envelope
+
+    def env(k, price, op, txn, order):
+        after = {"o_orderkey": k, "o_custkey": 1, "o_orderstatus": "O",
+                 "o_totalprice": str(price), "o_orderdate": "2024-01-01",
+                 "o_orderpriority": "1", "o_clerk": "c", "o_shippriority": 0,
+                 "o_comment": "x"}
+        return json.dumps({"payload": {
+            "before": None, "after": after, "op": op,
+            "source": {"ts_ms": 1, "db": "d", "table": "orders"},
+            "transaction": {"id": txn, "total_order": order,
+                            "data_collection_order": order},
+        }})
+
+    raw = spark.createDataFrame(
+        [(env(1, "10.0", "c", "T1", 1),), (env(2, "20.0", "c", "T1", 2),)],
+        "value string",
+    ).withColumn("offset", F.monotonically_increasing_id())
+    flat = with_txn_columns(
+        unwrap_envelope(
+            parse_envelope(raw, ORDERS_ENVELOPE), drop_deletes=False,
+            keep_transaction=True,
+        )
+    ).select("o_orderkey", "o_totalprice", F.col("__op").alias("op"),
+             F.col("__ts_ms").alias("ts"), "txn_id", "txn_order", "txn_total")
+    assert {r.txn_id for r in flat.collect()} == {"T1"}
+    ends = spark.createDataFrame([("T1", 2)], "id string, event_count int")
+    markers = txn_end_markers(ends, flat)
+    assert markers.columns == flat.columns
+    m = markers.first()
+    assert (m.txn_id, m.txn_total, m.o_orderkey) == ("T1", 2, None)
+
+    # through the sink: data alone buffers, the END marker releases
+    full = flat.unionByName(markers)
+    src = dirs["src"]
+    full.filter(F.col("txn_total").isNull()).coalesce(1).write.json(src + "/b0")
+    stream = spark.readStream.schema(full.schema).json(src + "/b0")
+    q = pl.silver_txn_upsert_stream(
+        stream, dirs["silver"], dirs["ckpt"] + "/b0", keys=["o_orderkey"],
+        version_col="ts", available_now=True)
+    assert q.awaitTermination(120)
+    assert pl._read_manifest(dirs["silver"]) is None      # still buffered
+    markers.coalesce(1).write.json(src + "/b1")
+    stream = spark.readStream.schema(full.schema).json(src + "/b1")
+    q = pl.silver_txn_upsert_stream(
+        stream, dirs["silver"], dirs["ckpt"] + "/b1", keys=["o_orderkey"],
+        version_col="ts", available_now=True)
+    assert q.awaitTermination(120)
+    got = {r.o_orderkey for r in pl.read_silver(spark, dirs["silver"]).collect()}
+    assert got == {1, 2}
