@@ -221,7 +221,24 @@ def jpeg_decode(blob: bytes) -> dict:
     channels, pixels} with interleaved 8-bit RGB (or grayscale) bytes —
     the same contract as imaging.png_decode.  Raises ValueError for
     corrupt/truncated streams and NotImplementedError for progressive /
-    arithmetic / hierarchical processes (dead-letter classes)."""
+    arithmetic / hierarchical processes (dead-letter classes).
+
+    Exception normalization (same contract as audio.wav_decode): corrupt
+    streams can drive the segment/entropy parse into raw IndexError /
+    StopIteration / struct.error (found by the fuzz sweep in
+    tests/test_jpeg.py) — everything non-(ValueError|NotImplementedError)
+    is re-raised as ValueError so the dead-letter catch stays exhaustive
+    by construction."""
+    try:
+        return _jpeg_decode_impl(blob)
+    except (ValueError, NotImplementedError):
+        raise
+    except (IndexError, KeyError, StopIteration, struct.error,
+            ZeroDivisionError, OverflowError) as e:
+        raise ValueError(f"corrupt JPEG ({type(e).__name__})") from e
+
+
+def _jpeg_decode_impl(blob: bytes) -> dict:
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (bad SOI)")
     i = 2
@@ -278,6 +295,8 @@ def jpeg_decode(blob: bytes) -> dict:
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError("non-8-bit JPEG precision")
+            if w == 0 or h == 0:
+                raise ValueError("zero-dimension JPEG frame")
             comps = []
             for c in range(nc):
                 cid, sampling, tq = seg[6 + 3 * c:9 + 3 * c]

@@ -92,3 +92,25 @@ def test_spark_fixture_closed_form(spark):
         assert r.sum_r == sum(vals)
         assert r.sum_g == sum((v * 7) % 256 for v in vals)
         assert r.sum_b == sum((v * 13) % 256 for v in vals)
+
+
+def test_fuzz_corruption_never_escapes_deadletter_classes():
+    """Same exhaustive-catch contract as the JPEG fuzz test: corrupt
+    GIFs may only raise the two dead-letter classes."""
+    import random
+
+    blob = gif_encode(12, 10, bytes((11 * i) % 256 for i in range(120)), PAL256)
+    rng = random.Random(7)
+    for _ in range(1500):
+        b = bytearray(blob)
+        for _f in range(rng.randint(1, 4)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            gif_decode(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
+    for cut in range(1, len(blob), 7):
+        try:
+            gif_decode(blob[:cut])
+        except (ValueError, NotImplementedError):
+            pass

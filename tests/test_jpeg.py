@@ -185,3 +185,30 @@ def test_spark_fixture_roundtrip(spark):
     for r in out:
         assert r.pixels_ok, r
         assert (r.width, r.height) == (8 + r.doc_id % 5, 8 + r.doc_id % 3)
+
+
+def test_fuzz_corruption_never_escapes_deadletter_classes():
+    """The dead-letter catch (`except (ValueError, NotImplementedError)`)
+    must be exhaustive: 1500 random byte-flip corruptions + every 7th
+    truncation of a valid stream may fail, but only with those two
+    classes — a raw IndexError/StopIteration would crash the executor
+    instead of routing to the err column (this sweep originally found
+    380 such escapes; jpeg_decode now normalizes them)."""
+    import random
+
+    px = _quad_pixels(12, 10, 3, seed=9)
+    blob = jpeg_encode_baseline(12, 10, px, 3)
+    rng = random.Random(42)
+    for _ in range(1500):
+        b = bytearray(blob)
+        for _f in range(rng.randint(1, 4)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            jpeg_decode(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
+    for cut in range(1, len(blob), 7):
+        try:
+            jpeg_decode(blob[:cut])
+        except (ValueError, NotImplementedError):
+            pass
