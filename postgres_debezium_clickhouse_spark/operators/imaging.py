@@ -752,8 +752,8 @@ def synth_jpeg_images(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     encoder's edge-replication padding.  The DuckDB side can state dims
     and the accuracy verdict; pixel values are checked Spark-side by
     ``jpeg_roundtrip_check`` against the same closed form (quant=1 keeps
-    the DCT round trip within ±2/255 float rounding — exactness is
-    impossible for a transform codec, hence the verdict pattern)."""
+    the DCT round trip within the analytic ±4 rounding band — exactness
+    is impossible for a transform codec, hence the verdict pattern)."""
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .jpeg import jpeg_encode_baseline
@@ -776,13 +776,17 @@ def synth_jpeg_images(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def jpeg_roundtrip_check(media_df: DataFrame, id_col: str = "doc_id",
-                         tol: int = 2) -> DataFrame:
+                         tol: int = 4) -> DataFrame:
     """Decode each ``synth_jpeg_images`` blob with the ENGINE decoder
     (decode_image → jpeg_decode: Huffman + IDCT + color convert) and
     compare every sample against the fixture's closed form → one row
     (id, format, width, height, channels, n_pixels, pixels_ok) per doc.
-    ``pixels_ok`` = max |err| ≤ tol (2 = the documented float-rounding
-    band of the quant=1 round trip)."""
+    ``pixels_ok`` = max |err| ≤ tol.  4 is the ANALYTIC bound for the
+    quant=1 round trip: each quantized coefficient carries ≤0.5 rounding
+    error, the IDCT's worst-case amplification is ‖basis‖₁² ≈ 6.97 → ≤3.5
+    per sample, plus 0.5 output rounding (sf0.1-range fixtures measure
+    max 3 — the first ±2 cut was an sf0.01-only artifact, caught by the
+    engine's own sf0.1 re-verification)."""
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),

@@ -44,7 +44,9 @@ def test_roundtrip_within_float_rounding(w, h, ch, seed):
     assert (d["width"], d["height"], d["channels"]) == (w, h, ch)
     got = np.frombuffer(d["pixels"], dtype=np.uint8).astype(int)
     exp = np.frombuffer(px, dtype=np.uint8).astype(int)
-    assert np.abs(got - exp).max() <= 2
+    # 4 = the analytic quant=1 bound (0.5 coeff rounding × ‖basis‖₁²
+    # + output rounding); ±2 was an undersampled first cut
+    assert np.abs(got - exp).max() <= 4
 
 
 def _flat_420_jpeg(w, h, rgb, dri=0, n_mcux=None):
