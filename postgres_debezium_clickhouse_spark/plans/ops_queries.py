@@ -1031,6 +1031,67 @@ def stream_agg_quantile_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sh.rmtree(d, ignore_errors=True)
 
 
+def stream_agg_topk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10 — Space-Saving topK STATE column in the aggregating sink:
+    completes the CH ``AggregateFunction`` family (uniq/argMax/argMin/
+    quantile/topK).  The events replay maintains a per-event_type topK
+    over ``user_id % 7`` with cap 16 > 7 distinct items, so every
+    summary stays in the EXACT regime (no truncation → the
+    mergeable-summaries combine sums true counts, err stays 0) and the
+    exploded state carries a FULL VALUE oracle — exact per-item counts
+    DuckDB recomputes with one GROUP BY.  The truncation regime's
+    bound/recall guarantees are pinned in
+    tests/test_summing_ttl.py::test_topk_state_column_guarantees (they
+    are approximate by construction, like CH topK, so no exact oracle
+    can exist for them)."""
+    from ..streaming.pipeline import read_silver, silver_summing_stream
+
+    import shutil as _sh
+
+    run = uuid.uuid4().hex[:12]
+    root = tempfile.gettempdir()
+    src = f"{root}/tkst_src_{run}"
+    dst = f"{root}/tkst_out_{run}"
+    ckpt = f"{root}/tkst_ckpt_{run}"
+    try:
+        events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_type", (F.col("user_id") % 7).alias("u7")
+        )
+        events.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+        )
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = silver_summing_stream(
+                stream, dst, ckpt, keys=["event_type"],
+                agg_spec={"tk": ("u7", "topk")}, topk_cap=16,
+                available_now=True,
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("topk-state stream did not finish in 300s")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        return (
+            read_silver(spark, dst)
+            .select("event_type", F.explode("tk").alias("e"))
+            .select(
+                "event_type",
+                F.col("e.item").alias("item"),
+                F.col("e.cnt").alias("cnt"),
+                F.col("e.err").alias("err"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for d in (src, dst, ckpt):
+            _sh.rmtree(d, ignore_errors=True)
+
+
 def silver_projection_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r9 — CH-style per-part PROJECTION end-to-end: orders published to
     a store keyed by o_orderkey, ``ADD PROJECTION by_cust (ORDER BY
@@ -1703,6 +1764,7 @@ QUERIES = {
     "stream_txn_consistent_state": stream_txn_consistent_state,
     "stream_agg_kmv_state": stream_agg_kmv_state,
     "stream_agg_quantile_state": stream_agg_quantile_state,
+    "stream_agg_topk_state": stream_agg_topk_state,
     "stream_agg_argmax_state": stream_agg_argmax_state,
     "silver_ttl_rollup": silver_ttl_rollup,
     "stream_schema_evolution": stream_schema_evolution,
@@ -1928,6 +1990,14 @@ ORACLES["stream_agg_kmv_state"] = """
     FROM events GROUP BY event_type
 """
 ORACLES["stream_vcollapsing_state"] = _COLLAPSE_ORACLE
+
+ORACLES["stream_agg_topk_state"] = """
+    SELECT event_type,
+           CAST(user_id % 7 AS VARCHAR) AS item,
+           COUNT(*) AS cnt,
+           CAST(0 AS BIGINT) AS err
+    FROM events GROUP BY event_type, user_id % 7
+"""
 
 ORACLES["stream_agg_quantile_state"] = """
     SELECT event_type,

@@ -1014,7 +1014,24 @@ def _replay_guard(path: str, ckpt_key: str, batch_id: int) -> dict | None:
 #: stably across replays (a Kafka offset, an event id): it is the
 #: sampling key that makes the multiset weighting and the determinism
 #: work.  Read with ``operators.sketch.qsample_quantile_expr``.
-AGG_OPS = ("sum", "min", "max", "kmv")
+#: "topk" (r10) completes the CH ``AggregateFunction`` family
+#: (uniq/argMax/argMin/quantileTDigest/topK): the stored value is a
+#: Space-Saving summary — ≤ ``topk_cap`` (cnt, item, err) structs,
+#: cnt an upper bound on the item's true count and cnt−err a lower
+#: bound — merged per the mergeable-summaries algebra (Agarwal et al.
+#: 2012, public paper): present contributions sum exactly; an item
+#: absent from one summary is charged that summary's min-count as both
+#: count and error; truncate to the cap by (cnt desc, item).  Unlike
+#: the kmv/qsample columns the merge is only bound-preserving, not
+#: bit-associative (truncation loses information — ClickHouse's topK
+#: carries the same caveat), so tests assert the GUARANTEES (heavy
+#: hitters survive; bounds bracket exact counts) rather than
+#: bit-equality across batch splits.  Item values are stored as
+#: strings (CH topK's untyped-array shape).  This op's partial/merge
+#: needs per-item regrouping, so it runs as its own explode→regroup
+#: branch (2 extra small shuffles over ≤2·cap rows per touched key per
+#: trigger) joined back to the main single-shuffle merge.
+AGG_OPS = ("sum", "min", "max", "kmv", "topk")
 _KEYED_OPS = ("argmax", "argmin", "qsample")
 
 
@@ -1045,6 +1062,7 @@ def silver_summing_stream(
     sum_scale: int = 2,
     kmv_k: int = 256,
     qsample_k: int = 512,
+    topk_cap: int = 16,
 ) -> StreamingQuery:
     """r8 — the SummingMergeTree-equivalent keyed AGGREGATING sink
     (ClickHouse's second MergeTree family after the Replacing one S8
@@ -1111,6 +1129,86 @@ def silver_summing_stream(
 
     from ..operators.sketch import kmv_hash_expr
 
+    # topk columns need per-ITEM regrouping, which no single agg
+    # expression can do — they run as their own explode→regroup branch
+    # (see the AGG_OPS comment) and join back on the keys.
+    topk_outs = [
+        (out, src) for out, (src, op) in spec.items()
+        if _parse_agg_op(op)[0] == "topk"
+    ]
+    spec_main = {
+        out: v for out, v in spec.items() if _parse_agg_op(v[1])[0] != "topk"
+    }
+
+    def _topk_summary(counted: DataFrame, out: str) -> DataFrame:
+        """(keys, __i item, __c cnt-upper, __e err) → ≤cap summary rows
+        per key, stored sorted by (cnt desc, item desc) for determinism."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys).orderBy(
+            F.desc("__c"), F.desc("__i")
+        )
+        return (
+            counted.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= topk_cap)
+            .groupBy(*keys)
+            .agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__c").cast("long").alias("cnt"),
+                            F.col("__i").alias("item"),
+                            F.col("__e").cast("long").alias("err"),
+                        )
+                    ),
+                    asc=False,
+                ).alias(out)
+            )
+        )
+
+    def _topk_batch_partial(batch: DataFrame, out: str, src: str) -> DataFrame:
+        counted = (
+            batch.groupBy(*keys, F.col(src).cast("string").alias("__i"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .withColumn("__e", F.lit(0))
+        )
+        return _topk_summary(counted, out)
+
+    def _topk_merge(un: DataFrame, out: str) -> DataFrame:
+        """Mergeable-summaries combine of the ≤2 summaries per key
+        (store row + batch partial): an item absent from one summary is
+        charged that summary's min-count as count AND error; then
+        truncate.  Kept items keep the bracket cnt−err ≤ true ≤ cnt."""
+        rows = (
+            un.select(*keys, F.col(out))
+            .filter(F.col(out).isNotNull())
+            .withColumn(
+                "__m",
+                F.when(
+                    F.size(out) >= topk_cap,
+                    F.element_at(F.col(out), -1)["cnt"],
+                ).otherwise(F.lit(0)).cast("long"),
+            )
+        )
+        tot = rows.groupBy(*keys).agg(F.sum("__m").alias("__tm"))
+        per_item = (
+            rows.select(*keys, "__m", F.explode(out).alias("e"))
+            .groupBy(*keys, F.col("e.item").alias("__i"))
+            .agg(
+                F.sum("e.cnt").alias("__c0"),
+                F.sum("e.err").alias("__e0"),
+                F.sum("__m").alias("__pm"),
+            )
+            .join(tot, list(keys))
+            .select(
+                *keys,
+                "__i",
+                (F.col("__c0") + F.col("__tm") - F.col("__pm")).alias("__c"),
+                (F.col("__e0") + F.col("__tm") - F.col("__pm")).alias("__e"),
+            )
+        )
+        return _topk_summary(per_item, out)
+
     def _ingest(out: str, src: str, op: str):
         base, ord_col = _parse_agg_op(op)
         if base == "sum":
@@ -1175,10 +1273,13 @@ def silver_summing_stream(
         return getattr(F, base)(F.col(out)).alias(out)
 
     def _batch_partial(batch: DataFrame) -> DataFrame:
-        return batch.groupBy(*keys).agg(
-            *[_ingest(out, src, op) for out, (src, op) in spec.items()],
+        part = batch.groupBy(*keys).agg(
+            *[_ingest(out, src, op) for out, (src, op) in spec_main.items()],
             F.count(F.lit(1)).alias("__n_rows"),
         )
+        for out, src in topk_outs:
+            part = part.join(_topk_batch_partial(batch, out, src), list(keys), "left")
+        return part
 
     import hashlib as _hashlib
 
@@ -1204,15 +1305,22 @@ def silver_summing_stream(
             # from the new partial only (the CH TTL-then-reinsert shape).
             live = current.filter(~F.col(DELETED_FLAG)).drop(DELETED_FLAG)
             tombs = current.filter(F.col(DELETED_FLAG))
+            # no persist on `un`: the batch partial is already cached by
+            # _touched_bucket_merge and the store side is a bucket-pruned
+            # file scan — a per-trigger cache here would leak (no safe
+            # unpersist point after the publish consumes the plan)
+            un = live.unionByName(agg)
             merged = (
-                live.unionByName(agg)
+                un
                 .groupBy(*keys)
                 .agg(
-                    *[_remerge(out, op) for out, (_, op) in spec.items()],
+                    *[_remerge(out, op) for out, (_, op) in spec_main.items()],
                     F.sum("__n_rows").alias("__n_rows"),
                 )
-                .withColumn(DELETED_FLAG, F.lit(False))
             )
+            for out, _src in topk_outs:
+                merged = merged.join(_topk_merge(un, out), list(keys), "left")
+            merged = merged.withColumn(DELETED_FLAG, F.lit(False))
             kept_tombs = tombs.join(merged.select(*keys), keys, "left_anti")
             return merged.unionByName(kept_tombs)
 

@@ -516,3 +516,51 @@ def test_qsample_state_column_batch_boundary_insensitive(spark, dirs, tmp_path):
         qsample_quantile_expr("s", 1.0).alias("p100"),
     ).first()
     assert (got.p50, got.p100) == (10.0, 20.0)
+
+
+def test_topk_state_column_guarantees(spark, dirs, tmp_path):
+    """r10: the Space-Saving topK state column.  The merge is only
+    bound-preserving (truncation loses information — CH topK has the
+    same caveat), so what is asserted are the GUARANTEES: ≤cap structs
+    per key; every heavy hitter present after adversarial splits; every
+    reported count bracketing the exact count (cnt−err ≤ true ≤ cnt);
+    and the single-batch run exact (err 0, true counts)."""
+    # key 0: hot items far above the tail; 60 tail items of count 1
+    rows = [(0, "hot1", 1.0)] * 50 + [(0, "hot2", 1.0)] * 30
+    rows += [(0, f"t{i}", 1.0) for i in range(60)]
+    rows += [(1, "only", 1.0)] * 5
+    import random
+
+    random.Random(3).shuffle(rows)
+    exact = {}
+    for k, g, _v in rows:
+        exact[(k, g)] = exact.get((k, g), 0) + 1
+
+    def run(d, chunks):
+        for bi, chunk in enumerate(chunks):
+            spark.createDataFrame(chunk, SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).json(d["src"] + f"/b{bi}")
+            stream = spark.readStream.schema(SCHEMA).json(d["src"] + f"/b{bi}")
+            q = pl.silver_summing_stream(
+                stream, d["silver"], d["ckpt"] + f"/b{bi}", keys=["k"],
+                agg_spec={"tk": ("grp", "topk")}, topk_cap=8,
+                available_now=True,
+            )
+            assert q.awaitTermination(120)
+        return {r["k"]: [(x["item"], x["cnt"], x["err"]) for x in r["tk"]]
+                for r in pl.read_silver(spark, d["silver"]).collect()}
+
+    st = run(dirs, [rows[:40], rows[40:41], rows[41:]])
+    assert all(len(v) <= 8 for v in st.values())
+    items0 = {i: (c, e) for i, c, e in st[0]}
+    for hot in ("hot1", "hot2"):
+        assert hot in items0, st[0]
+        c, e = items0[hot]
+        assert c - e <= exact[(0, hot)] <= c, (hot, c, e)
+    assert st[1] == [("only", 5, 0)]         # sub-cap key: exact
+    # single batch: exact top-8 by construction
+    d2 = {n: str(tmp_path / ("one_" + n)) for n in ("src", "silver", "ckpt")}
+    st1 = run(d2, [rows])
+    assert ("hot1", 50, 0) in st1[0] and ("hot2", 30, 0) in st1[0]
+    assert all(e == 0 for _i, _c, e in st1[0])
