@@ -1813,6 +1813,102 @@ def rebucket_silver(spark: SparkSession, path: str, keys: list[str],
     return _read_manifest(path)["version"]
 
 
+def describe_silver(spark: SparkSession, path: str) -> DataFrame:
+    """r10 — the ``system.parts`` observability surface: one row per
+    LIVE data file of the current manifest, across the primary layout
+    and every projection → (version, n_buckets, layout, bucket, epoch,
+    file, bytes).  Driver-side listing bounded by the live file count
+    (same O(files) class as vacuum — an observability call, not a data
+    path); missing files report bytes = -1 rather than raising, so the
+    monitor that calls this can be the thing that DETECTS corruption."""
+    manifest = _read_manifest(path)
+    if manifest is None:
+        raise FileNotFoundError(f"no silver store at {path}")
+
+    def rows_for(layout: str, files: list[str]):
+        for f in files:
+            try:
+                size = os.path.getsize(os.path.join(path, f))
+            except OSError:
+                size = -1
+            bucket = int(f.split("__bucket=")[1].split("/")[0])
+            epoch = int(f.split("__epoch=")[1].split("/")[0])
+            yield (
+                manifest["version"], manifest["n_buckets"], layout,
+                bucket, epoch, f, size,
+            )
+
+    data = list(rows_for("primary", manifest["files"]))
+    for pname, pspec in manifest.get("projections", {}).items():
+        data.extend(rows_for(f"proj:{pname}", pspec.get("files", [])))
+    return spark.createDataFrame(
+        data,
+        "version long, n_buckets int, layout string, bucket int, "
+        "epoch long, file string, bytes long",
+    )
+
+
+def freeze_silver(path: str, snapshot_dir: str) -> int:
+    """r10 — the ClickHouse ``ALTER TABLE … FREEZE`` analogue: a
+    consistent ZERO-COPY snapshot of the current committed state.
+    Every live file of the current manifest (primary + projections) is
+    HARDLINKED into ``snapshot_dir`` (copy fallback across devices) and
+    the manifest written beside them — the snapshot is itself a valid
+    read-only store (``read_silver(snapshot_dir)`` works), exactly like
+    CH's hardlinked ``shadow/`` parts.  Safe against the live store's
+    future: committed files are immutable until vacuumed, and vacuum
+    unlinks only the live store's names — the snapshot's links keep the
+    inodes alive, which is the whole point of freezing before a risky
+    mutation.  Returns the number of files snapshotted."""
+    manifest = _read_manifest(path)
+    if manifest is None:
+        raise FileNotFoundError(f"no silver store at {path}")
+    if os.path.exists(snapshot_dir):
+        raise FileExistsError(f"snapshot target {snapshot_dir} already exists")
+    all_files = list(manifest["files"])
+    for pspec in manifest.get("projections", {}).values():
+        all_files.extend(pspec.get("files", []))
+    n = 0
+    for rel in all_files:
+        src = os.path.join(path, rel)
+        dst = os.path.join(snapshot_dir, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)
+        n += 1
+    with open(os.path.join(snapshot_dir, "_manifest.json.tmp"), "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(
+        os.path.join(snapshot_dir, "_manifest.json.tmp"),
+        os.path.join(snapshot_dir, "_manifest.json"),
+    )
+    return n
+
+
+def restore_silver(spark: SparkSession, path: str, keys: list[str],
+                   version: int) -> int:
+    """r10 — roll the store BACK to a committed version as a NEW
+    version (the time-travel write path; CH's closest analogues are
+    UNDROP/ATTACH-from-backup).  The as-of state — including its
+    tombstones, so deletes stay deleted — is republished over every
+    bucket through the normal epoch-claim + CAS commit: history is
+    append-only (the bad versions stay reachable for audit), readers
+    never see a half-restored store, and a concurrent publisher loses
+    the CAS loudly.  Run like compaction: owning stream stopped.
+    Returns the new version number."""
+    manifest = _read_manifest(path)
+    if manifest is None:
+        raise FileNotFoundError(f"no silver store at {path}")
+    state = read_silver(spark, path, include_deleted=True, as_of_version=version)
+    _publish_buckets(
+        state, path, keys, manifest,
+        replaced_buckets=set(range(manifest["n_buckets"])),
+    )
+    return _read_manifest(path)["version"]
+
+
 def ttl_rollup_silver(
     spark: SparkSession,
     path: str,
