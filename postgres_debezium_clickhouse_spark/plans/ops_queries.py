@@ -1692,6 +1692,58 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sh.rmtree(d, ignore_errors=True)
 
 
+def object_store_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10 — Avro OCF ingestion (S6's other wire format: Debezium +
+    Schema Registry ships Avro; the spark-avro jar is absent like the
+    Kafka jar, so sources/avro.py implements the public Apache Avro
+    spec in pure stdlib).  Orders are written as FOUR OCF files —
+    deflate and null codecs alternating, multi-block, with a nullable
+    union column (price NULL for keys ≡0 mod 11) and an enum column —
+    then read back typed via ``read_avro`` (driver header parse →
+    executor-parallel body decode).  Full value oracle: every decoded
+    row restated from orders arithmetic."""
+    from ..sources.avro import avro_ocf_encode, read_avro
+
+    import shutil as _sh
+
+    schema = {
+        "type": "record", "name": "order", "fields": [
+            {"name": "o_orderkey", "type": "long"},
+            {"name": "o_orderstatus", "type": "string"},
+            {"name": "price", "type": ["null", "double"]},
+            {"name": "kind", "type": {"type": "enum", "name": "K",
+                                      "symbols": ["a", "b", "c"]}},
+        ],
+    }
+    src = f"{tempfile.gettempdir()}/avro_src_{uuid.uuid4().hex[:12]}"
+    try:
+        rows = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .collect()
+        )
+        os_mod = __import__("os")
+        os_mod.makedirs(src, exist_ok=True)
+        parts: list[list] = [[], [], [], []]
+        for r in rows:
+            k = r.o_orderkey
+            parts[k % 4].append({
+                "o_orderkey": k,
+                "o_orderstatus": r.o_orderstatus,
+                "price": None if k % 11 == 0 else float(r.o_totalprice),
+                "kind": ["a", "b", "c"][k % 3],
+            })
+        for i, recs in enumerate(parts):
+            with open(f"{src}/part-{i}.avro", "wb") as fh:
+                fh.write(avro_ocf_encode(
+                    schema, recs, codec="deflate" if i % 2 else "null",
+                    records_per_block=997,
+                ))
+        return read_avro(spark, src).localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(src, ignore_errors=True)
+
+
 def object_store_typed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2/S6 end-to-end — the minio_cdc_example path (clickhouse_minio.sql:
     14-30): JSON objects land in a bucket (here: a temp dir, content derived
@@ -1778,6 +1830,7 @@ QUERIES = {
     "stream_late_events": stream_late_events,
     "stream_stream_join": stream_stream_join,
     "object_store_typed_ingest": object_store_typed_ingest,
+    "object_store_avro_ingest": object_store_avro_ingest,
 }
 
 _ORDERS_FINAL_STATE = """
@@ -1990,6 +2043,15 @@ ORACLES["stream_agg_kmv_state"] = """
     FROM events GROUP BY event_type
 """
 ORACLES["stream_vcollapsing_state"] = _COLLAPSE_ORACLE
+
+ORACLES["object_store_avro_ingest"] = """
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                ELSE CAST(o_totalprice AS DOUBLE) END AS price,
+           CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN 'a' WHEN 1 THEN 'b'
+                ELSE 'c' END AS kind
+    FROM orders
+"""
 
 ORACLES["stream_agg_topk_state"] = """
     SELECT event_type,

@@ -1,0 +1,90 @@
+"""Pure-stdlib Avro OCF source (r10): Debezium's Schema-Registry wire
+format, readable without the external spark-avro jar."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from postgres_debezium_clickhouse_spark.sources.avro import (
+    avro_ocf_decode, avro_ocf_encode, avro_schema_to_spark, read_avro,
+)
+
+SCHEMA = {
+    "type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "price", "type": ["null", "double"]},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "kind", "type": {"type": "enum", "name": "K",
+                                  "symbols": ["a", "b", "c"]}},
+    ],
+}
+
+
+def _recs(lo, hi):
+    return [
+        {"id": i, "name": f"n{i}", "price": None if i % 3 == 0 else i * 1.5,
+         "tags": [f"t{j}" for j in range(i % 3)], "kind": ["a", "b", "c"][i % 3]}
+        for i in range(lo, hi)
+    ]
+
+
+def test_ocf_roundtrip_both_codecs():
+    recs = _recs(0, 2500)
+    for codec in ("null", "deflate"):
+        blob = avro_ocf_encode(SCHEMA, recs, codec=codec, records_per_block=700)
+        s2, r2 = avro_ocf_decode(blob)
+        assert s2 == SCHEMA and r2 == recs
+
+
+def test_corruption_and_unsupported_classes():
+    blob = bytearray(avro_ocf_encode(SCHEMA, _recs(0, 50)))
+    with pytest.raises(ValueError, match="bad magic"):
+        avro_ocf_decode(b"XXXX" + bytes(blob[4:]))
+    with pytest.raises(ValueError, match="truncated Avro"):
+        avro_ocf_decode(bytes(blob[:-30]))
+    blob[-10] ^= 0xFF                       # corrupt inside the sync/blocks
+    with pytest.raises(ValueError):
+        avro_ocf_decode(bytes(blob))
+    snappy = avro_ocf_encode(SCHEMA, _recs(0, 5))
+    snappy = snappy.replace(b"deflate", b"snappyX", 1)
+    with pytest.raises((ValueError, NotImplementedError)):
+        avro_ocf_decode(snappy)
+
+
+def test_schema_mapping():
+    st = avro_schema_to_spark(SCHEMA)
+    assert isinstance(st, T.StructType)
+    assert st["id"].dataType == T.LongType()
+    assert st["price"].dataType == T.DoubleType()       # nullable union
+    assert st["tags"].dataType == T.ArrayType(T.StringType(), True)
+    assert st["kind"].dataType == T.StringType()        # enum → string
+    with pytest.raises(NotImplementedError, match="unions"):
+        avro_schema_to_spark(["int", "string"])
+
+
+def test_read_avro_parallel_files(spark, tmp_path):
+    d = tmp_path / "avro"
+    d.mkdir()
+    for part in range(4):
+        recs = _recs(part * 100, part * 100 + 100)
+        (d / f"part-{part}.avro").write_bytes(
+            avro_ocf_encode(SCHEMA, recs, codec="deflate" if part % 2 else "null")
+        )
+    df = read_avro(spark, str(d))
+    assert [f.name for f in df.schema.fields] == ["id", "name", "price", "tags", "kind"]
+    rows = {r.id: r for r in df.collect()}
+    assert len(rows) == 400
+    assert rows[7].price == 10.5 and rows[9].price is None
+    assert rows[8].kind == "c" and list(rows[5].tags) == ["t0", "t1"]
+
+
+def test_read_avro_rejects_schema_drift(spark, tmp_path):
+    d = tmp_path / "avro"
+    d.mkdir()
+    (d / "a.avro").write_bytes(avro_ocf_encode(SCHEMA, _recs(0, 10)))
+    other = {"type": "record", "name": "r", "fields": [{"name": "id", "type": "long"}]}
+    (d / "b.avro").write_bytes(avro_ocf_encode(other, [{"id": 1}]))
+    with pytest.raises(Exception, match="differs|truncated|union"):
+        read_avro(spark, str(d)).collect()
