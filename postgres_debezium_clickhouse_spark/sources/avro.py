@@ -353,6 +353,46 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     return files_df.select("content").mapInPandas(_decode, schema=spark_schema)
 
 
+def read_avro_stream(spark: SparkSession, path: str,
+                     avro_schema: dict) -> DataFrame:
+    """Streaming twin of ``read_avro``: new OCF files arriving under
+    ``path`` become typed micro-batches (binaryFile stream source →
+    executor-parallel body decode).  A stream cannot sample a header
+    before files exist, so the writer schema is an explicit argument —
+    the Schema-Registry contract made literal; files whose embedded
+    schema differs fail their trigger loudly (poison-file policy is the
+    caller's dead-letter wrapper, like every other source)."""
+    if not (isinstance(avro_schema, dict) and avro_schema.get("type") == "record"):
+        raise NotImplementedError("top-level Avro schema must be a record")
+    spark_schema = avro_schema_to_spark(avro_schema)
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in spark_schema.fields]
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for blob in pdf["content"]:
+                fschema, records = avro_ocf_decode(bytes(blob))
+                if fschema != avro_schema:
+                    raise ValueError(
+                        "Avro writer schema differs from the declared one"
+                    )
+                for rec in records:
+                    for c in cols:
+                        rows[c].append(rec.get(c))
+            yield pd.DataFrame(rows, columns=cols)
+
+    binary_file_schema = (
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    return (
+        spark.readStream.format("binaryFile")
+        .schema(binary_file_schema)
+        .load(path)
+        .select("content")
+        .mapInPandas(_decode, schema=spark_schema)
+    )
+
+
 def _header_only(blob: bytes) -> tuple[dict, None]:
     r = _Reader(blob)
     if r.read(4) != MAGIC:

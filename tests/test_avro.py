@@ -8,6 +8,7 @@ from pyspark.sql import types as T
 
 from postgres_debezium_clickhouse_spark.sources.avro import (
     avro_ocf_decode, avro_ocf_encode, avro_schema_to_spark, read_avro,
+    read_avro_stream,
 )
 
 SCHEMA = {
@@ -88,3 +89,25 @@ def test_read_avro_rejects_schema_drift(spark, tmp_path):
     (d / "b.avro").write_bytes(avro_ocf_encode(other, [{"id": 1}]))
     with pytest.raises(Exception, match="differs|truncated|union"):
         read_avro(spark, str(d)).collect()
+
+
+def test_read_avro_stream_micro_batches(spark, tmp_path):
+    """Streaming OCF ingestion: files arriving across triggers become
+    typed micro-batches; the declared-schema contract is enforced."""
+    src = tmp_path / "stream_src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    for part in range(3):
+        (src / f"p{part}.avro").write_bytes(
+            avro_ocf_encode(SCHEMA, _recs(part * 50, part * 50 + 50))
+        )
+    stream = read_avro_stream(spark, str(src), SCHEMA)
+    q = (stream.writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .option("maxFilesPerTrigger", "1")
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 150
+    assert {r.id for r in got.select("id").collect()} == set(range(150))
