@@ -40,6 +40,99 @@ from pyspark.sql import types as T
 MAGIC = b"Obj\x01"
 
 
+# ---------------------------------------------------------------- snappy
+
+def snappy_decompress(data: bytes) -> bytes:
+    """Raw Snappy block decompression, pure Python (public format:
+    google/snappy format_description.txt).  Preamble = uncompressed
+    length as little-endian base-128 varint; then a tag stream — 00
+    literal, 01 one-byte-offset copy, 10 two-byte-offset copy, 11
+    four-byte-offset copy — with overlapping copies done byte-wise per
+    the spec (that is how snappy encodes runs)."""
+    n = shift = pos = 0
+    while True:
+        if pos >= len(data):
+            raise ValueError("truncated snappy preamble")
+        b = data[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+        if shift > 35:
+            raise ValueError("malformed snappy preamble")
+    out = bytearray()
+    while pos < len(data):
+        tag = data[pos]
+        pos += 1
+        kind = tag & 3
+        if kind == 0:                            # literal
+            ln = tag >> 2
+            if ln >= 60:
+                nb = ln - 59
+                if pos + nb > len(data):
+                    raise ValueError("truncated snappy literal length")
+                ln = int.from_bytes(data[pos:pos + nb], "little")
+                pos += nb
+            ln += 1
+            if pos + ln > len(data):
+                raise ValueError("truncated snappy literal")
+            out += data[pos:pos + ln]
+            pos += ln
+            continue
+        if kind == 1:                            # copy, 1-byte offset
+            if pos >= len(data):
+                raise ValueError("truncated snappy copy")
+            ln = ((tag >> 2) & 0x07) + 4
+            off = ((tag >> 5) << 8) | data[pos]
+            pos += 1
+        elif kind == 2:                          # copy, 2-byte offset
+            if pos + 2 > len(data):
+                raise ValueError("truncated snappy copy")
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(data[pos:pos + 2], "little")
+            pos += 2
+        else:                                    # copy, 4-byte offset
+            if pos + 4 > len(data):
+                raise ValueError("truncated snappy copy")
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(data[pos:pos + 4], "little")
+            pos += 4
+        if off == 0 or off > len(out):
+            raise ValueError("snappy copy offset out of range")
+        start = len(out) - off
+        for i in range(ln):                      # may overlap: byte-wise
+            out.append(out[start + i])
+    if len(out) != n:
+        raise ValueError("snappy output length mismatch")
+    return bytes(out)
+
+
+def snappy_compress_literal(data: bytes) -> bytes:
+    """Fixture-grade Snappy encoder: a VALID stream of pure literals
+    (ratio 1.0 — the spec allows it; real encoders emit copies, which
+    the decoder above handles)."""
+    out = bytearray()
+    n = len(data)
+    while True:
+        out.append((n & 0x7F) | (0x80 if n > 0x7F else 0))
+        n >>= 7
+        if not n:
+            break
+    pos = 0
+    while pos < len(data):
+        chunk = data[pos:pos + 65536]
+        ln = len(chunk) - 1
+        if ln < 60:
+            out.append(ln << 2)
+        else:
+            out.append(61 << 2)                  # 61 ⇒ TWO extra length bytes
+            out.extend((ln & 0xFFFF).to_bytes(2, "little"))
+        out.extend(chunk)
+        pos += len(chunk)
+    return bytes(out)
+
+
 # ---------------------------------------------------------------- binary core
 
 def _zigzag_decode(n: int) -> int:
@@ -217,8 +310,8 @@ def avro_ocf_decode(blob: bytes) -> tuple[dict, list]:
     except (KeyError, json.JSONDecodeError, UnicodeDecodeError) as e:
         raise ValueError(f"bad Avro file metadata: {e}") from e
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate"):
-        raise NotImplementedError(f"Avro codec {codec!r}; wire in snappy/zstd")
+    if codec not in ("null", "deflate", "snappy"):
+        raise NotImplementedError(f"Avro codec {codec!r}; wire in zstd")
     sync = r.read(16)
     records = []
     while r.pos < len(r.d):
@@ -232,6 +325,16 @@ def avro_ocf_decode(blob: bytes) -> tuple[dict, list]:
                 payload = zlib.decompress(payload, -15)
             except zlib.error as e:
                 raise ValueError(f"bad Avro deflate block: {e}") from e
+        elif codec == "snappy":
+            # Avro snappy framing: snappy block + 4-byte BIG-endian
+            # CRC32 of the UNCOMPRESSED data (Avro spec, data block
+            # codecs) — verified, not skipped
+            if len(payload) < 4:
+                raise ValueError("truncated Avro snappy block")
+            body, crc = payload[:-4], payload[-4:]
+            payload = snappy_decompress(body)
+            if zlib.crc32(payload) & 0xFFFFFFFF != int.from_bytes(crc, "big"):
+                raise ValueError("Avro snappy block CRC mismatch")
         br = _Reader(payload)
         for _ in range(n):
             records.append(_decode_value(br, schema))
@@ -267,6 +370,10 @@ def avro_ocf_encode(schema: dict, records: list, codec: str = "deflate",
         if codec == "deflate":
             co = zlib.compressobj(6, zlib.DEFLATED, -15)
             payload = co.compress(payload) + co.flush()
+        elif codec == "snappy":
+            payload = snappy_compress_literal(payload) + (
+                zlib.crc32(payload) & 0xFFFFFFFF
+            ).to_bytes(4, "big")
         _write_varint(out, len(chunk))
         _write_varint(out, len(payload))
         out.extend(payload)
