@@ -89,10 +89,121 @@ def wav_encode_g711(codes: bytes, law: str, sample_rate: int = 8000,
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+#: IMA/DVI ADPCM tables (public spec: IMA Digital Audio Pack, 1992;
+#: the WAV format-tag-0x11 codec every RIFF reference documents).
+IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def ima_adpcm_step(pred: int, idx: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM state-machine step → (new predictor, new index).
+    Integer-exact; the DuckDB oracle restates this arithmetic as a
+    recursive CTE, so the two engines run the SAME machine."""
+    step = IMA_STEP_TABLE[idx]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + IMA_INDEX_TABLE[nibble]))
+    return pred, idx
+
+
+def _ima_decode(data: bytes, ch: int, block_align: int) -> list[int]:
+    """Decode an IMA-ADPCM data chunk (MS WAV block layout): per block,
+    a 4-byte header per channel (int16 predictor, step index, reserved),
+    then interleaved 4-byte (8-nibble) per-channel groups; low nibble
+    first.  Returns interleaved int16 samples."""
+    if block_align < 4 * ch or (block_align - 4 * ch) % (4 * ch):
+        raise ValueError("bad IMA ADPCM block align")
+    out: list[int] = []
+    for off in range(0, len(data), block_align):
+        block = data[off:off + block_align]
+        if len(block) < 4 * ch:
+            raise ValueError("truncated IMA ADPCM block")
+        pred, idx = [], []
+        for c in range(ch):
+            p = struct.unpack_from("<h", block, 4 * c)[0]
+            i = block[4 * c + 2]
+            if i > 88:
+                raise ValueError("IMA ADPCM step index out of range")
+            pred.append(p)
+            idx.append(i)
+            # the header predictor IS the block's first sample per channel
+        out.extend(pred)
+        pos = 4 * ch
+        chans: list[list[int]] = [[] for _ in range(ch)]
+        while pos < len(block):
+            for c in range(ch):
+                group = block[pos:pos + 4]
+                if len(group) < 4:
+                    raise ValueError("truncated IMA ADPCM group")
+                for byte in group:
+                    for nib in (byte & 0x0F, byte >> 4):
+                        pred[c], idx[c] = ima_adpcm_step(pred[c], idx[c], nib)
+                        chans[c].append(pred[c])
+                pos += 4
+        for j in range(len(chans[0])):
+            for c in range(ch):
+                out.append(chans[c][j])
+    return out
+
+
+def wav_encode_ima_adpcm(nibbles_per_chan: list[list[int]],
+                         predictors: list[int], indexes: list[int],
+                         sample_rate: int = 8000) -> bytes:
+    """Fixture-grade IMA-ADPCM WAV writer: ONE block, explicit initial
+    state, nibble streams given directly (a closed form the oracle can
+    restate — encoding from PCM would hide the state machine behind an
+    encoder's choices).  Per-channel nibble counts must be equal and a
+    multiple of 8 (whole 4-byte groups)."""
+    ch = len(nibbles_per_chan)
+    n = len(nibbles_per_chan[0])
+    if any(len(x) != n for x in nibbles_per_chan) or n % 8:
+        raise ValueError("per-channel nibble counts must match and be ×8")
+    block = bytearray()
+    for c in range(ch):
+        block.extend(struct.pack("<h", predictors[c]))
+        block.extend([indexes[c], 0])
+    for g in range(0, n, 8):
+        for c in range(ch):
+            nibs = nibbles_per_chan[c][g:g + 8]
+            for k in range(0, 8, 2):
+                block.append((nibs[k] & 0x0F) | ((nibs[k + 1] & 0x0F) << 4))
+    block_align = len(block)
+    samples_per_block = 1 + n
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, ch, sample_rate,
+        sample_rate * block_align // samples_per_block, block_align, 4,
+        2, samples_per_block,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(block)) + bytes(block)
+        + (b"\x00" if len(block) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _g711_decode(blob: bytes) -> dict | None:
-    """Manual RIFF walk for the G.711 format tags (6 = A-law, 7 = µ-law)
-    the stdlib ``wave`` module cannot parse.  Returns None when the fmt
-    chunk says plain PCM (tag 1) so the stdlib path keeps handling it."""
+    """Manual RIFF walk for the compressed WAV format tags the stdlib
+    ``wave`` module cannot parse: 6 = A-law, 7 = µ-law (G.711 tables),
+    0x11 = IMA/DVI ADPCM (r10 — the block-structured state machine).
+    Returns None when the fmt chunk says plain PCM (tag 1) so the
+    stdlib path keeps handling it."""
     i = 12
     fmt = data = None
     while i + 8 <= len(blob):
@@ -111,14 +222,18 @@ def _g711_decode(blob: bytes) -> dict | None:
     tag, ch, rate = struct.unpack("<HHI", fmt[:8])
     if tag == 1:
         return None
-    if tag not in (6, 7):
+    if tag not in (6, 7, 0x11):
         raise NotImplementedError(
             f"unsupported WAV format tag {tag}; wire in soundfile/pyav"
         )
     if data is None:
         raise ValueError("malformed WAV: no data chunk")
-    expand = mulaw_expand if tag == 7 else alaw_expand
-    samples = [expand(b) for b in data]
+    if tag == 0x11:
+        (block_align,) = struct.unpack("<H", fmt[12:14])
+        samples = _ima_decode(data, ch, block_align)
+    else:
+        expand = mulaw_expand if tag == 7 else alaw_expand
+        samples = [expand(b) for b in data]
     if len(samples) % ch:
         raise ValueError("data chunk size mismatch")
     return {

@@ -138,6 +138,51 @@ def q_multimodal_audio_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_waveforms(synth_g711_waveforms(docs))
 
 
+def q_multimodal_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10 — IMA/DVI ADPCM WAV decode (format tag 0x11, the
+    block-structured compressed codec real RIFF files actually use):
+    per doc a one-block mono stream with closed-form initial state
+    (pred₀ = 37d mod 2048 − 1024, idx₀ = d mod 89) and nibble stream
+    (nibble(j) = (d + 3j) mod 16; 16/24/32 nibbles by d mod 3), decoded
+    by the engine's RIFF walk + state machine and emitted as
+    per-sample rows.  The DuckDB oracle runs the SAME state machine as
+    a recursive CTE over the step/index tables — a full value oracle
+    for a stateful codec, the strongest check the format admits."""
+    from pyspark.sql import types as T
+
+    from ..operators.audio import decode_audio, wav_encode_ima_adpcm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("pos", T.IntegerType()),
+            T.StructField("sample", T.IntegerType()),
+        ]
+    )
+
+    def _run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, poss, samples = [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 16 + 8 * (d % 3)
+                nibs = [(d + 3 * j) % 16 for j in range(n)]
+                blob = wav_encode_ima_adpcm(
+                    [nibs], [((d * 37) % 2048) - 1024], [d % 89]
+                )
+                dec = decode_audio(blob)
+                for pos, s in enumerate(dec["samples"]):
+                    ids.append(d)
+                    poss.append(pos)
+                    samples.append(s)
+            yield pd.DataFrame({"doc_id": ids, "pos": poss, "sample": samples})
+
+    return docs.mapInPandas(_run, schema=schema)
+
+
 def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r6: audio feature extraction — windowed energy (integer-exact
     Σ sample² per 16-frame window, summed over channels) + peak amplitude
@@ -217,6 +262,7 @@ QUERIES = {
     "multimodal_decode_deadletter": q_multimodal_decode_deadletter,
     "multimodal_audio_decode": q_multimodal_audio,
     "multimodal_audio_g711": q_multimodal_audio_g711,
+    "multimodal_audio_adpcm": q_multimodal_audio_adpcm,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_resize_real": q_multimodal_resize,
     "multimodal_video_frames": q_multimodal_video,
@@ -281,6 +327,26 @@ ORACLES = {
                CAST(p.width * p.height AS BIGINT) AS n_pixels,
                s.sum_r, s.sum_g, s.sum_b, s.min_px, s.max_px
         FROM params p LEFT JOIN stats s USING (doc_id)
+    """,
+    "multimodal_audio_adpcm": """
+        WITH RECURSIVE
+        docs AS (SELECT doc_id, 16 + 8*(doc_id%3) AS n,
+                        ((doc_id*37)%2048)-1024 AS pred0, doc_id%89 AS idx0
+                 FROM documents),
+        rec AS (
+          SELECT doc_id, n, 0 AS j, pred0 AS pred, idx0 AS idx FROM docs
+          UNION ALL
+          SELECT doc_id, n, j+1,
+            GREATEST(-32768, LEAST(32767,
+              pred + CASE WHEN ((doc_id + 3*j)%16) >= 8 THEN -1 ELSE 1 END *
+                ( [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,22385,24623,27086,29794,32767][idx+1]//8
+                + CASE WHEN ((doc_id + 3*j)%16)%2 = 1 THEN [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,22385,24623,27086,29794,32767][idx+1]//4 ELSE 0 END
+                + CASE WHEN (((doc_id + 3*j)%16)//2)%2 = 1 THEN [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,22385,24623,27086,29794,32767][idx+1]//2 ELSE 0 END
+                + CASE WHEN (((doc_id + 3*j)%16)//4)%2 = 1 THEN [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,22385,24623,27086,29794,32767][idx+1] ELSE 0 END ))),
+            GREATEST(0, LEAST(88, idx + [-1,-1,-1,-1,2,4,6,8,-1,-1,-1,-1,2,4,6,8][((doc_id + 3*j)%16)+1]))
+          FROM rec WHERE j < n
+        )
+        SELECT doc_id, CAST(j AS INT) AS pos, CAST(pred AS INT) AS sample FROM rec
     """,
     "multimodal_audio_g711": """
         WITH codes AS (

@@ -135,8 +135,50 @@ def test_g711_unsupported_tag_and_truncation():
 
     blob = bytearray(wav_encode_g711(bytes(10), "mulaw"))
     i = blob.index(b"fmt ") + 8
-    _struct.pack_into("<H", blob, i, 0x11)      # IMA ADPCM tag
-    with pytest.raises(NotImplementedError, match="format tag 17"):
+    _struct.pack_into("<H", blob, i, 2)         # MS ADPCM: still unsupported
+    with pytest.raises(NotImplementedError, match="format tag 2"):
         wav_decode(bytes(blob))
     with pytest.raises(ValueError, match="truncated chunk"):
         wav_decode(bytes(wav_encode_g711(bytes(10), "mulaw"))[:-4])
+
+
+def test_ima_adpcm_decode_blocks_and_stereo():
+    """IMA ADPCM (tag 0x11): the state machine, multi-block mono, and
+    the stereo 4-byte-group interleave, against a hand-run reference."""
+    from postgres_debezium_clickhouse_spark.operators.audio import (
+        decode_audio, ima_adpcm_step, wav_encode_ima_adpcm,
+    )
+
+    nibs = [(3 + 5 * j) % 16 for j in range(16)]
+    d = decode_audio(wav_encode_ima_adpcm([nibs], [100], [20]))
+    pred, idx = 100, 20
+    exp = [100]
+    for nb in nibs:
+        pred, idx = ima_adpcm_step(pred, idx, nb)
+        exp.append(pred)
+    assert d["samples"] == exp and d["n_frames"] == 17 and d["channels"] == 1
+    # stereo: channels decode independently, output interleaved
+    d2 = decode_audio(wav_encode_ima_adpcm(
+        [nibs, nibs[::-1]], [100, -200], [20, 5]))
+    assert d2["channels"] == 2 and d2["n_frames"] == 17
+    assert d2["samples"][0::2][0] == 100 and d2["samples"][1::2][0] == -200
+    l_pred, l_idx = 100, 20
+    r_pred, r_idx = -200, 5
+    for j in range(16):
+        l_pred, l_idx = ima_adpcm_step(l_pred, l_idx, nibs[j])
+        r_pred, r_idx = ima_adpcm_step(r_pred, r_idx, nibs[::-1][j])
+        assert d2["samples"][2 + 2 * j] == l_pred
+        assert d2["samples"][3 + 2 * j] == r_pred
+    # clamping: max-magnitude nibbles from a saturated predictor stay int16
+    d3 = decode_audio(wav_encode_ima_adpcm([[7] * 8], [32700], [88]))
+    assert max(d3["samples"]) <= 32767
+    d4 = decode_audio(wav_encode_ima_adpcm([[15] * 8], [-32700], [88]))
+    assert min(d4["samples"]) >= -32768
+    # corruption classes
+    import struct as _struct
+
+    blob = bytearray(wav_encode_ima_adpcm([nibs], [0], [0]))
+    i = blob.index(b"data") + 8 + 2
+    blob[i] = 89                              # step index out of range
+    with pytest.raises(ValueError, match="step index"):
+        decode_audio(bytes(blob))
