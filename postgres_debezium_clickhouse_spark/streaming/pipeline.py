@@ -304,11 +304,24 @@ def _publish_buckets(
         # directory layout is unchanged (path/__epoch=N/__bucket=B/), so
         # readers and vacuum see the exact same tree.
         projections = manifest.get("projections", {})
+        # CH-style per-column BLOOM FILTERS (r10): declared once via
+        # set_bloom_filters, honored by EVERY publisher (upserts,
+        # mutations, TTL, compaction, projections) — parquet-mr writes a
+        # split-block bloom per column chunk, and Spark's reader prunes
+        # row groups on equality predicates against it.  The point-lookup
+        # accelerator for columns the sort order can NOT serve (the
+        # bloom_filter index type of clickhouse MergeTree skip indexes).
+        bloom_opts = {}
+        for c, ndv in manifest.get("bloom_cols", {}).items():
+            bloom_opts[f"parquet.bloom.filter.enabled#{c}"] = "true"
+            bloom_opts[f"parquet.bloom.filter.expected.ndv#{c}"] = str(ndv)
         if projections:
             # every projection write re-evaluates df's plan — pin it once
             df.persist()
         try:
-            out.write.mode("append").partitionBy("__bucket").parquet(epoch_dir)
+            out.write.mode("append").options(**bloom_opts).partitionBy(
+                "__bucket"
+            ).parquet(epoch_dir)
 
             def _collect_epoch_files(root: str, rel_prefix: str) -> list[str]:
                 edir = os.path.join(root, f"__epoch={epoch}")
@@ -351,7 +364,9 @@ def _publish_buckets(
                     .repartition(n_buckets, "__bucket")
                     .sortWithinPartitions("__bucket", *pspec["keys"])
                 )
-                pout.write.mode("append").partitionBy("__bucket").parquet(pepoch_dir)
+                pout.write.mode("append").options(**bloom_opts).partitionBy(
+                    "__bucket"
+                ).parquet(pepoch_dir)
                 proj_updates[pname] = {
                     **pspec,
                     "files": _kept(pspec.get("files", []))
@@ -1811,6 +1826,28 @@ def rebucket_silver(spark: SparkSession, path: str, keys: list[str],
         replaced_buckets=set(range(manifest["n_buckets"])),
     )
     return _read_manifest(path)["version"]
+
+
+def set_bloom_filters(path: str, cols: dict[str, int]) -> None:
+    """r10 — declare per-column parquet BLOOM FILTERS for a silver
+    store: the ClickHouse ``INDEX … TYPE bloom_filter`` skip-index
+    analogue for columns the primary sort order cannot serve.
+    ``cols`` maps column → expected distinct count (sizes the filter).
+    Metadata-only (same-version manifest edit, like drop_projection):
+    every LATER publish — upsert trigger, mutation, TTL, compaction,
+    and each projection copy — writes split-block blooms for these
+    columns, and Spark's parquet reader prunes row groups on equality
+    predicates against them.  Existing files gain blooms as publishes
+    naturally rewrite their buckets (run ``compact_silver`` to backfill
+    at once).  Pass ``{}`` to stop writing blooms."""
+    manifest = _read_manifest(path)
+    if manifest is None:
+        raise FileNotFoundError(f"no silver store at {path}")
+    _write_manifest(
+        path,
+        {**manifest, "bloom_cols": {c: int(n) for c, n in cols.items()}},
+        expected_version=manifest["version"],
+    )
 
 
 def describe_silver(spark: SparkSession, path: str) -> DataFrame:

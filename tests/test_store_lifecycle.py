@@ -82,3 +82,36 @@ def test_restore_silver_rolls_back_as_new_version(spark, tmp_path):
     n_after_ttl = pl.read_silver(spark, path).count()
     pl.restore_silver(spark, path, ["k"], v_ttl)
     assert pl.read_silver(spark, path).count() == n_after_ttl
+
+
+def test_bloom_filters_written_by_every_publisher(spark, tmp_path):
+    """r10: set_bloom_filters is a metadata-only declaration that every
+    later publish honors — proven by the parquet footprint: the bloomed
+    store's republished files carry the split-block filter bytes (~1.2
+    bits/NDV/file minimum) the bloom-less twin lacks, for the primary
+    AND the projection copies, while reads stay identical."""
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloomed")
+    for p in (plain, bloomed):
+        _seed(spark, p, n=20000, n_buckets=2)
+        pl.add_projection(spark, p, ["k"], "by_sec", ["sec"])
+    pl.set_bloom_filters(bloomed, {"val": 20000})
+    # a mutation republishes every bucket it touches — here all of them
+    for p in (plain, bloomed):
+        pl.mutate_silver(spark, p, ["k"], where=F.col("k") >= 0,
+                         set_exprs={"val": F.concat(F.col("val"), F.lit("x"))})
+    sizes = {}
+    for p in (plain, bloomed):
+        rows = pl.describe_silver(spark, p).collect()
+        cur = pl._read_manifest(p)["version"]
+        latest = [r for r in rows if r.epoch == cur]
+        sizes[p] = {
+            "primary": sum(r.bytes for r in latest if r.layout == "primary"),
+            "proj": sum(r.bytes for r in latest if r.layout != "primary"),
+        }
+    assert sizes[bloomed]["primary"] > sizes[plain]["primary"] + 8000
+    assert sizes[bloomed]["proj"] > sizes[plain]["proj"] + 8000
+    a = {(r.k, r.val) for r in pl.read_silver(spark, plain).collect()}
+    b = {(r.k, r.val) for r in pl.read_silver(spark, bloomed).collect()}
+    assert a == b and len(a) == 20000
+    # the declaration survives further publishes (carried manifest field)
+    assert pl._read_manifest(bloomed)["bloom_cols"] == {"val": 20000}
