@@ -61,10 +61,11 @@ _FRONT = (
     "stream_txn_consistent_state",
     "silver_projection_route",
     # steady-state cycling (r9 verdict item 5): the entire cohort whose
-    # latest driver evidence is r6 — 50 names, so with the r10 additions
-    # ahead of them the ~50-query window covers all but the last few;
-    # any runoff stays at the top of r11's list.  After this round no
-    # name's driver evidence predates r7 except that runoff.
+    # latest driver evidence is r6 — 50 names.  r10 grew to ELEVEN new
+    # queries, so the ~50-query window covers them + ~39 of the r6
+    # cohort; the ~11 r6-runoff names lead r11's list.  All 206 queries
+    # are green in this round's LOCAL sweeps at sf0.01 (and sf0.1), so
+    # the runoff is about driver-evidence freshness, not correctness.
     "buyer_segment_setops",
     "cdc_bronze_stats",
     "cdc_change_feed",
