@@ -1,0 +1,99 @@
+"""Command-line surface: ``python -m postgres_debezium_clickhouse_spark …``
+
+The operational entry points a user switching from the reference stack
+reaches for first — run any registered query against a fixture scale,
+inspect a silver store, print an oracle — without writing a driver
+script.  Thin by design: every subcommand delegates to the same public
+API the tests and the driver contract use.
+
+    list                          registered queries (name + oracle kind)
+    query NAME [--sf-dir D] [-n N]   run one query, show N rows
+    oracle NAME                   print the DuckDB oracle SQL
+    describe-store PATH           system.parts-style file listing
+    versions PATH                 committed versions (time travel pins)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _entry():
+    """Import the repo-root driver contract regardless of cwd."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    import __spark_entry__ as entrymod
+
+    return entrymod
+
+
+def _spark():
+    from .session import get_spark
+
+    spark = get_spark("pdc-spark-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="postgres_debezium_clickhouse_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("list")
+    q = sub.add_parser("query")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+    q.add_argument("-n", "--limit", type=int, default=20)
+    o = sub.add_parser("oracle")
+    o.add_argument("name")
+    d = sub.add_parser("describe-store")
+    d.add_argument("path")
+    v = sub.add_parser("versions")
+    v.add_argument("path")
+    args = ap.parse_args(argv)
+
+    if args.cmd == "list":
+        m = _entry()
+        oracles = m.oracle_sql()
+        for name in m.queries():
+            kind = "full-oracle" if name in oracles else "rows-only"
+            print(f"{name}\t{kind}")
+        return 0
+    if args.cmd == "oracle":
+        m = _entry()
+        sql = m.oracle_sql().get(args.name)
+        if sql is None:
+            print(f"no oracle for {args.name!r}", file=sys.stderr)
+            return 1
+        print(sql.strip())
+        return 0
+    if args.cmd == "query":
+        m = _entry()
+        fn = m.queries().get(args.name)
+        if fn is None:
+            print(f"unknown query {args.name!r} (see `list`)", file=sys.stderr)
+            return 1
+        df = fn(_spark(), args.sf_dir)
+        df.show(args.limit, truncate=False)
+        print(f"-- {df.count()} rows total")
+        return 0
+    if args.cmd == "describe-store":
+        from .streaming.pipeline import describe_silver
+
+        describe_silver(_spark(), args.path).orderBy("layout", "bucket").show(
+            1000, truncate=False
+        )
+        return 0
+    if args.cmd == "versions":
+        from .streaming.pipeline import silver_versions
+
+        print(" ".join(str(v) for v in silver_versions(args.path)))
+        return 0
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

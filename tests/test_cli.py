@@ -1,0 +1,33 @@
+"""CLI surface (r10): python -m postgres_debezium_clickhouse_spark."""
+
+from __future__ import annotations
+
+from postgres_debezium_clickhouse_spark.__main__ import main
+
+
+def test_list_and_oracle(capsys):
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "cdc_current_state\tfull-oracle" in out
+    assert "synthetic_transactions\trows-only" in out
+    assert main(["oracle", "max_order"]) == 0
+    assert "MAX(o_orderkey)" in capsys.readouterr().out
+    assert main(["oracle", "nope"]) == 1
+    assert main(["query", "nope"]) == 1
+
+
+def test_describe_and_versions(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    import postgres_debezium_clickhouse_spark.streaming.pipeline as pl
+
+    path = str(tmp_path / "store")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").withColumn(
+        "__deleted", F.lit(False)
+    )
+    pl._publish_buckets(df, path, ["k"], {"version": 0, "n_buckets": 2, "files": []},
+                        {0, 1})
+    assert main(["versions", path]) == 0
+    assert capsys.readouterr().out.strip() == "1"
+    assert main(["describe-store", path]) == 0
+    assert "primary" in capsys.readouterr().out
