@@ -263,6 +263,65 @@ def jpeg_header_bytes(width: int, height: int, channels: int = 3) -> bytes:
     )
 
 
+def bmp_decode(blob: bytes) -> dict:
+    """r10 — uncompressed 24-bit BMP (BITMAPINFOHEADER, the Windows DIB
+    everyone's screenshot tool writes): bottom-up row order, BGR sample
+    order, 4-byte row padding — all inverted here to the decode_images
+    RGB top-down contract.  Lossless → integer-exact oracles."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP (bad signature)")
+    if len(blob) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = struct.unpack_from("<I", blob, 10)[0]
+    hdr_size = struct.unpack_from("<I", blob, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BMP core-header variant")
+    w, h = struct.unpack_from("<ii", blob, 18)
+    planes, bpp = struct.unpack_from("<HH", blob, 26)
+    compression = struct.unpack_from("<I", blob, 30)[0]
+    if compression != 0:
+        raise NotImplementedError(f"compressed BMP (method {compression})")
+    if bpp != 24:
+        raise NotImplementedError(f"{bpp}-bit BMP")
+    if w <= 0 or h == 0:
+        raise ValueError("bad BMP dimensions")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if data_off + stride * h > len(blob):
+        raise ValueError("truncated BMP pixel data")
+    px = bytearray(w * h * 3)
+    for row in range(h):
+        src_row = row if top_down else h - 1 - row
+        base = data_off + src_row * stride
+        for x in range(w):
+            b, g, r = blob[base + 3 * x:base + 3 * x + 3]
+            i = (row * w + x) * 3
+            px[i:i + 3] = bytes((r, g, b))
+    return {"format": "bmp", "width": w, "height": h, "channels": 3,
+            "pixels": bytes(px)}
+
+
+def bmp_encode(width: int, height: int, pixels: bytes) -> bytes:
+    """Fixture-grade 24-bit BMP writer (bottom-up, padded rows)."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixel buffer size mismatch")
+    stride = (width * 3 + 3) & ~3
+    body = bytearray()
+    for row in range(height - 1, -1, -1):
+        line = bytearray()
+        for x in range(width):
+            i = (row * width + x) * 3
+            r, g, b = pixels[i:i + 3]
+            line += bytes((b, g, r))
+        line += b"\x00" * (stride - len(line))
+        body += line
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    hdr += struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       len(body), 2835, 2835, 0, 0)
+    return bytes(hdr + body)
+
+
 def decode_image(blob: bytes) -> dict:
     """Dispatch on magic bytes → {format, width, height, channels, pixels}.
 
@@ -289,6 +348,8 @@ def decode_image(blob: bytes) -> dict:
         from .gif import gif_decode
 
         return gif_decode(blob)
+    if blob[:2] == b"BM":
+        return bmp_decode(blob)
     raise NotImplementedError("no stdlib codec for this format; wire in Pillow/pyav")
 
 

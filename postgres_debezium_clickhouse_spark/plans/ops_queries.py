@@ -1031,6 +1031,89 @@ def stream_agg_quantile_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sh.rmtree(d, ignore_errors=True)
 
 
+def stream_projection_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10 — projections under STREAMING maintenance + automatic
+    routing, end-to-end: a first availableNow upsert replay builds the
+    store, ``ADD PROJECTION by_cust`` materializes, then a SECOND
+    streamed update wave (keys ≡0 mod 3 get price+100 at version 2, in
+    micro-batches) runs through the projection-maintaining publisher.
+    The final read goes through ``read_silver_auto`` with only a
+    custkey WHERE — the engine must route it to the projection files
+    (hard-asserted via inputFiles), and the values must carry the
+    streamed updates: the projection tracked every trigger, not just
+    the backfill."""
+    from pyspark.sql import types as T
+
+    from ..streaming.pipeline import (
+        add_projection,
+        read_silver_auto,
+        silver_upsert_stream,
+    )
+
+    import shutil as _sh
+
+    run = uuid.uuid4().hex[:12]
+    root = tempfile.gettempdir()
+    src = f"{root}/spm_src_{run}"
+    dst = f"{root}/spm_out_{run}"
+    ckpt = f"{root}/spm_ckpt_{run}"
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("ts", T.LongType()),
+        ]
+    )
+    try:
+        k = F.col("o_orderkey")
+        base = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            k, F.col("o_custkey"),
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.lit("c").alias("op"), F.lit(1).cast("long").alias("ts"),
+        )
+        upd = base.filter(k % 3 == 0).withColumn(
+            "price", F.col("price") + 100.0
+        ).withColumn("op", F.lit("u")).withColumn("ts", F.lit(2).cast("long"))
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            for stage, df in (("b0", base), ("b1", upd)):
+                df.repartition(2).write.mode("overwrite").parquet(f"{src}/{stage}")
+                stream = (
+                    spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(f"{src}/{stage}")
+                )
+                q = silver_upsert_stream(
+                    stream, dst, f"{ckpt}/{stage}", keys=["o_orderkey"],
+                    version_col="ts", available_now=True, n_buckets=8,
+                )
+                if not q.awaitTermination(300):
+                    q.stop()
+                    raise TimeoutError(f"stage {stage} did not finish in 300s")
+                if stage == "b0":
+                    add_projection(spark, dst, ["o_orderkey"], "by_cust",
+                                   ["o_custkey"])
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        routed = read_silver_auto(
+            spark, dst,
+            where=(F.col("o_custkey") >= 400) & (F.col("o_custkey") < 500),
+        )
+        files = routed.inputFiles()
+        if not files or not all("__proj_by_cust" in f for f in files):
+            raise AssertionError("streamed store did not route to the projection")
+        return (
+            routed.select("o_orderkey", "o_custkey", "price")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for d in (src, dst, ckpt):
+            _sh.rmtree(d, ignore_errors=True)
+
+
 def stream_agg_topk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r10 — Space-Saving topK STATE column in the aggregating sink:
     completes the CH ``AggregateFunction`` family (uniq/argMax/argMin/
@@ -1817,6 +1900,7 @@ QUERIES = {
     "stream_agg_kmv_state": stream_agg_kmv_state,
     "stream_agg_quantile_state": stream_agg_quantile_state,
     "stream_agg_topk_state": stream_agg_topk_state,
+    "stream_projection_maintained": stream_projection_maintained,
     "stream_agg_argmax_state": stream_agg_argmax_state,
     "silver_ttl_rollup": silver_ttl_rollup,
     "stream_schema_evolution": stream_schema_evolution,
@@ -2051,6 +2135,13 @@ ORACLES["object_store_avro_ingest"] = """
            CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN 'a' WHEN 1 THEN 'b'
                 ELSE 'c' END AS kind
     FROM orders
+"""
+
+ORACLES["stream_projection_maintained"] = """
+    SELECT o_orderkey, o_custkey,
+           CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+                ELSE o_totalprice END AS DOUBLE) AS price
+    FROM orders WHERE o_custkey >= 400 AND o_custkey < 500
 """
 
 ORACLES["stream_agg_topk_state"] = """

@@ -292,3 +292,40 @@ def test_dhash_hot_band_cap_bounds_fanout(spark):
     assert 0 < len(hot_pairs) <= k * cap // 2 + k
     assert all(r.hamming == 0 and r.near_dup for r in hot_pairs)
     assert any(r.doc_a == 4 and r.doc_b == 1004 and r.near_dup for r in out)
+
+
+def test_bmp_roundtrip_and_classes():
+    """r10: uncompressed 24-bit BMP — exact roundtrip through the
+    bottom-up/BGR/padding inversions, top-down variant, dead-letter
+    classes for the unsupported shapes."""
+    import struct as _st
+
+    from postgres_debezium_clickhouse_spark.operators.imaging import (
+        bmp_decode, bmp_encode, decode_image,
+    )
+
+    for w, h in ((5, 3), (4, 4), (1, 1), (7, 2)):
+        px = bytes((i * 7 + c * 11) % 256 for i in range(w * h) for c in range(3))
+        d = decode_image(bmp_encode(w, h, px))
+        assert (d["format"], d["width"], d["height"]) == ("bmp", w, h)
+        assert d["pixels"] == px
+    # top-down (negative height) variant decodes identically
+    blob = bytearray(bmp_encode(3, 2, bytes(range(18))))
+    _st.pack_into("<i", blob, 22, -2)
+    rows = bmp_decode(bytes(bmp_encode(3, 2, bytes(range(18)))))["pixels"]
+    flipped = bmp_decode(bytes(blob))["pixels"]
+    assert flipped == rows[9:] + rows[:9]       # rows swapped
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="signature"):
+        bmp_decode(b"XX" + bytes(60))
+    with _pt.raises(ValueError, match="truncated BMP pixel"):
+        bmp_decode(bytes(bmp_encode(5, 3, bytes(45)))[:-8])
+    b2 = bytearray(bmp_encode(2, 2, bytes(12)))
+    _st.pack_into("<H", b2, 28, 8)
+    with _pt.raises(NotImplementedError, match="8-bit"):
+        bmp_decode(bytes(b2))
+    b3 = bytearray(bmp_encode(2, 2, bytes(12)))
+    _st.pack_into("<I", b3, 30, 1)
+    with _pt.raises(NotImplementedError, match="compressed BMP"):
+        bmp_decode(bytes(b3))
