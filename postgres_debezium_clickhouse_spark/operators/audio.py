@@ -161,6 +161,130 @@ def _ima_decode(data: bytes, ch: int, block_align: int) -> list[int]:
     return out
 
 
+#: MS ADPCM tables (public spec: Microsoft WAVE ADPCM, multimedia
+#: standards update 1994; the other compressed tag real RIFF files use).
+MSADPCM_COEFFS = [(256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+                  (460, -208), (392, -232)]
+MSADPCM_ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+                 768, 614, 512, 409, 307, 230, 230, 230]
+
+
+def msadpcm_step(s1: int, s2: int, delta: int, coef1: int, coef2: int,
+                 nibble: int) -> tuple[int, int, int]:
+    """One MS ADPCM step → (new sample, new s1-shifted-to-s2 handled by
+    caller, new delta).  Returns (sample, sample, new_delta) pieces:
+    caller shifts s2←s1, s1←sample.  Signed 4-bit nibble; both engines
+    (this and the DuckDB recursive-CTE oracle) run identical integer
+    arithmetic: floor-toward-minus-infinity division via arithmetic
+    shift semantics is avoided — the spec uses TRUNCATING ``/ 256`` and
+    ``/ 256`` on the adapt step, matched with int() semantics here and
+    DuckDB's ``//`` carefully (predictor term can be negative, so we
+    use truncation explicitly on both sides)."""
+    signed = nibble - 16 if nibble >= 8 else nibble
+    pred = _trunc_div(s1 * coef1 + s2 * coef2, 256) + signed * delta
+    pred = max(-32768, min(32767, pred))
+    delta = _trunc_div(MSADPCM_ADAPT[nibble] * delta, 256)
+    if delta < 16:
+        delta = 16
+    return pred, pred, delta
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """C-style truncating integer division (toward zero) — what the MS
+    ADPCM reference code's ``/`` does; Python's ``//`` floors, which
+    differs on negatives."""
+    q = abs(a) // b
+    return -q if a < 0 else q
+
+
+def _msadpcm_decode(data: bytes, ch: int, block_align: int) -> list[int]:
+    """Decode an MS-ADPCM data chunk: per block and channel, a 7-byte
+    header (coef index, initial delta int16, sample1 int16, sample2
+    int16 — interleaved by channel per spec field order), the first TWO
+    output samples per channel being sample2 then sample1, then one
+    4-bit nibble per sample, high nibble first, channels interleaved
+    nibble-by-nibble."""
+    hdr = 7 * ch
+    if block_align <= hdr:
+        raise ValueError("bad MS ADPCM block align")
+    out: list[int] = []
+    for off in range(0, len(data), block_align):
+        block = data[off:off + block_align]
+        if len(block) < hdr:
+            raise ValueError("truncated MS ADPCM block")
+        pred_idx = [block[c] for c in range(ch)]
+        if any(i >= len(MSADPCM_COEFFS) for i in pred_idx):
+            raise ValueError("MS ADPCM coefficient index out of range")
+        delta = [struct.unpack_from("<h", block, ch + 2 * c)[0] for c in range(ch)]
+        s1 = [struct.unpack_from("<h", block, 3 * ch + 2 * c)[0] for c in range(ch)]
+        s2 = [struct.unpack_from("<h", block, 5 * ch + 2 * c)[0] for c in range(ch)]
+        # first two decoded samples per channel are sample2 then sample1
+        for c in range(ch):
+            out.append(s2[c])
+        for c in range(ch):
+            out.append(s1[c])
+        chans: list[list[int]] = [[] for _ in range(ch)]
+        nib_i = 0
+        for byte in block[hdr:]:
+            for nib in (byte >> 4, byte & 0x0F):
+                c = nib_i % ch
+                coef1, coef2 = MSADPCM_COEFFS[pred_idx[c]]
+                samp, _, delta[c] = msadpcm_step(
+                    s1[c], s2[c], delta[c], coef1, coef2, nib
+                )
+                s2[c], s1[c] = s1[c], samp
+                chans[c].append(samp)
+                nib_i += 1
+        for j in range(len(chans[0])):
+            for c in range(ch):
+                if j < len(chans[c]):
+                    out.append(chans[c][j])
+    return out
+
+
+def wav_encode_ms_adpcm(nibbles_per_chan: list[list[int]],
+                        coef_idx: list[int], deltas: list[int],
+                        s1s: list[int], s2s: list[int],
+                        sample_rate: int = 8000) -> bytes:
+    """Fixture-grade MS-ADPCM WAV writer: one block, explicit header
+    state, nibble streams given directly (closed form for the oracle).
+    Per-channel nibble counts must match; total nibbles must be even."""
+    ch = len(nibbles_per_chan)
+    n = len(nibbles_per_chan[0])
+    if any(len(x) != n for x in nibbles_per_chan) or (n * ch) % 2:
+        raise ValueError("per-channel nibble counts must match; total even")
+    block = bytearray()
+    block.extend(coef_idx[c] for c in range(ch))
+    for c in range(ch):
+        block.extend(struct.pack("<h", deltas[c]))
+    for c in range(ch):
+        block.extend(struct.pack("<h", s1s[c]))
+    for c in range(ch):
+        block.extend(struct.pack("<h", s2s[c]))
+    flat = []
+    for j in range(n):
+        for c in range(ch):
+            flat.append(nibbles_per_chan[c][j] & 0x0F)
+    for k in range(0, len(flat), 2):
+        block.append((flat[k] << 4) | flat[k + 1])
+    block_align = len(block)
+    samples_per_block = 2 + n
+    fmt = struct.pack(
+        "<HHIIHHHHH", 2, ch, sample_rate,
+        sample_rate * block_align // samples_per_block, block_align, 4,
+        4, samples_per_block, len(MSADPCM_COEFFS),
+    )
+    for c1, c2 in MSADPCM_COEFFS:
+        fmt += struct.pack("<hh", c1, c2)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(block)) + bytes(block)
+        + (b"\x00" if len(block) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def wav_encode_ima_adpcm(nibbles_per_chan: list[list[int]],
                          predictors: list[int], indexes: list[int],
                          sample_rate: int = 8000) -> bytes:
@@ -201,7 +325,8 @@ def wav_encode_ima_adpcm(nibbles_per_chan: list[list[int]],
 def _g711_decode(blob: bytes) -> dict | None:
     """Manual RIFF walk for the compressed WAV format tags the stdlib
     ``wave`` module cannot parse: 6 = A-law, 7 = µ-law (G.711 tables),
-    0x11 = IMA/DVI ADPCM (r10 — the block-structured state machine).
+    0x11 = IMA/DVI ADPCM, 2 = MS ADPCM (r10 — both block-structured
+    state machines).
     Returns None when the fmt chunk says plain PCM (tag 1) so the
     stdlib path keeps handling it."""
     i = 12
@@ -222,7 +347,7 @@ def _g711_decode(blob: bytes) -> dict | None:
     tag, ch, rate = struct.unpack("<HHI", fmt[:8])
     if tag == 1:
         return None
-    if tag not in (6, 7, 0x11):
+    if tag not in (2, 6, 7, 0x11):
         raise NotImplementedError(
             f"unsupported WAV format tag {tag}; wire in soundfile/pyav"
         )
@@ -231,6 +356,9 @@ def _g711_decode(blob: bytes) -> dict | None:
     if tag == 0x11:
         (block_align,) = struct.unpack("<H", fmt[12:14])
         samples = _ima_decode(data, ch, block_align)
+    elif tag == 2:
+        (block_align,) = struct.unpack("<H", fmt[12:14])
+        samples = _msadpcm_decode(data, ch, block_align)
     else:
         expand = mulaw_expand if tag == 7 else alaw_expand
         samples = [expand(b) for b in data]

@@ -183,6 +183,52 @@ def q_multimodal_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(_run, schema=schema)
 
 
+def q_multimodal_audio_msadpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10 — MS ADPCM WAV decode (format tag 2, completing the
+    compressed-WAV family: PCM/A-law/µ-law/IMA/MS all REAL): per doc a
+    one-block mono stream with closed-form header state (coef index
+    d mod 7, delta 200+(d mod 301), history samples from d arithmetic)
+    and nibble stream (d + 5j mod 16; 12..20 nibbles by d mod 5),
+    decoded by the engine's two-tap predictor state machine and emitted
+    per-sample.  The DuckDB oracle runs the SAME machine as a recursive
+    CTE over the coefficient/adaptation tables with explicit truncating
+    division — full value oracle, like the IMA one."""
+    from pyspark.sql import types as T
+
+    from ..operators.audio import decode_audio, wav_encode_ms_adpcm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("pos", T.IntegerType()),
+            T.StructField("sample", T.IntegerType()),
+        ]
+    )
+
+    def _run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, poss, samples = [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 12 + 2 * (d % 5)
+                nibs = [(d + 5 * j) % 16 for j in range(n)]
+                blob = wav_encode_ms_adpcm(
+                    [nibs], [d % 7], [200 + (d % 301)],
+                    [((d * 53) % 4001) - 2000], [((d * 29) % 4001) - 2000],
+                )
+                dec = decode_audio(blob)
+                for pos, s in enumerate(dec["samples"]):
+                    ids.append(d)
+                    poss.append(pos)
+                    samples.append(s)
+            yield pd.DataFrame({"doc_id": ids, "pos": poss, "sample": samples})
+
+    return docs.mapInPandas(_run, schema=schema)
+
+
 def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r6: audio feature extraction — windowed energy (integer-exact
     Σ sample² per 16-frame window, summed over channels) + peak amplitude
@@ -263,6 +309,7 @@ QUERIES = {
     "multimodal_audio_decode": q_multimodal_audio,
     "multimodal_audio_g711": q_multimodal_audio_g711,
     "multimodal_audio_adpcm": q_multimodal_audio_adpcm,
+    "multimodal_audio_msadpcm": q_multimodal_audio_msadpcm,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_resize_real": q_multimodal_resize,
     "multimodal_video_frames": q_multimodal_video,
@@ -327,6 +374,36 @@ ORACLES = {
                CAST(p.width * p.height AS BIGINT) AS n_pixels,
                s.sum_r, s.sum_g, s.sum_b, s.min_px, s.max_px
         FROM params p LEFT JOIN stats s USING (doc_id)
+    """,
+    "multimodal_audio_msadpcm": """
+        WITH RECURSIVE
+        docs AS (SELECT doc_id, 12 + 2*(doc_id%5) AS n, doc_id%7 AS ci,
+                        200 + (doc_id%301) AS delta0,
+                        ((doc_id*53)%4001)-2000 AS s1_0,
+                        ((doc_id*29)%4001)-2000 AS s2_0
+                 FROM documents),
+        rec AS (
+          SELECT doc_id, n, ci, 0 AS j, s1_0 AS s1, s2_0 AS s2, delta0 AS delta
+          FROM docs
+          UNION ALL
+          SELECT doc_id, n, ci, j+1,
+            GREATEST(-32768, LEAST(32767,
+              (CASE WHEN s1*[256,512,0,192,240,460,392][ci+1] + s2*[0,-256,0,64,0,-208,-232][ci+1] < 0
+                    THEN -((-(s1*[256,512,0,192,240,460,392][ci+1] + s2*[0,-256,0,64,0,-208,-232][ci+1]))//256)
+                    ELSE (s1*[256,512,0,192,240,460,392][ci+1] + s2*[0,-256,0,64,0,-208,-232][ci+1])//256 END)
+              + (CASE WHEN ((doc_id + 5*j)%16) >= 8
+                      THEN ((doc_id + 5*j)%16) - 16
+                      ELSE ((doc_id + 5*j)%16) END) * delta)) AS s1,
+            s1 AS s2,
+            GREATEST(16, ([230,230,230,230,307,409,512,614,768,614,512,409,307,230,230,230][((doc_id + 5*j)%16)+1] * delta)//256) AS delta
+          FROM rec WHERE j < n
+        )
+        SELECT doc_id,
+               CAST(CASE WHEN j = 0 THEN 0 ELSE j + 1 END AS INT) AS pos,
+               CAST(CASE WHEN j = 0 THEN s2 ELSE s1 END AS INT) AS sample
+        FROM rec
+        UNION ALL
+        SELECT doc_id, CAST(1 AS INT), CAST(s1_0 AS INT) FROM docs
     """,
     "multimodal_audio_adpcm": """
         WITH RECURSIVE

@@ -135,8 +135,8 @@ def test_g711_unsupported_tag_and_truncation():
 
     blob = bytearray(wav_encode_g711(bytes(10), "mulaw"))
     i = blob.index(b"fmt ") + 8
-    _struct.pack_into("<H", blob, i, 2)         # MS ADPCM: still unsupported
-    with pytest.raises(NotImplementedError, match="format tag 2"):
+    _struct.pack_into("<H", blob, i, 3)         # IEEE float: unsupported
+    with pytest.raises(NotImplementedError, match="format tag 3"):
         wav_decode(bytes(blob))
     with pytest.raises(ValueError, match="truncated chunk"):
         wav_decode(bytes(wav_encode_g711(bytes(10), "mulaw"))[:-4])
@@ -181,4 +181,38 @@ def test_ima_adpcm_decode_blocks_and_stereo():
     i = blob.index(b"data") + 8 + 2
     blob[i] = 89                              # step index out of range
     with pytest.raises(ValueError, match="step index"):
+        decode_audio(bytes(blob))
+
+
+def test_ms_adpcm_decode_and_stereo():
+    """MS ADPCM (tag 2): two-tap predictor state machine with truncating
+    division, block header history samples (s2 then s1 lead the
+    output), stereo nibble interleave, against a hand-run reference."""
+    from postgres_debezium_clickhouse_spark.operators.audio import (
+        MSADPCM_COEFFS, decode_audio, msadpcm_step, wav_encode_ms_adpcm,
+    )
+
+    nibs = [(5 + 3 * j) % 16 for j in range(12)]
+    d = decode_audio(wav_encode_ms_adpcm([nibs], [1], [300], [1000], [-500]))
+    s1, s2, delta = 1000, -500, 300
+    c1, c2 = MSADPCM_COEFFS[1]
+    exp = [-500, 1000]
+    for nb in nibs:
+        samp, _, delta = msadpcm_step(s1, s2, delta, c1, c2, nb)
+        s2, s1 = s1, samp
+        exp.append(samp)
+    assert d["samples"] == exp and d["n_frames"] == 14
+    d2 = decode_audio(wav_encode_ms_adpcm(
+        [nibs, nibs[::-1]], [0, 3], [256, 400], [100, 200], [-100, -200]))
+    assert d2["channels"] == 2 and d2["samples"][:4] == [-100, -200, 100, 200]
+    # negative-predictor truncating division is the subtle bit: -255//256
+    # must be 0 (C semantics), not -1 (python floor)
+    from postgres_debezium_clickhouse_spark.operators.audio import _trunc_div
+
+    assert _trunc_div(-255, 256) == 0 and _trunc_div(-257, 256) == -1
+    # corruption class
+    blob = bytearray(wav_encode_ms_adpcm([nibs], [1], [300], [0], [0]))
+    i = blob.index(b"data") + 8
+    blob[i] = 9                                  # coef index out of range
+    with pytest.raises(ValueError, match="coefficient index"):
         decode_audio(bytes(blob))
