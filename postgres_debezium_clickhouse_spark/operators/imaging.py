@@ -322,6 +322,171 @@ def bmp_encode(width: int, height: int, pixels: bytes) -> bytes:
     return bytes(hdr + body)
 
 
+def tiff_decode(blob: bytes) -> dict:
+    """r10 — baseline TIFF 6.0 (the scanned-document format): both byte
+    orders (II/MM), IFD entry walk, multi-strip assembly, 8-bit
+    grayscale and RGB, uncompressed (compression 1).  LZW/packbits/
+    JPEG-in-TIFF raise the honest NotImplementedError dead-letter
+    class; non-8-bit depths and tiled layouts likewise."""
+    if blob[:4] == b"II*\x00":
+        e = "<"
+    elif blob[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte-order header)")
+
+    def u16(off):
+        return struct.unpack_from(e + "H", blob, off)[0]
+
+    def u32(off):
+        return struct.unpack_from(e + "I", blob, off)[0]
+
+    if len(blob) < 8:
+        raise ValueError("truncated TIFF header")
+    ifd = u32(4)
+    if ifd + 2 > len(blob):
+        raise ValueError("truncated TIFF IFD")
+    n = u16(ifd)
+    if ifd + 2 + 12 * n > len(blob):
+        raise ValueError("truncated TIFF IFD entries")
+    tags: dict[int, tuple[int, int, int]] = {}
+    for i in range(n):
+        base = ifd + 2 + 12 * i
+        tag, typ, cnt = u16(base), u16(base + 2), u32(base + 4)
+        tags[tag] = (typ, cnt, base + 8)
+
+    def values(tag, default=None):
+        if tag not in tags:
+            return default
+        typ, cnt, voff = tags[tag]
+        size = {1: 1, 3: 2, 4: 4}.get(typ)
+        if size is None:
+            raise ValueError(f"unsupported TIFF field type {typ}")
+        total = size * cnt
+        off = voff if total <= 4 else u32(voff)
+        if off + total > len(blob):
+            raise ValueError("truncated TIFF field data")
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        return list(struct.unpack_from(e + fmt * cnt, blob, off))
+
+    w = (values(256) or [0])[0]
+    h = (values(257) or [0])[0]
+    if not w or not h:
+        raise ValueError("TIFF missing dimensions")
+    compression = (values(259) or [1])[0]
+    if compression != 1:
+        raise NotImplementedError(f"TIFF compression {compression}")
+    spp = (values(277) or [1])[0]
+    bits = values(258) or [8] * spp
+    if any(b != 8 for b in bits):
+        raise NotImplementedError("non-8-bit TIFF")
+    if spp not in (1, 3):
+        raise NotImplementedError(f"{spp}-sample TIFF")
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF")
+    offsets = values(273)
+    counts = values(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF missing strip layout")
+    data = bytearray()
+    for off, cnt in zip(offsets, counts):
+        if off + cnt > len(blob):
+            raise ValueError("truncated TIFF strip")
+        data += blob[off:off + cnt]
+    if len(data) != w * h * spp:
+        raise ValueError("TIFF strip data size mismatch")
+    return {"format": "tiff", "width": w, "height": h, "channels": spp,
+            "pixels": bytes(data)}
+
+
+def tiff_encode(width: int, height: int, pixels: bytes, channels: int = 3,
+                big_endian: bool = False, rows_per_strip: int | None = None) -> bytes:
+    """Fixture-grade baseline TIFF writer: either byte order, 8-bit
+    gray/RGB, uncompressed, optionally MULTI-STRIP so strip assembly is
+    exercised."""
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer size mismatch")
+    e = ">" if big_endian else "<"
+    rps = rows_per_strip or height
+    strips = []
+    stride = width * channels
+    for y0 in range(0, height, rps):
+        strips.append(pixels[y0 * stride:(y0 + min(rps, height - y0)) * stride])
+    entries = []  # (tag, type, count, value_or_offset_placeholder)
+
+    header = b"MM\x00*" if big_endian else b"II*\x00"
+    # layout: header(8) + strip data + [bits array if rgb] +
+    #         [offset/count arrays if >2] + IFD
+    pos = 8
+    strip_offs = []
+    for s in strips:
+        strip_offs.append(pos)
+        pos += len(s)
+    extra = bytearray()
+
+    def arr(typ_fmt, vals, size):
+        nonlocal pos
+        off = pos
+        for v in vals:
+            extra.extend(struct.pack(e + typ_fmt, v))
+        pos += size * len(vals)
+        return off
+
+    bits_val = 8
+    if channels == 3:
+        bits_val = arr("H", [8, 8, 8], 2)
+    if len(strips) > 2:
+        so_off = arr("I", strip_offs, 4)
+        sc_off = arr("I", [len(s) for s in strips], 4)
+    ifd_off = pos
+
+    def entry(tag, typ, cnt, val):
+        # inline values are LEFT-justified in the 4-byte field, so a
+        # single SHORT must be packed as H + padding (bit-identical for
+        # little-endian, required for big-endian)
+        if typ == 3 and cnt == 1:
+            packed = struct.pack(e + "H", val) + b"\x00\x00"
+        else:
+            packed = struct.pack(e + "I", val)
+        entries.append(struct.pack(e + "HHI", tag, typ, cnt) + packed)
+
+    entry(256, 4, 1, width)
+    entry(257, 4, 1, height)
+    if channels == 3:
+        entry(258, 3, 3, bits_val)
+    else:
+        entry(258, 3, 1, 8)
+    entry(259, 3, 1, 1)
+    entry(262, 3, 1, 2 if channels == 3 else 1)
+    if len(strips) == 1:
+        entry(273, 4, 1, strip_offs[0])
+    elif len(strips) == 2:
+        # two LONGs fit nowhere inline — always use an array for >1
+        so_off = arr("I", strip_offs, 4)
+        sc_off = arr("I", [len(s) for s in strips], 4)
+        ifd_off = pos
+        entry(273, 4, 2, so_off)
+    else:
+        entry(273, 4, len(strips), so_off)
+    entry(277, 3, 1, channels)
+    entry(278, 4, 1, rps)
+    if len(strips) == 1:
+        entry(279, 4, 1, len(strips[0]))
+    else:
+        entry(279, 4, len(strips), sc_off)
+    entries.sort(key=lambda b: struct.unpack(e + "H", b[:2])[0])
+    out = bytearray(header)
+    out.extend(struct.pack(e + "I", ifd_off))
+    for s in strips:
+        out.extend(s)
+    out.extend(extra)
+    out.extend(struct.pack(e + "H", len(entries)))
+    for ent in entries:
+        out.extend(ent)
+    out.extend(struct.pack(e + "I", 0))
+    return bytes(out)
+
+
 def decode_image(blob: bytes) -> dict:
     """Dispatch on magic bytes → {format, width, height, channels, pixels}.
 
@@ -350,6 +515,8 @@ def decode_image(blob: bytes) -> dict:
         return gif_decode(blob)
     if blob[:2] == b"BM":
         return bmp_decode(blob)
+    if blob[:4] in (b"II*\x00", b"MM\x00*"):
+        return tiff_decode(blob)
     raise NotImplementedError("no stdlib codec for this format; wire in Pillow/pyav")
 
 

@@ -329,3 +329,41 @@ def test_bmp_roundtrip_and_classes():
     _st.pack_into("<I", b3, 30, 1)
     with _pt.raises(NotImplementedError, match="compressed BMP"):
         bmp_decode(bytes(b3))
+
+
+def test_tiff_roundtrip_both_orders_and_strips():
+    """r10: baseline TIFF — both byte orders, gray + RGB, multi-strip
+    assembly, dead-letter classes for compressed/tiled/deep variants."""
+    import struct as _st
+
+    import pytest as _pt
+
+    from postgres_debezium_clickhouse_spark.operators.imaging import (
+        decode_image, tiff_decode, tiff_encode,
+    )
+
+    for w, h, ch in ((6, 5, 3), (4, 7, 1), (1, 1, 3)):
+        px = bytes((i * 7 + c * 11) % 256 for i in range(w * h) for c in range(ch))
+        for be in (False, True):
+            for rps in (None, 2):
+                d = decode_image(tiff_encode(w, h, px, ch, big_endian=be,
+                                             rows_per_strip=rps))
+                assert (d["format"], d["width"], d["height"], d["channels"]) == \
+                    ("tiff", w, h, ch)
+                assert d["pixels"] == px
+    with _pt.raises(ValueError, match="byte-order"):
+        tiff_decode(b"XX*\x00" + bytes(20))
+    blob = bytearray(tiff_encode(4, 4, bytes(48), 3))
+    with _pt.raises(ValueError, match="truncated TIFF"):
+        tiff_decode(bytes(blob[:30]))
+    # compression 5 (LZW) → honest dead-letter
+    good = tiff_encode(4, 4, bytes(48), 3)
+    ifd = _st.unpack_from("<I", good, 4)[0]
+    n = _st.unpack_from("<H", good, ifd)[0]
+    b2 = bytearray(good)
+    for i in range(n):
+        base = ifd + 2 + 12 * i
+        if _st.unpack_from("<H", b2, base)[0] == 259:
+            _st.pack_into("<I", b2, base + 8, 5)
+    with _pt.raises(NotImplementedError, match="compression 5"):
+        tiff_decode(bytes(b2))

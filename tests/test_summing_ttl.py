@@ -564,3 +564,30 @@ def test_topk_state_column_guarantees(spark, dirs, tmp_path):
     st1 = run(d2, [rows])
     assert ("hot1", 50, 0) in st1[0] and ("hot2", 30, 0) in st1[0]
     assert all(e == 0 for _i, _c, e in st1[0])
+
+
+def test_mixed_agg_spec_with_topk(spark, dirs):
+    """r10: a spec mixing the join-branch op (topk) with single-agg ops
+    (sum + kmv) must compose in one sink — the topk branch joins back
+    without disturbing the main merge's columns or __n_rows."""
+    rows = [(1, "a", 1.0), (1, "a", 2.0), (1, "b", 4.0),
+            (2, "c", 8.0), (1, "a", 16.0)]
+    for bi, chunk in enumerate([rows[:2], rows[2:]]):
+        spark.createDataFrame(chunk, SCHEMA).coalesce(1).write.mode(
+            "append").json(dirs["src"] + f"/b{bi}")
+        stream = spark.readStream.schema(SCHEMA).json(dirs["src"] + f"/b{bi}")
+        q = pl.silver_summing_stream(
+            stream, dirs["silver"], dirs["ckpt"] + f"/b{bi}", keys=["k"],
+            agg_spec={
+                "v_sum": ("v", "sum"),
+                "g_sketch": ("grp", "kmv"),
+                "g_top": ("grp", "topk"),
+            },
+            topk_cap=4, kmv_k=16, available_now=True,
+        )
+        assert q.awaitTermination(120)
+    st = {r["k"]: r for r in pl.read_silver(spark, dirs["silver"]).collect()}
+    assert float(st[1]["v_sum"]) == 23.0 and st[1]["__n_rows"] == 4
+    assert len(st[1]["g_sketch"]) == 2               # a, b distinct
+    assert [(x["item"], x["cnt"]) for x in st[1]["g_top"]] == [("a", 3), ("b", 1)]
+    assert [(x["item"], x["cnt"]) for x in st[2]["g_top"]] == [("c", 1)]
