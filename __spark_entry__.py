@@ -50,6 +50,7 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 
 _FRONT = (
     # round-10 additions (never driver-checked) go here, newest first:
+    "multimodal_decode_formats",
     "multimodal_audio_msadpcm",
     "stream_projection_maintained",
     "multimodal_audio_adpcm",

@@ -941,6 +941,51 @@ def dhash_near_dups(hashes: DataFrame, max_hamming: int = 8,
     )
 
 
+def synth_multiformat_images(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """r10 — the format CAROUSEL fixture: ONE pixel closed form
+
+        w = 3 + d%5, h = 2 + d%7, RGB
+        value(d, idx, c) = (d*7 + idx*3 + c*5) % 256
+
+    encoded as PNG / GIF / BMP / TIFF by ``d mod 4`` (GIF via a
+    per-image palette whose entry i IS pixel i — exact for ≤256 pixels;
+    TIFF alternates byte order by ``d mod 8`` and uses 2-row strips).
+    Every format is lossless, so ONE DuckDB closed form value-checks
+    all four container/codec paths through the same decode_images
+    stats."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .gif import gif_encode
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                w, h = 3 + d % 5, 2 + d % 7
+                n = w * h
+                px = bytes(
+                    (d * 7 + idx * 3 + c * 5) % 256
+                    for idx in range(n) for c in range(3)
+                )
+                kind = d % 4
+                if kind == 0:
+                    blob = png_encode(w, h, px, 3)
+                elif kind == 1:
+                    npal = 1 << max((n - 1).bit_length(), 1)
+                    pal = px + bytes(3 * (npal - n))
+                    blob = gif_encode(w, h, bytes(range(n)), pal)
+                elif kind == 2:
+                    blob = bmp_encode(w, h, px)
+                else:
+                    blob = tiff_encode(w, h, px, 3, big_endian=(d % 8 == 3),
+                                       rows_per_strip=2)
+                ids.append(d)
+                blobs.append(blob)
+            yield pd.DataFrame({id_col: ids, "media": blobs})
+
+    return ids_df.mapInPandas(_synth, schema=f"{id_col} long, media binary")
+
+
 def synth_gif_images(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """REAL GIF fixture (r10): one GIF87a per id (operators/gif.py), the
     256-color palette ``palette[i] = (i, 7i mod 256, 13i mod 256)`` and

@@ -104,6 +104,20 @@ def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(synth_gif_images(docs))
 
 
+def q_multimodal_decode_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10 — the five-real-format story under ONE oracle: each document
+    becomes a PNG / GIF / BMP / TIFF (by doc_id mod 4; TIFF alternating
+    byte order, multi-strip; GIF per-pixel palette) carrying the SAME
+    closed-form pixels, decoded through the shared decode_images stats
+    path.  All four containers are lossless, so a single DuckDB px CTE
+    value-checks every container/codec branch — a regression in any one
+    format's parser shows as that format's rows mismatching."""
+    from ..operators.imaging import synth_multiformat_images
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_images(synth_multiformat_images(docs))
+
+
 def q_multimodal_decode_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dead-letter decode (r6): the reference's poison-message policy
     (``kafka_skip_broken_messages = 1``, basic_example/clickhouse.sql:20)
@@ -305,6 +319,7 @@ QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
     "multimodal_decode_gif": q_multimodal_decode_gif,
+    "multimodal_decode_formats": q_multimodal_decode_formats,
     "multimodal_decode_deadletter": q_multimodal_decode_deadletter,
     "multimodal_audio_decode": q_multimodal_audio,
     "multimodal_audio_g711": q_multimodal_audio_g711,
@@ -469,6 +484,39 @@ ORACLES = {
                CAST(MIN(s) AS INT) AS s_min,
                CAST(MAX(s) AS INT) AS s_max
         FROM expanded GROUP BY doc_id
+    """,
+    "multimodal_decode_formats": """
+        WITH params AS (
+            SELECT doc_id,
+                   CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png'
+                        WHEN 1 THEN 'gif' WHEN 2 THEN 'bmp'
+                        ELSE 'tiff' END AS format,
+                   CAST(3 + doc_id % 5 AS INT) AS width,
+                   CAST(2 + doc_id % 7 AS INT) AS height
+            FROM documents
+        ),
+        px AS (
+            SELECT p.doc_id, c.c AS c,
+                   (p.doc_id * 7 + i.i * 3 + c.c * 5) % 256 AS v
+            FROM params p
+            CROSS JOIN range(56) i(i)
+            CROSS JOIN range(3) c(c)
+            WHERE i.i < p.width * p.height
+        ),
+        stats AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+                   CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+                   CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b,
+                   CAST(MIN(v) AS INT) AS min_px,
+                   CAST(MAX(v) AS INT) AS max_px
+            FROM px GROUP BY doc_id
+        )
+        SELECT p.doc_id, p.format, p.width, p.height,
+               CAST(3 AS INT) AS channels,
+               CAST(p.width * p.height AS BIGINT) AS n_pixels,
+               s.sum_r, s.sum_g, s.sum_b, s.min_px, s.max_px
+        FROM params p JOIN stats s USING (doc_id)
     """,
     "multimodal_decode_gif": """
         WITH params AS (
