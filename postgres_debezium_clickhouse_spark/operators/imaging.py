@@ -322,6 +322,187 @@ def bmp_encode(width: int, height: int, pixels: bytes) -> bytes:
     return bytes(hdr + body)
 
 
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """TIFF PackBits (Apple RLE, TIFF 6.0 §9): n in 0..127 → copy n+1
+    literal bytes; n in 129..255 → repeat next byte 257−n times; 128 is
+    a no-op."""
+    out = bytearray()
+    i = 0
+    while len(out) < expected:
+        if i >= len(data):
+            raise ValueError("truncated PackBits strip")
+        n = data[i]
+        i += 1
+        if n < 128:
+            chunk = data[i:i + n + 1]
+            if len(chunk) != n + 1:
+                raise ValueError("truncated PackBits literal")
+            out += chunk
+            i += n + 1
+        elif n > 128:
+            if i >= len(data):
+                raise ValueError("truncated PackBits run")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+    return bytes(out[:expected])
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Fixture-grade PackBits: runs ≥3 become repeats, else literals."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        run = 1
+        while i + run < len(data) and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+        else:
+            j = i
+            while (j < len(data) and j - i < 128
+                   and not (j + 2 < len(data)
+                            and data[j] == data[j + 1] == data[j + 2])):
+                j += 1
+            out += bytes([j - i - 1]) + data[i:j]
+            i = j
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-flavor LZW (TIFF 6.0 §13): MSB-first bit packing, CLEAR=256
+    / EOI=257, code width 9→12 growing one code EARLY (the spec's
+    off-by-one vs GIF that every implementation documents)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nbits = pos = 0
+
+    def read_code(width):
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                return None
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        return code
+
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+
+    reset()
+    width = 9
+    prev: bytes | None = None
+    while True:
+        code = read_code(width)
+        if code is None:
+            raise ValueError("truncated TIFF LZW strip")
+        if code == CLEAR:
+            reset()
+            width = 9
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            if code >= 256:
+                raise ValueError("TIFF LZW code before table entry")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("TIFF LZW code out of sequence")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        prev = entry
+        # EarlyChange: widen when the NEXT added code would not fit
+        if len(table) + 1 >= (1 << width) and width < 12:
+            width += 1
+        if len(out) >= expected:
+            break
+    if len(out) < expected:
+        raise ValueError("TIFF LZW output short of strip size")
+    return bytes(out[:expected])
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Fixture-grade TIFF LZW encoder.  The emit width is derived from a
+    MIRROR of the decoder's table state (``dec_len``), which lags the
+    encoder's own dictionary by exactly one insertion — deriving it from
+    the encoder's ``next_code`` is the classic off-by-one that desyncs
+    at every 2^w boundary (found by the width-boundary roundtrip test)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        acc &= (1 << nbits) - 1
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    dec_len = 258           # the decoder's table length, mirrored
+    n_emits = 0             # data codes emitted since the last CLEAR
+
+    def pre_emit_sync():
+        # what the decoder does BETWEEN reading the previous data code
+        # and reading this one: insert + widen per EarlyChange.  The
+        # decoder's first data code inserts NOTHING (no prev), so the
+        # first insert lands before its THIRD read — skip the first two
+        # sync calls (the second off-by-one the boundary test found).
+        nonlocal dec_len, width, n_emits
+        if n_emits >= 2:
+            if dec_len < 4096:
+                dec_len += 1
+            if dec_len + 1 >= (1 << width) and width < 12:
+                width += 1
+        n_emits += 1
+
+    emit(CLEAR, width)
+    w = b""
+    for b in data:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        pre_emit_sync()
+        emit(table[w], width)
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+        else:
+            pre_emit_sync()
+            emit(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+            dec_len = 258
+            n_emits = 0
+        w = bytes([b])
+    if w:
+        pre_emit_sync()
+        emit(table[w], width)
+    pre_emit_sync()
+    emit(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def tiff_decode(blob: bytes) -> dict:
     """r10 — baseline TIFF 6.0 (the scanned-document format): both byte
     orders (II/MM), IFD entry walk, multi-strip assembly, 8-bit
@@ -374,7 +555,7 @@ def tiff_decode(blob: bytes) -> dict:
     if not w or not h:
         raise ValueError("TIFF missing dimensions")
     compression = (values(259) or [1])[0]
-    if compression != 1:
+    if compression not in (1, 5, 32773):
         raise NotImplementedError(f"TIFF compression {compression}")
     spp = (values(277) or [1])[0]
     bits = values(258) or [8] * spp
@@ -388,30 +569,66 @@ def tiff_decode(blob: bytes) -> dict:
     counts = values(279)
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError("TIFF missing strip layout")
+    predictor = (values(317) or [1])[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor}")
+    rps = (values(278) or [h])[0]
+    stride = w * spp
     data = bytearray()
-    for off, cnt in zip(offsets, counts):
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
         if off + cnt > len(blob):
             raise ValueError("truncated TIFF strip")
-        data += blob[off:off + cnt]
+        raw = blob[off:off + cnt]
+        rows_here = min(rps, h - si * rps)
+        expected = rows_here * stride
+        if compression == 5:
+            raw = _tiff_lzw_decode(raw, expected)
+        elif compression == 32773:
+            raw = _packbits_decode(raw, expected)
+        if len(raw) != expected:
+            raise ValueError("TIFF strip data size mismatch")
+        data += raw
     if len(data) != w * h * spp:
         raise ValueError("TIFF strip data size mismatch")
+    if predictor == 2:
+        # horizontal differencing: each sample stores the delta to its
+        # left neighbour (per channel); integrate per row
+        data = bytearray(data)
+        for y in range(h):
+            base = y * stride
+            for x in range(spp, stride):
+                data[base + x] = (data[base + x] + data[base + x - spp]) & 0xFF
     return {"format": "tiff", "width": w, "height": h, "channels": spp,
             "pixels": bytes(data)}
 
 
 def tiff_encode(width: int, height: int, pixels: bytes, channels: int = 3,
-                big_endian: bool = False, rows_per_strip: int | None = None) -> bytes:
+                big_endian: bool = False, rows_per_strip: int | None = None,
+                compression: int = 1, predictor: int = 1) -> bytes:
     """Fixture-grade baseline TIFF writer: either byte order, 8-bit
-    gray/RGB, uncompressed, optionally MULTI-STRIP so strip assembly is
-    exercised."""
+    gray/RGB, optionally MULTI-STRIP, compression 1 (none) / 5 (LZW) /
+    32773 (PackBits), predictor 2 (horizontal differencing, the pairing
+    real LZW TIFFs use)."""
     if len(pixels) != width * height * channels:
         raise ValueError("pixel buffer size mismatch")
     e = ">" if big_endian else "<"
     rps = rows_per_strip or height
-    strips = []
     stride = width * channels
+    if predictor == 2:
+        diff = bytearray(pixels)
+        for y in range(height):
+            base = y * stride
+            for x in range(stride - 1, channels - 1, -1):
+                diff[base + x] = (diff[base + x] - diff[base + x - channels]) & 0xFF
+        pixels = bytes(diff)
+    strips = []
     for y0 in range(0, height, rps):
-        strips.append(pixels[y0 * stride:(y0 + min(rps, height - y0)) * stride])
+        raw = pixels[y0 * stride:(y0 + min(rps, height - y0)) * stride]
+        if compression == 5:
+            raw = _tiff_lzw_encode(raw)
+        elif compression == 32773:
+            raw = _packbits_encode(raw)
+        strips.append(raw)
     entries = []  # (tag, type, count, value_or_offset_placeholder)
 
     header = b"MM\x00*" if big_endian else b"II*\x00"
@@ -456,7 +673,9 @@ def tiff_encode(width: int, height: int, pixels: bytes, channels: int = 3,
         entry(258, 3, 3, bits_val)
     else:
         entry(258, 3, 1, 8)
-    entry(259, 3, 1, 1)
+    entry(259, 3, 1, compression)
+    if predictor != 1:
+        entry(317, 3, 1, predictor)
     entry(262, 3, 1, 2 if channels == 3 else 1)
     if len(strips) == 1:
         entry(273, 4, 1, strip_offs[0])
@@ -949,7 +1168,9 @@ def synth_multiformat_images(ids_df: DataFrame, id_col: str = "doc_id") -> DataF
 
     encoded as PNG / GIF / BMP / TIFF by ``d mod 4`` (GIF via a
     per-image palette whose entry i IS pixel i — exact for ≤256 pixels;
-    TIFF alternates byte order by ``d mod 8`` and uses 2-row strips).
+    TIFF alternates byte order, cycles compression none/LZW/PackBits,
+    and every 8th doc adds predictor 2 — so the compression matrix is
+    driver-gated too).
     Every format is lossless, so ONE DuckDB closed form value-checks
     all four container/codec paths through the same decode_images
     stats."""
@@ -977,8 +1198,12 @@ def synth_multiformat_images(ids_df: DataFrame, id_col: str = "doc_id") -> DataF
                 elif kind == 2:
                     blob = bmp_encode(w, h, px)
                 else:
-                    blob = tiff_encode(w, h, px, 3, big_endian=(d % 8 == 3),
-                                       rows_per_strip=2)
+                    blob = tiff_encode(
+                        w, h, px, 3, big_endian=(d % 8 == 3),
+                        rows_per_strip=2,
+                        compression=[1, 5, 32773][(d // 4) % 3],
+                        predictor=2 if d % 8 == 7 else 1,
+                    )
                 ids.append(d)
                 blobs.append(blob)
             yield pd.DataFrame({id_col: ids, "media": blobs})

@@ -356,7 +356,8 @@ def test_tiff_roundtrip_both_orders_and_strips():
     blob = bytearray(tiff_encode(4, 4, bytes(48), 3))
     with _pt.raises(ValueError, match="truncated TIFF"):
         tiff_decode(bytes(blob[:30]))
-    # compression 5 (LZW) → honest dead-letter
+    # compression 7 (JPEG-in-TIFF) → honest dead-letter (5/32773 decode
+    # for real since the LZW/PackBits work — see the matrix test)
     good = tiff_encode(4, 4, bytes(48), 3)
     ifd = _st.unpack_from("<I", good, 4)[0]
     n = _st.unpack_from("<H", good, ifd)[0]
@@ -364,6 +365,37 @@ def test_tiff_roundtrip_both_orders_and_strips():
     for i in range(n):
         base = ifd + 2 + 12 * i
         if _st.unpack_from("<H", b2, base)[0] == 259:
-            _st.pack_into("<I", b2, base + 8, 5)
-    with _pt.raises(NotImplementedError, match="compression 5"):
+            _st.pack_into("<H", b2, base + 8, 7)
+    with _pt.raises(NotImplementedError, match="compression 7"):
         tiff_decode(bytes(b2))
+
+
+def test_tiff_lzw_packbits_predictor_matrix():
+    """r10: TIFF compression 5 (LZW, MSB-first with EarlyChange — whose
+    encoder must mirror the decoder's LAGGED table, two off-by-ones
+    found by this boundary sweep) and 32773 (PackBits), with and
+    without predictor 2 (horizontal differencing), across byte orders
+    and strip layouts — exact roundtrips all."""
+    import pytest as _pt
+
+    from postgres_debezium_clickhouse_spark.operators.imaging import (
+        _tiff_lzw_decode, _tiff_lzw_encode, tiff_decode, tiff_encode,
+    )
+
+    for comp in (1, 5, 32773):
+        for pred in (1, 2):
+            for w, h, ch, be, rps in ((6, 5, 3, False, 2), (4, 7, 1, True, 3),
+                                      (20, 15, 3, False, None)):
+                px = bytes((i * 7 + c * 11) % 256
+                           for i in range(w * h) for c in range(ch))
+                d = tiff_decode(tiff_encode(
+                    w, h, px, ch, big_endian=be, rows_per_strip=rps,
+                    compression=comp, predictor=pred))
+                assert d["pixels"] == px, (comp, pred, w, h, ch)
+    # LZW width boundaries incl. a 12-bit table reset (large input)
+    data = bytes((i * 31 + i // 5) % 48 for i in range(150_000))
+    assert _tiff_lzw_decode(_tiff_lzw_encode(data), len(data)) == data
+    # corrupt LZW strip → dead-letter class
+    good = tiff_encode(8, 8, bytes(192), 3, compression=5)
+    with _pt.raises(ValueError):
+        tiff_decode(good[:-10])
