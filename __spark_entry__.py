@@ -50,6 +50,8 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 
 _FRONT = (
     # round-10 additions (never driver-checked) go here, newest first:
+    "events_hll_uniques",
+    "stream_agg_hll_state",
     "multimodal_decode_formats",
     "multimodal_audio_msadpcm",
     "stream_projection_maintained",

@@ -338,3 +338,130 @@ def kmv_jaccard(sketches: DataFrame, group_col: str, k: int = 256) -> DataFrame:
         "group_b",
         F.round(inter / F.size(uk), 6).alias("est_jaccard"),
     )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog (r10) — the ClickHouse ``uniqHLL12`` / dense-``uniqCombined``
+# slot (reference surface: the same uniq-family aggregate positions as
+# clickhouse.sql's rollups).  Algorithm: Flajolet, Fusy, Gandouet, Meunier
+# 2007, "HyperLogLog: the analysis of a near-optimal cardinality estimation
+# algorithm" (public paper), with the standard small-range linear-counting
+# correction.  The hash is the shared md5-prefix idiom (kmv_hash_expr), so
+# every register — and therefore every estimate — is DETERMINISTIC and
+# exactly reproducible by the DuckDB oracles:
+#
+#     h      = ('0x'||substr(md5(item),1,15))::BIGINT        -- 60 bits
+#     j      = h % m                                          -- register
+#     suffix = h >> p                                         -- 60-p bits
+#     rho    = (60-p)+1 - length(printf('%b', suffix))        -- suffix>0
+#
+# (Spark: F.bin; DuckDB: printf('%b',…) — both render 0 as '0', length 1,
+# and the suffix==0 branch pins rho = W+1 explicitly in both engines.)
+#
+# Complement to KMV: KMV supports set algebra (Jaccard) but costs k×8
+# bytes for σ=1/√k; HLL's register array reaches σ=1.04/√m with m bytes —
+# the memory/accuracy trade CH resolves by shipping BOTH (uniqCombined
+# switches representations).  Merge = element-wise max, associative +
+# commutative + IDEMPOTENT, so the aggregating sink's state column is
+# batch-boundary- and replay-order-insensitive.
+
+#: default precision: 2^12 registers = CH ``uniqHLL12``'s dense mode
+HLL_P = 12
+
+
+def _hll_alpha(m: int) -> float:
+    """Bias constant α_m from the HLL paper (§4, Theorem 1)."""
+    if m >= 128:
+        return 0.7213 / (1.0 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7)
+
+
+def hll_register_exprs(item_col: str, p: int = HLL_P):
+    """Per-row ``(__j, __rho)`` column exprs: register index = low ``p``
+    bits of the 60-bit md5-prefix hash, rho = leading-zero rank of the
+    remaining ``W = 60-p`` bits (1..W+1)."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    m = 1 << p
+    w = 60 - p
+    h = kmv_hash_expr(item_col)
+    suffix = F.shiftright(h, p)
+    rho = (
+        F.when(suffix == 0, F.lit(w + 1))
+        .otherwise(F.lit(w + 1) - F.length(F.bin(suffix)))
+        .cast("int")
+    )
+    return (h % m).cast("int").alias("__j"), rho.alias("__rho")
+
+
+def hll_registers(
+    items: DataFrame, group_col: str, item_col: str, p: int = HLL_P
+) -> DataFrame:
+    """Sparse register table per group → ``(group, __j, __rho)`` with one
+    row per NONZERO register (max rho wins).  NULL items are ignored (CH
+    ``uniq`` semantics).  Scale shape: one map-side-combined groupBy on
+    (group, j) — state per reducer is bounded by m, never by the item
+    universe; rows out ≤ groups × m."""
+    j, rho = hll_register_exprs(item_col, p)
+    return (
+        items.filter(F.col(item_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), j, rho)
+        .groupBy("grp", "__j")
+        .agg(F.max("__rho").alias("__rho"))
+    )
+
+
+def hll_sketch(
+    items: DataFrame, group_col: str, item_col: str, p: int = HLL_P
+) -> DataFrame:
+    """Dense HLL sketch per group → ``(group, hll)`` where ``hll`` is the
+    m-slot register array (int, 0 = untouched) — the batch twin of the
+    aggregating sink's ``hll:<col>`` state column: identical layout, so
+    batch sketches and stored stream states MERGE with each other via
+    :func:`hll_merge_expr`.  Two shuffles: (group, j) max-combine, then
+    one densify per group over ≤ m collected entries."""
+    m = 1 << p
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("__hm"), i), F.lit(0)),
+    )
+    return (
+        hll_registers(items, group_col, item_col, p)
+        .groupBy("grp")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("__j", "__rho"))
+            ).alias("__hm")
+        )
+        .select(F.col("grp").alias(group_col), dense.alias("hll"))
+    )
+
+
+def hll_merge_expr(a, b):
+    """Union of two dense HLL register arrays = element-wise max (the
+    idempotent lattice join that makes replay/batch-splits harmless)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.zip_with(ca, cb, lambda x, y: F.greatest(x, y))
+
+
+def hll_estimate_expr(sketch_col, p: int = HLL_P):
+    """Cardinality estimate from a dense register array — pure column
+    expression (usable directly on the sink's stored state, no reshuffle).
+    Raw estimator E = α_m·m²/Σ2^(−rho) (untouched registers contribute
+    2^0); small-range correction: if E ≤ 2.5m and any register is zero,
+    E = m·ln(m/V) (linear counting).  Relative σ ≈ 1.04/√m.  The 60-bit
+    hash space makes the large-range correction irrelevant at any
+    realistic cardinality."""
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    c = F.col(sketch_col) if isinstance(sketch_col, str) else sketch_col
+    zeros = F.size(F.filter(c, lambda x: x == 0))
+    s = zeros.cast("double") + F.aggregate(
+        F.filter(c, lambda x: x > 0),
+        F.lit(0.0),
+        lambda acc, x: acc + F.pow(F.lit(2.0), -x.cast("double")),
+    )
+    raw = F.lit(alpha * m * m) / s
+    lin = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    return F.when((raw <= 2.5 * m) & (zeros > 0), lin).otherwise(raw)

@@ -664,3 +664,109 @@ ORACLES["corpus_content_drift"] = """
            ROUND(present + (1.0 - q_mass) * ln(2) / 2, 6) AS js_divergence
     FROM agg
 """
+
+
+def q_events_hll_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10 — batch HyperLogLog distinct sketches (``hll_sketch``, CH
+    ``uniqHLL12``'s dense-register algebra; Flajolet et al. 2007, public
+    paper) with a FULL VALUE oracle: the md5-prefix hash makes every
+    register deterministic, so DuckDB replicates the whole pipeline —
+    register table, raw harmonic estimate, linear-counting branch — and
+    the emitted register counts and rounded estimates match bit-for-bit,
+    the strongest check an estimator admits (same bar as
+    events_qsample_quantiles, one up from the verdict-only
+    corpus_sketch_distinct).
+
+    Two sketches exercise BOTH estimator regimes: ``user_id`` at p=8
+    (m=256: linear-counting at sf0.01's 150 users, raw-harmonic at
+    sf0.1's 1500 — measured |err| 0.6% / 13.7%, both deterministic
+    fixture constants, band 0.20) and the high-cardinality ``event_id``
+    at p=10 (m=1024: raw regime, measured |err| ≤ 4.5% at both SFs,
+    band 0.12; σ theory = 1.04/√m = 6.5% / 3.25%)."""
+    from ..operators.sketch import hll_estimate_expr, hll_sketch
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id"
+    )
+    nz = lambda c: F.size(F.filter(F.col(c), lambda x: x > 0))  # noqa: E731
+    u = hll_sketch(ev, "event_type", "user_id", p=8).select(
+        "event_type",
+        nz("hll").alias("u_registers"),
+        F.round(hll_estimate_expr("hll", 8), 0).cast("long").alias("u_est"),
+    )
+    e = hll_sketch(ev, "event_type", "event_id", p=10).select(
+        "event_type",
+        nz("hll").alias("e_registers"),
+        F.round(hll_estimate_expr("hll", 10), 0).cast("long").alias("e_est"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.countDistinct("event_id").alias("exact_events"),
+    )
+    return (
+        exact.join(u, "event_type")
+        .join(e, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "u_registers",
+            "u_est",
+            (F.abs(F.col("u_est") / F.col("exact_users") - 1.0) <= 0.20)
+            .alias("u_accurate"),
+            "exact_events",
+            "e_registers",
+            "e_est",
+            (F.abs(F.col("e_est") / F.col("exact_events") - 1.0) <= 0.12)
+            .alias("e_accurate"),
+        )
+    )
+
+
+QUERIES["events_hll_uniques"] = q_events_hll_uniques
+
+# full HLL replication: register table -> harmonic sum -> linear-counting
+# branch, per sketch.  The alpha*m^2 literals are the exact repr of the
+# Python doubles the Spark side folds (0.7213/(1+1.079/m) * m^2), so both
+# engines divide by the same IEEE double.
+_HLL_CTE = """
+        {n}h AS (SELECT event_type,
+                      ('0x' || substr(md5(CAST({item} AS VARCHAR)), 1, 15))::BIGINT AS h
+               FROM events WHERE {item} IS NOT NULL),
+        {n}r AS (SELECT event_type, h % {m} AS j,
+                      MAX(CASE WHEN (h >> {p}) = 0 THEN {w1}
+                               ELSE {w1} - length(printf('%b', h >> {p})) END) AS rho
+               FROM {n}h GROUP BY event_type, h % {m}),
+        {n}a AS (SELECT event_type, {m} - COUNT(*) AS zeros,
+                      ({m} - COUNT(*)) * 1.0 + SUM(power(2.0, -rho)) AS s
+               FROM {n}r GROUP BY event_type),
+        {n}e AS (SELECT event_type, CAST({m} - zeros AS INT) AS registers,
+                      CASE WHEN ({am2} / s) <= {lim} AND zeros > 0
+                           THEN {m}.0 * ln({m}.0 / zeros)
+                           ELSE {am2} / s END AS est
+               FROM {n}a)
+"""
+
+ORACLES["events_hll_uniques"] = (
+    "    WITH\n"
+    + _HLL_CTE.format(n="u", item="user_id", m=256, p=8, w1=53,
+                      am2="47072.71267120224", lim="640.0")
+    + ",\n"
+    + _HLL_CTE.format(n="e", item="event_id", m=1024, p=10, w1=51,
+                      am2="755541.746198293", lim="2560.0")
+    + """,
+        x AS (SELECT event_type,
+                     COUNT(DISTINCT user_id) AS exact_users,
+                     COUNT(DISTINCT event_id) AS exact_events
+              FROM events GROUP BY event_type)
+    SELECT x.event_type, x.exact_users,
+           ue.registers AS u_registers,
+           CAST(ROUND(ue.est, 0) AS BIGINT) AS u_est,
+           ABS(ROUND(ue.est, 0) / x.exact_users - 1.0) <= 0.20 AS u_accurate,
+           x.exact_events,
+           ee.registers AS e_registers,
+           CAST(ROUND(ee.est, 0) AS BIGINT) AS e_est,
+           ABS(ROUND(ee.est, 0) / x.exact_events - 1.0) <= 0.12 AS e_accurate
+    FROM x JOIN ue ON ue.event_type = x.event_type
+           JOIN ee ON ee.event_type = x.event_type
+"""
+)

@@ -1046,7 +1046,22 @@ def _replay_guard(path: str, ckpt_key: str, batch_id: int) -> dict | None:
 #: needs per-item regrouping, so it runs as its own explode→regroup
 #: branch (2 extra small shuffles over ≤2·cap rows per touched key per
 #: trigger) joined back to the main single-shuffle merge.
-AGG_OPS = ("sum", "min", "max", "kmv", "topk")
+#:
+#: "hll" (r10) is the DENSE-register distinct sketch — the CH
+#: ``uniqHLL12`` state column (Flajolet et al. 2007, public paper),
+#: complementing "kmv" exactly as CH's ``uniqCombined`` pairs the two
+#: representations: KMV buys set algebra at 8 bytes/slot, HLL buys
+#: σ=1.04/√m at ~1 byte-equivalent/register.  Stored value = the
+#: 2^``hll_p``-slot max-rho array (``operators.sketch.hll_sketch``
+#: layout, md5-prefix hash, so batch sketches and stored states merge
+#: and every register is deterministic).  Merge = element-wise max
+#: (``zip_with greatest``) — associative, commutative AND idempotent,
+#: the strongest merge class in the family.  Ingest needs per-register
+#: regrouping, so like "topk" it runs as its own (keys, j) branch
+#: joined back to the main merge (bounded: ≤ m rows per touched key);
+#: unlike "topk" its MERGE is a pure array expression in the main
+#: groupBy.  Read with ``operators.sketch.hll_estimate_expr``.
+AGG_OPS = ("sum", "min", "max", "kmv", "topk", "hll")
 _KEYED_OPS = ("argmax", "argmin", "qsample")
 
 
@@ -1078,6 +1093,7 @@ def silver_summing_stream(
     kmv_k: int = 256,
     qsample_k: int = 512,
     topk_cap: int = 16,
+    hll_p: int = 12,
 ) -> StreamingQuery:
     """r8 — the SummingMergeTree-equivalent keyed AGGREGATING sink
     (ClickHouse's second MergeTree family after the Replacing one S8
@@ -1151,8 +1167,16 @@ def silver_summing_stream(
         (out, src) for out, (src, op) in spec.items()
         if _parse_agg_op(op)[0] == "topk"
     ]
+    # hll ingest also needs regrouping (per-REGISTER max), so it shares
+    # the branch-and-join-back shape — but its merge is a pure array
+    # expression, so it stays in the main merge groupBy (see _remerge)
+    hll_outs = [
+        (out, src) for out, (src, op) in spec.items()
+        if _parse_agg_op(op)[0] == "hll"
+    ]
     spec_main = {
-        out: v for out, v in spec.items() if _parse_agg_op(v[1])[0] != "topk"
+        out: v for out, v in spec.items()
+        if _parse_agg_op(v[1])[0] not in ("topk", "hll")
     }
 
     def _topk_summary(counted: DataFrame, out: str) -> DataFrame:
@@ -1224,6 +1248,47 @@ def silver_summing_stream(
         )
         return _topk_summary(per_item, out)
 
+    def _hll_batch_partial(batch: DataFrame, out: str, src: str) -> DataFrame:
+        """Dense HLL partial per key for one micro-batch: (keys, register)
+        max-rho regroup, then densify to the 2^hll_p-slot array — the
+        exact hll_sketch layout, so stored states and batch partials are
+        interchangeable."""
+        from ..operators.sketch import hll_register_exprs
+
+        m = 1 << hll_p
+        j, rho = hll_register_exprs(src, hll_p)
+        regs = (
+            batch.filter(F.col(src).isNotNull())
+            .select(*keys, j, rho)
+            .groupBy(*keys, "__j")
+            .agg(F.max("__rho").alias("__rho"))
+        )
+        dense = F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda i: F.coalesce(F.element_at(F.col("__hm"), i), F.lit(0)),
+        )
+        return (
+            regs.groupBy(*keys)
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("__j", "__rho"))
+                ).alias("__hm")
+            )
+            .select(*keys, dense.alias(out))
+        )
+
+    def _hll_remerge(out: str):
+        """Union of the ≤2 register arrays per key (store row + batch
+        partial) = element-wise max.  A key whose batch rows were all
+        NULL-item joins a NULL partial; collect_list drops it and the
+        all-zeros seed keeps the type (estimate 0 via linear counting)."""
+        m = 1 << hll_p
+        return F.aggregate(
+            F.collect_list(F.col(out)),
+            F.array_repeat(F.lit(0), m),
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: F.greatest(a, b)),
+        ).alias(out)
+
     def _ingest(out: str, src: str, op: str):
         base, ord_col = _parse_agg_op(op)
         if base == "sum":
@@ -1294,6 +1359,15 @@ def silver_summing_stream(
         )
         for out, src in topk_outs:
             part = part.join(_topk_batch_partial(batch, out, src), list(keys), "left")
+        for out, src in hll_outs:
+            part = part.join(_hll_batch_partial(batch, out, src), list(keys), "left")
+            # a key whose batch rows were all NULL items has no partial;
+            # seed the all-zeros array so the first-batch path (which
+            # bypasses _hll_remerge) still stores a well-typed register set
+            part = part.withColumn(
+                out,
+                F.coalesce(F.col(out), F.array_repeat(F.lit(0), 1 << hll_p)),
+            )
         return part
 
     import hashlib as _hashlib
@@ -1330,6 +1404,7 @@ def silver_summing_stream(
                 .groupBy(*keys)
                 .agg(
                     *[_remerge(out, op) for out, (_, op) in spec_main.items()],
+                    *[_hll_remerge(out) for out, _ in hll_outs],
                     F.sum("__n_rows").alias("__n_rows"),
                 )
             )

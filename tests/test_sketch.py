@@ -149,3 +149,148 @@ def test_uniq_upto_exact_below_saturated_above(spark):
     )
     out = {r.g: r.u for r in uniq_upto(df, "g", "item", n=10).collect()}
     assert out == {"x": 10, "y": 11}
+
+
+# --- HyperLogLog (r10) ----------------------------------------------------
+
+
+def test_hll_sketch_merge_equals_whole(spark):
+    """Partition the data arbitrarily, build per-part dense sketches,
+    merge with element-wise max → bit-identical to the whole-data sketch
+    (the lattice-join property the aggregating sink's state relies on)."""
+    from postgres_debezium_clickhouse_spark.operators.sketch import (
+        hll_merge_expr,
+        hll_sketch,
+    )
+
+    rows = [("g", f"item{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, ["grp", "it"])
+    whole = hll_sketch(df, "grp", "it", p=6).collect()[0]["hll"]
+    a = hll_sketch(df.filter(F.length("it") <= 5), "grp", "it", p=6)
+    b = hll_sketch(df.filter(F.length("it") > 5), "grp", "it", p=6)
+    merged = (
+        a.select("grp", F.col("hll").alias("ha"))
+        .join(b.select("grp", F.col("hll").alias("hb")), "grp")
+        .select(hll_merge_expr("ha", "hb").alias("hll"))
+        .collect()[0]["hll"]
+    )
+    assert merged == whole
+
+
+def test_hll_merge_idempotent_and_commutative(spark):
+    from postgres_debezium_clickhouse_spark.operators.sketch import (
+        hll_merge_expr,
+        hll_sketch,
+    )
+
+    df = spark.createDataFrame([("g", str(i)) for i in range(100)], ["grp", "it"])
+    sk = hll_sketch(df, "grp", "it", p=5)
+    both = sk.select(
+        hll_merge_expr("hll", "hll").alias("self_merge"), "hll"
+    ).collect()[0]
+    assert both["self_merge"] == both["hll"]  # idempotent
+
+
+def test_hll_estimate_regimes(spark):
+    """Linear-counting regime (cardinality ≪ m) is near-exact; raw
+    regime (cardinality ≫ m) lands within 3σ = 3·1.04/√m; empty/all-null
+    input estimates 0."""
+    from postgres_debezium_clickhouse_spark.operators.sketch import (
+        hll_estimate_expr,
+        hll_sketch,
+    )
+
+    small = spark.createDataFrame(
+        [("g", str(i)) for i in range(30)], ["grp", "it"]
+    )
+    est = (
+        hll_sketch(small, "grp", "it", p=10)
+        .select(hll_estimate_expr("hll", 10).alias("e"))
+        .collect()[0]["e"]
+    )
+    assert abs(est - 30) <= 2
+
+    big = spark.createDataFrame(
+        [("g", str(i)) for i in range(20000)], ["grp", "it"]
+    )
+    est = (
+        hll_sketch(big, "grp", "it", p=8)
+        .select(hll_estimate_expr("hll", 8).alias("e"))
+        .collect()[0]["e"]
+    )
+    assert abs(est / 20000 - 1.0) <= 3 * 1.04 / (256 ** 0.5)
+
+    nulls = spark.createDataFrame([("g", None)], "grp string, it string")
+    assert hll_sketch(nulls, "grp", "it", p=6).collect() == []
+
+
+def test_hll_register_layout_matches_duckdb(spark):
+    """The (j, rho) register table must be reproducible from SQL — the
+    contract every HLL oracle depends on.  Recompute in DuckDB and
+    compare the full register map."""
+    import duckdb
+
+    from postgres_debezium_clickhouse_spark.operators.sketch import hll_registers
+
+    items = [(f"v{i}",) for i in range(200)]
+    df = spark.createDataFrame(items, ["it"]).withColumn("grp", F.lit("g"))
+    got = {
+        (r["__j"], r["__rho"])
+        for r in hll_registers(df, "grp", "it", p=7).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(it VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", items)
+    want = set(
+        con.execute(
+            """
+            WITH h AS (SELECT ('0x'||substr(md5(it),1,15))::BIGINT AS h FROM t)
+            SELECT h % 128 AS j,
+                   MAX(CASE WHEN (h >> 7) = 0 THEN 54
+                            ELSE 54 - length(printf('%b', h >> 7)) END) AS rho
+            FROM h GROUP BY h % 128
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_hll_state_column_batch_boundary_insensitive(spark, tmp_path):
+    """The sink's hll state must be identical whether the stream arrives
+    in 1 file or 4 — register arrays compare bit-equal, and a key whose
+    rows are all NULL items still gets the all-zeros array (estimate 0)."""
+    from postgres_debezium_clickhouse_spark.operators.sketch import (
+        hll_estimate_expr,
+    )
+    from postgres_debezium_clickhouse_spark.streaming.pipeline import (
+        read_silver,
+        silver_summing_stream,
+    )
+
+    rows = [("k1", f"u{i % 40}") for i in range(200)] + [("knull", None)] * 5
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(rows, "k string, u string")
+    states = {}
+    for label, nfiles in (("one", 1), ("four", 4)):
+        df.repartition(nfiles).write.mode("overwrite").parquet(src)
+        dst = str(tmp_path / f"dst_{label}")
+        ckpt = str(tmp_path / f"ckpt_{label}")
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = silver_summing_stream(
+            stream, dst, ckpt, keys=["k"],
+            agg_spec={"h": ("u", "hll")}, hll_p=6, available_now=True,
+        )
+        assert q.awaitTermination(120)
+        states[label] = {
+            r["k"]: (tuple(r["h"]), r["est"])
+            for r in read_silver(spark, dst)
+            .select("k", "h", F.round(hll_estimate_expr("h", 6), 4).alias("est"))
+            .collect()
+        }
+    assert states["one"] == states["four"]
+    assert states["one"]["k1"][1] != 0.0
+    assert states["one"]["knull"] == (tuple([0] * 64), 0.0)
