@@ -506,9 +506,10 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
 def tiff_decode(blob: bytes) -> dict:
     """r10 — baseline TIFF 6.0 (the scanned-document format): both byte
     orders (II/MM), IFD entry walk, multi-strip assembly, 8-bit
-    grayscale and RGB, uncompressed (compression 1).  LZW/packbits/
-    JPEG-in-TIFF raise the honest NotImplementedError dead-letter
-    class; non-8-bit depths and tiled layouts likewise."""
+    grayscale and RGB.  Compression 1 (none), 5 (LZW, with the
+    horizontal-differencing predictor 2) and 32773 (PackBits) are
+    decoded; JPEG-in-TIFF, tiled layouts and non-8-bit depths raise
+    the honest NotImplementedError dead-letter class."""
     if blob[:4] == b"II*\x00":
         e = "<"
     elif blob[:4] == b"MM\x00*":
@@ -720,14 +721,12 @@ def decode_image(blob: bytes) -> dict:
     if blob[:8] == PNG_SIG:
         return {"format": "png", **png_decode(blob)}
     if blob[:2] == b"\xff\xd8":
-        from .jpeg import jpeg_decode
+        from .jpeg import JpegHeaderOnly, jpeg_decode
 
         try:
             return jpeg_decode(blob)
-        except ValueError as e:
-            if "EOI before SOS" in str(e):
-                return {"format": "jpeg", "pixels": None, **jpeg_dims(blob)}
-            raise
+        except JpegHeaderOnly:
+            return {"format": "jpeg", "pixels": None, **jpeg_dims(blob)}
     if blob[:6] in (b"GIF87a", b"GIF89a"):
         from .gif import gif_decode
 

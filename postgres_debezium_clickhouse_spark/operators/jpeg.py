@@ -122,6 +122,13 @@ def _decode_table(bits: list[int], vals: list[int]):
     return {(l, c): s for s, (c, l) in _canonical_codes(bits, vals).items()}
 
 
+class JpegHeaderOnly(ValueError):
+    """Valid JPEG headers (SOI/SOF) but EOI before any SOS — a dims-only
+    stream.  A dedicated subclass so decode_image can degrade to
+    header-only metadata by TYPE rather than by matching the message
+    text (which silently broke the degrade path whenever reworded)."""
+
+
 class _BitWriter:
     def __init__(self):
         self.out = bytearray()
@@ -259,7 +266,7 @@ def _jpeg_decode_impl(blob: bytes) -> dict:
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:
-            raise ValueError("truncated JPEG (EOI before SOS)")
+            raise JpegHeaderOnly("truncated JPEG (EOI before SOS)")
         if i + 2 > len(blob):
             raise ValueError("truncated JPEG segment header")
         seglen = struct.unpack(">H", blob[i:i + 2])[0]

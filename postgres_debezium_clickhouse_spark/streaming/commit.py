@@ -50,6 +50,54 @@ MANIFEST = "_manifest.json"
 EPOCH_CLAIM_STALE_S = 3600.0
 
 
+def _release_steal_mutex(mutex: str, nonce: str) -> None:
+    """Release a per-claim steal mutex by OWNERSHIP, not unconditionally
+    (ADVICE r9): if the holder stalled >60s a breaker removed its mutex
+    and a new stealer linked a fresh one — an unconditional unlink would
+    free the NEW holder's mutex and reopen the 2-winner race.
+
+    Compare-by-READ first (ADVICE r10): the previous order
+    (rename-to-grave, verify content, link back if not ours) could
+    resurrect a successor's mutex — if the successor's own release ran
+    while our rename held the file in the grave, it saw FileNotFoundError
+    and no-opped, then our link-back restored a mutex nobody would ever
+    release, stalling acquisition until the 60s breaker.  Reading first
+    means a non-owner returns without ever touching the live mutex; the
+    residual read→rename window requires a SECOND >60s stall inside it,
+    and the verify + unlink-only-if-ours below still bounds that case to
+    the breaker timeout, with the manifest CAS as the correctness
+    backstop."""
+    try:
+        with open(mutex) as fh:
+            mine = fh.read() == nonce
+    except OSError:
+        return  # breaker took it / successor already released
+    if not mine:
+        return  # successor's live mutex — leave strictly untouched
+    mgrave = f"{mutex}.rel-{nonce}"
+    try:
+        os.rename(mutex, mgrave)
+    except FileNotFoundError:
+        return  # breaker won the read→rename window
+    try:
+        with open(mgrave) as fh:
+            still_mine = fh.read() == nonce
+    except OSError:
+        still_mine = False
+    if not still_mine:
+        # double-stall window: we grabbed a successor's fresh mutex —
+        # put it back (FileExistsError = slot re-filled again; that
+        # holder's own release handles it)
+        try:
+            os.link(mgrave, mutex)
+        except (FileExistsError, FileNotFoundError):
+            pass
+    try:
+        os.unlink(mgrave)
+    except FileNotFoundError:
+        pass
+
+
 class ManifestCommitError(RuntimeError):
     """A publish lost the commit race: the store moved past the version the
     publisher based its epoch on (or another publisher holds the epoch
@@ -245,34 +293,7 @@ class LocalFSCommitBackend(CommitBackend):
                         pass
                 os.unlink(grave)
             finally:
-                # Release by OWNERSHIP, not unconditionally (ADVICE r9):
-                # if we stalled >60s a breaker removed our mutex and a new
-                # stealer linked a fresh one — an unconditional unlink here
-                # would free the NEW holder's mutex and reopen the 2-winner
-                # race.  Rename-to-grave with our nonce, then verify the
-                # grave's content: ours → done; someone else's → restore it
-                # (link-back; FileExistsError means the slot re-filled and
-                # the displaced holder's own release will no-op the same way).
-                mgrave = f"{mutex}.rel-{nonce}"
-                try:
-                    os.rename(mutex, mgrave)
-                except FileNotFoundError:
-                    pass  # a breaker renamed it away during a stall
-                else:
-                    try:
-                        with open(mgrave) as fh:
-                            mine = fh.read() == nonce
-                    except OSError:
-                        mine = False
-                    if not mine:
-                        try:
-                            os.link(mgrave, mutex)
-                        except (FileExistsError, FileNotFoundError):
-                            pass
-                    try:
-                        os.unlink(mgrave)
-                    except FileNotFoundError:
-                        pass
+                _release_steal_mutex(mutex, nonce)
         finally:
             try:
                 os.unlink(mtmp)

@@ -1179,6 +1179,11 @@ def silver_summing_stream(
         if _parse_agg_op(v[1])[0] not in ("topk", "hll")
     }
 
+    # typed empty summary for keys with no non-NULL items (ADVICE r10)
+    _TOPK_EMPTY = F.array().cast(
+        "array<struct<cnt:bigint,item:string,err:bigint>>"
+    )
+
     def _topk_summary(counted: DataFrame, out: str) -> DataFrame:
         """(keys, __i item, __c cnt-upper, __e err) → ≤cap summary rows
         per key, stored sorted by (cnt desc, item desc) for determinism."""
@@ -1206,8 +1211,12 @@ def silver_summing_stream(
         )
 
     def _topk_batch_partial(batch: DataFrame, out: str, src: str) -> DataFrame:
+        # NULL source values are ignored (matching the kmv/hll/qsample
+        # siblings and ClickHouse topK) rather than occupying a summary
+        # slot as a NULL item.
         counted = (
-            batch.groupBy(*keys, F.col(src).cast("string").alias("__i"))
+            batch.filter(F.col(src).isNotNull())
+            .groupBy(*keys, F.col(src).cast("string").alias("__i"))
             .agg(F.count(F.lit(1)).alias("__c"))
             .withColumn("__e", F.lit(0))
         )
@@ -1359,6 +1368,10 @@ def silver_summing_stream(
         )
         for out, src in topk_outs:
             part = part.join(_topk_batch_partial(batch, out, src), list(keys), "left")
+            # a key whose batch rows were all NULL items has no partial
+            # (NULLs are ignored, matching CH topK and the hll/kmv
+            # siblings); seed the typed empty summary
+            part = part.withColumn(out, F.coalesce(F.col(out), _TOPK_EMPTY))
         for out, src in hll_outs:
             part = part.join(_hll_batch_partial(batch, out, src), list(keys), "left")
             # a key whose batch rows were all NULL items has no partial;
@@ -1410,6 +1423,9 @@ def silver_summing_stream(
             )
             for out, _src in topk_outs:
                 merged = merged.join(_topk_merge(un, out), list(keys), "left")
+                merged = merged.withColumn(
+                    out, F.coalesce(F.col(out), _TOPK_EMPTY)
+                )
             merged = merged.withColumn(DELETED_FLAG, F.lit(False))
             kept_tombs = tombs.join(merged.select(*keys), keys, "left_anti")
             return merged.unionByName(kept_tombs)

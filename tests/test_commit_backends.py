@@ -316,3 +316,47 @@ def test_non_owner_release_never_touches_live_claim(tmp_path):
     assert os.path.exists(claim_file)         # thief's claim intact
     b.release_claim(thief)
     assert not os.path.exists(claim_file)
+
+
+def test_steal_mutex_release_is_read_first(tmp_path):
+    """r11 (ADVICE r10): _release_steal_mutex must compare-by-READ before
+    renaming.  The old rename-first order could resurrect a successor's
+    already-released mutex: displaced holder renames the successor's live
+    mutex to its grave, the successor's release no-ops on
+    FileNotFoundError, then the link-back restores a mutex nobody will
+    ever release — a ~60s breaker stall.  Contract pinned here: a
+    non-owner release never calls os.rename at all, an owner release
+    removes the file, an absent mutex stays absent (nothing resurrected)."""
+    import postgres_debezium_clickhouse_spark.streaming.commit as commit_mod
+    from postgres_debezium_clickhouse_spark.streaming.commit import (
+        _release_steal_mutex,
+    )
+
+    mutex = str(tmp_path / "c.steal-mutex")
+
+    # non-owner: file strictly untouched, no rename ever issued
+    with open(mutex, "w") as fh:
+        fh.write("successor-nonce")
+    ino = os.stat(mutex).st_ino
+    real_rename, renamed = os.rename, []
+    commit_mod.os.rename = lambda *a: renamed.append(a) or real_rename(*a)
+    try:
+        _release_steal_mutex(mutex, "displaced-nonce")
+    finally:
+        commit_mod.os.rename = real_rename
+    assert renamed == []
+    assert os.stat(mutex).st_ino == ino
+    with open(mutex) as fh:
+        assert fh.read() == "successor-nonce"
+
+    # owner: removed, no grave left behind
+    os.unlink(mutex)
+    with open(mutex, "w") as fh:
+        fh.write("mine")
+    _release_steal_mutex(mutex, "mine")
+    assert not os.path.exists(mutex)
+    assert list(tmp_path.iterdir()) == []
+
+    # absent (successor released first): no-op, nothing resurrected
+    _release_steal_mutex(mutex, "displaced-nonce")
+    assert list(tmp_path.iterdir()) == []

@@ -591,3 +591,27 @@ def test_mixed_agg_spec_with_topk(spark, dirs):
     assert len(st[1]["g_sketch"]) == 2               # a, b distinct
     assert [(x["item"], x["cnt"]) for x in st[1]["g_top"]] == [("a", 3), ("b", 1)]
     assert [(x["item"], x["cnt"]) for x in st[2]["g_top"]] == [("c", 1)]
+
+
+def test_topk_state_ignores_null_source(spark, dirs):
+    """r11 (ADVICE r10): NULL source values must not occupy a topK
+    summary slot — matching the kmv/hll/qsample siblings and ClickHouse
+    topK, which all ignore NULLs.  Rows with NULL grp still count toward
+    __n_rows (they are real rows), but never appear as an item."""
+    rows = [(1, "a", 1.0), (1, None, 1.0), (1, "a", 1.0), (1, None, 1.0),
+            (1, "b", 1.0), (2, None, 1.0)]
+    for bi, chunk in enumerate([rows[:3], rows[3:]]):
+        spark.createDataFrame(chunk, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).json(dirs["src"] + f"/b{bi}")
+        stream = spark.readStream.schema(SCHEMA).json(dirs["src"] + f"/b{bi}")
+        q = pl.silver_summing_stream(
+            stream, dirs["silver"], dirs["ckpt"] + f"/b{bi}", keys=["k"],
+            agg_spec={"tk": ("grp", "topk")}, topk_cap=4,
+            available_now=True,
+        )
+        assert q.awaitTermination(120)
+    st = {r["k"]: r for r in pl.read_silver(spark, dirs["silver"]).collect()}
+    assert [(x["item"], x["cnt"]) for x in st[1]["tk"]] == [("a", 2), ("b", 1)]
+    assert st[1]["__n_rows"] == 5
+    assert st[2]["tk"] == [] and st[2]["__n_rows"] == 1
