@@ -49,7 +49,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries, analytics)
 
 _FRONT = (
-    # round-10 additions (never driver-checked) go here, newest first:
+    # round-11 additions (never driver-checked) go here, newest first:
+    "object_store_proto_ingest",
+    # round-10 additions (driver-checked in CORRECTNESS_r10, all green):
     "events_hll_uniques",
     "stream_agg_hll_state",
     "multimodal_decode_formats",

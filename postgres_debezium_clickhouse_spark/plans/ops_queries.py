@@ -1901,6 +1901,78 @@ def object_store_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sh.rmtree(src, ignore_errors=True)
 
 
+def object_store_proto_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 — protobuf wire-format ingestion (S6's THIRD wire format:
+    Debezium's converter slot takes JSON, Avro, or ProtobufConverter —
+    sources/protobuf.py implements the public encoding spec pure-stdlib,
+    like sources/avro.py before it).  Orders are written as FOUR
+    Kafka-segment-style dumps of Confluent-framed messages exercising
+    the whole type matrix on real data: int64 key, enum status, explicit
+    presence (price absent from the wire for keys ≡0 mod 11 → NULL),
+    zigzag sint64 (negative for odd keys), a packed repeated_int64, and
+    a nested message — then read back typed via ``read_proto``
+    (binaryFile scan → executor-parallel mapInPandas decode, no
+    shuffle).  Full value oracle: every decoded row restated from orders
+    arithmetic; arrays are reduced to scalars (sum/size) so the oracle
+    stays hash-comparable."""
+    from ..sources.protobuf import proto_dump_encode, read_proto
+
+    import shutil as _sh
+
+    desc = {
+        "name": "order", "fields": [
+            {"name": "o_orderkey", "type": "int64", "number": 1},
+            {"name": "status", "type": "enum", "number": 2,
+             "symbols": ["F", "O", "P"]},
+            {"name": "price", "type": "double", "number": 3},
+            {"name": "delta", "type": "sint64", "number": 4},
+            {"name": "tags", "type": "repeated_int64", "number": 5},
+            {"name": "who", "type": "message", "number": 6, "message": {
+                "name": "who", "fields": [
+                    {"name": "cust", "type": "int64", "number": 1},
+                    {"name": "clerk", "type": "string", "number": 2},
+                ],
+            }},
+        ],
+    }
+    src = f"{tempfile.gettempdir()}/proto_src_{uuid.uuid4().hex[:12]}"
+    try:
+        rows = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select("o_orderkey", "o_custkey", "o_orderstatus",
+                    "o_totalprice", "o_orderpriority")
+            .collect()
+        )
+        os_mod = __import__("os")
+        os_mod.makedirs(src, exist_ok=True)
+        parts: list[list] = [[], [], [], []]
+        for r in rows:
+            k = r.o_orderkey
+            parts[k % 4].append({
+                "o_orderkey": k,
+                "status": r.o_orderstatus,
+                "price": None if k % 11 == 0 else float(r.o_totalprice),
+                "delta": (k % 1000) - 500,
+                "tags": [k % 3, k % 5, k % 7],
+                "who": {"cust": r.o_custkey, "clerk": r.o_orderpriority},
+            })
+        for i, recs in enumerate(parts):
+            with open(f"{src}/part-{i}.pb", "wb") as fh:
+                fh.write(proto_dump_encode(desc, recs, schema_id=i + 1))
+        return (
+            read_proto(spark, src, desc)
+            .select(
+                "o_orderkey", "status", "price", "delta",
+                F.expr("aggregate(tags, 0L, (a, x) -> a + x)").alias("tag_sum"),
+                F.col("who.cust").alias("cust"),
+                F.col("who.clerk").alias("clerk"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _sh.rmtree(src, ignore_errors=True)
+
+
 def object_store_typed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2/S6 end-to-end — the minio_cdc_example path (clickhouse_minio.sql:
     14-30): JSON objects land in a bucket (here: a temp dir, content derived
@@ -1990,6 +2062,7 @@ QUERIES = {
     "stream_stream_join": stream_stream_join,
     "object_store_typed_ingest": object_store_typed_ingest,
     "object_store_avro_ingest": object_store_avro_ingest,
+    "object_store_proto_ingest": object_store_proto_ingest,
 }
 
 _ORDERS_FINAL_STATE = """
@@ -2237,6 +2310,19 @@ ORACLES["object_store_avro_ingest"] = """
                 ELSE CAST(o_totalprice AS DOUBLE) END AS price,
            CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN 'a' WHEN 1 THEN 'b'
                 ELSE 'c' END AS kind
+    FROM orders
+"""
+
+ORACLES["object_store_proto_ingest"] = """
+    SELECT o_orderkey,
+           o_orderstatus AS status,
+           CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                ELSE CAST(o_totalprice AS DOUBLE) END AS price,
+           CAST(o_orderkey % 1000 AS BIGINT) - 500 AS delta,
+           CAST(o_orderkey % 3 + o_orderkey % 5 + o_orderkey % 7
+                AS BIGINT) AS tag_sum,
+           CAST(o_custkey AS BIGINT) AS cust,
+           o_orderpriority AS clerk
     FROM orders
 """
 
