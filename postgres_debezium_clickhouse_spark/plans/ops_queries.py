@@ -1901,6 +1901,115 @@ def object_store_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sh.rmtree(src, ignore_errors=True)
 
 
+def cdc_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 — Debezium INCREMENTAL SNAPSHOT end-to-end (the signal-table
+    ``execute-snapshot`` feature; DBLog chunk/watermark algorithm,
+    re-expressed as version-latest-wins — streaming/snapshot.py).
+
+    Scenario, adversarially interleaved and fully value-oracled:
+
+    1. Connector life with ``snapshot.mode=never``: only ODD orderkeys
+       ever got a 'c' (ts 1e6); updates flow for all keys ≡0 mod 3
+       (ts 2e6+k, +100 'U'); keys ≡0 mod 9 get a second update AFTER the
+       watermark but BEFORE any chunk merges (ts 6e6+k, +70 more, 'V') —
+       the window-dedup case: their chunk rows must lose.
+    2. Signal at watermark W=5e6.  Table truth at W: base + the mod-3
+       update.  The snapshot runs in 6 PK-range chunks; after chunk 2 a
+       mid-snapshot change batch lands ('u' ≡0 mod 4: +300 'X' at
+       7e6+k; 'd' ≡0 mod 5 at 7.5e6+k) — later chunks must neither
+       clobber the updates nor resurrect the deletes.
+    3. Final state: EVERY surviving key present (evens backfilled —
+       the reason the feature exists), each with the latest-wins value
+       and version; plain-snapshot keys carry ts_ms = W exactly,
+       proving the chunk write won (not the stale 'c'/'u')."""
+    from ..streaming.pipeline import read_silver, silver_upsert_stream
+    from ..streaming.snapshot import run_incremental_snapshot
+
+    import shutil as _sh
+
+    run = uuid.uuid4().hex[:12]
+    root = tempfile.gettempdir()
+    src = f"{root}/incsnap_src_{run}"
+    dst = f"{root}/incsnap_out_{run}"
+    ckpt = f"{root}/incsnap_ckpt_{run}"
+    W = 5_000_000
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    k = F.col("o_orderkey")
+    base = F.col("o_totalprice")
+
+    def ev(df, status, price, op, ts, slot):
+        return df.select(
+            k.alias("o_orderkey"),
+            status.alias("o_orderstatus"),
+            price.cast("double").alias("o_totalprice"),
+            F.lit(op).alias("op"),
+            ts.cast("long").alias("ts_ms"),
+            (k * 10 + slot).cast("long").alias("offset"),
+        )
+
+    def stream_merge(events, tag):
+        d = f"{src}/{tag}"
+        events.coalesce(2).write.json(d)
+        stream = spark.readStream.schema(events.schema).json(d)
+        q = silver_upsert_stream(
+            stream, dst, f"{ckpt}/{tag}", keys=["o_orderkey"],
+            available_now=True,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("incremental-snapshot seed stream stalled")
+
+    try:
+        seed = (
+            ev(orders.filter(k % 2 == 1), F.col("o_orderstatus"), base,
+               "c", F.lit(1_000_000), 0)
+            .unionByName(ev(orders.filter(k % 3 == 0), F.lit("U"),
+                            base + 100, "u", F.lit(2_000_000) + k, 1))
+            .unionByName(ev(orders.filter(k % 9 == 0), F.lit("V"),
+                            base + 170, "u", F.lit(6_000_000) + k, 2))
+        )
+        stream_merge(seed, "seed")
+
+        mid = (
+            ev(orders.filter(k % 4 == 0), F.lit("X"),
+               base + F.when(k % 3 == 0, 100).otherwise(0) + 300,
+               "u", F.lit(7_000_000) + k, 3)
+            .unionByName(ev(orders.filter(k % 5 == 0),
+                            F.lit(None).cast("string"),
+                            F.lit(None).cast("double"),
+                            "d", F.lit(7_500_000) + k, 4))
+        )
+
+        def hook(i):
+            if i == 2:
+                stream_merge(mid, "mid")
+
+        table_truth = orders.select(
+            "o_orderkey",
+            F.when(k % 3 == 0, F.lit("U")).otherwise(
+                F.col("o_orderstatus")).alias("o_orderstatus"),
+            (base + F.when(k % 3 == 0, 100).otherwise(0))
+            .cast("double").alias("o_totalprice"),
+        )
+        run_incremental_snapshot(
+            table_truth, dst, ["o_orderkey"],
+            order_col="o_orderkey", watermark_version=W, n_chunks=6,
+            interleave_hook=hook,
+        )
+        return (
+            read_silver(spark, dst)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice", "ts_ms")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for d in (src, dst, ckpt):
+            _sh.rmtree(d, ignore_errors=True)
+
+
 def object_store_proto_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r11 — protobuf wire-format ingestion (S6's THIRD wire format:
     Debezium's converter slot takes JSON, Avro, or ProtobufConverter —
@@ -2063,6 +2172,7 @@ QUERIES = {
     "object_store_typed_ingest": object_store_typed_ingest,
     "object_store_avro_ingest": object_store_avro_ingest,
     "object_store_proto_ingest": object_store_proto_ingest,
+    "cdc_incremental_snapshot": cdc_incremental_snapshot,
 }
 
 _ORDERS_FINAL_STATE = """
@@ -2311,6 +2421,24 @@ ORACLES["object_store_avro_ingest"] = """
            CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN 'a' WHEN 1 THEN 'b'
                 ELSE 'c' END AS kind
     FROM orders
+"""
+
+ORACLES["cdc_incremental_snapshot"] = """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 4 = 0 THEN 'X'
+                WHEN o_orderkey % 9 = 0 THEN 'V'
+                WHEN o_orderkey % 3 = 0 THEN 'U'
+                ELSE o_orderstatus END AS o_orderstatus,
+           CAST(o_totalprice
+                + CASE WHEN o_orderkey % 3 = 0 THEN 100 ELSE 0 END
+                + CASE WHEN o_orderkey % 4 = 0 THEN 300 ELSE 0 END
+                + CASE WHEN o_orderkey % 4 <> 0 AND o_orderkey % 9 = 0
+                       THEN 70 ELSE 0 END AS DOUBLE) AS o_totalprice,
+           CAST(CASE WHEN o_orderkey % 4 = 0 THEN 7000000 + o_orderkey
+                     WHEN o_orderkey % 9 = 0 THEN 6000000 + o_orderkey
+                     ELSE 5000000 END AS BIGINT) AS ts_ms
+    FROM orders
+    WHERE o_orderkey % 5 <> 0
 """
 
 ORACLES["object_store_proto_ingest"] = """

@@ -1,0 +1,278 @@
+"""Debezium INCREMENTAL SNAPSHOT — signal-triggered, chunked, concurrent
+with the live stream (r11).
+
+Reference surface: Debezium's ad-hoc incremental snapshot — an INSERT
+into the signal table (``signal.data.collection``; the public
+``execute-snapshot`` signal) makes the connector re-read a table in
+PK-ordered chunks WHILE change events keep flowing, so a connector
+started with ``snapshot.mode=never`` (or one that needs a backfill after
+a reconfiguration) can converge on full-table state with no downtime.
+The published algorithm (DBLog, Netflix 2019 — the paper Debezium's
+implementation cites) brackets every chunk read between a LOW and HIGH
+watermark written to the log: a change event for key K arriving inside
+the window supersedes the chunk's row for K; the chunk row stands
+otherwise.
+
+Spark-first re-expression: the silver store is already version-latest-
+wins with a deterministic (version, tiebreak) order (operators/upsert.py
+``apply_cdc`` — eager FINAL).  DBLog's watermark dedup maps EXACTLY onto
+that order: emit every chunk row with ``version = the snapshot's
+watermark`` and a tiebreak BELOW any real log offset, and the merge
+itself makes the three DBLog guarantees hold with no new machinery:
+
+* a change event versioned after the watermark beats the chunk row for
+  its key, whether it was merged before or after the chunk (window
+  dedup, order-insensitive — no actual watermark bookkeeping needed);
+* a key deleted after the watermark stays deleted (the store keeps
+  tombstones internally; the tombstone's version wins);
+* a key whose stored state predates the watermark is refreshed to table
+  truth (snapshot version wins), including keys the stream had NEVER
+  seen — the backfill case the feature exists for.
+
+Chunking is Debezium's PK-range walk: boundaries come from one
+``approxQuantile`` pass (no global sort, O(n_chunks) driver memory), and
+each chunk is a predicate-pushdown range scan merged through the same
+touched-bucket + epoch-claim/CAS publish path as every other sink — per
+chunk cost is O(chunk + touched buckets), never O(store).  Progress
+persists per chunk (Debezium stores snapshot progress in its offsets),
+so a crashed snapshot resumes from the first unfinished chunk; chunk
+re-merge after a crash-before-progress-write is a latest-wins no-op, so
+the resume is exactly-once-effective without coordination.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.upsert import apply_cdc
+from .pipeline import DEFAULT_SILVER_BUCKETS, _touched_bucket_merge
+
+SIGNAL_DIR = "_signals"
+
+
+def plan_snapshot_chunks(
+    table: DataFrame, order_col: str, n_chunks: int
+) -> list[tuple[float | None, float | None]]:
+    """PK-range chunk boundaries as half-open intervals [lo, hi) with
+    open ends at both extremes — one approxQuantile pass, no sort.
+    Boundaries are deduplicated, so skewed keys yield fewer (never
+    overlapping) chunks."""
+    if n_chunks < 1:
+        raise ValueError(f"n_chunks must be >= 1, got {n_chunks}")
+    if n_chunks == 1:
+        return [(None, None)]
+    probs = [i / n_chunks for i in range(1, n_chunks)]
+    qs = table.approxQuantile(order_col, probs, 0.001)
+    cuts: list[float] = []
+    for q in qs:
+        if not cuts or q > cuts[-1]:
+            cuts.append(q)
+    bounds: list[tuple[float | None, float | None]] = []
+    lo: float | None = None
+    for c in cuts:
+        bounds.append((lo, c))
+        lo = c
+    bounds.append((lo, None))
+    return bounds
+
+
+def _chunk_pred(order_col: str, lo: float | None, hi: float | None):
+    col = F.col(order_col)
+    if lo is None and hi is None:
+        return F.lit(True)
+    if lo is None:
+        return col < F.lit(hi)
+    if hi is None:
+        return col >= F.lit(lo)
+    return (col >= F.lit(lo)) & (col < F.lit(hi))
+
+
+def signal_snapshot(
+    path: str,
+    *,
+    order_col: str,
+    n_chunks: int,
+    watermark_version,
+    signal_id: str | None = None,
+) -> str:
+    """The signal-table INSERT, re-expressed: enqueue an
+    ``execute-snapshot`` signal under the store's ``_signals/`` dir.
+    Returns the signal id.  ``watermark_version`` is the version stamped
+    on every chunk row (the snapshot's low watermark): pick a value at or
+    above every change event already applied and below the next ones —
+    for Debezium-shaped streams, the signal time in the stream's own
+    ``ts_ms`` domain."""
+    sid = signal_id or uuid.uuid4().hex[:16]
+    sdir = os.path.join(path, SIGNAL_DIR)
+    os.makedirs(sdir, exist_ok=True)
+    final = os.path.join(sdir, f"{sid}.json")
+    if os.path.exists(final) or os.path.exists(final + ".done"):
+        raise ValueError(f"signal {sid} already exists at {path}")
+    tmp = final + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "id": sid,
+                "type": "execute-snapshot",
+                "order_col": order_col,
+                "n_chunks": n_chunks,
+                "watermark_version": watermark_version,
+            },
+            fh,
+        )
+    os.rename(tmp, final)
+    return sid
+
+
+def list_signals(path: str) -> list[dict]:
+    """Pending signals (oldest first by id-file mtime)."""
+    sdir = os.path.join(path, SIGNAL_DIR)
+    if not os.path.isdir(sdir):
+        return []
+    names = [
+        n for n in os.listdir(sdir)
+        if n.endswith(".json") and not n.endswith(".tmp")
+    ]
+    names.sort(key=lambda n: os.path.getmtime(os.path.join(sdir, n)))
+    out = []
+    for n in names:
+        with open(os.path.join(sdir, n)) as fh:
+            out.append(json.load(fh))
+    return out
+
+
+def _progress_path(path: str, sid: str) -> str:
+    return os.path.join(path, SIGNAL_DIR, f"{sid}.progress")
+
+
+def _read_progress(path: str, sid: str) -> set[int]:
+    try:
+        with open(_progress_path(path, sid)) as fh:
+            return set(json.load(fh)["completed"])
+    except (OSError, ValueError, KeyError):
+        return set()
+
+
+def _write_progress(path: str, sid: str, completed: set[int]) -> None:
+    p = _progress_path(path, sid)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    tmp = f"{p}.{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"completed": sorted(completed)}, fh)
+    os.rename(tmp, p)
+
+
+def run_incremental_snapshot(
+    source_table: DataFrame,
+    path: str,
+    keys: list[str],
+    *,
+    order_col: str,
+    watermark_version,
+    n_chunks: int = 8,
+    version_col: str = "ts_ms",
+    tiebreak_col: str = "offset",
+    op_col: str = "op",
+    n_buckets: int = DEFAULT_SILVER_BUCKETS,
+    signal_id: str | None = None,
+    interleave_hook=None,
+) -> int:
+    """Execute one incremental snapshot of ``source_table`` into the
+    silver store at ``path``; returns the number of chunks merged this
+    call (resumed chunks excluded).
+
+    ``source_table`` is the table's CURRENT truth (the JDBC/parquet scan
+    Debezium would chunk-SELECT), with the store's row columns.  Chunk
+    rows are stamped ``op='r'``, ``version_col=watermark_version`` and
+    ``tiebreak_col=-1`` — strictly below every real log event at or
+    after the watermark, which is the entire DBLog window-dedup rule
+    under the store's latest-wins order.
+
+    ``interleave_hook(chunk_index)`` (tests) runs after each chunk's
+    merge+progress, simulating change events landing mid-snapshot."""
+    sid = signal_id or "adhoc"
+    bounds = plan_snapshot_chunks(source_table, order_col, n_chunks)
+    done = _read_progress(path, sid)
+    merged = 0
+    for i, (lo, hi) in enumerate(bounds):
+        if i in done:
+            continue
+        chunk = (
+            source_table.filter(_chunk_pred(order_col, lo, hi))
+            .withColumn(op_col, F.lit("r"))
+            .withColumn(version_col, F.lit(watermark_version))
+            .withColumn(tiebreak_col, F.lit(-1).cast("long"))
+        )
+
+        def merge_fn(current: DataFrame | None, prepared: DataFrame) -> DataFrame:
+            return apply_cdc(
+                prepared,
+                keys=keys,
+                version_col=version_col,
+                tiebreak_col=tiebreak_col,
+                op_col=op_col,
+                delete_mode="rewrite",  # tombstones must persist (T4)
+                current=current,
+            )
+
+        _touched_bucket_merge(
+            chunk, path, keys, n_buckets,
+            prepare=lambda b: b, merge_fn=merge_fn, legacy_mode="migrate",
+        )
+        done.add(i)
+        _write_progress(path, sid, done)
+        merged += 1
+        if interleave_hook is not None:
+            interleave_hook(i)
+    return merged
+
+
+def process_signals(
+    source_table: DataFrame,
+    path: str,
+    keys: list[str],
+    *,
+    version_col: str = "ts_ms",
+    tiebreak_col: str = "offset",
+    op_col: str = "op",
+    n_buckets: int = DEFAULT_SILVER_BUCKETS,
+    interleave_hook=None,
+) -> list[str]:
+    """Drain pending ``execute-snapshot`` signals against ``path`` (the
+    connector's signal-poll loop).  Each completed signal's file is
+    renamed to ``.json.done`` (kept — signal history is part of the
+    Debezium contract) and its progress file removed.  Returns processed
+    signal ids."""
+    processed = []
+    for sig in list_signals(path):
+        if sig.get("type") != "execute-snapshot":
+            continue
+        sid = sig["id"]
+        run_incremental_snapshot(
+            source_table, path, keys,
+            order_col=sig["order_col"],
+            watermark_version=sig["watermark_version"],
+            n_chunks=sig["n_chunks"],
+            version_col=version_col,
+            tiebreak_col=tiebreak_col,
+            op_col=op_col,
+            n_buckets=n_buckets,
+            signal_id=sid,
+            interleave_hook=interleave_hook,
+        )
+        sdir = os.path.join(path, SIGNAL_DIR)
+        os.rename(
+            os.path.join(sdir, f"{sid}.json"),
+            os.path.join(sdir, f"{sid}.json.done"),
+        )
+        try:
+            os.unlink(_progress_path(path, sid))
+        except FileNotFoundError:
+            pass
+        processed.append(sid)
+    return processed

@@ -1,0 +1,193 @@
+"""Debezium incremental snapshot (r11): signal-triggered PK-chunked
+re-snapshot racing the live stream, DBLog watermark semantics carried by
+the store's version-latest-wins order (streaming/snapshot.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+import postgres_debezium_clickhouse_spark.streaming.pipeline as pl
+from postgres_debezium_clickhouse_spark.streaming.snapshot import (
+    list_signals, plan_snapshot_chunks, process_signals,
+    run_incremental_snapshot, signal_snapshot,
+)
+
+EVENT_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("val", T.StringType()),
+    T.StructField("op", T.StringType()),
+    T.StructField("ts_ms", T.LongType()),
+    T.StructField("offset", T.LongType()),
+])
+
+N = 40
+W = 500  # the snapshot's low watermark in the stream's ts_ms domain
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return {k: str(tmp_path / k) for k in ("src", "silver", "ckpt")}
+
+
+def _stream_merge(spark, dirs, rows, tag):
+    src = f"{dirs['src']}/{tag}"
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.json(src)
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(src)
+    q = pl.silver_upsert_stream(
+        stream, dirs["silver"], f"{dirs['ckpt']}/{tag}", keys=["id"],
+        available_now=True,
+    )
+    assert q.awaitTermination(120)
+
+
+def _seed_rows():
+    # connector life before the signal: snapshot.mode=never — only odd
+    # ids ever got a 'c'; updates flow for ALL ids %3==0 (change events
+    # are not gated on the snapshot)
+    rows = [(i, f"T{i}", "c", 100, i * 10) for i in range(1, N + 1, 2)]
+    rows += [(i, f"U{i}", "u", 200 + i, i * 10 + 1)
+             for i in range(1, N + 1) if i % 3 == 0]
+    # an event AFTER the watermark delivered BEFORE any chunk merges —
+    # the chunk for id 9 must not clobber it (window dedup)
+    rows += [(9, "V9", "u", 600, 91)]
+    return rows
+
+
+def _table_truth(spark):
+    # table state as of W: seed updates applied, post-W events not yet
+    rows = [(i, f"U{i}" if i % 3 == 0 else f"T{i}")
+            for i in range(1, N + 1)]
+    return spark.createDataFrame(rows, "id long, val string")
+
+
+def _mid_rows():
+    # change events landing MID-snapshot (between chunks)
+    rows = [(i, f"X{i}", "u", 700 + i, i * 10 + 2)
+            for i in range(1, N + 1) if i % 4 == 0]
+    rows += [(i, None, "d", 800 + i, i * 10 + 3)
+             for i in range(1, N + 1) if i % 5 == 0]
+    return rows
+
+
+def _expected():
+    out = {}
+    for i in range(1, N + 1):
+        if i % 5 == 0:
+            continue
+        if i % 4 == 0:
+            out[i] = (f"X{i}", 700 + i)
+        elif i == 9:
+            out[i] = ("V9", 600)
+        elif i % 3 == 0:
+            out[i] = (f"U{i}", W)
+        else:
+            out[i] = (f"T{i}", W)
+    return out
+
+
+def _state(spark, dirs):
+    return {r.id: (r.val, r.ts_ms)
+            for r in pl.read_silver(spark, dirs["silver"]).collect()}
+
+
+def test_plan_chunks_partition_key_space(spark):
+    t = spark.createDataFrame([(i,) for i in range(1, 101)], "k long")
+    bounds = plan_snapshot_chunks(t, "k", 5)
+    assert bounds[0][0] is None and bounds[-1][1] is None
+    assert len(bounds) >= 2
+    for (lo1, hi1), (lo2, _hi2) in zip(bounds, bounds[1:]):
+        assert hi1 == lo2                       # contiguous, disjoint
+    # every key lands in exactly one chunk
+    from postgres_debezium_clickhouse_spark.streaming.snapshot import _chunk_pred
+    import pyspark.sql.functions as F
+    total = 0
+    for lo, hi in bounds:
+        total += t.filter(_chunk_pred("k", lo, hi)).count()
+    assert total == 100
+    # pathological skew: one repeated key value → collapses, never overlaps
+    skew = spark.createDataFrame([(7,)] * 50, "k long")
+    sb = plan_snapshot_chunks(skew, "k", 4)
+    assert sum(skew.filter(_chunk_pred("k", lo, hi)).count() for lo, hi in sb) == 50
+
+
+def test_incremental_snapshot_full_scenario(spark, dirs):
+    """Backfill + window dedup + mid-snapshot deletes, adversarially
+    interleaved: change events land between chunks; events for keys in
+    NOT-yet-merged chunks must beat their chunk rows, deletes must not be
+    resurrected, never-streamed keys get table truth at W."""
+    _stream_merge(spark, dirs, _seed_rows(), "seed")
+
+    def hook(i):
+        if i == 1:
+            _stream_merge(spark, dirs, _mid_rows(), "mid")
+
+    merged = run_incremental_snapshot(
+        _table_truth(spark), dirs["silver"], ["id"],
+        order_col="id", watermark_version=W, n_chunks=4,
+        interleave_hook=hook,
+    )
+    assert merged >= 2
+    assert _state(spark, dirs) == _expected()
+
+
+def test_snapshot_is_idempotent(spark, dirs):
+    _stream_merge(spark, dirs, _seed_rows(), "seed")
+    for _ in range(2):   # running the same snapshot twice = same state
+        run_incremental_snapshot(
+            _table_truth(spark), dirs["silver"], ["id"],
+            order_col="id", watermark_version=W, n_chunks=3,
+        )
+    st = _state(spark, dirs)
+    assert st[2] == ("T2", W) and st[9] == ("V9", 600)
+    assert len(st) == N
+
+
+def test_resume_after_crash_skips_completed_chunks(spark, dirs, tmp_path):
+    _stream_merge(spark, dirs, _seed_rows(), "seed")
+
+    calls = []
+
+    def crash_hook(i):
+        calls.append(i)
+        if i == 1:
+            raise RuntimeError("simulated crash mid-snapshot")
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_incremental_snapshot(
+            _table_truth(spark), dirs["silver"], ["id"],
+            order_col="id", watermark_version=W, n_chunks=4,
+            signal_id="sig1", interleave_hook=crash_hook,
+        )
+    assert calls == [0, 1]
+    resumed = run_incremental_snapshot(
+        _table_truth(spark), dirs["silver"], ["id"],
+        order_col="id", watermark_version=W, n_chunks=4,
+        signal_id="sig1",
+    )
+    assert 0 < resumed < 4                      # only the remaining chunks
+    # identical to an uninterrupted control run on a fresh store
+    d2 = {k: str(tmp_path / ("ctl_" + k)) for k in ("src", "silver", "ckpt")}
+    _stream_merge(spark, d2, _seed_rows(), "seed")
+    run_incremental_snapshot(
+        _table_truth(spark), d2["silver"], ["id"],
+        order_col="id", watermark_version=W, n_chunks=4,
+    )
+    assert _state(spark, dirs) == _state(spark, d2)
+
+
+def test_signal_lifecycle(spark, dirs):
+    _stream_merge(spark, dirs, _seed_rows(), "seed")
+    sid = signal_snapshot(
+        dirs["silver"], order_col="id", n_chunks=3, watermark_version=W,
+    )
+    assert [s["id"] for s in list_signals(dirs["silver"])] == [sid]
+    with pytest.raises(ValueError, match="already exists"):
+        signal_snapshot(dirs["silver"], order_col="id", n_chunks=3,
+                        watermark_version=W, signal_id=sid)
+    done = process_signals(_table_truth(spark), dirs["silver"], ["id"])
+    assert done == [sid]
+    assert list_signals(dirs["silver"]) == []    # renamed to .done
+    st = _state(spark, dirs)
+    assert len(st) == N and st[4] == ("T4", W)
+    assert process_signals(_table_truth(spark), dirs["silver"], ["id"]) == []
