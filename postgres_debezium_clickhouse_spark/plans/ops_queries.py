@@ -829,6 +829,70 @@ def stream_agg_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sh.rmtree(d, ignore_errors=True)
 
 
+def stream_agg_summap_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 — CH SummingMergeTree MAP columns / sumMap-minMap-maxMap
+    states, hash-checked: every event carries a two-entry map
+    (a user-cohort key 'u<user_id%5>' and the constant 'all'), the
+    aggregating sink combines maps PER MAP-KEY across micro-batches
+    (key union; exact decimal for the sums), and the final exploded
+    (event_type, map-key) rows must equal the whole-table GROUP BY —
+    proving the map states are insensitive to batch boundaries."""
+    from ..streaming.pipeline import read_silver, silver_summing_stream
+
+    import shutil as _sh
+
+    run = uuid.uuid4().hex[:12]
+    root = tempfile.gettempdir()
+    src = f"{root}/summap_src_{run}"
+    dst = f"{root}/summap_out_{run}"
+    ckpt = f"{root}/summap_ckpt_{run}"
+    try:
+        events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_type",
+            F.create_map(
+                F.concat(F.lit("u"), (F.col("user_id") % 5).cast("string")),
+                F.col("value"),
+                F.lit("all"), F.col("value"),
+            ).alias("m"),
+        )
+        events.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+        )
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = silver_summing_stream(
+                stream, dst, ckpt, keys=["event_type"],
+                agg_spec={"ms": ("m", "summap"), "mn": ("m", "minmap"),
+                          "mx": ("m", "maxmap")},
+                available_now=True,
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("summap stream did not finish in 300s")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        # the three maps share one key set by construction; explode one,
+        # look the others up
+        return (
+            read_silver(spark, dst)
+            .select("event_type", "mn", "mx", F.explode("ms").alias("mk", "sv"))
+            .select(
+                "event_type", "mk",
+                F.col("sv").cast("double").alias("mv_sum"),
+                F.element_at("mn", F.col("mk")).cast("double").alias("mv_min"),
+                F.element_at("mx", F.col("mk")).cast("double").alias("mv_max"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for d in (src, dst, ckpt):
+            _sh.rmtree(d, ignore_errors=True)
+
+
 def stream_agg_argmax_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r9 — the CH ``argMaxState``/``argMinState`` columns in the
     aggregating sink: per event_type the store maintains (latest-ts
@@ -2173,6 +2237,7 @@ QUERIES = {
     "object_store_avro_ingest": object_store_avro_ingest,
     "object_store_proto_ingest": object_store_proto_ingest,
     "cdc_incremental_snapshot": cdc_incremental_snapshot,
+    "stream_agg_summap_state": stream_agg_summap_state,
 }
 
 _ORDERS_FINAL_STATE = """
@@ -2421,6 +2486,21 @@ ORACLES["object_store_avro_ingest"] = """
            CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN 'a' WHEN 1 THEN 'b'
                 ELSE 'c' END AS kind
     FROM orders
+"""
+
+ORACLES["stream_agg_summap_state"] = """
+    WITH entries AS (
+        SELECT event_type, 'u' || CAST(user_id % 5 AS VARCHAR) AS mk,
+               CAST(value AS DECIMAL(18,2)) AS v
+        FROM events
+        UNION ALL
+        SELECT event_type, 'all', CAST(value AS DECIMAL(18,2)) FROM events
+    )
+    SELECT event_type, mk,
+           CAST(SUM(v) AS DOUBLE) AS mv_sum,
+           CAST(MIN(v) AS DOUBLE) AS mv_min,
+           CAST(MAX(v) AS DOUBLE) AS mv_max
+    FROM entries GROUP BY event_type, mk
 """
 
 ORACLES["cdc_incremental_snapshot"] = """

@@ -1061,7 +1061,8 @@ def _replay_guard(path: str, ckpt_key: str, batch_id: int) -> dict | None:
 #: joined back to the main merge (bounded: ≤ m rows per touched key);
 #: unlike "topk" its MERGE is a pure array expression in the main
 #: groupBy.  Read with ``operators.sketch.hll_estimate_expr``.
-AGG_OPS = ("sum", "min", "max", "kmv", "topk", "hll")
+AGG_OPS = ("sum", "min", "max", "kmv", "topk", "hll",
+           "summap", "minmap", "maxmap")
 _KEYED_OPS = ("argmax", "argmin", "qsample")
 
 
@@ -1119,6 +1120,15 @@ def silver_summing_stream(
     the same batch-boundary-insensitivity argument holds for all of them
     (avg = a sum column + ``__n_rows`` at read time; non-decomposable
     aggs belong in the latest-wins store or a sketch column).
+
+    ``op="summap"/"minmap"/"maxmap"`` (r11) — CH's SummingMergeTree map
+    columns (Nested key/value pairs summed per map-key on merge) and the
+    ``sumMap``/``minMap``/``maxMap`` aggregate states: the source column
+    is ``map<string, numeric>``; the store carries one map per key whose
+    values combine PER MAP-KEY across rows and batches (key union, absent
+    = identity).  summap accumulates in exact decimal like scalar sum;
+    all three are associative+commutative single-expression combines
+    (``map_zip_with`` — no explode, no join-back).
 
     ``op="kmv"`` (r9) stores a MERGEABLE DISTINCT SKETCH per key — the
     CH ``AggregateFunction(uniq, col)``-state-column analogue: the value
@@ -1298,10 +1308,47 @@ def silver_summing_stream(
             lambda acc, x: F.zip_with(acc, x, lambda a, b: F.greatest(a, b)),
         ).alias(out)
 
+    # CH SummingMergeTree map columns / sumMap-minMap-maxMap states (r11):
+    # the source column is map<string, numeric>; the state is one map per
+    # key whose values combine per MAP-KEY across rows and batches.
+    # map_zip_with aligns the union of both maps' keys (absent → NULL),
+    # so each combine is a single JVM expression — no explode, no
+    # join-back.  Values enter as decimal(18,scale) (same per-row
+    # rounding contract as scalar sum) and accumulate in decimal(30,
+    # scale), so summap is exact and order-insensitive like its scalar
+    # sibling; min/max never accumulate.  All three are associative +
+    # commutative, hence batch-boundary-insensitive.
+    map_ingest_t = f"map<string,decimal(18,{sum_scale})>"
+    map_acc_t = f"map<string,decimal(30,{sum_scale})>"
+
+    def _map_combine(base: str):
+        if base == "summap":
+            def val(k, v1, v2):
+                return (
+                    F.coalesce(v1, F.lit(0)) + F.coalesce(v2, F.lit(0))
+                ).cast(f"decimal(30,{sum_scale})")
+        else:
+            # least/greatest skip NULLs (a key absent from one side)
+            pick = F.least if base == "minmap" else F.greatest
+
+            def val(k, v1, v2):
+                return pick(v1, v2).cast(f"decimal(30,{sum_scale})")
+
+        return lambda acc_m, m: F.map_zip_with(acc_m, m, val)
+
+    def _map_agg(col, base: str):
+        return F.aggregate(
+            F.collect_list(col),
+            F.expr(f"cast(map() as {map_acc_t})"),
+            _map_combine(base),
+        )
+
     def _ingest(out: str, src: str, op: str):
         base, ord_col = _parse_agg_op(op)
         if base == "sum":
             return F.sum(F.col(src).cast(ingest_t)).cast(acc).alias(out)
+        if base in ("summap", "minmap", "maxmap"):
+            return _map_agg(F.col(src).cast(map_ingest_t), base).alias(out)
         if base == "kmv":
             # batch partial sketch: K smallest hashes of the batch's
             # values for this key (collect_set state is key-local within
@@ -1336,6 +1383,10 @@ def silver_summing_stream(
         base, _ = _parse_agg_op(op)
         if base == "sum":
             return F.sum(F.col(out)).cast(acc).alias(out)
+        if base in ("summap", "minmap", "maxmap"):
+            # map-key-union combine of the ≤2 maps per key (store row +
+            # batch partial) — same expression as ingestion
+            return _map_agg(F.col(out), base).alias(out)
         if base == "kmv":
             # sketch union: ≤2 arrays per key (store row + batch partial)
             # → flatten, dedup, K smallest — bounded at 2·kmv_k inputs

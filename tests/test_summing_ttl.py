@@ -615,3 +615,44 @@ def test_topk_state_ignores_null_source(spark, dirs):
     assert [(x["item"], x["cnt"]) for x in st[1]["tk"]] == [("a", 2), ("b", 1)]
     assert st[1]["__n_rows"] == 5
     assert st[2]["tk"] == [] and st[2]["__n_rows"] == 1
+
+
+def test_map_state_columns_across_batches(spark, dirs):
+    """r11: summap/minmap/maxmap state columns (CH SummingMergeTree map
+    columns / sumMap-family states).  Values combine per MAP-KEY across
+    rows and batches with key union — keys appearing in only one batch
+    must survive; adversarial splits cannot change a single value
+    (decimal sum; min/max never accumulate).  NULL map rows are ignored;
+    an all-NULL key gets the empty map."""
+    MSCHEMA = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("m", T.MapType(T.StringType(), T.DoubleType())),
+    ])
+    rows = [
+        (1, {"a": 1.5, "b": 10.0}),
+        (1, {"a": 2.25, "c": -4.0}),
+        (1, {"b": -1.0}),
+        (1, None),
+        (2, {"z": 7.0}),
+        (3, None),
+    ]
+    for bi, chunk in enumerate([rows[:2], rows[2:3], rows[3:]]):
+        spark.createDataFrame(chunk, MSCHEMA).coalesce(1).write.mode(
+            "append"
+        ).json(dirs["src"] + f"/b{bi}")
+        stream = spark.readStream.schema(MSCHEMA).json(dirs["src"] + f"/b{bi}")
+        q = pl.silver_summing_stream(
+            stream, dirs["silver"], dirs["ckpt"] + f"/b{bi}", keys=["k"],
+            agg_spec={"ms": ("m", "summap"), "mn": ("m", "minmap"),
+                      "mx": ("m", "maxmap")},
+            available_now=True,
+        )
+        assert q.awaitTermination(120)
+    st = {r["k"]: r for r in pl.read_silver(spark, dirs["silver"]).collect()}
+    as_f = lambda d: {k: float(v) for k, v in d.items()}
+    assert as_f(st[1]["ms"]) == {"a": 3.75, "b": 9.0, "c": -4.0}
+    assert as_f(st[1]["mn"]) == {"a": 1.5, "b": -1.0, "c": -4.0}
+    assert as_f(st[1]["mx"]) == {"a": 2.25, "b": 10.0, "c": -4.0}
+    assert as_f(st[2]["ms"]) == {"z": 7.0}
+    assert st[3]["ms"] == {} and st[3]["mn"] == {} and st[3]["__n_rows"] == 1
+    assert st[1]["__n_rows"] == 4
