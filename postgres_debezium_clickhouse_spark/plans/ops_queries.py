@@ -893,6 +893,68 @@ def stream_agg_summap_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sh.rmtree(d, ignore_errors=True)
 
 
+def stream_agg_bitmap_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 — CH groupBitmap state (the uniqExact end of the uniq family:
+    kmv≈uniq, hll≈uniqHLL12, bitmap=exact) + bitmapAndCardinality set
+    algebra, hash-checked: the events replay merges each event_type's
+    EXACT distinct user set across micro-batches (idempotent union), then
+    the stored states answer the audience-overlap question directly —
+    every ordered (type_a, type_b) pair's intersection cardinality, the
+    CH bitmapAnd use case — without touching the source table again.
+    Oracle: whole-table COUNT(DISTINCT) self-join."""
+    from ..streaming.pipeline import read_silver, silver_summing_stream
+
+    import shutil as _sh
+
+    run = uuid.uuid4().hex[:12]
+    root = tempfile.gettempdir()
+    src = f"{root}/bitmap_src_{run}"
+    dst = f"{root}/bitmap_out_{run}"
+    ckpt = f"{root}/bitmap_ckpt_{run}"
+    try:
+        events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_type", "user_id"
+        )
+        events.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+        )
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = silver_summing_stream(
+                stream, dst, ckpt, keys=["event_type"],
+                agg_spec={"bm": ("user_id", "bitmap")},
+                available_now=True,
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("bitmap stream did not finish in 300s")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        states = read_silver(spark, dst).select("event_type", "bm")
+        a = states.select(F.col("event_type").alias("type_a"),
+                          F.col("bm").alias("bm_a"))
+        b = states.select(F.col("event_type").alias("type_b"),
+                          F.col("bm").alias("bm_b"))
+        # one row per event_type pair (n_types² rows total — bounded by
+        # the key cardinality, not the data); broadcast keeps it shuffle-free
+        return (
+            a.join(F.broadcast(b))
+            .select(
+                "type_a", "type_b",
+                F.size(F.array_intersect("bm_a", "bm_b")).cast("long")
+                .alias("n_common_users"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for d in (src, dst, ckpt):
+            _sh.rmtree(d, ignore_errors=True)
+
+
 def stream_agg_argmax_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r9 — the CH ``argMaxState``/``argMinState`` columns in the
     aggregating sink: per event_type the store maintains (latest-ts
@@ -2238,6 +2300,7 @@ QUERIES = {
     "object_store_proto_ingest": object_store_proto_ingest,
     "cdc_incremental_snapshot": cdc_incremental_snapshot,
     "stream_agg_summap_state": stream_agg_summap_state,
+    "stream_agg_bitmap_state": stream_agg_bitmap_state,
 }
 
 _ORDERS_FINAL_STATE = """
@@ -2486,6 +2549,19 @@ ORACLES["object_store_avro_ingest"] = """
            CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN 'a' WHEN 1 THEN 'b'
                 ELSE 'c' END AS kind
     FROM orders
+"""
+
+ORACLES["stream_agg_bitmap_state"] = """
+    WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+         t AS (SELECT DISTINCT event_type FROM events),
+         c AS (SELECT x.event_type AS ta, y.event_type AS tb,
+                      COUNT(*) AS n
+               FROM u x JOIN u y ON x.user_id = y.user_id
+               GROUP BY x.event_type, y.event_type)
+    SELECT t1.event_type AS type_a, t2.event_type AS type_b,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_common_users
+    FROM t t1 CROSS JOIN t t2
+    LEFT JOIN c ON c.ta = t1.event_type AND c.tb = t2.event_type
 """
 
 ORACLES["stream_agg_summap_state"] = """

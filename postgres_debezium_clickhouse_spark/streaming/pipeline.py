@@ -1062,7 +1062,7 @@ def _replay_guard(path: str, ckpt_key: str, batch_id: int) -> dict | None:
 #: unlike "topk" its MERGE is a pure array expression in the main
 #: groupBy.  Read with ``operators.sketch.hll_estimate_expr``.
 AGG_OPS = ("sum", "min", "max", "kmv", "topk", "hll",
-           "summap", "minmap", "maxmap")
+           "summap", "minmap", "maxmap", "bitmap")
 _KEYED_OPS = ("argmax", "argmin", "qsample")
 
 
@@ -1349,6 +1349,16 @@ def silver_summing_stream(
             return F.sum(F.col(src).cast(ingest_t)).cast(acc).alias(out)
         if base in ("summap", "minmap", "maxmap"):
             return _map_agg(F.col(src).cast(map_ingest_t), base).alias(out)
+        if base == "bitmap":
+            # CH groupBitmapState (uniqExact family): the EXACT distinct
+            # set of an integer column as a sorted array — union-merge is
+            # associative, commutative AND idempotent like kmv, but never
+            # truncated.  Per-key state is O(true distinct count) by the
+            # operator's own contract (CH's roaring bitmap compresses the
+            # same asymptotics); use kmv/hll where an estimate suffices.
+            return F.array_sort(
+                F.collect_set(F.col(src).cast("long"))
+            ).alias(out)
         if base == "kmv":
             # batch partial sketch: K smallest hashes of the batch's
             # values for this key (collect_set state is key-local within
@@ -1387,6 +1397,12 @@ def silver_summing_stream(
             # map-key-union combine of the ≤2 maps per key (store row +
             # batch partial) — same expression as ingestion
             return _map_agg(F.col(out), base).alias(out)
+        if base == "bitmap":
+            # exact set union of the ≤2 arrays per key — the kmv merge
+            # without the slice
+            return F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list(F.col(out))))
+            ).alias(out)
         if base == "kmv":
             # sketch union: ≤2 arrays per key (store row + batch partial)
             # → flatten, dedup, K smallest — bounded at 2·kmv_k inputs

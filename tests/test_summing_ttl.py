@@ -656,3 +656,31 @@ def test_map_state_columns_across_batches(spark, dirs):
     assert as_f(st[2]["ms"]) == {"z": 7.0}
     assert st[3]["ms"] == {} and st[3]["mn"] == {} and st[3]["__n_rows"] == 1
     assert st[1]["__n_rows"] == 4
+
+
+def test_bitmap_state_exact_distinct_and_set_algebra(spark, dirs):
+    """r11: groupBitmap state — EXACT distinct set as sorted array,
+    union-merged (idempotent: duplicate delivery cannot change it).
+    NULLs ignored; all-NULL key gets the empty set; set algebra
+    (intersection across keys) works on the stored state directly."""
+    BSCHEMA = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("u", T.LongType()),
+    ])
+    rows = [(1, 10), (1, 20), (1, 10), (1, None), (2, 20), (2, 30),
+            (1, 40), (2, 40), (3, None)]
+    for bi, chunk in enumerate([rows[:4], rows[4:6], rows[4:6], rows[6:]]):
+        spark.createDataFrame(chunk, BSCHEMA).coalesce(1).write.mode(
+            "append"
+        ).json(dirs["src"] + f"/b{bi}")
+        stream = spark.readStream.schema(BSCHEMA).json(dirs["src"] + f"/b{bi}")
+        q = pl.silver_summing_stream(
+            stream, dirs["silver"], dirs["ckpt"] + f"/b{bi}", keys=["k"],
+            agg_spec={"bm": ("u", "bitmap")}, available_now=True,
+        )
+        assert q.awaitTermination(120)
+    st = {r["k"]: list(r["bm"]) for r in
+          pl.read_silver(spark, dirs["silver"]).collect()}
+    assert st == {1: [10, 20, 40], 2: [20, 30, 40], 3: []}
+    inter = sorted(set(st[1]) & set(st[2]))
+    assert inter == [20, 40]
