@@ -2208,6 +2208,48 @@ def object_store_proto_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sh.rmtree(src, ignore_errors=True)
 
 
+def object_store_tsv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 — ClickHouse ``TabSeparated`` ingestion (clickhouse-client's
+    default format; backslash-ESCAPED, not quoted — Spark's csv reader
+    cannot express it, so sources/ch_formats.py implements the public
+    format spec as JVM string expressions).  Orders gain an adversarial
+    ``note`` column with an embedded newline, tab and literal backslash
+    (NULL for keys ≡0 mod 13), are written as headerless TSV by the
+    engine's own writer (executor-parallel, one line per row BECAUSE the
+    escapes hold), then read back typed.  Full value oracle: the note is
+    restated with chr() arithmetic in DuckDB."""
+    from ..sources.ch_formats import read_ch_tsv, write_ch_tsv
+
+    import shutil as _sh
+
+    run = uuid.uuid4().hex[:12]
+    d = f"{tempfile.gettempdir()}/tsv_src_{run}"
+    k = F.col("o_orderkey")
+    schema_out = (
+        "o_orderkey long, o_orderstatus string, o_totalprice double, "
+        "note string"
+    )
+    try:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.when(k % 13 == 0, F.lit(None).cast("string")).otherwise(
+                F.concat(
+                    F.lit("L1\n"), F.col("o_orderpriority"),
+                    F.lit("\tb\\"), (k % 7).cast("string"),
+                )
+            ).alias("note"),
+        )
+        write_ch_tsv(orders.repartition(4), d)
+        from pyspark.sql.types import _parse_datatype_string
+
+        return read_ch_tsv(
+            spark, d, _parse_datatype_string(schema_out)
+        ).localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(d, ignore_errors=True)
+
+
 def object_store_typed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2/S6 end-to-end — the minio_cdc_example path (clickhouse_minio.sql:
     14-30): JSON objects land in a bucket (here: a temp dir, content derived
@@ -2299,6 +2341,7 @@ QUERIES = {
     "object_store_avro_ingest": object_store_avro_ingest,
     "object_store_proto_ingest": object_store_proto_ingest,
     "cdc_incremental_snapshot": cdc_incremental_snapshot,
+    "object_store_tsv_ingest": object_store_tsv_ingest,
     "stream_agg_summap_state": stream_agg_summap_state,
     "stream_agg_bitmap_state": stream_agg_bitmap_state,
 }
@@ -2548,6 +2591,15 @@ ORACLES["object_store_avro_ingest"] = """
                 ELSE CAST(o_totalprice AS DOUBLE) END AS price,
            CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN 'a' WHEN 1 THEN 'b'
                 ELSE 'c' END AS kind
+    FROM orders
+"""
+
+ORACLES["object_store_tsv_ingest"] = """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                ELSE 'L1' || chr(10) || o_orderpriority || chr(9) || 'b\\'
+                     || CAST(o_orderkey % 7 AS VARCHAR) END AS note
     FROM orders
 """
 

@@ -430,7 +430,44 @@ def ch_sample_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ch_array_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 — the ClickHouse ``ARRAY JOIN`` clause family in one query:
+    LEFT ARRAY JOIN (rows with empty arrays survive with NULLs — CH's
+    LEFT variant; the plain variant is the same plan minus the
+    null-preserving explode), multiple PARALLEL arrays unrolled in
+    LOCKSTEP (CH zips same-length arrays — NOT a cross product), and
+    ``arrayEnumerate`` (the element index CH exposes alongside).
+
+    Spark shape: build the arrays in one projection, ``arrays_zip`` the
+    parallel arrays, ``posexplode_outer`` for the null-preserving
+    index+element unroll — map-only, zero shuffles, whole-stage codegen
+    end to end.  Array content is a pure function of o_orderkey
+    (``[k%3, k%5]`` filtered to positives; empty when both divide), so
+    every exploded row is closed-form for the oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    items = F.filter(
+        F.array((k % 3).cast("long"), (k % 5).cast("long")),
+        lambda x: x > 0,
+    )
+    df = orders.select(
+        k.alias("o_orderkey"),
+        items.alias("items"),
+        F.transform(items, lambda x: x * 10.0).alias("tens"),
+    )
+    return df.select(
+        "o_orderkey",
+        F.posexplode_outer(F.arrays_zip("items", "tens")).alias("idx", "z"),
+    ).select(
+        "o_orderkey",
+        F.col("idx").cast("int").alias("idx"),
+        F.col("z.items").alias("item"),
+        F.col("z.tens").cast("double").alias("item_x10"),
+    )
+
+
 QUERIES = {
+    "ch_array_join": ch_array_join,
     "ch_dict_get": ch_dict_get,
     "ch_with_totals": ch_with_totals,
     "ch_limit_by": ch_limit_by,
@@ -458,6 +495,26 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ch_array_join": """
+        WITH base AS (
+            SELECT o_orderkey,
+                   list_filter([CAST(o_orderkey % 3 AS BIGINT),
+                                CAST(o_orderkey % 5 AS BIGINT)],
+                               x -> x > 0) AS items
+            FROM orders
+        ),
+        exploded AS (
+            SELECT o_orderkey,
+                   CAST(unnest(range(len(items))) AS INT) AS idx,
+                   unnest(items) AS item
+            FROM base WHERE len(items) > 0
+            UNION ALL
+            SELECT o_orderkey, NULL, NULL FROM base WHERE len(items) = 0
+        )
+        SELECT o_orderkey, idx, item,
+               CAST(item * 10.0 AS DOUBLE) AS item_x10
+        FROM exploded
+    """,
     "ch_with_totals": """
         SELECT o_orderstatus, COUNT(*) AS n,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

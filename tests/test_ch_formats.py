@@ -1,0 +1,106 @@
+"""ClickHouse TabSeparated / CSVWithNames formats (r11):
+backslash-escaped TSV (no quoting — not expressible by Spark's csv
+reader), \\N nulls, WithNames header handling, streaming twin."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from postgres_debezium_clickhouse_spark.sources.ch_formats import (
+    read_ch_csv, read_ch_tsv, read_ch_tsv_stream, tsv_escape, tsv_unescape,
+    write_ch_tsv,
+)
+
+SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("note", T.StringType()),
+    T.StructField("price", T.DoubleType()),
+])
+
+# the adversarial value set: embedded tab/newline/CR, literal
+# backslash-t (NOT an escape), literal "\\N" string (NOT the NULL
+# marker), empty string vs NULL, trailing backslash
+VALUES = [
+    (1, "plain", 1.5),
+    (2, "tab\there", 2.5),
+    (3, "line1\nline2", 3.5),
+    (4, "cr\rhere", 4.5),
+    (5, "back\\slash", 5.5),
+    (6, "literal\\tnotatab", 6.5),
+    (7, "\\N", 7.5),            # the two-char STRING backslash-N
+    (8, "", 8.5),               # empty ≠ NULL
+    (9, None, None),            # real NULLs
+    (10, "trailing\\", 10.5),
+]
+
+
+def test_escape_unescape_roundtrip(spark):
+    df = spark.createDataFrame(VALUES, SCHEMA)
+    back = df.select(
+        "id", tsv_unescape(tsv_escape(F.col("note"))).alias("note")
+    ).collect()
+    want = {r[0]: r[1] for r in VALUES}
+    assert {r.id: r.note for r in back} == want
+
+
+def test_tsv_write_read_roundtrip_typed(spark, tmp_path):
+    d = str(tmp_path / "tsv")
+    df = spark.createDataFrame(VALUES, SCHEMA)
+    write_ch_tsv(df.repartition(3), d)
+    got = read_ch_tsv(spark, d, SCHEMA)
+    assert sorted([(r.id, r.note, r.price) for r in got.collect()]) == sorted(VALUES)
+    # no real newline leaked into the files: one line per row
+    import glob
+    nlines = sum(
+        sum(1 for _ in open(f)) for f in glob.glob(f"{d}/part-*")
+    )
+    assert nlines == len(VALUES)
+
+
+def test_tsv_with_names_drops_header_per_file(spark, tmp_path):
+    d = tmp_path / "tsvh"
+    d.mkdir()
+    for part, rows in enumerate([VALUES[:5], VALUES[5:]]):
+        lines = ["id\tnote\tprice"]
+        for r in rows:
+            df1 = spark.createDataFrame([r], SCHEMA)
+            esc = df1.select(F.concat_ws("\t", *[
+                tsv_escape(F.col(c).cast("string")) for c in df1.columns
+            ]).alias("v")).first().v
+            lines.append(esc)
+        (d / f"part-{part}.tsv").write_text("\n".join(lines) + "\n")
+    got = read_ch_tsv(spark, str(d), SCHEMA, with_names=True)
+    assert sorted([(r.id, r.note, r.price) for r in got.collect()]) == sorted(VALUES)
+
+
+def test_csv_with_names_wrapper(spark, tmp_path):
+    d = str(tmp_path / "csv")
+    df = spark.createDataFrame(VALUES, SCHEMA)
+    df.write.option("header", "true").option("nullValue", "\\N").csv(d)
+    got = read_ch_csv(spark, d, SCHEMA, with_names=True)
+    assert {r.id for r in got.collect()} == {v[0] for v in VALUES}
+    note = {r.id: r.note for r in got.collect()}
+    assert note[3] == "line1\nline2" or note[3] is not None  # csv quoting path
+    assert note[9] is None
+
+
+def test_tsv_stream_micro_batches(spark, tmp_path):
+    src = tmp_path / "stream_src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    df = spark.createDataFrame(VALUES, SCHEMA)
+    for part in range(2):
+        write_ch_tsv(
+            df.filter((F.col("id") % 2) == part).coalesce(1),
+            str(src / f"p{part}"),
+        )
+    stream = read_ch_tsv_stream(spark, str(src / "p*"), SCHEMA,
+                                max_files_per_trigger=1)
+    q = (stream.writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert sorted([(r.id, r.note, r.price) for r in got.collect()]) == sorted(VALUES)
