@@ -50,6 +50,7 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 
 _FRONT = (
     # round-11 additions (never driver-checked) go here, newest first:
+    "dedup_substring_spans",
     "object_store_tsv_ingest",
     "ch_array_join",
     "stream_agg_bitmap_state",

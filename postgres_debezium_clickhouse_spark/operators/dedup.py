@@ -499,3 +499,115 @@ def incremental_dedup(
         .agg(F.min(id_col).alias(id_col))
         .select(id_col, "text_hash")
     )
+
+
+def _gram_positions(
+    documents: DataFrame, id_col: str, text_col: str, min_len: int
+) -> DataFrame:
+    """(id, p, g): every 1-based position's ``min_len``-char gram.  The
+    per-row gram array is built in one JVM transform (array size
+    len−L+1; memory is O(len·L) per row during the explode — for
+    book-length documents prefer chunking upstream; the explode itself
+    streams)."""
+    grams = F.expr(
+        f"CASE WHEN length({text_col}) >= {min_len} "
+        f"THEN transform(sequence(1, length({text_col}) - {min_len} + 1), "
+        f"p -> substring({text_col}, p, {min_len})) "
+        f"ELSE array() END"
+    )
+    return documents.select(
+        F.col(id_col), F.posexplode(grams).alias("__pp", "g")
+    ).select(F.col(id_col), (F.col("__pp") + 1).cast("long").alias("p"), "g")
+
+
+def substring_duplication(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 40,
+) -> DataFrame:
+    """EXACT-substring duplication measurement — the Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better")
+    suffix-array dedup, re-expressed distributed: a position is
+    duplicated iff its ``min_len``-gram occurs more than once in the
+    corpus (their ExactSubstr criterion; all occurrences count, same-doc
+    repeats included).  Per document the duplicated positions' [p, p+L)
+    intervals are UNION-ed exactly — equal-length intervals make the
+    union a running-max window (prev_end = max(p+L) over preceding
+    rows; contribution = clamp(p+L − max(prev_end, p))) — no UDF, one
+    shuffle for the gram group-by, one for the per-doc window.
+
+    Returns (id, n_chars, dup_chars, dup_fraction) for EVERY input doc.
+    Scale: cost is O(total chars) shuffled grams — the honest price of
+    exactness (the paper's suffix array is the same order); for
+    fingerprint-budget scans use ``winnowing_fingerprints``."""
+    from pyspark.sql import Window
+
+    pos = _gram_positions(documents, id_col, text_col, min_len)
+    dup_grams = (
+        pos.groupBy("g").agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1).select("g")
+    )
+    dup_pos = pos.join(dup_grams, "g", "left_semi")
+    w = (
+        Window.partitionBy(id_col).orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("p") + min_len).over(w)
+    contrib = F.greatest(
+        F.lit(0).cast("long"),
+        (F.col("p") + min_len)
+        - F.greatest(F.coalesce(prev_end, F.col("p")), F.col("p")),
+    )
+    per_doc = (
+        dup_pos.select(F.col(id_col), contrib.alias("__c"))
+        .groupBy(id_col)
+        .agg(F.sum("__c").alias("dup_chars"))
+    )
+    return (
+        documents.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.length(text_col).cast("long").alias("n_chars"),
+            F.coalesce(F.col("dup_chars"), F.lit(0)).cast("long")
+            .alias("dup_chars"),
+            (
+                F.coalesce(F.col("dup_chars"), F.lit(0)).cast("double")
+                / F.length(text_col)
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+def winnowing_fingerprints(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 40,
+    window: int = 16,
+) -> DataFrame:
+    """Winnowing (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+    fingerprinting scheme): keep a gram's position iff its hash is the
+    minimum over the ``window`` preceding grams — a content-defined
+    selection, so two documents sharing any substring of length ≥
+    window + min_len − 1 are GUARANTEED to share at least one selected
+    fingerprint.  This is the bounded-budget scale path next to
+    ``substring_duplication``'s exact scan: ~1/window of the positions
+    survive, and candidate pairs come from a fingerprint self-join
+    instead of an all-positions group-by.
+
+    Returns (id, p, h) — selected fingerprint hashes with positions."""
+    from pyspark.sql import Window
+
+    pos = _gram_positions(documents, id_col, text_col, min_len)
+    h = F.xxhash64("g")
+    wmin = (
+        Window.partitionBy(id_col).orderBy("p")
+        .rowsBetween(-(window - 1), 0)
+    )
+    return (
+        pos.select(F.col(id_col), "p", h.alias("h"))
+        .withColumn("__m", F.min("h").over(wmin))
+        .filter(F.col("h") == F.col("__m"))
+        .select(id_col, "p", "h")
+    )

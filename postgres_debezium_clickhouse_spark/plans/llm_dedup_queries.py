@@ -266,7 +266,23 @@ def q_dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dhash_near_dups(dhash_images(media), max_hamming=8)
 
 
+def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 — Lee et al. 2022 ExactSubstr duplication measurement: a
+    position is duplicated iff its 40-char gram occurs >1 time in the
+    corpus; per-doc duplicated coverage is the EXACT interval union
+    (running-max window over sorted positions).  One group-by shuffle on
+    the grams + one per-doc window; see operators/dedup.py
+    substring_duplication for the scale notes (winnowing_fingerprints is
+    the bounded-budget sibling)."""
+    from ..operators.dedup import substring_duplication
+
+    return substring_duplication(
+        load_table(spark, sf_dir, "documents"), min_len=40
+    )
+
+
 QUERIES = {
+    "dedup_substring_spans": q_substring_spans,
     "dedup_exact": q_dedup_exact,
     "contamination_check_13g": q_contamination_13g,
     "dedup_image_dhash": q_dedup_image_dhash,
@@ -286,6 +302,38 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_substring_spans": """
+        WITH pos AS (
+            SELECT doc_id, CAST(t.p AS BIGINT) AS p,
+                   substr(text, CAST(t.p AS INT), 40) AS g
+            FROM documents
+            CROSS JOIN LATERAL (
+                SELECT unnest(range(1, GREATEST(length(text) - 38, 1)))
+            ) AS t(p)
+        ),
+        dup AS (SELECT g FROM pos GROUP BY g HAVING COUNT(*) > 1),
+        dp AS (SELECT doc_id, p FROM pos WHERE g IN (SELECT g FROM dup)),
+        iv AS (
+            SELECT doc_id, p,
+                   MAX(p + 40) OVER (
+                       PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS pe
+            FROM dp
+        ),
+        agg AS (
+            SELECT doc_id,
+                   SUM(GREATEST(0, p + 40
+                       - GREATEST(COALESCE(pe, p), p))) AS dup_chars
+            FROM iv GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(length(d.text) AS BIGINT) AS n_chars,
+               CAST(COALESCE(a.dup_chars, 0) AS BIGINT) AS dup_chars,
+               CAST(COALESCE(a.dup_chars, 0) AS DOUBLE) / length(d.text)
+                   AS dup_fraction
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
     "dedup_exact": """
         SELECT MIN(doc_id) AS doc_id, sha256(lower(trim(text))) AS text_hash
         FROM documents GROUP BY sha256(lower(trim(text)))

@@ -351,3 +351,81 @@ def test_simhash_planted_edits_stay_hamming_close(spark):
     # around 30 — the distributions must be cleanly separated
     assert max(planted) < 15, planted
     assert sum(unrelated) / len(unrelated) > 20, unrelated
+
+
+def test_substring_duplication_exact_intervals(spark):
+    """r11: Lee-et-al ExactSubstr measurement — planted shared spans with
+    OVERLAPPING duplicated grams must union to exact char coverage."""
+    from postgres_debezium_clickhouse_spark.operators.dedup import (
+        substring_duplication,
+    )
+
+    import string
+
+    shared = "0123456789" * 6                      # 60 shared chars
+    uniq = "".join(                                # non-self-repeating
+        string.ascii_letters[(7 * i) % 52] + str(i % 10) for i in range(35)
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "AAA" + shared + "BBB" + "x" * 40),
+            (2, "cc" + shared + "dd" + "y" * 40),
+            (3, "unique-" + uniq),
+            (4, "short"),                           # below min_len
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           substring_duplication(docs, min_len=40).collect()}
+    # the repeated '0123456789'*6 block ALSO self-repeats internally:
+    # grams at offsets 0..20 within the block recur at +10 — every
+    # 40-gram inside the 60-char block is globally duplicated, so
+    # coverage = the whole block = 60 chars in docs 1 and 2
+    assert out[1].dup_chars == 60 and out[2].dup_chars == 60
+    assert out[3].dup_chars == 0 and out[4].dup_chars == 0
+    assert out[4].n_chars == 5
+    assert abs(out[1].dup_fraction - 60 / out[1].n_chars) < 1e-12
+    # every doc present exactly once
+    assert sorted(out) == [1, 2, 3, 4]
+
+
+def test_substring_duplication_same_doc_repeats_count(spark):
+    from postgres_debezium_clickhouse_spark.operators.dedup import (
+        substring_duplication,
+    )
+
+    body = "q" * 45 + "-MID-" + "q" * 45           # the q-run self-repeats
+    docs = spark.createDataFrame([(1, body)], "doc_id long, text string")
+    out = substring_duplication(docs, min_len=40).first()
+    # all 40-grams inside each q-run are identical → duplicated; the
+    # mixed grams crossing -MID- are unique.  Coverage = both q-runs.
+    assert out.dup_chars == 90
+
+
+def test_winnowing_guarantee_and_budget(spark):
+    """Winnowing contract: docs sharing a substring of length ≥
+    window+min_len−1 share a selected fingerprint; selection keeps
+    roughly 1/window of positions."""
+    from postgres_debezium_clickhouse_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+    import random
+
+    rng = random.Random(11)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    shared = "".join(rng.choice(alpha) for _ in range(40 + 16 - 1))
+    mk = lambda n: "".join(rng.choice(alpha) for _ in range(n))
+    docs = spark.createDataFrame(
+        [(1, mk(300) + shared + mk(300)), (2, mk(250) + shared + mk(250)),
+         (3, mk(600))],
+        "doc_id long, text string",
+    )
+    fp = winnowing_fingerprints(docs, min_len=40, window=16)
+    rows = fp.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(r.h)
+    assert by_doc[1] & by_doc[2]                   # guaranteed shared print
+    # budget: far fewer prints than positions (~1/16), never zero
+    n_pos_1 = 300 + 55 + 300 - 39
+    assert 0 < len(by_doc[1]) < n_pos_1 / 4
