@@ -50,6 +50,8 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 
 _FRONT = (
     # round-11 additions (never driver-checked) go here, newest first:
+    "events_value_histogram",
+    "ch_running_diff_neighbor",
     "dedup_substring_spans",
     "object_store_tsv_ingest",
     "ch_array_join",

@@ -590,7 +590,37 @@ def events_uniq_upto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lo.join(hi, "event_type")
 
 
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 — the CH ``histogram(n)(x)`` use case with DETERMINISTIC
+    equal-width bins (CH's adaptive variant is explicitly
+    merge-order-dependent — its docs warn the result is not exact — so
+    the reproducible form users actually chart is fixed bins over the
+    global [min, max]).  Two passes: a scalar min/max agg broadcast to
+    every row (1-row crossJoin — the text.py totals idiom), then one
+    groupBy on the bucket index.  Bucket arithmetic is pure IEEE double
+    ops, identical in the oracle."""
+    events = load_table(spark, sf_dir, "events")
+    b = events.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    wdt = (F.col("mx") - F.col("mn")) / 10
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("mn")) / wdt), F.lit(9)
+    ).cast("int")
+    return (
+        events.crossJoin(F.broadcast(b))
+        .groupBy(bucket.alias("bucket"), "mn", "mx")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            (F.col("mn") + F.col("bucket") * wdt).cast("double").alias("lo"),
+            (F.col("mn") + (F.col("bucket") + 1) * wdt).cast("double")
+            .alias("hi"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+
 QUERIES = {
+    "events_value_histogram": events_value_histogram,
     "star_join_revenue": star_join_revenue,
     "order_totals": order_totals,
     "top_customers": top_customers,
@@ -913,4 +943,19 @@ ORACLES["events_window_funnel"] = """
         LEFT JOIN s3 USING (user_id)
     )
     SELECT funnel_level, COUNT(*) AS n_users FROM lv GROUP BY funnel_level
+"""
+
+ORACLES["events_value_histogram"] = """
+    WITH b AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events),
+    x AS (
+        SELECT LEAST(CAST(FLOOR((value - mn) / ((mx - mn) / 10)) AS INT),
+                     9) AS bucket,
+               mn, mx
+        FROM events, b
+    )
+    SELECT bucket,
+           CAST(mn + bucket * ((mx - mn) / 10) AS DOUBLE) AS lo,
+           CAST(mn + (bucket + 1) * ((mx - mn) / 10) AS DOUBLE) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM x GROUP BY bucket, mn, mx
 """

@@ -466,8 +466,28 @@ def ch_array_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ch_running_diff_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 — ClickHouse's block-order inspection functions, given the
+    WELL-DEFINED distributed semantics CH itself recommends migrating to
+    (their docs deprecate ``neighbor``/``runningDifference`` in favor of
+    window functions precisely because block order is arbitrary):
+    ``runningDifference(v)`` = v − lag(v), ``neighbor(v, −1/+1)`` =
+    lag/lead, over an EXPLICIT per-user event-time order.  One hash
+    shuffle on user_id, no global sort."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return events.select(
+        "user_id", "event_id",
+        F.col("value").alias("v"),
+        (F.col("value") - F.lag("value").over(w)).alias("running_diff"),
+        F.lag("value").over(w).alias("prev_v"),
+        F.lead("value").over(w).alias("next_v"),
+    )
+
+
 QUERIES = {
     "ch_array_join": ch_array_join,
+    "ch_running_diff_neighbor": ch_running_diff_neighbor,
     "ch_dict_get": ch_dict_get,
     "ch_with_totals": ch_with_totals,
     "ch_limit_by": ch_limit_by,
@@ -495,6 +515,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ch_running_diff_neighbor": """
+        SELECT user_id, event_id, value AS v,
+               value - LAG(value) OVER w AS running_diff,
+               LAG(value) OVER w AS prev_v,
+               LEAD(value) OVER w AS next_v
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
     "ch_array_join": """
         WITH base AS (
             SELECT o_orderkey,
