@@ -726,3 +726,174 @@ def ivf_search_index(spark, path: str, queries: DataFrame, k: int = 5,
         .select(F.col(id_col), F.col("v").alias("cv"), F.col("cell").cast("int").alias("cell"))
     )
     return _score_topk(c, q, k, id_col, query_id_col)
+
+
+# --------------------------------------------------------------------------
+# Product Quantization (Jégou, Douze, Schmid 2011 — "Product Quantization
+# for Nearest Neighbor Search", the public PQ/ADC construction; r11).
+# Splits the D-dim space into m orthogonal subspaces, learns a small
+# codebook per subspace, stores each vector as m byte-sized codes, and
+# answers queries with ASYMMETRIC DISTANCE COMPUTATION: one m·ks distance
+# table per query, then m table LOOKUPS per candidate instead of D
+# multiplies — the memory/compute shape that makes billion-vector scans
+# affordable.  Deterministic throughout (id-order init + optional Lloyd
+# refinement over fixed membership), like the IVF family above.
+# --------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    refine_iters: int = 0,
+) -> DataFrame:
+    """→ ``(j int, cell int, ctr array<double>)`` — one ks-entry codebook
+    per subspace j, trained on the corpus's subvectors.  Init: subspace
+    slices of the ``ks`` lowest-id vectors (cell = id rank, the IVF
+    convention); each ``refine_iters`` runs one Lloyd step for ALL m
+    codebooks in one distributed pass (assign argmin cell per (vector,
+    subspace), then per-(j, cell, pos) mean).  Empty cells keep their
+    centroid.  Nothing corpus-sized is collected."""
+    from pyspark.sql import Window
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    vecs = as_double_vec(corpus).select(id_col, "v")
+    w = Window.orderBy(F.col(id_col).asc())
+    base = (
+        vecs.orderBy(F.col(id_col).asc()).limit(ks)
+        .withColumn("cell", F.row_number().over(w) - 1)
+    )
+    js = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j")
+    books = base.select("cell", js, "v").select(
+        "j", "cell",
+        F.expr(f"slice(v, j * {sub} + 1, {sub})").alias("ctr"),
+    )
+    for _ in range(refine_iters):
+        cb = books.agg(
+            F.array_sort(
+                F.collect_list(F.struct("j", "cell", "ctr"))
+            ).alias("__cb")
+        )
+        subvecs = vecs.select(F.col(id_col), js, "v").select(
+            id_col, "j", F.expr(f"slice(v, j * {sub} + 1, {sub})").alias("sv")
+        )
+        argmin = (
+            "array_min(transform(filter(__cb, s -> s.j = j), s -> "
+            "struct(" + D2.format(a="sv", b="s.ctr") + " as d, s.cell as c))).c"
+        )
+        assigned = (
+            subvecs.join(F.broadcast(cb))
+            .withColumn("cell", F.expr(argmin))
+            .select(id_col, "j", "cell", F.posexplode("sv").alias("pos", "x"))
+        )
+        means = (
+            assigned.groupBy("j", "cell", "pos")
+            .agg(F.avg("x").alias("mx"))
+            .groupBy("j", "cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+                    lambda s: s["mx"],
+                ).alias("ctr")
+            )
+        )
+        # empty cells keep their previous centroid
+        books = (
+            books.alias("old")
+            .join(means.alias("new"), ["j", "cell"], "left")
+            .select(
+                "j", "cell",
+                F.coalesce(F.col("new.ctr"), F.col("old.ctr")).alias("ctr"),
+            )
+            .localCheckpoint(eager=True)  # truncate the iterative lineage
+        )
+    return books
+
+
+def _cb_row(codebooks: DataFrame):
+    """1-row broadcastable nested codebook, sorted by (j, cell) so flat
+    index arithmetic (j·ks + cell) is valid downstream."""
+    return codebooks.agg(
+        F.array_sort(F.collect_list(F.struct("j", "cell", "ctr"))).alias("__cb")
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """→ ``(id, codes array<int>)``: per subspace, the argmin-d² cell
+    (ties → lowest cell, the struct-min idiom).  One map over the corpus
+    against the broadcast codebooks; m·ks·(dim/m) = ks·dim flops per
+    row, all inside whole-stage codegen."""
+    sub = dim // m
+    code_j = (
+        "transform(sequence(0, {m} - 1), j -> "
+        "array_min(transform(filter(__cb, s -> s.j = j), s -> "
+        "struct(" + D2.format(a=f"slice(v, j * {sub} + 1, {sub})", b="s.ctr")
+        + " as d, s.cell as c))).c)"
+    ).format(m=m, sub=sub)
+    return (
+        as_double_vec(corpus).select(id_col, "v")
+        .join(F.broadcast(_cb_row(codebooks)))
+        .select(F.col(id_col), F.expr(code_j).alias("codes"))
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    encoded: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric Distance Computation top-k: each query precomputes its
+    m·ks distance TABLE once (one array column), then every candidate
+    costs m array LOOKUPS (element_at by j·ks + code) — never dim
+    multiplies.  Queries ride broadcast; the corpus side streams map-only
+    until the final per-query top-k window.  Returns (query_id,
+    neighbor_id, adc_d2) with adc_d2 rounded to 6 (the repo's
+    float-ordering discipline); ties break on neighbor id."""
+    from pyspark.sql import Window
+
+    sub = dim // m
+    qtab = (
+        "transform(__cb, s -> "
+        + D2.format(a=f"slice(qv, s.j * {sub} + 1, {sub})", b="s.ctr")
+        + ")"
+    )
+    q = (
+        as_double_vec(queries, out="qv").select(
+            F.col(id_col).alias(query_id_col), "qv"
+        )
+        .join(F.broadcast(_cb_row(codebooks)))
+        .select(query_id_col, F.expr(qtab).alias("__qt"))
+    )
+    dist = (
+        f"round(aggregate(sequence(0, {m} - 1), cast(0 as double), "
+        f"(acc, j) -> acc + element_at(__qt, j * {ks} + element_at(codes, j + 1) + 1)), 6)"
+    )
+    scored = (
+        encoded.join(F.broadcast(q))
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"),
+                F.expr(dist).alias("adc_d2"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id_col, "neighbor_id", "adc_d2")
+    )

@@ -185,7 +185,28 @@ def q_similarity_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 — Product Quantization + ADC (Jégou et al. 2011), fully
+    oracle-checked like the IVF family: 8 subspaces × 16-entry codebooks
+    initialized from the subvector slices of the 16 lowest-id corpus
+    vectors (refine_iters=0 keeps the oracle closed-form; Lloyd
+    refinement is pytest-covered), corpus encoded to 8 codes per vector,
+    queries answered by asymmetric distance — one 8×16 distance table
+    per query, 8 LOOKUPS per candidate instead of 64 multiplies.
+    DuckDB reproduces codebooks, codes and the j-ordered ADC sums
+    exactly."""
+    from ..operators.similarity import pq_adc_topk, pq_codebooks, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    books = pq_codebooks(corpus, m=8, ks=16, dim=64)
+    encoded = pq_encode(corpus, books, m=8, dim=64)
+    return pq_adc_topk(queries, encoded, books, k=5, m=8, ks=16, dim=64)
+
+
 QUERIES = {
+    "similarity_pq_adc_topk": q_pq_adc_topk,
     "similarity_cosine_topk": q_cosine_topk,
     "similarity_ann_lsh_topk": q_ann_lsh_topk,
     "similarity_ann_ivf_topk": q_ann_ivf_topk,
@@ -233,6 +254,39 @@ ORACLES = {
         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                   ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM s)
         SELECT query_id, neighbor_id, cosine FROM r WHERE rnk <= 5
+    """,
+    "similarity_pq_adc_topk": """
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        c AS (SELECT vec_id, v AS cv FROM e WHERE vec_id >= 5),
+        base AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, cv
+                 FROM (SELECT vec_id, cv FROM c ORDER BY vec_id LIMIT 16)),
+        books AS (SELECT j.j, base.cell, base.cv[j.j * 8 + 1 : j.j * 8 + 8] AS ctr
+                  FROM base CROSS JOIN range(8) j(j)),
+        cd AS (SELECT c.vec_id, b.j, b.cell,
+                      list_sum(list_transform(
+                          list_zip(c.cv[b.j * 8 + 1 : b.j * 8 + 8], b.ctr),
+                          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+               FROM c CROSS JOIN books b),
+        codes AS (SELECT vec_id, j, cell AS code FROM
+                  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                       ORDER BY d2, cell) AS rn FROM cd)
+                  WHERE rn = 1),
+        qd AS (SELECT q.query_id, b.j, b.cell,
+                      list_sum(list_transform(
+                          list_zip(q.qv[b.j * 8 + 1 : b.j * 8 + 8], b.ctr),
+                          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+               FROM q CROSS JOIN books b),
+        pairs AS (SELECT qd.query_id, codes.vec_id, codes.j, qd.d2
+                  FROM codes JOIN qd
+                    ON qd.j = codes.j AND qd.cell = codes.code),
+        dist AS (SELECT query_id, vec_id,
+                        ROUND(list_sum(list(d2 ORDER BY j)), 6) AS adc_d2
+                 FROM pairs GROUP BY query_id, vec_id)
+        SELECT query_id, vec_id AS neighbor_id, adc_d2 FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY adc_d2 ASC, vec_id ASC) AS rn FROM dist)
+        WHERE rn <= 5
     """,
     "similarity_ann_ivf_topk": """
         WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -418,3 +418,94 @@ def test_kmeans_par_seeding_is_deterministic(spark):
     a = sorted((r.cell, tuple(r.cv)) for r in kmeans_par_seeds(corpus, 4).collect())
     b = sorted((r.cell, tuple(r.cv)) for r in kmeans_par_seeds(corpus, 4).collect())
     assert a == b and len(a) == 4
+
+
+def _pq_fixture(spark, n=60, dim=16, seed=5):
+    import random
+
+    rng = random.Random(seed)
+    # 4 well-separated gaussian-ish clusters so ADC ranking is meaningful
+    centers = [[(c * 10.0) + d * 0.01 for d in range(dim)] for c in range(4)]
+    rows = []
+    for i in range(n):
+        c = centers[i % 4]
+        rows.append((i, [x + rng.uniform(-0.5, 0.5) for x in c]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_codebooks_shape_and_determinism(spark):
+    from postgres_debezium_clickhouse_spark.operators.similarity import (
+        pq_codebooks,
+    )
+
+    docs = _pq_fixture(spark)
+    b1 = pq_codebooks(docs, m=4, ks=8, dim=16)
+    b2 = pq_codebooks(docs, m=4, ks=8, dim=16)
+    r1 = sorted([(r.j, r.cell, tuple(r.ctr)) for r in b1.collect()])
+    r2 = sorted([(r.j, r.cell, tuple(r.ctr)) for r in b2.collect()])
+    assert r1 == r2                               # deterministic
+    assert len(r1) == 4 * 8
+    assert all(len(c) == 4 for _j, _cell, c in r1)  # dim/m per centroid
+    import pytest
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_codebooks(docs, m=5, ks=8, dim=16)
+
+
+def test_pq_encode_codes_match_argmin(spark):
+    from postgres_debezium_clickhouse_spark.operators.similarity import (
+        pq_codebooks, pq_encode,
+    )
+
+    docs = _pq_fixture(spark)
+    books = pq_codebooks(docs, m=4, ks=8, dim=16)
+    cb = {}
+    for r in books.collect():
+        cb.setdefault(r.j, {})[r.cell] = list(r.ctr)
+    codes = {r.vec_id: list(r.codes)
+             for r in pq_encode(docs, books, m=4, dim=16).collect()}
+    vecs = {r.vec_id: list(r.embedding) for r in docs.collect()}
+    for vid, v in vecs.items():
+        for j in range(4):
+            sv = v[j * 4:(j + 1) * 4]
+            best = min(
+                cb[j],
+                key=lambda c: (sum((a - b) ** 2 for a, b in zip(sv, cb[j][c])), c),
+            )
+            assert codes[vid][j] == best, (vid, j)
+
+
+def test_pq_adc_ranks_clusters_and_refinement_tightens(spark):
+    """ADC must put same-cluster vectors first, and one Lloyd refinement
+    must not increase total quantization error (the k-means objective is
+    non-increasing under Lloyd steps)."""
+    from postgres_debezium_clickhouse_spark.operators.similarity import (
+        pq_adc_topk, pq_codebooks, pq_encode,
+    )
+
+    docs = _pq_fixture(spark)
+    queries = docs.filter("vec_id < 4")            # one per cluster
+    corpus = docs.filter("vec_id >= 4")
+
+    books0 = pq_codebooks(corpus, m=4, ks=8, dim=16, refine_iters=0)
+    books1 = pq_codebooks(corpus, m=4, ks=8, dim=16, refine_iters=1)
+    enc0 = pq_encode(corpus, books0, m=4, dim=16)
+    top = pq_adc_topk(queries, enc0, books0, k=5, m=4, ks=8, dim=16)
+    rows = top.collect()
+    assert {r.query_id for r in rows} == {0, 1, 2, 3}
+    for r in rows:
+        assert r.neighbor_id % 4 == r.query_id % 4, r   # same cluster
+    # quantization error sum: d2(v, reconstruction) — compute via ADC of
+    # each corpus vector against its own code (k=1 self-lookup)
+    import pyspark.sql.functions as F
+
+    def qerr(books, enc):
+        self_hit = pq_adc_topk(
+            corpus, enc, books, k=1, m=4, ks=8, dim=16
+        ).filter(F.col("query_id") == F.col("neighbor_id"))
+        return self_hit.agg(F.sum("adc_d2")).first()[0]
+
+    enc1 = pq_encode(corpus, books1, m=4, dim=16)
+    e0, e1 = qerr(books0, enc0), qerr(books1, enc1)
+    assert e0 is not None and e1 is not None
+    assert e1 <= e0 + 1e-6                          # Lloyd never worsens
