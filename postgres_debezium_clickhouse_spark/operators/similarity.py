@@ -748,6 +748,7 @@ def pq_codebooks(
     dim: int = 64,
     id_col: str = "vec_id",
     refine_iters: int = 0,
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """→ ``(j int, cell int, ctr array<double>)`` — one ks-entry codebook
     per subspace j, trained on the corpus's subvectors.  Init: subspace
@@ -761,7 +762,7 @@ def pq_codebooks(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
-    vecs = as_double_vec(corpus).select(id_col, "v")
+    vecs = as_double_vec(corpus, col=vec_col).select(id_col, "v")
     w = Window.orderBy(F.col(id_col).asc())
     base = (
         vecs.orderBy(F.col(id_col).asc()).limit(ks)
@@ -828,6 +829,7 @@ def pq_encode(
     m: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """→ ``(id, codes array<int>)``: per subspace, the argmin-d² cell
     (ties → lowest cell, the struct-min idiom).  One map over the corpus
@@ -841,7 +843,7 @@ def pq_encode(
         + " as d, s.cell as c))).c)"
     ).format(m=m, sub=sub)
     return (
-        as_double_vec(corpus).select(id_col, "v")
+        as_double_vec(corpus, col=vec_col).select(id_col, "v")
         .join(F.broadcast(_cb_row(codebooks)))
         .select(F.col(id_col), F.expr(code_j).alias("codes"))
     )
@@ -886,6 +888,113 @@ def pq_adc_topk(
     )
     scored = (
         encoded.join(F.broadcast(q))
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"),
+                F.expr(dist).alias("adc_d2"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id_col, "neighbor_id", "adc_d2")
+    )
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    coarse: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    refine_iters: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF-PQ index build (the composition Jégou et al. 2011 §V ships and
+    every billion-scale system copies): assign each vector to its coarse
+    cell, then PQ-encode the RESIDUAL v − centroid(cell) — residuals
+    concentrate near the origin, so the same code budget quantizes far
+    finer than coding raw vectors.  Returns ``(encoded, books)`` with
+    ``encoded = (id, cell, codes)`` and ``books`` the residual-space PQ
+    codebooks.  Two broadcast map passes over the corpus, no shuffle."""
+    vecs = as_double_vec(corpus).select(id_col, "v")
+    assigned = assign_ivf_cells(vecs, coarse)
+    res = (
+        assigned.join(
+            F.broadcast(coarse.select("cell", F.col("cv").alias("__ctr"))),
+            "cell",
+        )
+        .select(
+            F.col(id_col), "cell",
+            F.expr("zip_with(v, __ctr, (x, y) -> x - y)").alias("rv"),
+        )
+    )
+    books = pq_codebooks(
+        res, m=m, ks=ks, dim=dim, id_col=id_col,
+        refine_iters=refine_iters, vec_col="rv",
+    )
+    encoded = pq_encode(res, books, m=m, dim=dim, id_col=id_col, vec_col="rv")
+    return (
+        encoded.join(res.select(id_col, "cell"), id_col).select(
+            id_col, "cell", "codes"
+        ),
+        books,
+    )
+
+
+def ivfpq_adc_topk(
+    queries: DataFrame,
+    encoded: DataFrame,
+    coarse: DataFrame,
+    books: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ search: probe the ``n_probe`` nearest coarse cells, build
+    one ADC table PER (query, probed cell) from the query's residual in
+    that cell (the residual trick means the table is cell-specific), then
+    rank that cell's candidates with m lookups each.  Candidate set is
+    ~n·(n_probe/k_coarse) instead of n, each candidate costs m lookups
+    instead of dim multiplies — the two multiplicative savings composed.
+    Ties break (adc_d2 asc, neighbor id asc) after the repo's round-6
+    float discipline."""
+    from pyspark.sql import Window
+
+    sub = dim // m
+    carr = _centroid_array(coarse)
+    q0 = queries.withColumnRenamed(id_col, query_id_col) \
+        if query_id_col not in queries.columns else queries
+    probed = _probe_cells(q0, carr, n_probe, query_id_col)
+    qres = (
+        probed.join(
+            F.broadcast(coarse.select("cell", F.col("cv").alias("__ctr"))),
+            "cell",
+        )
+        .select(
+            query_id_col, "cell",
+            F.expr("zip_with(qv, __ctr, (x, y) -> x - y)").alias("qrv"),
+        )
+    )
+    qtab = (
+        "transform(__cb, s -> "
+        + D2.format(a=f"slice(qrv, s.j * {sub} + 1, {sub})", b="s.ctr")
+        + ")"
+    )
+    q = (
+        qres.join(F.broadcast(_cb_row(books)))
+        .select(query_id_col, "cell", F.expr(qtab).alias("__qt"))
+    )
+    dist = (
+        f"round(aggregate(sequence(0, {m} - 1), cast(0 as double), "
+        f"(acc, j) -> acc + element_at(__qt, j * {ks} + element_at(codes, j + 1) + 1)), 6)"
+    )
+    scored = (
+        encoded.join(F.broadcast(q), "cell")
         .select(query_id_col, F.col(id_col).alias("neighbor_id"),
                 F.expr(dist).alias("adc_d2"))
     )

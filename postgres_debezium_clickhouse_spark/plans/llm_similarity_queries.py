@@ -205,7 +205,30 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(queries, encoded, books, k=5, m=8, ks=16, dim=64)
 
 
+def q_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 — IVF-PQ (Jégou et al. 2011 §V, the billion-scale composition):
+    16 coarse cells (id-rank init, shared with the IVF family), residuals
+    v − centroid(cell) PQ-encoded into 8×16 codebooks, queries probe 4
+    cells and rank each cell's candidates by residual-space ADC (one
+    cell-specific distance table per (query, probe)).  Fully oracle-
+    checked like its parents — coarse assignment, residuals, codebooks,
+    codes and j-ordered ADC sums all reproduced in SQL."""
+    from ..operators.similarity import (
+        ivf_centroids_df, ivfpq_adc_topk, ivfpq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    coarse = ivf_centroids_df(corpus, n_centroids=16)
+    encoded, books = ivfpq_encode(corpus, coarse, m=8, ks=16, dim=64)
+    return ivfpq_adc_topk(
+        queries, encoded, coarse, books, k=5, m=8, ks=16, dim=64, n_probe=4,
+    )
+
+
 QUERIES = {
+    "similarity_ann_ivfpq_topk": q_ivfpq_adc_topk,
     "similarity_pq_adc_topk": q_pq_adc_topk,
     "similarity_cosine_topk": q_cosine_topk,
     "similarity_ann_lsh_topk": q_ann_lsh_topk,
@@ -254,6 +277,64 @@ ORACLES = {
         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                   ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM s)
         SELECT query_id, neighbor_id, cosine FROM r WHERE rnk <= 5
+    """,
+    "similarity_ann_ivfpq_topk": """
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        c AS (SELECT vec_id, v AS cv FROM e WHERE vec_id >= 5),
+        cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS i, cv AS ctr
+                 FROM (SELECT vec_id, cv FROM c ORDER BY vec_id LIMIT 16)),
+        cd AS (SELECT c.vec_id, c.cv, cent.i,
+                      list_sum(list_transform(list_zip(c.cv, cent.ctr),
+                          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+               FROM c CROSS JOIN cent),
+        cassign AS (SELECT vec_id, cv, i AS ccell FROM
+                    (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY d2, i) AS rn FROM cd) WHERE rn = 1),
+        res AS (SELECT ca.vec_id, ca.ccell,
+                       list_transform(list_zip(ca.cv, cent.ctr),
+                           p -> p[1] - p[2]) AS rv
+                FROM cassign ca JOIN cent ON cent.i = ca.ccell),
+        base AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, rv
+                 FROM (SELECT vec_id, rv FROM res ORDER BY vec_id LIMIT 16)),
+        books AS (SELECT j.j, base.cell, base.rv[j.j * 8 + 1 : j.j * 8 + 8] AS ctr
+                  FROM base CROSS JOIN range(8) j(j)),
+        ed AS (SELECT res.vec_id, b.j, b.cell,
+                      list_sum(list_transform(
+                          list_zip(res.rv[b.j * 8 + 1 : b.j * 8 + 8], b.ctr),
+                          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+               FROM res CROSS JOIN books b),
+        codes AS (SELECT vec_id, j, cell AS code FROM
+                  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                       ORDER BY d2, cell) AS rn FROM ed) WHERE rn = 1),
+        qcd AS (SELECT q.query_id, q.qv, cent.i,
+                       list_sum(list_transform(list_zip(q.qv, cent.ctr),
+                           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+                FROM q CROSS JOIN cent),
+        qprobe AS (SELECT query_id, qv, i AS ccell FROM
+                   (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY d2, i) AS rn FROM qcd) WHERE rn <= 4),
+        qres AS (SELECT qp.query_id, qp.ccell,
+                        list_transform(list_zip(qp.qv, cent.ctr),
+                            p -> p[1] - p[2]) AS qrv
+                 FROM qprobe qp JOIN cent ON cent.i = qp.ccell),
+        qd AS (SELECT qr.query_id, qr.ccell, b.j, b.cell,
+                      list_sum(list_transform(
+                          list_zip(qr.qrv[b.j * 8 + 1 : b.j * 8 + 8], b.ctr),
+                          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+               FROM qres qr CROSS JOIN books b),
+        pairs AS (SELECT qd.query_id, ca.vec_id, qd.j, qd.d2
+                  FROM cassign ca
+                  JOIN codes ON codes.vec_id = ca.vec_id
+                  JOIN qd ON qd.ccell = ca.ccell
+                         AND qd.j = codes.j AND qd.cell = codes.code),
+        dist AS (SELECT query_id, vec_id,
+                        ROUND(list_sum(list(d2 ORDER BY j)), 6) AS adc_d2
+                 FROM pairs GROUP BY query_id, vec_id)
+        SELECT query_id, vec_id AS neighbor_id, adc_d2 FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY adc_d2 ASC, vec_id ASC) AS rn FROM dist)
+        WHERE rn <= 5
     """,
     "similarity_pq_adc_topk": """
         WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
