@@ -430,6 +430,50 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_window_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 — ClickHouse ``windowFunnel(window, 'strict_order')``: the
+    chain breaks on ANY intervening event ("in A→B→D→C, D stops finding
+    A→B→C" — the CH docs' own example), so steps must be IMMEDIATELY
+    consecutive in the user's event stream, each within the window of
+    the previous step.  Deterministic restatement: events ordered by
+    (ts, event_id); anchor = the user's earliest signup; level 2 iff the
+    very next event is a click within 24h; level 3 iff the one after is
+    a purchase within 24h of the click.  One per-user window (lead ×4)
+    — a single hash shuffle, no joins."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    win = F.expr("INTERVAL 24 HOURS")
+    seq = ev.select(
+        "user_id", "ts", "event_type",
+        F.lead("event_type", 1).over(w).alias("n1_type"),
+        F.lead("ts", 1).over(w).alias("n1_ts"),
+        F.lead("event_type", 2).over(w).alias("n2_type"),
+        F.lead("ts", 2).over(w).alias("n2_ts"),
+        F.row_number().over(w).alias("__rn"),
+    )
+    ws = Window.partitionBy("user_id").orderBy(F.col("__rn").asc())
+    anchors = (
+        seq.filter(F.col("event_type") == "signup")
+        .withColumn("__sn", F.row_number().over(ws))
+        .filter(F.col("__sn") == 1)
+    )
+    step2 = (F.col("n1_type") == "click") & (F.col("n1_ts") <= F.col("ts") + win)
+    step3 = step2 & (F.col("n2_type") == "purchase") & (
+        F.col("n2_ts") <= F.col("n1_ts") + win
+    )
+    level = F.when(step3, 3).when(step2, 2).otherwise(1)
+    users = ev.select("user_id").distinct()
+    return (
+        users.join(anchors.select("user_id", level.alias("lv")),
+                   "user_id", "left")
+        .select("user_id", F.coalesce("lv", F.lit(0)).alias("funnel_level"))
+        .groupBy("funnel_level")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def events_micro_ts_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F17 — µs-epoch ↔ timestamp round trip (MicroTimestamp,
     value.json:96-99)."""
@@ -620,6 +664,7 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "events_window_funnel_strict": events_window_funnel_strict,
     "events_value_histogram": events_value_histogram,
     "star_join_revenue": star_join_revenue,
     "order_totals": order_totals,
@@ -958,4 +1003,40 @@ ORACLES["events_value_histogram"] = """
            CAST(mn + (bucket + 1) * ((mx - mn) / 10) AS DOUBLE) AS hi,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM x GROUP BY bucket, mn, mx
+"""
+
+ORACLES["events_window_funnel_strict"] = """
+    WITH seq AS (
+        SELECT user_id, ts, event_type,
+               LEAD(event_type, 1) OVER w AS n1_type,
+               LEAD(ts, 1) OVER w AS n1_ts,
+               LEAD(event_type, 2) OVER w AS n2_type,
+               LEAD(ts, 2) OVER w AS n2_ts,
+               ROW_NUMBER() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    anchors AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY rn ASC) AS sn
+            FROM seq WHERE event_type = 'signup'
+        ) WHERE sn = 1
+    ),
+    lv AS (
+        SELECT user_id,
+               CASE WHEN n1_type = 'click'
+                         AND n1_ts <= ts + INTERVAL 24 HOUR
+                         AND n2_type = 'purchase'
+                         AND n2_ts <= n1_ts + INTERVAL 24 HOUR THEN 3
+                    WHEN n1_type = 'click'
+                         AND n1_ts <= ts + INTERVAL 24 HOUR THEN 2
+                    ELSE 1 END AS l
+        FROM anchors
+    ),
+    users AS (SELECT DISTINCT user_id FROM events)
+    SELECT COALESCE(lv.l, 0) AS funnel_level,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM users LEFT JOIN lv USING (user_id)
+    GROUP BY COALESCE(lv.l, 0)
 """

@@ -129,6 +129,25 @@ def signal_snapshot(
     return sid
 
 
+def signal_stop_snapshot(path: str, target_signal_id: str) -> None:
+    """The Debezium ``stop-snapshot`` signal: cancel an in-progress (or
+    not-yet-started) incremental snapshot.  Chunks already merged STAY —
+    they are correct table truth at the watermark — only the remaining
+    chunks are skipped (Debezium's documented semantics: the collection
+    is removed from the snapshot's to-do, not rolled back)."""
+    sdir = os.path.join(path, SIGNAL_DIR)
+    os.makedirs(sdir, exist_ok=True)
+    marker = os.path.join(sdir, f"{target_signal_id}.stop")
+    tmp = f"{marker}.{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as fh:
+        fh.write("stop-snapshot")
+    os.rename(tmp, marker)
+
+
+def _stop_requested(path: str, sid: str) -> bool:
+    return os.path.exists(os.path.join(path, SIGNAL_DIR, f"{sid}.stop"))
+
+
 def list_signals(path: str) -> list[dict]:
     """Pending signals (oldest first by id-file mtime)."""
     sdir = os.path.join(path, SIGNAL_DIR)
@@ -200,6 +219,8 @@ def run_incremental_snapshot(
     done = _read_progress(path, sid)
     merged = 0
     for i, (lo, hi) in enumerate(bounds):
+        if _stop_requested(path, sid):
+            break  # stop-snapshot: merged chunks stay, the rest skipped
         if i in done:
             continue
         chunk = (
@@ -266,9 +287,10 @@ def process_signals(
             interleave_hook=interleave_hook,
         )
         sdir = os.path.join(path, SIGNAL_DIR)
+        suffix = ".json.stopped" if _stop_requested(path, sid) else ".json.done"
         os.rename(
             os.path.join(sdir, f"{sid}.json"),
-            os.path.join(sdir, f"{sid}.json.done"),
+            os.path.join(sdir, f"{sid}{suffix}"),
         )
         try:
             os.unlink(_progress_path(path, sid))

@@ -191,3 +191,43 @@ def test_signal_lifecycle(spark, dirs):
     st = _state(spark, dirs)
     assert len(st) == N and st[4] == ("T4", W)
     assert process_signals(_table_truth(spark), dirs["silver"], ["id"]) == []
+
+
+def test_stop_snapshot_signal(spark, dirs):
+    """r11: the Debezium stop-snapshot signal — already-merged chunks
+    stay (correct table truth at the watermark), remaining chunks are
+    skipped; a stop BEFORE any chunk merges leaves the store untouched;
+    the signal file is marked .stopped, not .done."""
+    import os
+
+    from postgres_debezium_clickhouse_spark.streaming.snapshot import (
+        signal_stop_snapshot,
+    )
+
+    _stream_merge(spark, dirs, _seed_rows(), "seed")
+    before = _state(spark, dirs)
+
+    # stop mid-run: issue the stop from the interleave hook after chunk 0
+    def hook(i):
+        if i == 0:
+            signal_stop_snapshot(dirs["silver"], "sigstop")
+
+    merged = run_incremental_snapshot(
+        _table_truth(spark), dirs["silver"], ["id"],
+        order_col="id", watermark_version=W, n_chunks=4,
+        signal_id="sigstop", interleave_hook=hook,
+    )
+    assert merged == 1                       # chunk 0 merged, rest skipped
+    mid = _state(spark, dirs)
+    assert mid != before                     # chunk 0's backfill landed
+    assert len(mid) < N                      # but not the whole table
+
+    # stop before start: a pending signal drains to .stopped with 0 chunks
+    sid = signal_snapshot(dirs["silver"], order_col="id", n_chunks=4,
+                          watermark_version=W, signal_id="sigpend")
+    signal_stop_snapshot(dirs["silver"], sid)
+    done = process_signals(_table_truth(spark), dirs["silver"], ["id"])
+    assert done == [sid]
+    sdir = os.path.join(dirs["silver"], "_signals")
+    assert os.path.exists(os.path.join(sdir, f"{sid}.json.stopped"))
+    assert _state(spark, dirs) == mid        # store untouched by sigpend
