@@ -57,6 +57,9 @@ HEADLINE = [
     "similarity_ann_ivf_table", # LLM: IVF probe, centroid-TABLE scale path (r9
                                 # adjudication: equal CPU floor, better wall —
                                 # kept alongside the literal series, BASELINE.md)
+    "dedup_substring_spans",    # LLM: exact-substring dup spans (r11 — the
+                                # heaviest new op: all-positions gram shuffle
+                                # + per-doc interval-union window)
 ]
 
 PASSES = 3

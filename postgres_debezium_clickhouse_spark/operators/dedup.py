@@ -504,20 +504,25 @@ def incremental_dedup(
 def _gram_positions(
     documents: DataFrame, id_col: str, text_col: str, min_len: int
 ) -> DataFrame:
-    """(id, p, g): every 1-based position's ``min_len``-char gram.  The
-    per-row gram array is built in one JVM transform (array size
-    len−L+1; memory is O(len·L) per row during the explode — for
-    book-length documents prefer chunking upstream; the explode itself
-    streams)."""
+    """(id, p, h): every 1-based position's ``min_len``-char gram as an
+    xxhash64 LONG — hashed inside the gram-building transform, so neither
+    the exploded rows nor the downstream shuffles ever carry the gram
+    strings (8 bytes per position instead of min_len chars — a ~5× cut
+    on the one corpus-sized shuffle, measured 6.9s → see BASELINE.md).
+    Collision risk is n²/2⁶⁴ across total corpus positions (≈5×10⁻⁸ at
+    10⁹ grams) — the same class of assumption as the md5-keyed sketches;
+    a collision can only mark one extra position duplicated."""
     grams = F.expr(
         f"CASE WHEN length({text_col}) >= {min_len} "
         f"THEN transform(sequence(1, length({text_col}) - {min_len} + 1), "
-        f"p -> substring({text_col}, p, {min_len})) "
+        f"p -> xxhash64(substring({text_col}, p, {min_len}))) "
         f"ELSE array() END"
     )
-    return documents.select(
-        F.col(id_col), F.posexplode(grams).alias("__pp", "g")
-    ).select(F.col(id_col), (F.col("__pp") + 1).cast("long").alias("p"), "g")
+    # the gram build is CPU-bound at ~|text| hashes per row — spread the
+    # (often few-file) document scan across the cluster first
+    return spread_for_compute(documents).select(
+        F.col(id_col), F.posexplode(grams).alias("__pp", "h")
+    ).select(F.col(id_col), (F.col("__pp") + 1).cast("long").alias("p"), "h")
 
 
 def substring_duplication(
@@ -544,11 +549,16 @@ def substring_duplication(
     from pyspark.sql import Window
 
     pos = _gram_positions(documents, id_col, text_col, min_len)
+    # two passes over the grams (count, then semi-join) rather than one
+    # collect_list-of-positions pass: a boilerplate gram with 10⁸
+    # occurrences at corpus scale would OOM a single collected list,
+    # while the semi-join shuffles it as rows (and the dup-gram side is
+    # small enough to broadcast)
     dup_grams = (
-        pos.groupBy("g").agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > 1).select("g")
+        pos.groupBy("h").agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1).select("h")
     )
-    dup_pos = pos.join(dup_grams, "g", "left_semi")
+    dup_pos = pos.join(dup_grams, "h", "left_semi")
     w = (
         Window.partitionBy(id_col).orderBy("p")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -600,14 +610,12 @@ def winnowing_fingerprints(
     from pyspark.sql import Window
 
     pos = _gram_positions(documents, id_col, text_col, min_len)
-    h = F.xxhash64("g")
     wmin = (
         Window.partitionBy(id_col).orderBy("p")
         .rowsBetween(-(window - 1), 0)
     )
     return (
-        pos.select(F.col(id_col), "p", h.alias("h"))
-        .withColumn("__m", F.min("h").over(wmin))
+        pos.withColumn("__m", F.min("h").over(wmin))
         .filter(F.col("h") == F.col("__m"))
         .select(id_col, "p", "h")
     )
