@@ -49,7 +49,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries, analytics)
 
 _FRONT = (
-    # round-11 additions (never driver-checked) go here, newest first:
+    # round-11 additions (never driver-checked), newest first:
     "events_window_funnel_strict",
     "similarity_ann_ivfpq_topk",
     "similarity_pq_adc_topk",
@@ -62,86 +62,61 @@ _FRONT = (
     "stream_agg_summap_state",
     "cdc_incremental_snapshot",
     "object_store_proto_ingest",
-    # round-10 additions (driver-checked in CORRECTNESS_r10, all green):
-    "events_hll_uniques",
-    "stream_agg_hll_state",
-    "multimodal_decode_formats",
-    "multimodal_audio_msadpcm",
-    "stream_projection_maintained",
-    "multimodal_audio_adpcm",
-    "object_store_avro_ingest",
-    "stream_agg_topk_state",
-    "multimodal_audio_g711",
-    "multimodal_decode_gif",
-    "events_qsample_quantiles",
-    "multimodal_decode_jpeg",
-    "stream_agg_quantile_state",
-    "stream_txn_consistent_state",
-    "silver_projection_route",
-    # steady-state cycling (r9 verdict item 5): the entire cohort whose
-    # latest driver evidence is r6 — 50 names.  r10 grew to ELEVEN new
-    # queries, so the ~50-query window covers them + ~39 of the r6
-    # cohort; the ~11 r6-runoff names lead r11's list.  All 206 queries
-    # are green in this round's LOCAL sweeps at sf0.01 (and sf0.1), so
-    # the runoff is about driver-evidence freshness, not correctness.
-    "buyer_segment_setops",
-    "cdc_bronze_stats",
-    "cdc_change_feed",
-    "cdc_deadletter_stats",
-    "cdc_first_image",
-    "cdc_json_extract_path",
-    "cdc_masked_customers",
-    "cdc_multiplex_route",
-    "cdc_rewrite_mode",
-    "check_violation_counts",
-    "chunk_content_defined",
-    "corpus_domain_blocklist",
-    "corpus_shard_manifest",
-    "corpus_training_order",
-    "corpus_vocab_coverage",
-    "customer_order_counts_outer",
-    "customers_with_orders_semi",
-    "customers_without_orders",
-    "dedup_chunks_crossdoc",
-    "latest_order_per_customer",
-    "line_totals_computed",
-    "lineitem_cube",
-    "lineitem_version_dedup",
-    "max_order",
-    "multimodal_audio_features",
-    "multimodal_decode_deadletter",
-    "multimodal_resize_real",
-    "nation_supplier_full_outer",
-    "order_price_buckets",
-    "order_totals",
-    "orders_running_totals",
-    "orders_status_dedup",
-    "orders_status_pivot",
-    "pricing_summary",
-    "recent_orders_interval",
-    "revenue_rollup",
-    "salted_customer_revenue",
-    "segment_distinct_stats",
-    "segment_stats",
-    "silver_cross_table_revenue",
-    "similarity_ann_ivf_index",
-    "similarity_ivf_recall",
-    "stream_ann_assign",
-    "stream_dedup_new_docs",
-    "stream_drift_quarantine",
-    "supplier_balance_ranks",
-    "text_html_extract",
-    "text_url_extract",
-    "top_customers",
-    "top_parts_by_price",
-    # r7-evidence cohort follows for window slack:
-    "cdc_hotkey_state",
-    "cdc_replay_from_bronze",
-    "corpus_bpe_encode",
-    "corpus_bpe_merges",
-    "corpus_dedup_report",
-    "corpus_domain_pagerank",
-    # llm_queries / ops_queries / staging_queries follow via _MODULES order.
+    # steady-state cycling (oldest driver evidence first — recomputed
+    # r11 from CORRECTNESS_r01..r10: the 15-name r6 cohort that missed
+    # the r10 window, then the r7-evidence cohort.  The ~50-query driver
+    # window covers the additions + everything through most of r7.
+    # (synthetic_transactions, r3 evidence, stays in _BACK by standing
+    # policy: rows-only by contract, so a window slot on it loses a
+    # full-value check.)
+    "revenue_rollup",  # r6
+    "salted_customer_revenue",  # r6
+    "segment_distinct_stats",  # r6
+    "segment_stats",  # r6
+    "silver_cross_table_revenue",  # r6
+    "similarity_ann_ivf_index",  # r6
+    "similarity_ivf_recall",  # r6
+    "stream_ann_assign",  # r6
+    "stream_dedup_new_docs",  # r6
+    "stream_drift_quarantine",  # r6
+    "supplier_balance_ranks",  # r6
+    "text_html_extract",  # r6
+    "text_url_extract",  # r6
+    "top_customers",  # r6
+    "top_parts_by_price",  # r6
+    "cdc_hotkey_state",  # r7
+    "cdc_replay_from_bronze",  # r7
+    "corpus_bpe_encode",  # r7
+    "corpus_bpe_merges",  # r7
+    "corpus_dedup_report",  # r7
+    "corpus_domain_pagerank",  # r7
+    "similarity_truncated_recall",  # r7
+    "text_normalize_unicode",  # r7
+    "quality_classifier_auc",  # r7
+    "text_perplexity_separation",  # r7
+    "text_commonness_separation",  # r7
+    "text_langid_separation",  # r7
+    "text_quality_separation",  # r7
+    "multimodal_thumbnails",  # r7
+    "multimodal_frames",  # r7
+    "llm_multimodal_pipeline",  # r7
+    "corpus_weighted_sample",  # r7
+    "corpus_domain_quality",  # r7
+    "corpus_sketch_distinct",  # r7
+    "events_quantile_sketch",  # r7
+    "stream_bronze_archive",  # r7
+    "stream_silver_state",  # r7
+    "stream_stateful_dedup",  # r7
+    "stream_hourly_counts",  # r7
+    "silver_time_travel",  # r7
+    "silver_mutation",  # r7
+    "stream_sliding_counts",  # r7
+    "stream_sessionization",  # r7
+    "stream_stream_join",  # r7
+    "object_store_typed_ingest",  # r7
+    "stream_neardup_gate",  # r7
+    "sql_correlated_subquery",  # r7
+    "sql_in_subquery",  # r7
 )
 
 # Oracle-inexpressible by the reference's own randomness contract
