@@ -11,6 +11,10 @@ API the tests and the driver contract use.
     oracle NAME                   print the DuckDB oracle SQL
     describe-store PATH           system.parts-style file listing
     versions PATH                 committed versions (time travel pins)
+    signals PATH                  pending incremental-snapshot signals
+    signal-snapshot PATH --order-col K --watermark V [--chunks N]
+                                  enqueue an execute-snapshot signal
+    stop-snapshot PATH SIGNAL_ID  cancel a pending/running snapshot
 """
 
 from __future__ import annotations
@@ -53,6 +57,16 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("path")
     v = sub.add_parser("versions")
     v.add_argument("path")
+    sg = sub.add_parser("signals")
+    sg.add_argument("path")
+    ss = sub.add_parser("signal-snapshot")
+    ss.add_argument("path")
+    ss.add_argument("--order-col", required=True)
+    ss.add_argument("--watermark", required=True, type=int)
+    ss.add_argument("--chunks", type=int, default=8)
+    st = sub.add_parser("stop-snapshot")
+    st.add_argument("path")
+    st.add_argument("signal_id")
     args = ap.parse_args(argv)
 
     if args.cmd == "list":
@@ -91,6 +105,28 @@ def main(argv: list[str] | None = None) -> int:
         from .streaming.pipeline import silver_versions
 
         print(" ".join(str(v) for v in silver_versions(args.path)))
+        return 0
+    if args.cmd == "signals":
+        from .streaming.snapshot import list_signals
+
+        for sig in list_signals(args.path):
+            print(f"{sig['id']}\t{sig['type']}\torder_col={sig['order_col']}"
+                  f"\tn_chunks={sig['n_chunks']}"
+                  f"\twatermark={sig['watermark_version']}")
+        return 0
+    if args.cmd == "signal-snapshot":
+        from .streaming.snapshot import signal_snapshot
+
+        sid = signal_snapshot(
+            args.path, order_col=args.order_col, n_chunks=args.chunks,
+            watermark_version=args.watermark,
+        )
+        print(sid)
+        return 0
+    if args.cmd == "stop-snapshot":
+        from .streaming.snapshot import signal_stop_snapshot
+
+        signal_stop_snapshot(args.path, args.signal_id)
         return 0
     return 2
 

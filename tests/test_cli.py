@@ -31,3 +31,22 @@ def test_describe_and_versions(spark, tmp_path, capsys):
     assert capsys.readouterr().out.strip() == "1"
     assert main(["describe-store", path]) == 0
     assert "primary" in capsys.readouterr().out
+
+
+def test_cli_signal_lifecycle(tmp_path, capsys):
+    """r11: signals / signal-snapshot / stop-snapshot subcommands drive
+    the incremental-snapshot signal files without a SparkSession."""
+    from postgres_debezium_clickhouse_spark.__main__ import main
+
+    store = str(tmp_path / "store")
+    assert main(["signal-snapshot", store, "--order-col", "id",
+                 "--watermark", "500", "--chunks", "4"]) == 0
+    sid = capsys.readouterr().out.strip()
+    assert sid
+    assert main(["signals", store]) == 0
+    out = capsys.readouterr().out
+    assert sid in out and "execute-snapshot" in out and "n_chunks=4" in out
+    assert main(["stop-snapshot", store, sid]) == 0
+    import os
+
+    assert os.path.exists(os.path.join(store, "_signals", f"{sid}.stop"))
