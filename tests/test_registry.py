@@ -78,6 +78,9 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "similarity_ivf_seeding",   # 1-row scalar attaches: recall/occupancy contrast row + k-means-par phi attach
         "corpus_source_overlap",    # KMV pair join: group×group over the sketch TABLE (group-count-sized metadata, never data)
         "corpus_content_drift",     # scalar attach: 1-row broadcast corpus-total
+        "similarity_pq_adc_topk",   # scalar attaches: 1-row broadcast codebook row + per-query ADC tables (index metadata)
+        "similarity_ann_ivfpq_topk",  # scalar attaches: centroid array + codebook row + per-(query,probe) ADC tables
+        "events_value_histogram",   # scalar attach: 1-row broadcast global min/max
     }
     oracle_checked = set(m.oracle_sql())
     checked = 0
