@@ -225,6 +225,51 @@ def stream_ann_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_pq_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 — streaming SEMANTIC dedup gate on PQ codes (the deployed-
+    index pattern the IVF assign stream established, applied to
+    dedup-by-quantization: real pipelines drop an incoming embedding
+    whose product-quantizer codes collide with an already-stored vector
+    — code-identical ⇒ same Voronoi cell in every subspace ⇒ near-dup at
+    the quantizer's resolution).  Codebooks + the corpus's distinct code
+    set are FROZEN (batch-built, localCheckpoint); each micro-batch
+    PQ-encodes its new vectors map-side against the broadcast codebooks
+    and left-anti joins the static code set — no state store, no stream
+    shuffle.  Fixture: new vectors derive from corpus vec_id ≡1 (mod 3)
+    — odd ids arrive as EXACT copies (code-identical by construction →
+    must be dropped), even ids arrive dimension-REVERSED (admitted iff
+    their codes genuinely differ — the oracle recomputes both sides'
+    codes, so the decision itself is value-checked, not assumed)."""
+    from ..operators.similarity import pq_codebooks, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    books = pq_codebooks(corpus, m=8, ks=16, dim=64).localCheckpoint()
+    code_key = F.concat_ws(
+        "-", F.transform(F.col("codes"), lambda c: c.cast("string"))
+    )
+    corpus_keys = (
+        pq_encode(corpus, books, m=8, dim=64)
+        .select(code_key.alias("ck")).distinct().localCheckpoint()
+    )
+    k = F.col("vec_id")
+    new_vecs = corpus.filter(k % 3 == 1).select(
+        (k + 100000).alias("vec_id"),
+        F.when(k % 2 == 1, F.col("embedding"))
+        .otherwise(F.reverse("embedding")).alias("embedding"),
+    )
+
+    def gate(df: DataFrame) -> DataFrame:
+        enc = pq_encode(df, books, m=8, dim=64)
+        return (
+            enc.withColumn("ck", code_key)
+            .join(corpus_keys, "ck", "left_anti")
+            .select("vec_id")
+        )
+
+    return _mv_replay(spark, "pqgate", new_vecs, gate)
+
+
 def stream_drift_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r6: schema-drift alert → ACTION.  ``stream_schema_drift`` detects;
     this query reacts: each micro-batch is split by ``split_on_drift``
@@ -523,6 +568,7 @@ def stream_image_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "stream_pq_dedup_gate": stream_pq_dedup_gate,
     "stream_image_dedup_gate": stream_image_dedup_gate,
     "stream_quality_filter": stream_quality_filter,
     "stream_filter_report": stream_filter_report,
@@ -534,6 +580,40 @@ QUERIES = {
 }
 
 ORACLES: dict[str, str] = {
+    "stream_pq_dedup_gate": """
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        c AS (SELECT vec_id, v AS cv FROM e WHERE vec_id >= 5),
+        base AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, cv
+                 FROM (SELECT vec_id, cv FROM c ORDER BY vec_id LIMIT 16)),
+        books AS (SELECT j.j, base.cell, base.cv[j.j * 8 + 1 : j.j * 8 + 8] AS ctr
+                  FROM base CROSS JOIN range(8) j(j)),
+        cd AS (SELECT c.vec_id, b.j, b.cell,
+                      list_sum(list_transform(
+                          list_zip(c.cv[b.j * 8 + 1 : b.j * 8 + 8], b.ctr),
+                          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+               FROM c CROSS JOIN books b),
+        codes AS (SELECT vec_id, j, cell AS code FROM
+                  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                       ORDER BY d2, cell) AS rn FROM cd) WHERE rn = 1),
+        ck AS (SELECT vec_id, string_agg(CAST(code AS VARCHAR), '-' ORDER BY j) AS ck
+               FROM codes GROUP BY vec_id),
+        nv AS (SELECT vec_id + 100000 AS new_id,
+                      CASE WHEN vec_id % 2 = 1 THEN cv
+                           ELSE list_reverse(cv) END AS v
+               FROM c WHERE vec_id % 3 = 1),
+        nd AS (SELECT nv.new_id, b.j, b.cell,
+                      list_sum(list_transform(
+                          list_zip(nv.v[b.j * 8 + 1 : b.j * 8 + 8], b.ctr),
+                          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+               FROM nv CROSS JOIN books b),
+        ncodes AS (SELECT new_id, j, cell AS code FROM
+                   (SELECT *, ROW_NUMBER() OVER (PARTITION BY new_id, j
+                        ORDER BY d2, cell) AS rn FROM nd) WHERE rn = 1),
+        nck AS (SELECT new_id, string_agg(CAST(code AS VARCHAR), '-' ORDER BY j) AS ck
+                FROM ncodes GROUP BY new_id)
+        SELECT new_id AS vec_id FROM nck
+        WHERE ck NOT IN (SELECT DISTINCT ck FROM ck)
+    """,
     # closed form (see the fixture): every perturbed corpus copy is a
     # near-dup (planted Hamming ≤ 1, banded ≥ 1 shared band → dropped);
     # every genuinely-new image is ≥ 15 bits from the whole corpus
