@@ -287,3 +287,193 @@ def bpe_encode_arrow(
             )
 
     return documents.select(id_col, text_col).mapInPandas(_encode, schema)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (Kudo 2018, "Subword Regularization" — the
+# SentencePiece unigram model; r11).  The OTHER mainstream subword
+# trainer next to BPE: a piece vocabulary with probabilities, trained by
+# EM, segmenting by maximum-likelihood (Viterbi).  This implementation is
+# the deterministic hard-EM (Viterbi-EM) variant, with the Viterbi DP
+# itself expressed as Spark HIGHER-ORDER FUNCTIONS over each word — an
+# aggregate() fold building the dp array, then a second fold walking the
+# backpointers — so training never leaves the JVM (contrast bpe_encode's
+# documented Arrow boundary).  Determinism contract (same as the IVF/PQ
+# family): seed vocab = top-N substrings by (freq desc, piece asc);
+# log-probs rounded to 6 places before the DP so cross-engine libm
+# last-ulp noise cannot flip comparisons; DP ties break toward the
+# smallest backpointer (longest final piece).
+# ---------------------------------------------------------------------------
+
+#: forward DP over positions 1..len(w): dp[i] = min over j∈[i-K, i) of
+#: dp[j] − logp(w[j+1..i]) (negated log-likelihood; unknown pieces cost
+#: +1e9, but single chars are always in the vocab so a path exists).
+#: Entry = struct(negs, bp); array_min picks (min cost, then min bp).
+_UNIGRAM_DP = """
+aggregate(
+  sequence(1, length(w)),
+  array(struct(cast(0.0 as double) as negs, -1 as bp)),
+  (acc, i) -> concat(acc, array(
+    array_min(
+      transform(sequence(greatest(i - {K}, 0), i - 1), j ->
+        struct(
+          element_at(acc, j + 1).negs
+            - coalesce(element_at(__vm, substring(w, j + 1, i - j)),
+                       cast(-1000000000.0 as double)) as negs,
+          j as bp))))))
+"""
+
+#: backtrace: walk bp from len(w) to 0, prepending each piece — at most
+#: len(w) steps, so folding over sequence(1, len(w)) with a no-op guard
+#: terminates exactly.
+_UNIGRAM_BT = """
+aggregate(
+  sequence(1, length(w)),
+  struct(length(w) as pos, cast(array() as array<string>) as ts),
+  (acc, x) -> if(acc.pos <= 0, acc,
+    struct(
+      element_at(dp, acc.pos + 1).bp as pos,
+      concat(array(substring(w, element_at(dp, acc.pos + 1).bp + 1,
+                             acc.pos - element_at(dp, acc.pos + 1).bp)),
+             acc.ts) as ts))).ts
+"""
+
+
+def unigram_words(
+    documents: DataFrame, text_col: str = "text", max_word_len: int = 16
+) -> DataFrame:
+    """(w, cnt): whitespace words with occurrence counts — the same word
+    model as the BPE trainer.  Words longer than ``max_word_len`` are
+    excluded from TRAINING (bounds the per-word DP; encode-time would
+    still segment them through single chars)."""
+    return (
+        documents.select(
+            F.explode(
+                F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+            ).alias("w")
+        )
+        .filter(F.length("w") <= max_word_len)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def unigram_seed_vocab(
+    words: DataFrame, max_piece_len: int = 4, seed_size: int = 48
+) -> DataFrame:
+    """(piece, freq): the top ``seed_size`` multi-char substrings by
+    occurrence-weighted frequency (ties → lexicographic) plus EVERY
+    single character (the segmentability floor).  One explode of all
+    substrings up to ``max_piece_len`` — O(len·K) pieces per word, over
+    DISTINCT words only."""
+    subs = (
+        words.select(
+            "cnt",
+            F.explode(F.expr(
+                f"flatten(transform(sequence(1, length(w)), i -> "
+                f"transform(sequence(1, least({max_piece_len}, length(w) - i + 1)), "
+                f"l -> substring(w, i, l))))"
+            )).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("freq"))
+    )
+    multi = (
+        subs.filter(F.length("piece") > 1)
+        .orderBy(F.col("freq").desc(), F.col("piece").asc())
+        .limit(seed_size)
+    )
+    return multi.unionByName(subs.filter(F.length("piece") == 1))
+
+
+def _unigram_logp(vocab_freq: DataFrame) -> DataFrame:
+    """(piece, logp): round(ln(freq/total), 6) — the 6-place rounding IS
+    the determinism contract (see module comment)."""
+    tot = vocab_freq.agg(F.sum("freq").alias("__t"))
+    return (
+        vocab_freq.join(F.broadcast(tot))
+        .select(
+            "piece",
+            F.round(F.log(F.col("freq") / F.col("__t")), 6).alias("logp"),
+        )
+    )
+
+
+def unigram_viterbi_tokens(
+    words: DataFrame, vocab_logp: DataFrame, max_piece_len: int = 4
+) -> DataFrame:
+    """(w, cnt, ts): each word's maximum-likelihood segmentation against
+    the broadcast vocab map — two JVM folds per word, no UDF."""
+    vm = vocab_logp.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("piece", "logp"))
+        ).alias("__vm")
+    )
+    return (
+        words.join(F.broadcast(vm))
+        .withColumn("dp", F.expr(_UNIGRAM_DP.format(K=max_piece_len)))
+        .withColumn("ts", F.expr(_UNIGRAM_BT))
+        .select("w", "cnt", "ts")
+    )
+
+
+def unigram_train(
+    documents: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    seed_size: int = 48,
+    n_iters: int = 1,
+    max_word_len: int = 16,
+) -> DataFrame:
+    """Train the unigram model: seed vocab → ``n_iters`` Viterbi-EM
+    rounds (E: maximum-likelihood segmentation of every distinct word;
+    M: piece frequencies from the Viterbi paths, weighted by word
+    occurrence counts).  Pieces that win zero Viterbi mass are PRUNED —
+    except single chars, which stay with a 0.5-count floor (the
+    segmentability guarantee).  Returns (piece, cnt, logp) where cnt is
+    the final Viterbi mass (bigint; char floors surface as cnt=0).
+
+    Scale: each round is one broadcast map over DISTINCT words (the DP
+    is O(len·K) per word) + one piece group-by; vocab artifacts are
+    O(seed_size + alphabet) rows, localCheckpoint-frozen per round so
+    the plan does not grow with iterations — the same shape as the BPE
+    trainer's round loop."""
+    words = unigram_words(documents, text_col, max_word_len).localCheckpoint(
+        eager=True
+    )
+    chars = (
+        words.select(F.explode(F.split("w", "")).alias("piece"))
+        .filter(F.length("piece") == 1)
+        .distinct()
+    )
+    vocab = _unigram_logp(
+        unigram_seed_vocab(words, max_piece_len, seed_size)
+    ).localCheckpoint(eager=True)
+    counts = None
+    for _ in range(n_iters):
+        toks = unigram_viterbi_tokens(words, vocab, max_piece_len)
+        counts = (
+            toks.select("cnt", F.explode("ts").alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("cnt").alias("vcnt"))
+        )
+        freqs = (
+            chars.join(counts, "piece", "left")
+            .select(
+                "piece",
+                F.coalesce(F.col("vcnt").cast("double"), F.lit(0.5)).alias("freq"),
+            )
+            .unionByName(
+                counts.join(chars, "piece", "left_anti")
+                .select("piece", F.col("vcnt").cast("double").alias("freq"))
+            )
+        )
+        vocab = _unigram_logp(freqs).localCheckpoint(eager=True)
+    return (
+        vocab.join(counts, "piece", "left")
+        .select(
+            "piece",
+            F.coalesce("vcnt", F.lit(0)).cast("long").alias("cnt"),
+            "logp",
+        )
+    )

@@ -218,7 +218,33 @@ def q_qsample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 — unigram-LM tokenizer training (Kudo 2018, the SentencePiece
+    model — the OTHER mainstream subword trainer next to BPE), fully
+    value-oracled: seed vocab = top-48 substrings by frequency + every
+    char, then ONE Viterbi E-step whose maximum-likelihood DP runs as
+    Spark higher-order-function folds per word (no UDF; the EM loop
+    proper is pytest-covered via the monotone-objective invariant).
+    Output: the top-30 pieces by Viterbi mass.  The DuckDB oracle
+    re-runs the SAME DP as a recursive CTE (the ADPCM state-machine
+    precedent) with the round-6 logp discipline, so segmentation is
+    compared decision-for-decision, not just statistically."""
+    from ..operators.tokenizer import unigram_train
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    v = unigram_train(docs, n_iters=1)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("piece").asc())
+    return (
+        v.filter(F.col("cnt") > 0)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 30)
+        .select("rank", "piece", "cnt")
+    )
+
+
 QUERIES = {
+    "corpus_unigram_vocab": q_corpus_unigram_vocab,
     "events_qsample_quantiles": q_qsample_quantiles,
     "corpus_domain_blocklist": q_corpus_domain_blocklist,
     "corpus_domain_quality": q_domain_quality_report,
@@ -230,6 +256,64 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_unigram_vocab": """
+        WITH words AS (
+          SELECT w, COUNT(*) AS cnt FROM (
+            SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+            FROM documents) t WHERE length(w) <= 16 GROUP BY w
+        ),
+        subs AS (
+          SELECT piece, SUM(cnt) AS freq FROM (
+            SELECT w.cnt, substr(w.w, CAST(i.i AS INT), CAST(l.l AS INT)) AS piece
+            FROM words w
+            CROSS JOIN LATERAL (SELECT unnest(range(1, length(w.w) + 1))) i(i)
+            CROSS JOIN LATERAL (SELECT unnest(range(1, LEAST(4, length(w.w) - i.i + 1) + 1))) l(l)
+          ) t GROUP BY piece
+        ),
+        multi AS (SELECT piece, freq FROM subs WHERE length(piece) > 1
+                  ORDER BY freq DESC, piece ASC LIMIT 48),
+        seed AS (SELECT * FROM multi
+                 UNION ALL SELECT piece, freq FROM subs WHERE length(piece) = 1),
+        tot AS (SELECT SUM(freq) AS t FROM seed),
+        vocab AS (SELECT piece, ROUND(LN(freq / t), 6) AS logp FROM seed, tot),
+        dpr AS (
+          WITH RECURSIVE r AS (
+            SELECT w, cnt, 0 AS pos, [CAST(0.0 AS DOUBLE)] AS negs,
+                   CAST([] AS BIGINT[]) AS bps
+            FROM words
+            UNION ALL
+            SELECT r.w, r.cnt, r.pos + 1, r.negs || [b.bn], r.bps || [b.bj]
+            FROM r, LATERAL (
+              SELECT cand.negs AS bn, cand.j AS bj FROM (
+                SELECT r.negs[CAST(j.j + 1 AS INT)]
+                       - COALESCE((SELECT v.logp FROM vocab v
+                                   WHERE v.piece = substr(r.w, CAST(j.j + 1 AS INT),
+                                                          CAST(r.pos + 1 - j.j AS INT))),
+                                  -1000000000.0) AS negs,
+                       j.j AS j
+                FROM (SELECT unnest(range(GREATEST(r.pos + 1 - 4, 0), r.pos + 1)) AS j) j
+              ) cand ORDER BY cand.negs, cand.j LIMIT 1
+            ) b
+            WHERE r.pos < length(r.w)
+          )
+          SELECT w, cnt, bps FROM r WHERE pos = length(w)
+        ),
+        bt AS (
+          WITH RECURSIVE b AS (
+            SELECT w, cnt, CAST(length(w) AS BIGINT) AS pos, bps FROM dpr
+            UNION ALL
+            SELECT w, cnt, bps[CAST(pos AS INT)] AS pos, bps FROM b WHERE pos > 0
+          )
+          SELECT w, cnt,
+                 substr(w, CAST(bps[CAST(pos AS INT)] + 1 AS INT),
+                        CAST(pos - bps[CAST(pos AS INT)] AS INT)) AS piece
+          FROM b WHERE pos > 0
+        ),
+        counts AS (SELECT piece, SUM(cnt) AS cnt FROM bt GROUP BY piece),
+        top AS (SELECT piece, CAST(cnt AS BIGINT) AS cnt,
+                ROW_NUMBER() OVER (ORDER BY cnt DESC, piece ASC) AS rank FROM counts)
+        SELECT CAST(rank AS INT) AS rank, piece, cnt FROM top WHERE rank <= 30
+    """,
     "events_qsample_quantiles": """
         WITH h AS (
             SELECT event_type, value,

@@ -223,3 +223,89 @@ def test_bpe_encode_arrow_preserves_id_dtype(spark):
     docs = spark.createDataFrame([("d-1", "ab ab")], "doc_id string, text string")
     out = bpe_encode_arrow(docs, [("a", "b")]).collect()
     assert out[0].doc_id == "d-1" and out[0].n_subwords == 2
+
+
+def _unigram_docs(spark):
+    return spark.createDataFrame(
+        [(1, "the cat sat on the mat the cat"),
+         (2, "the mat the cat the hat thecat")],
+        "doc_id long, text string",
+    )
+
+
+def test_unigram_viterbi_picks_whole_pieces_and_splits_unknowns(spark):
+    """r11: frequent words segment as single pieces; a word ABSENT from
+    the multi-char seeds ('thecat', length 6 > max_piece_len) must split
+    into the maximum-likelihood pieces — here the frequent 'the'+'cat'
+    (two likely pieces beat any char-path)."""
+    from postgres_debezium_clickhouse_spark.operators.tokenizer import (
+        _unigram_logp, unigram_seed_vocab, unigram_viterbi_tokens,
+        unigram_words,
+    )
+
+    words = unigram_words(_unigram_docs(spark))
+    vocab = _unigram_logp(unigram_seed_vocab(words))
+    seg = {r.w: list(r.ts) for r in
+           unigram_viterbi_tokens(words, vocab).collect()}
+    assert seg["the"] == ["the"] and seg["cat"] == ["cat"]
+    assert seg["thecat"] == ["the", "cat"]
+    # every segmentation concatenates back to its word (losslessness)
+    assert all("".join(ts) == w for w, ts in seg.items())
+
+
+def test_unigram_train_counts_floor_and_determinism(spark):
+    from postgres_debezium_clickhouse_spark.operators.tokenizer import (
+        unigram_train,
+    )
+
+    out1 = {r.piece: (r.cnt, r.logp) for r in
+            unigram_train(_unigram_docs(spark), n_iters=1).collect()}
+    out2 = {r.piece: (r.cnt, r.logp) for r in
+            unigram_train(_unigram_docs(spark), n_iters=1).collect()}
+    assert out1 == out2                      # deterministic rebuild
+    assert out1["the"][0] == 7               # 6 standalone + 1 in 'thecat'
+    assert out1["cat"][0] == 4               # 3 standalone + 1 in 'thecat'
+    # unused single chars survive with the 0.5-probability floor, cnt 0
+    assert out1["e"][0] == 0 and out1["e"][1] < out1["the"][1]
+    # pieces that won no Viterbi mass are pruned (e.g. 'at' loses to
+    # whole-word pieces everywhere)
+    assert "at" not in out1
+
+
+def test_unigram_hard_em_objective_monotone(spark, sf_dir):
+    """Viterbi-EM (classification EM): the corpus Viterbi cost under
+    each iteration's OWN vocab is non-increasing — M maximizes the fixed
+    segmentation's likelihood, E can only improve the segmentation.
+    Asserted with an epsilon for the round-6 logp discipline."""
+    import pyspark.sql.functions as F
+    from postgres_debezium_clickhouse_spark.operators.tokenizer import (
+        unigram_train, unigram_viterbi_tokens, unigram_words,
+    )
+    from postgres_debezium_clickhouse_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(80)
+    words = unigram_words(docs).localCheckpoint(eager=True)
+
+    def corpus_cost(vocab):
+        seg = unigram_viterbi_tokens(words, vocab.select("piece", "logp"))
+        tok = seg.select("cnt", F.explode("ts").alias("piece"))
+        return (
+            tok.join(vocab.select("piece", "logp"), "piece")
+            .agg(F.sum(-F.col("logp") * F.col("cnt"))).first()[0]
+        )
+
+    v1 = unigram_train(docs, n_iters=1)
+    v2 = unigram_train(docs, n_iters=2)
+    c1, c2 = corpus_cost(v1), corpus_cost(v2)
+    assert c2 <= c1 + 1e-3, (c1, c2)
+
+
+def test_unigram_word_len_cap(spark):
+    from postgres_debezium_clickhouse_spark.operators.tokenizer import (
+        unigram_words,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "short " + "x" * 40)], "doc_id long, text string")
+    ws = {r.w for r in unigram_words(docs, max_word_len=16).collect()}
+    assert ws == {"short"}
