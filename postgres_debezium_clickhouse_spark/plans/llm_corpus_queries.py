@@ -243,8 +243,56 @@ def q_corpus_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 — unigram ENCODE over the trained model (the BPE family's
+    train+encode parity): every document's words segment by the same
+    JVM Viterbi folds against the one-E-step vocab, then per-document
+    subword accounting — n_words / n_subwords / n_chars / compression.
+    Segmentation runs once per DISTINCT word and joins back to the
+    per-document word counts (the vocabulary-sized work vs corpus-sized
+    work split every tokenizer deployment uses).  Words beyond the
+    16-char training cap are excluded in both engines (the documented
+    trainer contract)."""
+    from ..operators.tokenizer import (
+        unigram_train, unigram_viterbi_tokens, unigram_words,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = unigram_train(docs, n_iters=1).select("piece", "logp")
+    words = unigram_words(docs)
+    pieces = unigram_viterbi_tokens(words, vocab).select(
+        "w", F.size("ts").alias("n_pieces")
+    )
+    doc_words = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+            ).alias("w"),
+        )
+        .filter(F.length("w") <= 16)
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        doc_words.join(pieces, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_pieces")).alias("n_subwords"),
+            F.sum(F.col("cnt") * F.length("w")).alias("n_chars"),
+        )
+        .select(
+            "doc_id", "n_words", "n_subwords", "n_chars",
+            F.round(F.col("n_chars") / F.col("n_subwords"), 4)
+            .alias("compression"),
+        )
+    )
+
+
 QUERIES = {
     "corpus_unigram_vocab": q_corpus_unigram_vocab,
+    "corpus_unigram_encode": q_corpus_unigram_encode,
     "events_qsample_quantiles": q_qsample_quantiles,
     "corpus_domain_blocklist": q_corpus_domain_blocklist,
     "corpus_domain_quality": q_domain_quality_report,
@@ -256,6 +304,71 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_unigram_encode": """
+        WITH words AS (
+          SELECT w, COUNT(*) AS cnt FROM (
+            SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+            FROM documents) t WHERE length(w) <= 16 GROUP BY w
+        ),
+        subs AS (
+          SELECT piece, SUM(cnt) AS freq FROM (
+            SELECT w.cnt, substr(w.w, CAST(i.i AS INT), CAST(l.l AS INT)) AS piece
+            FROM words w
+            CROSS JOIN LATERAL (SELECT unnest(range(1, length(w.w) + 1))) i(i)
+            CROSS JOIN LATERAL (SELECT unnest(range(1, LEAST(4, length(w.w) - i.i + 1) + 1))) l(l)
+          ) t GROUP BY piece
+        ),
+        multi AS (SELECT piece, freq FROM subs WHERE length(piece) > 1
+                  ORDER BY freq DESC, piece ASC LIMIT 48),
+        seed AS (SELECT * FROM multi
+                 UNION ALL SELECT piece, freq FROM subs WHERE length(piece) = 1),
+        tot AS (SELECT SUM(freq) AS t FROM seed),
+        vocab AS (SELECT piece, ROUND(LN(freq / t), 6) AS logp FROM seed, tot),
+        dpr AS (
+          WITH RECURSIVE r AS (
+            SELECT w, 0 AS pos, [CAST(0.0 AS DOUBLE)] AS negs,
+                   CAST([] AS BIGINT[]) AS bps
+            FROM words
+            UNION ALL
+            SELECT r.w, r.pos + 1, r.negs || [b.bn], r.bps || [b.bj]
+            FROM r, LATERAL (
+              SELECT cand.negs AS bn, cand.j AS bj FROM (
+                SELECT r.negs[CAST(j.j + 1 AS INT)]
+                       - COALESCE((SELECT v.logp FROM vocab v
+                                   WHERE v.piece = substr(r.w, CAST(j.j + 1 AS INT),
+                                                          CAST(r.pos + 1 - j.j AS INT))),
+                                  -1000000000.0) AS negs,
+                       j.j AS j
+                FROM (SELECT unnest(range(GREATEST(r.pos + 1 - 4, 0), r.pos + 1)) AS j) j
+              ) cand ORDER BY cand.negs, cand.j LIMIT 1
+            ) b
+            WHERE r.pos < length(r.w)
+          )
+          SELECT w, bps FROM r WHERE pos = length(w)
+        ),
+        npieces AS (
+          WITH RECURSIVE b AS (
+            SELECT w, CAST(length(w) AS BIGINT) AS pos, bps FROM dpr
+            UNION ALL
+            SELECT w, bps[CAST(pos AS INT)] AS pos, bps FROM b WHERE pos > 0
+          )
+          SELECT w, COUNT(*) AS n_pieces FROM b WHERE pos > 0 GROUP BY w
+        ),
+        doc_words AS (
+          SELECT doc_id, w, COUNT(*) AS cnt FROM (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+            FROM documents) t WHERE length(w) <= 16 GROUP BY doc_id, w
+        )
+        SELECT d.doc_id,
+               CAST(SUM(d.cnt) AS BIGINT) AS n_words,
+               CAST(SUM(d.cnt * p.n_pieces) AS BIGINT) AS n_subwords,
+               CAST(SUM(d.cnt * length(d.w)) AS BIGINT) AS n_chars,
+               ROUND(CAST(SUM(d.cnt * length(d.w)) AS DOUBLE)
+                     / SUM(d.cnt * p.n_pieces), 4) AS compression
+        FROM doc_words d JOIN npieces p ON p.w = d.w
+        GROUP BY d.doc_id
+    """,
     "corpus_unigram_vocab": """
         WITH words AS (
           SELECT w, COUNT(*) AS cnt FROM (
