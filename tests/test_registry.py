@@ -81,6 +81,8 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "similarity_pq_adc_topk",   # scalar attaches: 1-row broadcast codebook row + per-query ADC tables (index metadata)
         "similarity_ann_ivfpq_topk",  # scalar attaches: centroid array + codebook row + per-(query,probe) ADC tables
         "events_value_histogram",   # scalar attach: 1-row broadcast global min/max
+        "corpus_unigram_vocab",     # scalar attaches: 1-row broadcast vocab map + total (vocab-sized metadata)
+        "corpus_unigram_encode",    # same vocab-map/total attaches, encode side
     }
     oracle_checked = set(m.oracle_sql())
     checked = 0
