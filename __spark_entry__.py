@@ -50,6 +50,7 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 
 _FRONT = (
     # round-11 additions (never driver-checked), newest first:
+    "events_weighted_quantiles",
     "corpus_unigram_encode",
     "corpus_unigram_vocab",
     "stream_pq_dedup_gate",

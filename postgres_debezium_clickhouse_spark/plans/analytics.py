@@ -474,6 +474,38 @@ def events_window_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 — ClickHouse ``quantileExactWeighted(q)(x, w)``: the exact
+    weighted quantile (each value counted with an integer weight —
+    CH's recommendation over plain quantileExact when rows carry
+    repetition counts).  Deterministic restatement of CH's own rule:
+    the answer is the first value, in ascending order, whose RUNNING
+    weight reaches q × total weight.  One per-group sort window for the
+    cumulative weight + one min-aggregate per quantile — no collect, no
+    UDF; weights here are the deterministic 1 + user_id mod 3."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value",
+        (F.lit(1) + F.col("user_id") % 3).cast("long").alias("wt"),
+    )
+    g = ev.groupBy("event_type", "value").agg(F.sum("wt").alias("w"))
+    win = Window.partitionBy("event_type").orderBy("value")
+    tot = Window.partitionBy("event_type")
+    c = g.select(
+        "event_type", "value",
+        F.sum("w").over(win).alias("cum"),
+        F.sum("w").over(tot).alias("tw"),
+    )
+    def q(p):
+        return F.min(
+            F.when(F.col("cum") >= p * F.col("tw"), F.col("value"))
+        )
+    return c.groupBy("event_type").agg(
+        q(0.5).alias("p50_weighted"),
+        q(0.9).alias("p90_weighted"),
+        F.max("tw").cast("long").alias("total_weight"),
+    )
+
+
 def events_micro_ts_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F17 — µs-epoch ↔ timestamp round trip (MicroTimestamp,
     value.json:96-99)."""
@@ -664,6 +696,7 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "events_weighted_quantiles": events_weighted_quantiles,
     "events_window_funnel_strict": events_window_funnel_strict,
     "events_value_histogram": events_value_histogram,
     "star_join_revenue": star_join_revenue,
@@ -1039,4 +1072,22 @@ ORACLES["events_window_funnel_strict"] = """
            CAST(COUNT(*) AS BIGINT) AS n_users
     FROM users LEFT JOIN lv USING (user_id)
     GROUP BY COALESCE(lv.l, 0)
+"""
+
+ORACLES["events_weighted_quantiles"] = """
+    WITH g AS (
+        SELECT event_type, value, SUM(1 + user_id % 3) AS w
+        FROM events GROUP BY event_type, value
+    ),
+    c AS (
+        SELECT event_type, value,
+               SUM(w) OVER (PARTITION BY event_type ORDER BY value) AS cum,
+               SUM(w) OVER (PARTITION BY event_type) AS tw
+        FROM g
+    )
+    SELECT event_type,
+           MIN(CASE WHEN cum >= 0.5 * tw THEN value END) AS p50_weighted,
+           MIN(CASE WHEN cum >= 0.9 * tw THEN value END) AS p90_weighted,
+           CAST(MAX(tw) AS BIGINT) AS total_weight
+    FROM c GROUP BY event_type
 """
