@@ -33,6 +33,7 @@ BOUNDED_SITES = {
     "operators/similarity.py": "idorder seed cells over .limit(n_centroids) — ≤ n_centroids rows",
     "operators/curation.py": "shard-offset cumsum over the 256-shard count table (groupBy __shard output)",
     "plans/llm_quality_queries.py": "AUC rank over the held-out eval set — fixture-bounded guard, not a corpus pass",
+    "plans/llm_corpus_queries.py": "unigram vocab rank over the trained piece table — ≤ seed_size + alphabet rows (vocab metadata, never corpus)",
 }
 
 
