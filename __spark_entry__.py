@@ -50,6 +50,7 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 
 _FRONT = (
     # round-11 additions (never driver-checked), newest first:
+    "stream_agg_sortedarray_state",
     "events_weighted_quantiles",
     "corpus_unigram_encode",
     "corpus_unigram_vocab",

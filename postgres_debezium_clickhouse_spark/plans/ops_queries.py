@@ -955,6 +955,60 @@ def stream_agg_bitmap_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sh.rmtree(d, ignore_errors=True)
 
 
+def stream_agg_sortedarray_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 — CH ``groupArraySorted(N)`` state: the N smallest values per
+    key, duplicates kept, merged flatten+sort+slice across micro-batches
+    (bounded at sorted_k per key; associative+commutative so splits
+    cannot change it; the sink's replay guard covers non-idempotence
+    like sum's).  Hash-checked: the exploded (event_type, rank, value)
+    rows must equal the whole-table per-type bottom-32."""
+    from ..streaming.pipeline import read_silver, silver_summing_stream
+
+    import shutil as _sh
+
+    run = uuid.uuid4().hex[:12]
+    root = tempfile.gettempdir()
+    src = f"{root}/sarr_src_{run}"
+    dst = f"{root}/sarr_out_{run}"
+    ckpt = f"{root}/sarr_ckpt_{run}"
+    try:
+        events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_type", "value"
+        )
+        events.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+        )
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = silver_summing_stream(
+                stream, dst, ckpt, keys=["event_type"],
+                agg_spec={"sa": ("value", "sortedarray")}, sorted_k=32,
+                available_now=True,
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("sortedarray stream did not finish in 300s")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        return (
+            read_silver(spark, dst)
+            .select("event_type", F.posexplode("sa").alias("idx", "v"))
+            .select(
+                "event_type",
+                (F.col("idx") + 1).cast("int").alias("rnk"),
+                F.col("v").cast("double").alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for d in (src, dst, ckpt):
+            _sh.rmtree(d, ignore_errors=True)
+
+
 def stream_agg_argmax_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r9 — the CH ``argMaxState``/``argMinState`` columns in the
     aggregating sink: per event_type the store maintains (latest-ts
@@ -2344,6 +2398,7 @@ QUERIES = {
     "object_store_tsv_ingest": object_store_tsv_ingest,
     "stream_agg_summap_state": stream_agg_summap_state,
     "stream_agg_bitmap_state": stream_agg_bitmap_state,
+    "stream_agg_sortedarray_state": stream_agg_sortedarray_state,
 }
 
 _ORDERS_FINAL_STATE = """
@@ -2601,6 +2656,15 @@ ORACLES["object_store_tsv_ingest"] = """
                 ELSE 'L1' || chr(10) || o_orderpriority || chr(9) || 'b\\'
                      || CAST(o_orderkey % 7 AS VARCHAR) END AS note
     FROM orders
+"""
+
+ORACLES["stream_agg_sortedarray_state"] = """
+    SELECT event_type, CAST(rnk AS INT) AS rnk, CAST(value AS DOUBLE) AS v
+    FROM (SELECT event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                     ORDER BY value ASC) AS rnk
+          FROM events)
+    WHERE rnk <= 32
 """
 
 ORACLES["stream_agg_bitmap_state"] = """

@@ -1062,7 +1062,7 @@ def _replay_guard(path: str, ckpt_key: str, batch_id: int) -> dict | None:
 #: unlike "topk" its MERGE is a pure array expression in the main
 #: groupBy.  Read with ``operators.sketch.hll_estimate_expr``.
 AGG_OPS = ("sum", "min", "max", "kmv", "topk", "hll",
-           "summap", "minmap", "maxmap", "bitmap")
+           "summap", "minmap", "maxmap", "bitmap", "sortedarray")
 _KEYED_OPS = ("argmax", "argmin", "qsample")
 
 
@@ -1095,6 +1095,7 @@ def silver_summing_stream(
     qsample_k: int = 512,
     topk_cap: int = 16,
     hll_p: int = 12,
+    sorted_k: int = 64,
 ) -> StreamingQuery:
     """r8 — the SummingMergeTree-equivalent keyed AGGREGATING sink
     (ClickHouse's second MergeTree family after the Replacing one S8
@@ -1359,6 +1360,15 @@ def silver_summing_stream(
             return F.array_sort(
                 F.collect_set(F.col(src).cast("long"))
             ).alias(out)
+        if base == "sortedarray":
+            # CH groupArraySortedState(N): the N SMALLEST values per key,
+            # duplicates kept (CH semantics) — bounded at sorted_k; merge
+            # = flatten+sort+slice, associative+commutative (NOT
+            # idempotent, like sum — the sink's replay guard covers it)
+            return F.slice(
+                F.array_sort(F.collect_list(F.col(src).cast("double"))),
+                1, sorted_k,
+            ).alias(out)
         if base == "kmv":
             # batch partial sketch: K smallest hashes of the batch's
             # values for this key (collect_set state is key-local within
@@ -1402,6 +1412,13 @@ def silver_summing_stream(
             # without the slice
             return F.array_sort(
                 F.array_distinct(F.flatten(F.collect_list(F.col(out))))
+            ).alias(out)
+        if base == "sortedarray":
+            # ≤2 arrays per key → flatten, sort, keep the N smallest
+            # (duplicates preserved — no array_distinct here)
+            return F.slice(
+                F.array_sort(F.flatten(F.collect_list(F.col(out)))),
+                1, sorted_k,
             ).alias(out)
         if base == "kmv":
             # sketch union: ≤2 arrays per key (store row + batch partial)

@@ -684,3 +684,30 @@ def test_bitmap_state_exact_distinct_and_set_algebra(spark, dirs):
     assert st == {1: [10, 20, 40], 2: [20, 30, 40], 3: []}
     inter = sorted(set(st[1]) & set(st[2]))
     assert inter == [20, 40]
+
+
+def test_sortedarray_state_n_smallest_with_duplicates(spark, dirs):
+    """r11: groupArraySorted(N) state — the N smallest values per key,
+    DUPLICATES KEPT (CH semantics, unlike bitmap's set union), bounded
+    at sorted_k under adversarial batch splits."""
+    BSCHEMA = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    rows = [(1, 5.0), (1, 1.0), (1, 3.0), (1, 1.0), (1, 9.0), (1, 2.0),
+            (2, 7.0), (1, 0.5), (1, 8.0)]
+    for bi, chunk in enumerate([rows[:3], rows[3:6], rows[6:]]):
+        spark.createDataFrame(chunk, BSCHEMA).coalesce(1).write.mode(
+            "append"
+        ).json(dirs["src"] + f"/b{bi}")
+        stream = spark.readStream.schema(BSCHEMA).json(dirs["src"] + f"/b{bi}")
+        q = pl.silver_summing_stream(
+            stream, dirs["silver"], dirs["ckpt"] + f"/b{bi}", keys=["k"],
+            agg_spec={"sa": ("v", "sortedarray")}, sorted_k=4,
+            available_now=True,
+        )
+        assert q.awaitTermination(120)
+    st = {r["k"]: list(r["sa"]) for r in
+          pl.read_silver(spark, dirs["silver"]).collect()}
+    assert st[1] == [0.5, 1.0, 1.0, 2.0]     # duplicates kept, capped at 4
+    assert st[2] == [7.0]
