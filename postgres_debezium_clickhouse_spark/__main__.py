@@ -15,6 +15,8 @@ API the tests and the driver contract use.
     signal-snapshot PATH --order-col K --watermark V [--chunks N]
                                   enqueue an execute-snapshot signal
     stop-snapshot PATH SIGNAL_ID  cancel a pending/running snapshot
+    pause-snapshot PATH           suspend incremental snapshotting
+    resume-snapshot PATH          lift a pause (no-op when not paused)
 """
 
 from __future__ import annotations
@@ -67,6 +69,10 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("stop-snapshot")
     st.add_argument("path")
     st.add_argument("signal_id")
+    ps = sub.add_parser("pause-snapshot")
+    ps.add_argument("path")
+    rs = sub.add_parser("resume-snapshot")
+    rs.add_argument("path")
     args = ap.parse_args(argv)
 
     if args.cmd == "list":
@@ -127,6 +133,16 @@ def main(argv: list[str] | None = None) -> int:
         from .streaming.snapshot import signal_stop_snapshot
 
         signal_stop_snapshot(args.path, args.signal_id)
+        return 0
+    if args.cmd == "pause-snapshot":
+        from .streaming.snapshot import signal_pause_snapshot
+
+        signal_pause_snapshot(args.path)
+        return 0
+    if args.cmd == "resume-snapshot":
+        from .streaming.snapshot import signal_resume_snapshot
+
+        signal_resume_snapshot(args.path)
         return 0
     return 2
 

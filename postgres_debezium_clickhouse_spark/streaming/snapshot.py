@@ -111,8 +111,15 @@ def signal_snapshot(
     sdir = os.path.join(path, SIGNAL_DIR)
     os.makedirs(sdir, exist_ok=True)
     final = os.path.join(sdir, f"{sid}.json")
-    if os.path.exists(final) or os.path.exists(final + ".done"):
-        raise ValueError(f"signal {sid} already exists at {path}")
+    for leftover in (final, final + ".done", final + ".stopped"):
+        if os.path.exists(leftover):
+            raise ValueError(f"signal {sid} already exists at {path}")
+    # A bare {sid}.stop with no signal file is an orphan marker (a stop
+    # issued against a direct ad-hoc run, or for a signal that never
+    # existed); clear it so the new signal isn't stillborn.
+    stale_stop = os.path.join(sdir, f"{sid}.stop")
+    if os.path.exists(stale_stop):
+        os.unlink(stale_stop)
     tmp = final + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(
@@ -148,6 +155,38 @@ def _stop_requested(path: str, sid: str) -> bool:
     return os.path.exists(os.path.join(path, SIGNAL_DIR, f"{sid}.stop"))
 
 
+PAUSE_MARKER = "pause"
+
+
+def signal_pause_snapshot(path: str) -> None:
+    """The Debezium ``pause-snapshot`` signal: suspend the in-progress
+    incremental snapshot (change events keep flowing; no chunks are read
+    until resume).  Debezium's pause is connector-global, not per signal
+    id — modeled as one marker under ``_signals/``.  Progress (completed
+    chunk indices AND the planned chunk bounds) persists, so resume
+    continues with the exact cuts the paused run computed."""
+    sdir = os.path.join(path, SIGNAL_DIR)
+    os.makedirs(sdir, exist_ok=True)
+    marker = os.path.join(sdir, PAUSE_MARKER)
+    tmp = f"{marker}.{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as fh:
+        fh.write("pause-snapshot")
+    os.rename(tmp, marker)
+
+
+def signal_resume_snapshot(path: str) -> None:
+    """The Debezium ``resume-snapshot`` signal: lift a pause.  A no-op
+    when not paused (Debezium logs and ignores the same way)."""
+    try:
+        os.unlink(os.path.join(path, SIGNAL_DIR, PAUSE_MARKER))
+    except FileNotFoundError:
+        pass
+
+
+def _paused(path: str) -> bool:
+    return os.path.exists(os.path.join(path, SIGNAL_DIR, PAUSE_MARKER))
+
+
 def list_signals(path: str) -> list[dict]:
     """Pending signals (oldest first by id-file mtime)."""
     sdir = os.path.join(path, SIGNAL_DIR)
@@ -169,21 +208,51 @@ def _progress_path(path: str, sid: str) -> str:
     return os.path.join(path, SIGNAL_DIR, f"{sid}.progress")
 
 
-def _read_progress(path: str, sid: str) -> set[int]:
+def _read_progress(
+    path: str, sid: str
+) -> tuple[set[int], list[tuple[float | None, float | None]] | None]:
+    """(completed chunk indices, saved chunk bounds or None).
+
+    Bounds are persisted alongside progress because completed indices are
+    only meaningful against the cuts they were computed from: Debezium
+    stores the actual chunk boundaries in its offsets for the same reason
+    — re-planning on resume against a table the live stream has since
+    mutated would shift the cuts and silently skip the keys that moved
+    between ranges."""
     try:
         with open(_progress_path(path, sid)) as fh:
-            return set(json.load(fh)["completed"])
+            d = json.load(fh)
+        bounds = d.get("bounds")
+        if bounds is not None:
+            bounds = [(lo, hi) for lo, hi in bounds]
+        return set(d["completed"]), bounds
     except (OSError, ValueError, KeyError):
-        return set()
+        return set(), None
 
 
-def _write_progress(path: str, sid: str, completed: set[int]) -> None:
+def _write_progress(
+    path: str,
+    sid: str,
+    completed: set[int],
+    bounds: list[tuple[float | None, float | None]],
+) -> None:
     p = _progress_path(path, sid)
     os.makedirs(os.path.dirname(p), exist_ok=True)
     tmp = f"{p}.{uuid.uuid4().hex[:8]}.tmp"
     with open(tmp, "w") as fh:
-        json.dump({"completed": sorted(completed)}, fh)
+        json.dump(
+            {"completed": sorted(completed),
+             "bounds": [[lo, hi] for lo, hi in bounds]},
+            fh,
+        )
     os.rename(tmp, p)
+
+
+def _clear_progress(path: str, sid: str) -> None:
+    try:
+        os.unlink(_progress_path(path, sid))
+    except FileNotFoundError:
+        pass
 
 
 def run_incremental_snapshot(
@@ -213,14 +282,27 @@ def run_incremental_snapshot(
     under the store's latest-wins order.
 
     ``interleave_hook(chunk_index)`` (tests) runs after each chunk's
-    merge+progress, simulating change events landing mid-snapshot."""
-    sid = signal_id or "adhoc"
-    bounds = plan_snapshot_chunks(source_table, order_col, n_chunks)
-    done = _read_progress(path, sid)
+    merge+progress, simulating change events landing mid-snapshot.
+
+    The default signal id is fresh per invocation, so two unrelated
+    ad-hoc snapshots never share a progress file (a re-backfill must
+    re-merge, not silently no-op); pass an explicit ``signal_id`` to
+    resume a crashed or paused run.  Chunk bounds are planned once and
+    persisted with the progress — a resume reuses them verbatim instead
+    of re-quantiling a table the live stream has mutated since."""
+    sid = signal_id or f"adhoc-{uuid.uuid4().hex[:12]}"
+    done, bounds = _read_progress(path, sid)
+    if bounds is None:
+        bounds = plan_snapshot_chunks(source_table, order_col, n_chunks)
+        _write_progress(path, sid, done, bounds)
     merged = 0
+    paused = False
     for i, (lo, hi) in enumerate(bounds):
         if _stop_requested(path, sid):
             break  # stop-snapshot: merged chunks stay, the rest skipped
+        if _paused(path):
+            paused = True
+            break  # pause-snapshot: progress kept, resume continues here
         if i in done:
             continue
         chunk = (
@@ -246,10 +328,17 @@ def run_incremental_snapshot(
             prepare=lambda b: b, merge_fn=merge_fn, legacy_mode="migrate",
         )
         done.add(i)
-        _write_progress(path, sid, done)
+        _write_progress(path, sid, done, bounds)
         merged += 1
         if interleave_hook is not None:
             interleave_hook(i)
+    # Progress exists only while a resume is still possible: a completed
+    # snapshot clears it (so the next ad-hoc run against the same sid
+    # re-merges instead of no-opping), and a stopped one clears it too
+    # (Debezium's stop removes the collection from the snapshot — there
+    # is nothing to resume).  A paused run keeps it by design.
+    if not paused:
+        _clear_progress(path, sid)
     return merged
 
 
@@ -267,9 +356,13 @@ def process_signals(
     """Drain pending ``execute-snapshot`` signals against ``path`` (the
     connector's signal-poll loop).  Each completed signal's file is
     renamed to ``.json.done`` (kept — signal history is part of the
-    Debezium contract) and its progress file removed.  Returns processed
-    signal ids."""
+    Debezium contract); a stopped one to ``.json.stopped`` (its stop
+    marker is then drained, so the id could in principle be reused after
+    history cleanup); a PAUSED one stays pending with its progress intact
+    and is picked up again after ``signal_resume_snapshot``.  Returns the
+    signal ids that reached a terminal state this call."""
     processed = []
+    sdir = os.path.join(path, SIGNAL_DIR)
     for sig in list_signals(path):
         if sig.get("type") != "execute-snapshot":
             continue
@@ -286,15 +379,17 @@ def process_signals(
             signal_id=sid,
             interleave_hook=interleave_hook,
         )
-        sdir = os.path.join(path, SIGNAL_DIR)
-        suffix = ".json.stopped" if _stop_requested(path, sid) else ".json.done"
+        if _stop_requested(path, sid):
+            suffix = ".json.stopped"
+            os.unlink(os.path.join(sdir, f"{sid}.stop"))
+        elif os.path.exists(_progress_path(path, sid)):
+            continue  # paused mid-snapshot: stays pending for resume
+        else:
+            suffix = ".json.done"
         os.rename(
             os.path.join(sdir, f"{sid}.json"),
             os.path.join(sdir, f"{sid}{suffix}"),
         )
-        try:
-            os.unlink(_progress_path(path, sid))
-        except FileNotFoundError:
-            pass
+        _clear_progress(path, sid)
         processed.append(sid)
     return processed

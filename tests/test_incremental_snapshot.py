@@ -231,3 +231,133 @@ def test_stop_snapshot_signal(spark, dirs):
     sdir = os.path.join(dirs["silver"], "_signals")
     assert os.path.exists(os.path.join(sdir, f"{sid}.json.stopped"))
     assert _state(spark, dirs) == mid        # store untouched by sigpend
+
+
+def test_resume_reuses_persisted_bounds(spark, dirs, monkeypatch):
+    """ADVICE r11: chunk boundaries are planned ONCE and persisted with
+    the progress; a crash-resume must reuse them verbatim (Debezium
+    stores the actual chunk bounds in offsets) — re-quantiling a table
+    the live stream mutated would shift the cuts and leave completed
+    indices pointing at different PK ranges, silently skipping keys."""
+    import json as _json
+    import os
+
+    import postgres_debezium_clickhouse_spark.streaming.snapshot as sn
+
+    _stream_merge(spark, dirs, _seed_rows(), "seed")
+
+    def crash_hook(i):
+        if i == 0:
+            raise RuntimeError("crash after first chunk")
+
+    with pytest.raises(RuntimeError):
+        run_incremental_snapshot(
+            _table_truth(spark), dirs["silver"], ["id"],
+            order_col="id", watermark_version=W, n_chunks=4,
+            signal_id="sigb", interleave_hook=crash_hook,
+        )
+    prog = os.path.join(dirs["silver"], "_signals", "sigb.progress")
+    saved = _json.load(open(prog))
+    assert saved["completed"] == [0]
+    assert len(saved["bounds"]) >= 2          # the planned cuts persisted
+
+    def boom(*a, **k):
+        raise AssertionError("resume must NOT re-plan chunk bounds")
+
+    monkeypatch.setattr(sn, "plan_snapshot_chunks", boom)
+    resumed = sn.run_incremental_snapshot(
+        _table_truth(spark), dirs["silver"], ["id"],
+        order_col="id", watermark_version=W, n_chunks=4, signal_id="sigb",
+    )
+    assert resumed == len(saved["bounds"]) - 1
+    assert not os.path.exists(prog)           # cleared on completion
+    assert len(_state(spark, dirs)) == N      # full-table convergence
+
+
+def test_adhoc_rerun_remerges(spark, dirs):
+    """ADVICE r11: two direct ad-hoc snapshots must both do work — the
+    default signal id is fresh per invocation and progress is cleared on
+    completion, so a re-backfill after reconfiguration never silently
+    no-ops against a stale 'adhoc' progress file."""
+    _stream_merge(spark, dirs, _seed_rows(), "seed")
+    m1 = run_incremental_snapshot(
+        _table_truth(spark), dirs["silver"], ["id"],
+        order_col="id", watermark_version=W, n_chunks=3,
+    )
+    m2 = run_incremental_snapshot(
+        _table_truth(spark), dirs["silver"], ["id"],
+        order_col="id", watermark_version=W, n_chunks=3,
+    )
+    assert m1 > 0 and m2 == m1                # second run re-merges all
+
+
+def test_stopped_signal_id_not_reusable(spark, dirs):
+    """ADVICE r11: a drained-stopped signal id is history like .done —
+    re-issuing it must fail loudly, not create an instantly-cancelled
+    signal; a bare orphan .stop marker (stop for a signal that never
+    existed) is cleaned up so the new signal runs."""
+    from postgres_debezium_clickhouse_spark.streaming.snapshot import (
+        signal_stop_snapshot,
+    )
+
+    _stream_merge(spark, dirs, _seed_rows(), "seed")
+    sid = signal_snapshot(dirs["silver"], order_col="id", n_chunks=3,
+                          watermark_version=W, signal_id="sigx")
+    signal_stop_snapshot(dirs["silver"], sid)
+    assert process_signals(_table_truth(spark), dirs["silver"], ["id"]) == [sid]
+    with pytest.raises(ValueError, match="already exists"):
+        signal_snapshot(dirs["silver"], order_col="id", n_chunks=3,
+                        watermark_version=W, signal_id="sigx")
+    # orphan stop marker: never had a signal file — creating one clears it
+    signal_stop_snapshot(dirs["silver"], "sigy")
+    signal_snapshot(dirs["silver"], order_col="id", n_chunks=3,
+                    watermark_version=W, signal_id="sigy")
+    done = process_signals(_table_truth(spark), dirs["silver"], ["id"])
+    assert done == ["sigy"]
+    assert len(_state(spark, dirs)) == N      # it actually snapshotted
+
+
+def test_pause_resume_equals_uninterrupted(spark, dirs, tmp_path):
+    """r12: Debezium pause-snapshot / resume-snapshot — a pause mid-run
+    keeps progress (and the planned bounds), the signal stays pending in
+    the poll loop, and after resume-snapshot the final state is identical
+    to an uninterrupted control run."""
+    import os
+
+    from postgres_debezium_clickhouse_spark.streaming.snapshot import (
+        signal_pause_snapshot, signal_resume_snapshot,
+    )
+
+    _stream_merge(spark, dirs, _seed_rows(), "seed")
+    sid = signal_snapshot(dirs["silver"], order_col="id", n_chunks=4,
+                          watermark_version=W, signal_id="sigp")
+
+    def hook(i):
+        if i == 1:
+            signal_pause_snapshot(dirs["silver"])
+
+    # paused mid-run: not terminal, signal stays pending, progress kept
+    assert process_signals(_table_truth(spark), dirs["silver"], ["id"],
+                           interleave_hook=hook) == []
+    assert [s["id"] for s in list_signals(dirs["silver"])] == [sid]
+    prog = os.path.join(dirs["silver"], "_signals", f"{sid}.progress")
+    assert os.path.exists(prog)
+    assert len(_state(spark, dirs)) < N       # only some chunks merged
+
+    # still paused: another poll merges nothing and keeps it pending
+    assert process_signals(_table_truth(spark), dirs["silver"], ["id"]) == []
+
+    signal_resume_snapshot(dirs["silver"])
+    assert process_signals(_table_truth(spark), dirs["silver"], ["id"]) == [sid]
+    assert not os.path.exists(prog)
+
+    # identical to an uninterrupted control run on a fresh store
+    d2 = {k: str(tmp_path / ("pctl_" + k)) for k in ("src", "silver", "ckpt")}
+    _stream_merge(spark, d2, _seed_rows(), "seed")
+    run_incremental_snapshot(
+        _table_truth(spark), d2["silver"], ["id"],
+        order_col="id", watermark_version=W, n_chunks=4,
+    )
+    assert _state(spark, dirs) == _state(spark, d2)
+    # resume-snapshot when not paused is a no-op, not an error
+    signal_resume_snapshot(dirs["silver"])
