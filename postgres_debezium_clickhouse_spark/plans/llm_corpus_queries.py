@@ -252,7 +252,16 @@ def q_corpus_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-document word counts (the vocabulary-sized work vs corpus-sized
     work split every tokenizer deployment uses).  Words beyond the
     16-char training cap are excluded in both engines (the documented
-    trainer contract)."""
+    trainer contract).
+
+    The DuckDB oracle replays the FULL train-then-encode chain (r12,
+    ADVICE r11): seed vocab -> E-step DP #1 -> M-step (Viterbi-mass
+    re-estimation with the 0.5 char floor and zero-mass pruning) ->
+    E-step DP #2 with the post-EM vocab.  Hard-EM re-estimation is not
+    guaranteed to leave the argmin segmentation unchanged, so both
+    engines must segment with the SAME re-estimated vocab at every data
+    scale — not just at scales where the seed happens to be a fixed
+    point."""
     from ..operators.tokenizer import (
         unigram_train, unigram_viterbi_tokens, unigram_words,
     )
@@ -324,35 +333,88 @@ ORACLES = {
                  UNION ALL SELECT piece, freq FROM subs WHERE length(piece) = 1),
         tot AS (SELECT SUM(freq) AS t FROM seed),
         vocab AS (SELECT piece, ROUND(LN(freq / t), 6) AS logp FROM seed, tot),
+        -- E-step DP #1 against the SEED vocab (carries cnt for the
+        -- M-step).  Nested recursive CTE names are unique per block
+        -- (r1/b1/r2/b2): DuckDB flattens sibling WITH RECURSIVE scopes,
+        -- so a reused name binds to the wrong recursion.
         dpr AS (
-          WITH RECURSIVE r AS (
+          WITH RECURSIVE r1 AS (
+            SELECT w, cnt, 0 AS pos, [CAST(0.0 AS DOUBLE)] AS negs,
+                   CAST([] AS BIGINT[]) AS bps
+            FROM words
+            UNION ALL
+            SELECT r1.w, r1.cnt, r1.pos + 1, r1.negs || [b.bn], r1.bps || [b.bj]
+            FROM r1, LATERAL (
+              SELECT cand.negs AS bn, cand.j AS bj FROM (
+                SELECT r1.negs[CAST(j.j + 1 AS INT)]
+                       - COALESCE((SELECT v.logp FROM vocab v
+                                   WHERE v.piece = substr(r1.w, CAST(j.j + 1 AS INT),
+                                                          CAST(r1.pos + 1 - j.j AS INT))),
+                                  -1000000000.0) AS negs,
+                       j.j AS j
+                FROM (SELECT unnest(range(GREATEST(r1.pos + 1 - 4, 0), r1.pos + 1)) AS j) j
+              ) cand ORDER BY cand.negs, cand.j LIMIT 1
+            ) b
+            WHERE r1.pos < length(r1.w)
+          )
+          SELECT w, cnt, bps FROM r1 WHERE pos = length(w)
+        ),
+        -- M-step: Viterbi mass per piece -> re-estimated round-6 logps,
+        -- zero-mass multi-char pieces pruned, chars floored at 0.5
+        -- (mirrors unigram_train n_iters=1 -- the vocab the engine
+        -- actually encodes with; ADVICE r11)
+        bt AS (
+          WITH RECURSIVE b1 AS (
+            SELECT w, cnt, CAST(length(w) AS BIGINT) AS pos, bps FROM dpr
+            UNION ALL
+            SELECT w, cnt, bps[CAST(pos AS INT)] AS pos, bps FROM b1 WHERE pos > 0
+          )
+          SELECT w, cnt,
+                 substr(w, CAST(bps[CAST(pos AS INT)] + 1 AS INT),
+                        CAST(pos - bps[CAST(pos AS INT)] AS INT)) AS piece
+          FROM b1 WHERE pos > 0
+        ),
+        vmass AS (SELECT piece, SUM(cnt) AS vcnt FROM bt GROUP BY piece),
+        chars AS (SELECT DISTINCT piece FROM subs WHERE length(piece) = 1),
+        freqs AS (
+          SELECT c.piece, COALESCE(CAST(k.vcnt AS DOUBLE), 0.5) AS freq
+          FROM chars c LEFT JOIN vmass k ON k.piece = c.piece
+          UNION ALL
+          SELECT k.piece, CAST(k.vcnt AS DOUBLE) AS freq
+          FROM vmass k WHERE length(k.piece) > 1
+        ),
+        tot2 AS (SELECT SUM(freq) AS t FROM freqs),
+        vocab2 AS (SELECT piece, ROUND(LN(freq / t), 6) AS logp FROM freqs, tot2),
+        -- E-step DP #2: the ENCODE pass, against the post-EM vocab
+        dpr2 AS (
+          WITH RECURSIVE r2 AS (
             SELECT w, 0 AS pos, [CAST(0.0 AS DOUBLE)] AS negs,
                    CAST([] AS BIGINT[]) AS bps
             FROM words
             UNION ALL
-            SELECT r.w, r.pos + 1, r.negs || [b.bn], r.bps || [b.bj]
-            FROM r, LATERAL (
+            SELECT r2.w, r2.pos + 1, r2.negs || [b.bn], r2.bps || [b.bj]
+            FROM r2, LATERAL (
               SELECT cand.negs AS bn, cand.j AS bj FROM (
-                SELECT r.negs[CAST(j.j + 1 AS INT)]
-                       - COALESCE((SELECT v.logp FROM vocab v
-                                   WHERE v.piece = substr(r.w, CAST(j.j + 1 AS INT),
-                                                          CAST(r.pos + 1 - j.j AS INT))),
+                SELECT r2.negs[CAST(j.j + 1 AS INT)]
+                       - COALESCE((SELECT v.logp FROM vocab2 v
+                                   WHERE v.piece = substr(r2.w, CAST(j.j + 1 AS INT),
+                                                          CAST(r2.pos + 1 - j.j AS INT))),
                                   -1000000000.0) AS negs,
                        j.j AS j
-                FROM (SELECT unnest(range(GREATEST(r.pos + 1 - 4, 0), r.pos + 1)) AS j) j
+                FROM (SELECT unnest(range(GREATEST(r2.pos + 1 - 4, 0), r2.pos + 1)) AS j) j
               ) cand ORDER BY cand.negs, cand.j LIMIT 1
             ) b
-            WHERE r.pos < length(r.w)
+            WHERE r2.pos < length(r2.w)
           )
-          SELECT w, bps FROM r WHERE pos = length(w)
+          SELECT w, bps FROM r2 WHERE pos = length(w)
         ),
         npieces AS (
-          WITH RECURSIVE b AS (
-            SELECT w, CAST(length(w) AS BIGINT) AS pos, bps FROM dpr
+          WITH RECURSIVE b2 AS (
+            SELECT w, CAST(length(w) AS BIGINT) AS pos, bps FROM dpr2
             UNION ALL
-            SELECT w, bps[CAST(pos AS INT)] AS pos, bps FROM b WHERE pos > 0
+            SELECT w, bps[CAST(pos AS INT)] AS pos, bps FROM b2 WHERE pos > 0
           )
-          SELECT w, COUNT(*) AS n_pieces FROM b WHERE pos > 0 GROUP BY w
+          SELECT w, COUNT(*) AS n_pieces FROM b2 WHERE pos > 0 GROUP BY w
         ),
         doc_words AS (
           SELECT doc_id, w, COUNT(*) AS cnt FROM (
