@@ -282,21 +282,41 @@ def _run_passes(spark, sf_dir: str, names, queries, passes: int = PASSES):
     return wall_runs, cpu_runs
 
 
+def _scaling_dirs() -> list[str]:
+    """The scaling decades: the two driver fixtures, plus the repo-local
+    sf1 (r11 verdict item 1: one more decade — generate it with
+    ``python scripts/gen_testdata.py 1 testdata_sf1``; 183 MB, gitignored,
+    distribution-matched to the driver fixtures)."""
+    dirs = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+    sf1 = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "testdata_sf1")
+    if os.path.isdir(sf1):
+        dirs.append(sf1)
+    else:
+        print("  (no testdata_sf1 — run scripts/gen_testdata.py 1 "
+              "testdata_sf1 for the third decade)", file=sys.stderr)
+    return dirs
+
+
 def scaling_main() -> int:
-    """``python bench.py --scaling`` (r9 verdict item 8): the sf0.01 vs
-    sf0.1 cost-ratio table for the headline queries — the standing
-    super-linearity check.  Data grows 10×; a query whose wall/CPU ratio
-    sits FAR above 10× is a super-linear red flag the 100× scale claim
-    needs caught before any real scale-up.  (Sub-10× ratios are normal:
-    fixed per-query constants — plan build, session round-trips, task
-    launch — dominate at sf0.01.)  Prints a markdown table for
-    BASELINE.md plus one JSON line."""
+    """``python bench.py --scaling`` (r9 verdict item 8, widened to three
+    decades in r12): the per-decade cost-ratio table for the headline
+    queries — the standing super-linearity check.  Data grows 10× per
+    step; a query whose wall/CPU ratio sits FAR above 10× is a
+    super-linear red flag the 100× scale claim needs caught before any
+    real scale-up.  (Sub-10× ratios are normal: fixed per-query
+    constants — plan build, session round-trips, task launch — dominate
+    at small sf.)  Prints a markdown table for BASELINE.md plus one JSON
+    line."""
     spark = get_spark("bench-scaling")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
     names = [n for n in HEADLINE if n in queries]
+    dirs = _scaling_dirs()
+    labels = [os.path.basename(d.rstrip("/")).replace("testdata_", "")
+              for d in dirs]
     res = {}
-    for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+    for sf_dir in dirs:
         spark.read.parquet(f"{sf_dir}/region.parquet").count()  # warm
         print(f"  scaling pass @ {sf_dir} (load {os.getloadavg()[0]:.1f})",
               file=sys.stderr)
@@ -305,46 +325,54 @@ def scaling_main() -> int:
             {n: min(w) for n, w in wall_runs.items()},
             {n: min(c) for n, c in cpu_runs.items() if c},
         )
-    small_w, small_c = res["/root/testdata/sf0.01"]
-    big_w, big_c = res["/root/testdata/sf0.1"]
-    print("| query | sf0.01 wall | sf0.1 wall | ratio | sf0.01 CPU | sf0.1 CPU | ratio |")
-    print("|---|---|---|---|---|---|---|")
+    hdr_w = " | ".join(f"{lb} wall" for lb in labels)
+    hdr_c = " | ".join(f"{lb} CPU" for lb in labels)
+    hdr_r = " | ".join(f"×{labels[i]}→{labels[i + 1]}"
+                       for i in range(len(labels) - 1))
+    print(f"| query | {hdr_w} | {hdr_c} | wall {hdr_r} | cpu {hdr_r} |")
+    print("|---|" + "---|" * (2 * len(labels) + 2 * (len(labels) - 1)))
     ratios = {}
     for n in names:
-        rw = round(big_w[n] / small_w[n], 1) if small_w[n] else None
-        rc = (round(big_c[n] / small_c[n], 1)
-              if n in small_c and n in big_c and small_c[n] else None)
-        ratios[n] = {"wall": rw, "cpu": rc}
-        print(f"| {n} | {small_w[n]:.2f} | {big_w[n]:.2f} | {rw}× "
-              f"| {small_c.get(n, float('nan')):.1f} | {big_c.get(n, float('nan')):.1f} | {rc}× |")
+        ws = [res[d][0][n] for d in dirs]
+        cs = [res[d][1].get(n) for d in dirs]
+        rw = [round(ws[i + 1] / ws[i], 1) if ws[i] else None
+              for i in range(len(ws) - 1)]
+        rc = [round(cs[i + 1] / cs[i], 1) if cs[i] and cs[i + 1] else None
+              for i in range(len(cs) - 1)]
+        ratios[n] = {"wall": rw, "cpu": rc,
+                     "wall_s": ws, "cpu_s": cs, "dirs": labels}
+        cell_w = " | ".join(f"{w:.2f}" for w in ws)
+        cell_c = " | ".join(f"{c:.1f}" if c is not None else "-" for c in cs)
+        cell_rw = " | ".join(f"{r}×" if r is not None else "-" for r in rw)
+        cell_rc = " | ".join(f"{r}×" if r is not None else "-" for r in rc)
+        print(f"| {n} | {cell_w} | {cell_c} | {cell_rw} | {cell_rc} |")
     # streaming rows (r9 verdict item 7): the silver upsert path and one
-    # collapsing-sink replay get the same sf0.01-vs-sf0.1 check.  The
+    # collapsing-sink replay get the same per-decade check.  The
     # comparable quantity is per-event COST (wall/event = 1/rate): ratio
     # = cost_big/cost_small against 10× data, same reading as above.
     stream_rows = {}
     for label, fn in (("streaming_silver_upsert", _bench_streaming),
                       ("streaming_collapsing", _bench_collapsing)):
-        obs = {}
-        for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        obs = []
+        for sf_dir in dirs:
             print(f"  {label} @ {sf_dir}", file=sys.stderr)
-            r = fn(spark, sf_dir, passes=2)
-            obs[sf_dir] = r
-        small, big = obs["/root/testdata/sf0.01"], obs["/root/testdata/sf0.1"]
-        cost_ratio = (
-            round((1.0 / big["value"]) / (1.0 / small["value"]), 2)
-            if small["value"] and big["value"] else None
-        )
+            obs.append(fn(spark, sf_dir, passes=2))
+        cost_ratios = [
+            round((1.0 / obs[i + 1]["value"]) / (1.0 / obs[i]["value"]), 2)
+            if obs[i]["value"] and obs[i + 1]["value"] else None
+            for i in range(len(obs) - 1)
+        ]
         stream_rows[label] = {
-            "events_per_sec_small": small["value"],
-            "events_per_sec_big": big["value"],
-            "n_events": {"small": small["n_events"], "big": big["n_events"]},
-            "per_event_cost_ratio": cost_ratio,
+            "events_per_sec": {lb: o["value"] for lb, o in zip(labels, obs)},
+            "n_events": {lb: o["n_events"] for lb, o in zip(labels, obs)},
+            "per_event_cost_ratios": cost_ratios,
         }
-        print(f"| {label} (events/s) | {small['value']} | {big['value']} "
-              f"| {cost_ratio}× per-event cost |  |  |  |")
+        cells = " | ".join(str(o["value"]) for o in obs)
+        rcells = " | ".join(f"{r}×" if r is not None else "-"
+                            for r in cost_ratios)
+        print(f"| {label} (events/s) | {cells} | per-event cost {rcells} |")
     print(json.dumps({"metric": "scaling_ratios", "ratios": ratios,
-                      "streaming": stream_rows,
-                      "sf_small": 0.01, "sf_big": 0.1}))
+                      "streaming": stream_rows, "decades": labels}))
     return 0
 
 

@@ -589,6 +589,86 @@ def substring_duplication(
     )
 
 
+def substring_removal(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 40,
+) -> DataFrame:
+    """EXACT-substring duplication REMOVAL — the second half of Lee et
+    al. 2022's ExactSubstr dedup: they don't just measure duplicated
+    spans, they CUT them and re-emit the cleaned text (their released
+    tool rewrites the corpus).  Composition of ``substring_duplication``'s
+    duplicated-position machinery with an in-plan rewrite:
+
+    1. duplicated positions (same gram count + semi-join as the spans
+       measurement — one corpus-sized shuffle);
+    2. positions → MERGED disjoint intervals: interval starts where a
+       position exceeds the running max end (two window passes), then a
+       (doc, group) min/max aggregate;
+    3. per doc, the sorted interval list folds over the original text
+       with ``aggregate`` — concat the kept slice before each removed
+       interval, then the tail — entirely JVM-side HOFs, no UDF.
+
+    Returns (id, n_chars, text_clean, removed_chars) for EVERY doc
+    (untouched docs pass through with removed_chars = 0).  Scale: the
+    collected interval list is disjoint-and-≥min_len-long, so it is at
+    most len(text)/min_len entries — strictly smaller than the document
+    row it sits next to; everything corpus-sized stays in shuffles."""
+    from pyspark.sql import Window
+
+    pos = _gram_positions(documents, id_col, text_col, min_len)
+    dup_grams = (
+        pos.groupBy("h").agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1).select("h")
+    )
+    dup_pos = pos.join(dup_grams, "h", "left_semi").select(id_col, "p")
+    w_prev = (
+        Window.partitionBy(id_col).orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col).orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_end = F.max(F.col("p") + min_len).over(w_prev)
+    is_start = F.when(
+        prev_end.isNull() | (F.col("p") > prev_end), F.lit(1)
+    ).otherwise(F.lit(0))
+    ivs = (
+        dup_pos.withColumn("__s", is_start)
+        .withColumn("__g", F.sum("__s").over(w_run))
+        .groupBy(id_col, "__g")
+        .agg(F.min("p").alias("s"), F.max(F.col("p") + min_len).alias("e"))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("__ivs"))
+    )
+    rebuild = F.expr(
+        f"""CASE WHEN __ivs IS NULL THEN {text_col} ELSE
+        aggregate(
+          __ivs,
+          named_struct('prev', CAST(1 AS BIGINT), 'acc', ''),
+          (st, iv) -> named_struct(
+            'prev', iv.e,
+            'acc', concat(st.acc, substring({text_col}, CAST(st.prev AS INT),
+                                            CAST(iv.s - st.prev AS INT)))),
+          st -> concat(st.acc, substring({text_col}, CAST(st.prev AS INT),
+                       length({text_col}) - CAST(st.prev AS INT) + 1)))
+        END"""
+    )
+    return (
+        documents.join(ivs, id_col, "left")
+        .withColumn("text_clean", rebuild)
+        .select(
+            F.col(id_col),
+            F.length(text_col).cast("long").alias("n_chars"),
+            F.col("text_clean"),
+            (F.length(text_col) - F.length("text_clean")).cast("long")
+            .alias("removed_chars"),
+        )
+    )
+
+
 def winnowing_fingerprints(
     documents: DataFrame,
     id_col: str = "doc_id",

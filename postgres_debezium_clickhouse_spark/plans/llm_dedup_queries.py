@@ -281,8 +281,24 @@ def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 — Lee et al. 2022 ExactSubstr span REMOVAL (verdict item 2):
+    the duplicated [p, p+40) interval union is cut out of each document
+    and the cleaned text re-emitted — operators/dedup.py
+    substring_removal (merged-interval fold, JVM HOFs only).  The DuckDB
+    oracle rebuilds the same cleaned text by string_agg-ing the
+    complement (interval-difference) segments, so the cut positions are
+    compared character-for-character."""
+    from ..operators.dedup import substring_removal
+
+    return substring_removal(
+        load_table(spark, sf_dir, "documents"), min_len=40
+    )
+
+
 QUERIES = {
     "dedup_substring_spans": q_substring_spans,
+    "dedup_substring_removal": q_substring_removal,
     "dedup_exact": q_dedup_exact,
     "contamination_check_13g": q_contamination_13g,
     "dedup_image_dhash": q_dedup_image_dhash,
@@ -302,6 +318,68 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_substring_removal": """
+        WITH pos AS (
+            SELECT doc_id, CAST(t.p AS BIGINT) AS p,
+                   substr(text, CAST(t.p AS INT), 40) AS g
+            FROM documents
+            CROSS JOIN LATERAL (
+                SELECT unnest(range(1, GREATEST(length(text) - 38, 1)))
+            ) AS t(p)
+        ),
+        dup AS (SELECT g FROM pos GROUP BY g HAVING COUNT(*) > 1),
+        dp AS (SELECT doc_id, p FROM pos WHERE g IN (SELECT g FROM dup)),
+        iv AS (
+            SELECT doc_id, p,
+                   MAX(p + 40) OVER (
+                       PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS pe
+            FROM dp
+        ),
+        fl AS (
+            SELECT doc_id, p,
+                   CASE WHEN pe IS NULL OR p > pe THEN 1 ELSE 0 END AS st
+            FROM iv
+        ),
+        gr AS (
+            SELECT doc_id, p,
+                   SUM(st) OVER (PARTITION BY doc_id ORDER BY p) AS grp
+            FROM fl
+        ),
+        mi AS (
+            SELECT doc_id, grp, MIN(p) AS s, MAX(p + 40) AS e
+            FROM gr GROUP BY doc_id, grp
+        ),
+        -- interval difference: the kept segment before each removed
+        -- interval, plus the tail after the last one
+        seg AS (
+            SELECT doc_id,
+                   COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s),
+                            CAST(1 AS BIGINT)) AS ks,
+                   s AS ke
+            FROM mi
+            UNION ALL
+            SELECT doc_id, MAX(e) AS ks, CAST(NULL AS BIGINT) AS ke
+            FROM mi GROUP BY doc_id
+        ),
+        cl AS (
+            SELECT s.doc_id,
+                   string_agg(
+                       substr(d.text, CAST(s.ks AS INT),
+                              CAST(COALESCE(s.ke, length(d.text) + 1) - s.ks
+                                   AS INT)),
+                       '' ORDER BY s.ks) AS clean
+            FROM seg s JOIN documents d USING (doc_id)
+            GROUP BY s.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(length(d.text) AS BIGINT) AS n_chars,
+               COALESCE(c.clean, d.text) AS text_clean,
+               CAST(length(d.text) - length(COALESCE(c.clean, d.text))
+                    AS BIGINT) AS removed_chars
+        FROM documents d LEFT JOIN cl c USING (doc_id)
+    """,
     "dedup_substring_spans": """
         WITH pos AS (
             SELECT doc_id, CAST(t.p AS BIGINT) AS p,
