@@ -31,19 +31,35 @@ ROWS_PER_BAND = 2
 SIMHASH_BITS = 60
 
 
-def spread_for_compute(df: DataFrame) -> DataFrame:
+def spread_for_compute(df: DataFrame, size_threshold: int = 4 << 30) -> DataFrame:
     """Fan a small scan out to the cluster's parallelism before a
     CPU-bound stage.
 
     A small parquet file scans as 1-2 tasks, and AQE's byte-based
     coalescing keeps it that narrow — correct for I/O, wrong for the
     md5-per-shingle compute that follows (measured 1 task doing 100% of
-    the hashing on local[32]).  Repartitioning text rows is cheap at small
-    scale and a NO-OP at 100 TB scale, where the scan already has more
-    partitions than cores — the guard ensures we never add a full-corpus
-    shuffle to an already-parallel input."""
+    the hashing on local[32]).
+
+    The partition COUNT alone is not a safe guard: Spark splits a parquet
+    file into byte ranges, but a row group belongs to the split holding
+    its midpoint — a file with one huge row group scans as N splits of
+    which N−1 are EMPTY, so the count looks parallel while one task does
+    all the work (caught by the r12 sf1 scaling decade: the 40-gram build
+    collapsed to 1.6 effective cores, 27× wall on 10× data).  So inputs
+    whose optimizer-estimated size is under ``size_threshold`` are
+    repartitioned unconditionally: shuffling ≤4 GB costs seconds, while a
+    hollow-split parallelism collapse on a per-char CPU stage costs the
+    core count.  Above the threshold the scan's partitioning is trusted —
+    at 100 TB real writers cap row groups (~128 MB), so splits are
+    genuinely parallel and a full-corpus shuffle must not be added."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        size = None
+    if size is not None and size < size_threshold:
+        return df.repartition(target)
     if df.rdd.getNumPartitions() < max(2, target // 2):
         return df.repartition(target)
     return df

@@ -385,6 +385,42 @@ def _centroid_array(centroids_df: DataFrame):
 D2 = "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), cast(0 as double), (acc, v) -> acc + v)"
 
 
+def l2_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by squared L2 — the ground-truth metric for the PQ/ADC
+    family (ADC approximates squared L2, so its recall must be judged
+    against the SAME metric, not cosine).  Identical broadcast-scan shape
+    and round-6/id tie-break discipline as ``cosine_topk``.
+    Returns (query_id, neighbor_id, exact_d2)."""
+    from pyspark.sql import Window
+
+    from .dedup import spread_for_compute
+
+    c = as_double_vec(spread_for_compute(corpus)).select(
+        F.col(id_col), F.col("v").alias("cv")
+    )
+    q0 = queries.withColumnRenamed(id_col, query_id_col) \
+        if query_id_col not in queries.columns else queries
+    q = as_double_vec(q0, out="qv").select(query_id_col, "qv")
+    scored = (
+        c.join(F.broadcast(q))
+        .withColumn("exact_d2", F.round(F.expr(D2.format(a="qv", b="cv")), 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("exact_d2").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "exact_d2")
+    )
+
+
 def assign_ivf_cells(
     df: DataFrame, centroids_df: DataFrame, vec_col: str = "v", out: str = "cell"
 ) -> DataFrame:
@@ -898,6 +934,65 @@ def pq_adc_topk(
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .select(query_id_col, "neighbor_id", "adc_d2")
+    )
+
+
+def ivfpq_rerank_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    encoded: DataFrame,
+    coarse: DataFrame,
+    books: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Two-stage retrieval (Jégou et al. 2011 §V.C, the standard refine
+    step every production PQ deployment adds): the cheap residual-ADC
+    pass shortlists ``shortlist`` candidates per query, then ONLY those
+    candidates' full vectors are fetched and re-ranked by EXACT squared
+    L2 — quantization error decides nothing in the final top-k, only in
+    shortlist membership.
+
+    Scale shape: the shortlist (|queries|·shortlist ids) is broadcast
+    into the corpus scan, so the fetch-back is one map-side semi-join —
+    the corpus is never shuffled and the exact-distance work is
+    O(|queries|·shortlist·dim), independent of corpus size.  Returns
+    (query_id, neighbor_id, exact_d2, adc_d2) with the repo's round-6
+    float-ordering discipline; ties break on neighbor id."""
+    from pyspark.sql import Window
+
+    short = ivfpq_adc_topk(
+        queries, encoded, coarse, books, k=shortlist, m=m, ks=ks, dim=dim,
+        n_probe=n_probe, id_col=id_col, query_id_col=query_id_col,
+    )
+    vecs = as_double_vec(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("nv")
+    )
+    q0 = queries.withColumnRenamed(id_col, query_id_col) \
+        if query_id_col not in queries.columns else queries
+    qv = as_double_vec(q0, out="qv").select(query_id_col, "qv")
+    exact = (
+        vecs.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qv), query_id_col)
+        .select(
+            query_id_col, "neighbor_id",
+            F.round(F.expr(D2.format(a="qv", b="nv")), 6).alias("exact_d2"),
+            "adc_d2",
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("exact_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id_col, "neighbor_id", "exact_d2", "adc_d2")
     )
 
 

@@ -227,8 +227,76 @@ def q_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 — IVF-PQ + exact re-rank (Jégou et al. 2011 §V.C, verdict
+    item 4): the residual-ADC pass shortlists 20 candidates per query,
+    then only those candidates' full vectors are fetched (broadcast
+    semi-join — the corpus is never shuffled) and re-ranked by EXACT
+    squared L2.  The oracle replays the whole chain: coarse assign,
+    residual codebooks/codes, per-probe ADC tables, shortlist, exact
+    interval re-rank — both the surviving ids AND both distances are
+    value-checked."""
+    from ..operators.similarity import (
+        ivf_centroids_df, ivfpq_encode, ivfpq_rerank_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    coarse = ivf_centroids_df(corpus, n_centroids=16)
+    encoded, books = ivfpq_encode(corpus, coarse, m=8, ks=16, dim=64)
+    return ivfpq_rerank_topk(
+        queries, corpus, encoded, coarse, books,
+        k=5, shortlist=20, m=8, ks=16, dim=64, n_probe=4,
+    )
+
+
+def q_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 — the refine stage's value, measured: per-query recall@5 of
+    raw residual-ADC top-5 vs rerank(shortlist=20) top-5, both against
+    the exact squared-L2 ground truth (the metric ADC approximates —
+    judging it by cosine would blur quantization error with metric
+    mismatch).  The eval row the verdict asked for: rerank recall must
+    meet-or-beat raw ADC (asserted in tests/test_similarity.py; the
+    oracle value-checks the per-query hit counts themselves)."""
+    from ..operators.similarity import (
+        ivf_centroids_df, ivfpq_adc_topk, ivfpq_encode, ivfpq_rerank_topk,
+        l2_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    coarse = ivf_centroids_df(corpus, n_centroids=16)
+    encoded, books = ivfpq_encode(corpus, coarse, m=8, ks=16, dim=64)
+    exact = l2_topk(corpus, queries, k=5).select("query_id", "neighbor_id")
+    adc = ivfpq_adc_topk(
+        queries, encoded, coarse, books, k=5, m=8, ks=16, dim=64, n_probe=4,
+    ).select("query_id", "neighbor_id").withColumn("__a", F.lit(1))
+    rr = ivfpq_rerank_topk(
+        queries, corpus, encoded, coarse, books,
+        k=5, shortlist=20, m=8, ks=16, dim=64, n_probe=4,
+    ).select("query_id", "neighbor_id").withColumn("__r", F.lit(1))
+    return (
+        exact.join(adc, ["query_id", "neighbor_id"], "left")
+        .join(rr, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("__a", F.lit(0))).cast("long").alias("n_hits_adc"),
+            F.sum(F.coalesce("__r", F.lit(0))).cast("long").alias("n_hits_rerank"),
+            F.round(F.sum(F.coalesce("__a", F.lit(0))) / F.count(F.lit(1)), 6)
+            .alias("recall_adc"),
+            F.round(F.sum(F.coalesce("__r", F.lit(0))) / F.count(F.lit(1)), 6)
+            .alias("recall_rerank"),
+        )
+    )
+
+
 QUERIES = {
     "similarity_ann_ivfpq_topk": q_ivfpq_adc_topk,
+    "similarity_ann_ivfpq_rerank": q_ivfpq_rerank,
+    "similarity_ivfpq_rerank_recall": q_ivfpq_rerank_recall,
     "similarity_pq_adc_topk": q_pq_adc_topk,
     "similarity_cosine_topk": q_cosine_topk,
     "similarity_ann_lsh_topk": q_ann_lsh_topk,
@@ -242,44 +310,11 @@ QUERIES = {
     "similarity_truncated_recall": q_similarity_truncated_recall,
 }
 
-ORACLES = {
-    "similarity_cosine_topk": """
-        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
-        c AS (SELECT vec_id, v AS cv FROM e WHERE vec_id >= 5),
-        s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
-                     ROUND(list_dot_product(qv, cv)
-                           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
-              FROM q CROSS JOIN c),
-        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
-              FROM s)
-        SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 5
-    """,
-    "similarity_ann_lsh_topk": """
-        WITH planes AS (
-            SELECT i, list_transform(range(64), j ->
-                (('0x' || substr(md5(i || ',' || j), 1, 8))::BIGINT / 4294967296.0) * 2 - 1) AS pv
-            FROM range(4) t(i)),
-        e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-              FROM embeddings),
-        b AS (SELECT e.vec_id,
-                     CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
-                              THEN (1 << p.i) ELSE 0 END) AS BIGINT) AS bucket
-              FROM e CROSS JOIN planes p GROUP BY e.vec_id),
-        q AS (SELECT e.vec_id AS query_id, e.v AS qv, b.bucket
-              FROM e JOIN b USING (vec_id) WHERE vec_id < 5),
-        c AS (SELECT e.vec_id, e.v AS cv, b.bucket
-              FROM e JOIN b USING (vec_id) WHERE vec_id >= 5),
-        s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
-                     ROUND(list_dot_product(qv, cv)
-                           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
-              FROM q JOIN c USING (bucket)),
-        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                  ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM s)
-        SELECT query_id, neighbor_id, cosine FROM r WHERE rnk <= 5
-    """,
-    "similarity_ann_ivfpq_topk": """
-        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+# The IVF-PQ chain (coarse assign → residuals → residual codebooks/codes
+# → per-probe ADC tables → summed ADC distances), shared by the topk,
+# rerank and rerank-recall oracles.  Ends at ``dist(query_id, vec_id,
+# adc_d2)``; composers add their own ranking tail.
+_IVFPQ_CTES = """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
         c AS (SELECT vec_id, v AS cv FROM e WHERE vec_id >= 5),
         cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS i, cv AS ctr
@@ -330,7 +365,97 @@ ORACLES = {
                          AND qd.j = codes.j AND qd.cell = codes.code),
         dist AS (SELECT query_id, vec_id,
                         ROUND(list_sum(list(d2 ORDER BY j)), 6) AS adc_d2
-                 FROM pairs GROUP BY query_id, vec_id)
+                 FROM pairs GROUP BY query_id, vec_id)"""
+
+# shortlist → exact-L2 re-rank tail shared by the rerank oracles
+_IVFPQ_RERANK_CTES = """short AS (SELECT query_id, vec_id, adc_d2 FROM
+                  (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY adc_d2 ASC, vec_id ASC) AS rn FROM dist)
+                  WHERE rn <= 20),
+        ex AS (SELECT s.query_id, s.vec_id AS neighbor_id, s.adc_d2,
+                      ROUND(list_sum(list_transform(list_zip(q.qv, c.cv),
+                          p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS exact_d2
+               FROM short s JOIN q USING (query_id)
+               JOIN c ON c.vec_id = s.vec_id),
+        rr AS (SELECT query_id, neighbor_id, exact_d2, adc_d2 FROM
+               (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY exact_d2 ASC, neighbor_id ASC) AS rn FROM ex)
+               WHERE rn <= 5)"""
+
+ORACLES = {
+    "similarity_ann_ivfpq_rerank": f"""
+        WITH {_IVFPQ_CTES},
+        {_IVFPQ_RERANK_CTES}
+        SELECT query_id, neighbor_id, exact_d2, adc_d2 FROM rr
+    """,
+    "similarity_ivfpq_rerank_recall": f"""
+        WITH {_IVFPQ_CTES},
+        {_IVFPQ_RERANK_CTES},
+        adc5 AS (SELECT query_id, vec_id AS neighbor_id FROM
+                 (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY adc_d2 ASC, vec_id ASC) AS rn FROM dist)
+                 WHERE rn <= 5),
+        truth AS (SELECT query_id, neighbor_id FROM
+                  (SELECT q.query_id, c.vec_id AS neighbor_id,
+                          ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY ROUND(list_sum(list_transform(
+                                  list_zip(q.qv, c.cv),
+                                  p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) ASC,
+                              c.vec_id ASC) AS rn
+                   FROM q CROSS JOIN c)
+                  WHERE rn <= 5)
+        SELECT t.query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_exact,
+               CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hits_adc,
+               CAST(SUM(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hits_rerank,
+               ROUND(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                     * 1.0 / COUNT(*), 6) AS recall_adc,
+               ROUND(SUM(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                     * 1.0 / COUNT(*), 6) AS recall_rerank
+        FROM truth t
+        LEFT JOIN adc5 a USING (query_id, neighbor_id)
+        LEFT JOIN rr r USING (query_id, neighbor_id)
+        GROUP BY t.query_id
+    """,
+    "similarity_cosine_topk": """
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        c AS (SELECT vec_id, v AS cv FROM e WHERE vec_id >= 5),
+        s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                     ROUND(list_dot_product(qv, cv)
+                           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+              FROM q CROSS JOIN c),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+              FROM s)
+        SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 5
+    """,
+    "similarity_ann_lsh_topk": """
+        WITH planes AS (
+            SELECT i, list_transform(range(64), j ->
+                (('0x' || substr(md5(i || ',' || j), 1, 8))::BIGINT / 4294967296.0) * 2 - 1) AS pv
+            FROM range(4) t(i)),
+        e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+        b AS (SELECT e.vec_id,
+                     CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+                              THEN (1 << p.i) ELSE 0 END) AS BIGINT) AS bucket
+              FROM e CROSS JOIN planes p GROUP BY e.vec_id),
+        q AS (SELECT e.vec_id AS query_id, e.v AS qv, b.bucket
+              FROM e JOIN b USING (vec_id) WHERE vec_id < 5),
+        c AS (SELECT e.vec_id, e.v AS cv, b.bucket
+              FROM e JOIN b USING (vec_id) WHERE vec_id >= 5),
+        s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                     ROUND(list_dot_product(qv, cv)
+                           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+              FROM q JOIN c USING (bucket)),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM s)
+        SELECT query_id, neighbor_id, cosine FROM r WHERE rnk <= 5
+    """,
+    "similarity_ann_ivfpq_topk": f"""
+        WITH {_IVFPQ_CTES}
         SELECT query_id, vec_id AS neighbor_id, adc_d2 FROM
         (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
              ORDER BY adc_d2 ASC, vec_id ASC) AS rn FROM dist)

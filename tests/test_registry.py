@@ -80,6 +80,8 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "corpus_content_drift",     # scalar attach: 1-row broadcast corpus-total
         "similarity_pq_adc_topk",   # scalar attaches: 1-row broadcast codebook row + per-query ADC tables (index metadata)
         "similarity_ann_ivfpq_topk",  # scalar attaches: centroid array + codebook row + per-(query,probe) ADC tables
+        "similarity_ann_ivfpq_rerank",   # same ADC chain + broadcast shortlist re-rank (r12)
+        "similarity_ivfpq_rerank_recall",  # ADC + rerank + exact baseline composed (r12)
         "events_value_histogram",   # scalar attach: 1-row broadcast global min/max
         "corpus_unigram_vocab",     # scalar attaches: 1-row broadcast vocab map + total (vocab-sized metadata)
         "corpus_unigram_encode",    # same vocab-map/total attaches, encode side

@@ -590,3 +590,73 @@ def test_ivfpq_residual_coding_reduces_reconstruction_error(spark):
                                 refine_iters=1)
     e1 = recon_err(books1, enc1.select("vec_id", "codes"), rvecs)
     assert e1 <= e0 + 1e-9                         # Lloyd monotone
+
+
+def test_ivfpq_rerank_superset_optimality_and_recall(spark):
+    """r12 — the refine stage (Jégou §V.C): rerank picks the exact-L2
+    best k of the ADC shortlist.  Two checks:
+    1. SUPSET OPTIMALITY (data-independent): the shortlist contains the
+       raw ADC top-k, so rerank's selected set can never have a larger
+       total exact distance than the ADC top-k's — asserted exactly.
+    2. PLANTED RECALL: on tight clusters, quantization error flips the
+       fine within-cluster order (ADC recall < 1) while the true top-k
+       stays inside the shortlist (sized ≥ the probed cell here, the
+       standard shortlist⋙k setting), so rerank recovers it exactly."""
+    import pyspark.sql.functions as F
+
+    from postgres_debezium_clickhouse_spark.operators.similarity import (
+        ivf_centroids_df, ivfpq_adc_topk, ivfpq_encode, ivfpq_rerank_topk,
+        l2_topk,
+    )
+
+    docs = _pq_fixture(spark, n=120)
+    queries = docs.filter("vec_id < 4")
+    corpus = docs.filter("vec_id >= 4")
+    coarse = ivf_centroids_df(corpus, n_centroids=4)
+    enc, books = ivfpq_encode(corpus, coarse, m=4, ks=8, dim=16)
+    adc = ivfpq_adc_topk(queries, enc, coarse, books,
+                         k=5, m=4, ks=8, dim=16, n_probe=1)
+    rr = ivfpq_rerank_topk(queries, corpus, enc, coarse, books,
+                           k=5, shortlist=40, m=4, ks=8, dim=16, n_probe=1)
+    exact = l2_topk(corpus, queries, k=5)
+
+    ex = {(r.query_id, r.neighbor_id): r.exact_d2 for r in
+          l2_topk(corpus, queries, k=10_000).collect()}
+    adc_sel = {}
+    for r in adc.collect():
+        adc_sel.setdefault(r.query_id, set()).add(r.neighbor_id)
+    rr_sel = {}
+    for r in rr.collect():
+        rr_sel.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # 1. superset optimality, query by query
+    for q in adc_sel:
+        adc_total = sum(ex[(q, n)] for n in adc_sel[q])
+        rr_total = sum(ex[(q, n)] for n in rr_sel[q])
+        assert rr_total <= adc_total + 1e-9, (q, rr_total, adc_total)
+    # 2. planted recall: rerank == exact top-5, and beats raw ADC somewhere
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    rr_hits = sum(len(truth[q] & rr_sel[q]) for q in truth)
+    adc_hits = sum(len(truth[q] & adc_sel[q]) for q in truth)
+    assert rr_sel == truth                       # shortlist holds the truth
+    assert rr_hits >= adc_hits
+    assert adc_hits < rr_hits                    # the refine stage's value
+
+
+def test_l2_topk_matches_bruteforce(spark):
+    from postgres_debezium_clickhouse_spark.operators.similarity import l2_topk
+
+    docs = _pq_fixture(spark, n=40)
+    queries = docs.filter("vec_id < 2")
+    corpus = docs.filter("vec_id >= 2")
+    vecs = {r.vec_id: list(r.embedding) for r in docs.collect()}
+    out = {}
+    for r in l2_topk(corpus, queries, k=3).collect():
+        out.setdefault(r.query_id, []).append((r.neighbor_id, r.exact_d2))
+    for q in (0, 1):
+        d = sorted(
+            (round(sum((a - b) ** 2 for a, b in zip(vecs[q], vecs[c])), 6), c)
+            for c in vecs if c >= 2
+        )[:3]
+        assert [(c, v) for v, c in d] == sorted(out[q], key=lambda t: (t[1], t[0]))
