@@ -49,79 +49,65 @@ def entry(spark: SparkSession) -> DataFrame:
 _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries, analytics)
 
 _FRONT = (
-    # round-11 additions (never driver-checked), newest first:
-    "stream_agg_sortedarray_state",
-    "events_weighted_quantiles",
-    "corpus_unigram_encode",
-    "corpus_unigram_vocab",
-    "stream_pq_dedup_gate",
-    "events_window_funnel_strict",
-    "similarity_ann_ivfpq_topk",
-    "similarity_pq_adc_topk",
-    "events_value_histogram",
-    "ch_running_diff_neighbor",
-    "dedup_substring_spans",
-    "object_store_tsv_ingest",
-    "ch_array_join",
-    "stream_agg_bitmap_state",
-    "stream_agg_summap_state",
-    "cdc_incremental_snapshot",
-    "object_store_proto_ingest",
+    # round-12 additions (never driver-checked), newest first:
+    "dedup_substring_removal",
+    "similarity_ann_ivfpq_rerank",
+    "similarity_ivfpq_rerank_recall",
+    "corpus_unigram_prune",
     # steady-state cycling (oldest driver evidence first — recomputed
-    # r11 from CORRECTNESS_r01..r10: the 15-name r6 cohort that missed
-    # the r10 window, then the r7-evidence cohort.  The ~50-query driver
-    # window covers the additions + everything through most of r7.
+    # r12 from CORRECTNESS_r01..r11: the full 31-name r7-evidence
+    # cohort that missed the r11 window, then the alphabetical head of
+    # the r8 cohort to fill the ~50-query driver window.  After this
+    # window lands, every registry name has r8+ driver evidence.
     # (synthetic_transactions, r3 evidence, stays in _BACK by standing
     # policy: rows-only by contract, so a window slot on it loses a
     # full-value check.)
-    "revenue_rollup",  # r6
-    "salted_customer_revenue",  # r6
-    "segment_distinct_stats",  # r6
-    "segment_stats",  # r6
-    "silver_cross_table_revenue",  # r6
-    "similarity_ann_ivf_index",  # r6
-    "similarity_ivf_recall",  # r6
-    "stream_ann_assign",  # r6
-    "stream_dedup_new_docs",  # r6
-    "stream_drift_quarantine",  # r6
-    "supplier_balance_ranks",  # r6
-    "text_html_extract",  # r6
-    "text_url_extract",  # r6
-    "top_customers",  # r6
-    "top_parts_by_price",  # r6
-    "cdc_hotkey_state",  # r7
-    "cdc_replay_from_bronze",  # r7
-    "corpus_bpe_encode",  # r7
-    "corpus_bpe_merges",  # r7
-    "corpus_dedup_report",  # r7
-    "corpus_domain_pagerank",  # r7
-    "similarity_truncated_recall",  # r7
-    "text_normalize_unicode",  # r7
-    "quality_classifier_auc",  # r7
-    "text_perplexity_separation",  # r7
-    "text_commonness_separation",  # r7
-    "text_langid_separation",  # r7
-    "text_quality_separation",  # r7
-    "multimodal_thumbnails",  # r7
-    "multimodal_frames",  # r7
-    "llm_multimodal_pipeline",  # r7
-    "corpus_weighted_sample",  # r7
-    "corpus_domain_quality",  # r7
     "corpus_sketch_distinct",  # r7
+    "ddl_view_roundtrip",  # r7
+    "events_attribution_tolerance",  # r7
+    "events_errors_after_signup",  # r7
+    "events_hourly_counts",  # r7
+    "events_json_extract",  # r7
+    "events_micro_ts_roundtrip",  # r7
+    "events_purchase_attribution",  # r7
     "events_quantile_sketch",  # r7
-    "stream_bronze_archive",  # r7
-    "stream_silver_state",  # r7
-    "stream_stateful_dedup",  # r7
-    "stream_hourly_counts",  # r7
-    "silver_time_travel",  # r7
-    "silver_mutation",  # r7
-    "stream_sliding_counts",  # r7
-    "stream_sessionization",  # r7
-    "stream_stream_join",  # r7
+    "events_sessionization",  # r7
+    "events_sliding_counts",  # r7
+    "events_user_funnel",  # r7
+    "events_value_anomalies",  # r7
+    "events_value_percentiles",  # r7
     "object_store_typed_ingest",  # r7
-    "stream_neardup_gate",  # r7
+    "orders_trailing_30d_avg",  # r7
+    "repeat_buyer_keys",  # r7
+    "silver_mutation",  # r7
+    "silver_time_travel",  # r7
     "sql_correlated_subquery",  # r7
     "sql_in_subquery",  # r7
+    "sql_scalar_subquery_select",  # r7
+    "stream_bronze_archive",  # r7
+    "stream_hourly_counts",  # r7
+    "stream_neardup_gate",  # r7
+    "stream_sessionization",  # r7
+    "stream_silver_state",  # r7
+    "stream_sliding_counts",  # r7
+    "stream_stateful_dedup",  # r7
+    "stream_stream_join",  # r7
+    "zorder_customer_locality",  # r7
+    "cdc_schema_drift",  # r8
+    "chunk_sliding_windows",  # r8
+    "contamination_check",  # r8
+    "corpus_domain_mix",  # r8
+    "corpus_pagerank_sink",  # r8
+    "corpus_remove_boilerplate",  # r8
+    "corpus_split",  # r8
+    "corpus_stratified_sample",  # r8
+    "corpus_temperature_mix",  # r8
+    "corpus_token_budget_sample",  # r8
+    "corpus_topk_tokens",  # r8
+    "corpus_vocab_topk",  # r8
+    "dedup_cluster_keep",  # r8
+    "dedup_clusters",  # r8
+    "dedup_embedding_cosine",  # r8
 )
 
 # Oracle-inexpressible by the reference's own randomness contract

@@ -417,6 +417,150 @@ def unigram_viterbi_tokens(
     )
 
 
+#: the alt-cost DP: identical to _UNIGRAM_DP except the FULL-SPAN piece
+#: (j = 0 covering all of w) is treated as unknown — segmenting a piece
+#: "without itself".  A piece cannot occur as a proper substring of
+#: itself, so disallowing the full span IS removing it from the vocab
+#: for this word only; chars are always present, so a path exists.
+_UNIGRAM_DP_NOFULL = """
+aggregate(
+  sequence(1, length(w)),
+  array(struct(cast(0.0 as double) as negs, -1 as bp)),
+  (acc, i) -> concat(acc, array(
+    array_min(
+      transform(sequence(greatest(i - {K}, 0), i - 1), j ->
+        struct(
+          element_at(acc, j + 1).negs
+            - coalesce(if(j = 0 and i = length(w),
+                          cast(null as double),
+                          element_at(__vm, substring(w, j + 1, i - j))),
+                       cast(-1000000000.0 as double)) as negs,
+          j as bp))))))
+"""
+
+
+def _unigram_alt_cost(
+    pieces: DataFrame, vocab_logp: DataFrame, max_piece_len: int = 4
+) -> DataFrame:
+    """(w, alt_negs): the Viterbi cost of segmenting each piece string
+    WITHOUT itself (full span disallowed) — SentencePiece's loss-delta
+    ingredient: removing piece p forces every occurrence onto its best
+    alternative segmentation, so the cost increase per occurrence is
+    alt_negs − (−logp(p)).  Runs over VOCAB-sized rows (≤ seed_size
+    pieces of ≤ max_piece_len chars) against the broadcast vocab map —
+    index-metadata work, never corpus-sized."""
+    vm = vocab_logp.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("piece", "logp"))
+        ).alias("__vm")
+    )
+    return (
+        pieces.join(F.broadcast(vm))
+        .withColumn("dp", F.expr(_UNIGRAM_DP_NOFULL.format(K=max_piece_len)))
+        .select(
+            "w",
+            F.expr("element_at(dp, length(w) + 1).negs").alias("alt_negs"),
+        )
+    )
+
+
+def unigram_prune(
+    documents: DataFrame,
+    text_col: str = "text",
+    target_multi: int = 24,
+    shrink: float = 0.75,
+    max_piece_len: int = 4,
+    seed_size: int = 48,
+    max_word_len: int = 16,
+) -> DataFrame:
+    """Kudo 2018 §3.2's prune-to-target-size loop (the part of the
+    SentencePiece trainer ``unigram_train`` leaves out): repeat
+    {hard-EM round → per-piece loss delta → drop the lowest-delta
+    multi-char pieces down to max(target, shrink·current)} until at most
+    ``target_multi`` multi-char pieces remain, then return the final
+    re-estimated vocab ``(piece, cnt, logp)``.
+
+    Loss delta for piece p (Viterbi-EM form of Kudo's likelihood
+    difference): vcnt(p) · (alt_cost(p) + logp(p)) — what the corpus
+    cost gains if every Viterbi occurrence of p re-segments through the
+    best alternative path (full-span-disallowed DP, exact because p
+    cannot contain itself).  Single chars are never pruned (the
+    segmentability floor).  Ties break (delta desc, vcnt desc, piece
+    asc) — fully deterministic, mirrored by the DuckDB oracle.
+
+    Scale: each round = one E-step over DISTINCT words (broadcast map)
+    + one piece group-by + one vocab-sized alt-DP; the driver-paced
+    loop runs O(log(seed/target)/log(1/shrink)) rounds and every
+    per-round decision aggregate is vocab-metadata-sized, the same
+    bounded-driver-state class as the BPE merge table."""
+    if not 0 < shrink < 1:
+        raise ValueError(f"shrink must be in (0, 1), got {shrink}")
+    words = unigram_words(documents, text_col, max_word_len).localCheckpoint(
+        eager=True
+    )
+    chars = (
+        words.select(F.explode(F.split("w", "")).alias("piece"))
+        .filter(F.length("piece") == 1)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    vocab = _unigram_logp(
+        unigram_seed_vocab(words, max_piece_len, seed_size)
+    ).localCheckpoint(eager=True)
+    while True:
+        # hard-EM round (same E/M as unigram_train)
+        toks = unigram_viterbi_tokens(words, vocab, max_piece_len)
+        counts = (
+            toks.select("cnt", F.explode("ts").alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("cnt").alias("vcnt"))
+        )
+        freqs = (
+            chars.join(counts, "piece", "left")
+            .select(
+                "piece",
+                F.coalesce(F.col("vcnt").cast("double"), F.lit(0.5)).alias("freq"),
+            )
+            .unionByName(
+                counts.join(chars, "piece", "left_anti")
+                .select("piece", F.col("vcnt").cast("double").alias("freq"))
+            )
+        )
+        vocab = _unigram_logp(freqs).localCheckpoint(eager=True)
+        vstat = (
+            vocab.join(counts, "piece", "left")
+            .select("piece", "logp", F.coalesce("vcnt", F.lit(0)).alias("vcnt"))
+            .localCheckpoint(eager=True)
+        )
+        multi = vstat.filter(F.length("piece") > 1)
+        n_multi = multi.count()                 # scalar convergence probe
+        if n_multi <= target_multi:
+            return vstat.select(
+                "piece", F.col("vcnt").cast("long").alias("cnt"), "logp"
+            )
+        keep_n = max(target_multi, int(n_multi * shrink))
+        alt = _unigram_alt_cost(
+            multi.select(F.col("piece").alias("w")), vocab, max_piece_len
+        )
+        ranked = (
+            multi.join(alt, multi.piece == alt.w)
+            .select(
+                "piece", "vcnt",
+                (F.col("vcnt") * (F.col("alt_negs") + F.col("logp")))
+                .alias("delta"),
+            )
+            .orderBy(
+                F.col("delta").desc(), F.col("vcnt").desc(),
+                F.col("piece").asc(),
+            )
+            .limit(keep_n)
+        )
+        kept = freqs.join(
+            ranked.select("piece"), "piece", "left_semi"
+        ).unionByName(freqs.join(chars, "piece", "left_semi"))
+        vocab = _unigram_logp(kept).localCheckpoint(eager=True)
+
+
 def unigram_train(
     documents: DataFrame,
     text_col: str = "text",

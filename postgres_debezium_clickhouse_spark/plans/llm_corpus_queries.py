@@ -299,8 +299,30 @@ def q_corpus_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 (verdict item 3) — Kudo 2018 §3.2's prune-to-target-size loop,
+    fully value-oracled: seed-48 vocab → hard-EM round → per-piece loss
+    delta (vcnt · (alt_cost + logp), alt = full-span-disallowed Viterbi
+    of the piece against the trained vocab) → keep the top-8 multi-char
+    pieces → final re-estimation.  The DuckDB oracle replays the whole
+    chain: TWO word-level recursive DPs (E1, E2) plus the piece-level
+    alt-DP, the delta ranking with its (delta desc, vcnt desc, piece asc)
+    tie-break, and the re-normalized round-6 logps.
+
+    Regime constant (same class as sample_full/sketch_full): with
+    shrink=0.25 the keep count is max(8, ⌊n·0.25⌋) = 8 whenever the
+    post-EM multi count n is in (8, 32] — measured 18/19/19 at
+    sf0.001/0.01/0.1, so exactly ONE prune round fires at every fixture
+    scale and the oracle's LIMIT 8 is the engine's keep_n verbatim."""
+    from ..operators.tokenizer import unigram_prune
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_prune(docs, target_multi=8, shrink=0.25)
+
+
 QUERIES = {
     "corpus_unigram_vocab": q_corpus_unigram_vocab,
+    "corpus_unigram_prune": q_corpus_unigram_prune,
     "corpus_unigram_encode": q_corpus_unigram_encode,
     "events_qsample_quantiles": q_qsample_quantiles,
     "corpus_domain_blocklist": q_corpus_domain_blocklist,
@@ -312,9 +334,13 @@ QUERIES = {
     "events_quantile_sketch": q_quantile_sketch,
 }
 
-ORACLES = {
-    "corpus_unigram_encode": """
-        WITH words AS (
+# The unigram hard-EM train chain (seed vocab → E-step DP #1 → M-step
+# with 0.5 char floor and zero-mass pruning → round-6 re-estimated
+# ``vocab2``), shared by the encode and prune oracles.  Nested recursive
+# CTE names are unique per block (r1/b1 here; composers use r2/b2/r3…):
+# DuckDB flattens sibling WITH RECURSIVE scopes, so a reused name binds
+# to the wrong recursion.
+_UNIGRAM_EM_CTES = """words AS (
           SELECT w, COUNT(*) AS cnt FROM (
             SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
             FROM documents) t WHERE length(w) <= 16 GROUP BY w
@@ -333,10 +359,6 @@ ORACLES = {
                  UNION ALL SELECT piece, freq FROM subs WHERE length(piece) = 1),
         tot AS (SELECT SUM(freq) AS t FROM seed),
         vocab AS (SELECT piece, ROUND(LN(freq / t), 6) AS logp FROM seed, tot),
-        -- E-step DP #1 against the SEED vocab (carries cnt for the
-        -- M-step).  Nested recursive CTE names are unique per block
-        -- (r1/b1/r2/b2): DuckDB flattens sibling WITH RECURSIVE scopes,
-        -- so a reused name binds to the wrong recursion.
         dpr AS (
           WITH RECURSIVE r1 AS (
             SELECT w, cnt, 0 AS pos, [CAST(0.0 AS DOUBLE)] AS negs,
@@ -359,10 +381,6 @@ ORACLES = {
           )
           SELECT w, cnt, bps FROM r1 WHERE pos = length(w)
         ),
-        -- M-step: Viterbi mass per piece -> re-estimated round-6 logps,
-        -- zero-mass multi-char pieces pruned, chars floored at 0.5
-        -- (mirrors unigram_train n_iters=1 -- the vocab the engine
-        -- actually encodes with; ADVICE r11)
         bt AS (
           WITH RECURSIVE b1 AS (
             SELECT w, cnt, CAST(length(w) AS BIGINT) AS pos, bps FROM dpr
@@ -384,7 +402,97 @@ ORACLES = {
           FROM vmass k WHERE length(k.piece) > 1
         ),
         tot2 AS (SELECT SUM(freq) AS t FROM freqs),
-        vocab2 AS (SELECT piece, ROUND(LN(freq / t), 6) AS logp FROM freqs, tot2),
+        vocab2 AS (SELECT piece, ROUND(LN(freq / t), 6) AS logp FROM freqs, tot2)"""
+
+ORACLES = {
+    "corpus_unigram_prune": f"""
+        WITH {_UNIGRAM_EM_CTES},
+        vstat AS (SELECT v.piece, v.logp, COALESCE(m.vcnt, 0) AS vcnt
+                  FROM vocab2 v LEFT JOIN vmass m USING (piece)),
+        -- loss-delta alt-DP: segment each multi piece WITHOUT itself
+        -- (full span disallowed) against the trained vocab
+        altdp AS (
+          WITH RECURSIVE r3 AS (
+            SELECT piece AS w, 0 AS pos, [CAST(0.0 AS DOUBLE)] AS negs
+            FROM vstat WHERE length(piece) > 1
+            UNION ALL
+            SELECT r3.w, r3.pos + 1, r3.negs || [b.bn]
+            FROM r3, LATERAL (
+              SELECT cand.negs AS bn FROM (
+                SELECT r3.negs[CAST(j.j + 1 AS INT)]
+                       - COALESCE(CASE WHEN j.j = 0 AND r3.pos + 1 = length(r3.w)
+                                       THEN NULL
+                                       ELSE (SELECT v.logp FROM vocab2 v
+                                             WHERE v.piece = substr(r3.w, CAST(j.j + 1 AS INT),
+                                                                    CAST(r3.pos + 1 - j.j AS INT))) END,
+                                  -1000000000.0) AS negs,
+                       j.j AS j
+                FROM (SELECT unnest(range(GREATEST(r3.pos + 1 - 4, 0), r3.pos + 1)) AS j) j
+              ) cand ORDER BY cand.negs, cand.j LIMIT 1
+            ) b
+            WHERE r3.pos < length(r3.w)
+          )
+          SELECT w, negs[CAST(length(w) + 1 AS INT)] AS alt_negs
+          FROM r3 WHERE pos = length(w)
+        ),
+        ranked AS (SELECT s.piece FROM vstat s JOIN altdp a ON a.w = s.piece
+                   ORDER BY s.vcnt * (a.alt_negs + s.logp) DESC,
+                            s.vcnt DESC, s.piece ASC
+                   LIMIT 8),
+        kept AS (SELECT piece, freq FROM freqs
+                 WHERE length(piece) = 1
+                    OR piece IN (SELECT piece FROM ranked)),
+        tot3 AS (SELECT SUM(freq) AS t FROM kept),
+        vocab3 AS (SELECT piece, ROUND(LN(freq / t), 6) AS logp FROM kept, tot3),
+        -- E-step #2 against the pruned renormalized vocab, then M-step #2
+        dprb AS (
+          WITH RECURSIVE r4 AS (
+            SELECT w, cnt, 0 AS pos, [CAST(0.0 AS DOUBLE)] AS negs,
+                   CAST([] AS BIGINT[]) AS bps
+            FROM words
+            UNION ALL
+            SELECT r4.w, r4.cnt, r4.pos + 1, r4.negs || [b.bn], r4.bps || [b.bj]
+            FROM r4, LATERAL (
+              SELECT cand.negs AS bn, cand.j AS bj FROM (
+                SELECT r4.negs[CAST(j.j + 1 AS INT)]
+                       - COALESCE((SELECT v.logp FROM vocab3 v
+                                   WHERE v.piece = substr(r4.w, CAST(j.j + 1 AS INT),
+                                                          CAST(r4.pos + 1 - j.j AS INT))),
+                                  -1000000000.0) AS negs,
+                       j.j AS j
+                FROM (SELECT unnest(range(GREATEST(r4.pos + 1 - 4, 0), r4.pos + 1)) AS j) j
+              ) cand ORDER BY cand.negs, cand.j LIMIT 1
+            ) b
+            WHERE r4.pos < length(r4.w)
+          )
+          SELECT w, cnt, bps FROM r4 WHERE pos = length(w)
+        ),
+        btb AS (
+          WITH RECURSIVE b4 AS (
+            SELECT w, cnt, CAST(length(w) AS BIGINT) AS pos, bps FROM dprb
+            UNION ALL
+            SELECT w, cnt, bps[CAST(pos AS INT)] AS pos, bps FROM b4 WHERE pos > 0
+          )
+          SELECT w, cnt,
+                 substr(w, CAST(bps[CAST(pos AS INT)] + 1 AS INT),
+                        CAST(pos - bps[CAST(pos AS INT)] AS INT)) AS piece
+          FROM b4 WHERE pos > 0
+        ),
+        vmass2 AS (SELECT piece, SUM(cnt) AS vcnt FROM btb GROUP BY piece),
+        freqs2 AS (
+          SELECT c.piece, COALESCE(CAST(k.vcnt AS DOUBLE), 0.5) AS freq
+          FROM chars c LEFT JOIN vmass2 k ON k.piece = c.piece
+          UNION ALL
+          SELECT k.piece, CAST(k.vcnt AS DOUBLE) AS freq
+          FROM vmass2 k WHERE length(k.piece) > 1
+        ),
+        tot4 AS (SELECT SUM(freq) AS t FROM freqs2),
+        vocab4 AS (SELECT piece, ROUND(LN(freq / t), 6) AS logp FROM freqs2, tot4)
+        SELECT v.piece, CAST(COALESCE(m.vcnt, 0) AS BIGINT) AS cnt, v.logp
+        FROM vocab4 v LEFT JOIN vmass2 m USING (piece)
+    """,
+    "corpus_unigram_encode": f"""
+        WITH {_UNIGRAM_EM_CTES},
         -- E-step DP #2: the ENCODE pass, against the post-EM vocab
         dpr2 AS (
           WITH RECURSIVE r2 AS (

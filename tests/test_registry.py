@@ -85,6 +85,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "events_value_histogram",   # scalar attach: 1-row broadcast global min/max
         "corpus_unigram_vocab",     # scalar attaches: 1-row broadcast vocab map + total (vocab-sized metadata)
         "corpus_unigram_encode",    # same vocab-map/total attaches, encode side
+        "corpus_unigram_prune",     # same attaches + vocab-sized alt-DP map (r12)
     }
     oracle_checked = set(m.oracle_sql())
     checked = 0
@@ -209,3 +210,32 @@ def test_back_listed_queries_stay_out_of_the_window():
     names = list(m.queries())
     for n in m._BACK:
         assert n in names and names.index(n) >= len(names) - len(m._BACK)
+
+
+def test_queries_doc_is_fresh():
+    """r11 verdict nit: docs/QUERIES.md said 223 while the registry held
+    226 — the generator had run before the last additions.  Pin the doc's
+    header counts AND its row set to the live registry so a stale doc
+    fails the suite instead of eroding trust (regenerate with
+    `python docs/make_queries_doc.py`)."""
+    import os
+    import re
+
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    oracles = m.oracle_sql()
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "docs", "QUERIES.md")
+    with open(path) as fh:
+        doc = fh.read()
+    m0 = re.search(r"^(\d+) queries, (\d+) with full DuckDB", doc, re.M)
+    assert m0, "QUERIES.md header count line missing"
+    assert int(m0.group(1)) == len(qs), (
+        f"QUERIES.md says {m0.group(1)} queries, registry has {len(qs)} — "
+        "regenerate with docs/make_queries_doc.py")
+    assert int(m0.group(2)) == len(oracles)
+    doc_names = set(re.findall(r"^\| \d+ \| `([^`]+)` \|", doc, re.M))
+    assert doc_names == set(qs), (
+        f"doc/registry row drift: missing={sorted(set(qs) - doc_names)[:5]} "
+        f"extra={sorted(doc_names - set(qs))[:5]}")

@@ -309,3 +309,83 @@ def test_unigram_word_len_cap(spark):
         [(1, "short " + "x" * 40)], "doc_id long, text string")
     ws = {r.w for r in unigram_words(docs, max_word_len=16).collect()}
     assert ws == {"short"}
+
+
+def test_unigram_prune_planted_closed_form(spark):
+    """r12 (verdict item 3): Kudo's prune-to-target loop on a corpus
+    whose surviving vocab is hand-derivable.  Corpus words: 'abcd' and
+    'efgh', equal counts.  After one EM round exactly two multi pieces
+    survive (each word as a whole piece, equal mass).  Pruning to
+    target_multi=1: both pieces have IDENTICAL loss deltas (alt path =
+    4 floored chars, same logp, same vcnt), so the (delta desc, vcnt
+    desc, piece asc) tie-break keeps 'abcd'.  The final re-estimated
+    vocab is then fully closed-form: 'abcd' whole (mass N), e/f/g/h as
+    chars (mass N each), a/b/c/d floored (cnt 0)."""
+    from postgres_debezium_clickhouse_spark.operators.tokenizer import (
+        unigram_prune,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "abcd efgh abcd efgh abcd efgh") for i in range(4)],
+        "doc_id long, text string",
+    )
+    out = {r.piece: (r.cnt, r.logp) for r in
+           unigram_prune(docs, target_multi=1, shrink=0.5).collect()}
+    n = 12  # 3 occurrences x 4 docs per word
+    multi = {p for p in out if len(p) > 1}
+    assert multi == {"abcd"}
+    assert out["abcd"][0] == n
+    for c in "efgh":
+        assert out[c][0] == n
+    for c in "abcd":
+        assert out[c][0] == 0                   # floored, zero Viterbi mass
+    import math
+    t = 5 * n + 4 * 0.5                         # abcd + e,f,g,h + 4 floors
+    assert abs(out["abcd"][1] - round(math.log(n / t), 6)) < 1e-9
+    assert abs(out["e"][1] - round(math.log(n / t), 6)) < 1e-9
+    assert abs(out["a"][1] - round(math.log(0.5 / t), 6)) < 1e-9
+
+
+def test_unigram_prune_loss_delta_beats_adversarial_prune(spark, sf_dir):
+    """The monotone-objective invariant extended to the prune path: the
+    corpus Viterbi cost under the loss-delta-ranked prune must not
+    exceed the cost under an ADVERSARIAL prune that keeps the same
+    NUMBER of pieces but ranked the opposite way — the ranking has to
+    actually earn its keep, not just shrink the vocab."""
+    import pyspark.sql.functions as F
+    from postgres_debezium_clickhouse_spark.operators.tokenizer import (
+        unigram_prune, unigram_train, unigram_viterbi_tokens, unigram_words,
+    )
+    from postgres_debezium_clickhouse_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    words = unigram_words(docs).localCheckpoint(eager=True)
+
+    def corpus_cost(vocab):
+        seg = unigram_viterbi_tokens(words, vocab.select("piece", "logp"))
+        tok = seg.select("cnt", F.explode("ts").alias("piece"))
+        return (
+            tok.join(vocab.select("piece", "logp"), "piece")
+            .agg(F.sum(-F.col("logp") * F.col("cnt"))).first()[0]
+        )
+
+    pruned = unigram_prune(docs, target_multi=8, shrink=0.5)
+    n_multi = pruned.filter(F.length("piece") > 1).count()
+    assert n_multi <= 8
+
+    # adversarial: same budget, keep the LOWEST-mass multi pieces instead
+    trained = unigram_train(docs, n_iters=1)
+    worst = (
+        trained.filter(F.length("piece") > 1)
+        .orderBy(F.col("cnt").asc(), F.col("piece").asc())
+        .limit(n_multi)
+        .unionByName(trained.filter(F.length("piece") == 1))
+    )
+    c_pruned = corpus_cost(pruned)
+    c_adversarial = corpus_cost(worst)
+    assert c_pruned <= c_adversarial + 1e-3, (c_pruned, c_adversarial)
+
+    # pruning below the EM fixed point can only cost likelihood, and the
+    # returned vocab honors the target
+    c_full = corpus_cost(trained)
+    assert c_full <= c_pruned + 1e-3
