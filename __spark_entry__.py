@@ -50,6 +50,7 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 
 _FRONT = (
     # round-12 additions (never driver-checked), newest first:
+    "cdc_snapshot_pause_resume",
     "dedup_substring_removal",
     "similarity_ann_ivfpq_rerank",
     "similarity_ivfpq_rerank_recall",

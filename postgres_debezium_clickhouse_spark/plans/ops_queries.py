@@ -2200,6 +2200,128 @@ def cdc_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sh.rmtree(d, ignore_errors=True)
 
 
+def cdc_snapshot_pause_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 — Debezium ``pause-snapshot`` / ``resume-snapshot`` end-to-end
+    (the remaining public signal family; streaming/snapshot.py): the
+    SAME adversarial scenario as ``cdc_incremental_snapshot``, but the
+    signal-driven snapshot is PAUSED after chunk 1 (pause marker raised
+    from the interleave hook), the poll loop exits with the signal still
+    pending and progress (completed chunks + planned bounds) persisted,
+    the mid-snapshot change batch lands WHILE PAUSED, and after
+    ``resume-snapshot`` a second poll completes the remaining chunks
+    from the persisted cuts.
+
+    The oracle is cdc_incremental_snapshot's final-state algebra
+    VERBATIM — the whole point of DBLog-on-latest-wins is that merge
+    interleaving (including a pause of any length) cannot change the
+    converged state.  The query fails loudly (RuntimeError) if the
+    pause did not actually bite, so it cannot silently degenerate into
+    the uninterrupted run."""
+    from ..streaming.pipeline import read_silver, silver_upsert_stream
+    from ..streaming.snapshot import (
+        process_signals, signal_pause_snapshot, signal_resume_snapshot,
+        signal_snapshot,
+    )
+
+    import shutil as _sh
+
+    run = uuid.uuid4().hex[:12]
+    root = tempfile.gettempdir()
+    src = f"{root}/prsnap_src_{run}"
+    dst = f"{root}/prsnap_out_{run}"
+    ckpt = f"{root}/prsnap_ckpt_{run}"
+    W = 5_000_000
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    k = F.col("o_orderkey")
+    base = F.col("o_totalprice")
+
+    def ev(df, status, price, op, ts, slot):
+        return df.select(
+            k.alias("o_orderkey"),
+            status.alias("o_orderstatus"),
+            price.cast("double").alias("o_totalprice"),
+            F.lit(op).alias("op"),
+            ts.cast("long").alias("ts_ms"),
+            (k * 10 + slot).cast("long").alias("offset"),
+        )
+
+    def stream_merge(events, tag):
+        d = f"{src}/{tag}"
+        events.coalesce(2).write.json(d)
+        stream = spark.readStream.schema(events.schema).json(d)
+        q = silver_upsert_stream(
+            stream, dst, f"{ckpt}/{tag}", keys=["o_orderkey"],
+            available_now=True,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("pause-resume seed stream stalled")
+
+    try:
+        seed = (
+            ev(orders.filter(k % 2 == 1), F.col("o_orderstatus"), base,
+               "c", F.lit(1_000_000), 0)
+            .unionByName(ev(orders.filter(k % 3 == 0), F.lit("U"),
+                            base + 100, "u", F.lit(2_000_000) + k, 1))
+            .unionByName(ev(orders.filter(k % 9 == 0), F.lit("V"),
+                            base + 170, "u", F.lit(6_000_000) + k, 2))
+        )
+        stream_merge(seed, "seed")
+
+        table_truth = orders.select(
+            "o_orderkey",
+            F.when(k % 3 == 0, F.lit("U")).otherwise(
+                F.col("o_orderstatus")).alias("o_orderstatus"),
+            (base + F.when(k % 3 == 0, 100).otherwise(0))
+            .cast("double").alias("o_totalprice"),
+        )
+        sid = signal_snapshot(
+            dst, order_col="o_orderkey", n_chunks=6, watermark_version=W,
+            signal_id=f"pr_{run}",
+        )
+
+        def pause_hook(i):
+            if i == 1:
+                signal_pause_snapshot(dst)
+
+        done = process_signals(
+            table_truth, dst, ["o_orderkey"], interleave_hook=pause_hook,
+        )
+        import os as _os
+
+        prog = _os.path.join(dst, "_signals", f"{sid}.progress")
+        if done or not _os.path.exists(prog):
+            raise RuntimeError("pause did not bite — scenario degenerate")
+
+        # change events land WHILE the snapshot is paused
+        mid = (
+            ev(orders.filter(k % 4 == 0), F.lit("X"),
+               base + F.when(k % 3 == 0, 100).otherwise(0) + 300,
+               "u", F.lit(7_000_000) + k, 3)
+            .unionByName(ev(orders.filter(k % 5 == 0),
+                            F.lit(None).cast("string"),
+                            F.lit(None).cast("double"),
+                            "d", F.lit(7_500_000) + k, 4))
+        )
+        stream_merge(mid, "mid")
+
+        signal_resume_snapshot(dst)
+        if process_signals(table_truth, dst, ["o_orderkey"]) != [sid]:
+            raise RuntimeError("resume did not complete the signal")
+        return (
+            read_silver(spark, dst)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice", "ts_ms")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for d in (src, dst, ckpt):
+            _sh.rmtree(d, ignore_errors=True)
+
+
 def object_store_proto_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r11 — protobuf wire-format ingestion (S6's THIRD wire format:
     Debezium's converter slot takes JSON, Avro, or ProtobufConverter —
@@ -2405,6 +2527,7 @@ QUERIES = {
     "object_store_avro_ingest": object_store_avro_ingest,
     "object_store_proto_ingest": object_store_proto_ingest,
     "cdc_incremental_snapshot": cdc_incremental_snapshot,
+    "cdc_snapshot_pause_resume": cdc_snapshot_pause_resume,
     "object_store_tsv_ingest": object_store_tsv_ingest,
     "stream_agg_summap_state": stream_agg_summap_state,
     "stream_agg_bitmap_state": stream_agg_bitmap_state,
@@ -2722,6 +2845,11 @@ ORACLES["cdc_incremental_snapshot"] = """
     FROM orders
     WHERE o_orderkey % 5 <> 0
 """
+
+# resume-equals-uninterrupted: the pause/resume run must converge to
+# EXACTLY the uninterrupted scenario's closed-form state (latest-wins
+# makes merge interleaving — including a pause — invisible).
+ORACLES["cdc_snapshot_pause_resume"] = ORACLES["cdc_incremental_snapshot"]
 
 ORACLES["object_store_proto_ingest"] = """
     SELECT o_orderkey,
