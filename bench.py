@@ -60,6 +60,8 @@ HEADLINE = [
     "dedup_substring_spans",    # LLM: exact-substring dup spans (r11 — the
                                 # heaviest new op: all-positions gram shuffle
                                 # + per-doc interval-union window)
+    "dedup_substring_removal",  # LLM: the spans' rewrite composition (r12 —
+                                # merged-interval fold re-emitting cleaned text)
 ]
 
 PASSES = 3
