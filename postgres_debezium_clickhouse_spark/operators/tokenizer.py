@@ -36,11 +36,14 @@ MERGES_SCHEMA = T.StructType(
 )
 
 
-def _apply_merge(syms_col, left: str, right: str):
+def _apply_merge(syms_col, left: str, right: str, merged: str | None = None):
     """Left-to-right greedy single-pass merge of adjacent (left, right)
     symbol pairs — the reference BPE application order.  Pure array fold
     (``aggregate``): carries one pending symbol; on (pend=left, s=right)
-    emits the merged symbol, else flushes pend and carries s."""
+    emits the merged symbol, else flushes pend and carries s.
+    ``merged`` defaults to ``left + right`` (BPE); WordPiece passes
+    ``left + right-without-##`` (the continuation-prefix convention)."""
+    merged = left + right if merged is None else merged
     out0 = F.array().cast("array<string>")
     pend0 = F.lit(None).cast("string")
     init = F.struct(out0.alias("out"), pend0.alias("pend"))
@@ -51,7 +54,7 @@ def _apply_merge(syms_col, left: str, right: str):
             .when(
                 (acc.pend == F.lit(left)) & (s == F.lit(right)),
                 F.struct(
-                    F.concat(acc.out, F.array(F.lit(left + right))).alias("out"),
+                    F.concat(acc.out, F.array(F.lit(merged))).alias("out"),
                     pend0.alias("pend"),
                 ),
             )
@@ -619,5 +622,191 @@ def unigram_train(
             "piece",
             F.coalesce("vcnt", F.lit(0)).cast("long").alias("cnt"),
             "logp",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece tokenizer (Schuster & Nakajima 2012; the BERT tokenizer — r12).
+# Completes the mainstream subword-trainer triple next to BPE (Sennrich
+# 2016) and Unigram-LM (Kudo 2018).  Two published differences from BPE:
+# (1) TRAINING picks the merge maximizing the LIKELIHOOD score
+#     count(l,r) / (count(l) · count(r)) — not the raw pair count — so a
+#     rarer pair of rare symbols can beat a frequent pair of frequent
+#     ones (the criterion HuggingFace tokenizers implements verbatim);
+# (2) ENCODING is greedy longest-match-first against the final vocab
+#     (no merge replay), with the ``##`` continuation prefix on
+#     non-word-initial pieces and whole-word [UNK] on any dead end.
+# Same scale shape as the BPE trainer: the corpus is scanned once into
+# the word-frequency table; rounds iterate on vocabulary-sized frames;
+# per-round driver state is one argmax row.
+# ---------------------------------------------------------------------------
+
+WORDPIECE_MERGES_SCHEMA = T.StructType(
+    [
+        T.StructField("merge_rank", T.IntegerType()),
+        T.StructField("left_sym", T.StringType()),
+        T.StructField("right_sym", T.StringType()),
+        T.StructField("merged", T.StringType()),
+        T.StructField("pair_count", T.LongType()),
+    ]
+)
+
+#: word → WordPiece initial symbols: first char bare, rest ##-prefixed.
+_WP_SYMS = (
+    "transform(split(w, ''), (c, i) -> if(i = 0, c, concat('##', c)))"
+)
+
+
+def _wp_merged(left: str, right: str) -> str:
+    return left + (right[2:] if right.startswith("##") else right)
+
+
+def wordpiece_top_merges(
+    documents: DataFrame, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Learn the first ``k`` WordPiece merges by the likelihood score
+    count(l,r) / (count(l)·count(r)).  Returns WORDPIECE_MERGES_SCHEMA
+    rows rank-ordered; ties break (score desc, pair_count desc, l asc,
+    r asc) — score is a correctly-rounded IEEE division of integer
+    counts, so the oracle's DuckDB doubles compare identically.  Stops
+    early when no adjacent pair remains."""
+    spark = documents.sparkSession
+    words = (
+        documents.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    syms = words.select(F.expr(_WP_SYMS).alias("syms"), "cnt").localCheckpoint(
+        eager=True
+    )
+    merges: list[tuple] = []
+    for rank in range(1, k + 1):
+        scnt = (
+            syms.select(F.explode("syms").alias("s"), "cnt")
+            .groupBy("s")
+            .agg(F.sum("cnt").alias("sn"))
+        )
+        pair = F.expr(
+            "zip_with(slice(syms, 1, size(syms) - 1),"
+            " slice(syms, 2, size(syms) - 1), (l, r) -> struct(l, r))"
+        )
+        pairs = (
+            syms.select(F.explode(pair).alias("p"), "cnt")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("n"))
+        )
+        top = (
+            pairs
+            .join(F.broadcast(scnt.withColumnRenamed("s", "l")
+                              .withColumnRenamed("sn", "ln")), "l")
+            .join(F.broadcast(scnt.withColumnRenamed("s", "r")
+                              .withColumnRenamed("sn", "rn")), "r")
+            .select(
+                "l", "r", "n",
+                (F.col("n") / (F.col("ln") * F.col("rn"))).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), F.col("n").desc(),
+                     F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, n = top[0].l, top[0].r, int(top[0].n)
+        merged = _wp_merged(l, r)
+        merges.append((rank, l, r, merged, n))
+        syms = syms.select(
+            _apply_merge(F.col("syms"), l, r, merged).alias("syms"), "cnt"
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(merges, WORDPIECE_MERGES_SCHEMA)
+
+
+def wordpiece_vocab(documents: DataFrame, k: int = 3,
+                    text_col: str = "text") -> list[str]:
+    """The deployable vocab: every initial symbol (bare first chars +
+    ##-continuations) plus the ``k`` learned merge pieces."""
+    alpha = [
+        r.s for r in documents.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .select(F.explode(F.expr(_WP_SYMS)).alias("s")).distinct().collect()
+    ]
+    merges = wordpiece_top_merges(documents, k=k, text_col=text_col).collect()
+    return sorted(set(alpha) | {m.merged for m in merges})
+
+
+def wordpiece_encode(
+    documents: DataFrame,
+    vocab: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_piece_len: int = 8,
+) -> DataFrame:
+    """Greedy longest-match-first WordPiece encode (the BERT tokenizer's
+    published algorithm): per word, repeatedly take the LONGEST vocab
+    piece at the cursor (bare at position 0, ``##``-prefixed after);
+    any dead end makes the whole word one [UNK] (BERT semantics).
+
+    Per document emits n_words / n_pieces / n_unk — [UNK] counts as one
+    piece.  The walk is one JVM ``aggregate`` fold per DISTINCT word
+    against the broadcast vocab map (vocab-sized work joined back to
+    corpus-sized counts), same split as the unigram encoder; no UDF."""
+    spark = documents.sparkSession
+    vm = spark.createDataFrame([(p, 1) for p in vocab], "piece string, one int") \
+        .agg(F.map_from_entries(F.collect_list(F.struct("piece", "one")))
+             .alias("__wm"))
+    words = (
+        documents.select(
+            F.explode(
+                F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+            ).alias("w")
+        )
+        .distinct()
+    )
+    # fold state: (pos, n_pieces, unk); each step advances by the longest
+    # matching piece or declares the word [UNK] and parks the cursor.
+    walk = f"""
+    aggregate(
+      sequence(1, length(w)),
+      struct(0 as pos, 0 as n, false as unk),
+      (acc, x) -> if(acc.unk or acc.pos >= length(w), acc,
+        aggregate(
+          filter(transform(sequence(1, least({max_piece_len}, length(w) - acc.pos)),
+                           l -> if(element_at(__wm,
+                                     if(acc.pos = 0, substring(w, 1, l),
+                                        concat('##', substring(w, acc.pos + 1, l))))
+                                   is not null, l, -1)),
+                 v -> v > 0),
+          cast(-1 as int), (m, v) -> greatest(m, v),
+          m -> if(m > 0,
+                  named_struct('pos', acc.pos + m, 'n', acc.n + 1, 'unk', false),
+                  named_struct('pos', length(w), 'n', 1, 'unk', true)))),
+      acc -> struct(acc.n as n, acc.unk as unk))
+    """
+    per_word = (
+        words.join(F.broadcast(vm))
+        .withColumn("__r", F.expr(walk))
+        .select("w", F.col("__r.n").alias("n_pieces"),
+                F.col("__r.unk").cast("int").alias("is_unk"))
+    )
+    doc_words = (
+        documents.select(
+            F.col(id_col),
+            F.explode(
+                F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+            ).alias("w"),
+        )
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        doc_words.join(per_word, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_pieces")).alias("n_pieces"),
+            F.sum(F.col("cnt") * F.col("is_unk")).alias("n_unk"),
         )
     )

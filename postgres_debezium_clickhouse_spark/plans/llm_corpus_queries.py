@@ -151,6 +151,43 @@ def q_corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(eval_docs, merges)
 
 
+def q_corpus_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 — WordPiece tokenizer training (Schuster & Nakajima 2012, the
+    BERT tokenizer — completes the mainstream subword-trainer triple
+    next to BPE and Unigram-LM).  Planted corpus "xy xy xz de de de de"
+    per doc makes the merge table closed-form AND demonstrates the
+    likelihood criterion: raw counts would pick (d,##e) first (4N), but
+    WordPiece's score n/(cnt(l)·cnt(r)) ranks (x,##y) and (x,##z) at
+    1/(3N) — an exact IEEE tie broken by pair count — above (d,##e) at
+    1/(4N).  The ## continuation convention is exercised throughout."""
+    from ..operators.tokenizer import wordpiece_top_merges
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.lit("xy xy xz de de de de").alias("text")
+    )
+    return wordpiece_top_merges(docs, k=3)
+
+
+def q_corpus_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 — the WordPiece deployment half: greedy longest-match-first
+    encode (BERT's published algorithm) of a planted eval text against
+    the vocab learned on the planted train corpus.  "xy xyz xz xq de
+    dee" folds to [xy][xy,##z][xz][UNK][de][de,##e] = 8 pieces over 6
+    words with exactly one [UNK] (q never appeared in training, and
+    BERT semantics make the WHOLE dead-end word UNK) — every per-doc
+    stat is a constant the oracle states."""
+    from ..operators.tokenizer import wordpiece_encode, wordpiece_vocab
+
+    train = load_table(spark, sf_dir, "documents").select(
+        F.lit("xy xy xz de de de de").alias("text")
+    )
+    vocab = wordpiece_vocab(train, k=3)
+    eval_docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lit("xy xyz xz xq de dee").alias("text")
+    )
+    return wordpiece_encode(eval_docs, vocab)
+
+
 def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r7: distinct-count SKETCH accuracy — per-language
     ``approx_count_distinct`` (HyperLogLog++, Spark's mergeable sketch: the
@@ -329,6 +366,8 @@ QUERIES = {
     "corpus_domain_quality": q_domain_quality_report,
     "corpus_domain_pagerank": q_domain_pagerank,
     "corpus_bpe_merges": q_corpus_bpe_merges,
+    "corpus_wordpiece_merges": q_corpus_wordpiece_merges,
+    "corpus_wordpiece_encode": q_corpus_wordpiece_encode,
     "corpus_bpe_encode": q_corpus_bpe_encode,
     "corpus_sketch_distinct": q_sketch_distinct,
     "events_quantile_sketch": q_quantile_sketch,
@@ -685,6 +724,24 @@ ORACLES = {
                    GROUP BY e.d) c ON c.node = no.node
     )
     SELECT node, ROUND(rank, 6) AS rank FROM r3
+""",
+    "corpus_wordpiece_merges": """
+    WITH n AS (SELECT COUNT(*) AS c FROM documents)
+    SELECT * FROM (
+        SELECT 1 AS merge_rank, 'x' AS left_sym, '##y' AS right_sym,
+               'xy' AS merged, CAST(2 * c AS BIGINT) AS pair_count FROM n
+        UNION ALL
+        SELECT 2, 'x', '##z', 'xz', CAST(c AS BIGINT) FROM n
+        UNION ALL
+        SELECT 3, 'd', '##e', 'de', CAST(4 * c AS BIGINT) FROM n
+    )
+""",
+    "corpus_wordpiece_encode": """
+    SELECT doc_id,
+           CAST(6 AS BIGINT) AS n_words,
+           CAST(8 AS BIGINT) AS n_pieces,
+           CAST(1 AS BIGINT) AS n_unk
+    FROM documents
 """,
     "corpus_bpe_merges": """
     WITH n AS (SELECT COUNT(*) AS c FROM documents)

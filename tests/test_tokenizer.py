@@ -389,3 +389,55 @@ def test_unigram_prune_loss_delta_beats_adversarial_prune(spark, sf_dir):
     # returned vocab honors the target
     c_full = corpus_cost(trained)
     assert c_full <= c_pruned + 1e-3
+
+
+def test_wordpiece_likelihood_beats_count_and_continuation(spark):
+    """r12 — WordPiece (Schuster & Nakajima 2012): the trainer must rank
+    by n/(cnt(l)·cnt(r)), NOT raw pair count — on this corpus BPE's
+    count criterion would pick (d,##e) first (count 4N) but WordPiece
+    picks (x,##y) (score 1/(3N) > 1/(4N); exact-IEEE tie with (x,##z)
+    broken by pair count).  Continuation merges must strip the ##."""
+    from postgres_debezium_clickhouse_spark.operators.tokenizer import (
+        bpe_top_merges, wordpiece_top_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "xy xy xz de de de de") for i in range(3)],
+        "doc_id long, text string",
+    )
+    wp = sorted(wordpiece_top_merges(docs, k=3).collect(),
+                key=lambda r: r.merge_rank)
+    assert [(r.left_sym, r.right_sym, r.merged, r.pair_count) for r in wp] == [
+        ("x", "##y", "xy", 6), ("x", "##z", "xz", 3), ("d", "##e", "de", 12),
+    ]
+    bpe = bpe_top_merges(docs, k=1).collect()
+    assert (bpe[0].left_sym, bpe[0].right_sym) == ("d", "e")  # the contrast
+
+
+def test_wordpiece_encode_greedy_longest_and_unk(spark):
+    """Greedy longest-match-first with ## continuation; a dead end makes
+    the WHOLE word one [UNK] (BERT semantics) — even when a prefix
+    matched."""
+    from postgres_debezium_clickhouse_spark.operators.tokenizer import (
+        wordpiece_encode, wordpiece_vocab,
+    )
+
+    train = spark.createDataFrame(
+        [(i, "xy xy xz de de de de") for i in range(3)],
+        "doc_id long, text string",
+    )
+    vocab = wordpiece_vocab(train, k=3)
+    assert vocab == ["##e", "##y", "##z", "d", "de", "x", "xy", "xz"]
+    ev = spark.createDataFrame(
+        [(1, "xy xyz xz xq de dee"), (2, "qqq"), (3, "x dede")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_words, r.n_pieces, r.n_unk)
+           for r in wordpiece_encode(ev, vocab).collect()}
+    # doc 1: [xy][xy,##z][xz][UNK][de][de,##e] = 8 pieces, 1 unk
+    assert out[1] == (6, 8, 1)
+    # doc 2: q unseen at position 0 → whole word UNK
+    assert out[2] == (1, 1, 1)
+    # doc 3: greedy longest — 'dede' takes de then dead-ends (##d and
+    # ##de unseen as continuations) → UNK despite the matched prefix
+    assert out[3] == (2, 2, 1)
