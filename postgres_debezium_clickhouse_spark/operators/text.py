@@ -574,3 +574,85 @@ def normalize_unicode(
             )
 
     return documents.select(id_col, text_col).mapInPandas(_norm, schema)
+
+
+def bm25_topk(
+    documents: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 top-``k`` retrieval (Robertson/Spärck Jones; the
+    Lucene/Elasticsearch default ranking) — the lexical-retrieval
+    workhorse of decontamination sweeps and RAG-ish corpus queries,
+    next to the embedding ANN family.
+
+    Formula (Lucene variant): per query term t and doc d,
+    idf(t)·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with
+    idf = ln(1 + (N−df+0.5)/(df+0.5)); repeated query terms are
+    deduplicated (qtf=1).
+
+    Cross-engine determinism: the idf log AND each per-term
+    contribution are rounded to 6 places, and the per-(query, doc)
+    score is summed as DECIMAL(20,6) — exact and ORDER-INDEPENDENT, so
+    Spark's partial-agg order vs DuckDB's scan order cannot flip a
+    ranking (float sums are neither).  Ties break on doc id.
+
+    Plan: one corpus tokenize → (doc, token) tf + per-doc length
+    (map-side combinable), vocabulary-sized df table broadcast back,
+    1-row N/avgdl scalar attach, query terms broadcast-joined — the
+    corpus shuffles once on (doc, token) and never on queries."""
+    from pyspark.sql import Window
+
+    spark = documents.sparkSession
+    toks = documents.select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    totals = documents.groupBy().agg(
+        F.count(F.lit(1)).alias("__n_docs")
+    ).crossJoin(
+        toks.groupBy().agg(F.count(F.lit(1)).alias("__n_toks"))
+    )
+    qterms = spark.createDataFrame(
+        sorted({(qid, t) for qid, text in queries
+                for t in text.split(" ") if t}),
+        "query_id long, token string",
+    )
+    idf = F.round(
+        F.log(
+            1 + (F.col("__n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ), 6,
+    )
+    avgdl = F.col("__n_toks") / F.col("__n_docs")
+    contrib = F.round(
+        F.col("__idf") * F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)),
+        6,
+    ).cast("decimal(20,6)")
+    scored = (
+        tf.join(F.broadcast(qterms), "token")
+        .join(F.broadcast(df_), "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(totals))
+        .withColumn("__idf", idf)
+        .groupBy("query_id", id_col)
+        .agg(F.sum(contrib).alias("__s"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__s").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", id_col,
+            F.col("__s").cast("double").alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

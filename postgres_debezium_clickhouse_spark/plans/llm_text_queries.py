@@ -75,6 +75,29 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
 
 
+#: BM25 eval queries: fixture-vocab terms plus one corpus-absent term
+#: ('zzz' — must contribute nothing, not NULL the score).
+_BM25_QUERIES = [
+    (1, "spark table merge scan"),
+    (2, "query filter join window"),
+    (3, "the customer zzz"),
+]
+
+
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 — Okapi BM25 top-5 retrieval (operators/text.bm25_topk): the
+    lexical-retrieval baseline next to the embedding ANN family, and
+    the ranking decontamination sweeps actually use.  Determinism
+    contract mirrored by the oracle: round-6 idf log, round-6 per-term
+    contributions, DECIMAL(20,6) order-independent score sum, (score
+    desc, doc_id asc) ties."""
+    from ..operators.text import bm25_topk
+
+    return bm25_topk(
+        load_table(spark, sf_dir, "documents"), _BM25_QUERIES, k=5,
+    )
+
+
 def q_text_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-commonness (mean corpus df ratio over distinct tokens) — the
     log-free perplexity proxy."""
@@ -176,6 +199,7 @@ QUERIES = {
     "text_boilerplate": q_text_boilerplate,
     "text_pii_scrub": q_pii_scrub,
     "text_tfidf_top_terms": q_tfidf,
+    "text_bm25_topk": q_text_bm25_topk,
     "text_commonness": q_text_commonness,
     "text_html_extract": q_text_html_extract,
     "text_url_extract": q_text_url_extract,
@@ -186,6 +210,42 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_bm25_topk": """
+        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                      FROM documents),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+               GROUP BY doc_id, token),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+        df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        tot AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                       (SELECT COUNT(*) FROM toks) AS n_toks),
+        q(query_id, token) AS (VALUES
+            (1, 'spark'), (1, 'table'), (1, 'merge'), (1, 'scan'),
+            (2, 'query'), (2, 'filter'), (2, 'join'), (2, 'window'),
+            (3, 'the'), (3, 'customer'), (3, 'zzz')),
+        contrib AS (
+            SELECT q.query_id, tf.doc_id,
+                   CAST(ROUND(
+                       ROUND(ln(1 + (tot.n_docs - df.df + 0.5)
+                                    / (df.df + 0.5)), 6)
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (1 - 0.75
+                          + 0.75 * dl.dl / (tot.n_toks * 1.0 / tot.n_docs))),
+                       6) AS DECIMAL(20,6)) AS c
+            FROM tf
+            JOIN q USING (token)
+            JOIN df USING (token)
+            JOIN dl USING (doc_id)
+            CROSS JOIN tot),
+        scored AS (SELECT query_id, doc_id, SUM(c) AS s
+                   FROM contrib GROUP BY query_id, doc_id)
+        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+               CAST(s AS DOUBLE) AS score, rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY s DESC, doc_id ASC) AS rank
+              FROM scored)
+        WHERE rank <= 5
+    """,
     "text_stats": """
         WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents)
         SELECT doc_id,

@@ -86,6 +86,8 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "corpus_unigram_vocab",     # scalar attaches: 1-row broadcast vocab map + total (vocab-sized metadata)
         "corpus_unigram_encode",    # same vocab-map/total attaches, encode side
         "corpus_unigram_prune",     # same attaches + vocab-sized alt-DP map (r12)
+        "corpus_wordpiece_encode",  # scalar attach: 1-row broadcast piece map (r12)
+        "text_bm25_topk",           # scalar attach: 1-row broadcast N/avgdl totals (r12)
     }
     oracle_checked = set(m.oracle_sql())
     checked = 0

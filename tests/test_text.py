@@ -377,3 +377,58 @@ def test_normalize_unicode_preserves_id_dtype(spark):
     out_int = normalize_unicode(docs_int)
     assert isinstance(out_int.schema["doc_id"].dataType, T.IntegerType)
     assert out_int.collect()[0].doc_id == 7
+
+
+def test_bm25_matches_reference_formula_and_ranking(spark):
+    """r12 — BM25 against an independent pure-Python reference of the
+    Lucene-variant formula (idf = ln(1+(N-df+0.5)/(df+0.5)), k1=1.2,
+    b=0.75, round-6 contributions): every returned score and the full
+    ranking must match; a corpus-absent query term contributes nothing;
+    repeated query terms dedupe (qtf=1)."""
+    import math
+
+    from postgres_debezium_clickhouse_spark.operators.text import bm25_topk
+
+    corpus = {
+        1: "a a b x", 2: "a c", 3: "b b b c y", 4: "c c c c", 5: "a b c",
+    }
+    docs = spark.createDataFrame(
+        sorted(corpus.items()), "doc_id long, text string")
+    queries = [(10, "a b"), (11, "c zzz"), (12, "a a")]  # 12: qtf dedupe
+
+    # independent reference
+    toks = {d: t.split(" ") for d, t in corpus.items()}
+    N = len(corpus)
+    ntoks = sum(len(v) for v in toks.values())
+    avgdl = ntoks / N
+    df = {}
+    for v in toks.values():
+        for t in set(v):
+            df[t] = df.get(t, 0) + 1
+
+    def score(qid_terms, d):
+        s = 0.0
+        for t in sorted(set(qid_terms)):
+            if t not in df or t not in toks[d]:
+                continue
+            tf = toks[d].count(t)
+            idf = round(math.log(1 + (N - df[t] + 0.5) / (df[t] + 0.5)), 6)
+            dl = len(toks[d])
+            s += round(idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6)
+        return round(s, 6)
+
+    expected = {}
+    for qid, q in queries:
+        ranked = sorted(
+            ((score(q.split(" "), d), d) for d in corpus
+             if score(q.split(" "), d) > 0),
+            key=lambda t: (-t[0], t[1]))
+        expected[qid] = [(d, s) for s, d in ranked[:5]]
+
+    out = {}
+    for r in bm25_topk(docs, queries, k=5).collect():
+        out.setdefault(r.query_id, []).append((r.rank, r.doc_id, round(r.score, 6)))
+    assert set(out) == set(expected)
+    for qid in out:
+        got = [(d, s) for _, d, s in sorted(out[qid])]
+        assert got == expected[qid], (qid, got, expected[qid])
