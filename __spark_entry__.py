@@ -50,6 +50,8 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 
 _FRONT = (
     # round-12 additions (never driver-checked), newest first:
+    "events_window_funnel_dedup",
+    "events_window_funnel_increase",
     "text_bm25_topk",
     "corpus_wordpiece_merges",
     "corpus_wordpiece_encode",

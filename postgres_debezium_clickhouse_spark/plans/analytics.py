@@ -430,6 +430,113 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_window_funnel_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 — ClickHouse ``windowFunnel(window, 'strict_dedup')``: a
+    REPEAT of an already-matched condition interrupts the chain (CH
+    docs: "if the same condition holds for the sequence of events, then
+    such repeating event interrupts further processing").  Deterministic
+    restatement over the earliest-anchored cascade: t1 = earliest
+    signup; the step-2 click c (earliest in [t1, t1+24h]) counts only if
+    NO second signup falls strictly between t1 and c; the step-3
+    purchase p (earliest in [c, c+24h]) only if no signup OR click falls
+    strictly between c and p.  Each break check is one filtered per-user
+    min-aggregate — same join lattice as the base mode, all map-side
+    combinable."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.expr("INTERVAL 24 HOURS")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") >= F.col("t1")) & (F.col("ts") <= F.col("t1") + win))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"), F.min("t1").alias("t1k"))
+    )
+    # dedup break for step 2: another signup strictly inside (t1, t2)
+    b2 = (
+        ev.filter(F.col("event_type") == "signup")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t1k")) & (F.col("ts") < F.col("t2")))
+        .select("user_id").distinct().withColumn("__b2", F.lit(1))
+    )
+    s2ok = s2.join(b2, "user_id", "left").filter(F.col("__b2").isNull())
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2ok.select("user_id", "t2"), "user_id")
+        .filter((F.col("ts") >= F.col("t2")) & (F.col("ts") <= F.col("t2") + win))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"), F.min("t2").alias("t2k"))
+    )
+    # dedup break for step 3: a signup or click strictly inside (t2, t3)
+    b3 = (
+        ev.filter(F.col("event_type").isin("signup", "click"))
+        .join(s3, "user_id")
+        .filter((F.col("ts") > F.col("t2k")) & (F.col("ts") < F.col("t3")))
+        .select("user_id").distinct().withColumn("__b3", F.lit(1))
+    )
+    s3ok = s3.join(b3, "user_id", "left").filter(F.col("__b3").isNull())
+    users = ev.select("user_id").distinct()
+    level = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        users.join(s1, "user_id", "left")
+        .join(s2ok.select("user_id", "t2"), "user_id", "left")
+        .join(s3ok.select("user_id", "t3"), "user_id", "left")
+        .select("user_id", level.alias("funnel_level"))
+        .groupBy("funnel_level")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def events_window_funnel_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 — ClickHouse ``windowFunnel(window, 'strict_increase')``:
+    conditions apply only to events with STRICTLY increasing timestamps
+    (CH docs) — the base mode's ``>=`` step boundaries become ``>``, so
+    a click sharing its timestamp with the anchoring signup (or a
+    purchase with the click) no longer advances the funnel.  Same
+    three-filtered-aggregate lattice as the base mode; completes the
+    windowFunnel mode matrix (default / strict_order / strict_dedup /
+    strict_increase)."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.expr("INTERVAL 24 HOURS")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + win))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + win))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    users = ev.select("user_id").distinct()
+    level = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        users.join(s1, "user_id", "left")
+        .join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select("user_id", level.alias("funnel_level"))
+        .groupBy("funnel_level")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def events_window_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r11 — ClickHouse ``windowFunnel(window, 'strict_order')``: the
     chain breaks on ANY intervening event ("in A→B→D→C, D stops finding
@@ -698,6 +805,8 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "events_weighted_quantiles": events_weighted_quantiles,
     "events_window_funnel_strict": events_window_funnel_strict,
+    "events_window_funnel_dedup": events_window_funnel_dedup,
+    "events_window_funnel_increase": events_window_funnel_increase,
     "events_value_histogram": events_value_histogram,
     "star_join_revenue": star_join_revenue,
     "order_totals": order_totals,
@@ -1007,6 +1116,87 @@ ORACLES["events_window_funnel"] = """
         FROM events e JOIN s2 USING (user_id)
         WHERE e.event_type = 'purchase'
           AND e.ts >= s2.t2 AND e.ts <= s2.t2 + INTERVAL 24 HOUR
+        GROUP BY e.user_id
+    ),
+    lv AS (
+        SELECT u.user_id,
+               CASE WHEN s3.t3 IS NOT NULL THEN 3
+                    WHEN s2.t2 IS NOT NULL THEN 2
+                    WHEN s1.t1 IS NOT NULL THEN 1
+                    ELSE 0 END AS funnel_level
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN s1 USING (user_id)
+        LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id)
+    )
+    SELECT funnel_level, COUNT(*) AS n_users FROM lv GROUP BY funnel_level
+"""
+
+ORACLES["events_window_funnel_dedup"] = """
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2, MIN(s1.t1) AS t1k
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click'
+          AND e.ts >= s1.t1 AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+        GROUP BY e.user_id
+    ),
+    s2ok AS (
+        SELECT s2.user_id, s2.t2 FROM s2
+        WHERE NOT EXISTS (
+            SELECT 1 FROM events e
+            WHERE e.user_id = s2.user_id AND e.event_type = 'signup'
+              AND e.ts > s2.t1k AND e.ts < s2.t2)
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3, MIN(s2ok.t2) AS t2k
+        FROM events e JOIN s2ok USING (user_id)
+        WHERE e.event_type = 'purchase'
+          AND e.ts >= s2ok.t2 AND e.ts <= s2ok.t2 + INTERVAL 24 HOUR
+        GROUP BY e.user_id
+    ),
+    s3ok AS (
+        SELECT s3.user_id, s3.t3 FROM s3
+        WHERE NOT EXISTS (
+            SELECT 1 FROM events e
+            WHERE e.user_id = s3.user_id
+              AND e.event_type IN ('signup', 'click')
+              AND e.ts > s3.t2k AND e.ts < s3.t3)
+    ),
+    lv AS (
+        SELECT u.user_id,
+               CASE WHEN s3ok.t3 IS NOT NULL THEN 3
+                    WHEN s2ok.t2 IS NOT NULL THEN 2
+                    WHEN s1.t1 IS NOT NULL THEN 1
+                    ELSE 0 END AS funnel_level
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN s1 USING (user_id)
+        LEFT JOIN s2ok USING (user_id)
+        LEFT JOIN s3ok USING (user_id)
+    )
+    SELECT funnel_level, COUNT(*) AS n_users FROM lv GROUP BY funnel_level
+"""
+
+ORACLES["events_window_funnel_increase"] = """
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click'
+          AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase'
+          AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 24 HOUR
         GROUP BY e.user_id
     ),
     lv AS (
