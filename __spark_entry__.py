@@ -50,6 +50,7 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 
 _FRONT = (
     # round-12 additions (never driver-checked), newest first:
+    "stream_agg_topkweighted_state",
     "events_window_funnel_dedup",
     "events_window_funnel_increase",
     "text_bm25_topk",

@@ -2200,6 +2200,67 @@ def cdc_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sh.rmtree(d, ignore_errors=True)
 
 
+def stream_agg_topkweighted_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 — CH ``topKWeighted(k)(x, weight)`` state column: the same
+    Space-Saving summary as the topk column, with the batch contribution
+    summing the WEIGHT column instead of counting rows (state shape,
+    merge algebra, bounds and cap truncation identical — one code path).
+    Fixture: per-event_type items ``user_id % 7`` weighted
+    ``1 + user_id % 5``; cap 16 > 7 distinct items keeps every summary
+    in the EXACT regime, so the exploded state carries a full value
+    oracle — exact per-item weight sums DuckDB recomputes with one
+    GROUP BY (truncation-regime guarantees are pinned in
+    tests/test_summing_ttl.py alongside the unweighted column's)."""
+    from ..streaming.pipeline import read_silver, silver_summing_stream
+
+    import shutil as _sh
+
+    run = uuid.uuid4().hex[:12]
+    root = tempfile.gettempdir()
+    src = f"{root}/tkwst_src_{run}"
+    dst = f"{root}/tkwst_out_{run}"
+    ckpt = f"{root}/tkwst_ckpt_{run}"
+    try:
+        events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_type",
+            (F.col("user_id") % 7).alias("u7"),
+            (F.lit(1) + F.col("user_id") % 5).cast("long").alias("wt"),
+        )
+        events.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+        )
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = silver_summing_stream(
+                stream, dst, ckpt, keys=["event_type"],
+                agg_spec={"tk": ("u7", "topkweighted:wt")}, topk_cap=16,
+                available_now=True,
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("topkweighted stream did not finish in 300s")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        return (
+            read_silver(spark, dst)
+            .select("event_type", F.explode("tk").alias("e"))
+            .select(
+                "event_type",
+                F.col("e.item").alias("item"),
+                F.col("e.cnt").alias("w_sum"),
+                F.col("e.err").alias("err"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for d in (src, dst, ckpt):
+            _sh.rmtree(d, ignore_errors=True)
+
+
 def cdc_snapshot_pause_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r12 — Debezium ``pause-snapshot`` / ``resume-snapshot`` end-to-end
     (the remaining public signal family; streaming/snapshot.py): the
@@ -2510,6 +2571,7 @@ QUERIES = {
     "stream_agg_hll_state": stream_agg_hll_state,
     "stream_agg_quantile_state": stream_agg_quantile_state,
     "stream_agg_topk_state": stream_agg_topk_state,
+    "stream_agg_topkweighted_state": stream_agg_topkweighted_state,
     "stream_projection_maintained": stream_projection_maintained,
     "stream_agg_argmax_state": stream_agg_argmax_state,
     "silver_ttl_rollup": silver_ttl_rollup,
@@ -2869,6 +2931,14 @@ ORACLES["stream_projection_maintained"] = """
            CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
                 ELSE o_totalprice END AS DOUBLE) AS price
     FROM orders WHERE o_custkey >= 400 AND o_custkey < 500
+"""
+
+ORACLES["stream_agg_topkweighted_state"] = """
+    SELECT event_type,
+           CAST(user_id % 7 AS VARCHAR) AS item,
+           CAST(SUM(1 + user_id % 5) AS BIGINT) AS w_sum,
+           CAST(0 AS BIGINT) AS err
+    FROM events GROUP BY event_type, user_id % 7
 """
 
 ORACLES["stream_agg_topk_state"] = """

@@ -1063,7 +1063,7 @@ def _replay_guard(path: str, ckpt_key: str, batch_id: int) -> dict | None:
 #: groupBy.  Read with ``operators.sketch.hll_estimate_expr``.
 AGG_OPS = ("sum", "min", "max", "kmv", "topk", "hll",
            "summap", "minmap", "maxmap", "bitmap", "sortedarray")
-_KEYED_OPS = ("argmax", "argmin", "qsample")
+_KEYED_OPS = ("argmax", "argmin", "qsample", "topkweighted")
 
 
 def _parse_agg_op(op: str) -> tuple[str, str | None]:
@@ -1074,8 +1074,8 @@ def _parse_agg_op(op: str) -> tuple[str, str | None]:
         return base, ord_col
     if op not in AGG_OPS:
         raise ValueError(
-            f"op must be one of {AGG_OPS} or "
-            f"argmax:<col>/argmin:<col>/qsample:<id_col>, got {op!r}"
+            f"op must be one of {AGG_OPS} or argmax:<col>/argmin:<col>/"
+            f"qsample:<id_col>/topkweighted:<weight_col>, got {op!r}"
         )
     return op, None
 
@@ -1173,10 +1173,15 @@ def silver_summing_stream(
 
     # topk columns need per-ITEM regrouping, which no single agg
     # expression can do — they run as their own explode→regroup branch
-    # (see the AGG_OPS comment) and join back on the keys.
+    # (see the AGG_OPS comment) and join back on the keys.  The r12
+    # "topkweighted:<weight_col>" variant (CH topKWeighted) is the SAME
+    # Space-Saving summary with the batch contribution summing the
+    # weight column instead of counting rows — state shape, merge
+    # algebra, bounds and cap truncation are identical, so it rides the
+    # same branch with a per-entry weight column.
     topk_outs = [
-        (out, src) for out, (src, op) in spec.items()
-        if _parse_agg_op(op)[0] == "topk"
+        (out, src, _parse_agg_op(op)[1]) for out, (src, op) in spec.items()
+        if _parse_agg_op(op)[0] in ("topk", "topkweighted")
     ]
     # hll ingest also needs regrouping (per-REGISTER max), so it shares
     # the branch-and-join-back shape — but its merge is a pure array
@@ -1187,7 +1192,7 @@ def silver_summing_stream(
     ]
     spec_main = {
         out: v for out, v in spec.items()
-        if _parse_agg_op(v[1])[0] not in ("topk", "hll")
+        if _parse_agg_op(v[1])[0] not in ("topk", "topkweighted", "hll")
     }
 
     # typed empty summary for keys with no non-NULL items (ADVICE r10)
@@ -1221,14 +1226,24 @@ def silver_summing_stream(
             )
         )
 
-    def _topk_batch_partial(batch: DataFrame, out: str, src: str) -> DataFrame:
+    def _topk_batch_partial(
+        batch: DataFrame, out: str, src: str, weight: str | None
+    ) -> DataFrame:
         # NULL source values are ignored (matching the kmv/hll/qsample
         # siblings and ClickHouse topK) rather than occupying a summary
-        # slot as a NULL item.
+        # slot as a NULL item; for the weighted variant NULL weights are
+        # skipped too (CH topKWeighted ignores NULL weight rows).
+        filt = F.col(src).isNotNull()
+        if weight is not None:
+            filt = filt & F.col(weight).isNotNull()
+        contrib = (
+            F.count(F.lit(1)) if weight is None
+            else F.sum(F.col(weight).cast("long"))
+        )
         counted = (
-            batch.filter(F.col(src).isNotNull())
+            batch.filter(filt)
             .groupBy(*keys, F.col(src).cast("string").alias("__i"))
-            .agg(F.count(F.lit(1)).alias("__c"))
+            .agg(contrib.alias("__c"))
             .withColumn("__e", F.lit(0))
         )
         return _topk_summary(counted, out)
@@ -1450,8 +1465,10 @@ def silver_summing_stream(
             *[_ingest(out, src, op) for out, (src, op) in spec_main.items()],
             F.count(F.lit(1)).alias("__n_rows"),
         )
-        for out, src in topk_outs:
-            part = part.join(_topk_batch_partial(batch, out, src), list(keys), "left")
+        for out, src, wcol in topk_outs:
+            part = part.join(
+                _topk_batch_partial(batch, out, src, wcol), list(keys), "left"
+            )
             # a key whose batch rows were all NULL items has no partial
             # (NULLs are ignored, matching CH topK and the hll/kmv
             # siblings); seed the typed empty summary
@@ -1505,7 +1522,7 @@ def silver_summing_stream(
                     F.sum("__n_rows").alias("__n_rows"),
                 )
             )
-            for out, _src in topk_outs:
+            for out, _src, _w in topk_outs:
                 merged = merged.join(_topk_merge(un, out), list(keys), "left")
                 merged = merged.withColumn(
                     out, F.coalesce(F.col(out), _TOPK_EMPTY)

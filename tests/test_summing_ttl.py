@@ -711,3 +711,69 @@ def test_sortedarray_state_n_smallest_with_duplicates(spark, dirs):
           pl.read_silver(spark, dirs["silver"]).collect()}
     assert st[1] == [0.5, 1.0, 1.0, 2.0]     # duplicates kept, capped at 4
     assert st[2] == [7.0]
+
+
+def test_topkweighted_state_column(spark, dirs, tmp_path):
+    """r12: the CH topKWeighted state column — the Space-Saving summary
+    with weight-sum contributions.  Sub-cap keys are exact weight sums
+    across adversarial batch splits; in the truncation regime a
+    weight-heavy but row-rare item must survive where row counts would
+    evict it (the reason the weighted variant exists); NULL weights are
+    skipped like NULL items."""
+    # key 1 sub-cap: exact weighted sums; weights ride the v column
+    rows = [(1, "a", 5.0), (1, "a", 7.0), (1, "b", 1.0), (1, None, 9.0)]
+    for bi, chunk in enumerate([rows[:2], rows[2:]]):
+        spark.createDataFrame(chunk, SCHEMA).coalesce(1).write.mode(
+            "append").json(dirs["src"] + f"/b{bi}")
+        stream = spark.readStream.schema(SCHEMA).json(dirs["src"] + f"/b{bi}")
+        q = pl.silver_summing_stream(
+            stream, dirs["silver"], dirs["ckpt"] + f"/b{bi}", keys=["k"],
+            agg_spec={"tk": ("grp", "topkweighted:v")}, topk_cap=4,
+            available_now=True,
+        )
+        assert q.awaitTermination(120)
+    st = {r["k"]: r for r in pl.read_silver(spark, dirs["silver"]).collect()}
+    assert [(x["item"], x["cnt"], x["err"]) for x in st[1]["tk"]] == [
+        ("a", 12, 0), ("b", 1, 0)]
+    assert st[1]["__n_rows"] == 4            # NULL-item row still counted
+
+    # truncation regime: one item with 3 rows × weight 100 must beat 10
+    # items with 5 rows × weight 1 at cap 4 (row-count ranking would
+    # rank 'heavy' below every tail item)
+    d2 = {n: str(tmp_path / ("w_" + n)) for n in ("src", "silver", "ckpt")}
+    rows2 = [(7, "heavy", 100.0)] * 3
+    rows2 += [(7, f"t{i}", 1.0) for i in range(10) for _ in range(5)]
+    import random
+    random.Random(4).shuffle(rows2)
+    for bi, chunk in enumerate([rows2[:20], rows2[20:]]):
+        spark.createDataFrame(chunk, SCHEMA).coalesce(1).write.mode(
+            "append").json(d2["src"] + f"/b{bi}")
+        stream = spark.readStream.schema(SCHEMA).json(d2["src"] + f"/b{bi}")
+        q = pl.silver_summing_stream(
+            stream, d2["silver"], d2["ckpt"] + f"/b{bi}", keys=["k"],
+            agg_spec={"tk": ("grp", "topkweighted:v")}, topk_cap=4,
+            available_now=True,
+        )
+        assert q.awaitTermination(120)
+    st2 = {r["k"]: [(x["item"], x["cnt"], x["err"]) for x in r["tk"]]
+           for r in pl.read_silver(spark, d2["silver"]).collect()}
+    items = {i: (c, e) for i, c, e in st2[7]}
+    assert len(st2[7]) <= 4
+    assert "heavy" in items
+    c, e = items["heavy"]
+    assert c - e <= 300 <= c                 # bracket on the weight sum
+
+    # NULL weight rows are skipped (CH topKWeighted ignores them)
+    d3 = {n: str(tmp_path / ("nw_" + n)) for n in ("src", "silver", "ckpt")}
+    rows3 = [(9, "x", 2.0), (9, "x", None), (9, "y", 3.0)]
+    spark.createDataFrame(rows3, SCHEMA).coalesce(1).write.json(d3["src"])
+    stream = spark.readStream.schema(SCHEMA).json(d3["src"])
+    q = pl.silver_summing_stream(
+        stream, d3["silver"], d3["ckpt"], keys=["k"],
+        agg_spec={"tk": ("grp", "topkweighted:v")}, topk_cap=4,
+        available_now=True,
+    )
+    assert q.awaitTermination(120)
+    st3 = {r["k"]: [(x["item"], x["cnt"]) for x in r["tk"]]
+           for r in pl.read_silver(spark, d3["silver"]).collect()}
+    assert st3[9] == [("y", 3), ("x", 2)]
