@@ -722,6 +722,66 @@ def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 — ClickHouse ``sequenceCount('(?1).*(?2)')``: the COUNT of
+    NON-OVERLAPPING signup→purchase chains per user (CH docs: the search
+    for the next chain starts after the current one completes).
+    Deterministic restatement over the same (ts, event_id)-ordered
+    symbol string as ``events_sequence_match``: non-overlapping count =
+    the matches of the LAZY pattern ``s[^p]*p`` scanned left to right
+    (each chain closes at the first purchase after its signup — exactly
+    CH's restart-after-completion rule).  Emitted as the distribution
+    (n_chains, n_users); one per-user shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    sym = (
+        F.when(F.col("event_type") == "signup", F.lit("s"))
+        .when(F.col("event_type") == "purchase", F.lit("p"))
+        .otherwise(F.lit("x"))
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("ts"), F.col("event_id"), sym.alias("sym")))
+        ).alias("seq")
+    )
+    s = F.expr("concat_ws('', transform(seq, e -> e.sym))")
+    return (
+        per_user.select(F.regexp_count(s, F.lit("s[^p]*p")).alias("n_chains"))
+        .groupBy("n_chains")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.col("n_chains").cast("long").alias("n_chains"), "n_users")
+    )
+
+
+def events_retention_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 — the ClickHouse ``retention(cond1, …, condN)`` aggregate
+    (distinct from the week-cohort table ``events_cohort_retention``
+    already covers): per user an array where r[1] = cond1 ever held and
+    r[i] = cond1 AND cond_i (CH's documented rule — later conditions
+    count only for users satisfying the first).  Conditions here:
+    signup / click / purchase.  Emitted as the summed funnel the CH
+    pattern ``sum(r[i])`` produces, plus round-6 conversion ratios.
+    One map-side-combinable per-user agg + one scalar agg."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def has(t: str) -> F.Column:
+        return F.max((F.col("event_type") == t).cast("int"))
+
+    per_user = ev.groupBy("user_id").agg(
+        has("signup").alias("c1"), has("click").alias("c2"),
+        has("purchase").alias("c3"),
+    )
+    r1 = F.col("c1")
+    r2 = F.col("c1") * F.col("c2")
+    r3 = F.col("c1") * F.col("c3")
+    return per_user.agg(
+        F.sum(r1).cast("long").alias("n_cond1"),
+        F.sum(r2).cast("long").alias("n_cond1_and_2"),
+        F.sum(r3).cast("long").alias("n_cond1_and_3"),
+        F.round(F.sum(r2) / F.sum(r1), 6).alias("ratio_2"),
+        F.round(F.sum(r3) / F.sum(r1), 6).alias("ratio_3"),
+    )
+
+
 def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r8: dense time-series gap filling — the ClickHouse ``ORDER BY …
     WITH FILL STEP INTERVAL 1 HOUR`` analogue: per event_type, every hour
@@ -806,6 +866,8 @@ QUERIES = {
     "events_weighted_quantiles": events_weighted_quantiles,
     "events_window_funnel_strict": events_window_funnel_strict,
     "events_window_funnel_dedup": events_window_funnel_dedup,
+    "events_sequence_count": events_sequence_count,
+    "events_retention_agg": events_retention_agg,
     "events_window_funnel_increase": events_window_funnel_increase,
     "events_value_histogram": events_value_histogram,
     "star_join_revenue": star_join_revenue,
@@ -1077,6 +1139,38 @@ ORACLES["events_sequence_match"] = """
     SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
            regexp_matches(seq, 's.*p') AS matched
     FROM s
+"""
+
+
+ORACLES["events_retention_agg"] = """
+    WITH u AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c1,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c2,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c3
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(SUM(c1) AS BIGINT) AS n_cond1,
+           CAST(SUM(c1 * c2) AS BIGINT) AS n_cond1_and_2,
+           CAST(SUM(c1 * c3) AS BIGINT) AS n_cond1_and_3,
+           ROUND(SUM(c1 * c2) * 1.0 / SUM(c1), 6) AS ratio_2,
+           ROUND(SUM(c1 * c3) * 1.0 / SUM(c1), 6) AS ratio_3
+    FROM u
+"""
+
+
+ORACLES["events_sequence_count"] = """
+    WITH s AS (
+        SELECT user_id,
+               string_agg(CASE WHEN event_type = 'signup' THEN 's'
+                               WHEN event_type = 'purchase' THEN 'p'
+                               ELSE 'x' END, '' ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY user_id
+    ),
+    n AS (SELECT len(regexp_extract_all(seq, 's[^p]*p')) AS n_chains FROM s)
+    SELECT CAST(n_chains AS BIGINT) AS n_chains,
+           COUNT(*) AS n_users
+    FROM n GROUP BY n_chains
 """
 
 
