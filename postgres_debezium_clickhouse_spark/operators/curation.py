@@ -656,3 +656,57 @@ def write_training_shards(
         .parquet(path)
     )
     return shard_manifest(documents, n_shards, id_col, text_col)
+
+
+def paragraph_dedup(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """CCNet-style corpus-wide PARAGRAPH deduplication (Wenzek et al.
+    2019, "CCNet: Extracting High Quality Monolingual Datasets from Web
+    Crawl Data" — the paragraph-hash dedup every CommonCrawl pipeline
+    runs before document-level near-dup): documents split on ``sep``,
+    each paragraph normalized (lower+trim) and hashed, and every
+    occurrence EXCEPT THE FIRST (smallest (doc_id, position) — the
+    deterministic restatement of "first seen") is removed; surviving
+    paragraphs re-join in original order.
+
+    Returns (id, n_paras, n_kept, text_clean) for every document (a doc
+    whose every paragraph is a repeat re-emits as '').
+
+    Scale: one corpus-sized shuffle on the paragraph hash (the keep-first
+    window partitions by hash — group sizes are duplicate multiplicities,
+    bounded in practice and skew-safe under AQE) + one per-doc regroup;
+    the per-doc collected list is the doc's own paragraphs, the same
+    order as the document row itself.  Same digest-keyed shape as
+    ``exact_dedup``, one level finer."""
+    paras = documents.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "para"),
+    ).withColumn("__h", F.sha2(F.lower(F.trim("para")), 256))
+    w = Window.partitionBy("__h").orderBy(F.col(id_col).asc(), F.col("idx").asc())
+    kept = (
+        paras.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("text_clean"),
+    )
+    return (
+        documents.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size(F.split(F.col(text_col), sep)).cast("long").alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )

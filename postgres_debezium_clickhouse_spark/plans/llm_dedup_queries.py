@@ -296,8 +296,36 @@ def q_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 — CCNet paragraph dedup (Wenzek et al. 2019): corpus-wide
+    keep-first paragraph-hash dedup, the level between line-boilerplate
+    removal and document near-dup.  The fixture has no newlines, so
+    each document is first chunked into 8-word paragraphs — which makes
+    the planted 5% near-dup docs (another doc's text + ' dup') share
+    every FULL chunk with their source and diverge only in the tail:
+    real cross-document paragraph duplication, not a synthetic plant.
+    The oracle rebuilds the same chunks, the same (doc_id, position)
+    keep-first rule, and the same re-joined cleaned text."""
+    from ..operators.curation import paragraph_dedup
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("__wd", F.filter(F.split("text", " "), lambda x: x != ""))
+        .select(
+            "doc_id",
+            F.expr(
+                "array_join(transform("
+                " sequence(0, greatest(CAST(ceil(size(__wd) / 8.0) AS INT) - 1, 0)),"
+                " i -> array_join(slice(__wd, i * 8 + 1, 8), ' ')), '\\n')"
+            ).alias("text"),
+        )
+    )
+    return paragraph_dedup(docs)
+
+
 QUERIES = {
     "dedup_substring_spans": q_substring_spans,
+    "dedup_paragraphs": q_dedup_paragraphs,
     "dedup_substring_removal": q_substring_removal,
     "dedup_exact": q_dedup_exact,
     "contamination_check_13g": q_contamination_13g,
@@ -318,6 +346,41 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_paragraphs": """
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS wd
+            FROM documents
+        ),
+        p0 AS (
+            SELECT d.doc_id, CAST(i.i AS BIGINT) AS idx,
+                   array_to_string(d.wd[CAST(i.i * 8 + 1 AS INT)
+                                        : CAST(i.i * 8 + 8 AS INT)], ' ') AS para
+            FROM d CROSS JOIN LATERAL (
+                SELECT unnest(range(0, GREATEST(
+                    CAST(ceil(len(d.wd) / 8.0) AS INT), 1)))) i(i)
+        ),
+        k AS (
+            SELECT doc_id, idx, para,
+                   ROW_NUMBER() OVER (PARTITION BY lower(trim(para))
+                                      ORDER BY doc_id, idx) AS rn
+            FROM p0
+        ),
+        rb AS (
+            SELECT doc_id, COUNT(*) AS n_kept,
+                   string_agg(para, chr(10) ORDER BY idx) AS text_clean
+            FROM k WHERE rn = 1 GROUP BY doc_id
+        ),
+        np AS (
+            SELECT doc_id,
+                   GREATEST(CAST(ceil(len(wd) / 8.0) AS BIGINT), 1) AS n_paras
+            FROM d
+        )
+        SELECT np.doc_id, np.n_paras,
+               CAST(COALESCE(rb.n_kept, 0) AS BIGINT) AS n_kept,
+               COALESCE(rb.text_clean, '') AS text_clean
+        FROM np LEFT JOIN rb USING (doc_id)
+    """,
     "dedup_substring_removal": """
         WITH pos AS (
             SELECT doc_id, CAST(t.p AS BIGINT) AS p,

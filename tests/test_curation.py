@@ -528,3 +528,31 @@ def test_chunk_content_defined_matches_python_reference(spark):
         )
     for i, text in rows:
         assert sorted(got[i]) == reference(text), f"divergence on doc {i}: {text!r}"
+
+
+def test_paragraph_dedup_keep_first_and_rebuild(spark):
+    """r12 — CCNet paragraph dedup: corpus-wide keep-first on normalized
+    paragraph hashes; survivors re-join in original order; a doc whose
+    every paragraph is a repeat re-emits as ''; same-doc repeats dedupe
+    too; normalization (lower+trim) decides equality."""
+    from postgres_debezium_clickhouse_spark.operators.curation import (
+        paragraph_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\ngamma\nalpha beta"),      # same-doc repeat
+            (2, "gamma\ndelta"),                        # gamma seen in doc 1
+            (3, "ALPHA BETA \nepsilon"),                # normalized repeat
+            (4, "gamma"),                               # fully duplicated
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in paragraph_dedup(docs).collect()}
+    assert (out[1].n_paras, out[1].n_kept) == (3, 2)
+    assert out[1].text_clean == "alpha beta\ngamma"
+    assert (out[2].n_paras, out[2].n_kept) == (2, 1)
+    assert out[2].text_clean == "delta"
+    assert (out[3].n_paras, out[3].n_kept) == (2, 1)
+    assert out[3].text_clean == "epsilon"               # normalized dup cut
+    assert (out[4].n_paras, out[4].n_kept, out[4].text_clean) == (1, 0, "")
