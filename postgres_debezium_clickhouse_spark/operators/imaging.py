@@ -83,23 +83,70 @@ def _filter_scanline(ftype: int, row: bytes, prior: bytes, bpp: int) -> bytes:
     return bytes(out)
 
 
-def png_encode(width: int, height: int, pixels: bytes, channels: int = 3) -> bytes:
-    """Write a real PNG (bit depth 8).  ``pixels`` is the raw byte stream,
-    ``width*height*channels`` long.  Scanline filters cycle 0→4 by row so
-    every filter's decode path gets exercised by any multi-row image."""
-    if len(pixels) != width * height * channels:
-        raise ValueError("pixel buffer size mismatch")
-    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
-    stride = width * channels
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass — the spec's fixed 8×8
+#: pattern.  Pass p covers pixels (x0 + i·dx, y0 + j·dy); a pass whose
+#: computed width or height is 0 contributes NO bytes to the stream.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _adam7_passes(width: int, height: int):
+    """(x0, y0, dx, dy, pass_w, pass_h) for each NON-EMPTY pass."""
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            yield x0, y0, dx, dy, pw, ph
+
+
+def _filter_image(pixels: bytes, width: int, height: int, bpp: int) -> bytearray:
+    """Filter a (sub-)image's scanlines, types cycling 0→4 by row —
+    shared by the sequential body and each Adam7 pass (the spec filters
+    every pass as its own independent image)."""
+    stride = width * bpp
     raw = bytearray()
     prior = bytes(stride)
     for y in range(height):
         row = pixels[y * stride:(y + 1) * stride]
         ftype = y % 5
         raw.append(ftype)
-        raw += _filter_scanline(ftype, row, prior, channels)
+        raw += _filter_scanline(ftype, row, prior, bpp)
         prior = row
+    return raw
+
+
+def png_encode(
+    width: int, height: int, pixels: bytes, channels: int = 3,
+    interlace: int = 0,
+) -> bytes:
+    """Write a real PNG (bit depth 8).  ``pixels`` is the raw byte stream,
+    ``width*height*channels`` long.  Scanline filters cycle 0→4 by row so
+    every filter's decode path gets exercised by any multi-row image.
+    ``interlace=1`` writes Adam7: the seven passes extracted on the
+    spec's 8×8 grid, each filtered as its own independent image."""
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer size mismatch")
+    if interlace not in (0, 1):
+        raise ValueError(f"interlace must be 0 or 1, got {interlace}")
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0,
+                       interlace)
+    stride = width * channels
+    if interlace == 0:
+        raw = _filter_image(pixels, width, height, channels)
+    else:
+        raw = bytearray()
+        for x0, y0, dx, dy, pw, ph in _adam7_passes(width, height):
+            sub = bytearray()
+            for j in range(ph):
+                y = y0 + j * dy
+                for i in range(pw):
+                    x = x0 + i * dx
+                    o = (y * width + x) * channels
+                    sub += pixels[o:o + channels]
+            raw += _filter_image(bytes(sub), pw, ph, channels)
     idat = zlib.compress(bytes(raw), 6)
     return (
         PNG_SIG
@@ -155,13 +202,16 @@ def _unfilter_scanlines(data: bytes, width: int, height: int, bpp: int) -> bytes
 def png_decode(blob: bytes) -> dict:
     """Decode a PNG: returns {width, height, channels, pixels} with
     ``pixels`` the raw 8-bit sample stream.  Validates the signature and
-    every chunk CRC; supports bit depth 8, color types 0/2/4/6,
-    interlace 0 — raises ValueError on anything else (corrupt or
-    unsupported input must fail loudly, not produce wrong stats)."""
+    every chunk CRC; supports bit depth 8, color types 0/2/4/6, and
+    BOTH interlace methods (0 sequential, 1 Adam7 — r12: each of the
+    seven passes unfilters as its own image, then scatters onto the 8×8
+    grid) — raises ValueError on anything else (corrupt or unsupported
+    input must fail loudly, not produce wrong stats)."""
     if blob[:8] != PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
     width = height = channels = None
+    interlace = 0
     idat = bytearray()
     while pos + 8 <= len(blob):
         (length,) = struct.unpack(">I", blob[pos:pos + 4])
@@ -185,8 +235,8 @@ def png_decode(blob: bytes) -> dict:
                 raise ValueError(f"unsupported bit depth {depth}")
             if color not in _CHANNELS:
                 raise ValueError(f"unsupported color type {color}")
-            if interlace != 0:
-                raise ValueError("Adam7 interlace unsupported")
+            if interlace not in (0, 1):
+                raise ValueError(f"bad interlace method {interlace}")
             channels = _CHANNELS[color]
         elif ctype == b"IDAT":
             idat += data
@@ -199,7 +249,29 @@ def png_decode(blob: bytes) -> dict:
         inflated = zlib.decompress(bytes(idat))
     except zlib.error as e:  # corrupt IDAT payload → same ValueError contract
         raise ValueError(f"bad IDAT stream: {e}") from e
-    pixels = _unfilter_scanlines(inflated, width, height, channels)
+    if interlace == 0:
+        pixels = _unfilter_scanlines(inflated, width, height, channels)
+    else:
+        out = bytearray(width * height * channels)
+        pos2 = 0
+        for x0, y0, dx, dy, pw, ph in _adam7_passes(width, height):
+            plen = ph * (1 + pw * channels)
+            if pos2 + plen > len(inflated):
+                raise ValueError("decompressed size mismatch")
+            sub = _unfilter_scanlines(
+                inflated[pos2:pos2 + plen], pw, ph, channels
+            )
+            pos2 += plen
+            for j in range(ph):
+                y = y0 + j * dy
+                for i in range(pw):
+                    x = x0 + i * dx
+                    s = (j * pw + i) * channels
+                    o = (y * width + x) * channels
+                    out[o:o + channels] = sub[s:s + channels]
+        if pos2 != len(inflated):
+            raise ValueError("decompressed size mismatch")
+        pixels = bytes(out)
     return {"width": width, "height": height, "channels": channels, "pixels": pixels}
 
 
@@ -1189,7 +1261,10 @@ def synth_multiformat_images(ids_df: DataFrame, id_col: str = "doc_id") -> DataF
                 )
                 kind = d % 4
                 if kind == 0:
-                    blob = png_encode(w, h, px, 3)
+                    # every third PNG doc is Adam7-interlaced (r12) — the
+                    # pixels are identical by losslessness, so the same
+                    # closed form gates the deinterlace path too
+                    blob = png_encode(w, h, px, 3, interlace=(d % 12 == 0) * 1)
                 elif kind == 1:
                     npal = 1 << max((n - 1).bit_length(), 1)
                     pal = px + bytes(3 * (npal - n))

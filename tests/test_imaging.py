@@ -429,3 +429,54 @@ def test_tiff_fuzz_corruption_never_escapes_deadletter_classes():
                 tiff_decode(blob[:cut])
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_png_adam7_roundtrip_and_classes():
+    """r12 — Adam7 interlace: every pass unfilters as its own image and
+    scatters onto the 8x8 grid.  Exact roundtrips across sizes that
+    exercise EMPTY passes (width or height too small for a pass's
+    origin), channel counts, and the sequential==interlaced pixel
+    identity; truncated pass data and bad interlace methods reject as
+    ValueError."""
+    import random
+    import struct
+    import zlib
+    from binascii import crc32
+
+    from postgres_debezium_clickhouse_spark.operators.imaging import (
+        PNG_SIG, _chunk, png_decode, png_encode,
+    )
+
+    rng = random.Random(11)
+    for (w, h, ch) in [(1, 1, 1), (2, 3, 3), (8, 8, 4), (5, 7, 2),
+                       (9, 1, 3), (1, 9, 3), (16, 11, 3)]:
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        il = png_decode(png_encode(w, h, px, ch, interlace=1))
+        assert il["pixels"] == px, (w, h, ch)
+        assert (il["width"], il["height"]) == (w, h)
+    # interlace method 2 is not a thing — reject at IHDR
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 2)
+    blob = (PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+            + _chunk(b"IEND", b""))
+    import pytest
+    with pytest.raises(ValueError, match="interlace"):
+        png_decode(blob)
+    with pytest.raises(ValueError, match="interlace"):
+        png_encode(2, 2, b"\x00" * 12, 3, interlace=2)
+    # truncated interlaced pass data: re-zip a short stream behind a
+    # valid IHDR → size-mismatch ValueError, never a silent partial
+    good = png_encode(8, 8, bytes(range(192)), 3, interlace=1)
+    # splice a shortened IDAT into the same chunks
+    pos, idat_off = 8, None
+    while pos + 8 <= len(good):
+        (ln,) = struct.unpack(">I", good[pos:pos + 4])
+        if good[pos + 4:pos + 8] == b"IDAT":
+            idat_off = (pos, ln)
+        pos += 12 + ln
+    off, ln = idat_off
+    raw = zlib.decompress(good[off + 8:off + 8 + ln])
+    short = zlib.compress(raw[:-7])
+    rebuilt = good[:off] + _chunk(b"IDAT", short) + good[off + 12 + ln:]
+    with pytest.raises(ValueError):
+        png_decode(rebuilt)
