@@ -485,7 +485,57 @@ def ch_running_diff_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ch_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 — the ClickHouse array-transform function family over a
+    deterministic per-order array: ``arrayCumSum`` (running prefix
+    sums), ``arrayDifference`` (first element 0, then x[i]−x[i−1]),
+    ``arrayCompact`` (consecutive duplicates collapsed — the planted
+    array repeats (k+1)%7 non-consecutively and k%5 consecutively, so
+    compact removes exactly one), plus ``arraySum``.  Arrays are
+    emitted joined as strings (the driver's canonicalizer takes scalar
+    columns only), so every ELEMENT is value-checked, not a reduction.
+    Map-only over orders — zero shuffles."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = "o_orderkey"
+    a = (
+        f"array(CAST({k} % 5 AS BIGINT), CAST({k} % 5 AS BIGINT), "
+        f"CAST(({k} + 1) % 7 AS BIGINT), CAST(({k} * 3) % 11 AS BIGINT), "
+        f"CAST(({k} + 1) % 7 AS BIGINT))"
+    )
+    cum = (
+        "aggregate(__a, "
+        "named_struct('out', CAST(array() AS array<bigint>), 's', CAST(0 AS BIGINT)), "
+        "(st, x) -> named_struct('out', concat(st.out, array(st.s + x)), "
+        "'s', st.s + x), st -> st.out)"
+    )
+    diff = (
+        "transform(sequence(1, 5), i -> "
+        "IF(i = 1, CAST(0 AS BIGINT), "
+        "element_at(__a, i) - element_at(__a, i - 1)))"
+    )
+    compact = (
+        "transform(filter(sequence(1, 5), i -> i = 1 "
+        "OR element_at(__a, i) != element_at(__a, i - 1)), "
+        "i -> element_at(__a, i))"
+    )
+    j = "array_join(transform({x}, v -> CAST(v AS STRING)), ',')"
+    return (
+        orders.select(k, F.expr(a).alias("__a"))
+        .select(
+            k,
+            F.expr(j.format(x="__a")).alias("arr"),
+            F.expr(j.format(x=cum)).alias("cum_sum"),
+            F.expr(j.format(x=diff)).alias("difference"),
+            F.expr(j.format(x=compact)).alias("compact"),
+            F.expr(
+                "aggregate(__a, CAST(0 AS BIGINT), (s, x) -> s + x)"
+            ).alias("arr_sum"),
+        )
+    )
+
+
 QUERIES = {
+    "ch_array_functions": ch_array_functions,
     "ch_array_join": ch_array_join,
     "ch_running_diff_neighbor": ch_running_diff_neighbor,
     "ch_dict_get": ch_dict_get,
@@ -515,6 +565,33 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ch_array_functions": """
+        WITH t AS (
+            SELECT o_orderkey,
+                   [CAST(o_orderkey % 5 AS BIGINT),
+                    CAST(o_orderkey % 5 AS BIGINT),
+                    CAST((o_orderkey + 1) % 7 AS BIGINT),
+                    CAST((o_orderkey * 3) % 11 AS BIGINT),
+                    CAST((o_orderkey + 1) % 7 AS BIGINT)] AS a
+            FROM orders
+        )
+        SELECT o_orderkey,
+               array_to_string(list_transform(a, v -> CAST(v AS VARCHAR)), ',')
+                   AS arr,
+               array_to_string(list_transform(range(1, 6),
+                   i -> CAST(CAST(list_sum(a[1:CAST(i AS INT)]) AS BIGINT)
+                             AS VARCHAR)), ',') AS cum_sum,
+               array_to_string(list_transform(range(1, 6),
+                   i -> CAST(CASE WHEN i = 1 THEN 0
+                             ELSE a[CAST(i AS INT)] - a[CAST(i - 1 AS INT)]
+                             END AS VARCHAR)), ',') AS difference,
+               array_to_string(list_transform(
+                   list_filter(range(1, 6), i -> i = 1
+                       OR a[CAST(i AS INT)] <> a[CAST(i - 1 AS INT)]),
+                   i -> CAST(a[CAST(i AS INT)] AS VARCHAR)), ',') AS compact,
+               CAST(list_sum(a) AS BIGINT) AS arr_sum
+        FROM t
+    """,
     "ch_running_diff_neighbor": """
         SELECT user_id, event_id, value AS v,
                value - LAG(value) OVER w AS running_diff,
