@@ -50,6 +50,7 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 
 _FRONT = (
     # round-12 additions (never driver-checked), newest first:
+    "events_kmv_setops",
     "ch_array_functions",
     "dedup_paragraphs",
     "events_sequence_count",

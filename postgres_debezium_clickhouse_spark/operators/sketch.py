@@ -340,6 +340,49 @@ def kmv_jaccard(sketches: DataFrame, group_col: str, k: int = 256) -> DataFrame:
     )
 
 
+def kmv_set_ops(sketches: DataFrame, group_col: str, k: int = 256) -> DataFrame:
+    """Pairwise SET-OPERATION estimates from KMV sketches — the full
+    multiset algebra Beyer et al. 2007 §4 defines and the theta-sketch
+    family (DataSketches) ships: for groups A < B,
+
+    * ``est_a`` / ``est_b``   — per-group distinct estimates,
+    * ``est_union``           — estimate of the K-smallest-of-union
+      sketch (itself a valid KMV sketch of A∪B),
+    * ``est_intersect``       — ĵ · est_union with ĵ the KMV Jaccard
+      (|A∩B∩U_K| / |U_K|) — the standard composition,
+    * ``est_diff_a``          — est_a − est_intersect (A\\B).
+
+    Everything is derived from the deterministic md5-keyed sketches, so
+    the estimates themselves are exact reproducible values (full-value
+    oracle material), and sub-k sketches collapse to EXACT set algebra.
+    Pure array expressions over the group-count-sized sketch table —
+    the pair join is group×group, never data-sized."""
+    a = sketches.select(
+        F.col(group_col).alias("group_a"), F.col("sketch").alias("sa")
+    )
+    b = sketches.select(
+        F.col(group_col).alias("group_b"), F.col("sketch").alias("sb")
+    )
+    pairs = a.join(b, F.col("group_a") < F.col("group_b"))
+    uk = F.slice(F.array_sort(F.array_union("sa", "sb")), 1, k)
+    est_a = kmv_estimate_expr("sa", k)
+    est_b = kmv_estimate_expr("sb", k)
+    est_u = kmv_estimate_expr(uk, k)
+    jac = (
+        F.size(F.array_intersect(uk, F.array_intersect("sa", "sb")))
+        / F.size(uk)
+    )
+    est_i = jac * est_u
+    return pairs.select(
+        "group_a", "group_b",
+        F.round(est_a, 4).alias("est_a"),
+        F.round(est_b, 4).alias("est_b"),
+        F.round(est_u, 4).alias("est_union"),
+        F.round(est_i, 4).alias("est_intersect"),
+        F.round(est_a - est_i, 4).alias("est_diff_a"),
+    )
+
+
 # --------------------------------------------------------------------------
 # HyperLogLog (r10) — the ClickHouse ``uniqHLL12`` / dense-``uniqCombined``
 # slot (reference surface: the same uniq-family aggregate positions as

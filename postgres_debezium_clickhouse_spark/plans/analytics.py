@@ -752,6 +752,26 @@ def events_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 — KMV set-operation estimates (Beyer et al. 2007 §4 multiset
+    algebra / the theta-sketch family): per event_type pair, the
+    distinct-user estimates of A, B, A∪B (the union sketch is itself a
+    KMV sketch), A∩B (Jaccard × union — the standard composition) and
+    A\\B, all from the deterministic md5-keyed sketches alone — the
+    query pattern audience-overlap systems run against stored sketch
+    states instead of raw data.  Because the sketches are
+    deterministic, the DuckDB oracle rebuilds them hash-for-hash and
+    the ESTIMATES are compared as exact values (and sub-k regimes
+    collapse to exact set algebra).  Sketch build = the two-level
+    bounded group-by; the pair join is 5×5 types — metadata-sized."""
+    from ..operators.sketch import kmv_set_ops, kmv_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, "event_type", "user_id", k=256)
+    return kmv_set_ops(sk.withColumnRenamed("grp", "event_type"),
+                       "event_type", k=256)
+
+
 def events_retention_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r12 — the ClickHouse ``retention(cond1, …, condN)`` aggregate
     (distinct from the week-cohort table ``events_cohort_retention``
@@ -867,6 +887,7 @@ QUERIES = {
     "events_window_funnel_strict": events_window_funnel_strict,
     "events_window_funnel_dedup": events_window_funnel_dedup,
     "events_sequence_count": events_sequence_count,
+    "events_kmv_setops": events_kmv_setops,
     "events_retention_agg": events_retention_agg,
     "events_window_funnel_increase": events_window_funnel_increase,
     "events_value_histogram": events_value_histogram,
@@ -1141,6 +1162,46 @@ ORACLES["events_sequence_match"] = """
     FROM s
 """
 
+
+ORACLES["events_kmv_setops"] = """
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        FROM events
+    ),
+    sk AS (
+        SELECT event_type, (list(hv ORDER BY hv))[1:256] AS s
+        FROM h GROUP BY event_type
+    ),
+    p AS (
+        SELECT a.event_type AS group_a, b.event_type AS group_b,
+               a.s AS sa, b.s AS sb,
+               list_sort(list_distinct(list_concat(a.s, b.s)))[1:256] AS uk
+        FROM sk a JOIN sk b ON a.event_type < b.event_type
+    ),
+    e AS (
+        SELECT group_a, group_b, sa, sb, uk,
+               CASE WHEN len(sa) >= 256
+                    THEN 255.0 / (sa[256] / 1152921504606846976.0)
+                    ELSE CAST(len(sa) AS DOUBLE) END AS est_a,
+               CASE WHEN len(sb) >= 256
+                    THEN 255.0 / (sb[256] / 1152921504606846976.0)
+                    ELSE CAST(len(sb) AS DOUBLE) END AS est_b,
+               CASE WHEN len(uk) >= 256
+                    THEN 255.0 / (uk[256] / 1152921504606846976.0)
+                    ELSE CAST(len(uk) AS DOUBLE) END AS est_u,
+               len(list_intersect(uk, list_intersect(sa, sb))) * 1.0
+                   / len(uk) AS jac
+        FROM p
+    )
+    SELECT group_a, group_b,
+           ROUND(est_a, 4) AS est_a,
+           ROUND(est_b, 4) AS est_b,
+           ROUND(est_u, 4) AS est_union,
+           ROUND(jac * est_u, 4) AS est_intersect,
+           ROUND(est_a - jac * est_u, 4) AS est_diff_a
+    FROM e
+"""
 
 ORACLES["events_retention_agg"] = """
     WITH u AS (
