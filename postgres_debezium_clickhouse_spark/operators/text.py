@@ -656,3 +656,95 @@ def bm25_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def lm_bigram_stupid_backoff(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Bigram LM scoring with STUPID BACKOFF (Brants et al. 2007, "Large
+    Language Models in Machine Translation" — the score web-scale
+    distributed LMs actually use, because unlike Katz/Kneser-Ney it
+    needs no discounting statistics): each transition w₁→w₂ scores
+    cnt(w₁w₂)/cnt(w₁) when the bigram was seen, else α·cnt(w₂)/total
+    (α = 0.4, the paper's constant).  One step up the n-gram ladder
+    from ``lm_unigram_logprob`` — repeated-context gibberish that fools
+    a unigram model (frequent words in impossible orders) scores badly
+    here.
+
+    Per document: n_transitions, mean transition log-score, perplexity.
+    Docs with fewer than 2 tokens emit n_transitions = 0 with NULL
+    scores (nothing to score — stated rather than faked).
+
+    Determinism: each log is rounded to 6 places and the per-doc sum
+    runs as DECIMAL(20,6) — exact and order-independent, so Spark's
+    partial-agg order and DuckDB's scan order produce identical means
+    (the float-sum ranking trap the BM25 operator documents).
+
+    Plan: one corpus tokenize; bigram counts shuffle on the pair key
+    (the bigram table is vocabulary²-bounded — too big to broadcast at
+    real scale, so the transition scoring JOINS on the pair key);
+    unigram table broadcast; total folds from the unigram table."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    pairs_arr = F.expr(
+        "zip_with(slice(__w, 1, size(__w) - 1), slice(__w, 2, size(__w) - 1),"
+        " (a, b) -> struct(a as w1, b as w2))"
+    )
+    pairs = (
+        documents.withColumn("__w", words)
+        .select(F.col(id_col), F.explode(pairs_arr).alias("p"))
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    toks = documents.select(
+        F.col(id_col), F.explode(words).alias("token")
+    )
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("ucnt"))
+    tot = uni.groupBy().agg(F.sum("ucnt").alias("__total"))
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bcnt"))
+    u1 = uni.select(F.col("token").alias("w1"), F.col("ucnt").alias("c1"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("ucnt").alias("c2"))
+    scored = (
+        pairs.join(bi, ["w1", "w2"], "left")
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__s",
+            F.round(
+                F.when(
+                    F.col("bcnt").isNotNull(),
+                    F.log(F.col("bcnt") / F.col("c1")),
+                ).otherwise(
+                    F.log(F.lit(alpha) * F.col("c2") / F.col("__total"))
+                ),
+                6,
+            ).cast("decimal(20,6)"),
+        )
+    )
+    per = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.sum("__s").alias("__sum"),
+    )
+    # the MEAN rounds via explicit floor arithmetic rather than round():
+    # engines disagree on the half-way rule (caught at sf0.1 — one doc's
+    # quotient landed exactly on a 6th-decimal boundary), while
+    # floor(x·1e6 + 0.5)/1e6 is the same three IEEE ops everywhere
+    avg = (
+        F.floor(
+            F.col("__sum").cast("double") / F.col("n_transitions") * 1e6
+            + 0.5
+        ) / 1e6
+    )
+    ppl = F.floor(F.exp(-avg) * 1e4 + 0.5) / 1e4
+    return (
+        documents.select(id_col).join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_transitions", F.lit(0)).cast("long")
+            .alias("n_transitions"),
+            avg.alias("avg_logscore"),
+            ppl.alias("ppl"),
+        )
+    )

@@ -84,6 +84,21 @@ _BM25_QUERIES = [
 ]
 
 
+def q_text_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 — bigram LM + stupid backoff (Brants et al. 2007): the step
+    up the n-gram ladder from text_lm_perplexity's unigram score.  The
+    fixture's random-order bag-of-words text keeps most transitions in
+    the BACKOFF branch while frequent adjacent pairs hit the bigram
+    branch, so both score paths carry driver evidence.  Scores sum as
+    round-6 DECIMAL(20,6) — order-independent, so the oracle's means
+    are bit-identical."""
+    from ..operators.text import lm_bigram_stupid_backoff
+
+    return lm_bigram_stupid_backoff(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r12 — Okapi BM25 top-5 retrieval (operators/text.bm25_topk): the
     lexical-retrieval baseline next to the embedding ANN family, and
@@ -200,6 +215,7 @@ QUERIES = {
     "text_pii_scrub": q_pii_scrub,
     "text_tfidf_top_terms": q_tfidf,
     "text_bm25_topk": q_text_bm25_topk,
+    "text_bigram_backoff": q_text_bigram_backoff,
     "text_commonness": q_text_commonness,
     "text_html_extract": q_text_html_extract,
     "text_url_extract": q_text_url_extract,
@@ -210,6 +226,46 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_bigram_backoff": """
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS wd
+            FROM documents
+        ),
+        pairs AS (
+            SELECT doc_id, wd[CAST(i.i AS INT)] AS w1,
+                   wd[CAST(i.i + 1 AS INT)] AS w2
+            FROM w CROSS JOIN LATERAL (
+                SELECT unnest(range(1, len(wd)))) i(i)
+        ),
+        toks AS (SELECT doc_id, unnest(wd) AS token FROM w),
+        uni AS (SELECT token, COUNT(*) AS ucnt FROM toks GROUP BY token),
+        tot AS (SELECT SUM(ucnt) AS t FROM uni),
+        bi AS (SELECT w1, w2, COUNT(*) AS bcnt FROM pairs GROUP BY w1, w2),
+        scored AS (
+            SELECT p.doc_id,
+                   CAST(ROUND(CASE WHEN b.bcnt IS NOT NULL
+                              THEN ln(b.bcnt * 1.0 / u1.ucnt)
+                              ELSE ln(0.4 * u2.ucnt / tot.t) END, 6)
+                        AS DECIMAL(20,6)) AS s
+            FROM pairs p
+            LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+            JOIN uni u1 ON u1.token = p.w1
+            JOIN uni u2 ON u2.token = p.w2
+            CROSS JOIN tot
+        ),
+        per AS (
+            SELECT doc_id, COUNT(*) AS n_transitions,
+                   FLOOR(CAST(SUM(s) AS DOUBLE) / COUNT(*) * 1e6 + 0.5)
+                       / 1e6 AS avg_logscore
+            FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_transitions, 0) AS BIGINT) AS n_transitions,
+               p.avg_logscore,
+               FLOOR(exp(-p.avg_logscore) * 1e4 + 0.5) / 1e4 AS ppl
+        FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
     "text_bm25_topk": """
         WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
                       FROM documents),
