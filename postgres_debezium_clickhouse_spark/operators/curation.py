@@ -710,3 +710,99 @@ def paragraph_dedup(
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
         )
     )
+
+
+def dsir_importance(
+    documents: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — the hashed-n-gram
+    importance estimator behind modern pretraining-data selection):
+    features are unigrams + adjacent bigrams hashed into ``n_buckets``
+    buckets; bucket distributions p̂_target and p̂_raw are estimated
+    with Laplace (+1) smoothing; each document's log importance weight
+    is Σ over its FEATURE OCCURRENCES of ln p̂_t[b] − ln p̂_r[b].
+    High weight = looks like the target distribution.  The resampling
+    step composes with the registered weighted-sampling machinery
+    (``corpus_weighted_sample``); this operator is the estimator.
+
+    Determinism: bucket hash is the md5-prefix idiom every oracle
+    reproduces; per-bucket log-ratios round to 6 and per-doc sums run
+    as DECIMAL(20,6) (exact, order-independent).
+
+    Scale: the bucket tables are ``n_buckets`` rows (broadcast
+    everywhere); the corpus is tokenized once per side; the per-doc
+    score is one map + groupBy — no corpus-sized joins."""
+    from .sketch import kmv_hash_expr
+
+    def feats(df: DataFrame) -> DataFrame:
+        w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+        bi = F.expr(
+            "zip_with(slice(__w, 1, size(__w) - 1),"
+            " slice(__w, 2, size(__w) - 1), (a, b) -> concat(a, ' ', b))"
+        )
+        return (
+            df.withColumn("__w", w)
+            .select(
+                F.col(id_col),
+                F.explode(F.concat(F.col("__w"), bi)).alias("f"),
+            )
+            .select(
+                F.col(id_col),
+                (kmv_hash_expr("f") % n_buckets).alias("b"),
+            )
+        )
+
+    raw_f = feats(documents)
+    tgt_f = feats(target)
+
+    # Laplace smoothing means EMPTY buckets still carry mass — build the
+    # dense bucket table from a literal range so absent buckets get the
+    # 1/(t+B) floor on either side.
+    spark = documents.sparkSession
+    buckets = spark.range(n_buckets).select(F.col("id").alias("b"))
+    raw_cnt = raw_f.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    tgt_cnt = tgt_f.groupBy("b").agg(F.count(F.lit(1)).alias("tc"))
+    rt = raw_f.groupBy().agg(F.count(F.lit(1)).alias("rt"))
+    tt = tgt_f.groupBy().agg(F.count(F.lit(1)).alias("tt"))
+    table = (
+        buckets.join(F.broadcast(raw_cnt), "b", "left")
+        .join(F.broadcast(tgt_cnt), "b", "left")
+        .crossJoin(F.broadcast(rt))
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (F.coalesce("tc", F.lit(0)) + 1).cast("double")
+                    / (F.col("tt") + n_buckets)
+                )
+                - F.log(
+                    (F.coalesce("rc", F.lit(0)) + 1).cast("double")
+                    / (F.col("rt") + n_buckets)
+                ),
+                6,
+            ).cast("decimal(20,6)").alias("lr"),
+        )
+    )
+    per = (
+        raw_f.join(F.broadcast(table), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("lr").alias("__lw"),
+        )
+    )
+    return (
+        documents.select(id_col).join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce(F.col("__lw").cast("double"), F.lit(0.0))
+            .alias("log_weight"),
+        )
+    )

@@ -247,7 +247,25 @@ def q_llm_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 — DSIR importance weights (Xie et al. 2023): hashed
+    unigram+bigram buckets (64, md5-prefix idiom), Laplace-smoothed
+    target/raw bucket distributions, per-doc log importance weight as
+    a round-6 DECIMAL sum.  Target = the fixture's planted near-dup
+    docs (text ending ' dup') — their distribution puts real mass on
+    the dup-feature buckets, so raw docs sharing those buckets
+    up-weight: the estimator's discrimination is exercised on planted
+    structure, not noise.  The oracle rebuilds buckets, smoothing,
+    round-6 log-ratios and the decimal sums hash-for-hash."""
+    from ..operators.curation import dsir_importance
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.filter(F.col("text").endswith(" dup"))
+    return dsir_importance(docs, target)
+
+
 QUERIES = {
+    "corpus_dsir_weights": q_corpus_dsir_weights,
     "corpus_split": q_corpus_split,
     "corpus_stratified_sample": q_stratified_sample,
     "corpus_token_budget_sample": q_token_budget_sample,
@@ -269,6 +287,52 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_dsir_weights": """
+        WITH w AS (
+            SELECT doc_id, text,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS wd
+            FROM documents
+        ),
+        feats AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(f), 1, 15))::BIGINT % 64 AS b
+            FROM (
+                SELECT doc_id, unnest(wd) AS f FROM w
+                UNION ALL
+                SELECT doc_id,
+                       wd[CAST(i.i AS INT)] || ' ' || wd[CAST(i.i + 1 AS INT)] AS f
+                FROM w CROSS JOIN LATERAL (
+                    SELECT unnest(range(1, len(wd)))) i(i)
+            )
+        ),
+        tgt_ids AS (SELECT doc_id FROM documents WHERE text LIKE '% dup'),
+        rc AS (SELECT b, COUNT(*) AS c FROM feats GROUP BY b),
+        tc AS (SELECT b, COUNT(*) AS c FROM feats
+               WHERE doc_id IN (SELECT doc_id FROM tgt_ids) GROUP BY b),
+        rt AS (SELECT COUNT(*) AS t FROM feats),
+        tt AS (SELECT COUNT(*) AS t FROM feats
+               WHERE doc_id IN (SELECT doc_id FROM tgt_ids)),
+        tbl AS (
+            SELECT g.b,
+                   CAST(ROUND(
+                       ln((COALESCE(tc.c, 0) + 1) * 1.0 / (tt.t + 64))
+                       - ln((COALESCE(rc.c, 0) + 1) * 1.0 / (rt.t + 64)),
+                       6) AS DECIMAL(20,6)) AS lr
+            FROM (SELECT unnest(range(0, 64)) AS b) g
+            LEFT JOIN rc ON rc.b = g.b
+            LEFT JOIN tc ON tc.b = g.b
+            CROSS JOIN rt CROSS JOIN tt
+        ),
+        per AS (
+            SELECT f.doc_id, COUNT(*) AS n_feats, SUM(t.lr) AS lw
+            FROM feats f JOIN tbl t ON t.b = f.b
+            GROUP BY f.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_feats, 0) AS BIGINT) AS n_feats,
+               CAST(COALESCE(p.lw, 0) AS DOUBLE) AS log_weight
+        FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
     "corpus_split": """
         SELECT doc_id,
                CASE WHEN h < 'cd' THEN 'train'

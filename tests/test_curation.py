@@ -556,3 +556,29 @@ def test_paragraph_dedup_keep_first_and_rebuild(spark):
     assert (out[3].n_paras, out[3].n_kept) == (2, 1)
     assert out[3].text_clean == "epsilon"               # normalized dup cut
     assert (out[4].n_paras, out[4].n_kept, out[4].text_clean) == (1, 0, "")
+
+
+def test_dsir_importance_discriminates_target_like_docs(spark):
+    """r12 — DSIR (Xie et al. 2023): docs drawn from the target
+    distribution must carry higher log importance weight than docs from
+    a disjoint distribution (the estimator's whole job), and a doc
+    mixing both lands between; Laplace smoothing keeps every weight
+    finite even for feature buckets the target never saw."""
+    from postgres_debezium_clickhouse_spark.operators.curation import (
+        dsir_importance,
+    )
+
+    target_like = "alpha beta gamma alpha beta gamma alpha beta"
+    other = "omega psi chi omega psi chi omega psi"
+    mixed = "alpha beta omega psi alpha beta omega psi"
+    docs = spark.createDataFrame(
+        [(1, target_like), (2, other), (3, mixed),
+         (4, target_like + " delta"), (5, other + " phi")],
+        "doc_id long, text string",
+    )
+    target = docs.filter("doc_id in (1, 4)")
+    out = {r.doc_id: r.log_weight for r in
+           dsir_importance(docs, target).collect()}
+    assert out[1] > out[3] > out[2]
+    assert out[4] > out[3] > out[5]
+    assert all(abs(v) < 1e6 for v in out.values())   # smoothing: finite
