@@ -476,3 +476,57 @@ def test_winnowing_guarantee_and_budget(spark):
     # budget: far fewer prints than positions (~1/16), never zero
     n_pos_1 = 300 + 55 + 300 - 39
     assert 0 < len(by_doc[1]) < n_pos_1 / 4
+
+
+def test_substring_removal_matches_reference_property(spark):
+    """r12 — property check: substring_removal against an independent
+    pure-Python reference of the ExactSubstr spec (duplicated L-gram
+    positions → merged intervals → cut) over small-alphabet random
+    corpora where duplications arise naturally.  Deterministic seeds (a
+    fixed sweep, not hypothesis — the property runs one Spark job per
+    corpus)."""
+    import random
+
+    from postgres_debezium_clickhouse_spark.operators.dedup import (
+        substring_removal,
+    )
+
+    L = 4
+
+    def reference(texts):
+        from collections import Counter
+        grams = Counter()
+        for t in texts.values():
+            for p in range(len(t) - L + 1):
+                grams[t[p:p + L]] += 1
+        out = {}
+        for d, t in texts.items():
+            ivs = []
+            for p in range(len(t) - L + 1):
+                if grams[t[p:p + L]] > 1:
+                    if ivs and p <= ivs[-1][1]:
+                        ivs[-1][1] = max(ivs[-1][1], p + L)
+                    else:
+                        ivs.append([p, p + L])
+            kept, prev = [], 0
+            for s, e in ivs:
+                kept.append(t[prev:s])
+                prev = e
+            kept.append(t[prev:])
+            out[d] = "".join(kept)
+        return out
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        texts = {
+            d: "".join(rng.choice("abc") for _ in range(rng.randint(0, 30)))
+            for d in range(8)
+        }
+        docs = spark.createDataFrame(
+            sorted(texts.items()), "doc_id long, text string")
+        got = {r.doc_id: (r.text_clean, r.removed_chars) for r in
+               substring_removal(docs, min_len=L).collect()}
+        ref = reference(texts)
+        for d in texts:
+            assert got[d][0] == ref[d], (seed, d, texts[d], got[d][0], ref[d])
+            assert got[d][1] == len(texts[d]) - len(ref[d])
