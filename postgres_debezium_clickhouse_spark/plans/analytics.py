@@ -660,6 +660,41 @@ def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 — ROBUST anomaly flagging: modified z-score over the median
+    absolute deviation (Iglewicz & Hoaglin 1993's 0.6745·|x−med|/MAD
+    rule, the standard robust alternative when the metric stream itself
+    contains the outliers that inflate σ — the fixture's exponential
+    values make the contrast real: the z-score query's 3σ cut and this
+    3.5-modified-z cut flag different tails).  Median and MAD are EXACT
+    per-type percentile(0.5) aggregates (two passes: med, then the
+    deviation median) broadcast back over the events — no window, no
+    sort of the full stream.  Scores round via floor(x·1e4+0.5)/1e4
+    (the engine-portable half-rule)."""
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        events.join(F.broadcast(med), "event_type")
+        .select("event_type", F.abs(F.col("value") - F.col("med")).alias("d"))
+        .groupBy("event_type")
+        .agg(F.expr("percentile(d, 0.5)").alias("mad"))
+    )
+    mz = F.floor(
+        F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad") * 1e4
+        + 0.5
+    ) / 1e4
+    return (
+        events.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .withColumn("mz", mz)
+        .filter(F.abs(F.col("mz")) > 3.5)
+        .select("event_id", "event_type",
+                F.round("value", 4).alias("value"), "mz")
+    )
+
+
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r8: cohort retention matrix — the ClickHouse ``retention()``
     aggregate's standard product-analytics use (reference surface: CH
@@ -888,6 +923,7 @@ QUERIES = {
     "events_window_funnel_dedup": events_window_funnel_dedup,
     "events_sequence_count": events_sequence_count,
     "events_kmv_setops": events_kmv_setops,
+    "events_anomalies_mad": events_anomalies_mad,
     "events_retention_agg": events_retention_agg,
     "events_window_funnel_increase": events_window_funnel_increase,
     "events_value_histogram": events_value_histogram,
@@ -1162,6 +1198,26 @@ ORACLES["events_sequence_match"] = """
     FROM s
 """
 
+
+ORACLES["events_anomalies_mad"] = """
+    WITH med AS (
+        SELECT event_type, median(value) AS med
+        FROM events GROUP BY event_type
+    ),
+    mad AS (
+        SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND(e.value, 4) AS value,
+           FLOOR(0.6745 * (e.value - m.med) / d.mad * 1e4 + 0.5) / 1e4 AS mz
+    FROM events e
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    WHERE ABS(FLOOR(0.6745 * (e.value - m.med) / d.mad * 1e4 + 0.5) / 1e4)
+          > 3.5
+"""
 
 ORACLES["events_kmv_setops"] = """
     WITH h AS (
