@@ -712,64 +712,56 @@ def paragraph_dedup(
     )
 
 
-def dsir_importance(
+def dsir_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """(id, b): one row per FEATURE OCCURRENCE — unigrams + adjacent
+    bigrams hashed into ``n_buckets`` buckets with the md5-prefix idiom
+    every oracle reproduces (DSIR's hashed-n-gram featurization)."""
+    from .sketch import kmv_hash_expr
+
+    w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    bi = F.expr(
+        "zip_with(slice(__w, 1, size(__w) - 1),"
+        " slice(__w, 2, size(__w) - 1), (a, b) -> concat(a, ' ', b))"
+    )
+    return (
+        df.withColumn("__w", w)
+        .select(
+            F.col(id_col),
+            F.explode(F.concat(F.col("__w"), bi)).alias("f"),
+        )
+        .select(
+            F.col(id_col),
+            (kmv_hash_expr("f") % n_buckets).alias("b"),
+        )
+    )
+
+
+def dsir_bucket_table(
     documents: DataFrame,
     target: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 64,
 ) -> DataFrame:
-    """DSIR importance weights (Xie et al. 2023, "Data Selection for
-    Language Models via Importance Resampling" — the hashed-n-gram
-    importance estimator behind modern pretraining-data selection):
-    features are unigrams + adjacent bigrams hashed into ``n_buckets``
-    buckets; bucket distributions p̂_target and p̂_raw are estimated
-    with Laplace (+1) smoothing; each document's log importance weight
-    is Σ over its FEATURE OCCURRENCES of ln p̂_t[b] − ln p̂_r[b].
-    High weight = looks like the target distribution.  The resampling
-    step composes with the registered weighted-sampling machinery
-    (``corpus_weighted_sample``); this operator is the estimator.
-
-    Determinism: bucket hash is the md5-prefix idiom every oracle
-    reproduces; per-bucket log-ratios round to 6 and per-doc sums run
-    as DECIMAL(20,6) (exact, order-independent).
-
-    Scale: the bucket tables are ``n_buckets`` rows (broadcast
-    everywhere); the corpus is tokenized once per side; the per-doc
-    score is one map + groupBy — no corpus-sized joins."""
-    from .sketch import kmv_hash_expr
-
-    def feats(df: DataFrame) -> DataFrame:
-        w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-        bi = F.expr(
-            "zip_with(slice(__w, 1, size(__w) - 1),"
-            " slice(__w, 2, size(__w) - 1), (a, b) -> concat(a, ' ', b))"
-        )
-        return (
-            df.withColumn("__w", w)
-            .select(
-                F.col(id_col),
-                F.explode(F.concat(F.col("__w"), bi)).alias("f"),
-            )
-            .select(
-                F.col(id_col),
-                (kmv_hash_expr("f") % n_buckets).alias("b"),
-            )
-        )
-
-    raw_f = feats(documents)
-    tgt_f = feats(target)
-
-    # Laplace smoothing means EMPTY buckets still carry mass — build the
-    # dense bucket table from a literal range so absent buckets get the
-    # 1/(t+B) floor on either side.
+    """The frozen estimator: (b, lr) with lr = round-6
+    ln p̂_target[b] − ln p̂_raw[b] under Laplace (+1) smoothing, DENSE
+    over all ``n_buckets`` buckets (absent buckets keep the 1/(t+B)
+    smoothing floor on either side) — the artifact a deployed DSIR
+    gate broadcasts against incoming batches."""
+    raw_f = dsir_features(documents, id_col, text_col, n_buckets)
+    tgt_f = dsir_features(target, id_col, text_col, n_buckets)
     spark = documents.sparkSession
     buckets = spark.range(n_buckets).select(F.col("id").alias("b"))
     raw_cnt = raw_f.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
     tgt_cnt = tgt_f.groupBy("b").agg(F.count(F.lit(1)).alias("tc"))
     rt = raw_f.groupBy().agg(F.count(F.lit(1)).alias("rt"))
     tt = tgt_f.groupBy().agg(F.count(F.lit(1)).alias("tt"))
-    table = (
+    return (
         buckets.join(F.broadcast(raw_cnt), "b", "left")
         .join(F.broadcast(tgt_cnt), "b", "left")
         .crossJoin(F.broadcast(rt))
@@ -789,8 +781,22 @@ def dsir_importance(
             ).cast("decimal(20,6)").alias("lr"),
         )
     )
+
+
+def dsir_score(
+    docs: DataFrame,
+    table: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Score documents against a frozen DSIR bucket table: per doc,
+    n_feats and the DECIMAL-exact log importance weight (docs with no
+    features score 0).  One map + broadcast join + groupBy — the
+    micro-batch-shaped application a streaming gate runs per trigger."""
+    f = dsir_features(docs, id_col, text_col, n_buckets)
     per = (
-        raw_f.join(F.broadcast(table), "b")
+        f.join(F.broadcast(table), "b")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_feats"),
@@ -798,11 +804,85 @@ def dsir_importance(
         )
     )
     return (
-        documents.select(id_col).join(per, id_col, "left")
+        docs.select(id_col).join(per, id_col, "left")
         .select(
             F.col(id_col),
             F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
             F.coalesce(F.col("__lw").cast("double"), F.lit(0.0))
             .alias("log_weight"),
+        )
+    )
+
+
+def dsir_importance(
+    documents: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — the hashed-n-gram
+    importance estimator behind modern pretraining-data selection):
+    features are unigrams + adjacent bigrams hashed into ``n_buckets``
+    buckets; bucket distributions p̂_target and p̂_raw are estimated
+    with Laplace (+1) smoothing; each document's log importance weight
+    is Σ over its FEATURE OCCURRENCES of ln p̂_t[b] − ln p̂_r[b].
+    High weight = looks like the target distribution.  The resampling
+    step composes with the registered weighted-sampling machinery
+    (``corpus_weighted_sample``); this operator is the estimator
+    (= ``dsir_bucket_table`` + ``dsir_score`` — split out so the
+    streaming gate can freeze the table and score per micro-batch).
+
+    Determinism: bucket hash is the md5-prefix idiom every oracle
+    reproduces; per-bucket log-ratios round to 6 and per-doc sums run
+    as DECIMAL(20,6) (exact, order-independent).
+
+    Scale: the bucket tables are ``n_buckets`` rows (broadcast
+    everywhere); the corpus is tokenized once per side; the per-doc
+    score is one map + groupBy — no corpus-sized joins."""
+    table = dsir_bucket_table(documents, target, id_col, text_col, n_buckets)
+    return dsir_score(documents, table, id_col, text_col, n_buckets)
+
+
+def dsir_score_expr(
+    docs: DataFrame,
+    table: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Streaming-shaped DSIR scoring: the frozen bucket table rides as a
+    1-row broadcast MAP and each document's log weight folds over its
+    own feature array IN-ROW — no explode, no groupBy, so it is legal
+    inside a streaming micro-batch transform (append mode, no
+    watermark) and costs zero shuffles.  Decimal addition is exact and
+    commutative, so the fold's array order and the batch oracle's row
+    order give identical sums."""
+    mp = table.agg(
+        F.map_from_entries(F.collect_list(F.struct("b", "lr"))).alias("__m")
+    )
+    w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    bi = (
+        "zip_with(slice(__w, 1, size(__w) - 1),"
+        " slice(__w, 2, size(__w) - 1), (a, b) -> concat(a, ' ', b))"
+    )
+    hash_b = (
+        f"cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint) % {n_buckets}"
+    )
+    # the addition must cast back to the accumulator's exact type —
+    # decimal + decimal widens to (21,6) and aggregate() requires the
+    # merge to preserve the accumulator type
+    score = (
+        f"aggregate(concat(__w, {bi}), cast(0 as decimal(20,6)), "
+        f"(acc, x) -> cast(acc + element_at(__m, {hash_b}) as decimal(20,6)))"
+    )
+    return (
+        docs.withColumn("__w", w)
+        .crossJoin(F.broadcast(mp))
+        .select(
+            F.col(id_col),
+            F.expr(f"size(__w) + size({bi})").cast("long").alias("n_feats"),
+            F.expr(score).cast("double").alias("log_weight"),
         )
     )

@@ -567,8 +567,52 @@ def stream_image_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sh_.rmtree(d, ignore_errors=True)
 
 
+def stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 — streaming DSIR quality gate (the deployed-estimator
+    pattern of stream_pq_dedup_gate applied to importance weighting):
+    the DSIR bucket table is FROZEN from the static corpus (target =
+    the planted near-dup docs, batch-built, localCheckpoint), rides as
+    a 1-row broadcast MAP, and each micro-batch document's log weight
+    FOLDS over its own feature array in-row (``dsir_score_expr``) —
+    keep iff log_weight > 0 (more target-like than raw).  No state
+    store, no explode, ZERO stream shuffles (a groupBy would be an
+    unwatermarked streaming aggregation — illegal in append mode, and
+    needless: decimal addition is exact and commutative, so the in-row
+    fold equals the batch estimator's sum).  Fixture: incoming docs
+    derive from
+    the corpus — odd ids arrive with ' dup' appended (the target
+    marker), even ids unchanged; the oracle recomputes the frozen
+    table AND every incoming score, so the keep/drop DECISION is
+    value-checked (deterministic DECIMAL sums — both engines compute
+    the identical boolean)."""
+    from ..operators.curation import dsir_bucket_table, dsir_score_expr
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.filter(F.col("text").endswith(" dup"))
+    table = dsir_bucket_table(docs, target).localCheckpoint()
+    k = F.col("doc_id")
+    incoming = docs.select(
+        (k + 100000).alias("doc_id"),
+        F.when(k % 2 == 1, F.concat(F.col("text"), F.lit(" dup")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+
+    def gate(df: DataFrame) -> DataFrame:
+        scored = dsir_score_expr(df, table)
+        return scored.filter(F.col("log_weight") > 0).select(
+            "doc_id", "n_feats",
+            # floor half-rule: round() half-way behavior differs between
+            # engines (the text_bigram_backoff find)
+            (F.floor(F.col("log_weight") * 1e4 + 0.5) / 1e4)
+            .alias("log_weight"),
+        )
+
+    return _mv_replay(spark, "dsirgate", incoming, gate)
+
+
 QUERIES = {
     "stream_pq_dedup_gate": stream_pq_dedup_gate,
+    "stream_dsir_gate": stream_dsir_gate,
     "stream_image_dedup_gate": stream_image_dedup_gate,
     "stream_quality_filter": stream_quality_filter,
     "stream_filter_report": stream_filter_report,
@@ -580,6 +624,75 @@ QUERIES = {
 }
 
 ORACLES: dict[str, str] = {
+    "stream_dsir_gate": """
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS wd
+            FROM documents
+        ),
+        feats AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(f), 1, 15))::BIGINT % 64 AS b
+            FROM (
+                SELECT doc_id, unnest(wd) AS f FROM w
+                UNION ALL
+                SELECT doc_id,
+                       wd[CAST(i.i AS INT)] || ' ' || wd[CAST(i.i + 1 AS INT)] AS f
+                FROM w CROSS JOIN LATERAL (
+                    SELECT unnest(range(1, len(wd)))) i(i)
+            )
+        ),
+        tgt_ids AS (SELECT doc_id FROM documents WHERE text LIKE '% dup'),
+        rc AS (SELECT b, COUNT(*) AS c FROM feats GROUP BY b),
+        tc AS (SELECT b, COUNT(*) AS c FROM feats
+               WHERE doc_id IN (SELECT doc_id FROM tgt_ids) GROUP BY b),
+        rt AS (SELECT COUNT(*) AS t FROM feats),
+        tt AS (SELECT COUNT(*) AS t FROM feats
+               WHERE doc_id IN (SELECT doc_id FROM tgt_ids)),
+        tbl AS (
+            SELECT g.b,
+                   CAST(ROUND(
+                       ln((COALESCE(tc.c, 0) + 1) * 1.0 / (tt.t + 64))
+                       - ln((COALESCE(rc.c, 0) + 1) * 1.0 / (rt.t + 64)),
+                       6) AS DECIMAL(20,6)) AS lr
+            FROM (SELECT unnest(range(0, 64)) AS b) g
+            LEFT JOIN rc ON rc.b = g.b
+            LEFT JOIN tc ON tc.b = g.b
+            CROSS JOIN rt CROSS JOIN tt
+        ),
+        inc AS (
+            SELECT doc_id + 100000 AS doc_id,
+                   CASE WHEN doc_id % 2 = 1 THEN text || ' dup'
+                        ELSE text END AS text
+            FROM documents
+        ),
+        iw AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS wd
+            FROM inc
+        ),
+        ifeats AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(f), 1, 15))::BIGINT % 64 AS b
+            FROM (
+                SELECT doc_id, unnest(wd) AS f FROM iw
+                UNION ALL
+                SELECT doc_id,
+                       wd[CAST(i.i AS INT)] || ' ' || wd[CAST(i.i + 1 AS INT)] AS f
+                FROM iw CROSS JOIN LATERAL (
+                    SELECT unnest(range(1, len(wd)))) i(i)
+            )
+        ),
+        per AS (
+            SELECT f.doc_id, COUNT(*) AS n_feats, SUM(t.lr) AS lw
+            FROM ifeats f JOIN tbl t ON t.b = f.b
+            GROUP BY f.doc_id
+        )
+        SELECT doc_id,
+               CAST(n_feats AS BIGINT) AS n_feats,
+               FLOOR(CAST(lw AS DOUBLE) * 1e4 + 0.5) / 1e4 AS log_weight
+        FROM per WHERE lw > 0
+    """,
     "stream_pq_dedup_gate": """
         WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         c AS (SELECT vec_id, v AS cv FROM e WHERE vec_id >= 5),
