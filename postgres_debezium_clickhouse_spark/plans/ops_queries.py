@@ -2383,6 +2383,57 @@ def cdc_snapshot_pause_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sh.rmtree(d, ignore_errors=True)
 
 
+def object_store_rowbinary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 — ClickHouse RowBinaryWithNamesAndTypes ingestion (S6's
+    format matrix now spans JSON / Avro / TSV / CSV / protobuf /
+    RowBinary — the server's own compact row format, the one
+    ``clickhouse-client … FORMAT RowBinaryWithNamesAndTypes`` dumps).
+    Orders are written as FOUR dumps exercising the type matrix on real
+    data: Int64 key, String status, Nullable(Float64) price (NULL for
+    keys ≡0 mod 11 via the null-flag byte), UInt8 parity flag,
+    Nullable(String) note (NULL for keys ≡0 mod 7) — then read back
+    typed via ``read_rowbinary`` (binaryFile scan → executor-parallel
+    mapInPandas decode with LOUD header validation, no shuffle).  Full
+    value oracle restated from orders arithmetic."""
+    from ..sources.ch_rowbinary import read_rowbinary, rowbinary_encode
+
+    import shutil as _sh
+
+    schema = [
+        ("o_orderkey", "Int64"),
+        ("status", "String"),
+        ("price", "Nullable(Float64)"),
+        ("flag", "UInt8"),
+        ("note", "Nullable(String)"),
+    ]
+    src = f"{tempfile.gettempdir()}/rb_src_{uuid.uuid4().hex[:12]}"
+    try:
+        rows = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice",
+                    "o_orderpriority")
+            .collect()
+        )
+        os_mod = __import__("os")
+        os_mod.makedirs(src, exist_ok=True)
+        parts: list[list] = [[], [], [], []]
+        for r in rows:
+            k = r.o_orderkey
+            parts[k % 4].append({
+                "o_orderkey": k,
+                "status": r.o_orderstatus,
+                "price": None if k % 11 == 0 else float(r.o_totalprice),
+                "flag": k % 2,
+                "note": None if k % 7 == 0 else r.o_orderpriority,
+            })
+        for i, chunk in enumerate(parts):
+            with open(os_mod.path.join(src, f"seg{i}.bin"), "wb") as fh:
+                fh.write(rowbinary_encode(chunk, schema))
+        return read_rowbinary(spark, src, schema).localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(src, ignore_errors=True)
+
+
 def object_store_proto_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r11 — protobuf wire-format ingestion (S6's THIRD wire format:
     Debezium's converter slot takes JSON, Avro, or ProtobufConverter —
@@ -2589,6 +2640,7 @@ QUERIES = {
     "object_store_avro_ingest": object_store_avro_ingest,
     "object_store_proto_ingest": object_store_proto_ingest,
     "cdc_incremental_snapshot": cdc_incremental_snapshot,
+    "object_store_rowbinary_ingest": object_store_rowbinary_ingest,
     "cdc_snapshot_pause_resume": cdc_snapshot_pause_resume,
     "object_store_tsv_ingest": object_store_tsv_ingest,
     "stream_agg_summap_state": stream_agg_summap_state,
@@ -2912,6 +2964,17 @@ ORACLES["cdc_incremental_snapshot"] = """
 # EXACTLY the uninterrupted scenario's closed-form state (latest-wins
 # makes merge interleaving — including a pause — invisible).
 ORACLES["cdc_snapshot_pause_resume"] = ORACLES["cdc_incremental_snapshot"]
+
+ORACLES["object_store_rowbinary_ingest"] = """
+    SELECT o_orderkey,
+           o_orderstatus AS status,
+           CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                ELSE CAST(o_totalprice AS DOUBLE) END AS price,
+           CAST(o_orderkey % 2 AS INT) AS flag,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE o_orderpriority END AS note
+    FROM orders
+"""
 
 ORACLES["object_store_proto_ingest"] = """
     SELECT o_orderkey,
