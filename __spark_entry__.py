@@ -72,10 +72,13 @@ _FRONT = (
     "similarity_ivfpq_rerank_recall",
     "corpus_unigram_prune",
     # steady-state cycling (oldest driver evidence first — recomputed
-    # r12 from CORRECTNESS_r01..r11: the full 31-name r7-evidence
-    # cohort that missed the r11 window, then the alphabetical head of
-    # the r8 cohort to fill the ~50-query driver window.  After this
-    # window lands, every registry name has r8+ driver evidence.
+    # r12 from CORRECTNESS_r01..r11: the 31-name r7-evidence cohort
+    # that missed the r11 window, then the alphabetical head of the r8
+    # cohort).  r12 added 24 never-checked queries, so the ~50-query
+    # window covers them plus the first ~26 r7 names; the r7 tail
+    # (stream_silver_state…zorder) waits for r13 — never-checked names
+    # always outrank evidence refresh.  All 24 additions also carry
+    # local tri-scale sweep evidence (CORRECTNESS_local_r12.txt).
     # (synthetic_transactions, r3 evidence, stays in _BACK by standing
     # policy: rows-only by contract, so a window slot on it loses a
     # full-value check.)
