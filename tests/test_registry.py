@@ -88,6 +88,10 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "corpus_unigram_prune",     # same attaches + vocab-sized alt-DP map (r12)
         "corpus_wordpiece_encode",  # scalar attach: 1-row broadcast piece map (r12)
         "text_bm25_topk",           # scalar attach: 1-row broadcast N/avgdl totals (r12)
+        "corpus_dsir_weights",      # scalar attaches: 1-row broadcast feature totals (r12)
+        "text_bigram_backoff",      # scalar attach: 1-row broadcast corpus-total (r12)
+        "events_kmv_setops",        # KMV pair join: group×group over the sketch table (r12)
+        "events_anomalies_mad",     # scalar attaches: per-type median/MAD rows (r12)
     }
     oracle_checked = set(m.oracle_sql())
     checked = 0
