@@ -72,15 +72,24 @@ def _leb128_decode(blob: bytes, pos: int) -> tuple[int, int]:
     raise ValueError("varint too long")
 
 
-def _parse_type(ch_type: str) -> tuple[str, bool]:
-    """→ (base type name, nullable)."""
+def _parse_type(ch_type: str) -> tuple[str, bool, str | None]:
+    """→ (base type name, nullable, array element type or None).
+    ``Array(T)`` carries a LEB128 element count then T encodings (CH
+    spec); ``Array(Nullable(T))`` is intentionally unsupported here —
+    reject loudly rather than half-implement."""
+    elem = None
+    if ch_type.startswith("Array(") and ch_type.endswith(")"):
+        elem = ch_type[6:-1]
+        if elem not in _TYPES:
+            raise ValueError(f"unsupported RowBinary type {ch_type!r}")
+        return "Array", False, elem
     if ch_type.startswith("Nullable(") and ch_type.endswith(")"):
         base, nullable = ch_type[9:-1], True
     else:
         base, nullable = ch_type, False
     if base not in _TYPES:
         raise ValueError(f"unsupported RowBinary type {ch_type!r}")
-    return base, nullable
+    return base, nullable, None
 
 
 def _write_str(s: str) -> bytes:
@@ -134,7 +143,7 @@ def rowbinary_encode(rows: list[dict], schema: list[tuple[str, str]]) -> bytes:
         out += _write_str(ch_type)
     for row in rows:
         for name, ch_type in schema:
-            base, nullable = _parse_type(ch_type)
+            base, nullable, elem = _parse_type(ch_type)
             v = row.get(name)
             if nullable:
                 out += b"\x01" if v is None else b"\x00"
@@ -142,7 +151,12 @@ def rowbinary_encode(rows: list[dict], schema: list[tuple[str, str]]) -> bytes:
                     continue
             elif v is None:
                 raise ValueError(f"NULL in non-Nullable column {name!r}")
-            out += _write_field(v, base)
+            if base == "Array":
+                out += _leb128_encode(len(v))
+                for x in v:
+                    out += _write_field(x, elem)
+            else:
+                out += _write_field(v, base)
     return bytes(out)
 
 
@@ -164,7 +178,7 @@ def rowbinary_decode(blob: bytes, schema: list[tuple[str, str]]) -> list[dict]:
     while pos < len(blob):
         row = {}
         for name, ch_type in schema:
-            base, nullable = _parse_type(ch_type)
+            base, nullable, elem = _parse_type(ch_type)
             if nullable:
                 if pos >= len(blob):
                     raise ValueError("truncated null flag")
@@ -175,7 +189,18 @@ def rowbinary_decode(blob: bytes, schema: list[tuple[str, str]]) -> list[dict]:
                     continue
                 if flag != 0:
                     raise ValueError(f"bad null flag {flag}")
-            row[name], pos = _read_field(blob, pos, base)
+            if base == "Array":
+                n, pos = _leb128_decode(blob, pos)
+                # a flipped length byte must fail as truncation, not OOM
+                if n > len(blob) - pos:
+                    raise ValueError("array length exceeds remaining bytes")
+                arr = []
+                for _ in range(n):
+                    x, pos = _read_field(blob, pos, elem)
+                    arr.append(x)
+                row[name] = arr
+            else:
+                row[name], pos = _read_field(blob, pos, base)
         rows.append(row)
     return rows
 
@@ -183,8 +208,10 @@ def rowbinary_decode(blob: bytes, schema: list[tuple[str, str]]) -> list[dict]:
 def _spark_schema(schema: list[tuple[str, str]]) -> T.StructType:
     fields = []
     for name, ch_type in schema:
-        base, nullable = _parse_type(ch_type)
-        fields.append(T.StructField(name, _TYPES[base][0], nullable))
+        base, nullable, elem = _parse_type(ch_type)
+        dt = (T.ArrayType(_TYPES[elem][0]) if base == "Array"
+              else _TYPES[base][0])
+        fields.append(T.StructField(name, dt, nullable))
     return T.StructType(fields)
 
 

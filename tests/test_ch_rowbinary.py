@@ -108,3 +108,34 @@ def test_read_rowbinary_typed_scan(spark, tmp_path):
     )
     assert got == want
     assert [f.name for f in df.schema.fields] == [n for n, _ in SCHEMA]
+
+
+def test_array_types_roundtrip_and_bounds():
+    """r12 — Array(T): LEB128 element count + T encodings.  Roundtrip
+    incl. empty arrays; a corrupted length byte fails as truncation
+    (never an allocation bomb); Array(Nullable(T)) rejects loudly."""
+    sch = [("k", "Int64"), ("tags", "Array(Int64)"),
+           ("names", "Array(String)")]
+    rows = [
+        {"k": 1, "tags": [1, -2, 3], "names": ["a", "bb", ""]},
+        {"k": 2, "tags": [], "names": []},
+    ]
+    blob = rowbinary_encode(rows, sch)
+    assert rowbinary_decode(blob, sch) == rows
+    with pytest.raises(ValueError, match="unsupported"):
+        rowbinary_encode([], [("x", "Array(Nullable(Int64))")])
+    # corruption sweep over the array dump too
+    rng = random.Random(13)
+    for t in range(800):
+        b = bytearray(blob)
+        if t % 2:
+            i = rng.randrange(len(b))
+            b[i] ^= 1 << rng.randrange(8)
+        else:
+            b = b[:rng.randrange(len(b))]
+        try:
+            rowbinary_decode(bytes(b), sch)
+        except ValueError:
+            pass
+        except Exception as e:  # pragma: no cover
+            raise AssertionError(f"case {t}: leaked {type(e).__name__}: {e}")
