@@ -50,6 +50,7 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 
 _FRONT = (
     # round-12 additions (never driver-checked), newest first:
+    "ch_map_functions",
     "object_store_rowbinary_ingest",
     "stream_dsir_gate",
     "events_anomalies_mad",

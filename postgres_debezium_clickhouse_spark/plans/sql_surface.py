@@ -534,8 +534,45 @@ def ch_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ch_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 — the ClickHouse map-function family over a deterministic
+    per-order map {s<k%3>: k%7, t<k%5>: k%11}: ``mapKeys`` /
+    ``mapValues`` (emitted sorted+joined so every entry is
+    value-checked), ``mapContains`` ('s0' membership), element access
+    with a default (``m['s0']`` / CH's bracket-or-default idiom), and
+    ``mapFilter`` (entries with value > 4, emitted as a sorted k=v
+    list).  Map-only over orders — zero shuffles; the sibling of
+    ``ch_array_functions``."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = "o_orderkey"
+    m = (
+        f"map(concat('s', CAST({k} % 3 AS STRING)), CAST({k} % 7 AS BIGINT), "
+        f"concat('t', CAST({k} % 5 AS STRING)), CAST({k} % 11 AS BIGINT))"
+    )
+    return (
+        orders.select(k, F.expr(m).alias("__m"))
+        .select(
+            k,
+            F.expr("array_join(array_sort(map_keys(__m)), ',')").alias("keys"),
+            F.expr(
+                "array_join(transform(array_sort(map_values(__m)),"
+                " v -> CAST(v AS STRING)), ',')"
+            ).alias("vals"),
+            F.expr("array_contains(map_keys(__m), 's0')").alias("has_s0"),
+            F.expr("coalesce(element_at(__m, 's0'), CAST(-1 AS BIGINT))")
+            .alias("s0_or_default"),
+            F.expr(
+                "array_join(array_sort(transform("
+                " map_entries(map_filter(__m, (x, v) -> v > 4)),"
+                " e -> concat(e.key, '=', CAST(e.value AS STRING)))), ',')"
+            ).alias("filtered"),
+        )
+    )
+
+
 QUERIES = {
     "ch_array_functions": ch_array_functions,
+    "ch_map_functions": ch_map_functions,
     "ch_array_join": ch_array_join,
     "ch_running_diff_neighbor": ch_running_diff_neighbor,
     "ch_dict_get": ch_dict_get,
@@ -565,6 +602,32 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ch_map_functions": """
+        WITH t AS (
+            SELECT o_orderkey,
+                   's' || CAST(o_orderkey % 3 AS VARCHAR) AS k1,
+                   CAST(o_orderkey % 7 AS BIGINT) AS v1,
+                   't' || CAST(o_orderkey % 5 AS VARCHAR) AS k2,
+                   CAST(o_orderkey % 11 AS BIGINT) AS v2
+            FROM orders
+        )
+        SELECT o_orderkey,
+               k1 || ',' || k2 AS keys,               -- 's…' < 't…' always
+               CAST(LEAST(v1, v2) AS VARCHAR) || ','
+                   || CAST(GREATEST(v1, v2) AS VARCHAR) AS vals,
+               o_orderkey % 3 = 0 AS has_s0,
+               CASE WHEN o_orderkey % 3 = 0 THEN v1
+                    ELSE CAST(-1 AS BIGINT) END AS s0_or_default,
+               COALESCE(array_to_string(
+                   list_filter(
+                       [CASE WHEN v1 > 4
+                             THEN k1 || '=' || CAST(v1 AS VARCHAR) END,
+                        CASE WHEN v2 > 4
+                             THEN k2 || '=' || CAST(v2 AS VARCHAR) END],
+                       x -> x IS NOT NULL),
+                   ','), '') AS filtered
+        FROM t
+    """,
     "ch_array_functions": """
         WITH t AS (
             SELECT o_orderkey,
