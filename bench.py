@@ -381,6 +381,17 @@ def scaling_main() -> int:
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0")
+    # r12 verdict item 3: driver wall rose two rounds straight purely on
+    # ambient load — stamp loadavg into every bench record and LOUDLY
+    # mark a run started under load so it is never read as a regression
+    # (or a record).  1/5/15-minute averages, captured BEFORE the JVM
+    # spins up so they reflect the ambient machine, not this bench.
+    load_1, load_5, load_15 = os.getloadavg()
+    loaded = load_15 > 2.0
+    if loaded:
+        print(f"  WARNING: ambient 15-min loadavg {load_15:.2f} > 2 — "
+              "results are NOT record-eligible (BASELINE.md discipline)",
+              file=sys.stderr)
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -426,6 +437,8 @@ def main() -> int:
         "runs": wall_runs,            # every observation — noise is auditable
         "passes": PASSES,
         "streaming": streaming,       # silver_events_per_sec detail (r8)
+        "loadavg": [round(load_1, 2), round(load_5, 2), round(load_15, 2)],
+        "ambient_load_exceeded": loaded,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_detail.json")
@@ -450,6 +463,10 @@ def main() -> int:
         # second metric on the SAME parsed line (r7 verdict item 4): the
         # flagship streaming path's throughput, gated in BASELINE.md
         "silver_events_per_sec": streaming.get("value"),
+        # ambient load at bench start (1/5/15-min) + the record gate:
+        # a run with ambient_load_exceeded must never update floors
+        "loadavg": [round(load_1, 2), round(load_5, 2), round(load_15, 2)],
+        "ambient_load_exceeded": loaded,
     }
     print(json.dumps(out))
     return 0

@@ -724,9 +724,12 @@ def dsir_features(
     from .sketch import kmv_hash_expr
 
     w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    # greatest(.., 0) guards empty/1-token docs: slice() throws on a
+    # negative length, and such docs must contribute zero features
     bi = F.expr(
-        "zip_with(slice(__w, 1, size(__w) - 1),"
-        " slice(__w, 2, size(__w) - 1), (a, b) -> concat(a, ' ', b))"
+        "zip_with(slice(__w, 1, greatest(size(__w) - 1, 0)),"
+        " slice(__w, 2, greatest(size(__w) - 1, 0)),"
+        " (a, b) -> concat(a, ' ', b))"
     )
     return (
         df.withColumn("__w", w)
@@ -863,9 +866,13 @@ def dsir_score_expr(
         F.map_from_entries(F.collect_list(F.struct("b", "lr"))).alias("__m")
     )
     w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    # greatest(.., 0): slice() throws on negative length for 0/1-token
+    # docs — such docs must score 0 (empty feature array), not crash
+    # the micro-batch
     bi = (
-        "zip_with(slice(__w, 1, size(__w) - 1),"
-        " slice(__w, 2, size(__w) - 1), (a, b) -> concat(a, ' ', b))"
+        "zip_with(slice(__w, 1, greatest(size(__w) - 1, 0)),"
+        " slice(__w, 2, greatest(size(__w) - 1, 0)),"
+        " (a, b) -> concat(a, ' ', b))"
     )
     hash_b = (
         f"cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint) % {n_buckets}"

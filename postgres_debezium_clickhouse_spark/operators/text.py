@@ -602,9 +602,13 @@ def bm25_topk(
     ranking (float sums are neither).  Ties break on doc id.
 
     Plan: one corpus tokenize → (doc, token) tf + per-doc length
-    (map-side combinable), vocabulary-sized df table broadcast back,
-    1-row N/avgdl scalar attach, query terms broadcast-joined — the
-    corpus shuffles once on (doc, token) and never on queries."""
+    (map-side combinable), 1-row N/avgdl scalar attach, query terms
+    broadcast-joined — the corpus shuffles once on (doc, token) and
+    never on queries.  The df table is computed ONLY for query terms
+    (tf semi-filtered by the broadcast qterms BEFORE the df
+    aggregation), so the broadcast back is query-term-sized — never
+    the full vocabulary, which at 100 TB is 10⁸-10⁹ distinct tokens
+    and would OOM the broadcast build (r12 verdict finding)."""
     from pyspark.sql import Window
 
     spark = documents.sparkSession
@@ -613,7 +617,6 @@ def bm25_topk(
     )
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
     dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     totals = documents.groupBy().agg(
         F.count(F.lit(1)).alias("__n_docs")
     ).crossJoin(
@@ -623,6 +626,15 @@ def bm25_topk(
         sorted({(qid, t) for qid, text in queries
                 for t in text.split(" ") if t}),
         "query_id long, token string",
+    )
+    # document frequency ONLY for query terms: the broadcast qtok
+    # filter runs map-side over tf, so the df aggregation shuffles a
+    # query-term-sized table — the full-vocabulary df never
+    # materializes, and the broadcast back is O(|query terms|)
+    qtok = qterms.select("token").distinct()
+    df_ = (
+        tf.join(F.broadcast(qtok), "token")
+        .groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     )
     idf = F.round(
         F.log(
@@ -688,8 +700,12 @@ def lm_bigram_stupid_backoff(
     real scale, so the transition scoring JOINS on the pair key);
     unigram table broadcast; total folds from the unigram table."""
     words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    # greatest(.., 0) guards 0/1-token docs (slice() throws on a
+    # negative length); they fall through to the documented
+    # left-join/coalesce path with n_transitions = 0
     pairs_arr = F.expr(
-        "zip_with(slice(__w, 1, size(__w) - 1), slice(__w, 2, size(__w) - 1),"
+        "zip_with(slice(__w, 1, greatest(size(__w) - 1, 0)),"
+        " slice(__w, 2, greatest(size(__w) - 1, 0)),"
         " (a, b) -> struct(a as w1, b as w2))"
     )
     pairs = (

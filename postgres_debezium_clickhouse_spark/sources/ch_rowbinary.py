@@ -125,7 +125,17 @@ def _read_field(blob: bytes, pos: int, base: str):
         if pos + 8 > len(blob):
             raise ValueError(f"truncated {base} field")
         fmt = {"Int64": "<q", "UInt64": "<Q", "Float64": "<d"}[base]
-        return struct.unpack_from(fmt, blob, pos)[0], pos + 8
+        v = struct.unpack_from(fmt, blob, pos)[0]
+        # UInt64 lands in a Spark LongType column: a legitimate dump
+        # value ≥ 2^63 would overflow during the Arrow conversion with
+        # a confusing non-ValueError — reject it loudly here instead,
+        # keeping the module's corrupt-input ValueError contract
+        if base == "UInt64" and v > 0x7FFF_FFFF_FFFF_FFFF:
+            raise ValueError(
+                f"UInt64 value {v} exceeds signed 64-bit range "
+                "(LongType cannot represent it)"
+            )
+        return v, pos + 8
     if base == "UInt8":
         if pos >= len(blob):
             raise ValueError("truncated UInt8 field")

@@ -1236,9 +1236,13 @@ def silver_summing_stream(
         filt = F.col(src).isNotNull()
         if weight is not None:
             filt = filt & F.col(weight).isNotNull()
+        # sum in the weight column's native type THEN cast the
+        # aggregate — a per-row cast would silently truncate fractional
+        # weights (1.9 → 1) before summing; CH topKWeighted takes
+        # UInt64 so integer columns are unchanged either way
         contrib = (
             F.count(F.lit(1)) if weight is None
-            else F.sum(F.col(weight).cast("long"))
+            else F.sum(F.col(weight)).cast("long")
         )
         counted = (
             batch.filter(filt)

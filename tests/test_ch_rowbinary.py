@@ -139,3 +139,21 @@ def test_array_types_roundtrip_and_bounds():
             pass
         except Exception as e:  # pragma: no cover
             raise AssertionError(f"case {t}: leaked {type(e).__name__}: {e}")
+
+
+def test_uint64_above_signed_range_rejected():
+    """r13 ADVICE fix: a UInt64 value ≥ 2^63 cannot live in a Spark
+    LongType column — it must die as a loud ValueError at decode time,
+    not a confusing Arrow conversion failure later."""
+    import struct as _struct
+
+    schema = [("k", "UInt64")]
+    blob = rowbinary_encode([{"k": 5}], schema)
+    # patch the row payload to 2^63 (header is everything before the
+    # 8-byte little-endian value at the end)
+    bad = blob[:-8] + _struct.pack("<Q", 2**63)
+    with pytest.raises(ValueError, match="UInt64.*signed 64-bit"):
+        rowbinary_decode(bad, schema)
+    # 2^63 - 1 still round-trips
+    ok = blob[:-8] + _struct.pack("<Q", 2**63 - 1)
+    assert rowbinary_decode(ok, schema) == [{"k": 2**63 - 1}]

@@ -582,3 +582,34 @@ def test_dsir_importance_discriminates_target_like_docs(spark):
     assert out[1] > out[3] > out[2]
     assert out[4] > out[3] > out[5]
     assert all(abs(v) < 1e6 for v in out.values())   # smoothing: finite
+
+
+def test_dsir_empty_and_short_docs_score_zero(spark):
+    """r13 ADVICE fix: 0/1-token docs used to crash the bigram
+    ``slice(__w, 1, size-1)`` with INVALID_PARAMETER_VALUE.LENGTH,
+    killing the whole batch (and the streaming gate).  The documented
+    contract — docs with no features score 0 — must hold instead."""
+    from postgres_debezium_clickhouse_spark.operators.curation import (
+        dsir_bucket_table,
+        dsir_importance,
+        dsir_score_expr,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha"), (2, ""), (3, "   "), (4, "solo")],
+        "doc_id long, text string",
+    )
+    target = docs.filter("doc_id = 1")
+    out = {r.doc_id: r.log_weight for r in
+           dsir_importance(docs, target).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[2] == 0.0 and out[3] == 0.0          # zero features → 0
+    table = dsir_bucket_table(docs, target)
+    sc = {r["doc_id"]: r for r in
+          dsir_score_expr(docs, table).collect()}
+    assert sc[2]["n_feats"] == 0 and sc[2]["log_weight"] == 0.0
+    assert sc[3]["n_feats"] == 0 and sc[3]["log_weight"] == 0.0
+    assert sc[4]["n_feats"] == 1                     # unigram, no bigram
+    # batch and streaming-shaped paths agree on every doc
+    for k in out:
+        assert abs(out[k] - sc[k]["log_weight"]) < 1e-9

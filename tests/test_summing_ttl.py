@@ -777,3 +777,22 @@ def test_topkweighted_state_column(spark, dirs, tmp_path):
     st3 = {r["k"]: [(x["item"], x["cnt"]) for x in r["tk"]]
            for r in pl.read_silver(spark, d3["silver"]).collect()}
     assert st3[9] == [("y", 3), ("x", 2)]
+
+
+def test_topkweighted_fractional_weights_sum_before_cast(spark, dirs):
+    """r13 ADVICE fix: fractional weights must be SUMMED then cast —
+    the old per-row cast truncated 1.9 to 1 before summing (a+b would
+    count 2 instead of 3)."""
+    rows = [(1, "a", 1.9), (1, "a", 1.2), (1, "b", 0.4)]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "append").json(dirs["src"] + "/b0")
+    stream = spark.readStream.schema(SCHEMA).json(dirs["src"] + "/b0")
+    q = pl.silver_summing_stream(
+        stream, dirs["silver"], dirs["ckpt"] + "/b0", keys=["k"],
+        agg_spec={"tk": ("grp", "topkweighted:v")}, topk_cap=4,
+        available_now=True,
+    )
+    assert q.awaitTermination(120)
+    st = {r["k"]: [(x["item"], x["cnt"], x["err"]) for x in r["tk"]]
+          for r in pl.read_silver(spark, dirs["silver"]).collect()}
+    assert st[1] == [("a", 3, 0), ("b", 0, 0)]   # 1.9+1.2=3.1→3; 0.4→0
