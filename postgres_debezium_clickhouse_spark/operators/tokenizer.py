@@ -475,6 +475,7 @@ def unigram_prune(
     max_piece_len: int = 4,
     seed_size: int = 48,
     max_word_len: int = 16,
+    expect_rounds: int | None = None,
 ) -> DataFrame:
     """Kudo 2018 §3.2's prune-to-target-size loop (the part of the
     SentencePiece trainer ``unigram_train`` leaves out): repeat
@@ -490,6 +491,14 @@ def unigram_prune(
     cannot contain itself).  Single chars are never pruned (the
     segmentability floor).  Ties break (delta desc, vcnt desc, piece
     asc) — fully deterministic, mirrored by the DuckDB oracle.
+
+    ``expect_rounds`` is a REGIME GUARD (r12 verdict item 5): a fixed
+    SQL oracle can only replay a known number of prune rounds, each
+    keeping exactly ``target_multi`` pieces.  When set, the loop raises
+    RuntimeError if the measured round count diverges, or if any fired
+    round's keep_n exceeds ``target_multi`` (both would silently
+    invalidate the oracle's LIMIT) — fixture drift fails loudly instead
+    of as an oracle hash mismatch.
 
     Scale: each round = one E-step over DISTINCT words (broadcast map)
     + one piece group-by + one vocab-sized alt-DP; the driver-paced
@@ -510,6 +519,7 @@ def unigram_prune(
     vocab = _unigram_logp(
         unigram_seed_vocab(words, max_piece_len, seed_size)
     ).localCheckpoint(eager=True)
+    rounds_fired = 0
     while True:
         # hard-EM round (same E/M as unigram_train)
         toks = unigram_viterbi_tokens(words, vocab, max_piece_len)
@@ -538,10 +548,26 @@ def unigram_prune(
         multi = vstat.filter(F.length("piece") > 1)
         n_multi = multi.count()                 # scalar convergence probe
         if n_multi <= target_multi:
+            if expect_rounds is not None and rounds_fired != expect_rounds:
+                raise RuntimeError(
+                    f"unigram_prune regime drift: {rounds_fired} prune "
+                    f"round(s) fired, oracle expects {expect_rounds} "
+                    f"(post-EM multi count landed at {n_multi})"
+                )
             return vstat.select(
                 "piece", F.col("vcnt").cast("long").alias("cnt"), "logp"
             )
         keep_n = max(target_multi, int(n_multi * shrink))
+        rounds_fired += 1
+        if expect_rounds is not None and (
+            rounds_fired > expect_rounds or keep_n != target_multi
+        ):
+            raise RuntimeError(
+                f"unigram_prune regime drift: round {rounds_fired} fired "
+                f"with n_multi={n_multi}, keep_n={keep_n} — oracle "
+                f"expects exactly {expect_rounds} round(s) keeping "
+                f"{target_multi}"
+            )
         alt = _unigram_alt_cost(
             multi.select(F.col("piece").alias("w")), vocab, max_piece_len
         )

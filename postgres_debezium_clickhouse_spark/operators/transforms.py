@@ -114,6 +114,42 @@ def txn_end_markers(ends: DataFrame, data_df: DataFrame,
     return ends.select(*cols)
 
 
+def unavailable_value_flags(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    placeholder: str | None = None,
+) -> DataFrame:
+    """P9+ (r13) — detect Debezium TOAST placeholders in an unwrapped
+    row stream: when replica identity is not FULL, Postgres updates
+    carry ``__debezium_unavailable_value`` for unchanged TOASTed
+    columns (Debezium ``unavailable.value.placeholder``).  Adds one
+    boolean ``__unavail_<col>`` per inspected string column plus a
+    summary ``__has_unavailable`` — the monitoring/routing half of the
+    contract; the merge half is ``apply_cdc(carry_forward_cols=…)``
+    (operators/upsert.py), which substitutes the latest real value.
+    The reference dodges the whole issue with REPLICA IDENTITY FULL
+    (init_postgresql_data.sql:73-75); this is the path its deployers
+    hit the moment that DDL is forgotten."""
+    from .upsert import DEBEZIUM_UNAVAILABLE
+
+    ph = placeholder or DEBEZIUM_UNAVAILABLE
+    cols = columns or [
+        f.name for f in df.schema.fields
+        if f.dataType.simpleString() == "string"
+        and not f.name.startswith("__")
+    ]
+    out = df
+    flags = []
+    for c in cols:
+        flag = F.col(c).eqNullSafe(F.lit(ph))
+        out = out.withColumn(f"__unavail_{c}", flag)
+        flags.append(flag)
+    summary = flags[0] if flags else F.lit(False)
+    for fl in flags[1:]:
+        summary = summary | fl
+    return out.withColumn("__has_unavailable", summary)
+
+
 def mask_fields(df: DataFrame, columns: list[str], mode: str = "hash") -> DataFrame:
     """P8 — in-flight PII masking (abcsvb-connector-secure.json:36-37).
 

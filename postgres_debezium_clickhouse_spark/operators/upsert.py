@@ -36,6 +36,60 @@ from pyspark.sql import functions as F
 INGEST_SEQ = "__ingest_seq"
 DELETED_FLAG = "__deleted"
 
+#: Debezium's default ``unavailable.value.placeholder``: what Postgres
+#: connectors emit for an unchanged TOASTed column when the table's
+#: replica identity is not FULL (the reference sets REPLICA IDENTITY
+#: FULL, init_postgresql_data.sql:73-75, precisely to dodge this — an
+#: engine claiming the envelope contract must handle the default too).
+DEBEZIUM_UNAVAILABLE = "__debezium_unavailable_value"
+
+
+def _latest_wins_carry_forward(
+    df: DataFrame,
+    keys: list[str],
+    version_cols: list[str],
+    cf_cols: list[str],
+    placeholder: str,
+) -> DataFrame:
+    """Latest-wins merge with TOAST carry-forward: the winning row per
+    key is the max version tuple exactly as :func:`latest_wins` (agg
+    strategy, plain-column path), but every ``cf_cols`` column whose
+    WINNING value is the Debezium unavailable-value placeholder is
+    replaced by that key's latest NON-placeholder value (per-column
+    conditional ``max_by`` in the SAME aggregation — one shuffle, no
+    second pass).  A key that has never shipped a real value keeps the
+    placeholder: fabricating NULL would erase the "exists but
+    unavailable" signal Debezium encodes.
+
+    Requires plain string version columns and an orderable payload
+    (the same constraints as ``latest_wins``'s struct-max fast path —
+    ``apply_cdc`` always satisfies both)."""
+    other = [c for c in df.columns if c not in keys]
+    rest = [c for c in other if c not in version_cols]
+    ver_struct = F.struct(*[F.col(v) for v in version_cols])
+    aggs = [F.max(F.struct(*version_cols, *rest)).alias("__row")]
+    for c in cf_cols:
+        aggs.append(
+            F.max_by(
+                F.col(c),
+                # NULL ordering ⇒ max_by skips the row: placeholder and
+                # NULL values never become carry-forward candidates
+                F.when(
+                    F.col(c).isNotNull() & (F.col(c) != placeholder),
+                    ver_struct,
+                ),
+            ).alias(f"__cf__{c}")
+        )
+    out_cols = []
+    for c in other:
+        v = F.col("__row").getField(c)
+        if c in cf_cols:
+            v = F.when(
+                v == placeholder, F.coalesce(F.col(f"__cf__{c}"), v)
+            ).otherwise(v)
+        out_cols.append(v.alias(c))
+    return df.groupBy(*keys).agg(*aggs).select(*keys, *out_cols)
+
 
 def _all_orderable(schema, names: set[str]) -> bool:
     """True when every named column's type participates in struct ordering
@@ -133,6 +187,8 @@ def apply_cdc(
     current: DataFrame | None = None,
     changed_keys_only: bool = True,
     max_broadcast_keys: int = 1_000_000,
+    carry_forward_cols: list[str] | None = None,
+    unavailable_placeholder: str = DEBEZIUM_UNAVAILABLE,
 ) -> DataFrame:
     """S8/T3/T4 — apply a batch of CDC events (and optionally merge into an
     existing silver ``current`` state), producing the new current state.
@@ -156,7 +212,17 @@ def apply_cdc(
     broadcast.  The deciding ``count()`` is one extra pass over the batch
     keys — trivial per-trigger, and exactly the backfill case where paying
     one scan beats a failed broadcast.
-    """
+
+    ``carry_forward_cols`` (r13, T4+) — Debezium TOAST semantics: when
+    replica identity is not FULL, Postgres updates carry
+    ``__debezium_unavailable_value`` for unchanged TOASTed columns
+    (``unavailable.value.placeholder``); a naive merge overwrites the
+    real value with the placeholder.  Listing those columns here makes
+    the merge carry the latest real value forward (the silver
+    ``current`` state participates as a prior version, so steady-state
+    streams keep their values across placeholder-only updates).  Same
+    single-shuffle plan — the carry-forward argmaxes ride the one
+    groupBy."""
     if delete_mode not in ("drop", "rewrite"):
         raise ValueError(f"delete_mode must be drop|rewrite, got {delete_mode!r}")
 
@@ -197,6 +263,23 @@ def apply_cdc(
     version_order: list[str | Column] = [version_col]
     if tiebreak_col is not None and tiebreak_col in batch.columns:
         version_order.append(tiebreak_col)
+    if carry_forward_cols:
+        cf = [c for c in carry_forward_cols if c in batch.columns]
+        merged = _latest_wins_carry_forward(
+            batch, keys, [c for c in version_order if isinstance(c, str)],
+            cf, unavailable_placeholder,
+        )
+        if delete_mode == "drop":
+            merged = merged.filter(~F.col(op_col).eqNullSafe(F.lit("d")))
+        else:
+            merged = merged.withColumn(
+                DELETED_FLAG, F.col(op_col).eqNullSafe(F.lit("d"))
+            )
+        if untouched is not None:
+            if delete_mode == "rewrite" and DELETED_FLAG not in untouched.columns:
+                untouched = untouched.withColumn(DELETED_FLAG, F.lit(False))
+            merged = merged.unionByName(untouched, allowMissingColumns=True)
+        return merged
 
     merged = latest_wins(batch, keys, version_order)
 

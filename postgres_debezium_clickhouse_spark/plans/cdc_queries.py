@@ -409,8 +409,67 @@ def cdc_hotkey_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("key", "status", "ts_ms")
 
 
+def cdc_toast_carry_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 (T4+) — Debezium TOAST/unavailable-value semantics: updates
+    carry ``__debezium_unavailable_value`` for unchanged TOASTed columns
+    when replica identity is not FULL (the reference's REPLICA IDENTITY
+    FULL, init_postgresql_data.sql:73-75, is the workaround this merge
+    feature replaces).  Planted deterministic event schedule over
+    ``orders``:
+
+    - snapshot read (real ``note``) for keys %5 != 0 — %5 keys simulate
+      a stream that started mid-life, so their placeholders can never be
+      resolved and must be KEPT (not faked to NULL);
+    - %3 keys: update with the placeholder (unchanged TOAST) — the
+      naive merge would overwrite the real note with the placeholder;
+    - %9 keys: later update with a genuinely new note;
+    - %6 keys: a final placeholder-only update on top of everything;
+    - %7 keys: delete (drop mode).
+
+    The merge is ``apply_cdc(carry_forward_cols=["note"])`` — one
+    shuffle, carry-forward argmaxes riding the same groupBy."""
+    from ..operators.upsert import DEBEZIUM_UNAVAILABLE as PH
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    k = F.col("o_orderkey")
+
+    def ev(df: DataFrame, note, status, op: str, ts, off) -> DataFrame:
+        return df.select(
+            k.alias("o_orderkey"),
+            note.alias("note"),
+            status.alias("status"),
+            F.lit(op).alias("op"),
+            ts.cast("long").alias("ts_ms"),
+            off.cast("long").alias("offset"),
+        )
+
+    null_s = F.lit(None).cast("string")
+    events = (
+        ev(orders.filter(k % 5 != 0), F.concat(F.lit("note-"), k),
+           F.col("o_orderstatus"), "r", F.lit(1000000), k * 10)
+        .unionByName(ev(orders.filter(k % 3 == 0), F.lit(PH), F.lit("U"),
+                        "u", F.lit(2000000) + k, k * 10 + 1))
+        .unionByName(ev(orders.filter(k % 9 == 0),
+                        F.concat(F.lit("fresh-"), k), F.lit("V"),
+                        "u", F.lit(3000000) + k, k * 10 + 2))
+        .unionByName(ev(orders.filter(k % 6 == 0), F.lit(PH), F.lit("W"),
+                        "u", F.lit(4000000) + k, k * 10 + 3))
+        .unionByName(ev(orders.filter(k % 7 == 0), null_s, null_s,
+                        "d", F.lit(5000000) + k, k * 10 + 4))
+    )
+    merged = apply_cdc(
+        events, keys=["o_orderkey"], version_col="ts_ms",
+        tiebreak_col="offset", delete_mode="drop",
+        carry_forward_cols=["note"],
+    )
+    return merged.select("o_orderkey", "note", "status", "op", "ts_ms")
+
+
 QUERIES = {
     "cdc_current_state": cdc_current_state,
+    "cdc_toast_carry_forward": cdc_toast_carry_forward,
     "cdc_hotkey_state": cdc_hotkey_state,
     "cdc_schema_drift": cdc_schema_drift,
     "cdc_json_extract_path": cdc_json_extract_path,
@@ -448,6 +507,31 @@ _FINAL_TS = (
 _FINAL_OP = "CASE WHEN o_orderkey % 3 = 0 THEN 'u' ELSE 'r' END"
 
 ORACLES = {
+    # closed-form replay of the planted TOAST schedule: a key appears
+    # iff it has any surviving event (%7 deletes drop; %5-and-not-%3
+    # keys never emitted anything); note = latest NON-placeholder value
+    # (fresh for %9, the snapshot note otherwise) except the
+    # started-mid-life %15 keys whose only values were placeholders —
+    # those keep the placeholder verbatim (the honest-keep contract)
+    "cdc_toast_carry_forward": """
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               CASE WHEN o_orderkey % 9 = 0 THEN 'fresh-' || o_orderkey
+                    WHEN o_orderkey % 3 = 0 AND o_orderkey % 5 = 0
+                         THEN '__debezium_unavailable_value'
+                    ELSE 'note-' || o_orderkey END AS note,
+               CASE WHEN o_orderkey % 6 = 0 THEN 'W'
+                    WHEN o_orderkey % 9 = 0 THEN 'V'
+                    WHEN o_orderkey % 3 = 0 THEN 'U'
+                    ELSE o_orderstatus END AS status,
+               CASE WHEN o_orderkey % 3 = 0 THEN 'u' ELSE 'r' END AS op,
+               CAST(CASE WHEN o_orderkey % 6 = 0 THEN 4000000 + o_orderkey
+                         WHEN o_orderkey % 9 = 0 THEN 3000000 + o_orderkey
+                         WHEN o_orderkey % 3 = 0 THEN 2000000 + o_orderkey
+                         ELSE 1000000 END AS BIGINT) AS ts_ms
+        FROM orders
+        WHERE o_orderkey % 7 <> 0
+          AND (o_orderkey % 5 <> 0 OR o_orderkey % 3 = 0)
+    """,
     # closed-form drift facts: the fixture drops o_orderpriority everywhere
     # and adds loyalty_tier on %5 keys, so the detector's JSON-key diff
     # must reproduce these exact counts/offsets (HAVING guards the

@@ -350,11 +350,14 @@ def q_corpus_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrink=0.25 the keep count is max(8, ⌊n·0.25⌋) = 8 whenever the
     post-EM multi count n is in (8, 32] — measured 18/19/19 at
     sf0.001/0.01/0.1, so exactly ONE prune round fires at every fixture
-    scale and the oracle's LIMIT 8 is the engine's keep_n verbatim."""
+    scale and the oracle's LIMIT 8 is the engine's keep_n verbatim.
+    ``expect_rounds=1`` turns that measurement into a GUARD (r13): if
+    fixture drift ever changes the round count or keep_n, the engine
+    raises instead of hash-mismatching against the oracle."""
     from ..operators.tokenizer import unigram_prune
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return unigram_prune(docs, target_multi=8, shrink=0.25)
+    return unigram_prune(docs, target_multi=8, shrink=0.25, expect_rounds=1)
 
 
 QUERIES = {

@@ -1133,7 +1133,23 @@ def stream_agg_kmv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "event_type",
                 "exact_users",
-                (F.size("u_sketch") >= kmv_k).alias("sketch_full"),
+                # regime GUARD, not a reported boolean (r12 verdict
+                # item 5): the oracle hardcodes `true AS sketch_full`,
+                # so fixture drift out of the saturated-sketch regime
+                # must raise loudly here, not surface as a hash
+                # mismatch.  assert_true returns NULL when the
+                # condition holds and throws otherwise.
+                F.coalesce(
+                    F.assert_true(
+                        F.size("u_sketch") >= kmv_k,
+                        F.lit(
+                            "regime drift: KMV sketch no longer "
+                            "saturated — the estimation-path claim and "
+                            "its oracle constant are void"
+                        ),
+                    ).cast("boolean"),
+                    F.lit(True),
+                ).alias("sketch_full"),
                 (
                     F.abs(est / F.col("exact_users") - 1.0) <= 0.15
                 ).alias("accurate"),
@@ -1197,7 +1213,20 @@ def stream_agg_quantile_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             qsample_quantile_expr("v_q", 0.5).alias("p50"),
             qsample_quantile_expr("v_q", 0.9).alias("p90"),
-            (F.size("v_q") >= k_sample).alias("sample_full"),
+            # regime GUARD (r12 verdict item 5): oracle hardcodes
+            # `true AS sample_full` — drift out of the sampling regime
+            # raises loudly instead of hash-mismatching
+            F.coalesce(
+                F.assert_true(
+                    F.size("v_q") >= k_sample,
+                    F.lit(
+                        "regime drift: rank sample no longer "
+                        "saturated — the sampling-path claim and its "
+                        "oracle constant are void"
+                    ),
+                ).cast("boolean"),
+                F.lit(True),
+            ).alias("sample_full"),
             F.col("__n_rows").alias("n_events"),
         )
         return (

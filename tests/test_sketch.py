@@ -294,3 +294,25 @@ def test_hll_state_column_batch_boundary_insensitive(spark, tmp_path):
     assert states["one"] == states["four"]
     assert states["one"]["k1"][1] != 0.0
     assert states["one"]["knull"] == (tuple([0] * 64), 0.0)
+
+
+def test_kmv_sketch_regime_guard_raises_when_unsaturated(spark):
+    """r12 verdict item 5: stream_agg_kmv_state/qsample queries pin
+    `true AS sketch_full` in their oracles; the engine column is now an
+    assert_true guard.  Pin the guard idiom itself: saturated passes
+    through as True, unsaturated raises instead of returning False."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [([1, 2, 3],), ([4],)], "s array<int>"
+    )
+    guard = lambda k: F.coalesce(
+        F.assert_true(F.size("s") >= k, F.lit("regime drift")),
+        F.lit(True),
+    ).alias("full")
+    assert [r.full for r in df.select(guard(1)).collect()] == [True, True]
+    with pytest.raises(Exception) as ei:
+        df.select(guard(2)).collect()
+    assert "regime drift" in str(ei.value)

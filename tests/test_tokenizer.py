@@ -441,3 +441,25 @@ def test_wordpiece_encode_greedy_longest_and_unk(spark):
     # doc 3: greedy longest — 'dede' takes de then dead-ends (##d and
     # ##de unseen as continuations) → UNK despite the matched prefix
     assert out[3] == (2, 2, 1)
+
+
+def test_unigram_prune_regime_guard_fires_on_drift(spark):
+    """r12 verdict item 5: the corpus_unigram_prune oracle replays
+    exactly ONE prune round keeping target_multi pieces; the
+    expect_rounds guard must raise on a corpus where that regime does
+    not hold, instead of letting the oracle hash-mismatch."""
+    import pytest
+
+    from postgres_debezium_clickhouse_spark.operators.tokenizer import (
+        unigram_prune,
+    )
+
+    # tiny corpus: post-EM multi count lands at/below target → ZERO
+    # prune rounds fire, violating expect_rounds=1
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab"), (2, "ab cd")], "doc_id long, text string"
+    )
+    with pytest.raises(RuntimeError, match="regime drift"):
+        unigram_prune(docs, target_multi=8, shrink=0.25, expect_rounds=1)
+    # without the guard the same corpus trains fine
+    assert unigram_prune(docs, target_multi=8, shrink=0.25).count() > 0
