@@ -73,8 +73,42 @@ def _apply_merge(syms_col, left: str, right: str, merged: str | None = None):
     return F.aggregate(syms_col, init, step, fin)
 
 
+def gpt2_byte_remap_tables() -> tuple[str, str]:
+    """GPT-2's ``bytes_to_unicode`` table (Radford et al. 2019,
+    encoder.py — public): printable latin bytes map to themselves, the
+    68 control/whitespace bytes map to U+0100.. so every byte is a
+    visible, splittable character.  Returned as (src, dst) strings for
+    ``F.translate`` — only the 68 non-identity entries ship."""
+    bs = list(range(33, 127)) + list(range(161, 173)) + list(range(174, 256))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    m = dict(zip(bs, cs))
+    src = "".join(chr(b) for b in range(256) if b != m[b])
+    dst = "".join(chr(m[b]) for b in range(256) if b != m[b])
+    return src, dst
+
+
+def bytebpe_syms(word) -> F.Column:
+    """UTF-8 bytes of ``' ' + word`` as remapped single-char symbols —
+    the GPT-2 byte-level alphabet.  The leading space (→ ``Ġ``) is the
+    add-prefix-space convention: every word carries its boundary byte,
+    so merges can learn word-initial pieces.  Pipeline is all JVM-side:
+    encode → ISO-8859-1 decode (one char per byte) → translate (the 68
+    non-identity remaps) → split."""
+    src, dst = gpt2_byte_remap_tables()
+    latin1 = F.decode(F.encode(F.concat(F.lit(" "), word), "UTF-8"),
+                      "ISO-8859-1")
+    return F.split(F.translate(latin1, src, dst), "")
+
+
 def bpe_top_merges(
-    documents: DataFrame, k: int = 3, text_col: str = "text"
+    documents: DataFrame, k: int = 3, text_col: str = "text",
+    syms_expr=None,
 ) -> DataFrame:
     """Learn the first ``k`` BPE merge rules from the corpus.
 
@@ -85,7 +119,11 @@ def bpe_top_merges(
 
     The corpus is scanned ONCE into a word-frequency table; rounds iterate
     on that vocabulary-sized frame only.  The per-round argmax is a
-    1-row ``collect`` (bounded driver state: exactly ``k`` scalars)."""
+    1-row ``collect`` (bounded driver state: exactly ``k`` scalars).
+
+    ``syms_expr`` swaps the word→symbols alphabet (default: character
+    split; ``bytebpe_syms`` for GPT-2 byte-level) — the merge loop is
+    alphabet-agnostic."""
     spark = documents.sparkSession
     words = (
         documents.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
@@ -93,7 +131,8 @@ def bpe_top_merges(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    syms = words.select(F.split("w", "").alias("syms"), "cnt").localCheckpoint(
+    sy = syms_expr(F.col("w")) if syms_expr else F.split("w", "")
+    syms = words.select(sy.alias("syms"), "cnt").localCheckpoint(
         eager=True
     )
     merges: list[tuple] = []
@@ -118,6 +157,62 @@ def bpe_top_merges(
             _apply_merge(F.col("syms"), l, r).alias("syms"), "cnt"
         ).localCheckpoint(eager=True)
     return spark.createDataFrame(merges, MERGES_SCHEMA)
+
+
+def bytebpe_top_merges(
+    documents: DataFrame, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Byte-level BPE training (GPT-2/RoBERTa; Radford et al. 2019) —
+    the fourth mainstream tokenizer next to char-BPE, WordPiece and
+    Unigram-LM.  Identical merge loop to :func:`bpe_top_merges`; the
+    alphabet is UTF-8 bytes remapped to printable chars
+    (:func:`bytebpe_syms`), so multi-byte characters start as their
+    byte pair (é = ``Ã ©``) and the learner can merge them back — the
+    property that makes byte-level BPE vocabulary-complete over any
+    input with zero OOV."""
+    return bpe_top_merges(documents, k, text_col, syms_expr=bytebpe_syms)
+
+
+def bytebpe_encode(
+    documents: DataFrame,
+    merges: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Byte-level BPE encode: apply a learned merge table (rank order,
+    greedy single pass per rule — same application as training) to every
+    word's byte symbols.  Emits the same per-doc stats as
+    :func:`bpe_encode`, except ``n_base_symbols`` counts BYTES (incl.
+    the Ġ word-boundary byte), not characters — the observable that
+    distinguishes byte-level from char-level on multi-byte text
+    (``'café'`` is 5 base symbols here, 4 there).  Map-only, no UDF."""
+    pairs = _merge_pairs(merges)
+
+    def encode_word(w):
+        syms = bytebpe_syms(w)
+        for left, right in pairs:
+            syms = _apply_merge(syms, left, right)
+        return syms
+
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    sub_counts = F.transform(words, lambda w: F.size(encode_word(w)))
+    n_words = F.size(words).cast("long")
+    n_subwords = F.aggregate(
+        sub_counts, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    # bytes per word + 1 for the prefixed boundary byte
+    n_base = F.aggregate(
+        F.transform(words, lambda w: F.octet_length(w) + 1),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return documents.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_subwords.alias("n_subwords"),
+        n_base.cast("long").alias("n_base_symbols"),
+        F.round(n_base / n_subwords, 4).alias("compression"),
+    )
 
 
 def _merge_pairs(merges) -> list:

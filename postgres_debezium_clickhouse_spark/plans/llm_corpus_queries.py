@@ -151,6 +151,46 @@ def q_corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(eval_docs, merges)
 
 
+def q_corpus_bytebpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 (verdict item 6) — byte-level BPE training (GPT-2/RoBERTa;
+    Radford et al. 2019), the fourth mainstream tokenizer next to
+    char-BPE / WordPiece / Unigram-LM.  Planted corpus "café café née"
+    per doc: under the GPT-2 byte remap é is the TWO symbols ``Ã ©``,
+    so the first merge the learner finds is that byte pair fusing back
+    into é (count 3N — it appears in both words) — the observable that
+    distinguishes byte-level from char-level, where é is atomic and
+    (Ã,©) never exists.  Rounds 2-3 are the boundary-tie-break chain
+    (a,f)→af then (af,Ã©)→afÃ©, both 2N, won on left-symbol ascending
+    order against Ġ-prefixed competitors (Ġ = U+0120 > 'f')."""
+    from ..operators.tokenizer import bytebpe_top_merges
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.lit("café café née").alias("text")
+    )
+    return bytebpe_top_merges(docs, k=3)
+
+
+def q_corpus_bytebpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 — the byte-level deployment half: encode planted eval text
+    "café fée ce" with the merges learned on "café café née".  Per doc:
+    Ġcafé folds Ġ|c|a|f|Ã|© → Ġ|c|afÃ© (3), Ġfée → Ġ|f|Ã©|e (4), Ġce
+    stays Ġ|c|e (3) = 10 subwords over 14 BASE BYTES (é counts 2, every
+    word +1 boundary byte) — n_base_symbols 14 vs the 11+3 chars a
+    char-level count would claim, pinning byte-level semantics."""
+    from ..operators.tokenizer import bytebpe_encode, bytebpe_top_merges
+
+    train = load_table(spark, sf_dir, "documents").select(
+        F.lit("café café née").alias("text")
+    )
+    table = sorted(bytebpe_top_merges(train, k=3).collect(),
+                   key=lambda r: r.merge_rank)
+    merges = [(r.left_sym, r.right_sym) for r in table]
+    eval_docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lit("café fée ce").alias("text")
+    )
+    return bytebpe_encode(eval_docs, merges)
+
+
 def q_corpus_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r12 — WordPiece tokenizer training (Schuster & Nakajima 2012, the
     BERT tokenizer — completes the mainstream subword-trainer triple
@@ -369,6 +409,8 @@ QUERIES = {
     "corpus_domain_quality": q_domain_quality_report,
     "corpus_domain_pagerank": q_domain_pagerank,
     "corpus_bpe_merges": q_corpus_bpe_merges,
+    "corpus_bytebpe_merges": q_corpus_bytebpe_merges,
+    "corpus_bytebpe_encode": q_corpus_bytebpe_encode,
     "corpus_wordpiece_merges": q_corpus_wordpiece_merges,
     "corpus_wordpiece_encode": q_corpus_wordpiece_encode,
     "corpus_bpe_encode": q_corpus_bpe_encode,
@@ -762,6 +804,24 @@ ORACLES = {
            CAST(5 AS BIGINT) AS n_subwords,
            CAST(8 AS BIGINT) AS n_base_symbols,
            CAST(1.6 AS DOUBLE) AS compression
+    FROM documents
+""",
+    "corpus_bytebpe_merges": """
+    WITH n AS (SELECT COUNT(*) AS c FROM documents)
+    SELECT * FROM (
+        SELECT 1 AS merge_rank, 'Ã' AS left_sym, '©' AS right_sym,
+               'Ã©' AS merged, CAST(3 * c AS BIGINT) AS pair_count FROM n
+        UNION ALL
+        SELECT 2, 'a', 'f', 'af', CAST(2 * c AS BIGINT) FROM n
+        UNION ALL
+        SELECT 3, 'af', 'Ã©', 'afÃ©', CAST(2 * c AS BIGINT) FROM n
+    )
+""",
+    "corpus_bytebpe_encode": """
+    SELECT doc_id, CAST(3 AS BIGINT) AS n_words,
+           CAST(10 AS BIGINT) AS n_subwords,
+           CAST(14 AS BIGINT) AS n_base_symbols,
+           CAST(1.4 AS DOUBLE) AS compression
     FROM documents
 """,
     "corpus_sketch_distinct": """

@@ -463,3 +463,53 @@ def test_unigram_prune_regime_guard_fires_on_drift(spark):
         unigram_prune(docs, target_multi=8, shrink=0.25, expect_rounds=1)
     # without the guard the same corpus trains fine
     assert unigram_prune(docs, target_multi=8, shrink=0.25).count() > 0
+
+
+def test_bytebpe_multibyte_distinguishes_from_char_level(spark):
+    """r13 — byte-level BPE (GPT-2): é enters as its UTF-8 byte pair
+    (Ã, ©) and the first learned merge fuses it back; base-symbol
+    counts are BYTES (+1 boundary byte per word), not characters."""
+    from postgres_debezium_clickhouse_spark.operators.tokenizer import (
+        bpe_top_merges,
+        bytebpe_encode,
+        bytebpe_top_merges,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "café café née")], "doc_id long, text string"
+    )
+    table = sorted(bytebpe_top_merges(train, k=3).collect(),
+                   key=lambda r: r.merge_rank)
+    assert [(r.left_sym, r.right_sym, r.merged) for r in table] == [
+        ("Ã", "©", "Ã©"), ("a", "f", "af"), ("af", "Ã©", "afÃ©")]
+    assert table[0].pair_count == 3
+    # char-level BPE on the same corpus treats é as atomic — the byte
+    # pair never exists there
+    char_table = bpe_top_merges(train, k=3).collect()
+    assert ("Ã", "©") not in {(r.left_sym, r.right_sym) for r in char_table}
+
+    ev = spark.createDataFrame([(7, "café fée ce")], "doc_id long, text string")
+    merges = [(r.left_sym, r.right_sym) for r in table]
+    row = bytebpe_encode(ev, merges).first()
+    # Ġ|c|afÃ© + Ġ|f|Ã©|e + Ġ|c|e = 10 subwords; 14 bytes (é = 2 each,
+    # +1 boundary byte per word) — a char count would say 11+3
+    assert (row.n_words, row.n_subwords, row.n_base_symbols) == (3, 10, 14)
+    assert row.compression == 1.4
+
+
+def test_bytebpe_zero_oov_on_arbitrary_bytes(spark):
+    """The byte alphabet is total: any input (control chars, emoji,
+    mixed scripts) encodes without OOV — every symbol is a remapped
+    byte, and with no merges n_subwords == n_base_symbols."""
+    from postgres_debezium_clickhouse_spark.operators.tokenizer import (
+        bytebpe_encode,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "héllo\tworld 日本 🚀")], "doc_id long, text string"
+    )
+    row = bytebpe_encode(docs, []).first()
+    # words split on ' ': "héllo\tworld" (12 bytes), "日本" (6), "🚀" (4)
+    # + 1 boundary byte each = 25
+    assert row.n_base_symbols == 25
+    assert row.n_subwords == row.n_base_symbols
