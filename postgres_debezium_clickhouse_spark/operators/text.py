@@ -370,6 +370,56 @@ def lm_unigram_logprob(
     )
 
 
+def ccnet_perplexity_buckets(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
+    §4.4) — the piece that completes the repo's CCNet pipeline next to
+    ``paragraph_dedup`` and the LM perplexity score: within each
+    language, documents are split into terciles by LM score; ``head``
+    (lowest perplexity = most fluent) is what CCNet keeps for
+    pretraining, ``tail`` is the drop candidate.
+
+    Buckets are DISCRETE order-statistic cuts by rank (ceil(n/3),
+    ceil(2n/3) in exact integer arithmetic; ties on the round-6
+    avg_logprob break by doc id) — the same engine-portable idiom as
+    ``adaptive_length_threshold``; an interpolating percentile would
+    not replay across engines.  Ranking on the round-6 score (not the
+    raw double) keeps the two engines' orderings identical even when
+    their ``exp``/``ln`` libraries disagree past the 6th decimal.
+
+    Plan: the LM score is ``lm_unigram_logprob``'s (one explode,
+    vocabulary table broadcast back); bucketing adds one shuffle by
+    language + a per-language rank window.  At 100 TB a handful of
+    language partitions each sort their full corpus slice — shard the
+    stratum finer (lang × source) exactly as adaptive_length_threshold
+    documents, or pre-aggregate cut VALUES from a stratified sample."""
+    from pyspark.sql import Window
+
+    per = lm_unigram_logprob(documents, id_col, text_col)
+    scored = documents.select(F.col(id_col), F.col(lang_col)).join(per, id_col)
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("avg_logprob").desc(), F.col(id_col).asc()
+    )
+    ranked = scored.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__cnt", F.count(F.lit(1)).over(Window.partitionBy(lang_col))
+    )
+    c1 = F.floor((F.col("__cnt") + 2) / 3)        # ceil(n/3)
+    c2 = F.floor((F.col("__cnt") * 2 + 2) / 3)    # ceil(2n/3)
+    bucket = (
+        F.when(F.col("__rn") <= c1, F.lit("head"))
+        .when(F.col("__rn") <= c2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return ranked.select(
+        F.col(id_col), F.col(lang_col), "n_tokens", "avg_logprob", "ppl",
+        bucket.alias("bucket"),
+    )
+
+
 def boilerplate_ngrams(
     documents: DataFrame,
     k: int = 5,

@@ -169,6 +169,18 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_unigram_logprob(load_table(spark, sf_dir, "documents"))
 
 
+def q_corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 (verdict item 7) — CCNet head/middle/tail bucketing (Wenzek
+    et al. 2020 §4.4): per-language perplexity terciles over the
+    corpus-trained unigram LM, rank-cut at ceil(n/3)/ceil(2n/3) with
+    round-6-score + doc-id tie-breaks so the DuckDB replay is exact.
+    Completes the CCNet chain: paragraph dedup (r12) → LM score (r5) →
+    bucket (this)."""
+    from ..operators.text import ccnet_perplexity_buckets
+
+    return ccnet_perplexity_buckets(load_table(spark, sf_dir, "documents"))
+
+
 def q_text_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r7: Unicode repair over a deterministically denormalized fixture —
     every doc gains a decomposed e+COMBINING-ACUTE sequence (NFC must
@@ -220,6 +232,7 @@ QUERIES = {
     "text_html_extract": q_text_html_extract,
     "text_url_extract": q_text_url_extract,
     "text_lm_perplexity": q_lm_perplexity,
+    "corpus_ccnet_buckets": q_corpus_ccnet_buckets,
     "text_normalize_unicode": q_text_normalize_unicode,
     "corpus_vocab_topk": q_vocab,
     "corpus_vocab_coverage": q_corpus_vocab_coverage,
@@ -473,6 +486,32 @@ ORACLES = {
            ROUND(sum_ln / n_tokens - ln(total), 6) AS avg_logprob,
            ROUND(exp(-(sum_ln / n_tokens - ln(total))), 4) AS ppl
     FROM per, tot
+""",
+    "corpus_ccnet_buckets": """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                  FROM documents),
+    uni AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM uni),
+    per AS (SELECT t.doc_id, count(*) AS n_tokens, sum(ln(u.cnt)) AS sum_ln
+            FROM toks t JOIN uni u USING (token) GROUP BY t.doc_id),
+    scored AS (
+        SELECT d.doc_id, d.lang, p.n_tokens,
+               ROUND(p.sum_ln / p.n_tokens - ln(tot.total), 6) AS avg_logprob,
+               ROUND(exp(-(p.sum_ln / p.n_tokens - ln(tot.total))), 4) AS ppl
+        FROM documents d JOIN per p USING (doc_id), tot
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY avg_logprob DESC, doc_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS cnt
+        FROM scored
+    )
+    SELECT doc_id, lang, n_tokens, avg_logprob, ppl,
+           CASE WHEN rn <= (cnt + 2) // 3 THEN 'head'
+                WHEN rn <= (cnt * 2 + 2) // 3 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ranked
 """,
     "text_normalize_unicode": """
     WITH planted AS (
