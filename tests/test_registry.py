@@ -67,6 +67,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "text_tfidf_top_terms",     # scalar attach: 1-row broadcast N-docs (metadata-only scan)
         "text_commonness",          # scalar attach: 1-row broadcast N-docs (metadata-only scan)
         "text_lm_perplexity",       # scalar attach: 1-row broadcast corpus-total (vocab-sized input)
+        "corpus_ccnet_buckets",     # scalar attach: same 1-row corpus-total via lm_unigram_logprob (r13)
         "llm_filter_report",        # embeds the perplexity branch above
         "similarity_ann_ivf_table", # scalar attach: 1-row broadcast centroid array (index metadata)
         "embedding_quantize",       # scalar attach: 1-row broadcast min/max grid (dim-sized)

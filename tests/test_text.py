@@ -497,3 +497,32 @@ def test_bm25_broadcasts_are_query_term_sized(spark, monkeypatch):
     rows = {(r.query_id, r.rank): r.doc_id for r in out.collect()}
     assert len([k for k in rows if k[0] == 1]) == 3
     assert rows[(2, 1)] == 5 and len([k for k in rows if k[0] == 2]) == 1
+
+
+def test_ccnet_buckets_tercile_structure(spark):
+    """r13 — CCNet head/middle/tail: per-language tercile sizes follow
+    the ceil(n/3)/ceil(2n/3) rank cuts; head holds the most-fluent
+    (lowest-perplexity) docs; a planted gibberish doc lands in tail."""
+    from postgres_debezium_clickhouse_spark.operators.text import (
+        ccnet_perplexity_buckets,
+    )
+
+    common = "the cat sat on the mat and the dog ran"
+    rows = [(i, common, "en") for i in range(1, 8)]
+    rows.append((100, "zzyzx qwfp vvkj xxqq zzyzx qwfp vvkj xxqq zz qq", "en"))
+    rows += [(200 + i, "el gato come pescado fresco hoy", "es")
+             for i in range(2)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r.doc_id: r for r in ccnet_perplexity_buckets(docs).collect()}
+    en = [r for r in out.values() if r.lang == "en"]
+    # 8 en docs → head ceil(8/3)=3, middle ceil(16/3)-3=3, tail 2
+    from collections import Counter
+    c = Counter(r.bucket for r in en)
+    assert (c["head"], c["middle"], c["tail"]) == (3, 3, 2)
+    assert out[100].bucket == "tail"            # gibberish
+    # 2 es docs → head ceil(2/3)=1, middle ceil(4/3)-1=1
+    es = Counter(r.bucket for r in out.values() if r.lang == "es")
+    assert (es["head"], es["middle"], es["tail"]) == (1, 1, 0)
+    # head ppl <= tail ppl within a language
+    assert max(r.ppl for r in en if r.bucket == "head") <= min(
+        r.ppl for r in en if r.bucket == "tail")
