@@ -49,68 +49,20 @@ def entry(spark: SparkSession) -> DataFrame:
 _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries, analytics)
 
 _FRONT = (
-    # round-12 additions (never driver-checked), newest first:
-    "ch_map_functions",
-    "object_store_rowbinary_ingest",
-    "stream_dsir_gate",
-    "events_anomalies_mad",
-    "corpus_dsir_weights",
-    "text_bigram_backoff",
-    "events_kmv_setops",
-    "ch_array_functions",
-    "dedup_paragraphs",
-    "events_sequence_count",
-    "events_retention_agg",
-    "stream_agg_topkweighted_state",
-    "events_window_funnel_dedup",
-    "events_window_funnel_increase",
-    "text_bm25_topk",
-    "corpus_wordpiece_merges",
-    "corpus_wordpiece_encode",
-    "cdc_snapshot_pause_resume",
-    "dedup_substring_removal",
-    "similarity_ann_ivfpq_rerank",
-    "similarity_ivfpq_rerank_recall",
-    "corpus_unigram_prune",
+    # round-13 additions (never driver-checked), newest first:
+    "cdc_toast_carry_forward",
+    "corpus_bytebpe_merges",
+    "corpus_bytebpe_encode",
+    "corpus_ccnet_buckets",
+    "cdc_snapshot_blocking",
     # steady-state cycling (oldest driver evidence first — recomputed
-    # r12 from CORRECTNESS_r01..r11: the 31-name r7-evidence cohort
-    # that missed the r11 window, then the alphabetical head of the r8
-    # cohort).  r12 added 24 never-checked queries, so the ~50-query
-    # window covers them plus the first ~26 r7 names; the r7 tail
-    # (stream_silver_state…zorder) waits for r13 — never-checked names
-    # always outrank evidence refresh.  All 24 additions also carry
-    # local tri-scale sweep evidence (CORRECTNESS_local_r12.txt).
-    # (synthetic_transactions, r3 evidence, stays in _BACK by standing
-    # policy: rows-only by contract, so a window slot on it loses a
-    # full-value check.)
-    "corpus_sketch_distinct",  # r7
-    "ddl_view_roundtrip",  # r7
-    "events_attribution_tolerance",  # r7
-    "events_errors_after_signup",  # r7
-    "events_hourly_counts",  # r7
-    "events_json_extract",  # r7
-    "events_micro_ts_roundtrip",  # r7
-    "events_purchase_attribution",  # r7
-    "events_quantile_sketch",  # r7
-    "events_sessionization",  # r7
-    "events_sliding_counts",  # r7
-    "events_user_funnel",  # r7
-    "events_value_anomalies",  # r7
-    "events_value_percentiles",  # r7
-    "object_store_typed_ingest",  # r7
-    "orders_trailing_30d_avg",  # r7
-    "repeat_buyer_keys",  # r7
-    "silver_mutation",  # r7
-    "silver_time_travel",  # r7
-    "sql_correlated_subquery",  # r7
-    "sql_in_subquery",  # r7
-    "sql_scalar_subquery_select",  # r7
-    "stream_bronze_archive",  # r7
-    "stream_hourly_counts",  # r7
-    "stream_neardup_gate",  # r7
-    "stream_sessionization",  # r7
-    "stream_silver_state",  # r7
-    "stream_sliding_counts",  # r7
+    # r13 from CORRECTNESS_r01..r12): the 3 remaining r7-evidence
+    # names, then the full 44-name r8 cohort.  5 + 3 + 44 = 52, so
+    # the driver's ~50-query window leaves the last ~2 r8 names for
+    # r14 — never-checked names always outrank evidence refresh.
+    # All 5 additions also carry local tri-scale sweep evidence.
+    # (synthetic_transactions stays in _BACK by standing policy:
+    # rows-only by contract — a window slot on it loses a check.)
     "stream_stateful_dedup",  # r7
     "stream_stream_join",  # r7
     "zorder_customer_locality",  # r7
@@ -129,6 +81,35 @@ _FRONT = (
     "dedup_cluster_keep",  # r8
     "dedup_clusters",  # r8
     "dedup_embedding_cosine",  # r8
+    "dedup_exact",  # r8
+    "dedup_fingerprint",  # r8
+    "dedup_incremental",  # r8
+    "dedup_ngram_jaccard",  # r8
+    "dedup_simhash",  # r8
+    "embedding_quantize",  # r8
+    "events_cohort_retention",  # r8
+    "events_props_keys",  # r8
+    "events_sequence_match",  # r8
+    "llm_filter_report",  # r8
+    "llm_prep_pipeline",  # r8
+    "llm_quality_funnel",  # r8
+    "multimodal_audio_decode",  # r8
+    "multimodal_byte_stats",  # r8
+    "pack_efficiency",  # r8
+    "quality_adaptive_filter",  # r8
+    "silver_ttl",  # r8
+    "similarity_ivf_seeding",  # r8
+    "similarity_lsh_recall",  # r8
+    "stream_late_events",  # r8
+    "stream_quality_filter",  # r8
+    "stream_summing_state",  # r8
+    "text_commonness",  # r8
+    "text_fingerprint",  # r8
+    "text_lang_id",  # r8
+    "text_quality_score",  # r8
+    "text_stats",  # r8
+    "text_token_count",  # r8
+    "trn_passport_ts_version",  # r8
 )
 
 # Oracle-inexpressible by the reference's own randomness contract

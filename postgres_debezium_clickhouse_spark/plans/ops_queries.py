@@ -2412,6 +2412,133 @@ def cdc_snapshot_pause_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sh.rmtree(d, ignore_errors=True)
 
 
+def cdc_snapshot_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 (verdict item 8) — Debezium ad-hoc BLOCKING snapshot
+    end-to-end (``execute-snapshot`` with ``type: BLOCKING``, the last
+    public signal type; streaming/snapshot.py run_blocking_snapshot):
+    same adversarial schedule as ``cdc_incremental_snapshot``, but the
+    mid-snapshot change batch is launched WHILE the blocking lock is
+    held — the stream merge must SUSPEND (wait_until_unblocked) until
+    every chunk lands, then apply.  The query raises loudly if the
+    suspension did not bite (merge finished while locked), so it cannot
+    degenerate into the interleaved run.
+
+    Oracle: cdc_incremental_snapshot's final-state algebra VERBATIM —
+    latest-wins converges to the same state whether the batch
+    interleaved (incremental) or deferred (blocking); what the blocking
+    variant adds is the ATOMIC transition, pinned by the in-query
+    ordering guard, not by the final values."""
+    from ..streaming.pipeline import (
+        merges_blocked, read_silver, silver_upsert_stream,
+    )
+    from ..streaming.snapshot import run_blocking_snapshot
+
+    import shutil as _sh
+    import threading
+    import time as _time
+
+    run = uuid.uuid4().hex[:12]
+    root = tempfile.gettempdir()
+    src = f"{root}/blksnap_src_{run}"
+    dst = f"{root}/blksnap_out_{run}"
+    ckpt = f"{root}/blksnap_ckpt_{run}"
+    W = 5_000_000
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    k = F.col("o_orderkey")
+    base = F.col("o_totalprice")
+
+    def ev(df, status, price, op, ts, slot):
+        return df.select(
+            k.alias("o_orderkey"),
+            status.alias("o_orderstatus"),
+            price.cast("double").alias("o_totalprice"),
+            F.lit(op).alias("op"),
+            ts.cast("long").alias("ts_ms"),
+            (k * 10 + slot).cast("long").alias("offset"),
+        )
+
+    def stream_merge(events, tag):
+        d = f"{src}/{tag}"
+        events.coalesce(2).write.json(d)
+        stream = spark.readStream.schema(events.schema).json(d)
+        q = silver_upsert_stream(
+            stream, dst, f"{ckpt}/{tag}", keys=["o_orderkey"],
+            available_now=True,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("blocking-snapshot stream stalled")
+
+    try:
+        seed = (
+            ev(orders.filter(k % 2 == 1), F.col("o_orderstatus"), base,
+               "c", F.lit(1_000_000), 0)
+            .unionByName(ev(orders.filter(k % 3 == 0), F.lit("U"),
+                            base + 100, "u", F.lit(2_000_000) + k, 1))
+            .unionByName(ev(orders.filter(k % 9 == 0), F.lit("V"),
+                            base + 170, "u", F.lit(6_000_000) + k, 2))
+        )
+        stream_merge(seed, "seed")
+
+        table_truth = orders.select(
+            "o_orderkey",
+            F.when(k % 3 == 0, F.lit("U")).otherwise(
+                F.col("o_orderstatus")).alias("o_orderstatus"),
+            (base + F.when(k % 3 == 0, 100).otherwise(0))
+            .cast("double").alias("o_totalprice"),
+        )
+        mid = (
+            ev(orders.filter(k % 4 == 0), F.lit("X"),
+               base + F.when(k % 3 == 0, 100).otherwise(0) + 300,
+               "u", F.lit(7_000_000) + k, 3)
+            .unionByName(ev(orders.filter(k % 5 == 0),
+                            F.lit(None).cast("string"),
+                            F.lit(None).cast("double"),
+                            "d", F.lit(7_500_000) + k, 4))
+        )
+
+        merge_done = threading.Event()
+
+        def attempt_merge():
+            stream_merge(mid, "mid")
+            merge_done.set()
+
+        t = threading.Thread(target=attempt_merge, daemon=True)
+        guard: dict[str, bool] = {}
+
+        def hook(i):
+            if i == 2:
+                t.start()
+                _time.sleep(1.0)
+                guard["locked"] = merges_blocked(dst)
+                guard["deferred"] = not merge_done.is_set()
+
+        run_blocking_snapshot(
+            table_truth, dst, ["o_orderkey"],
+            order_col="o_orderkey", watermark_version=W, n_chunks=6,
+            interleave_hook=hook,
+        )
+        if guard != {"locked": True, "deferred": True}:
+            raise RuntimeError(
+                f"blocking did not bite — scenario degenerate: {guard}"
+            )
+        t.join(600)
+        if not merge_done.is_set():
+            raise TimeoutError("deferred stream merge never completed")
+        return (
+            read_silver(spark, dst)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice", "ts_ms")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for d in (src, dst, ckpt):
+            _sh.rmtree(d, ignore_errors=True)
+
+
 def object_store_rowbinary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r12 — ClickHouse RowBinaryWithNamesAndTypes ingestion (S6's
     format matrix now spans JSON / Avro / TSV / CSV / protobuf /
@@ -2671,6 +2798,7 @@ QUERIES = {
     "cdc_incremental_snapshot": cdc_incremental_snapshot,
     "object_store_rowbinary_ingest": object_store_rowbinary_ingest,
     "cdc_snapshot_pause_resume": cdc_snapshot_pause_resume,
+    "cdc_snapshot_blocking": cdc_snapshot_blocking,
     "object_store_tsv_ingest": object_store_tsv_ingest,
     "stream_agg_summap_state": stream_agg_summap_state,
     "stream_agg_bitmap_state": stream_agg_bitmap_state,
@@ -2993,6 +3121,10 @@ ORACLES["cdc_incremental_snapshot"] = """
 # EXACTLY the uninterrupted scenario's closed-form state (latest-wins
 # makes merge interleaving — including a pause — invisible).
 ORACLES["cdc_snapshot_pause_resume"] = ORACLES["cdc_incremental_snapshot"]
+# blocking variant: same final-state algebra (latest-wins converges the
+# deferred batch to the interleaved result); atomicity is pinned by the
+# in-query ordering guard, which raises on any non-suspended merge
+ORACLES["cdc_snapshot_blocking"] = ORACLES["cdc_incremental_snapshot"]
 
 ORACLES["object_store_rowbinary_ingest"] = """
     SELECT o_orderkey,

@@ -495,6 +495,42 @@ def _touched_bucket_merge(
         vacuum_silver(path)
 
 
+#: marker file under the store's ``_signals/`` dir while an ad-hoc
+#: BLOCKING snapshot holds the store (Debezium ``execute-snapshot`` with
+#: ``type: BLOCKING`` — the connector stops streaming, re-reads the
+#: table consistently, then resumes).  Stream merges poll it and wait.
+BLOCKING_LOCK = "__blocking.lock"
+
+
+def _blocking_lock_path(path: str) -> str:
+    return os.path.join(path, "_signals", BLOCKING_LOCK)
+
+
+def merges_blocked(path: str) -> bool:
+    """True while a blocking snapshot holds the store at ``path``."""
+    return os.path.exists(_blocking_lock_path(path))
+
+
+def wait_until_unblocked(
+    path: str, timeout_s: float = 300.0, poll_s: float = 0.1
+) -> None:
+    """Suspend the caller (a stream's per-batch merge) until no blocking
+    snapshot holds the store — Debezium's streaming pause during an
+    ad-hoc blocking snapshot.  The wait is driver-side and costs nothing
+    on the cluster (no Spark job is launched until it returns); raises
+    TimeoutError rather than silently interleaving a merge into a
+    snapshot that promised consistency."""
+    import time as _time
+
+    deadline = _time.monotonic() + timeout_s
+    while merges_blocked(path):
+        if _time.monotonic() > deadline:
+            raise TimeoutError(
+                f"blocking snapshot still holds {path} after {timeout_s}s"
+            )
+        _time.sleep(poll_s)
+
+
 def silver_upsert_stream(
     events: DataFrame,
     path: str,
@@ -532,6 +568,11 @@ def silver_upsert_stream(
     """
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
+        # an ad-hoc BLOCKING snapshot suspends stream merges for its
+        # whole duration (Debezium semantics); incremental snapshots
+        # never set the lock and interleave freely
+        wait_until_unblocked(path)
+
         def merge_fn(current: DataFrame | None, prepared: DataFrame) -> DataFrame:
             return apply_cdc(
                 prepared,

@@ -99,6 +99,7 @@ def signal_snapshot(
     n_chunks: int,
     watermark_version,
     signal_id: str | None = None,
+    snapshot_type: str = "incremental",
 ) -> str:
     """The signal-table INSERT, re-expressed: enqueue an
     ``execute-snapshot`` signal under the store's ``_signals/`` dir.
@@ -106,7 +107,14 @@ def signal_snapshot(
     on every chunk row (the snapshot's low watermark): pick a value at or
     above every change event already applied and below the next ones —
     for Debezium-shaped streams, the signal time in the stream's own
-    ``ts_ms`` domain."""
+    ``ts_ms`` domain.  ``snapshot_type`` mirrors the Debezium payload's
+    ``type`` field: 'incremental' (default, interleaves with the
+    stream) or 'blocking' (suspends stream merges for the duration —
+    :func:`run_blocking_snapshot`)."""
+    if snapshot_type not in ("incremental", "blocking"):
+        raise ValueError(
+            f"snapshot_type must be incremental|blocking, got {snapshot_type!r}"
+        )
     sid = signal_id or uuid.uuid4().hex[:16]
     sdir = os.path.join(path, SIGNAL_DIR)
     os.makedirs(sdir, exist_ok=True)
@@ -126,6 +134,7 @@ def signal_snapshot(
             {
                 "id": sid,
                 "type": "execute-snapshot",
+                "snapshot_type": snapshot_type,
                 "order_col": order_col,
                 "n_chunks": n_chunks,
                 "watermark_version": watermark_version,
@@ -342,6 +351,84 @@ def run_incremental_snapshot(
     return merged
 
 
+def run_blocking_snapshot(
+    source_table: DataFrame,
+    path: str,
+    keys: list[str],
+    *,
+    order_col: str,
+    watermark_version,
+    n_chunks: int = 8,
+    version_col: str = "ts_ms",
+    tiebreak_col: str = "offset",
+    op_col: str = "op",
+    n_buckets: int = DEFAULT_SILVER_BUCKETS,
+    interleave_hook=None,
+) -> int:
+    """Debezium ad-hoc BLOCKING snapshot (``execute-snapshot`` with
+    ``type: BLOCKING`` — the last public signal type next to
+    execute/stop/pause/resume): streaming is SUSPENDED for the whole
+    snapshot, the table is re-read consistently, then streaming resumes.
+    Where the incremental snapshot interleaves chunk merges with live
+    change batches (window-dedup doing the reconciliation), the blocking
+    variant holds the store's blocking lock — every
+    ``silver_upsert_stream`` merge waits in ``wait_until_unblocked``
+    until the lock clears — so no change batch can land between chunks
+    and the store transitions ATOMICALLY (w.r.t. the stream) from
+    pre-snapshot state to table truth.
+
+    Same chunk machinery as :func:`run_incremental_snapshot` (PK-range
+    chunks, O(touched-buckets) merges); pause/stop signals do NOT apply
+    (Debezium's pause/stop are incremental-only — a blocking snapshot is
+    all-or-nothing), and no progress file is kept: a crash mid-blocking
+    re-runs from scratch, releasing the lock via the ``finally``.
+
+    ``interleave_hook(chunk_index)`` (tests) fires between chunks WHILE
+    the lock is held — the hook's attempted merge must block, which is
+    exactly what the pytest asserts.  Returns chunks merged."""
+    from .pipeline import _blocking_lock_path
+
+    lock = _blocking_lock_path(path)
+    os.makedirs(os.path.dirname(lock), exist_ok=True)
+    if os.path.exists(lock):
+        raise RuntimeError(f"another blocking snapshot holds {path}")
+    with open(lock, "w") as fh:
+        json.dump({"order_col": order_col,
+                   "watermark_version": watermark_version}, fh)
+    merged = 0
+    try:
+        bounds = plan_snapshot_chunks(source_table, order_col, n_chunks)
+        for i, (lo, hi) in enumerate(bounds):
+            chunk = (
+                source_table.filter(_chunk_pred(order_col, lo, hi))
+                .withColumn(op_col, F.lit("r"))
+                .withColumn(version_col, F.lit(watermark_version))
+                .withColumn(tiebreak_col, F.lit(-1).cast("long"))
+            )
+
+            def merge_fn(current, prepared):
+                return apply_cdc(
+                    prepared, keys=keys, version_col=version_col,
+                    tiebreak_col=tiebreak_col, op_col=op_col,
+                    delete_mode="rewrite", current=current,
+                )
+
+            _touched_bucket_merge(
+                chunk, path, keys, n_buckets,
+                prepare=lambda b: b, merge_fn=merge_fn,
+                legacy_mode="migrate",
+            )
+            merged += 1
+            if interleave_hook is not None:
+                interleave_hook(i)
+    finally:
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
+    return merged
+
+
 def process_signals(
     source_table: DataFrame,
     path: str,
@@ -367,6 +454,25 @@ def process_signals(
         if sig.get("type") != "execute-snapshot":
             continue
         sid = sig["id"]
+        if sig.get("snapshot_type") == "blocking":
+            # blocking variant: not pausable/stoppable, no progress file
+            run_blocking_snapshot(
+                source_table, path, keys,
+                order_col=sig["order_col"],
+                watermark_version=sig["watermark_version"],
+                n_chunks=sig["n_chunks"],
+                version_col=version_col,
+                tiebreak_col=tiebreak_col,
+                op_col=op_col,
+                n_buckets=n_buckets,
+                interleave_hook=interleave_hook,
+            )
+            os.rename(
+                os.path.join(sdir, f"{sid}.json"),
+                os.path.join(sdir, f"{sid}.json.done"),
+            )
+            processed.append(sid)
+            continue
         run_incremental_snapshot(
             source_table, path, keys,
             order_col=sig["order_col"],

@@ -361,3 +361,112 @@ def test_pause_resume_equals_uninterrupted(spark, dirs, tmp_path):
     assert _state(spark, dirs) == _state(spark, d2)
     # resume-snapshot when not paused is a no-op, not an error
     signal_resume_snapshot(dirs["silver"])
+
+
+def test_blocking_snapshot_suspends_stream_merges(spark, dirs):
+    """r13 (verdict item 8) — ad-hoc BLOCKING snapshot: a stream merge
+    attempted while the snapshot holds the store must WAIT until the
+    lock clears (Debezium suspends streaming for a blocking snapshot),
+    then apply normally — the final state equals snapshot-then-batch
+    with no interleaving."""
+    import threading
+    import time
+
+    from postgres_debezium_clickhouse_spark.streaming.snapshot import (
+        run_blocking_snapshot,
+    )
+
+    _stream_merge(spark, dirs, _seed_rows(), "seed")
+
+    merge_done_at = {}
+    lock_seen_held = {}
+
+    def attempt_merge():
+        _stream_merge(spark, dirs, _mid_rows(), "mid")
+        merge_done_at["t"] = time.monotonic()
+
+    t = threading.Thread(target=attempt_merge, daemon=True)
+
+    def hook(i):
+        if i == 1:
+            t.start()
+            time.sleep(1.0)  # give the stream a chance to (wrongly) run
+            lock_seen_held["blocked"] = pl.merges_blocked(dirs["silver"])
+            lock_seen_held["merge_pending"] = "t" not in merge_done_at
+        time.sleep(0.2)
+
+    n = run_blocking_snapshot(
+        _table_truth(spark), dirs["silver"],
+        ["id"], order_col="id", watermark_version=W, n_chunks=4,
+        interleave_hook=hook,
+    )
+    unlock_at = time.monotonic()
+    assert n == 4
+    assert lock_seen_held == {"blocked": True, "merge_pending": True}
+    t.join(120)
+    assert "t" in merge_done_at, "suspended merge never completed"
+    assert merge_done_at["t"] >= unlock_at - 0.05, (
+        "stream merge finished while the blocking snapshot held the store"
+    )
+    assert not pl.merges_blocked(dirs["silver"])
+    # final state: table truth at W, then the deferred batch on top —
+    # same closed form as the incremental scenario's _expected() (V9's
+    # post-W event still outversions its chunk row)
+    assert _state(spark, dirs) == _expected()
+
+
+def test_blocking_snapshot_releases_lock_on_failure(spark, dirs):
+    """A crash mid-blocking-snapshot must release the lock (finally
+    path) so the stream is never wedged; a second snapshot can run."""
+    import pytest as _pytest
+
+    from postgres_debezium_clickhouse_spark.streaming.snapshot import (
+        run_blocking_snapshot,
+    )
+
+    _stream_merge(spark, dirs, _seed_rows(), "seed")
+
+    def boom(i):
+        raise RuntimeError("chunk crash")
+
+    with _pytest.raises(RuntimeError, match="chunk crash"):
+        run_blocking_snapshot(
+            _table_truth(spark), dirs["silver"], ["id"],
+            order_col="id", watermark_version=W, n_chunks=4,
+            interleave_hook=boom,
+        )
+    assert not pl.merges_blocked(dirs["silver"])
+    n = run_blocking_snapshot(
+        _table_truth(spark), dirs["silver"], ["id"],
+        order_col="id", watermark_version=W, n_chunks=4,
+    )
+    assert n == 4
+
+
+def test_blocking_signal_via_process_signals(spark, dirs):
+    """The signal route: snapshot_type='blocking' dispatches to the
+    blocking runner and the signal file lands at .json.done."""
+    import os
+
+    _stream_merge(spark, dirs, _seed_rows(), "seed")
+    sid = signal_snapshot(
+        dirs["silver"], order_col="id", n_chunks=3, watermark_version=W,
+        snapshot_type="blocking",
+    )
+    done = process_signals(_table_truth(spark), dirs["silver"], ["id"])
+    assert done == [sid]
+    assert os.path.exists(
+        os.path.join(dirs["silver"], "_signals", f"{sid}.json.done")
+    )
+    assert not pl.merges_blocked(dirs["silver"])
+    # truth applied: every id present with snapshot version where no
+    # newer event exists
+    st = _state(spark, dirs)
+    assert st[2] == ("T2", W) and st[3] == ("U3", W)
+    assert st[9] == ("V9", 600)          # post-W event still wins
+
+    # invalid snapshot_type rejected loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="incremental|blocking"):
+        signal_snapshot(dirs["silver"], order_col="id", n_chunks=1,
+                        watermark_version=W, snapshot_type="full")
