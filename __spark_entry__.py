@@ -50,6 +50,9 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 
 _FRONT = (
     # round-13 additions (never driver-checked), newest first:
+    "ch_url_functions",
+    "ch_agg_combinators",
+    "ch_moving_aggregates",
     "cdc_toast_carry_forward",
     "corpus_bytebpe_merges",
     "corpus_bytebpe_encode",

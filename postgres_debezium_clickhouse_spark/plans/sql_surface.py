@@ -570,8 +570,148 @@ def ch_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ch_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 — the ClickHouse URL function family (``protocol`` /
+    ``domain`` / ``domainWithoutWWW`` / ``topLevelDomain`` / ``path`` /
+    ``queryString`` / ``extractURLParameter`` / ``cutQueryString``,
+    CH's URL-functions doc page) over a deterministic per-order URL
+    ``https://[www.]shop<k%7>.example(.co.uk|.org)/cat/<k%5>/item
+    ?id=<k>&ref=aff<k%3>``.  The engine PARSES with Spark's JVM-side
+    ``parse_url`` (codegen, no UDF); the URL is a closed form of
+    o_orderkey, so the oracle reconstructs every part directly — the
+    parse itself is what's under test.  Map-only, zero shuffles.
+    ``extractURLParameter`` on a missing key mirrors CH's ''-default."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = "o_orderkey"
+    host = (
+        f"concat(IF({k} % 4 = 0, 'www.', ''), 'shop', "
+        f"CAST({k} % 7 AS STRING), '.example', "
+        f"IF({k} % 3 = 0, '.co.uk', '.org'))"
+    )
+    url = (
+        f"concat('https://', __host, '/cat/', CAST({k} % 5 AS STRING), "
+        f"'/item?id=', CAST({k} AS STRING), '&ref=aff', "
+        f"CAST({k} % 3 AS STRING))"
+    )
+    return (
+        orders.select(k, F.expr(host).alias("__host"))
+        .select(k, "__host", F.expr(url).alias("__url"))
+        .select(
+            k,
+            F.expr("parse_url(__url, 'PROTOCOL')").alias("protocol"),
+            F.expr("parse_url(__url, 'HOST')").alias("domain"),
+            F.expr(
+                "regexp_replace(parse_url(__url, 'HOST'), '^www\\\\.', '')"
+            ).alias("domain_no_www"),
+            F.expr(
+                "substring_index(parse_url(__url, 'HOST'), '.', -1)"
+            ).alias("tld"),
+            F.expr("parse_url(__url, 'PATH')").alias("url_path"),
+            F.expr("parse_url(__url, 'QUERY')").alias("query_string"),
+            F.expr("CAST(parse_url(__url, 'QUERY', 'id') AS BIGINT)")
+            .alias("param_id"),
+            F.expr("parse_url(__url, 'QUERY', 'ref')").alias("param_ref"),
+            F.expr("coalesce(parse_url(__url, 'QUERY', 'zz'), '')")
+            .alias("param_missing"),
+            F.expr("substring_index(__url, '?', 1)").alias("cut_query"),
+        )
+    )
+
+
+def ch_agg_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 — ClickHouse aggregate COMBINATORS (``-If`` and ``-Array``,
+    CH's combinators doc page) over orders grouped by o_orderpriority:
+    ``countIf`` / ``sumIf`` / ``avgIf`` / ``minIf`` (conditional
+    aggregation without a pre-filter — Spark's FILTER clause /
+    conditional aggregate, one shuffle on the group key with map-side
+    partial aggregation), plus ``sumArray`` and ``uniqArray`` over a
+    planted per-row array [k%3, k%7].  CH's empty-set conventions are
+    mirrored explicitly: sumIf → 0, minIf → 0, avgIf → NULL (CH nan ≡
+    SQL NULL here).  ``uniqArray`` (distinct elements across all the
+    group's arrays) is computed as explode → COUNT(DISTINCT) in a
+    second aggregation over the SAME shuffle key and joined back
+    (5-row post-agg join) — never a per-group collect_list, which
+    would materialize the whole group's arrays in one row at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    dec = _dec("o_totalprice")
+    is_f = F.col("o_orderstatus") == "F"
+    is_o = F.col("o_orderstatus") == "O"
+    is_p = F.col("o_orderstatus") == "P"
+    arr = F.array((k % 3).cast("long"), (k % 7).cast("long"))
+    base = orders.select(
+        "o_orderpriority", "o_orderstatus", k.alias("k"),
+        dec.alias("price"), arr.alias("arr"),
+    )
+    sum_f = F.sum(F.when(is_f, F.col("price"))).cast("double")
+    cnt_f = F.sum(F.when(is_f, 1).otherwise(0))
+    main = base.groupBy("o_orderpriority").agg(
+        F.count(F.when(is_f, 1)).alias("count_if_f"),
+        F.coalesce(F.sum(F.when(is_o, F.col("price"))).cast("double"),
+                   F.lit(0.0)).alias("sum_if_o"),
+        F.when(
+            cnt_f > 0,
+            F.floor(sum_f / cnt_f * 1e4 + 0.5) / 1e4,
+        ).alias("avg_if_f"),
+        F.coalesce(F.min(F.when(is_p, F.col("price"))).cast("double"),
+                   F.lit(0.0)).alias("min_if_p"),
+        F.sum(F.expr(
+            "aggregate(arr, CAST(0 AS BIGINT), (s, x) -> s + x)"
+        )).alias("sum_array"),
+    )
+    uniq = (
+        base.select("o_orderpriority", F.explode("arr").alias("e"))
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("e").alias("uniq_array"))
+    )
+    return main.join(uniq, "o_orderpriority")
+
+
+def ch_moving_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 — ClickHouse's moving/delta aggregate family given the
+    well-defined windowed semantics (CH's ``groupArrayMovingSum(3)`` /
+    ``groupArrayMovingAvg(3)`` emit per-position moving windows over
+    the group's insertion order; ``deltaSum`` sums positive deltas in
+    block order — both order-sensitive, so like
+    ``ch_running_diff_neighbor`` this pins the EXPLICIT per-customer
+    (o_orderdate, o_orderkey) order CH's own docs recommend migrating
+    to): per order row the 3-row moving sum/avg of o_totalprice, plus
+    the partition-wide positive-delta sum.  One hash shuffle on
+    o_custkey; DECIMAL(18,2) sums cast to double (exact in the cents
+    domain), avg via the engine-portable floor(x·1e4+0.5)/1e4."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w3 = w.rowsBetween(-2, 0)
+    wall = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    stepped = orders.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        _dec("o_totalprice").alias("price"),
+        (_dec("o_totalprice") - F.lag(_dec("o_totalprice")).over(w))
+        .alias("delta"),
+        F.sum(_dec("o_totalprice")).over(w3).cast("double")
+        .alias("moving_sum3"),
+        F.count("*").over(w3).alias("__n3"),
+    )
+    return stepped.select(
+        "o_custkey", "o_orderkey",
+        "moving_sum3",
+        (F.floor(F.col("moving_sum3") / F.col("__n3") * 1e4 + 0.5) / 1e4)
+        .alias("moving_avg3"),
+        F.sum(
+            F.when(F.col("delta") > 0, F.col("delta")).otherwise(F.lit(0))
+        ).over(wall).cast("double").alias("delta_sum"),
+    )
+
+
 QUERIES = {
     "ch_array_functions": ch_array_functions,
+    "ch_url_functions": ch_url_functions,
+    "ch_agg_combinators": ch_agg_combinators,
+    "ch_moving_aggregates": ch_moving_aggregates,
     "ch_map_functions": ch_map_functions,
     "ch_array_join": ch_array_join,
     "ch_running_diff_neighbor": ch_running_diff_neighbor,
@@ -654,6 +794,90 @@ ORACLES = {
                    i -> CAST(a[CAST(i AS INT)] AS VARCHAR)), ',') AS compact,
                CAST(list_sum(a) AS BIGINT) AS arr_sum
         FROM t
+    """,
+    # closed form of the planted URL (the Spark side actually parses
+    # with parse_url; the oracle reconstructs each part from k)
+    "ch_url_functions": """
+        WITH t AS (
+            SELECT o_orderkey AS k,
+                   (CASE WHEN o_orderkey % 4 = 0 THEN 'www.' ELSE '' END)
+                     || 'shop' || CAST(o_orderkey % 7 AS VARCHAR)
+                     || '.example'
+                     || (CASE WHEN o_orderkey % 3 = 0
+                              THEN '.co.uk' ELSE '.org' END) AS host
+            FROM orders
+        )
+        SELECT k AS o_orderkey,
+               'https' AS protocol,
+               host AS domain,
+               CASE WHEN k % 4 = 0 THEN substr(host, 5)
+                    ELSE host END AS domain_no_www,
+               CASE WHEN k % 3 = 0 THEN 'uk' ELSE 'org' END AS tld,
+               '/cat/' || CAST(k % 5 AS VARCHAR) || '/item' AS url_path,
+               'id=' || CAST(k AS VARCHAR) || '&ref=aff'
+                 || CAST(k % 3 AS VARCHAR) AS query_string,
+               CAST(k AS BIGINT) AS param_id,
+               'aff' || CAST(k % 3 AS VARCHAR) AS param_ref,
+               '' AS param_missing,
+               'https://' || host || '/cat/' || CAST(k % 5 AS VARCHAR)
+                 || '/item' AS cut_query
+        FROM t
+    """,
+    "ch_agg_combinators": """
+        WITH base AS (
+            SELECT o_orderpriority, o_orderstatus,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                   CAST(o_orderkey % 3 AS BIGINT) AS e1,
+                   CAST(o_orderkey % 7 AS BIGINT) AS e2
+            FROM orders
+        ),
+        main AS (
+            SELECT o_orderpriority,
+                   COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS count_if_f,
+                   COALESCE(CAST(SUM(price) FILTER (WHERE o_orderstatus = 'O')
+                                 AS DOUBLE), 0.0) AS sum_if_o,
+                   CASE WHEN COUNT(*) FILTER (WHERE o_orderstatus = 'F') > 0
+                        THEN FLOOR(
+                            CAST(SUM(price) FILTER (WHERE o_orderstatus = 'F')
+                                 AS DOUBLE)
+                            / COUNT(*) FILTER (WHERE o_orderstatus = 'F')
+                            * 1e4 + 0.5) / 1e4
+                   END AS avg_if_f,
+                   COALESCE(CAST(MIN(price) FILTER (WHERE o_orderstatus = 'P')
+                                 AS DOUBLE), 0.0) AS min_if_p,
+                   CAST(SUM(e1 + e2) AS BIGINT) AS sum_array
+            FROM base GROUP BY o_orderpriority
+        ),
+        uniq AS (
+            SELECT o_orderpriority, COUNT(DISTINCT e) AS uniq_array
+            FROM (SELECT o_orderpriority, unnest([e1, e2]) AS e FROM base)
+            GROUP BY o_orderpriority
+        )
+        SELECT m.o_orderpriority, m.count_if_f, m.sum_if_o, m.avg_if_f,
+               m.min_if_p, m.sum_array, u.uniq_array
+        FROM main m JOIN uniq u USING (o_orderpriority)
+    """,
+    "ch_moving_aggregates": """
+        WITH s AS (
+            SELECT o_custkey, o_orderkey,
+                   CAST(o_totalprice AS DECIMAL(18,2))
+                     - LAG(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+                     AS delta,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w3
+                        AS DOUBLE) AS moving_sum3,
+                   COUNT(*) OVER w3 AS n3
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey),
+                   w3 AS (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        )
+        SELECT o_custkey, o_orderkey, moving_sum3,
+               FLOOR(moving_sum3 / n3 * 1e4 + 0.5) / 1e4 AS moving_avg3,
+               CAST(SUM(CASE WHEN delta > 0 THEN delta ELSE CAST(0 AS DECIMAL(18,2)) END)
+                    OVER (PARTITION BY o_custkey) AS DOUBLE) AS delta_sum
+        FROM s
     """,
     "ch_running_diff_neighbor": """
         SELECT user_id, event_id, value AS v,
