@@ -50,6 +50,13 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 
 _FRONT = (
     # round-13 additions (never driver-checked), newest first:
+    "dedup_semdedup_centroid",
+    "corpus_leakage_safe_split",
+    "cdc_snapshot_filtered",
+    "text_trigram_backoff",
+    "corpus_zipf_fit",
+    "text_c4_line_filter",
+    "similarity_hamming_topk",
     "ch_url_functions",
     "ch_agg_combinators",
     "ch_moving_aggregates",

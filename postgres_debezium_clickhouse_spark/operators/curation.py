@@ -37,6 +37,7 @@ def hash_split(
     documents: DataFrame,
     id_col: str = "doc_id",
     boundaries: tuple[str, str] = ("cd", "e6"),
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Deterministic train/val/test assignment by content-independent hash:
     bucket = first 2 hex chars of md5(id), compared lexicographically.
@@ -52,7 +53,9 @@ def hash_split(
     split = (
         F.when(h < F.lit(lo), "train").when(h < F.lit(hi), "val").otherwise("test")
     )
-    return documents.select(F.col(id_col), split.alias("split"))
+    return documents.select(
+        F.col(id_col), *[F.col(c) for c in passthrough], split.alias("split")
+    )
 
 
 def shard_of(id_col: str, n_shards: int):

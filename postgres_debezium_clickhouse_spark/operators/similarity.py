@@ -1101,3 +1101,155 @@ def ivfpq_adc_topk(
         .filter(F.col("__rn") <= k)
         .select(query_id_col, "neighbor_id", "adc_d2")
     )
+
+
+def sign_binary_codes(
+    df: DataFrame, dim: int = 64, id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """r13 — 1-bit (sign) scalar quantization: each dimension collapses
+    to ``v[i] > 0``, packed into two 32-bit halves (``code_lo`` = dims
+    0-31, ``code_hi`` = dims 32-63) so Hamming distance is two
+    ``bit_count(xor)`` ops on non-negative BIGINTs — the same packed
+    layout as the dHash image codes (operators/imaging.py), and the
+    64× compression step of binary-quantized retrieval (32× smaller
+    than the int8 codes of ``quantize_embeddings``).  Map-only, JVM
+    ``aggregate`` fold — no UDF, no shuffle."""
+    if dim != 64:
+        raise ValueError("sign_binary_codes packs exactly 64 dims")
+    half = (
+        "aggregate(sequence(0, 31), cast(0 as bigint), (s, i) -> "
+        "s + IF(element_at({v}, cast(i + {off} as int)) > cast(0 as double), "
+        "shiftleft(cast(1 as bigint), cast(i as int)), cast(0 as bigint)))"
+    )
+    return df.select(
+        F.col(id_col), F.col(vec_col),
+        F.expr(half.format(v=vec_col, off=1)).alias("code_lo"),
+        F.expr(half.format(v=vec_col, off=33)).alias("code_hi"),
+    )
+
+
+def hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """r13 — binary-quantized two-stage retrieval: top-k by HAMMING
+    distance between 64-bit sign codes (the shortlist stage a
+    binary-quantized vector store runs over packed codes — 8 bytes/vec,
+    XOR+popcount per candidate), with the EXACT cosine of each
+    retrieved pair reported alongside (the refine read-back).
+
+    Scale shape: identical to ``cosine_topk`` — one corpus scan, query
+    codes broadcast, no corpus shuffle — but the scan compares 16
+    packed bytes instead of 64 floats; at 100 TB the code table is the
+    only thing the shortlist stage reads (512× less IO than raw
+    vectors), and the exact-cosine refine touches only k rows/query."""
+    from pyspark.sql import Window
+
+    from .dedup import spread_for_compute
+
+    c = sign_binary_codes(
+        as_double_vec(spread_for_compute(corpus)), id_col=id_col
+    ).select(F.col(id_col), F.col("v").alias("cv"),
+             F.col("code_lo").alias("clo"), F.col("code_hi").alias("chi"))
+    q = sign_binary_codes(
+        as_double_vec(queries), id_col=query_id_col
+    ).select(F.col(query_id_col), F.col("v").alias("qv"),
+             F.col("code_lo").alias("qlo"), F.col("code_hi").alias("qhi"))
+    dot = F.expr(DOT.format(a="qv", b="cv"))
+    qn = F.expr(NORM.format(a="qv"))
+    cn = F.expr(NORM.format(a="cv"))
+    scored = (
+        c.join(F.broadcast(q))
+        .withColumn(
+            "hamming",
+            F.expr("bit_count(clo ^ qlo) + bit_count(chi ^ qhi)").cast("int"),
+        )
+        .withColumn("cosine", F.round(dot / (qn * cn), 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("hamming").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"),
+                "hamming", "cosine")
+    )
+
+
+def semdedup_centroid_keep(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """r13 — SemDeDup with the PAPER'S keep rule (Abbas et al. 2023
+    §2): within each cluster, for every near-duplicate pair (cosine ≥
+    ``threshold``) the member with the LOWER cosine similarity to the
+    cluster centroid is kept — the paper's published policy ("keep the
+    examples with the lowest cosine similarity to cluster centroids"),
+    which preserves a cluster's boundary examples instead of an
+    arbitrary id (the ``semantic_dedup`` operator's simpler
+    lowest-id-wins variant).  Centroid-similarity ties break id-ASC.
+
+    Output: (vec_id, cell, centroid_cos, keep).  Same blocking scale
+    shape as ``semantic_dedup`` — cell key bounds the pairwise stage,
+    never all-pairs; the centroid cosine adds one map-only projection
+    against the plan-literal centroid table.  Cosines are rounded to 6
+    places BEFORE every comparison, so the keep frontier is
+    engine-portable."""
+    from .dedup import spread_for_compute
+
+    cents = ivf_centroids(corpus, n_centroids, id_col)
+    ctab = "array(" + ",".join(
+        "array(" + ",".join(f"cast({x!r} as double)" for x in c) + ")"
+        for c in cents
+    ) + ")"
+    c = (
+        with_ivf_cell(as_double_vec(spread_for_compute(corpus)), cents)
+        .withColumn("__ctr", F.expr(f"element_at({ctab}, cell + 1)"))
+        .withColumn(
+            "centroid_cos",
+            F.round(
+                F.expr(DOT.format(a="v", b="__ctr"))
+                / (F.expr(NORM.format(a="v")) * F.expr(NORM.format(a="__ctr"))),
+                6,
+            ),
+        )
+        .select(F.col(id_col), F.col("v"), F.col("cell"), F.col("centroid_cos"))
+    )
+    a = c.select(F.col(id_col).alias("vec_a"), F.col("cell"),
+                 F.col("v").alias("va"), F.col("centroid_cos").alias("cca"))
+    b = c.select(F.col(id_col).alias("vec_b"), F.col("cell"),
+                 F.col("v").alias("vb"), F.col("centroid_cos").alias("ccb"))
+    dot = F.expr(DOT.format(a="va", b="vb"))
+    na = F.expr(NORM.format(a="va"))
+    nb = F.expr(NORM.format(a="vb"))
+    drops = (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") != F.col("vec_b"))
+        .withColumn("cosine", F.round(dot / (na * nb), 6))
+        .filter(F.col("cosine") >= threshold)
+        # b beats a: lower centroid-cos survives; ties keep the lower id
+        .filter(
+            (F.col("ccb") < F.col("cca"))
+            | ((F.col("ccb") == F.col("cca")) & (F.col("vec_b") < F.col("vec_a")))
+        )
+        .select(F.col("vec_a").alias(id_col))
+        .distinct()
+    )
+    return (
+        c.select(F.col(id_col), F.col("cell").cast("long").alias("cell"),
+                 F.col("centroid_cos"))
+        .join(drops.withColumn("__drop", F.lit(True)), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.col("centroid_cos"),
+            F.col("__drop").isNull().alias("keep"),
+        )
+    )

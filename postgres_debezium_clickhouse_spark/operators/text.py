@@ -814,3 +814,211 @@ def lm_bigram_stupid_backoff(
             ppl.alias("ppl"),
         )
     )
+
+
+def c4_line_filter(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """r13 — C4's line-level cleaning rules (Raffel et al. 2020 §2.2,
+    public paper): a line is RETAINED only if it ends in a terminal
+    punctuation mark (. ! ? ") and contains at least ``min_words``
+    words; a page is DROPPED outright if it contains the phrase
+    "lorem ipsum", a curly brace '{', or fewer than ``min_kept_lines``
+    retained lines (the paper counts sentences; retained lines are the
+    engine-portable proxy, documented here).  Emits per page the line
+    counts, the keep/drop verdict with its FIRST matching reason in the
+    paper's order (lorem_ipsum → brace → too_few_lines), and the
+    REWRITTEN page (retained lines re-joined) — empty when dropped.
+
+    All line logic is JVM array ops over ``split(text, '\\n')`` —
+    map-only, no UDF, no shuffle; fuses into the scan at 100 TB."""
+    kept = (
+        f"filter(split({text_col}, '\\n'), line -> "
+        f"line rlike '[.!?\"]$' AND "
+        f"size(split(trim(line), ' +')) >= {min_words})"
+    )
+    df = documents.withColumn("__kept", F.expr(kept))
+    has_lorem = F.expr(f"instr(lower({text_col}), 'lorem ipsum') > 0")
+    has_brace = F.expr(f"instr({text_col}, '{{') > 0")
+    too_few = F.size("__kept") < min_kept_lines
+    reason = (
+        F.when(has_lorem, F.lit("lorem_ipsum"))
+        .when(has_brace, F.lit("brace"))
+        .when(too_few, F.lit("too_few_lines"))
+        .otherwise(F.lit(""))
+    )
+    page_kept = ~(has_lorem | has_brace | too_few)
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
+        F.size("__kept").cast("long").alias("n_kept_lines"),
+        page_kept.alias("page_kept"),
+        reason.alias("drop_reason"),
+        F.when(page_kept, F.array_join("__kept", "\n"))
+        .otherwise(F.lit("")).alias("cleaned_text"),
+    )
+
+
+def zipf_fit(
+    documents: DataFrame,
+    top_n: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """r13 — Zipf's-law fit over the corpus vocabulary: OLS of
+    ln(frequency) on ln(rank) for the ``top_n`` most frequent tokens
+    (rank ties broken token-ASC), emitting slope (the Zipf exponent,
+    ≈ −1 for natural text — the standard corpus-health diagnostic),
+    intercept, and R².
+
+    Engine-portability: ln values are rounded via the three-IEEE-op
+    floor(x·1e6 + 0.5)/1e6 idiom BEFORE summation, per-term products
+    are rounded the same way, and all sums run as DECIMAL(20,6) — so
+    the OLS closed form consumes identical exact inputs in Spark and
+    the DuckDB oracle, and the final one-division arithmetic is
+    bit-deterministic.  Scale shape: one (token) shuffle for the
+    frequency table, then TakeOrdered top-n (never a full vocabulary
+    sort) — the window rank runs on the bounded ``top_n``-row set."""
+    from pyspark.sql import Window
+
+    toks = documents.select(F.explode(_tokens(text_col)).alias("token"))
+    freqs = toks.groupBy("token").agg(F.count("*").alias("freq"))
+    top = freqs.orderBy(F.col("freq").desc(), F.col("token").asc()).limit(top_n)
+    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    r6 = "floor({x} * 1e6 + 0.5) / 1e6"
+    xy = top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        F.expr(r6.format(x="ln(rank)")).alias("x"),
+        F.expr(r6.format(x="ln(freq)")).alias("y"),
+    )
+    sums = xy.select(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(20,6)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(20,6)")).cast("double").alias("sy"),
+        F.sum(F.expr(r6.format(x="x * y")).cast("decimal(20,6)"))
+        .cast("double").alias("sxy"),
+        F.sum(F.expr(r6.format(x="x * x")).cast("decimal(20,6)"))
+        .cast("double").alias("sxx"),
+        F.sum(F.expr(r6.format(x="y * y")).cast("decimal(20,6)"))
+        .cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = F.floor(num / dx * 1e6 + 0.5) / 1e6
+    return sums.select(
+        F.col("n").cast("long").alias("n_points"),
+        slope.alias("slope"),
+        (F.floor((F.col("sy") - slope * F.col("sx")) / F.col("n") * 1e6 + 0.5)
+         / 1e6).alias("intercept"),
+        F.when(dy > 0, F.floor(num * num / (dx * dy) * 1e6 + 0.5) / 1e6)
+        .alias("r2"),
+    )
+
+
+def lm_trigram_stupid_backoff(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """r13 — TRIGRAM stupid backoff (Brants et al. 2007 §4): the full
+    backoff ladder the paper defines, one rung above
+    ``lm_bigram_stupid_backoff``.  Each transition (w₁,w₂)→w₃ scores
+    cnt(w₁w₂w₃)/cnt(w₁w₂) when the trigram was seen, else
+    α·cnt(w₂w₃)/cnt(w₂), else α²·cnt(w₃)/total (α = 0.4, the paper's
+    constant, applied once per backoff step).  Per document:
+    n_transitions (= n_tokens − 2), mean transition log-score,
+    perplexity; docs with < 3 tokens emit n_transitions = 0 with NULL
+    scores.
+
+    Determinism: round-6 logs, DECIMAL(20,6) sums, floor-mean — the
+    bigram operator's exact discipline.
+
+    Plan: trigram and bigram count tables SHUFFLE on their n-gram keys
+    (vocab³/vocab² — never broadcast; the same call the bigram operator
+    documents), so scoring is three key-joins: left-join trigram counts
+    on (w1,w2,w3), join bigram counts on (w1,w2) [denominator — always
+    present for a seen trigram] and left-join on (w2,w3) [backoff
+    numerator]; the unigram table and total are broadcast."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    tri_arr = F.expr(
+        "zip_with(slice(__w, 1, greatest(size(__w) - 2, 0)),"
+        " zip_with(slice(__w, 2, greatest(size(__w) - 2, 0)),"
+        "          slice(__w, 3, greatest(size(__w) - 2, 0)),"
+        "          (b, c) -> struct(b as w2, c as w3)),"
+        " (a, bc) -> struct(a as w1, bc.w2 as w2, bc.w3 as w3))"
+    )
+    pair_arr = F.expr(
+        "zip_with(slice(__w, 1, greatest(size(__w) - 1, 0)),"
+        " slice(__w, 2, greatest(size(__w) - 1, 0)),"
+        " (a, b) -> struct(a as w1, b as w2))"
+    )
+    docs_w = documents.withColumn("__w", words)
+    tris = (
+        docs_w.select(F.col(id_col), F.explode(tri_arr).alias("t"))
+        .select(id_col, "t.w1", "t.w2", "t.w3")
+    )
+    pairs = (
+        docs_w.select(F.explode(pair_arr).alias("p"))
+        .select("p.w1", "p.w2")
+    )
+    toks = docs_w.select(F.explode("__w").alias("token"))
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("ucnt"))
+    tot = uni.groupBy().agg(F.sum("ucnt").alias("__total"))
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bcnt"))
+    tri = tris.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("tcnt"))
+    b12 = bi.select(F.col("w1"), F.col("w2"), F.col("bcnt").alias("c12"))
+    b23 = bi.select(F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+                    F.col("bcnt").alias("c23"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("ucnt").alias("cu2"))
+    u3 = uni.select(F.col("token").alias("w3"), F.col("ucnt").alias("cu3"))
+    scored = (
+        tris.join(tri, ["w1", "w2", "w3"], "left")
+        .join(b12, ["w1", "w2"], "left")
+        .join(b23, ["w2", "w3"], "left")
+        .join(F.broadcast(u2), "w2")
+        .join(F.broadcast(u3), "w3")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__s",
+            F.round(
+                F.when(
+                    F.col("tcnt").isNotNull(),
+                    F.log(F.col("tcnt") / F.col("c12")),
+                )
+                .when(
+                    F.col("c23").isNotNull(),
+                    F.log(F.lit(alpha) * F.col("c23") / F.col("cu2")),
+                )
+                .otherwise(
+                    F.log(F.lit(alpha * alpha) * F.col("cu3")
+                          / F.col("__total"))
+                ),
+                6,
+            ).cast("decimal(20,6)"),
+        )
+    )
+    per = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.sum("__s").alias("__sum"),
+    )
+    avg = (
+        F.floor(
+            F.col("__sum").cast("double") / F.col("n_transitions") * 1e6
+            + 0.5
+        ) / 1e6
+    )
+    ppl = F.floor(F.exp(-avg) * 1e4 + 0.5) / 1e4
+    return (
+        documents.select(id_col).join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_transitions", F.lit(0)).cast("long")
+            .alias("n_transitions"),
+            avg.alias("avg_logscore"),
+            ppl.alias("ppl"),
+        )
+    )

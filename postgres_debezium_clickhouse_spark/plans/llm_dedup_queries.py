@@ -73,6 +73,39 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 — LEAKAGE-SAFE train/val/test split: the hash split keys on
+    the near-dup cluster's CANONICAL id, not the doc id, so every
+    member of a transitive dup cluster lands in the SAME split — the
+    guard that keeps a train doc's near-duplicate out of the eval set
+    (hash-splitting by doc_id leaks: a cluster's members hash
+    independently and straddle splits).  Composition of the
+    dedup_clusters machinery (MinHash-LSH pairs → connected components)
+    with operators/curation.hash_split on canonical_id; n_members rides
+    along so cluster rows are visible.  Oracle: the dedup_clusters
+    recursive-CTE closure + the same md5-prefix split rule on the
+    canonical id."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_near_dups(docs, threshold=0.8, persist=True)
+    comp = connected_components(pairs.select("doc_a", "doc_b"))
+    asg = (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("canonical_id"))
+    )
+    from pyspark.sql import Window
+
+    from ..operators.curation import hash_split
+
+    out = hash_split(asg, id_col="canonical_id", passthrough=("doc_id",))
+    w = Window.partitionBy("canonical_id")
+    return out.select(
+        "doc_id", "canonical_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_members"),
+        "split",
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_blocked(
@@ -93,6 +126,20 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def q_semdedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 — SemDeDup with the paper's own keep rule (Abbas et al. 2023
+    §2, operators/similarity.semdedup_centroid_keep): within a cluster,
+    the near-dup member with the LOWER centroid cosine survives
+    (boundary examples kept, redundant core dropped) — vs
+    dedup_semantic's lowest-id-wins.  The oracle replays the cell
+    assignment, centroid cosines, and the priority rule in DuckDB."""
+    from ..operators.similarity import semdedup_centroid_keep
+
+    return semdedup_centroid_keep(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -334,9 +381,11 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_star": q_dedup_clusters_star,
+    "corpus_leakage_safe_split": q_corpus_leakage_safe_split,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_fingerprint": q_dedup_fingerprint,
     "dedup_semantic": q_semantic_dedup,
+    "dedup_semdedup_centroid": q_semdedup_centroid,
     "dedup_embedding_cosine": q_embedding_near_dups,
     "dedup_incremental": q_dedup_incremental,
     "dedup_cluster_keep": q_dedup_cluster_keep,
@@ -508,6 +557,31 @@ ORACLES = {
                COALESCE(LEAST(l.doc_id, l.mn), d.doc_id) AS canonical_id
         FROM documents d LEFT JOIN lab l USING (doc_id)
     """,
+    "corpus_leakage_safe_split": f"""
+        WITH RECURSIVE {_SHINGLES},
+        {_MINHASH_PAIR_CTES},
+        pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.8),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        lab AS (SELECT a AS doc_id, MIN(b) AS mn FROM reach GROUP BY a),
+        asg AS (SELECT d.doc_id,
+                       COALESCE(LEAST(l.doc_id, l.mn), d.doc_id)
+                         AS canonical_id
+                FROM documents d LEFT JOIN lab l USING (doc_id))
+        SELECT doc_id, canonical_id,
+               CAST(COUNT(*) OVER (PARTITION BY canonical_id) AS BIGINT)
+                 AS n_members,
+               CASE WHEN substr(md5(CAST(canonical_id AS VARCHAR)), 1, 2)
+                         < 'cd' THEN 'train'
+                    WHEN substr(md5(CAST(canonical_id AS VARCHAR)), 1, 2)
+                         < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM asg
+    """,
     "dedup_ngram_jaccard": f"""
         WITH {_SHINGLES},
         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -540,6 +614,28 @@ ORACLES = {
                   WHERE ROUND(list_dot_product(a.v, b.v)
                               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4)
         SELECT asg.vec_id, CAST(asg.cell AS BIGINT) AS cell,
+               (dr.vec_id IS NULL) AS keep
+        FROM asg LEFT JOIN drops dr ON asg.vec_id = dr.vec_id
+    """,
+    "dedup_semdedup_centroid": """
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS i, v AS ctr
+                 FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+        cd AS (SELECT e.vec_id, e.v, cent.i, cent.ctr,
+                      list_sum(list_transform(list_zip(e.v, cent.ctr), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+               FROM e CROSS JOIN cent),
+        asg AS (SELECT vec_id, v, i AS cell,
+                       ROUND(list_dot_product(v, ctr)
+                             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(ctr, ctr))), 6) AS cc
+                FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, i) AS rn FROM cd)
+                WHERE rn = 1),
+        drops AS (SELECT DISTINCT a.vec_id
+                  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+                  WHERE ROUND(list_dot_product(a.v, b.v)
+                              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+                    AND (b.cc < a.cc OR (b.cc = a.cc AND b.vec_id < a.vec_id)))
+        SELECT asg.vec_id, CAST(asg.cell AS BIGINT) AS cell,
+               asg.cc AS centroid_cos,
                (dr.vec_id IS NULL) AS keep
         FROM asg LEFT JOIN drops dr ON asg.vec_id = dr.vec_id
     """,

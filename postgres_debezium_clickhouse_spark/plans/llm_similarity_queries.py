@@ -794,3 +794,52 @@ ORACLES["similarity_ivf_seeding"] = """
            CAST(40 AS BIGINT) AS km_max_cell,
            true AS idorder_splits_a_cluster
 """
+
+
+def q_similarity_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 — binary (1-bit sign) quantization retrieval: 64-dim
+    embeddings packed to 64-bit codes (two 32-bit halves, the dHash
+    layout), top-5 neighbors by Hamming distance with the exact cosine
+    reported per retrieved pair (operators/similarity.hamming_topk).
+    Completes the quantization ladder — float32 exact
+    (similarity_cosine_topk) → int8 (embedding_quantize) → PQ ADC
+    (similarity_pq_adc_topk) → 1-bit Hamming (this).  The oracle packs
+    the same sign bits and uses DuckDB's own bit_count(xor())."""
+    from ..operators.similarity import hamming_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return hamming_topk(corpus, queries, k=5)
+
+
+QUERIES["similarity_hamming_topk"] = q_similarity_hamming_topk
+ORACLES["similarity_hamming_topk"] = """
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    b AS (SELECT vec_id, v,
+                 CAST(list_sum(list_transform(range(32), i ->
+                     CASE WHEN v[CAST(i + 1 AS INT)] > 0
+                          THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))
+                      AS BIGINT) AS lo,
+                 CAST(list_sum(list_transform(range(32), i ->
+                     CASE WHEN v[CAST(i + 33 AS INT)] > 0
+                          THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))
+                      AS BIGINT) AS hi
+          FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, lo AS qlo, hi AS qhi
+          FROM b WHERE vec_id < 5),
+    c AS (SELECT vec_id, v AS cv, lo AS clo, hi AS chi
+          FROM b WHERE vec_id >= 5),
+    s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                 CAST(bit_count(xor(q.qlo, c.clo))
+                      + bit_count(xor(q.qhi, c.chi)) AS INT) AS hamming,
+                 ROUND(list_dot_product(qv, cv)
+                       / (sqrt(list_dot_product(qv, qv))
+                          * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+          FROM q CROSS JOIN c),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY hamming ASC, neighbor_id ASC) AS rnk FROM s)
+    SELECT query_id, neighbor_id, hamming, cosine FROM r WHERE rnk <= 5
+"""

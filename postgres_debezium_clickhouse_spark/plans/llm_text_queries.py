@@ -216,8 +216,72 @@ def q_corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_coverage(load_table(spark, sf_dir, "documents"))
 
 
+def q_text_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 — C4's line-level cleaning rules (Raffel et al. 2020 §2.2)
+    over a deterministically planted multi-line page per document: the
+    doc's own text rides as line 1 (no terminal punctuation in the
+    fixture, so the punctuation rule actually fires on real data), then
+    planted lines exercising every rule — a <5-word line, a
+    no-terminal-punct line, kept lines, 'lorem ipsum' on doc_id %17,
+    a curly brace on %23, and a %19 variant with only 2 retainable
+    lines (the min-lines page drop).  The oracle rebuilds the same page
+    and replays the rules with DuckDB list lambdas — two independent
+    regex/word-count implementations must agree on every page verdict
+    AND the rewritten text byte-for-byte."""
+    from ..operators.text import c4_line_filter
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.trim(F.col("text")),
+            F.lit("tiny line."),
+            F.when(F.col("doc_id") % 19 == 0, F.lit("four words no punct"))
+            .otherwise(F.lit("this line has exactly five words.")),
+            F.lit("no terminal punctuation so this line drops"),
+            F.concat(F.lit("unique line for doc "),
+                     F.col("doc_id").cast("string"),
+                     F.lit(" with terminal punctuation.")),
+            F.when(F.col("doc_id") % 17 == 0,
+                   F.lit("this page contains lorem ipsum text now."))
+            .otherwise(
+                F.lit("an ordinary closing sentence appears right here.")),
+            F.when(F.col("doc_id") % 23 == 0,
+                   F.lit("code token { appears in this line."))
+            .when(F.col("doc_id") % 19 == 0, F.lit("nope."))
+            .otherwise(F.lit("final line is good too.")),
+        ).alias("text"),
+    )
+    return c4_line_filter(docs)
+
+
+def q_corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 — Zipf exponent fit (operators/text.zipf_fit): OLS of
+    ln(freq) on ln(rank) over the top-100 vocabulary, the standard
+    corpus-health diagnostic next to corpus_vocab_coverage.  Fully
+    value-oracled: round-6 logs and DECIMAL(20,6) sums make the OLS
+    inputs exact in both engines."""
+    from ..operators.text import zipf_fit
+
+    return zipf_fit(load_table(spark, sf_dir, "documents"), top_n=100)
+
+
+def q_text_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 — trigram stupid backoff (Brants et al. 2007 §4,
+    operators/text.lm_trigram_stupid_backoff): the full
+    trigram→bigram→unigram backoff ladder over the corpus's own
+    counts, one rung above text_bigram_backoff.  Fully value-oracled
+    with the same round-6-log / DECIMAL-sum / floor-mean discipline."""
+    from ..operators.text import lm_trigram_stupid_backoff
+
+    return lm_trigram_stupid_backoff(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "text_stats": q_text_stats,
+    "text_c4_line_filter": q_text_c4_line_filter,
+    "corpus_zipf_fit": q_corpus_zipf_fit,
+    "text_trigram_backoff": q_text_trigram_backoff,
     "text_lang_id": q_lang_id,
     "text_quality_score": q_quality_score,
     "text_token_count": q_token_count,
@@ -239,6 +303,145 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_zipf_fit": """
+        WITH toks AS (
+            SELECT unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS token
+            FROM documents
+        ),
+        freqs AS (SELECT token, COUNT(*) AS freq FROM toks GROUP BY token),
+        top AS (SELECT token, freq,
+                       ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC)
+                         AS rank
+                FROM freqs
+                ORDER BY freq DESC, token ASC LIMIT 100),
+        xy AS (SELECT FLOOR(ln(rank) * 1e6 + 0.5) / 1e6 AS x,
+                      FLOOR(ln(freq) * 1e6 + 0.5) / 1e6 AS y
+               FROM top),
+        sums AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(x AS DECIMAL(20,6))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(y AS DECIMAL(20,6))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(FLOOR(x * y * 1e6 + 0.5) / 1e6
+                                 AS DECIMAL(20,6))) AS DOUBLE) AS sxy,
+                   CAST(SUM(CAST(FLOOR(x * x * 1e6 + 0.5) / 1e6
+                                 AS DECIMAL(20,6))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(FLOOR(y * y * 1e6 + 0.5) / 1e6
+                                 AS DECIMAL(20,6))) AS DOUBLE) AS syy
+            FROM xy
+        )
+        SELECT CAST(n AS BIGINT) AS n_points,
+               FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6 + 0.5)
+                 / 1e6 AS slope,
+               FLOOR((sy - (FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                                  * 1e6 + 0.5) / 1e6) * sx) / n * 1e6 + 0.5)
+                 / 1e6 AS intercept,
+               CASE WHEN (n * syy - sy * sy) > 0
+                    THEN FLOOR((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                               / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                               * 1e6 + 0.5) / 1e6
+               END AS r2
+        FROM sums
+    """,
+    "text_c4_line_filter": """
+        WITH pg AS (
+            SELECT doc_id,
+                   list_value(
+                       trim(text),
+                       'tiny line.',
+                       CASE WHEN doc_id % 19 = 0 THEN 'four words no punct'
+                            ELSE 'this line has exactly five words.' END,
+                       'no terminal punctuation so this line drops',
+                       'unique line for doc ' || CAST(doc_id AS VARCHAR)
+                         || ' with terminal punctuation.',
+                       CASE WHEN doc_id % 17 = 0
+                            THEN 'this page contains lorem ipsum text now.'
+                            ELSE 'an ordinary closing sentence appears right here.' END,
+                       CASE WHEN doc_id % 23 = 0
+                            THEN 'code token { appears in this line.'
+                            WHEN doc_id % 19 = 0 THEN 'nope.'
+                            ELSE 'final line is good too.' END) AS lines
+            FROM documents
+        ),
+        k AS (
+            SELECT doc_id, lines,
+                   list_filter(lines, line ->
+                       regexp_matches(line, '[.!?"]$')
+                       AND len(regexp_split_to_array(trim(line), ' +')) >= 5)
+                     AS kept,
+                   (doc_id % 17 = 0) AS has_lorem,
+                   (doc_id % 23 = 0) AS has_brace
+            FROM pg
+        )
+        SELECT doc_id,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(kept) AS BIGINT) AS n_kept_lines,
+               NOT (has_lorem OR has_brace OR len(kept) < 3) AS page_kept,
+               CASE WHEN has_lorem THEN 'lorem_ipsum'
+                    WHEN has_brace THEN 'brace'
+                    WHEN len(kept) < 3 THEN 'too_few_lines'
+                    ELSE '' END AS drop_reason,
+               CASE WHEN NOT (has_lorem OR has_brace OR len(kept) < 3)
+                    THEN array_to_string(kept, chr(10))
+                    ELSE '' END AS cleaned_text
+        FROM k
+    """,
+    "text_trigram_backoff": """
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS wd
+            FROM documents
+        ),
+        tris AS (
+            SELECT doc_id, wd[CAST(i.i AS INT)] AS w1,
+                   wd[CAST(i.i + 1 AS INT)] AS w2,
+                   wd[CAST(i.i + 2 AS INT)] AS w3
+            FROM w CROSS JOIN LATERAL (
+                SELECT unnest(range(1, len(wd) - 1))) i(i)
+        ),
+        pairs AS (
+            SELECT doc_id, wd[CAST(i.i AS INT)] AS w1,
+                   wd[CAST(i.i + 1 AS INT)] AS w2
+            FROM w CROSS JOIN LATERAL (
+                SELECT unnest(range(1, len(wd)))) i(i)
+        ),
+        toks AS (SELECT doc_id, unnest(wd) AS token FROM w),
+        uni AS (SELECT token, COUNT(*) AS ucnt FROM toks GROUP BY token),
+        tot AS (SELECT SUM(ucnt) AS t FROM uni),
+        bi AS (SELECT w1, w2, COUNT(*) AS bcnt FROM pairs GROUP BY w1, w2),
+        tri AS (SELECT w1, w2, w3, COUNT(*) AS tcnt
+                FROM tris GROUP BY w1, w2, w3),
+        scored AS (
+            SELECT t.doc_id,
+                   CAST(ROUND(CASE
+                       WHEN tr.tcnt IS NOT NULL
+                       THEN ln(tr.tcnt * 1.0 / b12.bcnt)
+                       WHEN b23.bcnt IS NOT NULL
+                       THEN ln(CAST(0.4 AS DOUBLE) * b23.bcnt / u2.ucnt)
+                       ELSE ln(CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+                               * u3.ucnt / tot.t) END, 6)
+                        AS DECIMAL(20,6)) AS s
+            FROM tris t
+            LEFT JOIN tri tr
+              ON tr.w1 = t.w1 AND tr.w2 = t.w2 AND tr.w3 = t.w3
+            LEFT JOIN bi b12 ON b12.w1 = t.w1 AND b12.w2 = t.w2
+            LEFT JOIN bi b23 ON b23.w1 = t.w2 AND b23.w2 = t.w3
+            JOIN uni u2 ON u2.token = t.w2
+            JOIN uni u3 ON u3.token = t.w3
+            CROSS JOIN tot
+        ),
+        per AS (
+            SELECT doc_id, COUNT(*) AS n_transitions,
+                   FLOOR(CAST(SUM(s) AS DOUBLE) / COUNT(*) * 1e6 + 0.5)
+                       / 1e6 AS avg_logscore
+            FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_transitions, 0) AS BIGINT) AS n_transitions,
+               p.avg_logscore,
+               FLOOR(exp(-p.avg_logscore) * 1e4 + 0.5) / 1e4 AS ppl
+        FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
     "text_bigram_backoff": """
         WITH w AS (
             SELECT doc_id,

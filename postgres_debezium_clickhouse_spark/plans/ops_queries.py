@@ -2539,6 +2539,116 @@ def cdc_snapshot_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sh.rmtree(d, ignore_errors=True)
 
 
+def cdc_snapshot_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 — Debezium FILTERED ad-hoc snapshot (``execute-snapshot``
+    with ``additional-conditions``, the public signal-payload filter:
+    only rows matching the predicate are re-read; everything else keeps
+    its stream-given state and is NOT backfilled).
+
+    Same adversarial schedule as ``cdc_incremental_snapshot``, but the
+    snapshot carries ``additional_condition = 'o_orderkey % 2 = 1'`` —
+    so the chunk planner quantiles the ODD keyspace only and even keys
+    are never chunk-read.  The final state therefore splits three ways,
+    and each branch is value-pinned:
+
+    * odd keys: refreshed to table truth at W = 5e6 (their ts_ms proves
+      the chunk row won over the older 'c'/'u' events) unless a post-W
+      event outversions it;
+    * even keys touched by the stream (mod-3 updates, mod-4
+      mid-snapshot updates, mod-9 post-W updates): stream state with
+      the STREAM's ts_ms — a buggy unfiltered run would overwrite the
+      mod-3 rows' 2e6+k with 5e6 and fail the hash;
+    * even keys the stream never touched: ABSENT — a buggy unfiltered
+      run backfills them and fails on row count."""
+    from ..streaming.pipeline import read_silver, silver_upsert_stream
+    from ..streaming.snapshot import run_incremental_snapshot
+
+    import shutil as _sh
+
+    run = uuid.uuid4().hex[:12]
+    root = tempfile.gettempdir()
+    src = f"{root}/fltsnap_src_{run}"
+    dst = f"{root}/fltsnap_out_{run}"
+    ckpt = f"{root}/fltsnap_ckpt_{run}"
+    W = 5_000_000
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    k = F.col("o_orderkey")
+    base = F.col("o_totalprice")
+
+    def ev(df, status, price, op, ts, slot):
+        return df.select(
+            k.alias("o_orderkey"),
+            status.alias("o_orderstatus"),
+            price.cast("double").alias("o_totalprice"),
+            F.lit(op).alias("op"),
+            ts.cast("long").alias("ts_ms"),
+            (k * 10 + slot).cast("long").alias("offset"),
+        )
+
+    def stream_merge(events, tag):
+        d = f"{src}/{tag}"
+        events.coalesce(2).write.json(d)
+        stream = spark.readStream.schema(events.schema).json(d)
+        q = silver_upsert_stream(
+            stream, dst, f"{ckpt}/{tag}", keys=["o_orderkey"],
+            available_now=True,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("filtered-snapshot seed stream stalled")
+
+    try:
+        seed = (
+            ev(orders.filter(k % 2 == 1), F.col("o_orderstatus"), base,
+               "c", F.lit(1_000_000), 0)
+            .unionByName(ev(orders.filter(k % 3 == 0), F.lit("U"),
+                            base + 100, "u", F.lit(2_000_000) + k, 1))
+            .unionByName(ev(orders.filter(k % 9 == 0), F.lit("V"),
+                            base + 170, "u", F.lit(6_000_000) + k, 2))
+        )
+        stream_merge(seed, "seed")
+
+        mid = (
+            ev(orders.filter(k % 4 == 0), F.lit("X"),
+               base + F.when(k % 3 == 0, 100).otherwise(0) + 300,
+               "u", F.lit(7_000_000) + k, 3)
+            .unionByName(ev(orders.filter(k % 5 == 0),
+                            F.lit(None).cast("string"),
+                            F.lit(None).cast("double"),
+                            "d", F.lit(7_500_000) + k, 4))
+        )
+
+        def hook(i):
+            if i == 2:
+                stream_merge(mid, "mid")
+
+        table_truth = orders.select(
+            "o_orderkey",
+            F.when(k % 3 == 0, F.lit("U")).otherwise(
+                F.col("o_orderstatus")).alias("o_orderstatus"),
+            (base + F.when(k % 3 == 0, 100).otherwise(0))
+            .cast("double").alias("o_totalprice"),
+        )
+        run_incremental_snapshot(
+            table_truth, dst, ["o_orderkey"],
+            order_col="o_orderkey", watermark_version=W, n_chunks=6,
+            interleave_hook=hook,
+            additional_condition="o_orderkey % 2 = 1",
+        )
+        return (
+            read_silver(spark, dst)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice", "ts_ms")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for d in (src, dst, ckpt):
+            _sh.rmtree(d, ignore_errors=True)
+
+
 def object_store_rowbinary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r12 — ClickHouse RowBinaryWithNamesAndTypes ingestion (S6's
     format matrix now spans JSON / Avro / TSV / CSV / protobuf /
@@ -2799,6 +2909,7 @@ QUERIES = {
     "object_store_rowbinary_ingest": object_store_rowbinary_ingest,
     "cdc_snapshot_pause_resume": cdc_snapshot_pause_resume,
     "cdc_snapshot_blocking": cdc_snapshot_blocking,
+    "cdc_snapshot_filtered": cdc_snapshot_filtered,
     "object_store_tsv_ingest": object_store_tsv_ingest,
     "stream_agg_summap_state": stream_agg_summap_state,
     "stream_agg_bitmap_state": stream_agg_bitmap_state,
@@ -3125,6 +3236,31 @@ ORACLES["cdc_snapshot_pause_resume"] = ORACLES["cdc_incremental_snapshot"]
 # deferred batch to the interleaved result); atomicity is pinned by the
 # in-query ordering guard, which raises on any non-suspended merge
 ORACLES["cdc_snapshot_blocking"] = ORACLES["cdc_incremental_snapshot"]
+
+# filtered variant (additional-conditions = odd keys only): odd keys
+# follow the incremental algebra; even keys exist ONLY where the stream
+# touched them (mod 3/4/9 — mod 9 implies mod 3), with the STREAM's
+# ts_ms (2e6+k for mod-3 rows the unfiltered snapshot would stamp 5e6);
+# untouched evens are absent entirely.
+ORACLES["cdc_snapshot_filtered"] = """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 4 = 0 THEN 'X'
+                WHEN o_orderkey % 9 = 0 THEN 'V'
+                WHEN o_orderkey % 3 = 0 THEN 'U'
+                ELSE o_orderstatus END AS o_orderstatus,
+           CAST(o_totalprice
+                + CASE WHEN o_orderkey % 3 = 0 THEN 100 ELSE 0 END
+                + CASE WHEN o_orderkey % 4 = 0 THEN 300 ELSE 0 END
+                + CASE WHEN o_orderkey % 4 <> 0 AND o_orderkey % 9 = 0
+                       THEN 70 ELSE 0 END AS DOUBLE) AS o_totalprice,
+           CAST(CASE WHEN o_orderkey % 4 = 0 THEN 7000000 + o_orderkey
+                     WHEN o_orderkey % 9 = 0 THEN 6000000 + o_orderkey
+                     WHEN o_orderkey % 2 = 1 THEN 5000000
+                     ELSE 2000000 + o_orderkey END AS BIGINT) AS ts_ms
+    FROM orders
+    WHERE o_orderkey % 5 <> 0
+      AND (o_orderkey % 2 = 1 OR o_orderkey % 3 = 0 OR o_orderkey % 4 = 0)
+"""
 
 ORACLES["object_store_rowbinary_ingest"] = """
     SELECT o_orderkey,

@@ -100,6 +100,7 @@ def signal_snapshot(
     watermark_version,
     signal_id: str | None = None,
     snapshot_type: str = "incremental",
+    additional_condition: str | None = None,
 ) -> str:
     """The signal-table INSERT, re-expressed: enqueue an
     ``execute-snapshot`` signal under the store's ``_signals/`` dir.
@@ -110,7 +111,11 @@ def signal_snapshot(
     ``ts_ms`` domain.  ``snapshot_type`` mirrors the Debezium payload's
     ``type`` field: 'incremental' (default, interleaves with the
     stream) or 'blocking' (suspends stream merges for the duration —
-    :func:`run_blocking_snapshot`)."""
+    :func:`run_blocking_snapshot`).  ``additional_condition`` mirrors
+    Debezium's ``additional-conditions`` filter (a SQL predicate
+    appended to every chunk SELECT): only matching rows are re-read —
+    non-matching keys keep whatever state the stream gave them, and are
+    NOT backfilled (the documented filtered-snapshot contract)."""
     if snapshot_type not in ("incremental", "blocking"):
         raise ValueError(
             f"snapshot_type must be incremental|blocking, got {snapshot_type!r}"
@@ -138,6 +143,7 @@ def signal_snapshot(
                 "order_col": order_col,
                 "n_chunks": n_chunks,
                 "watermark_version": watermark_version,
+                "additional_condition": additional_condition,
             },
             fh,
         )
@@ -278,6 +284,7 @@ def run_incremental_snapshot(
     n_buckets: int = DEFAULT_SILVER_BUCKETS,
     signal_id: str | None = None,
     interleave_hook=None,
+    additional_condition: str | None = None,
 ) -> int:
     """Execute one incremental snapshot of ``source_table`` into the
     silver store at ``path``; returns the number of chunks merged this
@@ -298,8 +305,18 @@ def run_incremental_snapshot(
     re-merge, not silently no-op); pass an explicit ``signal_id`` to
     resume a crashed or paused run.  Chunk bounds are planned once and
     persisted with the progress — a resume reuses them verbatim instead
-    of re-quantiling a table the live stream has mutated since."""
+    of re-quantiling a table the live stream has mutated since.
+
+    ``additional_condition`` (Debezium's ``additional-conditions``,
+    filtered ad-hoc snapshot): a SQL predicate applied to the source
+    BEFORE chunk planning and every chunk read — so the quantile cuts
+    are computed over the filtered keyspace (no empty chunks on a
+    selective filter) and the predicate pushes into every chunk scan
+    next to the PK-range bounds.  Non-matching keys are untouched: not
+    refreshed, not backfilled, never deleted."""
     sid = signal_id or f"adhoc-{uuid.uuid4().hex[:12]}"
+    if additional_condition:
+        source_table = source_table.filter(F.expr(additional_condition))
     done, bounds = _read_progress(path, sid)
     if bounds is None:
         bounds = plan_snapshot_chunks(source_table, order_col, n_chunks)
@@ -364,6 +381,7 @@ def run_blocking_snapshot(
     op_col: str = "op",
     n_buckets: int = DEFAULT_SILVER_BUCKETS,
     interleave_hook=None,
+    additional_condition: str | None = None,
 ) -> int:
     """Debezium ad-hoc BLOCKING snapshot (``execute-snapshot`` with
     ``type: BLOCKING`` — the last public signal type next to
@@ -396,6 +414,10 @@ def run_blocking_snapshot(
         json.dump({"order_col": order_col,
                    "watermark_version": watermark_version}, fh)
     merged = 0
+    if additional_condition:
+        # Debezium's additional-conditions apply to blocking snapshots
+        # too — same filtered-keyspace planning as the incremental path
+        source_table = source_table.filter(F.expr(additional_condition))
     try:
         bounds = plan_snapshot_chunks(source_table, order_col, n_chunks)
         for i, (lo, hi) in enumerate(bounds):
@@ -466,6 +488,7 @@ def process_signals(
                 op_col=op_col,
                 n_buckets=n_buckets,
                 interleave_hook=interleave_hook,
+                additional_condition=sig.get("additional_condition"),
             )
             os.rename(
                 os.path.join(sdir, f"{sid}.json"),
@@ -484,6 +507,7 @@ def process_signals(
             n_buckets=n_buckets,
             signal_id=sid,
             interleave_hook=interleave_hook,
+            additional_condition=sig.get("additional_condition"),
         )
         if _stop_requested(path, sid):
             suffix = ".json.stopped"

@@ -470,3 +470,40 @@ def test_blocking_signal_via_process_signals(spark, dirs):
     with _pytest.raises(ValueError, match="incremental|blocking"):
         signal_snapshot(dirs["silver"], order_col="id", n_chunks=1,
                         watermark_version=W, snapshot_type="full")
+
+
+def test_filtered_snapshot_additional_condition(spark, dirs):
+    """r13 — Debezium additional-conditions (filtered ad-hoc snapshot)
+    via the signal route: only ODD ids are chunk-read; evens keep their
+    stream-given state (mod-3 updates stay at their stream ts) and
+    stream-untouched evens are NOT backfilled."""
+    import os
+
+    _stream_merge(spark, dirs, _seed_rows(), "seed")
+    sid = signal_snapshot(
+        dirs["silver"], order_col="id", n_chunks=4, watermark_version=W,
+        additional_condition="id % 2 = 1",
+    )
+    assert list_signals(dirs["silver"])[0]["additional_condition"] == "id % 2 = 1"
+    done = process_signals(_table_truth(spark), dirs["silver"], ["id"])
+    assert done == [sid]
+    assert os.path.exists(
+        os.path.join(dirs["silver"], "_signals", f"{sid}.json.done")
+    )
+    st = _state(spark, dirs)
+    # odd keys: refreshed to table truth at W (post-W event still wins)
+    assert st[1] == ("T1", W) and st[3] == ("U3", W)
+    assert st[9] == ("V9", 600)
+    # even mod-3 keys: stream state with the STREAM's ts, never restamped
+    assert st[6] == ("U6", 206) and st[12] == ("U12", 212)
+    # stream-untouched evens: absent (the filter's whole point)
+    assert 2 not in st and 4 not in st and 8 not in st
+    # full closed form
+    expected = {}
+    for i in range(1, N + 1):
+        if i % 2 == 1:
+            expected[i] = ("V9", 600) if i == 9 else (
+                (f"U{i}", W) if i % 3 == 0 else (f"T{i}", W))
+        elif i % 3 == 0:
+            expected[i] = (f"U{i}", 200 + i)
+    assert st == expected

@@ -60,6 +60,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
             "silver_ttl"}          # publishes + TTL-mutates a store on build
     allow_nested_loop = {
         "similarity_cosine_topk",   # brute-force baseline: broadcast × corpus scan
+        "similarity_hamming_topk",  # same broadcast × corpus-scan shape over packed codes (r13)
         "dedup_embedding_cosine",   # block-join verified within label blocks
         "recent_orders_interval",   # scalar attach: 1-row broadcast aggregate
         "similarity_lsh_recall",    # embeds the brute-force exact side as ground truth
@@ -91,6 +92,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "text_bm25_topk",           # scalar attach: 1-row broadcast N/avgdl totals (r12)
         "corpus_dsir_weights",      # scalar attaches: 1-row broadcast feature totals (r12)
         "text_bigram_backoff",      # scalar attach: 1-row broadcast corpus-total (r12)
+        "text_trigram_backoff",     # scalar attach: same 1-row corpus-total, trigram ladder (r13)
         "events_kmv_setops",        # KMV pair join: group×group over the sketch table (r12)
         "events_anomalies_mad",     # scalar attaches: per-type median/MAD rows (r12)
     }
