@@ -50,6 +50,12 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 
 _FRONT = (
     # round-13 additions (never driver-checked), newest first:
+    "dedup_minhash_estimate",
+    "cdc_outbox_route",
+    "dedup_containment",
+    "events_sequence_match_time",
+    "ch_string_search_functions",
+    "supplier_rank_distribution",
     "dedup_semdedup_centroid",
     "corpus_leakage_safe_split",
     "cdc_snapshot_filtered",

@@ -715,3 +715,101 @@ def winnowing_fingerprints(
         .filter(F.col("h") == F.col("__m"))
         .select(id_col, "p", "h")
     )
+
+
+def ngram_containment_blocked(
+    documents: DataFrame,
+    block_expr: F.Column,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """r13 — blocked n-gram CONTAINMENT join: C(A→B) = |A∩B| / |A| over
+    shingle sets, both directions per pair.  Containment is the
+    asymmetric near-dup signal Jaccard misses: a short document fully
+    embedded in a long one (quote farms, syndicated excerpts, page
+    wrappers around a shared article) has low Jaccard (the union is
+    dominated by the long side) but containment ≈ 1 on the short side —
+    the measure web-dedup pipelines use to catch supersets.  Pairs are
+    kept when EITHER direction reaches ``threshold``.
+
+    Same bounded-blocking shape as ``ngram_jaccard_blocked``: all pairs
+    within a block only (one shuffle on the block key, fan-out bounded
+    by block size); zero-shingle docs are excluded up front (no
+    divide-by-zero, and an empty doc contains/embeds nothing)."""
+    sh = (
+        with_shingles(documents)
+        .filter(F.size("shingles") > 0)
+        .select(F.col(id_col), block_expr.alias("blk"), F.col("shingles"))
+    )
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("blk"),
+                  F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("blk"),
+                  F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    cont_ab = F.round(inter / F.size("sh_a"), 6)
+    cont_ba = F.round(inter / F.size("sh_b"), 6)
+    jac = F.round(inter / F.size(F.array_union("sh_a", "sh_b")), 6)
+    return (
+        a.join(b, "blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            inter.cast("long").alias("n_inter"),
+            cont_ab.alias("cont_a_in_b"),
+            cont_ba.alias("cont_b_in_a"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.greatest("cont_a_in_b", "cont_b_in_a") >= threshold)
+    )
+
+
+def minhash_estimate_on_pairs(
+    documents: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """r13 — MinHash ESTIMATE accuracy eval: for every LSH candidate
+    pair, the signature-agreement Jaccard estimate (matching components
+    / n_perms — the unbiased estimator MinHash exists to provide)
+    side-by-side with the exact shingle-set Jaccard and the absolute
+    error.  The eval that decides whether the sketch's n_perms is
+    enough to REPLACE exact verification at scale — the same
+    estimator-vs-truth pattern as similarity_lsh_recall and the KMV
+    set-op queries.
+
+    Plan: one signature pass (shared with the candidate generation),
+    band-key self-join for candidates, then two id-joins to attach each
+    side's signature vector and shingle set — everything keyed, nothing
+    all-pairs.  The estimate k/n_perms is an exact small rational in
+    doubles; the error is floor-rounded to 6 places (the engine-portable
+    idiom)."""
+    n_perms = len(MINHASH_PERMS)
+    sh = with_shingles(documents)
+    signed = minhash_signature(sh)
+    sig_arr = F.array(*[F.col(f"sig_{i}") for i in range(n_perms)])
+    sv = signed.select(F.col(id_col), sig_arr.alias("sv"),
+                       F.col("shingles"))
+    pairs = lsh_candidate_pairs(documents, id_col=id_col, shingled=sh)
+    a = sv.select(F.col(id_col).alias("doc_a"), F.col("sv").alias("sa"),
+                  F.col("shingles").alias("sh_a"))
+    b = sv.select(F.col(id_col).alias("doc_b"), F.col("sv").alias("sb"),
+                  F.col("shingles").alias("sh_b"))
+    matches = F.expr(
+        "aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), 0, "
+        "(acc, v) -> acc + v)"
+    )
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")), 6,
+    )
+    return (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("n_sig_matches", matches.cast("long"))
+        .withColumn("est_jaccard", F.col("n_sig_matches") / F.lit(n_perms))
+        .withColumn("jaccard", jac)
+        .withColumn(
+            "abs_err",
+            F.floor(F.abs(F.col("est_jaccard") - F.col("jaccard")) * 1e6
+                    + 0.5) / 1e6,
+        )
+        .select("doc_a", "doc_b", "n_sig_matches", "est_jaccard",
+                "jaccard", "abs_err")
+    )

@@ -363,3 +363,37 @@ def dict_get(
     for out_col, (_, default) in attrs.items():
         out = out.withColumn(out_col, F.coalesce(F.col(out_col), F.lit(default)))
     return out
+
+
+def outbox_route(
+    events: DataFrame,
+    aggregate_type_col: str = "aggregatetype",
+    aggregate_id_col: str = "aggregateid",
+    type_col: str = "type",
+    payload_col: str = "payload",
+    op_col: str = "op",
+    topic_prefix: str = "outbox.event",
+) -> DataFrame:
+    """r13 — the Debezium OUTBOX EVENT ROUTER SMT
+    (``io.debezium.transforms.outbox.EventRouter``, the documented
+    transactional-outbox pattern: services INSERT domain events into an
+    outbox table inside the business transaction; the connector routes
+    each captured row to ``<prefix>.<aggregatetype>`` with the
+    aggregate id as the message KEY — so all events of one aggregate
+    stay ordered in one partition — and the payload column as the
+    value).
+
+    Contract details carried over from the SMT's docs: only CREATE
+    ('c') and snapshot-read ('r') records are routed — outbox rows are
+    insert-only by design and services commonly DELETE them right after
+    insert to keep the table small, so update/delete records (and delete
+    tombstones) MUST NOT emit domain events.  Map-only projection +
+    filter; fuses into the scan, no shuffle, any scale."""
+    routed = events.filter(F.col(op_col).isin("c", "r"))
+    return routed.select(
+        F.concat(F.lit(topic_prefix + "."), F.col(aggregate_type_col))
+        .alias("topic"),
+        F.col(aggregate_id_col).cast("string").alias("key"),
+        F.col(type_col).alias("event_type"),
+        F.col(payload_col).alias("value"),
+    )

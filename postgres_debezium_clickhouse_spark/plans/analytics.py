@@ -757,6 +757,41 @@ def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_sequence_match_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 — ClickHouse ``sequenceMatch('(?1)(?t<=3600)(?2)')``: the
+    TIME-CONSTRAINED sequence operator (CH's ``(?t<=N)`` — the matched
+    pair must occur within N seconds), completing the sequence family
+    next to the unconstrained match, the non-overlapping count, and the
+    funnel matrix.  Per user: does any purchase follow a signup within
+    one hour?  The untimed query matches ~everyone with both events;
+    at 3600 s only a minority survives — the constraint is the signal.
+    Plan: signup and purchase projections join per user on the time
+    band, distinct matched users, left-joined back to the per-user
+    event counts — two narrow scans + one user-key shuffle; the pair
+    join is bounded per user at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.unix_timestamp(F.col("ts").cast("timestamp")).alias("ts_s")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_timestamp(F.col("ts").cast("timestamp")).alias("ts_p")
+    )
+    matched = (
+        s.join(p, "user_id")
+        .filter((F.col("ts_p") >= F.col("ts_s"))
+                & (F.col("ts_p") - F.col("ts_s") <= 3600))
+        .select("user_id").distinct()
+        .withColumn("__m", F.lit(True))
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_user.join(matched, "user_id", "left").select(
+        "user_id", "n_events",
+        F.coalesce("__m", F.lit(False)).alias("matched_1h"),
+    )
+
+
 def events_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r12 — ClickHouse ``sequenceCount('(?1).*(?2)')``: the COUNT of
     NON-OVERLAPPING signup→purchase chains per user (CH docs: the search
@@ -956,6 +991,7 @@ QUERIES = {
     "events_uniq_upto": events_uniq_upto,
     "events_hourly_gapfill": events_hourly_gapfill,
     "events_sequence_match": events_sequence_match,
+    "events_sequence_match_time": events_sequence_match_time,
     "events_window_funnel": events_window_funnel,
 }
 
@@ -1182,6 +1218,20 @@ ORACLES["events_cohort_retention"] = """
            s.cohort_users,
            ROUND(r.n_active * 1.0 / s.cohort_users, 6) AS retention
     FROM ret r JOIN sz s USING (cohort)
+"""
+
+ORACLES["events_sequence_match_time"] = """
+    WITH s AS (SELECT user_id, CAST(epoch(ts) AS BIGINT) AS ts_s
+               FROM events WHERE event_type = 'signup'),
+         p AS (SELECT user_id, CAST(epoch(ts) AS BIGINT) AS ts_p
+               FROM events WHERE event_type = 'purchase'),
+         m AS (SELECT DISTINCT s.user_id
+               FROM s JOIN p ON s.user_id = p.user_id
+                AND p.ts_p >= s.ts_s AND p.ts_p - s.ts_s <= 3600)
+    SELECT e.user_id, COUNT(*) AS n_events,
+           (m.user_id IS NOT NULL) AS matched_1h
+    FROM events e LEFT JOIN m ON e.user_id = m.user_id
+    GROUP BY e.user_id, m.user_id
 """
 
 ORACLES["events_sequence_match"] = """

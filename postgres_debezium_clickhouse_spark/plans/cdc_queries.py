@@ -467,8 +467,64 @@ def cdc_toast_carry_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("o_orderkey", "note", "status", "op", "ts_ms")
 
 
+def cdc_outbox_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 — Debezium OUTBOX EVENT ROUTER
+    (operators/transforms.outbox_route; the documented
+    ``io.debezium.transforms.outbox.EventRouter`` SMT and the
+    transactional-outbox pattern it implements).  A planted outbox feed
+    is derived from orders: every order INSERTs one domain event
+    (aggregatetype cycling order/shipment/invoice on k mod 3, payload a
+    closed-form JSON of the key and k mod 7); keys %11 == 0 also carry
+    an UPDATE record and %13 == 0 a DELETE record — the outbox
+    anti-pattern rows the SMT must SKIP (outbox tables are insert-only;
+    services delete rows right after insert and those deletes must not
+    re-emit events).  The routed output re-extracts the payload's
+    bucket via JSON path, proving the value survives routing intact.
+    Oracle: the closed form over orders — exactly one routed record per
+    order, none for the update/delete rows."""
+    from ..operators.transforms import outbox_route
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    agg_type = F.expr(
+        "element_at(array('order', 'shipment', 'invoice'), "
+        "cast(o_orderkey % 3 as int) + 1)"
+    )
+    evt_type = F.expr(
+        "element_at(array('OrderCreated', 'ShipmentCreated', "
+        "'InvoiceCreated'), cast(o_orderkey % 3 as int) + 1)"
+    )
+    payload = F.concat(
+        F.lit('{"orderkey":'), k.cast("string"),
+        F.lit(',"bucket":'), (k % 7).cast("string"), F.lit("}"),
+    )
+
+    def row(df, op, typ, pay):
+        return df.select(
+            agg_type.alias("aggregatetype"),
+            k.cast("long").alias("aggregateid"),
+            typ.alias("type"),
+            pay.alias("payload"),
+            F.lit(op).alias("op"),
+        )
+
+    outbox = (
+        row(orders, "c", evt_type, payload)
+        .unionByName(row(orders.filter(k % 11 == 0), "u",
+                         F.lit("ShouldNotRoute"),
+                         F.lit('{"ignored":true}')))
+        .unionByName(row(orders.filter(k % 13 == 0), "d",
+                         F.lit(None).cast("string"),
+                         F.lit(None).cast("string")))
+    )
+    return outbox_route(outbox).withColumn(
+        "bucket", F.get_json_object("value", "$.bucket").cast("long")
+    )
+
+
 QUERIES = {
     "cdc_current_state": cdc_current_state,
+    "cdc_outbox_route": cdc_outbox_route,
     "cdc_toast_carry_forward": cdc_toast_carry_forward,
     "cdc_hotkey_state": cdc_hotkey_state,
     "cdc_schema_drift": cdc_schema_drift,
@@ -507,6 +563,20 @@ _FINAL_TS = (
 _FINAL_OP = "CASE WHEN o_orderkey % 3 = 0 THEN 'u' ELSE 'r' END"
 
 ORACLES = {
+    "cdc_outbox_route": """
+        SELECT 'outbox.event.' || CASE CAST(o_orderkey % 3 AS INT)
+                   WHEN 0 THEN 'order' WHEN 1 THEN 'shipment'
+                   ELSE 'invoice' END AS topic,
+               CAST(o_orderkey AS VARCHAR) AS key,
+               CASE CAST(o_orderkey % 3 AS INT)
+                   WHEN 0 THEN 'OrderCreated' WHEN 1 THEN 'ShipmentCreated'
+                   ELSE 'InvoiceCreated' END AS event_type,
+               '{"orderkey":' || CAST(o_orderkey AS VARCHAR)
+                 || ',"bucket":' || CAST(o_orderkey % 7 AS VARCHAR)
+                 || '}' AS value,
+               CAST(o_orderkey % 7 AS BIGINT) AS bucket
+        FROM orders
+    """,
     # closed-form replay of the planted TOAST schedule: a key appears
     # iff it has any surviving event (%7 deletes drop; %5-and-not-%3
     # keys never emitted anything); note = latest NON-placeholder value

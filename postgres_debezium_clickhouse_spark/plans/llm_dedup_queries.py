@@ -113,6 +113,54 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 — n-gram CONTAINMENT near-dup pairs
+    (operators/dedup.ngram_containment_blocked): the asymmetric
+    |A∩B|/|A| measure that catches a short doc embedded in a long one —
+    low-Jaccard pairs symmetric dedup misses.  Every doc_id %97 == 0
+    spawns a planted EXCERPT (its first ⌈n/2⌉ words, id +1e6): a true
+    superset pair whose excerpt-side containment is exactly 1.0 while
+    Jaccard sits near 0.5 — the case the measure exists for.  Same
+    (lang, source) blocking as dedup_ngram_jaccard; a pair survives
+    when either direction's containment ≥ 0.5."""
+    from ..operators.dedup import ngram_containment_blocked
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    half = (
+        "array_join(slice(__w, 1, greatest(cast(ceil(size(__w) / 2) "
+        "as int), 1)), ' ')"
+    )
+    planted = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .withColumn("__w", F.filter(F.split(F.col("text"), " "),
+                                    lambda x: x != ""))
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.expr(half).alias("text"),
+            "lang", "source",
+        )
+    )
+    return ngram_containment_blocked(
+        docs.unionByName(planted),
+        block_expr=F.concat_ws("|", "lang", "source"), threshold=0.5,
+    )
+
+
+def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 — MinHash estimator accuracy
+    (operators/dedup.minhash_estimate_on_pairs): per LSH candidate
+    pair, the signature-agreement Jaccard estimate (k/8 over the
+    md5-portable affine family) vs the exact shingle Jaccard, with the
+    absolute error — the eval that sizes n_perms.  DuckDB rebuilds the
+    signatures hash-for-hash, so the ESTIMATES compare as exact
+    values."""
+    from ..operators.dedup import minhash_estimate_on_pairs
+
+    return minhash_estimate_on_pairs(load_table(spark, sf_dir, "documents"))
+
+
 def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fingerprint-blocked dedup: docs sharing a winnowing fingerprint are
     near-dup candidates; keep the min doc_id per fingerprint group."""
@@ -383,6 +431,8 @@ QUERIES = {
     "dedup_clusters_star": q_dedup_clusters_star,
     "corpus_leakage_safe_split": q_corpus_leakage_safe_split,
     "dedup_ngram_jaccard": q_ngram_jaccard,
+    "dedup_containment": q_dedup_containment,
+    "dedup_minhash_estimate": q_dedup_minhash_estimate,
     "dedup_fingerprint": q_dedup_fingerprint,
     "dedup_semantic": q_semantic_dedup,
     "dedup_semdedup_centroid": q_semdedup_centroid,
@@ -582,6 +632,45 @@ ORACLES = {
                     ELSE 'test' END AS split
         FROM asg
     """,
+    "dedup_containment": """
+        WITH w0 AS (
+            SELECT doc_id, lang, source,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS wd
+            FROM documents
+        ),
+        uni AS (
+            SELECT doc_id, lang, source, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, lang, source,
+                   array_to_string(
+                       wd[1:CAST(GREATEST(ceil(len(wd) / 2), 1) AS INT)], ' ')
+            FROM w0 WHERE doc_id % 97 = 0
+        ),
+        toks AS (SELECT doc_id, lang, source,
+                        string_split(text, ' ') AS tk FROM uni),
+        sh AS (SELECT doc_id, lang, source,
+                      list_distinct([array_to_string(tk[i:i+2], ' ')
+                                     for i in range(1, len(tk) - 1)]) AS ts
+               FROM toks),
+        nz AS (SELECT * FROM sh WHERE len(ts) > 0),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT)
+                       AS n_inter,
+                     ROUND(len(list_intersect(a.ts, b.ts)) * 1.0
+                           / len(a.ts), 6) AS cont_a_in_b,
+                     ROUND(len(list_intersect(a.ts, b.ts)) * 1.0
+                           / len(b.ts), 6) AS cont_b_in_a,
+                     ROUND(len(list_intersect(a.ts, b.ts)) * 1.0
+                           / len(list_distinct(list_concat(a.ts, b.ts))), 6)
+                       AS jaccard
+              FROM nz a JOIN nz b
+                ON a.lang = b.lang AND a.source = b.source
+               AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, n_inter, cont_a_in_b, cont_b_in_a, jaccard
+        FROM p WHERE GREATEST(cont_a_in_b, cont_b_in_a) >= 0.5
+    """,
+    # dedup_minhash_estimate is assigned below the dict (it needs the
+    # imported permutation constants to build its signature list)
     "dedup_ngram_jaccard": f"""
         WITH {_SHINGLES},
         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -805,3 +894,33 @@ ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]
 # splice the shared content-defined-chunk CTE chain (one definition
 # in llm_common so the two chunk oracles can never desynchronize)
 ORACLES["dedup_chunks_crossdoc"] = ORACLES["dedup_chunks_crossdoc"].replace("{CDC_CHUNK_CTES}", _CDC_CHUNK_CTES)
+
+# minhash-estimate oracle: rebuild the 8 signature values per doc from
+# the SAME affine family (constants imported, never copied) and compare
+# component agreement against the exact Jaccard the pair chain computes
+from ..operators.dedup import MINHASH_PERMS as _MH_PERMS_E  # noqa: E402
+from ..operators.dedup import MINHASH_PRIME as _MH_P_E  # noqa: E402
+
+_SIG_LIST = "[" + ", ".join(
+    f"CAST(list_min(list_transform(hs, h -> ({a} * h + {b}) % {_MH_P_E})) AS BIGINT)"
+    for a, b in _MH_PERMS_E
+) + "]"
+_N_PERMS_E = len(_MH_PERMS_E)
+
+ORACLES["dedup_minhash_estimate"] = f"""
+    WITH {_SHINGLES},
+    {_MINHASH_PAIR_CTES},
+    sigl AS (SELECT doc_id, {_SIG_LIST} AS sl FROM hsx),
+    m AS (SELECT j.doc_a, j.doc_b, j.jaccard,
+                 CAST(len(list_filter(range(1, {_N_PERMS_E + 1}),
+                     i -> a.sl[CAST(i AS INT)] = b.sl[CAST(i AS INT)]))
+                     AS BIGINT) AS n_sig_matches
+          FROM j JOIN sigl a ON j.doc_a = a.doc_id
+                 JOIN sigl b ON j.doc_b = b.doc_id)
+    SELECT doc_a, doc_b, n_sig_matches,
+           n_sig_matches * 1.0 / {_N_PERMS_E} AS est_jaccard,
+           jaccard,
+           FLOOR(abs(n_sig_matches * 1.0 / {_N_PERMS_E} - jaccard) * 1e6
+                 + 0.5) / 1e6 AS abs_err
+    FROM m
+"""

@@ -707,9 +707,66 @@ def ch_moving_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ch_string_search_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 — the ClickHouse string-SEARCH function family (CH's
+    string-search-functions doc page) over the documents corpus:
+    ``position`` (1-based, 0 when absent), ``positionCaseInsensitive``
+    (a planted ' TABLE' suffix on doc_id %7 rows makes the
+    case-folded find differ from the sensitive one), ``multiSearchAny``
+    (any of ['merge','window','batch'] present), and
+    ``multiSearchFirstIndex`` (1-based index of the FIRST pattern
+    found, 0 when none — CH's documented return), plus
+    ``countSubstrings`` (non-overlapping, via the replace-length
+    identity both engines share).  Map-only, zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    t2 = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" TABLE")).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", t2.alias("__t")).select(
+        "doc_id",
+        F.expr("instr(__t, 'table')").cast("long").alias("pos_table"),
+        F.expr("instr(lower(__t), 'table')").cast("long").alias("pos_table_ci"),
+        F.expr(
+            "instr(__t, 'merge') > 0 OR instr(__t, 'window') > 0 "
+            "OR instr(__t, 'batch') > 0"
+        ).alias("multi_any"),
+        F.expr(
+            "array_position(transform(array('merge', 'window', 'batch'), "
+            "p -> instr(__t, p) > 0), true)"
+        ).cast("long").alias("multi_first_index"),
+        ((F.length("__t") - F.expr("length(replace(__t, 'ta', ''))")) / 2)
+        .cast("long").alias("count_ta"),
+    )
+
+
+def supplier_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 — the distribution-rank window family next to
+    supplier_balance_ranks' rank/dense_rank/lag: ``ntile(4)`` balance
+    quartiles per nation, ``percent_rank`` ((rank−1)/(n−1), exact
+    integer ratio → bit-identical doubles in both engines) and
+    ``cume_dist`` — the window functions a percentile-bucketing report
+    uses.  Fully deterministic under the (acctbal DESC, suppkey ASC)
+    total order; one hash shuffle on the nation key."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey").asc()
+    )
+    return supplier.select(
+        "s_suppkey",
+        F.col("s_nationkey").cast("int").alias("s_nationkey"),
+        "s_acctbal",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+    )
+
+
 QUERIES = {
     "ch_array_functions": ch_array_functions,
     "ch_url_functions": ch_url_functions,
+    "ch_string_search_functions": ch_string_search_functions,
+    "supplier_rank_distribution": supplier_rank_distribution,
     "ch_agg_combinators": ch_agg_combinators,
     "ch_moving_aggregates": ch_moving_aggregates,
     "ch_map_functions": ch_map_functions,
@@ -823,6 +880,26 @@ ORACLES = {
                  || '/item' AS cut_query
         FROM t
     """,
+    "ch_string_search_functions": """
+        WITH t AS (
+            SELECT doc_id,
+                   text || CASE WHEN doc_id % 7 = 0 THEN ' TABLE'
+                                ELSE '' END AS s
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(strpos(s, 'table') AS BIGINT) AS pos_table,
+               CAST(strpos(lower(s), 'table') AS BIGINT) AS pos_table_ci,
+               (strpos(s, 'merge') > 0 OR strpos(s, 'window') > 0
+                OR strpos(s, 'batch') > 0) AS multi_any,
+               CAST(COALESCE(list_position(
+                   list_transform(['merge', 'window', 'batch'],
+                                  p -> strpos(s, p) > 0), true), 0)
+                    AS BIGINT) AS multi_first_index,
+               CAST((length(s) - length(replace(s, 'ta', ''))) / 2
+                    AS BIGINT) AS count_ta
+        FROM t
+    """,
     "ch_agg_combinators": """
         WITH base AS (
             SELECT o_orderpriority, o_orderstatus,
@@ -856,6 +933,15 @@ ORACLES = {
         SELECT m.o_orderpriority, m.count_if_f, m.sum_if_o, m.avg_if_f,
                m.min_if_p, m.sum_array, u.uniq_array
         FROM main m JOIN uniq u USING (o_orderpriority)
+    """,
+    "supplier_rank_distribution": """
+        SELECT s_suppkey, CAST(s_nationkey AS INT) AS s_nationkey, s_acctbal,
+               CAST(NTILE(4) OVER w AS INT) AS quartile,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume_dist
+        FROM supplier
+        WINDOW w AS (PARTITION BY s_nationkey
+                     ORDER BY s_acctbal DESC, s_suppkey ASC)
     """,
     "ch_moving_aggregates": """
         WITH s AS (
