@@ -13,7 +13,9 @@ API the tests and the driver contract use.
     versions PATH                 committed versions (time travel pins)
     signals PATH                  pending incremental-snapshot signals
     signal-snapshot PATH --order-col K --watermark V [--chunks N]
+                    [--type incremental|blocking] [--where SQL_PREDICATE]
                                   enqueue an execute-snapshot signal
+                                  (--where = Debezium additional-conditions)
     stop-snapshot PATH SIGNAL_ID  cancel a pending/running snapshot
     pause-snapshot PATH           suspend incremental snapshotting
     resume-snapshot PATH          lift a pause (no-op when not paused)
@@ -66,6 +68,9 @@ def main(argv: list[str] | None = None) -> int:
     ss.add_argument("--order-col", required=True)
     ss.add_argument("--watermark", required=True, type=int)
     ss.add_argument("--chunks", type=int, default=8)
+    ss.add_argument("--type", dest="snapshot_type", default="incremental",
+                    choices=("incremental", "blocking"))
+    ss.add_argument("--where", dest="additional_condition", default=None)
     st = sub.add_parser("stop-snapshot")
     st.add_argument("path")
     st.add_argument("signal_id")
@@ -126,6 +131,8 @@ def main(argv: list[str] | None = None) -> int:
         sid = signal_snapshot(
             args.path, order_col=args.order_col, n_chunks=args.chunks,
             watermark_version=args.watermark,
+            snapshot_type=args.snapshot_type,
+            additional_condition=args.additional_condition,
         )
         print(sid)
         return 0

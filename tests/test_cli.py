@@ -50,3 +50,22 @@ def test_cli_signal_lifecycle(tmp_path, capsys):
     import os
 
     assert os.path.exists(os.path.join(store, "_signals", f"{sid}.stop"))
+
+
+def test_cli_signal_snapshot_type_and_where(tmp_path, capsys):
+    """r13: --type blocking and --where (additional-conditions) land in
+    the signal payload."""
+    import json
+    import os
+
+    from postgres_debezium_clickhouse_spark.__main__ import main
+
+    store = str(tmp_path / "store")
+    assert main(["signal-snapshot", store, "--order-col", "id",
+                 "--watermark", "500", "--type", "blocking",
+                 "--where", "id % 2 = 1"]) == 0
+    sid = capsys.readouterr().out.strip()
+    with open(os.path.join(store, "_signals", f"{sid}.json")) as fh:
+        sig = json.load(fh)
+    assert sig["snapshot_type"] == "blocking"
+    assert sig["additional_condition"] == "id % 2 = 1"
