@@ -50,6 +50,7 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 
 _FRONT = (
     # round-13 additions (never driver-checked), newest first:
+    "embedding_center_normalize",
     "dedup_minhash_estimate",
     "cdc_outbox_route",
     "dedup_containment",

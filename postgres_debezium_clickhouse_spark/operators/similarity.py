@@ -1253,3 +1253,71 @@ def semdedup_centroid_keep(
             F.col("__drop").isNull().alias("keep"),
         )
     )
+
+
+def center_normalize(
+    corpus: DataFrame, dim: int = 64, id_col: str = "vec_id"
+) -> DataFrame:
+    """r13 — embedding mean-centering + re-normalization report (the
+    "all-but-the-top" preprocessing of Mu & Viswanath 2018 §3, step 1:
+    subtract the corpus mean vector — embedding spaces are anisotropic,
+    with a large common component that inflates every cosine; centering
+    removes it before cosine retrieval).  Emits per vector the norm
+    before and after centering and the cosine between the original and
+    centered vector (how much the common component was distorting it).
+
+    Determinism discipline: per-dimension means come from round-9
+    element values summed as DECIMAL(28,9) (exact, order-independent),
+    the mean itself is floor-rounded to 9; every downstream quadratic
+    term (squares, cross products) is kept as the exact INTEGER
+    floor(t·1e9 + 0.5) and summed as BIGINT — order-independent and
+    free of the double→decimal conversion whose rounding the engines
+    disagree on (caught here: per-element k/1e9 DECIMAL casts drifted
+    Spark vs DuckDB by ~1e-9/term) — with ONE double division at the
+    end.  Plan: one posexplode → per-dim aggregate (dim-sized result)
+    folded into a 1-row broadcast mean array; the per-vector pass is a
+    map-only zip_with fold against it — one tiny shuffle, corpus
+    scanned twice."""
+    k9 = "cast(floor(({x}) * 1e9 + 0.5) as bigint)"
+    v = as_double_vec(corpus).select(F.col(id_col), F.col("v"))
+    means = (
+        v.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.sum(F.expr(
+                "cast(floor(x * 1e9 + 0.5) / 1e9 as decimal(28,9))"
+            )).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "pos",
+            (F.floor(F.col("s").cast("double") / F.col("n") * 1e9 + 0.5)
+             / 1e9).alias("mu"),
+        )
+    )
+    mu_row = means.groupBy().agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, mu))), "
+               "s -> s.mu)").alias("__mu")
+    )
+    isum = (
+        "aggregate(zip_with(v, __mu, (x, m) -> {term}), "
+        "cast(0 as bigint), (a, s) -> a + s)"
+    )
+    sq_before = isum.format(term=k9.format(x="x * x"))
+    sq_after = isum.format(term=k9.format(x="(x - m) * (x - m)"))
+    cross = isum.format(term=k9.format(x="x * (x - m)"))
+    r6 = "floor({x} * 1e6 + 0.5) / 1e6"
+    return (
+        v.crossJoin(F.broadcast(mu_row))
+        .select(
+            F.col(id_col),
+            F.expr(r6.format(x=f"sqrt(({sq_before}) / 1e9)"))
+            .alias("norm_before"),
+            F.expr(r6.format(x=f"sqrt(({sq_after}) / 1e9)"))
+            .alias("norm_after"),
+            F.expr(r6.format(
+                x=f"(({cross}) / 1e9) / (sqrt(({sq_before}) / 1e9) "
+                  f"* sqrt(({sq_after}) / 1e9))"
+            )).alias("rotation_cos"),
+        )
+    )

@@ -843,3 +843,48 @@ ORACLES["similarity_hamming_topk"] = """
               ORDER BY hamming ASC, neighbor_id ASC) AS rnk FROM s)
     SELECT query_id, neighbor_id, hamming, cosine FROM r WHERE rnk <= 5
 """
+
+
+def q_embedding_center_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 — corpus mean-centering report (Mu & Viswanath 2018's
+    all-but-the-top step 1; operators/similarity.center_normalize):
+    per-vector norms before/after removing the corpus mean component
+    and the rotation cosine — the anisotropy diagnostic run before
+    committing a corpus to cosine retrieval.  Round-9 quadratic terms +
+    DECIMAL sums make every sqrt input exact in both engines."""
+    from ..operators.similarity import center_normalize
+
+    return center_normalize(load_table(spark, sf_dir, "embeddings"))
+
+
+QUERIES["embedding_center_normalize"] = q_embedding_center_normalize
+ORACLES["embedding_center_normalize"] = """
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    d AS (SELECT vec_id, CAST(i.i AS INT) AS pos, v[CAST(i.i AS INT)] AS x
+          FROM e CROSS JOIN LATERAL (
+              SELECT unnest(range(1, 65))) i(i)),
+    m AS (SELECT pos,
+                 FLOOR(CAST(SUM(CAST(FLOOR(x * 1e9 + 0.5) / 1e9
+                                     AS DECIMAL(28,9))) AS DOUBLE)
+                       / COUNT(*) * 1e9 + 0.5) / 1e9 AS mu
+          FROM d GROUP BY pos),
+    t AS (SELECT d.vec_id,
+                 CAST(FLOOR(d.x * d.x * 1e9 + 0.5) AS BIGINT) AS kb,
+                 CAST(FLOOR((d.x - m.mu) * (d.x - m.mu) * 1e9 + 0.5)
+                      AS BIGINT) AS ka,
+                 CAST(FLOOR(d.x * (d.x - m.mu) * 1e9 + 0.5) AS BIGINT) AS kc
+          FROM d JOIN m USING (pos)),
+    s AS (SELECT vec_id,
+                 CAST(SUM(kb) AS BIGINT) AS sb,
+                 CAST(SUM(ka) AS BIGINT) AS sa,
+                 CAST(SUM(kc) AS BIGINT) AS sc
+          FROM t GROUP BY vec_id)
+    SELECT vec_id,
+           FLOOR(sqrt(sb / 1e9) * 1e6 + 0.5) / 1e6 AS norm_before,
+           FLOOR(sqrt(sa / 1e9) * 1e6 + 0.5) / 1e6 AS norm_after,
+           FLOOR((sc / 1e9) / (sqrt(sb / 1e9) * sqrt(sa / 1e9)) * 1e6 + 0.5)
+             / 1e6 AS rotation_cos
+    FROM s
+"""

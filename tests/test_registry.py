@@ -72,6 +72,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "llm_filter_report",        # embeds the perplexity branch above
         "similarity_ann_ivf_table", # scalar attach: 1-row broadcast centroid array (index metadata)
         "embedding_quantize",       # scalar attach: 1-row broadcast min/max grid (dim-sized)
+        "embedding_center_normalize",  # scalar attach: 1-row broadcast per-dim mean array (r13)
         "corpus_vocab_coverage",    # scalar attach: 1-row broadcast occurrence total
         "similarity_ann_ivf_index", # scalar attach: 1-row broadcast centroid array (index metadata)
         "text_perplexity_separation",  # embeds the perplexity branch (1-row corpus-total attach)
