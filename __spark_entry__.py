@@ -50,6 +50,8 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 
 _FRONT = (
     # round-13 additions (never driver-checked), newest first:
+    "events_gapfill_interpolate",
+    "orders_first_last_window",
     "embedding_center_normalize",
     "dedup_minhash_estimate",
     "cdc_outbox_route",
@@ -74,10 +76,12 @@ _FRONT = (
     "cdc_snapshot_blocking",
     # steady-state cycling (oldest driver evidence first — recomputed
     # r13 from CORRECTNESS_r01..r12): the 3 remaining r7-evidence
-    # names, then the full 44-name r8 cohort.  5 + 3 + 44 = 52, so
-    # the driver's ~50-query window leaves the last ~2 r8 names for
-    # r14 — never-checked names always outrank evidence refresh.
-    # All 5 additions also carry local tri-scale sweep evidence.
+    # names, then the 44-name r8 cohort.  22 new + 3 + 44 = 69, so the
+    # driver's ~50-query window covers the 22 never-checked additions
+    # plus the r7 tail and the first ~25 r8 names; the r8 tail waits
+    # for r14 — never-checked names always outrank evidence refresh.
+    # All 22 additions also carry local tri-scale sweep evidence
+    # (CORRECTNESS_local_r13.txt + per-addition tri-scale runs).
     # (synthetic_transactions stays in _BACK by standing policy:
     # rows-only by contract — a window slot on it loses a check.)
     "stream_stateful_dedup",  # r7

@@ -907,6 +907,72 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 — ClickHouse ``ORDER BY … WITH FILL … INTERPOLATE (col)``:
+    where events_hourly_gapfill ZERO-fills the dense grid, INTERPOLATE
+    carries the previous row's value into filled rows (CH's default
+    interpolate expression is the column itself = carry-forward).  Per
+    event_type the hourly MEAN of value rides the grid; gap hours
+    repeat the last present mean, flagged ``interpolated``.  Mean
+    determinism: per-row value folds to the exact integer
+    floor(v·1e6+0.5), BIGINT-summed, one double division at the end
+    (the center_normalize lesson: never round doubles through DECIMAL
+    per element).  Carry-forward = one last_value(IGNORE NULLS) window
+    over the grid — O(types × hours), never O(events)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") >= 200)
+    hour = F.date_trunc("hour", F.col("ts"))
+    metrics = ev.groupBy(hour.alias("h"), "event_type").agg(
+        F.sum(F.expr("cast(floor(value * 1e6 + 0.5) as bigint)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "h", "event_type",
+        (F.floor(F.col("s") / 1e6 / F.col("n") * 1e4 + 0.5) / 1e4)
+        .alias("mean_v"),
+    )
+    bounds = metrics.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = grid.join(metrics, ["event_type", "h"], "left")
+    return joined.select(
+        "event_type",
+        F.col("h").alias("hour"),
+        F.last("mean_v", ignorenulls=True).over(w).alias("mean_value"),
+        F.col("mean_v").isNull().alias("interpolated"),
+    )
+
+
+def orders_first_last_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 — the value-navigation window family (first_value /
+    last_value / nth_value, completing the rank/lag/lead and
+    ntile/percent_rank families): per customer under the
+    (o_orderdate, o_orderkey) total order, every order row carries the
+    customer's first, latest, and second order price (NULL when no
+    second order exists).  Full-partition frames stated explicitly —
+    the default ORDER BY frame would make last_value the CURRENT row,
+    the classic window trap.  One hash shuffle on the customer key."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.first(price).over(w).cast("double").alias("first_price"),
+        F.last(price).over(w).cast("double").alias("last_price"),
+        F.nth_value(price, 2).over(w).cast("double").alias("second_price"),
+    )
+
+
 def events_uniq_upto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r9 — the ClickHouse ``uniqUpTo(N)(col)`` aggregate
     (operators/sketch.uniq_upto): exact distinct users per event_type
@@ -992,6 +1058,8 @@ QUERIES = {
     "events_hourly_gapfill": events_hourly_gapfill,
     "events_sequence_match": events_sequence_match,
     "events_sequence_match_time": events_sequence_match_time,
+    "events_gapfill_interpolate": events_gapfill_interpolate,
+    "orders_first_last_window": orders_first_last_window,
     "events_window_funnel": events_window_funnel,
 }
 
@@ -1218,6 +1286,48 @@ ORACLES["events_cohort_retention"] = """
            s.cohort_users,
            ROUND(r.n_active * 1.0 / s.cohort_users, 6) AS retention
     FROM ret r JOIN sz s USING (cohort)
+"""
+
+ORACLES["events_gapfill_interpolate"] = """
+    WITH m AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               FLOOR(CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT))
+                          AS DOUBLE) / 1e6 / COUNT(*) * 1e4 + 0.5) / 1e4
+                 AS mean_v
+        FROM events WHERE value >= 200
+        GROUP BY event_type, h
+    ),
+    b AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1
+          FROM m GROUP BY event_type),
+    grid AS (
+        SELECT b.event_type, g.h
+        FROM b, LATERAL (SELECT unnest(generate_series(b.h0, b.h1,
+                                                       INTERVAL 1 HOUR)) AS h) g
+    ),
+    j AS (SELECT grid.event_type, grid.h, m.mean_v
+          FROM grid LEFT JOIN m
+            ON grid.event_type = m.event_type AND grid.h = m.h)
+    SELECT event_type, h AS hour,
+           last_value(mean_v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS mean_value,
+           mean_v IS NULL AS interpolated
+    FROM j
+"""
+
+ORACLES["orders_first_last_window"] = """
+    SELECT o_custkey, o_orderkey,
+           CAST(FIRST_VALUE(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+                AS DOUBLE) AS first_price,
+           CAST(LAST_VALUE(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+                AS DOUBLE) AS last_price,
+           CAST(NTH_VALUE(CAST(o_totalprice AS DECIMAL(18,2)), 2) OVER w
+                AS DOUBLE) AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)
 """
 
 ORACLES["events_sequence_match_time"] = """
