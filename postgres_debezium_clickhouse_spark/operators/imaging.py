@@ -120,16 +120,41 @@ def _filter_image(pixels: bytes, width: int, height: int, bpp: int) -> bytearray
 def png_encode(
     width: int, height: int, pixels: bytes, channels: int = 3,
     interlace: int = 0,
+    text_chunks: list[tuple] | None = None,
 ) -> bytes:
     """Write a real PNG (bit depth 8).  ``pixels`` is the raw byte stream,
     ``width*height*channels`` long.  Scanline filters cycle 0→4 by row so
     every filter's decode path gets exercised by any multi-row image.
     ``interlace=1`` writes Adam7: the seven passes extracted on the
-    spec's 8×8 grid, each filtered as its own independent image."""
+    spec's 8×8 grid, each filtered as its own independent image.
+
+    ``text_chunks`` (r13) emits the spec's three textual-metadata chunk
+    types between IHDR and IDAT, each entry one of
+    ``("text", keyword, value)`` (tEXt: latin-1, NUL-separated),
+    ``("ztxt", keyword, value)`` (zTXt: zlib-deflated value, compression
+    method byte 0) or ``("itxt", keyword, lang, value)`` (iTXt:
+    uncompressed UTF-8 with a language tag; translated keyword left
+    empty)."""
     if len(pixels) != width * height * channels:
         raise ValueError("pixel buffer size mismatch")
     if interlace not in (0, 1):
         raise ValueError(f"interlace must be 0 or 1, got {interlace}")
+    meta = b""
+    for entry in text_chunks or ():
+        kind, keyword = entry[0], entry[1].encode("latin-1")
+        if kind == "text":
+            meta += _chunk(b"tEXt", keyword + b"\x00"
+                           + entry[2].encode("latin-1"))
+        elif kind == "ztxt":
+            meta += _chunk(b"zTXt", keyword + b"\x00\x00"
+                           + zlib.compress(entry[2].encode("latin-1"), 6))
+        elif kind == "itxt":
+            _, _, lang, value = entry
+            meta += _chunk(b"iTXt", keyword + b"\x00\x00\x00"
+                           + lang.encode("ascii") + b"\x00" + b"\x00"
+                           + value.encode("utf-8"))
+        else:
+            raise ValueError(f"unknown text chunk kind {kind!r}")
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0,
                        interlace)
@@ -151,9 +176,75 @@ def png_encode(
     return (
         PNG_SIG
         + _chunk(b"IHDR", ihdr)
+        + meta
         + _chunk(b"IDAT", idat)
         + _chunk(b"IEND", b"")
     )
+
+
+def png_text_metadata(blob: bytes) -> list[tuple[str, str, str]]:
+    """r13 — extract PNG textual metadata: every tEXt / zTXt / iTXt
+    chunk as ``(kind, keyword, text)``, in file order.  Same loud-
+    failure contract as ``png_decode``: bad signature, truncated
+    chunks, CRC mismatches, a missing keyword NUL, an unknown zTXt
+    compression method, a bad iTXt compression flag, or a corrupt
+    deflate stream all raise ValueError (fuzz-pinned in
+    tests/test_imaging.py).  iTXt values decode as UTF-8 (the spec),
+    tEXt/zTXt as latin-1."""
+    if blob[:8] != PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    out: list[tuple[str, str, str]] = []
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack(">I", blob[pos:pos + 4])
+        if pos + 12 + length > len(blob):
+            raise ValueError("truncated PNG chunk")
+        ctype = blob[pos + 4:pos + 8]
+        data = blob[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack(">I", blob[pos + 8 + length:pos + 12 + length])
+        if crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        try:
+            if ctype == b"tEXt":
+                kw, sep, val = data.partition(b"\x00")
+                if not sep or not kw:
+                    raise ValueError("tEXt missing keyword separator")
+                out.append(("text", kw.decode("latin-1"),
+                            val.decode("latin-1")))
+            elif ctype == b"zTXt":
+                kw, sep, rest = data.partition(b"\x00")
+                if not sep or not kw or not rest:
+                    raise ValueError("zTXt missing keyword separator")
+                if rest[0] != 0:
+                    raise ValueError(
+                        f"zTXt unknown compression method {rest[0]}")
+                out.append(("ztxt", kw.decode("latin-1"),
+                            zlib.decompress(rest[1:]).decode("latin-1")))
+            elif ctype == b"iTXt":
+                kw, sep, rest = data.partition(b"\x00")
+                if not sep or not kw or len(rest) < 2:
+                    raise ValueError("iTXt missing keyword separator")
+                comp_flag, comp_method = rest[0], rest[1]
+                if comp_flag not in (0, 1):
+                    raise ValueError(f"iTXt bad compression flag {comp_flag}")
+                if comp_flag == 1 and comp_method != 0:
+                    raise ValueError(
+                        f"iTXt unknown compression method {comp_method}")
+                lang, sep2, rest2 = rest[2:].partition(b"\x00")
+                tkw, sep3, val = rest2.partition(b"\x00")
+                if not sep2 or not sep3:
+                    raise ValueError("iTXt missing lang/keyword separator")
+                raw = zlib.decompress(val) if comp_flag == 1 else val
+                out.append(("itxt", kw.decode("latin-1"),
+                            raw.decode("utf-8")))
+            elif ctype == b"IEND":
+                break
+        except zlib.error as e:
+            raise ValueError(f"bad text chunk deflate stream: {e}") from e
+        except UnicodeDecodeError as e:
+            raise ValueError(f"bad text chunk encoding: {e}") from e
+        pos += 12 + length
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1434,3 +1525,72 @@ def synth_dhash_images(ids_df: DataFrame, id_col: str = "doc_id",
             yield pd.DataFrame({"doc_id": ids, "media": blobs})
 
     return ids_df.select(id_col).mapInPandas(_synth, schema=MEDIA_BLOB_SCHEMA)
+
+
+def synth_text_pngs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """r13 — metadata-bearing PNG fixture: for doc ``d``, a real 3×2 RGB
+    PNG (pixels the usual (d·7 + i) % 256 closed form) carrying
+    deterministic textual chunks — tEXt Title ``doc <d>`` and Software
+    ``pdc-spark`` on every image, a zTXt Comment ``comment <d%11>``
+    (zlib-deflated) on d % 5 == 0, and an iTXt Description
+    ``résumé <d%13>`` with lang 'en' (UTF-8, non-ASCII on purpose) on
+    d % 7 == 0 — all closed-form in ``d`` for the oracle.  Arrow
+    mapInPandas, executor-parallel."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                w, h = 3, 2
+                px = bytes((d * 7 + i) % 256 for i in range(w * h * 3))
+                chunks: list[tuple] = [
+                    ("text", "Title", f"doc {d}"),
+                    ("text", "Software", "pdc-spark"),
+                ]
+                if d % 5 == 0:
+                    chunks.append(("ztxt", "Comment", f"comment {d % 11}"))
+                if d % 7 == 0:
+                    chunks.append(
+                        ("itxt", "Description", "en", f"résumé {d % 13}"))
+                ids.append(d)
+                blobs.append(png_encode(w, h, px, 3, text_chunks=chunks))
+            yield pd.DataFrame({id_col: ids, "media": blobs})
+
+    return ids_df.mapInPandas(_synth, schema=f"{id_col} long, media binary")
+
+
+def png_metadata_rows(media_df: DataFrame, id_col: str = "doc_id",
+                      blob_col: str = "media") -> DataFrame:
+    """r13 — run ``png_text_metadata`` over a blob column (Arrow
+    mapInPandas, map-only): per image the text-chunk count, the
+    keywords in file order, and the Title / Comment / Description
+    values (NULL when the image carries no such chunk)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                entries = png_text_metadata(bytes(blob))
+                by_kw = {kw: val for _, kw, val in entries}
+                rows.append({
+                    id_col: int(doc_id),
+                    "n_text": len(entries),
+                    "keywords": ",".join(kw for _, kw, _v in entries),
+                    "title": by_kw.get("Title"),
+                    "comment": by_kw.get("Comment"),
+                    "description": by_kw.get("Description"),
+                })
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(
+        _run,
+        schema=(f"{id_col} long, n_text int, keywords string, "
+                "title string, comment string, description string"),
+    )

@@ -311,7 +311,23 @@ def q_llm_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_png_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 — PNG textual-metadata extraction (the spec's tEXt / zTXt /
+    iTXt chunks; operators/imaging.png_text_metadata): every doc's
+    fixture PNG carries deterministic Title/Software tEXt chunks, a
+    zlib-deflated zTXt Comment on doc_id %5, and a non-ASCII UTF-8 iTXt
+    Description on %7 — so the NUL-separated layouts, the deflate path,
+    and the UTF-8 decode are all value-checked against the closed
+    forms.  The malformed-chunk ValueError contract is fuzz-pinned in
+    tests/test_imaging.py."""
+    from ..operators.imaging import png_metadata_rows, synth_text_pngs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return png_metadata_rows(synth_text_pngs(docs))
+
+
 QUERIES = {
+    "multimodal_png_metadata": q_multimodal_png_metadata,
     "multimodal_byte_stats": q_multimodal_bytes,
     "multimodal_features": q_multimodal_features,
     "multimodal_thumbnails": q_multimodal_thumbnails,
@@ -332,6 +348,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    "multimodal_png_metadata": """
+        SELECT doc_id,
+               CAST(2 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+                      + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
+                    AS INT) AS n_text,
+               'Title,Software'
+                 || CASE WHEN doc_id % 5 = 0 THEN ',Comment' ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0 THEN ',Description'
+                         ELSE '' END AS keywords,
+               'doc ' || CAST(doc_id AS VARCHAR) AS title,
+               CASE WHEN doc_id % 5 = 0
+                    THEN 'comment ' || CAST(doc_id % 11 AS VARCHAR)
+               END AS comment,
+               CASE WHEN doc_id % 7 = 0
+                    THEN 'résumé ' || CAST(doc_id % 13 AS VARCHAR)
+               END AS description
+        FROM documents
+    """,
     "multimodal_byte_stats": """
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

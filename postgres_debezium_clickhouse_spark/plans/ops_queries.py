@@ -457,6 +457,50 @@ def silver_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sh.rmtree(path, ignore_errors=True)
 
 
+def silver_optimize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 — ClickHouse ``OPTIMIZE TABLE … FINAL DEDUPLICATE BY``
+    analogue (streaming/pipeline.optimize_deduplicate), ORACLE-checked:
+    publish the orders snapshot as a store keyed by o_orderkey, then
+    DEDUPLICATE BY (custkey, status) — every (customer, status) group
+    keeps exactly its lowest-key row (the deterministic strengthening
+    of CH's unspecified-survivor rule), losers tombstoned through the
+    normal versioned publish.  Emits BOTH the post-optimize live state
+    and the pre-optimize state via time travel, so one query
+    value-checks the dedup semantics AND that the maintenance op kept
+    the audit trail."""
+    import shutil as _sh
+
+    from ..streaming.pipeline import (
+        _publish_buckets,
+        optimize_deduplicate,
+        read_silver,
+        silver_versions,
+    )
+
+    path = f"{tempfile.gettempdir()}/optdedup_store_{uuid.uuid4().hex[:12]}"
+    try:
+        base = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            F.col("o_orderkey").alias("key"),
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderstatus").alias("status"),
+        ).withColumn("__deleted", F.lit(False))
+        _publish_buckets(
+            base, path, ["key"],
+            {"version": 0, "n_buckets": 8, "files": []}, set(range(8)),
+        )
+        v_base = silver_versions(path)[-1]
+        optimize_deduplicate(spark, path, ["key"], ["custkey", "status"])
+        after = read_silver(spark, path).select(
+            F.lit("after").alias("stage"), "key", "custkey", "status"
+        )
+        before = read_silver(spark, path, as_of_version=v_base).select(
+            F.lit("before").alias("stage"), "key", "custkey", "status"
+        )
+        return after.unionByName(before).localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(path, ignore_errors=True)
+
+
 def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r7 — completes the T10 streaming matrix (tumbling =
     stream_hourly_counts, session = stream_sessionization, sliding =
@@ -2880,6 +2924,7 @@ QUERIES = {
     "stream_hourly_counts": stream_hourly_counts,
     "silver_time_travel": silver_time_travel,
     "silver_mutation": silver_mutation,
+    "silver_optimize_dedup": silver_optimize_dedup,
     "stream_sliding_counts": stream_sliding_counts,
     "stream_summing_state": stream_summing_state,
     "stream_collapsing_state": stream_collapsing_state,
@@ -3380,6 +3425,16 @@ ORACLES["silver_ttl_rollup"] = """
 ORACLES["silver_ttl"] = """
     SELECT o_orderkey, o_orderdate, CAST(o_totalprice AS DOUBLE) AS o_totalprice
     FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+"""
+
+ORACLES["silver_optimize_dedup"] = """
+    SELECT 'after' AS stage, o_orderkey AS key,
+           o_custkey AS custkey, o_orderstatus AS status
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderstatus
+                               ORDER BY o_orderkey) = 1
+    UNION ALL
+    SELECT 'before', o_orderkey, o_custkey, o_orderstatus FROM orders
 """
 
 ORACLES["silver_mutation"] = """

@@ -994,6 +994,62 @@ def mutate_silver(
     return n
 
 
+def optimize_deduplicate(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    by_cols: list[str],
+) -> int:
+    """r13 — the ClickHouse ``OPTIMIZE TABLE … FINAL DEDUPLICATE BY
+    col-list`` maintenance statement: rows whose ``by_cols`` tuple
+    duplicates another live row's are removed, one survivor kept per
+    group.  CH keeps an UNSPECIFIED row (merge order); this store keeps
+    the lowest key tuple — deterministic, so reads, re-runs, and the
+    DuckDB oracle agree (documented strengthening, same spirit as the
+    insert-order tie-break elsewhere).  Removal uses the store's
+    uniform tombstone representation, so time travel still shows the
+    pre-optimize state and compaction GCs the losers later.
+
+    O(touched buckets): the duplicate scan is one window over live rows
+    (shuffles on ``by_cols``), but only buckets CONTAINING losers are
+    republished through the usual epoch-claim + CAS commit.  Returns
+    the number of rows tombstoned."""
+    from pyspark.sql import Window
+
+    manifest = _read_manifest(path)
+    if manifest is None:
+        raise FileNotFoundError(f"no silver store at {path}")
+    df = _read_live_files(spark, path, manifest)
+    nb = manifest["n_buckets"]
+    live = ~F.col(DELETED_FLAG)
+    w = Window.partitionBy(*by_cols).orderBy(*[F.col(k).asc() for k in keys])
+    losers = (
+        df.filter(live)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(*keys)
+    )
+    touched = {
+        int(r[0])
+        for r in losers.select(_bucket_expr(keys, nb).alias("b"))
+        .distinct()
+        .collect()
+    }
+    if not touched:
+        return 0
+    sub = df.filter(_bucket_expr(keys, nb).isin(sorted(touched)))
+    n = losers.count()
+    marked = sub.join(
+        losers.withColumn("__loser", F.lit(True)), keys, "left"
+    ).withColumn(
+        DELETED_FLAG,
+        F.when(F.col("__loser").isNotNull() & live, F.lit(True))
+        .otherwise(F.col(DELETED_FLAG)),
+    ).drop("__loser")
+    _publish_buckets(marked, path, keys, manifest, touched)
+    return n
+
+
 def _replay_guard(path: str, ckpt_key: str, batch_id: int) -> dict | None:
     """Shared replay guard for the NON-IDEMPOTENT sinks (summing /
     aggregating / collapsing — anything whose merge ADDS rather than
