@@ -1022,3 +1022,67 @@ def lm_trigram_stupid_backoff(
             ppl.alias("ppl"),
         )
     )
+
+
+def fineweb_rules(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """r13 — the FineWeb custom quality filters (Penedo et al. 2024
+    §3.1, the three line-level heuristics the paper adds BEYOND its
+    Gopher/C4 base — this completes the public filter trio next to
+    ``gopher_rules`` and ``c4_line_filter``):
+
+    * punctuation rule: fraction of lines ending in terminal
+      punctuation must be ≥ 0.12;
+    * short-line rule: fraction of lines shorter than 30 chars must be
+      ≤ 0.67;
+    * duplicated-line rule: fraction of CHARACTERS sitting in repeat
+      occurrences of a duplicated line (occurrences after each line's
+      first) must be ≤ 0.10.
+
+    Every threshold is tested in EXACT INTEGER cross-multiplication
+    (the gopher_rules idiom — no float boundary can flip between
+    engines); the reported ratios are informational roundings.  Plan:
+    one split + explode, one (doc, line) count shuffle, one per-doc
+    regroup — O(total lines), no UDF."""
+    lines = documents.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("__i", "__line"),
+    )
+    per_line = lines.select(
+        id_col,
+        F.col("__line"),
+        F.length("__line").cast("long").alias("__len"),
+        F.col("__line").rlike("[.!?\"]$").cast("int").alias("__punct"),
+        (F.length("__line") < 30).cast("int").alias("__short"),
+    )
+    dup = (
+        per_line.groupBy(id_col, "__line")
+        .agg(F.count(F.lit(1)).alias("c"), F.first("__len").alias("l"))
+        .groupBy(id_col)
+        .agg(F.sum((F.col("c") - 1) * F.col("l")).alias("dup_line_chars"))
+    )
+    per_doc = per_line.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("__punct").cast("long").alias("punct_lines"),
+        F.sum("__short").cast("long").alias("short_lines"),
+        F.sum("__len").cast("long").alias("total_line_chars"),
+    )
+    punct_ok = F.col("punct_lines") * 100 >= F.col("n_lines") * 12
+    short_ok = F.col("short_lines") * 100 <= F.col("n_lines") * 67
+    dup_ok = F.col("dup_line_chars") * 10 <= F.col("total_line_chars")
+    return (
+        per_doc.join(dup, id_col)
+        .select(
+            F.col(id_col),
+            "n_lines", "punct_lines", "short_lines",
+            "total_line_chars",
+            F.col("dup_line_chars").cast("long").alias("dup_line_chars"),
+            punct_ok.alias("punct_ok"),
+            short_ok.alias("short_ok"),
+            dup_ok.alias("dup_ok"),
+            (punct_ok & short_ok & dup_ok).alias("passes"),
+        )
+    )

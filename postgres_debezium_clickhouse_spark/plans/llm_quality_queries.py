@@ -226,7 +226,50 @@ def q_llm_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fineweb_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 — the FineWeb custom line-level filters (Penedo et al. 2024
+    §3.1; operators/text.fineweb_rules), completing the public filter
+    trio next to quality_gopher_rules and text_c4_line_filter.  Planted
+    multi-line pages make each rule fire on a known cohort: doc_id
+    %5 == 0 pages carry NO punctuation-terminated lines (punct rule),
+    %4 == 0 pages gain twelve 5-char 'tiny.' lines (short-line rule),
+    %3 == 0 pages repeat their own first line twice more (duplicated-
+    line-characters rule — length-independent by construction).  The
+    oracle rebuilds the same pages and replays all three
+    integer-exact threshold tests."""
+    from ..operators.text import fineweb_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    t = F.trim(F.col("text"))
+    l2 = F.when(
+        k % 5 == 0, F.lit("planted line number two without any ending mark")
+    ).otherwise(
+        F.lit("this first planted line terminates with proper punctuation.")
+    )
+    l3 = F.when(
+        k % 5 == 0, F.lit("planted line number three equally unpunctuated")
+    ).otherwise(
+        F.lit("so does this second planted sentence, clearly and visibly.")
+    )
+    mid = (
+        F.when(k % 4 == 0, F.expr("repeat('\ntiny.', 12)"))
+        .when(k % 5 == 0,
+              F.lit("\na fourth line here with no terminal mark at all"))
+        .otherwise(
+            F.lit("\na fourth line that is long enough and ends"
+                  " with a period."))
+    )
+    tail = F.when(k % 3 == 0, F.concat(F.lit("\n"), t, F.lit("\n"), t)).otherwise(
+        F.lit("\na fifth line without terminal punctuation here"
+              "\nand a sixth line also lacking punctuation at its end")
+    )
+    page = F.concat(F.concat_ws("\n", t, l2, l3), mid, tail)
+    return fineweb_rules(docs.select("doc_id", page.alias("text")))
+
+
 QUERIES = {
+    "quality_fineweb_rules": q_fineweb_rules,
     "quality_gopher_rules": q_gopher_rules,
     "quality_adaptive_filter": q_quality_adaptive_filter,
     "quality_classifier_score": q_classifier_score,
@@ -239,6 +282,64 @@ QUERIES = {
 }
 
 ORACLES = {
+    "quality_fineweb_rules": """
+        WITH pg AS (
+            SELECT doc_id,
+                   trim(text) || chr(10)
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN 'planted line number two without any ending mark'
+                           ELSE 'this first planted line terminates with proper punctuation.'
+                      END || chr(10)
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN 'planted line number three equally unpunctuated'
+                           ELSE 'so does this second planted sentence, clearly and visibly.'
+                      END
+                   || CASE WHEN doc_id % 4 = 0
+                           THEN repeat(chr(10) || 'tiny.', 12)
+                           WHEN doc_id % 5 = 0
+                           THEN chr(10) || 'a fourth line here with no terminal mark at all'
+                           ELSE chr(10) || 'a fourth line that is long enough and ends with a period.'
+                      END
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN chr(10) || trim(text) || chr(10) || trim(text)
+                           ELSE chr(10) || 'a fifth line without terminal punctuation here'
+                                || chr(10) || 'and a sixth line also lacking punctuation at its end'
+                      END AS page
+            FROM documents
+        ),
+        ln AS (SELECT doc_id, unnest(string_split(page, chr(10))) AS line
+               FROM pg),
+        per_line AS (
+            SELECT doc_id, line, length(line) AS l,
+                   CASE WHEN regexp_matches(line, '[.!?"]$')
+                        THEN 1 ELSE 0 END AS p,
+                   CASE WHEN length(line) < 30 THEN 1 ELSE 0 END AS s
+            FROM ln
+        ),
+        dup AS (
+            SELECT doc_id, CAST(SUM((c - 1) * l) AS BIGINT)
+                     AS dup_line_chars
+            FROM (SELECT doc_id, line, COUNT(*) AS c, MIN(l) AS l
+                  FROM per_line GROUP BY doc_id, line)
+            GROUP BY doc_id
+        ),
+        agg AS (
+            SELECT doc_id, COUNT(*) AS n_lines,
+                   CAST(SUM(p) AS BIGINT) AS punct_lines,
+                   CAST(SUM(s) AS BIGINT) AS short_lines,
+                   CAST(SUM(l) AS BIGINT) AS total_line_chars
+            FROM per_line GROUP BY doc_id
+        )
+        SELECT a.doc_id, a.n_lines, a.punct_lines, a.short_lines,
+               a.total_line_chars, d.dup_line_chars,
+               a.punct_lines * 100 >= a.n_lines * 12 AS punct_ok,
+               a.short_lines * 100 <= a.n_lines * 67 AS short_ok,
+               d.dup_line_chars * 10 <= a.total_line_chars AS dup_ok,
+               (a.punct_lines * 100 >= a.n_lines * 12
+                AND a.short_lines * 100 <= a.n_lines * 67
+                AND d.dup_line_chars * 10 <= a.total_line_chars) AS passes
+        FROM agg a JOIN dup d USING (doc_id)
+    """,
     "quality_gopher_rules": """
         WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
         s AS (SELECT doc_id,
