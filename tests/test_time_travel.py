@@ -252,3 +252,25 @@ def test_vacuum_default_history_retention_keeps_small_stores_intact(tmp_path):
         pl._write_manifest(root, {"version": v, "files": []})
     pl.vacuum_silver(root, grace_s=0)
     assert pl.silver_versions(root) == [1, 2, 3, 4, 5]
+
+
+def test_optimize_deduplicate_semantics(spark, dirs):
+    """r13 — OPTIMIZE … DEDUPLICATE BY: one survivor per by-group
+    (lowest key), losers tombstoned through a versioned publish (time
+    travel keeps the pre-optimize state), no-duplicates call is a
+    0-return no-op that publishes nothing."""
+    # vals: ids 1..6 with by-value groups A:{1,3,5} B:{2,4} C:{6}
+    rows = [(i, "A" if i % 2 == 1 else ("B" if i != 6 else "C"),
+             "c", 100, i) for i in range(1, 7)]
+    _publish(spark, dirs, 1, rows)
+    v_before = pl.silver_versions(dirs["silver"])[-1]
+    n = pl.optimize_deduplicate(spark, dirs["silver"], ["id"], ["val"])
+    assert n == 3                           # A loses 3,5; B loses 4
+    assert _state(spark, dirs) == {1: "A", 2: "B", 6: "C"}
+    # audit trail: the pre-optimize state is still readable
+    assert _state(spark, dirs, as_of_version=v_before) == {
+        1: "A", 2: "B", 3: "A", 4: "B", 5: "A", 6: "C"}
+    # already-deduped store: no-op, nothing republished
+    v_now = pl.silver_versions(dirs["silver"])[-1]
+    assert pl.optimize_deduplicate(spark, dirs["silver"], ["id"], ["val"]) == 0
+    assert pl.silver_versions(dirs["silver"])[-1] == v_now
