@@ -50,6 +50,7 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 
 _FRONT = (
     # round-13 additions (never driver-checked), newest first:
+    "text_bigram_interpolated",
     "quality_fineweb_rules",
     "multimodal_png_metadata",
     "silver_optimize_dedup",

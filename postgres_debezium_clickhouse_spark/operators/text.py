@@ -1086,3 +1086,77 @@ def fineweb_rules(
             (punct_ok & short_ok & dup_ok).alias("passes"),
         )
     )
+
+
+def lm_bigram_interpolated(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+) -> DataFrame:
+    """r13 — Jelinek-Mercer INTERPOLATED bigram smoothing (Jelinek &
+    Mercer 1980; Chen & Goodman 1999 §2.4's baseline): every transition
+    scores ln(λ·cnt(w₁w₂)/cnt(w₁) + (1−λ)·cnt(w₂)/total) — unlike
+    stupid backoff, a PROPER probability (the mixture sums to 1 over
+    w₂), and the unseen-bigram case is the same formula with a zero
+    first term, not a separate branch.  λ = 0.7.  The third smoothing
+    family next to stupid backoff (bigram + trigram) — the comparison
+    that shows why web-scale LMs dropped interpolation: this needs the
+    same count tables but held-out λ tuning, where backoff needs
+    nothing.
+
+    Same plan and determinism discipline as ``lm_bigram_stupid_backoff``:
+    bigram counts shuffle on the pair key, unigrams + total broadcast,
+    round-6 logs → DECIMAL(20,6) sums → floor-mean."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    pairs_arr = F.expr(
+        "zip_with(slice(__w, 1, greatest(size(__w) - 1, 0)),"
+        " slice(__w, 2, greatest(size(__w) - 1, 0)),"
+        " (a, b) -> struct(a as w1, b as w2))"
+    )
+    pairs = (
+        documents.withColumn("__w", words)
+        .select(F.col(id_col), F.explode(pairs_arr).alias("p"))
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    toks = documents.select(
+        F.col(id_col),
+        F.explode(words).alias("token"),
+    )
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("ucnt"))
+    tot = uni.groupBy().agg(F.sum("ucnt").alias("__total"))
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bcnt"))
+    u1 = uni.select(F.col("token").alias("w1"), F.col("ucnt").alias("c1"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("ucnt").alias("c2"))
+    mix = (
+        F.lit(lam) * F.coalesce(F.col("bcnt"), F.lit(0)) / F.col("c1")
+        + F.lit(1.0 - lam) * F.col("c2") / F.col("__total")
+    )
+    scored = (
+        pairs.join(bi, ["w1", "w2"], "left")
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("__s", F.round(F.log(mix), 6).cast("decimal(20,6)"))
+    )
+    per = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.sum("__s").alias("__sum"),
+    )
+    avg = (
+        F.floor(
+            F.col("__sum").cast("double") / F.col("n_transitions") * 1e6
+            + 0.5
+        ) / 1e6
+    )
+    ppl = F.floor(F.exp(-avg) * 1e4 + 0.5) / 1e4
+    return (
+        documents.select(id_col).join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_transitions", F.lit(0)).cast("long")
+            .alias("n_transitions"),
+            avg.alias("avg_logscore"),
+            ppl.alias("ppl"),
+        )
+    )

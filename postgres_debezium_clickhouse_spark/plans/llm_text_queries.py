@@ -277,11 +277,23 @@ def q_text_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_trigram_stupid_backoff(load_table(spark, sf_dir, "documents"))
 
 
+def q_text_bigram_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 — Jelinek-Mercer interpolated bigram scoring
+    (operators/text.lm_bigram_interpolated, λ = 0.7): the PROPER-
+    probability smoothing family next to stupid backoff — same count
+    tables, one mixture formula for seen and unseen transitions alike.
+    Same round-6-log / DECIMAL-sum / floor-mean discipline."""
+    from ..operators.text import lm_bigram_interpolated
+
+    return lm_bigram_interpolated(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_c4_line_filter": q_text_c4_line_filter,
     "corpus_zipf_fit": q_corpus_zipf_fit,
     "text_trigram_backoff": q_text_trigram_backoff,
+    "text_bigram_interpolated": q_text_bigram_interpolated,
     "text_lang_id": q_lang_id,
     "text_quality_score": q_quality_score,
     "text_token_count": q_token_count,
@@ -385,6 +397,49 @@ ORACLES = {
                     THEN array_to_string(kept, chr(10))
                     ELSE '' END AS cleaned_text
         FROM k
+    """,
+    "text_bigram_interpolated": """
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS wd
+            FROM documents
+        ),
+        pairs AS (
+            SELECT doc_id, wd[CAST(i.i AS INT)] AS w1,
+                   wd[CAST(i.i + 1 AS INT)] AS w2
+            FROM w CROSS JOIN LATERAL (
+                SELECT unnest(range(1, len(wd)))) i(i)
+        ),
+        toks AS (SELECT doc_id, unnest(wd) AS token FROM w),
+        uni AS (SELECT token, COUNT(*) AS ucnt FROM toks GROUP BY token),
+        tot AS (SELECT SUM(ucnt) AS t FROM uni),
+        bi AS (SELECT w1, w2, COUNT(*) AS bcnt FROM pairs GROUP BY w1, w2),
+        scored AS (
+            SELECT p.doc_id,
+                   -- (1 − 0.7) computed in DOUBLE, matching the
+                   -- engine's Python-side 1.0 − lam (≠ the literal 0.3)
+                   CAST(ROUND(ln(
+                       CAST(0.7 AS DOUBLE) * COALESCE(b.bcnt, 0) / u1.ucnt
+                       + (CAST(1 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+                         * u2.ucnt / tot.t), 6)
+                        AS DECIMAL(20,6)) AS s
+            FROM pairs p
+            LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+            JOIN uni u1 ON u1.token = p.w1
+            JOIN uni u2 ON u2.token = p.w2
+            CROSS JOIN tot
+        ),
+        per AS (
+            SELECT doc_id, COUNT(*) AS n_transitions,
+                   FLOOR(CAST(SUM(s) AS DOUBLE) / COUNT(*) * 1e6 + 0.5)
+                       / 1e6 AS avg_logscore
+            FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_transitions, 0) AS BIGINT) AS n_transitions,
+               p.avg_logscore,
+               FLOOR(exp(-p.avg_logscore) * 1e4 + 0.5) / 1e4 AS ppl
+        FROM documents d LEFT JOIN per p USING (doc_id)
     """,
     "text_trigram_backoff": """
         WITH w AS (
