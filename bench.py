@@ -114,7 +114,7 @@ def _jvm_cpu_s(pid: int) -> float:
         return -1.0
 
 
-def _bench_streaming(spark, sf_dir: str, passes: int = 2) -> dict:
+def _bench_streaming(spark, sf_dir: str, passes: int = 3) -> dict:
     """Throughput of the flagship streaming path (r7 verdict item 4): the
     multi-micro-batch silver upsert — file-source Kafka-shaped stream →
     envelope parse → foreachBatch keyed latest-wins merge on the bucketed
