@@ -460,9 +460,17 @@ def ngram_jaccard_blocked(
     """Blocked n-gram Jaccard similarity join: all pairs WITHIN a block
     (never across), the classic bounded-blocking strategy when a natural
     partition key exists.  Shuffles on the block key; fan-out is bounded by
-    block size."""
+    block size.
+
+    The join payload is the xxhash64 of each shingle, not the string
+    (r13 verdict #4, same idiom as ``_gram_positions``): the block
+    self-join shuffles 8-byte longs per shingle instead of ~3-word
+    strings — intersection/union CARDINALITIES (all the math uses) are
+    preserved under the hash modulo n²/2⁶⁴ collisions, the same class
+    of assumption as the md5-keyed sketches."""
     sh = with_shingles(documents).select(
-        F.col(id_col), block_expr.alias("blk"), F.col("shingles")
+        F.col(id_col), block_expr.alias("blk"),
+        F.expr("transform(shingles, s -> xxhash64(s))").alias("shingles"),
     )
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("blk"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("blk"), F.col("shingles").alias("sh_b"))
@@ -735,11 +743,16 @@ def ngram_containment_blocked(
     Same bounded-blocking shape as ``ngram_jaccard_blocked``: all pairs
     within a block only (one shuffle on the block key, fan-out bounded
     by block size); zero-shingle docs are excluded up front (no
-    divide-by-zero, and an empty doc contains/embeds nothing)."""
+    divide-by-zero, and an empty doc contains/embeds nothing).  Like
+    ``ngram_jaccard_blocked``, the self-join payload is xxhash64 longs,
+    not shingle strings (r13 verdict #4) — every output quantity is a
+    set CARDINALITY, invariant under the hash modulo n²/2⁶⁴
+    collisions."""
     sh = (
         with_shingles(documents)
         .filter(F.size("shingles") > 0)
-        .select(F.col(id_col), block_expr.alias("blk"), F.col("shingles"))
+        .select(F.col(id_col), block_expr.alias("blk"),
+                F.expr("transform(shingles, s -> xxhash64(s))").alias("shingles"))
     )
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("blk"),
                   F.col("shingles").alias("sh_a"))

@@ -27,6 +27,61 @@ def as_double_vec(df: DataFrame, col: str = "embedding", out: str = "v") -> Data
     return df.withColumn(out, F.expr(f"transform({col}, x -> cast(x as double))"))
 
 
+def bounded_query_topk(
+    scored: DataFrame,
+    k: int,
+    query_id_col: str,
+    order: "list[tuple[str, str]]",
+    out_cols: "list[str]",
+    rank_col: "str | None" = None,
+) -> DataFrame:
+    """The ONE definition of per-query top-k for the retrieval family —
+    centralizing the r13-verdict-#1 concern that
+    ``Window.partitionBy(query_id)`` over a corpus-scored relation is a
+    one-reducer-per-query funnel (each query's partition receiving
+    ~|corpus| rows at 100 TB).
+
+    Measured resolution (r14): on Spark ≥ 3.5 the funnel DOES NOT REACH
+    THE WIRE for this exact shape.  ``InsertWindowGroupLimit`` rewrites
+    ``filter(row_number() over (partition by q order by s) <= k)`` into
+    a map-side ``WindowGroupLimit … Partial`` BELOW the exchange: every
+    task sorts only ITS OWN scored slice and ships k rows per (task,
+    query), so the per-query exchange input is ≤ |Q|·k·n_partitions by
+    construction and the reducer sorts that bounded cut — exactly the
+    two-phase pre-cut the verdict prescribed, built into the engine.
+    An explicit re-implementation (groupBy(query, spark_partition_id())
+    + collect_list/array_sort/slice) was built and benchmarked first:
+    it is strictly worse — its phase-1 partial ``collect_list`` buffers
+    the FULL scored volume into list blobs and ships ALL of it through
+    an extra exchange, where the native rewrite ships k rows per task
+    with no extra shuffle.  So this helper emits the plain window and
+    ``tests/test_bounded_windows.py`` pins the plan shape instead: the
+    ``Partial`` group-limit must sit below the exchange (the guard
+    fails loudly if a Spark upgrade, a threshold config, or a call-site
+    rewrite ever drops the rewrite — ``k`` must stay under
+    ``spark.sql.optimizer.windowGroupLimitThreshold``, default 1000).
+
+    ``scored`` must already carry the FINAL output column names;
+    ``order`` must end with a unique-id ascending tie-break (total
+    order ⇒ the decomposed cut is bit-identical to a global sort);
+    ``out_cols`` are the payload columns emitted after ``query_id``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        *[
+            F.col(c).asc() if direction == "asc" else F.col(c).desc()
+            for c, direction in order
+        ]
+    )
+    ranked = scored.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    cols = [F.col(query_id_col)] + [F.col(c) for c in out_cols]
+    if rank_col:
+        cols.append(F.col("__rn").cast("long").alias(rank_col))
+    return ranked.select(*cols)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -50,15 +105,13 @@ def cosine_topk(
     cn = F.expr(NORM.format(a="cv"))
     scored = (
         c.join(F.broadcast(q))
-        .withColumn("cosine", F.round(dot / (qn * cn), 6))
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"),
+                F.round(dot / (qn * cn), 6).alias("cosine"))
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "cosine", F.col("__rn").cast("long").alias("rank"))
+    return bounded_query_topk(
+        scored, k, query_id_col,
+        order=[("cosine", "desc"), ("neighbor_id", "asc")],
+        out_cols=["neighbor_id", "cosine"], rank_col="rank",
     )
 
 
@@ -136,14 +189,14 @@ def lsh_ann_topk(
     dot = F.expr(DOT.format(a="qv", b="cv"))
     qn = F.expr(NORM.format(a="qv"))
     cn = F.expr(NORM.format(a="cv"))
-    scored = c.join(F.broadcast(q), "bucket").withColumn("cosine", F.round(dot / (qn * cn), 6))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "cosine")
+    scored = c.join(F.broadcast(q), "bucket").select(
+        query_id_col, F.col(id_col).alias("neighbor_id"),
+        F.round(dot / (qn * cn), 6).alias("cosine"),
+    )
+    return bounded_query_topk(
+        scored, k, query_id_col,
+        order=[("cosine", "desc"), ("neighbor_id", "asc")],
+        out_cols=["neighbor_id", "cosine"],
     )
 
 
@@ -397,7 +450,6 @@ def l2_topk(
     against the SAME metric, not cosine).  Identical broadcast-scan shape
     and round-6/id tie-break discipline as ``cosine_topk``.
     Returns (query_id, neighbor_id, exact_d2)."""
-    from pyspark.sql import Window
 
     from .dedup import spread_for_compute
 
@@ -409,15 +461,13 @@ def l2_topk(
     q = as_double_vec(q0, out="qv").select(query_id_col, "qv")
     scored = (
         c.join(F.broadcast(q))
-        .withColumn("exact_d2", F.round(F.expr(D2.format(a="qv", b="cv")), 6))
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"),
+                F.round(F.expr(D2.format(a="qv", b="cv")), 6).alias("exact_d2"))
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("exact_d2").asc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "exact_d2")
+    return bounded_query_topk(
+        scored, k, query_id_col,
+        order=[("exact_d2", "asc"), ("neighbor_id", "asc")],
+        out_cols=["neighbor_id", "exact_d2"],
     )
 
 
@@ -464,17 +514,17 @@ def _score_topk(c: DataFrame, q: DataFrame, k: int, id_col: str,
     """Join probed queries to their cells' candidates, cosine-score, keep
     top-k per query (cosine desc, id asc tie-break).  The one definition
     of the scoring contract every IVF variant must match bit-for-bit."""
-    from pyspark.sql import Window
-
     dot = F.expr(DOT.format(a="qv", b="cv"))
     qn = F.expr(NORM.format(a="qv"))
     cn = F.expr(NORM.format(a="cv"))
-    scored = c.join(F.broadcast(q), "cell").withColumn("cosine", F.round(dot / (qn * cn), 6))
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "cosine")
+    scored = c.join(F.broadcast(q), "cell").select(
+        query_id_col, F.col(id_col).alias("neighbor_id"),
+        F.round(dot / (qn * cn), 6).alias("cosine"),
+    )
+    return bounded_query_topk(
+        scored, k, query_id_col,
+        order=[("cosine", "desc"), ("neighbor_id", "asc")],
+        out_cols=["neighbor_id", "cosine"],
     )
 
 
@@ -572,14 +622,14 @@ def ivf_ann_topk(
     dot = F.expr(DOT.format(a="qv", b="cv"))
     qn = F.expr(NORM.format(a="qv"))
     cn = F.expr(NORM.format(a="cv"))
-    scored = c.join(F.broadcast(q), "cell").withColumn("cosine", F.round(dot / (qn * cn), 6))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "cosine")
+    scored = c.join(F.broadcast(q), "cell").select(
+        query_id_col, F.col(id_col).alias("neighbor_id"),
+        F.round(dot / (qn * cn), 6).alias("cosine"),
+    )
+    return bounded_query_topk(
+        scored, k, query_id_col,
+        order=[("cosine", "desc"), ("neighbor_id", "asc")],
+        out_cols=["neighbor_id", "cosine"],
     )
 
 
@@ -903,7 +953,6 @@ def pq_adc_topk(
     until the final per-query top-k window.  Returns (query_id,
     neighbor_id, adc_d2) with adc_d2 rounded to 6 (the repo's
     float-ordering discipline); ties break on neighbor id."""
-    from pyspark.sql import Window
 
     sub = dim // m
     qtab = (
@@ -927,13 +976,10 @@ def pq_adc_topk(
         .select(query_id_col, F.col(id_col).alias("neighbor_id"),
                 F.expr(dist).alias("adc_d2"))
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select(query_id_col, "neighbor_id", "adc_d2")
+    return bounded_query_topk(
+        scored, k, query_id_col,
+        order=[("adc_d2", "asc"), ("neighbor_id", "asc")],
+        out_cols=["neighbor_id", "adc_d2"],
     )
 
 
@@ -962,7 +1008,11 @@ def ivfpq_rerank_topk(
     Scale shape: the shortlist (|queries|·shortlist ids) is broadcast
     into the corpus scan, so the fetch-back is one map-side semi-join —
     the corpus is never shuffled and the exact-distance work is
-    O(|queries|·shortlist·dim), independent of corpus size.  Returns
+    O(|queries|·shortlist·dim), independent of corpus size.  The final
+    per-query window here is NOT the r13-verdict funnel: its input is
+    the fetched-back shortlist itself (≤ |queries|·shortlist rows by
+    construction — the broadcast side bounds the join), so no
+    ``bounded_query_topk`` pre-cut is needed.  Returns
     (query_id, neighbor_id, exact_d2, adc_d2) with the repo's round-6
     float-ordering discipline; ties break on neighbor id."""
     from pyspark.sql import Window
@@ -1058,7 +1108,6 @@ def ivfpq_adc_topk(
     instead of dim multiplies — the two multiplicative savings composed.
     Ties break (adc_d2 asc, neighbor id asc) after the repo's round-6
     float discipline."""
-    from pyspark.sql import Window
 
     sub = dim // m
     carr = _centroid_array(coarse)
@@ -1093,13 +1142,10 @@ def ivfpq_adc_topk(
         .select(query_id_col, F.col(id_col).alias("neighbor_id"),
                 F.expr(dist).alias("adc_d2"))
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select(query_id_col, "neighbor_id", "adc_d2")
+    return bounded_query_topk(
+        scored, k, query_id_col,
+        order=[("adc_d2", "asc"), ("neighbor_id", "asc")],
+        out_cols=["neighbor_id", "adc_d2"],
     )
 
 
@@ -1147,7 +1193,6 @@ def hamming_topk(
     packed bytes instead of 64 floats; at 100 TB the code table is the
     only thing the shortlist stage reads (512× less IO than raw
     vectors), and the exact-cosine refine touches only k rows/query."""
-    from pyspark.sql import Window
 
     from .dedup import spread_for_compute
 
@@ -1164,20 +1209,17 @@ def hamming_topk(
     cn = F.expr(NORM.format(a="cv"))
     scored = (
         c.join(F.broadcast(q))
-        .withColumn(
-            "hamming",
-            F.expr("bit_count(clo ^ qlo) + bit_count(chi ^ qhi)").cast("int"),
+        .select(
+            query_id_col, F.col(id_col).alias("neighbor_id"),
+            F.expr("bit_count(clo ^ qlo) + bit_count(chi ^ qhi)")
+            .cast("int").alias("hamming"),
+            F.round(dot / (qn * cn), 6).alias("cosine"),
         )
-        .withColumn("cosine", F.round(dot / (qn * cn), 6))
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("hamming").asc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select(query_id_col, F.col(id_col).alias("neighbor_id"),
-                "hamming", "cosine")
+    return bounded_query_topk(
+        scored, k, query_id_col,
+        order=[("hamming", "asc"), ("neighbor_id", "asc")],
+        out_cols=["neighbor_id", "hamming", "cosine"],
     )
 
 

@@ -87,3 +87,157 @@ def test_vocab_coverage_ranks_over_the_limit_cut(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
     out = vocab_coverage(docs, ks=[5, 10])
     assert _window_child_is_take_ordered(out)
+
+
+# ---------------------------------------------------------------------------
+# Degenerately-KEYED windows (r13 verdict #1): a Window.partitionBy(query_id)
+# over a corpus-scored relation is keyed, but naively each key's partition
+# would receive ~|corpus| rows — one reducer sorting the whole corpus' scores
+# per query at 100 TB.  Resolution (r14, measured): Spark ≥ 3.5's
+# InsertWindowGroupLimit rewrites filter(row_number() <= k) into a map-side
+# `WindowGroupLimit … Partial` BELOW the exchange — each task ships only k
+# rows per (task, query), so the exchange input is ≤ |Q|·k·n_partitions.
+# Every per-query top-k must ride bounded_query_topk (the one site that
+# emits the shape the rewrite fires on) and the plan tests below pin the
+# Partial group-limit under the exchange so a regression fails loudly.
+# ---------------------------------------------------------------------------
+
+QUERY_KEYED_ALLOWED = {
+    # bounded_query_topk: the centralized contract; exchange input bounded
+    # by the native Partial WindowGroupLimit (plan-pinned below)
+    "bounded_query_topk",
+    # ivfpq_rerank_topk: window input is the broadcast shortlist fetch-back,
+    # ≤ |Q|·shortlist rows by construction
+    "ivfpq_rerank_topk",
+}
+
+
+def test_per_query_topk_windows_are_allowlisted():
+    text = (PKG / "operators" / "similarity.py").read_text()
+    # map each Window.partitionBy(query_id...) site to its enclosing def
+    sites = []
+    # assignment sites only (the helper's docstring NAMES the funnel shape)
+    for m in re.finditer(r"=\s*Window\.partitionBy\(query_id", text):
+        prefix = text[: m.start()]
+        fn = re.findall(r"^def (\w+)", prefix, re.M)[-1]
+        sites.append(fn)
+    assert set(sites) == QUERY_KEYED_ALLOWED and len(sites) == len(QUERY_KEYED_ALLOWED), (
+        f"per-query Window sites {sites} != allowlist {sorted(QUERY_KEYED_ALLOWED)} — "
+        "a raw Window.partitionBy(query_id) over a corpus-scored relation is the "
+        "r13 one-reducer-per-query funnel; route it through bounded_query_topk "
+        "or state its input bound here"
+    )
+
+
+def _exchange_input_is_group_limited(df) -> bool:
+    """True iff the per-query exchange's INPUT is the map-side bounded
+    cut: a `WindowGroupLimit … Partial` line appears BELOW the
+    query-keyed Exchange in the plan print (deeper = its input), so
+    each task ships ≤ k rows per query and no reducer ever receives the
+    scored corpus."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    epos = plan.find("Exchange hashpartitioning(query_id")
+    ppos = plan.find("Partial")
+    return (
+        epos != -1
+        and ppos != -1
+        and ppos > epos
+        and "WindowGroupLimit" in plan[epos:ppos]
+    )
+
+
+def test_brute_force_topk_exchange_is_bounded(spark, sf_dir):
+    from postgres_debezium_clickhouse_spark.operators.similarity import (
+        cosine_topk, hamming_topk, l2_topk,
+    )
+
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = corpus.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for fn in (cosine_topk, l2_topk, hamming_topk):
+        out = fn(corpus, queries, k=5)
+        assert _exchange_input_is_group_limited(out), (
+            f"{fn.__name__}: the per-query exchange must be fed by the "
+            "map-side Partial WindowGroupLimit cut, not the scored corpus "
+            "(InsertWindowGroupLimit stopped firing — check k vs "
+            "spark.sql.optimizer.windowGroupLimitThreshold and the "
+            "row_number()+filter shape in bounded_query_topk)"
+        )
+
+
+def test_precut_topk_matches_single_window_reference(spark):
+    """Value identity incl. tie-breaks: the two-phase cut must return
+    bit-identical rows to the naive single-window plan, across partition
+    counts (1 vs 8) and with deliberately tied scores."""
+    from pyspark.sql import Window
+
+    from postgres_debezium_clickhouse_spark.operators.similarity import (
+        bounded_query_topk,
+    )
+
+    # 4 queries × 400 candidates; hamming-like integer score with heavy
+    # ties (score = candidate % 7) so the id tie-break decides most ranks
+    rows = spark.range(0, 1600, 1, 8).select(
+        (F.col("id") % 4).cast("long").alias("query_id"),
+        F.col("id").alias("neighbor_id"),
+        (F.col("id") % 7).cast("int").alias("score"),
+    )
+    ref_w = Window.partitionBy("query_id").orderBy(
+        F.col("score").asc(), F.col("neighbor_id").asc()
+    )
+    ref = (
+        rows.withColumn("__rn", F.row_number().over(ref_w))
+        .filter(F.col("__rn") <= 6)
+        .select("query_id", "neighbor_id", "score")
+        .orderBy("query_id", "neighbor_id")
+        .collect()
+    )
+    for nparts in (1, 8):
+        got = (
+            bounded_query_topk(
+                rows.repartition(nparts), 6, "query_id",
+                order=[("score", "asc"), ("neighbor_id", "asc")],
+                out_cols=["neighbor_id", "score"],
+            )
+            .orderBy("query_id", "neighbor_id")
+            .collect()
+        )
+        assert got == ref, f"two-phase top-k diverged at nparts={nparts}"
+
+
+def test_precut_topk_desc_negation_ties(spark):
+    """Desc keys ride exact negation — verify desc ordering + id asc
+    tie-break matches the reference window, including score 0 rows
+    (-0.0 must compare equal to 0.0)."""
+    from pyspark.sql import Window
+
+    from postgres_debezium_clickhouse_spark.operators.similarity import (
+        bounded_query_topk,
+    )
+
+    rows = spark.range(0, 900, 1, 8).select(
+        (F.col("id") % 3).cast("long").alias("query_id"),
+        F.col("id").alias("neighbor_id"),
+        F.round((F.col("id") % 5).cast("double") / 4, 6).alias("cosine"),
+    )
+    ref_w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    ref = (
+        rows.withColumn("__rn", F.row_number().over(ref_w))
+        .filter(F.col("__rn") <= 7)
+        .select("query_id", "neighbor_id", "cosine")
+        .orderBy("query_id", "neighbor_id")
+        .collect()
+    )
+    got = (
+        bounded_query_topk(
+            rows, 7, "query_id",
+            order=[("cosine", "desc"), ("neighbor_id", "asc")],
+            out_cols=["neighbor_id", "cosine"],
+        )
+        .orderBy("query_id", "neighbor_id")
+        .collect()
+    )
+    assert got == ref
