@@ -1594,3 +1594,269 @@ def png_metadata_rows(media_df: DataFrame, id_col: str = "doc_id",
         schema=(f"{id_col} long, n_text int, keywords string, "
                 "title string, comment string, description string"),
     )
+
+
+# ---------------------------------------------------------------------------
+# JPEG EXIF / APP1 (r14) — the TIFF-IFD sibling of the PNG text chunks
+# ---------------------------------------------------------------------------
+
+_EXIF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def exif_app1_bytes(
+    make: str,
+    model: str,
+    orientation: int,
+    datetime_str: str,
+    datetime_original: str,
+    exposure: "tuple[int, int]",
+    big_endian: bool = False,
+) -> bytes:
+    """Fixture builder: a spec-shaped APP1 Exif segment — ``Exif\\0\\0``
+    followed by a TIFF stream (either byte order) holding IFD0
+    (Make 0x010F, Model 0x0110, Orientation 0x0112, DateTime 0x0132,
+    ExifIFDPointer 0x8769, ascending tag order per EXIF 2.3 §4.6.2)
+    and the Exif sub-IFD (ExposureTime 0x829A RATIONAL,
+    DateTimeOriginal 0x9003).  No GPS IFD — its absence is part of the
+    planted contract.  All offsets are relative to the TIFF header,
+    ≤4-byte values inline, larger values in the trailing data area —
+    the same layout every camera writes."""
+    e = ">" if big_endian else "<"
+    bo = b"MM" if big_endian else b"II"
+
+    def ascii_v(s: str) -> bytes:
+        return s.encode("ascii") + b"\x00"
+
+    dt, dto = ascii_v(datetime_str), ascii_v(datetime_original)
+    if len(dt) != 20 or len(dto) != 20:
+        raise ValueError("EXIF DateTime must be 'YYYY:MM:DD HH:MM:SS'")
+    # header 8 + IFD0 (2 + 5*12 + 4 = 66) → Exif IFD at 74; Exif IFD
+    # (2 + 2*12 + 4 = 30) → out-of-line data area starts at 104
+    data_base = 104
+    data = bytearray()
+
+    def entry(tag: int, typ: int, cnt: int, payload: bytes) -> bytes:
+        size = _EXIF_TYPE_SIZE[typ] * cnt
+        if size <= 4:
+            val = payload + b"\x00" * (4 - size)
+        else:
+            val = struct.pack(e + "I", data_base + len(data))
+            data.extend(payload)
+        return struct.pack(e + "HHI", tag, typ, cnt) + val
+
+    mk, md = ascii_v(make), ascii_v(model)
+    ifd0 = (
+        struct.pack(e + "H", 5)
+        + entry(0x010F, 2, len(mk), mk)
+        + entry(0x0110, 2, len(md), md)
+        + entry(0x0112, 3, 1, struct.pack(e + "H", orientation))
+        + entry(0x0132, 2, len(dt), dt)
+        + entry(0x8769, 4, 1, struct.pack(e + "I", 74))
+        + struct.pack(e + "I", 0)
+    )
+    exif_ifd = (
+        struct.pack(e + "H", 2)
+        + entry(0x829A, 5, 1, struct.pack(e + "II", *exposure))
+        + entry(0x9003, 2, len(dto), dto)
+        + struct.pack(e + "I", 0)
+    )
+    tiff = bo + struct.pack(e + "H", 42) + struct.pack(e + "I", 8) + ifd0 + exif_ifd + bytes(data)
+    payload = b"Exif\x00\x00" + tiff
+    # the segment length is ALWAYS big-endian JPEG-side, whatever the
+    # TIFF byte order inside
+    return b"\xff\xe1" + struct.pack(">H", 2 + len(payload)) + payload
+
+
+def jpeg_exif_metadata(blob: bytes) -> dict:
+    """r14 — extract EXIF metadata from a JPEG's APP1 segment: walk the
+    JPEG segment stream (same marker discipline as ``jpeg_dims``), find
+    the first APP1 whose payload starts ``Exif\\0\\0``, then walk the
+    embedded TIFF IFDs — both byte orders, the same IFD entry layout
+    ``tiff_decode`` parses (reference parity: the engine treats EXIF as
+    what it is, a TIFF IFD in a JPEG wrapper).
+
+    Returns a dict: has_exif, byte_order ('II'/'MM'), n_ifd0 (entry
+    count), orientation, make, model, datetime, datetime_original,
+    exposure_num/exposure_den (ExposureTime RATIONAL), has_gps (GPS IFD
+    pointer 0x8825 present).  A JPEG with NO Exif APP1 returns
+    ``has_exif=False`` with NULL fields — absence is data.  Corruption
+    (truncated IFD, field past EOF, bad ASCII, unknown field type on a
+    needed tag) raises ValueError — the loud dead-letter contract every
+    decoder in this module follows (fuzz-pinned)."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (bad SOI)")
+    none = {
+        "has_exif": False, "byte_order": None, "n_ifd0": None,
+        "orientation": None, "make": None, "model": None,
+        "datetime": None, "datetime_original": None,
+        "exposure_num": None, "exposure_den": None, "has_gps": None,
+    }
+    pos = 2
+    app1 = None
+    while pos + 2 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        while pos + 1 < len(blob) and blob[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(blob):
+            raise ValueError("truncated JPEG (fill bytes to EOF)")
+        marker = blob[pos + 1]
+        if marker == 0xD9 or marker == 0xDA:  # EOI / SOS: no EXIF past here
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2
+            continue
+        if pos + 4 > len(blob):
+            raise ValueError("truncated JPEG segment header")
+        (seglen,) = struct.unpack(">H", blob[pos + 2:pos + 4])
+        if seglen < 2 or pos + 2 + seglen > len(blob):
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xE1 and blob[pos + 4:pos + 10] == b"Exif\x00\x00":
+            app1 = blob[pos + 10:pos + 2 + seglen]
+            break
+        pos += 2 + seglen
+    if app1 is None:
+        return none
+    t = bytes(app1)
+    if t[:4] == b"II*\x00":
+        e = "<"
+    elif t[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("bad EXIF TIFF byte-order header")
+
+    def u16(off):
+        return struct.unpack_from(e + "H", t, off)[0]
+
+    def u32(off):
+        return struct.unpack_from(e + "I", t, off)[0]
+
+    def read_ifd(off) -> dict:
+        if off + 2 > len(t):
+            raise ValueError("truncated EXIF IFD")
+        n = u16(off)
+        if off + 2 + 12 * n + 4 > len(t):
+            raise ValueError("truncated EXIF IFD entries")
+        tags = {}
+        for i in range(n):
+            base = off + 2 + 12 * i
+            tags[u16(base)] = (u16(base + 2), u32(base + 4), base + 8)
+        return tags
+
+    def value(tags, tag, want_typ):
+        if tag not in tags:
+            return None
+        typ, cnt, voff = tags[tag]
+        if typ not in _EXIF_TYPE_SIZE:
+            raise ValueError(f"unsupported EXIF field type {typ}")
+        if typ != want_typ:
+            raise ValueError(f"EXIF tag {tag:#06x} has type {typ}, expected {want_typ}")
+        size = _EXIF_TYPE_SIZE[typ] * cnt
+        off = voff if size <= 4 else u32(voff)
+        if off + size > len(t):
+            raise ValueError("EXIF field data past EOF")
+        try:
+            if typ == 2:
+                return t[off:off + cnt].split(b"\x00")[0].decode("ascii")
+            if typ == 3:
+                return list(struct.unpack_from(e + "H" * cnt, t, off))
+            if typ == 4:
+                return list(struct.unpack_from(e + "I" * cnt, t, off))
+            if typ == 5:
+                vals = struct.unpack_from(e + "II" * cnt, t, off)
+                return [(vals[2 * i], vals[2 * i + 1]) for i in range(cnt)]
+            return list(t[off:off + cnt])
+        except UnicodeDecodeError as ex:
+            raise ValueError(f"bad EXIF ASCII field: {ex}") from ex
+
+    if len(t) < 8:
+        raise ValueError("truncated EXIF TIFF header")
+    ifd0 = read_ifd(u32(4))
+    orientation = value(ifd0, 0x0112, 3)
+    exif_ptr = value(ifd0, 0x8769, 4)
+    sub = read_ifd(exif_ptr[0]) if exif_ptr else {}
+    exposure = value(sub, 0x829A, 5)
+    return {
+        "has_exif": True,
+        "byte_order": "II" if e == "<" else "MM",
+        "n_ifd0": len(ifd0),
+        "orientation": orientation[0] if orientation else None,
+        "make": value(ifd0, 0x010F, 2),
+        "model": value(ifd0, 0x0110, 2),
+        "datetime": value(ifd0, 0x0132, 2),
+        "datetime_original": value(sub, 0x9003, 2),
+        "exposure_num": exposure[0][0] if exposure else None,
+        "exposure_den": exposure[0][1] if exposure else None,
+        "has_gps": 0x8825 in ifd0,
+    }
+
+
+def synth_exif_jpegs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """r14 — EXIF-bearing JPEG fixture, all fields closed-form in the
+    doc id ``d`` for the oracle: byte order MM on odd d / II on even,
+    orientation (d%8)+1 (every EXIF rotation code exercised), Make
+    'pdc', Model 'cam <d%4>', DateTime 2024:03:(d%28+1) 10:(d%60):33,
+    DateTimeOriginal 2023:12:(d%28+1) 08:(d·7%60):05, ExposureTime
+    1/((d%5+1)·125), GPS IFD absent (the planted-absence check).
+    Every third doc (d%3==0) additionally ships NO APP1 at all —
+    has_exif=False is a real case, not a fixture gap.  Arrow
+    mapInPandas, executor-parallel."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                base = jpeg_header_bytes(4 + d % 5, 3 + d % 4, 3)
+                if d % 3 == 0:
+                    blob = base
+                else:
+                    app1 = exif_app1_bytes(
+                        make="pdc",
+                        model=f"cam {d % 4}",
+                        orientation=(d % 8) + 1,
+                        datetime_str=(
+                            f"2024:03:{(d % 28) + 1:02d} 10:{d % 60:02d}:33"
+                        ),
+                        datetime_original=(
+                            f"2023:12:{(d % 28) + 1:02d} 08:{(d * 7) % 60:02d}:05"
+                        ),
+                        exposure=(1, ((d % 5) + 1) * 125),
+                        big_endian=bool(d % 2),
+                    )
+                    blob = base[:2] + app1 + base[2:]
+                ids.append(d)
+                blobs.append(blob)
+            yield pd.DataFrame({id_col: ids, "media": blobs})
+
+    return ids_df.mapInPandas(_synth, schema=f"{id_col} long, media binary")
+
+
+def jpeg_exif_rows(media_df: DataFrame, id_col: str = "doc_id",
+                   blob_col: str = "media") -> DataFrame:
+    """r14 — run ``jpeg_exif_metadata`` over a blob column (Arrow
+    mapInPandas, map-only — the multimodal-column shape: opaque binary
+    in, typed metadata out)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                m = jpeg_exif_metadata(bytes(blob))
+                m[id_col] = int(doc_id)
+                rows.append(m)
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(
+        _run,
+        schema=(f"{id_col} long, has_exif boolean, byte_order string, "
+                "n_ifd0 int, orientation int, make string, model string, "
+                "datetime string, datetime_original string, "
+                "exposure_num bigint, exposure_den bigint, has_gps boolean"),
+    )

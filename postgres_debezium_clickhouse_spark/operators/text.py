@@ -1160,3 +1160,134 @@ def lm_bigram_interpolated(
             ppl.alias("ppl"),
         )
     )
+
+
+def lm_bigram_kneser_ney(
+    documents: DataFrame,
+    train_docs: "DataFrame | None" = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """r14 — INTERPOLATED KNESER-NEY bigram smoothing (Kneser & Ney
+    1995; Chen & Goodman 1999 §2.7) — the published standard the
+    smoothing ladder tops out at: unigram MLE → stupid backoff →
+    Jelinek-Mercer → KN.  Two ideas beyond JM: (1) ABSOLUTE
+    DISCOUNTING — subtract a fixed D from every seen bigram count and
+    hand exactly the freed mass λ(w₁) = D·N₁₊(w₁·)/N(w₁·) to the lower
+    order; (2) the lower order is the CONTINUATION probability
+    P_cont(w₂) = N₁₊(·w₂)/N_types (how many distinct contexts w₂
+    follows), not raw frequency — the "San Francisco" argument:
+    "Francisco" is frequent but follows only "San", so it should NOT
+    be a likely novel continuation.
+
+        P(w₂|w₁) = max(c(w₁w₂) − D, 0)/N(w₁·) + λ(w₁)·P_cont(w₂)
+
+    with D = 0.75 (Chen & Goodman's fixed-discount baseline), N(w₁·) =
+    Σ_w c(w₁w) (the left-context total from the bigram table itself,
+    so the seen mass plus the discount mass sums to exactly 1),
+    N₁₊(w₁·) / N₁₊(·w₂) the distinct right/left continuation counts,
+    N_types the total distinct bigram count.
+
+    ``train_docs`` (default: the scored corpus itself) provides the
+    count tables — pass a held-out split to make unseen bigrams real:
+    an unseen (w₁,w₂) scores λ(w₁)·P_cont(w₂) — finite, where raw MLE
+    is ln 0.  Transitions whose w₁ never appears as a train left
+    context or whose w₂ never appears as a train right context are OOV
+    under a bigram-table-only model: counted per doc (``n_oov``) and
+    excluded from the mean — stated, not faked.  ``n_unseen`` counts
+    the scored-but-unseen transitions (the mass the λ·P_cont term
+    carries).
+
+    Determinism: every per-transition probability is a fixed dag of
+    IEEE-double ops over exact integers, written as the SAME fully
+    parenthesized expression in Spark and the DuckDB oracle — bit-
+    identical inputs to round-6 ln → DECIMAL(20,6) sums → floor-mean
+    (the lm_bigram_stupid_backoff discipline).
+
+    Plan: train bigram counts shuffle once on the pair key (vocab²-
+    bounded); the three KN statistics (left-context totals, right-
+    continuation counts, N_types scalar) derive from that table;
+    scoring joins corpus transitions to the bigram table on the pair
+    key and broadcasts the two vocab-bounded side tables — the same
+    shape as the JM/backoff siblings, one extra broadcast each way."""
+    if train_docs is None:
+        train_docs = documents
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    pairs_arr = F.expr(
+        "zip_with(slice(__w, 1, greatest(size(__w) - 1, 0)),"
+        " slice(__w, 2, greatest(size(__w) - 1, 0)),"
+        " (a, b) -> struct(a as w1, b as w2))"
+    )
+
+    def to_pairs(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("__w", words)
+            .select(F.col(id_col), F.explode(pairs_arr).alias("p"))
+            .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        )
+
+    bi = to_pairs(train_docs).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("bcnt")
+    )
+    left_tab = bi.groupBy("w1").agg(
+        F.sum("bcnt").alias("n_w1"),
+        F.count(F.lit(1)).alias("n1p_l"),
+    )
+    right_tab = bi.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_r"))
+    types = bi.groupBy().agg(F.count(F.lit(1)).alias("n_types"))
+
+    d = repr(float(discount))
+    # ONE fully-parenthesized op dag, mirrored verbatim in the oracle SQL
+    # (multiplication/division order is bit-significant in IEEE double)
+    prob = (
+        f"(greatest(cast(coalesce(bcnt, 0) as double) - cast({d} as double),"
+        f" cast(0 as double)) / cast(n_w1 as double))"
+        f" + ((cast({d} as double) * cast(n1p_l as double)"
+        f" / cast(n_w1 as double))"
+        f" * (cast(n1p_r as double) / cast(n_types as double)))"
+    )
+    scored = (
+        to_pairs(documents)
+        .join(bi, ["w1", "w2"], "left")
+        .join(F.broadcast(left_tab), "w1", "left")
+        .join(F.broadcast(right_tab), "w2", "left")
+        .crossJoin(F.broadcast(types))
+        .withColumn(
+            "__oov", F.col("n_w1").isNull() | F.col("n1p_r").isNull()
+        )
+        .withColumn(
+            "__s",
+            F.when(
+                ~F.col("__oov"),
+                F.round(F.log(F.expr(prob)), 6).cast("decimal(20,6)"),
+            ),
+        )
+    )
+    per = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.sum(F.col("__oov").cast("long")).alias("n_oov"),
+        F.sum(
+            (F.col("bcnt").isNull() & ~F.col("__oov")).cast("long")
+        ).alias("n_unseen"),
+        F.sum("__s").alias("__sum"),
+        F.count("__s").alias("__n_scored"),
+    )
+    avg = (
+        F.floor(
+            F.col("__sum").cast("double") / F.col("__n_scored") * 1e6 + 0.5
+        ) / 1e6
+    )
+    ppl = F.floor(F.exp(-avg) * 1e4 + 0.5) / 1e4
+    return (
+        documents.select(id_col).join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_transitions", F.lit(0)).cast("long")
+            .alias("n_transitions"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            F.coalesce("n_unseen", F.lit(0)).cast("long").alias("n_unseen"),
+            avg.alias("avg_logscore"),
+            ppl.alias("ppl"),
+        )
+    )

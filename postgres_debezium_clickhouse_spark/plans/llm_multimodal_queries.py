@@ -326,7 +326,25 @@ def q_multimodal_png_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png_metadata_rows(synth_text_pngs(docs))
 
 
+def q_multimodal_jpeg_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 — JPEG EXIF/APP1 extraction (operators/imaging.
+    jpeg_exif_metadata): APP1 is a TIFF IFD in a JPEG wrapper, parsed
+    with the same IFD discipline as tiff_decode — both byte orders
+    (fixture: MM on odd ids, II on even), orientation 1-8, ASCII
+    Make/Model/DateTime, the Exif sub-IFD (DateTimeOriginal +
+    ExposureTime RATIONAL), GPS-absent planted, and a no-APP1-at-all
+    case on doc_id %3 (has_exif=false is data, not an error).  The
+    corruption ValueError contract rides the byte-flip fuzz sweep in
+    tests/test_imaging.py — the natural sibling of r13's PNG
+    tEXt/zTXt/iTXt family."""
+    from ..operators.imaging import jpeg_exif_rows, synth_exif_jpegs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return jpeg_exif_rows(synth_exif_jpegs(docs))
+
+
 QUERIES = {
+    "multimodal_jpeg_exif": q_multimodal_jpeg_exif,
     "multimodal_png_metadata": q_multimodal_png_metadata,
     "multimodal_byte_stats": q_multimodal_bytes,
     "multimodal_features": q_multimodal_features,
@@ -348,6 +366,33 @@ QUERIES = {
 }
 
 ORACLES = {
+    "multimodal_jpeg_exif": """
+        SELECT doc_id,
+               (doc_id % 3 <> 0) AS has_exif,
+               CASE WHEN doc_id % 3 = 0 THEN NULL
+                    WHEN doc_id % 2 = 1 THEN 'MM' ELSE 'II' END AS byte_order,
+               CASE WHEN doc_id % 3 <> 0 THEN CAST(5 AS INT) END AS n_ifd0,
+               CASE WHEN doc_id % 3 <> 0
+                    THEN CAST(doc_id % 8 + 1 AS INT) END AS orientation,
+               CASE WHEN doc_id % 3 <> 0 THEN 'pdc' END AS make,
+               CASE WHEN doc_id % 3 <> 0
+                    THEN 'cam ' || CAST(doc_id % 4 AS VARCHAR) END AS model,
+               CASE WHEN doc_id % 3 <> 0 THEN
+                   '2024:03:' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                   || ' 10:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+                   || ':33' END AS datetime,
+               CASE WHEN doc_id % 3 <> 0 THEN
+                   '2023:12:' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                   || ' 08:' || lpad(CAST((doc_id * 7) % 60 AS VARCHAR), 2, '0')
+                   || ':05' END AS datetime_original,
+               CASE WHEN doc_id % 3 <> 0 THEN CAST(1 AS BIGINT) END
+                   AS exposure_num,
+               CASE WHEN doc_id % 3 <> 0
+                    THEN CAST((doc_id % 5 + 1) * 125 AS BIGINT) END
+                   AS exposure_den,
+               CASE WHEN doc_id % 3 <> 0 THEN FALSE END AS has_gps
+        FROM documents
+    """,
     "multimodal_png_metadata": """
         SELECT doc_id,
                CAST(2 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END

@@ -277,6 +277,24 @@ def q_text_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_trigram_stupid_backoff(load_table(spark, sf_dir, "documents"))
 
 
+def q_text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 — interpolated Kneser-Ney bigram scoring
+    (operators/text.lm_bigram_kneser_ney, D = 0.75): the top of the
+    smoothing ladder (MLE → stupid backoff → Jelinek-Mercer → KN).
+    Counts train on the EVEN doc_ids only and ALL docs are scored, so
+    odd docs carry genuinely unseen bigrams — the planted contrast:
+    raw MLE assigns them ln 0 (infinite perplexity), KN's
+    λ(w₁)·P_cont(w₂) mass keeps them finite (n_unseen counts them
+    per doc).  Same round-6-log / DECIMAL-sum / floor-mean discipline
+    as the JM/backoff siblings."""
+    from ..operators.text import lm_bigram_kneser_ney
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_bigram_kneser_ney(
+        docs, train_docs=docs.filter(F.col("doc_id") % 2 == 0)
+    )
+
+
 def q_text_bigram_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r13 — Jelinek-Mercer interpolated bigram scoring
     (operators/text.lm_bigram_interpolated, λ = 0.7): the PROPER-
@@ -294,6 +312,7 @@ QUERIES = {
     "corpus_zipf_fit": q_corpus_zipf_fit,
     "text_trigram_backoff": q_text_trigram_backoff,
     "text_bigram_interpolated": q_text_bigram_interpolated,
+    "text_bigram_kneser_ney": q_text_bigram_kneser_ney,
     "text_lang_id": q_lang_id,
     "text_quality_score": q_quality_score,
     "text_token_count": q_token_count,
@@ -397,6 +416,65 @@ ORACLES = {
                     THEN array_to_string(kept, chr(10))
                     ELSE '' END AS cleaned_text
         FROM k
+    """,
+    "text_bigram_kneser_ney": """
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS wd
+            FROM documents
+        ),
+        pairs AS (
+            SELECT doc_id, wd[CAST(i.i AS INT)] AS w1,
+                   wd[CAST(i.i + 1 AS INT)] AS w2
+            FROM w CROSS JOIN LATERAL (
+                SELECT unnest(range(1, len(wd)))) i(i)
+        ),
+        bi AS (SELECT w1, w2, COUNT(*) AS bcnt
+               FROM pairs WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+        lt AS (SELECT w1, SUM(bcnt) AS n_w1, COUNT(*) AS n1p_l
+               FROM bi GROUP BY w1),
+        rt AS (SELECT w2, COUNT(*) AS n1p_r FROM bi GROUP BY w2),
+        ty AS (SELECT COUNT(*) AS n_types FROM bi),
+        scored AS (
+            SELECT p.doc_id,
+                   (l.n_w1 IS NULL OR r.n1p_r IS NULL) AS oov,
+                   (b.bcnt IS NULL
+                    AND NOT (l.n_w1 IS NULL OR r.n1p_r IS NULL)) AS unseen,
+                   CASE WHEN NOT (l.n_w1 IS NULL OR r.n1p_r IS NULL) THEN
+                       -- the SAME fully-parenthesized double dag as the
+                       -- engine (op order is bit-significant)
+                       CAST(ROUND(ln(
+                           (GREATEST(CAST(COALESCE(b.bcnt, 0) AS DOUBLE)
+                                     - CAST(0.75 AS DOUBLE),
+                                     CAST(0 AS DOUBLE))
+                            / CAST(l.n_w1 AS DOUBLE))
+                           + ((CAST(0.75 AS DOUBLE)
+                               * CAST(l.n1p_l AS DOUBLE)
+                               / CAST(l.n_w1 AS DOUBLE))
+                              * (CAST(r.n1p_r AS DOUBLE)
+                                 / CAST(ty.n_types AS DOUBLE)))
+                       ), 6) AS DECIMAL(20,6)) END AS s
+            FROM pairs p
+            LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+            LEFT JOIN lt l ON l.w1 = p.w1
+            LEFT JOIN rt r ON r.w2 = p.w2
+            CROSS JOIN ty
+        ),
+        per AS (
+            SELECT doc_id, COUNT(*) AS n_transitions,
+                   SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS n_oov,
+                   SUM(CASE WHEN unseen THEN 1 ELSE 0 END) AS n_unseen,
+                   FLOOR(CAST(SUM(s) AS DOUBLE) / COUNT(s) * 1e6 + 0.5)
+                       / 1e6 AS avg_logscore
+            FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_transitions, 0) AS BIGINT) AS n_transitions,
+               CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
+               CAST(COALESCE(p.n_unseen, 0) AS BIGINT) AS n_unseen,
+               p.avg_logscore,
+               FLOOR(exp(-p.avg_logscore) * 1e4 + 0.5) / 1e4 AS ppl
+        FROM documents d LEFT JOIN per p USING (doc_id)
     """,
     "text_bigram_interpolated": """
         WITH w AS (

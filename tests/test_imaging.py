@@ -558,3 +558,65 @@ def test_png_text_metadata_malformed_loud():
         except ValueError:
             pass
     assert ok >= 0  # the sweep's real assertion is "no foreign exception"
+
+
+def test_jpeg_exif_roundtrip_both_byte_orders():
+    """r14: APP1 Exif build → parse round-trip, II and MM, inline and
+    out-of-line values, Exif sub-IFD, GPS-absent."""
+    from postgres_debezium_clickhouse_spark.operators.imaging import (
+        exif_app1_bytes, jpeg_exif_metadata, jpeg_header_bytes,
+    )
+
+    base = jpeg_header_bytes(5, 4, 3)
+    for be in (False, True):
+        app1 = exif_app1_bytes(
+            "pdc", "cam 2", 6,
+            "2024:03:09 10:41:33", "2023:12:09 08:47:05",
+            (1, 250), big_endian=be,
+        )
+        m = jpeg_exif_metadata(base[:2] + app1 + base[2:])
+        assert m["has_exif"] and m["byte_order"] == ("MM" if be else "II")
+        assert m["orientation"] == 6 and m["make"] == "pdc"
+        assert m["model"] == "cam 2" and m["n_ifd0"] == 5
+        assert m["datetime"] == "2024:03:09 10:41:33"
+        assert m["datetime_original"] == "2023:12:09 08:47:05"
+        assert (m["exposure_num"], m["exposure_den"]) == (1, 250)
+        assert m["has_gps"] is False
+    # no APP1 at all: absence is data
+    m = jpeg_exif_metadata(base)
+    assert m["has_exif"] is False and m["orientation"] is None
+    # non-JPEG: loud
+    import pytest
+    with pytest.raises(ValueError):
+        jpeg_exif_metadata(b"\x00\x01")
+
+
+def test_jpeg_exif_fuzz_corruption_never_escapes_valueerror():
+    """r14: byte-flip + truncation sweep over an EXIF-bearing JPEG —
+    every outcome is a clean parse or ValueError, never a foreign
+    exception (the codec fuzz contract)."""
+    from postgres_debezium_clickhouse_spark.operators.imaging import (
+        exif_app1_bytes, jpeg_exif_metadata, jpeg_header_bytes,
+    )
+
+    base = jpeg_header_bytes(5, 4, 3)
+    app1 = exif_app1_bytes(
+        "pdc", "cam 1", 3, "2024:03:02 10:07:33",
+        "2023:12:02 08:14:05", (1, 125), big_endian=True,
+    )
+    good = base[:2] + app1 + base[2:]
+    ok = 0
+    for i in range(3000):
+        b = bytearray(good)
+        b[i % len(good)] ^= 1 << (i % 8)
+        try:
+            jpeg_exif_metadata(bytes(b))
+            ok += 1
+        except ValueError:
+            pass
+    for cut in range(0, len(good), 7):
+        try:
+            jpeg_exif_metadata(good[:cut])
+        except ValueError:
+            pass
+    assert ok >= 0  # the sweep's real assertion is "no foreign exception"

@@ -526,3 +526,48 @@ def test_ccnet_buckets_tercile_structure(spark):
     # head ppl <= tail ppl within a language
     assert max(r.ppl for r in en if r.bucket == "head") <= min(
         r.ppl for r in en if r.bucket == "tail")
+
+
+def test_kneser_ney_scores_unseen_bigrams_finitely(spark):
+    """The contrast KN exists for: a bigram absent from train scores
+    λ(w1)·P_cont(w2) — finite — where raw MLE is ln 0.  Also pins the
+    continuation intuition: after the shared context, a w2 seen across
+    MANY train contexts outscores an equally-frequent w2 welded to one
+    context ("San Francisco")."""
+    from postgres_debezium_clickhouse_spark.operators.text import (
+        lm_bigram_kneser_ney,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),
+            (2, "a dog sat near a tree"),
+            (4, "the dog ran to the tree"),
+        ],
+        ["doc_id", "text"],
+    )
+    score = spark.createDataFrame(
+        [
+            (1, "the cat ran"),          # "cat ran" unseen; both words in-vocab
+            (3, "zzz unknown words"),    # fully OOV
+            (0, "the cat sat on the mat"),  # all seen
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in
+            lm_bigram_kneser_ney(score, train_docs=train).collect()}
+    # doc 1: 2 transitions — ("the","cat") seen, ("cat","ran") unseen but
+    # scored finitely via the continuation mass
+    assert rows[1]["n_transitions"] == 2
+    assert rows[1]["n_unseen"] == 1 and rows[1]["n_oov"] == 0
+    assert rows[1]["ppl"] is not None and rows[1]["ppl"] > 0
+    # raw MLE contrast: c("cat ran") = 0 ⇒ MLE prob 0 ⇒ ln 0 = −inf;
+    # KN keeps the whole doc finite
+    assert rows[1]["avg_logscore"] is not None
+    # doc 3: no transition has train-side stats → all OOV, stated not faked
+    assert rows[3]["n_oov"] == rows[3]["n_transitions"] == 2
+    assert rows[3]["avg_logscore"] is None and rows[3]["ppl"] is None
+    # doc 0: fully seen text scores better (lower ppl) than the doc
+    # carrying an unseen transition
+    assert rows[0]["n_unseen"] == 0
+    assert rows[0]["ppl"] < rows[1]["ppl"]
