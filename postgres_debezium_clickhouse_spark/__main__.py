@@ -14,8 +14,15 @@ API the tests and the driver contract use.
     signals PATH                  pending incremental-snapshot signals
     signal-snapshot PATH --order-col K --watermark V [--chunks N]
                     [--type incremental|blocking] [--where SQL_PREDICATE]
+                    [--channel file|kafka --topic TOPIC_FILE]
                                   enqueue an execute-snapshot signal
-                                  (--where = Debezium additional-conditions)
+                                  (--where = Debezium additional-conditions;
+                                  --channel kafka appends the Debezium
+                                  kafka-signal envelope to the topic file
+                                  instead of the signal dir)
+    poll-signals PATH --topic TOPIC_FILE
+                                  drain the kafka signal channel into the
+                                  store's signal queue (offset-committed)
     stop-snapshot PATH SIGNAL_ID  cancel a pending/running snapshot
     pause-snapshot PATH           suspend incremental snapshotting
     resume-snapshot PATH          lift a pause (no-op when not paused)
@@ -71,6 +78,12 @@ def main(argv: list[str] | None = None) -> int:
     ss.add_argument("--type", dest="snapshot_type", default="incremental",
                     choices=("incremental", "blocking"))
     ss.add_argument("--where", dest="additional_condition", default=None)
+    ss.add_argument("--channel", default="file", choices=("file", "kafka"))
+    ss.add_argument("--topic", default=None,
+                    help="signal topic file (required with --channel kafka)")
+    pk = sub.add_parser("poll-signals")
+    pk.add_argument("path")
+    pk.add_argument("--topic", required=True)
     st = sub.add_parser("stop-snapshot")
     st.add_argument("path")
     st.add_argument("signal_id")
@@ -126,6 +139,28 @@ def main(argv: list[str] | None = None) -> int:
                   f"\twatermark={sig['watermark_version']}")
         return 0
     if args.cmd == "signal-snapshot":
+        if args.channel == "kafka":
+            import uuid as _uuid
+
+            from .streaming.snapshot import kafka_signal_topic_append
+
+            if not args.topic:
+                print("--channel kafka requires --topic", file=sys.stderr)
+                return 1
+            sid = _uuid.uuid4().hex[:16]
+            off = kafka_signal_topic_append(args.topic, {
+                "id": sid,
+                "type": "execute-snapshot",
+                "data": {
+                    "type": args.snapshot_type.upper(),
+                    "order_col": args.order_col,
+                    "n_chunks": args.chunks,
+                    "watermark_version": args.watermark,
+                    "additional-conditions": args.additional_condition,
+                },
+            })
+            print(f"{sid}\toffset={off}")
+            return 0
         from .streaming.snapshot import signal_snapshot
 
         sid = signal_snapshot(
@@ -135,6 +170,12 @@ def main(argv: list[str] | None = None) -> int:
             additional_condition=args.additional_condition,
         )
         print(sid)
+        return 0
+    if args.cmd == "poll-signals":
+        from .streaming.snapshot import poll_kafka_signal_channel
+
+        for sid in poll_kafka_signal_channel(args.topic, args.path):
+            print(sid)
         return 0
     if args.cmd == "stop-snapshot":
         from .streaming.snapshot import signal_stop_snapshot

@@ -523,3 +523,105 @@ def process_signals(
         _clear_progress(path, sid)
         processed.append(sid)
     return processed
+
+
+# ---------------------------------------------------------------------------
+# Kafka-channel signals (r14) — Debezium `signal.enabled.channels=kafka`
+# ---------------------------------------------------------------------------
+
+KAFKA_OFFSET_FILE = "kafka_channel.offset"
+
+
+def kafka_signal_topic_append(topic_path: str, message: dict) -> int:
+    """Producer side of the signal TOPIC (Debezium docs: a
+    single-partition Kafka topic named by ``signal.kafka.topic``, the
+    channel operators use when the source signal TABLE is locked down —
+    the reference's REST-driven ops model, basic_example/start.sh).
+    Re-expressed on the engine's topic-shape: an append-only JSONL file
+    — ordered, offset-addressed (offset = line number), immutable
+    messages — the same file-stream stand-in the Kafka source uses in
+    this jar-less sandbox (sources/kafka.py).  Returns the appended
+    message's offset."""
+    os.makedirs(os.path.dirname(topic_path) or ".", exist_ok=True)
+    line = json.dumps(message)
+    if "\n" in line:
+        raise ValueError("signal message must serialize to one line")
+    with open(topic_path, "a") as fh:
+        fh.write(line + "\n")
+    with open(topic_path) as fh:
+        return sum(1 for _ in fh) - 1
+
+
+def poll_kafka_signal_channel(topic_path: str, path: str) -> list[str]:
+    """Consumer side: drain new messages (from the committed offset) off
+    the signal topic into the store's file-signal queue, then advance
+    the offset — after which the existing :func:`process_signals` loop
+    executes them unchanged (one signal surface, two channels, exactly
+    Debezium's layering).
+
+    Message shape mirrors the Debezium kafka-signal envelope:
+    ``{"id": ..., "type": "execute-snapshot", "data": {"type":
+    "INCREMENTAL"|"BLOCKING", "order_col": ..., "n_chunks": ...,
+    "watermark_version": ..., "additional-conditions": ...}}``; also
+    honored: ``stop-snapshot`` (``data.signal-id`` or the message id),
+    ``pause-snapshot``, ``resume-snapshot``.  Unknown types are logged
+    semantics — skipped, the offset still advances (Debezium
+    logs-and-ignores).
+
+    Delivery is at-least-once (the offset commits AFTER enqueueing);
+    replays are harmless because signal ids dedupe — an id already
+    queued or already terminal raises in :func:`signal_snapshot` and is
+    skipped here.  The offset file lives under ``_signals/`` next to
+    the queue it feeds and commits via tmp+rename."""
+    sdir = os.path.join(path, SIGNAL_DIR)
+    os.makedirs(sdir, exist_ok=True)
+    offset_file = os.path.join(sdir, KAFKA_OFFSET_FILE)
+    start = 0
+    if os.path.exists(offset_file):
+        with open(offset_file) as fh:
+            start = int(fh.read().strip() or 0)
+    if not os.path.exists(topic_path):
+        return []
+    with open(topic_path) as fh:
+        lines = fh.read().splitlines()
+    enqueued: list[str] = []
+    for line in lines[start:]:
+        if not line.strip():
+            continue
+        try:
+            msg = json.loads(line)
+        except json.JSONDecodeError:
+            continue  # poison message: skip, never wedge the channel
+        if not isinstance(msg, dict):
+            continue  # JSON but not an envelope (poison): skip
+        mtype = msg.get("type")
+        data = msg.get("data") or {}
+        if mtype == "execute-snapshot":
+            try:
+                enqueued.append(signal_snapshot(
+                    path,
+                    order_col=data["order_col"],
+                    n_chunks=int(data["n_chunks"]),
+                    watermark_version=data["watermark_version"],
+                    signal_id=msg.get("id"),
+                    snapshot_type=str(
+                        data.get("type", "INCREMENTAL")).lower(),
+                    additional_condition=data.get("additional-conditions"),
+                ))
+            except ValueError:
+                pass  # duplicate id on replay, or malformed type: skip
+            except KeyError:
+                pass  # missing required field: poison message, skip
+        elif mtype == "stop-snapshot":
+            target = data.get("signal-id") or msg.get("id")
+            if target:
+                signal_stop_snapshot(path, target)
+        elif mtype == "pause-snapshot":
+            signal_pause_snapshot(path)
+        elif mtype == "resume-snapshot":
+            signal_resume_snapshot(path)
+    tmp = f"{offset_file}.{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(len(lines)))
+    os.rename(tmp, offset_file)
+    return enqueued

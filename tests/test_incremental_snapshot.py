@@ -507,3 +507,76 @@ def test_filtered_snapshot_additional_condition(spark, dirs):
         elif i % 3 == 0:
             expected[i] = (f"U{i}", 200 + i)
     assert st == expected
+
+
+def test_kafka_channel_signal_lifecycle(spark, dirs, tmp_path):
+    """r14 — Debezium `signal.enabled.channels=kafka`: an operator
+    appends the kafka-signal envelope to the signal topic (no write
+    access to the store's signal dir needed — the locked-down-source
+    use case), the poll loop drains it into the same file-signal queue
+    mid-stream, process_signals executes it, and the channel offset
+    commits so replays are no-ops."""
+    import os
+
+    from postgres_debezium_clickhouse_spark.streaming.snapshot import (
+        kafka_signal_topic_append, poll_kafka_signal_channel,
+    )
+
+    topic = str(tmp_path / "signal-topic.jsonl")
+    _stream_merge(spark, dirs, _seed_rows(), "seed")
+
+    # signal arrives on the topic mid-stream
+    off = kafka_signal_topic_append(topic, {
+        "id": "kafkasig1", "type": "execute-snapshot",
+        "data": {"type": "INCREMENTAL", "order_col": "id",
+                 "n_chunks": 3, "watermark_version": W},
+    })
+    assert off == 0
+    assert list_signals(dirs["silver"]) == []        # not yet polled
+    assert poll_kafka_signal_channel(topic, dirs["silver"]) == ["kafkasig1"]
+    assert [s["id"] for s in list_signals(dirs["silver"])] == ["kafkasig1"]
+
+    # replay: offset committed, nothing re-enqueued
+    assert poll_kafka_signal_channel(topic, dirs["silver"]) == []
+
+    # the normal signal loop executes it; ack = .json.done + state merged
+    done = process_signals(_table_truth(spark), dirs["silver"], ["id"])
+    assert done == ["kafkasig1"]
+    sdir = os.path.join(dirs["silver"], "_signals")
+    assert os.path.exists(os.path.join(sdir, "kafkasig1.json.done"))
+    st = _state(spark, dirs)
+    assert len(st) == N and st[4] == ("T4", W)
+
+    # a redelivered copy of the SAME message (at-least-once producer
+    # retry) is skipped: the id is terminal
+    kafka_signal_topic_append(topic, {
+        "id": "kafkasig1", "type": "execute-snapshot",
+        "data": {"type": "INCREMENTAL", "order_col": "id",
+                 "n_chunks": 3, "watermark_version": W},
+    })
+    assert poll_kafka_signal_channel(topic, dirs["silver"]) == []
+
+    # stop/pause/resume ride the channel too; poison messages skip
+    kafka_signal_topic_append(topic, {"type": "pause-snapshot"})
+    kafka_signal_topic_append(topic, "not-a-signal-at-all")
+    kafka_signal_topic_append(topic, {"type": "resume-snapshot"})
+    assert poll_kafka_signal_channel(topic, dirs["silver"]) == []
+    assert not os.path.exists(os.path.join(sdir, "pause"))  # paused then resumed
+
+
+def test_kafka_channel_cli_roundtrip(spark, dirs, tmp_path):
+    """r14 — the CLI surface: --channel kafka appends the envelope,
+    poll-signals drains it into the queue."""
+    from postgres_debezium_clickhouse_spark.__main__ import main
+
+    topic = str(tmp_path / "t.jsonl")
+    _stream_merge(spark, dirs, _seed_rows(), "seed")
+    assert main(["signal-snapshot", dirs["silver"], "--order-col", "id",
+                 "--watermark", str(W), "--chunks", "2",
+                 "--channel", "kafka", "--topic", topic]) == 0
+    assert list_signals(dirs["silver"]) == []
+    assert main(["poll-signals", dirs["silver"], "--topic", topic]) == 0
+    sigs = list_signals(dirs["silver"])
+    assert len(sigs) == 1 and sigs[0]["n_chunks"] == 2
+    done = process_signals(_table_truth(spark), dirs["silver"], ["id"])
+    assert done == [sigs[0]["id"]]
