@@ -49,67 +49,17 @@ def entry(spark: SparkSession) -> DataFrame:
 _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries, analytics)
 
 _FRONT = (
-    # round-13 additions (never driver-checked), newest first:
-    "text_bigram_interpolated",
-    "quality_fineweb_rules",
-    "multimodal_png_metadata",
-    "silver_optimize_dedup",
-    "events_gapfill_interpolate",
-    "orders_first_last_window",
-    "embedding_center_normalize",
-    "dedup_minhash_estimate",
-    "cdc_outbox_route",
-    "dedup_containment",
-    "events_sequence_match_time",
-    "ch_string_search_functions",
-    "supplier_rank_distribution",
-    "dedup_semdedup_centroid",
-    "corpus_leakage_safe_split",
-    "cdc_snapshot_filtered",
-    "text_trigram_backoff",
-    "corpus_zipf_fit",
-    "text_c4_line_filter",
-    "similarity_hamming_topk",
-    "ch_url_functions",
-    "ch_agg_combinators",
-    "ch_moving_aggregates",
-    "cdc_toast_carry_forward",
-    "corpus_bytebpe_merges",
-    "corpus_bytebpe_encode",
-    "corpus_ccnet_buckets",
-    "cdc_snapshot_blocking",
+    # round-14 additions (never driver-checked), newest first:
+    "text_bigram_kneser_ney",
+    "multimodal_jpeg_exif",
     # steady-state cycling (oldest driver evidence first — recomputed
-    # r13 from CORRECTNESS_r01..r12): the 3 remaining r7-evidence
-    # names, then the 44-name r8 cohort.  22 new + 3 + 44 = 69, so the
-    # driver's ~50-query window covers the 22 never-checked additions
-    # plus the r7 tail and the first ~25 r8 names; the r8 tail waits
-    # for r14 — never-checked names always outrank evidence refresh.
-    # All 22 additions also carry local tri-scale sweep evidence
-    # (CORRECTNESS_local_r13.txt + per-addition tri-scale runs).
-    # (synthetic_transactions stays in _BACK by standing policy:
-    # rows-only by contract — a window slot on it loses a check.)
-    "stream_stateful_dedup",  # r7
-    "stream_stream_join",  # r7
-    "zorder_customer_locality",  # r7
-    "cdc_schema_drift",  # r8
-    "chunk_sliding_windows",  # r8
-    "contamination_check",  # r8
-    "corpus_domain_mix",  # r8
-    "corpus_pagerank_sink",  # r8
-    "corpus_remove_boilerplate",  # r8
-    "corpus_split",  # r8
-    "corpus_stratified_sample",  # r8
-    "corpus_temperature_mix",  # r8
-    "corpus_token_budget_sample",  # r8
-    "corpus_topk_tokens",  # r8
-    "corpus_vocab_topk",  # r8
-    "dedup_cluster_keep",  # r8
-    "dedup_clusters",  # r8
-    "dedup_embedding_cosine",  # r8
-    "dedup_exact",  # r8
-    "dedup_fingerprint",  # r8
-    "dedup_incremental",  # r8
-    "dedup_ngram_jaccard",  # r8
+    # r14 from CORRECTNESS_r01..r13): the 25-name r8-evidence cohort
+    # (the r13 window covered the other r8 names), then the 50-name
+    # r9 cohort.  2 + 25 = 27, so the driver's ~50-query window takes
+    # both r14 additions, the whole r8 tail, and the first ~23 r9
+    # names; the r9 remainder waits for r15.  Both additions also
+    # carry local tri-scale evidence (CORRECTNESS_local_r14.txt).
+    # (synthetic_transactions stays in _BACK by standing policy.)
     "dedup_simhash",  # r8
     "embedding_quantize",  # r8
     "events_cohort_retention",  # r8
@@ -135,6 +85,56 @@ _FRONT = (
     "text_stats",  # r8
     "text_token_count",  # r8
     "trn_passport_ts_version",  # r8
+    "cdc_current_state",  # r9
+    "ch_dict_get",  # r9
+    "ch_limit_by",  # r9
+    "ch_sample_clause",  # r9
+    "ch_with_totals",  # r9
+    "contamination_check_13g",  # r9
+    "corpus_content_drift",  # r9
+    "corpus_source_overlap",  # r9
+    "corpus_topk_domains_weighted",  # r9
+    "dedup_clusters_star",  # r9
+    "dedup_image_dhash",  # r9
+    "dedup_minhash_lsh",  # r9
+    "dedup_semantic",  # r9
+    "events_hourly_gapfill",  # r9
+    "events_uniq_upto",  # r9
+    "events_window_funnel",  # r9
+    "llm_curation_pipeline",  # r9
+    "multimodal_decode",  # r9
+    "multimodal_features",  # r9
+    "multimodal_video_frames",  # r9
+    "pack_chunks",  # r9
+    "pack_greedy",  # r9
+    "products_usable_vw",  # r9
+    "quality_classifier_score",  # r9
+    "quality_gopher_rules",  # r9
+    "silver_projection_scan",  # r9
+    "silver_ttl_rollup",  # r9
+    "silver_version_diff",  # r9
+    "similarity_ann_ivf_table",  # r9
+    "similarity_ann_ivf_topk",  # r9
+    "similarity_ann_lsh_buckets",  # r9
+    "similarity_ann_lsh_topk",  # r9
+    "similarity_cosine_topk",  # r9
+    "star_join_revenue",  # r9
+    "stream_agg_argmax_state",  # r9
+    "stream_agg_kmv_state",  # r9
+    "stream_agg_state",  # r9
+    "stream_collapsing_state",  # r9
+    "stream_filter_report",  # r9
+    "stream_image_dedup_gate",  # r9
+    "stream_schema_drift",  # r9
+    "stream_schema_evolution",  # r9
+    "stream_vcollapsing_state",  # r9
+    "text_boilerplate",  # r9
+    "text_lm_perplexity",  # r9
+    "text_pii_scrub",  # r9
+    "text_repetition",  # r9
+    "text_tfidf_top_terms",  # r9
+    "token_length_histogram",  # r9
+    "trn_passport_current",  # r9
 )
 
 # Oracle-inexpressible by the reference's own randomness contract

@@ -896,3 +896,56 @@ def dsir_score_expr(
             F.expr(score).cast("double").alias("log_weight"),
         )
     )
+
+
+def url_canonicalize(
+    df: DataFrame, url_col: str = "url", out: str = "canonical_url"
+) -> DataFrame:
+    """r14 — URL canonicalization, the key of the URL-dedup stage web
+    pipelines run BEFORE content dedup (RefinedWeb §3.2 / CCNet keep
+    one fetch per page; re-crawls and tracking-decorated share links
+    are the cheapest duplicates to kill because no text needs
+    comparing).  Documented rule set, applied entirely JVM-side
+    (``parse_url`` + regexp — map-only, no UDF):
+
+    1. scheme and authority lowercased;
+    2. leading ``www.`` stripped from the host;
+    3. the scheme's default port stripped (``:80`` http, ``:443``
+       https — a NON-default port is identity-bearing and stays);
+    4. the fragment dropped (client-side only);
+    5. tracking params removed (``utm_*``, ``fbclid``, ``gclid``,
+       ``ref``), other params kept in their original order (param
+       REORDERING is not safe in general — servers may care);
+    6. one trailing slash stripped from a non-root path.
+
+    A NULL or unparseable URL (no scheme/host) canonicalizes to NULL —
+    stated, not guessed; the dedup query keys such rows to themselves.
+    """
+    u = F.col(url_col)
+    proto = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
+    # AUTHORITY carries host[:port]; lowercase, strip www., strip the
+    # scheme-default port only
+    auth = F.regexp_replace(
+        F.lower(F.parse_url(u, F.lit("AUTHORITY"))), r"^www\.", "")
+    auth = (
+        F.when(proto == "http", F.regexp_replace(auth, ":80$", ""))
+        .when(proto == "https", F.regexp_replace(auth, ":443$", ""))
+        .otherwise(auth)
+    )
+    path = F.parse_url(u, F.lit("PATH"))
+    path = F.when(
+        (F.length(path) > 1), F.regexp_replace(path, "/$", "")
+    ).otherwise(path)
+    query = F.parse_url(u, F.lit("QUERY"))
+    kept = F.filter(
+        F.split(F.coalesce(query, F.lit("")), "&"),
+        lambda p: (p != "") & ~p.rlike(r"^(utm_[^=]*|fbclid|gclid|ref)="),
+    )
+    qpart = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    canonical = F.when(
+        proto.isNotNull() & auth.isNotNull(),
+        F.concat(proto, F.lit("://"), auth, F.coalesce(path, F.lit("")), qpart),
+    )
+    return df.withColumn(out, canonical)

@@ -148,6 +148,50 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 — URL-canonicalization dedup (operators/curation.
+    url_canonicalize): the stage web pipelines run BEFORE content dedup
+    (RefinedWeb §3.2 — re-crawls and tracking-decorated share links are
+    duplicates no text comparison is needed for).  Every 6 consecutive
+    doc_ids plant the SAME page behind the six variant classes the rule
+    set exists for — scheme/host case, www., explicit default port,
+    fragment, trailing slash, utm param — so each canonical group
+    collapses to its min doc_id.  The window is keyed by canonical URL
+    (≤6-row partitions — bounded by the variant count, never
+    corpus-sized).  The oracle derives the canonical closed-form from
+    doc_id and replays the min/count — two independent routes to the
+    same grouping."""
+    from pyspark.sql import Window
+
+    from ..operators.curation import url_canonicalize
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    g = F.expr("cast(doc_id div 6 as string)")
+    page = F.concat(F.lit("/p/"), g, F.lit("?id="), g)
+    v = F.col("doc_id") % 6
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://Example.COM"), page))
+        .when(v == 1, F.concat(F.lit("https://www.example.com"), page))
+        .when(v == 2, F.concat(F.lit("https://example.com:443"), page))
+        .when(v == 3, F.concat(F.lit("https://example.com"), page,
+                               F.lit("#s="), F.col("doc_id").cast("string")))
+        .when(v == 4, F.concat(F.lit("https://example.com/p/"), g,
+                               F.lit("/?id="), g))
+        .otherwise(F.concat(F.lit("https://example.com/p/"), g,
+                            F.lit("?utm_source=t"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("&id="), g))
+    )
+    c = url_canonicalize(docs.withColumn("url", url))
+    w = Window.partitionBy("canonical_url")
+    return c.select(
+        "doc_id",
+        "canonical_url",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_dups"),
+    )
+
+
 def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r13 — MinHash estimator accuracy
     (operators/dedup.minhash_estimate_on_pairs): per LSH candidate
@@ -432,6 +476,7 @@ QUERIES = {
     "corpus_leakage_safe_split": q_corpus_leakage_safe_split,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_containment": q_dedup_containment,
+    "dedup_url_canonical": q_dedup_url_canonical,
     "dedup_minhash_estimate": q_dedup_minhash_estimate,
     "dedup_fingerprint": q_dedup_fingerprint,
     "dedup_semantic": q_semantic_dedup,
@@ -923,4 +968,18 @@ ORACLES["dedup_minhash_estimate"] = f"""
            FLOOR(abs(n_sig_matches * 1.0 / {_N_PERMS_E} - jaccard) * 1e6
                  + 0.5) / 1e6 AS abs_err
     FROM m
+"""
+
+
+ORACLES["dedup_url_canonical"] = """
+    WITH c AS (
+        SELECT doc_id,
+               'https://example.com/p/' || CAST(doc_id // 6 AS VARCHAR)
+               || '?id=' || CAST(doc_id // 6 AS VARCHAR) AS canonical_url
+        FROM documents
+    )
+    SELECT doc_id, canonical_url,
+           doc_id = MIN(doc_id) OVER (PARTITION BY canonical_url) AS keep,
+           COUNT(*) OVER (PARTITION BY canonical_url) AS n_dups
+    FROM c
 """
