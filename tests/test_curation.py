@@ -613,3 +613,37 @@ def test_dsir_empty_and_short_docs_score_zero(spark):
     # batch and streaming-shaped paths agree on every doc
     for k in out:
         assert abs(out[k] - sc[k]["log_weight"]) < 1e-9
+
+
+def test_url_canonicalize_rule_set(spark):
+    """r14: the 6 documented rules each fire; identity-bearing parts
+    (non-default port, non-tracking params, param order) survive;
+    unparseable/NULL URLs canonicalize to NULL (stated, not guessed)."""
+    from postgres_debezium_clickhouse_spark.operators.curation import (
+        url_canonicalize,
+    )
+
+    rows = [
+        (0, "https://Example.COM/a/b?id=7"),
+        (1, "https://www.example.com/a/b?id=7"),
+        (2, "https://example.com:443/a/b?id=7"),
+        (3, "https://example.com/a/b?id=7#frag"),
+        (4, "https://example.com/a/b/?id=7"),
+        (5, "https://example.com/a/b?utm_source=x&id=7"),
+        (6, "http://example.com:8080/x"),        # non-default port stays
+        (7, "http://example.com:80/"),           # root slash stays
+        (8, "not a url"),
+        (9, None),
+        (10, "https://example.com/a/b?ref=tw&fbclid=1&gclid=2"),
+        (11, "https://example.com/a?b=2&a=1"),   # param ORDER preserved
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.doc_id: r.canonical_url
+           for r in url_canonicalize(df).collect()}
+    want7 = "https://example.com/a/b?id=7"
+    assert all(got[i] == want7 for i in range(6))
+    assert got[6] == "http://example.com:8080/x"
+    assert got[7] == "http://example.com/"
+    assert got[8] is None and got[9] is None
+    assert got[10] == "https://example.com/a/b"
+    assert got[11] == "https://example.com/a?b=2&a=1"
