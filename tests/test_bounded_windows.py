@@ -148,14 +148,14 @@ def _exchange_input_is_group_limited(df) -> bool:
 
 def test_brute_force_topk_exchange_is_bounded(spark, sf_dir):
     from postgres_debezium_clickhouse_spark.operators.similarity import (
-        cosine_topk, hamming_topk, l2_topk,
+        cosine_topk, hamming_topk, l2_topk, lsh_ann_topk,
     )
 
     corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = corpus.orderBy("vec_id").limit(3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    for fn in (cosine_topk, l2_topk, hamming_topk):
+    for fn in (cosine_topk, l2_topk, hamming_topk, lsh_ann_topk):
         out = fn(corpus, queries, k=5)
         assert _exchange_input_is_group_limited(out), (
             f"{fn.__name__}: the per-query exchange must be fed by the "
