@@ -1162,6 +1162,214 @@ def lm_bigram_interpolated(
     )
 
 
+def lm_bigram_modified_kneser_ney(
+    documents: DataFrame,
+    train_docs: "DataFrame | None" = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """r14 — MODIFIED Kneser-Ney bigram smoothing (Chen & Goodman 1999
+    §3, eq. 26) — the variant their study found uniformly best and the
+    one every toolkit (SRILM/KenLM) ships as "the" Kneser-Ney: instead
+    of one fixed discount D, THREE count-class discounts D₁, D₂, D₃₊
+    estimated from the train table's count-of-counts n₁..n₄ by the
+    leave-one-out closed form:
+
+        Y   = n₁ / (n₁ + 2·n₂)
+        D₁  = 1 − 2·Y·n₂/n₁     (applied to bigrams seen once)
+        D₂  = 2 − 3·Y·n₃/n₂     (seen twice)
+        D₃₊ = 3 − 4·Y·n₄/n₃     (seen three or more times)
+
+        P(w₂|w₁) = max(c(w₁w₂) − D(c), 0)/N(w₁·) + λ(w₁)·P_cont(w₂)
+        λ(w₁) = (D₁·N₁(w₁·) + D₂·N₂(w₁·) + D₃₊·N₃₊(w₁·)) / N(w₁·)
+
+    where Nₖ(w₁·) counts the distinct w₂ with c(w₁w₂) = k (3+ for the
+    last), so the per-context freed mass is exactly what the class
+    discounts removed and the mixture still sums to 1 over w₂.
+    P_cont, the train/score split, OOV accounting (``n_oov`` excluded
+    from the mean, ``n_unseen`` = scored-but-unseen transitions) and
+    the round-6-ln → DECIMAL(20,6) sum → floor-mean discipline are all
+    inherited from ``lm_bigram_kneser_ney``.
+
+    Unestimable classes fall back, SRILM-style: Dₖ's closed form needs
+    nₖ > 0 (its denominator); when a class has NO types at exactly
+    that count the class discount falls back to Y itself — the Ney et
+    al. (1994) single-discount estimate the toolkits substitute when
+    the modified form is unestimable.  (A fallback Dₖ is only ever
+    APPLIED if some bigram sits in that class — e.g. n₃ = 0 with
+    counts ≥ 4 present — otherwise its per-context multiplier
+    Nₖ(w₁·) is zero everywhere and the value is inert; it exists so
+    the IEEE dag stays NaN-free, since NaN·0 = NaN would poison λ.)
+
+    The regime the dag cannot survive is GUARDED in-plan (the
+    sketch_full idiom): Y must be defined (n₁ + 2·n₂ > 0) and every
+    discount with a nonempty class must be POSITIVE (C&G's closed form
+    can go negative on adversarial count distributions; a zero-or-
+    negative applied discount could drive some context's λ(w₁) ≤ 0 and
+    an unseen transition into ln(≤0)).  ``mkn_regime_ok`` raises
+    loudly on drift instead of surfacing as an oracle hash mismatch;
+    the oracle hardcodes ``true``.
+
+    Determinism: D₁/D₂/D₃₊ and every per-transition probability are
+    single fully-parenthesized IEEE-double dags over exact integer
+    counts, mirrored verbatim in the DuckDB oracle.
+
+    Plan: identical shape to the single-discount KN — the train bigram
+    table shuffles once on the pair key; the per-context table (now
+    carrying N₁/N₂/N₃₊ alongside the total) and the continuation table
+    are vocab-bounded broadcasts; the count-of-counts row is a 1-row
+    broadcast."""
+    if train_docs is None:
+        train_docs = documents
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    pairs_arr = F.expr(
+        "zip_with(slice(__w, 1, greatest(size(__w) - 1, 0)),"
+        " slice(__w, 2, greatest(size(__w) - 1, 0)),"
+        " (a, b) -> struct(a as w1, b as w2))"
+    )
+
+    def to_pairs(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("__w", words)
+            .select(F.col(id_col), F.explode(pairs_arr).alias("p"))
+            .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        )
+
+    bi = to_pairs(train_docs).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("bcnt")
+    )
+    left_tab = bi.groupBy("w1").agg(
+        F.sum("bcnt").alias("n_w1"),
+        F.sum((F.col("bcnt") == 1).cast("long")).alias("nd1"),
+        F.sum((F.col("bcnt") == 2).cast("long")).alias("nd2"),
+        F.sum((F.col("bcnt") >= 3).cast("long")).alias("nd3p"),
+    )
+    right_tab = bi.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_r"))
+    types = bi.groupBy().agg(F.count(F.lit(1)).alias("n_types"))
+    cc = bi.groupBy().agg(
+        F.sum((F.col("bcnt") == 1).cast("long")).alias("n1"),
+        F.sum((F.col("bcnt") == 2).cast("long")).alias("n2"),
+        F.sum((F.col("bcnt") == 3).cast("long")).alias("n3"),
+        F.sum((F.col("bcnt") == 4).cast("long")).alias("n4"),
+        F.sum((F.col("bcnt") >= 3).cast("long")).alias("n3p"),
+    )
+    # Discount dags mirrored verbatim in the oracle (op order is
+    # bit-significant in IEEE double).  CASE = the SRILM-style
+    # fallback: closed form when the class's count-of-count is
+    # positive, else Y itself.
+    y_expr = (
+        "(cast(n1 as double)"
+        " / (cast(n1 as double) + (cast(2 as double) * cast(n2 as double))))"
+    )
+    disc = cc.withColumn("__y", F.expr(y_expr)).select(
+        F.expr(
+            "(case when n1 > 0 then"
+            " (cast(1 as double) - ((cast(2 as double) * __y)"
+            " * (cast(n2 as double) / cast(n1 as double))))"
+            " else __y end)"
+        ).alias("__d1"),
+        F.expr(
+            "(case when n2 > 0 then"
+            " (cast(2 as double) - ((cast(3 as double) * __y)"
+            " * (cast(n3 as double) / cast(n2 as double))))"
+            " else __y end)"
+        ).alias("__d2"),
+        F.expr(
+            "(case when n3 > 0 then"
+            " (cast(3 as double) - ((cast(4 as double) * __y)"
+            " * (cast(n4 as double) / cast(n3 as double))))"
+            " else __y end)"
+        ).alias("__d3"),
+        F.col("n1"),
+        F.col("n2"),
+        F.col("n3p"),
+    )
+    disc = disc.select(
+        "__d1",
+        "__d2",
+        "__d3",
+        F.coalesce(
+            F.assert_true(
+                (F.col("n1") + F.lit(2) * F.col("n2") > 0)
+                & ((F.col("n1") == 0) | (F.col("__d1") > 0))
+                & ((F.col("n2") == 0) | (F.col("__d2") > 0))
+                & ((F.col("n3p") == 0) | (F.col("__d3") > 0)),
+                F.lit(
+                    "regime drift: modified-KN discounts undefined or "
+                    "non-positive for a nonempty count class — the "
+                    "estimator (and its oracle mirror) cannot run on "
+                    "this count distribution"
+                ),
+            ).cast("boolean"),
+            F.lit(True),
+        ).alias("mkn_regime_ok"),
+    )
+    dd = (
+        "(case when coalesce(bcnt, 0) >= 3 then __d3"
+        " when coalesce(bcnt, 0) = 2 then __d2"
+        " when coalesce(bcnt, 0) = 1 then __d1"
+        " else cast(0 as double) end)"
+    )
+    lam = (
+        "((((__d1 * cast(nd1 as double)) + (__d2 * cast(nd2 as double)))"
+        " + (__d3 * cast(nd3p as double))) / cast(n_w1 as double))"
+    )
+    prob = (
+        f"((greatest(cast(coalesce(bcnt, 0) as double) - {dd},"
+        f" cast(0 as double)) / cast(n_w1 as double))"
+        f" + ({lam} * (cast(n1p_r as double) / cast(n_types as double))))"
+    )
+    scored = (
+        to_pairs(documents)
+        .join(bi, ["w1", "w2"], "left")
+        .join(F.broadcast(left_tab), "w1", "left")
+        .join(F.broadcast(right_tab), "w2", "left")
+        .crossJoin(F.broadcast(types))
+        .crossJoin(F.broadcast(disc))
+        .withColumn(
+            "__oov", F.col("n_w1").isNull() | F.col("n1p_r").isNull()
+        )
+        .withColumn(
+            "__s",
+            F.when(
+                ~F.col("__oov"),
+                F.round(F.log(F.expr(prob)), 6).cast("decimal(20,6)"),
+            ),
+        )
+    )
+    per = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.sum(F.col("__oov").cast("long")).alias("n_oov"),
+        F.sum(
+            (F.col("bcnt").isNull() & ~F.col("__oov")).cast("long")
+        ).alias("n_unseen"),
+        F.sum("__s").alias("__sum"),
+        F.count("__s").alias("__n_scored"),
+        # carries the in-plan regime assert through aggregation so
+        # column pruning cannot drop it
+        F.min("mkn_regime_ok").alias("mkn_regime_ok"),
+    )
+    avg = (
+        F.floor(
+            F.col("__sum").cast("double") / F.col("__n_scored") * 1e6 + 0.5
+        ) / 1e6
+    )
+    ppl = F.floor(F.exp(-avg) * 1e4 + 0.5) / 1e4
+    return (
+        documents.select(id_col).join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_transitions", F.lit(0)).cast("long")
+            .alias("n_transitions"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            F.coalesce("n_unseen", F.lit(0)).cast("long").alias("n_unseen"),
+            avg.alias("avg_logscore"),
+            ppl.alias("ppl"),
+            F.coalesce("mkn_regime_ok", F.lit(True)).alias("mkn_regime_ok"),
+        )
+    )
+
+
 def lm_bigram_kneser_ney(
     documents: DataFrame,
     train_docs: "DataFrame | None" = None,

@@ -295,6 +295,27 @@ def q_text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_bigram_modified_kneser_ney(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r14 — MODIFIED Kneser-Ney bigram scoring
+    (operators/text.lm_bigram_modified_kneser_ney): Chen & Goodman
+    1999 §3's uniformly-best variant — three count-class discounts
+    D₁/D₂/D₃₊ estimated from the train table's own count-of-counts by
+    the leave-one-out closed form, replacing the single fixed D = 0.75
+    of text_bigram_kneser_ney.  Same even-doc_ids train split (odd
+    docs carry genuinely unseen bigrams), same OOV accounting, same
+    round-6-log / DECIMAL-sum / floor-mean discipline; the
+    count-of-counts regime (n₁,n₂,n₃ > 0) is guarded in-plan and the
+    oracle hardcodes the boolean."""
+    from ..operators.text import lm_bigram_modified_kneser_ney
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_bigram_modified_kneser_ney(
+        docs, train_docs=docs.filter(F.col("doc_id") % 2 == 0)
+    )
+
+
 def q_text_bigram_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r13 — Jelinek-Mercer interpolated bigram scoring
     (operators/text.lm_bigram_interpolated, λ = 0.7): the PROPER-
@@ -313,6 +334,7 @@ QUERIES = {
     "text_trigram_backoff": q_text_trigram_backoff,
     "text_bigram_interpolated": q_text_bigram_interpolated,
     "text_bigram_kneser_ney": q_text_bigram_kneser_ney,
+    "text_bigram_modified_kneser_ney": q_text_bigram_modified_kneser_ney,
     "text_lang_id": q_lang_id,
     "text_quality_score": q_quality_score,
     "text_token_count": q_token_count,
@@ -474,6 +496,104 @@ ORACLES = {
                CAST(COALESCE(p.n_unseen, 0) AS BIGINT) AS n_unseen,
                p.avg_logscore,
                FLOOR(exp(-p.avg_logscore) * 1e4 + 0.5) / 1e4 AS ppl
+        FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+    "text_bigram_modified_kneser_ney": """
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS wd
+            FROM documents
+        ),
+        pairs AS (
+            SELECT doc_id, wd[CAST(i.i AS INT)] AS w1,
+                   wd[CAST(i.i + 1 AS INT)] AS w2
+            FROM w CROSS JOIN LATERAL (
+                SELECT unnest(range(1, len(wd)))) i(i)
+        ),
+        bi AS (SELECT w1, w2, COUNT(*) AS bcnt
+               FROM pairs WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+        lt AS (SELECT w1, SUM(bcnt) AS n_w1,
+                      SUM(CASE WHEN bcnt = 1 THEN 1 ELSE 0 END) AS nd1,
+                      SUM(CASE WHEN bcnt = 2 THEN 1 ELSE 0 END) AS nd2,
+                      SUM(CASE WHEN bcnt >= 3 THEN 1 ELSE 0 END) AS nd3p
+               FROM bi GROUP BY w1),
+        rt AS (SELECT w2, COUNT(*) AS n1p_r FROM bi GROUP BY w2),
+        ty AS (SELECT COUNT(*) AS n_types FROM bi),
+        cc AS (SELECT SUM(CASE WHEN bcnt = 1 THEN 1 ELSE 0 END) AS n1,
+                      SUM(CASE WHEN bcnt = 2 THEN 1 ELSE 0 END) AS n2,
+                      SUM(CASE WHEN bcnt = 3 THEN 1 ELSE 0 END) AS n3,
+                      SUM(CASE WHEN bcnt = 4 THEN 1 ELSE 0 END) AS n4
+               FROM bi),
+        yc AS (SELECT n1, n2, n3, n4,
+                      (CAST(n1 AS DOUBLE)
+                       / (CAST(n1 AS DOUBLE)
+                          + (CAST(2 AS DOUBLE) * CAST(n2 AS DOUBLE)))) AS y
+               FROM cc),
+        -- the SAME fully-parenthesized discount dags as the engine,
+        -- incl. the SRILM-style per-class fallback to Y when a
+        -- class's count-of-count is zero
+        dc AS (SELECT
+                   (CASE WHEN n1 > 0 THEN
+                    (CAST(1 AS DOUBLE) - ((CAST(2 AS DOUBLE) * y)
+                     * (CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE))))
+                    ELSE y END) AS d1,
+                   (CASE WHEN n2 > 0 THEN
+                    (CAST(2 AS DOUBLE) - ((CAST(3 AS DOUBLE) * y)
+                     * (CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE))))
+                    ELSE y END) AS d2,
+                   (CASE WHEN n3 > 0 THEN
+                    (CAST(3 AS DOUBLE) - ((CAST(4 AS DOUBLE) * y)
+                     * (CAST(n4 AS DOUBLE) / CAST(n3 AS DOUBLE))))
+                    ELSE y END) AS d3
+               FROM yc),
+        scored AS (
+            SELECT p.doc_id,
+                   (l.n_w1 IS NULL OR r.n1p_r IS NULL) AS oov,
+                   (b.bcnt IS NULL
+                    AND NOT (l.n_w1 IS NULL OR r.n1p_r IS NULL)) AS unseen,
+                   CASE WHEN NOT (l.n_w1 IS NULL OR r.n1p_r IS NULL) THEN
+                       CAST(ROUND(ln(
+                           ((GREATEST(CAST(COALESCE(b.bcnt, 0) AS DOUBLE)
+                                      - (CASE
+                                         WHEN COALESCE(b.bcnt, 0) >= 3
+                                             THEN dc.d3
+                                         WHEN COALESCE(b.bcnt, 0) = 2
+                                             THEN dc.d2
+                                         WHEN COALESCE(b.bcnt, 0) = 1
+                                             THEN dc.d1
+                                         ELSE CAST(0 AS DOUBLE) END),
+                                      CAST(0 AS DOUBLE))
+                             / CAST(l.n_w1 AS DOUBLE))
+                            + (((((dc.d1 * CAST(l.nd1 AS DOUBLE))
+                                  + (dc.d2 * CAST(l.nd2 AS DOUBLE)))
+                                 + (dc.d3 * CAST(l.nd3p AS DOUBLE)))
+                                / CAST(l.n_w1 AS DOUBLE))
+                               * (CAST(r.n1p_r AS DOUBLE)
+                                  / CAST(ty.n_types AS DOUBLE))))
+                       ), 6) AS DECIMAL(20,6)) END AS s
+            FROM pairs p
+            LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+            LEFT JOIN lt l ON l.w1 = p.w1
+            LEFT JOIN rt r ON r.w2 = p.w2
+            CROSS JOIN ty
+            CROSS JOIN dc
+        ),
+        per AS (
+            SELECT doc_id, COUNT(*) AS n_transitions,
+                   SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS n_oov,
+                   SUM(CASE WHEN unseen THEN 1 ELSE 0 END) AS n_unseen,
+                   FLOOR(CAST(SUM(s) AS DOUBLE) / COUNT(s) * 1e6 + 0.5)
+                       / 1e6 AS avg_logscore
+            FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_transitions, 0) AS BIGINT) AS n_transitions,
+               CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
+               CAST(COALESCE(p.n_unseen, 0) AS BIGINT) AS n_unseen,
+               p.avg_logscore,
+               FLOOR(exp(-p.avg_logscore) * 1e4 + 0.5) / 1e4 AS ppl,
+               -- in-plan regime guard on the engine side (n1,n2,n3 > 0)
+               true AS mkn_regime_ok
         FROM documents d LEFT JOIN per p USING (doc_id)
     """,
     "text_bigram_interpolated": """

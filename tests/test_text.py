@@ -571,3 +571,67 @@ def test_kneser_ney_scores_unseen_bigrams_finitely(spark):
     # carrying an unseen transition
     assert rows[0]["n_unseen"] == 0
     assert rows[0]["ppl"] < rows[1]["ppl"]
+
+
+def test_modified_kneser_ney_closed_form_discounts(spark):
+    """Chen & Goodman's modified KN on a corpus whose count-of-counts
+    are planted by hand: one-bigram docs give c(a,b)=4, c(b,c)=3,
+    c(c,d)=2, c(d,e)=c(e,a)=1 ⇒ n1=2, n2=1, n3=1, n4=1 ⇒ Y=0.5,
+    D1=0.5, D2=0.5, D3+=1.0 — every per-transition probability is
+    hand-checkable: P(b|a) = (4−1)/4 + (1·1/4)·(1/5) = 0.8 and the
+    unseen P(c|a) = 0 + 0.25·0.2 = 0.05 (ln 0.05 → ppl 20 exactly
+    under the round-6/floor discipline)."""
+    from postgres_debezium_clickhouse_spark.operators.text import (
+        lm_bigram_kneser_ney,
+        lm_bigram_modified_kneser_ney,
+    )
+
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["a b"] * 4 + ["b c"] * 3 + ["c d"] * 2 + ["d e", "e a"]
+        )],
+        ["doc_id", "text"],
+    )
+    score = spark.createDataFrame(
+        [(0, "a b"), (1, "a c")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in
+            lm_bigram_modified_kneser_ney(score, train_docs=train).collect()}
+    # seen count-4 bigram: D3+ = 1.0 applies → P = 0.8 exactly
+    assert rows[0]["avg_logscore"] == -0.223144          # round6(ln 0.8)
+    assert rows[0]["ppl"] == 1.25
+    # unseen bigram: pure continuation mass λ(a)·P_cont(c) = 0.05
+    assert rows[1]["n_unseen"] == 1
+    assert rows[1]["avg_logscore"] == -2.995732          # round6(ln 0.05)
+    assert rows[1]["ppl"] == 20.0
+    assert rows[0]["mkn_regime_ok"] and rows[1]["mkn_regime_ok"]
+    # the CLASS discounts genuinely differ from single-D KN (D = 0.75):
+    # same seen transition scores (4−0.75)/4 + (0.75/4)·0.2 = 0.85 there
+    kn = {r["doc_id"]: r for r in
+          lm_bigram_kneser_ney(score, train_docs=train).collect()}
+    assert kn[0]["avg_logscore"] != rows[0]["avg_logscore"]
+
+
+def test_modified_kneser_ney_fallback_class_discount(spark):
+    """The SRILM-style unestimable-class fallback: n3 = 0 while counts
+    ≥ 4 exist (the engine fixture's own regime at sf0.01) — D3+ falls
+    back to Y and the dag stays finite; a negative-discount count
+    distribution cannot arise here so the in-plan guard passes."""
+    from postgres_debezium_clickhouse_spark.operators.text import (
+        lm_bigram_modified_kneser_ney,
+    )
+
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["a b"] * 4 + ["b c"] * 2 + ["d e", "e a"]
+        )],
+        ["doc_id", "text"],
+    )
+    # n1=2, n2=1, n3=0, n4=1 ⇒ Y=0.5, D3+ → Y = 0.5 (fallback)
+    # P(b|a) = (4−0.5)/4 + ((0.5·1)/4)·(1/4) = 0.875 + 0.03125
+    score = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
+    row = lm_bigram_modified_kneser_ney(score, train_docs=train).collect()[0]
+    import math
+    expected = round(math.log(0.90625), 6)
+    assert float(row["avg_logscore"]) == expected
+    assert row["mkn_regime_ok"]
