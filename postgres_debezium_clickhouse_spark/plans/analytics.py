@@ -581,6 +581,44 @@ def events_window_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_sequence_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 — ClickHouse ``sequenceNextNode('forward', 'first_match')(ts,
+    event_type, event_type = 'signup', event_type = 'click')``: the
+    path-analysis aggregate — find the FIRST place the user's event
+    stream matches the adjacent chain signup→click and return the event
+    that comes NEXT (CH docs: "returns a value of the next event that
+    matched an event chain"; NULL when the chain ends the stream).
+    Aggregated here into the classic what-do-users-do-next histogram.
+
+    Deterministic restatement (the events_window_funnel_strict
+    discipline): the stream is ordered by (ts, event_id); "first match"
+    = the match at the smallest stream position.  One per-user window
+    (lead ×2 + row_number) — a single hash shuffle, per-user bounded
+    frames, no joins."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = ev.select(
+        "user_id", "event_type",
+        F.lead("event_type", 1).over(w).alias("n1_type"),
+        F.lead("event_type", 2).over(w).alias("n2_type"),
+        F.row_number().over(w).alias("__rn"),
+    )
+    ws = Window.partitionBy("user_id").orderBy(F.col("__rn").asc())
+    first_match = (
+        seq.filter(
+            (F.col("event_type") == "signup") & (F.col("n1_type") == "click")
+        )
+        .withColumn("__mn", F.row_number().over(ws))
+        .filter(F.col("__mn") == 1)
+    )
+    return (
+        first_match.groupBy(F.col("n2_type").alias("next_node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
 def events_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r11 — ClickHouse ``quantileExactWeighted(q)(x, w)``: the exact
     weighted quantile (each value counted with an integer weight —
@@ -1021,6 +1059,7 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "events_weighted_quantiles": events_weighted_quantiles,
     "events_window_funnel_strict": events_window_funnel_strict,
+    "events_sequence_next_node": events_sequence_next_node,
     "events_window_funnel_dedup": events_window_funnel_dedup,
     "events_sequence_count": events_sequence_count,
     "events_kmv_setops": events_kmv_setops,
@@ -1633,6 +1672,28 @@ ORACLES["events_window_funnel_strict"] = """
            CAST(COUNT(*) AS BIGINT) AS n_users
     FROM users LEFT JOIN lv USING (user_id)
     GROUP BY COALESCE(lv.l, 0)
+"""
+
+ORACLES["events_sequence_next_node"] = """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type, 1) OVER w AS n1_type,
+               LEAD(event_type, 2) OVER w AS n2_type,
+               ROW_NUMBER() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    m AS (
+        SELECT * FROM (
+            SELECT user_id, n2_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY rn ASC) AS mn
+            FROM seq
+            WHERE event_type = 'signup' AND n1_type = 'click'
+        ) WHERE mn = 1
+    )
+    SELECT n2_type AS next_node, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM m GROUP BY n2_type
 """
 
 ORACLES["events_weighted_quantiles"] = """
