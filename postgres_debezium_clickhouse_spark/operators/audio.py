@@ -46,6 +46,109 @@ def wav_encode(samples: list[int], sample_rate: int = 8000, channels: int = 1) -
     return buf.getvalue()
 
 
+def _f80_encode(rate: int) -> bytes:
+    """80-bit IEEE 754 extended float, big-endian — the AIFF COMM
+    chunk's sampleRate field (the one format oddity AIFF has over
+    RIFF): 1 sign bit, 15-bit exponent (bias 16383), 64-bit mantissa
+    with an EXPLICIT integer bit (bit 63).  Integer rates encode
+    exactly: mantissa = rate << (63 − ⌊log₂ rate⌋)."""
+    if rate <= 0:
+        raise ValueError("sample rate must be positive")
+    e = rate.bit_length() - 1
+    return struct.pack(">HQ", 16383 + e, rate << (63 - e))
+
+
+def _f80_decode(b: bytes) -> int:
+    """Inverse of ``_f80_encode`` for the integer rates real AIFF files
+    carry; fractional rates raise (wrong stats are worse than no
+    stats — the wav_decode posture)."""
+    if len(b) != 10:
+        raise ValueError("bad 80-bit extended-float field")
+    se, mant = struct.unpack(">HQ", b)
+    if se & 0x8000:
+        raise ValueError("negative sample rate")
+    if mant == 0:
+        raise ValueError("zero sample rate")
+    shift = 63 - (se - 16383)
+    if shift < 0:
+        return mant << (-shift)
+    if shift > 0 and mant & ((1 << shift) - 1):
+        raise ValueError("non-integer sample rate unsupported")
+    return mant >> shift
+
+
+def aiff_encode(samples: list[int], sample_rate: int = 8000,
+                channels: int = 1) -> bytes:
+    """Write a real FORM/AIFF file (16-bit big-endian PCM): COMM
+    (channels, numSampleFrames, sampleSize 16, 80-bit-float rate) +
+    SSND (offset/blockSize 0, then the interleaved frames)."""
+    if len(samples) % channels:
+        raise ValueError("sample count not a multiple of channels")
+    comm = struct.pack(
+        ">hIh", channels, len(samples) // channels, 16
+    ) + _f80_encode(sample_rate)
+    ssnd = struct.pack(">II", 0, 0) + b"".join(
+        struct.pack(">h", s) for s in samples
+    )
+    chunks = b"COMM" + struct.pack(">I", len(comm)) + comm
+    chunks += b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    if len(ssnd) % 2:
+        chunks += b"\x00"
+    return b"FORM" + struct.pack(">I", 4 + len(chunks)) + b"AIFF" + chunks
+
+
+def aiff_decode(blob: bytes) -> dict:
+    """Decode an AIFF: {channels, sample_rate, n_frames, samples} with
+    ``samples`` the interleaved int16 list — the big-endian sibling of
+    ``wav_decode`` with the same ValueError normalization contract.
+    Chunk sizes are even-padded per the IFF spec; ``n_frames`` comes
+    from COMM and is cross-checked against the SSND payload so a
+    truncated blob cannot silently agree.  Only 16-bit PCM (plain
+    AIFF) is supported; AIFF-C compression types raise in
+    ``decode_audio``."""
+    if blob[:4] != b"FORM" or blob[8:12] != b"AIFF":
+        raise ValueError("not an AIFF (bad FORM/AIFF header)")
+    try:
+        comm = ssnd = None
+        pos = 12
+        while pos + 8 <= len(blob):
+            cid = blob[pos:pos + 4]
+            (sz,) = struct.unpack(">I", blob[pos + 4:pos + 8])
+            body = blob[pos + 8:pos + 8 + sz]
+            if len(body) != sz:
+                raise ValueError("truncated chunk body")
+            if cid == b"COMM":
+                comm = body
+            elif cid == b"SSND":
+                ssnd = body
+            pos += 8 + sz + (sz & 1)  # IFF even padding
+        if comm is None or ssnd is None:
+            raise ValueError("missing COMM/SSND chunk")
+        if len(comm) < 18:
+            raise ValueError("short COMM chunk")
+        ch, n, bits = struct.unpack(">hIh", comm[:8])
+        rate = _f80_decode(comm[8:18])
+        if bits != 16:
+            raise ValueError(f"unsupported sample size {bits}-bit")
+        if ch <= 0:
+            raise ValueError("bad channel count")
+        if len(ssnd) < 8:
+            raise ValueError("short SSND chunk")
+        (off,) = struct.unpack(">I", ssnd[:4])
+        data = ssnd[8 + off:8 + off + n * ch * 2]
+        if len(data) != n * ch * 2:
+            raise ValueError("SSND data size mismatch vs COMM frames")
+        samples = list(struct.unpack(f">{n * ch}h", data))
+    except (struct.error, EOFError, OverflowError, MemoryError) as e:
+        raise ValueError(f"malformed AIFF: {e}") from e
+    return {
+        "channels": ch,
+        "sample_rate": rate,
+        "n_frames": n,
+        "samples": samples,
+    }
+
+
 def mulaw_expand(b: int) -> int:
     """G.711 µ-law byte → linear int16 (ITU-T G.711, public spec;
     verified bit-exact against the stdlib ``audioop.ulaw2lin`` table in
@@ -414,6 +517,12 @@ def decode_audio(blob: bytes) -> dict:
     raise until a library is wired in."""
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         return {"format": "wav", **wav_decode(blob)}
+    if blob[:4] == b"FORM" and blob[8:12] == b"AIFF":
+        return {"format": "aiff", **aiff_decode(blob)}
+    if blob[:4] == b"FORM" and blob[8:12] == b"AIFC":
+        raise NotImplementedError(
+            "AIFF-C compression types not supported; wire in soundfile/pyav"
+        )
     raise NotImplementedError("no stdlib codec for this audio format; wire in soundfile/pyav")
 
 
@@ -564,6 +673,35 @@ def synth_g711_waveforms(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame
                 blobs.append(
                     wav_encode_g711(codes, "mulaw" if d % 2 == 0 else "alaw")
                 )
+            yield pd.DataFrame({"doc_id": ids, "media": blobs})
+
+    return ids_df.select(id_col).mapInPandas(_synth, schema=WAV_BLOB_SCHEMA)
+
+
+def synth_aiff_waveforms(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic AIFF fixture: for doc ``d``,
+
+        n_frames    = 18 + d % 41
+        channels    = 2 if d % 4 = 0 else 1
+        sample_rate = 11025 * (1 + d % 3)    (odd-mantissa rates, so the
+                                              80-bit-float field is
+                                              exercised beyond powers of 2)
+        sample(j)   = ((d*37 + j*11) % 1999) - 999   (interleaved index j)
+
+    — closed forms DuckDB reproduces with a ``range()`` cross join,
+    value-checking the FORM/COMM/SSND walk, the big-endian frame unpack,
+    and the extended-float rate decode end to end."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                n, ch = 18 + d % 41, 2 if d % 4 == 0 else 1
+                rate = 11025 * (1 + d % 3)
+                samples = [((d * 37 + j * 11) % 1999) - 999 for j in range(n * ch)]
+                ids.append(d)
+                blobs.append(aiff_encode(samples, rate, ch))
             yield pd.DataFrame({"doc_id": ids, "media": blobs})
 
     return ids_df.select(id_col).mapInPandas(_synth, schema=WAV_BLOB_SCHEMA)

@@ -152,6 +152,21 @@ def q_multimodal_audio_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_waveforms(synth_g711_waveforms(docs))
 
 
+def q_multimodal_audio_aiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 — REAL AIFF decode: a FORM/AIFF (16-bit big-endian PCM) per
+    document with closed-form samples, decoded by the first-principles
+    chunk walk in operators/audio.py (``aiff_decode``) — the big-endian
+    sibling of the WAV path, plus the format's one oddity: the COMM
+    sample rate is an 80-bit IEEE extended float, decoded exactly for
+    the odd-mantissa rates the fixture plants (11025/22050/33075).  The
+    DuckDB oracle recomputes the integer sample stats from the sample
+    formula."""
+    from ..operators.audio import synth_aiff_waveforms
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_waveforms(synth_aiff_waveforms(docs))
+
+
 def q_multimodal_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r10 — IMA/DVI ADPCM WAV decode (format tag 0x11, the
     block-structured compressed codec real RIFF files actually use):
@@ -357,6 +372,7 @@ QUERIES = {
     "multimodal_decode_deadletter": q_multimodal_decode_deadletter,
     "multimodal_audio_decode": q_multimodal_audio,
     "multimodal_audio_g711": q_multimodal_audio_g711,
+    "multimodal_audio_aiff": q_multimodal_audio_aiff,
     "multimodal_audio_adpcm": q_multimodal_audio_adpcm,
     "multimodal_audio_msadpcm": q_multimodal_audio_msadpcm,
     "multimodal_audio_features": q_multimodal_audio_features,
@@ -702,6 +718,28 @@ ORACLES = {
             FROM s GROUP BY doc_id
         )
         SELECT p.doc_id, 'wav' AS format, p.channels, p.sample_rate,
+               p.n_frames, t.s_sum, t.s_min, t.s_max
+        FROM params p JOIN stats t USING (doc_id)
+    """,
+    "multimodal_audio_aiff": """
+        WITH params AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS INT) AS channels,
+                   CAST(11025 * (1 + doc_id % 3) AS INT) AS sample_rate,
+                   CAST(18 + doc_id % 41 AS BIGINT) AS n_frames
+            FROM documents
+        ),
+        s AS (
+            SELECT p.doc_id, ((p.doc_id * 37 + j.j * 11) % 1999) - 999 AS v
+            FROM params p CROSS JOIN range(116) j(j)
+            WHERE j.j < p.n_frames * p.channels
+        ),
+        stats AS (
+            SELECT doc_id, CAST(SUM(v) AS BIGINT) AS s_sum,
+                   CAST(MIN(v) AS INT) AS s_min, CAST(MAX(v) AS INT) AS s_max
+            FROM s GROUP BY doc_id
+        )
+        SELECT p.doc_id, 'aiff' AS format, p.channels, p.sample_rate,
                p.n_frames, t.s_sum, t.s_min, t.s_max
         FROM params p JOIN stats t USING (doc_id)
     """,

@@ -216,3 +216,124 @@ def test_ms_adpcm_decode_and_stereo():
     blob[i] = 9                                  # coef index out of range
     with pytest.raises(ValueError, match="coefficient index"):
         decode_audio(bytes(blob))
+
+# ---------------------------------------------------------------- AIFF
+
+@given(
+    n=st.integers(1, 40),
+    ch=st.sampled_from([1, 2]),
+    rate=st.sampled_from([8000, 11025, 44100, 192000]),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_aiff_roundtrip_property(n, ch, rate, seed):
+    import random
+
+    from postgres_debezium_clickhouse_spark.operators.audio import (
+        aiff_decode,
+        aiff_encode,
+    )
+
+    rng = random.Random(seed)
+    samples = [rng.randrange(-32768, 32768) for _ in range(n * ch)]
+    d = aiff_decode(aiff_encode(samples, rate, ch))
+    assert (d["channels"], d["sample_rate"], d["n_frames"]) == (ch, rate, n)
+    assert d["samples"] == samples
+
+
+def test_aiff_f80_field_and_dispatch():
+    """The 80-bit extended-float rate field: exact for integer rates
+    (incl. odd mantissas), rejects fractional/zero/negative; dispatch
+    routes FORM/AIFF for real and FORM/AIFC to the honest
+    NotImplementedError."""
+    import struct
+
+    from postgres_debezium_clickhouse_spark.operators.audio import (
+        _f80_decode,
+        _f80_encode,
+        aiff_decode,
+        aiff_encode,
+    )
+
+    for rate in (1, 7, 8000, 11025, 44100, 48000, 96001, 2**30):
+        assert _f80_decode(_f80_encode(rate)) == rate
+    # 44100.5: exponent 15, mantissa with a sub-integer bit set
+    e = 15
+    mant = (44100 << (63 - e)) | (1 << (63 - e - 1))
+    with pytest.raises(ValueError, match="non-integer"):
+        _f80_decode(struct.pack(">HQ", 16383 + e, mant))
+    with pytest.raises(ValueError, match="zero"):
+        _f80_decode(struct.pack(">HQ", 16383, 0))
+    with pytest.raises(ValueError, match="negative"):
+        _f80_decode(struct.pack(">HQ", 0x8000 | (16383 + e), 44100 << 48))
+    blob = aiff_encode([1, -2, 3], 8000, 1)
+    assert decode_audio(blob)["format"] == "aiff"
+    with pytest.raises(NotImplementedError, match="AIFF-C"):
+        decode_audio(blob[:8] + b"AIFC" + blob[12:])
+
+
+def test_aiff_chunk_walk_padding_and_mismatch():
+    """IFF even-padding: an odd-sized ANNO chunk before COMM must be
+    skipped with its pad byte; COMM frames vs SSND payload mismatch
+    raises (truncation cannot silently agree)."""
+    import struct
+
+    from postgres_debezium_clickhouse_spark.operators.audio import (
+        aiff_decode,
+        aiff_encode,
+    )
+
+    base = aiff_encode([5, 6, 7], 22050, 1)
+    # splice an odd-length ANNO chunk right after the FORM type
+    anno = b"ANNO" + struct.pack(">I", 3) + b"abc" + b"\x00"
+    spliced = base[:12] + anno + base[12:]
+    spliced = spliced[:4] + struct.pack(">I", len(spliced) - 8) + spliced[8:]
+    d = aiff_decode(spliced)
+    assert d["samples"] == [5, 6, 7] and d["sample_rate"] == 22050
+    # drop the last sample's bytes: SSND no longer matches COMM
+    with pytest.raises(ValueError, match="truncated chunk|size mismatch"):
+        aiff_decode(base[:-2])
+
+
+def test_aiff_fuzz_never_escapes_valueerror():
+    """The dead-letter contract under corruption: byte flips and
+    truncations over a valid AIFF must normalize to ValueError /
+    NotImplementedError — never struct.error or an index crash."""
+    import random
+
+    from postgres_debezium_clickhouse_spark.operators.audio import (
+        aiff_encode,
+    )
+
+    rng = random.Random(14)
+    base = aiff_encode([((j * 7) % 200) - 100 for j in range(24)], 11025, 2)
+    for _ in range(3000):
+        b = bytearray(base)
+        b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        try:
+            decode_audio(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
+    for cut in range(len(base)):
+        try:
+            decode_audio(base[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_decode_aiff_waveforms_matches_closed_form(spark):
+    from postgres_debezium_clickhouse_spark.operators.audio import (
+        synth_aiff_waveforms,
+    )
+
+    ids = spark.createDataFrame([(d,) for d in range(1, 10)], ["doc_id"])
+    out = {r.doc_id: r for r in
+           decode_waveforms(synth_aiff_waveforms(ids)).collect()}
+    for d in range(1, 10):
+        r = out[d]
+        n, ch = 18 + d % 41, 2 if d % 4 == 0 else 1
+        assert (r.format, r.channels, r.sample_rate, r.n_frames) == (
+            "aiff", ch, 11025 * (1 + d % 3), n)
+        samples = [((d * 37 + j * 11) % 1999) - 999 for j in range(n * ch)]
+        assert (r.s_sum, r.s_min, r.s_max) == (
+            sum(samples), min(samples), max(samples))
