@@ -870,6 +870,117 @@ def tiff_encode(width: int, height: int, pixels: bytes, channels: int = 3,
     return bytes(out)
 
 
+_PNM_WS = b" \t\r\n\x0b\x0c"
+
+
+def _pnm_tokens(blob: bytes, pos: int, count: int) -> tuple[list[int], int]:
+    """Read ``count`` ASCII-decimal tokens starting at ``pos``, skipping
+    whitespace and ``#``-to-end-of-line comments (legal anywhere
+    whitespace is, per the Netpbm spec).  Returns (values, position
+    after the last token's final digit)."""
+    toks: list[int] = []
+    while len(toks) < count:
+        while pos < len(blob):
+            c = blob[pos:pos + 1]
+            if c in _PNM_WS:
+                pos += 1
+            elif c == b"#":
+                while pos < len(blob) and blob[pos:pos + 1] not in b"\r\n":
+                    pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(blob) and blob[pos:pos + 1] not in _PNM_WS + b"#":
+            pos += 1
+        tok = blob[start:pos]
+        if not tok or not tok.isdigit():
+            raise ValueError(f"bad PNM header/sample token {tok!r}")
+        toks.append(int(tok))
+    return toks, pos
+
+
+def pnm_encode(width: int, height: int, pixels: bytes, channels: int = 3,
+               raw: bool = True, maxval: int = 255,
+               comment: "str | None" = None) -> bytes:
+    """Write a real Netpbm file: PGM (1 channel) / PPM (3 channels), in
+    the raw (P5/P6) or plain-ASCII (P2/P3) variant."""
+    if channels not in (1, 3):
+        raise ValueError("PNM supports 1 (PGM) or 3 (PPM) channels")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer size mismatch")
+    if not 0 < maxval <= 255:
+        raise ValueError("only 1-byte maxval supported")
+    magic = {(1, True): b"P5", (1, False): b"P2",
+             (3, True): b"P6", (3, False): b"P3"}[(channels, raw)]
+    hdr = magic + b"\n"
+    if comment is not None:
+        hdr += b"# " + comment.encode("ascii") + b"\n"
+    hdr += b"%d %d\n%d\n" % (width, height, maxval)
+    if raw:
+        return hdr + bytes(pixels)
+    body = b"\n".join(
+        b" ".join(b"%d" % v for v in pixels[r * width * channels:
+                                            (r + 1) * width * channels])
+        for r in range(height)
+    )
+    return hdr + body + b"\n"
+
+
+def pnm_decode(blob: bytes) -> dict:
+    """Decode Netpbm PGM/PPM, both raw (P5/P6) and plain-ASCII (P2/P3)
+    variants → {format, width, height, channels, pixels}.  The format
+    every image tool can write with zero dependencies — the natural
+    interchange fixture in a scraped-media pipeline.
+
+    Spec discipline: ``#`` comments are legal anywhere whitespace is in
+    the header (and between ASCII samples); after the raw variants'
+    maxval there is EXACTLY ONE whitespace byte before the sample
+    bytes; the payload must match width×height×channels exactly (a
+    truncated or padded blob cannot silently agree).  16-bit samples
+    (maxval > 255) and P1/P4 bitmaps raise NotImplementedError into
+    the dead-letter route; all corruption normalizes to ValueError."""
+    magic = blob[:2]
+    if magic not in (b"P2", b"P3", b"P5", b"P6"):
+        raise ValueError("not a PGM/PPM (bad magic)")
+    fmt = "pgm" if magic in (b"P2", b"P5") else "ppm"
+    ch = 1 if fmt == "pgm" else 3
+    is_raw = magic in (b"P5", b"P6")
+    (w, h, maxval), pos = _pnm_tokens(blob, 2, 3)
+    if w <= 0 or h <= 0:
+        raise ValueError("bad PNM dimensions")
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM samples not supported")
+    if maxval == 0:
+        raise ValueError("zero maxval")
+    n = w * h * ch
+    if is_raw:
+        if blob[pos:pos + 1] not in _PNM_WS:
+            raise ValueError("missing single whitespace before raw samples")
+        data = blob[pos + 1:]
+        if len(data) != n:
+            raise ValueError("raw sample payload size mismatch")
+        px = bytes(data)
+    else:
+        vals, pos = _pnm_tokens(blob, pos, n)
+        if any(v > 255 for v in vals):
+            raise ValueError("ASCII sample exceeds 1 byte")
+        if blob[pos:].strip(_PNM_WS):
+            tail = blob[pos:]
+            # trailing comments are whitespace-class; anything else is junk
+            while tail:
+                tail = tail.lstrip(_PNM_WS)
+                if tail[:1] == b"#":
+                    nl = tail.find(b"\n")
+                    tail = b"" if nl < 0 else tail[nl:]
+                elif tail:
+                    raise ValueError("trailing data after ASCII samples")
+        px = bytes(vals)
+    if max(px) > maxval:
+        raise ValueError("sample exceeds maxval")
+    return {"format": fmt, "width": w, "height": h,
+            "channels": ch, "pixels": px}
+
+
 def decode_image(blob: bytes) -> dict:
     """Dispatch on magic bytes → {format, width, height, channels, pixels}.
 
@@ -898,6 +1009,10 @@ def decode_image(blob: bytes) -> dict:
         return bmp_decode(blob)
     if blob[:4] in (b"II*\x00", b"MM\x00*"):
         return tiff_decode(blob)
+    if blob[:2] in (b"P2", b"P3", b"P5", b"P6") and blob[2:3] in _PNM_WS + b"#":
+        return pnm_decode(blob)
+    if blob[:2] in (b"P1", b"P4") and blob[2:3] in _PNM_WS + b"#":
+        raise NotImplementedError("PBM 1-bit bitmaps not supported")
     raise NotImplementedError("no stdlib codec for this format; wire in Pillow/pyav")
 
 
@@ -1371,6 +1486,37 @@ def synth_multiformat_images(ids_df: DataFrame, id_col: str = "doc_id") -> DataF
                     )
                 ids.append(d)
                 blobs.append(blob)
+            yield pd.DataFrame({id_col: ids, "media": blobs})
+
+    return ids_df.mapInPandas(_synth, schema=f"{id_col} long, media binary")
+
+
+def synth_netpbm_images(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """r14 — Netpbm fixture over the multiformat pixel closed form
+    (w = 3 + d%5, h = 2 + d%7, value(d, idx, c) = (d*7 + idx*3 + c*5)
+    % 256): variant by ``d mod 4`` — P2 (ASCII PGM) / P5 (raw PGM) /
+    P3 (ASCII PPM) / P6 (raw PPM); PGM variants take channel 0 of the
+    closed form.  Every doc carries a header comment so the
+    comment-skip path is driver-gated, not just unit-tested."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                w, h = 3 + d % 5, 2 + d % 7
+                n = w * h
+                kind = d % 4
+                ch = 1 if kind < 2 else 3
+                px = bytes(
+                    (d * 7 + idx * 3 + c * 5) % 256
+                    for idx in range(n) for c in range(ch)
+                )
+                blobs.append(pnm_encode(
+                    w, h, px, channels=ch, raw=(kind % 2 == 1),
+                    comment=f"synthetic doc {d}",
+                ))
+                ids.append(d)
             yield pd.DataFrame({id_col: ids, "media": blobs})
 
     return ids_df.mapInPandas(_synth, schema=f"{id_col} long, media binary")

@@ -131,6 +131,21 @@ def q_multimodal_decode_deadletter(spark: SparkSession, sf_dir: str) -> DataFram
     return decode_images(synth_images(docs, corrupt_every=10), strict=False)
 
 
+def q_multimodal_netpbm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 — Netpbm PGM/PPM decode, all four variants under one oracle
+    (P2/P5/P3/P6 by doc_id mod 4 — ASCII and raw, gray and RGB, each
+    with a header comment so the comment-skip path is driver-gated):
+    the zero-dependency interchange format every image tool can write,
+    decoded by the first-principles parser in operators/imaging.py
+    (``pnm_decode``) through the shared decode_images stats path.  PGM
+    rows carry sum_r only (1 channel); the DuckDB oracle recomputes
+    every stat from the multiformat pixel closed form."""
+    from ..operators.imaging import synth_netpbm_images
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_images(synth_netpbm_images(docs))
+
+
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode (r5): a real RIFF/WAVE (16-bit PCM) per document
     with closed-form samples, decoded by the stdlib ``wave`` path
@@ -373,6 +388,7 @@ QUERIES = {
     "multimodal_audio_decode": q_multimodal_audio,
     "multimodal_audio_g711": q_multimodal_audio_g711,
     "multimodal_audio_aiff": q_multimodal_audio_aiff,
+    "multimodal_netpbm_decode": q_multimodal_netpbm,
     "multimodal_audio_adpcm": q_multimodal_audio_adpcm,
     "multimodal_audio_msadpcm": q_multimodal_audio_msadpcm,
     "multimodal_audio_features": q_multimodal_audio_features,
@@ -720,6 +736,38 @@ ORACLES = {
         SELECT p.doc_id, 'wav' AS format, p.channels, p.sample_rate,
                p.n_frames, t.s_sum, t.s_min, t.s_max
         FROM params p JOIN stats t USING (doc_id)
+    """,
+    "multimodal_netpbm_decode": """
+        WITH params AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 < 2 THEN 'pgm' ELSE 'ppm' END AS format,
+                   CAST(CASE WHEN doc_id % 4 < 2 THEN 1 ELSE 3 END AS INT) AS ch,
+                   CAST(3 + doc_id % 5 AS INT) AS width,
+                   CAST(2 + doc_id % 7 AS INT) AS height
+            FROM documents
+        ),
+        px AS (
+            SELECT p.doc_id, c.c AS c,
+                   (p.doc_id * 7 + i.i * 3 + c.c * 5) % 256 AS v
+            FROM params p
+            CROSS JOIN range(56) i(i)
+            CROSS JOIN range(3) c(c)
+            WHERE i.i < p.width * p.height AND c.c < p.ch
+        ),
+        stats AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+                   CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+                   CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b,
+                   CAST(MIN(v) AS INT) AS min_px,
+                   CAST(MAX(v) AS INT) AS max_px
+            FROM px GROUP BY doc_id
+        )
+        SELECT p.doc_id, p.format, p.width, p.height,
+               p.ch AS channels,
+               CAST(p.width * p.height AS BIGINT) AS n_pixels,
+               s.sum_r, s.sum_g, s.sum_b, s.min_px, s.max_px
+        FROM params p JOIN stats s USING (doc_id)
     """,
     "multimodal_audio_aiff": """
         WITH params AS (

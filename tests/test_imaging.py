@@ -620,3 +620,107 @@ def test_jpeg_exif_fuzz_corruption_never_escapes_valueerror():
         except ValueError:
             pass
     assert ok >= 0  # the sweep's real assertion is "no foreign exception"
+
+
+# ---------------------------------------------------------------- Netpbm
+
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 9),
+    ch=st.sampled_from([1, 3]),
+    raw=st.booleans(),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=60, deadline=None)
+def test_pnm_roundtrip_property(w, h, ch, raw, seed):
+    import random
+
+    from postgres_debezium_clickhouse_spark.operators.imaging import (
+        pnm_decode,
+        pnm_encode,
+    )
+
+    rng = random.Random(seed)
+    px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+    d = pnm_decode(pnm_encode(w, h, px, ch, raw=raw, comment="x # y"))
+    assert (d["width"], d["height"], d["channels"]) == (w, h, ch)
+    assert d["pixels"] == px
+    assert d["format"] == ("pgm" if ch == 1 else "ppm")
+
+
+def test_pnm_header_comments_whitespace_and_errors():
+    from postgres_debezium_clickhouse_spark.operators.imaging import (
+        decode_image,
+        pnm_decode,
+    )
+
+    # comments legal anywhere whitespace is, incl. between samples
+    blob = b"P2 # c1\n# c2\n 2 # dims\n1\n255\n7 # mid\n 9\n# tail\n"
+    d = pnm_decode(blob)
+    assert d["pixels"] == bytes([7, 9])
+    # 16-bit maxval routes to the honest dead-letter class
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        pnm_decode(b"P5 1 1 65535 \x00\x00")
+    # raw payload must match dims exactly
+    with pytest.raises(ValueError, match="size mismatch"):
+        pnm_decode(b"P6 2 1 255\n" + bytes(5))
+    with pytest.raises(ValueError, match="size mismatch"):
+        pnm_decode(b"P6 2 1 255\n" + bytes(7))
+    # sample above maxval is corruption, not data
+    with pytest.raises(ValueError, match="exceeds maxval"):
+        pnm_decode(b"P5 1 1 100 \xff")
+    with pytest.raises(ValueError, match="trailing"):
+        pnm_decode(b"P2 1 1 255 7 junk")
+    # dispatch: P2/P5/P3/P6 decode; P1/P4 raise honestly
+    assert decode_image(b"P6 1 1 255\n\x01\x02\x03")["format"] == "ppm"
+    with pytest.raises(NotImplementedError, match="PBM"):
+        decode_image(b"P4 1 1 \x80")
+
+
+def test_pnm_fuzz_never_escapes_valueerror():
+    import random
+
+    from postgres_debezium_clickhouse_spark.operators.imaging import (
+        decode_image,
+        pnm_encode,
+    )
+
+    rng = random.Random(14)
+    for raw in (False, True):
+        base = pnm_encode(4, 3, bytes((j * 11) % 256 for j in range(36)),
+                          3, raw=raw, comment="fuzz")
+        for _ in range(1500):
+            b = bytearray(base)
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            try:
+                decode_image(bytes(b))
+            except (ValueError, NotImplementedError):
+                pass
+        for cut in range(len(base)):
+            try:
+                decode_image(base[:cut])
+            except (ValueError, NotImplementedError):
+                pass
+
+
+def test_synth_netpbm_matches_closed_form(spark):
+    from postgres_debezium_clickhouse_spark.operators.imaging import (
+        decode_images,
+        synth_netpbm_images,
+    )
+
+    ids = spark.createDataFrame([(d,) for d in range(1, 13)], ["doc_id"])
+    out = {r.doc_id: r for r in
+           decode_images(synth_netpbm_images(ids)).collect()}
+    for d in range(1, 13):
+        r = out[d]
+        w, h = 3 + d % 5, 2 + d % 7
+        ch = 1 if d % 4 < 2 else 3
+        vals = [(d * 7 + i * 3 + c * 5) % 256
+                for i in range(w * h) for c in range(ch)]
+        assert (r.format, r.width, r.height, r.channels) == (
+            "pgm" if ch == 1 else "ppm", w, h, ch)
+        assert r.n_pixels == w * h
+        assert r.sum_r == sum(vals[0::ch])
+        assert (r.sum_g is None) == (ch == 1)
+        assert (r.min_px, r.max_px) == (min(vals), max(vals))
