@@ -48,6 +48,66 @@ def text_stats(documents: DataFrame, id_col: str = "doc_id", text_col: str = "te
     )
 
 
+def readability_scores(documents: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """r14 — Flesch Reading Ease + Flesch-Kincaid grade level (Flesch
+    1948; Kincaid et al. 1975), the readability pair edu-quality
+    pipelines score with (the FineWeb-Edu class of filters ranks
+    pages by exactly this kind of signal before the model-based pass):
+
+        FRE      = 206.835 − 1.015·(W/S) − 84.6·(Syl/W)
+        FK grade = 0.39·(W/S) + 11.8·(Syl/W) − 15.59
+
+    Deterministic engine-portable restatement: W = non-empty
+    whitespace tokens; S = max(1, count of ``[.!?]+`` runs) (a
+    document is at least one sentence); syllables(word) = max(1,
+    count of ``[aeiouy]+`` runs in the lowercased word) — the
+    standard vowel-group heuristic, stated as the contract (no
+    silent-e special case: both engines must count the SAME integer,
+    and the filter's use is ordinal).  All three inputs are exact
+    integers; each score is one double dag under the
+    floor(x·1e6+0.5)/1e6 discipline, mirrored in the oracle.
+
+    Plan: pure map pass — regexp_count + a lambda aggregate over the
+    token array, whole-stage codegen, no UDF, no shuffle; at 100 TB
+    this costs exactly a projection."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                     lambda x: x != "")
+    df = documents.withColumn("__w", words).select(
+        F.col(id_col),
+        F.size("__w").cast("long").alias("n_words"),
+        F.greatest(
+            F.lit(1), F.regexp_count(F.col(text_col), F.lit("[.!?]+"))
+        ).cast("long").alias("n_sentences"),
+        F.expr(
+            "aggregate(transform(__w,"
+            " x -> greatest(1, regexp_count(x, '[aeiouy]+'))),"
+            " cast(0 as bigint), (a, x) -> a + x)"
+        ).alias("n_syllables"),
+    )
+    wps = "(cast(n_words as double) / cast(n_sentences as double))"
+    spw = "(cast(n_syllables as double) / cast(n_words as double))"
+    fre = (
+        f"((cast(206.835 as double) - (cast(1.015 as double) * {wps}))"
+        f" - (cast(84.6 as double) * {spw}))"
+    )
+    fk = (
+        f"(((cast(0.39 as double) * {wps})"
+        f" + (cast(11.8 as double) * {spw})) - cast(15.59 as double))"
+    )
+    six = "floor({} * 1e6 + 0.5) / 1e6"
+    return df.select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.when(F.col("n_words") > 0,
+               F.expr(six.format(fre))).alias("flesch_reading_ease"),
+        F.when(F.col("n_words") > 0,
+               F.expr(six.format(fk))).alias("fk_grade"),
+    )
+
+
 #: entity decode table, applied AFTER tag removal; ``&amp;`` must be last
 #: so double-escaped input decodes one level per pass (the standard order).
 _ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),

@@ -316,6 +316,17 @@ def q_text_bigram_modified_kneser_ney(
     )
 
 
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 — Flesch Reading Ease + Flesch-Kincaid grade
+    (operators/text.readability_scores): the classic readability pair
+    edu-quality pipelines rank pages with, over exact integer
+    word/sentence/vowel-group counts and one mirrored double dag per
+    score.  Pure map pass — no shuffle."""
+    from ..operators.text import readability_scores
+
+    return readability_scores(load_table(spark, sf_dir, "documents"))
+
+
 def q_text_bigram_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r13 — Jelinek-Mercer interpolated bigram scoring
     (operators/text.lm_bigram_interpolated, λ = 0.7): the PROPER-
@@ -335,6 +346,7 @@ QUERIES = {
     "text_bigram_interpolated": q_text_bigram_interpolated,
     "text_bigram_kneser_ney": q_text_bigram_kneser_ney,
     "text_bigram_modified_kneser_ney": q_text_bigram_modified_kneser_ney,
+    "text_readability": q_text_readability,
     "text_lang_id": q_lang_id,
     "text_quality_score": q_quality_score,
     "text_token_count": q_token_count,
@@ -595,6 +607,45 @@ ORACLES = {
                -- in-plan regime guard on the engine side (n1,n2,n3 > 0)
                true AS mkn_regime_ok
         FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+    "text_readability": """
+        WITH w AS (
+            SELECT doc_id, text,
+                   list_filter(string_split(lower(text), ' '),
+                               x -> x <> '') AS wd
+            FROM documents
+        ),
+        base AS (
+            SELECT doc_id,
+                   CAST(len(wd) AS BIGINT) AS n_words,
+                   CAST(GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
+                        AS BIGINT) AS n_sentences,
+                   CAST(COALESCE(list_sum(list_transform(wd,
+                        x -> GREATEST(1,
+                             len(regexp_extract_all(x, '[aeiouy]+'))))), 0)
+                        AS BIGINT) AS n_syllables
+            FROM w
+        )
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               CASE WHEN n_words > 0 THEN
+                 FLOOR(((CAST(206.835 AS DOUBLE)
+                   - (CAST(1.015 AS DOUBLE)
+                      * (CAST(n_words AS DOUBLE)
+                         / CAST(n_sentences AS DOUBLE))))
+                   - (CAST(84.6 AS DOUBLE)
+                      * (CAST(n_syllables AS DOUBLE)
+                         / CAST(n_words AS DOUBLE))))
+                  * 1e6 + 0.5) / 1e6 END AS flesch_reading_ease,
+               CASE WHEN n_words > 0 THEN
+                 FLOOR((((CAST(0.39 AS DOUBLE)
+                   * (CAST(n_words AS DOUBLE)
+                      / CAST(n_sentences AS DOUBLE)))
+                   + (CAST(11.8 AS DOUBLE)
+                      * (CAST(n_syllables AS DOUBLE)
+                         / CAST(n_words AS DOUBLE))))
+                   - CAST(15.59 AS DOUBLE))
+                  * 1e6 + 0.5) / 1e6 END AS fk_grade
+        FROM base
     """,
     "text_bigram_interpolated": """
         WITH w AS (

@@ -635,3 +635,34 @@ def test_modified_kneser_ney_fallback_class_discount(spark):
     expected = round(math.log(0.90625), 6)
     assert float(row["avg_logscore"]) == expected
     assert row["mkn_regime_ok"]
+
+
+def test_readability_scores_hand_computed(spark):
+    """Flesch/FK on a hand-counted fixture: 'the cat sat. it ran!' has
+    W=5, S=2, Syl=5 ⇒ FRE = 206.835 − 1.015·2.5 − 84.6 = 119.6975,
+    FK = 0.39·2.5 + 11.8 − 15.59 = −2.815; vowel-less tokens count 1
+    syllable; empty docs carry NULL scores; no-punctuation docs are one
+    sentence."""
+    from postgres_debezium_clickhouse_spark.operators.text import (
+        readability_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat. it ran!"),
+            (1, ""),
+            (2, "zz grr"),                  # no vowels, no punctuation
+            (3, "Aa EE ii"),                # case folding
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in readability_scores(docs).collect()}
+    r0 = rows[0]
+    assert (r0["n_words"], r0["n_sentences"], r0["n_syllables"]) == (5, 2, 5)
+    assert r0["flesch_reading_ease"] == 119.6975
+    assert r0["fk_grade"] == -2.815
+    assert rows[1]["n_words"] == 0
+    assert rows[1]["flesch_reading_ease"] is None
+    assert rows[1]["fk_grade"] is None
+    assert (rows[2]["n_sentences"], rows[2]["n_syllables"]) == (1, 2)
+    assert rows[3]["n_syllables"] == 3
