@@ -412,6 +412,37 @@ def ch_limit_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ch_limit_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 — the ClickHouse/ANSI ``ORDER BY … LIMIT n WITH TIES``
+    clause: the global top-n plus every row TYING the boundary value —
+    as a SET, exactly the rows whose key ≥ the n-th key (DESC), a pure
+    function of the data (no tie-break needed, which is the clause's
+    point).  The 20 most recent order dates here, ties included.
+
+    Scale shape: NOT a global rank window (one reducer sorting the
+    table).  Two phases — (1) the boundary key via a real top-n
+    (Spark plans ``TakeOrderedAndProject``, every partition
+    contributes ≤ n rows), (2) a broadcast 1-row boundary + a
+    map-side ``>=`` filter over the scan.  At 100 TB phase 2 is a
+    projection-cheap filtered scan; nothing corpus-sized shuffles."""
+    orders = load_table(spark, sf_dir, "orders")
+    n = 20
+    boundary = (
+        orders.select("o_orderdate")
+        .orderBy(F.col("o_orderdate").desc())
+        .limit(n)
+        .groupBy().agg(F.min("o_orderdate").alias("__cut"))
+    )
+    return (
+        orders.join(F.broadcast(boundary))
+        .filter(F.col("o_orderdate") >= F.col("__cut"))
+        .select(
+            "o_orderkey", "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+    )
+
+
 def ch_sample_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r9 — the ClickHouse ``SAMPLE f`` clause: a DETERMINISTIC f-fraction
     of the table keyed on the sampling key's hash (CH samples by
@@ -775,6 +806,7 @@ QUERIES = {
     "ch_dict_get": ch_dict_get,
     "ch_with_totals": ch_with_totals,
     "ch_limit_by": ch_limit_by,
+    "ch_limit_with_ties": ch_limit_with_ties,
     "ch_sample_clause": ch_sample_clause,
     "customers_without_orders": customers_without_orders,
     "customers_with_orders_semi": customers_with_orders_semi,
@@ -1006,6 +1038,15 @@ ORACLES = {
         LEFT JOIN (SELECT c_custkey, c_name, c_acctbal FROM customer
                    WHERE c_custkey < 500) c
           ON o.o_custkey = c.c_custkey
+    """,
+    "ch_limit_with_ties": """
+        SELECT o_orderkey, o_orderdate,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders
+        WHERE o_orderdate >= (
+            SELECT o_orderdate FROM orders
+            ORDER BY o_orderdate DESC LIMIT 1 OFFSET 19
+        )
     """,
     "ch_limit_by": """
         SELECT o_custkey, o_orderkey,
