@@ -1222,6 +1222,117 @@ def lm_bigram_interpolated(
     )
 
 
+def lm_bigram_witten_bell(
+    documents: DataFrame,
+    train_docs: "DataFrame | None" = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """r14 — Witten-Bell smoothed bigram (Witten & Bell 1991, method C;
+    Chen & Goodman 1999 §2.5) — the last classic member of the
+    smoothing family next to Jelinek-Mercer, stupid backoff, and
+    (modified) Kneser-Ney: interpolation whose mixture weight is the
+    context's own TYPE/TOKEN ratio — contexts that keep producing new
+    continuations trust the lower order more:
+
+        P(w₂|w₁) = (c(w₁w₂) + N₁₊(w₁·)·P_uni(w₂))
+                   / (N(w₁·) + N₁₊(w₁·))
+
+    with N₁₊(w₁·) the distinct continuations of w₁, N(w₁·) its token
+    count, and P_uni the train unigram MLE c(w₂)/total.  No tunable
+    parameter and no count-of-counts regime — WB is total on any
+    corpus (the contrast with modified KN's estimability guard).
+
+    Train/score split, OOV accounting (a transition whose w₁ is an
+    unseen context or whose w₂ is an unseen unigram is OOV — counted
+    per doc, excluded from the mean), n_unseen, and the round-6-ln →
+    DECIMAL(20,6) sum → floor-mean discipline are all inherited from
+    the KN siblings; the per-transition dag is one fully-parenthesized
+    IEEE-double expression mirrored verbatim in the oracle.
+
+    Plan: the sibling shape exactly — one pair-key shuffle for the
+    train bigram table; the context table (token count + distinct
+    continuations), the unigram table, and the total are vocab-bounded
+    (or 1-row) broadcasts."""
+    if train_docs is None:
+        train_docs = documents
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    pairs_arr = F.expr(
+        "zip_with(slice(__w, 1, greatest(size(__w) - 1, 0)),"
+        " slice(__w, 2, greatest(size(__w) - 1, 0)),"
+        " (a, b) -> struct(a as w1, b as w2))"
+    )
+
+    def to_pairs(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("__w", words)
+            .select(F.col(id_col), F.explode(pairs_arr).alias("p"))
+            .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        )
+
+    bi = to_pairs(train_docs).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("bcnt")
+    )
+    left_tab = bi.groupBy("w1").agg(
+        F.sum("bcnt").alias("n_w1"),
+        F.count(F.lit(1)).alias("n1p_l"),
+    )
+    uni = (
+        train_docs.withColumn("__w", words)
+        .select(F.explode("__w").alias("w2"))
+        .groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    )
+    tot = uni.groupBy().agg(F.sum("c2").alias("__total"))
+    prob = (
+        "((cast(coalesce(bcnt, 0) as double)"
+        " + (cast(n1p_l as double)"
+        " * (cast(c2 as double) / cast(__total as double))))"
+        " / (cast(n_w1 as double) + cast(n1p_l as double)))"
+    )
+    scored = (
+        to_pairs(documents)
+        .join(bi, ["w1", "w2"], "left")
+        .join(F.broadcast(left_tab), "w1", "left")
+        .join(F.broadcast(uni), "w2", "left")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("__oov", F.col("n_w1").isNull() | F.col("c2").isNull())
+        .withColumn(
+            "__s",
+            F.when(
+                ~F.col("__oov"),
+                F.round(F.log(F.expr(prob)), 6).cast("decimal(20,6)"),
+            ),
+        )
+    )
+    per = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.sum(F.col("__oov").cast("long")).alias("n_oov"),
+        F.sum(
+            (F.col("bcnt").isNull() & ~F.col("__oov")).cast("long")
+        ).alias("n_unseen"),
+        F.sum("__s").alias("__sum"),
+        F.count("__s").alias("__n_scored"),
+    )
+    avg = (
+        F.floor(
+            F.col("__sum").cast("double") / F.col("__n_scored") * 1e6 + 0.5
+        ) / 1e6
+    )
+    ppl = F.floor(F.exp(-avg) * 1e4 + 0.5) / 1e4
+    return (
+        documents.select(id_col).join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_transitions", F.lit(0)).cast("long")
+            .alias("n_transitions"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            F.coalesce("n_unseen", F.lit(0)).cast("long").alias("n_unseen"),
+            avg.alias("avg_logscore"),
+            ppl.alias("ppl"),
+        )
+    )
+
+
 def lm_bigram_modified_kneser_ney(
     documents: DataFrame,
     train_docs: "DataFrame | None" = None,

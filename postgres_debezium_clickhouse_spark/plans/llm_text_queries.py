@@ -316,6 +316,22 @@ def q_text_bigram_modified_kneser_ney(
     )
 
 
+def q_text_bigram_witten_bell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 — Witten-Bell smoothed bigram scoring
+    (operators/text.lm_bigram_witten_bell): the parameter-free classic
+    completing the smoothing family — the mixture weight is the
+    context's own type/token ratio, total on any corpus (no
+    count-of-counts regime, the contrast with modified KN).  Same
+    even-doc_ids train split and round-6-log / DECIMAL-sum /
+    floor-mean discipline as the KN siblings."""
+    from ..operators.text import lm_bigram_witten_bell
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_bigram_witten_bell(
+        docs, train_docs=docs.filter(F.col("doc_id") % 2 == 0)
+    )
+
+
 def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r14 — Flesch Reading Ease + Flesch-Kincaid grade
     (operators/text.readability_scores): the classic readability pair
@@ -347,6 +363,7 @@ QUERIES = {
     "text_bigram_kneser_ney": q_text_bigram_kneser_ney,
     "text_bigram_modified_kneser_ney": q_text_bigram_modified_kneser_ney,
     "text_readability": q_text_readability,
+    "text_bigram_witten_bell": q_text_bigram_witten_bell,
     "text_lang_id": q_lang_id,
     "text_quality_score": q_quality_score,
     "text_token_count": q_token_count,
@@ -493,6 +510,64 @@ ORACLES = {
             LEFT JOIN lt l ON l.w1 = p.w1
             LEFT JOIN rt r ON r.w2 = p.w2
             CROSS JOIN ty
+        ),
+        per AS (
+            SELECT doc_id, COUNT(*) AS n_transitions,
+                   SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS n_oov,
+                   SUM(CASE WHEN unseen THEN 1 ELSE 0 END) AS n_unseen,
+                   FLOOR(CAST(SUM(s) AS DOUBLE) / COUNT(s) * 1e6 + 0.5)
+                       / 1e6 AS avg_logscore
+            FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_transitions, 0) AS BIGINT) AS n_transitions,
+               CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
+               CAST(COALESCE(p.n_unseen, 0) AS BIGINT) AS n_unseen,
+               p.avg_logscore,
+               FLOOR(exp(-p.avg_logscore) * 1e4 + 0.5) / 1e4 AS ppl
+        FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+    "text_bigram_witten_bell": """
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS wd
+            FROM documents
+        ),
+        pairs AS (
+            SELECT doc_id, wd[CAST(i.i AS INT)] AS w1,
+                   wd[CAST(i.i + 1 AS INT)] AS w2
+            FROM w CROSS JOIN LATERAL (
+                SELECT unnest(range(1, len(wd)))) i(i)
+        ),
+        bi AS (SELECT w1, w2, COUNT(*) AS bcnt
+               FROM pairs WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+        lt AS (SELECT w1, SUM(bcnt) AS n_w1, COUNT(*) AS n1p_l
+               FROM bi GROUP BY w1),
+        uni AS (SELECT token AS w2, COUNT(*) AS c2 FROM (
+                    SELECT unnest(wd) AS token FROM w WHERE doc_id % 2 = 0
+                ) GROUP BY token),
+        tot AS (SELECT SUM(c2) AS t FROM uni),
+        scored AS (
+            SELECT p.doc_id,
+                   (l.n_w1 IS NULL OR u.c2 IS NULL) AS oov,
+                   (b.bcnt IS NULL
+                    AND NOT (l.n_w1 IS NULL OR u.c2 IS NULL)) AS unseen,
+                   CASE WHEN NOT (l.n_w1 IS NULL OR u.c2 IS NULL) THEN
+                       -- the SAME fully-parenthesized double dag as the
+                       -- engine (op order is bit-significant)
+                       CAST(ROUND(ln(
+                           ((CAST(COALESCE(b.bcnt, 0) AS DOUBLE)
+                             + (CAST(l.n1p_l AS DOUBLE)
+                                * (CAST(u.c2 AS DOUBLE)
+                                   / CAST(tot.t AS DOUBLE))))
+                            / (CAST(l.n_w1 AS DOUBLE)
+                               + CAST(l.n1p_l AS DOUBLE)))
+                       ), 6) AS DECIMAL(20,6)) END AS s
+            FROM pairs p
+            LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+            LEFT JOIN lt l ON l.w1 = p.w1
+            LEFT JOIN uni u ON u.w2 = p.w2
+            CROSS JOIN tot
         ),
         per AS (
             SELECT doc_id, COUNT(*) AS n_transitions,

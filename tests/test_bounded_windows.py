@@ -241,3 +241,26 @@ def test_precut_topk_desc_negation_ties(spark):
         .collect()
     )
     assert got == ref
+
+
+def test_limit_with_ties_plan_is_takeordered_not_global_window(spark):
+    """ch_limit_with_ties's 100 TB claim, pinned in the executed plan:
+    the boundary comes from a real top-n (TakeOrderedAndProject — every
+    partition contributes ≤ n rows) joined as a 1-row broadcast, and NO
+    Window operator appears anywhere (the naive WITH TIES shape is a
+    global rank window: one reducer sorting the table)."""
+    from postgres_debezium_clickhouse_spark.plans.sql_surface import (
+        ch_limit_with_ties,
+    )
+
+    df = ch_limit_with_ties(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # and the semantics: every returned date >= the 20th-greatest date,
+    # with at least 20 rows (ties can only add)
+    rows = df.collect()
+    assert len(rows) >= 20
+    cut = sorted((r.o_orderdate for r in rows), reverse=True)[19]
+    assert all(r.o_orderdate >= cut for r in rows)

@@ -666,3 +666,40 @@ def test_readability_scores_hand_computed(spark):
     assert rows[1]["fk_grade"] is None
     assert (rows[2]["n_sentences"], rows[2]["n_syllables"]) == (1, 2)
     assert rows[3]["n_syllables"] == 3
+
+
+def test_witten_bell_type_token_mixture(spark):
+    """Witten-Bell on the planted count corpus (train unigrams a/b/c/d/e
+    = 5/7/5/3/2, total 22): P(b|a) = (4 + 1·(7/22))/(4+1) and the
+    unseen P(c|a) = (1·(5/22))/5 — parameter-free, finite on unseen,
+    and numerically distinct from both KN variants."""
+    import math
+
+    from postgres_debezium_clickhouse_spark.operators.text import (
+        lm_bigram_kneser_ney,
+        lm_bigram_witten_bell,
+    )
+
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["a b"] * 4 + ["b c"] * 3 + ["c d"] * 2 + ["d e", "e a"]
+        )],
+        ["doc_id", "text"],
+    )
+    score = spark.createDataFrame(
+        [(0, "a b"), (1, "a c"), (2, "zz qq")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in
+            lm_bigram_witten_bell(score, train_docs=train).collect()}
+    assert float(rows[0]["avg_logscore"]) == round(
+        math.log((4 + 1 * (7 / 22)) / (4 + 1)), 6)
+    assert rows[1]["n_unseen"] == 1
+    assert float(rows[1]["avg_logscore"]) == round(
+        math.log((0 + 1 * (5 / 22)) / (4 + 1)), 6)
+    # fully OOV doc: stated, not faked
+    assert rows[2]["n_oov"] == rows[2]["n_transitions"] == 1
+    assert rows[2]["avg_logscore"] is None
+    # a different member of the family, not a relabeling
+    kn = {r["doc_id"]: r for r in
+          lm_bigram_kneser_ney(score, train_docs=train).collect()}
+    assert kn[0]["avg_logscore"] != rows[0]["avg_logscore"]
