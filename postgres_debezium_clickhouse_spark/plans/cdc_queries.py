@@ -165,6 +165,43 @@ def cdc_rewrite_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("o_orderkey", "o_orderstatus", "o_totalprice", "__deleted")
 
 
+def cdc_changed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 — Debezium's ``ExtractChangedRecordState`` SMT
+    (io.debezium.transforms.ExtractChangedRecordState): for every
+    update event, the set of columns whose before/after images differ
+    — the audit surface the SMT emits as headers.  Computed
+    GENERICALLY like the SMT (iterate the row schema, null-safe
+    compare each field's wire value), then aggregated into the
+    which-columns-actually-change histogram a pipeline operator reads.
+
+    The fixture's closed form: update-1 (+100.0, status→'U') changes
+    o_totalprice always and o_orderstatus iff the original status
+    wasn't already 'U'; update-2 ('U'→'V') changes both always; the
+    other four columns never change — so the oracle is exact counts
+    over the orders fixture (×2 for the duplicate deliveries, which
+    are distinct EVENTS and counted as such).
+
+    Plan: narrow parse + map-side array build + one explode and one
+    hash agg on a ≤|schema|-cardinality key.  No joins."""
+    p = F.col("j.payload")
+    ev = _orders_parsed(spark, sf_dir).filter(p.op == "u")
+    fields = [f.name for f in ORDERS_CDC_ROW.fields]
+    changed = F.array_compact(
+        F.array(*[
+            F.when(
+                ~p.after.getField(f).eqNullSafe(p.before.getField(f)),
+                F.lit(f),
+            )
+            for f in fields
+        ])
+    )
+    return (
+        ev.select(F.explode(changed).alias("column_name"))
+        .groupBy("column_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_changes"))
+    )
+
+
 def cdc_masked_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8+P9 — unwrap + PII masking in-flight (MaskField SMT,
     abcsvb-connector-secure.json:36-37): c_name replaced by its sha2-256."""
@@ -530,6 +567,7 @@ QUERIES = {
     "cdc_schema_drift": cdc_schema_drift,
     "cdc_json_extract_path": cdc_json_extract_path,
     "cdc_rewrite_mode": cdc_rewrite_mode,
+    "cdc_changed_columns": cdc_changed_columns,
     "cdc_masked_customers": cdc_masked_customers,
     "cdc_bronze_stats": cdc_bronze_stats,
     "products_usable_vw": products_usable_vw,
@@ -643,6 +681,18 @@ ORACLES = {
                {_FINAL_PRICE} AS o_totalprice,
                {_FINAL_TS} AS ts_ms
         FROM orders
+    """,
+    "cdc_changed_columns": """
+        SELECT 'o_totalprice' AS column_name,
+               CAST(2 * (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0)
+                  + 2 * (SELECT COUNT(*) FROM orders WHERE o_orderkey % 9 = 0)
+                  AS BIGINT) AS n_changes
+        UNION ALL
+        SELECT 'o_orderstatus' AS column_name,
+               CAST(2 * (SELECT COUNT(*) FROM orders
+                         WHERE o_orderkey % 3 = 0 AND o_orderstatus <> 'U')
+                  + 2 * (SELECT COUNT(*) FROM orders WHERE o_orderkey % 9 = 0)
+                  AS BIGINT) AS n_changes
     """,
     "cdc_rewrite_mode": """
         SELECT o_orderkey,
