@@ -703,3 +703,25 @@ def test_witten_bell_type_token_mixture(spark):
     kn = {r["doc_id"]: r for r in
           lm_bigram_kneser_ney(score, train_docs=train).collect()}
     assert kn[0]["avg_logscore"] != rows[0]["avg_logscore"]
+
+
+def test_modified_kneser_ney_refuses_saturated_corpus(spark):
+    """The regime the estimator genuinely cannot run in (and the sf1
+    synthetic fixture actually hits): EVERY bigram type at count ≥ 5 ⇒
+    n1 = n2 = n3 = 0 and Y = 0/0 — no low-count evidence to estimate
+    discounts from (SRILM errors here too).  The in-plan guard must
+    refuse loudly, not emit NaN-poisoned scores."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from postgres_debezium_clickhouse_spark.operators.text import (
+        lm_bigram_modified_kneser_ney,
+    )
+
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(["a b"] * 6 + ["b c"] * 5)],
+        ["doc_id", "text"],
+    )
+    score = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
+    with pytest.raises(SparkRuntimeException, match="regime drift"):
+        lm_bigram_modified_kneser_ney(score, train_docs=train).collect()
