@@ -952,6 +952,63 @@ ORACLES["corpus_topk_tokens"] = """
 """
 
 
+def q_corpus_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 — WIMBD-style most-common n-grams (Elazar et al. 2024 run
+    exactly this analysis over C4/Pile/Dolma, with EXACT counts): the
+    top-25 word trigrams, count-desc / gram-asc deterministic cut.
+
+    Exact on purpose — the Space-Saving sketch path
+    (corpus_topk_tokens) was tried first and is the WRONG tool here:
+    the synthetic corpus's trigram distribution is FLAT (thousands of
+    grams tie at the cut count), so the sketch's heavy-hitter
+    candidate guarantee — which assumes separation — legitimately
+    drops tied members.  WIMBD itself counts exactly.  Plan: one
+    explode + one map-side-combinable groupBy + a driver-free global
+    sort-limit (``TakeOrderedAndProject`` — every partition
+    contributes ≤ k rows; never a one-partition window)."""
+    # sequence(1, 0) DESCENDS in Spark — docs with < 3 tokens must short-
+    # circuit to an empty array, not rely on a greatest() lower bound
+    grams_arr = F.expr(
+        "case when size(__w) >= 3 then"
+        " transform(sequence(1, size(__w) - 2),"
+        " i -> concat_ws(' ', __w[i-1], __w[i], __w[i+1]))"
+        " else array() end"
+    )
+    grams = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("__w", F.filter(F.split(F.col("text"), " "),
+                                    lambda x: x != ""))
+        .select(F.explode(grams_arr).alias("gram"))
+    )
+    return (
+        grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("gram").asc())
+        .limit(25)
+        .select(F.col("gram").alias("item"), "n")
+    )
+
+
+QUERIES["corpus_topk_ngrams"] = q_corpus_topk_ngrams
+ORACLES["corpus_topk_ngrams"] = """
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS wd
+        FROM documents
+    ),
+    grams AS (
+        SELECT wd[CAST(i.i AS INT)] || ' ' || wd[CAST(i.i + 1 AS INT)]
+               || ' ' || wd[CAST(i.i + 2 AS INT)] AS gram
+        FROM w CROSS JOIN LATERAL (
+            SELECT unnest(range(1, len(wd) - 1))) i(i)
+    ),
+    counts AS (SELECT gram, COUNT(*) AS n FROM grams GROUP BY gram)
+    SELECT gram AS item, n
+    FROM counts
+    ORDER BY n DESC, gram ASC
+    LIMIT 25
+"""
+
+
 def q_corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r8: cross-slice vocabulary overlap via KMV sketches
     (operators/sketch.py kmv_sketch/kmv_jaccard — the mergeable
