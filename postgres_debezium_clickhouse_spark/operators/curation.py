@@ -293,6 +293,74 @@ def pack_greedy(
     return slim.groupBy(partition_col, "shard").applyInPandas(pack, schema=out_schema)
 
 
+def pack_best_fit(
+    documents: DataFrame,
+    budget: int,
+    partition_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 16,
+) -> DataFrame:
+    """r14 — Best-Fit-Decreasing packing (Johnson 1973's classic
+    11/9·OPT-bounded heuristic; the quality reference next to
+    ``pack_greedy``'s next-fit): docs sorted LARGEST-FIRST
+    (n_tokens desc, then ``id_col`` asc), each placed into the
+    FULLEST bin that still fits — ties on fill broken by lowest
+    bin_id — else a new bin opens.  A doc larger than the budget
+    occupies a bin alone (its bin never fits anything else).  Same
+    group key, schema, and scale argument as ``pack_greedy``: the
+    sequential bin-state recurrence is the legitimate Arrow boundary,
+    bounded per (``partition_col`` × md5-shard) group; the quadratic
+    inner scan is over the group's OPEN BINS (≤ docs-in-group, itself
+    shard-bounded).
+
+    The DuckDB oracle replays the SAME state machine as a recursive
+    CTE carrying the full bin-fill list — every placement decision is
+    value-checked, not just bin counts."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(partition_col, T.StringType()),
+            T.StructField("shard", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("bin_id", T.LongType()),
+        ]
+    )
+
+    n_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
+    slim = documents.select(
+        F.col(id_col),
+        F.col(partition_col),
+        shard_of(id_col, n_shards).alias("shard"),
+        n_tokens.alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", id_col], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        fills: list[int] = []
+        out: list[int] = []
+        for n in pdf["n_tokens"]:
+            best_idx, best_fill = -1, -1
+            for j, f in enumerate(fills):
+                if f + n <= budget and f > best_fill:
+                    best_fill, best_idx = f, j
+            if best_idx < 0:
+                fills.append(int(n))
+                out.append(len(fills) - 1)
+            else:
+                fills[best_idx] += int(n)
+                out.append(best_idx)
+        pdf["bin_id"] = out
+        return pdf[[id_col, partition_col, "shard", "n_tokens", "bin_id"]]
+
+    return slim.groupBy(partition_col, "shard").applyInPandas(pack, schema=out_schema)
+
+
 def token_budget_sample(
     documents: DataFrame,
     budget_tokens: int,

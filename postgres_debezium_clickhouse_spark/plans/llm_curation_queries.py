@@ -14,6 +14,7 @@ from ..operators.curation import (
     domain_mix_weights,
     domain_temperature_weights,
     hash_split,
+    pack_best_fit,
     pack_chunks,
     pack_greedy,
     pii_scrub,
@@ -106,6 +107,16 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_greedy(load_table(spark, sf_dir, "documents"), budget=256)
+
+
+def q_pack_best_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 — Best-Fit-Decreasing packing (operators/curation
+    .pack_best_fit): largest-first placement into the fullest bin that
+    still fits, the classic 11/9·OPT heuristic next to pack_greedy's
+    next-fit.  The DuckDB oracle replays the state machine as a
+    recursive CTE carrying the full bin-fill LIST, so every placement
+    decision (including fill ties → lowest bin id) is value-checked."""
+    return pack_best_fit(load_table(spark, sf_dir, "documents"), budget=256)
 
 
 def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,6 +287,7 @@ QUERIES = {
     "corpus_shard_manifest": q_corpus_shard_manifest,
     "pack_chunks": q_pack_chunks,
     "pack_greedy": q_pack_greedy,
+    "pack_best_fit": q_pack_best_fit,
     "pack_efficiency": q_pack_efficiency,
     "chunk_sliding_windows": q_chunk_sliding_windows,
     "chunk_content_defined": q_chunk_content_defined,
@@ -451,6 +463,49 @@ ORACLES = {
             FROM state s JOIN rows r
               ON r.lang = s.lang AND r.shard = s.shard AND r.rn = s.rn + 1)
         SELECT doc_id, lang, shard, n AS n_tokens, bin_id FROM state
+    """,
+    "pack_best_fit": """
+        WITH RECURSIVE rows AS (
+            SELECT doc_id, lang, shard,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                   ROW_NUMBER() OVER (PARTITION BY lang, shard
+                       ORDER BY CAST(len(string_split(text, ' ')) AS BIGINT)
+                                DESC, doc_id ASC) AS rn
+            FROM (SELECT *,
+                         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 16 AS shard
+                  FROM documents)),
+        state AS (
+            SELECT lang, shard, CAST(0 AS BIGINT) AS rn,
+                   CAST([] AS BIGINT[]) AS fills,
+                   CAST(NULL AS BIGINT) AS doc_id,
+                   CAST(NULL AS BIGINT) AS n,
+                   CAST(NULL AS BIGINT) AS bin_id
+            FROM (SELECT DISTINCT lang, shard FROM rows)
+            UNION ALL
+            SELECT r.lang, r.shard, r.rn,
+                   CASE WHEN best.b IS NULL
+                        THEN list_append(s.fills, r.n)
+                        ELSE list_slice(s.fills, 1, best.idx - 1)
+                             || [best.b + r.n]
+                             || list_slice(s.fills, best.idx + 1,
+                                           len(s.fills)) END,
+                   r.doc_id, r.n,
+                   CASE WHEN best.b IS NULL
+                        THEN CAST(len(s.fills) AS BIGINT)
+                        ELSE CAST(best.idx - 1 AS BIGINT) END
+            FROM state s
+            JOIN rows r ON r.lang = s.lang AND r.shard = s.shard
+                       AND r.rn = s.rn + 1
+            CROSS JOIN LATERAL (
+                SELECT list_max(list_filter(s.fills,
+                                            f -> f + r.n <= 256)) AS b,
+                       list_position(s.fills,
+                           list_max(list_filter(s.fills,
+                                                f -> f + r.n <= 256))) AS idx
+            ) best
+        )
+        SELECT doc_id, lang, shard, n AS n_tokens, bin_id
+        FROM state WHERE rn > 0
     """,
     "pack_efficiency": """
         WITH RECURSIVE rows AS (

@@ -647,3 +647,38 @@ def test_url_canonicalize_rule_set(spark):
     assert got[8] is None and got[9] is None
     assert got[10] == "https://example.com/a/b"
     assert got[11] == "https://example.com/a?b=2&a=1"
+
+
+def test_pack_best_fit_beats_next_fit_and_tie_rule(spark):
+    """BFD on the planted set [6,5,4,3,2] @ budget 10 packs 2 bins with
+    zero waste where next-fit greedy needs 3; fill ties break to the
+    LOWEST bin id; an oversized doc occupies a bin alone."""
+    from postgres_debezium_clickhouse_spark.operators.curation import (
+        pack_best_fit,
+        pack_greedy,
+    )
+
+    def docs(sizes):
+        return spark.createDataFrame(
+            [(i, "en", " ".join(["w"] * s)) for i, s in enumerate(sizes)],
+            ["doc_id", "lang", "text"],
+        )
+
+    d = docs([6, 5, 4, 3, 2])
+    bfd = pack_best_fit(d, budget=10, n_shards=1)
+    greedy = pack_greedy(d, budget=10, n_shards=1)
+    assert bfd.select("bin_id").distinct().count() == 2
+    assert greedy.select("bin_id").distinct().count() == 3
+    by_doc = {r.doc_id: r.bin_id for r in bfd.collect()}
+    # 6 and 4 share bin 0 (exactly full); 5, 3, 2 fill bin 1
+    assert by_doc[0] == by_doc[2]
+    assert by_doc[1] == by_doc[3] == by_doc[4]
+    # tie rule: [4,4,3,3] @ 7 — both 3s fit both half-full bins; the
+    # first 3 must take bin 0 (lowest id among equal fills)
+    t = {r.doc_id: r.bin_id for r in
+         pack_best_fit(docs([4, 4, 3, 3]), budget=7, n_shards=1).collect()}
+    assert t[2] == t[0] and t[3] == t[1]
+    # oversized doc sits alone and never receives a second doc
+    o = pack_best_fit(docs([12, 2, 2]), budget=10, n_shards=1)
+    rows = {r.doc_id: r.bin_id for r in o.collect()}
+    assert rows[1] == rows[2] and rows[0] not in (rows[1],)
