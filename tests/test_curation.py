@@ -682,3 +682,45 @@ def test_pack_best_fit_beats_next_fit_and_tie_rule(spark):
     o = pack_best_fit(docs([12, 2, 2]), budget=10, n_shards=1)
     rows = {r.doc_id: r.bin_id for r in o.collect()}
     assert rows[1] == rows[2] and rows[0] not in (rows[1],)
+
+
+@given(
+    sizes=st.lists(st.integers(1, 40), min_size=1, max_size=25),
+    budget=st.integers(8, 64),
+)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pack_best_fit_matches_reference_bfd(spark, sizes, budget):
+    """Property: the distributed packer agrees with a transparent
+    in-test BFD reference on arbitrary size lists — placement,
+    tie-rule (lowest bin id among equal eligible fills), and the
+    no-bin-over-budget invariant (except singleton oversized docs)."""
+    from postgres_debezium_clickhouse_spark.operators.curation import (
+        pack_best_fit,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "en", " ".join(["w"] * s)) for i, s in enumerate(sizes)],
+        ["doc_id", "lang", "text"],
+    )
+    got = {r.doc_id: r.bin_id for r in
+           pack_best_fit(docs, budget=budget, n_shards=1).collect()}
+
+    order = sorted(range(len(sizes)), key=lambda i: (-sizes[i], i))
+    fills, ref = [], {}
+    for i in order:
+        n = sizes[i]
+        cand = [(f, j) for j, f in enumerate(fills) if f + n <= budget]
+        if cand:
+            f, j = max(cand, key=lambda t: (t[0], -t[1]))
+            fills[j] += n
+            ref[i] = j
+        else:
+            fills.append(n)
+            ref[i] = len(fills) - 1
+    assert got == ref
+    loads: dict[int, list[int]] = {}
+    for i, b in got.items():
+        loads.setdefault(b, []).append(sizes[i])
+    for b, ls in loads.items():
+        assert sum(ls) <= budget or len(ls) == 1
