@@ -115,6 +115,41 @@ def cosine_topk(
     )
 
 
+def mips_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """r14 — exact top-k by MAXIMUM INNER PRODUCT (MIPS): the retrieval
+    objective DPR-style dual encoders are actually trained against —
+    unnormalized dot product, where vector MAGNITUDE is signal (a
+    "hub" passage with a long embedding legitimately outranks a
+    closer-by-angle one), unlike cosine which quotients it away.  Same
+    scale shape as ``cosine_topk``: one corpus scan, broadcast
+    queries, no corpus shuffle, bounded per-query top-k."""
+    from .dedup import spread_for_compute
+
+    c = as_double_vec(spread_for_compute(corpus)).select(
+        F.col(id_col), F.col("v").alias("cv")
+    )
+    q = as_double_vec(queries, col="embedding", out="v").select(
+        F.col(query_id_col), F.col("v").alias("qv")
+    )
+    dot = F.expr(DOT.format(a="qv", b="cv"))
+    scored = (
+        c.join(F.broadcast(q))
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"),
+                F.round(dot, 6).alias("inner_product"))
+    )
+    return bounded_query_topk(
+        scored, k, query_id_col,
+        order=[("inner_product", "desc"), ("neighbor_id", "asc")],
+        out_cols=["neighbor_id", "inner_product"], rank_col="rank",
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
     """Deterministic, ENGINE-PORTABLE hyperplanes for sign-LSH: component
     (i, j) = uniform(−1, 1) derived from ``md5(f"{i},{j}")`` — the same

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..operators.similarity import (
     cosine_topk,
+    mips_topk,
     ivf_ann_topk,
     ivf_ann_topk_table,
     lsh_ann_buckets,
@@ -24,6 +25,17 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
     corpus = emb.filter(F.col("vec_id") >= 5)
     return cosine_topk(corpus, queries, k=5)
+
+
+def q_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 — exact top-k by maximum inner product
+    (operators/similarity.mips_topk): the DPR-style retrieval
+    objective where magnitude is signal; same broadcast-queries /
+    one-corpus-scan / bounded-top-k shape as the cosine baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return mips_topk(corpus, queries, k=5)
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -299,6 +311,7 @@ QUERIES = {
     "similarity_ivfpq_rerank_recall": q_ivfpq_rerank_recall,
     "similarity_pq_adc_topk": q_pq_adc_topk,
     "similarity_cosine_topk": q_cosine_topk,
+    "similarity_mips_topk": q_mips_topk,
     "similarity_ann_lsh_topk": q_ann_lsh_topk,
     "similarity_ann_ivf_topk": q_ann_ivf_topk,
     "similarity_ann_ivf_table": q_ann_ivf_table,
@@ -418,6 +431,19 @@ ORACLES = {
         LEFT JOIN adc5 a USING (query_id, neighbor_id)
         LEFT JOIN rr r USING (query_id, neighbor_id)
         GROUP BY t.query_id
+    """,
+    "similarity_mips_topk": """
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        c AS (SELECT vec_id, v AS cv FROM e WHERE vec_id >= 5),
+        s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                     ROUND(list_dot_product(qv, cv), 6) AS inner_product
+              FROM q CROSS JOIN c),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY inner_product DESC, neighbor_id ASC) AS rnk
+              FROM s)
+        SELECT query_id, neighbor_id, inner_product,
+               CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 5
     """,
     "similarity_cosine_topk": """
         WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
