@@ -50,6 +50,7 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 
 _FRONT = (
     # round-14 additions (never driver-checked), newest first:
+    "cdc_content_route",
     "similarity_mips_topk",
     "pack_best_fit",
     "corpus_topk_ngrams",

@@ -202,6 +202,45 @@ def cdc_changed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_content_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 — Debezium's ``ContentBasedRouter`` SMT
+    (io.debezium.transforms.ContentBasedRouter): re-route each record
+    by an expression over the PAYLOAD (the docs' canonical example
+    routes on ``value.op``), not the table name — the complement of
+    cdc_multiplex_route's topic/table routing.  Routing rule here, a
+    typical ops split: deletes → ``tombstone``; surviving events whose
+    after-image total is ≥ 200,000 → ``high-value``; else
+    ``default``.  Output is the per-route event histogram.
+
+    The oracle is a pure closed form over the orders fixture (the
+    generator's event multiplicities: snapshot ×1 per row, update-1
+    ×2 at +100 for keys % 3 = 0, update-2 ×2 at +200 for keys % 9 =
+    0, delete ×1 for keys % 7 = 0) — a mis-routed op class or a
+    wrong string→double wire parse shifts a bucket and
+    hash-mismatches.
+
+    Plan: pruned parse → map-side CASE → one hash agg on a 3-value
+    key.  No joins; the cost of reading the stream once."""
+    p = F.col("j.payload")
+    env = pruned_envelope(
+        ORDERS_CDC_ROW, after=["o_totalprice"], before=None, source=None
+    )
+    ev = _orders_parsed(spark, sf_dir, env).select(
+        p.op.alias("op"),
+        to_float64(p.after.o_totalprice).alias("total"),
+    )
+    route = (
+        F.when(F.col("op") == "d", F.lit("tombstone"))
+        .when(F.col("total") >= 200000.0, F.lit("high-value"))
+        .otherwise(F.lit("default"))
+    )
+    return (
+        ev.select(route.alias("route"))
+        .groupBy("route")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+
+
 def cdc_masked_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8+P9 — unwrap + PII masking in-flight (MaskField SMT,
     abcsvb-connector-secure.json:36-37): c_name replaced by its sha2-256."""
@@ -568,6 +607,7 @@ QUERIES = {
     "cdc_json_extract_path": cdc_json_extract_path,
     "cdc_rewrite_mode": cdc_rewrite_mode,
     "cdc_changed_columns": cdc_changed_columns,
+    "cdc_content_route": cdc_content_route,
     "cdc_masked_customers": cdc_masked_customers,
     "cdc_bronze_stats": cdc_bronze_stats,
     "products_usable_vw": products_usable_vw,
@@ -681,6 +721,34 @@ ORACLES = {
                {_FINAL_PRICE} AS o_totalprice,
                {_FINAL_TS} AS ts_ms
         FROM orders
+    """,
+    "cdc_content_route": """
+        WITH counts AS (
+            SELECT
+                CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 = 0)
+                     AS BIGINT) AS n_tomb,
+                CAST((SELECT COUNT(*) FROM orders
+                      WHERE o_totalprice >= 200000)
+                   + 2 * (SELECT COUNT(*) FROM orders
+                          WHERE o_orderkey % 3 = 0
+                            AND o_totalprice + 100.0 >= 200000)
+                   + 2 * (SELECT COUNT(*) FROM orders
+                          WHERE o_orderkey % 9 = 0
+                            AND o_totalprice + 200.0 >= 200000)
+                     AS BIGINT) AS n_high,
+                CAST((SELECT COUNT(*) FROM orders)
+                   + 2 * (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0)
+                   + 2 * (SELECT COUNT(*) FROM orders WHERE o_orderkey % 9 = 0)
+                   + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 = 0)
+                     AS BIGINT) AS n_all
+            FROM (SELECT 1)
+        )
+        SELECT 'tombstone' AS route, n_tomb AS n_events FROM counts
+        UNION ALL
+        SELECT 'high-value' AS route, n_high AS n_events FROM counts
+        UNION ALL
+        SELECT 'default' AS route, n_all - n_tomb - n_high AS n_events
+        FROM counts
     """,
     "cdc_changed_columns": """
         SELECT 'o_totalprice' AS column_name,
