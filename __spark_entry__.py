@@ -49,65 +49,17 @@ def entry(spark: SparkSession) -> DataFrame:
 _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries, analytics)
 
 _FRONT = (
-    # round-14 additions (never driver-checked), newest first:
-    "cdc_content_route",
-    "similarity_mips_topk",
-    "pack_best_fit",
-    "corpus_topk_ngrams",
-    "cdc_changed_columns",
-    "text_bigram_witten_bell",
-    "ch_limit_with_ties",
-    "text_readability",
-    "multimodal_netpbm_decode",
-    "multimodal_audio_aiff",
-    "events_sequence_next_node",
-    "text_bigram_modified_kneser_ney",
-    "dedup_url_canonical",
-    "text_bigram_kneser_ney",
-    "multimodal_jpeg_exif",
+    # round-15 additions (never driver-checked) are inserted here,
+    # newest first, as they land.
     # steady-state cycling (oldest driver evidence first — recomputed
-    # r14 from CORRECTNESS_r01..r13): the 25-name r8-evidence cohort
-    # (the r13 window covered the other r8 names), then the 50-name
-    # r9 cohort.  2 + 25 = 27, so the driver's ~50-query window takes
-    # both r14 additions, the whole r8 tail, and the first ~23 r9
-    # names; the r9 remainder waits for r15.  Both additions also
-    # carry local tri-scale evidence (CORRECTNESS_local_r14.txt).
+    # r15 from CORRECTNESS_r01..r14): the r14 window consumed all 15
+    # r14 additions, the entire 25-name r8 cohort, and the first 10
+    # r9 names (cdc_current_state..dedup_clusters_star), so the
+    # oldest-evidence cohort is the 40-name r9 tail below
+    # (dedup_image_dhash..trn_passport_current).  r15 additions plus
+    # this tail fill the driver's ~50-query window; after r15 the
+    # oldest evidence anywhere is r10.
     # (synthetic_transactions stays in _BACK by standing policy.)
-    "dedup_simhash",  # r8
-    "embedding_quantize",  # r8
-    "events_cohort_retention",  # r8
-    "events_props_keys",  # r8
-    "events_sequence_match",  # r8
-    "llm_filter_report",  # r8
-    "llm_prep_pipeline",  # r8
-    "llm_quality_funnel",  # r8
-    "multimodal_audio_decode",  # r8
-    "multimodal_byte_stats",  # r8
-    "pack_efficiency",  # r8
-    "quality_adaptive_filter",  # r8
-    "silver_ttl",  # r8
-    "similarity_ivf_seeding",  # r8
-    "similarity_lsh_recall",  # r8
-    "stream_late_events",  # r8
-    "stream_quality_filter",  # r8
-    "stream_summing_state",  # r8
-    "text_commonness",  # r8
-    "text_fingerprint",  # r8
-    "text_lang_id",  # r8
-    "text_quality_score",  # r8
-    "text_stats",  # r8
-    "text_token_count",  # r8
-    "trn_passport_ts_version",  # r8
-    "cdc_current_state",  # r9
-    "ch_dict_get",  # r9
-    "ch_limit_by",  # r9
-    "ch_sample_clause",  # r9
-    "ch_with_totals",  # r9
-    "contamination_check_13g",  # r9
-    "corpus_content_drift",  # r9
-    "corpus_source_overlap",  # r9
-    "corpus_topk_domains_weighted",  # r9
-    "dedup_clusters_star",  # r9
     "dedup_image_dhash",  # r9
     "dedup_minhash_lsh",  # r9
     "dedup_semantic",  # r9
