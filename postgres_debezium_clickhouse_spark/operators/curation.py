@@ -967,7 +967,10 @@ def dsir_score_expr(
 
 
 def url_canonicalize(
-    df: DataFrame, url_col: str = "url", out: str = "canonical_url"
+    df: DataFrame,
+    url_col: str = "url",
+    out: str = "canonical_url",
+    tracking_params: "tuple[str, ...]" = ("utm_[^=]*", "fbclid", "gclid"),
 ) -> DataFrame:
     """r14 — URL canonicalization, the key of the URL-dedup stage web
     pipelines run BEFORE content dedup (RefinedWeb §3.2 / CCNet keep
@@ -976,14 +979,19 @@ def url_canonicalize(
     comparing).  Documented rule set, applied entirely JVM-side
     (``parse_url`` + regexp — map-only, no UDF):
 
-    1. scheme and authority lowercased;
+    1. scheme lowercased; of the authority only the HOST (and port)
+       is lowercased — userinfo is case-sensitive per RFC 3986 §3.2.1
+       and passes through untouched (ADVICE r14);
     2. leading ``www.`` stripped from the host;
     3. the scheme's default port stripped (``:80`` http, ``:443``
        https — a NON-default port is identity-bearing and stays);
     4. the fragment dropped (client-side only);
-    5. tracking params removed (``utm_*``, ``fbclid``, ``gclid``,
-       ``ref``), other params kept in their original order (param
-       REORDERING is not safe in general — servers may care);
+    5. tracking params removed — only the UNAMBIGUOUS trackers
+       (``utm_*``, ``fbclid``, ``gclid``); ``ref`` is NOT stripped
+       (identity-bearing on many real sites, e.g. ``?ref=branch`` on
+       code hosts — ADVICE r14); other params kept in their original
+       order (param REORDERING is not safe in general — servers may
+       care); the param list is overridable via ``tracking_params``;
     6. one trailing slash stripped from a non-root path.
 
     A NULL or unparseable URL (no scheme/host) canonicalizes to NULL —
@@ -991,23 +999,30 @@ def url_canonicalize(
     """
     u = F.col(url_col)
     proto = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
-    # AUTHORITY carries host[:port]; lowercase, strip www., strip the
-    # scheme-default port only
-    auth = F.regexp_replace(
-        F.lower(F.parse_url(u, F.lit("AUTHORITY"))), r"^www\.", "")
-    auth = (
-        F.when(proto == "http", F.regexp_replace(auth, ":80$", ""))
-        .when(proto == "https", F.regexp_replace(auth, ":443$", ""))
-        .otherwise(auth)
+    # AUTHORITY carries [userinfo@]host[:port]; userinfo passes
+    # through case-preserved, only host[:port] is lowercased /
+    # www-stripped / default-port-stripped
+    auth_raw = F.parse_url(u, F.lit("AUTHORITY"))
+    userinfo = F.regexp_extract(auth_raw, r"^(.*@)", 1)
+    hostport = F.regexp_replace(
+        F.lower(F.regexp_replace(auth_raw, r"^.*@", "")), r"^www\.", "")
+    hostport = (
+        F.when(proto == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(proto == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    auth = F.when(
+        auth_raw.isNotNull(), F.concat(userinfo, hostport)
     )
     path = F.parse_url(u, F.lit("PATH"))
     path = F.when(
         (F.length(path) > 1), F.regexp_replace(path, "/$", "")
     ).otherwise(path)
     query = F.parse_url(u, F.lit("QUERY"))
+    strip_re = "^(" + "|".join(tracking_params) + ")="
     kept = F.filter(
         F.split(F.coalesce(query, F.lit("")), "&"),
-        lambda p: (p != "") & ~p.rlike(r"^(utm_[^=]*|fbclid|gclid|ref)="),
+        lambda p: (p != "") & ~p.rlike(strip_re),
     )
     qpart = F.when(
         F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))

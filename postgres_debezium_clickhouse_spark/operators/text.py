@@ -1372,14 +1372,17 @@ def lm_bigram_modified_kneser_ney(
     Nₖ(w₁·) is zero everywhere and the value is inert; it exists so
     the IEEE dag stays NaN-free, since NaN·0 = NaN would poison λ.)
 
-    The regime the dag cannot survive is GUARDED in-plan (the
-    sketch_full idiom): Y must be defined (n₁ + 2·n₂ > 0) and every
-    discount with a nonempty class must be POSITIVE (C&G's closed form
-    can go negative on adversarial count distributions; a zero-or-
-    negative applied discount could drive some context's λ(w₁) ≤ 0 and
-    an unseen transition into ln(≤0)).  ``mkn_regime_ok`` raises
-    loudly on drift instead of surfacing as an oracle hash mismatch;
-    the oracle hardcodes ``true``.
+    The regime the modified dag cannot survive — Y undefined
+    (n₁ + 2·n₂ = 0, a fully saturated corpus) or a non-positive
+    applied discount (C&G's closed form can go negative on
+    adversarial count distributions; a zero-or-negative applied
+    discount could drive some context's λ(w₁) ≤ 0 and an unseen
+    transition into ln(≤0)) — DEGRADES gracefully (r15): all three
+    class discounts fall back to the fixed D = 0.75 single-discount
+    estimate and ``mkn_regime_ok`` reports ``false``, mirrored
+    verbatim in the oracle.  (r14 raised in-plan here; ADVICE r14
+    asked for degradation so scale sweeps over saturated fixtures
+    never hard-fail.)
 
     Determinism: D₁/D₂/D₃₊ and every per-transition probability are
     single fully-parenthesized IEEE-double dags over exact integer
@@ -1455,25 +1458,39 @@ def lm_bigram_modified_kneser_ney(
         F.col("n2"),
         F.col("n3p"),
     )
+    # Regime flag (r15, was an in-plan assert in r14): the modified
+    # form is estimable only when Y is defined (n₁ + 2·n₂ > 0) AND
+    # every discount with a nonempty count class came out POSITIVE
+    # (C&G's closed form can go negative on adversarial count
+    # distributions).  Outside that regime the estimator DEGRADES
+    # instead of raising (ADVICE r14): all three class discounts fall
+    # back to the Ney et al. (1994) fixed absolute discount D = 0.75
+    # (the single-discount-KN baseline, lm_bigram_kneser_ney's
+    # default) and ``mkn_regime_ok`` reports false — a saturated
+    # corpus (every bigram count ≥ 5, the sf1 fixture) now scores
+    # under plain absolute discounting rather than hard-failing the
+    # sweep.  The CASE never lets the fallback regime's NULL/NaN Y
+    # reach a multiplication, so λ stays finite.
+    ok_sql = (
+        "coalesce(((n1 + (2 * n2)) > 0)"
+        " and ((n1 = 0) or (__d1 > cast(0 as double)))"
+        " and ((n2 = 0) or (__d2 > cast(0 as double)))"
+        " and ((n3p = 0) or (__d3 > cast(0 as double))), false)"
+    )
     disc = disc.select(
-        "__d1",
-        "__d2",
-        "__d3",
-        F.coalesce(
-            F.assert_true(
-                (F.col("n1") + F.lit(2) * F.col("n2") > 0)
-                & ((F.col("n1") == 0) | (F.col("__d1") > 0))
-                & ((F.col("n2") == 0) | (F.col("__d2") > 0))
-                & ((F.col("n3p") == 0) | (F.col("__d3") > 0)),
-                F.lit(
-                    "regime drift: modified-KN discounts undefined or "
-                    "non-positive for a nonempty count class — the "
-                    "estimator (and its oracle mirror) cannot run on "
-                    "this count distribution"
-                ),
-            ).cast("boolean"),
-            F.lit(True),
-        ).alias("mkn_regime_ok"),
+        F.expr(
+            f"(case when {ok_sql} then __d1"
+            " else cast(0.75 as double) end)"
+        ).alias("__d1"),
+        F.expr(
+            f"(case when {ok_sql} then __d2"
+            " else cast(0.75 as double) end)"
+        ).alias("__d2"),
+        F.expr(
+            f"(case when {ok_sql} then __d3"
+            " else cast(0.75 as double) end)"
+        ).alias("__d3"),
+        F.expr(ok_sql).alias("mkn_regime_ok"),
     )
     dd = (
         "(case when coalesce(bcnt, 0) >= 3 then __d3"

@@ -619,7 +619,7 @@ ORACLES = {
         -- the SAME fully-parenthesized discount dags as the engine,
         -- incl. the SRILM-style per-class fallback to Y when a
         -- class's count-of-count is zero
-        dc AS (SELECT
+        dc0 AS (SELECT
                    (CASE WHEN n1 > 0 THEN
                     (CAST(1 AS DOUBLE) - ((CAST(2 AS DOUBLE) * y)
                      * (CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE))))
@@ -631,10 +631,31 @@ ORACLES = {
                    (CASE WHEN n3 > 0 THEN
                     (CAST(3 AS DOUBLE) - ((CAST(4 AS DOUBLE) * y)
                      * (CAST(n4 AS DOUBLE) / CAST(n3 AS DOUBLE))))
-                    ELSE y END) AS d3
+                    ELSE y END) AS d3,
+                   n1, n2,
+                   (SELECT SUM(CASE WHEN bcnt >= 3 THEN 1 ELSE 0 END)
+                    FROM bi) AS n3p
                FROM yc),
+        -- regime flag + graceful D=0.75 fallback, mirroring the
+        -- engine's r15 degradation (see lm_bigram_modified_kneser_ney)
+        dc AS (SELECT
+                   (CASE WHEN ok THEN d1
+                    ELSE CAST(0.75 AS DOUBLE) END) AS d1,
+                   (CASE WHEN ok THEN d2
+                    ELSE CAST(0.75 AS DOUBLE) END) AS d2,
+                   (CASE WHEN ok THEN d3
+                    ELSE CAST(0.75 AS DOUBLE) END) AS d3,
+                   ok
+               FROM (SELECT d1, d2, d3,
+                            COALESCE(((n1 + (2 * n2)) > 0)
+                             AND ((n1 = 0) OR (d1 > CAST(0 AS DOUBLE)))
+                             AND ((n2 = 0) OR (d2 > CAST(0 AS DOUBLE)))
+                             AND ((n3p = 0)
+                                  OR (d3 > CAST(0 AS DOUBLE))), false
+                        ) AS ok
+                     FROM dc0)),
         scored AS (
-            SELECT p.doc_id,
+            SELECT p.doc_id, dc.ok,
                    (l.n_w1 IS NULL OR r.n1p_r IS NULL) AS oov,
                    (b.bcnt IS NULL
                     AND NOT (l.n_w1 IS NULL OR r.n1p_r IS NULL)) AS unseen,
@@ -670,7 +691,8 @@ ORACLES = {
                    SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS n_oov,
                    SUM(CASE WHEN unseen THEN 1 ELSE 0 END) AS n_unseen,
                    FLOOR(CAST(SUM(s) AS DOUBLE) / COUNT(s) * 1e6 + 0.5)
-                       / 1e6 AS avg_logscore
+                       / 1e6 AS avg_logscore,
+                   MIN(ok) AS mkn_regime_ok
             FROM scored GROUP BY doc_id
         )
         SELECT d.doc_id,
@@ -679,8 +701,10 @@ ORACLES = {
                CAST(COALESCE(p.n_unseen, 0) AS BIGINT) AS n_unseen,
                p.avg_logscore,
                FLOOR(exp(-p.avg_logscore) * 1e4 + 0.5) / 1e4 AS ppl,
-               -- in-plan regime guard on the engine side (n1,n2,n3 > 0)
-               true AS mkn_regime_ok
+               -- r15: computed regime flag with graceful D=0.75
+               -- fallback, mirroring the engine (was hardcoded true
+               -- against an in-plan assert in r14)
+               COALESCE(p.mkn_regime_ok, true) AS mkn_regime_ok
         FROM documents d LEFT JOIN per p USING (doc_id)
     """,
     "text_readability": """

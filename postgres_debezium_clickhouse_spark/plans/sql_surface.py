@@ -1043,9 +1043,10 @@ ORACLES = {
         SELECT o_orderkey, o_orderdate,
                CAST(o_totalprice AS DOUBLE) AS o_totalprice
         FROM orders
-        WHERE o_orderdate >= (
-            SELECT o_orderdate FROM orders
-            ORDER BY o_orderdate DESC LIMIT 1 OFFSET 19
+        WHERE o_orderdate >= COALESCE(
+            (SELECT o_orderdate FROM orders
+             ORDER BY o_orderdate DESC LIMIT 1 OFFSET 19),
+            (SELECT MIN(o_orderdate) FROM orders)
         )
     """,
     "ch_limit_by": """

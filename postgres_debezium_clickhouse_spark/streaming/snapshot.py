@@ -42,8 +42,10 @@ the resume is exactly-once-effective without coordination.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
+import sys
 import uuid
 
 from pyspark.sql import DataFrame
@@ -541,15 +543,42 @@ def kafka_signal_topic_append(topic_path: str, message: dict) -> int:
     — ordered, offset-addressed (offset = line number), immutable
     messages — the same file-stream stand-in the Kafka source uses in
     this jar-less sandbox (sources/kafka.py).  Returns the appended
-    message's offset."""
+    message's offset.
+
+    Concurrency: producers serialize on an ``flock`` over a sidecar
+    ``<topic>.lock`` (Kafka's single-partition topic is a total order;
+    two unlocked appenders could interleave partial lines AND report
+    the same offset).  The offset is tracked O(1) via a
+    ``<topic>.nextoffset`` sidecar maintained under the same lock —
+    initialized by one line-count scan if the topic pre-exists, never
+    re-scanned per append."""
     os.makedirs(os.path.dirname(topic_path) or ".", exist_ok=True)
     line = json.dumps(message)
     if "\n" in line:
         raise ValueError("signal message must serialize to one line")
-    with open(topic_path, "a") as fh:
-        fh.write(line + "\n")
-    with open(topic_path) as fh:
-        return sum(1 for _ in fh) - 1
+    lock_path = topic_path + ".lock"
+    sidecar = topic_path + ".nextoffset"
+    with open(lock_path, "a") as lock_fh:
+        fcntl.flock(lock_fh, fcntl.LOCK_EX)
+        try:
+            if os.path.exists(sidecar):
+                with open(sidecar) as fh:
+                    offset = int(fh.read().strip() or 0)
+            elif os.path.exists(topic_path):
+                with open(topic_path) as fh:
+                    offset = sum(1 for _ in fh)
+            else:
+                offset = 0
+            with open(topic_path, "a") as fh:
+                fh.write(line + "\n")
+                fh.flush()
+            tmp = f"{sidecar}.{uuid.uuid4().hex[:8]}.tmp"
+            with open(tmp, "w") as fh:
+                fh.write(str(offset + 1))
+            os.rename(tmp, sidecar)
+        finally:
+            fcntl.flock(lock_fh, fcntl.LOCK_UN)
+    return offset
 
 
 def poll_kafka_signal_channel(topic_path: str, path: str) -> list[str]:
@@ -585,7 +614,7 @@ def poll_kafka_signal_channel(topic_path: str, path: str) -> list[str]:
     with open(topic_path) as fh:
         lines = fh.read().splitlines()
     enqueued: list[str] = []
-    for line in lines[start:]:
+    for off, line in enumerate(lines[start:], start=start):
         if not line.strip():
             continue
         try:
@@ -608,10 +637,17 @@ def poll_kafka_signal_channel(topic_path: str, path: str) -> list[str]:
                         data.get("type", "INCREMENTAL")).lower(),
                     additional_condition=data.get("additional-conditions"),
                 ))
-            except ValueError:
-                pass  # duplicate id on replay, or malformed type: skip
-            except KeyError:
-                pass  # missing required field: poison message, skip
+            except (ValueError, KeyError) as exc:
+                # Debezium's contract is log-and-ignore: the offset
+                # still advances, but the skip must leave a trace
+                # (duplicate id on replay, malformed snapshot type, or
+                # a missing required field).
+                print(
+                    "[kafka-signal] skipping execute-snapshot "
+                    f"id={msg.get('id')!r} at offset {off}: "
+                    f"{type(exc).__name__}: {exc}",
+                    file=sys.stderr,
+                )
         elif mtype == "stop-snapshot":
             target = data.get("signal-id") or msg.get("id")
             if target:

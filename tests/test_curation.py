@@ -636,6 +636,9 @@ def test_url_canonicalize_rule_set(spark):
         (9, None),
         (10, "https://example.com/a/b?ref=tw&fbclid=1&gclid=2"),
         (11, "https://example.com/a?b=2&a=1"),   # param ORDER preserved
+        # r15 (ADVICE r14): userinfo is case-sensitive (RFC 3986
+        # §3.2.1) — only host[:port] folds
+        (12, "https://UsEr:Pw@WWW.Example.COM:443/a"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, url string")
     got = {r.doc_id: r.canonical_url
@@ -645,8 +648,11 @@ def test_url_canonicalize_rule_set(spark):
     assert got[6] == "http://example.com:8080/x"
     assert got[7] == "http://example.com/"
     assert got[8] is None and got[9] is None
-    assert got[10] == "https://example.com/a/b"
+    # r15 (ADVICE r14): `ref` is identity-bearing and is NOT stripped;
+    # only the unambiguous trackers (utm_*, fbclid, gclid) go
+    assert got[10] == "https://example.com/a/b?ref=tw"
     assert got[11] == "https://example.com/a?b=2&a=1"
+    assert got[12] == "https://UsEr:Pw@example.com/a"
 
 
 def test_pack_best_fit_beats_next_fit_and_tie_rule(spark):

@@ -705,14 +705,16 @@ def test_witten_bell_type_token_mixture(spark):
     assert kn[0]["avg_logscore"] != rows[0]["avg_logscore"]
 
 
-def test_modified_kneser_ney_refuses_saturated_corpus(spark):
-    """The regime the estimator genuinely cannot run in (and the sf1
+def test_modified_kneser_ney_degrades_on_saturated_corpus(spark):
+    """The regime the MODIFIED estimator cannot run in (and the sf1
     synthetic fixture actually hits): EVERY bigram type at count ≥ 5 ⇒
     n1 = n2 = n3 = 0 and Y = 0/0 — no low-count evidence to estimate
-    discounts from (SRILM errors here too).  The in-plan guard must
-    refuse loudly, not emit NaN-poisoned scores."""
-    import pytest
-    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    class discounts from.  r15 (ADVICE r14): instead of raising, the
+    dag DEGRADES to the fixed single discount D = 0.75 for all three
+    classes and reports ``mkn_regime_ok = false`` — here c(a,b)=6,
+    λ(a) = 0.75·1/6 = 0.125, P_cont(b) = 1/2, so
+    P(b|a) = (6−0.75)/6 + 0.125·0.5 = 0.9375 exactly, NaN-free."""
+    import math
 
     from postgres_debezium_clickhouse_spark.operators.text import (
         lm_bigram_modified_kneser_ney,
@@ -723,5 +725,7 @@ def test_modified_kneser_ney_refuses_saturated_corpus(spark):
         ["doc_id", "text"],
     )
     score = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
-    with pytest.raises(SparkRuntimeException, match="regime drift"):
-        lm_bigram_modified_kneser_ney(score, train_docs=train).collect()
+    row = lm_bigram_modified_kneser_ney(score, train_docs=train).collect()[0]
+    assert row["mkn_regime_ok"] is False
+    assert float(row["avg_logscore"]) == round(math.log(0.9375), 6)
+    assert row["ppl"] is not None and row["ppl"] > 0
