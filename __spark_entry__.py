@@ -51,6 +51,9 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 _FRONT = (
     # round-15 additions (never driver-checked) are inserted here,
     # newest first, as they land.
+    "cdc_header_to_value",
+    "cdc_partition_route",
+    "cdc_timezone_convert",
     # steady-state cycling (oldest driver evidence first — recomputed
     # r15 from CORRECTNESS_r01..r14): the r14 window consumed all 15
     # r14 additions, the entire 25-name r8 cohort, and the first 10
@@ -100,6 +103,20 @@ _FRONT = (
     "text_tfidf_top_terms",  # r9
     "token_length_histogram",  # r9
     "trn_passport_current",  # r9
+    # r10-evidence head (alphabetical within the cohort) — pads the
+    # window to ≥50 so the gate stays fully specified even though the
+    # r15-additions + r9-tail block is smaller; whatever the driver
+    # reaches here ages out of the r10 cohort a round early.
+    "buyer_segment_setops",  # r10
+    "cdc_bronze_stats",  # r10
+    "cdc_change_feed",  # r10
+    "cdc_deadletter_stats",  # r10
+    "cdc_first_image",  # r10
+    "cdc_json_extract_path",  # r10
+    "cdc_masked_customers",  # r10
+    "cdc_multiplex_route",  # r10
+    "cdc_rewrite_mode",  # r10
+    "check_violation_counts",  # r10
 )
 
 # Oracle-inexpressible by the reference's own randomness contract

@@ -397,3 +397,148 @@ def outbox_route(
         F.col(type_col).alias("event_type"),
         F.col(payload_col).alias("value"),
     )
+
+
+def timezone_convert_fields(
+    df: DataFrame,
+    fields: list[str],
+    converted_timezone: str,
+    fmt: str = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+) -> DataFrame:
+    """r15 — the Debezium ``TimezoneConverter`` SMT analogue
+    (``io.debezium.transforms.TimezoneConverter``, shipped in the
+    reference's own Debezium 2.4 — basic_example/docker-compose.yml):
+    re-render ZonedTimestamp STRING fields (the
+    ``io.debezium.time.ZonedTimestamp`` wire type — ISO-8601 with
+    offset, the shape the reference's products feed carries and
+    ``toDateTime64(trimRight(created_at,'Z'),6,'UTC')`` consumes,
+    basic_example/clickhouse.sql:77-78) at a target zone given by
+    ``converted.timezone``.
+
+    Scope, per the SMT's contract: conversion changes the RENDERED
+    zone, never the instant — ``2024-01-01T00:00:05.000000Z`` becomes
+    ``2024-01-01T07:00:05.000000+07:00``.  Epoch-integer temporal
+    types (MicroTimestamp et al.) are zone-less and pass through
+    untouched, exactly like the real SMT.  ``include.list`` maps to
+    the explicit ``fields`` argument.
+
+    Only FIXED-OFFSET targets (``+HH:MM`` / ``-HH:MM`` / ``Z``) are
+    supported: the conversion stays a closed-form shift both Spark
+    and a plain-SQL oracle can compute; geographic zone ids would
+    drag DST rule tables into the contract (Spark could resolve
+    them, the portable oracle could not).  The offset parses ONCE,
+    driver-side; per row the work is a cast + interval add + format —
+    map-only, fuses into the scan, no shuffle at any scale."""
+    m = re.fullmatch(r"([+-])(\d{2}):(\d{2})|Z", converted_timezone)
+    if not m:
+        raise ValueError(
+            f"converted.timezone must be a fixed offset (+HH:MM, -HH:MM "
+            f"or Z), got {converted_timezone!r}"
+        )
+    minutes = 0
+    suffix = "Z"
+    if converted_timezone != "Z":
+        sign, hh, mm = m.group(1), int(m.group(2)), int(m.group(3))
+        minutes = (hh * 60 + mm) * (-1 if sign == "-" else 1)
+        suffix = converted_timezone
+    out = df
+    for f in fields:
+        # the source string carries its own offset ('Z' or ±HH:MM), so
+        # the timestamp cast resolves the INSTANT regardless of the
+        # session zone; the shift then re-renders that instant as the
+        # target zone's wall clock
+        # make_interval handles negative offsets uniformly (a signed
+        # INTERVAL literal does not parse on all Spark versions)
+        ts = F.col(f).cast("timestamp") + F.expr(
+            f"make_interval(0, 0, 0, 0, 0, {minutes}, 0)"
+        )
+        out = out.withColumn(
+            f,
+            F.when(
+                F.col(f).isNotNull(),
+                F.concat(F.date_format(ts, fmt), F.lit(suffix)),
+            ),
+        )
+    return out
+
+
+def partition_route(
+    df: DataFrame,
+    payload_fields: list[str],
+    partition_num: int,
+    out: str = "target_partition",
+) -> DataFrame:
+    """r15 — the Debezium ``PartitionRouting`` SMT analogue
+    (``io.debezium.transforms.partitions.PartitionRouting``): compute
+    each record's target topic partition from a hash of configured
+    PAYLOAD fields (``partition.payload.fields``) modulo
+    ``partition.topic.num`` — how operators pin one entity's events to
+    one partition so per-key ordering survives repartitioned topics.
+    The reference keeps partition lineage as a first-class column all
+    the way into ClickHouse (init_logtrans.sql:35,
+    init_clickhouse_raw_tables.sql:32); this SMT is what controls it.
+
+    Semantics re-expressed, not copied: the Java SMT hashes with
+    ``Objects.hash`` (a JVM-internal recipe); a re-implementation must
+    only promise DETERMINISTIC, field-driven placement, so the engine
+    uses the md5-portable recipe the repo already standardizes on
+    (identical bytes in Spark and any oracle): the hash input is the
+    ``|``-joined string form of the payload fields (NULL → the
+    Debezium-style literal ``__null``), the bucket is the first 15 hex
+    digits mod ``partition_num``.  Map-only projection — fuses into
+    the scan, no shuffle."""
+    if partition_num <= 0:
+        raise ValueError("partition.topic.num must be positive")
+    joined = F.concat_ws(
+        "|", *[
+            F.coalesce(F.col(f).cast("string"), F.lit("__null"))
+            for f in payload_fields
+        ]
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("bigint")
+        % partition_num
+    )
+    return df.withColumn(out, bucket.cast("int"))
+
+
+def header_to_value(
+    df: DataFrame,
+    headers: list[str],
+    fields: list[str] | None = None,
+    operation: str = "move",
+    headers_col: str = "headers",
+) -> DataFrame:
+    """r15 — the Debezium ``HeaderToValue`` SMT analogue
+    (``io.debezium.transforms.HeaderToValue``): surface named Kafka
+    record HEADERS as value fields (``headers.list`` → ``fields.list``,
+    ``operation=move|copy``).  The header plane is where upstream SMTs
+    park routing/audit metadata (``ExtractChangedRecordState`` emits
+    its changed-column lists there; r14's ``cdc_changed_columns``
+    computes the same facts value-side) — this SMT is the bridge that
+    makes them queryable.
+
+    The engine models headers as a ``map<string,string>`` column on
+    the Kafka-shaped record (sources/cdc.py emits it); each requested
+    header materializes as a top-level column named by ``fields`` (the
+    header name itself when omitted), and ``move`` removes it from the
+    map while ``copy`` leaves the map untouched — the SMT's two
+    documented operations.  A header absent from a record yields NULL,
+    like the SMT.  Map-only (element_at + map_filter), no shuffle."""
+    if operation not in {"move", "copy"}:
+        raise ValueError("operation must be 'move' or 'copy'")
+    names = fields if fields is not None else headers
+    if len(names) != len(headers):
+        raise ValueError("fields.list must match headers.list in length")
+    out = df
+    for h, name in zip(headers, names):
+        out = out.withColumn(name, F.element_at(F.col(headers_col), h))
+    if operation == "move":
+        moved = F.array(*[F.lit(h) for h in headers])
+        out = out.withColumn(
+            headers_col,
+            F.map_filter(
+                F.col(headers_col), lambda k, _v: ~F.array_contains(moved, k)
+            ),
+        )
+    return out

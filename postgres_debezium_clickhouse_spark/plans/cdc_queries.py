@@ -241,6 +241,112 @@ def cdc_content_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_timezone_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — Debezium's ``TimezoneConverter`` SMT
+    (io.debezium.transforms.TimezoneConverter, shipped in the
+    reference's own Debezium 2.4): re-render the ZonedTimestamp field
+    the products feed carries (``created_at``, ISO-8601-with-Z — the
+    exact input of the reference's ``toDateTime64(trimRight(created_at,
+    'Z'), 6, 'UTC')`` cast, clickhouse.sql:77-78) at the deploy
+    locale's fixed offset ``+07:00``.  Same instant, different
+    rendering: the oracle reconstructs BOTH strings from the part
+    fixture's closed form, so a wrong shift, a dropped microsecond
+    field, or an instant change all hash-mismatch.
+
+    Plan: pruned parse → map-only convert (cast + interval + format).
+    No joins, no shuffle; fuses into the wire-log scan."""
+    from ..operators.transforms import timezone_convert_fields
+    from ..sources.cdc import PRODUCTS_WIRE_ROW, products_cdc_events
+
+    env = pruned_envelope(
+        PRODUCTS_WIRE_ROW, after=["id", "created_at"], before=None,
+        source=["ts_ms"],
+    )
+    p = F.col("j.payload")
+    ev = (
+        parse_envelope(products_cdc_events(spark, sf_dir), env)
+        .filter(p.after.isNotNull())
+        .select(
+            p.after["id"].cast("int").alias("id"),
+            p.op.alias("op"),
+            p.source.ts_ms.alias("ts_ms"),
+            p.after["created_at"].alias("created_at_utc"),
+            p.after["created_at"].alias("created_at"),
+        )
+    )
+    conv = timezone_convert_fields(ev, ["created_at"], "+07:00")
+    return conv.select(
+        "id", "op", "ts_ms", "created_at_utc",
+        F.col("created_at").alias("created_at_bkk"),
+    )
+
+
+def cdc_partition_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — Debezium's ``PartitionRouting`` SMT
+    (io.debezium.transforms.partitions.PartitionRouting): target
+    partition = hash(payload fields) mod partition count — how
+    operators pin one entity's events to one partition so per-key
+    ordering survives repartitioned topics.  The reference keeps
+    partition lineage as a first-class column end-to-end
+    (init_logtrans.sql:35, init_clickhouse_raw_tables.sql:32); this
+    SMT is the control knob for it.  Routed here by ``o_custkey``
+    (after image, before image for deletes) into 16 partitions; output
+    is the per-partition event histogram plus distinct-key counts.
+
+    The oracle replays the generator's event-multiplicity closed form
+    (×1 snapshot, ×2 update-1 on %3 keys, ×2 update-2 on %9, ×1 delete
+    on %7) and the md5-portable bucket recipe bit-for-bit — a single
+    mis-hashed or mis-imaged event shifts a bucket and mismatches.
+
+    Plan: pruned parse → map-side hash → one agg on a 16-value key."""
+    from ..operators.transforms import partition_route
+
+    env = pruned_envelope(
+        ORDERS_CDC_ROW, after=["o_custkey"], before=["o_custkey"],
+        source=None,
+    )
+    p = F.col("j.payload")
+    ev = _orders_parsed(spark, sf_dir, env).select(
+        F.coalesce(p.after.o_custkey, p.before.o_custkey).alias("o_custkey")
+    )
+    routed = partition_route(ev, ["o_custkey"], 16)
+    return routed.groupBy("target_partition").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("o_custkey").cast("long").alias("n_keys"),
+    )
+
+
+def cdc_header_to_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — Debezium's ``HeaderToValue`` SMT
+    (io.debezium.transforms.HeaderToValue): move named Kafka record
+    HEADERS into the value (``headers.list`` → ``fields.list``,
+    ``operation=move``).  The generator's r15 header plane carries
+    ``src_region`` (key-derived), ``evt_seq`` (event-class slot) and a
+    ``trace`` id; the query moves the first two into the value and
+    leaves ``trace`` header-side — so the output checks BOTH the moved
+    values and the move's selectivity (exactly one header left).
+
+    The oracle reconstructs every event's offset from the generator
+    multiplicities (the cdc_multiplex_route closed form) and re-derives
+    both header values — per-event rows, full value hash.
+
+    Plan: map-only (element_at + map_filter) on the record scan; no
+    parse of the JSON value is even needed — headers are a separate
+    plane, exactly why the SMT exists."""
+    from ..operators.transforms import header_to_value
+
+    rec = orders_cdc_events(spark, sf_dir)
+    moved = header_to_value(
+        rec, ["src_region", "evt_seq"], operation="move"
+    )
+    return moved.select(
+        F.col("offset").cast("long").alias("offset"),
+        "src_region",
+        F.col("evt_seq").cast("long").alias("evt_seq"),
+        F.size("headers").cast("int").alias("n_headers_left"),
+    )
+
+
 def cdc_masked_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8+P9 — unwrap + PII masking in-flight (MaskField SMT,
     abcsvb-connector-secure.json:36-37): c_name replaced by its sha2-256."""
@@ -608,6 +714,9 @@ QUERIES = {
     "cdc_rewrite_mode": cdc_rewrite_mode,
     "cdc_changed_columns": cdc_changed_columns,
     "cdc_content_route": cdc_content_route,
+    "cdc_timezone_convert": cdc_timezone_convert,
+    "cdc_partition_route": cdc_partition_route,
+    "cdc_header_to_value": cdc_header_to_value,
     "cdc_masked_customers": cdc_masked_customers,
     "cdc_bronze_stats": cdc_bronze_stats,
     "products_usable_vw": products_usable_vw,
@@ -749,6 +858,76 @@ ORACLES = {
         UNION ALL
         SELECT 'default' AS route, n_all - n_tomb - n_high AS n_events
         FROM counts
+    """,
+    # both renderings of the SAME instant, reconstructed from the part
+    # fixture's closed form (created_at = 2024-01-01T00:00:00Z + key
+    # seconds, µs-formatted): snapshot ×1 per key, update ×1 on %4 keys
+    "cdc_timezone_convert": """
+        WITH ev AS (
+            SELECT p_partkey AS id, 'r' AS op,
+                   CAST(1000000 AS BIGINT) AS ts_ms
+            FROM part
+            UNION ALL
+            SELECT p_partkey, 'u', CAST(2000000 + p_partkey AS BIGINT)
+            FROM part WHERE p_partkey % 4 = 0
+        )
+        SELECT CAST(id AS INT) AS id, op, ts_ms,
+               strftime(TIMESTAMP '2024-01-01 00:00:00'
+                        + to_seconds(CAST(id AS BIGINT)),
+                        '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS created_at_utc,
+               strftime(TIMESTAMP '2024-01-01 00:00:00'
+                        + to_seconds(CAST(id AS BIGINT))
+                        + INTERVAL 7 HOUR,
+                        '%Y-%m-%dT%H:%M:%S.%f') || '+07:00'
+                   AS created_at_bkk
+        FROM ev
+    """,
+    # event-multiplicity closed form × the md5-portable bucket recipe
+    # (first 15 hex digits of md5(custkey-string) mod 16)
+    "cdc_partition_route": """
+        WITH ev AS (
+            SELECT o_custkey,
+                   1 + CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 0 END
+                     + CASE WHEN o_orderkey % 9 = 0 THEN 2 ELSE 0 END
+                     + CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS n
+            FROM orders
+        ),
+        b AS (
+            SELECT CAST(CAST(concat('0x',
+                       substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+                       AS BIGINT) % 16 AS INT) AS target_partition,
+                   o_custkey, n
+            FROM ev
+        )
+        SELECT target_partition,
+               CAST(SUM(n) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_keys
+        FROM b GROUP BY target_partition
+    """,
+    # every event's offset from the generator multiplicities (the
+    # cdc_multiplex_route closed form); src_region = key%4 map,
+    # evt_seq = the offset slot, trace stays header-side (1 left)
+    "cdc_header_to_value": """
+        WITH ev AS (
+            SELECT o_orderkey AS k, o_orderkey * 10 + 0 AS off FROM orders
+            UNION ALL SELECT o_orderkey, o_orderkey * 10 + 1
+                FROM orders WHERE o_orderkey % 3 = 0
+            UNION ALL SELECT o_orderkey, o_orderkey * 10 + 5
+                FROM orders WHERE o_orderkey % 3 = 0
+            UNION ALL SELECT o_orderkey, o_orderkey * 10 + 2
+                FROM orders WHERE o_orderkey % 9 = 0
+            UNION ALL SELECT o_orderkey, o_orderkey * 10 + 6
+                FROM orders WHERE o_orderkey % 9 = 0
+            UNION ALL SELECT o_orderkey, o_orderkey * 10 + 3
+                FROM orders WHERE o_orderkey % 7 = 0
+        )
+        SELECT CAST(off AS BIGINT) AS offset,
+               CASE CAST(k % 4 AS INT)
+                   WHEN 0 THEN 'us' WHEN 1 THEN 'eu' WHEN 2 THEN 'ap'
+                   ELSE 'sa' END AS src_region,
+               CAST(off % 10 AS BIGINT) AS evt_seq,
+               CAST(1 AS INT) AS n_headers_left
+        FROM ev
     """,
     "cdc_changed_columns": """
         SELECT 'o_totalprice' AS column_name,

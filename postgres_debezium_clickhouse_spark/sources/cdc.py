@@ -49,6 +49,11 @@ from ..session import ensure_session_confs
 
 N_PARTITIONS = 8  # synthetic topic partition count
 
+#: bumped whenever the generator's OUTPUT SHAPE changes (r15: orders
+#: records gained the ``headers`` map) — part of the wire-cache key, so
+#: a code upgrade can never serve a stale-schema cached log
+WIRE_GEN_VERSION = "g2"
+
 #: base fixture each wire log derives from (cache-fingerprint source)
 _WIRE_SOURCES = {
     "orders_events": "orders.parquet",
@@ -107,7 +112,11 @@ def materialized_wire_log(
     src = _WIRE_SOURCES.get(table)
     fp = _fixture_fingerprint(os.path.join(sf_abs, src)) if src else "nosrc"
     tag = hashlib.md5(sf_abs.encode()).hexdigest()[:8]
-    path = os.path.join(root, f"{os.path.basename(sf_abs)}-{tag}", f"{table}-{fp}")
+    path = os.path.join(
+        root,
+        f"{os.path.basename(sf_abs)}-{tag}",
+        f"{table}-{fp}-{WIRE_GEN_VERSION}",
+    )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         tmp = f"{path}.tmp-{os.getpid()}"
         # write one file per core: the downstream from_json parse is
@@ -172,14 +181,40 @@ def _envelope(after: F.Column | None, before: F.Column | None, op: str, ts: F.Co
     )
 
 
+#: deterministic header-plane values (r15): Kafka record HEADERS, the
+#: side channel upstream SMTs park routing/audit metadata in (Debezium's
+#: HeaderToValue SMT exists to surface them).  Spark's Kafka source
+#: exposes them as key/value pairs with includeHeaders=true; the
+#: synthetic log models the decoded form, map<string,string>.
+_HEADER_REGIONS = ("us", "eu", "ap", "sa")
+
+
+def _headers(offset_slot: int) -> F.Column:
+    k = F.col("o_orderkey")
+    region = F.element_at(
+        F.array(*[F.lit(r) for r in _HEADER_REGIONS]),
+        (k % 4 + 1).cast("int"),
+    )
+    return F.map_from_arrays(
+        F.array(F.lit("src_region"), F.lit("evt_seq"), F.lit("trace")),
+        F.array(
+            region,
+            F.lit(str(offset_slot)),
+            F.concat(F.lit("t-"), (k * 10 + offset_slot).cast("string")),
+        ),
+    )
+
+
 def _record(df: DataFrame, value: F.Column, offset_slot: int) -> DataFrame:
-    """Shape one event class as Kafka records (S1/S3 virtual columns)."""
+    """Shape one event class as Kafka records (S1/S3 virtual columns +
+    the r15 header plane)."""
     return df.select(
         F.to_json(F.struct(F.struct(F.col("o_orderkey")).alias("payload"))).alias("key"),
         value.alias("value"),
         (F.col("o_orderkey") % N_PARTITIONS).cast("int").alias("partition"),
         (F.col("o_orderkey") * 10 + offset_slot).alias("offset"),
         F.lit("poc.public.orders").alias("topic"),
+        _headers(offset_slot).alias("headers"),
     )
 
 

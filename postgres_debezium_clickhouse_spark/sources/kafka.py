@@ -51,18 +51,38 @@ def kafka_reader_options(
     return opts
 
 
-def read_kafka_stream(spark: SparkSession, **kwargs) -> DataFrame:
+def read_kafka_stream(
+    spark: SparkSession, include_headers: bool = False, **kwargs
+) -> DataFrame:
     """S1 — raw-string Kafka scan with virtual columns (S3): Spark's source
     natively exposes key/value/topic/partition/offset/timestamp — the
-    ``_key/_partition/_offset`` equivalents (init.sql:33)."""
+    ``_key/_partition/_offset`` equivalents (init.sql:33).
+
+    ``include_headers=True`` adds the record HEADER plane (r15): the
+    source's ``headers`` column (array of key/binary-value pairs,
+    ``includeHeaders=true``) decoded to the ``map<string,string>`` shape
+    the synthetic wire log (sources/cdc.py) and the HeaderToValue SMT
+    analogue (operators/transforms.header_to_value) operate on."""
     reader = spark.readStream.format("kafka")
     for k, v in kafka_reader_options(**kwargs).items():
         reader = reader.option(k, v)
-    return reader.load().select(
+    if include_headers:
+        reader = reader.option("includeHeaders", "true")
+    cols = [
         F.col("key").cast("string").alias("key"),
         F.col("value").cast("string").alias("value"),
         F.col("topic"),
         F.col("partition"),
         F.col("offset"),
         F.col("timestamp").alias("kafka_timestamp"),
-    )
+    ]
+    if include_headers:
+        cols.append(
+            F.map_from_entries(
+                F.expr(
+                    "transform(headers,"
+                    " h -> struct(h.key as key, cast(h.value as string) as value))"
+                )
+            ).alias("headers")
+        )
+    return reader.load().select(*cols)

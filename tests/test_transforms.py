@@ -159,3 +159,96 @@ def test_split_on_drift_quarantine_and_widen_policies(spark):
 
     with _pytest.raises(ValueError, match="policy"):
         split_on_drift(raw, ["id", "val"], policy="dropit")
+
+
+def test_timezone_convert_fields_fixed_offsets(spark):
+    """r15 TimezoneConverter SMT analogue: same instant, re-rendered at
+    the target fixed offset; inputs may carry Z or any explicit offset;
+    NULLs pass through; epoch-integer columns are out of scope by the
+    fields list; malformed zones refuse loudly."""
+    import pytest as _pytest
+
+    from postgres_debezium_clickhouse_spark.operators.transforms import (
+        timezone_convert_fields,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01T00:00:05.000000Z"),
+            (2, None),
+            (3, "2024-06-01T23:30:00.000000+02:00"),
+        ],
+        "id long, created_at string",
+    )
+    got = {r.id: r.created_at for r in
+           timezone_convert_fields(df, ["created_at"], "+07:00").collect()}
+    assert got[1] == "2024-01-01T07:00:05.000000+07:00"
+    assert got[2] is None
+    # 23:30+02:00 = 21:30Z = next day 04:30+07:00 — instant preserved
+    assert got[3] == "2024-06-02T04:30:00.000000+07:00"
+    neg = {r.id: r.created_at for r in
+           timezone_convert_fields(df, ["created_at"], "-03:30").collect()}
+    assert neg[1] == "2023-12-31T20:30:05.000000-03:30"
+    z = {r.id: r.created_at for r in
+         timezone_convert_fields(df, ["created_at"], "Z").collect()}
+    assert z[3] == "2024-06-01T21:30:00.000000Z"
+    with _pytest.raises(ValueError, match="fixed offset"):
+        timezone_convert_fields(df, ["created_at"], "Asia/Bangkok")
+
+
+def test_partition_route_deterministic_and_bounded(spark):
+    """r15 PartitionRouting SMT analogue: stable md5-portable buckets in
+    [0, n); NULL fields hash as the '__null' literal (same entity class
+    always co-locates); multi-field routing differs from single-field."""
+    import pytest as _pytest
+
+    from postgres_debezium_clickhouse_spark.operators.transforms import (
+        partition_route,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "A"), (2, None), (3, "B"), (1, "A")], "k long, v string"
+    )
+    one = partition_route(df, ["k"], 16).collect()
+    assert all(0 <= r.target_partition < 16 for r in one)
+    by_k = {}
+    for r in one:
+        by_k.setdefault(r.k, set()).add(r.target_partition)
+    assert all(len(s) == 1 for s in by_k.values())  # same key, same bucket
+    # hashing is over the declared fields, not row identity
+    two = {(r.k, r.v): r.target_partition
+           for r in partition_route(df, ["k", "v"], 16).collect()}
+    assert two[(1, "A")] is not None and two[(2, None)] is not None
+    with _pytest.raises(ValueError, match="positive"):
+        partition_route(df, ["k"], 0)
+
+
+def test_header_to_value_move_and_copy(spark):
+    """r15 HeaderToValue SMT analogue: move surfaces the header as a
+    value column AND removes it from the map; copy leaves the map
+    intact; absent headers yield NULL; fields.list renames; bad
+    operation refuses."""
+    import pytest as _pytest
+
+    from postgres_debezium_clickhouse_spark.operators.transforms import (
+        header_to_value,
+    )
+
+    df = spark.createDataFrame(
+        [(1, {"a": "x", "b": "y", "c": "z"}), (2, {"b": "q"})],
+        "id long, headers map<string,string>",
+    )
+    moved = {r.id: r for r in
+             header_to_value(df, ["a", "b"], operation="move").collect()}
+    assert (moved[1].a, moved[1].b) == ("x", "y")
+    assert moved[1].headers == {"c": "z"}
+    assert moved[2].a is None and moved[2].b == "q"
+    assert moved[2].headers == {}
+    copied = {r.id: r for r in
+              header_to_value(df, ["a"], fields=["fa"],
+                              operation="copy").collect()}
+    assert copied[1].fa == "x" and copied[1].headers["a"] == "x"
+    with _pytest.raises(ValueError, match="move"):
+        header_to_value(df, ["a"], operation="delete")
+    with _pytest.raises(ValueError, match="length"):
+        header_to_value(df, ["a", "b"], fields=["only_one"])
