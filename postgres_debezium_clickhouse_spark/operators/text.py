@@ -1687,3 +1687,155 @@ def lm_bigram_kneser_ney(
             ppl.alias("ppl"),
         )
     )
+
+
+def lm_trigram_kneser_ney(
+    documents: DataFrame,
+    train_docs: "DataFrame | None" = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """r15 — INTERPOLATED TRIGRAM KNESER-NEY (Kneser & Ney 1995; Chen &
+    Goodman 1999 §2.7 generalized to order 3) — completes the trigram
+    ladder whose last rung was stupid backoff
+    (``lm_trigram_stupid_backoff``): the full three-level interpolated
+    recursion with fixed discount D at both upper levels and
+    CONTINUATION counts below the top, exactly the published recursion:
+
+        P(w₃|w₁w₂) = max(c(w₁w₂w₃) − D, 0)/c(w₁w₂·)
+                      + λ(w₁w₂)·P_KN(w₃|w₂)
+        λ(w₁w₂)    = D·N₁₊(w₁w₂·)/c(w₁w₂·)
+
+        P_KN(w₃|w₂) = max(c'(w₂w₃) − D, 0)/N₁₊(·w₂·)
+                      + λ'(w₂)·P_cont(w₃)
+        λ'(w₂)      = D·N₁₊(w₂·)/N₁₊(·w₂·)
+
+    where the MIDDLE level runs on continuation counts, not raw
+    bigram counts — c'(w₂w₃) = N₁₊(·w₂w₃) (distinct w₁ preceding the
+    bigram), N₁₊(·w₂·) = Σ_w c'(w₂w) (total trigram TYPES with middle
+    w₂), N₁₊(w₂·) = distinct w₃ in the continuation table — and the
+    base P_cont(w₃) = N₁₊(·w₃)/N_types₂ counts distinct (w₂,w₃)
+    continuation types.  Each level hands down exactly the mass its
+    discounts freed, so Σ_w₃ P(w₃|w₁w₂) = 1 — a PROPER distribution,
+    unlike stupid backoff's unnormalized scores.
+
+    ``train_docs`` (held-out split) makes unseen trigrams real: an
+    unseen (w₁,w₂,w₃) whose context is known scores
+    λ(w₁w₂)·P_KN(w₃|w₂) — finite where trigram MLE is ln 0.  A
+    transition is OOV (excluded from the mean, counted in ``n_oov``)
+    when its CONTEXT (w₁,w₂) never occurs in train or its w₃ never
+    occurs as a continuation — the trigram-table-only analogue of the
+    bigram operator's OOV rule; ``n_unseen`` counts scored
+    transitions whose exact trigram is novel.
+
+    Determinism: the per-transition probability is ONE fully
+    parenthesized IEEE-double dag over exact integer counts, mirrored
+    verbatim in the DuckDB oracle; round-6 ln → DECIMAL(20,6) sum →
+    floor-mean, the family discipline.
+
+    Plan (one rung above lm_bigram_kneser_ney's): the train trigram
+    table shuffles once on the triple key (vocab³-bounded); the
+    context table c(w₁w₂·)/N₁₊(w₁w₂·) and the continuation pair table
+    c'(w₂w₃) derive from it by one reshuffle each and stay SHUFFLE
+    joins (pair-cardinality — never broadcast, the same call the
+    stupid-backoff sibling documents); the two w-keyed tables
+    (N₁₊(·w₂·)+N₁₊(w₂·), N₁₊(·w₃)) are vocab-bounded broadcasts and
+    N_types₂ is a 1-row broadcast."""
+    if train_docs is None:
+        train_docs = documents
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    tri_arr = F.expr(
+        "zip_with(slice(__w, 1, greatest(size(__w) - 2, 0)),"
+        " zip_with(slice(__w, 2, greatest(size(__w) - 2, 0)),"
+        "          slice(__w, 3, greatest(size(__w) - 2, 0)),"
+        "          (b, c) -> struct(b as w2, c as w3)),"
+        " (a, bc) -> struct(a as w1, bc.w2 as w2, bc.w3 as w3))"
+    )
+
+    def to_triples(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("__w", words)
+            .select(F.col(id_col), F.explode(tri_arr).alias("t"))
+            .select(id_col, "t.w1", "t.w2", "t.w3")
+        )
+
+    tri = to_triples(train_docs).groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("tcnt")
+    )
+    # top-level context stats: totals + distinct continuations
+    ctx2 = tri.groupBy("w1", "w2").agg(
+        F.sum("tcnt").alias("n_ctx"),
+        F.count(F.lit(1)).alias("n1p_ctx"),
+    )
+    # middle level: continuation counts c'(w2,w3) = distinct w1
+    cont = tri.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("ccnt"))
+    mid = cont.groupBy("w2").agg(
+        F.sum("ccnt").alias("n_midctx"),
+        F.count(F.lit(1)).alias("n1p_mid"),
+    )
+    low = cont.groupBy("w3").agg(F.count(F.lit(1)).alias("n1p_low"))
+    types2 = cont.groupBy().agg(F.count(F.lit(1)).alias("n_types2"))
+
+    d = repr(float(discount))
+    pm = (
+        f"((greatest(cast(coalesce(ccnt, 0) as double)"
+        f" - cast({d} as double), cast(0 as double))"
+        f" / cast(n_midctx as double))"
+        f" + (((cast({d} as double) * cast(n1p_mid as double))"
+        f" / cast(n_midctx as double))"
+        f" * (cast(n1p_low as double) / cast(n_types2 as double))))"
+    )
+    prob = (
+        f"((greatest(cast(coalesce(tcnt, 0) as double)"
+        f" - cast({d} as double), cast(0 as double))"
+        f" / cast(n_ctx as double))"
+        f" + (((cast({d} as double) * cast(n1p_ctx as double))"
+        f" / cast(n_ctx as double)) * {pm}))"
+    )
+    scored = (
+        to_triples(documents)
+        .join(tri, ["w1", "w2", "w3"], "left")
+        .join(ctx2, ["w1", "w2"], "left")
+        .join(cont, ["w2", "w3"], "left")
+        .join(F.broadcast(mid), "w2", "left")
+        .join(F.broadcast(low), "w3", "left")
+        .crossJoin(F.broadcast(types2))
+        .withColumn(
+            "__oov", F.col("n_ctx").isNull() | F.col("n1p_low").isNull()
+        )
+        .withColumn(
+            "__s",
+            F.when(
+                ~F.col("__oov"),
+                F.round(F.log(F.expr(prob)), 6).cast("decimal(20,6)"),
+            ),
+        )
+    )
+    per = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.sum(F.col("__oov").cast("long")).alias("n_oov"),
+        F.sum(
+            (F.col("tcnt").isNull() & ~F.col("__oov")).cast("long")
+        ).alias("n_unseen"),
+        F.sum("__s").alias("__sum"),
+        F.count("__s").alias("__n_scored"),
+    )
+    avg = (
+        F.floor(
+            F.col("__sum").cast("double") / F.col("__n_scored") * 1e6 + 0.5
+        ) / 1e6
+    )
+    ppl = F.floor(F.exp(-avg) * 1e4 + 0.5) / 1e4
+    return (
+        documents.select(id_col).join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_transitions", F.lit(0)).cast("long")
+            .alias("n_transitions"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            F.coalesce("n_unseen", F.lit(0)).cast("long").alias("n_unseen"),
+            avg.alias("avg_logscore"),
+            ppl.alias("ppl"),
+        )
+    )

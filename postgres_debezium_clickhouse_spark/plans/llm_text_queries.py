@@ -332,6 +332,25 @@ def q_text_bigram_witten_bell(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_trigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — interpolated TRIGRAM Kneser-Ney scoring
+    (operators/text.lm_trigram_kneser_ney, D = 0.75 at both upper
+    levels, continuation counts below the top): completes the trigram
+    ladder whose last rung was stupid backoff — and the contrast
+    matters, KN is a PROPER distribution (sums to 1 per context) where
+    stupid backoff is an unnormalized score.  Counts train on the EVEN
+    doc_ids only and ALL docs are scored, so odd docs carry genuinely
+    unseen trigrams (``n_unseen``) that the λ(w₁w₂)·P_KN(w₃|w₂) mass
+    keeps finite.  Same round-6-log / DECIMAL-sum / floor-mean
+    discipline as the whole smoothing family."""
+    from ..operators.text import lm_trigram_kneser_ney
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_trigram_kneser_ney(
+        docs, train_docs=docs.filter(F.col("doc_id") % 2 == 0)
+    )
+
+
 def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r14 — Flesch Reading Ease + Flesch-Kincaid grade
     (operators/text.readability_scores): the classic readability pair
@@ -362,6 +381,7 @@ QUERIES = {
     "text_bigram_interpolated": q_text_bigram_interpolated,
     "text_bigram_kneser_ney": q_text_bigram_kneser_ney,
     "text_bigram_modified_kneser_ney": q_text_bigram_modified_kneser_ney,
+    "text_trigram_kneser_ney": q_text_trigram_kneser_ney,
     "text_readability": q_text_readability,
     "text_bigram_witten_bell": q_text_bigram_witten_bell,
     "text_lang_id": q_lang_id,
@@ -568,6 +588,80 @@ ORACLES = {
             LEFT JOIN lt l ON l.w1 = p.w1
             LEFT JOIN uni u ON u.w2 = p.w2
             CROSS JOIN tot
+        ),
+        per AS (
+            SELECT doc_id, COUNT(*) AS n_transitions,
+                   SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS n_oov,
+                   SUM(CASE WHEN unseen THEN 1 ELSE 0 END) AS n_unseen,
+                   FLOOR(CAST(SUM(s) AS DOUBLE) / COUNT(s) * 1e6 + 0.5)
+                       / 1e6 AS avg_logscore
+            FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_transitions, 0) AS BIGINT) AS n_transitions,
+               CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
+               CAST(COALESCE(p.n_unseen, 0) AS BIGINT) AS n_unseen,
+               p.avg_logscore,
+               FLOOR(exp(-p.avg_logscore) * 1e4 + 0.5) / 1e4 AS ppl
+        FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+    "text_trigram_kneser_ney": """
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS wd
+            FROM documents
+        ),
+        tr AS (
+            SELECT doc_id, wd[CAST(i.i AS INT)] AS w1,
+                   wd[CAST(i.i + 1 AS INT)] AS w2,
+                   wd[CAST(i.i + 2 AS INT)] AS w3
+            FROM w CROSS JOIN LATERAL (
+                SELECT unnest(range(1, len(wd) - 1))) i(i)
+        ),
+        tri AS (SELECT w1, w2, w3, COUNT(*) AS tcnt
+                FROM tr WHERE doc_id % 2 = 0 GROUP BY w1, w2, w3),
+        c2 AS (SELECT w1, w2, SUM(tcnt) AS n_ctx,
+                      COUNT(*) AS n1p_ctx
+               FROM tri GROUP BY w1, w2),
+        co AS (SELECT w2, w3, COUNT(*) AS ccnt FROM tri GROUP BY w2, w3),
+        m AS (SELECT w2, SUM(ccnt) AS n_midctx, COUNT(*) AS n1p_mid
+              FROM co GROUP BY w2),
+        lo AS (SELECT w3, COUNT(*) AS n1p_low FROM co GROUP BY w3),
+        ty AS (SELECT COUNT(*) AS n_types2 FROM co),
+        scored AS (
+            SELECT p.doc_id,
+                   (c2.n_ctx IS NULL OR lo.n1p_low IS NULL) AS oov,
+                   (t.tcnt IS NULL
+                    AND NOT (c2.n_ctx IS NULL OR lo.n1p_low IS NULL))
+                       AS unseen,
+                   CASE WHEN NOT (c2.n_ctx IS NULL
+                                  OR lo.n1p_low IS NULL) THEN
+                       CAST(ROUND(ln(
+                           ((GREATEST(CAST(COALESCE(t.tcnt, 0) AS DOUBLE)
+                                      - CAST(0.75 AS DOUBLE),
+                                      CAST(0 AS DOUBLE))
+                             / CAST(c2.n_ctx AS DOUBLE))
+                            + (((CAST(0.75 AS DOUBLE)
+                                 * CAST(c2.n1p_ctx AS DOUBLE))
+                                / CAST(c2.n_ctx AS DOUBLE))
+                               * ((GREATEST(
+                                       CAST(COALESCE(co.ccnt, 0) AS DOUBLE)
+                                       - CAST(0.75 AS DOUBLE),
+                                       CAST(0 AS DOUBLE))
+                                   / CAST(m.n_midctx AS DOUBLE))
+                                  + (((CAST(0.75 AS DOUBLE)
+                                       * CAST(m.n1p_mid AS DOUBLE))
+                                      / CAST(m.n_midctx AS DOUBLE))
+                                     * (CAST(lo.n1p_low AS DOUBLE)
+                                        / CAST(ty.n_types2 AS DOUBLE))))))
+                       ), 6) AS DECIMAL(20,6)) END AS s
+            FROM tr p
+            LEFT JOIN tri t ON t.w1 = p.w1 AND t.w2 = p.w2 AND t.w3 = p.w3
+            LEFT JOIN c2 ON c2.w1 = p.w1 AND c2.w2 = p.w2
+            LEFT JOIN co ON co.w2 = p.w2 AND co.w3 = p.w3
+            LEFT JOIN m ON m.w2 = p.w2
+            LEFT JOIN lo ON lo.w3 = p.w3
+            CROSS JOIN ty
         ),
         per AS (
             SELECT doc_id, COUNT(*) AS n_transitions,

@@ -729,3 +729,68 @@ def test_modified_kneser_ney_degrades_on_saturated_corpus(spark):
     assert row["mkn_regime_ok"] is False
     assert float(row["avg_logscore"]) == round(math.log(0.9375), 6)
     assert row["ppl"] is not None and row["ppl"] > 0
+
+
+def test_trigram_kneser_ney_hand_computed(spark):
+    """r15 interpolated trigram KN on a planted corpus: train trigrams
+    (a,b,c)×3, (d,b,c)×1, (a,b,e)×1 give c(ab·)=4, N₁₊(ab·)=2,
+    continuation c'(b,c)=2, c'(b,e)=1, N₁₊(·b·)=3, N₁₊(b·)=2,
+    P_cont(c)=1/2 over N_types₂=2 — so P(c|a,b) = (3−.75)/4 +
+    (.75·2/4)·((2−.75)/3 + (.75·2/3)·(1/2)) = 0.8125 exactly; the
+    unseen (d,b)→e transition scores λ(d,b)·P_KN(e|b) = 0.25; the
+    whole thing SUMS TO 1 per context (proper distribution, the
+    contrast with stupid backoff)."""
+    import math
+
+    from postgres_debezium_clickhouse_spark.operators.text import (
+        lm_trigram_kneser_ney,
+    )
+
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["a b c"] * 3 + ["d b c", "a b e"]
+        )],
+        ["doc_id", "text"],
+    )
+    score = spark.createDataFrame(
+        [(0, "a b c"), (1, "d b e"), (2, "x y z"), (3, "a b")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in
+            lm_trigram_kneser_ney(score, train_docs=train).collect()}
+    assert float(rows[0]["avg_logscore"]) == round(math.log(0.8125), 6)
+    assert rows[0]["n_unseen"] == 0
+    # unseen trigram with a KNOWN context: the handed-down mass exactly
+    assert rows[1]["n_unseen"] == 1
+    assert float(rows[1]["avg_logscore"]) == round(math.log(0.25), 6)
+    # fully OOV context: stated, not faked
+    assert rows[2]["n_oov"] == rows[2]["n_transitions"] == 1
+    assert rows[2]["avg_logscore"] is None
+    # < 3 tokens: no transitions
+    assert rows[3]["n_transitions"] == 0 and rows[3]["ppl"] is None
+
+
+def test_trigram_kneser_ney_sums_to_one(spark):
+    """Propriety check: Σ_w₃ P(w₃|a,b) over the full train vocab ∪ one
+    unseen symbol partitions the unit mass (machine-precision)."""
+    from postgres_debezium_clickhouse_spark.operators.text import (
+        lm_trigram_kneser_ney,
+    )
+
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["a b c"] * 3 + ["d b c", "a b e"]
+        )],
+        ["doc_id", "text"],
+    )
+    # continuation vocab is {c, e}; every P(w3|a,b) for w3 in it must
+    # sum to 1 (unseen symbols outside the continuation vocab carry no
+    # mass under a trigram-table-only model, and score as OOV)
+    score = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b e")], ["doc_id", "text"]
+    )
+    import math
+    rows = {r["doc_id"]: float(r["avg_logscore"]) for r in
+            lm_trigram_kneser_ney(score, train_docs=train).collect()}
+    total = sum(math.exp(v) for v in rows.values())
+    assert abs(total - 1.0) < 1e-5  # round-6 logs: 1e-5 tolerance
