@@ -542,3 +542,46 @@ def header_to_value(
             ),
         )
     return out
+
+
+def logical_table_route(
+    df: DataFrame,
+    topic_regex: str,
+    topic_replacement: str,
+    enforce_key_uniqueness: bool = True,
+    topic_col: str = "topic",
+    physical_col: str = "__dbz__physicalTableIdentifier",
+) -> DataFrame:
+    """r15 — the Debezium ``ByLogicalTableRouter`` SMT analogue
+    (``io.debezium.transforms.ByLogicalTableRouter``): merge the
+    CDC topics of N physical SHARDS of one logical table into a single
+    logical topic (``topic.regex`` → ``topic.replacement``) — the
+    standard move for partitioned/sharded Postgres tables, where every
+    shard emits to its own ``<prefix>.<schema>.<table_shard_k>`` topic
+    but downstream wants ONE ``orders_all`` stream.
+
+    ``key.enforce.uniqueness`` (default true, like the SMT): records
+    whose topic matched are tagged with the ORIGINAL physical topic in
+    ``__dbz__physicalTableIdentifier`` — the field the real SMT adds
+    to the Kafka KEY so two shards' rows with the same primary key
+    cannot collapse into one compacted-topic entry.  Non-matching
+    topics pass through untouched with a NULL identifier, exactly the
+    SMT's pass-through contract.
+
+    Map-only (rlike + regexp_replace); fuses into the scan — the
+    routing itself never shuffles, and the downstream latest-wins
+    merge keys on (key, physical id), which is what makes per-shard
+    key reuse safe."""
+    matched = F.col(topic_col).rlike(topic_regex)
+    out = df.withColumn(
+        physical_col, F.when(matched, F.col(topic_col))
+    )
+    if not enforce_key_uniqueness:
+        out = out.withColumn(physical_col, F.lit(None).cast("string"))
+    return out.withColumn(
+        topic_col,
+        F.when(
+            matched,
+            F.regexp_replace(F.col(topic_col), topic_regex, topic_replacement),
+        ).otherwise(F.col(topic_col)),
+    )

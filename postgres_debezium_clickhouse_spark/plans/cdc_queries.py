@@ -347,6 +347,50 @@ def cdc_header_to_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_shard_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — Debezium's ``ByLogicalTableRouter`` SMT
+    (io.debezium.transforms.ByLogicalTableRouter): merge the per-shard
+    CDC topics of a partitioned table into ONE logical topic, tagging
+    each record with its physical origin
+    (``key.enforce.uniqueness`` → ``__dbz__physicalTableIdentifier``)
+    so same-key rows from different shards never collapse.  The orders
+    log is re-addressed to four shard topics
+    (``poc.public.orders_shard_<k%4>`` — derivable from the record
+    OFFSET alone, offset = key·10 + slot, so no JSON parse is needed),
+    routed back to ``orders_all`` by regex, and unioned with the
+    customer topic to pin the SMT's pass-through contract (non-matching
+    topic survives untouched, NULL physical id).
+
+    The oracle replays the generator's event multiplicities per shard
+    plus the 1-event-per-customer snapshot — a mis-route, a lost
+    physical tag, or a pass-through regression each shifts a row.
+
+    Plan: map-only rlike/regexp_replace + one hash agg on a 5-value
+    key; the routing itself never shuffles."""
+    from ..operators.transforms import logical_table_route
+
+    rec = orders_cdc_events(spark, sf_dir).withColumn(
+        "topic",
+        F.concat(
+            F.lit("poc.public.orders_shard_"),
+            (F.expr("offset div 10") % 4).cast("string"),
+        ),
+    )
+    both = rec.unionByName(
+        customer_cdc_events(spark, sf_dir), allowMissingColumns=True
+    )
+    routed = logical_table_route(
+        both, r"poc\.public\.orders_shard_\d+", "poc.public.orders_all"
+    )
+    return routed.groupBy(
+        "topic",
+        F.col("__dbz__physicalTableIdentifier").alias("physical_table"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct(F.expr("offset div 10")).cast("long").alias("n_keys"),
+    )
+
+
 def cdc_masked_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8+P9 — unwrap + PII masking in-flight (MaskField SMT,
     abcsvb-connector-secure.json:36-37): c_name replaced by its sha2-256."""
@@ -717,6 +761,7 @@ QUERIES = {
     "cdc_timezone_convert": cdc_timezone_convert,
     "cdc_partition_route": cdc_partition_route,
     "cdc_header_to_value": cdc_header_to_value,
+    "cdc_shard_route": cdc_shard_route,
     "cdc_masked_customers": cdc_masked_customers,
     "cdc_bronze_stats": cdc_bronze_stats,
     "products_usable_vw": products_usable_vw,
@@ -903,6 +948,28 @@ ORACLES = {
                CAST(SUM(n) AS BIGINT) AS n_events,
                CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_keys
         FROM b GROUP BY target_partition
+    """,
+    # per-shard event multiplicities (shard = key%4) for the routed
+    # orders topics; the customer topic passes through untouched
+    # (NULL physical id, 1 snapshot event per customer)
+    "cdc_shard_route": """
+        WITH s AS (
+            SELECT CAST(o_orderkey % 4 AS INT) AS shard,
+                   1 + CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 0 END
+                     + CASE WHEN o_orderkey % 9 = 0 THEN 2 ELSE 0 END
+                     + CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS n
+            FROM orders
+        )
+        SELECT 'poc.public.orders_all' AS topic,
+               'poc.public.orders_shard_' || CAST(shard AS VARCHAR)
+                   AS physical_table,
+               CAST(SUM(n) AS BIGINT) AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_keys
+        FROM s GROUP BY shard
+        UNION ALL
+        SELECT 'poc.public.customer', NULL,
+               CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+        FROM customer
     """,
     # every event's offset from the generator multiplicities (the
     # cdc_multiplex_route closed form); src_region = key%4 map,

@@ -252,3 +252,36 @@ def test_header_to_value_move_and_copy(spark):
         header_to_value(df, ["a"], operation="delete")
     with _pytest.raises(ValueError, match="length"):
         header_to_value(df, ["a", "b"], fields=["only_one"])
+
+
+def test_logical_table_route_merge_and_passthrough(spark):
+    """r15 ByLogicalTableRouter SMT analogue: matching shard topics
+    rewrite to the logical topic and carry their physical origin;
+    non-matching topics pass through with a NULL identifier;
+    key.enforce.uniqueness=False drops the tag but still reroutes."""
+    from postgres_debezium_clickhouse_spark.operators.transforms import (
+        logical_table_route,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "poc.public.orders_shard_0"),
+            (2, "poc.public.orders_shard_3"),
+            (3, "poc.public.customer"),
+        ],
+        "k long, topic string",
+    )
+    got = {r.k: r for r in logical_table_route(
+        df, r"poc\.public\.orders_shard_\d+", "poc.public.orders_all"
+    ).collect()}
+    assert got[1].topic == got[2].topic == "poc.public.orders_all"
+    assert got[1]["__dbz__physicalTableIdentifier"] == "poc.public.orders_shard_0"
+    assert got[2]["__dbz__physicalTableIdentifier"] == "poc.public.orders_shard_3"
+    assert got[3].topic == "poc.public.customer"
+    assert got[3]["__dbz__physicalTableIdentifier"] is None
+    anon = {r.k: r for r in logical_table_route(
+        df, r"poc\.public\.orders_shard_\d+", "poc.public.orders_all",
+        enforce_key_uniqueness=False,
+    ).collect()}
+    assert anon[1].topic == "poc.public.orders_all"
+    assert anon[1]["__dbz__physicalTableIdentifier"] is None
