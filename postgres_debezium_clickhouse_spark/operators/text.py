@@ -1839,3 +1839,145 @@ def lm_trigram_kneser_ney(
             ppl.alias("ppl"),
         )
     )
+
+
+def lm_trigram_witten_bell(
+    documents: DataFrame,
+    train_docs: "DataFrame | None" = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """r15 — Witten-Bell smoothed TRIGRAM (Witten & Bell 1991 method C;
+    Chen & Goodman 1999 §2.5, order 3): completes the trigram ladder
+    next to stupid backoff and interpolated KN with the parameter-free
+    member — the mixture weight at each level is the context's own
+    TYPE count, so contexts that keep producing new continuations
+    trust the lower order more:
+
+        P(w₃|w₁w₂) = (c(w₁w₂w₃) + T(w₁w₂)·P_wb(w₃|w₂))
+                      / (N(w₁w₂·) + T(w₁w₂))
+        P_wb(w₃|w₂) = (c(w₂w₃) + T(w₂)·P_uni(w₃))
+                      / (N(w₂·) + T(w₂))
+
+    with T(·) the distinct-continuation counts, N(·) the raw token
+    totals at each level (WB interpolates RAW counts all the way down
+    — the structural contrast with KN's continuation counts), and
+    P_uni the train unigram MLE.  No tunable parameter, no
+    count-of-counts regime: total on any corpus, saturated or not.
+
+    OOV rule inherited from the bigram sibling, one order up: a
+    transition is OOV when its (w₁,w₂) context never opens a train
+    trigram or its w₃ is an unseen unigram (a seen trigram context
+    implies its w₂ opens a train bigram, so the middle level is always
+    defined for scored rows).  ``n_unseen`` counts scored transitions
+    whose exact trigram is novel.  Round-6-ln → DECIMAL(20,6) sum →
+    floor-mean, the family discipline; the per-transition dag is ONE
+    fully-parenthesized IEEE-double expression mirrored verbatim in
+    the oracle.
+
+    Plan: train trigram table shuffles once on the triple key; the
+    trigram-context and bigram tables stay SHUFFLE joins
+    (pair-cardinality); the w₂-context, unigram, and total tables are
+    vocab-bounded (or 1-row) broadcasts — the lm_trigram_kneser_ney
+    shape with raw-count inputs."""
+    if train_docs is None:
+        train_docs = documents
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    tri_arr = F.expr(
+        "zip_with(slice(__w, 1, greatest(size(__w) - 2, 0)),"
+        " zip_with(slice(__w, 2, greatest(size(__w) - 2, 0)),"
+        "          slice(__w, 3, greatest(size(__w) - 2, 0)),"
+        "          (b, c) -> struct(b as w2, c as w3)),"
+        " (a, bc) -> struct(a as w1, bc.w2 as w2, bc.w3 as w3))"
+    )
+    pair_arr = F.expr(
+        "zip_with(slice(__w, 1, greatest(size(__w) - 1, 0)),"
+        " slice(__w, 2, greatest(size(__w) - 1, 0)),"
+        " (a, b) -> struct(a as w2, b as w3))"
+    )
+
+    def to_triples(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("__w", words)
+            .select(F.col(id_col), F.explode(tri_arr).alias("t"))
+            .select(id_col, "t.w1", "t.w2", "t.w3")
+        )
+
+    train_w = train_docs.withColumn("__w", words)
+    tri = to_triples(train_docs).groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("tcnt")
+    )
+    ctx12 = tri.groupBy("w1", "w2").agg(
+        F.sum("tcnt").alias("n_12"),
+        F.count(F.lit(1)).alias("t_12"),
+    )
+    bi = (
+        train_w.select(F.explode(pair_arr).alias("p"))
+        .select("p.w2", "p.w3")
+        .groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("bcnt"))
+    )
+    ctx2 = bi.groupBy("w2").agg(
+        F.sum("bcnt").alias("n_2"),
+        F.count(F.lit(1)).alias("t_2"),
+    )
+    uni = (
+        train_w.select(F.explode("__w").alias("w3"))
+        .groupBy("w3").agg(F.count(F.lit(1)).alias("c3"))
+    )
+    tot = uni.groupBy().agg(F.sum("c3").alias("__total"))
+
+    pb = (
+        "((cast(coalesce(bcnt, 0) as double)"
+        " + (cast(t_2 as double)"
+        " * (cast(c3 as double) / cast(__total as double))))"
+        " / (cast(n_2 as double) + cast(t_2 as double)))"
+    )
+    prob = (
+        f"((cast(coalesce(tcnt, 0) as double)"
+        f" + (cast(t_12 as double) * {pb}))"
+        f" / (cast(n_12 as double) + cast(t_12 as double)))"
+    )
+    scored = (
+        to_triples(documents)
+        .join(tri, ["w1", "w2", "w3"], "left")
+        .join(ctx12, ["w1", "w2"], "left")
+        .join(bi, ["w2", "w3"], "left")
+        .join(F.broadcast(ctx2), "w2", "left")
+        .join(F.broadcast(uni), "w3", "left")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("__oov", F.col("n_12").isNull() | F.col("c3").isNull())
+        .withColumn(
+            "__s",
+            F.when(
+                ~F.col("__oov"),
+                F.round(F.log(F.expr(prob)), 6).cast("decimal(20,6)"),
+            ),
+        )
+    )
+    per = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.sum(F.col("__oov").cast("long")).alias("n_oov"),
+        F.sum(
+            (F.col("tcnt").isNull() & ~F.col("__oov")).cast("long")
+        ).alias("n_unseen"),
+        F.sum("__s").alias("__sum"),
+        F.count("__s").alias("__n_scored"),
+    )
+    avg = (
+        F.floor(
+            F.col("__sum").cast("double") / F.col("__n_scored") * 1e6 + 0.5
+        ) / 1e6
+    )
+    ppl = F.floor(F.exp(-avg) * 1e4 + 0.5) / 1e4
+    return (
+        documents.select(id_col).join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_transitions", F.lit(0)).cast("long")
+            .alias("n_transitions"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            F.coalesce("n_unseen", F.lit(0)).cast("long").alias("n_unseen"),
+            avg.alias("avg_logscore"),
+            ppl.alias("ppl"),
+        )
+    )

@@ -794,3 +794,42 @@ def test_trigram_kneser_ney_sums_to_one(spark):
             lm_trigram_kneser_ney(score, train_docs=train).collect()}
     total = sum(math.exp(v) for v in rows.values())
     assert abs(total - 1.0) < 1e-5  # round-6 logs: 1e-5 tolerance
+
+
+def test_trigram_witten_bell_hand_computed(spark):
+    """r15 trigram WB on the planted corpus (train (a,b,c)×3, (d,b,c),
+    (a,b,e)): unigram total 15, c(b·)=5, T(b)=2 ⇒ P_wb(c|b) =
+    (4 + 2·(4/15))/7; c(ab·)=4, T(ab)=2 ⇒ P(c|a,b) =
+    (3 + 2·P_wb(c|b))/6 — and the unseen (d,b)→e transition stays
+    finite via the type-count mixture; parameter-free (distinct from
+    both KN's discounted value and stupid backoff's score)."""
+    import math
+
+    from postgres_debezium_clickhouse_spark.operators.text import (
+        lm_trigram_kneser_ney,
+        lm_trigram_witten_bell,
+    )
+
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["a b c"] * 3 + ["d b c", "a b e"]
+        )],
+        ["doc_id", "text"],
+    )
+    score = spark.createDataFrame(
+        [(0, "a b c"), (1, "d b e"), (2, "x y z")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in
+            lm_trigram_witten_bell(score, train_docs=train).collect()}
+    pb_c = (4 + 2 * (4 / 15)) / (5 + 2)
+    assert float(rows[0]["avg_logscore"]) == round(
+        math.log((3 + 2 * pb_c) / (4 + 2)), 6)
+    pb_e = (1 + 2 * (1 / 15)) / (5 + 2)
+    assert rows[1]["n_unseen"] == 1
+    assert float(rows[1]["avg_logscore"]) == round(
+        math.log((0 + 1 * pb_e) / (1 + 1)), 6)
+    assert rows[2]["n_oov"] == rows[2]["n_transitions"] == 1
+    # a different member of the family, not a relabeling
+    kn = {r["doc_id"]: r for r in
+          lm_trigram_kneser_ney(score, train_docs=train).collect()}
+    assert kn[0]["avg_logscore"] != rows[0]["avg_logscore"]
