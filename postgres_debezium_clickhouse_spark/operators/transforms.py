@@ -585,3 +585,264 @@ def logical_table_route(
             F.regexp_replace(F.col(topic_col), topic_regex, topic_replacement),
         ).otherwise(F.col(topic_col)),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kafka Connect core SMTs (org.apache.kafka.connect.transforms.*) — the
+# stock transform library every Debezium deployment configures alongside
+# the Debezium-specific SMTs above (the reference's connector JSON chains
+# unwrap → mask → sanitize through exactly this mechanism,
+# basic_example/abcsvb-connector-secure.json:31-49).  All map-only: each
+# fuses into the record scan, no shuffle at any scale.
+# ---------------------------------------------------------------------------
+
+
+def regex_router(
+    df: DataFrame,
+    regex: str,
+    replacement: str,
+    topic_col: str = "topic",
+) -> DataFrame:
+    """``RegexRouter``: rename a record's TOPIC when the whole topic
+    name matches ``regex``, substituting capture groups into
+    ``replacement`` — the standard way to strip the connector's
+    ``<prefix>.<schema>`` namespace before records reach a sink that
+    maps topics to table names.
+
+    Contract carried over from the SMT's docs: Java's
+    ``Matcher.matches()`` anchors at BOTH ends (a partial match does
+    not route), and non-matching topics pass through untouched.  The
+    anchors are added here explicitly; capture-group references use
+    ``$1``-style, same as the Java SMT."""
+    anchored = regex if regex.startswith("^") else f"^(?:{regex})$"
+    matched = F.col(topic_col).rlike(anchored)
+    return df.withColumn(
+        topic_col,
+        F.when(
+            matched,
+            F.regexp_replace(F.col(topic_col), anchored, replacement),
+        ).otherwise(F.col(topic_col)),
+    )
+
+
+def value_to_key(
+    df: DataFrame,
+    fields: list[str],
+    key_col: str = "key",
+) -> DataFrame:
+    """``ValueToKey``: replace the record KEY with a struct built from
+    the named VALUE fields — how operators re-key a topic so log
+    compaction and partition ordering follow a business key (e.g.
+    customer id) instead of the table's primary key.
+
+    The engine's wire keys are JSON-rendered structs (sources/cdc.py),
+    so the new key renders the same way: ``{"<field>": <value>, ...}``
+    via ``to_json`` — byte-deterministic (struct field order is the
+    ``fields`` order, like the SMT's schema order)."""
+    return df.withColumn(
+        key_col, F.to_json(F.struct(*[F.col(f).alias(f) for f in fields]))
+    )
+
+
+def cast_fields(df: DataFrame, spec: dict[str, str]) -> DataFrame:
+    """``Cast``: cast named value fields to target types
+    (``spec=field1:type1,field2:type2``).  Debezium feeds often carry
+    decimals as strings (``decimal.handling.mode=string``, the
+    reference's products feed) and µs-epochs as int64 — this SMT is
+    the stock fix-up when the sink wants real types.
+
+    Types use Spark/SQL names (``int32``/``int64``/``float64`` map to
+    int/bigint/double, mirroring the Connect schema type names)."""
+    _TYPES = {
+        "int8": "tinyint", "int16": "smallint", "int32": "int",
+        "int64": "bigint", "float32": "float", "float64": "double",
+        "boolean": "boolean", "string": "string",
+    }
+    out = df
+    for field, typ in spec.items():
+        out = out.withColumn(field, F.col(field).cast(_TYPES.get(typ, typ)))
+    return out
+
+
+def replace_fields(
+    df: DataFrame,
+    exclude: list[str] | None = None,
+    include: list[str] | None = None,
+    renames: dict[str, str] | None = None,
+) -> DataFrame:
+    """``ReplaceField``: drop (``exclude``), keep-only (``include``)
+    and rename (``renames`` = the SMT's ``renames=old:new,...``) value
+    fields.  Per the SMT's contract, exclude is applied first, then
+    include, then renames — and a rename of a dropped field is a
+    no-op, not an error."""
+    cols = list(df.columns)
+    if exclude:
+        dropped = set(exclude)
+        cols = [c for c in cols if c not in dropped]
+    if include:
+        keep = set(include)
+        cols = [c for c in cols if c in keep]
+    renames = renames or {}
+    return df.select(
+        *[F.col(c).alias(renames.get(c, c)) for c in cols]
+    )
+
+
+def flatten_struct(df: DataFrame, delimiter: str = "_") -> DataFrame:
+    """``Flatten``: recursively replace every struct column with one
+    top-level column per leaf, named ``parent<delimiter>child`` — the
+    bridge to sinks that cannot store nested records (the Debezium
+    envelope is two structs deep, so this SMT is the blunt alternative
+    to ``ExtractNewRecordState`` when the sink wants source/op/ts
+    metadata kept).
+
+    Walks the schema driver-side and emits ONE ``select`` of leaf
+    references — per row this is pure column projection (no JSON
+    re-parse, no Python), and Catalyst prunes any leaves a downstream
+    query drops."""
+    from pyspark.sql import types as T
+
+    def leaves(field: T.StructField, col: Column | None, name: str) -> list:
+        ref = df[field.name] if col is None else col[field.name]
+        full = f"{name}{delimiter}{field.name}" if name else field.name
+        if isinstance(field.dataType, T.StructType):
+            out = []
+            for sub in field.dataType.fields:
+                out.extend(leaves(sub, ref, full))
+            return out
+        return [ref.alias(full)]
+
+    cols: list = []
+    for field in df.schema.fields:
+        cols.extend(leaves(field, None, ""))
+    return df.select(*cols)
+
+
+def insert_fields(
+    df: DataFrame,
+    static: dict[str, str] | None = None,
+    topic_field: str | None = None,
+    partition_field: str | None = None,
+    offset_field: str | None = None,
+    timestamp_field: str | None = None,
+) -> DataFrame:
+    """``InsertField``: add static fields and/or Kafka record METADATA
+    (topic/partition/offset/timestamp) as value fields — the standard
+    provenance stamp, and exactly the lineage the reference persists
+    as first-class columns in its raw archive tables
+    (init_clickhouse_raw_tables.sql:28-48: ``_topic``, ``_partition``,
+    ``_offset``, ``_timestamp``).
+
+    Metadata comes from the record-plane columns the engine's Kafka
+    shape carries (S3 virtual columns); the timestamp surfaces as a
+    real TIMESTAMP (epoch-ms record time), like the SMT's Timestamp
+    logical type."""
+    out = df
+    for name, val in (static or {}).items():
+        out = out.withColumn(name, F.lit(val))
+    if topic_field:
+        out = out.withColumn(topic_field, F.col("topic"))
+    if partition_field:
+        out = out.withColumn(partition_field, F.col("partition"))
+    if offset_field:
+        out = out.withColumn(offset_field, F.col("offset"))
+    if timestamp_field:
+        out = out.withColumn(
+            timestamp_field, F.timestamp_millis(F.col("timestamp"))
+        )
+    return out
+
+
+def timestamp_router(
+    df: DataFrame,
+    topic_format: str = "${topic}-${timestamp}",
+    ts_format: str = "yyyyMMdd",
+    topic_col: str = "topic",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """``TimestampRouter``: re-address each record to a topic derived
+    from its RECORD TIMESTAMP — ``topic.format`` with ``${topic}`` and
+    ``${timestamp}`` placeholders, the timestamp rendered by
+    ``timestamp.format`` (a ``SimpleDateFormat`` pattern).  This is
+    how sinks get daily/hourly physical tables from one logical feed
+    (the reference's raw archive keeps ``_timestamp`` for exactly this
+    partition-lineage purpose).
+
+    The record timestamp is the wire log's epoch-ms ``timestamp``
+    column; the rendered form uses Spark's ``date_format`` (same
+    pattern language for the date/time subset used here), evaluated in
+    UTC regardless of session zone so routing is deployment-stable."""
+    rendered = F.date_format(
+        F.to_utc_timestamp(F.timestamp_millis(F.col(ts_col)), "UTC"),
+        ts_format,
+    )
+    pieces: list = []
+    rest = topic_format
+    while rest:
+        if rest.startswith("${topic}"):
+            pieces.append(F.col(topic_col))
+            rest = rest[len("${topic}"):]
+            continue
+        if rest.startswith("${timestamp}"):
+            pieces.append(rendered)
+            rest = rest[len("${timestamp}"):]
+            continue
+        nxt = len(rest)
+        for ph in ("${topic}", "${timestamp}"):
+            i = rest.find(ph)
+            if i >= 0:
+                nxt = min(nxt, i)
+        pieces.append(F.lit(rest[:nxt]))
+        rest = rest[nxt:]
+    return df.withColumn(topic_col, F.concat(*pieces))
+
+
+def hoist_field(df: DataFrame, field: str, cols: list[str] | None = None) -> DataFrame:
+    """``HoistField``: wrap the record's value fields into a single
+    STRUCT named ``field`` — the inverse of ``Flatten``, used when a
+    sink expects the payload nested under one envelope key.  ``cols``
+    limits which columns are hoisted (default: all); unhoisted columns
+    stay top-level (the record-plane metadata, in this engine's
+    shape)."""
+    picked = cols if cols is not None else list(df.columns)
+    keep = [c for c in df.columns if c not in set(picked)]
+    return df.select(
+        *keep, F.struct(*[F.col(c).alias(c) for c in picked]).alias(field)
+    )
+
+
+# --- Kafka Connect predicates (org.apache.kafka.connect.transforms.
+# predicates.*) — boolean record conditions that GATE an SMT chain
+# (``predicates=...`` + ``transforms.X.predicate=...``), or drop records
+# outright when bound to the ``Filter`` SMT. ---
+
+
+def topic_name_matches(pattern: str, topic_col: str = "topic") -> Column:
+    """``TopicNameMatches``: whole-name regex on the record topic
+    (Java ``matches()`` anchoring, like regex_router)."""
+    anchored = pattern if pattern.startswith("^") else f"^(?:{pattern})$"
+    return F.col(topic_col).rlike(anchored)
+
+
+def record_is_tombstone(value_col: str = "value") -> Column:
+    """``RecordIsTombstone``: the record's VALUE is null — Kafka's
+    deletion marker for compacted topics (Debezium emits one after
+    each delete unless ``tombstones.on.delete=false``)."""
+    return F.col(value_col).isNull()
+
+
+def has_header_key(key: str, headers_col: str = "headers") -> Column:
+    """``HasHeaderKey``: a header with the given key is present."""
+    return F.map_contains_key(F.col(headers_col), key)
+
+
+def filter_records(
+    df: DataFrame, predicate: Column, negate: bool = False
+) -> DataFrame:
+    """The ``Filter`` SMT bound to a predicate: DROP records where the
+    predicate holds (keep them instead when ``negate`` — the
+    ``negate=true`` knob).  Filters this early push into the scan —
+    at 100 TB this is the difference between parsing a topic and
+    skipping it."""
+    cond = predicate if negate else ~predicate
+    return df.filter(cond)

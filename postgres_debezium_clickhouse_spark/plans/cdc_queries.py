@@ -391,6 +391,287 @@ def cdc_shard_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_regex_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — Kafka Connect's ``RegexRouter`` SMT
+    (org.apache.kafka.connect.transforms.RegexRouter — the stock
+    topic-rename transform every Debezium deployment reaches for when
+    a sink maps topics to table names): whole-name-match the topic
+    against ``topic.regex`` and substitute capture groups into
+    ``topic.replacement``.  Here ``poc\\.public\\.(orders)`` →
+    ``cdc_$1`` strips the connector namespace from the orders feed
+    while the customer topic — not matching — passes through
+    UNTOUCHED, pinning both halves of the SMT's contract (Java
+    ``matches()`` anchors both ends; non-matches are identity).
+
+    The oracle replays the generator's event-multiplicity closed form
+    per topic.  Plan: map-only rlike + regexp_replace over the record
+    scan, then one hash agg on a 2-value key — no shuffle in the
+    routing itself."""
+    from ..operators.transforms import regex_router
+
+    rec = orders_cdc_events(spark, sf_dir).unionByName(
+        customer_cdc_events(spark, sf_dir), allowMissingColumns=True
+    )
+    routed = regex_router(rec, r"poc\.public\.(orders)", "cdc_$1")
+    return routed.groupBy("topic").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("partition").cast("long").alias("n_partitions"),
+    )
+
+
+def cdc_value_to_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — Kafka Connect's ``ValueToKey`` SMT
+    (org.apache.kafka.connect.transforms.ValueToKey, chained with
+    ``ExtractField$Key`` in the documented re-keying recipe): replace
+    the record KEY with a struct of named VALUE fields, so compaction
+    and partition ordering follow a business key — here the orders
+    feed re-keyed from primary key to ``o_custkey`` (after image,
+    before image for deletes, the key Debezium would see on each).
+
+    Output is the per-new-key event histogram; the oracle re-derives
+    every key's event count from the generator multiplicities and the
+    exact ``to_json`` rendering (``{"o_custkey":<k>}``) — a wrong
+    field source (after-only would NULL the deletes) or a format
+    drift both mismatch.
+
+    Plan: pruned parse → map-side key build → one hash agg keyed by
+    customer (map-side combine; customer cardinality-bounded)."""
+    from ..operators.transforms import value_to_key
+
+    env = pruned_envelope(
+        ORDERS_CDC_ROW, after=["o_custkey"], before=["o_custkey"],
+        source=(),
+    )
+    p = F.col("j.payload")
+    ev = _orders_parsed(spark, sf_dir, env).select(
+        F.coalesce(p.after.o_custkey, p.before.o_custkey).alias("o_custkey"),
+        "key",
+    )
+    rekeyed = value_to_key(ev, ["o_custkey"])
+    return rekeyed.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+
+
+def cdc_cast_smt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — Kafka Connect's ``Cast`` SMT
+    (org.apache.kafka.connect.transforms.Cast$Value,
+    ``spec=o_orderkey:string,o_custkey:int32,o_totalprice:float64``):
+    spec-driven field casts on the unwrapped value — the stock fix-up
+    when the wire carries decimals as strings
+    (``decimal.handling.mode=string``, the shape this feed actually
+    uses) but the sink wants real types.  Uses the Connect schema
+    type names, mapped to Spark types inside the operator.
+
+    Applied to the snapshot image (op='r') so the oracle is the
+    orders fixture itself under the same three casts — any type-map
+    or parse drift mismatches.  Plan: pruned parse → map-only casts;
+    fuses into the scan."""
+    from ..operators.transforms import cast_fields
+
+    env = pruned_envelope(
+        ORDERS_CDC_ROW,
+        after=["o_orderkey", "o_custkey", "o_totalprice"],
+        before=(), source=(),
+    )
+    p = F.col("j.payload")
+    snap = (
+        _orders_parsed(spark, sf_dir, env)
+        .filter(p.op == "r")
+        .select(
+            p.after.o_orderkey.alias("o_orderkey"),
+            p.after.o_custkey.alias("o_custkey"),
+            p.after.o_totalprice.alias("o_totalprice"),
+        )
+    )
+    return cast_fields(
+        snap,
+        {"o_orderkey": "string", "o_custkey": "int32",
+         "o_totalprice": "float64"},
+    )
+
+
+def cdc_replace_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — Kafka Connect's ``ReplaceField`` SMT
+    (org.apache.kafka.connect.transforms.ReplaceField$Value,
+    ``exclude=o_orderpriority`` +
+    ``renames=o_orderstatus:status,o_orderdate:order_date_us``):
+    drop and rename value fields in-flight — the lightweight schema
+    shim between a source's column names and a sink's.
+
+    Applied to the snapshot image; the oracle is the orders fixture
+    under the same exclude/rename (the µs-epoch date passes through
+    NUMERICALLY — rename must not touch values).  Plan: pruned parse
+    → one projection; fuses into the scan."""
+    from ..operators.transforms import replace_fields
+
+    env = pruned_envelope(
+        ORDERS_CDC_ROW,
+        after=["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+               "o_orderpriority"],
+        before=(), source=(),
+    )
+    p = F.col("j.payload")
+    snap = (
+        _orders_parsed(spark, sf_dir, env)
+        .filter(p.op == "r")
+        .select(
+            p.after.o_orderkey.alias("o_orderkey"),
+            p.after.o_custkey.alias("o_custkey"),
+            p.after.o_orderstatus.alias("o_orderstatus"),
+            p.after.o_orderdate.alias("o_orderdate"),
+            p.after.o_orderpriority.alias("o_orderpriority"),
+        )
+    )
+    return replace_fields(
+        snap,
+        exclude=["o_orderpriority"],
+        renames={"o_orderstatus": "status", "o_orderdate": "order_date_us"},
+    )
+
+
+def cdc_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — Kafka Connect's ``Flatten`` SMT
+    (org.apache.kafka.connect.transforms.Flatten$Value,
+    ``delimiter=_``): recursively lift every nested field to a
+    top-level ``parent_child`` column — the blunt alternative to
+    ``ExtractNewRecordState`` when the sink cannot store nested
+    records but wants the envelope's source/op metadata kept.
+
+    The pruned two-level Debezium envelope flattens to
+    ``payload_before_o_orderkey`` / ``payload_after_o_orderkey`` /
+    ``payload_source_ts_ms`` / ``payload_op`` / ``payload_ts_ms``;
+    the oracle re-derives all five per event from the generator's
+    closed form (6 event classes), keyed by offset — so a lost leaf,
+    a wrong naming recipe, or a before/after swap all mismatch.
+
+    Plan: pruned parse → ONE projection of leaf references (the
+    operator walks the schema driver-side; no JSON re-parse, no
+    Python per row)."""
+    from ..operators.transforms import flatten_struct
+
+    env = pruned_envelope(
+        ORDERS_CDC_ROW, after=["o_orderkey"], before=["o_orderkey"],
+        source=["ts_ms"], ts_ms=True,
+    )
+    parsed = _orders_parsed(spark, sf_dir, env).select(
+        F.col("offset").cast("long").alias("offset"),
+        F.col("j.payload").alias("payload"),
+    )
+    return flatten_struct(parsed, "_").select(
+        "offset",
+        "payload_before_o_orderkey",
+        "payload_after_o_orderkey",
+        "payload_source_ts_ms",
+        "payload_op",
+        "payload_ts_ms",
+    )
+
+
+def cdc_insert_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — Kafka Connect's ``InsertField`` SMT
+    (org.apache.kafka.connect.transforms.InsertField$Value,
+    ``static.field`` + ``topic.field``/``partition.field``/
+    ``offset.field``/``timestamp.field``): stamp each value with a
+    static provenance marker and the record-plane metadata — exactly
+    the lineage the reference persists as first-class columns in its
+    raw archive tables (init_clickhouse_raw_tables.sql:28-48:
+    ``_topic/_partition/_offset/_timestamp``).
+
+    The oracle re-derives all four metadata planes per event from the
+    generator closed form (partition = key mod 8, offset = key·10 +
+    slot, record time = event-date ms + slot) — a missing plane or a
+    ms/µs slip mismatches.  Plan: map-only column attaches on the
+    record scan; no parse of the value is needed."""
+    from ..operators.transforms import insert_fields
+
+    rec = orders_cdc_events(spark, sf_dir)
+    out = insert_fields(
+        rec,
+        static={"source_system": "poc-cdc"},
+        topic_field="__kafka_topic",
+        partition_field="__kafka_partition",
+        offset_field="__kafka_offset",
+        timestamp_field="__kafka_ts",
+    )
+    return out.select(
+        F.col("offset").cast("long").alias("offset"),
+        "source_system",
+        "__kafka_topic",
+        F.col("__kafka_partition").cast("int").alias("__kafka_partition"),
+        F.col("__kafka_offset").cast("long").alias("__kafka_offset"),
+        "__kafka_ts",
+    )
+
+
+def cdc_timestamp_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — Kafka Connect's ``TimestampRouter`` SMT
+    (org.apache.kafka.connect.transforms.TimestampRouter,
+    ``topic.format=${topic}-${timestamp}`` +
+    ``timestamp.format=yyyyMMdd``): re-address each record to a topic
+    derived from its RECORD TIMESTAMP — how sinks get daily physical
+    tables from one logical feed (the reference's raw archive keeps
+    ``_timestamp`` for exactly this partition lineage,
+    init_clickhouse_raw_tables.sql:32).
+
+    The record time is the wire log's epoch-ms plane (event-date ms +
+    slot); the oracle re-renders every event's day with the same ms
+    arithmetic — including the slot offset, so even a midnight-edge
+    event that the +slot shift tips into the next day must agree.
+
+    Plan: map-only format + concat, then one hash agg on the daily
+    topic key (day-cardinality-bounded)."""
+    from ..operators.transforms import timestamp_router
+
+    rec = orders_cdc_events(spark, sf_dir)
+    routed = timestamp_router(
+        rec, "${topic}-${timestamp}", "yyyyMMdd"
+    )
+    return routed.groupBy("topic").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+
+
+def cdc_filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — Kafka Connect's ``Filter`` SMT gated by PREDICATES
+    (org.apache.kafka.connect.transforms.Filter +
+    ``predicates``: RecordIsTombstone, TopicNameMatches — the
+    documented drop-tombstones / route-by-topic recipe): the input is
+    the orders wire log PLUS the delete tombstones Debezium really
+    emits after each delete record (value = null, modeled at the
+    spare offset slot 4) PLUS the customer topic; the chain drops
+    tombstones first, then keeps only ``poc.public.orders``.
+
+    The output (one row) counts surviving events and keys — a broken
+    tombstone predicate inflates n_events by the delete count, a
+    broken topic predicate adds a customer row.  Plan: both filters
+    are map-only and push into the record scan; the synthesized
+    tombstone branch is a filtered projection of the same scan."""
+    from ..operators.transforms import (
+        filter_records,
+        record_is_tombstone,
+        topic_name_matches,
+    )
+
+    rec = orders_cdc_events(spark, sf_dir)
+    tomb = (
+        rec.filter(F.col("offset") % 10 == 3)
+        .withColumn("value", F.lit(None).cast("string"))
+        .withColumn("offset", F.col("offset") + 1)
+    )
+    allrec = rec.unionByName(tomb).unionByName(
+        customer_cdc_events(spark, sf_dir), allowMissingColumns=True
+    )
+    kept = filter_records(allrec, record_is_tombstone())
+    kept = filter_records(
+        kept, topic_name_matches(r"poc\.public\.orders"), negate=True
+    )
+    return kept.groupBy("topic").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct(F.expr("offset div 10")).cast("long").alias("n_keys"),
+    )
+
+
 def cdc_masked_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8+P9 — unwrap + PII masking in-flight (MaskField SMT,
     abcsvb-connector-secure.json:36-37): c_name replaced by its sha2-256."""
@@ -762,6 +1043,14 @@ QUERIES = {
     "cdc_partition_route": cdc_partition_route,
     "cdc_header_to_value": cdc_header_to_value,
     "cdc_shard_route": cdc_shard_route,
+    "cdc_regex_router": cdc_regex_router,
+    "cdc_value_to_key": cdc_value_to_key,
+    "cdc_cast_smt": cdc_cast_smt,
+    "cdc_replace_field": cdc_replace_field,
+    "cdc_flatten": cdc_flatten,
+    "cdc_insert_field": cdc_insert_field,
+    "cdc_timestamp_router": cdc_timestamp_router,
+    "cdc_filter_predicate": cdc_filter_predicate,
     "cdc_masked_customers": cdc_masked_customers,
     "cdc_bronze_stats": cdc_bronze_stats,
     "products_usable_vw": products_usable_vw,
@@ -995,6 +1284,142 @@ ORACLES = {
                CAST(off % 10 AS BIGINT) AS evt_seq,
                CAST(1 AS INT) AS n_headers_left
         FROM ev
+    """,
+    # RegexRouter: orders topic renamed by the anchored capture-group
+    # substitution, customer passes through; counts from the generator
+    # multiplicities, partitions from the key-mod-8 plane
+    "cdc_regex_router": """
+        SELECT 'cdc_orders' AS topic,
+               CAST((SELECT COUNT(*) FROM orders)
+                  + 2 * (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0)
+                  + 2 * (SELECT COUNT(*) FROM orders WHERE o_orderkey % 9 = 0)
+                  + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 = 0)
+                  AS BIGINT) AS n_events,
+               CAST((SELECT COUNT(DISTINCT o_orderkey % 8) FROM orders)
+                  AS BIGINT) AS n_partitions
+        UNION ALL
+        SELECT 'poc.public.customer',
+               CAST((SELECT COUNT(*) FROM customer) AS BIGINT),
+               CAST((SELECT COUNT(DISTINCT c_custkey % 8) FROM customer)
+                  AS BIGINT)
+    """,
+    # ValueToKey: every event re-keyed to its customer; per-key counts
+    # from the multiplicities, key rendered exactly as to_json does
+    "cdc_value_to_key": """
+        WITH ev AS (
+            SELECT o_custkey,
+                   1 + CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 0 END
+                     + CASE WHEN o_orderkey % 9 = 0 THEN 2 ELSE 0 END
+                     + CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS n
+            FROM orders
+        )
+        SELECT '{"o_custkey":' || CAST(o_custkey AS VARCHAR) || '}' AS key,
+               CAST(SUM(n) AS BIGINT) AS n_events
+        FROM ev GROUP BY o_custkey
+    """,
+    "cdc_cast_smt": """
+        SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+               CAST(o_custkey AS INT) AS o_custkey,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders
+    """,
+    "cdc_replace_field": """
+        SELECT o_orderkey, o_custkey, o_orderstatus AS status,
+               epoch_us(o_orderdate) AS order_date_us
+        FROM orders
+    """,
+    # Flatten: all five envelope leaves per event from the generator's
+    # 6-class closed form, keyed by offset
+    "cdc_flatten": """
+        WITH ev AS (
+            SELECT o_orderkey * 10 AS off, CAST(NULL AS BIGINT) AS bef,
+                   o_orderkey AS aft, CAST(1000000 AS BIGINT) AS ts,
+                   'r' AS op
+            FROM orders
+            UNION ALL SELECT o_orderkey * 10 + 1, o_orderkey, o_orderkey,
+                   2000000 + o_orderkey, 'u'
+                FROM orders WHERE o_orderkey % 3 = 0
+            UNION ALL SELECT o_orderkey * 10 + 5, o_orderkey, o_orderkey,
+                   2000000 + o_orderkey, 'u'
+                FROM orders WHERE o_orderkey % 3 = 0
+            UNION ALL SELECT o_orderkey * 10 + 2, o_orderkey, o_orderkey,
+                   3000000 + o_orderkey, 'u'
+                FROM orders WHERE o_orderkey % 9 = 0
+            UNION ALL SELECT o_orderkey * 10 + 6, o_orderkey, o_orderkey,
+                   3000000 + o_orderkey, 'u'
+                FROM orders WHERE o_orderkey % 9 = 0
+            UNION ALL SELECT o_orderkey * 10 + 3, o_orderkey,
+                   CAST(NULL AS BIGINT), 4000000 + o_orderkey, 'd'
+                FROM orders WHERE o_orderkey % 7 = 0
+        )
+        SELECT CAST(off AS BIGINT) AS offset,
+               bef AS payload_before_o_orderkey,
+               aft AS payload_after_o_orderkey,
+               CAST(ts AS BIGINT) AS payload_source_ts_ms,
+               op AS payload_op,
+               CAST(ts AS BIGINT) AS payload_ts_ms
+        FROM ev
+    """,
+    # InsertField: all four metadata planes per event (partition =
+    # key mod 8, record time = event-date ms + slot)
+    "cdc_insert_field": """
+        WITH ev AS (
+            SELECT o_orderkey AS k, o_orderkey * 10 AS off, 0 AS slot,
+                   o_orderdate
+            FROM orders
+            UNION ALL SELECT o_orderkey, o_orderkey * 10 + 1, 1, o_orderdate
+                FROM orders WHERE o_orderkey % 3 = 0
+            UNION ALL SELECT o_orderkey, o_orderkey * 10 + 5, 5, o_orderdate
+                FROM orders WHERE o_orderkey % 3 = 0
+            UNION ALL SELECT o_orderkey, o_orderkey * 10 + 2, 2, o_orderdate
+                FROM orders WHERE o_orderkey % 9 = 0
+            UNION ALL SELECT o_orderkey, o_orderkey * 10 + 6, 6, o_orderdate
+                FROM orders WHERE o_orderkey % 9 = 0
+            UNION ALL SELECT o_orderkey, o_orderkey * 10 + 3, 3, o_orderdate
+                FROM orders WHERE o_orderkey % 7 = 0
+        )
+        SELECT CAST(off AS BIGINT) AS offset,
+               'poc-cdc' AS source_system,
+               'poc.public.orders' AS __kafka_topic,
+               CAST(k % 8 AS INT) AS __kafka_partition,
+               CAST(off AS BIGINT) AS __kafka_offset,
+               make_timestamp((epoch_us(o_orderdate) // 1000 + slot) * 1000)
+                   AS __kafka_ts
+        FROM ev
+    """,
+    # TimestampRouter: daily topics from the record-time plane with the
+    # same ms arithmetic (slot offset included — midnight edges agree)
+    "cdc_timestamp_router": """
+        WITH ev AS (
+            SELECT 0 AS slot, o_orderdate FROM orders
+            UNION ALL SELECT 1, o_orderdate
+                FROM orders WHERE o_orderkey % 3 = 0
+            UNION ALL SELECT 5, o_orderdate
+                FROM orders WHERE o_orderkey % 3 = 0
+            UNION ALL SELECT 2, o_orderdate
+                FROM orders WHERE o_orderkey % 9 = 0
+            UNION ALL SELECT 6, o_orderdate
+                FROM orders WHERE o_orderkey % 9 = 0
+            UNION ALL SELECT 3, o_orderdate
+                FROM orders WHERE o_orderkey % 7 = 0
+        )
+        SELECT 'poc.public.orders-' || strftime(
+                   make_timestamp((epoch_us(o_orderdate) // 1000 + slot)
+                                  * 1000),
+                   '%Y%m%d') AS topic,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM ev GROUP BY 1
+    """,
+    # Filter + predicates: tombstones dropped (delete count must NOT
+    # inflate n_events), customer topic dropped (no second row)
+    "cdc_filter_predicate": """
+        SELECT 'poc.public.orders' AS topic,
+               CAST((SELECT COUNT(*) FROM orders)
+                  + 2 * (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0)
+                  + 2 * (SELECT COUNT(*) FROM orders WHERE o_orderkey % 9 = 0)
+                  + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 = 0)
+                  AS BIGINT) AS n_events,
+               CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_keys
     """,
     "cdc_changed_columns": """
         SELECT 'o_totalprice' AS column_name,

@@ -50,9 +50,10 @@ from ..session import ensure_session_confs
 N_PARTITIONS = 8  # synthetic topic partition count
 
 #: bumped whenever the generator's OUTPUT SHAPE changes (r15: orders
-#: records gained the ``headers`` map) — part of the wire-cache key, so
-#: a code upgrade can never serve a stale-schema cached log
-WIRE_GEN_VERSION = "g2"
+#: records gained the ``headers`` map, then the ``timestamp`` record
+#: plane) — part of the wire-cache key, so a code upgrade can never
+#: serve a stale-schema cached log
+WIRE_GEN_VERSION = "g3"
 
 #: base fixture each wire log derives from (cache-fingerprint source)
 _WIRE_SOURCES = {
@@ -207,7 +208,11 @@ def _headers(offset_slot: int) -> F.Column:
 
 def _record(df: DataFrame, value: F.Column, offset_slot: int) -> DataFrame:
     """Shape one event class as Kafka records (S1/S3 virtual columns +
-    the r15 header plane)."""
+    the r15 header plane + the r15 record-timestamp plane: Kafka's
+    per-record CreateTime, which Debezium sets to the change's source
+    time — modeled here as the order's event date in epoch-ms, offset
+    by the event-class slot so every record's timestamp is distinct
+    and closed-form derivable)."""
     return df.select(
         F.to_json(F.struct(F.struct(F.col("o_orderkey")).alias("payload"))).alias("key"),
         value.alias("value"),
@@ -215,6 +220,9 @@ def _record(df: DataFrame, value: F.Column, offset_slot: int) -> DataFrame:
         (F.col("o_orderkey") * 10 + offset_slot).alias("offset"),
         F.lit("poc.public.orders").alias("topic"),
         _headers(offset_slot).alias("headers"),
+        (F.floor(ts_to_micros("o_orderdate") / F.lit(1000)) + offset_slot)
+        .cast("long")
+        .alias("timestamp"),
     )
 
 

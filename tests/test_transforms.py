@@ -285,3 +285,147 @@ def test_logical_table_route_merge_and_passthrough(spark):
     ).collect()}
     assert anon[1].topic == "poc.public.orders_all"
     assert anon[1]["__dbz__physicalTableIdentifier"] is None
+
+
+def test_regex_router_anchoring_and_groups(spark):
+    """r15 RegexRouter: Java matches() anchoring (partial match must NOT
+    route), capture-group substitution, non-match identity."""
+    from postgres_debezium_clickhouse_spark.operators.transforms import (
+        regex_router,
+    )
+
+    df = spark.createDataFrame(
+        [("poc.public.orders",), ("poc.public.orders.extra",),
+         ("other.topic",)],
+        "topic string",
+    )
+    out = {r.topic for r in
+           regex_router(df, r"poc\.public\.(\w+)", "cdc_$1").collect()}
+    # the dotted third segment makes \w+ fail the WHOLE-name match —
+    # partial matches must not route
+    assert out == {"cdc_orders", "poc.public.orders.extra", "other.topic"}
+
+
+def test_value_to_key_rendering(spark):
+    """r15 ValueToKey: key becomes the to_json struct of the named value
+    fields, in spec order, replacing the old key."""
+    from postgres_debezium_clickhouse_spark.operators.transforms import (
+        value_to_key,
+    )
+
+    df = spark.createDataFrame(
+        [("old", 7, "x")], "key string, a long, b string"
+    )
+    row = value_to_key(df, ["b", "a"]).collect()[0]
+    assert row.key == '{"b":"x","a":7}'
+
+
+def test_cast_fields_connect_type_names(spark):
+    """r15 Cast SMT: Connect schema type names map to Spark types;
+    unknown names fall through to Spark's own cast vocabulary."""
+    from postgres_debezium_clickhouse_spark.operators.transforms import (
+        cast_fields,
+    )
+
+    df = spark.createDataFrame([("12.50", 3)], "p string, k long")
+    out = cast_fields(df, {"p": "float64", "k": "string"})
+    assert dict(out.dtypes) == {"p": "double", "k": "string"}
+    assert out.collect()[0].p == 12.5
+
+
+def test_replace_fields_order_and_noop_rename(spark):
+    """r15 ReplaceField: exclude applies before include and renames;
+    renaming an excluded field is a no-op, not an error."""
+    from postgres_debezium_clickhouse_spark.operators.transforms import (
+        replace_fields,
+    )
+
+    df = spark.createDataFrame([(1, 2, 3)], "a long, b long, c long")
+    out = replace_fields(
+        df, exclude=["b"], renames={"a": "x", "b": "never"}
+    )
+    assert out.columns == ["x", "c"]
+    out2 = replace_fields(df, include=["a", "b"], exclude=["b"])
+    assert out2.columns == ["a"]
+
+
+def test_flatten_struct_recursion_and_prune(spark):
+    """r15 Flatten SMT: nested structs lift to delimiter-joined leaf
+    columns; non-struct columns pass through; deep nesting recurses."""
+    from postgres_debezium_clickhouse_spark.operators.transforms import (
+        flatten_struct,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ((2, 3), "s"))],
+        "id long, outer struct<inner: struct<a: long, b: long>, tag: string>",
+    )
+    out = flatten_struct(df)
+    assert out.columns == ["id", "outer_inner_a", "outer_inner_b",
+                           "outer_tag"]
+    row = out.collect()[0]
+    assert (row.id, row.outer_inner_a, row.outer_inner_b, row.outer_tag) \
+        == (1, 2, 3, "s")
+    dotted = flatten_struct(df, delimiter=".")
+    assert "outer.inner.a" in dotted.columns
+
+
+def test_insert_fields_metadata_planes(spark):
+    """r15 InsertField: static value + all four record-plane metadata
+    fields; timestamp surfaces as a real TIMESTAMP from epoch ms."""
+    import datetime
+
+    from postgres_debezium_clickhouse_spark.operators.transforms import (
+        insert_fields,
+    )
+
+    df = spark.createDataFrame(
+        [("t", 2, 30, 86_400_000, "v")],
+        "topic string, partition int, offset long, timestamp long, "
+        "value string",
+    )
+    row = insert_fields(
+        df, static={"src": "poc"}, topic_field="mt", partition_field="mp",
+        offset_field="mo", timestamp_field="mts",
+    ).collect()[0]
+    assert (row.src, row.mt, row.mp, row.mo) == ("poc", "t", 2, 30)
+    assert row.mts == datetime.datetime(1970, 1, 2, 0, 0)
+
+
+def test_timestamp_router_placeholders(spark):
+    """r15 TimestampRouter: ${topic}/${timestamp} substitution with a
+    SimpleDateFormat-style pattern, UTC rendering, literals kept."""
+    from postgres_debezium_clickhouse_spark.operators.transforms import (
+        timestamp_router,
+    )
+
+    df = spark.createDataFrame(
+        [("logs", 86_400_000 + 3_600_000)], "topic string, timestamp long"
+    )
+    assert timestamp_router(df).collect()[0].topic == "logs-19700102"
+    out = timestamp_router(
+        df, "pre-${timestamp}-${topic}-post", "yyyyMMdd-HH"
+    ).collect()[0]
+    assert out.topic == "pre-19700102-01-logs-post"
+
+
+def test_filter_predicates(spark):
+    """r15 Filter SMT + predicates: tombstone/topic/header predicates
+    compose; negate keeps instead of drops."""
+    from postgres_debezium_clickhouse_spark.operators.transforms import (
+        filter_records,
+        has_header_key,
+        record_is_tombstone,
+        topic_name_matches,
+    )
+
+    df = spark.createDataFrame(
+        [("a.b", "v1", {"h": "1"}), ("a.b", None, {}), ("a.c", "v2", None)],
+        "topic string, value string, headers map<string,string>",
+    )
+    kept = filter_records(df, record_is_tombstone())
+    assert kept.count() == 2  # the null-value record dropped
+    only_ab = filter_records(df, topic_name_matches(r"a\.b"), negate=True)
+    assert {r.topic for r in only_ab.collect()} == {"a.b"}
+    with_h = filter_records(df, has_header_key("h"), negate=True)
+    assert with_h.count() == 1
