@@ -443,6 +443,108 @@ def ch_limit_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ch_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — the ClickHouse/ANSI ``GROUP BY GROUPING SETS`` clause with
+    the ``GROUPING()`` marker function (CH ≥ 22.6 supports the full
+    form; CUBE/ROLLUP — already covered by ``lineitem_cube`` /
+    ``revenue_rollup`` — are its two shorthands): the
+    status×priority detail, the per-status subtotal, and the grand
+    total in ONE pass, each row tagged with which keys are aggregated
+    away (the disambiguator between a grouped NULL and a rolled-up
+    slot).
+
+    Spark shape: the native ``groupingSets`` lowering — Catalyst plans
+    a single Expand + hash aggregate (one scan, one shuffle on the
+    expanded key), NOT three scans unioned; at 100 TB the Expand
+    multiplies rows by the set count BEFORE the partial aggregate, so
+    the map-side combine still bounds what shuffles."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus", "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+    )
+
+
+def ch_any_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — the ClickHouse ``LEFT ANY JOIN`` strictness: each left row
+    matches AT MOST ONE right row (CH's documented cure for join-key
+    multiplicity explosions).  CH picks an unspecified right row; a
+    distributed engine must not ship nondeterminism, so this
+    re-expression STRENGTHENS the contract to first-by-sort-key —
+    lexicographic min of (l_linenumber, l_partkey, l_quantity); the
+    fixture's line numbers can repeat within an order, so the ordering
+    key extends through the emitted values, making the OUTPUT a pure
+    function of the data on every run and partitioning.
+
+    Spark shape (the scale-correct order): pre-aggregate the right
+    side to one row per key with ``min_by`` (map-side combinable — the
+    shuffle carries one row per key, NOT the raw multiplicity), then a
+    plain equi-join; Catalyst broadcasts when small, sort-merges with
+    AQE skew splitting when not.  Joining raw-then-deduping would
+    shuffle the full lineitem multiplicity first."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    one = li.groupBy("l_orderkey").agg(
+        F.min(
+            F.struct(
+                F.col("l_linenumber"), F.col("l_partkey"), F.col("l_quantity")
+            )
+        ).alias("__any")
+    )
+    return (
+        orders.join(one, orders.o_orderkey == one.l_orderkey, "left")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("__any.l_partkey").alias("any_partkey"),
+            F.col("__any.l_quantity").cast("double").alias("any_quantity"),
+        )
+    )
+
+
+def ch_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — the ClickHouse ``ASOF JOIN`` clause (equi-keys + one
+    inequality, CH's flagship non-ANSI join: quotes-to-trades, state
+    as-of event time): each order joined to its customer's latest
+    event at-or-before the order date — LEFT ASOF semantics (orders
+    with no prior event survive with NULLs, ``ASOF LEFT JOIN``).
+
+    Rides the engine's as-of operator (operators/asof.py): tag both
+    inputs, union, ONE keyed window with last(ignorenulls) — a single
+    hash shuffle on the customer key, no range explosion, no per-row
+    lookup.  Ties on the event timestamp break on event_id (largest
+    wins — CH ASOF takes the closest value, and a deterministic
+    engine must define 'closest' under ties).  The oracle re-derives
+    the winner with an explicit ROW_NUMBER over the same ordering."""
+    from ..operators.asof import asof_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("o_custkey"),
+        "event_id",
+        "event_type",
+        "ts",
+    )
+    j = asof_join(
+        orders, events, on=["o_custkey"], left_ts="o_orderdate",
+        right_ts="ts", tiebreak="event_id", right_prefix="last_",
+    )
+    return j.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("last_event_id").alias("last_event_id"),
+        F.col("last_event_type").alias("last_event_type"),
+        F.col("last_ts").alias("last_event_ts"),
+    )
+
+
 def ch_sample_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r9 — the ClickHouse ``SAMPLE f`` clause: a DETERMINISTIC f-fraction
     of the table keyed on the sampling key's hash (CH samples by
@@ -807,6 +909,9 @@ QUERIES = {
     "ch_with_totals": ch_with_totals,
     "ch_limit_by": ch_limit_by,
     "ch_limit_with_ties": ch_limit_with_ties,
+    "ch_grouping_sets": ch_grouping_sets,
+    "ch_any_join": ch_any_join,
+    "ch_asof_join": ch_asof_join,
     "ch_sample_clause": ch_sample_clause,
     "customers_without_orders": customers_without_orders,
     "customers_with_orders_semi": customers_with_orders_semi,
@@ -831,6 +936,59 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ch_grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+    """,
+    "ch_any_join": """
+        WITH ranked AS (
+            SELECT l_orderkey, l_partkey, l_quantity,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY l_orderkey
+                       ORDER BY l_linenumber, l_partkey, l_quantity
+                   ) AS rn
+            FROM lineitem
+        )
+        SELECT o.o_orderkey, o.o_orderstatus,
+               one.l_partkey AS any_partkey,
+               CAST(one.l_quantity AS DOUBLE) AS any_quantity
+        FROM orders o
+        LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) one
+            ON o.o_orderkey = one.l_orderkey
+    """,
+    # events timestamps normalized to µs first (the fixture carries
+    # nanos; Spark reads them µs-truncated — epoch_us matches)
+    "ch_asof_join": """
+        WITH e AS (
+            SELECT user_id, event_id, event_type,
+                   make_timestamp(epoch_us(ts)) AS ts
+            FROM events
+        ),
+        cand AS (
+            SELECT o.o_orderkey, o.o_custkey, e.event_id, e.event_type,
+                   e.ts,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o.o_orderkey
+                       ORDER BY e.ts DESC NULLS LAST,
+                                e.event_id DESC NULLS LAST
+                   ) AS rn
+            FROM orders o
+            LEFT JOIN e ON e.user_id = o.o_custkey
+                       AND e.ts <= o.o_orderdate
+        )
+        SELECT o_orderkey, o_custkey,
+               event_id AS last_event_id,
+               event_type AS last_event_type,
+               ts AS last_event_ts
+        FROM cand WHERE rn = 1
+    """,
     "ch_map_functions": """
         WITH t AS (
             SELECT o_orderkey,
