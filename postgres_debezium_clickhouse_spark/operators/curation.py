@@ -1032,3 +1032,77 @@ def url_canonicalize(
         F.concat(proto, F.lit("://"), auth, F.coalesce(path, F.lit("")), qpart),
     )
     return df.withColumn(out, canonical)
+
+
+def fim_transform(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fim_keep: int = 4,
+    fim_mod: int = 5,
+) -> DataFrame:
+    """r15 — Fill-In-the-Middle training transform (Bavarian et al.
+    2022, "Efficient Training of Language Models to Fill in the
+    Middle"): split each document at two cut points into
+    prefix/middle/suffix and re-serialize with sentinel tokens so an
+    autoregressive LM learns infilling — PSM order
+    (``<|fim_prefix|>P<|fim_suffix|>S<|fim_middle|>M``) and the
+    paper's SPM variant (suffix first), mixed ~50/50; a
+    ``(fim_mod - fim_keep)/fim_mod`` fraction passes through untouched
+    (the paper's fim_rate, default 80% transformed here).
+
+    Determinism contract (what makes a closed-form oracle possible
+    where the paper uses RNG draws): cut points and mode derive from
+    the doc id's md5 via the repo's portable idiom — h1/h2 are the two
+    60-bit md5 halves, cuts are h1 mod (n+1) / h2 mod (n+1) sorted,
+    mode is (h1+h2) parity, the pass-through gate is h1 mod fim_mod.
+    Same document, same split, every run, any partitioning.
+
+    Map-only (md5 + substring + concat, whole-stage codegen) — fuses
+    into the corpus scan; the 100 TB cost is the rewrite bandwidth
+    itself."""
+    md5 = F.md5(F.col(id_col).cast("string"))
+    h1 = F.conv(F.substring(md5, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md5, 16, 15), 16, 10).cast("long")
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(txt)
+    a = h1 % (n + F.lit(1))
+    b = h2 % (n + F.lit(1))
+    lo = F.least(a, b).cast("int")
+    hi = F.greatest(a, b).cast("int")
+    # build via raw SQL expressions so the cut columns stay in codegen
+    out = (
+        documents.withColumn("__lo", lo)
+        .withColumn("__hi", hi)
+        .withColumn("__mode_h", ((h1 + h2) % 2).cast("int"))
+        .withColumn("__gate", (h1 % fim_mod).cast("int"))
+    )
+    prefix = F.expr(f"substring({text_col}, 1, __lo)")
+    middle = F.expr(f"substring({text_col}, __lo + 1, __hi - __lo)")
+    suffix = F.expr(f"substring({text_col}, __hi + 1, "
+                    f"length({text_col}) - __hi)")
+    psm = F.concat(
+        F.lit("<|fim_prefix|>"), prefix,
+        F.lit("<|fim_suffix|>"), suffix,
+        F.lit("<|fim_middle|>"), middle,
+    )
+    spm = F.concat(
+        F.lit("<|fim_suffix|>"), suffix,
+        F.lit("<|fim_prefix|>"), prefix,
+        F.lit("<|fim_middle|>"), middle,
+    )
+    mode = F.when(F.col("__gate") >= fim_keep, F.lit("none")).otherwise(
+        F.when(F.col("__mode_h") == 0, F.lit("psm")).otherwise(F.lit("spm"))
+    )
+    fim_text = (
+        F.when(mode == "none", txt)
+        .when(mode == "psm", psm)
+        .otherwise(spm)
+    )
+    return out.select(
+        F.col(id_col),
+        mode.alias("fim_mode"),
+        F.col("__lo").cast("long").alias("cut_lo"),
+        F.col("__hi").cast("long").alias("cut_hi"),
+        fim_text.alias("fim_text"),
+    )

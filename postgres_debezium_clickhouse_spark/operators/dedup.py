@@ -826,3 +826,112 @@ def minhash_estimate_on_pairs(
         .select("doc_a", "doc_b", "n_sig_matches", "est_jaccard",
                 "jaccard", "abs_err")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter dedup (r15) — the Dolma/BFF recipe (Soldaini et al. 2024,
+# "Dolma"; Groeneveld's Bloom Filter Filtering tool): membership of each
+# incoming document's content key in a bit-array built from the already-
+# ingested corpus.  At 100 TB the filter is the ONLY corpus-sized dedup
+# state that fits in memory per executor (m bits, not m keys) — the price
+# is a quantified false-positive rate, which the operator surfaces rather
+# than hides.
+# ---------------------------------------------------------------------------
+
+BLOOM_M_BITS = 1 << 16  #: filter width (bits) — fixed so oracles replay it
+BLOOM_K = 3             #: hashes per key (double hashing, Kirsch-Mitzenmacher)
+
+
+def _bloom_positions(col, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K):
+    """The k bit positions of a key: double hashing h1 + i·h2 (Kirsch &
+    Mitzenmacher 2006 — two base hashes simulate k independent ones with
+    no loss in the FP bound).  Base hashes are the repo's md5-portable
+    idiom (two disjoint 60-bit md5 prefixes), so any SQL oracle replays
+    the positions bit-for-bit: DuckDB
+    ``('0x'||substr(md5(x),1,15))::BIGINT`` / ``substr(...,16,15)``."""
+    md5 = F.md5(col.cast("string"))
+    h1 = F.conv(F.substring(md5, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md5, 16, 15), 16, 10).cast("long")
+    return F.array(*[((h1 + F.lit(i) * h2) % m_bits) for i in range(k)])
+
+
+def bloom_build(seen: DataFrame, key_col: str,
+                m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K) -> DataFrame:
+    """Build the Bloom bit-array from the seen corpus, as a WORD TABLE:
+    (word_idx, bits) with word_idx = position div 64 and bits the OR of
+    the set bit masks — ≤ m/64 rows regardless of corpus size.
+
+    Distributed shape: explode keys to positions (map-only), then ONE
+    hash aggregate on the word index (map-side ``bit_or`` combine — what
+    shuffles is bounded by m/64 per task, never by the corpus).  The
+    word table IS the filter; broadcasting it to probes is the in-memory
+    bit-array every single-node Bloom implementation holds."""
+    pos = seen.select(
+        F.explode(_bloom_positions(F.col(key_col), m_bits, k)).alias("pos")
+    )
+    return (
+        pos.select(
+            F.shiftright("pos", 6).alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+            .alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_filter_dedup(
+    seen: DataFrame,
+    incoming: DataFrame,
+    key_col: str,
+    id_col: str = "doc_id",
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Dolma-style Bloom dedup of ``incoming`` against ``seen``, with
+    exact-membership ground truth alongside so the false-positive cost
+    is measurable: per incoming row — ``bloom_hit`` (all k bits set),
+    ``exact_hit`` (key truly present in seen), ``false_positive``
+    (bloom said yes, truth says no; Bloom filters never false-negative,
+    and the oracle would catch one as a bloom/exact disagreement in the
+    other direction).
+
+    Probe shape: explode the incoming key's k positions, join the
+    broadcast word table (m/64 rows — in-memory bit-array semantics),
+    AND the masks, then one ``bool_and`` per row id.  The exact side is
+    a semi-join on the key — included here for the eval contract; a
+    production pipeline runs the filter alone, that being the point."""
+    filt = bloom_build(seen, key_col, m_bits, k)
+    probe = incoming.select(
+        F.col(id_col),
+        F.col(key_col).alias("__key"),
+        F.explode(_bloom_positions(F.col(key_col), m_bits, k)).alias("pos"),
+    ).select(
+        id_col, "__key",
+        F.shiftright("pos", 6).alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+        .alias("mask"),
+    )
+    hits = (
+        probe.join(F.broadcast(filt), "word_idx", "left")
+        .withColumn(
+            "__bit_set",
+            F.coalesce(
+                F.col("bits").bitwiseAND(F.col("mask")) != 0, F.lit(False)
+            ),
+        )
+        .groupBy(id_col, "__key")
+        .agg(F.bool_and("__bit_set").alias("bloom_hit"))
+    )
+    seen_keys = seen.select(F.col(key_col).alias("__key")).distinct()
+    exact = seen_keys.withColumn("exact_hit", F.lit(True))
+    return (
+        hits.join(exact, "__key", "left")
+        .select(
+            id_col,
+            "bloom_hit",
+            F.coalesce("exact_hit", F.lit(False)).alias("exact_hit"),
+            (F.col("bloom_hit")
+             & ~F.coalesce("exact_hit", F.lit(False))).alias("false_positive"),
+        )
+    )

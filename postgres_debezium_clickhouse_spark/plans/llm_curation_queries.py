@@ -275,7 +275,20 @@ def q_corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_importance(docs, target)
 
 
+def q_corpus_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — Fill-In-the-Middle training transform (Bavarian et al.
+    2022; operators/curation.py ``fim_transform``): per doc the
+    deterministic cut points, the PSM/SPM/none mode draw, and the
+    sentinel-serialized training text.  The oracle replays the md5
+    cut/mode arithmetic and the three-way substring re-ordering
+    character-for-character."""
+    from ..operators.curation import fim_transform
+
+    return fim_transform(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
+    "corpus_fim_transform": q_corpus_fim_transform,
     "corpus_dsir_weights": q_corpus_dsir_weights,
     "corpus_split": q_corpus_split,
     "corpus_stratified_sample": q_stratified_sample,
@@ -299,6 +312,52 @@ QUERIES = {
 }
 
 ORACLES = {
+    # FIM replayed exactly: h1/h2 = the two 60-bit md5 halves of the id
+    # string, cuts = h mod (len+1) sorted, gate = h1 mod 5 (>= 4 keeps
+    # the doc untouched), mode = (h1+h2) parity, sentinel re-ordering
+    "corpus_fim_transform": """
+        WITH h AS (
+            SELECT doc_id, COALESCE(text, '') AS text,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 15)) AS BIGINT) AS h1,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                            16, 15)) AS BIGINT) AS h2
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, text, h1, h2,
+                   LEAST(h1 % (length(text) + 1),
+                         h2 % (length(text) + 1)) AS lo,
+                   GREATEST(h1 % (length(text) + 1),
+                            h2 % (length(text) + 1)) AS hi
+            FROM h
+        ),
+        m AS (
+            SELECT doc_id, text, lo, hi,
+                   CASE WHEN h1 % 5 >= 4 THEN 'none'
+                        WHEN (h1 + h2) % 2 = 0 THEN 'psm'
+                        ELSE 'spm' END AS fim_mode,
+                   substr(text, 1, CAST(lo AS INT)) AS pre,
+                   substr(text, CAST(lo AS INT) + 1,
+                          CAST(hi - lo AS INT)) AS mid,
+                   substr(text, CAST(hi AS INT) + 1,
+                          CAST(length(text) - hi AS INT)) AS suf
+            FROM c
+        )
+        SELECT doc_id, fim_mode,
+               CAST(lo AS BIGINT) AS cut_lo,
+               CAST(hi AS BIGINT) AS cut_hi,
+               CASE fim_mode
+                   WHEN 'none' THEN text
+                   WHEN 'psm' THEN '<|fim_prefix|>' || pre
+                        || '<|fim_suffix|>' || suf
+                        || '<|fim_middle|>' || mid
+                   ELSE '<|fim_suffix|>' || suf
+                        || '<|fim_prefix|>' || pre
+                        || '<|fim_middle|>' || mid
+               END AS fim_text
+        FROM m
+    """,
     "corpus_dsir_weights": """
         WITH w AS (
             SELECT doc_id, text,

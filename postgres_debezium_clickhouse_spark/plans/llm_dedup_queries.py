@@ -462,7 +462,24 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(docs)
 
 
+def q_dedup_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — Dolma/BFF-style Bloom-filter dedup (operators/dedup.py
+    ``bloom_filter_dedup``): even-id docs play the already-ingested
+    corpus, odd-id docs the incoming stream; per incoming doc the
+    filter's verdict, the exact truth, and the false-positive flag.
+    The oracle replays the md5 double-hash positions and the bit-set
+    membership in pure SQL — including any false positives, which are
+    a DETERMINISTIC function of the hash recipe, not noise."""
+    from ..operators.dedup import bloom_filter_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    return bloom_filter_dedup(seen, incoming, "text")
+
+
 QUERIES = {
+    "dedup_bloom_filter": q_dedup_bloom_filter,
     "dedup_substring_spans": q_substring_spans,
     "dedup_paragraphs": q_dedup_paragraphs,
     "dedup_substring_removal": q_substring_removal,
@@ -490,6 +507,38 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Bloom membership replayed exactly: k=3 double-hash positions from
+    # the two 60-bit md5 halves, m=65536 bits; bloom_hit = every
+    # position set by the seen half; false positives are deterministic
+    "dedup_bloom_filter": """
+        WITH k AS (SELECT 0 AS i UNION ALL SELECT 1 UNION ALL SELECT 2),
+        spos AS (
+            SELECT DISTINCT
+                   (CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)
+                    + i * CAST(concat('0x', substr(md5(text), 16, 15))
+                               AS BIGINT)) % 65536 AS pos
+            FROM documents, k WHERE doc_id % 2 = 0
+        ),
+        ipos AS (
+            SELECT doc_id, text,
+                   (CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)
+                    + i * CAST(concat('0x', substr(md5(text), 16, 15))
+                               AS BIGINT)) % 65536 AS pos
+            FROM documents, k WHERE doc_id % 2 = 1
+        ),
+        hit AS (
+            SELECT doc_id, text,
+                   BOOL_AND(pos IN (SELECT pos FROM spos)) AS bloom_hit
+            FROM ipos GROUP BY doc_id, text
+        )
+        SELECT doc_id, bloom_hit,
+               (text IN (SELECT text FROM documents WHERE doc_id % 2 = 0))
+                   AS exact_hit,
+               (bloom_hit AND text NOT IN
+                   (SELECT text FROM documents WHERE doc_id % 2 = 0))
+                   AS false_positive
+        FROM hit
+    """,
     "dedup_paragraphs": """
         WITH d AS (
             SELECT doc_id,

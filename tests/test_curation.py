@@ -730,3 +730,45 @@ def test_pack_best_fit_matches_reference_bfd(spark, sizes, budget):
         loads.setdefault(b, []).append(sizes[i])
     for b, ls in loads.items():
         assert sum(ls) <= budget or len(ls) == 1
+
+
+def test_fim_transform_reassembles_and_gates(spark):
+    """r15 FIM transform: sentinel-splitting a psm/spm row reassembles
+    the original text exactly; 'none' rows pass through untouched; the
+    mode mix contains all three states over a modest corpus; cuts are
+    within bounds and deterministic."""
+    import re
+
+    from postgres_debezium_clickhouse_spark.operators.curation import (
+        fim_transform,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} body with some fill in the middle text {i}")
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    rows = fim_transform(docs).collect()
+    orig = {r.doc_id: r.text for r in docs.collect()}
+    modes = set()
+    for r in rows:
+        modes.add(r.fim_mode)
+        t = orig[r.doc_id]
+        assert 0 <= r.cut_lo <= r.cut_hi <= len(t)
+        if r.fim_mode == "none":
+            assert r.fim_text == t
+            continue
+        m = re.fullmatch(
+            r"<\|fim_prefix\|>(.*)<\|fim_suffix\|>(.*)<\|fim_middle\|>(.*)"
+            if r.fim_mode == "psm" else
+            r"<\|fim_suffix\|>(.*)<\|fim_prefix\|>(.*)<\|fim_middle\|>(.*)",
+            r.fim_text, re.DOTALL,
+        )
+        assert m, r.fim_text
+        if r.fim_mode == "psm":
+            pre, suf, mid = m.groups()
+        else:
+            suf, pre, mid = m.groups()
+        assert pre + mid + suf == t
+        assert (len(pre), len(pre) + len(mid)) == (r.cut_lo, r.cut_hi)
+    assert modes == {"psm", "spm", "none"}

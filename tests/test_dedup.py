@@ -530,3 +530,35 @@ def test_substring_removal_matches_reference_property(spark):
         for d in texts:
             assert got[d][0] == ref[d], (seed, d, texts[d], got[d][0], ref[d])
             assert got[d][1] == len(texts[d]) - len(ref[d])
+
+
+def test_bloom_filter_no_false_negatives_and_bounded_state(spark):
+    """r15 Bloom dedup: every exact duplicate bloom-hits (no false
+    negatives — the Bloom guarantee), the word table is bounded by
+    m/64 regardless of corpus size, and verdicts are deterministic."""
+    from postgres_debezium_clickhouse_spark.operators.dedup import (
+        BLOOM_M_BITS,
+        bloom_build,
+        bloom_filter_dedup,
+    )
+
+    seen = spark.createDataFrame(
+        [(2 * i, f"text-{i}") for i in range(50)], "doc_id long, text string"
+    )
+    inc = spark.createDataFrame(
+        [(1, "text-3"), (3, "text-7"), (5, "brand new"), (7, "text-49")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           bloom_filter_dedup(seen, inc, "text").collect()}
+    assert all(out[d].bloom_hit for d in (1, 3, 7))  # exact dups must hit
+    assert all(out[d].exact_hit for d in (1, 3, 7))
+    assert not out[5].exact_hit
+    # false_positive is exactly bloom_hit & ~exact_hit
+    assert all((r.bloom_hit and not r.exact_hit) == r.false_positive
+               for r in out.values())
+    words = bloom_build(seen, "text")
+    assert words.count() <= BLOOM_M_BITS // 64
+    again = {r.doc_id: (r.bloom_hit, r.exact_hit) for r in
+             bloom_filter_dedup(seen, inc, "text").collect()}
+    assert again == {d: (r.bloom_hit, r.exact_hit) for d, r in out.items()}
