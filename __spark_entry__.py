@@ -51,6 +51,19 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 _FRONT = (
     # round-15 additions (never driver-checked) are inserted here,
     # newest first, as they land.
+    "dedup_bloom_filter",
+    "corpus_fim_transform",
+    "ch_grouping_sets",
+    "ch_any_join",
+    "ch_asof_join",
+    "cdc_regex_router",
+    "cdc_value_to_key",
+    "cdc_cast_smt",
+    "cdc_replace_field",
+    "cdc_flatten",
+    "cdc_insert_field",
+    "cdc_timestamp_router",
+    "cdc_filter_predicate",
     "text_trigram_witten_bell",
     "cdc_shard_route",
     "text_trigram_kneser_ney",
