@@ -846,3 +846,64 @@ def filter_records(
     skipping it."""
     cond = predicate if negate else ~predicate
     return df.filter(cond)
+
+
+def convert_timestamp_field(
+    df: DataFrame,
+    field: str,
+    target_type: str,
+    fmt: str | None = None,
+    unix_precision: str = "microseconds",
+    out: str | None = None,
+) -> DataFrame:
+    """``TimestampConverter``
+    (org.apache.kafka.connect.transforms.TimestampConverter$Value):
+    convert one value field between the temporal representations
+    connect pipelines juggle — epoch integer (``unix``, at a declared
+    ``unix.precision``), rendered ``string`` (``format`` =
+    SimpleDateFormat pattern), and real ``Timestamp``.  Debezium emits
+    MicroTimestamp int64s (the orders feed's ``o_orderdate``); sinks
+    routinely want one of the other two — this SMT is the stock
+    adapter.
+
+    The source representation is inferred from the column's type
+    (integer = epoch at ``unix_precision``, string = parse with
+    ``fmt``, timestamp = as-is), mirroring the SMT's schema-driven
+    dispatch.  Rendering/parsing is UTC (the session zone is pinned
+    UTC engine-wide).  Map-only, fuses into the scan."""
+    _UNIX_DIV = {"milliseconds": 1, "microseconds": 1000,
+                 "seconds": 1.0 / 1000, "nanoseconds": 1_000_000}
+    if target_type not in {"Timestamp", "string", "unix"}:
+        raise ValueError(f"unsupported target.type {target_type!r}")
+    if unix_precision not in _UNIX_DIV:
+        raise ValueError(f"unsupported unix.precision {unix_precision!r}")
+    src = F.col(field)
+    dtype = dict(df.dtypes)[field]
+    if dtype in ("bigint", "int", "long"):
+        us = {
+            "microseconds": src,
+            "milliseconds": src * 1000,
+            "seconds": src * 1_000_000,
+            "nanoseconds": F.floor(src / 1000).cast("long"),
+        }[unix_precision]
+        ts = F.timestamp_micros(us.cast("long"))
+    elif dtype == "string":
+        if not fmt:
+            raise ValueError("string source requires format")
+        ts = F.to_timestamp(src, fmt)
+    else:
+        ts = src.cast("timestamp")
+    if target_type == "Timestamp":
+        res = ts
+    elif target_type == "string":
+        if not fmt:
+            raise ValueError("string target requires format")
+        res = F.date_format(ts, fmt)
+    else:
+        res = {
+            "microseconds": F.unix_micros(ts),
+            "milliseconds": F.floor(F.unix_micros(ts) / 1000).cast("long"),
+            "seconds": F.floor(F.unix_micros(ts) / 1_000_000).cast("long"),
+            "nanoseconds": (F.unix_micros(ts) * 1000),
+        }[unix_precision]
+    return df.withColumn(out or field, res)

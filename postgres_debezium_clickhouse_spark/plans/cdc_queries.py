@@ -632,6 +632,53 @@ def cdc_timestamp_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_timestamp_converter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — Kafka Connect's ``TimestampConverter`` SMT
+    (org.apache.kafka.connect.transforms.TimestampConverter$Value):
+    one temporal field, three target representations — the Debezium
+    MicroTimestamp int64 the orders feed actually carries
+    (``o_orderdate``, ``unix.precision=microseconds``) converted to a
+    real ``Timestamp``, a rendered ``string``
+    (``format=yyyy-MM-dd HH:mm:ss.SSSSSS``), and an epoch-ms ``unix``
+    — plus the string ROUND-TRIPPED back to Timestamp, pinning the
+    parse direction too.
+
+    The oracle recomputes all four from the fixture with the same µs
+    arithmetic and UTC rendering.  Map-only; fuses into the scan."""
+    from ..operators.transforms import convert_timestamp_field
+
+    env = pruned_envelope(
+        ORDERS_CDC_ROW, after=["o_orderkey", "o_orderdate"],
+        before=(), source=(),
+    )
+    p = F.col("j.payload")
+    snap = (
+        _orders_parsed(spark, sf_dir, env)
+        .filter(p.op == "r")
+        .select(
+            p.after.o_orderkey.alias("o_orderkey"),
+            p.after.o_orderdate.alias("od_us"),
+        )
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    # chained exactly like a real connector config would chain the SMT:
+    # µs-int64 → Timestamp, then Timestamp → string / unix-ms, then the
+    # string parsed back
+    out = convert_timestamp_field(
+        snap, "od_us", "Timestamp", unix_precision="microseconds",
+        out="od_ts",
+    )
+    out = convert_timestamp_field(out, "od_ts", "string", fmt=fmt,
+                                  out="od_str")
+    out = convert_timestamp_field(
+        out, "od_ts", "unix", unix_precision="milliseconds", out="od_ms",
+    )
+    out = convert_timestamp_field(out, "od_str", "Timestamp", fmt=fmt,
+                                  out="od_rt")
+    return out.select("o_orderkey", "od_ts", "od_str",
+                      F.col("od_ms").cast("long").alias("od_ms"), "od_rt")
+
+
 def cdc_filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r15 — Kafka Connect's ``Filter`` SMT gated by PREDICATES
     (org.apache.kafka.connect.transforms.Filter +
@@ -1050,6 +1097,7 @@ QUERIES = {
     "cdc_flatten": cdc_flatten,
     "cdc_insert_field": cdc_insert_field,
     "cdc_timestamp_router": cdc_timestamp_router,
+    "cdc_timestamp_converter": cdc_timestamp_converter,
     "cdc_filter_predicate": cdc_filter_predicate,
     "cdc_masked_customers": cdc_masked_customers,
     "cdc_bronze_stats": cdc_bronze_stats,
@@ -1409,6 +1457,17 @@ ORACLES = {
                    '%Y%m%d') AS topic,
                CAST(COUNT(*) AS BIGINT) AS n_events
         FROM ev GROUP BY 1
+    """,
+    # TimestampConverter: µs-int64 → Timestamp / rendered string /
+    # epoch-ms / string-parse round-trip, all UTC
+    "cdc_timestamp_converter": """
+        SELECT o_orderkey,
+               make_timestamp(epoch_us(o_orderdate)) AS od_ts,
+               strftime(make_timestamp(epoch_us(o_orderdate)),
+                        '%Y-%m-%d %H:%M:%S.%f') AS od_str,
+               CAST(epoch_us(o_orderdate) // 1000 AS BIGINT) AS od_ms,
+               make_timestamp(epoch_us(o_orderdate)) AS od_rt
+        FROM orders
     """,
     # Filter + predicates: tombstones dropped (delete count must NOT
     # inflate n_events), customer topic dropped (no second row)

@@ -478,7 +478,54 @@ def q_dedup_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_filter_dedup(seen, incoming, "text")
 
 
+def q_dedup_bloom_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — the Dolma deduper's actual unit of work: PARAGRAPH-level
+    Bloom membership (Soldaini et al. 2024 run their Bloom filter over
+    paragraphs, falling back to whole docs only for short text).  Same
+    8-word-chunk resegmentation as ``dedup_paragraphs`` (the fixture
+    has no newlines; the planted near-dup docs then share every full
+    chunk with their source — real cross-doc paragraph duplication);
+    even-id docs' paragraphs build the filter (m=2^22 — ~20% load at
+    sf1, the realistic operating point), odd-id docs probe it.  Output
+    is the per-incoming-doc verdict histogram: paragraphs, Bloom hits,
+    exact hits, false positives — all deterministic, all replayed by
+    the oracle."""
+    from ..operators.dedup import bloom_filter_dedup
+
+    m_bits = 1 << 22
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("__wd", F.filter(F.split("text", " "), lambda x: x != ""))
+    )
+    paras = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform("
+                " sequence(0, greatest(CAST(ceil(size(__wd) / 8.0) AS INT) - 1, 0)),"
+                " i -> array_join(slice(__wd, i * 8 + 1, 8), ' '))"
+            )
+        ).alias("idx", "para"),
+    )
+    seen = paras.filter(F.col("doc_id") % 2 == 0)
+    inc = paras.filter(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") * 100000 + F.col("idx")).alias("pkey"), "para"
+    )
+    verdicts = bloom_filter_dedup(seen, inc, "para", id_col="pkey",
+                                  m_bits=m_bits)
+    return (
+        verdicts.groupBy(F.expr("pkey div 100000").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_paras"),
+            F.sum(F.col("bloom_hit").cast("long")).alias("n_bloom_hit"),
+            F.sum(F.col("exact_hit").cast("long")).alias("n_exact_hit"),
+            F.sum(F.col("false_positive").cast("long")).alias("n_false_pos"),
+        )
+    )
+
+
 QUERIES = {
+    "dedup_bloom_paragraphs": q_dedup_bloom_paragraphs,
     "dedup_bloom_filter": q_dedup_bloom_filter,
     "dedup_substring_spans": q_substring_spans,
     "dedup_paragraphs": q_dedup_paragraphs,
@@ -507,6 +554,58 @@ QUERIES = {
 }
 
 ORACLES = {
+    # paragraph-level Bloom: the dedup_paragraphs 8-word chunks, even
+    # docs build (m=2^22), odd docs probe; per-doc verdict histogram
+    "dedup_bloom_paragraphs": """
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS wd
+            FROM documents
+        ),
+        p0 AS (
+            SELECT d.doc_id, CAST(i.i AS BIGINT) AS idx,
+                   array_to_string(d.wd[CAST(i.i * 8 + 1 AS INT)
+                                        : CAST(i.i * 8 + 8 AS INT)], ' ') AS para
+            FROM d CROSS JOIN LATERAL (
+                SELECT unnest(range(0, GREATEST(
+                    CAST(ceil(len(d.wd) / 8.0) AS INT), 1)))) i(i)
+        ),
+        k AS (SELECT 0 AS i UNION ALL SELECT 1 UNION ALL SELECT 2),
+        spos AS (
+            SELECT DISTINCT
+                   (CAST(concat('0x', substr(md5(para), 1, 15)) AS BIGINT)
+                    + i * CAST(concat('0x', substr(md5(para), 16, 15))
+                               AS BIGINT)) % 4194304 AS pos
+            FROM p0, k WHERE doc_id % 2 = 0
+        ),
+        stext AS (SELECT DISTINCT para FROM p0 WHERE doc_id % 2 = 0),
+        ipos AS (
+            SELECT doc_id, idx, para,
+                   (CAST(concat('0x', substr(md5(para), 1, 15)) AS BIGINT)
+                    + i * CAST(concat('0x', substr(md5(para), 16, 15))
+                               AS BIGINT)) % 4194304 AS pos
+            FROM p0, k WHERE doc_id % 2 = 1
+        ),
+        hit AS (
+            SELECT doc_id, idx, para,
+                   BOOL_AND(pos IN (SELECT pos FROM spos)) AS bloom_hit
+            FROM ipos GROUP BY doc_id, idx, para
+        ),
+        v AS (
+            SELECT doc_id, bloom_hit,
+                   (para IN (SELECT para FROM stext)) AS exact_hit
+            FROM hit
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_paras,
+               CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bloom_hit,
+               CAST(SUM(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_exact_hit,
+               CAST(SUM(CASE WHEN bloom_hit AND NOT exact_hit
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+        FROM v GROUP BY doc_id
+    """,
     # Bloom membership replayed exactly: k=3 double-hash positions from
     # the two 60-bit md5 halves, m=65536 bits; bloom_hit = every
     # position set by the seen half; false positives are deterministic

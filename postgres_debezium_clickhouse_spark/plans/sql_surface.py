@@ -545,6 +545,36 @@ def ch_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ch_time_bucket_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — the ClickHouse time-bucketing function family beyond the
+    hour/day truncs already exercised: ``toStartOfFifteenMinutes``
+    (interval buckets below the named-unit ladder), ``toMonday``
+    (week-start as DATE), ``toStartOfQuarter``, ``toYYYYMM`` (the
+    numeric partition-key idiom CH table definitions use), and
+    ``formatDateTime`` — all over the event stream's µs timestamps.
+
+    Map-only projections (trunc + format in whole-stage codegen); at
+    100 TB these fuse into the scan and exist to FEED partition-pruned
+    layouts, which is why the YYYYMM integer matters.  The oracle
+    recomputes each bucket with DuckDB's calendar functions — Monday
+    week-start and quarter boundaries must agree exactly."""
+    events = load_table(spark, sf_dir, "events")
+    q15_us = F.lit(15 * 60 * 1_000_000)
+    # the fixture reads as TIMESTAMP_NTZ; unix_micros wants TIMESTAMP —
+    # the session zone is pinned UTC, so the cast preserves the instant
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return events.select(
+        "event_id",
+        F.timestamp_micros(
+            (F.floor(ts_us / q15_us) * q15_us).cast("long")
+        ).alias("start_15min"),
+        F.date_trunc("week", F.col("ts")).cast("date").alias("monday"),
+        F.date_trunc("quarter", F.col("ts")).cast("date").alias("quarter_start"),
+        F.date_format("ts", "yyyyMM").cast("int").alias("yyyymm"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm").alias("formatted"),
+    )
+
+
 def ch_sample_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r9 — the ClickHouse ``SAMPLE f`` clause: a DETERMINISTIC f-fraction
     of the table keyed on the sampling key's hash (CH samples by
@@ -912,6 +942,7 @@ QUERIES = {
     "ch_grouping_sets": ch_grouping_sets,
     "ch_any_join": ch_any_join,
     "ch_asof_join": ch_asof_join,
+    "ch_time_bucket_functions": ch_time_bucket_functions,
     "ch_sample_clause": ch_sample_clause,
     "customers_without_orders": customers_without_orders,
     "customers_with_orders_semi": customers_with_orders_semi,
@@ -962,6 +993,22 @@ ORACLES = {
         FROM orders o
         LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) one
             ON o.o_orderkey = one.l_orderkey
+    """,
+    # buckets recomputed with DuckDB's calendar functions over the
+    # µs-normalized event time (the fixture carries nanos)
+    "ch_time_bucket_functions": """
+        WITH e AS (
+            SELECT event_id, make_timestamp(epoch_us(ts)) AS ts
+            FROM events
+        )
+        SELECT event_id,
+               make_timestamp((epoch_us(ts) // 900000000) * 900000000)
+                   AS start_15min,
+               CAST(date_trunc('week', ts) AS DATE) AS monday,
+               CAST(date_trunc('quarter', ts) AS DATE) AS quarter_start,
+               CAST(strftime(ts, '%Y%m') AS INT) AS yyyymm,
+               strftime(ts, '%Y-%m-%d %H:%M') AS formatted
+        FROM e
     """,
     # events timestamps normalized to µs first (the fixture carries
     # nanos; Spark reads them µs-truncated — epoch_us matches)

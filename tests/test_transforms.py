@@ -429,3 +429,40 @@ def test_filter_predicates(spark):
     assert {r.topic for r in only_ab.collect()} == {"a.b"}
     with_h = filter_records(df, has_header_key("h"), negate=True)
     assert with_h.count() == 1
+
+
+def test_timestamp_converter_matrix(spark):
+    """r15 TimestampConverter: source inferred from column type
+    (epoch-long at unix.precision / string+format / timestamp), all
+    three targets, UTC; bad configs refuse."""
+    import datetime
+
+    import pytest as _pytest
+
+    from postgres_debezium_clickhouse_spark.operators.transforms import (
+        convert_timestamp_field,
+    )
+
+    df = spark.createDataFrame(
+        [(86_400_000_000, "1970-01-02 00:00:00.000000")],
+        "us long, s string",
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    out = convert_timestamp_field(df, "us", "Timestamp",
+                                  unix_precision="microseconds", out="ts")
+    row = convert_timestamp_field(
+        convert_timestamp_field(out, "ts", "string", fmt=fmt, out="r"),
+        "ts", "unix", unix_precision="milliseconds", out="ms",
+    ).collect()[0]
+    assert row.ts == datetime.datetime(1970, 1, 2)
+    assert row.r == "1970-01-02 00:00:00.000000"
+    assert row.ms == 86_400_000
+    parsed = convert_timestamp_field(df, "s", "Timestamp", fmt=fmt,
+                                     out="p").collect()[0]
+    assert parsed.p == datetime.datetime(1970, 1, 2)
+    with _pytest.raises(ValueError, match="target.type"):
+        convert_timestamp_field(df, "us", "Date")
+    with _pytest.raises(ValueError, match="unix.precision"):
+        convert_timestamp_field(df, "us", "unix", unix_precision="weeks")
+    with _pytest.raises(ValueError, match="format"):
+        convert_timestamp_field(df, "s", "Timestamp")
