@@ -1981,3 +1981,124 @@ def lm_trigram_witten_bell(
             ppl.alias("ppl"),
         )
     )
+
+
+def lm_trigram_interpolated(
+    documents: DataFrame,
+    train_docs: "DataFrame | None" = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lambdas: tuple = (0.5, 0.3, 0.15, 0.05),
+) -> DataFrame:
+    """r15 — Jelinek-Mercer INTERPOLATED trigram smoothing (Jelinek &
+    Mercer 1980; Chen & Goodman 1999 §2.4), completing the trigram
+    ladder's fourth family next to stupid backoff, Kneser-Ney and
+    Witten-Bell: every transition scores
+
+        ln( λ₃·c(w₁w₂w₃)/c(w₁w₂) + λ₂·c(w₂w₃)/c(w₂)
+          + λ₁·c(w₃)/total + λ₀/V )
+
+    — a PROPER mixture distribution (each component sums to 1 over w₃;
+    the λs sum to 1), with the uniform 1/V backstop Chen & Goodman use
+    so even an OOV word scores finite mass.  A term whose context was
+    never seen contributes exactly zero (its component is the empty
+    distribution), not a special branch.  λ = (0.5, 0.3, 0.15, 0.05) —
+    fixed, not held-out-tuned: the operator's contract is the mixture
+    algebra, the weights are a documented config like alpha in backoff.
+
+    ``train_docs`` splits train from eval (the family's even/odd
+    discipline — odd docs then carry genuinely unseen trigrams AND
+    genuinely OOV words exercising every mixture component).  Context
+    counts follow the family convention: c(w₁w₂) is the trigram-prefix
+    total (sum of trigram counts), c(w₂) the pair-prefix total.
+
+    Determinism: round-6 logs, DECIMAL(20,6) sums, floor-mean — the
+    ladder's exact discipline.  Plan: trigram/pair count tables shuffle
+    on their n-gram keys (never broadcast); unigrams, the vocab size
+    and the total broadcast — same shape as the other three rungs."""
+    l3, l2, l1, l0 = lambdas
+    train = train_docs if train_docs is not None else documents
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    tri_arr = F.expr(
+        "zip_with(slice(__w, 1, greatest(size(__w) - 2, 0)),"
+        " zip_with(slice(__w, 2, greatest(size(__w) - 2, 0)),"
+        "          slice(__w, 3, greatest(size(__w) - 2, 0)),"
+        "          (b, c) -> struct(b as w2, c as w3)),"
+        " (a, bc) -> struct(a as w1, bc.w2 as w2, bc.w3 as w3))"
+    )
+    pair_arr = F.expr(
+        "zip_with(slice(__w, 1, greatest(size(__w) - 1, 0)),"
+        " slice(__w, 2, greatest(size(__w) - 1, 0)),"
+        " (a, b) -> struct(a as w2, b as w3))"
+    )
+    eval_w = documents.withColumn("__w", words)
+    train_w = train.withColumn("__w", words)
+    tr = (
+        eval_w.select(F.col(id_col), F.explode(tri_arr).alias("t"))
+        .select(id_col, "t.w1", "t.w2", "t.w3")
+    )
+    ttr = (
+        train_w.select(F.explode(tri_arr).alias("t"))
+        .select("t.w1", "t.w2", "t.w3")
+        .groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("tcnt"))
+    )
+    c12 = ttr.groupBy("w1", "w2").agg(F.sum("tcnt").alias("n12"))
+    tbi = (
+        train_w.select(F.explode(pair_arr).alias("p"))
+        .select("p.w2", "p.w3")
+        .groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("bcnt"))
+    )
+    c2 = tbi.groupBy("w2").agg(F.sum("bcnt").alias("n2"))
+    uni = (
+        train_w.select(F.explode("__w").alias("w3"))
+        .groupBy("w3").agg(F.count(F.lit(1)).alias("c3"))
+    )
+    tot = uni.groupBy().agg(
+        F.sum("c3").alias("__total"),
+        F.count(F.lit(1)).alias("__vocab"),
+    )
+    mix = (
+        F.when(
+            F.col("n12").isNotNull(),
+            F.lit(l3) * F.coalesce(F.col("tcnt"), F.lit(0)) / F.col("n12"),
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            F.col("n2").isNotNull(),
+            F.lit(l2) * F.coalesce(F.col("bcnt"), F.lit(0)) / F.col("n2"),
+        ).otherwise(F.lit(0.0))
+        + F.lit(l1) * F.coalesce(F.col("c3"), F.lit(0)) / F.col("__total")
+        + F.lit(l0) / F.col("__vocab")
+    )
+    scored = (
+        tr.join(ttr, ["w1", "w2", "w3"], "left")
+        .join(c12, ["w1", "w2"], "left")
+        .join(tbi, ["w2", "w3"], "left")
+        .join(F.broadcast(c2), "w2", "left")
+        .join(F.broadcast(uni), "w3", "left")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("__unseen", F.col("tcnt").isNull())
+        .withColumn("__s", F.round(F.log(mix), 6).cast("decimal(20,6)"))
+    )
+    per = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.sum(F.col("__unseen").cast("long")).alias("n_unseen"),
+        F.sum("__s").alias("__sum"),
+    )
+    avg = (
+        F.floor(
+            F.col("__sum").cast("double") / F.col("n_transitions") * 1e6
+            + 0.5
+        ) / 1e6
+    )
+    ppl = F.floor(F.exp(-avg) * 1e4 + 0.5) / 1e4
+    return (
+        documents.select(id_col).join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_transitions", F.lit(0)).cast("long")
+            .alias("n_transitions"),
+            F.coalesce("n_unseen", F.lit(0)).cast("long").alias("n_unseen"),
+            avg.alias("avg_logscore"),
+            ppl.alias("ppl"),
+        )
+    )

@@ -367,6 +367,23 @@ def q_text_trigram_witten_bell(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_trigram_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — Jelinek-Mercer interpolated TRIGRAM scoring
+    (operators/text.lm_trigram_interpolated, λ = 0.5/0.3/0.15/0.05
+    with the uniform 1/V backstop): the fourth and final smoothing
+    family on the trigram rung — the ladder now carries stupid
+    backoff, Kneser-Ney, Witten-Bell and JM at both orders.  Same
+    even-doc_ids train split (odd docs carry genuinely unseen
+    trigrams and OOV words, exercising every mixture component) and
+    round-6-log / DECIMAL-sum / floor-mean discipline."""
+    from ..operators.text import lm_trigram_interpolated
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_trigram_interpolated(
+        docs, train_docs=docs.filter(F.col("doc_id") % 2 == 0)
+    )
+
+
 def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r14 — Flesch Reading Ease + Flesch-Kincaid grade
     (operators/text.readability_scores): the classic readability pair
@@ -399,6 +416,7 @@ QUERIES = {
     "text_bigram_modified_kneser_ney": q_text_bigram_modified_kneser_ney,
     "text_trigram_kneser_ney": q_text_trigram_kneser_ney,
     "text_trigram_witten_bell": q_text_trigram_witten_bell,
+    "text_trigram_interpolated": q_text_trigram_interpolated,
     "text_readability": q_text_readability,
     "text_bigram_witten_bell": q_text_bigram_witten_bell,
     "text_lang_id": q_lang_id,
@@ -617,6 +635,75 @@ ORACLES = {
         SELECT d.doc_id,
                CAST(COALESCE(p.n_transitions, 0) AS BIGINT) AS n_transitions,
                CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
+               CAST(COALESCE(p.n_unseen, 0) AS BIGINT) AS n_unseen,
+               p.avg_logscore,
+               FLOOR(exp(-p.avg_logscore) * 1e4 + 0.5) / 1e4 AS ppl
+        FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+    # trigram JM: λ·ML mixture over trigram/pair/unigram/uniform, the
+    # even-doc train split; a NULL context contributes zero, the 1/V
+    # backstop keeps every score finite
+    "text_trigram_interpolated": """
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS wd
+            FROM documents
+        ),
+        tr AS (
+            SELECT doc_id, wd[CAST(i.i AS INT)] AS w1,
+                   wd[CAST(i.i + 1 AS INT)] AS w2,
+                   wd[CAST(i.i + 2 AS INT)] AS w3
+            FROM w CROSS JOIN LATERAL (
+                SELECT unnest(range(1, len(wd) - 1))) i(i)
+        ),
+        pr AS (
+            SELECT doc_id, wd[CAST(i.i AS INT)] AS w2,
+                   wd[CAST(i.i + 1 AS INT)] AS w3
+            FROM w CROSS JOIN LATERAL (
+                SELECT unnest(range(1, len(wd)))) i(i)
+        ),
+        tri AS (SELECT w1, w2, w3, COUNT(*) AS tcnt
+                FROM tr WHERE doc_id % 2 = 0 GROUP BY w1, w2, w3),
+        c12 AS (SELECT w1, w2, SUM(tcnt) AS n12 FROM tri GROUP BY w1, w2),
+        bi AS (SELECT w2, w3, COUNT(*) AS bcnt
+               FROM pr WHERE doc_id % 2 = 0 GROUP BY w2, w3),
+        cx2 AS (SELECT w2, SUM(bcnt) AS n2 FROM bi GROUP BY w2),
+        uni AS (
+            SELECT tok AS w3, COUNT(*) AS c3
+            FROM (SELECT unnest(wd) AS tok FROM w WHERE doc_id % 2 = 0)
+            GROUP BY tok
+        ),
+        tot AS (SELECT SUM(c3) AS total, COUNT(*) AS vocab FROM uni),
+        scored AS (
+            SELECT p.doc_id, (t.tcnt IS NULL) AS unseen,
+                   CAST(ROUND(ln(
+                       CASE WHEN c12.n12 IS NOT NULL THEN
+                           0.5 * CAST(COALESCE(t.tcnt, 0) AS DOUBLE)
+                               / CAST(c12.n12 AS DOUBLE) ELSE 0 END
+                       + CASE WHEN cx2.n2 IS NOT NULL THEN
+                           0.3 * CAST(COALESCE(b.bcnt, 0) AS DOUBLE)
+                               / CAST(cx2.n2 AS DOUBLE) ELSE 0 END
+                       + 0.15 * CAST(COALESCE(u.c3, 0) AS DOUBLE)
+                           / CAST(tot.total AS DOUBLE)
+                       + 0.05 / CAST(tot.vocab AS DOUBLE)
+                   ), 6) AS DECIMAL(20,6)) AS s
+            FROM tr p
+            LEFT JOIN tri t ON t.w1 = p.w1 AND t.w2 = p.w2 AND t.w3 = p.w3
+            LEFT JOIN c12 ON c12.w1 = p.w1 AND c12.w2 = p.w2
+            LEFT JOIN bi b ON b.w2 = p.w2 AND b.w3 = p.w3
+            LEFT JOIN cx2 ON cx2.w2 = p.w2
+            LEFT JOIN uni u ON u.w3 = p.w3
+            CROSS JOIN tot
+        ),
+        per AS (
+            SELECT doc_id, COUNT(*) AS n_transitions,
+                   SUM(CASE WHEN unseen THEN 1 ELSE 0 END) AS n_unseen,
+                   FLOOR(CAST(SUM(s) AS DOUBLE) / COUNT(*) * 1e6 + 0.5)
+                       / 1e6 AS avg_logscore
+            FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_transitions, 0) AS BIGINT) AS n_transitions,
                CAST(COALESCE(p.n_unseen, 0) AS BIGINT) AS n_unseen,
                p.avg_logscore,
                FLOOR(exp(-p.avg_logscore) * 1e4 + 0.5) / 1e4 AS ppl

@@ -833,3 +833,30 @@ def test_trigram_witten_bell_hand_computed(spark):
     kn = {r["doc_id"]: r for r in
           lm_trigram_kneser_ney(score, train_docs=train).collect()}
     assert kn[0]["avg_logscore"] != rows[0]["avg_logscore"]
+
+
+def test_trigram_interpolated_hand_computed(spark):
+    """r15 trigram Jelinek-Mercer: every mixture component verified by
+    hand on a 6-token train corpus — the seen trigram uses all four
+    components, the unseen trigram with OOV word survives on the
+    uniform backstop alone."""
+    import math
+
+    from postgres_debezium_clickhouse_spark.operators.text import (
+        lm_trigram_interpolated,
+    )
+
+    train = spark.createDataFrame([(0, "a b c a b d")],
+                                  "doc_id long, text string")
+    ev = spark.createDataFrame([(1, "a b c x")], "doc_id long, text string")
+    row = lm_trigram_interpolated(ev, train_docs=train).collect()[0]
+    # train: tri abc=1,bca=1,cab=1,abd=1; c12 ab=2,bc=1; pairs ab=2,
+    # bc=1,ca=1,bd=1; c2 a=2,b=2,c=1; uni a=2,b=2,c=1,d=1 tot=6 V=4
+    s1 = round(math.log(0.5 * 1 / 2 + 0.3 * 1 / 2 + 0.15 * 1 / 6
+                        + 0.05 / 4), 6)      # (a,b,c): all four live
+    s2 = round(math.log(0.0 + 0.0 + 0.0 + 0.05 / 4), 6)  # (b,c,x): OOV
+    want = math.floor((s1 + s2) / 2 * 1e6 + 0.5) / 1e6
+    assert row.n_transitions == 2
+    assert row.n_unseen == 1
+    assert float(row.avg_logscore) == want
+    assert float(row.ppl) == math.floor(math.exp(-want) * 1e4 + 0.5) / 1e4
