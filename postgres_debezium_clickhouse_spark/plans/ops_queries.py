@@ -2199,6 +2199,90 @@ def object_store_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sh.rmtree(src, ignore_errors=True)
 
 
+def object_store_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — WARC ingestion (sources/warc.py: ISO 28500, the container
+    format every web-scale corpus starts in — CommonCrawl ships
+    gzipped WARCs; C4/FineWeb/Dolma all open with this read).  The
+    documents table is written as FOUR segment files in the wild
+    layouts: plain ``.warc`` and CommonCrawl-style ``.warc.gz``
+    (one gzip member PER RECORD) alternating, each segment led by a
+    ``warcinfo`` record, with ``request`` records interleaved for every
+    third doc — so the reader's type filter has real work.
+
+    Read back: binaryFile scan → executor-parallel record parse →
+    ``warc_type = 'response'`` filter → HTTP split (status line /
+    blank-line body boundary, JVM-side string ops).  Full value
+    oracle: URI, status, WARC Content-Length (bytes, HTTP head + body),
+    body char count and body sha-256 all restated from the documents
+    fixture."""
+    from ..sources.warc import read_warc, warc_encode_segment
+
+    import shutil as _sh
+
+    src = f"{tempfile.gettempdir()}/warc_src_{uuid.uuid4().hex[:12]}"
+    http_head = b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+    try:
+        os_mod = __import__("os")
+        os_mod.makedirs(src, exist_ok=True)
+
+        def encode_segment(seg: int, rows: list[dict]) -> None:
+            recs: list[tuple[dict, bytes]] = [(
+                {"WARC-Type": "warcinfo",
+                 "WARC-Record-ID": f"<urn:warcinfo:{seg}>",
+                 "WARC-Date": "2024-01-01T00:00:00Z",
+                 "Content-Type": "application/warc-fields"},
+                b"software: postgres_debezium_clickhouse_spark\r\n",
+            )]
+            for r in rows:
+                d = int(r["doc_id"])
+                uri = f"https://example.org/doc/{d}"
+                if d % 3 == 0:
+                    recs.append((
+                        {"WARC-Type": "request",
+                         "WARC-Record-ID": f"<urn:req:{d}>",
+                         "WARC-Date": "2024-01-01T00:00:00Z",
+                         "WARC-Target-URI": uri,
+                         "Content-Type": "application/http;msgtype=request"},
+                        f"GET /doc/{d} HTTP/1.1\r\n\r\n".encode(),
+                    ))
+                recs.append((
+                    {"WARC-Type": "response",
+                     "WARC-Record-ID": f"<urn:resp:{d}>",
+                     "WARC-Date": "2024-01-01T00:00:00Z",
+                     "WARC-Target-URI": uri,
+                     "Content-Type": "application/http;msgtype=response"},
+                    http_head + str(r["text"]).encode(),
+                ))
+            gz = seg % 2 == 1
+            name = f"{src}/part-{seg}.warc" + (".gz" if gz else "")
+            with open(name, "wb") as fh:
+                fh.write(warc_encode_segment(recs, gzip_members=gz))
+
+        _write_fixture_segments(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"),
+            encode_segment,
+        )
+        resp = read_warc(spark, src).filter(F.col("warc_type") == "response")
+        txt = F.col("payload").cast("string")
+        body = F.element_at(F.split(txt, "\\r\\n\\r\\n", 2), 2)
+        return (
+            resp.select(
+                F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+                .cast("long").alias("doc_id"),
+                "target_uri",
+                F.regexp_extract(txt, r"^HTTP/1\.1 (\d+)", 1)
+                .cast("int").alias("http_status"),
+                F.col("content_length"),
+                F.length(body).cast("long").alias("n_body_chars"),
+                F.sha2(body, 256).alias("body_sha"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _sh.rmtree(src, ignore_errors=True)
+
+
 def cdc_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r11 — Debezium INCREMENTAL SNAPSHOT end-to-end (the signal-table
     ``execute-snapshot`` feature; DBLog chunk/watermark algorithm,
@@ -2989,6 +3073,7 @@ QUERIES = {
     "stream_stream_join": stream_stream_join,
     "object_store_typed_ingest": object_store_typed_ingest,
     "object_store_avro_ingest": object_store_avro_ingest,
+    "object_store_warc_ingest": object_store_warc_ingest,
     "object_store_proto_ingest": object_store_proto_ingest,
     "cdc_incremental_snapshot": cdc_incremental_snapshot,
     "object_store_rowbinary_ingest": object_store_rowbinary_ingest,
@@ -3239,6 +3324,20 @@ ORACLES["stream_agg_hll_state"] = """
     FROM x JOIN e ON e.event_type = x.event_type
 """
 ORACLES["stream_vcollapsing_state"] = _COLLAPSE_ORACLE
+
+# WARC: every response record restated from documents — bytes-true
+# Content-Length (45-byte HTTP head + UTF-8 body), char count, sha-256
+ORACLES["object_store_warc_ingest"] = """
+    SELECT doc_id,
+           'https://example.org/doc/' || CAST(doc_id AS VARCHAR)
+               AS target_uri,
+           CAST(200 AS INT) AS http_status,
+           CAST(45 + octet_length(encode(text)) AS BIGINT)
+               AS content_length,
+           CAST(length(text) AS BIGINT) AS n_body_chars,
+           sha256(text) AS body_sha
+    FROM documents
+"""
 
 ORACLES["object_store_avro_ingest"] = """
     SELECT o_orderkey, o_orderstatus,
