@@ -373,7 +373,77 @@ def q_multimodal_jpeg_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jpeg_exif_rows(synth_exif_jpegs(docs))
 
 
+def q_multimodal_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — WebDataset TAR-shard round trip (sources/webdataset.py:
+    the de-facto multimodal training-shard layout — one sample = the
+    adjacent member files sharing a basename, one modality per
+    extension).  The documents table is written as FOUR deterministic
+    ``.tar`` shards (per doc: a ``.txt`` body + a ``.json`` metadata
+    sidecar — the text/caption pairing every CLIP-style pipeline
+    ships), untarred executor-side, and regrouped per sample with one
+    hash aggregate.  Full value oracle: key, sidecar fields, body
+    char count, and the 2-files-per-sample contract restated from the
+    fixture."""
+    import json as _json
+    import shutil as _sh
+    import tempfile
+    import uuid
+
+    from ..sources.webdataset import read_webdataset, webdataset_encode_shard
+    from .ops_queries import _write_fixture_segments
+
+    src = f"{tempfile.gettempdir()}/wds_src_{uuid.uuid4().hex[:12]}"
+    try:
+        import os as _os
+
+        _os.makedirs(src, exist_ok=True)
+
+        def encode_segment(seg: int, rows: list[dict]) -> None:
+            samples = [{
+                "key": str(int(r["doc_id"])),
+                "files": {
+                    "txt": str(r["text"]).encode(),
+                    "json": _json.dumps(
+                        {"lang": r["lang"], "n_chars": int(r["n_chars"])},
+                        separators=(",", ":"),
+                    ).encode(),
+                },
+            } for r in rows]
+            with open(f"{src}/shard-{seg}.tar", "wb") as fh:
+                fh.write(webdataset_encode_shard(samples))
+
+        _write_fixture_segments(
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text", "lang", "n_chars"),
+            encode_segment,
+        )
+        members = read_webdataset(spark, src)
+        per = members.groupBy("sample_key").agg(
+            F.max(F.when(F.col("ext") == "txt",
+                         F.length(F.col("content").cast("string"))))
+            .alias("n_txt_chars"),
+            F.max(F.when(F.col("ext") == "json",
+                         F.col("content").cast("string")))
+            .alias("__meta"),
+            F.count(F.lit(1)).alias("n_files"),
+        )
+        return (
+            per.select(
+                F.col("sample_key").cast("long").alias("doc_id"),
+                F.get_json_object("__meta", "$.lang").alias("lang"),
+                F.get_json_object("__meta", "$.n_chars").cast("long")
+                .alias("meta_n_chars"),
+                F.col("n_txt_chars").cast("long").alias("n_txt_chars"),
+                F.col("n_files").cast("long").alias("n_files"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _sh.rmtree(src, ignore_errors=True)
+
+
 QUERIES = {
+    "multimodal_webdataset": q_multimodal_webdataset,
     "multimodal_jpeg_exif": q_multimodal_jpeg_exif,
     "multimodal_png_metadata": q_multimodal_png_metadata,
     "multimodal_byte_stats": q_multimodal_bytes,
@@ -398,6 +468,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "multimodal_webdataset": """
+        SELECT doc_id, lang,
+               CAST(n_chars AS BIGINT) AS meta_n_chars,
+               CAST(length(text) AS BIGINT) AS n_txt_chars,
+               CAST(2 AS BIGINT) AS n_files
+        FROM documents
+    """,
     "multimodal_jpeg_exif": """
         SELECT doc_id,
                (doc_id % 3 <> 0) AS has_exif,
