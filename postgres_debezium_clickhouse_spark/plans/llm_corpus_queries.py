@@ -1314,3 +1314,46 @@ ORACLES["events_hll_uniques"] = (
            JOIN ee ON ee.event_type = x.event_type
 """
 )
+
+
+def q_corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — tokenizer FERTILITY by language (pieces per word — the
+    standard cross-lingual tokenizer-equity metric; Rust et al. 2021
+    "How Good is Your Tokenizer?" made it the headline number): the
+    unigram-LM tokenizer's real train-then-encode chain
+    (``corpus_unigram_encode``) aggregated per ``lang`` — n_docs,
+    word/subword totals and the fertility ratio (floor-round-6).  A
+    tokenizer trained on this mixed corpus SHOULD show per-language
+    fertility spread; surfacing it per-lang is how pipelines catch a
+    vocabulary starving a language.
+
+    Plan: the encode chain's plan (vocab-sized Viterbi work joined
+    back to per-doc word counts) + one extra lang-keyed aggregate —
+    nothing new shuffles at corpus scale.  The oracle wraps the full
+    replayed train+encode chain and re-aggregates."""
+    enc = q_corpus_unigram_encode(spark, sf_dir)
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    per = enc.join(langs, "doc_id").groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_subwords").cast("long").alias("n_subwords"),
+    )
+    fert = (
+        F.floor(F.col("n_subwords") / F.col("n_words") * 1e6 + 0.5) / 1e6
+    )
+    return per.select("lang", "n_docs", "n_words", "n_subwords",
+                      fert.alias("fertility"))
+
+
+QUERIES["corpus_tokenizer_fertility"] = q_corpus_tokenizer_fertility
+ORACLES["corpus_tokenizer_fertility"] = f"""
+    WITH enc AS ({ORACLES["corpus_unigram_encode"]})
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(enc.n_words) AS BIGINT) AS n_words,
+           CAST(SUM(enc.n_subwords) AS BIGINT) AS n_subwords,
+           FLOOR(CAST(SUM(enc.n_subwords) AS DOUBLE)
+                 / SUM(enc.n_words) * 1e6 + 0.5) / 1e6 AS fertility
+    FROM enc JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+"""
