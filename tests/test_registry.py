@@ -89,6 +89,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "events_value_histogram",   # scalar attach: 1-row broadcast global min/max
         "corpus_unigram_vocab",     # scalar attaches: 1-row broadcast vocab map + total (vocab-sized metadata)
         "corpus_unigram_encode",    # same vocab-map/total attaches, encode side
+        "corpus_tokenizer_fertility",  # wraps the encode chain above + lang agg (r15)
         "corpus_unigram_prune",     # same attaches + vocab-sized alt-DP map (r12)
         "corpus_wordpiece_encode",  # scalar attach: 1-row broadcast piece map (r12)
         "text_bm25_topk",           # scalar attach: 1-row broadcast N/avgdl totals (r12)
