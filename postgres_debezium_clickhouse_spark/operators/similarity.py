@@ -1398,3 +1398,90 @@ def center_normalize(
             )).alias("rotation_cos"),
         )
     )
+
+
+def mmr_rerank(
+    shortlist: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    rel_col: str = "cosine",
+) -> DataFrame:
+    """r15 — Maximal Marginal Relevance re-ranking (Carbonell &
+    Goldstein 1998, the classic retrieval-diversity objective RAG
+    pipelines ship under the same name): greedily select k of the
+    shortlisted candidates, each pick maximizing
+
+        λ·rel(q, d) − (1−λ)·max_{s ∈ selected} sim(d, s)
+
+    so near-duplicate passages stop crowding out coverage.  Pure
+    relevance ranking (λ=1) provably returns the cosine top-k; λ=0.7
+    is the paper's balanced setting.
+
+    Scale shape — the reason MMR belongs AFTER the bounded top-k
+    funnel: the greedy loop is inherently sequential in k, so it runs
+    on the SHORTLIST ONLY (|shortlist| per query, never the corpus)
+    inside one Arrow ``applyInPandas`` group per query.  Attaching the
+    candidate vectors is one corpus scan joined against the BROADCAST
+    shortlist — no corpus shuffle; the group state is s×d floats + an
+    s×s similarity matrix, both bounded by the shortlist size.
+
+    Determinism contract (what makes the recursive-CTE oracle replay
+    every pick): relevance arrives round-6 from the top-k; pairwise
+    sims round-6 into INTEGER MICRO-UNITS, and the greedy comparison
+    runs on the exact integer 10λ·rel_µ − 10(1−λ)·pen_µ — a float
+    score of the form 0.7k − 0.3j lands exactly on half micro-units
+    ~10% of the time, where IEEE summation-order noise flips the 6th
+    digit between engines; integers cannot tie-break wrong.  Ties
+    break on neighbor_id ascending.  Output: one row per pick —
+    (query_id, rank, neighbor_id, mmr_score = integer score / 1e7)."""
+    import numpy as np
+    import pandas as pd
+
+    lam10 = int(round(lam * 10))
+    if abs(lam10 / 10 - lam) > 1e-12:
+        raise ValueError(
+            "lam must be a multiple of 0.1 (exact integer scoring contract)"
+        )
+    c = as_double_vec(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col("v")
+    )
+    rows = c.join(
+        F.broadcast(shortlist.select(query_id_col, "neighbor_id", rel_col)),
+        "neighbor_id",
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        V = np.stack(pdf["v"].to_list()).astype(np.float64)
+        n = np.sqrt((V * V).sum(axis=1))
+        s_mu = np.floor(
+            (V @ V.T) / np.outer(n, n) * 1e6 + 0.5
+        ).astype(np.int64)
+        rel_mu = np.floor(
+            pdf[rel_col].to_numpy(dtype=np.float64) * 1e6 + 0.5
+        ).astype(np.int64)
+        ids = pdf["neighbor_id"].to_numpy()
+        qid = pdf["query_id"].iloc[0]
+        selected: list[int] = []
+        remaining = np.ones(len(pdf), dtype=bool)
+        out = []
+        for r in range(1, min(k, len(pdf)) + 1):
+            pen = (s_mu[:, selected].max(axis=1) if selected
+                   else np.zeros(len(pdf), dtype=np.int64))
+            score = lam10 * rel_mu - (10 - lam10) * pen  # exact integers
+            masked = np.where(remaining, score, np.iinfo(np.int64).min)
+            pick = int(np.argmax(masked))  # first max = smallest id (sorted)
+            selected.append(pick)
+            remaining[pick] = False
+            out.append((qid, r, ids[pick], score[pick] / 1e7))
+        return pd.DataFrame(
+            out, columns=["query_id", "rank", "neighbor_id", "mmr_score"]
+        )
+
+    return rows.groupBy(query_id_col).applyInPandas(
+        greedy,
+        "query_id long, rank int, neighbor_id long, mmr_score double",
+    )

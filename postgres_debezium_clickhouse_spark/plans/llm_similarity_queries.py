@@ -20,6 +20,25 @@ from ..operators.similarity import (
 from ..sources.files import load_table
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — MMR diversity re-ranking (operators/similarity.mmr_rerank,
+    λ=0.7, k=10 over the cosine top-20 shortlist): the greedy
+    relevance-vs-redundancy trade-off runs on the bounded shortlist in
+    one Arrow group per query — never the corpus.  The oracle replays
+    every pick with a recursive CTE carrying the selected-list state
+    (the pack_best_fit idiom), so a single wrong greedy step
+    hash-mismatches."""
+    from ..operators.similarity import cosine_topk, mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    short = cosine_topk(corpus, queries, k=20)
+    return mmr_rerank(short, corpus, k=10, lam=0.7)
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
@@ -310,6 +329,7 @@ QUERIES = {
     "similarity_ann_ivfpq_rerank": q_ivfpq_rerank,
     "similarity_ivfpq_rerank_recall": q_ivfpq_rerank_recall,
     "similarity_pq_adc_topk": q_pq_adc_topk,
+    "similarity_mmr_rerank": q_mmr_rerank,
     "similarity_cosine_topk": q_cosine_topk,
     "similarity_mips_topk": q_mips_topk,
     "similarity_ann_lsh_topk": q_ann_lsh_topk,
@@ -444,6 +464,68 @@ ORACLES = {
               FROM s)
         SELECT query_id, neighbor_id, inner_product,
                CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 5
+    """,
+    # MMR replayed pick-by-pick: cosine top-20 shortlist, pairwise sims
+    # floor-round-6, recursive CTE carrying the selected list (the
+    # pack_best_fit idiom), argmax per step via LATERAL order/limit
+    "similarity_mmr_rerank": """
+        WITH RECURSIVE
+        e AS (SELECT vec_id, list_transform(embedding,
+                         x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        c AS (SELECT vec_id, v AS cv FROM e WHERE vec_id >= 5),
+        s AS (SELECT q.query_id, c.vec_id AS neighbor_id, c.cv,
+                     ROUND(list_dot_product(qv, cv)
+                           / (sqrt(list_dot_product(qv, qv))
+                              * sqrt(list_dot_product(cv, cv))), 6) AS rel
+              FROM q CROSS JOIN c),
+        short AS (
+            SELECT query_id, neighbor_id, cv, rel,
+                   CAST(FLOOR(rel * 1e6 + 0.5) AS BIGINT) AS rel_mu
+            FROM (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY query_id
+                      ORDER BY rel DESC, neighbor_id ASC) AS rn
+                  FROM s)
+            WHERE rn <= 20
+        ),
+        sim AS (
+            SELECT a.query_id, a.neighbor_id AS i, b.neighbor_id AS j,
+                   CAST(FLOOR(list_dot_product(a.cv, b.cv)
+                         / (sqrt(list_dot_product(a.cv, a.cv))
+                            * sqrt(list_dot_product(b.cv, b.cv)))
+                         * 1e6 + 0.5) AS BIGINT) AS sv_mu
+            FROM short a JOIN short b USING (query_id)
+        ),
+        state AS (
+            SELECT query_id, 0 AS r, CAST([] AS BIGINT[]) AS sel,
+                   CAST(NULL AS BIGINT) AS neighbor_id,
+                   CAST(NULL AS BIGINT) AS score_i
+            FROM (SELECT DISTINCT query_id FROM short)
+            UNION ALL
+            SELECT st.query_id, st.r + 1,
+                   list_append(st.sel, best.nid), best.nid, best.score_i
+            FROM state st
+            CROSS JOIN LATERAL (
+                SELECT cand.neighbor_id AS nid,
+                       7 * cand.rel_mu - 3 * COALESCE(p.pen_mu, 0)
+                           AS score_i
+                FROM short cand
+                LEFT JOIN LATERAL (
+                    SELECT MAX(sim.sv_mu) AS pen_mu FROM sim
+                    WHERE sim.query_id = cand.query_id
+                      AND sim.i = cand.neighbor_id
+                      AND list_contains(st.sel, sim.j)
+                ) p ON TRUE
+                WHERE cand.query_id = st.query_id
+                  AND NOT list_contains(st.sel, cand.neighbor_id)
+                ORDER BY score_i DESC, cand.neighbor_id ASC
+                LIMIT 1
+            ) best
+            WHERE st.r < 10
+        )
+        SELECT query_id, CAST(r AS INT) AS rank, neighbor_id,
+               CAST(score_i AS DOUBLE) / 1e7 AS mmr_score
+        FROM state WHERE r > 0
     """,
     "similarity_cosine_topk": """
         WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

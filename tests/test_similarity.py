@@ -660,3 +660,42 @@ def test_l2_topk_matches_bruteforce(spark):
             for c in vecs if c >= 2
         )[:3]
         assert [(c, v) for v, c in d] == sorted(out[q], key=lambda t: (t[1], t[0]))
+
+
+def test_mmr_rerank_diversity_and_lambda1_reduction(spark):
+    """r15 MMR: λ=1.0 reproduces the pure relevance order; at λ=0.7 a
+    planted near-duplicate of the top pick is demoted below a less
+    relevant but diverse candidate; bad λ refuses."""
+    import pytest as _pytest
+
+    from postgres_debezium_clickhouse_spark.operators.similarity import (
+        cosine_topk,
+        mmr_rerank,
+    )
+
+    # query along e1; c10 ≈ c11 (near-dups, most relevant), c12 diverse
+    rows = [
+        (10, [1.0, 0.02, 0.0]),   # rel ~1, dup of 11
+        (11, [1.0, 0.021, 0.0]),  # rel ~1, dup of 10
+        (12, [0.6, -0.8, 0.0]),   # rel 0.6, near-orthogonal to the dups
+        (13, [0.1, 0.0, 1.0]),    # low rel
+    ]
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0])] + rows, "vec_id long, embedding array<double>"
+    )
+    q = emb.filter("vec_id = 0").withColumnRenamed("vec_id", "query_id")
+    c = emb.filter("vec_id > 0")
+    short = cosine_topk(c, q, k=4)
+    rel_order = [r.neighbor_id for r in
+                 short.orderBy("rank").collect()]
+    pure = [r.neighbor_id for r in
+            mmr_rerank(short, c, k=4, lam=1.0)
+            .orderBy("rank").collect()]
+    assert pure == rel_order  # λ=1 ⇒ relevance order
+    mmr = [r.neighbor_id for r in
+           mmr_rerank(short, c, k=3, lam=0.5)
+           .orderBy("rank").collect()]
+    assert mmr[0] == rel_order[0]          # top pick is pure relevance
+    assert mmr[1] == 12                    # diverse candidate jumps the dup
+    with _pytest.raises(ValueError, match="multiple of 0.1"):
+        mmr_rerank(short, c, lam=0.75)
