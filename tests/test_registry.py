@@ -61,6 +61,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
     allow_nested_loop = {
         "similarity_cosine_topk",   # brute-force baseline: broadcast × corpus scan
         "similarity_mips_topk",     # same broadcast × corpus scan shape (r14)
+        "similarity_mmr_rerank",    # embeds the brute-force cosine shortlist (broadcast × corpus scan) (r15)
         "similarity_hamming_topk",  # same broadcast × corpus-scan shape over packed codes (r13)
         "dedup_embedding_cosine",   # block-join verified within label blocks
         "recent_orders_interval",   # scalar attach: 1-row broadcast aggregate
