@@ -51,6 +51,8 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 _FRONT = (
     # round-15 additions (never driver-checked) are inserted here,
     # newest first, as they land.
+    "events_next_conversion",
+    "cdc_hoist_field",
     "similarity_mmr_rerank",
     "corpus_tokenizer_fertility",
     "events_countmin_sketch",

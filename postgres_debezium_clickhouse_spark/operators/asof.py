@@ -30,30 +30,45 @@ def asof_join(
     tiebreak: str | None = None,
     right_prefix: str = "right_",
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right_ts <= left_ts`` matching on the ``on`` keys (backward as-of,
     inclusive — DuckDB/pandas ``merge_asof`` default).  Left rows with no
     prior right row keep NULL right columns (left-outer semantics).
 
-    ``tiebreak`` orders equal-timestamp right rows (last one wins); give a
-    unique column (event id, offset) whenever right timestamps can collide.
-    ``tolerance_seconds`` (pandas ``merge_asof(tolerance=…)``): a match
-    older than the tolerance is discarded — the attached row becomes NULL,
-    exactly as if no prior right row existed.  Applied AFTER the window
-    match, so it adds zero shuffle.  Output: every left column + each
-    right non-key column as ``{right_prefix}{name}``.
+    ``direction='forward'`` (r15 — pandas ``merge_asof`` direction,
+    ClickHouse ``ASOF JOIN ... l.ts <= r.ts``): the EARLIEST right row
+    with ``right_ts >= left_ts`` instead — the time-to-next-event shape
+    (click → next purchase).  Same plan, mirrored window: first/last
+    and the side ordering swap, nothing else.
+
+    ``tiebreak`` orders equal-timestamp right rows (backward: last one
+    wins; forward: first one wins — both "closest in scan order"); give
+    a unique column (event id, offset) whenever right timestamps can
+    collide.  ``tolerance_seconds`` (pandas ``merge_asof(tolerance=…)``):
+    a match farther than the tolerance (older for backward, newer for
+    forward) is discarded — the attached row becomes NULL, exactly as
+    if no match existed.  Applied AFTER the window match, so it adds
+    zero shuffle.  Output: every left column + each right non-key
+    column as ``{right_prefix}{name}``.
     """
+    if direction not in {"backward", "forward"}:
+        raise ValueError("direction must be 'backward' or 'forward'")
+    fwd = direction == "forward"
     rcols = [c for c in right.columns if c not in on]
     payload = F.struct(*[F.col(c) for c in rcols])
 
     # tiebreak must be numeric (an id/offset); both sides carry it as long
     tb = (F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")).alias("__tb")
+    # inclusive match at equal ts: right sorts BEFORE left for backward
+    # (so preceding-window last() sees it), AFTER left for forward (so
+    # following-window first() sees it)
     r = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
         tb,
-        F.lit(0).alias("__side"),  # right sorts BEFORE left at equal ts → inclusive
+        F.lit(1 if fwd else 0).alias("__side"),
         payload.alias("__rp"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in left.columns],
     )
@@ -61,20 +76,25 @@ def asof_join(
         *on,
         F.col(left_ts).alias("__ts"),
         F.lit(None).cast("long").alias("__tb"),
-        F.lit(1).alias("__side"),
+        F.lit(0 if fwd else 1).alias("__side"),
         F.lit(None).cast(r.schema["__rp"].dataType).alias("__rp"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
     )
 
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__tb").asc_nulls_first())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = Window.partitionBy(*on).orderBy(
+        F.col("__ts").asc(), F.col("__side").asc(),
+        F.col("__tb").asc_nulls_first(),
     )
+    if fwd:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        match = F.first("__rp", ignorenulls=True).over(w)
+    else:
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        match = F.last("__rp", ignorenulls=True).over(w)
     joined = (
         r.unionByName(l)
-        .withColumn("__match", F.last("__rp", ignorenulls=True).over(w))
-        .filter(F.col("__side") == 1)
+        .withColumn("__match", match)
+        .filter(F.col("__side") == (0 if fwd else 1))
     )
     if tolerance_seconds is not None:
         if right_ts not in rcols:
@@ -89,6 +109,8 @@ def asof_join(
             return c.cast("timestamp").cast("double") if is_ts else c.cast("double")
 
         age = _secs(F.col("__ts")) - _secs(F.col("__match")[right_ts])
+        if fwd:
+            age = -age
         joined = joined.withColumn(
             "__match", F.when(age <= tolerance_seconds, F.col("__match"))
         )

@@ -328,6 +328,40 @@ def events_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("purchase_id", "user_id", "click_id", "click_ts")
 
 
+def events_next_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — FORWARD as-of join (operators/asof.py ``direction=
+    'forward'``; pandas merge_asof direction, ClickHouse ASOF with the
+    reversed inequality): each click attached to the user's NEXT
+    purchase at-or-after it, plus the time-to-convert in seconds — the
+    mirror of the attribution query and the standard conversion-lag
+    measurement.  Same single-key-shuffle plan, mirrored window.  The
+    oracle re-derives every match with an explicit forward ROW_NUMBER
+    (ts asc, event_id asc — the operator's inclusive/earliest-wins
+    contract)."""
+    from ..operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    j = asof_join(
+        clicks, purchases, on=["user_id"], left_ts="click_ts",
+        right_ts="purchase_ts", tiebreak="purchase_id", right_prefix="",
+        direction="forward",
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return j.select(
+        "click_id", "user_id", "purchase_id", "purchase_ts",
+        ((us("purchase_ts") - us("click_ts")) / F.lit(1e6))
+        .alias("secs_to_convert"),
+    )
+
+
 def events_attribution_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join with a match horizon (pandas merge_asof ``tolerance``):
     a click older than 30 minutes no longer earns the attribution — the
@@ -1118,6 +1152,7 @@ QUERIES = {
     "events_sliding_counts": events_sliding_counts,
     "events_user_funnel": events_user_funnel,
     "events_purchase_attribution": events_purchase_attribution,
+    "events_next_conversion": events_next_conversion,
     "events_attribution_tolerance": events_attribution_tolerance,
     "events_errors_after_signup": events_errors_after_signup,
     "events_micro_ts_roundtrip": events_micro_ts_roundtrip,
@@ -1293,6 +1328,31 @@ ORACLES = {
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
           ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    # forward as-of replayed with an explicit earliest-wins window
+    # (ts asc, event_id asc — the operator's inclusive contract);
+    # µs-normalized timestamps, lag in exact µs/1e6 seconds
+    "events_next_conversion": """
+        WITH c AS (SELECT event_id AS click_id, user_id,
+                          make_timestamp(epoch_us(ts)) AS click_ts
+                   FROM events WHERE event_type = 'click'),
+        p AS (SELECT user_id, event_id AS purchase_id,
+                     make_timestamp(epoch_us(ts)) AS purchase_ts
+              FROM events WHERE event_type = 'purchase'),
+        cand AS (
+            SELECT c.click_id, c.user_id, c.click_ts,
+                   p.purchase_id, p.purchase_ts,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.click_id
+                       ORDER BY p.purchase_ts ASC NULLS LAST,
+                                p.purchase_id ASC NULLS LAST) AS rn
+            FROM c LEFT JOIN p ON p.user_id = c.user_id
+                              AND p.purchase_ts >= c.click_ts
+        )
+        SELECT click_id, user_id, purchase_id, purchase_ts,
+               CAST(epoch_us(purchase_ts) - epoch_us(click_ts) AS DOUBLE)
+                   / 1e6 AS secs_to_convert
+        FROM cand WHERE rn = 1
     """,
     "events_attribution_tolerance": """
         SELECT p.event_id AS purchase_id, p.user_id,

@@ -632,6 +632,45 @@ def cdc_timestamp_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_hoist_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — Kafka Connect's ``HoistField`` SMT
+    (org.apache.kafka.connect.transforms.HoistField$Value,
+    ``field=order``): wrap the record's value fields into ONE struct
+    named by ``field`` — the inverse of ``Flatten``, for sinks that
+    expect the payload nested under a single envelope key.  The
+    record-plane ``offset`` stays top-level (the partial-hoist
+    contract: only the named value columns nest), and the hoisted
+    struct is rendered ``to_json`` so the oracle checks the exact
+    nesting byte-for-byte.
+
+    Plan: pruned parse → one projection + to_json; map-only, fuses
+    into the scan."""
+    from ..operators.transforms import hoist_field
+
+    env = pruned_envelope(
+        ORDERS_CDC_ROW,
+        after=["o_orderkey", "o_custkey", "o_orderstatus"],
+        before=(), source=(),
+    )
+    p = F.col("j.payload")
+    snap = (
+        _orders_parsed(spark, sf_dir, env)
+        .filter(p.op == "r")
+        .select(
+            F.col("offset").cast("long").alias("offset"),
+            p.after.o_orderkey.alias("o_orderkey"),
+            p.after.o_custkey.alias("o_custkey"),
+            p.after.o_orderstatus.alias("o_orderstatus"),
+        )
+    )
+    hoisted = hoist_field(
+        snap, "order", cols=["o_orderkey", "o_custkey", "o_orderstatus"]
+    )
+    return hoisted.select(
+        "offset", F.to_json(F.col("order")).alias("order_json")
+    )
+
+
 def cdc_timestamp_converter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r15 — Kafka Connect's ``TimestampConverter`` SMT
     (org.apache.kafka.connect.transforms.TimestampConverter$Value):
@@ -1098,6 +1137,7 @@ QUERIES = {
     "cdc_insert_field": cdc_insert_field,
     "cdc_timestamp_router": cdc_timestamp_router,
     "cdc_timestamp_converter": cdc_timestamp_converter,
+    "cdc_hoist_field": cdc_hoist_field,
     "cdc_filter_predicate": cdc_filter_predicate,
     "cdc_masked_customers": cdc_masked_customers,
     "cdc_bronze_stats": cdc_bronze_stats,
@@ -1457,6 +1497,16 @@ ORACLES = {
                    '%Y%m%d') AS topic,
                CAST(COUNT(*) AS BIGINT) AS n_events
         FROM ev GROUP BY 1
+    """,
+    # HoistField: exact to_json nesting of the hoisted struct, offset
+    # (snapshot slot 0 = key·10) left top-level
+    "cdc_hoist_field": """
+        SELECT CAST(o_orderkey * 10 AS BIGINT) AS offset,
+               '{"o_orderkey":' || CAST(o_orderkey AS VARCHAR)
+               || ',"o_custkey":' || CAST(o_custkey AS VARCHAR)
+               || ',"o_orderstatus":"' || o_orderstatus || '"}'
+                   AS order_json
+        FROM orders
     """,
     # TimestampConverter: µs-int64 → Timestamp / rendered string /
     # epoch-ms / string-parse round-trip, all UTC

@@ -81,3 +81,38 @@ def test_asof_tolerance_requires_right_ts_in_payload(spark):
             left.withColumnRenamed("lts", "rts"), right, on=["k", "rts"],
             left_ts="rts", right_ts="rts", tolerance_seconds=1,
         )
+
+
+def test_asof_forward_direction(spark):
+    """r15 forward as-of: earliest right at-or-after each left ts;
+    equal-ts rights are INCLUSIVE and tie-break to the smallest id;
+    forward tolerance discards matches too far in the FUTURE; bad
+    direction refuses."""
+    import pytest as _pytest
+
+    from postgres_debezium_clickhouse_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 11, 250), (2, 20, 100)],
+        "k long, lid long, lts long",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100), (1, 6, 100), (1, 7, 200), (1, 8, 300)],
+        "k long, rid long, rts long",
+    )
+    out = {r.lid: r for r in asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        tiebreak="rid", direction="forward",
+    ).collect()}
+    assert out[10].right_rid == 5      # equal ts inclusive, smallest id
+    assert out[11].right_rid == 8      # next at-or-after 250
+    assert out[20].right_rid is None   # no rights for key 2 → NULL
+    tol = {r.lid: r for r in asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        tiebreak="rid", direction="forward", tolerance_seconds=40.0,
+    ).collect()}
+    assert tol[10].right_rid == 5      # 0 ahead, within 40
+    assert tol[11].right_rid is None   # 50 ahead > 40 → discarded
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on=["k"], left_ts="lts", right_ts="rts",
+                  direction="nearest")

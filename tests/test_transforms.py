@@ -466,3 +466,20 @@ def test_timestamp_converter_matrix(spark):
         convert_timestamp_field(df, "us", "unix", unix_precision="weeks")
     with _pytest.raises(ValueError, match="format"):
         convert_timestamp_field(df, "s", "Timestamp")
+
+
+def test_hoist_field_partial_and_full(spark):
+    """r15 HoistField: named columns nest under the field, others stay
+    top-level; default hoists everything."""
+    from postgres_debezium_clickhouse_spark.operators.transforms import (
+        hoist_field,
+    )
+
+    df = spark.createDataFrame([(1, "a", 2)], "id long, x string, y long")
+    part = hoist_field(df, "payload", cols=["x", "y"])
+    assert part.columns == ["id", "payload"]
+    row = part.collect()[0]
+    assert (row.id, row.payload.x, row.payload.y) == (1, "a", 2)
+    full = hoist_field(df, "v")
+    assert full.columns == ["v"]
+    assert full.collect()[0].v.id == 1
