@@ -817,6 +817,49 @@ def hoist_field(df: DataFrame, field: str, cols: list[str] | None = None) -> Dat
 # outright when bound to the ``Filter`` SMT. ---
 
 
+def insert_header(
+    df: DataFrame,
+    header: str,
+    value_literal: str,
+    headers_col: str = "headers",
+) -> DataFrame:
+    """r15 — Kafka Connect's ``InsertHeader`` SMT
+    (org.apache.kafka.connect.transforms.InsertHeader, ``header`` +
+    ``value.literal``): stamp every record with one static header —
+    how operators tag a whole pipeline's records with provenance
+    (cluster id, pipeline name) without touching the value.  Connect's
+    ``addHeader`` appends and allows duplicate keys; the engine's
+    ``map<string,string>`` plane keeps LAST-WRITE-WINS semantics
+    instead (``map_concat`` would throw on a duplicate key under
+    spark.sql.mapKeyDedupPolicy=EXCEPTION, so the existing key is
+    filtered first) — the documented divergence, and the semantics
+    every downstream ``element_at`` read gives anyway.  Map-only."""
+    cleared = F.map_filter(F.col(headers_col), lambda k, _v: k != F.lit(header))
+    return df.withColumn(
+        headers_col,
+        F.map_concat(
+            cleared,
+            F.create_map(F.lit(header), F.lit(value_literal)),
+        ),
+    )
+
+
+def drop_headers(
+    df: DataFrame, headers: list[str], headers_col: str = "headers"
+) -> DataFrame:
+    """r15 — Kafka Connect's ``DropHeaders`` SMT
+    (org.apache.kafka.connect.transforms.DropHeaders, ``headers``
+    list): remove the named headers from every record — the scrub
+    step before records leave a trust boundary (trace ids, internal
+    routing hints).  Absent keys are a no-op, like the SMT.
+    Map-only (map_filter), no shuffle."""
+    named = F.array(*[F.lit(h) for h in headers])
+    return df.withColumn(
+        headers_col,
+        F.map_filter(F.col(headers_col), lambda k, _v: ~F.array_contains(named, k)),
+    )
+
+
 def topic_name_matches(pattern: str, topic_col: str = "topic") -> Column:
     """``TopicNameMatches``: whole-name regex on the record topic
     (Java ``matches()`` anchoring, like regex_router)."""

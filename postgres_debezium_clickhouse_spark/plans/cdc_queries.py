@@ -347,6 +347,40 @@ def cdc_header_to_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_header_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — Kafka Connect's ``InsertHeader`` + ``DropHeaders`` SMT pair
+    (org.apache.kafka.connect.transforms.InsertHeader / DropHeaders):
+    the standard trust-boundary chain — stamp every record with a
+    static provenance header (``header=pipeline``,
+    ``value.literal=cdc-poc``), then scrub the internal headers
+    (``headers=trace,evt_seq`` plus one absent name, pinning the
+    no-op contract) before records leave the cluster.  The reference
+    persists exactly this kind of pipeline lineage as first-class
+    columns in its raw archive (init_clickhouse_raw_tables.sql:28-48);
+    header SMTs are how Connect operators carry it without touching
+    the value.
+
+    The output checks all three planes: the inserted literal, the
+    surviving generator header (``src_region``, key-derived), and the
+    exact post-scrub key set (``array_sort(map_keys)``) — a leaked
+    ``trace`` or a dropped ``src_region`` mismatches every row.
+
+    Plan: map-only (map_filter + map_concat) on the record scan; no
+    value parse, no shuffle — at 100 TB this chain rides the scan."""
+    from ..operators.transforms import drop_headers, insert_header
+
+    rec = orders_cdc_events(spark, sf_dir)
+    stamped = insert_header(rec, "pipeline", "cdc-poc")
+    scrubbed = drop_headers(stamped, ["trace", "evt_seq", "x_absent"])
+    h = F.col("headers")
+    return scrubbed.select(
+        F.col("offset").cast("long").alias("offset"),
+        F.element_at(h, "pipeline").alias("pipeline"),
+        F.element_at(h, "src_region").alias("src_region"),
+        F.array_sort(F.map_keys(h)).alias("header_keys"),
+    )
+
+
 def cdc_shard_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r15 — Debezium's ``ByLogicalTableRouter`` SMT
     (io.debezium.transforms.ByLogicalTableRouter): merge the per-shard
@@ -1128,6 +1162,7 @@ QUERIES = {
     "cdc_timezone_convert": cdc_timezone_convert,
     "cdc_partition_route": cdc_partition_route,
     "cdc_header_to_value": cdc_header_to_value,
+    "cdc_header_ops": cdc_header_ops,
     "cdc_shard_route": cdc_shard_route,
     "cdc_regex_router": cdc_regex_router,
     "cdc_value_to_key": cdc_value_to_key,
@@ -1371,6 +1406,31 @@ ORACLES = {
                    ELSE 'sa' END AS src_region,
                CAST(off % 10 AS BIGINT) AS evt_seq,
                CAST(1 AS INT) AS n_headers_left
+        FROM ev
+    """,
+    # InsertHeader + DropHeaders: offsets from the generator
+    # multiplicities; pipeline = the inserted literal, src_region
+    # survives the scrub, key set is exactly {pipeline, src_region}
+    "cdc_header_ops": """
+        WITH ev AS (
+            SELECT o_orderkey AS k, o_orderkey * 10 + 0 AS off FROM orders
+            UNION ALL SELECT o_orderkey, o_orderkey * 10 + 1
+                FROM orders WHERE o_orderkey % 3 = 0
+            UNION ALL SELECT o_orderkey, o_orderkey * 10 + 5
+                FROM orders WHERE o_orderkey % 3 = 0
+            UNION ALL SELECT o_orderkey, o_orderkey * 10 + 2
+                FROM orders WHERE o_orderkey % 9 = 0
+            UNION ALL SELECT o_orderkey, o_orderkey * 10 + 6
+                FROM orders WHERE o_orderkey % 9 = 0
+            UNION ALL SELECT o_orderkey, o_orderkey * 10 + 3
+                FROM orders WHERE o_orderkey % 7 = 0
+        )
+        SELECT CAST(off AS BIGINT) AS offset,
+               'cdc-poc' AS pipeline,
+               CASE CAST(k % 4 AS INT)
+                   WHEN 0 THEN 'us' WHEN 1 THEN 'eu' WHEN 2 THEN 'ap'
+                   ELSE 'sa' END AS src_region,
+               ['pipeline', 'src_region'] AS header_keys
         FROM ev
     """,
     # RegexRouter: orders topic renamed by the anchored capture-group

@@ -483,3 +483,23 @@ def test_hoist_field_partial_and_full(spark):
     full = hoist_field(df, "v")
     assert full.columns == ["v"]
     assert full.collect()[0].v.id == 1
+
+
+def test_insert_and_drop_headers(spark):
+    """r15 InsertHeader/DropHeaders: literal stamp with last-write-wins
+    on a pre-existing key; scrub removes named keys, absent key no-op."""
+    from postgres_debezium_clickhouse_spark.operators.transforms import (
+        drop_headers,
+        insert_header,
+    )
+
+    df = spark.createDataFrame(
+        [(1, {"trace": "t-1", "pipeline": "old", "keep": "k"})],
+        "id long, headers map<string,string>",
+    )
+    stamped = insert_header(df, "pipeline", "cdc-poc")
+    hs = stamped.collect()[0].headers
+    assert hs["pipeline"] == "cdc-poc" and hs["trace"] == "t-1"
+    scrubbed = drop_headers(stamped, ["trace", "absent"])
+    hs2 = scrubbed.collect()[0].headers
+    assert sorted(hs2) == ["keep", "pipeline"]
