@@ -817,6 +817,80 @@ def hoist_field(df: DataFrame, field: str, cols: list[str] | None = None) -> Dat
 # outright when bound to the ``Filter`` SMT. ---
 
 
+def reselect_columns(
+    events: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    columns: list[str],
+    placeholder: str = "__debezium_unavailable_value",
+    unavailable: bool = True,
+    nulls: bool = True,
+) -> DataFrame:
+    """r15 — Debezium's ``ReselectColumnsPostProcessor``
+    (io.debezium.processors.reselect.ReselectColumnsPostProcessor,
+    Debezium 2.5+): when an event carries the TOAST unavailable-value
+    placeholder (``reselect.unavailable.values``) or a NULL
+    (``reselect.null.values``) in a configured column
+    (``reselect.columns.include.list``), re-query the SOURCE table by
+    primary key and fill in the row's CURRENT value.  Debezium's
+    documented semantics, preserved here: the re-selected value is the
+    database's value AT PROCESSING TIME (possibly newer than the
+    event), and a key with no source row is left untouched (the
+    post-processor logs and skips).
+
+    The real post-processor issues one JDBC point-SELECT per flagged
+    event; the Spark-first re-expression batches the whole repair into
+    ONE left join of the flagged slice against the source snapshot —
+    the flagged slice is filtered out first, so the join's left side
+    is only the events that actually need repair, and Catalyst/AQE
+    pick the join strategy from its real size.  Clean events bypass
+    the join entirely (union of the two slices).
+
+    Adds one ``<col>__reselected`` boolean per configured column."""
+    import functools
+    import operator as _op
+
+    def col_trigger(c: str) -> Column:
+        conds = []
+        if unavailable:
+            conds.append(F.col(c) == F.lit(placeholder))
+        if nulls:
+            conds.append(F.col(c).isNull())
+        return functools.reduce(_op.or_, conds)
+
+    if not (unavailable or nulls):
+        raise ValueError("at least one of unavailable/nulls must be on")
+    any_trigger = functools.reduce(_op.or_, [col_trigger(c) for c in columns])
+    # NULL-trigger columns make the predicate itself NULL on clean rows
+    # unless coalesced — pin both slices to a total predicate.
+    any_trigger = F.coalesce(any_trigger, F.lit(False))
+    flagged = events.filter(any_trigger)
+    clean = events.filter(~any_trigger)
+
+    src = source.select(
+        *[F.col(k).alias(f"__src_{k}") for k in keys],
+        *[F.col(c).alias(f"__src_{c}") for c in columns],
+    )
+    on = functools.reduce(
+        _op.and_, [flagged[k] == src[f"__src_{k}"] for k in keys]
+    )
+    joined = flagged.join(src, on, "left")
+    for c in columns:
+        hit = F.coalesce(col_trigger(c), F.lit(False)) & F.col(
+            f"__src_{c}"
+        ).isNotNull()
+        joined = joined.withColumn(
+            f"{c}__reselected", hit
+        ).withColumn(c, F.when(hit, F.col(f"__src_{c}")).otherwise(F.col(c)))
+    repaired = joined.drop(
+        *[f"__src_{k}" for k in keys], *[f"__src_{c}" for c in columns]
+    )
+    clean = clean.select(
+        "*", *[F.lit(False).alias(f"{c}__reselected") for c in columns]
+    )
+    return clean.unionByName(repaired)
+
+
 def insert_header(
     df: DataFrame,
     header: str,

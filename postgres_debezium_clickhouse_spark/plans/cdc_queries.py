@@ -377,7 +377,7 @@ def cdc_header_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("offset").cast("long").alias("offset"),
         F.element_at(h, "pipeline").alias("pipeline"),
         F.element_at(h, "src_region").alias("src_region"),
-        F.array_sort(F.map_keys(h)).alias("header_keys"),
+        F.concat_ws(",", F.array_sort(F.map_keys(h))).alias("header_keys"),
     )
 
 
@@ -1094,6 +1094,68 @@ def cdc_toast_carry_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("o_orderkey", "note", "status", "op", "ts_ms")
 
 
+def cdc_reselect_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — Debezium's ``ReselectColumnsPostProcessor``
+    (operators/transforms.reselect_columns): repair TOAST
+    placeholder and NULL columns by re-selecting the CURRENT value
+    from the source table — the post-processor alternative to the
+    reference's REPLICA IDENTITY FULL workaround
+    (init_postgresql_data.sql:73-75).
+
+    Planted deterministic schedule over ``orders`` (the
+    cdc_toast_carry_forward note plane, one event class per trigger):
+
+    - snapshot read with a real ``note`` for every key (clean rows
+      must BYPASS the repair join untouched);
+    - %3 keys: update carrying the TOAST placeholder
+      (``reselect.unavailable.values``);
+    - %4 keys: update carrying NULL (``reselect.null.values``);
+    - the source's CURRENT note is ``db-note-<k>`` — deliberately
+      different from every event-time value, pinning that reselect
+      takes the database's present value, not the event's past;
+    - %13 keys are DELETED from the source — their flagged events
+      must keep the placeholder/NULL (no row found → skip).
+
+    Plan: the flagged slice filters before the join (only repairs
+    shuffle); clean rows union around it.  At 100 TB this replaces
+    Debezium's per-event JDBC point-SELECT with one batched join."""
+    from ..operators.transforms import reselect_columns
+    from ..operators.upsert import DEBEZIUM_UNAVAILABLE as PH
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey")
+    k = F.col("o_orderkey")
+
+    def ev(df: DataFrame, note, op: str, off) -> DataFrame:
+        return df.select(
+            k.alias("o_orderkey"),
+            note.alias("note"),
+            F.lit(op).alias("op"),
+            off.cast("long").alias("offset"),
+        )
+
+    events = (
+        ev(orders, F.concat(F.lit("note-"), k), "r", k * 10)
+        .unionByName(ev(orders.filter(k % 3 == 0), F.lit(PH), "u", k * 10 + 1))
+        .unionByName(
+            ev(orders.filter(k % 4 == 0), F.lit(None).cast("string"), "u",
+               k * 10 + 2)
+        )
+    )
+    current = orders.filter(k % 13 != 0).select(
+        k.alias("o_orderkey"), F.concat(F.lit("db-note-"), k).alias("note")
+    )
+    out = reselect_columns(
+        events, current, keys=["o_orderkey"], columns=["note"]
+    )
+    return out.select(
+        "offset",
+        "o_orderkey",
+        "op",
+        "note",
+        F.col("note__reselected").alias("reselected"),
+    )
+
+
 def cdc_outbox_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r13 — Debezium OUTBOX EVENT ROUTER
     (operators/transforms.outbox_route; the documented
@@ -1163,6 +1225,7 @@ QUERIES = {
     "cdc_partition_route": cdc_partition_route,
     "cdc_header_to_value": cdc_header_to_value,
     "cdc_header_ops": cdc_header_ops,
+    "cdc_reselect_columns": cdc_reselect_columns,
     "cdc_shard_route": cdc_shard_route,
     "cdc_regex_router": cdc_regex_router,
     "cdc_value_to_key": cdc_value_to_key,
@@ -1408,6 +1471,31 @@ ORACLES = {
                CAST(1 AS INT) AS n_headers_left
         FROM ev
     """,
+    # ReselectColumnsPostProcessor: snapshot rows untouched; %3
+    # placeholder and %4 NULL events repaired to the CURRENT db-note
+    # unless the key is gone from the source (%13 → kept as-is)
+    "cdc_reselect_columns": """
+        WITH ph AS (SELECT '__debezium_unavailable_value' AS v)
+        SELECT CAST(o_orderkey * 10 AS BIGINT) AS offset,
+               o_orderkey, 'r' AS op,
+               'note-' || CAST(o_orderkey AS VARCHAR) AS note,
+               FALSE AS reselected
+        FROM orders
+        UNION ALL
+        SELECT CAST(o_orderkey * 10 + 1 AS BIGINT), o_orderkey, 'u',
+               CASE WHEN o_orderkey % 13 <> 0
+                    THEN 'db-note-' || CAST(o_orderkey AS VARCHAR)
+                    ELSE (SELECT v FROM ph) END,
+               o_orderkey % 13 <> 0
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT CAST(o_orderkey * 10 + 2 AS BIGINT), o_orderkey, 'u',
+               CASE WHEN o_orderkey % 13 <> 0
+                    THEN 'db-note-' || CAST(o_orderkey AS VARCHAR)
+                    ELSE NULL END,
+               o_orderkey % 13 <> 0
+        FROM orders WHERE o_orderkey % 4 = 0
+    """,
     # InsertHeader + DropHeaders: offsets from the generator
     # multiplicities; pipeline = the inserted literal, src_region
     # survives the scrub, key set is exactly {pipeline, src_region}
@@ -1430,7 +1518,7 @@ ORACLES = {
                CASE CAST(k % 4 AS INT)
                    WHEN 0 THEN 'us' WHEN 1 THEN 'eu' WHEN 2 THEN 'ap'
                    ELSE 'sa' END AS src_region,
-               ['pipeline', 'src_region'] AS header_keys
+               'pipeline,src_region' AS header_keys
         FROM ev
     """,
     # RegexRouter: orders topic renamed by the anchored capture-group

@@ -503,3 +503,37 @@ def test_insert_and_drop_headers(spark):
     scrubbed = drop_headers(stamped, ["trace", "absent"])
     hs2 = scrubbed.collect()[0].headers
     assert sorted(hs2) == ["keep", "pipeline"]
+
+
+def test_reselect_columns(spark):
+    """r15 ReselectColumnsPostProcessor: placeholder and NULL trigger,
+    current-value wins, missing source row skips, clean rows bypass;
+    per-trigger knobs honored."""
+    import pytest as _pytest
+
+    from postgres_debezium_clickhouse_spark.operators.transforms import (
+        reselect_columns,
+    )
+
+    PH = "__debezium_unavailable_value"
+    events = spark.createDataFrame(
+        [(1, "real", 10), (2, PH, 20), (3, None, 30), (4, PH, 40)],
+        "id long, v string, off long",
+    )
+    src = spark.createDataFrame(
+        [(1, "db1"), (2, "db2"), (3, "db3")], "id long, v string"
+    )
+    out = {r.id: r for r in reselect_columns(
+        events, src, ["id"], ["v"]).collect()}
+    assert (out[1].v, out[1].v__reselected) == ("real", False)
+    assert (out[2].v, out[2].v__reselected) == ("db2", True)
+    assert (out[3].v, out[3].v__reselected) == ("db3", True)
+    assert (out[4].v, out[4].v__reselected) == (PH, False)  # no source row
+    # nulls=False: NULL rows are clean (and must not be filter-dropped)
+    out2 = {r.id: r for r in reselect_columns(
+        events, src, ["id"], ["v"], nulls=False).collect()}
+    assert (out2[3].v, out2[3].v__reselected) == (None, False)
+    assert out2[2].v == "db2"
+    with _pytest.raises(ValueError):
+        reselect_columns(events, src, ["id"], ["v"],
+                         unavailable=False, nulls=False)
