@@ -51,6 +51,8 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 _FRONT = (
     # round-15 additions (never driver-checked) are inserted here,
     # newest first, as they land.
+    "ch_welch_ttest",
+    "ch_stats_functions",
     "cdc_reselect_columns",
     "cdc_header_ops",
     "events_next_conversion",

@@ -925,6 +925,137 @@ def supplier_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- ClickHouse statistical aggregates (welchTTest / studentTTest /
+# corr / covar / simpleLinearRegression) ------------------------------------
+#
+# Determinism contract: the only FP-dangerous step is summation, and both
+# engines sum EXACT DECIMALs (order-independent); every double expression
+# below is a shared Python string, so Spark (F.expr) and DuckDB evaluate
+# the IDENTICAL tree on identical inputs — /, *, sqrt are IEEE
+# exactly-rounded, hence bit-equal outputs; floor-round-6 is the final
+# presentation guard.
+
+_R6 = "floor(({x}) * 1e6 + 0.5) / 1e6"
+
+
+def _dec2dbl(c: F.Column) -> F.Column:
+    """Exact-decimal → double through the DECIMAL STRING: above 2^53 the
+    engines' native decimal→double casts diverge (Java BigDecimal's
+    single correct rounding vs DuckDB's int128→double then scale
+    division — two roundings), while string→double is correctly-rounded
+    strtod in both.  Same exact digits in, same double out."""
+    return c.cast("string").cast("double")
+
+
+def _r6(x: str) -> str:
+    return _R6.format(x=x)
+
+
+_V1 = "((sxx1 - (sx1 * sx1) / n1d) / (n1d - 1))"
+_V2 = "((sxx2 - (sx2 * sx2) / n2d) / (n2d - 1))"
+_Q1 = f"({_V1} / n1d)"
+_Q2 = f"({_V2} / n2d)"
+_MDIFF = "((sx1 / n1d) - (sx2 / n2d))"
+_WELCH_EXPRS = {
+    "mean_1": _r6("sx1 / n1d"),
+    "mean_2": _r6("sx2 / n2d"),
+    "var_1": _r6(_V1),
+    "var_2": _r6(_V2),
+    "t_welch": _r6(f"{_MDIFF} / sqrt({_Q1} + {_Q2})"),
+    "df_welch": _r6(
+        f"(({_Q1} + {_Q2}) * ({_Q1} + {_Q2}))"
+        f" / ((({_Q1} * {_Q1}) / (n1d - 1)) + (({_Q2} * {_Q2}) / (n2d - 1)))"
+    ),
+    "t_student": _r6(
+        f"{_MDIFF} / sqrt((((n1d - 1) * {_V1} + (n2d - 1) * {_V2})"
+        f" / (n1d + n2d - 2)) * (1 / n1d + 1 / n2d))"
+    ),
+}
+
+
+def ch_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — ClickHouse's two-sample t-test aggregates
+    (``welchTTest(x, group)`` / ``studentTTest``): is the mean order
+    value of open ('O') orders different from fulfilled ('F')?  Welch's
+    unequal-variance t with the Welch–Satterthwaite df, plus Student's
+    pooled-variance t — the A/B-significance surface a warehouse
+    exposes as one aggregate.
+
+    Spark shape: ONE map-side-combined scalar aggregate over the scan
+    (conditional DECIMAL sums per group — no pivot, no second pass);
+    the t/df formulas are a handful of scalar doubles on the single
+    result row.  At 100 TB the whole test is one reduce of six exact
+    numbers.  Float discipline: see the module-level determinism
+    contract above ``_WELCH_EXPRS``."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = _dec("o_totalprice")
+    is1 = F.col("o_orderstatus") == "O"
+    is2 = F.col("o_orderstatus") == "F"
+    agg = orders.agg(
+        F.count(F.when(is1, 1)).cast("long").alias("n1"),
+        F.count(F.when(is2, 1)).cast("long").alias("n2"),
+        _dec2dbl(F.sum(F.when(is1, d))).alias("sx1"),
+        _dec2dbl(F.sum(F.when(is1, d * d))).alias("sxx1"),
+        _dec2dbl(F.sum(F.when(is2, d))).alias("sx2"),
+        _dec2dbl(F.sum(F.when(is2, d * d))).alias("sxx2"),
+    ).select(
+        "*",
+        F.col("n1").cast("double").alias("n1d"),
+        F.col("n2").cast("double").alias("n2d"),
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        *[F.expr(e).alias(name) for name, e in _WELCH_EXPRS.items()],
+    )
+
+
+_SXY = "(nd * sxy - sx * sy)"
+_SXXN = "(nd * sxx - sx * sx)"
+_SYYN = "(nd * syy - sy * sy)"
+_SLOPE = f"({_SXY} / {_SXXN})"
+_STATS_EXPRS = {
+    "corr_xy": _r6(f"{_SXY} / (sqrt({_SXXN}) * sqrt({_SYYN}))"),
+    "covar_pop": _r6("(sxy - (sx * sy) / nd) / nd"),
+    "covar_samp": _r6("(sxy - (sx * sy) / nd) / (nd - 1)"),
+    "stddev_pop_x": _r6("sqrt((sxx - (sx * sx) / nd) / nd)"),
+    "slope": _r6(_SLOPE),
+    "intercept": _r6(f"(sy - {_SLOPE} * sx) / nd"),
+}
+
+
+def ch_stats_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — ClickHouse's regression/correlation aggregate family
+    (``corr`` / ``covarPop`` / ``covarSamp`` / ``stddevPop`` /
+    ``simpleLinearRegression(x, y)``): per returnflag, how does
+    extended price move with quantity — the one-pass sufficient-
+    statistics form (n, Σx, Σy, Σx², Σy², Σxy) every engine's
+    regression aggregate reduces to.
+
+    Spark shape: one hash aggregate on the 3-value returnflag key,
+    all six sufficient statistics as EXACT DECIMAL sums in the same
+    map-side combine; the six derived doubles are per-group scalars.
+    Nothing here gets worse at 100 TB: the shuffle carries 6 decimals
+    × 3 groups.  Float discipline: shared expression strings (see
+    ``_WELCH_EXPRS`` contract)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = _dec("l_quantity")
+    y = _dec("l_extendedprice")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        _dec2dbl(F.sum(x)).alias("sx"),
+        _dec2dbl(F.sum(y)).alias("sy"),
+        _dec2dbl(F.sum(x * x)).alias("sxx"),
+        _dec2dbl(F.sum(y * y)).alias("syy"),
+        _dec2dbl(F.sum(x * y)).alias("sxy"),
+    ).select("*", F.col("n").cast("double").alias("nd"))
+    return agg.select(
+        "l_returnflag",
+        "n",
+        *[F.expr(e).alias(name) for name, e in _STATS_EXPRS.items()],
+    )
+
+
 QUERIES = {
     "ch_array_functions": ch_array_functions,
     "ch_url_functions": ch_url_functions,
@@ -942,6 +1073,8 @@ QUERIES = {
     "ch_grouping_sets": ch_grouping_sets,
     "ch_any_join": ch_any_join,
     "ch_asof_join": ch_asof_join,
+    "ch_welch_ttest": ch_welch_ttest,
+    "ch_stats_functions": ch_stats_functions,
     "ch_time_bucket_functions": ch_time_bucket_functions,
     "ch_sample_clause": ch_sample_clause,
     "customers_without_orders": customers_without_orders,
@@ -966,7 +1099,75 @@ QUERIES = {
     "ddl_view_roundtrip": ddl_view_roundtrip,
 }
 
+_DEC_PRICE = "CAST(o_totalprice AS DECIMAL(18,2))"
+
 ORACLES = {
+    # the same _WELCH_EXPRS strings the Spark query evaluates — the
+    # double DAG is textually identical on both sides
+    "ch_welch_ttest": f"""
+        WITH s AS (
+            SELECT
+                CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END)
+                     AS BIGINT) AS n1,
+                CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END)
+                     AS BIGINT) AS n2,
+                CAST(CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                              THEN {_DEC_PRICE} END) AS VARCHAR)
+                     AS DOUBLE) AS sx1,
+                CAST(CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                              THEN {_DEC_PRICE} * {_DEC_PRICE} END)
+                     AS VARCHAR) AS DOUBLE) AS sxx1,
+                CAST(CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                              THEN {_DEC_PRICE} END) AS VARCHAR)
+                     AS DOUBLE) AS sx2,
+                CAST(CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                              THEN {_DEC_PRICE} * {_DEC_PRICE} END)
+                     AS VARCHAR) AS DOUBLE) AS sxx2
+            FROM orders
+        ),
+        d AS (
+            SELECT s.*, CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d
+            FROM s
+        )
+        SELECT n1, n2,
+               {_WELCH_EXPRS['mean_1']} AS mean_1,
+               {_WELCH_EXPRS['mean_2']} AS mean_2,
+               {_WELCH_EXPRS['var_1']} AS var_1,
+               {_WELCH_EXPRS['var_2']} AS var_2,
+               {_WELCH_EXPRS['t_welch']} AS t_welch,
+               {_WELCH_EXPRS['df_welch']} AS df_welch,
+               {_WELCH_EXPRS['t_student']} AS t_student
+        FROM d
+    """,
+    "ch_stats_functions": f"""
+        WITH s AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                        AS VARCHAR) AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                        AS VARCHAR) AS DOUBLE) AS sy,
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                            * CAST(l_quantity AS DECIMAL(18,2)))
+                        AS VARCHAR) AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(l_extendedprice AS DECIMAL(18,2)))
+                        AS VARCHAR) AS DOUBLE) AS syy,
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                            * CAST(l_extendedprice AS DECIMAL(18,2)))
+                        AS VARCHAR) AS DOUBLE) AS sxy
+            FROM lineitem GROUP BY l_returnflag
+        ),
+        d AS (SELECT s.*, CAST(n AS DOUBLE) AS nd FROM s)
+        SELECT l_returnflag, n,
+               {_STATS_EXPRS['corr_xy']} AS corr_xy,
+               {_STATS_EXPRS['covar_pop']} AS covar_pop,
+               {_STATS_EXPRS['covar_samp']} AS covar_samp,
+               {_STATS_EXPRS['stddev_pop_x']} AS stddev_pop_x,
+               {_STATS_EXPRS['slope']} AS slope,
+               {_STATS_EXPRS['intercept']} AS intercept
+        FROM d
+    """,
     "ch_grouping_sets": """
         SELECT o_orderstatus, o_orderpriority,
                CAST(COUNT(*) AS BIGINT) AS n,
