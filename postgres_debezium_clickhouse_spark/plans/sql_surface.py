@@ -1056,6 +1056,72 @@ def ch_stats_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ch_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — ClickHouse's string-distance function family
+    (``editDistance`` / ``byteHammingDistance`` /
+    ``stringJaccardIndex`` / ``ngramDistance``-style trigram overlap):
+    the fuzzy-matching primitives under entity resolution and
+    near-duplicate candidate scoring, evaluated over adjacent-key part
+    name pairs (a deterministic pair generator with real lexical
+    variety — TPC-H names share word vocabulary).
+
+    Determinism: every output is an exact INTEGER — edit distance,
+    byte-Hamming (mismatches over the common prefix length + the
+    length difference, CH's any-length contract), and the two
+    set-similarity ratios DECOMPOSED into numerator/denominator pairs
+    (trigram-set and charset intersection/union sizes) instead of a
+    float division — the ratio is the caller's one division away, and
+    the oracle stays bit-exact by construction.
+
+    Spark shape: all JVM-side — ``levenshtein`` is a built-in;
+    Hamming and the n-gram sets are ``transform``/``array_distinct``/
+    ``array_intersect`` over ``sequence`` (whole-stage codegen, no
+    Python).  The pair generator is a key+1 equi-join — one hash
+    shuffle, no window over a global order, no cartesian."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    a = part.select(F.col("p_partkey").alias("pk"), F.col("p_name").alias("a"))
+    b = part.select(
+        (F.col("p_partkey") - 1).alias("pk"), F.col("p_name").alias("b")
+    )
+    pairs = a.join(b, "pk")
+
+    def trigrams(c: str) -> F.Column:
+        return F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, length({c}) - 2),"
+                f" i -> substring({c}, i, 3))"
+            )
+        )
+
+    def charset(c: str) -> F.Column:
+        return F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, length({c})),"
+                f" i -> substring({c}, i, 1))"
+            )
+        )
+
+    mism = F.expr(
+        "size(filter(transform(sequence(1, least(length(a), length(b))),"
+        " i -> substring(a, i, 1) != substring(b, i, 1)), x -> x))"
+    )
+    ta, tb = trigrams("a"), trigrams("b")
+    ca, cb = charset("a"), charset("b")
+    tri_i = F.size(F.array_intersect(ta, tb))
+    chr_i = F.size(F.array_intersect(ca, cb))
+    return pairs.select(
+        F.col("pk").alias("p_partkey"),
+        F.levenshtein("a", "b").cast("long").alias("edit_distance"),
+        (mism + F.abs(F.length("a") - F.length("b")))
+        .cast("long")
+        .alias("byte_hamming"),
+        tri_i.cast("long").alias("trigram_inter"),
+        (F.size(ta) + F.size(tb) - tri_i).cast("long").alias("trigram_union"),
+        chr_i.cast("long").alias("charset_inter"),
+        (F.size(ca) + F.size(cb) - chr_i).cast("long").alias("charset_union"),
+    )
+
+
 QUERIES = {
     "ch_array_functions": ch_array_functions,
     "ch_url_functions": ch_url_functions,
@@ -1075,6 +1141,7 @@ QUERIES = {
     "ch_asof_join": ch_asof_join,
     "ch_welch_ttest": ch_welch_ttest,
     "ch_stats_functions": ch_stats_functions,
+    "ch_string_distance": ch_string_distance,
     "ch_time_bucket_functions": ch_time_bucket_functions,
     "ch_sample_clause": ch_sample_clause,
     "customers_without_orders": customers_without_orders,
@@ -1167,6 +1234,41 @@ ORACLES = {
                {_STATS_EXPRS['slope']} AS slope,
                {_STATS_EXPRS['intercept']} AS intercept
         FROM d
+    """,
+    # exact integer distances over the key+1 pair generator; DuckDB's
+    # levenshtein is the same unit-cost DP as Spark's
+    "ch_string_distance": """
+        WITH pairs AS (
+            SELECT x.p_partkey AS pk, x.p_name AS a, y.p_name AS b
+            FROM part x JOIN part y ON x.p_partkey = y.p_partkey - 1
+        ),
+        g AS (
+            SELECT pk, a, b,
+                   list_distinct(list_transform(range(1, length(a) - 1),
+                       i -> substring(a, CAST(i AS INT), 3))) AS ta,
+                   list_distinct(list_transform(range(1, length(b) - 1),
+                       i -> substring(b, CAST(i AS INT), 3))) AS tb,
+                   list_distinct(list_transform(range(1, length(a) + 1),
+                       i -> substring(a, CAST(i AS INT), 1))) AS ca,
+                   list_distinct(list_transform(range(1, length(b) + 1),
+                       i -> substring(b, CAST(i AS INT), 1))) AS cb
+            FROM pairs
+        )
+        SELECT pk AS p_partkey,
+               CAST(levenshtein(a, b) AS BIGINT) AS edit_distance,
+               CAST(len(list_filter(list_transform(
+                        range(1, least(length(a), length(b)) + 1),
+                        i -> substring(a, CAST(i AS INT), 1)
+                             <> substring(b, CAST(i AS INT), 1)),
+                        x -> x))
+                    + abs(length(a) - length(b)) AS BIGINT) AS byte_hamming,
+               CAST(len(list_intersect(ta, tb)) AS BIGINT) AS trigram_inter,
+               CAST(len(ta) + len(tb) - len(list_intersect(ta, tb))
+                    AS BIGINT) AS trigram_union,
+               CAST(len(list_intersect(ca, cb)) AS BIGINT) AS charset_inter,
+               CAST(len(ca) + len(cb) - len(list_intersect(ca, cb))
+                    AS BIGINT) AS charset_union
+        FROM g
     """,
     "ch_grouping_sets": """
         SELECT o_orderstatus, o_orderpriority,
