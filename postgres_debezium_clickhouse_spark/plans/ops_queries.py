@@ -2199,6 +2199,46 @@ def object_store_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sh.rmtree(src, ignore_errors=True)
 
 
+def object_store_orc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — ORC ingestion (S6: the one columnar wire format in
+    ClickHouse's S3 format matrix the registry lacked — CH reads and
+    writes ORC next to Parquet, basic_example's object-store surface).
+    Unlike the Avro/RowBinary/protobuf paths (stdlib codecs — those
+    jars are absent), ORC is NATIVE to Spark: the fixture is written
+    by the distributed ORC sink itself (4 tasks, zlib) and read back
+    through Spark's vectorized ORC scan — the same
+    pushdown/pruning-capable source a 100 TB lake ingest would use
+    (test_formats pins PushedFilters reaching the ORC scan).
+
+    Typed plane matches the Avro fixture: nullable union column
+    (price NULL for keys ≡0 mod 11), enum-ish kind from key mod 3.
+    Full value oracle: every row restated from orders arithmetic."""
+    import shutil as _sh
+
+    src = f"{tempfile.gettempdir()}/orc_src_{uuid.uuid4().hex[:12]}"
+    try:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        k = F.col("o_orderkey")
+        typed = orders.select(
+            k.alias("o_orderkey"),
+            F.col("o_orderstatus"),
+            F.when(k % 11 != 0, F.col("o_totalprice")).alias("price"),
+            F.element_at(
+                F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+                (k % 3 + 1).cast("int"),
+            ).alias("kind"),
+        )
+        (
+            typed.repartition(4)
+            .write.mode("overwrite")
+            .option("compression", "zlib")
+            .orc(src)
+        )
+        return spark.read.orc(src).localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(src, ignore_errors=True)
+
+
 def object_store_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r15 — WARC ingestion (sources/warc.py: ISO 28500, the container
     format every web-scale corpus starts in — CommonCrawl ships
@@ -3073,6 +3113,7 @@ QUERIES = {
     "stream_stream_join": stream_stream_join,
     "object_store_typed_ingest": object_store_typed_ingest,
     "object_store_avro_ingest": object_store_avro_ingest,
+    "object_store_orc_ingest": object_store_orc_ingest,
     "object_store_warc_ingest": object_store_warc_ingest,
     "object_store_proto_ingest": object_store_proto_ingest,
     "cdc_incremental_snapshot": cdc_incremental_snapshot,
@@ -3337,6 +3378,14 @@ ORACLES["object_store_warc_ingest"] = """
            CAST(length(text) AS BIGINT) AS n_body_chars,
            sha256(text) AS body_sha
     FROM documents
+"""
+
+ORACLES["object_store_orc_ingest"] = """
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 11 <> 0 THEN o_totalprice END AS price,
+           CASE CAST(o_orderkey % 3 AS INT)
+                WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END AS kind
+    FROM orders
 """
 
 ORACLES["object_store_avro_ingest"] = """

@@ -104,3 +104,25 @@ def test_tsv_stream_micro_batches(spark, tmp_path):
     assert q.awaitTermination(120)
     got = spark.read.parquet(out)
     assert sorted([(r.id, r.note, r.price) for r in got.collect()]) == sorted(VALUES)
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """r15 ORC ingest: native sink/scan round-trip preserves types and
+    nulls, and a value predicate reaches the ORC scan as PushedFilters
+    (the 100 TB reason to use a columnar wire format at all)."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "orc")
+    df = spark.createDataFrame(
+        [(1, "O", 10.5, "a"), (2, "F", None, "b")],
+        "o_orderkey long, o_orderstatus string, price double, kind string",
+    )
+    df.write.mode("overwrite").option("compression", "zlib").orc(src)
+    back = spark.read.orc(src)
+    rows = {r.o_orderkey: r for r in back.collect()}
+    assert rows[1].price == 10.5 and rows[2].price is None
+    assert [f.dataType.simpleString() for f in back.schema.fields] == [
+        "bigint", "string", "double", "string"
+    ]
+    plan = back.filter(F.col("price") > 5.0)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "price" in plan
