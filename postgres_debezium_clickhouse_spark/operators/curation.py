@@ -567,6 +567,103 @@ def domain_temperature_weights(
     )
 
 
+def unimax_mix_weights(
+    documents: DataFrame,
+    epoch_cap: int = 2,
+    budget_num: int = 8,
+    budget_den: int = 5,
+    lang_col: str = "lang",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """UniMax language sampling (Chung et al., ICLR 2023, public paper):
+    allocate a character budget ``B = total*budget_num//budget_den``
+    across languages so that no language repeats more than
+    ``epoch_cap`` epochs — ascending by size, each language takes
+    ``min(cap*size, fair share of the remaining budget)``.
+
+    The paper's sequential loop has a prefix-monotone closed form
+    (c_i = cap*size_i*(n-i+1) + cap*prefix_{i-1} is nondecreasing in
+    the ascending order, so "capped" is exactly a prefix): capped
+    languages take ``cap*size``; the rest split the leftover evenly,
+    with the integer remainder going one char each to the first
+    ``rem`` uncapped languages — EXACT integer arithmetic end to end,
+    replayable by any engine.  When the budget exceeds ``cap×total``
+    every language caps and the leftover is deliberately unallocated
+    (the paper's budget is then infeasible; the ``capped`` column says
+    so).
+
+    Scale: one map-side-combinable agg to |languages| rows; the
+    ordered windows below run over those rows only (language
+    cardinality, not corpus cardinality)."""
+    from pyspark.sql import Window as W
+
+    per = documents.groupBy(lang_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col(size_col)).cast("long").alias("size_chars"),
+    )
+    cap = F.lit(int(epoch_cap)).cast("long")
+    wo = W.orderBy("size_chars", lang_col)
+    wall = W.partitionBy()
+    per = (
+        per.withColumn("rn", F.row_number().over(wo).cast("long"))
+        .withColumn(
+            "pfx",
+            F.coalesce(
+                F.sum("size_chars").over(
+                    wo.rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .withColumn("n_langs", F.count(F.lit(1)).over(wall).cast("long"))
+        .withColumn(
+            "budget",
+            (
+                F.sum("size_chars").over(wall)
+                * F.lit(int(budget_num))
+            ).cast("long")
+            / F.lit(int(budget_den)),
+        )
+        .withColumn("budget", F.floor("budget").cast("long"))
+    )
+    capped = (
+        cap * F.col("size_chars") * (F.col("n_langs") - F.col("rn") + 1)
+        + cap * F.col("pfx")
+    ) <= F.col("budget")
+    per = per.withColumn("capped", capped)
+    per = (
+        per.withColumn(
+            "m", F.sum(F.col("capped").cast("long")).over(wall)
+        )
+        .withColumn(
+            "pm",
+            F.coalesce(
+                F.sum(F.when(F.col("capped"), F.col("size_chars"))).over(wall),
+                F.lit(0),
+            ).cast("long"),
+        )
+    )
+    leftover = F.col("budget") - cap * F.col("pm")
+    k = F.col("n_langs") - F.col("m")
+    base = F.expr("leftover div k")
+    rem = F.expr("leftover % k")
+    per = per.withColumn("leftover", leftover).withColumn("k", k)
+    alloc = F.when(F.col("capped"), cap * F.col("size_chars")).otherwise(
+        base + F.when((F.col("rn") - F.col("m")) <= rem, 1).otherwise(0)
+    )
+    per = per.withColumn("alloc_chars", alloc.cast("long"))
+    return per.select(
+        lang_col,
+        "n_docs",
+        "size_chars",
+        "capped",
+        "alloc_chars",
+        F.expr("alloc_chars * 1000000 div size_chars")
+        .cast("long")
+        .alias("epochs_micro"),
+    )
+
+
 def remove_common_spans(
     documents: DataFrame,
     k: int = 10,

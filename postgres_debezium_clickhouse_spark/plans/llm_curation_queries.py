@@ -55,6 +55,23 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_mix_weights(load_table(spark, sf_dir, "documents"))
 
 
+def q_corpus_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — UniMax epoch-capped language sampling
+    (operators/curation.unimax_mix_weights; Chung et al. ICLR 2023):
+    the third mixing rule next to temperature and uniform-target —
+    fill a 1.6× character budget without repeating any language more
+    than 2 epochs.  The paper's sequential allocation is re-expressed
+    as its prefix-monotone closed form over the per-language aggregate
+    (exact integer arithmetic, windows over |languages| rows only);
+    the oracle replays the identical integer math."""
+    from ..operators.curation import unimax_mix_weights
+
+    return unimax_mix_weights(
+        load_table(spark, sf_dir, "documents"),
+        epoch_cap=2, budget_num=8, budget_den=5,
+    )
+
+
 def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r7: quality-WEIGHTED sampling — the step between hard filtering and
     uniform sampling in a data recipe: each document is kept with
@@ -295,6 +312,7 @@ QUERIES = {
     "corpus_token_budget_sample": q_token_budget_sample,
     "corpus_temperature_mix": q_temperature_mix,
     "corpus_domain_mix": q_domain_mix,
+    "corpus_unimax_mix": q_corpus_unimax_mix,
     "corpus_weighted_sample": q_quality_weighted_sample,
     "corpus_training_order": q_corpus_training_order,
     "corpus_shard_manifest": q_corpus_shard_manifest,
@@ -443,6 +461,57 @@ ORACLES = {
                  / (total_tokens / sum(total_tokens) OVER ()), 6) AS boost
     FROM per
 """,
+    # UniMax closed form replayed in the same exact integer arithmetic:
+    # ascending (size, lang) order, capped prefix via the monotone
+    # c_i test, leftover split evenly with remainder to the first rem
+    "corpus_unimax_mix": """
+        WITH per AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS size_chars
+            FROM documents GROUP BY lang
+        ),
+        o AS (
+            SELECT per.*,
+                   CAST(ROW_NUMBER() OVER (ORDER BY size_chars, lang)
+                        AS BIGINT) AS rn,
+                   CAST(COALESCE(SUM(size_chars) OVER (
+                        ORDER BY size_chars, lang
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS pfx,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n_langs,
+                   CAST(SUM(size_chars) OVER () * 8 // 5 AS BIGINT) AS budget
+            FROM per
+        ),
+        c AS (
+            SELECT o.*,
+                   (2 * size_chars * (n_langs - rn + 1) + 2 * pfx)
+                       <= budget AS capped
+            FROM o
+        ),
+        m AS (
+            SELECT c.*,
+                   CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER ()
+                        AS BIGINT) AS m,
+                   CAST(COALESCE(SUM(CASE WHEN capped THEN size_chars END)
+                        OVER (), 0) AS BIGINT) AS pm
+            FROM c
+        ),
+        a AS (
+            SELECT m.*,
+                   CASE WHEN capped THEN 2 * size_chars
+                        ELSE (budget - 2 * pm) // (n_langs - m)
+                           + CASE WHEN (rn - m) <=
+                                  (budget - 2 * pm) % (n_langs - m)
+                                  THEN 1 ELSE 0 END
+                   END AS alloc_chars
+            FROM m
+        )
+        SELECT lang, n_docs, size_chars, capped,
+               CAST(alloc_chars AS BIGINT) AS alloc_chars,
+               CAST(alloc_chars * 1000000 // size_chars AS BIGINT)
+                   AS epochs_micro
+        FROM a
+    """,
     "corpus_domain_mix": """
         WITH per AS (SELECT source, COUNT(*) AS n_docs,
                             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens

@@ -772,3 +772,46 @@ def test_fim_transform_reassembles_and_gates(spark):
         assert pre + mid + suf == t
         assert (len(pre), len(pre) + len(mid)) == (r.cut_lo, r.cut_hi)
     assert modes == {"psm", "spm", "none"}
+
+
+def test_unimax_mix_weights(spark):
+    """r15 UniMax: capped prefix takes cap*size, the rest split the
+    leftover with the integer remainder to the first rem uncapped;
+    infeasible budget (all capped) never divides by zero."""
+    from postgres_debezium_clickhouse_spark.operators.curation import (
+        unimax_mix_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "x", lang, "s", n) for i, (lang, n) in enumerate(
+            [("aa", 10), ("bb", 20), ("cc", 100), ("cc", 100)]
+        )],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # sizes: aa=10, bb=20, cc=200; budget = 230*8//5 = 368, cap=2
+    # aa: 2*10*3+0=60 <= 368 capped -> 20
+    # bb: 2*20*2+2*10=100 <= 368 capped -> 40
+    # cc: 2*200*1+2*30=460 > 368 uncapped -> (368-60)//1 = 308
+    out = {r.lang: r for r in unimax_mix_weights(docs).collect()}
+    assert (out["aa"].alloc_chars, out["aa"].capped) == (20, True)
+    assert (out["bb"].alloc_chars, out["bb"].capped) == (40, True)
+    assert (out["cc"].alloc_chars, out["cc"].capped) == (308, False)
+    assert out["cc"].epochs_micro == 308 * 1000000 // 200
+    # remainder distribution: two uncapped, odd leftover
+    docs2 = spark.createDataFrame(
+        [(1, "x", "aa", "s", 3), (2, "x", "bb", "s", 100),
+         (3, "x", "cc", "s", 100)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # total=203, budget=203*8//5=324; aa: 2*3*3=18<=324 capped ->6
+    # bb: 2*100*2+6=406>324 uncapped; leftover=318, k=2 -> 159 each,
+    # rem=0
+    out2 = {r.lang: r for r in unimax_mix_weights(docs2).collect()}
+    assert out2["aa"].alloc_chars == 6
+    assert out2["bb"].alloc_chars == 159 and out2["cc"].alloc_chars == 159
+    # infeasible: budget far above cap*total -> all capped, no div0
+    out3 = unimax_mix_weights(docs2, budget_num=100, budget_den=1).collect()
+    assert all(r.capped for r in out3)
+    assert {r.lang: r.alloc_chars for r in out3} == {
+        "aa": 6, "bb": 200, "cc": 200
+    }
