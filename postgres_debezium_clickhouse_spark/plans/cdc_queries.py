@@ -1094,6 +1094,81 @@ def cdc_toast_carry_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("o_orderkey", "note", "status", "op", "ts_ms")
 
 
+def cdc_json_schema_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — Kafka Connect's JsonConverter with ``schemas.enable=true``
+    (org.apache.kafka.connect.json.JsonConverter): every value is
+    framed ``{"schema": {...}, "payload": {...}}`` — the default
+    Debezium JSON wire when no Schema Registry is deployed (the
+    reference's connector configs set ``value.converter.schemas.
+    enable``; its ClickHouse DDL extracts from ``payload`` and
+    DISCARDS the schema block, clickhouse.sql:57-68).  This query
+    keeps the schema block and uses it: two interleaved schema
+    VERSIONS declare ``price`` as Connect ``string``
+    (decimal-as-string, v1, even keys) vs ``double`` (v2, odd keys),
+    and extraction dispatches on the DECLARED type — the engine reads
+    the contract from the wire, not from configuration.
+
+    Parse shape: ``get_json_object`` pulls the schema and payload
+    blocks; ``from_json`` types the schema (name/version/fields);
+    the declared price type comes from ``filter(fields, ...)`` —
+    all JVM-side, one map pass, no shuffle."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+
+    def framed(df: DataFrame, version: int, price_field) -> DataFrame:
+        price_type = "string" if version == 1 else "double"
+        schema = F.struct(
+            F.lit("struct").alias("type"),
+            F.lit("poc.public.orders.Value").alias("name"),
+            F.lit(version).alias("version"),
+            F.array(
+                F.struct(F.lit("o_orderkey").alias("field"),
+                         F.lit("int64").alias("type")),
+                F.struct(F.lit("o_orderstatus").alias("field"),
+                         F.lit("string").alias("type")),
+                F.struct(F.lit("price").alias("field"),
+                         F.lit(price_type).alias("type")),
+            ).alias("fields"),
+        )
+        payload = F.struct(
+            k.alias("o_orderkey"),
+            F.col("o_orderstatus"),
+            price_field.alias("price"),
+        )
+        return df.select(
+            F.to_json(
+                F.struct(schema.alias("schema"), payload.alias("payload"))
+            ).alias("value")
+        )
+
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    v1 = framed(orders.filter(k % 2 == 0), 1, dec.cast("string"))
+    v2 = framed(orders.filter(k % 2 != 0), 2, dec)
+    wire = v1.unionByName(v2)
+
+    sch = F.from_json(
+        F.get_json_object("value", "$.schema"),
+        "type string, name string, version int, "
+        "fields array<struct<field:string,type:string>>",
+    )
+    parsed = wire.select(
+        sch.alias("s"),
+        F.get_json_object("value", "$.payload.o_orderkey")
+        .cast("long")
+        .alias("o_orderkey"),
+        F.get_json_object("value", "$.payload.price").alias("price_raw"),
+    )
+    declared = F.expr("filter(s.fields, f -> f.field = 'price')")[0]["type"]
+    return parsed.select(
+        "o_orderkey",
+        F.col("s.name").alias("schema_name"),
+        F.col("s.version").cast("int").alias("schema_version"),
+        declared.alias("price_type"),
+        F.col("price_raw").cast("double").alias("price"),
+        F.size("s.fields").cast("int").alias("n_fields"),
+    )
+
+
 def cdc_reselect_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r15 — Debezium's ``ReselectColumnsPostProcessor``
     (operators/transforms.reselect_columns): repair TOAST
@@ -1226,6 +1301,7 @@ QUERIES = {
     "cdc_header_to_value": cdc_header_to_value,
     "cdc_header_ops": cdc_header_ops,
     "cdc_reselect_columns": cdc_reselect_columns,
+    "cdc_json_schema_envelope": cdc_json_schema_envelope,
     "cdc_shard_route": cdc_shard_route,
     "cdc_regex_router": cdc_regex_router,
     "cdc_value_to_key": cdc_value_to_key,
@@ -1470,6 +1546,20 @@ ORACLES = {
                CAST(off % 10 AS BIGINT) AS evt_seq,
                CAST(1 AS INT) AS n_headers_left
         FROM ev
+    """,
+    # JsonConverter schemas.enable frame: declared type dispatch per
+    # version parity; price round-trips decimal-string -> double
+    "cdc_json_schema_envelope": """
+        SELECT o_orderkey,
+               'poc.public.orders.Value' AS schema_name,
+               CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END
+                    AS INT) AS schema_version,
+               CASE WHEN o_orderkey % 2 = 0 THEN 'string'
+                    ELSE 'double' END AS price_type,
+               CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+                    AS DOUBLE) AS price,
+               CAST(3 AS INT) AS n_fields
+        FROM orders
     """,
     # ReselectColumnsPostProcessor: snapshot rows untouched; %3
     # placeholder and %4 NULL events repaired to the CURRENT db-note
