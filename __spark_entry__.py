@@ -51,6 +51,8 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 _FRONT = (
     # round-15 additions (never driver-checked) are inserted here,
     # newest first, as they land.
+    "ch_entropy",
+    "ch_mann_whitney",
     "cdc_json_schema_envelope",
     "corpus_unimax_mix",
     "object_store_orc_ingest",

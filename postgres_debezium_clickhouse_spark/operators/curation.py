@@ -595,22 +595,20 @@ def unimax_mix_weights(
     Scale: one map-side-combinable agg to |languages| rows; the
     ordered windows below run over those rows only (language
     cardinality, not corpus cardinality)."""
-    from pyspark.sql import Window as W
-
     per = documents.groupBy(lang_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.col(size_col)).cast("long").alias("size_chars"),
     )
     cap = F.lit(int(epoch_cap)).cast("long")
-    wo = W.orderBy("size_chars", lang_col)
-    wall = W.partitionBy()
+    wo = Window.orderBy("size_chars", lang_col)
+    wall = Window.partitionBy()
     per = (
         per.withColumn("rn", F.row_number().over(wo).cast("long"))
         .withColumn(
             "pfx",
             F.coalesce(
                 F.sum("size_chars").over(
-                    wo.rowsBetween(W.unboundedPreceding, -1)
+                    wo.rowsBetween(Window.unboundedPreceding, -1)
                 ),
                 F.lit(0),
             ).cast("long"),

@@ -1056,6 +1056,138 @@ def ch_stats_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MW_Z = (
+    "((u2ad / 2) - (nad * nbd) / 2)"
+    " / sqrt(((nad * nbd) / 12) * ((nad + nbd + 1)"
+    " - tie / ((nad + nbd) * (nad + nbd - 1))))"
+)
+
+
+def ch_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — ClickHouse's ``mannWhitneyUTest(x, group)`` aggregate: the
+    nonparametric two-sample test (do 'A' and 'R' returnflag lines
+    draw quantities from the same distribution?) — rank-based, so the
+    whole computation reduces to the VALUE HISTOGRAM, not the rows.
+
+    Exactness: quantities take ~50 distinct values, so the engine
+    aggregates to per-value (count_A, count_B) first (one map-side-
+    combined shuffle on the value), then computes midrank sums in
+    DOUBLED-RANK INTEGER UNITS (rank2 = 2·prefix + t + 1 — the ½s of
+    midranks never materialize as floats) over the 50-row aggregate.
+    U, the rank sums, and the tie term Σ(t³−t) (DECIMAL — t³ overflows
+    int64 at sf10) are all exact; only the final z-statistic is a
+    mirrored double DAG (normal approximation with the standard tie
+    correction), round-6 guarded.
+
+    At 100 TB nothing changes: the shuffle carries |distinct values|
+    rows; the windows below run over those rows only."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+    )
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    per = li.groupBy(q.alias("v")).agg(
+        F.count(F.when(F.col("l_returnflag") == "A", 1)).cast("long").alias("ca"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).cast("long").alias("cb"),
+    )
+    wv = Window.orderBy("v")
+    wall = Window.partitionBy()
+    t = (F.col("ca") + F.col("cb")).cast("long")
+    per = per.withColumn("t", t).withColumn(
+        "pfx",
+        F.coalesce(
+            F.sum("t").over(wv.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long"),
+    )
+    rank2 = (F.lit(2) * F.col("pfx") + F.col("t") + 1).cast("long")
+    agg = per.select(
+        F.col("ca"), F.col("cb"), F.col("t"), rank2.alias("rank2")
+    ).agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.sum(F.col("ca") * F.col("rank2")).cast("long").alias("r2a"),
+        F.sum(F.col("cb") * F.col("rank2")).cast("long").alias("r2b"),
+        _dec2dbl(
+            F.sum(
+                F.col("t").cast("decimal(38,0)")
+                * F.col("t").cast("decimal(38,0)")
+                * F.col("t").cast("decimal(38,0)")
+                - F.col("t").cast("decimal(38,0)")
+            )
+        ).alias("tie"),
+    )
+    agg = agg.select(
+        "*",
+        (F.col("r2a") - F.col("na") * (F.col("na") + 1))
+        .cast("long")
+        .alias("u2a"),
+        (F.col("r2b") - F.col("nb") * (F.col("nb") + 1))
+        .cast("long")
+        .alias("u2b"),
+    ).select(
+        "*",
+        F.col("na").cast("double").alias("nad"),
+        F.col("nb").cast("double").alias("nbd"),
+        F.col("u2a").cast("double").alias("u2ad"),
+    )
+    return agg.select(
+        "na", "nb", "u2a", "u2b",
+        F.col("tie").alias("tie_term"),  # exact via the decimal string
+        F.expr(_r6(_MW_Z)).alias("z_stat"),
+    )
+
+
+_ENT_SLNC = " + ".join(
+    f"(CASE WHEN c{i}d > 0 THEN c{i}d * ln(c{i}d) ELSE 0 END)"
+    for i in range(1, 6)
+)
+_ENT_SQ = " + ".join(f"c{i}d * c{i}d" for i in range(1, 6))
+_ENT_PAIRS = " + ".join(f"c{i}d * (c{i}d - 1)" for i in range(1, 6))
+_ENT_EXPRS = {
+    "entropy_bits": _r6(f"(ln(nd) - ({_ENT_SLNC}) / nd) / ln(2)"),
+    "gini_impurity": _r6(f"1 - ({_ENT_SQ}) / (nd * nd)"),
+    "simpson_index": _r6(f"({_ENT_PAIRS}) / (nd * (nd - 1))"),
+}
+_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+def ch_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — ClickHouse's diversity aggregates (``entropy(x)`` plus the
+    Gini-impurity / Simpson-index pair every class-balance report
+    wants next to it): per order status, how spread out are the
+    priorities?
+
+    Exactness: the five priority values are a CLOSED enum, so the
+    per-group distribution pivots into five exact integer counts
+    (conditional counts, one map-side-combined agg — no second
+    shuffle, no collect), and every float formula is a shared
+    expression string with a FIXED term order (c1..c5) — the log-sum
+    never depends on aggregation order.  Shannon entropy in bits and
+    Simpson's Σc(c−1)/n(n−1) use the round-6-log discipline; Gini is
+    pure div/mul.  Scale: 3 output rows regardless of input size."""
+    orders = load_table(spark, sf_dir, "orders")
+    counts = [
+        F.count(F.when(F.col("o_orderpriority") == p, 1))
+        .cast("long")
+        .alias(f"c{i}")
+        for i, p in enumerate(_PRIORITIES, 1)
+    ]
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), *counts
+    )
+    agg = agg.select(
+        "*",
+        F.col("n").cast("double").alias("nd"),
+        *[F.col(f"c{i}").cast("double").alias(f"c{i}d") for i in range(1, 6)],
+    )
+    return agg.select(
+        "o_orderstatus",
+        "n",
+        *[F.col(f"c{i}") for i in range(1, 6)],
+        *[F.expr(e).alias(name) for name, e in _ENT_EXPRS.items()],
+    )
+
+
 def ch_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r15 — ClickHouse's string-distance function family
     (``editDistance`` / ``byteHammingDistance`` /
@@ -1142,6 +1274,8 @@ QUERIES = {
     "ch_welch_ttest": ch_welch_ttest,
     "ch_stats_functions": ch_stats_functions,
     "ch_string_distance": ch_string_distance,
+    "ch_mann_whitney": ch_mann_whitney,
+    "ch_entropy": ch_entropy,
     "ch_time_bucket_functions": ch_time_bucket_functions,
     "ch_sample_clause": ch_sample_clause,
     "customers_without_orders": customers_without_orders,
@@ -1234,6 +1368,77 @@ ORACLES = {
                {_STATS_EXPRS['slope']} AS slope,
                {_STATS_EXPRS['intercept']} AS intercept
         FROM d
+    """,
+    # closed-enum pivot to five exact counts; the shared fixed-order
+    # expression strings do the rest
+    "ch_entropy": f"""
+        WITH s AS (
+            SELECT o_orderstatus,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   {', '.join(
+                       "CAST(COUNT(CASE WHEN o_orderpriority = '"
+                       + p + "' THEN 1 END) AS BIGINT) AS c" + str(i)
+                       for i, p in enumerate(_PRIORITIES, 1))}
+            FROM orders GROUP BY o_orderstatus
+        ),
+        d AS (
+            SELECT s.*, CAST(n AS DOUBLE) AS nd,
+                   {', '.join(
+                       "CAST(c" + str(i) + " AS DOUBLE) AS c" + str(i) + "d"
+                       for i in range(1, 6))}
+            FROM s
+        )
+        SELECT o_orderstatus, n, c1, c2, c3, c4, c5,
+               {_ENT_EXPRS['entropy_bits']} AS entropy_bits,
+               {_ENT_EXPRS['gini_impurity']} AS gini_impurity,
+               {_ENT_EXPRS['simpson_index']} AS simpson_index
+        FROM d
+    """,
+    # midrank sums in doubled-rank integer units over the value
+    # histogram; tie term as exact DECIMAL; z from the shared _MW_Z
+    # string
+    "ch_mann_whitney": f"""
+        WITH per AS (
+            SELECT CAST(l_quantity AS DECIMAL(18,2)) AS v,
+                   CAST(COUNT(CASE WHEN l_returnflag = 'A' THEN 1 END)
+                        AS BIGINT) AS ca,
+                   CAST(COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END)
+                        AS BIGINT) AS cb
+            FROM lineitem WHERE l_returnflag IN ('A', 'R')
+            GROUP BY 1
+        ),
+        r AS (
+            SELECT ca, cb, ca + cb AS t,
+                   2 * CAST(COALESCE(SUM(ca + cb) OVER (
+                       ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) + (ca + cb) + 1 AS rank2
+            FROM per
+        ),
+        s AS (
+            SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                   CAST(SUM(cb) AS BIGINT) AS nb,
+                   CAST(SUM(ca * rank2) AS BIGINT) AS r2a,
+                   CAST(SUM(cb * rank2) AS BIGINT) AS r2b,
+                   CAST(CAST(SUM(CAST(t AS DECIMAL(38,0))
+                                 * CAST(t AS DECIMAL(38,0))
+                                 * CAST(t AS DECIMAL(38,0))
+                                 - CAST(t AS DECIMAL(38,0))) AS VARCHAR)
+                        AS DOUBLE) AS tie
+            FROM r
+        ),
+        u AS (
+            SELECT s.*,
+                   CAST(r2a - na * (na + 1) AS BIGINT) AS u2a,
+                   CAST(r2b - nb * (nb + 1) AS BIGINT) AS u2b,
+                   CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+                   CAST(r2a - na * (na + 1) AS DOUBLE) AS u2ad
+            FROM s
+        )
+        SELECT na, nb, u2a, u2b,
+               tie AS tie_term,
+               {_r6(_MW_Z)} AS z_stat
+        FROM u
     """,
     # exact integer distances over the key+1 pair generator; DuckDB's
     # levenshtein is the same unit-cost DP as Spark's
