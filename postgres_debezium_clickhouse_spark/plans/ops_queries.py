@@ -2852,6 +2852,59 @@ def cdc_snapshot_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sh.rmtree(d, ignore_errors=True)
 
 
+def object_store_native_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — ClickHouse Native-format ingestion (sources/ch_native.py):
+    the COLUMNAR binary pair to RowBinary — what ``FORMAT Native``
+    dumps and what the server itself speaks between nodes; the last
+    binary format in the S6 matrix.  Orders are written as FOUR
+    multi-block Native dumps (997-row blocks, so every segment has
+    several blocks and the per-block column re-declaration is real):
+    Int64 key, String status, Nullable(Float64) price (NULL for keys
+    ≡0 mod 11 via the null-mask plane), DateTime64(6) order date in
+    exact µs ticks — then read back typed via ``read_ch_native``
+    (binaryFile scan → executor-parallel NUMPY-vectorized columnar
+    decode, no shuffle).  Full value oracle restated from orders
+    arithmetic, timestamp round-tripped tick-exact."""
+    from ..sources.ch_native import native_encode, read_ch_native
+
+    import shutil as _sh
+
+    columns = [
+        ("o_orderkey", "Int64"),
+        ("status", "String"),
+        ("price", "Nullable(Float64)"),
+        ("o_orderdate", "DateTime64(6)"),
+    ]
+    src = f"{tempfile.gettempdir()}/native_src_{uuid.uuid4().hex[:12]}"
+    try:
+        os_mod = __import__("os")
+        os_mod.makedirs(src, exist_ok=True)
+
+        def encode_segment(seg: int, rows: list[dict]) -> None:
+            chunk = []
+            for r in rows:
+                k = int(r["o_orderkey"])
+                ts = r["o_orderdate"]
+                chunk.append({
+                    "o_orderkey": k,
+                    "status": r["o_orderstatus"],
+                    "price": None if k % 11 == 0 else float(r["o_totalprice"]),
+                    "o_orderdate": int(ts.value // 1000),  # ns → µs ticks
+                })
+            with open(f"{src}/seg{seg}.native", "wb") as fh:
+                fh.write(native_encode(columns, chunk, records_per_block=997))
+
+        _write_fixture_segments(
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice",
+                    "o_orderdate"),
+            encode_segment,
+        )
+        return read_ch_native(spark, src, columns).localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(src, ignore_errors=True)
+
+
 def object_store_rowbinary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r12 — ClickHouse RowBinaryWithNamesAndTypes ingestion (S6's
     format matrix now spans JSON / Avro / TSV / CSV / protobuf /
@@ -3114,6 +3167,7 @@ QUERIES = {
     "object_store_typed_ingest": object_store_typed_ingest,
     "object_store_avro_ingest": object_store_avro_ingest,
     "object_store_orc_ingest": object_store_orc_ingest,
+    "object_store_native_ingest": object_store_native_ingest,
     "object_store_warc_ingest": object_store_warc_ingest,
     "object_store_proto_ingest": object_store_proto_ingest,
     "cdc_incremental_snapshot": cdc_incremental_snapshot,
@@ -3378,6 +3432,14 @@ ORACLES["object_store_warc_ingest"] = """
            CAST(length(text) AS BIGINT) AS n_body_chars,
            sha256(text) AS body_sha
     FROM documents
+"""
+
+ORACLES["object_store_native_ingest"] = """
+    SELECT o_orderkey,
+           o_orderstatus AS status,
+           CASE WHEN o_orderkey % 11 <> 0 THEN o_totalprice END AS price,
+           o_orderdate
+    FROM orders
 """
 
 ORACLES["object_store_orc_ingest"] = """

@@ -1,0 +1,321 @@
+"""ClickHouse Native format, pure stdlib + numpy (r15).
+
+The COLUMNAR wire format of the ClickHouse ecosystem — what
+clickhouse-client ships between client and server and what
+``FORMAT Native`` dumps to disk (public docs:
+clickhouse.com/docs/interfaces/formats #native: "data is written and
+read by blocks"; each block is column count, row count, then per
+column its name, type and the column body).  The reference's sink side
+speaks this format natively; next to RowBinary (row-major,
+sources/ch_formats.py twin) this completes the binary pair — and
+because Native is columnar, the decode below is numpy-vectorized
+(``frombuffer`` per fixed-width column) instead of a per-row struct
+loop.
+
+Block layout implemented (the documented structure):
+
+* ``num_columns`` varint, ``num_rows`` varint;
+* per column: ``name`` (varint length + utf-8), ``type`` (same), body;
+* bodies: fixed-width LE arrays for Int32/Int64/UInt64/Float64,
+  UInt16 days for Date, UInt32 seconds for DateTime, Int64 ticks for
+  DateTime64(p); String is per-value varint length + bytes;
+  ``Nullable(T)`` is a 1-byte-per-row null mask FOLLOWED by the inner
+  body with default values in null slots (the server's layout).
+
+Honest scope: the server's BlockInfo envelope (revision-gated), and
+LowCardinality/Enum dictionary serializations are NOT implemented —
+files here are the documented docs-level block stream, round-tripped
+by this module's own writer/reader; interop against a live ClickHouse
+is env-blocked in this sandbox like every live-server surface
+(docs/LIVE_SOURCES.md).
+
+Spark surface: ``read_ch_native`` / ``read_ch_native_stream`` —
+binaryFile scan → executor-parallel columnar decode in
+``mapInPandas``, no shuffle (the read_avro/read_proto scale shape).
+Corrupt bytes raise ValueError loudly (dead-letter class).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_FIXED = {
+    "Int32": ("<i4", 4), "UInt32": ("<u4", 4),
+    "Int64": ("<i8", 8), "UInt64": ("<u8", 8),
+    "Float64": ("<f8", 8), "UInt8": ("<u1", 1),
+    "Date": ("<u2", 2), "DateTime": ("<u4", 4),
+}
+
+_SPARK_TYPE = {
+    "Int32": T.IntegerType(), "UInt32": T.LongType(),
+    "Int64": T.LongType(), "UInt64": T.LongType(),
+    "Float64": T.DoubleType(), "UInt8": T.IntegerType(),
+    "Date": T.DateType(), "DateTime": T.TimestampType(),
+    "String": T.StringType(),
+}
+
+
+def _write_varint(out: bytearray, n: int) -> None:
+    if n < 0:
+        raise ValueError("varint must be non-negative")
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+class _Reader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def eof(self) -> bool:
+        return self.pos >= len(self.data)
+
+    def read(self, n: int) -> bytes:
+        if self.pos + n > len(self.data):
+            raise ValueError("native: truncated block")
+        out = self.data[self.pos:self.pos + n]
+        self.pos += n
+        return out
+
+    def varint(self) -> int:
+        shift = n = 0
+        while True:
+            if self.eof():
+                raise ValueError("native: truncated varint")
+            b = self.data[self.pos]
+            self.pos += 1
+            n |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return n
+            shift += 7
+            if shift > 63:
+                raise ValueError("native: varint too long")
+
+    def string(self) -> str:
+        return self.read(self.varint()).decode("utf-8")
+
+
+def _base_type(ch_type: str) -> tuple[str, bool]:
+    """→ (inner type, nullable).  DateTime64(p) normalizes to its
+    precision-tagged name."""
+    nullable = ch_type.startswith("Nullable(") and ch_type.endswith(")")
+    inner = ch_type[9:-1] if nullable else ch_type
+    return inner, nullable
+
+
+def _dt64_precision(inner: str) -> int | None:
+    if inner.startswith("DateTime64(") and inner.endswith(")"):
+        return int(inner[11:-1])
+    return None
+
+
+def _encode_body(out: bytearray, inner: str, values: list) -> None:
+    p = _dt64_precision(inner)
+    if p is not None:
+        arr = np.asarray([0 if v is None else int(v) for v in values],
+                         dtype="<i8")
+        out.extend(arr.tobytes())
+        return
+    if inner == "String":
+        for v in values:
+            b = ("" if v is None else str(v)).encode("utf-8")
+            _write_varint(out, len(b))
+            out.extend(b)
+        return
+    if inner not in _FIXED:
+        raise NotImplementedError(f"native: unsupported type {inner}")
+    dt, _w = _FIXED[inner]
+    if inner == "Float64":
+        arr = np.asarray(
+            [0.0 if v is None else float(v) for v in values], dtype=dt
+        )
+    else:
+        arr = np.asarray(
+            [0 if v is None else int(v) for v in values], dtype=dt
+        )
+    out.extend(arr.tobytes())
+
+
+def _decode_body(r: _Reader, inner: str, n: int) -> list:
+    p = _dt64_precision(inner)
+    if p is not None:
+        return np.frombuffer(r.read(8 * n), dtype="<i8").tolist()
+    if inner == "String":
+        return [r.read(r.varint()).decode("utf-8") for _ in range(n)]
+    if inner not in _FIXED:
+        raise NotImplementedError(f"native: unsupported type {inner}")
+    dt, w = _FIXED[inner]
+    return np.frombuffer(r.read(w * n), dtype=dt).tolist()
+
+
+def native_encode(
+    columns: list[tuple[str, str]],
+    records: list[dict],
+    records_per_block: int = 65536,
+) -> bytes:
+    """Encode records (list of dicts) as a Native block stream.
+    ``columns`` is the ordered [(name, ClickHouse type)] declaration —
+    Native is self-describing, the reader re-derives it per block."""
+    out = bytearray()
+    for start in range(0, max(len(records), 1), records_per_block):
+        chunk = records[start:start + records_per_block]
+        if not chunk and records:
+            break
+        _write_varint(out, len(columns))
+        _write_varint(out, len(chunk))
+        for name, ch_type in columns:
+            nb = name.encode("utf-8")
+            _write_varint(out, len(nb))
+            out.extend(nb)
+            tb = ch_type.encode("utf-8")
+            _write_varint(out, len(tb))
+            out.extend(tb)
+            inner, nullable = _base_type(ch_type)
+            values = [rec.get(name) for rec in chunk]
+            if nullable:
+                out.extend(
+                    np.asarray([1 if v is None else 0 for v in values],
+                               dtype="<u1").tobytes()
+                )
+            elif any(v is None for v in values):
+                raise ValueError(f"native: NULL in non-Nullable column {name}")
+            _encode_body(out, inner, values)
+        if not records:
+            break
+    return bytes(out)
+
+
+def native_decode(blob: bytes) -> tuple[list[tuple[str, str]], list[dict]]:
+    """Decode a Native block stream → (columns declaration from the
+    first block, records).  Blocks must agree on the column set."""
+    r = _Reader(blob)
+    columns: list[tuple[str, str]] | None = None
+    records: list[dict] = []
+    while not r.eof():
+        ncols = r.varint()
+        nrows = r.varint()
+        block_cols: list[tuple[str, str]] = []
+        block_data: dict[str, list] = {}
+        for _ in range(ncols):
+            name = r.string()
+            ch_type = r.string()
+            block_cols.append((name, ch_type))
+            inner, nullable = _base_type(ch_type)
+            mask = None
+            if nullable:
+                mask = np.frombuffer(r.read(nrows), dtype="<u1")
+            vals = _decode_body(r, inner, nrows)
+            if mask is not None:
+                vals = [None if m else v for m, v in zip(mask, vals)]
+            block_data[name] = vals
+        if columns is None:
+            columns = block_cols
+        elif columns != block_cols:
+            raise ValueError("native: blocks disagree on columns")
+        for i in range(nrows):
+            records.append({n: block_data[n][i] for n, _ in block_cols})
+    if columns is None:
+        raise ValueError("native: empty stream (no blocks)")
+    return columns, records
+
+
+def native_schema_to_spark(columns: list[tuple[str, str]]) -> T.StructType:
+    fields = []
+    for name, ch_type in columns:
+        inner, _nullable = _base_type(ch_type)
+        if _dt64_precision(inner) is not None:
+            fields.append(T.StructField(name, T.TimestampType()))
+        elif inner in _SPARK_TYPE:
+            fields.append(T.StructField(name, _SPARK_TYPE[inner]))
+        else:
+            raise NotImplementedError(f"native: unsupported type {inner}")
+    return T.StructType(fields)
+
+
+def _to_pandas(columns: list[tuple[str, str]], records: list[dict]) -> pd.DataFrame:
+    cols = {}
+    for name, ch_type in columns:
+        inner, _ = _base_type(ch_type)
+        vals = [rec[name] for rec in records]
+        p = _dt64_precision(inner)
+        if p is not None:
+            scale = 10 ** (6 - p) if p <= 6 else None
+            if scale is None:
+                raise NotImplementedError("native: DateTime64 precision > 6")
+            cols[name] = pd.to_datetime(
+                pd.Series([None if v is None else v * scale for v in vals],
+                          dtype="float64" if any(v is None for v in vals)
+                          else "int64"),
+                unit="us",
+            )
+        elif inner == "Date":
+            cols[name] = pd.to_datetime(
+                pd.Series(vals, dtype="float64"), unit="D"
+            ).dt.date
+        elif inner == "DateTime":
+            cols[name] = pd.to_datetime(pd.Series(vals, dtype="float64"),
+                                        unit="s")
+        else:
+            cols[name] = pd.Series(vals, dtype=object)
+    return pd.DataFrame(cols)
+
+
+def _decode_fn(spark_schema: T.StructType):
+    names = [f.name for f in spark_schema.fields]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blob in pdf["content"]:
+                columns, records = native_decode(bytes(blob))
+                got = [n for n, _ in columns]
+                if got != names:
+                    raise ValueError(
+                        f"native: file columns {got} != expected {names}"
+                    )
+                yield _to_pandas(columns, records)
+
+    return decode
+
+
+def read_ch_native(
+    spark: SparkSession, path: str, columns: list[tuple[str, str]]
+) -> DataFrame:
+    """Typed DataFrame from a directory/glob of Native dumps: binaryFile
+    scan → executor-parallel columnar decode (numpy ``frombuffer`` per
+    fixed-width column) in ``mapInPandas``; files whose self-described
+    columns disagree with the declaration fail loudly."""
+    spark_schema = native_schema_to_spark(columns)
+    return (
+        spark.read.format("binaryFile").load(path)
+        .select("content")
+        .mapInPandas(_decode_fn(spark_schema), schema=spark_schema)
+    )
+
+
+def read_ch_native_stream(
+    spark: SparkSession, path: str, columns: list[tuple[str, str]]
+) -> DataFrame:
+    """Streaming twin: new Native dumps become typed micro-batches."""
+    spark_schema = native_schema_to_spark(columns)
+    binary_file_schema = (
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    return (
+        spark.readStream.format("binaryFile")
+        .schema(binary_file_schema)
+        .load(path)
+        .select("content")
+        .mapInPandas(_decode_fn(spark_schema), schema=spark_schema)
+    )

@@ -126,3 +126,45 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_path):
     ]
     plan = back.filter(F.col("price") > 5.0)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "price" in plan
+
+
+def test_native_roundtrip_blocks_and_nulls(spark, tmp_path):
+    """r15 Native format: multi-block stream round-trips fixed-width,
+    String, Nullable mask and DateTime64(6) ticks; truncated bytes and
+    column drift fail loudly."""
+    import pytest as _pytest
+
+    from postgres_debezium_clickhouse_spark.sources.ch_native import (
+        native_decode,
+        native_encode,
+        read_ch_native,
+    )
+
+    cols = [
+        ("k", "Int64"), ("s", "String"), ("p", "Nullable(Float64)"),
+        ("t", "DateTime64(6)"),
+    ]
+    recs = [
+        {"k": i, "s": f"s{i}", "p": None if i % 3 == 0 else i * 1.5,
+         "t": 86_400_000_000 + i}
+        for i in range(10)
+    ]
+    blob = native_encode(cols, recs, records_per_block=4)  # 3 blocks
+    got_cols, got = native_decode(blob)
+    assert got_cols == cols and got == recs
+    with _pytest.raises(ValueError, match="truncated"):
+        native_decode(blob[:-3])
+    # Spark read path
+    path = tmp_path / "seg.native"
+    path.write_bytes(blob)
+    df = read_ch_native(spark, str(tmp_path), cols)
+    rows = {r.k: r for r in df.collect()}
+    assert rows[1].p == 1.5 and rows[3].p is None
+    assert rows[0].t.isoformat() == "1970-01-02T00:00:00"
+    assert rows[9].s == "s9"
+    # column drift between declaration and file
+    with _pytest.raises(Exception):
+        read_ch_native(spark, str(tmp_path), [("x", "Int64")]).collect()
+    # NULL in non-Nullable refuses at encode time
+    with _pytest.raises(ValueError, match="Nullable"):
+        native_encode([("k", "Int64")], [{"k": None}])
