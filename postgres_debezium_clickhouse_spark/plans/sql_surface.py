@@ -1137,6 +1137,57 @@ def ch_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ch_kolmogorov_smirnov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — ClickHouse's ``kolmogorovSmirnovTest(x, group)`` aggregate:
+    the distribution-shape companion to mannWhitneyUTest — the largest
+    gap between the two empirical CDFs of line quantity for 'A' vs 'R'
+    returnflags.
+
+    Exactness: same value-histogram reduction as ch_mann_whitney
+    (one map-side-combined shuffle to ~50 rows), then
+    D = max_v |cumA·nB − cumB·nA| / (nA·nB) — the numerator is an
+    EXACT BIGINT max over the histogram rows (cross-multiplied CDFs,
+    no float division inside the max), and only the final ratio and
+    the asymptotic √(nA·nB/(nA+nB))·D statistic are a mirrored double
+    DAG.  3-output-scalar row at any input size."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+    )
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    per = li.groupBy(q.alias("v")).agg(
+        F.count(F.when(F.col("l_returnflag") == "A", 1)).cast("long").alias("ca"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).cast("long").alias("cb"),
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    per = per.select(
+        F.sum("ca").over(wv).cast("long").alias("cuma"),
+        F.sum("cb").over(wv).cast("long").alias("cumb"),
+        F.sum("ca").over(wall).cast("long").alias("na"),
+        F.sum("cb").over(wall).cast("long").alias("nb"),
+    )
+    agg = per.groupBy("na", "nb").agg(
+        F.max(
+            F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
+        )
+        .cast("long")
+        .alias("d_num")
+    ).select(
+        "na", "nb", "d_num",
+        F.col("na").cast("double").alias("nad"),
+        F.col("nb").cast("double").alias("nbd"),
+        F.col("d_num").cast("double").alias("dnd"),
+    )
+    d = "(dnd / (nad * nbd))"
+    return agg.select(
+        "na", "nb", "d_num",
+        F.expr(_r6(d)).alias("d_stat"),
+        F.expr(_r6(f"sqrt((nad * nbd) / (nad + nbd)) * {d}")).alias(
+            "ks_stat"
+        ),
+    )
+
+
 _ENT_SLNC = " + ".join(
     f"(CASE WHEN c{i}d > 0 THEN c{i}d * ln(c{i}d) ELSE 0 END)"
     for i in range(1, 6)
@@ -1276,6 +1327,7 @@ QUERIES = {
     "ch_string_distance": ch_string_distance,
     "ch_mann_whitney": ch_mann_whitney,
     "ch_entropy": ch_entropy,
+    "ch_kolmogorov_smirnov": ch_kolmogorov_smirnov,
     "ch_time_bucket_functions": ch_time_bucket_functions,
     "ch_sample_clause": ch_sample_clause,
     "customers_without_orders": customers_without_orders,
@@ -1367,6 +1419,45 @@ ORACLES = {
                {_STATS_EXPRS['stddev_pop_x']} AS stddev_pop_x,
                {_STATS_EXPRS['slope']} AS slope,
                {_STATS_EXPRS['intercept']} AS intercept
+        FROM d
+    """,
+    # cross-multiplied CDF gap as an exact integer max over the value
+    # histogram; only the final ratios are doubles
+    "ch_kolmogorov_smirnov": f"""
+        WITH per AS (
+            SELECT CAST(l_quantity AS DECIMAL(18,2)) AS v,
+                   CAST(COUNT(CASE WHEN l_returnflag = 'A' THEN 1 END)
+                        AS BIGINT) AS ca,
+                   CAST(COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END)
+                        AS BIGINT) AS cb
+            FROM lineitem WHERE l_returnflag IN ('A', 'R')
+            GROUP BY 1
+        ),
+        c AS (
+            SELECT CAST(SUM(ca) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cuma,
+                   CAST(SUM(cb) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cumb,
+                   CAST(SUM(ca) OVER () AS BIGINT) AS na,
+                   CAST(SUM(cb) OVER () AS BIGINT) AS nb
+            FROM per
+        ),
+        s AS (
+            SELECT na, nb,
+                   CAST(MAX(ABS(cuma * nb - cumb * na)) AS BIGINT) AS d_num
+            FROM c GROUP BY na, nb
+        ),
+        d AS (
+            SELECT s.*, CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+                   CAST(d_num AS DOUBLE) AS dnd
+            FROM s
+        )
+        SELECT na, nb, d_num,
+               {_r6('(dnd / (nad * nbd))')} AS d_stat,
+               {_r6('sqrt((nad * nbd) / (nad + nbd)) * (dnd / (nad * nbd))')}
+                   AS ks_stat
         FROM d
     """,
     # closed-enum pivot to five exact counts; the shared fixed-order
