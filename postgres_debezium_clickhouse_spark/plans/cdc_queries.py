@@ -1094,6 +1094,99 @@ def cdc_toast_carry_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("o_orderkey", "note", "status", "op", "ts_ms")
 
 
+def cdc_schema_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — Debezium's SCHEMA-CHANGE EVENT stream (the
+    ``<topic.prefix>`` schema topic / internal schema history that a
+    relational connector replays on restart; public shape:
+    ``SchemaChangeValue`` with ``databaseName``/``ddl``/``tableChanges``
+    [{type: CREATE|ALTER|DROP, id, table.columns}]).  The reference's
+    DDL lives in init SQL files; under Debezium every one of those
+    statements becomes an event on this topic — this query rebuilds
+    the CURRENT schema registry from the event log alone.
+
+    Deterministic DDL churn over sharded order tables (one per nation):
+    CREATE (4 columns) for every shard, ALTER ADD COLUMN for keys ≡0
+    mod 3 (5 columns), DROP for keys ≡0 mod 5 — so the registry state
+    exercises create-only, altered, and dropped outcomes, latest-wins
+    by the event sequence.
+
+    Plan: to_json generator → ``from_json`` typed parse → explode of
+    ``tableChanges`` → ONE hash agg per table id (count + ``max_by``
+    latest state — no window, map-side combinable)."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    k = F.col("n_nationkey").cast("long")
+    tbl = F.concat(F.lit("poc.public.orders_"), k.cast("string"))
+    base_cols = F.array(
+        F.lit("o_orderkey"), F.lit("o_custkey"), F.lit("o_status"),
+        F.lit("o_totalprice"),
+    )
+
+    def ev(df: DataFrame, typ: str, cols, ddl, seq_slot: int) -> DataFrame:
+        changes = F.array(
+            F.struct(
+                F.lit(typ).alias("type"),
+                tbl.alias("id"),
+                F.struct(
+                    (cols if cols is not None
+                     else F.lit(None).cast("array<string>")).alias("columns")
+                ).alias("table"),
+            )
+        )
+        payload = F.struct(
+            F.struct((F.lit(1000) + k).alias("ts_ms")).alias("source"),
+            F.lit("poc").alias("databaseName"),
+            ddl.alias("ddl"),
+            changes.alias("tableChanges"),
+        )
+        return df.select(
+            F.to_json(F.struct(payload.alias("payload"))).alias("value"),
+            (k * 10 + seq_slot).alias("offset"),
+        )
+
+    creates = ev(
+        nation, "CREATE", base_cols,
+        F.concat(F.lit("CREATE TABLE orders_"), k.cast("string"),
+                 F.lit(" (o_orderkey bigint primary key, ...)")), 0,
+    )
+    alters = ev(
+        nation.filter(k % 3 == 0), "ALTER",
+        F.concat(base_cols, F.array(F.lit("note"))),
+        F.concat(F.lit("ALTER TABLE orders_"), k.cast("string"),
+                 F.lit(" ADD COLUMN note text")), 1,
+    )
+    drops = ev(
+        nation.filter(k % 5 == 0), "DROP", None,
+        F.concat(F.lit("DROP TABLE orders_"), k.cast("string")), 2,
+    )
+    wire = creates.unionByName(alters).unionByName(drops)
+
+    env = (
+        "payload struct<source:struct<ts_ms:long>, databaseName:string, "
+        "ddl:string, tableChanges:array<struct<type:string, id:string, "
+        "table:struct<columns:array<string>>>>>"
+    )
+    parsed = wire.select(
+        F.from_json("value", env).alias("j"), F.col("offset")
+    ).select(
+        F.col("offset"),
+        F.col("j.payload.databaseName").alias("db"),
+        F.explode("j.payload.tableChanges").alias("chg"),
+    )
+    per = parsed.select(
+        "offset", "db",
+        F.col("chg.type").alias("chg_type"),
+        F.col("chg.id").alias("table_id"),
+        F.size(F.col("chg.table.columns")).alias("n_cols_raw"),
+    )
+    ncols = F.when(F.col("n_cols_raw") >= 0, F.col("n_cols_raw"))
+    return per.groupBy("table_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_changes"),
+        F.max_by("chg_type", "offset").alias("last_type"),
+        (F.max_by("chg_type", "offset") != "DROP").alias("table_exists"),
+        F.max_by(ncols, F.col("offset")).cast("int").alias("n_columns"),
+    )
+
+
 def cdc_json_schema_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r15 — Kafka Connect's JsonConverter with ``schemas.enable=true``
     (org.apache.kafka.connect.json.JsonConverter): every value is
@@ -1302,6 +1395,7 @@ QUERIES = {
     "cdc_header_ops": cdc_header_ops,
     "cdc_reselect_columns": cdc_reselect_columns,
     "cdc_json_schema_envelope": cdc_json_schema_envelope,
+    "cdc_schema_history": cdc_schema_history,
     "cdc_shard_route": cdc_shard_route,
     "cdc_regex_router": cdc_regex_router,
     "cdc_value_to_key": cdc_value_to_key,
@@ -1546,6 +1640,23 @@ ORACLES = {
                CAST(off % 10 AS BIGINT) AS evt_seq,
                CAST(1 AS INT) AS n_headers_left
         FROM ev
+    """,
+    # schema-change events: latest-wins registry state restated from
+    # the DDL-churn closed form (CREATE all, ALTER %3, DROP %5)
+    "cdc_schema_history": """
+        SELECT 'poc.public.orders_' || CAST(n_nationkey AS VARCHAR)
+                   AS table_id,
+               CAST(1 + CASE WHEN n_nationkey % 3 = 0 THEN 1 ELSE 0 END
+                      + CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END
+                    AS BIGINT) AS n_changes,
+               CASE WHEN n_nationkey % 5 = 0 THEN 'DROP'
+                    WHEN n_nationkey % 3 = 0 THEN 'ALTER'
+                    ELSE 'CREATE' END AS last_type,
+               n_nationkey % 5 <> 0 AS table_exists,
+               CASE WHEN n_nationkey % 5 = 0 THEN NULL
+                    WHEN n_nationkey % 3 = 0 THEN CAST(5 AS INT)
+                    ELSE CAST(4 AS INT) END AS n_columns
+        FROM nation
     """,
     # JsonConverter schemas.enable frame: declared type dispatch per
     # version parity; price round-trips decimal-string -> double
