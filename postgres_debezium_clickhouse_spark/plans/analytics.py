@@ -767,6 +767,49 @@ def events_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — CUSUM change-point detection over the hourly event rate
+    (Page 1954, the classic sequential drift detector every
+    monitoring pipeline reimplements): has the arrival rate drifted
+    above its long-run mean, and when did the excursion start?
+
+    Exactness: the textbook recursion S_t = max(0, S_{t-1} + (x_t−μ))
+    is not a prefix sum — but it EQUALS prefix_t − min(0, min_{k≤t}
+    prefix_k), which is two windowed aggregates.  Everything stays in
+    EXACT INTEGER units: deviations are cross-multiplied
+    (d_t = x_t·n_hours − total, so μ = total/n_hours never becomes a
+    float), and the alarm threshold is ``total`` in the same units
+    (a sustained one-mean-hour surplus).  Alarm hours and CUSUM values
+    are bit-exact in any engine.
+
+    Scale: one hash agg events→hours, then ordered windows over the
+    |hours| table only (720 rows per month of data — bounded metadata,
+    like every bucket-table window here)."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    wall = Window.partitionBy()
+    wcum = Window.orderBy("hour_ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    hourly = hourly.select(
+        "*",
+        F.count(F.lit(1)).over(wall).cast("long").alias("n_hours"),
+        F.sum("n_events").over(wall).cast("long").alias("total"),
+    )
+    d = F.col("n_events") * F.col("n_hours") - F.col("total")
+    hourly = hourly.withColumn("pfx", F.sum(d).over(wcum).cast("long"))
+    runmin = F.least(F.lit(0).cast("long"), F.min("pfx").over(wcum))
+    cusum = (F.col("pfx") - runmin).cast("long")
+    return hourly.select(
+        "hour_ts",
+        "n_events",
+        cusum.alias("cusum_units"),
+        (cusum > F.col("total")).alias("alarm"),
+    )
+
+
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r8: cohort retention matrix — the ClickHouse ``retention()``
     aggregate's standard product-analytics use (reference surface: CH
@@ -1129,6 +1172,7 @@ QUERIES = {
     "events_kmv_setops": events_kmv_setops,
     "events_countmin_sketch": events_countmin_sketch,
     "events_anomalies_mad": events_anomalies_mad,
+    "events_cusum_drift": events_cusum_drift,
     "events_retention_agg": events_retention_agg,
     "events_window_funnel_increase": events_window_funnel_increase,
     "events_value_histogram": events_value_histogram,
@@ -1488,6 +1532,40 @@ ORACLES["events_sequence_match"] = """
     FROM s
 """
 
+
+ORACLES["events_cusum_drift"] = """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    ),
+    t AS (
+        SELECT hourly.*,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n_hours,
+               CAST(SUM(n_events) OVER () AS BIGINT) AS total
+        FROM hourly
+    ),
+    p AS (
+        SELECT t.*,
+               CAST(SUM(n_events * n_hours - total) OVER (
+                    ORDER BY hour_ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS pfx
+        FROM t
+    ),
+    c AS (
+        SELECT p.*,
+               pfx - LEAST(CAST(0 AS BIGINT), MIN(pfx) OVER (
+                    ORDER BY hour_ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                   AS cusum_units
+        FROM p
+    )
+    SELECT hour_ts, n_events,
+           CAST(cusum_units AS BIGINT) AS cusum_units,
+           cusum_units > total AS alarm
+    FROM c
+"""
 
 ORACLES["events_anomalies_mad"] = """
     WITH med AS (

@@ -1094,6 +1094,55 @@ def cdc_toast_carry_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("o_orderkey", "note", "status", "op", "ts_ms")
 
 
+def cdc_set_schema_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — Kafka Connect's ``SetSchemaMetadata`` SMT
+    (org.apache.kafka.connect.transforms.SetSchemaMetadata$Value,
+    ``schema.name`` + ``schema.version``): rewrite the value schema's
+    identity — how operators re-namespace a feed for a consumer that
+    validates by schema name — while the PAYLOAD stays byte-identical.
+    Runs over the schemas.enable JSON frame (cdc_json_schema_envelope's
+    wire, v1 string-price plane): the new name/version come from the
+    SMT config, the old version is read from the wire, and the payload
+    is emitted as the RAW substring so the oracle pins
+    byte-exactness (a re-serialization that reordered or re-rendered
+    one field would mismatch).
+
+    Map-only JSON ops on the scan; no shuffle."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    schema = F.struct(
+        F.lit("struct").alias("type"),
+        F.lit("poc.public.orders.Value").alias("name"),
+        F.lit(1).alias("version"),
+        F.array(
+            F.struct(F.lit("o_orderkey").alias("field"),
+                     F.lit("int64").alias("type")),
+            F.struct(F.lit("price").alias("field"),
+                     F.lit("string").alias("type")),
+        ).alias("fields"),
+    )
+    payload = F.struct(
+        k.alias("o_orderkey"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string")
+        .alias("price"),
+    )
+    wire = orders.select(
+        F.to_json(
+            F.struct(schema.alias("schema"), payload.alias("payload"))
+        ).alias("value")
+    )
+    old_version = F.get_json_object("value", "$.schema.version").cast("int")
+    return wire.select(
+        F.get_json_object("value", "$.payload.o_orderkey")
+        .cast("long")
+        .alias("o_orderkey"),
+        F.lit("poc.reshaped.orders.Value").alias("schema_name"),
+        old_version.alias("old_version"),
+        (old_version + 1).cast("int").alias("schema_version"),
+        F.get_json_object("value", "$.payload").alias("payload_raw"),
+    )
+
+
 def cdc_schema_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r15 — Debezium's SCHEMA-CHANGE EVENT stream (the
     ``<topic.prefix>`` schema topic / internal schema history that a
@@ -1396,6 +1445,7 @@ QUERIES = {
     "cdc_reselect_columns": cdc_reselect_columns,
     "cdc_json_schema_envelope": cdc_json_schema_envelope,
     "cdc_schema_history": cdc_schema_history,
+    "cdc_set_schema_metadata": cdc_set_schema_metadata,
     "cdc_shard_route": cdc_shard_route,
     "cdc_regex_router": cdc_regex_router,
     "cdc_value_to_key": cdc_value_to_key,
@@ -1640,6 +1690,19 @@ ORACLES = {
                CAST(off % 10 AS BIGINT) AS evt_seq,
                CAST(1 AS INT) AS n_headers_left
         FROM ev
+    """,
+    # SetSchemaMetadata: identity rewritten, payload byte-exact (the
+    # oracle re-renders the compact JSON the generator emitted)
+    "cdc_set_schema_metadata": """
+        SELECT o_orderkey,
+               'poc.reshaped.orders.Value' AS schema_name,
+               CAST(1 AS INT) AS old_version,
+               CAST(2 AS INT) AS schema_version,
+               '{"o_orderkey":' || CAST(o_orderkey AS VARCHAR)
+                   || ',"price":"'
+                   || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+                   || '"}' AS payload_raw
+        FROM orders
     """,
     # schema-change events: latest-wins registry state restated from
     # the DDL-churn closed form (CREATE all, ALTER %3, DROP %5)

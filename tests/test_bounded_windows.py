@@ -34,6 +34,7 @@ BOUNDED_SITES = {
     "operators/curation.py": "shard-offset cumsum over the 256-shard count table (groupBy __shard output); unimax prefix windows over the |languages|-row aggregate",
     "plans/sql_surface.py": "mann-whitney midrank + kolmogorov-smirnov CDF cumsums over the |distinct l_quantity| (~50-row) value histogram",
     "plans/llm_quality_queries.py": "AUC rank over the held-out eval set — fixture-bounded guard, not a corpus pass",
+    "plans/analytics.py": "CUSUM prefix/run-min cumsums over the hourly bucket table (|hours| rows, ~720/month)",
     "plans/llm_corpus_queries.py": "unigram vocab rank over the trained piece table — ≤ seed_size + alphabet rows (vocab metadata, never corpus)",
 }
 
