@@ -810,6 +810,51 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ch_exponential_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — ClickHouse's ``exponentialMovingAverage(halflife)(v, t)``
+    aggregate over the hourly event rate (halflife = 1 hour): each
+    bucket's EMA weights past buckets by 2^(−Δhours) — TIME-AWARE, so
+    a gap hour decays by its true distance, not by row adjacency (the
+    sf0.001 fixture has gap hours; row-windowed EMA would be wrong
+    there, and CH's aggregate is defined on time).
+
+    Exactness: the kernel truncates at 32 taps (tail weight < 2⁻³²,
+    below the round-6 output quantum for any bounded rate) and the
+    truncated sum is computed in EXACT INTEGER numerator units —
+    Σ x·2^(31−Δh) via shiftleft — identically on both engines; the
+    only double is the final numerator/2³¹ presentation.
+
+    Scale: one events→hours hash agg, then a 31-row sliding frame over
+    the |hours| bucket table (720 rows/month) with an in-row fold —
+    the event stream itself is never windowed."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    hourly = hourly.withColumn(
+        "h_epoch", (F.unix_timestamp("hour_ts") / 3600).cast("long")
+    )
+    wf = Window.orderBy("h_epoch").rowsBetween(-31, 0)
+    lst = F.collect_list(F.struct("h_epoch", "n_events")).over(wf)
+    num = F.expr(
+        "aggregate(__frame, 0L, (acc, e) -> acc + IF(__h - e.h_epoch <= 31, "
+        "e.n_events * shiftleft(1L, CAST(31 - (__h - e.h_epoch) AS INT)), 0L))"
+    )
+    out = (
+        hourly.withColumn("__frame", lst)
+        .withColumn("__h", F.col("h_epoch"))
+        .withColumn("ewma_num", num.cast("long"))
+    )
+    return out.select(
+        "hour_ts",
+        "n_events",
+        "ewma_num",
+        F.expr(
+            "floor((ewma_num / 2147483648.0) * 1e6 + 0.5) / 1e6"
+        ).alias("ewma"),
+    )
+
+
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r8: cohort retention matrix — the ClickHouse ``retention()``
     aggregate's standard product-analytics use (reference surface: CH
@@ -1173,6 +1218,7 @@ QUERIES = {
     "events_countmin_sketch": events_countmin_sketch,
     "events_anomalies_mad": events_anomalies_mad,
     "events_cusum_drift": events_cusum_drift,
+    "ch_exponential_moving_average": ch_exponential_moving_average,
     "events_retention_agg": events_retention_agg,
     "events_window_funnel_increase": events_window_funnel_increase,
     "events_value_histogram": events_value_histogram,
@@ -1532,6 +1578,39 @@ ORACLES["events_sequence_match"] = """
     FROM s
 """
 
+
+ORACLES["ch_exponential_moving_average"] = """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    ),
+    e AS (
+        SELECT hourly.*,
+               CAST(epoch(hour_ts) // 3600 AS BIGINT) AS h_epoch
+        FROM hourly
+    ),
+    f AS (
+        SELECT e.*,
+               list({'h': h_epoch, 'x': n_events}) OVER (
+                   ORDER BY h_epoch
+                   ROWS BETWEEN 31 PRECEDING AND CURRENT ROW) AS frame
+        FROM e
+    )
+    SELECT hour_ts, n_events,
+           CAST(list_sum(list_transform(frame,
+                ev -> CASE WHEN h_epoch - ev.h <= 31
+                           THEN ev.x * (CAST(1 AS BIGINT)
+                                << CAST(31 - (h_epoch - ev.h) AS INT))
+                           ELSE 0 END)) AS BIGINT) AS ewma_num,
+           FLOOR((CAST(list_sum(list_transform(frame,
+                ev -> CASE WHEN h_epoch - ev.h <= 31
+                           THEN ev.x * (CAST(1 AS BIGINT)
+                                << CAST(31 - (h_epoch - ev.h) AS INT))
+                           ELSE 0 END)) AS BIGINT) / 2147483648.0)
+                 * 1e6 + 0.5) / 1e6 AS ewma
+    FROM f
+"""
 
 ORACLES["events_cusum_drift"] = """
     WITH hourly AS (
