@@ -320,13 +320,20 @@ def run_incremental_snapshot(
     if additional_condition:
         source_table = source_table.filter(F.expr(additional_condition))
     done, bounds = _read_progress(path, sid)
+    _AGG = "Incremental Snapshot"
     if bounds is None:
         bounds = plan_snapshot_chunks(source_table, order_col, n_chunks)
         _write_progress(path, sid, done, bounds)
+        emit_notification(path, _AGG, "STARTED",
+                          {"signal_id": sid, "total_chunks": len(bounds)})
+    else:
+        emit_notification(path, _AGG, "RESUMED",
+                          {"signal_id": sid, "chunks_done": len(done)})
     merged = 0
-    paused = False
+    paused = stopped = False
     for i, (lo, hi) in enumerate(bounds):
         if _stop_requested(path, sid):
+            stopped = True
             break  # stop-snapshot: merged chunks stay, the rest skipped
         if _paused(path):
             paused = True
@@ -358,6 +365,11 @@ def run_incremental_snapshot(
         done.add(i)
         _write_progress(path, sid, done, bounds)
         merged += 1
+        emit_notification(
+            path, _AGG, "IN_PROGRESS",
+            {"signal_id": sid, "chunk_index": i,
+             "chunks_done": len(done), "total_chunks": len(bounds)},
+        )
         if interleave_hook is not None:
             interleave_hook(i)
     # Progress exists only while a resume is still possible: a completed
@@ -365,6 +377,18 @@ def run_incremental_snapshot(
     # re-merges instead of no-opping), and a stopped one clears it too
     # (Debezium's stop removes the collection from the snapshot — there
     # is nothing to resume).  A paused run keeps it by design.
+    if paused:
+        emit_notification(path, _AGG, "PAUSED",
+                          {"signal_id": sid, "chunks_done": len(done)})
+    elif stopped:
+        emit_notification(path, _AGG, "ABORTED",
+                          {"signal_id": sid, "chunks_done": len(done)})
+    else:
+        emit_notification(
+            path, _AGG, "TABLE_SCAN_COMPLETED",
+            {"signal_id": sid, "total_chunks": len(bounds)},
+        )
+        emit_notification(path, _AGG, "COMPLETED", {"signal_id": sid})
     if not paused:
         _clear_progress(path, sid)
     return merged
@@ -420,8 +444,11 @@ def run_blocking_snapshot(
         # Debezium's additional-conditions apply to blocking snapshots
         # too — same filtered-keyspace planning as the incremental path
         source_table = source_table.filter(F.expr(additional_condition))
+    ok = False
     try:
         bounds = plan_snapshot_chunks(source_table, order_col, n_chunks)
+        emit_notification(path, "Blocking Snapshot", "STARTED",
+                          {"total_chunks": len(bounds)})
         for i, (lo, hi) in enumerate(bounds):
             chunk = (
                 source_table.filter(_chunk_pred(order_col, lo, hi))
@@ -445,11 +472,16 @@ def run_blocking_snapshot(
             merged += 1
             if interleave_hook is not None:
                 interleave_hook(i)
+        ok = True
     finally:
         try:
             os.unlink(lock)
         except FileNotFoundError:
             pass
+        emit_notification(
+            path, "Blocking Snapshot",
+            "COMPLETED" if ok else "ABORTED", {"chunks_done": merged},
+        )
     return merged
 
 
@@ -532,6 +564,61 @@ def process_signals(
 # ---------------------------------------------------------------------------
 
 KAFKA_OFFSET_FILE = "kafka_channel.offset"
+
+
+def _notifications_path(path: str) -> str:
+    return os.path.join(path, "_notifications.jsonl")
+
+
+def emit_notification(
+    path: str,
+    aggregate_type: str,
+    notif_type: str,
+    additional_data: dict | None = None,
+) -> None:
+    """r15 — Debezium's NOTIFICATION surface (public docs: Debezium 2.3+
+    ``notification.enabled.channels``; each notification is
+    ``{id, aggregate_type, type, additional_data, timestamp}`` with
+    aggregate types like "Incremental Snapshot" / "Initial Snapshot"
+    and progress types STARTED / IN_PROGRESS / TABLE_SCAN_COMPLETED /
+    COMPLETED / ABORTED / PAUSED): the operator-facing progress feed
+    the signal channel's requests report back on.
+
+    Re-expressed on the engine's sink channel: an append-only JSONL
+    file under the store (``_notifications.jsonl``), flock-serialized
+    like the kafka signal topic so concurrent chunk runners never
+    interleave partial lines.  Observability plane — wall-clock
+    timestamps are expected and tests assert only ids/types/order."""
+    import time as _time
+
+    os.makedirs(path, exist_ok=True)
+    npath = _notifications_path(path)
+    rec = {
+        "id": uuid.uuid4().hex,
+        "aggregate_type": aggregate_type,
+        "type": notif_type,
+        "additional_data": additional_data or {},
+        "timestamp": int(_time.time() * 1000),
+    }
+    line = json.dumps(rec)
+    with open(npath + ".lock", "a") as lock_fh:
+        fcntl.flock(lock_fh, fcntl.LOCK_EX)
+        try:
+            with open(npath, "a") as fh:
+                fh.write(line + "\n")
+                fh.flush()
+        finally:
+            fcntl.flock(lock_fh, fcntl.LOCK_UN)
+
+
+def read_notifications(path: str) -> list[dict]:
+    """Consumer side of the notification feed: every notification in
+    emit order (the flock total order)."""
+    npath = _notifications_path(path)
+    if not os.path.exists(npath):
+        return []
+    with open(npath) as fh:
+        return [json.loads(ln) for ln in fh if ln.strip()]
 
 
 def kafka_signal_topic_append(topic_path: str, message: dict) -> int:

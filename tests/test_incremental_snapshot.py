@@ -580,3 +580,83 @@ def test_kafka_channel_cli_roundtrip(spark, dirs, tmp_path):
     assert len(sigs) == 1 and sigs[0]["n_chunks"] == 2
     done = process_signals(_table_truth(spark), dirs["silver"], ["id"])
     assert done == [sigs[0]["id"]]
+
+
+def test_notification_feed(spark, dirs):
+    """r15 Debezium notification surface: a complete incremental
+    snapshot emits STARTED -> IN_PROGRESS per chunk ->
+    TABLE_SCAN_COMPLETED -> COMPLETED in order with the signal id
+    threaded through; pause emits PAUSED and the resumed run leads
+    with RESUMED; stop emits ABORTED; blocking snapshots report under
+    their own aggregate type."""
+    from postgres_debezium_clickhouse_spark.streaming.snapshot import (
+        emit_notification,
+        read_notifications,
+        run_blocking_snapshot,
+        signal_pause_snapshot,
+        signal_resume_snapshot,
+        signal_stop_snapshot,
+    )
+
+    _stream_merge(spark, dirs, _seed_rows(), "seed")
+    run_incremental_snapshot(
+        _table_truth(spark), dirs["silver"], ["id"],
+        order_col="id", watermark_version=W, n_chunks=3,
+        signal_id="sig-notify",
+    )
+    notes = read_notifications(dirs["silver"])
+    kinds = [n["type"] for n in notes
+             if n["aggregate_type"] == "Incremental Snapshot"]
+    assert kinds == ["STARTED", "IN_PROGRESS", "IN_PROGRESS",
+                     "IN_PROGRESS", "TABLE_SCAN_COMPLETED", "COMPLETED"]
+    assert all(n["additional_data"]["signal_id"] == "sig-notify"
+               for n in notes if n["aggregate_type"] == "Incremental Snapshot")
+    assert notes[0]["additional_data"]["total_chunks"] == 3
+    assert all("id" in n and "timestamp" in n for n in notes)
+
+    # pause mid-run -> PAUSED; resume -> RESUMED ... COMPLETED
+    def pause_hook(i):
+        if i == 0:
+            signal_pause_snapshot(dirs["silver"])
+
+    run_incremental_snapshot(
+        _table_truth(spark), dirs["silver"], ["id"],
+        order_col="id", watermark_version=W, n_chunks=3,
+        signal_id="sig-pause", interleave_hook=pause_hook,
+    )
+    signal_resume_snapshot(dirs["silver"])
+    run_incremental_snapshot(
+        _table_truth(spark), dirs["silver"], ["id"],
+        order_col="id", watermark_version=W, n_chunks=3,
+        signal_id="sig-pause",
+    )
+    kinds2 = [n["type"] for n in read_notifications(dirs["silver"])
+              if n["aggregate_type"] == "Incremental Snapshot"
+              and n["additional_data"].get("signal_id") == "sig-pause"]
+    assert kinds2[0] == "STARTED" and "PAUSED" in kinds2
+    assert kinds2[kinds2.index("PAUSED") + 1] == "RESUMED"
+    assert kinds2[-1] == "COMPLETED"
+
+    # stop -> ABORTED
+    signal_stop_snapshot(dirs["silver"], "sig-stop")
+    run_incremental_snapshot(
+        _table_truth(spark), dirs["silver"], ["id"],
+        order_col="id", watermark_version=W, n_chunks=3,
+        signal_id="sig-stop",
+    )
+    kinds3 = [n["type"] for n in read_notifications(dirs["silver"])
+              if n["additional_data"].get("signal_id") == "sig-stop"]
+    assert kinds3[-1] == "ABORTED"
+
+    # blocking snapshot: own aggregate type
+    run_blocking_snapshot(
+        _table_truth(spark), dirs["silver"], ["id"],
+        order_col="id", watermark_version=W + 1, n_chunks=2,
+    )
+    blocking = [n["type"] for n in read_notifications(dirs["silver"])
+                if n["aggregate_type"] == "Blocking Snapshot"]
+    assert blocking == ["STARTED", "COMPLETED"]
+    # the feed is append-only observability; emit_notification is
+    # callable standalone (the Initial Snapshot aggregate)
+    emit_notification(dirs["silver"], "Initial Snapshot", "SKIPPED")
+    assert read_notifications(dirs["silver"])[-1]["type"] == "SKIPPED"
