@@ -828,6 +828,104 @@ def minhash_estimate_on_pairs(
     )
 
 
+#: b-bit MinHash family (r15 — Li & König 2010, b=1): 64 EXTRA affine
+#: permutations (salted apart from the 8-perm LSH family) whose minhash
+#: values are kept only to their LOWEST BIT — 64 permutations in the
+#: storage of one 64-bit word (vs 8 full 8-byte values), the paper's
+#: point.  Same md5-derived, engine-portable construction.
+BBIT_N_PERMS = 64
+BBIT_PERMS = [
+    (
+        int(_hashlib.md5(f"ba{i}".encode()).hexdigest()[:12], 16)
+        % (MINHASH_PRIME - 1) + 1,
+        int(_hashlib.md5(f"bb{i}".encode()).hexdigest()[:12], 16)
+        % MINHASH_PRIME,
+    )
+    for i in range(BBIT_N_PERMS)
+]
+
+#: the b=1 debiased estimator (paper eq. for b=1, dense regime):
+#: E[agree/n] = J + (1−J)/2  ⇒  Ĵ = 2·(agree/n) − 1, clamped at 0.
+BBIT_EST_EXPR = (
+    "greatest(0.0, ((2.0 * agree_bits) / 64.0) - 1.0)"
+)
+
+
+def _bbit_word(lo_half: bool) -> str:
+    """One 32-bit packed word of lowest-bit minhashes (hi: perms 0-31,
+    lo: perms 32-63) — two halves so no shift ever touches bit 63."""
+    rng = range(0, 32) if not lo_half else range(32, 64)
+    terms = [
+        f"(((array_min(transform(__hs, h -> ({a}L * h + {b}L) % "
+        f"{MINHASH_PRIME}L)) & 1L)) << {i - (32 if lo_half else 0)})"
+        for i, (a, b) in ((j, BBIT_PERMS[j]) for j in rng)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def bbit_minhash_estimate_on_pairs(
+    documents: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """r15 — b-bit MinHash estimator eval (Li & König 2010, b=1): per
+    LSH candidate pair, the 1-bit-agreement Jaccard estimate from 64
+    single-bit permutations (one 64-bit word per doc — 8× less sketch
+    than the 8-perm full-value family at 8× the permutation count)
+    against the exact shingle Jaccard.  The estimator is the paper's
+    b=1 debiasing Ĵ = 2·(agree/64) − 1 (random bits agree half the
+    time), clamped at 0.
+
+    Plan: ONE base md5 per shingle (shared discipline with
+    minhash_signature), 64 cheap affine mins folded into two 32-bit
+    packed words (no bit-63 shift) — map-only; candidates come from the
+    SAME 8-perm LSH band join, so this adds no new shuffle class;
+    agreement is two XOR+popcounts per pair.  At 100 TB the sketch
+    store is 8 bytes/doc — the smallest near-dup state in the suite."""
+    sh = with_shingles(documents)
+    base = (
+        "transform(shingles, s -> cast(conv(substring(md5(s), 1, 8), 16, 10)"
+        f" as bigint) % {MINHASH_PRIME}L)"
+    )
+    words = (
+        sh.filter(F.size("shingles") > 0)
+        .withColumn("__hs", F.expr(base))
+        .select(
+            F.col(id_col),
+            F.expr(_bbit_word(False)).cast("long").alias("whi"),
+            F.expr(_bbit_word(True)).cast("long").alias("wlo"),
+            F.col("shingles"),
+        )
+    )
+    pairs = lsh_candidate_pairs(documents, id_col=id_col, shingled=sh)
+    a = words.select(F.col(id_col).alias("doc_a"),
+                     F.col("whi").alias("ha"), F.col("wlo").alias("la"),
+                     F.col("shingles").alias("sh_a"))
+    b = words.select(F.col(id_col).alias("doc_b"),
+                     F.col("whi").alias("hb"), F.col("wlo").alias("lb"),
+                     F.col("shingles").alias("sh_b"))
+    agree = (
+        F.lit(64)
+        - F.bit_count(F.expr("ha ^ hb"))
+        - F.bit_count(F.expr("la ^ lb"))
+    )
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")), 6,
+    )
+    est = F.expr(f"floor({BBIT_EST_EXPR} * 1e6 + 0.5) / 1e6")
+    return (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("agree_bits", agree.cast("long"))
+        .withColumn("est_bbit", est)
+        .withColumn("jaccard", jac)
+        .withColumn(
+            "abs_err",
+            F.expr(f"floor(abs({BBIT_EST_EXPR} - jaccard) * 1e6 + 0.5) / 1e6"),
+        )
+        .select("doc_a", "doc_b", "agree_bits", "est_bbit", "jaccard",
+                "abs_err")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bloom-filter dedup (r15) — the Dolma/BFF recipe (Soldaini et al. 2024,
 # "Dolma"; Groeneveld's Bloom Filter Filtering tool): membership of each

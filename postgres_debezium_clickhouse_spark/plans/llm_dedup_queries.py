@@ -205,6 +205,18 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_estimate_on_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def q_dedup_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — b-bit MinHash (operators/dedup.bbit_minhash_estimate_on_pairs;
+    Li & König 2010, b=1): 64 one-bit permutations in a single 64-bit
+    word per doc, debiased estimate Ĵ = 2·(agree/64) − 1 vs the exact
+    Jaccard on the SAME LSH candidate pairs as dedup_minhash_estimate —
+    the storage/accuracy trade the paper quantifies, evaluated on real
+    pairs.  DuckDB rebuilds every packed bit hash-for-hash."""
+    from ..operators.dedup import bbit_minhash_estimate_on_pairs
+
+    return bbit_minhash_estimate_on_pairs(load_table(spark, sf_dir, "documents"))
+
+
 def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fingerprint-blocked dedup: docs sharing a winnowing fingerprint are
     near-dup candidates; keep the min doc_id per fingerprint group."""
@@ -542,6 +554,7 @@ QUERIES = {
     "dedup_containment": q_dedup_containment,
     "dedup_url_canonical": q_dedup_url_canonical,
     "dedup_minhash_estimate": q_dedup_minhash_estimate,
+    "dedup_bbit_minhash": q_dedup_bbit_minhash,
     "dedup_fingerprint": q_dedup_fingerprint,
     "dedup_semantic": q_semantic_dedup,
     "dedup_semdedup_centroid": q_semdedup_centroid,
@@ -1115,6 +1128,44 @@ ORACLES["dedup_minhash_estimate"] = f"""
            jaccard,
            FLOOR(abs(n_sig_matches * 1.0 / {_N_PERMS_E} - jaccard) * 1e6
                  + 0.5) / 1e6 AS abs_err
+    FROM m
+"""
+
+
+# b-bit minhash oracle: rebuild the two 32-bit packed words from the
+# same salted 64-perm family (constants imported) and debias per the
+# paper's b=1 estimator — shared expression string, bit-exact
+from ..operators.dedup import BBIT_EST_EXPR as _BBIT_EST  # noqa: E402
+from ..operators.dedup import BBIT_PERMS as _BBIT_PERMS  # noqa: E402
+
+_BBIT_HI = "(" + " + ".join(
+    f"((list_min(list_transform(hs, h -> ({a} * h + {b}) % {_MH_P_E})) & 1)"
+    f" << {i})"
+    for i, (a, b) in enumerate(_BBIT_PERMS[:32])
+) + ")"
+_BBIT_LO = "(" + " + ".join(
+    f"((list_min(list_transform(hs, h -> ({a} * h + {b}) % {_MH_P_E})) & 1)"
+    f" << {i})"
+    for i, (a, b) in enumerate(_BBIT_PERMS[32:])
+) + ")"
+
+ORACLES["dedup_bbit_minhash"] = f"""
+    WITH {_SHINGLES},
+    {_MINHASH_PAIR_CTES},
+    words AS (SELECT doc_id,
+                     CAST({_BBIT_HI} AS BIGINT) AS whi,
+                     CAST({_BBIT_LO} AS BIGINT) AS wlo
+              FROM hsx),
+    m AS (SELECT j.doc_a, j.doc_b, j.jaccard,
+                 CAST(64 - bit_count(xor(a.whi, b.whi))
+                         - bit_count(xor(a.wlo, b.wlo)) AS BIGINT)
+                     AS agree_bits
+          FROM j JOIN words a ON j.doc_a = a.doc_id
+                 JOIN words b ON j.doc_b = b.doc_id)
+    SELECT doc_a, doc_b, agree_bits,
+           FLOOR({_BBIT_EST} * 1e6 + 0.5) / 1e6 AS est_bbit,
+           jaccard,
+           FLOOR(abs({_BBIT_EST} - jaccard) * 1e6 + 0.5) / 1e6 AS abs_err
     FROM m
 """
 
