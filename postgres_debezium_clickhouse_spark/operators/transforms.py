@@ -165,6 +165,37 @@ def mask_fields(df: DataFrame, columns: list[str], mode: str = "hash") -> DataFr
     return out
 
 
+def truncate_columns(df: DataFrame, spec: dict[str, int]) -> DataFrame:
+    """r15 — Debezium's ``column.truncate.to.N.chars`` connector option
+    (public docs, relational connectors): ship only the first N chars
+    of oversized/sensitive columns — the bandwidth guard for wide text
+    columns that MaskField is too blunt for.  NULL stays NULL, a
+    shorter value passes unchanged (the option's contract).
+    Map-only."""
+    out = df
+    for c, n in spec.items():
+        if c not in df.columns:
+            continue
+        out = out.withColumn(c, F.substring(F.col(c).cast("string"), 1, int(n)))
+    return out
+
+
+def mask_columns_fixed(df: DataFrame, spec: dict[str, int]) -> DataFrame:
+    """r15 — Debezium's ``column.mask.with.N.chars`` connector option:
+    replace the value with N ``*`` characters — LENGTH-HIDING, unlike
+    truncate (every non-NULL value masks to the same fixed string, so
+    even the length leaks nothing).  NULL stays NULL.  Map-only."""
+    out = df
+    for c, n in spec.items():
+        if c not in df.columns:
+            continue
+        out = out.withColumn(
+            c,
+            F.when(F.col(c).isNotNull(), F.lit("*" * int(n))),
+        )
+    return out
+
+
 def sanitize_field_names(df: DataFrame) -> DataFrame:
     """P10 — ``sanitize.field.names=true`` (abcsvb-connector-secure.json:49):
     replace non-word characters with '_' so names are safe everywhere."""

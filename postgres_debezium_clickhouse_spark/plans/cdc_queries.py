@@ -807,6 +807,32 @@ def cdc_masked_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_truncated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — Debezium's connector-level column reshaping options next to
+    the MaskField SMT: ``column.truncate.to.N.chars`` (ship the first N
+    chars — the bandwidth guard for wide text) and
+    ``column.mask.with.N.chars`` (fixed ``*``×N, LENGTH-HIDING — even
+    the value's length leaks nothing, the documented contrast with
+    truncate).  c_name truncates to 12, c_mktsegment masks to 6 stars;
+    c_acctbal rides through untouched to pin selectivity.
+
+    Map-only on the unwrapped customer feed; the oracle restates both
+    reshapes from the customer fixture."""
+    from ..operators.transforms import mask_columns_fixed, truncate_columns
+
+    parsed = parse_envelope(customer_cdc_events(spark, sf_dir), CUSTOMER_ENVELOPE)
+    unwrapped = unwrap_envelope(parsed, drop_deletes=True)
+    out = truncate_columns(unwrapped, {"c_name": 12})
+    out = mask_columns_fixed(out, {"c_mktsegment": 6})
+    return out.select(
+        "c_custkey",
+        "c_name",
+        F.length("c_name").cast("int").alias("name_len"),
+        "c_mktsegment",
+        to_float64("c_acctbal").alias("c_acctbal"),
+    )
+
+
 def products_usable_vw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE reference flagship, field for field (products_usable_vw,
     clickhouse.sql:70-82): JSON-extracted strings → latest-wins FINAL dedup
@@ -1458,6 +1484,7 @@ QUERIES = {
     "cdc_hoist_field": cdc_hoist_field,
     "cdc_filter_predicate": cdc_filter_predicate,
     "cdc_masked_customers": cdc_masked_customers,
+    "cdc_truncated_columns": cdc_truncated_columns,
     "cdc_bronze_stats": cdc_bronze_stats,
     "products_usable_vw": products_usable_vw,
     "silver_cross_table_revenue": silver_cross_table_revenue,
@@ -1966,6 +1993,16 @@ ORACLES = {
                     ELSE o_totalprice END AS DOUBLE) AS o_totalprice,
                (o_orderkey % 7 = 0) AS __deleted
         FROM orders
+    """,
+    # truncate.to.12.chars + mask.with.6.chars, restated from customer
+    "cdc_truncated_columns": """
+        SELECT c_custkey,
+               substring(c_name, 1, 12) AS c_name,
+               CAST(LEAST(length(c_name), 12) AS INT) AS name_len,
+               CASE WHEN c_mktsegment IS NOT NULL THEN '******' END
+                   AS c_mktsegment,
+               CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        FROM customer
     """,
     "cdc_masked_customers": """
         SELECT c_custkey,

@@ -537,3 +537,22 @@ def test_reselect_columns(spark):
     with _pytest.raises(ValueError):
         reselect_columns(events, src, ["id"], ["v"],
                          unavailable=False, nulls=False)
+
+
+def test_truncate_and_fixed_mask_columns(spark):
+    """r15 column.truncate.to.N.chars / column.mask.with.N.chars:
+    truncate keeps prefixes and passes short values; fixed mask hides
+    length; NULL stays NULL in both."""
+    from postgres_debezium_clickhouse_spark.operators.transforms import (
+        mask_columns_fixed,
+        truncate_columns,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abcdefgh", "SEGMENT"), (2, "ab", None)],
+        "id long, name string, seg string",
+    )
+    t = {r.id: r for r in truncate_columns(df, {"name": 4}).collect()}
+    assert t[1].name == "abcd" and t[2].name == "ab"
+    m = {r.id: r for r in mask_columns_fixed(df, {"seg": 3}).collect()}
+    assert m[1].seg == "***" and m[2].seg is None
