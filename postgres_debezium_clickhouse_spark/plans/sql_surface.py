@@ -781,6 +781,48 @@ def ch_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ch_agg_combinators_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — the second ClickHouse combinator family next to
+    ch_agg_combinators' -If/-Array: ``-Distinct`` (sumDistinct /
+    countDistinct over the planted k%5 plane — dedup INSIDE the
+    aggregate, Spark's sum_distinct/count_distinct natively),
+    ``-OrNull`` (empty aggregation set → NULL instead of the default),
+    and ``-OrDefault`` (the coalesce twin: empty set → the type
+    default 0).  The empty set is PLANTED structurally (the predicate
+    excludes status 'P' by construction — the fixture's statuses are
+    uniform, so no value bound empties a group at every SF), making
+    the P-group's (NULL, 0) pair deterministic at any scale — a wrong
+    empty-set convention flips exactly one group.
+
+    One hash agg on the 3-value status key; distinct adds the standard
+    partial-distinct expand, nothing corpus-sized."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    dec = _dec("o_totalprice")
+    never_p = (F.col("o_totalprice") > 450000) & (
+        F.col("o_orderstatus") != "P"
+    )
+    base = orders.select(
+        "o_orderstatus",
+        (k % 5).cast("long").alias("k5"),
+        dec.alias("price"),
+        never_p.alias("big"),
+    )
+    big_price = F.when(F.col("big"), F.col("price"))
+    return base.groupBy("o_orderstatus").agg(
+        F.sum_distinct(F.col("k5")).cast("long").alias("sum_distinct_k5"),
+        F.count_distinct(F.col("k5")).cast("long").alias("uniq_exact_k5"),
+        F.count(big_price).cast("long").alias("count_big"),
+        F.max(big_price).cast("double").alias("max_or_null_big"),
+        F.coalesce(F.max(big_price).cast("double"), F.lit(0.0)).alias(
+            "max_or_default_big"
+        ),
+        F.coalesce(_dec2dbl(F.sum(big_price)), F.lit(0.0)).alias(
+            "sum_or_default_big"
+        ),
+    )
+
+
 def ch_agg_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r13 — ClickHouse aggregate COMBINATORS (``-If`` and ``-Array``,
     CH's combinators doc page) over orders grouped by o_orderpriority:
@@ -1328,6 +1370,7 @@ QUERIES = {
     "ch_mann_whitney": ch_mann_whitney,
     "ch_entropy": ch_entropy,
     "ch_kolmogorov_smirnov": ch_kolmogorov_smirnov,
+    "ch_agg_combinators_null": ch_agg_combinators_null,
     "ch_time_bucket_functions": ch_time_bucket_functions,
     "ch_sample_clause": ch_sample_clause,
     "customers_without_orders": customers_without_orders,
@@ -1420,6 +1463,28 @@ ORACLES = {
                {_STATS_EXPRS['slope']} AS slope,
                {_STATS_EXPRS['intercept']} AS intercept
         FROM d
+    """,
+    # planted-empty P group pins the -OrNull/-OrDefault conventions
+    "ch_agg_combinators_null": """
+        WITH base AS (
+            SELECT o_orderstatus,
+                   CAST(o_orderkey % 5 AS BIGINT) AS k5,
+                   CASE WHEN o_totalprice > 450000
+                             AND o_orderstatus <> 'P'
+                        THEN CAST(o_totalprice AS DECIMAL(18,2)) END
+                       AS big_price
+            FROM orders
+        )
+        SELECT o_orderstatus,
+               CAST(SUM(DISTINCT k5) AS BIGINT) AS sum_distinct_k5,
+               CAST(COUNT(DISTINCT k5) AS BIGINT) AS uniq_exact_k5,
+               CAST(COUNT(big_price) AS BIGINT) AS count_big,
+               CAST(MAX(big_price) AS DOUBLE) AS max_or_null_big,
+               COALESCE(CAST(MAX(big_price) AS DOUBLE), 0.0)
+                   AS max_or_default_big,
+               COALESCE(CAST(CAST(SUM(big_price) AS VARCHAR) AS DOUBLE),
+                        0.0) AS sum_or_default_big
+        FROM base GROUP BY o_orderstatus
     """,
     # cross-multiplied CDF gap as an exact integer max over the value
     # histogram; only the final ratios are doubles
