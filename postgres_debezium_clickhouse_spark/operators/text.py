@@ -2102,3 +2102,67 @@ def lm_trigram_interpolated(
             ppl.alias("ppl"),
         )
     )
+
+
+def watermark_zscore(
+    documents: DataFrame,
+    gamma_pct: int = 25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """r15 — statistical watermark detection (Kirchenbauer et al. 2023,
+    "A Watermark for Large Language Models", public paper): a
+    watermarking LLM seeds a per-position "green list" (fraction
+    γ = gamma_pct/100 of the vocabulary) from the PREVIOUS token's
+    hash and biases sampling toward it; a detector needs no model —
+    only the hash — and computes the one-proportion z-score of the
+    observed green fraction: z = (g − γT) / sqrt(T·γ·(1−γ)).  The
+    crawl-pipeline use is the reverse: flagging LLM-GENERATED text
+    leaking into training corpora (synthetic-contamination triage,
+    the modern sibling of benchmark decontamination).
+
+    Deterministic, engine-portable re-expression: token w at position
+    i is "green" iff the first 4 md5 hex digits of
+    ``prev_token || '|' || w`` (mod 100) < γ·100 — the same
+    hash-seeded partition the scheme's detector uses, reproducible in
+    any engine.  T = scored positions (all but the first token);
+    green count, γ·T in exact micro-unit integers, and ONE mirrored
+    double z dag under the floor-6 discipline.  Natural text scores
+    |z| ≈ small; a planted generator that respects the green rule
+    scores high — the separation the pytest pins.
+
+    Scale: map-only — tokenize, one zip_with over adjacent token
+    pairs, two aggregates per doc inside the row; no shuffle, no
+    state.  At 100 TB this rides the scan like every text score."""
+    tk = F.split(F.col(text_col), " ")
+    pairs = F.expr(
+        "zip_with(slice(__tk, 1, size(__tk) - 1),"
+        " slice(__tk, 2, size(__tk) - 1), (p, w) -> concat(p, '|', w))"
+    )
+    greens = F.expr(
+        f"size(filter(__pairs, s ->"
+        f" conv(substring(md5(s), 1, 4), 16, 10) % 100 < {gamma_pct}))"
+    )
+    out = (
+        documents.select(F.col(id_col), tk.alias("__tk"))
+        .filter(F.size("__tk") >= 2)
+        .withColumn("__pairs", pairs)
+        .select(
+            F.col(id_col),
+            F.size("__pairs").cast("long").alias("n_scored"),
+            greens.cast("long").alias("n_green"),
+        )
+    )
+    g = gamma_pct / 100.0
+    z = (
+        f"(n_green - {gamma_pct} * n_scored / 100.0)"
+        f" / sqrt(n_scored * {g} * (1.0 - {g}))"
+    )
+    return out.select(
+        id_col,
+        "n_scored",
+        "n_green",
+        F.expr(f"floor(({z}) * 1e6 + 0.5) / 1e6").alias("z_score"),
+        (F.col("n_green") * 100 > F.lit(gamma_pct) * F.col("n_scored"))
+        .alias("above_expected"),
+    )

@@ -406,7 +406,20 @@ def q_text_bigram_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_bigram_interpolated(load_table(spark, sf_dir, "documents"))
 
 
+def q_text_watermark_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — LLM watermark detection (operators/text.watermark_zscore;
+    Kirchenbauer et al. 2023): per document, the one-proportion
+    z-score of the hash-seeded green-token fraction (γ = 0.25) — the
+    synthetic-text triage signal a crawl pipeline runs next to
+    benchmark decontamination.  Natural fixture text scores near 0;
+    the oracle replays the pair hash and the one shared z dag."""
+    from ..operators.text import watermark_zscore
+
+    return watermark_zscore(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
+    "text_watermark_zscore": q_text_watermark_zscore,
     "text_stats": q_text_stats,
     "text_c4_line_filter": q_text_c4_line_filter,
     "corpus_zipf_fit": q_corpus_zipf_fit,
@@ -440,6 +453,34 @@ QUERIES = {
 }
 
 ORACLES = {
+    # pair hash replayed ('0x'-md5 prefix mod 100 < 25), one shared z dag
+    "text_watermark_zscore": """
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS tk
+            FROM documents
+        ),
+        p AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(tk)),
+                       i -> tk[CAST(i AS INT)] || '|'
+                            || tk[CAST(i + 1 AS INT)]) AS pairs
+            FROM t WHERE len(tk) >= 2
+        ),
+        c AS (
+            SELECT doc_id,
+                   CAST(len(pairs) AS BIGINT) AS n_scored,
+                   CAST(len(list_filter(pairs, s ->
+                       ('0x' || substring(md5(s), 1, 4))::BIGINT % 100 < 25))
+                       AS BIGINT) AS n_green
+            FROM p
+        )
+        SELECT doc_id, n_scored, n_green,
+               FLOOR(((n_green - 25 * n_scored / 100.0)
+                      / sqrt(n_scored * 0.25 * (1.0 - 0.25)))
+                     * 1e6 + 0.5) / 1e6 AS z_score,
+               n_green * 100 > 25 * n_scored AS above_expected
+        FROM c
+    """,
     "corpus_zipf_fit": """
         WITH toks AS (
             SELECT unnest(list_filter(string_split(text, ' '),

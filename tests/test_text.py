@@ -860,3 +860,38 @@ def test_trigram_interpolated_hand_computed(spark):
     assert row.n_unseen == 1
     assert float(row.avg_logscore) == want
     assert float(row.ppl) == math.floor(math.exp(-want) * 1e4 + 0.5) / 1e4
+
+
+def test_watermark_zscore_separation(spark):
+    """r15 watermark detection: a text GENERATED to respect the
+    hash-seeded green rule (greedily pick the first candidate token
+    that hashes green given the previous token) z-scores far above a
+    natural text; counts are exact."""
+    import hashlib
+
+    from postgres_debezium_clickhouse_spark.operators.text import (
+        watermark_zscore,
+    )
+
+    def green(prev, w):
+        h = int(hashlib.md5(f"{prev}|{w}".encode()).hexdigest()[:4], 16)
+        return h % 100 < 25
+
+    vocab = [f"w{i}" for i in range(50)]
+    toks = ["w0"]
+    for _ in range(60):
+        nxt = next(w for w in vocab if green(toks[-1], w))
+        toks.append(nxt)
+    watermarked = " ".join(toks)
+    natural = "the quick brown fox jumps over the lazy dog " * 7
+    docs = spark.createDataFrame(
+        [(1, watermarked), (2, natural.strip())], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in watermark_zscore(docs).collect()}
+    assert out[1].n_green == out[1].n_scored == 60  # every pick green
+    assert out[1].z_score > 10 and out[1].above_expected
+    assert abs(out[2].z_score) < 3
+    # exact count replay for the natural doc
+    nat = natural.strip().split(" ")
+    expect = sum(green(a, b) for a, b in zip(nat, nat[1:]))
+    assert out[2].n_green == expect
