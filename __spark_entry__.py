@@ -51,6 +51,7 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 _FRONT = (
     # round-15 additions (never driver-checked) are inserted here,
     # newest first, as they land.
+    "cdc_connect_dlq",
     "text_watermark_zscore",
     "ch_agg_combinators_null",
     "cdc_truncated_columns",

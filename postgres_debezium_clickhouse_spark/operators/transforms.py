@@ -965,6 +965,57 @@ def drop_headers(
     )
 
 
+def dlq_route(
+    failed: DataFrame,
+    dlq_topic: str,
+    connector: str,
+    stage: str,
+    exception_class: str,
+    exception_message: Column,
+    topic_col: str = "topic",
+    partition_col: str = "partition",
+    offset_col: str = "offset",
+) -> DataFrame:
+    """r15 — Kafka Connect's DEAD LETTER QUEUE contract (public docs:
+    ``errors.tolerance=all`` + ``errors.deadletterqueue.topic.name`` +
+    ``errors.deadletterqueue.context.headers.enable=true``): failed
+    records are re-produced to the DLQ topic with the ORIGINAL value
+    bytes untouched and the error context in ``__connect.errors.*``
+    HEADERS — topic/partition/offset of the failed record, connector
+    and stage, exception class and message — so an operator can replay
+    or triage without a side lookup.
+
+    The engine's dead-letter splits (corrupt_filter & friends) keep
+    poison rows addressable; this shapes them into the exact records a
+    Connect DLQ consumer expects.  Map-only projection."""
+    hdr = F.map_from_arrays(
+        F.array(
+            F.lit("__connect.errors.topic"),
+            F.lit("__connect.errors.partition"),
+            F.lit("__connect.errors.offset"),
+            F.lit("__connect.errors.connector.name"),
+            F.lit("__connect.errors.stage"),
+            F.lit("__connect.errors.exception.class.name"),
+            F.lit("__connect.errors.exception.message"),
+        ),
+        F.array(
+            F.col(topic_col).cast("string"),
+            F.col(partition_col).cast("string"),
+            F.col(offset_col).cast("string"),
+            F.lit(connector),
+            F.lit(stage),
+            F.lit(exception_class),
+            exception_message.cast("string"),
+        ),
+    )
+    return failed.select(
+        F.lit(dlq_topic).alias("topic"),
+        F.col("key"),
+        F.col("value"),
+        hdr.alias("headers"),
+    )
+
+
 def topic_name_matches(pattern: str, topic_col: str = "topic") -> Column:
     """``TopicNameMatches``: whole-name regex on the record topic
     (Java ``matches()`` anchoring, like regex_router)."""

@@ -942,6 +942,65 @@ def cdc_deadletter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("side").agg(F.count(F.lit(1)).alias("n"))
 
 
+def cdc_connect_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — Kafka Connect's DLQ contract
+    (operators/transforms.dlq_route; ``errors.tolerance=all`` +
+    ``errors.deadletterqueue.topic.name`` + context headers): the
+    poison slice (offset ≡0 mod 101, deterministically truncated to
+    invalid JSON — the cdc_deadletter_stats plant) re-produced to
+    ``dlq.poc-connector`` with the original value bytes untouched and
+    the full ``__connect.errors.*`` header set — the record shape a
+    Connect DLQ consumer replays from.
+
+    The output checks the context planes per DLQ record: original
+    topic/partition/offset round-tripped through the headers, the
+    stage/exception identity, the header-set cardinality, and the
+    untouched-truncated-value length (10 — the plant's cut).  Oracle:
+    offsets from the generator multiplicities filtered to %101.
+
+    Plan: permissive parse → poison filter → map-only DLQ projection;
+    the DLQ side is the tiny slice, nothing corpus-sized reshuffles."""
+    from ..operators.transforms import dlq_route
+    from ..streaming.pipeline import corrupt_filter
+
+    ev = orders_cdc_events(spark, sf_dir)
+    corrupted = ev.withColumn(
+        "value",
+        F.when(
+            F.col("offset") % 101 == 0, F.expr("substring(value, 1, 10)")
+        ).otherwise(F.col("value")),
+    )
+    parsed = parse_envelope(corrupted, ORDERS_ENVELOPE)
+    _good, dead = corrupt_filter(parsed)
+    dlq = dlq_route(
+        dead,
+        dlq_topic="dlq.poc-connector",
+        connector="poc-connector",
+        stage="VALUE_CONVERTER",
+        exception_class="org.apache.kafka.connect.errors.DataException",
+        exception_message=F.lit(
+            "Converting byte[] to Kafka Connect data failed"
+        ),
+    )
+    h = F.col("headers")
+    return dlq.select(
+        F.col("topic").alias("dlq_topic"),
+        F.element_at(h, "__connect.errors.topic").alias("err_topic"),
+        F.element_at(h, "__connect.errors.partition")
+        .cast("int")
+        .alias("err_partition"),
+        F.element_at(h, "__connect.errors.offset")
+        .cast("long")
+        .alias("err_offset"),
+        F.element_at(h, "__connect.errors.stage").alias("err_stage"),
+        F.element_at(h, "__connect.errors.exception.class.name").alias(
+            "err_class"
+        ),
+        F.size(h).cast("int").alias("n_headers"),
+        F.length("value").cast("int").alias("value_len"),
+    )
+
+
 def cdc_first_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``latest_wins(keep='first')`` — the min_by path: the EARLIEST
     version per key (first-touch image), the batch form of the streaming
@@ -1485,6 +1544,7 @@ QUERIES = {
     "cdc_filter_predicate": cdc_filter_predicate,
     "cdc_masked_customers": cdc_masked_customers,
     "cdc_truncated_columns": cdc_truncated_columns,
+    "cdc_connect_dlq": cdc_connect_dlq,
     "cdc_bronze_stats": cdc_bronze_stats,
     "products_usable_vw": products_usable_vw,
     "silver_cross_table_revenue": silver_cross_table_revenue,
@@ -1993,6 +2053,32 @@ ORACLES = {
                     ELSE o_totalprice END AS DOUBLE) AS o_totalprice,
                (o_orderkey % 7 = 0) AS __deleted
         FROM orders
+    """,
+    # Connect DLQ: poison offsets (%101) from the multiplicities, all
+    # context planes restated; value_len 10 = the plant's truncation
+    "cdc_connect_dlq": """
+        WITH ev AS (
+            SELECT o_orderkey AS k, o_orderkey * 10 + 0 AS off FROM orders
+            UNION ALL SELECT o_orderkey, o_orderkey * 10 + 1
+                FROM orders WHERE o_orderkey % 3 = 0
+            UNION ALL SELECT o_orderkey, o_orderkey * 10 + 5
+                FROM orders WHERE o_orderkey % 3 = 0
+            UNION ALL SELECT o_orderkey, o_orderkey * 10 + 2
+                FROM orders WHERE o_orderkey % 9 = 0
+            UNION ALL SELECT o_orderkey, o_orderkey * 10 + 6
+                FROM orders WHERE o_orderkey % 9 = 0
+            UNION ALL SELECT o_orderkey, o_orderkey * 10 + 3
+                FROM orders WHERE o_orderkey % 7 = 0
+        )
+        SELECT 'dlq.poc-connector' AS dlq_topic,
+               'poc.public.orders' AS err_topic,
+               CAST(k % 8 AS INT) AS err_partition,
+               CAST(off AS BIGINT) AS err_offset,
+               'VALUE_CONVERTER' AS err_stage,
+               'org.apache.kafka.connect.errors.DataException' AS err_class,
+               CAST(7 AS INT) AS n_headers,
+               CAST(10 AS INT) AS value_len
+        FROM ev WHERE off % 101 = 0
     """,
     # truncate.to.12.chars + mask.with.6.chars, restated from customer
     "cdc_truncated_columns": """
