@@ -168,3 +168,42 @@ def test_native_roundtrip_blocks_and_nulls(spark, tmp_path):
     # NULL in non-Nullable refuses at encode time
     with _pytest.raises(ValueError, match="Nullable"):
         native_encode([("k", "Int64")], [{"k": None}])
+
+
+def test_native_roundtrip_property():
+    """r15 Native codec property: encode→decode is the identity on any
+    record batch over the supported type matrix, at any block size
+    (pure-python — no Spark session needed)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from postgres_debezium_clickhouse_spark.sources.ch_native import (
+        native_decode,
+        native_encode,
+    )
+
+    cols = [
+        ("i", "Int64"), ("u", "UInt32"), ("s", "String"),
+        ("f", "Nullable(Float64)"), ("ns", "Nullable(String)"),
+        ("t", "DateTime64(6)"),
+    ]
+    rec = st.fixed_dictionaries({
+        "i": st.integers(-2**62, 2**62),
+        "u": st.integers(0, 2**32 - 1),
+        "s": st.text(max_size=40),
+        "f": st.one_of(st.none(), st.floats(allow_nan=False,
+                                            allow_infinity=False,
+                                            width=64)),
+        "ns": st.one_of(st.none(), st.text(max_size=10)),
+        "t": st.integers(0, 2**52),
+    })
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(rec, max_size=30), st.integers(1, 7))
+    def check(records, rpb):
+        blob = native_encode(cols, records, records_per_block=rpb)
+        got_cols, got = native_decode(blob)
+        assert got_cols == cols
+        assert got == records
+
+    check()
