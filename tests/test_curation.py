@@ -815,3 +815,49 @@ def test_unimax_mix_weights(spark):
     assert {r.lang: r.alloc_chars for r in out3} == {
         "aa": 6, "bb": 200, "cc": 200
     }
+
+
+def test_unimax_budget_conservation_property(spark):
+    """r15 UniMax invariants under random language-size profiles:
+    Σ alloc == min(budget, cap·total) exactly (integer conservation,
+    remainder included), capped ⇔ ascending-prefix membership, and no
+    language exceeds cap·size."""
+    import random
+
+    from postgres_debezium_clickhouse_spark.operators.curation import (
+        unimax_mix_weights,
+    )
+
+    rng = random.Random(42)
+    for trial in range(6):
+        n_langs = rng.randint(1, 7)
+        sizes = [rng.randint(1, 10_000) for _ in range(n_langs)]
+        rows, did = [], 0
+        for li, sz in enumerate(sizes):
+            # split each language's chars over 1-3 docs
+            parts = rng.randint(1, 3)
+            cuts = sorted(rng.randint(0, sz) for _ in range(parts - 1))
+            bounds = [0] + cuts + [sz]
+            for a, b in zip(bounds, bounds[1:]):
+                rows.append((did, "x", f"l{li}", "s", b - a))
+                did += 1
+        docs = spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+        num, den = rng.choice([(8, 5), (1, 2), (3, 1), (100, 1)])
+        out = unimax_mix_weights(docs, epoch_cap=2, budget_num=num,
+                                 budget_den=den).collect()
+        total = sum(sizes)
+        budget = total * num // den
+        allocs = {r.lang: r.alloc_chars for r in out}
+        per_size = {f"l{i}": s for i, s in enumerate(sizes)}
+        assert sum(allocs.values()) == min(budget, 2 * total)
+        for r in out:
+            assert r.alloc_chars <= 2 * per_size[r.lang] + (
+                0 if r.capped else 1
+            )  # uncapped may carry a +1 remainder char
+        ordered = sorted(out, key=lambda r: (r.size_chars, r.lang))
+        flags = [r.capped for r in ordered]
+        assert flags == sorted(flags, reverse=True)  # capped is a prefix
