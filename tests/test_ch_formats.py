@@ -207,3 +207,36 @@ def test_native_roundtrip_property():
         assert got == records
 
     check()
+
+
+def test_native_fuzz_never_escapes_valueerror():
+    """r15 codec-discipline parity for the Native decoder: byte flips
+    and every truncation over a valid multi-block stream normalize to
+    ValueError / NotImplementedError (UnicodeDecodeError is a
+    ValueError) — never struct.error, overflow, or a hang (every
+    corrupt-length loop is bounded by the remaining bytes)."""
+    import random
+
+    from postgres_debezium_clickhouse_spark.sources.ch_native import (
+        native_decode,
+        native_encode,
+    )
+
+    cols = [("k", "Int64"), ("s", "String"), ("p", "Nullable(Float64)"),
+            ("t", "DateTime64(6)")]
+    recs = [{"k": i, "s": f"v{i}" * (i % 3), "p": None if i % 4 == 0
+             else i * 0.5, "t": i * 1000} for i in range(12)]
+    base = native_encode(cols, recs, records_per_block=5)
+    rng = random.Random(15)
+    for _ in range(3000):
+        b = bytearray(base)
+        b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        try:
+            native_decode(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
+    for cut in range(len(base)):
+        try:
+            native_decode(base[:cut])
+        except (ValueError, NotImplementedError):
+            pass
