@@ -51,6 +51,8 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 _FRONT = (
     # round-15 additions (never driver-checked) are inserted here,
     # newest first, as they land.
+    "ch_date_functions",
+    "ch_array_enumerate",
     "cdc_connect_dlq",
     "text_watermark_zscore",
     "ch_agg_combinators_null",

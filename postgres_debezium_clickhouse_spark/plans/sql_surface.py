@@ -575,6 +575,73 @@ def ch_time_bucket_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ch_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — the ClickHouse ``dateDiff`` vs ``age`` semantic pair (the
+    documented trap: dateDiff counts BOUNDARY CROSSINGS — 23:59 to
+    00:01 is one 'day' — while age counts COMPLETE elapsed units) plus
+    ``toRelativeHourNum`` and the month-add clamp, over the event
+    stream against a fixed anchor (2024-02-01, in-range at every SF).
+
+    Every output is exact: boundary diffs are calendar arithmetic,
+    ages are floor-divided epoch deltas (integer), month diff is the
+    explicit (y·12+m) crossing count, and ``addMonths`` on late-January
+    days pins the Feb-29 leap clamp both engines share.  Map-only."""
+    events = load_table(spark, sf_dir, "events")
+    anchor = "TIMESTAMP '2024-02-01 00:00:00'"
+    ts_s = "unix_seconds(cast(ts as timestamp))"
+    anchor_s = f"unix_seconds({anchor})"
+    return events.select(
+        "event_id",
+        F.expr(f"datediff(date({anchor}), date(ts))")
+        .cast("int")
+        .alias("date_diff_days"),
+        F.expr(
+            f"(2024 * 12 + 2) - (year(ts) * 12 + month(ts))"
+        ).cast("int").alias("date_diff_months"),
+        F.expr(f"floor(({anchor_s} - {ts_s}) / 86400)")
+        .cast("long")
+        .alias("age_days"),
+        F.expr(f"floor(({anchor_s} - {ts_s}) / 3600)")
+        .cast("long")
+        .alias("age_hours"),
+        F.expr(f"floor({ts_s} / 3600)").cast("long").alias("rel_hour_num"),
+        F.expr("add_months(date(ts), 1)").alias("plus_month"),
+    )
+
+
+def ch_array_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — ClickHouse's array-enumeration family over a planted
+    per-order array with real repeats ([k%3, k%5, k%3, k%7, k%3]):
+    ``arrayEnumerateUniq`` (per-element occurrence index — 1,1,2,1,3
+    shape wherever the k%3 value recurs), ``arrayEnumerateDense``
+    (first-occurrence dense rank), and ``arrayUniq`` — the trio CH's
+    funnel/dedup array idioms build on.  Arrays emit joined as strings
+    (scalar-column contract), every element value-checked.  Map-only,
+    zero shuffles."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = "o_orderkey"
+    a = (
+        f"array(CAST({k} % 3 AS BIGINT), CAST({k} % 5 AS BIGINT), "
+        f"CAST({k} % 3 AS BIGINT), CAST({k} % 7 AS BIGINT), "
+        f"CAST({k} % 3 AS BIGINT))"
+    )
+    uniq_idx = (
+        "transform(sequence(1, 5), i -> size(filter(slice(__a, 1, i), "
+        "x -> x = element_at(__a, i))))"
+    )
+    dense = "transform(__a, x -> array_position(array_distinct(__a), x))"
+    j = "array_join(transform({x}, v -> CAST(v AS STRING)), ',')"
+    return (
+        orders.select(k, F.expr(a).alias("__a"))
+        .select(
+            k,
+            F.expr(j.format(x=uniq_idx)).alias("enum_uniq"),
+            F.expr(j.format(x=dense)).alias("enum_dense"),
+            F.expr("size(array_distinct(__a))").cast("int").alias("n_uniq"),
+        )
+    )
+
+
 def ch_sample_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r9 — the ClickHouse ``SAMPLE f`` clause: a DETERMINISTIC f-fraction
     of the table keyed on the sampling key's hash (CH samples by
@@ -1371,6 +1438,8 @@ QUERIES = {
     "ch_entropy": ch_entropy,
     "ch_kolmogorov_smirnov": ch_kolmogorov_smirnov,
     "ch_agg_combinators_null": ch_agg_combinators_null,
+    "ch_date_functions": ch_date_functions,
+    "ch_array_enumerate": ch_array_enumerate,
     "ch_time_bucket_functions": ch_time_bucket_functions,
     "ch_sample_clause": ch_sample_clause,
     "customers_without_orders": customers_without_orders,
@@ -1463,6 +1532,51 @@ ORACLES = {
                {_STATS_EXPRS['slope']} AS slope,
                {_STATS_EXPRS['intercept']} AS intercept
         FROM d
+    """,
+    # dateDiff = boundary crossings, age = complete units — the CH
+    # semantic pair restated with DuckDB calendar arithmetic
+    "ch_date_functions": """
+        SELECT event_id,
+               CAST(date_diff('day', CAST(ts AS DATE),
+                              DATE '2024-02-01') AS INT) AS date_diff_days,
+               CAST((2024 * 12 + 2)
+                    - (year(ts) * 12 + month(ts)) AS INT)
+                   AS date_diff_months,
+               CAST(FLOOR((epoch(TIMESTAMP '2024-02-01 00:00:00')
+                           - FLOOR(epoch(ts))) / 86400) AS BIGINT)
+                   AS age_days,
+               CAST(FLOOR((epoch(TIMESTAMP '2024-02-01 00:00:00')
+                           - FLOOR(epoch(ts))) / 3600) AS BIGINT)
+                   AS age_hours,
+               CAST(FLOOR(FLOOR(epoch(ts)) / 3600) AS BIGINT)
+                   AS rel_hour_num,
+               CAST(CAST(ts AS DATE) + INTERVAL 1 MONTH AS DATE)
+                   AS plus_month
+        FROM events
+    """,
+    # occurrence-index and dense-rank enumerations, every element
+    # value-checked through the joined string
+    "ch_array_enumerate": """
+        WITH t AS (
+            SELECT o_orderkey,
+                   [CAST(o_orderkey % 3 AS BIGINT),
+                    CAST(o_orderkey % 5 AS BIGINT),
+                    CAST(o_orderkey % 3 AS BIGINT),
+                    CAST(o_orderkey % 7 AS BIGINT),
+                    CAST(o_orderkey % 3 AS BIGINT)] AS a
+            FROM orders
+        )
+        SELECT o_orderkey,
+               array_to_string(list_transform(range(1, 6),
+                   i -> CAST(len(list_filter(a[1:CAST(i AS INT)],
+                        x -> x = a[CAST(i AS INT)])) AS VARCHAR)), ',')
+                   AS enum_uniq,
+               array_to_string(list_transform(a,
+                   x -> CAST(len(list_distinct(
+                        a[1:list_position(a, x)])) AS VARCHAR)), ',')
+                   AS enum_dense,
+               CAST(len(list_distinct(a)) AS INT) AS n_uniq
+        FROM t
     """,
     # planted-empty P group pins the -OrNull/-OrDefault conventions
     "ch_agg_combinators_null": """
