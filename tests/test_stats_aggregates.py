@@ -157,3 +157,65 @@ def test_mann_whitney_no_ties_textbook(spark, tmp_path):
     row = ch_mann_whitney(spark, sf).collect()[0]
     assert (row.u2a, row.u2b) == (2, 6)
     assert row.tie_term == 0.0
+
+
+def _write_events(spark, tmp_path, rows):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, "
+              "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    return str(tmp_path)
+
+
+def test_date_functions_boundary_vs_complete_units(spark, tmp_path):
+    """r15 dateDiff-vs-age hand case: one second before midnight is ONE
+    day by boundary crossing but ZERO complete days elapsed — the CH
+    semantic trap, pinned; Jan-31 +1 month clamps to leap Feb-29."""
+    import datetime
+
+    from postgres_debezium_clickhouse_spark.plans.sql_surface import (
+        ch_date_functions,
+    )
+
+    sf = _write_events(spark, tmp_path, [
+        (1, "2024-01-31 23:59:59", 1, "click", 1.0, "{}"),
+        (2, "2024-01-31 00:00:00", 1, "click", 1.0, "{}"),
+    ])
+    out = {r.event_id: r for r in ch_date_functions(spark, sf).collect()}
+    assert out[1].date_diff_days == 1      # boundary crossed
+    assert out[1].age_days == 0            # no complete day elapsed
+    assert out[1].age_hours == 0
+    assert out[2].age_days == 1            # a full day from midnight
+    assert out[1].plus_month == datetime.date(2024, 2, 29)  # leap clamp
+    assert out[1].date_diff_months == 1
+
+
+def test_array_enumerate_hand_case(spark, tmp_path):
+    """r15 enumeration trio on a fully hand-derivable key: 105 → a =
+    [0, 0, 0, 0, 0] (105 ≡ 0 mod 3, 5, 7) gives occurrence indices
+    1..5 and dense rank 1 throughout; 101 → [2, 1, 2, 3, 2]."""
+    from pyspark.sql import functions as F
+
+    from postgres_debezium_clickhouse_spark.plans.sql_surface import (
+        ch_array_enumerate,
+    )
+
+    df = spark.createDataFrame(
+        [(105, 1, "O", 1.0, "1995-01-01 00:00:00", "1-URGENT"),
+         (101, 1, "O", 1.0, "1995-01-01 00:00:00", "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    df.write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    out = {r.o_orderkey: r for r in
+           ch_array_enumerate(spark, str(tmp_path)).collect()}
+    assert out[105].enum_uniq == "1,2,3,4,5"
+    assert out[105].enum_dense == "1,1,1,1,1"
+    assert out[105].n_uniq == 1
+    # 101: %3=2, %5=1, %3=2, %7=3, %3=2 -> [2,1,2,3,2]
+    assert out[101].enum_uniq == "1,1,2,1,3"
+    assert out[101].enum_dense == "1,2,1,3,1"
+    assert out[101].n_uniq == 3
