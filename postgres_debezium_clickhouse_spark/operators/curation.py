@@ -656,7 +656,15 @@ def unimax_mix_weights(
         "size_chars",
         "capped",
         "alloc_chars",
-        F.expr("alloc_chars * 1000000 div size_chars")
+        # Reduce the fraction before multiplying: the naive
+        # alloc_chars * 1000000 wraps int64 once a language's allocation
+        # exceeds ~9.2e12 chars (~9 TB) — well inside the 100 TB design
+        # envelope (r15 ADVICE).  (q*1e6 + r*1e6 div d) == (a*1e6 div d)
+        # exactly, with every intermediate bounded by size_chars * 1e6.
+        F.expr(
+            "(alloc_chars div size_chars) * 1000000"
+            " + ((alloc_chars % size_chars) * 1000000 div size_chars)"
+        )
         .cast("long")
         .alias("epochs_micro"),
     )

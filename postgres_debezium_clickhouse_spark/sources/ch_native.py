@@ -27,7 +27,12 @@ LowCardinality/Enum dictionary serializations are NOT implemented —
 files here are the documented docs-level block stream, round-tripped
 by this module's own writer/reader; interop against a live ClickHouse
 is env-blocked in this sandbox like every live-server surface
-(docs/LIVE_SOURCES.md).
+(docs/LIVE_SOURCES.md).  UInt64 maps to Spark LongType, so decoded
+values >= 2^63 (valid in ClickHouse) are OUT OF RANGE for this reader:
+decode raises ValueError loudly instead of letting the
+mapInPandas→Arrow conversion wrap them silently (r15 ADVICE; a
+DecimalType(20,0) mapping is the upgrade path if full-range UInt64
+ever ships through this source).
 
 Spark surface: ``read_ch_native`` / ``read_ch_native_stream`` —
 binaryFile scan → executor-parallel columnar decode in
@@ -157,7 +162,15 @@ def _decode_body(r: _Reader, inner: str, n: int) -> list:
     if inner not in _FIXED:
         raise NotImplementedError(f"native: unsupported type {inner}")
     dt, w = _FIXED[inner]
-    return np.frombuffer(r.read(w * n), dtype=dt).tolist()
+    vals = np.frombuffer(r.read(w * n), dtype=dt)
+    if inner == "UInt64" and n and int(vals.max()) >= 2**63:
+        # LongType can't carry the upper half of the UInt64 range —
+        # fail loudly here instead of corrupting in the Arrow transfer
+        # (see module docstring's honest-scope note).
+        raise ValueError(
+            "native: UInt64 value >= 2^63 exceeds Spark LongType range"
+        )
+    return vals.tolist()
 
 
 def native_encode(

@@ -445,10 +445,12 @@ def run_blocking_snapshot(
         # too — same filtered-keyspace planning as the incremental path
         source_table = source_table.filter(F.expr(additional_condition))
     ok = False
+    started = False
     try:
         bounds = plan_snapshot_chunks(source_table, order_col, n_chunks)
         emit_notification(path, "Blocking Snapshot", "STARTED",
                           {"total_chunks": len(bounds)})
+        started = True
         for i, (lo, hi) in enumerate(bounds):
             chunk = (
                 source_table.filter(_chunk_pred(order_col, lo, hi))
@@ -478,10 +480,15 @@ def run_blocking_snapshot(
             os.unlink(lock)
         except FileNotFoundError:
             pass
-        emit_notification(
-            path, "Blocking Snapshot",
-            "COMPLETED" if ok else "ABORTED", {"chunks_done": merged},
-        )
+        # Lifecycle pairing contract: a terminal COMPLETED/ABORTED is
+        # emitted only if STARTED was — a planning failure (before any
+        # chunk work) leaves the feed untouched rather than producing an
+        # orphan ABORTED with no matching STARTED (r15 ADVICE).
+        if started:
+            emit_notification(
+                path, "Blocking Snapshot",
+                "COMPLETED" if ok else "ABORTED", {"chunks_done": merged},
+            )
     return merged
 
 

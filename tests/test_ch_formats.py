@@ -240,3 +240,23 @@ def test_native_fuzz_never_escapes_valueerror():
             native_decode(base[:cut])
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_native_uint64_range_guard():
+    """r16 (r15 ADVICE): UInt64 maps to Spark LongType, so decoded
+    values >= 2^63 must raise loudly at decode time instead of wrapping
+    in the Arrow transfer; the int64-representable half round-trips."""
+    import pytest as _pytest
+
+    from postgres_debezium_clickhouse_spark.sources.ch_native import (
+        native_decode,
+        native_encode,
+    )
+
+    cols = [("u", "UInt64")]
+    ok = native_encode(cols, [{"u": 2**63 - 1}, {"u": 0}])
+    _, recs = native_decode(ok)
+    assert [r["u"] for r in recs] == [2**63 - 1, 0]
+    bad = native_encode(cols, [{"u": 2**63}])
+    with _pytest.raises(ValueError, match="UInt64.*2\\^63"):
+        native_decode(bad)

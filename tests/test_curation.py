@@ -861,3 +861,22 @@ def test_unimax_budget_conservation_property(spark):
         ordered = sorted(out, key=lambda r: (r.size_chars, r.lang))
         flags = [r.capped for r in ordered]
         assert flags == sorted(flags, reverse=True)  # capped is a prefix
+
+
+def test_unimax_epochs_micro_no_overflow(spark):
+    """r16 (r15 ADVICE): epochs_micro must not wrap int64 when a
+    language's allocation exceeds ~9.2e12 chars (the naive
+    alloc*1e6-then-div form would)."""
+    from postgres_debezium_clickhouse_spark.operators.curation import (
+        unimax_mix_weights,
+    )
+
+    big = 10_000_000_000_000  # 10e12 chars ≈ 10 TB of text in one lang
+    docs = spark.createDataFrame(
+        [(1, "x", "aa", "s", big), (2, "x", "bb", "s", big // 2)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.lang: r for r in unimax_mix_weights(docs).collect()}
+    for r in out.values():
+        assert r.epochs_micro == r.alloc_chars * 1_000_000 // r.size_chars
+        assert 0 <= r.epochs_micro <= 2_000_000  # ≤ cap epochs

@@ -660,3 +660,34 @@ def test_notification_feed(spark, dirs):
     # callable standalone (the Initial Snapshot aggregate)
     emit_notification(dirs["silver"], "Initial Snapshot", "SKIPPED")
     assert read_notifications(dirs["silver"])[-1]["type"] == "SKIPPED"
+
+
+def test_blocking_snapshot_plan_failure_no_orphan_aborted(spark, dirs):
+    """r16 (r15 ADVICE): a failure in chunk PLANNING (before STARTED)
+    must not emit an orphan ABORTED — the notification feed either has a
+    STARTED..terminal pair or nothing; the lock is still released."""
+    from postgres_debezium_clickhouse_spark.streaming.snapshot import (
+        read_notifications,
+        run_blocking_snapshot,
+    )
+
+    _stream_merge(spark, dirs, _seed_rows(), "seed")
+    before = [n for n in read_notifications(dirs["silver"])
+              if n["aggregate_type"] == "Blocking Snapshot"]
+    with pytest.raises(Exception):
+        run_blocking_snapshot(
+            _table_truth(spark), dirs["silver"], ["id"],
+            order_col="no_such_column", watermark_version=W + 1,
+            n_chunks=2,
+        )
+    after = [n for n in read_notifications(dirs["silver"])
+             if n["aggregate_type"] == "Blocking Snapshot"]
+    assert after == before  # no orphan ABORTED
+    # lock released by the finally: a follow-up blocking snapshot runs
+    run_blocking_snapshot(
+        _table_truth(spark), dirs["silver"], ["id"],
+        order_col="id", watermark_version=W + 1, n_chunks=2,
+    )
+    kinds = [n["type"] for n in read_notifications(dirs["silver"])
+             if n["aggregate_type"] == "Blocking Snapshot"]
+    assert kinds == ["STARTED", "COMPLETED"]
