@@ -49,69 +49,18 @@ def entry(spark: SparkSession) -> DataFrame:
 _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries, analytics)
 
 _FRONT = (
-    # round-15 additions (never driver-checked) are inserted here,
-    # newest first, as they land.
-    "ch_date_functions",
-    "ch_array_enumerate",
-    "cdc_connect_dlq",
-    "text_watermark_zscore",
-    "ch_agg_combinators_null",
-    "cdc_truncated_columns",
-    "dedup_bbit_minhash",
-    "ch_exponential_moving_average",
-    "events_cusum_drift",
-    "cdc_set_schema_metadata",
-    "cdc_schema_history",
-    "ch_kolmogorov_smirnov",
-    "object_store_native_ingest",
-    "ch_entropy",
-    "ch_mann_whitney",
-    "cdc_json_schema_envelope",
-    "corpus_unimax_mix",
-    "object_store_orc_ingest",
-    "ch_string_distance",
-    "ch_welch_ttest",
-    "ch_stats_functions",
-    "cdc_reselect_columns",
-    "cdc_header_ops",
-    "events_next_conversion",
-    "cdc_hoist_field",
-    "similarity_mmr_rerank",
-    "corpus_tokenizer_fertility",
-    "events_countmin_sketch",
-    "multimodal_webdataset",
-    "object_store_warc_ingest",
-    "text_trigram_interpolated",
-    "cdc_timestamp_converter",
-    "ch_time_bucket_functions",
-    "dedup_bloom_paragraphs",
-    "dedup_bloom_filter",
-    "corpus_fim_transform",
-    "ch_grouping_sets",
-    "ch_any_join",
-    "ch_asof_join",
-    "cdc_regex_router",
-    "cdc_value_to_key",
-    "cdc_cast_smt",
-    "cdc_replace_field",
-    "cdc_flatten",
-    "cdc_insert_field",
-    "cdc_timestamp_router",
-    "cdc_filter_predicate",
-    "text_trigram_witten_bell",
-    "cdc_shard_route",
-    "text_trigram_kneser_ney",
+    # round-16 additions (never driver-checked), newest first, inserted
+    # here as they land.
+    "stream_txn_multi_state",        # r16: cross-table txn visibility
+    "multimodal_decode_jpeg",        # fixture now 50% PROGRESSIVE (r16)
+    # r15 additions the r15 driver window cut off before reaching
     "cdc_header_to_value",
     "cdc_partition_route",
     "cdc_timezone_convert",
     # steady-state cycling (oldest driver evidence first — recomputed
-    # r15 from CORRECTNESS_r01..r14): the r14 window consumed all 15
-    # r14 additions, the entire 25-name r8 cohort, and the first 10
-    # r9 names (cdc_current_state..dedup_clusters_star), so the
-    # oldest-evidence cohort is the 40-name r9 tail below
-    # (dedup_image_dhash..trn_passport_current).  r15 additions plus
-    # this tail fill the driver's ~50-query window; after r15 the
-    # oldest evidence anywhere is r10.
+    # r16 from CORRECTNESS_r01..r15): the r15 window consumed exactly
+    # the 50-name r15-additions head, so the oldest-evidence cohort is
+    # still the 40-name r9 tail below, then the r10 head.
     # (synthetic_transactions stays in _BACK by standing policy.)
     "dedup_image_dhash",  # r9
     "dedup_minhash_lsh",  # r9
@@ -153,10 +102,7 @@ _FRONT = (
     "text_tfidf_top_terms",  # r9
     "token_length_histogram",  # r9
     "trn_passport_current",  # r9
-    # r10-evidence head (alphabetical within the cohort) — pads the
-    # window to ≥50 so the gate stays fully specified even though the
-    # r15-additions + r9-tail block is smaller; whatever the driver
-    # reaches here ages out of the r10 cohort a round early.
+    # r10-evidence head — pads the window to >=50
     "buyer_segment_setops",  # r10
     "cdc_bronze_stats",  # r10
     "cdc_change_feed",  # r10

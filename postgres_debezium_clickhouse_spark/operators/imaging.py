@@ -1550,9 +1550,13 @@ def synth_gif_images(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def synth_jpeg_images(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """REAL baseline-JPEG fixture (r10): one full SOI→SOS→EOI stream per
-    id, encoded by operators/jpeg.py with all-ones quant tables.  Pixels
-    follow the dhash fixture's quadratic closed form —
+    """REAL JPEG fixture (r10 baseline; r16 adds PROGRESSIVE): one full
+    SOI→SOS→EOI stream per id, encoded by operators/jpeg.py with
+    all-ones quant tables — every odd id as a multi-scan SOF2
+    progressive stream (spectral-selection bands + successive
+    approximation, the majority real-web coding), every even id as
+    baseline SOF0.  Pixels follow the dhash fixture's quadratic closed
+    form —
 
         w = 8 + d%5, h = 8 + d%3, RGB
         value(d, idx, c) = (d*d*3 + idx*idx*7 + idx*d + c*11) % 256
@@ -1562,10 +1566,12 @@ def synth_jpeg_images(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     and the accuracy verdict; pixel values are checked Spark-side by
     ``jpeg_roundtrip_check`` against the same closed form (quant=1 keeps
     the DCT round trip within the analytic ±4 rounding band — exactness
-    is impossible for a transform codec, hence the verdict pattern)."""
+    is impossible for a transform codec, hence the verdict pattern; the
+    two processes reconstruct identical coefficients, so the band is
+    process-independent — tests/test_jpeg.py pins bit-identity)."""
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .jpeg import jpeg_encode_baseline
+        from .jpeg import jpeg_encode_baseline, jpeg_encode_progressive
 
         for pdf in batches:
             ids, blobs = [], []
@@ -1577,8 +1583,9 @@ def synth_jpeg_images(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     for idx in range(w * h)
                     for c in range(3)
                 )
+                enc = jpeg_encode_progressive if d % 2 else jpeg_encode_baseline
                 ids.append(d)
-                blobs.append(jpeg_encode_baseline(w, h, px, 3))
+                blobs.append(enc(w, h, px, 3))
             yield pd.DataFrame({id_col: ids, "media": blobs})
 
     return ids_df.mapInPandas(_synth, schema=f"{id_col} long, media binary")

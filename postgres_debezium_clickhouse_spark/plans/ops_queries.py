@@ -1982,6 +1982,219 @@ def stream_txn_consistent_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sh.rmtree(d, ignore_errors=True)
 
 
+def stream_txn_multi_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r16 (verdict item 2) — CROSS-TABLE transaction-consistent
+    visibility end-to-end: one Debezium transaction spans an order
+    HEADER and its detail rows (``transaction.data_collection_order``
+    is per-collection within one txn — value.json:731-754, the
+    reference's own scenario-2 shape), so atomicity must hold ACROSS
+    the two silver stores, not just within one.
+
+    Fixture (o_orderkey ≡ 0 mod 4; details = lineitems aggregated to
+    the unique (orderkey, linenumber) grain): txn ``i{k}`` inserts the
+    header plus ALL details of order k at version 1 (txn_total = 1+n);
+    txn ``u{k}`` (orders with ≥1 detail) updates the header
+    (price × 2) AND the min-linenumber detail (qty + 100) at version 2
+    (txn_total = 2) — a classic header+detail co-update whose tearing
+    is visible as a price/qty pairing violation.  The log replays in
+    THREE staged runs (stage = (key + linenumber + 2·is_update) mod 3,
+    cutting nearly every txn mid-flight), each micro-batched, through
+    ``silver_txn_multi_upsert_stream`` into separate orders/lineitem
+    stores sharing ONE pending buffer.
+
+    After EVERY stage the query hard-asserts cross-store atomicity per
+    order: key presence is {} / {header+min-detail} (u released before
+    i completes — legal) / ALL (i released), AND the update pairing —
+    the header is doubled IFF the min-detail is bumped.  A transaction
+    visible in one store but not the other fails the oracle run
+    itself.  After the last stage pending is drained; the oracle
+    recomputes the final two-store state from the parquet closed
+    form."""
+    from ..streaming.pipeline import (
+        _read_manifest,
+        read_silver,
+        read_txn_pending,
+        silver_txn_multi_upsert_stream,
+    )
+
+    import shutil as _sh
+
+    run = uuid.uuid4().hex[:12]
+    root = tempfile.gettempdir()
+    src = f"{root}/txnm_src_{run}"
+    opath = f"{root}/txnm_orders_{run}"
+    lpath = f"{root}/txnm_li_{run}"
+    ppath = f"{root}/txnm_pend_{run}"
+    ckpt = f"{root}/txnm_ckpt_{run}"
+    stores = {
+        "orders": {"path": opath, "keys": ["ok"], "version_col": "ts",
+                   "columns": ["ok", "oprice", "ts"]},
+        "lineitem": {"path": lpath, "keys": ["lk", "ln"],
+                     "version_col": "ts",
+                     "columns": ["lk", "ln", "lqty", "ts"]},
+    }
+    try:
+        k = F.col("o_orderkey")
+        orders = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .filter(k % 4 == 0)
+            .select(k.alias("k"), F.col("o_totalprice").cast("double").alias("p"))
+        )
+        details = (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .filter(F.col("l_orderkey") % 4 == 0)
+            .groupBy(
+                F.col("l_orderkey").alias("k"),
+                F.col("l_linenumber").cast("long").alias("ln"),
+            )
+            .agg(F.sum("l_quantity").cast("double").alias("q"))
+        )
+        mln = details.groupBy("k").agg(F.min("ln").alias("mln"))
+
+        def wide(table, op, ok, oprice, lk, ln, lqty, ts, txn, order):
+            return [
+                F.lit(table).alias("table"), F.lit(op).alias("op"),
+                ok.alias("ok"), oprice.alias("oprice"), lk.alias("lk"),
+                ln.alias("ln"), lqty.alias("lqty"),
+                F.lit(ts).cast("long").alias("ts"), txn.alias("txn_id"),
+                order.cast("long").alias("txn_order"),
+            ]
+
+        nul = F.lit(None)
+        i_hdr = orders.select(*wide(
+            "orders", "c", F.col("k"), F.col("p"), nul.cast("long"),
+            nul.cast("long"), nul.cast("double"), 1,
+            F.concat(F.lit("i"), F.col("k")), F.lit(0),
+        ))
+        i_det = details.select(*wide(
+            "lineitem", "c", nul.cast("long"), nul.cast("double"),
+            F.col("k"), F.col("ln"), F.col("q"), 1,
+            F.concat(F.lit("i"), F.col("k")), F.col("ln"),
+        ))
+        u_hdr = orders.join(mln, "k").select(*wide(
+            "orders", "u", F.col("k"), F.col("p") * 2, nul.cast("long"),
+            nul.cast("long"), nul.cast("double"), 2,
+            F.concat(F.lit("u"), F.col("k")), F.lit(0),
+        ))
+        u_det = details.join(mln, "k").filter(F.col("ln") == F.col("mln")).select(
+            *wide(
+                "lineitem", "u", nul.cast("long"), nul.cast("double"),
+                F.col("k"), F.col("ln"), F.col("q") + 100, 2,
+                F.concat(F.lit("u"), F.col("k")), F.lit(1),
+            )
+        )
+        w = Window.partitionBy("txn_id")
+        signed = (
+            i_hdr.unionByName(i_det).unionByName(u_hdr).unionByName(u_det)
+            .withColumn("txn_total", F.count(F.lit(1)).over(w))
+        )
+        stage_expr = (
+            F.coalesce(F.col("ok"), F.col("lk"))
+            + F.coalesce(F.col("ln"), F.lit(0))
+            + F.when(F.col("ts") == 2, 2).otherwise(0)
+        ) % 3
+        for stage in range(3):
+            signed.filter(stage_expr == stage).repartition(2).write.mode(
+                "overwrite"
+            ).parquet(f"{src}/s{stage}")
+
+        # closed-form per-order expectation for the atomicity probe
+        exp = (
+            orders.join(
+                details.groupBy("k").agg(F.count(F.lit(1)).alias("ndet")),
+                "k", "left",
+            )
+            .join(mln, "k", "left")
+            .join(
+                details.select("k", "ln", F.col("q").alias("qm")),
+                ["k"], "left",
+            )
+            .filter(F.col("ln").isNull() | (F.col("ln") == F.col("mln")))
+            .select("k", "p", F.coalesce("ndet", F.lit(0)).alias("ndet"),
+                    "mln", "qm")
+        ).localCheckpoint(eager=True)
+
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            for stage in range(3):
+                stream = (
+                    spark.readStream.schema(signed.schema)
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(f"{src}/s{stage}")
+                )
+                q = silver_txn_multi_upsert_stream(
+                    stream, stores, f"{ckpt}/s{stage}", pending_path=ppath,
+                    available_now=True, n_buckets=8,
+                )
+                if not q.awaitTermination(300):
+                    q.stop()
+                    raise TimeoutError(f"txn-multi stage {stage} timed out")
+                o_now = (
+                    read_silver(spark, opath).select("ok", "oprice")
+                    if _read_manifest(opath) is not None
+                    else spark.createDataFrame([], "ok long, oprice double")
+                )
+                l_now = (
+                    read_silver(spark, lpath).select("lk", "ln", "lqty")
+                    if _read_manifest(lpath) is not None
+                    else spark.createDataFrame(
+                        [], "lk long, ln long, lqty double"
+                    )
+                )
+                l_agg = l_now.groupBy(F.col("lk").alias("k")).agg(
+                    F.count(F.lit(1)).alias("dp"),
+                )
+                status = (
+                    exp.join(o_now.withColumnRenamed("ok", "k"), "k", "left")
+                    .join(l_agg, "k", "left")
+                    .join(
+                        l_now.select(
+                            F.col("lk").alias("k"),
+                            F.col("ln").alias("mln"),
+                            F.col("lqty").alias("got_qm"),
+                        ),
+                        ["k", "mln"], "left",
+                    )
+                    .withColumn("dp", F.coalesce("dp", F.lit(0)))
+                )
+                hdr = F.col("oprice").isNotNull()
+                doubled = hdr & (F.col("oprice") == 2 * F.col("p"))
+                bumped = F.col("got_qm").isNotNull() & (
+                    F.col("got_qm") == F.col("qm") + 100
+                )
+                pairing = doubled == bumped
+                legal = (
+                    (~hdr & (F.col("dp") == 0))
+                    | (hdr & (F.col("ndet") == 0) & (F.col("dp") == 0))
+                    | (hdr & (F.col("dp") == F.col("ndet")) & pairing)
+                    | (hdr & (F.col("dp") == 1)
+                       & F.col("got_qm").isNotNull() & pairing)
+                )
+                torn = status.filter(~legal).count()
+                if torn:
+                    raise AssertionError(
+                        f"stage {stage}: {torn} orders with cross-store "
+                        "partially-applied transactions"
+                    )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if read_txn_pending(spark, ppath).count():
+            raise AssertionError("rows never released from pending")
+        o_out = read_silver(spark, opath).select(
+            F.lit("orders").alias("store"), F.col("ok").alias("k1"),
+            F.lit(0).cast("long").alias("k2"), F.col("oprice").alias("val"),
+        )
+        l_out = read_silver(spark, lpath).select(
+            F.lit("lineitem").alias("store"), F.col("lk").alias("k1"),
+            F.col("ln").alias("k2"), F.col("lqty").alias("val"),
+        )
+        return o_out.unionByName(l_out).localCheckpoint(eager=True)
+    finally:
+        for d in (src, opath, lpath, ppath, ckpt):
+            _sh.rmtree(d, ignore_errors=True)
+
+
 def stream_collapsing_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r9 — the CollapsingMergeTree sink end-to-end, hash-checked: the
     signed insert/update/delete workload over orders replayed as a
@@ -3146,6 +3359,7 @@ QUERIES = {
     "stream_summing_state": stream_summing_state,
     "stream_collapsing_state": stream_collapsing_state,
     "stream_txn_consistent_state": stream_txn_consistent_state,
+    "stream_txn_multi_state": stream_txn_multi_state,
     "stream_agg_kmv_state": stream_agg_kmv_state,
     "stream_agg_hll_state": stream_agg_hll_state,
     "stream_agg_quantile_state": stream_agg_quantile_state,
@@ -3629,6 +3843,30 @@ ORACLES["silver_projection_scan"] = """
 ORACLES["stream_txn_consistent_state"] = """
     SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
     FROM orders
+"""
+
+# final two-store state: every %4 order's header (doubled when its
+# header+detail update txn exists, i.e. it has >=1 detail) plus every
+# (orderkey, linenumber) detail (min linenumber bumped by the update);
+# the cross-store atomicity invariant is hard-asserted INSIDE the query
+# after every staged run, before this closed form is returned
+ORACLES["stream_txn_multi_state"] = """
+    WITH det AS (
+        SELECT l_orderkey AS k, CAST(l_linenumber AS BIGINT) AS ln,
+               CAST(SUM(l_quantity) AS DOUBLE) AS q
+        FROM lineitem WHERE l_orderkey % 4 = 0
+        GROUP BY l_orderkey, l_linenumber
+    ),
+    mln AS (SELECT k, MIN(ln) AS mln FROM det GROUP BY k)
+    SELECT 'orders' AS store, o_orderkey AS k1, CAST(0 AS BIGINT) AS k2,
+           CAST(CASE WHEN mln.k IS NOT NULL THEN o_totalprice * 2
+                     ELSE o_totalprice END AS DOUBLE) AS val
+    FROM orders LEFT JOIN mln ON o_orderkey = mln.k
+    WHERE o_orderkey % 4 = 0
+    UNION ALL
+    SELECT 'lineitem' AS store, det.k AS k1, det.ln AS k2,
+           det.q + CASE WHEN det.ln = mln.mln THEN 100 ELSE 0 END AS val
+    FROM det JOIN mln ON det.k = mln.k
 """
 
 ORACLES["silver_projection_route"] = """

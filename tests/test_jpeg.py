@@ -1,7 +1,9 @@
-"""Baseline-sequential JPEG codec (r10, verdict item 8): full T.81
-pixel decode — Huffman entropy decode, dequantize, IDCT, chroma
-upsampling, restart markers — plus the fixture encoder that makes the
-first-principles oracle possible."""
+"""Baseline-sequential JPEG codec (r10, verdict item 8) + progressive
+(r16, verdict item 1): full T.81 pixel decode — Huffman entropy decode,
+dequantize, IDCT, chroma upsampling, restart markers, and the Annex G
+progressive process (spectral selection + successive approximation) —
+plus the fixture encoders that make the first-principles oracle
+possible."""
 
 from __future__ import annotations
 
@@ -16,7 +18,7 @@ from postgres_debezium_clickhouse_spark.operators.jpeg import (
     AC_CHROMA_BITS, AC_CHROMA_VALS, AC_LUMA_BITS, AC_LUMA_VALS,
     DC_CHROMA_BITS, DC_CHROMA_VALS, DC_LUMA_BITS, DC_LUMA_VALS, ZIGZAG,
     _BitWriter, _canonical_codes, _fdct, _idct,
-    jpeg_decode, jpeg_encode_baseline,
+    jpeg_decode, jpeg_encode_baseline, jpeg_encode_progressive,
 )
 
 
@@ -143,14 +145,70 @@ def test_decodes_restart_markers():
 
 
 def test_unsupported_processes_deadletter_class():
+    """r16: SOF2 DECODES now — the dead-letter class is narrowed to
+    arithmetic / hierarchical / lossless / 12-bit (verdict item 1)."""
     blob = bytearray(jpeg_encode_baseline(8, 8, _quad_pixels(8, 8, 3), 3))
     i = blob.index(b"\xff\xc0")
-    blob[i + 1] = 0xC2                 # rewrite SOF0 → SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    for m in (0xC9, 0xCA, 0xCB):       # arithmetic coding
+        blob[i + 1] = m
+        with pytest.raises(NotImplementedError, match="non-baseline"):
+            jpeg_decode(bytes(blob))
+    for m in (0xC3, 0xC5, 0xC6, 0xC7):  # lossless / differential / hier
+        blob[i + 1] = m
+        with pytest.raises(NotImplementedError, match="non-baseline"):
+            jpeg_decode(bytes(blob))
+    # a baseline stream REWRITTEN to SOF2 is corrupt (its SOS header is
+    # a full-band baseline scan, invalid as a progressive DC scan) —
+    # ValueError class, not a silent wrong decode
+    blob[i + 1] = 0xC2
+    with pytest.raises(ValueError):
         jpeg_decode(bytes(blob))
-    blob[i + 1] = 0xC9                 # arithmetic coding
-    with pytest.raises(NotImplementedError, match="non-baseline"):
-        jpeg_decode(bytes(blob))
+
+
+def test_progressive_roundtrip_matches_baseline_exactly():
+    """The progressive entropy path must reconstruct the SAME quantized
+    coefficients as the baseline path → bit-identical pixels from both
+    encoders, across quant levels (lossy included) and channel counts."""
+    rng = np.random.RandomState(16)
+    for trial in range(8):
+        w, h = int(rng.randint(1, 40)), int(rng.randint(1, 40))
+        ch = 3 if trial % 2 else 1
+        q = [1, 4, 16][trial % 3]
+        px = bytes(rng.randint(0, 256, w * h * ch, dtype=np.uint8))
+        db = jpeg_decode(jpeg_encode_baseline(w, h, px, ch, quant=q))
+        dp = jpeg_decode(jpeg_encode_progressive(w, h, px, ch, quant=q))
+        assert (dp["width"], dp["height"], dp["channels"]) == (w, h, ch)
+        assert dp["pixels"] == db["pixels"]
+
+
+def test_progressive_eob_runs_and_sparse_refinement():
+    """Long EOB runs (constant image: every AC block empty → EOBn with
+    r>0 across the whole plane) and quant=16 sparsity (AC refinement
+    correction bits + newly-significant insertions) decode exactly."""
+    w, h = 64, 64
+    const = np.full((h, w, 3), 128, np.uint8).tobytes()
+    d = jpeg_decode(jpeg_encode_progressive(w, h, const, 3))
+    assert d["pixels"] == const
+    gx = np.tile(np.arange(w) % 256, (h, 1)).astype(np.uint8)
+    grad = np.stack([gx, gx // 2, 255 - gx], -1).astype(np.uint8).tobytes()
+    for q in (1, 16):
+        db = jpeg_decode(jpeg_encode_baseline(w, h, grad, 3, quant=q))
+        dp = jpeg_decode(jpeg_encode_progressive(w, h, grad, 3, quant=q))
+        assert dp["pixels"] == db["pixels"]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    w=st.integers(1, 24), h=st.integers(1, 20),
+    ch=st.sampled_from([1, 3]), seed=st.integers(0, 500),
+)
+def test_progressive_roundtrip_within_float_rounding(w, h, ch, seed):
+    px = _quad_pixels(w, h, ch, seed)
+    d = jpeg_decode(jpeg_encode_progressive(w, h, px, ch))
+    assert (d["width"], d["height"], d["channels"]) == (w, h, ch)
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).astype(int)
+    exp = np.frombuffer(px, dtype=np.uint8).astype(int)
+    assert np.abs(got - exp).max() <= 4  # same analytic quant=1 bound
 
 
 def test_corruption_is_valueerror_class():
@@ -201,6 +259,31 @@ def test_fuzz_corruption_never_escapes_deadletter_classes():
     px = _quad_pixels(12, 10, 3, seed=9)
     blob = jpeg_encode_baseline(12, 10, px, 3)
     rng = random.Random(42)
+    for _ in range(1500):
+        b = bytearray(blob)
+        for _f in range(rng.randint(1, 4)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            jpeg_decode(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
+    for cut in range(1, len(blob), 7):
+        try:
+            jpeg_decode(blob[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_fuzz_progressive_never_escapes_deadletter_classes():
+    """r16: same exhaustiveness sweep over a PROGRESSIVE base stream —
+    byte-flips land in scan headers (Ss/Se/Ah/Al), per-scan DHTs, EOB
+    runs and refinement bits; only the two dead-letter classes may
+    escape."""
+    import random
+
+    px = _quad_pixels(12, 10, 3, seed=9)
+    blob = jpeg_encode_progressive(12, 10, px, 3)
+    rng = random.Random(16)
     for _ in range(1500):
         b = bytearray(blob)
         for _f in range(rng.randint(1, 4)):

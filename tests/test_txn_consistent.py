@@ -196,3 +196,147 @@ def test_envelope_to_txn_sink_wiring(spark, dirs):
     assert q.awaitTermination(120)
     got = {r.o_orderkey for r in pl.read_silver(spark, dirs["silver"]).collect()}
     assert got == {1, 2}
+
+
+# ------------------------------------------------------ cross-table (r16)
+
+MULTI_SCHEMA = T.StructType(
+    [
+        T.StructField("table", T.StringType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("ok", T.LongType()),       # orders key
+        T.StructField("oprice", T.StringType()),
+        T.StructField("lk", T.LongType()),       # lineitem key
+        T.StructField("lqty", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("txn_id", T.StringType()),
+        T.StructField("txn_order", T.LongType()),
+        T.StructField("txn_total", T.LongType()),
+    ]
+)
+
+
+def _multi_stores(dirs):
+    return {
+        "orders": {"path": dirs["silver"] + "_orders", "keys": ["ok"],
+                   "version_col": "ts", "columns": ["ok", "oprice", "ts"]},
+        "lineitem": {"path": dirs["silver"] + "_lineitem", "keys": ["lk"],
+                     "version_col": "ts", "columns": ["lk", "lqty", "ts"]},
+    }
+
+
+def _run_multi(spark, dirs, rows, batch_no):
+    spark.createDataFrame(rows, MULTI_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).json(dirs["src"] + f"/m{batch_no}")
+    stream = spark.readStream.schema(MULTI_SCHEMA).json(
+        dirs["src"] + f"/m{batch_no}"
+    )
+    q = pl.silver_txn_multi_upsert_stream(
+        stream, _multi_stores(dirs), dirs["ckpt"] + f"/m{batch_no}",
+        pending_path=dirs["silver"] + "_txn_pending",
+        available_now=True, n_buckets=4,
+    )
+    assert q.awaitTermination(120)
+
+
+def _store_keys(spark, path, key):
+    if pl._read_manifest(path) is None:
+        return set()
+    return {r[key] for r in pl.read_silver(spark, path).collect()}
+
+
+def _ord_row(k, price, ts, txn, order, total=None, op="c"):
+    return ("orders", op, k, price, None, None, ts, txn, order, total)
+
+
+def _li_row(k, qty, ts, txn, order, total=None, op="c"):
+    return ("lineitem", op, None, None, k, qty, ts, txn, order, total)
+
+
+def _marker(txn, total, ts=0):
+    return (None, None, None, None, None, None, ts, txn, 10**6, total)
+
+
+def test_multi_store_all_or_none(spark, dirs):
+    """r16 (verdict item 2): a transaction spanning orders + lineitem
+    becomes visible in BOTH stores in the same trigger, or in neither —
+    a header without its details (or vice versa) is never readable."""
+    # txn A: 1 order header + 2 detail rows (total=3, stamped)
+    A = [_ord_row(1, "p1", 1, "A", 1, 3), _li_row(10, 5, 1, "A", 2, 3),
+         _li_row(11, 7, 1, "A", 3, 3)]
+    # txn B: lineitem-only (total=1)
+    B = [_li_row(20, 9, 2, "B", 1, 1)]
+    # batch 0: header + first detail only → NOTHING visible anywhere
+    _run_multi(spark, dirs, A[:2] + B, 0)
+    st = _multi_stores(dirs)
+    assert _store_keys(spark, st["orders"]["path"], "ok") == set()
+    assert _store_keys(spark, st["lineitem"]["path"], "lk") == {20}  # B done
+    # batch 1: A completes → both stores atomically
+    _run_multi(spark, dirs, A[2:], 1)
+    assert _store_keys(spark, st["orders"]["path"], "ok") == {1}
+    assert _store_keys(spark, st["lineitem"]["path"], "lk") == {10, 11, 20}
+    assert pl.read_txn_pending(spark, dirs["silver"] + "_txn_pending").count() == 0
+    # projected columns only — no cross-table NULL pollution
+    ocols = pl.read_silver(spark, st["orders"]["path"]).columns
+    assert "lk" not in ocols and "lqty" not in ocols
+
+
+def test_multi_store_end_marker_and_staged_replay(spark, dirs):
+    """END-marker totals (NULL table row carrying the cross-collection
+    event count) + a 3-stage replay cutting every txn mid-flight: after
+    EVERY stage each transaction is all-or-none ACROSS both stores."""
+    txns = {
+        "T1": [_ord_row(1, "a", 1, "T1", 1), _li_row(100, 1, 1, "T1", 2),
+               _li_row(101, 2, 1, "T1", 3), _marker("T1", 3)],
+        "T2": [_ord_row(2, "b", 2, "T2", 1), _li_row(200, 3, 2, "T2", 2),
+               _marker("T2", 2)],
+        "T3": [_li_row(300, 4, 3, "T3", 1), _ord_row(3, "c", 3, "T3", 2),
+               _marker("T3", 2)],
+    }
+    # stage s gets every row whose position % 3 == s → all txns cut
+    stages = [[], [], []]
+    for rows in txns.values():
+        for i, r in enumerate(rows):
+            stages[i % 3].append(r)
+    st = _multi_stores(dirs)
+    txn_keys = {
+        "T1": {("orders", 1), ("lineitem", 100), ("lineitem", 101)},
+        "T2": {("orders", 2), ("lineitem", 200)},
+        "T3": {("orders", 3), ("lineitem", 300)},
+    }
+    for s, rows in enumerate(stages):
+        _run_multi(spark, dirs, rows, s + 10)
+        ok = _store_keys(spark, st["orders"]["path"], "ok")
+        lk = _store_keys(spark, st["lineitem"]["path"], "lk")
+        seen = {("orders", k) for k in ok} | {("lineitem", k) for k in lk}
+        for t, keys in txn_keys.items():
+            hit = keys & seen
+            assert hit in (set(), keys), (
+                f"stage {s}: txn {t} partially applied: {hit}"
+            )
+    assert _store_keys(spark, st["orders"]["path"], "ok") == {1, 2, 3}
+    assert _store_keys(spark, st["lineitem"]["path"], "lk") == {
+        100, 101, 200, 300,
+    }
+    assert pl.read_txn_pending(spark, dirs["silver"] + "_txn_pending").count() == 0
+
+
+def test_multi_store_batch_replay_idempotent(spark, dirs):
+    """Whole-batch replay (the foreachBatch crash window): re-delivering
+    an already-applied batch through a fresh checkpoint neither tears a
+    transaction nor duplicates rows."""
+    rows = [_ord_row(5, "x", 1, "R", 1, 2), _li_row(50, 6, 1, "R", 2, 2)]
+    _run_multi(spark, dirs, rows, 20)
+    st = _multi_stores(dirs)
+    before_o = sorted(
+        (r["ok"], r["oprice"]) for r in
+        pl.read_silver(spark, st["orders"]["path"]).collect()
+    )
+    _run_multi(spark, dirs, rows, 21)   # same rows, new batch dir/ckpt
+    after_o = sorted(
+        (r["ok"], r["oprice"]) for r in
+        pl.read_silver(spark, st["orders"]["path"]).collect()
+    )
+    assert before_o == after_o == [(5, "x")]
+    assert _store_keys(spark, st["lineitem"]["path"], "lk") == {50}
