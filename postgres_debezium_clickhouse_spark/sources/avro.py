@@ -1,8 +1,13 @@
-"""Avro Object Container File source, pure stdlib (r10).
+"""Avro source — Object Container Files (r10) + Confluent
+Schema-Registry single-message wire format (r16), pure stdlib.
 
 Debezium's OTHER wire format: with a Schema Registry the connector ships
 Avro instead of JSON envelopes (public Debezium docs; the reference's
-JSON path is abcsvb-connector-secure.json's converter choice).  Spark's
+JSON path is abcsvb-connector-secure.json's converter choice) — and on
+the wire that is NOT OCF: each Kafka value is magic ``0x00`` + 4-byte
+big-endian schema id + raw Avro body (``confluent_frame_*`` /
+``decode_confluent_messages`` below, with schema-id → writer-schema
+registry lookup and reader-schema resolution).  Spark's
 own avro module is an external jar this container lacks (same
 infra-blocked class as the Kafka jar — tests/test_live_sources.py), so
 this module implements the public Apache Avro 1.11 spec directly:
@@ -510,3 +515,123 @@ def _header_only(blob: bytes) -> tuple[dict, None]:
     except (KeyError, json.JSONDecodeError) as e:
         raise ValueError(f"bad Avro file metadata: {e}") from e
     return schema, None
+
+
+# ------------------------------------------- Confluent Schema Registry wire
+
+#: Confluent wire-format magic byte (public docs: "Wire format" —
+#: docs.confluent.io serializer reference): every Kafka message value is
+#: 0x00, then the 4-byte big-endian schema id, then the raw Avro binary
+#: body with NO OCF framing.
+CONFLUENT_MAGIC = 0x00
+
+
+def confluent_frame_encode(schema_id: int, schema: dict, record: dict) -> bytes:
+    """One Kafka-message value in the Confluent wire format: magic 0x00 +
+    big-endian uint32 schema id + raw Avro binary record body."""
+    out = bytearray([CONFLUENT_MAGIC])
+    out.extend(struct.pack(">I", schema_id))
+    _encode_value(out, schema, record)
+    return bytes(out)
+
+
+def confluent_frame_decode(blob: bytes, registry: dict[int, dict]) -> tuple[int, dict]:
+    """(schema_id, record) from one wire-format message.  ``registry``
+    is the schema-id → writer-schema table (what the Schema Registry's
+    GET /schemas/ids/{id} returns, materialized — the reference
+    ecosystem's dictionary/dict_get pattern).  Unknown ids and trailing
+    bytes raise ValueError (dead-letter class)."""
+    if not blob or blob[0] != CONFLUENT_MAGIC:
+        raise ValueError("not Confluent wire format (bad magic byte)")
+    if len(blob) < 5:
+        raise ValueError("truncated Confluent frame (no schema id)")
+    schema_id = struct.unpack(">I", blob[1:5])[0]
+    schema = registry.get(schema_id)
+    if schema is None:
+        raise ValueError(f"schema id {schema_id} not in registry")
+    r = _Reader(blob[5:])
+    try:
+        rec = _decode_value(r, schema)
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(f"corrupt Avro body ({type(e).__name__})") from e
+    if r.pos != len(r.d):
+        raise ValueError("trailing bytes after Avro body")
+    return schema_id, rec
+
+
+def resolve_avro_record(record: dict, writer_schema: dict,
+                        reader_schema: dict) -> dict:
+    """Avro schema RESOLUTION (spec §"Schema Resolution", the subset
+    registry evolution actually uses): reader fields match writer fields
+    by name; reader-only fields take their declared ``default`` (the
+    registry's backward-compatibility contract guarantees one exists);
+    writer-only fields are ignored."""
+    writer_names = {f["name"] for f in writer_schema["fields"]}
+    out = {}
+    for f in reader_schema["fields"]:
+        name = f["name"]
+        if name in writer_names:
+            out[name] = record.get(name)
+        elif "default" in f:
+            out[name] = f["default"]
+        else:
+            raise ValueError(
+                f"reader field {name!r} absent from writer schema and has "
+                "no default — schemas are not backward compatible"
+            )
+    return out
+
+
+def decode_confluent_messages(
+    messages: DataFrame,
+    registry: dict[int, dict],
+    reader_schema: dict,
+    value_col: str = "value",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Typed DataFrame from a Kafka-shaped message frame (one BINARY
+    wire-format value per row — what the raw bronze wire log stores):
+    per message, magic/id parse → registry lookup → Avro body decode
+    with the message's OWN writer schema → resolution into the single
+    ``reader_schema`` (so a topic mid-migration, carrying several
+    schema ids at once, lands in one typed table — the evolution story
+    ``cdc_json_schema_envelope`` tells for JSON, now for Avro).
+
+    Scale: the registry dict (id → writer schema) is closure-captured
+    into the mapInPandas decoder — a broadcast-sized dictionary table
+    exactly like a ClickHouse ``dict_get`` dimension; the decode is
+    embarrassingly parallel over message rows, no shuffle.  A
+    ``schema_id`` column is emitted for observability (count messages
+    per schema version while a migration drains)."""
+    if not (isinstance(reader_schema, dict)
+            and reader_schema.get("type") == "record"):
+        raise NotImplementedError("reader schema must be a record")
+    spark_schema = avro_schema_to_spark(reader_schema)
+    assert isinstance(spark_schema, T.StructType)
+    keep = list(keep_cols or [])
+    out_schema = T.StructType(
+        [messages.schema[c] for c in keep]
+        + [T.StructField("schema_id", T.IntegerType())]
+        + list(spark_schema.fields)
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in spark_schema.fields]
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in keep}
+            rows["schema_id"] = []
+            for c in cols:
+                rows[c] = []
+            for i, blob in enumerate(pdf[value_col]):
+                sid, rec = confluent_frame_decode(bytes(blob), registry)
+                resolved = resolve_avro_record(rec, registry[sid], reader_schema)
+                for c in keep:
+                    rows[c].append(pdf[c].iloc[i])
+                rows["schema_id"].append(sid)
+                for c in cols:
+                    rows[c].append(resolved.get(c))
+            yield pd.DataFrame(rows, columns=keep + ["schema_id"] + cols)
+
+    return messages.select(*keep, value_col).mapInPandas(
+        _decode, schema=out_schema
+    )

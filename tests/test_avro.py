@@ -146,3 +146,58 @@ def test_snappy_codec_and_raw_format():
     corrupted[-6] ^= 0x01                    # flip a byte inside the last block
     with pytest.raises(ValueError):
         avro_ocf_decode(bytes(corrupted))
+
+
+def test_confluent_wire_format_roundtrip_and_deadletters(spark):
+    """r16 (verdict item 4): Confluent single-message framing — magic +
+    schema id + raw body round-trips; schema RESOLUTION fills reader
+    defaults for old-id messages; bad magic / unknown id / trailing
+    bytes / missing default raise the ValueError dead-letter class."""
+    import pytest as _pytest
+
+    from postgres_debezium_clickhouse_spark.sources.avro import (
+        confluent_frame_decode,
+        confluent_frame_encode,
+        decode_confluent_messages,
+        resolve_avro_record,
+    )
+
+    v1 = {"type": "record", "name": "r", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "p", "type": ["null", "double"]},
+    ]}
+    v2 = {"type": "record", "name": "r", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "p", "type": ["null", "double"]},
+        {"name": "s", "type": "string", "default": "d"},
+    ]}
+    reg = {1: v1, 2: v2}
+    f1 = confluent_frame_encode(1, v1, {"k": 5, "p": None})
+    f2 = confluent_frame_encode(2, v2, {"k": 6, "p": 1.5, "s": "x"})
+    assert f1[0] == 0 and f1[1:5] == b"\x00\x00\x00\x01"
+    assert confluent_frame_decode(f1, reg) == (1, {"k": 5, "p": None})
+    assert confluent_frame_decode(f2, reg) == (2, {"k": 6, "p": 1.5, "s": "x"})
+    # resolution: v1 record into v2 reader takes the default
+    assert resolve_avro_record({"k": 5, "p": None}, v1, v2) == {
+        "k": 5, "p": None, "s": "d",
+    }
+    with _pytest.raises(ValueError, match="magic"):
+        confluent_frame_decode(b"\x01" + f1[1:], reg)
+    with _pytest.raises(ValueError, match="not in registry"):
+        confluent_frame_decode(b"\x00\x00\x00\x00\x63" + f1[5:], reg)
+    with _pytest.raises(ValueError, match="trailing"):
+        confluent_frame_decode(f1 + b"\x00", reg)
+    with _pytest.raises(ValueError, match="truncated"):
+        confluent_frame_decode(b"\x00\x00", reg)
+    v3 = {"type": "record", "name": "r", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "req", "type": "string"},   # no default
+    ]}
+    with _pytest.raises(ValueError, match="not backward compatible"):
+        resolve_avro_record({"k": 1}, v1, v3)
+    # Spark surface: mixed-id topic → one typed table with schema_id
+    msgs = spark.createDataFrame([(f1,), (f2,)], "value binary")
+    rows = {r.k: r for r in
+            decode_confluent_messages(msgs, reg, v2).collect()}
+    assert rows[5].schema_id == 1 and rows[5].s == "d" and rows[5].p is None
+    assert rows[6].schema_id == 2 and rows[6].s == "x" and rows[6].p == 1.5
