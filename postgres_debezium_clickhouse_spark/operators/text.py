@@ -1841,6 +1841,166 @@ def lm_trigram_kneser_ney(
     )
 
 
+def lm_5gram_kneser_ney(
+    documents: DataFrame,
+    train_docs: "DataFrame | None" = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """r16 (verdict item 5) — INTERPOLATED 5-GRAM KNESER-NEY, the KenLM
+    production order (Heafield 2011 trains order-5 KN for the
+    CCNet-style perplexity filter; Chen & Goodman 1999 §2.7 recursion
+    two orders above ``lm_trigram_kneser_ney``): five levels with fixed
+    discount D at every level above the base and CONTINUATION counts
+    below the top —
+
+        P(w₅|w₁..w₄) = max(c(w₁..w₅)−D,0)/c(w₁..w₄·)
+                        + λ(w₁..w₄)·P₄(w₅|w₂w₃w₄)
+
+    where λ(u) = D·N₁₊(u·)/c(u·), each lower level runs on the
+    continuation counts derived from the level above's TYPE table
+    (c'ₙ(u) = N₁₊(·u), the KenLM "adjusted counts" construction —
+    every table derives from the single 5-gram count table), and the
+    base P_cont(w₅) = N₁₊(·w₅)/N_types₂ over (w₄,w₅) continuation
+    types.  Σ_w₅ P = 1 per context — a proper distribution at every
+    level.
+
+    At order 5 the sparsity regime is REAL: with the even-doc_ids
+    train split, most eval 5-grams are unseen (``n_unseen``), so the
+    score mass flows through the λ-chain — exactly the regime the
+    order-5 filter runs in at crawl scale.  OOV rule one ladder up
+    from the trigram sibling: a transition is OOV when its full
+    4-word context never occurs in train or its w₅ never occurs as a
+    continuation; a seen top context implies every lower context is
+    defined (its suffixes appear in the derived tables).
+
+    Determinism: ONE fully-parenthesized IEEE-double dag over exact
+    integer counts, mirrored verbatim in the DuckDB oracle; round-6
+    ln → DECIMAL(20,6) sum → floor-mean, the family discipline.
+
+    Plan (two rungs above the trigram): the train 5-gram table
+    shuffles once on the 5-key (corpus-bounded, sub-5-gram-token
+    cardinality); the 4-context table and the order-4/order-3
+    continuation tables stay SHUFFLE joins (tuple cardinality); the
+    (w₄)-keyed and (w₅)-keyed tables are vocab-bounded broadcasts and
+    N_types₂ is a 1-row broadcast — scoring is five key-joins over the
+    eval 5-grams, nothing all-pairs, no window."""
+    if train_docs is None:
+        train_docs = documents
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    n5 = "greatest(size(__w) - 4, 0)"
+    five_arr = F.expr(
+        f"zip_with(slice(__w, 1, {n5}),"
+        f" zip_with(slice(__w, 2, {n5}),"
+        f"  zip_with(slice(__w, 3, {n5}),"
+        f"   zip_with(slice(__w, 4, {n5}), slice(__w, 5, {n5}),"
+        f"            (d, e) -> struct(d as w4, e as w5)),"
+        f"   (c, de) -> struct(c as w3, de.w4 as w4, de.w5 as w5)),"
+        f"  (b, x) -> struct(b as w2, x.w3 as w3, x.w4 as w4, x.w5 as w5)),"
+        f" (a, y) -> struct(a as w1, y.w2 as w2, y.w3 as w3,"
+        f"                  y.w4 as w4, y.w5 as w5))"
+    )
+
+    def to_fives(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("__w", words)
+            .select(F.col(id_col), F.explode(five_arr).alias("t"))
+            .select(id_col, "t.w1", "t.w2", "t.w3", "t.w4", "t.w5")
+        )
+
+    t5 = to_fives(train_docs).groupBy("w1", "w2", "w3", "w4", "w5").agg(
+        F.count(F.lit(1)).alias("tcnt")
+    )
+    ctx = t5.groupBy("w1", "w2", "w3", "w4").agg(
+        F.sum("tcnt").alias("n_ctx"),
+        F.count(F.lit(1)).alias("n1p_ctx"),
+    )
+    c4 = t5.groupBy("w2", "w3", "w4", "w5").agg(
+        F.count(F.lit(1)).alias("ccnt4")
+    )
+    m4 = c4.groupBy("w2", "w3", "w4").agg(
+        F.sum("ccnt4").alias("n4ctx"), F.count(F.lit(1)).alias("n1p4")
+    )
+    c3 = c4.groupBy("w3", "w4", "w5").agg(F.count(F.lit(1)).alias("ccnt3"))
+    m3 = c3.groupBy("w3", "w4").agg(
+        F.sum("ccnt3").alias("n3ctx"), F.count(F.lit(1)).alias("n1p3")
+    )
+    c2 = c3.groupBy("w4", "w5").agg(F.count(F.lit(1)).alias("ccnt2"))
+    m2 = c2.groupBy("w4").agg(
+        F.sum("ccnt2").alias("n2ctx"), F.count(F.lit(1)).alias("n1p2")
+    )
+    low = c2.groupBy("w5").agg(F.count(F.lit(1)).alias("n1p_low"))
+    types2 = c2.groupBy().agg(F.count(F.lit(1)).alias("n_types2"))
+
+    d = repr(float(discount))
+
+    def kn_level(cnt: str, nctx: str, n1p: str, inner: str) -> str:
+        return (
+            f"((greatest(cast(coalesce({cnt}, 0) as double)"
+            f" - cast({d} as double), cast(0 as double))"
+            f" / cast({nctx} as double))"
+            f" + (((cast({d} as double) * cast({n1p} as double))"
+            f" / cast({nctx} as double)) * {inner}))"
+        )
+
+    pc = "(cast(n1p_low as double) / cast(n_types2 as double))"
+    p2 = kn_level("ccnt2", "n2ctx", "n1p2", pc)
+    p3 = kn_level("ccnt3", "n3ctx", "n1p3", p2)
+    p4 = kn_level("ccnt4", "n4ctx", "n1p4", p3)
+    prob = kn_level("tcnt", "n_ctx", "n1p_ctx", p4)
+    scored = (
+        to_fives(documents)
+        .join(t5, ["w1", "w2", "w3", "w4", "w5"], "left")
+        .join(ctx, ["w1", "w2", "w3", "w4"], "left")
+        .join(c4, ["w2", "w3", "w4", "w5"], "left")
+        .join(m4, ["w2", "w3", "w4"], "left")
+        .join(c3, ["w3", "w4", "w5"], "left")
+        .join(m3, ["w3", "w4"], "left")
+        .join(c2, ["w4", "w5"], "left")
+        .join(F.broadcast(m2), "w4", "left")
+        .join(F.broadcast(low), "w5", "left")
+        .crossJoin(F.broadcast(types2))
+        .withColumn(
+            "__oov", F.col("n_ctx").isNull() | F.col("n1p_low").isNull()
+        )
+        .withColumn(
+            "__s",
+            F.when(
+                ~F.col("__oov"),
+                F.round(F.log(F.expr(prob)), 6).cast("decimal(20,6)"),
+            ),
+        )
+    )
+    per = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.sum(F.col("__oov").cast("long")).alias("n_oov"),
+        F.sum(
+            (F.col("tcnt").isNull() & ~F.col("__oov")).cast("long")
+        ).alias("n_unseen"),
+        F.sum("__s").alias("__sum"),
+        F.count("__s").alias("__n_scored"),
+    )
+    avg = (
+        F.floor(
+            F.col("__sum").cast("double") / F.col("__n_scored") * 1e6 + 0.5
+        ) / 1e6
+    )
+    ppl = F.floor(F.exp(-avg) * 1e4 + 0.5) / 1e4
+    return (
+        documents.select(id_col).join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_transitions", F.lit(0)).cast("long")
+            .alias("n_transitions"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            F.coalesce("n_unseen", F.lit(0)).cast("long").alias("n_unseen"),
+            avg.alias("avg_logscore"),
+            ppl.alias("ppl"),
+        )
+    )
+
+
 def lm_trigram_witten_bell(
     documents: DataFrame,
     train_docs: "DataFrame | None" = None,

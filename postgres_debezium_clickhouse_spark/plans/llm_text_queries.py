@@ -418,6 +418,25 @@ def q_text_watermark_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return watermark_zscore(load_table(spark, sf_dir, "documents"))
 
 
+def q_text_5gram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r16 (verdict item 5) — interpolated 5-GRAM Kneser-Ney scoring
+    (operators/text.lm_5gram_kneser_ney, D = 0.75 at every level,
+    continuation counts below the top — the KenLM production order for
+    the CCNet-style perplexity filter).  Counts train on the EVEN
+    doc_ids only and ALL docs are scored; at order 5 the even/odd
+    split makes MOST eval 5-grams genuinely unseen, so the score mass
+    flows through the full four-λ interpolation chain — the real
+    sparsity regime of an order-5 crawl filter.  Same round-6-log /
+    DECIMAL-sum / floor-mean discipline as the whole smoothing
+    family."""
+    from ..operators.text import lm_5gram_kneser_ney
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_5gram_kneser_ney(
+        docs, train_docs=docs.filter(F.col("doc_id") % 2 == 0)
+    )
+
+
 QUERIES = {
     "text_watermark_zscore": q_text_watermark_zscore,
     "text_stats": q_text_stats,
@@ -428,6 +447,7 @@ QUERIES = {
     "text_bigram_kneser_ney": q_text_bigram_kneser_ney,
     "text_bigram_modified_kneser_ney": q_text_bigram_modified_kneser_ney,
     "text_trigram_kneser_ney": q_text_trigram_kneser_ney,
+    "text_5gram_kneser_ney": q_text_5gram_kneser_ney,
     "text_trigram_witten_bell": q_text_trigram_witten_bell,
     "text_trigram_interpolated": q_text_trigram_interpolated,
     "text_readability": q_text_readability,
@@ -1481,3 +1501,103 @@ ORACLES = {
         FROM (VALUES (10), (30), (100)) k(k)
     """,
 }
+
+
+def _kn5_level(cnt: str, nctx: str, n1p: str, inner: str) -> str:
+    # the operator's kn_level template verbatim (ln applied outside),
+    # with DuckDB-qualified column refs substituted in
+    return (
+        f"((greatest(cast(coalesce({cnt}, 0) as double)"
+        f" - cast(0.75 as double), cast(0 as double))"
+        f" / cast({nctx} as double))"
+        f" + (((cast(0.75 as double) * cast({n1p} as double))"
+        f" / cast({nctx} as double)) * {inner}))"
+    )
+
+
+_KN5_PC = "(cast(lo.n1p_low as double) / cast(ty.n_types2 as double))"
+_KN5_PROB = _kn5_level(
+    "t.tcnt", "cx.n_ctx", "cx.n1p_ctx",
+    _kn5_level(
+        "c4t.ccnt4", "m4.n4ctx", "m4.n1p4",
+        _kn5_level(
+            "c3t.ccnt3", "m3.n3ctx", "m3.n1p3",
+            _kn5_level("c2t.ccnt2", "m2.n2ctx", "m2.n1p2", _KN5_PC),
+        ),
+    ),
+)
+
+ORACLES["text_5gram_kneser_ney"] = f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS wd
+        FROM documents
+    ),
+    f5 AS (
+        SELECT doc_id, wd[CAST(i.i AS INT)] AS w1,
+               wd[CAST(i.i + 1 AS INT)] AS w2,
+               wd[CAST(i.i + 2 AS INT)] AS w3,
+               wd[CAST(i.i + 3 AS INT)] AS w4,
+               wd[CAST(i.i + 4 AS INT)] AS w5
+        FROM w CROSS JOIN LATERAL (
+            SELECT unnest(range(1, len(wd) - 3))) i(i)
+    ),
+    t5 AS (SELECT w1, w2, w3, w4, w5, COUNT(*) AS tcnt
+           FROM f5 WHERE doc_id % 2 = 0 GROUP BY w1, w2, w3, w4, w5),
+    cx0 AS (SELECT w1, w2, w3, w4, SUM(tcnt) AS n_ctx,
+                   COUNT(*) AS n1p_ctx
+            FROM t5 GROUP BY w1, w2, w3, w4),
+    c4 AS (SELECT w2, w3, w4, w5, COUNT(*) AS ccnt4
+           FROM t5 GROUP BY w2, w3, w4, w5),
+    m4x AS (SELECT w2, w3, w4, SUM(ccnt4) AS n4ctx, COUNT(*) AS n1p4
+            FROM c4 GROUP BY w2, w3, w4),
+    c3 AS (SELECT w3, w4, w5, COUNT(*) AS ccnt3
+           FROM c4 GROUP BY w3, w4, w5),
+    m3x AS (SELECT w3, w4, SUM(ccnt3) AS n3ctx, COUNT(*) AS n1p3
+            FROM c3 GROUP BY w3, w4),
+    c2 AS (SELECT w4, w5, COUNT(*) AS ccnt2 FROM c3 GROUP BY w4, w5),
+    m2x AS (SELECT w4, SUM(ccnt2) AS n2ctx, COUNT(*) AS n1p2
+            FROM c2 GROUP BY w4),
+    lo0 AS (SELECT w5, COUNT(*) AS n1p_low FROM c2 GROUP BY w5),
+    ty0 AS (SELECT COUNT(*) AS n_types2 FROM c2),
+    scored AS (
+        SELECT p.doc_id,
+               (cx.n_ctx IS NULL OR lo.n1p_low IS NULL) AS oov,
+               (t.tcnt IS NULL
+                AND NOT (cx.n_ctx IS NULL OR lo.n1p_low IS NULL))
+                   AS unseen,
+               CASE WHEN NOT (cx.n_ctx IS NULL OR lo.n1p_low IS NULL) THEN
+                   CAST(ROUND(ln({_KN5_PROB}), 6) AS DECIMAL(20,6))
+               END AS s
+        FROM f5 p
+        LEFT JOIN t5 t ON t.w1 = p.w1 AND t.w2 = p.w2 AND t.w3 = p.w3
+                      AND t.w4 = p.w4 AND t.w5 = p.w5
+        LEFT JOIN cx0 cx ON cx.w1 = p.w1 AND cx.w2 = p.w2
+                        AND cx.w3 = p.w3 AND cx.w4 = p.w4
+        LEFT JOIN c4 c4t ON c4t.w2 = p.w2 AND c4t.w3 = p.w3
+                        AND c4t.w4 = p.w4 AND c4t.w5 = p.w5
+        LEFT JOIN m4x m4 ON m4.w2 = p.w2 AND m4.w3 = p.w3 AND m4.w4 = p.w4
+        LEFT JOIN c3 c3t ON c3t.w3 = p.w3 AND c3t.w4 = p.w4
+                        AND c3t.w5 = p.w5
+        LEFT JOIN m3x m3 ON m3.w3 = p.w3 AND m3.w4 = p.w4
+        LEFT JOIN c2 c2t ON c2t.w4 = p.w4 AND c2t.w5 = p.w5
+        LEFT JOIN m2x m2 ON m2.w4 = p.w4
+        LEFT JOIN lo0 lo ON lo.w5 = p.w5
+        CROSS JOIN ty0 ty
+    ),
+    per AS (
+        SELECT doc_id, COUNT(*) AS n_transitions,
+               SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS n_oov,
+               SUM(CASE WHEN unseen THEN 1 ELSE 0 END) AS n_unseen,
+               FLOOR(CAST(SUM(s) AS DOUBLE) / COUNT(s) * 1e6 + 0.5)
+                   / 1e6 AS avg_logscore
+        FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_transitions, 0) AS BIGINT) AS n_transitions,
+           CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
+           CAST(COALESCE(p.n_unseen, 0) AS BIGINT) AS n_unseen,
+           p.avg_logscore,
+           FLOOR(exp(-p.avg_logscore) * 1e4 + 0.5) / 1e4 AS ppl
+    FROM documents d LEFT JOIN per p USING (doc_id)
+"""

@@ -895,3 +895,44 @@ def test_watermark_zscore_separation(spark):
     nat = natural.strip().split(" ")
     expect = sum(green(a, b) for a, b in zip(nat, nat[1:]))
     assert out[2].n_green == expect
+
+
+def test_5gram_kneser_ney_proper_distribution_and_unseen(spark):
+    """r16 (verdict item 5): the order-5 interpolated KN recursion is a
+    PROPER distribution — Σ_w₅ P(w₅|w₁..w₄) over the full train vocab
+    equals 1 exactly (each level hands down the mass its discount
+    freed) — and an unseen 5-gram with a seen context scores finitely
+    through the four-λ chain."""
+    import math
+
+    from postgres_debezium_clickhouse_spark.operators.text import (
+        lm_5gram_kneser_ney,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "a b c d e a b c d f a b c e d b c d e f"),
+         (2, "c d e f a b d e f a c d e a b")],
+        "doc_id long, text string",
+    )
+    # score one doc whose 5-grams include the seen context (a b c d ·)
+    # followed by EVERY train-vocab word — per-transition logprob back
+    # out to probabilities that must sum to 1
+    vocab = ["a", "b", "c", "d", "e", "f"]
+    rows = [(100 + i, f"a b c d {w}") for i, w in enumerate(vocab)]
+    score = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           lm_5gram_kneser_ney(score, train_docs=train).collect()}
+    assert all(r.n_transitions == 1 and r.n_oov == 0 for r in out.values())
+    total = sum(math.exp(r.avg_logscore) for r in out.values())
+    assert abs(total - 1.0) < 1e-4  # round-6 logs: tiny quantization
+    # 'a b c d f' / 'a b c d e' are seen 5-grams; the rest are unseen
+    # but finite (flow through the interpolation chain)
+    unseen = [r for r in out.values() if r.n_unseen == 1]
+    assert len(unseen) == 4
+    assert all(r.avg_logscore < 0 for r in unseen)
+    # OOV: unknown continuation word w5
+    oov = lm_5gram_kneser_ney(
+        spark.createDataFrame([(200, "a b c d zz")], "doc_id long, text string"),
+        train_docs=train,
+    ).collect()[0]
+    assert oov.n_oov == 1 and oov.avg_logscore is None
