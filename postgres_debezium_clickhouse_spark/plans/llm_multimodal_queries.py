@@ -445,6 +445,24 @@ def q_multimodal_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sh.rmtree(src, ignore_errors=True)
 
 
+def q_multimodal_audio_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r16 (verdict item 8) — MP3 metadata walk (operators/audio.py
+    ``mp3_meta_walk``): crawl audio is mostly MP3 and full MDCT decode
+    is out of scope, but the frame-header walk (sync / bitrate /
+    sample-rate / channel-mode per ISO 11172-3, Xing VBR header,
+    frame-exact duration) + ID3v2.3 tag extraction give the triage
+    signal the pipeline needs — exactly as JPEG EXIF did in r14, while
+    sample decode keeps raising honestly.  The fixture is
+    frame-accurate (every frame length from the public 144000·kbps/sr
+    formula; VBR docs alternate 128/192 with a Xing frame count), so
+    the DuckDB oracle can restate every column from the doc_id closed
+    form — duration arithmetic included."""
+    from ..operators.audio import mp3_metadata, synth_mp3_streams
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return mp3_metadata(synth_mp3_streams(docs))
+
+
 QUERIES = {
     "multimodal_webdataset": q_multimodal_webdataset,
     "multimodal_jpeg_exif": q_multimodal_jpeg_exif,
@@ -464,6 +482,7 @@ QUERIES = {
     "multimodal_netpbm_decode": q_multimodal_netpbm,
     "multimodal_audio_adpcm": q_multimodal_audio_adpcm,
     "multimodal_audio_msadpcm": q_multimodal_audio_msadpcm,
+    "multimodal_audio_mp3_meta": q_multimodal_audio_mp3_meta,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_resize_real": q_multimodal_resize,
     "multimodal_video_frames": q_multimodal_video,
@@ -989,3 +1008,28 @@ ORACLES = {
     FROM staged
 """,
 }
+
+ORACLES["multimodal_audio_mp3_meta"] = """
+    WITH p AS (
+        SELECT doc_id,
+               CAST(5 + doc_id % 7 AS BIGINT) AS n_frames,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 44100
+                    WHEN 1 THEN 48000 ELSE 32000 END AS sr,
+               doc_id % 2 = 1 AS mono,
+               doc_id % 4 = 1 AS vbr
+        FROM documents
+    )
+    SELECT doc_id,
+           'track ' || doc_id AS title,
+           'artist ' || (doc_id % 5) AS artist,
+           'MPEG1' AS version,
+           CAST(sr AS INT) AS sample_rate,
+           CASE WHEN mono THEN 'mono' ELSE 'stereo' END AS mode,
+           n_frames,
+           CASE WHEN vbr THEN 'VBR' ELSE 'CBR' END AS bitrate_mode,
+           CAST(128 AS INT) AS kbps_min,
+           CAST(CASE WHEN vbr THEN 192 ELSE 128 END AS INT) AS kbps_max,
+           CAST(n_frames * 1152 * 1000 // sr AS BIGINT) AS duration_ms,
+           CAST(CASE WHEN vbr THEN n_frames END AS BIGINT) AS xing_frames
+    FROM p
+"""

