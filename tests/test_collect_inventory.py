@@ -74,6 +74,9 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
          "touched silver bucket ids: ≤ n_buckets values"),
         (").distinct().collect()",
          "touched silver bucket ids: ≤ n_buckets values"),
+        (").distinct().collect()",
+         "multi-store txn sink (r16): touched PENDING bucket ids, "
+         "≤ n_buckets values — same shape as the single-store sink"),
         (".collect()",
          "OPTIMIZE stats: 1 row per touched bucket"),
         (".collect()",
