@@ -105,6 +105,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "text_trigram_kneser_ney",  # scalar attach: 1-row broadcast N_types total, trigram ladder (r15)
         "text_trigram_interpolated",  # scalar attach: 1-row broadcast total+vocab, trigram JM (r15)
         "text_trigram_witten_bell",  # scalar attach: 1-row broadcast unigram total, trigram ladder (r15)
+        "text_5gram_kneser_ney",    # scalar attach: 1-row broadcast N_types total, 5-gram ladder (r16)
         "events_kmv_setops",        # KMV pair join: group×group over the sketch table (r12)
         "events_anomalies_mad",     # scalar attaches: per-type median/MAD rows (r12)
     }
