@@ -987,3 +987,184 @@ def synth_mp3_streams(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return ids_df.select(id_col).mapInPandas(
         _synth, schema=f"{id_col} long, media binary"
     )
+
+
+# ---------------------------------------------------------------- FLAC meta
+
+def flac_meta_walk(blob: bytes) -> dict:
+    """FLAC metadata walk (public format spec, xiph.org: ``fLaC`` magic,
+    then metadata blocks — 1-byte header = last-flag bit + 7-bit type,
+    3-byte big-endian length): STREAMINFO (type 0, mandatory first —
+    sample rate 20 bits, channels-1 3 bits, bits-per-sample-1 5 bits,
+    total samples 36 bits, unencoded-stream MD5) + VORBIS_COMMENT
+    (type 4 — little-endian length-prefixed UTF-8 ``KEY=value`` pairs,
+    the tag plane).  The lossless sibling of ``mp3_meta_walk``: the
+    crawl-triage columns (duration, channel count, tags) without frame
+    decode, which raises honestly in ``decode_audio``.
+
+    Corrupt streams raise ValueError (dead-letter class)."""
+    if blob[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream (bad magic)")
+    pos = 4
+    info = None
+    tags: dict[str, str] = {}
+    last = False
+    while not last:
+        if pos + 4 > len(blob):
+            raise ValueError("truncated FLAC metadata block header")
+        hdr = blob[pos]
+        last = bool(hdr & 0x80)
+        btype = hdr & 0x7F
+        blen = int.from_bytes(blob[pos + 1:pos + 4], "big")
+        body = blob[pos + 4:pos + 4 + blen]
+        if len(body) != blen:
+            raise ValueError("truncated FLAC metadata block")
+        if btype == 0:                              # STREAMINFO
+            if blen != 34:
+                raise ValueError("FLAC STREAMINFO must be 34 bytes")
+            bits = int.from_bytes(body[10:18], "big")
+            sample_rate = (bits >> 44) & 0xFFFFF
+            channels = ((bits >> 41) & 0x07) + 1
+            bps = ((bits >> 36) & 0x1F) + 1
+            total = bits & 0xFFFFFFFFF              # 36 bits
+            if sample_rate == 0:
+                raise ValueError("FLAC sample rate 0")
+            info = {
+                "sample_rate": sample_rate, "channels": channels,
+                "bits_per_sample": bps, "total_samples": total,
+                "md5": body[18:34].hex(),
+                "duration_ms": total * 1000 // sample_rate,
+            }
+        elif btype == 4:                            # VORBIS_COMMENT
+            p = 0
+            if p + 4 > blen:
+                raise ValueError("truncated vorbis comment")
+            vlen = int.from_bytes(body[p:p + 4], "little")
+            p += 4 + vlen                           # vendor string
+            if p + 4 > blen:
+                raise ValueError("truncated vorbis comment")
+            n = int.from_bytes(body[p:p + 4], "little")
+            p += 4
+            for _ in range(n):
+                if p + 4 > blen:
+                    raise ValueError("truncated vorbis comment entry")
+                clen = int.from_bytes(body[p:p + 4], "little")
+                p += 4
+                entry = body[p:p + clen]
+                if len(entry) != clen:
+                    raise ValueError("truncated vorbis comment entry")
+                p += clen
+                if b"=" in entry:
+                    k, v = entry.split(b"=", 1)
+                    tags[k.decode("utf-8", "replace").upper()] = v.decode(
+                        "utf-8", "replace"
+                    )
+        elif btype == 127:
+            raise ValueError("invalid FLAC metadata block type 127")
+        pos += 4 + blen
+    if info is None:
+        raise ValueError("FLAC stream without STREAMINFO")
+    return {"format": "flac", **info, "tags": tags}
+
+
+def flac_encode_meta_fixture(
+    sample_rate: int,
+    channels: int,
+    total_samples: int,
+    tags: "dict[str, str] | None" = None,
+    bits_per_sample: int = 16,
+) -> bytes:
+    """Metadata-complete FLAC fixture: fLaC magic + STREAMINFO +
+    optional VORBIS_COMMENT (no audio frames — the walk never reads
+    past the last metadata block, exactly like a real triage probe)."""
+    out = bytearray(b"fLaC")
+    body = bytearray(34)
+    body[0:2] = (4096).to_bytes(2, "big")           # min block size
+    body[2:4] = (4096).to_bytes(2, "big")
+    bits = (sample_rate << 44) | ((channels - 1) << 41) | (
+        (bits_per_sample - 1) << 36
+    ) | total_samples
+    body[10:18] = bits.to_bytes(8, "big")
+    body[18:34] = bytes(
+        (sample_rate + i * channels) % 256 for i in range(16)
+    )
+    last = 0x80 if not tags else 0x00
+    out.append(last | 0x00)
+    out.extend(len(body).to_bytes(3, "big"))
+    out.extend(body)
+    if tags:
+        vc = bytearray()
+        vendor = b"pdc-spark"
+        vc.extend(len(vendor).to_bytes(4, "little"))
+        vc.extend(vendor)
+        vc.extend(len(tags).to_bytes(4, "little"))
+        for k, v in tags.items():
+            entry = f"{k}={v}".encode()
+            vc.extend(len(entry).to_bytes(4, "little"))
+            vc.extend(entry)
+        out.append(0x80 | 0x04)
+        out.extend(len(vc).to_bytes(3, "big"))
+        out.extend(vc)
+    return bytes(out)
+
+
+FLAC_META_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("title", T.StringType()),
+    T.StructField("artist", T.StringType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("bits_per_sample", T.IntegerType()),
+    T.StructField("total_samples", T.LongType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("md5", T.StringType()),
+])
+
+
+def flac_metadata(media_df: DataFrame, id_col: str = "doc_id",
+                  media_col: str = "media") -> DataFrame:
+    """``flac_meta_walk`` over a binary column via ``mapInPandas`` —
+    no shuffle, one typed row per blob (the mp3_metadata twin)."""
+
+    def _walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {f.name: [] for f in FLAC_META_SCHEMA.fields}
+            for doc_id, blob in zip(pdf[id_col], pdf[media_col]):
+                m = flac_meta_walk(bytes(blob))
+                rows["doc_id"].append(int(doc_id))
+                rows["title"].append(m["tags"].get("TITLE"))
+                rows["artist"].append(m["tags"].get("ARTIST"))
+                for k in ("sample_rate", "channels", "bits_per_sample",
+                          "total_samples", "duration_ms", "md5"):
+                    rows[k].append(m[k])
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(_walk, schema=FLAC_META_SCHEMA)
+
+
+def synth_flac_streams(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """FLAC metadata fixture, closed-form in doc_id ``d``: sample rate
+    [44100, 48000, 96000][d%3], channels 1 + d%2, total samples
+    1000·(1 + d%11); every 3rd doc carries VORBIS_COMMENT tags
+    (TITLE='flac d', ARTIST='artist d%5'), the rest STREAMINFO only."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                ids.append(d)
+                blobs.append(flac_encode_meta_fixture(
+                    sample_rate=[44100, 48000, 96000][d % 3],
+                    channels=1 + d % 2,
+                    total_samples=1000 * (1 + d % 11),
+                    tags=(
+                        {"TITLE": f"flac {d}", "ARTIST": f"artist {d % 5}"}
+                        if d % 3 == 0 else None
+                    ),
+                ))
+            yield pd.DataFrame({id_col: ids, "media": blobs})
+
+    return ids_df.select(id_col).mapInPandas(
+        _synth, schema=f"{id_col} long, media binary"
+    )

@@ -463,6 +463,19 @@ def q_multimodal_audio_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mp3_metadata(synth_mp3_streams(docs))
 
 
+def q_multimodal_audio_flac_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r16 — FLAC metadata walk (operators/audio.py ``flac_meta_walk``):
+    the lossless-audio sibling of the MP3 triage path — STREAMINFO
+    (20-bit sample rate / 3-bit channels / 5-bit bps / 36-bit total
+    samples / stream MD5, all bit-packed per the public xiph spec) +
+    VORBIS_COMMENT tags on every 3rd doc.  Closed-form fixture, every
+    column (the hex MD5 included) restated by the DuckDB oracle."""
+    from ..operators.audio import flac_metadata, synth_flac_streams
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return flac_metadata(synth_flac_streams(docs))
+
+
 QUERIES = {
     "multimodal_webdataset": q_multimodal_webdataset,
     "multimodal_jpeg_exif": q_multimodal_jpeg_exif,
@@ -483,6 +496,7 @@ QUERIES = {
     "multimodal_audio_adpcm": q_multimodal_audio_adpcm,
     "multimodal_audio_msadpcm": q_multimodal_audio_msadpcm,
     "multimodal_audio_mp3_meta": q_multimodal_audio_mp3_meta,
+    "multimodal_audio_flac_meta": q_multimodal_audio_flac_meta,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_resize_real": q_multimodal_resize,
     "multimodal_video_frames": q_multimodal_video,
@@ -1032,4 +1046,33 @@ ORACLES["multimodal_audio_mp3_meta"] = """
            CAST(n_frames * 1152 * 1000 // sr AS BIGINT) AS duration_ms,
            CAST(CASE WHEN vbr THEN n_frames END AS BIGINT) AS xing_frames
     FROM p
+"""
+
+ORACLES["multimodal_audio_flac_meta"] = """
+    WITH p AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 44100
+                    WHEN 1 THEN 48000 ELSE 96000 END AS sr,
+               CAST(1 + doc_id % 2 AS INT) AS ch,
+               CAST(1000 * (1 + doc_id % 11) AS BIGINT) AS total,
+               doc_id % 3 = 0 AS tagged
+        FROM documents
+    ),
+    hx AS (
+        SELECT sr, ch,
+               string_agg(lower(lpad(to_hex((sr + i * ch) % 256), 2, '0')), ''
+                          ORDER BY i) AS md5
+        FROM (SELECT DISTINCT sr, ch FROM p) CROSS JOIN range(16) t(i)
+        GROUP BY sr, ch
+    )
+    SELECT doc_id,
+           CASE WHEN tagged THEN 'flac ' || doc_id END AS title,
+           CASE WHEN tagged THEN 'artist ' || (doc_id % 5) END AS artist,
+           CAST(sr AS INT) AS sample_rate,
+           ch AS channels,
+           CAST(16 AS INT) AS bits_per_sample,
+           total AS total_samples,
+           CAST(total * 1000 // sr AS BIGINT) AS duration_ms,
+           hx.md5 AS md5
+    FROM p JOIN hx USING (sr, ch)
 """

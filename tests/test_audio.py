@@ -384,3 +384,41 @@ def test_mp3_meta_walk_and_deadletter_classes():
             mp3_meta_walk(bytes(b))
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_flac_meta_walk_and_deadletter_classes():
+    """r16: FLAC STREAMINFO bit-unpacking (20/3/5/36-bit fields) +
+    VORBIS_COMMENT tags; corrupt streams stay in the ValueError class."""
+    import random
+
+    import pytest as _pytest
+
+    from postgres_debezium_clickhouse_spark.operators.audio import (
+        flac_encode_meta_fixture,
+        flac_meta_walk,
+    )
+
+    b = flac_encode_meta_fixture(96000, 2, 12345678901,  # >32-bit samples
+                                 {"TITLE": "x", "ARTIST": "y"},
+                                 bits_per_sample=24)
+    m = flac_meta_walk(b)
+    assert m["sample_rate"] == 96000 and m["channels"] == 2
+    assert m["bits_per_sample"] == 24
+    assert m["total_samples"] == 12345678901          # full 36-bit field
+    assert m["duration_ms"] == 12345678901 * 1000 // 96000
+    assert m["tags"] == {"TITLE": "x", "ARTIST": "y"}
+    with _pytest.raises(ValueError, match="magic"):
+        flac_meta_walk(b"fLaX" + b[4:])
+    for cut in range(1, len(b), 3):
+        try:
+            flac_meta_walk(b[:cut])
+        except ValueError:
+            pass
+    rng = random.Random(16)
+    for _ in range(1500):
+        bb = bytearray(b)
+        bb[rng.randrange(len(bb))] = rng.randrange(256)
+        try:
+            flac_meta_walk(bytes(bb))
+        except (ValueError, NotImplementedError):
+            pass
