@@ -1,0 +1,395 @@
+"""PDF metadata walk, pure stdlib (r16) — the highest-volume crawl
+DOCUMENT format (a large share of quality tokens in public corpora
+comes from PDFs), triaged without a renderer.
+
+Implements the public ISO 32000-1 file-structure subset a metadata
+probe needs: the ``%PDF-1.x`` header, the ``startxref`` pointer, the
+CLASSIC cross-reference table (``xref`` sections of 20-byte entries)
+with the ``/Prev`` incremental-update chain (newest wins), the trailer
+dictionary, and a recursive-descent parser for the object grammar
+(dictionaries, arrays, names, numbers, literal ``(...)`` strings with
+escapes, ``<hex>`` strings, ``R`` references, booleans/null) — enough
+to resolve ``/Info`` (Title/Author/Producer) and walk
+``/Root → /Pages → /Count`` for the page count.
+
+Honest scope: cross-reference STREAMS (PDF 1.5+ ``/Type /XRef``,
+requires object-stream + flate decode of the table itself) and
+``/Encrypt``-ed files raise ``NotImplementedError`` (dead-letter
+class); content streams are never opened — this is a triage probe,
+not a text extractor.  Corrupt structure raises ``ValueError``.
+
+Scale: the walk is per-blob and byte-bounded (no rendering, no
+decompression) inside ``mapInPandas`` — the same no-shuffle shape as
+every media walk (operators/audio.py mp3/flac twins).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Ref:
+    __slots__ = ("num", "gen")
+
+    def __init__(self, num: int, gen: int):
+        self.num, self.gen = num, gen
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        return f"{self.num} {self.gen} R"
+
+
+def _skip_ws(b: bytes, p: int) -> int:
+    while p < len(b):
+        if b[p:p + 1] in (b"%",):                  # comment to EOL
+            while p < len(b) and b[p] not in (0x0A, 0x0D):
+                p += 1
+        elif b[p] in _WS:
+            p += 1
+        else:
+            break
+    return p
+
+
+def _parse_object(b: bytes, p: int):
+    """(value, next_pos) — recursive descent over the object grammar."""
+    p = _skip_ws(b, p)
+    if p >= len(b):
+        raise ValueError("truncated PDF object")
+    c = b[p:p + 1]
+    if c == b"<":
+        if b[p:p + 2] == b"<<":
+            d = {}
+            p += 2
+            while True:
+                p = _skip_ws(b, p)
+                if b[p:p + 2] == b">>":
+                    return d, p + 2
+                if b[p:p + 1] != b"/":
+                    raise ValueError("PDF dict key must be a name")
+                key, p = _parse_object(b, p)
+                val, p = _parse_object(b, p)
+                d[key] = val
+        # hex string
+        q = b.index(b">", p + 1)
+        hx = re.sub(rb"\s", b"", b[p + 1:q])
+        if len(hx) % 2:
+            hx += b"0"
+        try:
+            return bytes.fromhex(hx.decode("ascii")).decode(
+                "latin-1"
+            ), q + 1
+        except ValueError as e:
+            raise ValueError("bad PDF hex string") from e
+    if c == b"(":
+        out = bytearray()
+        depth = 1
+        p += 1
+        while p < len(b):
+            ch = b[p]
+            if ch == 0x5C:                          # backslash escape
+                p += 1
+                if p >= len(b):
+                    break
+                e = b[p:p + 1]
+                mapped = {b"n": 10, b"r": 13, b"t": 9, b"b": 8, b"f": 12,
+                          b"(": 40, b")": 41, b"\\": 92}
+                if e in mapped:
+                    out.append(mapped[e])
+                elif e.isdigit():                   # octal (1-3 digits)
+                    oct_s = e
+                    while (len(oct_s) < 3 and p + 1 < len(b)
+                           and b[p + 1:p + 2].isdigit()):
+                        p += 1
+                        oct_s += b[p:p + 1]
+                    out.append(int(oct_s, 8) & 0xFF)
+                p += 1
+                continue
+            if ch == 0x28:
+                depth += 1
+            elif ch == 0x29:
+                depth -= 1
+                if depth == 0:
+                    return out.decode("latin-1"), p + 1
+            out.append(ch)
+            p += 1
+        raise ValueError("unterminated PDF string")
+    if c == b"/":
+        q = p + 1
+        while q < len(b) and b[q] not in _WS and b[q:q + 1] not in (
+            b"(", b")", b"<", b">", b"[", b"]", b"{", b"}", b"/", b"%"
+        ):
+            q += 1
+        return "/" + b[p + 1:q].decode("latin-1"), q
+    if c == b"[":
+        arr = []
+        p += 1
+        while True:
+            p = _skip_ws(b, p)
+            if b[p:p + 1] == b"]":
+                return arr, p + 1
+            v, p = _parse_object(b, p)
+            arr.append(v)
+    m = re.match(rb"[-+]?\d+(\.\d*)?|[-+]?\.\d+", b[p:p + 32])
+    if m:
+        tok = m.group(0)
+        # reference: N G R
+        q = _skip_ws(b, p + len(tok))
+        m2 = re.match(rb"(\d+)\s+R(?![A-Za-z])", b[q:q + 24])
+        if tok.isdigit() and m2:
+            return _Ref(int(tok), int(m2.group(1))), q + m2.end()
+        return (float(tok) if b"." in tok else int(tok)), p + len(tok)
+    for lit, val in ((b"true", True), (b"false", False), (b"null", None)):
+        if b[p:p + len(lit)] == lit:
+            return val, p + len(lit)
+    raise ValueError(f"bad PDF token at offset {p}")
+
+
+def _parse_xref_section(b: bytes, p: int):
+    """One classic xref table at offset p → (offsets {num: offset},
+    trailer dict)."""
+    p = _skip_ws(b, p)
+    if b[p:p + 4] != b"xref":
+        if re.match(rb"\d+\s+\d+\s+obj", b[p:p + 32]):
+            raise NotImplementedError(
+                "PDF cross-reference stream (1.5+ /Type /XRef)"
+            )
+        raise ValueError("startxref does not point at an xref table")
+    p += 4
+    offsets: dict[int, int] = {}
+    while True:
+        p = _skip_ws(b, p)
+        if b[p:p + 7] == b"trailer":
+            trailer, _ = _parse_object(b, p + 7)
+            if not isinstance(trailer, dict):
+                raise ValueError("PDF trailer is not a dictionary")
+            return offsets, trailer
+        m = re.match(rb"(\d+)\s+(\d+)", b[p:p + 40])
+        if not m:
+            raise ValueError("bad PDF xref subsection header")
+        start, count = int(m.group(1)), int(m.group(2))
+        p = _skip_ws(b, p + m.end())
+        for i in range(count):
+            ent = b[p:p + 20]
+            m2 = re.match(rb"(\d{10})\s+(\d{5})\s+([nf])", ent)
+            if not m2:
+                raise ValueError("bad PDF xref entry")
+            if m2.group(3) == b"n":
+                offsets.setdefault(start + i, int(m2.group(1)))
+            p += 20
+            # tolerate 19-byte (LF-only) entries
+            if p <= len(b) and p >= 1 and b[p - 1:p] not in (
+                b"\r", b"\n", b" "
+            ):
+                p -= 1
+                p = _skip_ws(b, p)
+
+
+def _load_object(b: bytes, off: int, num: int):
+    m = re.match(rb"(\d+)\s+(\d+)\s+obj", b[off:off + 40])
+    if not m or int(m.group(1)) != num:
+        raise ValueError(f"PDF xref offset for object {num} is wrong")
+    val, _ = _parse_object(b, off + m.end())
+    return val
+
+
+def pdf_meta_walk(blob: bytes) -> dict:
+    """{version, n_objects, page_count, title, author, producer} from a
+    classic-xref PDF (incremental updates followed via /Prev, newest
+    entry wins)."""
+    m = re.match(rb"%PDF-(\d+\.\d+)", blob[:16])
+    if not m:
+        raise ValueError("not a PDF (bad header)")
+    version = m.group(1).decode("ascii")
+    tail = blob[-1024:]
+    matches = list(re.finditer(rb"startxref\s+(\d+)\s+%%EOF", tail))
+    if not matches:
+        raise ValueError("PDF missing startxref/%%EOF tail")
+    sm = matches[-1]                                # the LAST update's tail
+    offsets: dict[int, int] = {}
+    trailer: dict | None = None
+    xref_off = int(sm.group(1))
+    seen = set()
+    while True:
+        if xref_off in seen or xref_off >= len(blob):
+            raise ValueError("PDF xref /Prev chain is circular or broken")
+        seen.add(xref_off)
+        offs, tr = _parse_xref_section(blob, xref_off)
+        for k, v in offs.items():
+            offsets.setdefault(k, v)               # newest section first
+        if trailer is None:
+            trailer = tr
+        if "/Prev" not in tr:
+            break
+        xref_off = int(tr["/Prev"])
+    if "/Encrypt" in trailer:
+        raise NotImplementedError("encrypted PDF")
+
+    def resolve(v):
+        while isinstance(v, _Ref):
+            off = offsets.get(v.num)
+            if off is None:
+                return None
+            v = _load_object(blob, off, v.num)
+        return v
+
+    root = resolve(trailer.get("/Root"))
+    if not isinstance(root, dict):
+        raise ValueError("PDF trailer has no /Root catalog")
+    pages = resolve(root.get("/Pages"))
+    page_count = None
+    if isinstance(pages, dict):
+        cnt = resolve(pages.get("/Count"))
+        if isinstance(cnt, int):
+            page_count = cnt
+    info = resolve(trailer.get("/Info"))
+    info = info if isinstance(info, dict) else {}
+    return {
+        "format": "pdf",
+        "version": version,
+        "n_objects": int(trailer.get("/Size", 0)),
+        "page_count": page_count,
+        "title": resolve(info.get("/Title")),
+        "author": resolve(info.get("/Author")),
+        "producer": resolve(info.get("/Producer")),
+    }
+
+
+def pdf_encode_meta_fixture(
+    n_pages: int,
+    title: str | None = None,
+    author: str | None = None,
+    incremental: bool = False,
+    version: str = "1.4",
+) -> bytes:
+    """Byte-offset-correct classic-xref PDF: catalog, page tree with
+    ``n_pages`` leaf pages (each an empty media box — valid structure,
+    no content streams), optional /Info, and optionally ONE incremental
+    update that appends a replacement /Info object plus a second xref
+    section chained via /Prev (title suffixed ' v2') — the structure a
+    'save' in a real editor produces."""
+    objs: list[bytes] = []
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    kids = " ".join(f"{3 + i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Count {n_pages} /Kids [ {kids} ] >>".encode()
+    )
+    for _ in range(n_pages):
+        objs.append(
+            b"<< /Type /Page /Parent 2 0 R"
+            b" /MediaBox [ 0 0 612 792 ] >>"
+        )
+    info_num = None
+    if title is not None or author is not None:
+        parts = []
+        if title is not None:
+            parts.append(f"/Title ({esc(title)})")
+        if author is not None:
+            parts.append(f"/Author ({esc(author)})")
+        parts.append("/Producer (pdc-spark)")
+        objs.append(f"<< {' '.join(parts)} >>".encode())
+        info_num = len(objs)
+
+    out = bytearray(f"%PDF-{version}\n".encode())
+    offsets = [0]                                   # object 0: free
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out.extend(f"{i} 0 obj\n".encode())
+        out.extend(body)
+        out.extend(b"\nendobj\n")
+    xref_off = len(out)
+    n = len(objs) + 1
+    out.extend(f"xref\n0 {n}\n".encode())
+    out.extend(b"0000000000 65535 f \n")
+    for off in offsets[1:]:
+        out.extend(f"{off:010d} 00000 n \n".encode())
+    trailer = f"trailer\n<< /Size {n} /Root 1 0 R"
+    if info_num:
+        trailer += f" /Info {info_num} 0 R"
+    trailer += f" >>\nstartxref\n{xref_off}\n%%EOF\n"
+    out.extend(trailer.encode())
+
+    if incremental and info_num:
+        upd_off = len(out)
+        body = (
+            f"<< /Title ({esc((title or '') + ' v2')})"
+            f" /Producer (pdc-spark) >>"
+        ).encode()
+        out.extend(f"{info_num} 0 obj\n".encode())
+        out.extend(body)
+        out.extend(b"\nendobj\n")
+        xref2 = len(out)
+        out.extend(f"xref\n{info_num} 1\n".encode())
+        out.extend(f"{upd_off:010d} 00000 n \n".encode())
+        out.extend(
+            f"trailer\n<< /Size {n} /Root 1 0 R /Info {info_num} 0 R"
+            f" /Prev {xref_off} >>\nstartxref\n{xref2}\n%%EOF\n".encode()
+        )
+    return bytes(out)
+
+
+PDF_META_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("version", T.StringType()),
+    T.StructField("n_objects", T.IntegerType()),
+    T.StructField("page_count", T.IntegerType()),
+    T.StructField("title", T.StringType()),
+    T.StructField("author", T.StringType()),
+    T.StructField("producer", T.StringType()),
+])
+
+
+def pdf_metadata(media_df: DataFrame, id_col: str = "doc_id",
+                 media_col: str = "media") -> DataFrame:
+    """``pdf_meta_walk`` over a binary column via ``mapInPandas`` — one
+    typed row per blob, no shuffle (the mp3/flac walk shape)."""
+
+    def _walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {f.name: [] for f in PDF_META_SCHEMA.fields}
+            for doc_id, blob in zip(pdf[id_col], pdf[media_col]):
+                m = pdf_meta_walk(bytes(blob))
+                rows["doc_id"].append(int(doc_id))
+                for k in ("version", "n_objects", "page_count", "title",
+                          "author", "producer"):
+                    rows[k].append(m[k])
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(_walk, schema=PDF_META_SCHEMA)
+
+
+def synth_pdf_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """PDF metadata fixture, closed-form in doc_id ``d``: 1 + d%9
+    pages; /Info (title 'doc d', author 'author d%7') on all but every
+    5th doc; every 4th doc carries one INCREMENTAL update (title
+    becomes 'doc d v2' via the /Prev chain — newest xref wins)."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                has_info = d % 5 != 0
+                ids.append(d)
+                blobs.append(pdf_encode_meta_fixture(
+                    n_pages=1 + d % 9,
+                    title=f"doc {d}" if has_info else None,
+                    author=f"author {d % 7}" if has_info else None,
+                    incremental=(d % 4 == 0 and has_info),
+                ))
+            yield pd.DataFrame({id_col: ids, "media": blobs})
+
+    return ids_df.select(id_col).mapInPandas(
+        _synth, schema=f"{id_col} long, media binary"
+    )

@@ -476,6 +476,22 @@ def q_multimodal_audio_flac_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flac_metadata(synth_flac_streams(docs))
 
 
+def q_multimodal_pdf_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r16 — PDF metadata walk (operators/pdfmeta.py): the
+    highest-volume crawl DOCUMENT format triaged without a renderer —
+    classic xref tables with the /Prev incremental-update chain
+    (newest xref wins: every 4th doc carries a real appended update
+    whose replacement /Info drops the author and re-titles, exactly
+    what an editor 'save' produces), /Root→/Pages/Count page walk,
+    /Info strings with escape handling.  xref STREAMS (1.5+) and
+    /Encrypt raise honestly.  Byte-offset-correct fixture; every
+    column restated by the DuckDB closed form."""
+    from ..operators.pdfmeta import pdf_metadata, synth_pdf_docs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return pdf_metadata(synth_pdf_docs(docs))
+
+
 QUERIES = {
     "multimodal_webdataset": q_multimodal_webdataset,
     "multimodal_jpeg_exif": q_multimodal_jpeg_exif,
@@ -497,6 +513,7 @@ QUERIES = {
     "multimodal_audio_msadpcm": q_multimodal_audio_msadpcm,
     "multimodal_audio_mp3_meta": q_multimodal_audio_mp3_meta,
     "multimodal_audio_flac_meta": q_multimodal_audio_flac_meta,
+    "multimodal_pdf_meta": q_multimodal_pdf_meta,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_resize_real": q_multimodal_resize,
     "multimodal_video_frames": q_multimodal_video,
@@ -1075,4 +1092,25 @@ ORACLES["multimodal_audio_flac_meta"] = """
            CAST(total * 1000 // sr AS BIGINT) AS duration_ms,
            hx.md5 AS md5
     FROM p JOIN hx USING (sr, ch)
+"""
+
+ORACLES["multimodal_pdf_meta"] = """
+    WITH p AS (
+        SELECT doc_id,
+               CAST(1 + doc_id % 9 AS INT) AS n_pages,
+               doc_id % 5 <> 0 AS has_info,
+               doc_id % 4 = 0 AND doc_id % 5 <> 0 AS incr
+        FROM documents
+    )
+    SELECT doc_id,
+           '1.4' AS version,
+           CAST(n_pages + 3 + CASE WHEN has_info THEN 1 ELSE 0 END AS INT)
+               AS n_objects,
+           n_pages AS page_count,
+           CASE WHEN incr THEN 'doc ' || doc_id || ' v2'
+                WHEN has_info THEN 'doc ' || doc_id END AS title,
+           CASE WHEN has_info AND NOT incr
+                THEN 'author ' || (doc_id % 7) END AS author,
+           CASE WHEN has_info THEN 'pdc-spark' END AS producer
+    FROM p
 """

@@ -1,0 +1,67 @@
+"""PDF metadata walk (r16): classic-xref file structure, /Prev chains,
+object grammar, honest dead-letter classes."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from postgres_debezium_clickhouse_spark.operators.pdfmeta import (
+    pdf_encode_meta_fixture,
+    pdf_meta_walk,
+)
+
+
+def test_walk_basic_and_incremental():
+    b = pdf_encode_meta_fixture(4, "t", "a")
+    m = pdf_meta_walk(b)
+    assert (m["page_count"], m["title"], m["author"]) == (4, "t", "a")
+    assert m["n_objects"] == 4 + 3 + 1 and m["version"] == "1.4"
+    # incremental update: newest xref wins, replacement /Info drops author
+    b2 = pdf_encode_meta_fixture(4, "t", "a", incremental=True)
+    m2 = pdf_meta_walk(b2)
+    assert (m2["title"], m2["author"]) == ("t v2", None)
+    assert m2["page_count"] == 4      # page tree untouched by the update
+    # no-Info documents
+    m3 = pdf_meta_walk(pdf_encode_meta_fixture(2))
+    assert (m3["title"], m3["producer"]) == (None, None)
+
+
+def test_string_escapes_and_hex_strings():
+    m = pdf_meta_walk(pdf_encode_meta_fixture(1, "paren (x) \\ done", "a"))
+    assert m["title"] == "paren (x) \\ done"
+    # hand-patch a hex-string title into the Info dict
+    b = pdf_encode_meta_fixture(1, "XXXX", "a")
+    assert b.count(b"(XXXX)") == 1
+    b = b.replace(b"(XXXX)", b"<4142>")  # same byte length -> offsets hold
+    assert pdf_meta_walk(b)["title"] == "AB"
+
+
+def test_deadletter_classes():
+    b = pdf_encode_meta_fixture(3, "t", "a")
+    with pytest.raises(ValueError, match="bad header"):
+        pdf_meta_walk(b"%PDX" + b[4:])
+    with pytest.raises(ValueError, match="startxref"):
+        pdf_meta_walk(b[:-12])
+    # /Encrypt -> honest NotImplementedError (trailer grows AFTER the
+    # xref table, so object offsets and startxref stay valid)
+    enc = b.replace(b"trailer\n<< /Size",
+                    b"trailer\n<< /Encrypt 9 0 R /Size")
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        pdf_meta_walk(enc)
+    # xref-stream pointer (startxref at an object) -> honest class
+    rng = random.Random(16)
+    for _ in range(1500):
+        bb = bytearray(b)
+        for _f in range(rng.randint(1, 3)):
+            bb[rng.randrange(len(bb))] = rng.randrange(256)
+        try:
+            pdf_meta_walk(bytes(bb))
+        except (ValueError, NotImplementedError):
+            pass
+    for cut in range(1, len(b), 7):
+        try:
+            pdf_meta_walk(b[:cut])
+        except (ValueError, NotImplementedError):
+            pass
