@@ -12,11 +12,15 @@ escapes, ``<hex>`` strings, ``R`` references, booleans/null) — enough
 to resolve ``/Info`` (Title/Author/Producer) and walk
 ``/Root → /Pages → /Count`` for the page count.
 
-Honest scope: cross-reference STREAMS (PDF 1.5+ ``/Type /XRef``,
-requires object-stream + flate decode of the table itself) and
-``/Encrypt``-ed files raise ``NotImplementedError`` (dead-letter
-class); content streams are never opened — this is a triage probe,
-not a text extractor.  Corrupt structure raises ``ValueError``.
+Cross-reference STREAMS (PDF 1.5+ ``/Type /XRef`` — the modern wire:
+FlateDecode table data with the optional PNG Up predictor, W-tuple
+fields, /Index subsections) and ``/Type /ObjStm`` OBJECT streams
+(compressed objects resolved via type-2 entries) are implemented too,
+so both generations of real-web PDFs walk.  Honest scope:
+``/Encrypt``-ed files and non-flate stream filters raise
+``NotImplementedError`` (dead-letter class); content streams are never
+opened — this is a triage probe, not a text extractor.  Corrupt
+structure raises ``ValueError``.
 
 Scale: the walk is per-blob and byte-bounded (no rendering, no
 decompression) inside ``mapInPandas`` — the same no-shuffle shape as
@@ -153,24 +157,29 @@ def _parse_object(b: bytes, p: int):
 
 
 def _parse_xref_section(b: bytes, p: int):
-    """One classic xref table at offset p → (offsets {num: offset},
-    trailer dict)."""
+    """One cross-reference SECTION at offset p → (entries, trailer).
+    Handles BOTH forms: the classic ``xref`` table and the 1.5+
+    cross-reference STREAM (``/Type /XRef`` — FlateDecode with optional
+    PNG predictor, W-tuple fields, /Index subsections).  Entries:
+    num → ("r", byte_offset) for regular objects,
+    num → ("o", objstm_num, idx) for objects inside an object stream."""
     p = _skip_ws(b, p)
-    if b[p:p + 4] != b"xref":
-        if re.match(rb"\d+\s+\d+\s+obj", b[p:p + 32]):
-            raise NotImplementedError(
-                "PDF cross-reference stream (1.5+ /Type /XRef)"
-            )
-        raise ValueError("startxref does not point at an xref table")
-    p += 4
-    offsets: dict[int, int] = {}
+    if b[p:p + 4] == b"xref":
+        return _parse_xref_table(b, p + 4)
+    if re.match(rb"\d+\s+\d+\s+obj", b[p:p + 32]):
+        return _parse_xref_stream(b, p)
+    raise ValueError("startxref does not point at an xref section")
+
+
+def _parse_xref_table(b: bytes, p: int):
+    entries: dict[int, tuple] = {}
     while True:
         p = _skip_ws(b, p)
         if b[p:p + 7] == b"trailer":
             trailer, _ = _parse_object(b, p + 7)
             if not isinstance(trailer, dict):
                 raise ValueError("PDF trailer is not a dictionary")
-            return offsets, trailer
+            return entries, trailer
         m = re.match(rb"(\d+)\s+(\d+)", b[p:p + 40])
         if not m:
             raise ValueError("bad PDF xref subsection header")
@@ -182,7 +191,7 @@ def _parse_xref_section(b: bytes, p: int):
             if not m2:
                 raise ValueError("bad PDF xref entry")
             if m2.group(3) == b"n":
-                offsets.setdefault(start + i, int(m2.group(1)))
+                entries.setdefault(start + i, ("r", int(m2.group(1))))
             p += 20
             # tolerate 19-byte (LF-only) entries
             if p <= len(b) and p >= 1 and b[p - 1:p] not in (
@@ -190,6 +199,137 @@ def _parse_xref_section(b: bytes, p: int):
             ):
                 p -= 1
                 p = _skip_ws(b, p)
+
+
+def _read_stream(b: bytes, p: int):
+    """Parse ``N G obj <<dict>> stream...endstream`` at offset p →
+    (dict, raw stream bytes).  /Length must be direct here (true for
+    the xref/objstm fixtures and for every xref stream the spec
+    requires to be parseable before any object is loadable)."""
+    m = re.match(rb"(\d+)\s+(\d+)\s+obj", b[p:p + 40])
+    if not m:
+        raise ValueError("bad PDF stream object header")
+    d, q = _parse_object(b, p + m.end())
+    if not isinstance(d, dict):
+        raise ValueError("PDF stream object has no dictionary")
+    q = _skip_ws(b, q)
+    if b[q:q + 6] != b"stream":
+        raise ValueError("PDF stream keyword missing")
+    q += 6
+    if b[q:q + 2] == b"\r\n":
+        q += 2
+    elif b[q:q + 1] == b"\n":
+        q += 1
+    length = d.get("/Length")
+    if not isinstance(length, int):
+        raise ValueError("PDF stream /Length must be a direct integer")
+    data = b[q:q + length]
+    if len(data) != length:
+        raise ValueError("truncated PDF stream data")
+    return d, data
+
+
+def _decode_stream(d: dict, data: bytes) -> bytes:
+    import zlib
+
+    filt = d.get("/Filter")
+    if filt is None:
+        return data
+    if filt not in ("/FlateDecode", ["/FlateDecode"]):
+        raise NotImplementedError(f"PDF stream filter {filt}")
+    try:
+        data = zlib.decompress(data)
+    except zlib.error as e:
+        raise ValueError(f"bad PDF flate stream: {e}") from e
+    parms = d.get("/DecodeParms")
+    if isinstance(parms, dict):
+        pred = parms.get("/Predictor", 1)
+        if isinstance(pred, int) and pred >= 10:
+            cols = int(parms.get("/Columns", 1))
+            data = _png_unpredict(data, cols)
+        elif pred not in (1, None):
+            raise NotImplementedError(f"PDF predictor {pred}")
+    return data
+
+
+def _png_unpredict(data: bytes, cols: int) -> bytes:
+    """PNG-predictor de-filtering (per-row filter byte; xref streams in
+    the wild use Up=2 almost exclusively, but all five standard filters
+    are implemented — same math as the PNG decoder's, bpp=1)."""
+    row_len = cols + 1
+    if len(data) % row_len:
+        raise ValueError("PDF predictor data not a whole number of rows")
+    out = bytearray()
+    prev = bytearray(cols)
+    for r in range(0, len(data), row_len):
+        ft = data[r]
+        row = bytearray(data[r + 1:r + row_len])
+        for i in range(cols):
+            a = row[i - 1] if i else 0
+            bb = prev[i]
+            c = prev[i - 1] if i else 0
+            if ft == 0:
+                pass
+            elif ft == 1:
+                row[i] = (row[i] + a) & 0xFF
+            elif ft == 2:
+                row[i] = (row[i] + bb) & 0xFF
+            elif ft == 3:
+                row[i] = (row[i] + ((a + bb) >> 1)) & 0xFF
+            elif ft == 4:
+                pp = a + bb - c
+                pa, pb, pc = abs(pp - a), abs(pp - bb), abs(pp - c)
+                pr = a if pa <= pb and pa <= pc else (bb if pb <= pc else c)
+                row[i] = (row[i] + pr) & 0xFF
+            else:
+                raise ValueError(f"bad PNG predictor filter {ft}")
+        out.extend(row)
+        prev = row
+    return bytes(out)
+
+
+def _parse_xref_stream(b: bytes, p: int):
+    d, raw = _read_stream(b, p)
+    if d.get("/Type") != "/XRef":
+        raise ValueError("startxref object is not a /Type /XRef stream")
+    data = _decode_stream(d, raw)
+    w = d.get("/W")
+    if (not isinstance(w, list) or len(w) != 3
+            or not all(isinstance(x, int) for x in w)):
+        raise ValueError("bad /W in xref stream")
+    size = d.get("/Size")
+    index = d.get("/Index", [0, size])
+    if not isinstance(index, list) or len(index) % 2:
+        raise ValueError("bad /Index in xref stream")
+    ent_len = sum(w)
+    if ent_len == 0 or len(data) % ent_len:
+        raise ValueError("xref stream data not a whole number of entries")
+    entries: dict[int, tuple] = {}
+    pos = 0
+
+    def field(width: int, default: int) -> int:
+        nonlocal pos
+        if width == 0:
+            return default
+        v = int.from_bytes(data[pos:pos + width], "big")
+        pos += width
+        return v
+
+    for j in range(0, len(index), 2):
+        start, count = int(index[j]), int(index[j + 1])
+        for i in range(count):
+            if pos + ent_len > len(data):
+                raise ValueError("xref stream /Index exceeds data")
+            t = field(w[0], 1)
+            f2 = field(w[1], 0)
+            f3 = field(w[2], 0)
+            num = start + i
+            if t == 1:
+                entries.setdefault(num, ("r", f2))
+            elif t == 2:
+                entries.setdefault(num, ("o", f2, f3))
+            # type 0 (free) and unknown types: skipped per spec
+    return entries, d                   # the stream dict IS the trailer
 
 
 def _load_object(b: bytes, off: int, num: int):
@@ -202,8 +342,24 @@ def _load_object(b: bytes, off: int, num: int):
 
 def pdf_meta_walk(blob: bytes) -> dict:
     """{version, n_objects, page_count, title, author, producer} from a
-    classic-xref PDF (incremental updates followed via /Prev, newest
-    entry wins)."""
+    classic-xref OR xref-stream PDF (incremental updates followed via
+    /Prev, newest entry wins; compressed objects resolved out of
+    /Type /ObjStm object streams).
+
+    Exception normalization (the jpeg_decode/wav_decode contract):
+    corrupt structure can drive the parser into raw IndexError /
+    TypeError / OverflowError — everything outside the two dead-letter
+    classes re-raises as ValueError so the catch stays exhaustive."""
+    try:
+        return _pdf_meta_walk_impl(blob)
+    except (ValueError, NotImplementedError):
+        raise
+    except (IndexError, KeyError, TypeError, AttributeError,
+            OverflowError, RecursionError) as e:
+        raise ValueError(f"corrupt PDF ({type(e).__name__})") from e
+
+
+def _pdf_meta_walk_impl(blob: bytes) -> dict:
     m = re.match(rb"%PDF-(\d+\.\d+)", blob[:16])
     if not m:
         raise ValueError("not a PDF (bad header)")
@@ -213,7 +369,7 @@ def pdf_meta_walk(blob: bytes) -> dict:
     if not matches:
         raise ValueError("PDF missing startxref/%%EOF tail")
     sm = matches[-1]                                # the LAST update's tail
-    offsets: dict[int, int] = {}
+    entries: dict[int, tuple] = {}
     trailer: dict | None = None
     xref_off = int(sm.group(1))
     seen = set()
@@ -221,9 +377,9 @@ def pdf_meta_walk(blob: bytes) -> dict:
         if xref_off in seen or xref_off >= len(blob):
             raise ValueError("PDF xref /Prev chain is circular or broken")
         seen.add(xref_off)
-        offs, tr = _parse_xref_section(blob, xref_off)
-        for k, v in offs.items():
-            offsets.setdefault(k, v)               # newest section first
+        ents, tr = _parse_xref_section(blob, xref_off)
+        for k, v in ents.items():
+            entries.setdefault(k, v)               # newest section first
         if trailer is None:
             trailer = tr
         if "/Prev" not in tr:
@@ -232,12 +388,50 @@ def pdf_meta_walk(blob: bytes) -> dict:
     if "/Encrypt" in trailer:
         raise NotImplementedError("encrypted PDF")
 
-    def resolve(v):
+    objstm_cache: dict[int, tuple] = {}
+
+    def load_objstm(num: int):
+        if num in objstm_cache:
+            return objstm_cache[num]
+        ent = entries.get(num)
+        if ent is None or ent[0] != "r":
+            raise ValueError(f"object stream {num} has no direct offset")
+        d, raw = _read_stream(blob, ent[1])
+        if d.get("/Type") != "/ObjStm":
+            raise ValueError(f"object {num} is not /Type /ObjStm")
+        data = _decode_stream(d, raw)
+        n, first = d.get("/N"), d.get("/First")
+        if not isinstance(n, int) or not isinstance(first, int):
+            raise ValueError("bad /N or /First in object stream")
+        pairs = []
+        q = 0
+        for _ in range(n):
+            mm = re.match(rb"\s*(\d+)\s+(\d+)", data[q:q + 48])
+            if not mm:
+                raise ValueError("bad object-stream header pair")
+            pairs.append((int(mm.group(1)), int(mm.group(2))))
+            q += mm.end()
+        objstm_cache[num] = (data, first, pairs)
+        return objstm_cache[num]
+
+    def resolve(v, depth: int = 0):
         while isinstance(v, _Ref):
-            off = offsets.get(v.num)
-            if off is None:
+            if depth > 32:
+                raise ValueError("PDF reference chain too deep")
+            depth += 1
+            ent = entries.get(v.num)
+            if ent is None:
                 return None
-            v = _load_object(blob, off, v.num)
+            if ent[0] == "r":
+                v = _load_object(blob, ent[1], v.num)
+            else:
+                data, first, pairs = load_objstm(ent[1])
+                idx = ent[2]
+                if idx >= len(pairs) or pairs[idx][0] != v.num:
+                    raise ValueError(
+                        f"object {v.num} not at index {idx} of its stream"
+                    )
+                v, _ = _parse_object(data, first + pairs[idx][1])
         return v
 
     root = resolve(trailer.get("/Root"))
@@ -372,8 +566,12 @@ def pdf_metadata(media_df: DataFrame, id_col: str = "doc_id",
 def synth_pdf_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """PDF metadata fixture, closed-form in doc_id ``d``: 1 + d%9
     pages; /Info (title 'doc d', author 'author d%7') on all but every
-    5th doc; every 4th doc carries one INCREMENTAL update (title
-    becomes 'doc d v2' via the /Prev chain — newest xref wins)."""
+    5th doc.  EVEN docs are classic-xref 1.4 files — every 4th doc
+    carrying one INCREMENTAL update (title becomes 'doc d v2' via the
+    /Prev chain, newest xref wins); ODD docs are MODERN 1.5 files with
+    the catalog/pages/Info compressed into a /Type /ObjStm and a
+    /Type /XRef FlateDecode cross-reference stream (PNG Up-predictor 12
+    when d ≡ 1 mod 4) — both wire forms through one walk."""
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -381,15 +579,117 @@ def synth_pdf_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for doc_id in pdf[id_col]:
                 d = int(doc_id)
                 has_info = d % 5 != 0
+                title = f"doc {d}" if has_info else None
+                author = f"author {d % 7}" if has_info else None
                 ids.append(d)
-                blobs.append(pdf_encode_meta_fixture(
-                    n_pages=1 + d % 9,
-                    title=f"doc {d}" if has_info else None,
-                    author=f"author {d % 7}" if has_info else None,
-                    incremental=(d % 4 == 0 and has_info),
-                ))
+                if d % 2:
+                    blobs.append(pdf_encode_xrefstream_fixture(
+                        n_pages=1 + d % 9, title=title, author=author,
+                        predictor=(d % 4 == 1),
+                    ))
+                else:
+                    blobs.append(pdf_encode_meta_fixture(
+                        n_pages=1 + d % 9, title=title, author=author,
+                        incremental=(d % 4 == 0 and has_info),
+                    ))
             yield pd.DataFrame({id_col: ids, "media": blobs})
 
     return ids_df.select(id_col).mapInPandas(
         _synth, schema=f"{id_col} long, media binary"
     )
+
+
+def pdf_encode_xrefstream_fixture(
+    n_pages: int,
+    title: str | None = None,
+    author: str | None = None,
+    predictor: bool = False,
+) -> bytes:
+    """Byte-offset-correct MODERN (1.5+) PDF: catalog, page tree, pages
+    and /Info all COMPRESSED into one /Type /ObjStm object stream, and
+    the cross-reference as a /Type /XRef FlateDecode stream (W=[1 4 2],
+    type-2 entries pointing into the object stream; optionally PNG
+    Up-predictor 12 on the xref data — the encoding real writers
+    emit)."""
+    import zlib
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    inner: list[bytes] = []
+    kids = " ".join(f"{3 + i} 0 R" for i in range(n_pages))
+    inner.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    inner.append(
+        f"<< /Type /Pages /Count {n_pages} /Kids [ {kids} ] >>".encode()
+    )
+    for _ in range(n_pages):
+        inner.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] >>"
+        )
+    info_num = None
+    if title is not None or author is not None:
+        parts = []
+        if title is not None:
+            parts.append(f"/Title ({esc(title)})")
+        if author is not None:
+            parts.append(f"/Author ({esc(author)})")
+        parts.append("/Producer (pdc-spark)")
+        inner.append(f"<< {' '.join(parts)} >>".encode())
+        info_num = len(inner)
+    objstm_num = len(inner) + 1
+    xref_num = len(inner) + 2
+    size = len(inner) + 3                           # incl. object 0
+
+    # object stream body: header pairs then the objects
+    offs, body = [], bytearray()
+    for obj in inner:
+        offs.append(len(body))
+        body.extend(obj)
+        body.extend(b"\n")
+    header = " ".join(
+        f"{i + 1} {off}" for i, off in enumerate(offs)
+    ).encode() + b"\n"
+    stm_plain = header + bytes(body)
+    stm_z = zlib.compress(stm_plain)
+
+    out = bytearray(b"%PDF-1.5\n")
+    objstm_off = len(out)
+    out.extend(
+        f"{objstm_num} 0 obj\n<< /Type /ObjStm /N {len(inner)} "
+        f"/First {len(header)} /Filter /FlateDecode "
+        f"/Length {len(stm_z)} >>\nstream\n".encode()
+    )
+    out.extend(stm_z)
+    out.extend(b"\nendstream\nendobj\n")
+
+    xref_off = len(out)
+    rows = [(0, 0, 65535)]                          # object 0: free
+    rows += [(2, objstm_num, i) for i in range(len(inner))]
+    rows.append((1, objstm_off, 0))
+    rows.append((1, xref_off, 0))
+    ent = bytearray()
+    if predictor:
+        prev = bytes(7)
+        for t, f2, f3 in rows:
+            cur = bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+            ent.append(2)                           # PNG Up filter
+            ent.extend((cur[i] - prev[i]) & 0xFF for i in range(7))
+            prev = cur
+    else:
+        for t, f2, f3 in rows:
+            ent.append(t)
+            ent.extend(f2.to_bytes(4, "big"))
+            ent.extend(f3.to_bytes(2, "big"))
+    ent_z = zlib.compress(bytes(ent))
+    parms = (" /DecodeParms << /Predictor 12 /Columns 7 >>"
+             if predictor else "")
+    info_part = f" /Info {info_num} 0 R" if info_num else ""
+    out.extend(
+        f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} /W [ 1 4 2 ] "
+        f"/Root 1 0 R{info_part} /Filter /FlateDecode{parms} "
+        f"/Length {len(ent_z)} >>\nstream\n".encode()
+    )
+    out.extend(ent_z)
+    out.extend(b"\nendstream\nendobj\n")
+    out.extend(f"startxref\n{xref_off}\n%%EOF\n".encode())
+    return bytes(out)

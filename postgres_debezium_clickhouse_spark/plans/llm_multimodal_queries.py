@@ -482,9 +482,12 @@ def q_multimodal_pdf_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic xref tables with the /Prev incremental-update chain
     (newest xref wins: every 4th doc carries a real appended update
     whose replacement /Info drops the author and re-titles, exactly
-    what an editor 'save' produces), /Root→/Pages/Count page walk,
-    /Info strings with escape handling.  xref STREAMS (1.5+) and
-    /Encrypt raise honestly.  Byte-offset-correct fixture; every
+    what an editor 'save' produces) on even docs, and the MODERN 1.5+
+    wire on odd docs — /Type /XRef FlateDecode cross-reference STREAMS
+    (W-tuple entries, PNG Up-predictor on every 4th) with the catalog/
+    pages/Info compressed into a /Type /ObjStm object stream —
+    /Root→/Pages/Count page walk, /Info strings with escape handling.
+    /Encrypt still raises honestly.  Byte-offset-correct fixtures; every
     column restated by the DuckDB closed form."""
     from ..operators.pdfmeta import pdf_metadata, synth_pdf_docs
 
@@ -1099,13 +1102,14 @@ ORACLES["multimodal_pdf_meta"] = """
         SELECT doc_id,
                CAST(1 + doc_id % 9 AS INT) AS n_pages,
                doc_id % 5 <> 0 AS has_info,
-               doc_id % 4 = 0 AND doc_id % 5 <> 0 AS incr
+               doc_id % 4 = 0 AND doc_id % 5 <> 0 AS incr,
+               doc_id % 2 = 1 AS modern
         FROM documents
     )
     SELECT doc_id,
-           '1.4' AS version,
-           CAST(n_pages + 3 + CASE WHEN has_info THEN 1 ELSE 0 END AS INT)
-               AS n_objects,
+           CASE WHEN modern THEN '1.5' ELSE '1.4' END AS version,
+           CAST(n_pages + 3 + CASE WHEN has_info THEN 1 ELSE 0 END
+                + CASE WHEN modern THEN 2 ELSE 0 END AS INT) AS n_objects,
            n_pages AS page_count,
            CASE WHEN incr THEN 'doc ' || doc_id || ' v2'
                 WHEN has_info THEN 'doc ' || doc_id END AS title,

@@ -65,3 +65,38 @@ def test_deadletter_classes():
             pdf_meta_walk(b[:cut])
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_xref_stream_and_object_stream():
+    """r16: the modern (1.5+) wire — /Type /XRef FlateDecode xref
+    streams with W-tuple entries and type-2 pointers into a
+    /Type /ObjStm object stream, with and without the PNG Up
+    predictor."""
+    import random
+
+    from postgres_debezium_clickhouse_spark.operators.pdfmeta import (
+        pdf_encode_xrefstream_fixture,
+    )
+
+    for pred in (False, True):
+        b = pdf_encode_xrefstream_fixture(6, "t (x)", "a", predictor=pred)
+        m = pdf_meta_walk(b)
+        assert m["version"] == "1.5" and m["page_count"] == 6
+        assert m["title"] == "t (x)" and m["author"] == "a"
+        assert m["n_objects"] == 6 + 3 + 3
+    # fuzz: the flate/predictor/objstm paths stay in the two classes
+    b = pdf_encode_xrefstream_fixture(3, "t", "a", predictor=True)
+    rng = random.Random(16)
+    for _ in range(1500):
+        bb = bytearray(b)
+        for _f in range(rng.randint(1, 3)):
+            bb[rng.randrange(len(bb))] = rng.randrange(256)
+        try:
+            pdf_meta_walk(bytes(bb))
+        except (ValueError, NotImplementedError):
+            pass
+    for cut in range(1, len(b), 7):
+        try:
+            pdf_meta_walk(b[:cut])
+        except (ValueError, NotImplementedError):
+            pass
