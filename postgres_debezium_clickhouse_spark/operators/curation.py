@@ -1209,3 +1209,162 @@ def fim_transform(
         F.col("__hi").cast("long").alias("cut_hi"),
         fim_text.alias("fim_text"),
     )
+
+
+def parse_robots(
+    robots: DataFrame,
+    domain_col: str = "domain",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """robots.txt → one rule row per (domain, agent, type, pattern)
+    (RFC 9309, public): groups are runs of ``User-agent:`` lines
+    followed by their ``Allow:``/``Disallow:`` rules; ``Crawl-delay``
+    is carried per group (the de-facto extension every crawler reads).
+    Each rule also gets the RFC's wildcard pattern compiled to an
+    anchored regex (``*`` → ``.*``, trailing ``$`` → end anchor,
+    everything else literal) and its SPECIFICITY (octet length of the
+    pattern — the RFC's longest-match tiebreak key).
+
+    Parsing is per-file sequential state (groups), so it runs in ONE
+    ``mapInPandas`` pass — robots files are KB-sized; the output rule
+    table is (domains × rules)-sized, a dimension table."""
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField(domain_col, T.StringType()),
+        T.StructField("agent", T.StringType()),
+        T.StructField("rule_type", T.StringType()),   # allow/disallow
+        T.StructField("pattern", T.StringType()),
+        T.StructField("regex", T.StringType()),
+        T.StructField("specificity", T.IntegerType()),
+        T.StructField("crawl_delay", T.DoubleType()),
+    ])
+
+    def _compile(pattern: str) -> str:
+        anchored = pattern.endswith("$")
+        body = pattern[:-1] if anchored else pattern
+        rx = "".join(".*" if ch == "*" else _re.escape(ch) for ch in body)
+        return "^" + rx + ("$" if anchored else "")
+
+    def _parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {f.name: [] for f in schema.fields}
+            for dom, txt in zip(pdf[domain_col], pdf[text_col]):
+                agents: list[str] = []
+                in_rules = False
+                delay: dict[str, float] = {}
+                group_rules: list[tuple] = []
+                for raw in (txt or "").splitlines():
+                    line = raw.split("#", 1)[0].strip()
+                    if not line or ":" not in line:
+                        continue
+                    field, _, val = line.partition(":")
+                    field, val = field.strip().lower(), val.strip()
+                    if field == "user-agent":
+                        if in_rules:          # new group starts
+                            agents, in_rules = [], False
+                        agents.append(val.lower())
+                    elif field in ("allow", "disallow"):
+                        in_rules = True
+                        if not agents:
+                            continue          # rules before any UA: ignored
+                        if val == "":         # empty Disallow = allow all
+                            continue
+                        for a in agents:
+                            group_rules.append((a, field, val))
+                    elif field == "crawl-delay":
+                        in_rules = True
+                        try:
+                            for a in agents:
+                                delay[a] = float(val)
+                        except ValueError:
+                            pass
+                for a, ftype, val in group_rules:
+                    rows[domain_col].append(dom)
+                    rows["agent"].append(a)
+                    rows["rule_type"].append(ftype)
+                    rows["pattern"].append(val)
+                    rows["regex"].append(_compile(val))
+                    rows["specificity"].append(len(val))
+                    rows["crawl_delay"].append(delay.get(a))
+            yield pd.DataFrame(rows)
+
+    return robots.mapInPandas(_parse, schema=schema)
+
+
+def robots_decisions(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str = "pdc-bot",
+    domain_col: str = "domain",
+    path_col: str = "path",
+) -> DataFrame:
+    """Per-URL crawl decision against a parsed rule table (RFC 9309
+    evaluation): among the matching group's rules whose pattern matches
+    the path, the MOST SPECIFIC (longest pattern) wins; on a tie, ALLOW
+    wins; no matching rule (or no rules for the domain) = allowed.
+    Group selection: the crawler's own product token if that group
+    exists for the domain, else ``*``.
+
+    Scale: one broadcast-or-shuffle equi-join on ``domain`` (the rule
+    table is a dimension — domains × a handful of rules), JVM
+    ``rlike`` with the precompiled per-rule regex (no Python in the
+    match), then ONE max_by per URL for the longest-match tiebreak.
+    Nothing all-pairs: a URL only ever meets its own domain's rules."""
+    my = rules.filter(F.col("agent").isin(agent.lower(), "*"))
+    # group selection: exact-token group if present for the domain
+    has_exact = (
+        my.filter(F.col("agent") == agent.lower())
+        .select(domain_col).distinct()
+        .withColumn("__exact", F.lit(True))
+    )
+    chosen = (
+        my.join(has_exact, domain_col, "left")
+        .filter(
+            (F.col("agent") == agent.lower())
+            | F.col("__exact").isNull()
+        )
+        .drop("__exact")
+    )
+    matched = (
+        urls.join(chosen, domain_col, "left")
+        .withColumn(
+            "__hit",
+            F.col("regex").isNotNull()
+            & F.expr(f"{path_col} rlike regex"),
+        )
+    )
+    per = (
+        matched.groupBy(domain_col, path_col)
+        .agg(
+            F.max_by(
+                F.struct(
+                    (F.col("rule_type") == "allow").alias("is_allow"),
+                    F.col("pattern").alias("pattern"),
+                ),
+                F.when(
+                    F.col("__hit"),
+                    F.struct(
+                        F.col("specificity").alias("s"),
+                        (F.col("rule_type") == "allow").cast("int")
+                        .alias("a"),
+                    ),
+                ),
+            ).alias("__win"),
+            F.max(F.when(F.col("__hit"), F.lit(1))).alias("__any"),
+            F.max("crawl_delay").alias("crawl_delay"),
+        )
+    )
+    return per.select(
+        domain_col,
+        path_col,
+        F.when(F.col("__any").isNull(), F.lit(True))
+        .otherwise(F.col("__win.is_allow")).alias("allowed"),
+        F.when(F.col("__any").isNotNull(), F.col("__win.pattern"))
+        .alias("matched_rule"),
+        F.col("crawl_delay"),
+    )

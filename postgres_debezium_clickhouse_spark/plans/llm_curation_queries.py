@@ -304,7 +304,64 @@ def q_corpus_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fim_transform(load_table(spark, sf_dir, "documents"))
 
 
+def q_corpus_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r16 — robots.txt crawl policy (RFC 9309, public:
+    operators/curation.parse_robots + robots_decisions): per-domain
+    robots files parsed into a rule dimension table (user-agent groups,
+    Allow/Disallow with wildcard/anchor patterns compiled to regexes,
+    Crawl-delay), then every URL decided by the RFC evaluation —
+    longest-match wins, ALLOW wins ties, unmatched = allowed, the
+    crawler's own group over ``*`` when present.  The fixture plants
+    every branch: an Allow overriding a shorter Disallow, a
+    ``/tmp*.log$`` wildcard+anchor rule, an equal-length allow/disallow
+    tie, a ``*``-group-only rule that must NOT apply when the exact
+    group exists, domains missing the exact group (fallback to ``*``),
+    an irrelevant ``evil-bot`` group, comments and an empty Disallow.
+    The DuckDB oracle restates every decision closed-form from doc_id —
+    it never re-runs the matcher."""
+    from ..operators.curation import parse_robots, robots_decisions
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    dom = F.concat(F.lit("dom"), d % 10)
+    path = F.concat(
+        F.element_at(
+            F.array(
+                F.lit("/private/ok/page"), F.lit("/private/page"),
+                F.lit("/tmp"), F.lit("/blocked/page"),
+                F.lit("/public/page"), F.lit("/dup"),
+            ),
+            (d % 6 + 1).cast("int"),
+        ),
+        d,
+        F.when(d % 6 == 2, ".log").otherwise(""),
+    )
+    urls = docs.select(dom.alias("domain"), path.alias("path"))
+    k = F.col("k")
+    pdc_group = F.concat(
+        F.lit("User-agent: pdc-bot\nAllow: /private/ok\n"
+              "Disallow: /private\nDisallow: /tmp*.log$\n"
+              "Allow: /dup\nDisallow: /dup\nDisallow:\nCrawl-delay: "),
+        k % 5, F.lit("\n\n"),
+    )
+    robots_txt = F.concat(
+        F.lit("# fixture robots\nUser-agent: evil-bot\nDisallow: /\n\n"),
+        F.when(k % 3 != 0, pdc_group).otherwise(F.lit("")),
+        F.lit("User-agent: *\nDisallow: /blocked\n"),
+    )
+    robots = (
+        spark.range(10).select(F.col("id").alias("k"))
+        .select(
+            F.concat(F.lit("dom"), k).alias("domain"),
+            robots_txt.alias("robots_txt"),
+        )
+    )
+    rules = parse_robots(robots)
+    return robots_decisions(urls, rules, agent="pdc-bot")
+
+
 QUERIES = {
+    "corpus_robots_policy": q_corpus_robots_policy,
     "corpus_fim_transform": q_corpus_fim_transform,
     "corpus_dsir_weights": q_corpus_dsir_weights,
     "corpus_split": q_corpus_split,
@@ -775,3 +832,31 @@ ORACLES = {
 # splice the shared content-defined-chunk CTE chain (one definition
 # in llm_common so the two chunk oracles can never desynchronize)
 ORACLES["chunk_content_defined"] = ORACLES["chunk_content_defined"].replace("{CDC_CHUNK_CTES}", _CDC_CHUNK_CTES)
+
+ORACLES["corpus_robots_policy"] = """
+    WITH p AS (
+        SELECT doc_id,
+               CAST(doc_id % 6 AS INT) AS cls,
+               (doc_id % 10) % 3 = 0 AS star_dom,
+               CAST(doc_id % 10 AS INT) AS k
+        FROM documents
+    )
+    SELECT 'dom' || k AS domain,
+           CASE cls WHEN 0 THEN '/private/ok/page' || doc_id
+                    WHEN 1 THEN '/private/page' || doc_id
+                    WHEN 2 THEN '/tmp' || doc_id || '.log'
+                    WHEN 3 THEN '/blocked/page' || doc_id
+                    WHEN 4 THEN '/public/page' || doc_id
+                    ELSE '/dup' || doc_id END AS path,
+           CASE WHEN star_dom THEN cls <> 3
+                ELSE cls NOT IN (1, 2) END AS allowed,
+           CASE WHEN star_dom AND cls = 3 THEN '/blocked'
+                WHEN NOT star_dom AND cls = 0 THEN '/private/ok'
+                WHEN NOT star_dom AND cls = 1 THEN '/private'
+                WHEN NOT star_dom AND cls = 2 THEN '/tmp*.log$'
+                WHEN NOT star_dom AND cls = 5 THEN '/dup'
+           END AS matched_rule,
+           CASE WHEN NOT star_dom
+                THEN CAST(k % 5 AS DOUBLE) END AS crawl_delay
+    FROM p
+"""

@@ -880,3 +880,56 @@ def test_unimax_epochs_micro_no_overflow(spark):
     for r in out.values():
         assert r.epochs_micro == r.alloc_chars * 1_000_000 // r.size_chars
         assert 0 <= r.epochs_micro <= 2_000_000  # ≤ cap epochs
+
+
+def test_robots_rfc9309_semantics(spark):
+    """r16: robots.txt evaluation — longest-match wins, allow wins
+    equal-length ties, unmatched paths allowed, wildcard/$ patterns,
+    exact-agent group preferred over * (and * rules NOT mixed in),
+    empty Disallow ignored, rules before any User-agent ignored."""
+    from postgres_debezium_clickhouse_spark.operators.curation import (
+        parse_robots,
+        robots_decisions,
+    )
+
+    txt = (
+        "Disallow: /orphan\n"            # before any UA: ignored
+        "# comment\n"
+        "User-agent: evil-bot\nDisallow: /\n\n"
+        "User-agent: pdc-bot\n"
+        "Allow: /a/b\nDisallow: /a\n"
+        "Disallow: /w*z$\n"
+        "Allow: /tie\nDisallow: /tie\n"
+        "Disallow:\n"
+        "Crawl-delay: 2.5\n\n"
+        "User-agent: *\nDisallow: /star\n"
+    )
+    robots = spark.createDataFrame([("d1", txt), ("d2", "User-agent: *\nDisallow: /star\n")],
+                                   "domain string, robots_txt string")
+    rules = parse_robots(robots)
+    # exact group for d1 has 5 rules (empty Disallow dropped); * has 1
+    got = {(r.domain, r.agent, r.rule_type, r.pattern, r.crawl_delay)
+           for r in rules.collect()}
+    assert ("d1", "pdc-bot", "allow", "/a/b", 2.5) in got
+    assert ("d1", "*", "disallow", "/star", None) in got
+    assert not any(p == "/orphan" for (_, _, _, p, _) in got)
+    urls = spark.createDataFrame(
+        [("d1", "/a/b/c"), ("d1", "/a/x"), ("d1", "/wYYz"), ("d1", "/wYYzq"),
+         ("d1", "/tie123"), ("d1", "/star/x"), ("d1", "/free"),
+         ("d2", "/star/x"), ("d2", "/a/x")],
+        "domain string, path string",
+    )
+    out = {(r.domain, r.path): r for r in
+           robots_decisions(urls, rules, agent="pdc-bot").collect()}
+    assert out[("d1", "/a/b/c")].allowed          # longer allow wins
+    assert out[("d1", "/a/b/c")].matched_rule == "/a/b"
+    assert not out[("d1", "/a/x")].allowed        # disallow /a
+    assert not out[("d1", "/wYYz")].allowed       # wildcard + $ anchor
+    assert out[("d1", "/wYYzq")].allowed          # $ anchor: no match
+    assert out[("d1", "/tie123")].allowed         # equal length: allow wins
+    assert out[("d1", "/star/x")].allowed         # * rule not mixed in
+    assert out[("d1", "/free")].allowed and out[("d1", "/free")].matched_rule is None
+    assert not out[("d2", "/star/x")].allowed     # fallback to * group
+    assert out[("d2", "/a/x")].allowed
+    assert out[("d1", "/a/x")].crawl_delay == 2.5
+    assert out[("d2", "/star/x")].crawl_delay is None
