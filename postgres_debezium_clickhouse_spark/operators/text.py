@@ -1885,7 +1885,12 @@ def lm_5gram_kneser_ney(
     continuation tables stay SHUFFLE joins (tuple cardinality); the
     (w₄)-keyed and (w₅)-keyed tables are vocab-bounded broadcasts and
     N_types₂ is a 1-row broadcast — scoring is five key-joins over the
-    eval 5-grams, nothing all-pairs, no window."""
+    eval 5-grams, nothing all-pairs, no window.  The derived tables all
+    re-aggregate from the declarative t5 expression (the family keeps
+    plans pure — no persist, so the driver gate never holds executor
+    memory between queries); a production order-5 trainer would
+    ``persist()`` the 5-gram count table once before fanning out the
+    level aggregations — one line, same plan below it."""
     if train_docs is None:
         train_docs = documents
     words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
