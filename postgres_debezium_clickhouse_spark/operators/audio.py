@@ -817,6 +817,7 @@ def mp3_meta_walk(blob: bytes) -> dict:
     kbps_seen: set[int] = set()
     sr = mode = version_bits = None
     xing_frames = None
+    xing_is_vbr = False
     samples_per_frame = 0
     while pos < len(blob):
         if pos + 4 > len(blob):
@@ -858,6 +859,10 @@ def mp3_meta_walk(blob: bytes) -> dict:
                     xing_frames = int.from_bytes(
                         blob[xoff + 8:xoff + 12], "big"
                     )
+                # LAME semantics (r16 review): 'Xing' marks VBR; 'Info'
+                # is the SAME structure written for CBR streams — it
+                # carries the frame count but must not flip the mode
+                xing_is_vbr = magic == b"Xing"
         elif rate != sr or vbits != version_bits:
             raise ValueError("MP3 sample rate changed mid-stream")
         kbps_seen.add(kbps)
@@ -871,8 +876,8 @@ def mp3_meta_walk(blob: bytes) -> dict:
         "sample_rate": sr,
         "mode": _MP3_MODES[mode],
         "n_frames": n_frames,
-        "bitrate_mode": "VBR" if (xing_frames is not None
-                                  or len(kbps_seen) > 1) else "CBR",
+        "bitrate_mode": "VBR" if (xing_is_vbr or len(kbps_seen) > 1)
+                        else "CBR",
         "kbps_min": min(kbps_seen),
         "kbps_max": max(kbps_seen),
         "duration_ms": n_frames * samples_per_frame * 1000 // sr,

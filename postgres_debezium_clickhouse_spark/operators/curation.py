@@ -656,17 +656,17 @@ def unimax_mix_weights(
         "size_chars",
         "capped",
         "alloc_chars",
-        # Reduce the fraction before multiplying: the naive
-        # alloc_chars * 1000000 wraps int64 once a language's allocation
-        # exceeds ~9.2e12 chars (~9 TB) — well inside the 100 TB design
-        # envelope (r15 ADVICE).  (q*1e6 + r*1e6 div d) == (a*1e6 div d)
-        # exactly, with every intermediate bounded by size_chars * 1e6.
+        # The naive alloc_chars * 1000000 wraps int64 once a language's
+        # allocation exceeds ~9.2e12 chars (~9 TB) — inside the 100 TB
+        # design envelope (r15 ADVICE; the r16 review killed the
+        # fraction-reduced int64 form too: its remainder*1e6 term wraps
+        # just the same for big uncapped languages).  DECIMAL(38,0)
+        # carries the product exactly (≤ ~1e25 ≪ 1e38); the quotient is
+        # ≤ cap·1e6, so the final long cast is always safe.
         F.expr(
-            "(alloc_chars div size_chars) * 1000000"
-            " + ((alloc_chars % size_chars) * 1000000 div size_chars)"
-        )
-        .cast("long")
-        .alias("epochs_micro"),
+            "cast(cast(alloc_chars as decimal(38,0)) * 1000000"
+            " div size_chars as long)"
+        ).alias("epochs_micro"),
     )
 
 
@@ -1222,8 +1222,13 @@ def parse_robots(
     is carried per group (the de-facto extension every crawler reads).
     Each rule also gets the RFC's wildcard pattern compiled to an
     anchored regex (``*`` → ``.*``, trailing ``$`` → end anchor,
-    everything else literal) and its SPECIFICITY (octet length of the
-    pattern — the RFC's longest-match tiebreak key).
+    everything else literal) and its SPECIFICITY (OCTET length of the
+    pattern — the RFC's longest-match tiebreak key, utf-8 bytes, not
+    characters).  Every group additionally emits one ``group`` MARKER
+    row (NULL pattern/regex) so a rule-less group — e.g. Crawl-delay
+    only, or an explicit allow-everything group — still exists for
+    group SELECTION downstream (r16 review: without it, a crawler with
+    its own empty group wrongly fell through to ``*``).
 
     Parsing is per-file sequential state (groups), so it runs in ONE
     ``mapInPandas`` pass — robots files are KB-sized; the output rule
@@ -1258,6 +1263,7 @@ def parse_robots(
                 in_rules = False
                 delay: dict[str, float] = {}
                 group_rules: list[tuple] = []
+                seen_agents: list[str] = []
                 for raw in (txt or "").splitlines():
                     line = raw.split("#", 1)[0].strip()
                     if not line or ":" not in line:
@@ -1268,6 +1274,8 @@ def parse_robots(
                         if in_rules:          # new group starts
                             agents, in_rules = [], False
                         agents.append(val.lower())
+                        if val.lower() not in seen_agents:
+                            seen_agents.append(val.lower())
                     elif field in ("allow", "disallow"):
                         in_rules = True
                         if not agents:
@@ -1283,13 +1291,21 @@ def parse_robots(
                                 delay[a] = float(val)
                         except ValueError:
                             pass
+                for a in seen_agents:         # group markers (see above)
+                    rows[domain_col].append(dom)
+                    rows["agent"].append(a)
+                    rows["rule_type"].append("group")
+                    rows["pattern"].append(None)
+                    rows["regex"].append(None)
+                    rows["specificity"].append(0)
+                    rows["crawl_delay"].append(delay.get(a))
                 for a, ftype, val in group_rules:
                     rows[domain_col].append(dom)
                     rows["agent"].append(a)
                     rows["rule_type"].append(ftype)
                     rows["pattern"].append(val)
                     rows["regex"].append(_compile(val))
-                    rows["specificity"].append(len(val))
+                    rows["specificity"].append(len(val.encode("utf-8")))
                     rows["crawl_delay"].append(delay.get(a))
             yield pd.DataFrame(rows)
 

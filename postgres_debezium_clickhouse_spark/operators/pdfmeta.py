@@ -192,6 +192,11 @@ def _parse_xref_table(b: bytes, p: int):
                 raise ValueError("bad PDF xref entry")
             if m2.group(3) == b"n":
                 entries.setdefault(start + i, ("r", int(m2.group(1))))
+            else:
+                # freed entries in NEWER sections must shadow older
+                # in-use ones (ISO 32000 newest-wins) — record a
+                # tombstone so the /Prev chain can't resurrect them
+                entries.setdefault(start + i, ("f",))
             p += 20
             # tolerate 19-byte (LF-only) entries
             if p <= len(b) and p >= 1 and b[p - 1:p] not in (
@@ -328,7 +333,9 @@ def _parse_xref_stream(b: bytes, p: int):
                 entries.setdefault(num, ("r", f2))
             elif t == 2:
                 entries.setdefault(num, ("o", f2, f3))
-            # type 0 (free) and unknown types: skipped per spec
+            elif t == 0:
+                entries.setdefault(num, ("f",))   # tombstone (see above)
+            # unknown types: skipped per spec
     return entries, d                   # the stream dict IS the trailer
 
 
@@ -420,7 +427,7 @@ def _pdf_meta_walk_impl(blob: bytes) -> dict:
                 raise ValueError("PDF reference chain too deep")
             depth += 1
             ent = entries.get(v.num)
-            if ent is None:
+            if ent is None or ent[0] == "f":
                 return None
             if ent[0] == "r":
                 v = _load_object(blob, ent[1], v.num)

@@ -565,8 +565,7 @@ ORACLES = {
         )
         SELECT lang, n_docs, size_chars, capped,
                CAST(alloc_chars AS BIGINT) AS alloc_chars,
-               CAST((alloc_chars // size_chars) * 1000000
-                    + ((alloc_chars % size_chars) * 1000000 // size_chars)
+               CAST(CAST(alloc_chars AS HUGEINT) * 1000000 // size_chars
                     AS BIGINT) AS epochs_micro
         FROM a
     """,

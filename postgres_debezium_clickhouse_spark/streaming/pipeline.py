@@ -830,8 +830,6 @@ def silver_txn_multi_upsert_stream(
     released frame."""
     from ..operators.upsert import apply_cdc
 
-    txn_cols = [txn_id_col, txn_order_col, txn_total_col]
-
     import hashlib as _hashlib
 
     ckpt_key = _hashlib.md5(checkpoint.encode()).hexdigest()[:12]
@@ -884,6 +882,16 @@ def silver_txn_multi_upsert_stream(
                 )
                 released.persist()
                 try:
+                    unknown = released.filter(
+                        ~F.col(table_col).isin(*stores.keys())
+                    ).select(table_col).take(1)
+                    if unknown:
+                        raise ValueError(
+                            "silver_txn_multi_upsert_stream: released row "
+                            f"for collection {unknown[0][0]!r} has no "
+                            "configured store — add it to `stores` (silent "
+                            "drop would break the all-or-none contract)"
+                        )
                     for tname in sorted(stores):
                         cfg = stores[tname]
                         keys = cfg["keys"]

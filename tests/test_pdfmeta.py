@@ -100,3 +100,27 @@ def test_xref_stream_and_object_stream():
             pdf_meta_walk(b[:cut])
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_freed_entry_shadows_older_section():
+    """r16 review: an incremental update that FREES an object must not
+    let the /Prev chain resurrect the older in-use entry (newest-wins
+    includes 'f' entries)."""
+    b = pdf_encode_meta_fixture(2, "t", "a")
+    # append an update freeing the /Info object (num = 2 pages + 3)
+    info_num = 2 + 3
+    import re as _re
+
+    first_xref = int(_re.search(rb"startxref\n(\d+)", b).group(1))
+    upd = bytearray(b)
+    x2 = len(upd)
+    upd.extend(f"xref\n{info_num} 1\n".encode())
+    upd.extend(b"0000000000 65535 f \n")
+    upd.extend(
+        f"trailer\n<< /Size {info_num + 1} /Root 1 0 R "
+        f"/Info {info_num} 0 R /Prev {first_xref} >>\n"
+        f"startxref\n{x2}\n%%EOF\n".encode()
+    )
+    m = pdf_meta_walk(bytes(upd))
+    assert m["title"] is None and m["author"] is None  # not resurrected
+    assert m["page_count"] == 2

@@ -340,3 +340,20 @@ def test_multi_store_batch_replay_idempotent(spark, dirs):
     )
     assert before_o == after_o == [(5, "x")]
     assert _store_keys(spark, st["lineitem"]["path"], "lk") == {50}
+
+
+def test_multi_store_unknown_collection_is_loud(spark, dirs):
+    """r16 review: a released row whose table has no configured store
+    must FAIL the trigger, not vanish from pending silently."""
+    rows = [("ghost", "c", None, None, 77, 1, 1, "G", 1, 1)]
+    spark.createDataFrame(rows, MULTI_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).json(dirs["src"] + "/g0")
+    stream = spark.readStream.schema(MULTI_SCHEMA).json(dirs["src"] + "/g0")
+    q = pl.silver_txn_multi_upsert_stream(
+        stream, _multi_stores(dirs), dirs["ckpt"] + "/g0",
+        pending_path=dirs["silver"] + "_txn_pending",
+        available_now=True, n_buckets=4,
+    )
+    with pytest.raises(Exception, match="no.*configured store|ghost"):
+        q.awaitTermination(120)
