@@ -1384,3 +1384,56 @@ def robots_decisions(
         .alias("matched_rule"),
         F.col("crawl_delay"),
     )
+
+
+def robots_sitemaps(
+    robots: DataFrame,
+    domain_col: str = "domain",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """``Sitemap:`` lines from robots.txt (RFC 9309 §2.3 / sitemaps.org:
+    the field is GLOBAL, outside any user-agent group, repeatable).
+    Pure JVM regexp — one extract_all + explode, no Python."""
+    return robots.select(
+        F.col(domain_col),
+        F.explode(
+            F.expr(
+                f"regexp_extract_all({text_col},"
+                " '(?i)sitemap:\\\\s*(\\\\S+)', 1)"
+            )
+        ).alias("sitemap_url"),
+    )
+
+
+def parse_sitemaps(
+    sitemaps: DataFrame,
+    domain_col: str = "domain",
+    xml_col: str = "sitemap_xml",
+) -> DataFrame:
+    """sitemaps.org XML → one row per entry: handles BOTH document
+    kinds — ``<urlset>`` (leaf page lists) and ``<sitemapindex>``
+    (pointers to child sitemaps) — with the optional ``<lastmod>``
+    NULL when absent.  Entirely JVM expressions: entries are isolated
+    with one DOTALL ``regexp_extract_all`` (so a missing lastmod can
+    never misalign across entries, the failure mode of zipping two
+    whole-document xpath arrays), then each fragment is re-wrapped and
+    field-extracted with the built-in ``xpath_string`` — no Python,
+    whole-stage codegen around the xpath calls."""
+    kind = F.when(
+        F.col(xml_col).contains("<sitemapindex"), F.lit("index")
+    ).otherwise(F.lit("urlset"))
+    frags = F.expr(
+        f"regexp_extract_all({xml_col},"
+        " '(?s)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>', 1)"
+    )
+    exploded = sitemaps.select(
+        F.col(domain_col), kind.alias("kind"), F.explode(frags).alias("__f")
+    ).withColumn("__x", F.concat(F.lit("<e>"), F.col("__f"), F.lit("</e>")))
+    return exploded.select(
+        domain_col,
+        "kind",
+        F.expr("xpath_string(__x, '//loc/text()')").alias("loc"),
+        F.nullif(
+            F.expr("xpath_string(__x, '//lastmod/text()')"), F.lit("")
+        ).alias("lastmod"),
+    )

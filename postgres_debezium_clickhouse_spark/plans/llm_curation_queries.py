@@ -360,8 +360,64 @@ def q_corpus_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_decisions(urls, rules, agent="pdc-bot")
 
 
+def q_corpus_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r16 — sitemap discovery (sitemaps.org + RFC 9309 §Sitemap:
+    operators/curation.robots_sitemaps + parse_sitemaps): the crawl
+    FRONTIER side of the robots policy — ``Sitemap:`` lines lifted from
+    robots.txt (global field, case-insensitive, repeatable) unioned
+    with the parsed sitemap XML itself, BOTH document kinds (urlset
+    leaves with optional per-url lastmod; sitemapindex pointers).
+    Everything JVM-side: regexp_extract_all isolates entries (DOTALL,
+    so optional lastmod can never misalign), xpath_string extracts
+    fields.  Per-doc closed-form fixture; the oracle restates every
+    row — including which entries carry lastmod — without xpath."""
+    from ..operators.curation import parse_sitemaps, robots_sitemaps
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    dom = F.concat(F.lit("dom"), d)
+    robots_txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /x\nSitemap: https://"),
+        dom, F.lit("/sm.xml\n"),
+        F.when(
+            d % 2 == 0,
+            F.concat(F.lit("sitemap: https://"), dom, F.lit("/sm2.xml\n")),
+        ).otherwise(F.lit("")),
+    )
+    urlset = F.concat(
+        F.lit("<urlset>"),
+        F.expr(
+            "array_join(transform(sequence(0, cast(doc_id % 4 as int)),"
+            " j -> concat('<url><loc>https://dom', doc_id, '/u', j,"
+            " '</loc>', if(j % 2 = 0,"
+            " concat('<lastmod>2026-01-0', j + 1, '</lastmod>'), ''),"
+            " '</url>')), '')"
+        ),
+        F.lit("</urlset>"),
+    )
+    index = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>https://"), dom,
+        F.lit("/child1.xml</loc></sitemap><sitemap><loc>https://"), dom,
+        F.lit("/child2.xml</loc><lastmod>2026-02-0"),
+        (d % 9 + 1),
+        F.lit("</lastmod></sitemap></sitemapindex>"),
+    )
+    site = docs.select(
+        dom.alias("domain"),
+        robots_txt.alias("robots_txt"),
+        F.when(d % 3 == 0, index).otherwise(urlset).alias("sitemap_xml"),
+    )
+    from_robots = robots_sitemaps(site).select(
+        "domain", F.lit("robots").alias("kind"),
+        F.col("sitemap_url").alias("loc"),
+        F.lit(None).cast("string").alias("lastmod"),
+    )
+    return from_robots.unionByName(parse_sitemaps(site))
+
+
 QUERIES = {
     "corpus_robots_policy": q_corpus_robots_policy,
+    "corpus_sitemap_discovery": q_corpus_sitemap_discovery,
     "corpus_fim_transform": q_corpus_fim_transform,
     "corpus_dsir_weights": q_corpus_dsir_weights,
     "corpus_split": q_corpus_split,
@@ -858,4 +914,29 @@ ORACLES["corpus_robots_policy"] = """
            CASE WHEN NOT star_dom
                 THEN CAST(k % 5 AS DOUBLE) END AS crawl_delay
     FROM p
+"""
+
+ORACLES["corpus_sitemap_discovery"] = """
+    WITH d AS (SELECT doc_id, 'dom' || doc_id AS domain FROM documents)
+    SELECT domain, 'robots' AS kind,
+           'https://' || domain || '/sm.xml' AS loc,
+           CAST(NULL AS VARCHAR) AS lastmod
+    FROM d
+    UNION ALL
+    SELECT domain, 'robots', 'https://' || domain || '/sm2.xml', NULL
+    FROM d WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT domain, 'urlset',
+           'https://' || domain || '/u' || j.j,
+           CASE WHEN j.j % 2 = 0 THEN '2026-01-0' || (j.j + 1) END
+    FROM d CROSS JOIN LATERAL (
+        SELECT unnest(range(0, CAST(doc_id % 4 AS INT) + 1))) j(j)
+    WHERE doc_id % 3 <> 0
+    UNION ALL
+    SELECT domain, 'index', 'https://' || domain || '/child1.xml', NULL
+    FROM d WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT domain, 'index', 'https://' || domain || '/child2.xml',
+           '2026-02-0' || (doc_id % 9 + 1)
+    FROM d WHERE doc_id % 3 = 0
 """

@@ -991,3 +991,37 @@ def test_robots_ruleless_group_and_octet_specificity(spark):
     ).collect()[0]
     # Disallow /caféX = 7 octets > Allow /café = 6 octets -> blocked
     assert not r3.allowed and r3.matched_rule == "/caféX"
+
+
+def test_sitemap_parse_and_robots_lines(spark):
+    """r16: sitemaps.org XML — urlset vs sitemapindex kinds, optional
+    lastmod never misaligns across entries; Sitemap: lines lifted from
+    robots.txt case-insensitively, outside any group."""
+    from postgres_debezium_clickhouse_spark.operators.curation import (
+        parse_sitemaps,
+        robots_sitemaps,
+    )
+
+    xml = ("<?xml version='1.0'?>\n<urlset>\n"
+           "<url><loc>https://a/x</loc><lastmod>2026-01-02</lastmod></url>\n"
+           "<url><loc>https://a/y</loc></url>\n"
+           "<url><loc>https://a/z</loc><lastmod>2026-01-05</lastmod></url>\n"
+           "</urlset>")
+    idx = ("<sitemapindex><sitemap><loc>https://b/s1.xml</loc></sitemap>"
+           "</sitemapindex>")
+    df = spark.createDataFrame([("a", xml), ("b", idx)],
+                               "domain string, sitemap_xml string")
+    rows = {(r.domain, r.loc): r for r in parse_sitemaps(df).collect()}
+    assert rows[("a", "https://a/x")].lastmod == "2026-01-02"
+    assert rows[("a", "https://a/y")].lastmod is None   # no misalignment
+    assert rows[("a", "https://a/z")].lastmod == "2026-01-05"
+    assert rows[("b", "https://b/s1.xml")].kind == "index"
+    assert all(r.kind == "urlset" for k, r in rows.items() if k[0] == "a")
+    rb = spark.createDataFrame(
+        [("a", "User-agent: *\nDisallow: /\nSitemap: https://a/s.xml\n"
+               "SITEMAP:   https://a/t.xml\n")],
+        "domain string, robots_txt string",
+    )
+    assert {r.sitemap_url for r in robots_sitemaps(rb).collect()} == {
+        "https://a/s.xml", "https://a/t.xml",
+    }
