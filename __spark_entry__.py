@@ -51,6 +51,7 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 _FRONT = (
     # round-16 additions (never driver-checked), newest first, inserted
     # here as they land.
+    "multimodal_office_meta",        # r16: ZIP/OPC/EPUB walk
     "corpus_sitemap_discovery",      # r16: sitemap/frontier parse
     "corpus_robots_policy",          # r16: RFC 9309 crawl policy
     "multimodal_pdf_meta",           # r16: classic-xref PDF walk

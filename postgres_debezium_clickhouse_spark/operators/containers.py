@@ -1,0 +1,242 @@
+"""ZIP container walk + Office/EPUB document metadata, pure stdlib
+(r16) — the office-document slice of crawl data (docx/xlsx/pptx are
+OPC zips, epub is a zip with a ``mimetype`` member), triaged without a
+document renderer.
+
+``zip_walk`` implements the public PKWARE APPNOTE structures: locate
+the End-Of-Central-Directory record (scan of the last 64 KB —
+comments), walk the central directory (method/sizes/CRC/name per
+entry), and read individual members through their local headers
+(stored + deflate via zlib; the CD sizes are authoritative — local
+headers may carry zeros with a data descriptor).  ``office_meta``
+classifies the container (docx/xlsx/pptx by their OPC part names, epub
+by the stored ``mimetype`` member, plain zip otherwise) and extracts
+Dublin-Core ``docProps/core.xml`` title/creator with a namespace-
+tolerant regex (the XML is machine-generated OPC; no full XML parser
+needed for two leaf elements).
+
+Honest scope: ZIP64, encrypted members, and compression methods other
+than stored/deflate raise ``NotImplementedError`` (dead-letter class);
+multi-disk archives raise ``ValueError``.  Corrupt structure raises
+``ValueError`` (exception-normalized like every media walk).
+
+Scale: per-blob byte-bounded walk in ``mapInPandas`` — no shuffle; the
+fixture ENCODER is the stdlib ``zipfile`` module itself (fixed
+timestamps), so the decoder is checked against an independent public
+writer, not a self round-trip.
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_EOCD = b"PK\x05\x06"
+_CDH = b"PK\x01\x02"
+_LFH = b"PK\x03\x04"
+
+
+def zip_walk(blob: bytes) -> dict:
+    """{n_members, members: [{name, method, usize, csize, crc}]} from
+    the central directory (the authoritative index — appended junk or
+    data descriptors never confuse it)."""
+    try:
+        return _zip_walk_impl(blob)
+    except (ValueError, NotImplementedError):
+        raise
+    except (IndexError, KeyError, struct.error, OverflowError,
+            UnicodeDecodeError) as e:
+        raise ValueError(f"corrupt ZIP ({type(e).__name__})") from e
+
+
+def _zip_walk_impl(blob: bytes) -> dict:
+    tail_start = max(0, len(blob) - 65557)
+    eocd_rel = blob.rfind(_EOCD, tail_start)
+    if eocd_rel < 0:
+        raise ValueError("not a ZIP (no end-of-central-directory)")
+    e = blob[eocd_rel:eocd_rel + 22]
+    if len(e) < 22:
+        raise ValueError("truncated ZIP EOCD")
+    (disk, cd_disk, n_disk, n_total,
+     cd_size, cd_off, _clen) = struct.unpack("<HHHHIIH", e[4:22])
+    if disk != 0 or cd_disk != 0 or n_disk != n_total:
+        raise ValueError("multi-disk ZIP archives not supported")
+    if n_total == 0xFFFF or cd_off == 0xFFFFFFFF:
+        raise NotImplementedError("ZIP64 archive")
+    members = []
+    p = cd_off
+    for _ in range(n_total):
+        if blob[p:p + 4] != _CDH:
+            raise ValueError("bad ZIP central-directory entry")
+        (flags, method, _t, _d, crc, csize, usize,
+         nlen, xlen, clen) = struct.unpack("<HHHHIIIHHH", blob[p + 8:p + 34])
+        loc_off = struct.unpack("<I", blob[p + 42:p + 46])[0]
+        name = blob[p + 46:p + 46 + nlen].decode(
+            "utf-8" if flags & 0x800 else "cp437"
+        )
+        if flags & 0x0001:
+            raise NotImplementedError("encrypted ZIP member")
+        members.append({
+            "name": name, "method": method, "usize": usize,
+            "csize": csize, "crc": crc, "_off": loc_off,
+        })
+        p += 46 + nlen + xlen + clen
+    return {"n_members": n_total, "members": members}
+
+
+def zip_read_member(blob: bytes, member: dict) -> bytes:
+    """One member's bytes via its local header (CD sizes authoritative;
+    CRC verified — a silent bad inflate never escapes)."""
+    off = member["_off"]
+    if blob[off:off + 4] != _LFH:
+        raise ValueError("bad ZIP local header")
+    nlen, xlen = struct.unpack("<HH", blob[off + 26:off + 30])
+    start = off + 30 + nlen + xlen
+    raw = blob[start:start + member["csize"]]
+    if len(raw) != member["csize"]:
+        raise ValueError("truncated ZIP member data")
+    if member["method"] == 0:
+        data = raw
+    elif member["method"] == 8:
+        try:
+            data = zlib.decompress(raw, -15)
+        except zlib.error as exc:
+            raise ValueError(f"bad ZIP deflate member: {exc}") from exc
+    else:
+        raise NotImplementedError(f"ZIP compression method {member['method']}")
+    if len(data) != member["usize"] or (zlib.crc32(data) & 0xFFFFFFFF) != member["crc"]:
+        raise ValueError("ZIP member size/CRC mismatch")
+    return data
+
+
+_DC_TITLE = re.compile(rb"<dc:title[^>]*>(.*?)</dc:title>", re.S)
+_DC_CREATOR = re.compile(rb"<dc:creator[^>]*>(.*?)</dc:creator>", re.S)
+
+
+def office_meta(blob: bytes) -> dict:
+    """Container classification + Dublin-Core properties:
+    kind ∈ {docx, xlsx, pptx, epub, zip} by OPC part names / the stored
+    epub ``mimetype`` member; title/creator from ``docProps/core.xml``
+    when present."""
+    walk = zip_walk(blob)
+    names = {m["name"]: m for m in walk["members"]}
+    kind = "zip"
+    if "mimetype" in names:
+        mt = zip_read_member(blob, names["mimetype"])
+        if mt.strip() == b"application/epub+zip":
+            kind = "epub"
+    if "[Content_Types].xml" in names:
+        if "word/document.xml" in names:
+            kind = "docx"
+        elif "xl/workbook.xml" in names:
+            kind = "xlsx"
+        elif "ppt/presentation.xml" in names:
+            kind = "pptx"
+    title = creator = None
+    if "docProps/core.xml" in names:
+        core = zip_read_member(blob, names["docProps/core.xml"])
+        mt = _DC_TITLE.search(core)
+        mc = _DC_CREATOR.search(core)
+        title = mt.group(1).decode("utf-8", "replace") if mt else None
+        creator = mc.group(1).decode("utf-8", "replace") if mc else None
+    return {
+        "format": kind,
+        "n_members": walk["n_members"],
+        "members": walk["members"],
+        "title": title,
+        "creator": creator,
+    }
+
+
+OFFICE_META_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("n_members", T.IntegerType()),
+    T.StructField("payload_bytes", T.LongType()),
+    T.StructField("title", T.StringType()),
+    T.StructField("creator", T.StringType()),
+])
+
+
+def office_metadata(media_df: DataFrame, id_col: str = "doc_id",
+                    media_col: str = "media") -> DataFrame:
+    """``office_meta`` over a binary column via ``mapInPandas`` — one
+    typed row per container (``payload_bytes`` = Σ uncompressed size of
+    the ``f*.txt`` payload members, CRC-verified)."""
+
+    def _walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {f.name: [] for f in OFFICE_META_SCHEMA.fields}
+            for doc_id, blob in zip(pdf[id_col], pdf[media_col]):
+                m = office_meta(bytes(blob))
+                payload = sum(
+                    e["usize"] for e in m["members"]
+                    if e["name"].startswith("f") and e["name"].endswith(".txt")
+                )
+                rows["doc_id"].append(int(doc_id))
+                rows["kind"].append(m["format"])
+                rows["n_members"].append(m["n_members"])
+                rows["payload_bytes"].append(payload)
+                rows["title"].append(m["title"])
+                rows["creator"].append(m["creator"])
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(_walk, schema=OFFICE_META_SCHEMA)
+
+
+def synth_office_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Office-container fixture written by the INDEPENDENT stdlib
+    ``zipfile`` writer (fixed timestamps), closed-form in doc_id ``d``:
+    kind by d%4 (docx/xlsx/epub/plain zip), 1 + d%3 deflated payload
+    members of exactly 10 + (d+j)%5 bytes each, docProps/core.xml
+    title 'off d' / creator 'user d%5' on the OPC kinds."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import zipfile
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                kind = d % 4
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w") as zf:
+                    def put(name, data, method=zipfile.ZIP_DEFLATED):
+                        zi = zipfile.ZipInfo(name, (2026, 1, 1, 0, 0, 0))
+                        zi.compress_type = method
+                        zf.writestr(zi, data)
+
+                    core = (
+                        "<cp:coreProperties xmlns:dc='x'>"
+                        f"<dc:title>off {d}</dc:title>"
+                        f"<dc:creator>user {d % 5}</dc:creator>"
+                        "</cp:coreProperties>"
+                    )
+                    if kind == 0:
+                        put("[Content_Types].xml", "<Types/>")
+                        put("word/document.xml", "<w:document/>")
+                        put("docProps/core.xml", core)
+                    elif kind == 1:
+                        put("[Content_Types].xml", "<Types/>")
+                        put("xl/workbook.xml", "<workbook/>")
+                        put("docProps/core.xml", core)
+                    elif kind == 2:
+                        put("mimetype", "application/epub+zip",
+                            zipfile.ZIP_STORED)
+                        put("META-INF/container.xml", "<container/>")
+                    for j in range(1 + d % 3):
+                        put(f"f{j}.txt", "x" * (10 + (d + j) % 5))
+                ids.append(d)
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame({id_col: ids, "media": blobs})
+
+    return ids_df.select(id_col).mapInPandas(
+        _synth, schema=f"{id_col} long, media binary"
+    )

@@ -495,6 +495,23 @@ def q_multimodal_pdf_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pdf_metadata(synth_pdf_docs(docs))
 
 
+def q_multimodal_office_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r16 — ZIP container walk + Office/EPUB metadata
+    (operators/containers.py): docx/xlsx/pptx are OPC zips and epub is
+    a zip with a stored ``mimetype`` member — the office-document slice
+    of crawl data triaged via the PKWARE central directory (EOCD scan,
+    per-entry method/size/CRC, member reads through local headers with
+    CRC verification) and Dublin-Core docProps.  The fixture writer is
+    the INDEPENDENT stdlib ``zipfile`` module, so the walk is checked
+    against a public writer, not a self round-trip; the DuckDB oracle
+    restates kind/member-count/payload-bytes/title/creator closed-form
+    from doc_id."""
+    from ..operators.containers import office_metadata, synth_office_docs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return office_metadata(synth_office_docs(docs))
+
+
 QUERIES = {
     "multimodal_webdataset": q_multimodal_webdataset,
     "multimodal_jpeg_exif": q_multimodal_jpeg_exif,
@@ -517,6 +534,7 @@ QUERIES = {
     "multimodal_audio_mp3_meta": q_multimodal_audio_mp3_meta,
     "multimodal_audio_flac_meta": q_multimodal_audio_flac_meta,
     "multimodal_pdf_meta": q_multimodal_pdf_meta,
+    "multimodal_office_meta": q_multimodal_office_meta,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_resize_real": q_multimodal_resize,
     "multimodal_video_frames": q_multimodal_video,
@@ -1117,4 +1135,31 @@ ORACLES["multimodal_pdf_meta"] = """
                 THEN 'author ' || (doc_id % 7) END AS author,
            CASE WHEN has_info THEN 'pdc-spark' END AS producer
     FROM p
+"""
+
+ORACLES["multimodal_office_meta"] = """
+    WITH p AS (
+        SELECT doc_id,
+               CAST(doc_id % 4 AS INT) AS k,
+               CAST(1 + doc_id % 3 AS INT) AS n_payload
+        FROM documents
+    ),
+    pay AS (
+        SELECT doc_id,
+               CAST(SUM(10 + (doc_id + j.j) % 5) AS BIGINT) AS payload_bytes
+        FROM p CROSS JOIN LATERAL (
+            SELECT unnest(range(0, n_payload))) j(j)
+        GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           CASE k WHEN 0 THEN 'docx' WHEN 1 THEN 'xlsx'
+                  WHEN 2 THEN 'epub' ELSE 'zip' END AS kind,
+           CAST(n_payload + CASE k WHEN 0 THEN 3 WHEN 1 THEN 3
+                                   WHEN 2 THEN 2 ELSE 0 END AS INT)
+               AS n_members,
+           pay.payload_bytes,
+           CASE WHEN k IN (0, 1) THEN 'off ' || p.doc_id END AS title,
+           CASE WHEN k IN (0, 1) THEN 'user ' || (p.doc_id % 5) END
+               AS creator
+    FROM p JOIN pay USING (doc_id)
 """
