@@ -68,7 +68,11 @@ _FRONT = (
     # steady-state cycling (oldest driver evidence first — recomputed
     # r16 from CORRECTNESS_r01..r15): the r15 window consumed exactly
     # the 50-name r15-additions head, so the oldest-evidence cohort is
-    # still the 40-name r9 tail below, then the r10 head.
+    # still the 40-name r9 tail below, then the r10 head.  With 13
+    # never-driver-checked names above (10 r16 additions + the 3
+    # window-cut r15 names), the ~50 window reaches ~37 of the r9 tail
+    # — never-checked ranks above oldest-checked by the standing
+    # least-driver-validated-first policy; the r9 remainder leads r17.
     # (synthetic_transactions stays in _BACK by standing policy.)
     "dedup_image_dhash",  # r9
     "dedup_minhash_lsh",  # r9

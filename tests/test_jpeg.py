@@ -297,3 +297,91 @@ def test_fuzz_progressive_never_escapes_deadletter_classes():
             jpeg_decode(blob[:cut])
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_progressive_restart_markers_and_eobrun_reset():
+    """r16: DRI/RSTn inside PROGRESSIVE scans — hand-assembled 32x8
+    grayscale SOF2 stream (DRI=2): the DC-first scan resets its DPCM
+    predictor at each restart, the DC-refinement scan realigns its raw
+    bit stream, and the AC scan's EOB RUN must reset at the restart
+    boundary (an unreset run would desync the symbol stream)."""
+    dc_codes = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    # tiny AC table: EOB0 (0x00) len-1 '0', EOBn r=1 (0x10) len-2 '10'
+    ac_bits = [0] * 17
+    ac_bits[1], ac_bits[2] = 1, 1
+    ac_vals = [0x00, 0x10]
+    ac_codes = _canonical_codes(ac_bits, ac_vals)
+
+    vals = [100, 120, 140, 160]                   # per-MCU flat gray
+    coefs = [round(8 * (v - 128) / 3) for v in vals]   # DC quant = 3
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    q = bytes([3] + [1] * 63)                     # DC=3, AC=1 (zigzag)
+    seg(0xDB, bytes([0x00]) + q)
+    seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 32) + bytes([1, 1, 0x11, 0]))
+    seg(0xC4, bytes([0x00] + DC_LUMA_BITS[1:] + DC_LUMA_VALS))
+    seg(0xC4, bytes([0x10] + ac_bits[1:] + ac_vals))
+    seg(0xDD, struct.pack(">H", 2))               # DRI = 2
+
+    def cat(v):
+        return int(abs(v)).bit_length()
+
+    def emit_dc(wr, diff):
+        s = cat(diff)
+        c, ln = dc_codes[s]
+        wr.write(c, ln)
+        if s:
+            wr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+    # scan 1: DC first, Ah=0 Al=1 (values c>>1, DPCM resets at RST)
+    seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+    wr = _BitWriter()
+    pred = 0
+    for i, c in enumerate(coefs):
+        if i == 2:
+            out.extend(wr.flush())
+            out.extend(b"\xff\xd0")               # RST0
+            wr = _BitWriter()
+            pred = 0
+        v1 = c >> 1
+        emit_dc(wr, v1 - pred)
+        pred = v1
+    out.extend(wr.flush())
+    # scan 2: AC 1..63 first, Al=0 — every block empty; EOBRUN spans
+    # exactly the restart interval (EOBn r=1 ends 2 blocks), so the
+    # decoder MUST reset eobrun at the RST to expect a fresh symbol
+    seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+    wr = _BitWriter()
+    c2, l2 = ac_codes[0x10]
+    wr.write(c2, l2)
+    wr.write(0, 1)                                # ext bits: run = 2
+    out.extend(wr.flush())
+    out.extend(b"\xff\xd1")                       # RST1 (index continues)
+    wr = _BitWriter()
+    wr.write(c2, l2)
+    wr.write(0, 1)
+    out.extend(wr.flush())
+    # scan 3: DC refinement Ah=1 Al=0 — one raw bit per block (c & 1)
+    seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))
+    wr = _BitWriter()
+    for i, c in enumerate(coefs):
+        if i == 2:
+            out.extend(wr.flush())
+            out.extend(b"\xff\xd2")               # RST2
+            wr = _BitWriter()
+        wr.write(c & 1, 1)
+    out.extend(wr.flush())
+    out.extend(b"\xff\xd9")
+
+    d = jpeg_decode(bytes(out))
+    assert (d["width"], d["height"], d["channels"]) == (32, 8, 1)
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(8, 32)
+    for i, v in enumerate(vals):
+        block = got[:, i * 8:(i + 1) * 8].astype(int)
+        assert np.abs(block - v).max() <= 1, (i, v, block[0, 0])
