@@ -82,6 +82,10 @@ def _zip_walk_impl(blob: bytes) -> dict:
         )
         if flags & 0x0001:
             raise NotImplementedError("encrypted ZIP member")
+        if 0xFFFFFFFF in (csize, usize, loc_off):
+            # per-entry ZIP64 sentinels (>4 GB member or offset) — the
+            # real sizes live in the ZIP64 extra field we don't parse
+            raise NotImplementedError("ZIP64 archive")
         members.append({
             "name": name, "method": method, "usize": usize,
             "csize": csize, "crc": crc, "_off": loc_off,
@@ -92,7 +96,18 @@ def _zip_walk_impl(blob: bytes) -> dict:
 
 def zip_read_member(blob: bytes, member: dict) -> bytes:
     """One member's bytes via its local header (CD sizes authoritative;
-    CRC verified — a silent bad inflate never escapes)."""
+    CRC verified — a silent bad inflate never escapes).  Exception-
+    normalized like ``zip_walk`` (r16 review: a truncated local header
+    raised raw struct.error past dead-letter catches)."""
+    try:
+        return _zip_read_member_impl(blob, member)
+    except (ValueError, NotImplementedError):
+        raise
+    except (IndexError, KeyError, struct.error, OverflowError) as e:
+        raise ValueError(f"corrupt ZIP member ({type(e).__name__})") from e
+
+
+def _zip_read_member_impl(blob: bytes, member: dict) -> bytes:
     off = member["_off"]
     if blob[off:off + 4] != _LFH:
         raise ValueError("bad ZIP local header")

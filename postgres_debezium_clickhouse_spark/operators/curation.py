@@ -1393,13 +1393,17 @@ def robots_sitemaps(
 ) -> DataFrame:
     """``Sitemap:`` lines from robots.txt (RFC 9309 §2.3 / sitemaps.org:
     the field is GLOBAL, outside any user-agent group, repeatable).
-    Pure JVM regexp — one extract_all + explode, no Python."""
+    Pure JVM regexp — one extract_all + explode, no Python.  The match
+    is LINE-anchored with same-line whitespace only and stops at ``#``
+    (r16 review: the first cut matched 'sitemap:' inside comment lines
+    and its loose whitespace could slurp a value off the next line)."""
     return robots.select(
         F.col(domain_col),
         F.explode(
             F.expr(
                 f"regexp_extract_all({text_col},"
-                " '(?i)sitemap:\\\\s*(\\\\S+)', 1)"
+                " '(?im)^[ \\\\t]*sitemap:[ \\\\t]*([^ \\\\t\\\\r\\\\n#]+)',"
+                " 1)"
             )
         ).alias("sitemap_url"),
     )

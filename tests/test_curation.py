@@ -1018,10 +1018,13 @@ def test_sitemap_parse_and_robots_lines(spark):
     assert rows[("b", "https://b/s1.xml")].kind == "index"
     assert all(r.kind == "urlset" for k, r in rows.items() if k[0] == "a")
     rb = spark.createDataFrame(
-        [("a", "User-agent: *\nDisallow: /\nSitemap: https://a/s.xml\n"
-               "SITEMAP:   https://a/t.xml\n")],
+        [("a", "# dead sitemap: https://a/dead.xml\n"
+               "User-agent: *\nDisallow: /\nSitemap: https://a/s.xml\n"
+               "SITEMAP:   https://a/t.xml  # trailing comment\n"
+               "Sitemap:\nDisallow: /q\n")],
         "domain string, robots_txt string",
     )
+    # commented-out mentions ignored; value never slurped across lines
     assert {r.sitemap_url for r in robots_sitemaps(rb).collect()} == {
         "https://a/s.xml", "https://a/t.xml",
     }

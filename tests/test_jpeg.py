@@ -303,13 +303,19 @@ def test_progressive_restart_markers_and_eobrun_reset():
     """r16: DRI/RSTn inside PROGRESSIVE scans — hand-assembled 32x8
     grayscale SOF2 stream (DRI=2): the DC-first scan resets its DPCM
     predictor at each restart, the DC-refinement scan realigns its raw
-    bit stream, and the AC scan's EOB RUN must reset at the restart
-    boundary (an unreset run would desync the symbol stream)."""
+    bit stream, and the AC scan expects a FRESH symbol right after the
+    RST (the first interval ends in an exactly-consumed EOB run; block
+    2 then carries a REAL coefficient, so any bit misalignment or
+    carried-over run state after the marker shows up as wrong pixel
+    values, not just a parse difference).  A spec-VALID stream cannot
+    carry an EOB run ACROSS a restart (intervals are independently
+    decodable), so the decoder's defensive eobrun=0 reset is not
+    value-pinnable — this pins everything that is."""
     dc_codes = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
-    # tiny AC table: EOB0 (0x00) len-1 '0', EOBn r=1 (0x10) len-2 '10'
+    # tiny AC table: EOB0 '0', EOBn r=1 '10', (run0,s6) '110'
     ac_bits = [0] * 17
-    ac_bits[1], ac_bits[2] = 1, 1
-    ac_vals = [0x00, 0x10]
+    ac_bits[1], ac_bits[2], ac_bits[3] = 1, 1, 1
+    ac_vals = [0x00, 0x10, 0x06]
     ac_codes = _canonical_codes(ac_bits, ac_vals)
 
     vals = [100, 120, 140, 160]                   # per-MCU flat gray
@@ -353,9 +359,10 @@ def test_progressive_restart_markers_and_eobrun_reset():
         emit_dc(wr, v1 - pred)
         pred = v1
     out.extend(wr.flush())
-    # scan 2: AC 1..63 first, Al=0 — every block empty; EOBRUN spans
-    # exactly the restart interval (EOBn r=1 ends 2 blocks), so the
-    # decoder MUST reset eobrun at the RST to expect a fresh symbol
+    # scan 2: AC 1..63 first, Al=0 — interval 1 is one exactly-consumed
+    # EOB run (blocks 0,1); after the RST, block 2 opens with a REAL
+    # coefficient (+1 at zigzag k=1) so the fresh-symbol expectation is
+    # value-observable; block 3 is a plain EOB
     seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
     wr = _BitWriter()
     c2, l2 = ac_codes[0x10]
@@ -364,8 +371,12 @@ def test_progressive_restart_markers_and_eobrun_reset():
     out.extend(wr.flush())
     out.extend(b"\xff\xd1")                       # RST1 (index continues)
     wr = _BitWriter()
-    wr.write(c2, l2)
-    wr.write(0, 1)
+    c3, l3 = ac_codes[0x06]
+    wr.write(c3, l3)                              # block2: (run 0, s=6)
+    wr.write(40, 6)                               # magnitude bits: +40
+    c0, l0 = ac_codes[0x00]
+    wr.write(c0, l0)                              # EOB for block 2
+    wr.write(c0, l0)                              # block 3: empty
     out.extend(wr.flush())
     # scan 3: DC refinement Ah=1 Al=0 — one raw bit per block (c & 1)
     seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))
@@ -384,4 +395,13 @@ def test_progressive_restart_markers_and_eobrun_reset():
     got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(8, 32)
     for i, v in enumerate(vals):
         block = got[:, i * 8:(i + 1) * 8].astype(int)
-        assert np.abs(block - v).max() <= 1, (i, v, block[0, 0])
+        if i != 2:
+            assert np.abs(block - v).max() <= 1, (i, v, block[0, 0])
+    # block 2 carries the post-restart AC coefficient: expected pixels
+    # from the same IDCT the decoder uses, natural position (0, 1)
+    B = np.zeros((8, 8))
+    B[0, 0] = coefs[2] * 3                        # DC quant = 3
+    B[0, 1] = 40.0                                # the planted AC, q=1
+    exp2 = np.clip(np.round(_idct(B) + 128.0), 0, 255).astype(int)
+    assert np.abs(got[:, 16:24].astype(int) - exp2).max() <= 1
+    assert exp2.std() > 0                         # genuinely non-flat
