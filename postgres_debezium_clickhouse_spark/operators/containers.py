@@ -154,10 +154,18 @@ def office_meta(blob: bytes) -> dict:
         elif "ppt/presentation.xml" in names:
             kind = "pptx"
     title = creator = None
+    dc_source = None
     if "docProps/core.xml" in names:
-        core = zip_read_member(blob, names["docProps/core.xml"])
-        mt = _DC_TITLE.search(core)
-        mc = _DC_CREATOR.search(core)
+        dc_source = zip_read_member(blob, names["docProps/core.xml"])
+    elif kind == "epub":
+        # EPUB metadata lives in the OPF package document (also
+        # Dublin-Core dc:title/dc:creator — the same two leaf elements)
+        opf = next((n for n in names if n.endswith(".opf")), None)
+        if opf is not None:
+            dc_source = zip_read_member(blob, names[opf])
+    if dc_source is not None:
+        mt = _DC_TITLE.search(dc_source)
+        mc = _DC_CREATOR.search(dc_source)
         title = mt.group(1).decode("utf-8", "replace") if mt else None
         creator = mc.group(1).decode("utf-8", "replace") if mc else None
     return {
@@ -246,6 +254,11 @@ def synth_office_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         put("mimetype", "application/epub+zip",
                             zipfile.ZIP_STORED)
                         put("META-INF/container.xml", "<container/>")
+                        put("OEBPS/content.opf",
+                            "<package><metadata>"
+                            f"<dc:title>off {d}</dc:title>"
+                            f"<dc:creator>user {d % 5}</dc:creator>"
+                            "</metadata></package>")
                     for j in range(1 + d % 3):
                         put(f"f{j}.txt", "x" * (10 + (d + j) % 5))
                 ids.append(d)

@@ -1154,12 +1154,11 @@ ORACLES["multimodal_office_meta"] = """
     SELECT p.doc_id,
            CASE k WHEN 0 THEN 'docx' WHEN 1 THEN 'xlsx'
                   WHEN 2 THEN 'epub' ELSE 'zip' END AS kind,
-           CAST(n_payload + CASE k WHEN 0 THEN 3 WHEN 1 THEN 3
-                                   WHEN 2 THEN 2 ELSE 0 END AS INT)
-               AS n_members,
+           CAST(n_payload + CASE WHEN k IN (0, 1, 2) THEN 3
+                                   ELSE 0 END AS INT) AS n_members,
            pay.payload_bytes,
-           CASE WHEN k IN (0, 1) THEN 'off ' || p.doc_id END AS title,
-           CASE WHEN k IN (0, 1) THEN 'user ' || (p.doc_id % 5) END
+           CASE WHEN k IN (0, 1, 2) THEN 'off ' || p.doc_id END AS title,
+           CASE WHEN k IN (0, 1, 2) THEN 'user ' || (p.doc_id % 5) END
                AS creator
     FROM p JOIN pay USING (doc_id)
 """

@@ -53,9 +53,20 @@ def test_office_kinds_and_core_props():
     assert (m["format"], m["title"], m["creator"]) == ("docx", "T", "C")
     epub = _make([
         ("mimetype", "application/epub+zip", zipfile.ZIP_STORED),
+        ("OEBPS/book.opf",
+         "<package><metadata><dc:title>E</dc:title>"
+         "<dc:creator>A</dc:creator></metadata></package>",
+         zipfile.ZIP_DEFLATED),
         ("ch1.xhtml", "<html/>", zipfile.ZIP_DEFLATED),
     ])
-    assert office_meta(epub)["format"] == "epub"
+    me = office_meta(epub)
+    assert (me["format"], me["title"], me["creator"]) == ("epub", "E", "A")
+    # epub WITHOUT an opf: kind still detected, metadata honestly NULL
+    bare = _make([
+        ("mimetype", "application/epub+zip", zipfile.ZIP_STORED),
+    ])
+    assert office_meta(bare)["format"] == "epub"
+    assert office_meta(bare)["title"] is None
     pptx = _make([
         ("[Content_Types].xml", "<Types/>", zipfile.ZIP_DEFLATED),
         ("ppt/presentation.xml", "<p/>", zipfile.ZIP_DEFLATED),
