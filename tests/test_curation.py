@@ -1028,3 +1028,77 @@ def test_sitemap_parse_and_robots_lines(spark):
     assert {r.sitemap_url for r in robots_sitemaps(rb).collect()} == {
         "https://a/s.xml", "https://a/t.xml",
     }
+
+
+def test_robots_decisions_property_vs_reference(spark):
+    """r16: randomized RFC 9309 cross-check — the Spark evaluation
+    (regex compilation + max_by longest-match/allow-ties) must agree
+    with an INDEPENDENT in-test reference evaluator on random rule and
+    path sets (wildcards, $ anchors, nested prefixes, ties)."""
+    import random
+    import re as _re
+
+    from postgres_debezium_clickhouse_spark.operators.curation import (
+        parse_robots,
+        robots_decisions,
+    )
+
+    rng = random.Random(16)
+    segs = ["a", "b", "ab", "x1"]
+
+    def rand_pattern():
+        p = "/" + "/".join(rng.choice(segs)
+                           for _ in range(rng.randint(1, 3)))
+        if rng.random() < 0.3:
+            p += "*" + rng.choice(segs)
+        if rng.random() < 0.3:
+            p += "$"
+        return p
+
+    def ref_match(pattern, path):
+        anchored = pattern.endswith("$")
+        body = pattern[:-1] if anchored else pattern
+        rx = "^" + "".join(".*" if c == "*" else _re.escape(c)
+                           for c in body) + ("$" if anchored else "")
+        return _re.match(rx, path) is not None
+
+    def ref_decide(rules, path):
+        best = None                       # (spec, is_allow, pattern)
+        for typ, pat in rules:
+            if ref_match(pat, path):
+                key = (len(pat.encode()), typ == "allow")
+                if best is None or key > (best[0], best[1]):
+                    best = (len(pat.encode()), typ == "allow", pat)
+        if best is None:
+            return True, None
+        return best[1], best[2]
+
+    domains = []
+    rules_by_dom = {}
+    urls = []
+    expected = {}
+    for di in range(12):
+        dom = f"d{di}"
+        rules = [(rng.choice(["allow", "disallow"]), rand_pattern())
+                 for _ in range(rng.randint(1, 6))]
+        rules_by_dom[dom] = rules
+        txt = "User-agent: *\n" + "".join(
+            f"{t.capitalize()}: {p}\n" for t, p in rules
+        )
+        domains.append((dom, txt))
+        for pi in range(8):
+            path = "/" + "/".join(rng.choice(segs)
+                                  for _ in range(rng.randint(1, 4)))
+            urls.append((dom, path))
+    urls = list(dict.fromkeys(urls))
+    for dom, path in urls:
+        expected[(dom, path)] = ref_decide(rules_by_dom[dom], path)
+
+    robots = spark.createDataFrame(domains, "domain string, robots_txt string")
+    urls_df = spark.createDataFrame(urls, "domain string, path string")
+    out = robots_decisions(urls_df, parse_robots(robots), agent="pdc-bot")
+    for r in out.collect():
+        exp_allowed, exp_rule = expected[(r.domain, r.path)]
+        assert r.allowed == exp_allowed, (r.domain, r.path, exp_rule)
+        if exp_rule is None:
+            assert r.matched_rule is None, (r.domain, r.path)
