@@ -820,6 +820,14 @@ def mp3_meta_walk(blob: bytes) -> dict:
     xing_is_vbr = False
     samples_per_frame = 0
     while pos < len(blob):
+        # trailing ID3v1 (128 B, 'TAG') / ID3v1 extended (+227 B,
+        # 'TAG+' immediately before it) terminate the walk cleanly —
+        # extremely common on real-world MP3s, not a lost sync
+        # (r16 ADVICE item: these were dead-lettered as corrupt).
+        if pos + 128 == len(blob) and blob[pos:pos + 3] == b"TAG":
+            break
+        if pos + 355 == len(blob) and blob[pos:pos + 4] == b"TAG+":
+            break
         if pos + 4 > len(blob):
             raise ValueError("truncated MP3 frame header")
         h = blob[pos:pos + 4]

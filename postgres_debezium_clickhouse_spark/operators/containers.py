@@ -15,9 +15,12 @@ Dublin-Core ``docProps/core.xml`` title/creator with a namespace-
 tolerant regex (the XML is machine-generated OPC; no full XML parser
 needed for two leaf elements).
 
-Honest scope: ZIP64, encrypted members, and compression methods other
-than stored/deflate raise ``NotImplementedError`` (dead-letter class);
-multi-disk archives raise ``ValueError``.  Corrupt structure raises
+Honest scope: encrypted members and compression methods other than
+stored/deflate raise ``NotImplementedError`` (dead-letter class);
+multi-disk archives raise ``ValueError``.  ZIP64 is fully supported
+(APPNOTE §4.3.14/§4.5.3: ZIP64 EOCD record + locator, per-entry
+0x0001 extra-field sizes) — real xlsx/pptx dumps cross 4 GB and
+stdlib ``zipfile`` emits ZIP64 whenever asked (``force_zip64``).  Corrupt structure raises
 ``ValueError`` (exception-normalized like every media walk).
 
 Scale: per-blob byte-bounded walk in ``mapInPandas`` — no shuffle; the
@@ -38,6 +41,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 _EOCD = b"PK\x05\x06"
+_EOCD64 = b"PK\x06\x06"
+_EOCD64_LOC = b"PK\x06\x07"
 _CDH = b"PK\x01\x02"
 _LFH = b"PK\x03\x04"
 
@@ -55,20 +60,72 @@ def zip_walk(blob: bytes) -> dict:
         raise ValueError(f"corrupt ZIP ({type(e).__name__})") from e
 
 
-def _zip_walk_impl(blob: bytes) -> dict:
+def _find_eocd(blob: bytes) -> int:
+    """Backward scan for a VALIDATED EOCD record.  A bare rfind is
+    wrong: archive comments are arbitrary bytes and may contain the
+    4-byte signature (spec-legal), so every candidate is checked like
+    stdlib zipfile — the stated comment length must run exactly to
+    end-of-blob, and (ZIP64 sentinels aside) the central directory
+    must fit strictly before the record.  On failure, keep scanning
+    backwards for an earlier candidate."""
     tail_start = max(0, len(blob) - 65557)
-    eocd_rel = blob.rfind(_EOCD, tail_start)
-    if eocd_rel < 0:
-        raise ValueError("not a ZIP (no end-of-central-directory)")
-    e = blob[eocd_rel:eocd_rel + 22]
-    if len(e) < 22:
-        raise ValueError("truncated ZIP EOCD")
-    (disk, cd_disk, n_disk, n_total,
-     cd_size, cd_off, _clen) = struct.unpack("<HHHHIIH", e[4:22])
+    pos = blob.rfind(_EOCD, tail_start)
+    while pos >= 0:
+        e = blob[pos:pos + 22]
+        if len(e) == 22:
+            cd_size, cd_off, clen = struct.unpack("<IIH", e[12:22])
+            sentinel = cd_off == 0xFFFFFFFF or cd_size == 0xFFFFFFFF
+            if pos + 22 + clen == len(blob) and (
+                sentinel or cd_off + cd_size <= pos
+            ):
+                return pos
+        pos = blob.rfind(_EOCD, tail_start, pos)
+    raise ValueError("not a ZIP (no valid end-of-central-directory)")
+
+
+def _zip64_extra(extra: bytes, usize: int, csize: int, loc_off: int) -> tuple:
+    """Resolve per-entry ZIP64 sentinels from the 0x0001 extra field
+    (APPNOTE §4.5.3: only the sentinel-valued fields are present, in
+    fixed order uncompressed, compressed, local-header offset)."""
+    q = 0
+    while q + 4 <= len(extra):
+        hid, hsz = struct.unpack("<HH", extra[q:q + 4])
+        if hid == 0x0001:
+            body = extra[q + 4:q + 4 + hsz]
+            b = 0
+            if usize == 0xFFFFFFFF:
+                usize = struct.unpack("<Q", body[b:b + 8])[0]
+                b += 8
+            if csize == 0xFFFFFFFF:
+                csize = struct.unpack("<Q", body[b:b + 8])[0]
+                b += 8
+            if loc_off == 0xFFFFFFFF:
+                loc_off = struct.unpack("<Q", body[b:b + 8])[0]
+                b += 8
+            return usize, csize, loc_off
+        q += 4 + hsz
+    raise ValueError("ZIP64 sentinel without ZIP64 extra field")
+
+
+def _zip_walk_impl(blob: bytes) -> dict:
+    eocd_off = _find_eocd(blob)
+    (disk, cd_disk, n_disk, n_total, cd_size,
+     cd_off, _clen) = struct.unpack("<HHHHIIH", blob[eocd_off + 4:eocd_off + 22])
+    if n_total == 0xFFFF or cd_off == 0xFFFFFFFF or cd_size == 0xFFFFFFFF:
+        # ZIP64 (APPNOTE §4.3.14-15): a 20-byte locator immediately
+        # precedes the EOCD and points at the 56-byte ZIP64 EOCD record
+        loc = eocd_off - 20
+        if loc < 0 or blob[loc:loc + 4] != _EOCD64_LOC:
+            raise ValueError("ZIP64 sentinel without ZIP64 EOCD locator")
+        l_disk, e64_off, l_ndisks = struct.unpack("<IQI", blob[loc + 4:loc + 20])
+        if l_disk != 0 or l_ndisks != 1:
+            raise ValueError("multi-disk ZIP archives not supported")
+        if blob[e64_off:e64_off + 4] != _EOCD64 or e64_off + 56 > len(blob):
+            raise ValueError("bad ZIP64 end-of-central-directory record")
+        (_rsz, _vm, _vn, disk, cd_disk, n_disk, n_total,
+         cd_size, cd_off) = struct.unpack("<QHHIIQQQQ", blob[e64_off + 4:e64_off + 56])
     if disk != 0 or cd_disk != 0 or n_disk != n_total:
         raise ValueError("multi-disk ZIP archives not supported")
-    if n_total == 0xFFFF or cd_off == 0xFFFFFFFF:
-        raise NotImplementedError("ZIP64 archive")
     members = []
     p = cd_off
     for _ in range(n_total):
@@ -83,9 +140,9 @@ def _zip_walk_impl(blob: bytes) -> dict:
         if flags & 0x0001:
             raise NotImplementedError("encrypted ZIP member")
         if 0xFFFFFFFF in (csize, usize, loc_off):
-            # per-entry ZIP64 sentinels (>4 GB member or offset) — the
-            # real sizes live in the ZIP64 extra field we don't parse
-            raise NotImplementedError("ZIP64 archive")
+            usize, csize, loc_off = _zip64_extra(
+                blob[p + 46 + nlen:p + 46 + nlen + xlen], usize, csize, loc_off
+            )
         members.append({
             "name": name, "method": method, "usize": usize,
             "csize": csize, "crc": crc, "_off": loc_off,

@@ -385,6 +385,20 @@ def _pdf_meta_walk_impl(blob: bytes) -> dict:
             raise ValueError("PDF xref /Prev chain is circular or broken")
         seen.add(xref_off)
         ents, tr = _parse_xref_section(blob, xref_off)
+        if "/XRefStm" in tr:
+            # hybrid-reference file (ISO 32000-1 §7.5.8.4): the classic
+            # trailer points at an xref STREAM holding the entries a
+            # pre-1.5 reader can't use (compressed objects the classic
+            # table marks free).  The stream shall be read BEFORE the
+            # classic section at the same update level, so its entries
+            # take precedence over that section's tombstones.
+            so = int(tr["/XRefStm"])
+            if so in seen or so >= len(blob):
+                raise ValueError("PDF /XRefStm pointer is circular or broken")
+            seen.add(so)
+            s_ents, _ = _parse_xref_section(blob, so)
+            for k, v in s_ents.items():
+                entries.setdefault(k, v)
         for k, v in ents.items():
             entries.setdefault(k, v)               # newest section first
         if trailer is None:
@@ -611,13 +625,21 @@ def pdf_encode_xrefstream_fixture(
     title: str | None = None,
     author: str | None = None,
     predictor: bool = False,
+    hybrid: bool = False,
 ) -> bytes:
     """Byte-offset-correct MODERN (1.5+) PDF: catalog, page tree, pages
     and /Info all COMPRESSED into one /Type /ObjStm object stream, and
     the cross-reference as a /Type /XRef FlateDecode stream (W=[1 4 2],
     type-2 entries pointing into the object stream; optionally PNG
     Up-predictor 12 on the xref data — the encoding real writers
-    emit)."""
+    emit).
+
+    ``hybrid=True`` emits a HYBRID-REFERENCE file (ISO 32000-1
+    §7.5.8.4, the pre-1.5-compatible-writer shape): startxref points at
+    a CLASSIC table that marks every compressed object free and whose
+    trailer carries /XRefStm → the xref stream above; a 1.5-aware
+    reader must read the stream first or the compressed objects
+    silently resolve to tombstones."""
     import zlib
 
     def esc(s: str) -> str:
@@ -698,5 +720,20 @@ def pdf_encode_xrefstream_fixture(
     )
     out.extend(ent_z)
     out.extend(b"\nendstream\nendobj\n")
-    out.extend(f"startxref\n{xref_off}\n%%EOF\n".encode())
+    if hybrid:
+        classic_off = len(out)
+        out.extend(f"xref\n0 {size}\n".encode())
+        out.extend(b"0000000000 65535 f \n")
+        for _ in range(len(inner)):                 # compressed: FREE here
+            out.extend(b"0000000000 00000 f \n")
+        out.extend(f"{objstm_off:010d} 00000 n \n".encode())
+        out.extend(f"{xref_off:010d} 00000 n \n".encode())
+        info_part = f" /Info {info_num} 0 R" if info_num else ""
+        out.extend(
+            f"trailer\n<< /Size {size} /Root 1 0 R{info_part}"
+            f" /XRefStm {xref_off} >>\n"
+            f"startxref\n{classic_off}\n%%EOF\n".encode()
+        )
+    else:
+        out.extend(f"startxref\n{xref_off}\n%%EOF\n".encode())
     return bytes(out)

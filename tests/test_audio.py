@@ -441,3 +441,31 @@ def test_mp3_info_tag_is_cbr():
     blob[xoff + 8:xoff + 12] = (6).to_bytes(4, "big")
     m = mp3_meta_walk(bytes(blob))
     assert m["bitrate_mode"] == "CBR" and m["xing_frames"] == 6
+
+
+def test_mp3_trailing_id3v1_tag_terminates_walk_cleanly():
+    # r16 ADVICE: a trailing 128-byte ID3v1 block ('TAG' + fields) is
+    # extremely common on real MP3s and must not dead-letter as a lost
+    # frame sync; same for the 227-byte ID3v1 extended block ('TAG+'
+    # immediately before the ID3v1 tag).
+    from postgres_debezium_clickhouse_spark.operators.audio import (
+        mp3_encode_meta_fixture,
+        mp3_meta_walk,
+    )
+
+    base = mp3_encode_meta_fixture(7, tags={"TIT2": "t"})
+    ref = mp3_meta_walk(base)
+    id3v1 = b"TAG" + b"\x00" * 125
+    m = mp3_meta_walk(base + id3v1)
+    assert m["n_frames"] == ref["n_frames"] == 7
+    assert m["duration_ms"] == ref["duration_ms"]
+    ext = b"TAG+" + b"\x00" * 223
+    m2 = mp3_meta_walk(base + ext + id3v1)
+    assert m2["n_frames"] == 7
+    # a tag-only blob (zero frames) still dead-letters honestly
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no MPEG frames"):
+        mp3_meta_walk(id3v1)
+    # mid-stream 'TAG' bytes that are NOT a trailing block still raise
+    with _pytest.raises(ValueError):
+        mp3_meta_walk(base + id3v1 + b"junk")

@@ -101,3 +101,89 @@ def test_deadletter_classes():
             zip_walk(b[:cut])
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_eocd_signature_inside_comment():
+    # r16 ADVICE (medium): a comment containing the 4-byte EOCD
+    # signature is spec-legal; a bare rfind picks the fake record and
+    # silently returns n_members=0.  The validated backward scan must
+    # find the REAL record (comment-length check like stdlib zipfile).
+    evil = b"spec-legal junk " + b"PK\x05\x06" + b"\x00" * 18 + b" more"
+    b = _make([("f.txt", "payload " * 20, zipfile.ZIP_DEFLATED)],
+              comment=evil)
+    # (this container's stdlib zipfile is itself fooled — namelist()
+    # returns [] — so the walk is deliberately STRICTER than it: each
+    # candidate must run exactly to end-of-blob)
+    w = zip_walk(b)
+    assert w["n_members"] == 1
+    assert zip_read_member(b, w["members"][0]) == b"payload " * 20
+
+
+def _to_zip64(entries):
+    """Spec-driven ZIP64 archive builder (APPNOTE §4.3.14-15, §4.5.3):
+    local headers + data written by stdlib, then a hand-built central
+    directory with per-entry 0x0001 extras (all three fields sentinel),
+    ZIP64 EOCD record, locator, and a sentinel EOCD."""
+    import struct
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, data in entries:
+            zi = zipfile.ZipInfo(name, (2026, 1, 1, 0, 0, 0))
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(zi, data)
+        infos = [(i.filename, i.header_offset, i.CRC, i.compress_size,
+                  i.file_size) for i in zf.infolist()]
+    raw = buf.getvalue()
+    # true CD start: first central-header signature
+    cd_off = raw.index(b"PK\x01\x02")
+    local = raw[:cd_off]
+    out = bytearray(local)
+    for name, off, crc, csize, usize in infos:
+        nb = name.encode()
+        extra = struct.pack("<HHQQQ", 0x0001, 24, usize, csize, off)
+        out += b"PK\x01\x02"
+        out += struct.pack("<HHHHHHIIIHHHHHII",
+                           45, 45, 0, 8, 0, 0x2100, crc,
+                           0xFFFFFFFF, 0xFFFFFFFF,
+                           len(nb), len(extra), 0, 0, 0, 0, 0xFFFFFFFF)
+        out += nb + extra
+    cd_size = len(out) - cd_off
+    e64_off = len(out)
+    out += b"PK\x06\x06" + struct.pack(
+        "<QHHIIQQQQ", 44, 45, 45, 0, 0,
+        len(infos), len(infos), cd_size, cd_off)
+    out += b"PK\x06\x07" + struct.pack("<IQI", 0, e64_off, 1)
+    out += b"PK\x05\x06" + struct.pack(
+        "<HHHHIIH", 0xFFFF, 0xFFFF, 0xFFFF, 0xFFFF,
+        0xFFFFFFFF, 0xFFFFFFFF, 0)
+    return bytes(out)
+
+
+def test_zip64_walk_and_reads():
+    entries = [(f"f{j}.txt", f"zip64 member {j} " * 40) for j in range(3)]
+    b = _to_zip64(entries)
+    assert b"PK\x06\x06" in b and b"PK\x06\x07" in b
+    # independent reader cross-check: stdlib reads the hand-built wire
+    with zipfile.ZipFile(io.BytesIO(b)) as zf:
+        assert sorted(zf.namelist()) == [e[0] for e in entries]
+        for name, data in entries:
+            assert zf.read(name) == data.encode()
+    w = zip_walk(b)
+    assert w["n_members"] == 3
+    for (name, data), mem in zip(entries,
+                                 sorted(w["members"], key=lambda m: m["name"])):
+        assert mem["name"] == name
+        assert mem["usize"] == len(data)
+        assert zip_read_member(b, mem) == data.encode()
+    # fuzz the ZIP64 wire form too: never a wrong answer, only dead-letter
+    rng = random.Random(17)
+    for _ in range(1500):
+        bb = bytearray(b)
+        for _f in range(rng.randint(1, 3)):
+            bb[rng.randrange(len(bb))] = rng.randrange(256)
+        try:
+            ww = zip_walk(bytes(bb))
+            for mem in ww["members"]:
+                zip_read_member(bytes(bb), mem)
+        except (ValueError, NotImplementedError):
+            pass

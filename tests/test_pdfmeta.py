@@ -124,3 +124,35 @@ def test_freed_entry_shadows_older_section():
     m = pdf_meta_walk(bytes(upd))
     assert m["title"] is None and m["author"] is None  # not resurrected
     assert m["page_count"] == 2
+
+
+def test_hybrid_reference_xrefstm_precedence():
+    # r16 ADVICE: hybrid-reference PDFs (classic table + /XRefStm in
+    # the trailer, ISO 32000-1 §7.5.8.4) must read the xref STREAM
+    # before the classic section at the same update level — otherwise
+    # the classic table's free tombstones shadow every compressed
+    # object and page_count/title silently resolve to NULL.
+    from postgres_debezium_clickhouse_spark.operators.pdfmeta import (
+        pdf_encode_xrefstream_fixture,
+        pdf_meta_walk,
+    )
+
+    b = pdf_encode_xrefstream_fixture(5, "hyb", "auth", hybrid=True)
+    assert b"/XRefStm" in b and b"\nxref\n" in b
+    m = pdf_meta_walk(b)
+    assert m["page_count"] == 5
+    assert m["title"] == "hyb" and m["author"] == "auth"
+    # non-hybrid result identical (same logical document)
+    ref = pdf_meta_walk(pdf_encode_xrefstream_fixture(5, "hyb", "auth"))
+    assert m["page_count"] == ref["page_count"] and m["title"] == ref["title"]
+    # fuzz the hybrid wire form: only dead-letter, never wrong answers
+    import random as _random
+    rng = _random.Random(18)
+    for _ in range(1500):
+        bb = bytearray(b)
+        for _f in range(rng.randint(1, 3)):
+            bb[rng.randrange(len(bb))] = rng.randrange(256)
+        try:
+            pdf_meta_walk(bytes(bb))
+        except (ValueError, NotImplementedError):
+            pass
