@@ -495,6 +495,39 @@ def q_multimodal_pdf_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pdf_metadata(synth_pdf_docs(docs))
 
 
+def q_multimodal_video_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r17 — MP4/ISOBMFF metadata walk (operators/mp4.py): the decode-
+    vs-skip triage signal for the dominant crawl VIDEO container,
+    closing the last modality with no metadata path (only Y4M decoded).
+    ISO/IEC 14496-12 box grammar: ftyp brand, moov/mvhd timescale +
+    duration (both v0 and v1 64-bit layouts — every 4th doc), per-trak
+    tkhd 16.16 dims, hdlr vide/soun routing, stsd codec fourcc
+    (avc1/hvc1/mp4a), stts/stsz sample counts cross-checked.
+    Fragmented (moof/mvex) and encrypted (pssh/encv) files dead-letter
+    honestly.  Spec-shaped fixtures; every column restated by the
+    DuckDB closed form."""
+    from ..operators.mp4 import mp4_metadata, synth_mp4_docs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return mp4_metadata(synth_mp4_docs(docs))
+
+
+def q_multimodal_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r17 — WebP header walk (operators/webp.py): the most common
+    modern web image format, previously invisible to the imaging
+    suite.  All three RIFF wire variants with their different
+    bit-packings: VP8 lossy (frame tag + 9D012A start code + 14-bit
+    dims), VP8L lossless (0x2F + packed 32-bit width/height/alpha/
+    version), VP8X extended (flag byte + 24-bit canvas dims, ANIM/ANMF
+    animation chunks counted, EXIF presence).  Reserved-bit and
+    consistency violations dead-letter.  Bit-exact fixtures; every
+    column restated by the DuckDB closed form."""
+    from ..operators.webp import synth_webp_docs, webp_metadata
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return webp_metadata(synth_webp_docs(docs))
+
+
 def q_multimodal_office_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r16 — ZIP container walk + Office/EPUB metadata
     (operators/containers.py): docx/xlsx/pptx are OPC zips and epub is
@@ -535,6 +568,8 @@ QUERIES = {
     "multimodal_audio_flac_meta": q_multimodal_audio_flac_meta,
     "multimodal_pdf_meta": q_multimodal_pdf_meta,
     "multimodal_office_meta": q_multimodal_office_meta,
+    "multimodal_video_mp4_meta": q_multimodal_video_mp4_meta,
+    "multimodal_webp_meta": q_multimodal_webp_meta,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_resize_real": q_multimodal_resize,
     "multimodal_video_frames": q_multimodal_video,
@@ -1135,6 +1170,41 @@ ORACLES["multimodal_pdf_meta"] = """
                 THEN 'author ' || (doc_id % 7) END AS author,
            CASE WHEN has_info THEN 'pdc-spark' END AS producer
     FROM p
+"""
+
+ORACLES["multimodal_video_mp4_meta"] = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+           CAST(600 * (1 + doc_id % 3) AS INT) AS timescale,
+           CAST(500 * (1 + doc_id % 7) AS BIGINT) AS duration_ms,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INT)
+               AS n_tracks,
+           CAST(16 * (1 + doc_id % 4) AS INT) AS width,
+           CAST(16 * (1 + doc_id % 3) AS INT) AS height,
+           CASE WHEN doc_id % 5 <> 0 THEN 'avc1' ELSE 'hvc1' END
+               AS video_codec,
+           CASE WHEN doc_id % 3 = 0 THEN 'mp4a' END AS audio_codec,
+           CAST(1 + doc_id % 6 AS INT) AS n_video_samples
+    FROM documents
+"""
+
+ORACLES["multimodal_webp_meta"] = """
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'lossy' WHEN 1 THEN 'lossless'
+                ELSE 'extended' END AS variant,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 32 + doc_id % 11
+                                WHEN 1 THEN 16 * (1 + doc_id % 9)
+                                ELSE 100 + doc_id % 50 END AS INT) AS width,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 24 + doc_id % 7
+                                WHEN 1 THEN 8 * (1 + doc_id % 5)
+                                ELSE 80 + doc_id % 30 END AS INT) AS height,
+           CASE WHEN doc_id % 3 = 0 THEN FALSE
+                ELSE doc_id % 2 = 1 END AS has_alpha,
+           doc_id % 3 = 2 AND doc_id % 4 = 2 AS is_animated,
+           CAST(CASE WHEN doc_id % 3 = 2 AND doc_id % 4 = 2
+                     THEN 2 + doc_id % 7 ELSE 1 END AS INT) AS n_frames,
+           doc_id % 3 = 2 AND doc_id % 5 = 0 AS has_exif
+    FROM documents
 """
 
 ORACLES["multimodal_office_meta"] = """
