@@ -132,3 +132,84 @@ def train_quality_classifier(
     model = LogisticRegression(maxIter=max_iter, regParam=reg_param).fit(train)
     weights_milli = [int(round(c * 1000)) for c in model.coefficients.toArray()]
     return weights_milli, int(round(model.intercept * 1000))
+
+
+def train_langid_classifier(
+    documents: DataFrame,
+    langs: list[str],
+    dim: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    max_iter: int = 80,
+    reg_param: float = 0.01,
+) -> dict[str, tuple[list[int], int]]:
+    """Train a REAL multinomial language-ID classifier (the fastText
+    langid shape, Joulin et al. 2016) on (text, lang) pairs over the
+    same hashed-bucket features the map-only scorer consumes — replacing
+    the stopword-marker heuristic with a trained model while keeping the
+    planted-contrast oracle-independence guard (the DuckDB oracle states
+    the PLANTED labels; a model that misclassifies one document fails
+    the value hash).
+
+    Returns ``{lang: (weights_milli, bias_milli)}`` — one exported
+    integer weight vector per language, consumed by ``langid_score``.
+    Train on a sample; the exported vectors ship to the 100 TB scoring
+    pass."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    lang_lit = F.array(*[F.lit(lang) for lang in langs])
+    train = (
+        hashed_count_features(documents, dim, id_col, text_col)
+        .join(documents.select(
+            F.col(id_col),
+            (F.array_position(lang_lit, F.col(lang_col)) - 1)
+            .cast("double").alias("label")), id_col)
+        .select(array_to_vector("features").alias("features"), "label")
+    )
+    model = LogisticRegression(
+        maxIter=max_iter, regParam=reg_param, family="multinomial"
+    ).fit(train)
+    mat = model.coefficientMatrix.toArray()
+    intercepts = model.interceptVector.toArray()
+    return {
+        lang: ([int(round(c * 1000)) for c in mat[i]],
+               int(round(intercepts[i] * 1000)))
+        for i, lang in enumerate(langs)
+    }
+
+
+def langid_score(
+    documents: DataFrame,
+    models: dict[str, tuple[list[int], int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document against the per-language trained weight
+    vectors and pick the argmax — MAP-ONLY, like ``classifier_score``:
+    each language's margin is one integer ``aggregate`` over the token
+    array with the weights riding along as a literal array column; no
+    explode, no shuffle, no UDF.  Ties break by declaration order
+    (deterministic).  At 100 TB this fuses into the corpus scan."""
+    langs = list(models)
+    df = documents.withColumn("__tk", F.split(F.col(text_col), " "))
+    margins = {}
+    for lang, (weights, bias) in models.items():
+        dim = len(weights)
+        df = df.withColumn(
+            f"__w_{lang}", F.array(*[F.lit(int(w)) for w in weights]))
+        margins[lang] = F.expr(
+            f"aggregate(transform(__tk, t -> element_at(__w_{lang},"
+            f" cast({_bucket_expr('t', dim)} + 1 as int))),"
+            f" cast({int(bias)} as bigint), (a, x) -> a + x)"
+        )
+    mx = F.greatest(*[margins[lang] for lang in langs])
+    chain = F.when(F.lit(False), "und")
+    for lang in langs:
+        chain = chain.when(margins[lang] == mx, lang)
+    return df.select(
+        F.col(id_col),
+        *[margins[lang].alias(f"margin_{lang}") for lang in langs],
+        chain.otherwise("und").alias("detected_lang"),
+    )

@@ -2331,3 +2331,94 @@ def watermark_zscore(
         (F.col("n_green") * 100 > F.lit(gamma_pct) * F.col("n_scored"))
         .alias("above_expected"),
     )
+
+
+# --------------------------------------------------------------------------
+# Main-content extraction (boilerpipe-class, r17)
+# --------------------------------------------------------------------------
+
+#: Block-level tag boundary — the segmentation step of Kohlschütter et
+#: al., "Boilerplate Detection using Shallow Text Features" (WSDM 2010):
+#: inline tags (<a>, <b>, <span>…) stay inside a block, block tags split.
+_BLOCK_TAG = (
+    r"(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th"
+    r"|section|article|header|footer|nav|aside|blockquote|pre|form"
+    r"|figure|figcaption|main|hr|br)\b[^>]*>"
+)
+
+
+def main_content(documents: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "html") -> DataFrame:
+    """Main-content extraction — the boilerpipe step real crawl curation
+    runs BEFORE quality scoring (``strip_markup`` keeps nav/footer
+    chrome; this separates article text from it).
+
+    Method: the published NumWordsRulesClassifier decision rules from
+    Kohlschütter et al. (WSDM 2010) — segment on block-level tags, then
+    per block compute word count and LINK DENSITY (words inside <a>
+    tags / words), and classify with the paper's thresholds over the
+    (prev, curr, next) block context:
+
+        curr_ld > 1/3                         → boilerplate
+        prev_ld > 5/9:  content iff curr_nw > 40 or next_nw > 17
+        else:           content iff curr_nw > 16
+                                  or next_nw > 15
+                                  or prev_nw > 4
+
+    Everything is JVM expressions: split/regexp for segmentation,
+    lag/lead windows partitioned BY DOCUMENT for context, conditional
+    aggregation back to one row per doc.  At 100 TB this is a map +
+    per-doc window + per-doc groupBy — no cross-doc shuffle beyond the
+    doc_id hash partitioning, and block lists are bounded by document
+    size."""
+    from pyspark.sql import Window
+
+    raw = F.col("__raw")
+    strip = F.trim(F.regexp_replace(
+        F.regexp_replace(raw, r"(?s)<[^>]*>", " "), r"\s+", " "))
+    link_txt = F.concat_ws(" ", F.expr(
+        r"regexp_extract_all(__raw, '(?is)<a\\b[^>]*>(.*?)</a\\s*>', 1)"))
+    link_clean = F.trim(F.regexp_replace(
+        F.regexp_replace(link_txt, r"(?s)<[^>]*>", " "), r"\s+", " "))
+
+    blocks = (
+        documents
+        .select(F.col(id_col), F.posexplode(
+            F.split(F.col(text_col), _BLOCK_TAG)).alias("__bidx", "__raw"))
+        .withColumn("__clean", strip)
+        .withColumn("__lclean", link_clean)
+        .where(F.col("__clean") != "")
+        .withColumn("__nw", F.size(F.split(F.col("__clean"), r"\s+")))
+        .withColumn("__lnw", F.when(F.col("__lclean") == "", 0)
+                    .otherwise(F.size(F.split(F.col("__lclean"), r"\s+"))))
+        .withColumn("__ld", F.col("__lnw") / F.col("__nw"))
+    )
+    w = Window.partitionBy(id_col).orderBy("__bidx")
+    blocks = (
+        blocks
+        .withColumn("__prev_nw", F.lag("__nw", 1, 0).over(w))
+        .withColumn("__next_nw", F.lead("__nw", 1, 0).over(w))
+        .withColumn("__prev_ld", F.lag("__ld", 1, 0.0).over(w))
+    )
+    is_content = (
+        F.when(F.col("__ld") > 1.0 / 3.0, F.lit(False))
+        .when(F.col("__prev_ld") > 5.0 / 9.0,
+              (F.col("__nw") > 40) | (F.col("__next_nw") > 17))
+        .otherwise((F.col("__nw") > 16) | (F.col("__next_nw") > 15)
+                   | (F.col("__prev_nw") > 4))
+    )
+    blocks = blocks.withColumn("__keep", is_content)
+    kept = F.when(F.col("__keep"),
+                  F.struct(F.col("__bidx"), F.col("__clean")))
+    return blocks.groupBy(id_col).agg(
+        F.concat_ws(" ", F.transform(
+            F.array_sort(F.collect_list(kept)), lambda s: s["__clean"]
+        )).alias("main_text"),
+        F.count("*").cast("int").alias("n_blocks"),
+        F.sum(F.col("__keep").cast("int")).cast("int")
+            .alias("n_content_blocks"),
+        F.sum(F.when(F.col("__keep"), F.col("__nw")).otherwise(0))
+            .cast("long").alias("n_words_main"),
+        F.sum(F.when(~F.col("__keep"), F.col("__nw")).otherwise(0))
+            .cast("long").alias("n_words_boiler"),
+    )

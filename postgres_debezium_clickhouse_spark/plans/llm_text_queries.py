@@ -34,6 +34,39 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(load_table(spark, sf_dir, "documents"))
 
 
+def q_text_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r17 — TRAINED language ID (operators/classifier.py
+    train_langid_classifier/langid_score): replaces the stopword-marker
+    heuristic with a real multinomial hashing-trick classifier
+    (fastText shape, Joulin 2016) while keeping oracle independence —
+    the planted multilingual fixture (per doc: 6 shared words + 10
+    language-specific words, language = doc_id%4) is scored by a model
+    TRAINED on it, and the DuckDB oracle states only the planted
+    labels: one misclassified document fails the value hash.  Training
+    runs once on the fixture (sample-scale pyspark.ml); scoring is
+    map-only integer aggregates — the 100 TB path."""
+    from ..operators.classifier import (
+        langid_score,
+        train_langid_classifier,
+    )
+
+    langs = ["en", "es", "de", "fr"]
+    lang_c = F.element_at(F.array(*[F.lit(lang) for lang in langs]),
+                          (F.col("doc_id") % 4 + 1).cast("int"))
+    shared = [F.concat(F.lit("sh"), ((F.col("doc_id") + j) % 4).cast("string"))
+              for j in range(6)]
+    langw = [F.concat(lang_c, F.lit("t"),
+                      ((F.col("doc_id") + i) % 6).cast("string"))
+             for i in range(10)]
+    docs = (
+        load_table(spark, sf_dir, "documents").select("doc_id")
+        .withColumn("lang", lang_c)
+        .withColumn("text", F.concat_ws(" ", *shared, *langw))
+    )
+    models = train_langid_classifier(docs, langs)
+    return langid_score(docs, models).select("doc_id", "detected_lang")
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(load_table(spark, sf_dir, "documents"))
 
@@ -52,6 +85,33 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_ngrams(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r17 — main-content extraction (operators/text.py main_content):
+    the boilerpipe step real curation runs before quality scoring.
+    Planted chrome-vs-article fixture per doc: a link-dense nav, an
+    <h1> of 2+d%4 words, 1+d%3 article paragraphs of 18+2*(d%5) words,
+    a link-heavy 'related' block, and a footer — the published
+    NumWordsRulesClassifier rules (Kohlschütter WSDM 2010) must keep
+    exactly the h1 + paragraphs and drop all three chrome blocks; the
+    oracle restates every kept-block decision closed-form."""
+    from ..operators.text import main_content
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    h = F.lit(2) + F.col("doc_id") % 4
+    np_ = F.lit(1) + F.col("doc_id") % 3
+    wc = F.lit(18) + (F.col("doc_id") % 5) * 2
+    html = F.concat(
+        F.lit("<nav><a>n1</a> <a>n2</a> <a>n3</a></nav><h1>"),
+        F.rtrim(F.repeat(F.lit("w "), h)),
+        F.lit("</h1>"),
+        F.repeat(F.concat(F.lit("<p>"), F.rtrim(F.repeat(F.lit("w "), wc)),
+                          F.lit("</p>")), np_),
+        F.lit("<div><a>r r</a> x</div>"
+              "<footer><a>f</a> <a>f2</a></footer>"),
+    )
+    return main_content(docs.withColumn("html", html))
 
 
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -453,11 +513,13 @@ QUERIES = {
     "text_readability": q_text_readability,
     "text_bigram_witten_bell": q_text_bigram_witten_bell,
     "text_lang_id": q_lang_id,
+    "text_langid_trained": q_text_langid_trained,
     "text_quality_score": q_quality_score,
     "text_token_count": q_token_count,
     "text_fingerprint": q_fingerprint,
     "text_repetition": q_repetition,
     "text_boilerplate": q_text_boilerplate,
+    "text_main_content": q_text_main_content,
     "text_pii_scrub": q_pii_scrub,
     "text_tfidf_top_terms": q_tfidf,
     "text_bm25_topk": q_text_bm25_topk,
@@ -1265,6 +1327,12 @@ ORACLES = {
                ROUND(len(list_distinct(tk)) * 1.0 / len(tk), 4) AS token_diversity
         FROM t
     """,
+    "text_langid_trained": """
+        SELECT doc_id,
+               CASE doc_id % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'es'
+                    WHEN 2 THEN 'de' ELSE 'fr' END AS detected_lang
+        FROM documents
+    """,
     "text_lang_id": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         sc AS (SELECT doc_id,
@@ -1319,6 +1387,19 @@ ORACLES = {
                      [array_to_string(tk[i:i+2], ' ')
                       for i in range(1, len(tk) - 1)] AS sh
               FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents))
+    """,
+    "text_main_content": """
+        SELECT doc_id,
+               rtrim(repeat('w ', (2 + doc_id % 4)
+                     + (1 + doc_id % 3) * (18 + 2 * (doc_id % 5))))
+                   AS main_text,
+               CAST(5 + doc_id % 3 AS INT) AS n_blocks,
+               CAST(2 + doc_id % 3 AS INT) AS n_content_blocks,
+               CAST((2 + doc_id % 4)
+                    + (1 + doc_id % 3) * (18 + 2 * (doc_id % 5)) AS BIGINT)
+                   AS n_words_main,
+               CAST(8 AS BIGINT) AS n_words_boiler
+        FROM documents
     """,
     "text_boilerplate": """
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

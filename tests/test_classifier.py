@@ -109,3 +109,55 @@ def test_passthrough_chains_map_only(spark):
     assert "Exchange" not in plan
     row = out.collect()[0]
     assert row.keep == (row.gopher_ok and row.clf_ok)
+
+
+def test_langid_trained_recovers_planted_and_follows_label_flip(spark):
+    # Guard that the model LEARNS from labels rather than echoing
+    # fixture structure: (1) every planted label is recovered; (2) with
+    # the training labels rotated one position, detections follow the
+    # rotation — an oracle-independence flip test.
+    from pyspark.sql import functions as F
+
+    from postgres_debezium_clickhouse_spark.operators.classifier import (
+        langid_score,
+        train_langid_classifier,
+    )
+
+    langs = ["en", "es", "de", "fr"]
+    lang_c = F.element_at(F.array(*[F.lit(lang) for lang in langs]),
+                          (F.col("doc_id") % 4 + 1).cast("int"))
+    shared = [F.concat(F.lit("sh"), ((F.col("doc_id") + j) % 4).cast("string"))
+              for j in range(6)]
+    langw = [F.concat(lang_c, F.lit("t"),
+                      ((F.col("doc_id") + i) % 6).cast("string"))
+             for i in range(10)]
+    docs = (
+        spark.range(200).withColumnRenamed("id", "doc_id")
+        .withColumn("lang", lang_c)
+        .withColumn("text", F.concat_ws(" ", *shared, *langw))
+    )
+    models = train_langid_classifier(docs, langs)
+    scored = langid_score(docs, models)
+    wrong = scored.join(docs.select("doc_id", "lang"), "doc_id").where(
+        F.col("detected_lang") != F.col("lang")).count()
+    assert wrong == 0
+    # margins are strict: the true language's margin beats every other
+    m = scored.limit(5).collect()
+    for r in m:
+        true_m = r[f"margin_{r['detected_lang']}"]
+        others = [r[f"margin_{lang}"] for lang in langs
+                  if lang != r["detected_lang"]]
+        assert all(true_m > o for o in others)
+    # flip: rotate the training labels; detections must rotate too
+    rot = {"en": "es", "es": "de", "de": "fr", "fr": "en"}
+    docs_rot = docs.withColumn("lang", F.element_at(
+        F.create_map(*[F.lit(x) for kv in rot.items() for x in kv]),
+        F.col("lang")))
+    models_rot = train_langid_classifier(docs_rot, langs)
+    scored_rot = langid_score(docs, models_rot)
+    follows = scored_rot.join(docs.select("doc_id", "lang"), "doc_id")
+    mismatch = follows.withColumn("expect", F.element_at(
+        F.create_map(*[F.lit(x) for kv in rot.items() for x in kv]),
+        F.col("lang"))).where(
+        F.col("detected_lang") != F.col("expect")).count()
+    assert mismatch == 0

@@ -936,3 +936,48 @@ def test_5gram_kneser_ney_proper_distribution_and_unseen(spark):
         train_docs=train,
     ).collect()[0]
     assert oov.n_oov == 1 and oov.avg_logscore is None
+
+
+def test_main_content_rules_and_planted_contrast(spark):
+    # Kohlschütter NumWordsRulesClassifier over a hand-built page: the
+    # planted-contrast guard — no chrome token may survive into
+    # main_text, and no article token may be dropped.
+    from postgres_debezium_clickhouse_spark.operators.text import main_content
+
+    art1 = " ".join(f"a{i}" for i in range(20))      # >16 words → content
+    art2 = " ".join(f"b{i}" for i in range(18))
+    html = (
+        "<nav><a>home</a> <a>about</a> <a>contact</a></nav>"
+        f"<h1>headline words here</h1><p>{art1}</p><p>{art2}</p>"
+        "<div><a>rel1 rel2</a> promo</div>"
+        "<footer><a>imprint</a> <a>terms</a></footer>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    row = main_content(df).collect()[0]
+    toks = set(row["main_text"].split())
+    assert {"headline", "words", "here"} <= toks          # h1 kept
+    assert {"a0", "a19", "b0", "b17"} <= toks             # articles kept
+    assert not toks & {"home", "about", "contact", "rel1",
+                       "rel2", "promo", "imprint", "terms"}
+    assert row["n_blocks"] == 6
+    assert row["n_content_blocks"] == 3
+    assert row["n_words_main"] == 3 + 20 + 18
+    assert row["n_words_boiler"] == 3 + 3 + 2
+    # link-density rule: a 30-word paragraph that is ALL link text is
+    # chrome even though it is long (ld=1 > 1/3)
+    linky = "<a>" + " ".join(f"l{i}" for i in range(30)) + "</a>"
+    html2 = f"<p>{art1}</p><div>{linky}</div><p>{art2}</p>"
+    df2 = spark.createDataFrame([(2, html2)], "doc_id long, html string")
+    row2 = main_content(df2).collect()[0]
+    assert "l0" not in row2["main_text"]
+    # art2 follows a fully-linked block (prev_ld=1 > 5/9) and has no
+    # successor: the published tree drops it (curr<=40, next<=17) —
+    # the paper's semantics, pinned as-is
+    assert row2["n_content_blocks"] == 1
+    assert "a0" in row2["main_text"] and "b0" not in row2["main_text"]
+    # short block surrounded by short chrome (prev<=4, next<=15) drops;
+    # empty blocks between adjacent tags are never counted
+    html3 = "<div>tiny one</div><div>mid block here</div><div>end bit</div>"
+    df3 = spark.createDataFrame([(3, html3)], "doc_id long, html string")
+    row3 = main_content(df3).collect()[0]
+    assert row3["n_blocks"] == 3 and row3["n_content_blocks"] == 0
