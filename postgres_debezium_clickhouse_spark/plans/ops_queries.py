@@ -2704,6 +2704,208 @@ def cdc_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sh.rmtree(d, ignore_errors=True)
 
 
+def cdc_snapshot_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r17 (verdict item 7) — incremental snapshot of CO-CAPTURED tables
+    × the cross-table transaction sink: the reference's scenario-2
+    shape (order header + detail rows) re-backfilled by
+    ``run_incremental_snapshot_multi`` (one signal, LOCKSTEP chunk
+    cycles across both stores) WHILE header+detail transactions stream
+    atomically through ``silver_txn_multi_upsert_stream``.
+
+    Schedule, fully value-oracled:
+
+    1. Seed via the MULTI-TABLE txn sink: odd orderkeys arrive as one
+       atomic transaction each — the 'hdr' row plus that order's
+       lineitem rows (ts 1e6); headers ≡0 mod 3 then get a status-U /
+       +100 update txn (ts 2e6+k).
+    2. Signal at watermark W=5e6 over BOTH tables (hdr truth = orders
+       with the mod-3 update; det truth = lineitem).  6 lockstep chunk
+       cycles; after cycle 2 a mid-snapshot CROSS-TABLE txn batch lands:
+       for orderkeys ≡0 mod 4 that have a line-1 row, ONE transaction
+       updates the header (+300 'X', ts 7e6+k) AND its line-1 quantity
+       (+50) — atomic visibility racing the chunk merges; headers
+       ≡0 mod 5 get delete txns (ts 7.5e6+k).
+    3. Final state (returned as hdr ⋈ det): every surviving header
+       backfilled with latest-wins values (snapshot ts = W exactly
+       except the mid-updated keys), details likewise; mod-5 headers
+       gone.  The visibility CONTRACT during the race is documented on
+       run_incremental_snapshot_multi (lockstep narrows, does not
+       close, cross-table skew — Debezium parity); what this query
+       hard-oracles is the convergence algebra of the composition."""
+    from ..streaming.pipeline import read_silver, silver_txn_multi_upsert_stream
+    from ..streaming.snapshot import run_incremental_snapshot_multi
+
+    import shutil as _sh
+
+    run = uuid.uuid4().hex[:12]
+    root = tempfile.gettempdir()
+    src = f"{root}/snapmt_src_{run}"
+    hdr_dst = f"{root}/snapmt_hdr_{run}"
+    det_dst = f"{root}/snapmt_det_{run}"
+    pend = f"{root}/snapmt_pend_{run}"
+    ckpt = f"{root}/snapmt_ckpt_{run}"
+    W = 5_000_000
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    # the fixture's lineitem carries duplicate (orderkey, linenumber)
+    # pairs; the detail table must have a unique PK (it is a CDC-captured
+    # table), so the universe is the keywise MAX-quantity aggregate —
+    # deterministic in both engines
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey",
+                F.col("l_linenumber").cast("int").alias("l_linenumber"),
+                F.col("l_quantity").cast("double").alias("l_quantity"))
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.max("l_quantity").alias("l_quantity"))
+    )
+    k = F.col("o_orderkey")
+    lk = F.col("l_orderkey")
+
+    def mux(df, table, op, ts, order, offset, hval=None, price=None,
+            dval=None, total=None):
+        """One slice of the sparse multiplexed union schema."""
+        return df.select(
+            F.lit(table).cast("string").alias("table"),
+            F.lit(op).cast("string").alias("op"),
+            (F.col("o_orderkey") if table == "hdr" else
+             F.lit(None)).cast("long").alias("o_orderkey"),
+            (hval if table == "hdr" and hval is not None else
+             F.lit(None)).cast("string").alias("o_orderstatus"),
+            (price if table == "hdr" and price is not None else
+             F.lit(None)).cast("double").alias("o_totalprice"),
+            (F.col("l_orderkey") if table == "det" else
+             F.lit(None)).cast("long").alias("l_orderkey"),
+            (F.col("l_linenumber") if table == "det" else
+             F.lit(None)).cast("int").alias("l_linenumber"),
+            (dval if table == "det" and dval is not None else
+             F.lit(None)).cast("double").alias("l_quantity"),
+            ts.cast("long").alias("ts_ms"),
+            offset.cast("long").alias("offset"),
+            F.col("__txn").alias("txn_id"),
+            order.cast("long").alias("txn_order"),
+            (total if total is not None
+             else F.lit(None)).cast("long").alias("txn_total"),
+        )
+
+    stores = {
+        "det": {"path": det_dst, "keys": ["l_orderkey", "l_linenumber"],
+                "version_col": "ts_ms", "tiebreak_col": "offset",
+                "columns": ["l_orderkey", "l_linenumber", "l_quantity",
+                            "ts_ms", "offset"]},
+        "hdr": {"path": hdr_dst, "keys": ["o_orderkey"],
+                "version_col": "ts_ms", "tiebreak_col": "offset",
+                "columns": ["o_orderkey", "o_orderstatus", "o_totalprice",
+                            "ts_ms", "offset"]},
+    }
+
+    def stream_txns(events, tag):
+        d = f"{src}/{tag}"
+        events.coalesce(2).write.json(d)
+        stream = spark.readStream.schema(events.schema).json(d)
+        q = silver_txn_multi_upsert_stream(
+            stream, stores, f"{ckpt}/{tag}", pending_path=pend,
+            available_now=True,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("multi-table txn stream stalled")
+
+    try:
+        odd_o = orders.filter(k % 2 == 1).withColumn(
+            "__txn", F.concat(F.lit("a"), k))
+        odd_l = li.filter(lk % 2 == 1).withColumn(
+            "__txn", F.concat(F.lit("a"), lk))
+        line_counts = li.filter(lk % 2 == 1).groupBy("l_orderkey").count()
+        odd_marker = (
+            odd_o.join(line_counts, k == F.col("l_orderkey"), "left")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice", "__txn",
+                    (F.coalesce(F.col("count"), F.lit(0)) + 1).alias("__tot"))
+        )
+        upd = orders.filter(k % 3 == 0).withColumn(
+            "__txn", F.concat(F.lit("u"), k))
+        seed = (
+            mux(odd_o, "hdr", "c", F.lit(1_000_000), F.lit(0), k * 100,
+                hval=F.col("o_orderstatus"), price=F.col("o_totalprice"))
+            .unionByName(mux(odd_l, "det", "c", F.lit(1_000_000),
+                             F.col("l_linenumber"),
+                             lk * 100 + F.col("l_linenumber"),
+                             dval=F.col("l_quantity")))
+            .unionByName(mux(odd_marker, None, None, F.lit(1_000_000),
+                             F.lit(99), k * 100 + 99, total=F.col("__tot")))
+            .unionByName(mux(upd, "hdr", "u", F.lit(2_000_000) + k,
+                             F.lit(0), k * 100 + 1, hval=F.lit("U"),
+                             price=F.col("o_totalprice") + 100))
+            .unionByName(mux(upd, None, None, F.lit(2_000_000) + k,
+                             F.lit(99), k * 100 + 98, total=F.lit(1)))
+        )
+        stream_txns(seed, "seed")
+
+        l1 = li.filter((lk % 4 == 0) & (F.col("l_linenumber") == 1))
+        mid_pairs = (
+            orders.join(l1, k == lk)
+            .withColumn("__txn", F.concat(F.lit("m"), k))
+        )
+        dels = orders.filter(k % 5 == 0).withColumn(
+            "__txn", F.concat(F.lit("d"), k))
+        mid = (
+            mux(mid_pairs, "hdr", "u", F.lit(7_000_000) + k, F.lit(0),
+                k * 100 + 50, hval=F.lit("X"),
+                price=F.col("o_totalprice")
+                + F.when(k % 3 == 0, 100).otherwise(0) + 300)
+            .unionByName(mux(mid_pairs, "det", "u", F.lit(7_000_000) + lk,
+                             F.lit(1), lk * 100 + 51,
+                             dval=F.col("l_quantity") + 50))
+            .unionByName(mux(mid_pairs, None, None, F.lit(7_000_000) + k,
+                             F.lit(99), k * 100 + 97, total=F.lit(2)))
+            .unionByName(mux(dels, "hdr", "d", F.lit(7_500_000) + k,
+                             F.lit(0), k * 100 + 52))
+            .unionByName(mux(dels, None, None, F.lit(7_500_000) + k,
+                             F.lit(99), k * 100 + 96, total=F.lit(1)))
+        )
+
+        def hook(i):
+            if i == 2:
+                stream_txns(mid, "mid")
+
+        hdr_truth = orders.select(
+            "o_orderkey",
+            F.when(k % 3 == 0, F.lit("U")).otherwise(
+                F.col("o_orderstatus")).alias("o_orderstatus"),
+            (F.col("o_totalprice")
+             + F.when(k % 3 == 0, 100).otherwise(0))
+            .cast("double").alias("o_totalprice"),
+        )
+        run_incremental_snapshot_multi(
+            {
+                "hdr": {"source_table": hdr_truth, "path": hdr_dst,
+                        "keys": ["o_orderkey"], "order_col": "o_orderkey"},
+                "det": {"source_table": li, "path": det_dst,
+                        "keys": ["l_orderkey", "l_linenumber"],
+                        "order_col": "l_orderkey"},
+            },
+            watermark_version=W, n_chunks=6, interleave_hook=hook,
+        )
+        hdr = read_silver(spark, hdr_dst).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice",
+            F.col("ts_ms").alias("hdr_ts"))
+        det = read_silver(spark, det_dst).select(
+            "l_orderkey", "l_linenumber", "l_quantity",
+            F.col("ts_ms").alias("det_ts"))
+        return (
+            hdr.join(det, hdr.o_orderkey == det.l_orderkey)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice", "hdr_ts",
+                    "l_linenumber", "l_quantity", "det_ts")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for d in (src, hdr_dst, det_dst, pend, ckpt):
+            _sh.rmtree(d, ignore_errors=True)
+
+
 def stream_agg_topkweighted_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r12 — CH ``topKWeighted(k)(x, weight)`` state column: the same
     Space-Saving summary as the topk column, with the batch contribution
@@ -3445,6 +3647,7 @@ QUERIES = {
     "object_store_warc_ingest": object_store_warc_ingest,
     "object_store_proto_ingest": object_store_proto_ingest,
     "cdc_incremental_snapshot": cdc_incremental_snapshot,
+    "cdc_snapshot_multi_table": cdc_snapshot_multi_table,
     "object_store_rowbinary_ingest": object_store_rowbinary_ingest,
     "cdc_snapshot_pause_resume": cdc_snapshot_pause_resume,
     "cdc_snapshot_blocking": cdc_snapshot_blocking,
@@ -3811,6 +4014,43 @@ ORACLES["cdc_incremental_snapshot"] = """
 # resume-equals-uninterrupted: the pause/resume run must converge to
 # EXACTLY the uninterrupted scenario's closed-form state (latest-wins
 # makes merge interleaving — including a pause — invisible).
+ORACLES["cdc_snapshot_multi_table"] = """
+    WITH l1 AS (
+        SELECT DISTINCT l_orderkey FROM lineitem WHERE l_linenumber = 1
+    ),
+    hdr AS (
+        SELECT o.o_orderkey,
+               CASE WHEN o.o_orderkey % 4 = 0 AND x.l_orderkey IS NOT NULL
+                    THEN 'X'
+                    WHEN o.o_orderkey % 3 = 0 THEN 'U'
+                    ELSE o.o_orderstatus END AS o_orderstatus,
+               CAST(o.o_totalprice
+                    + CASE WHEN o.o_orderkey % 3 = 0 THEN 100 ELSE 0 END
+                    + CASE WHEN o.o_orderkey % 4 = 0
+                               AND x.l_orderkey IS NOT NULL
+                           THEN 300 ELSE 0 END AS DOUBLE) AS o_totalprice,
+               CAST(CASE WHEN o.o_orderkey % 4 = 0
+                             AND x.l_orderkey IS NOT NULL
+                         THEN 7000000 + o.o_orderkey
+                         ELSE 5000000 END AS BIGINT) AS hdr_ts
+        FROM orders o LEFT JOIN l1 x ON x.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey % 5 <> 0
+    )
+    SELECT h.o_orderkey, h.o_orderstatus, h.o_totalprice, h.hdr_ts,
+           CAST(l.l_linenumber AS INT) AS l_linenumber,
+           CAST(l.l_quantity
+                + CASE WHEN l.l_orderkey % 4 = 0 AND l.l_linenumber = 1
+                       THEN 50 ELSE 0 END AS DOUBLE) AS l_quantity,
+           CAST(CASE WHEN l.l_orderkey % 4 = 0 AND l.l_linenumber = 1
+                     THEN 7000000 + l.l_orderkey
+                     ELSE 5000000 END AS BIGINT) AS det_ts
+    FROM hdr h JOIN (
+        SELECT l_orderkey, CAST(l_linenumber AS INT) AS l_linenumber,
+               MAX(l_quantity) AS l_quantity
+        FROM lineitem GROUP BY 1, 2
+    ) l ON l.l_orderkey = h.o_orderkey
+"""
+
 ORACLES["cdc_snapshot_pause_resume"] = ORACLES["cdc_incremental_snapshot"]
 # blocking variant: same final-state algebra (latest-wins converges the
 # deferred batch to the interleaved result); atomicity is pinned by the

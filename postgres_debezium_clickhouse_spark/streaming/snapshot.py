@@ -755,3 +755,166 @@ def poll_kafka_signal_channel(topic_path: str, path: str) -> list[str]:
         fh.write(str(len(lines)))
     os.rename(tmp, offset_file)
     return enqueued
+
+
+def _read_progress_multi(path: str, sid: str):
+    try:
+        with open(_progress_path(path, sid)) as fh:
+            d = json.load(fh)
+        bounds = d.get("bounds")
+        if bounds is not None:
+            bounds = {t: [(lo, hi) for lo, hi in bb]
+                      for t, bb in bounds.items()}
+        return set(tuple(c) for c in d["completed"]), bounds
+    except (OSError, ValueError, KeyError):
+        return set(), None
+
+
+def _write_progress_multi(path, sid, completed, bounds) -> None:
+    p = _progress_path(path, sid)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    tmp = f"{p}.{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"completed": sorted(list(c) for c in completed),
+             "bounds": {t: [[lo, hi] for lo, hi in bb]
+                        for t, bb in bounds.items()}},
+            fh,
+        )
+    os.rename(tmp, p)
+
+
+def run_incremental_snapshot_multi(
+    tables: dict[str, dict],
+    *,
+    watermark_version,
+    n_chunks: int = 8,
+    version_col: str = "ts_ms",
+    tiebreak_col: str = "offset",
+    op_col: str = "op",
+    n_buckets: int = DEFAULT_SILVER_BUCKETS,
+    signal_id: str | None = None,
+    interleave_hook=None,
+) -> int:
+    """Incremental snapshot of CO-CAPTURED tables under ONE signal /
+    progress cycle (r17, verdict item 7) — the composition gap between
+    :func:`run_incremental_snapshot` (one store per call) and the
+    cross-table txn sink (``silver_txn_multi_upsert_stream``): Debezium's
+    ``execute-snapshot`` signal takes a LIST of collections, and the
+    reference's scenario-2 shape (header + details) re-backfills both.
+
+    ``tables`` maps collection name → ``{"source_table": DataFrame
+    (that table's current truth), "path": store path, "keys": [...],
+    "order_col": chunking column, "additional_condition"?: SQL}``.
+    Chunks are planned per table, then merged in LOCKSTEP: chunk ``i``
+    of every table (sorted-name order) commits before any table's chunk
+    ``i+1`` — one shared progress file, one notification stream, one
+    pause/stop signal check per cycle, all hosted at the FIRST (sorted)
+    table's store path, which acts as the coordinator.
+
+    ## Visibility contract — read this before relying on it
+
+    Lockstep NARROWS the cross-table skew to one chunk, but does NOT
+    close it: a reader between table A's chunk-``i`` publish and table
+    B's sees A's refreshed keyspace slice next to B's stale one.  This
+    matches the upstream semantics exactly — Debezium's incremental
+    snapshot offers NO cross-collection point-in-time consistency (each
+    chunk SELECT runs at its own read time; the DBLog window-dedup
+    guarantees per-KEY convergence, not cross-table snapshot isolation).
+    The guarantees that DO hold, per store, are the single-table ones:
+    post-watermark change events (including the multi-table txn sink's
+    atomic releases) beat chunk rows key-by-key, deletes stay deleted,
+    and every store converges to table truth ∘ later-events once the
+    snapshot completes.  A reader that needs cross-table atomicity
+    during a backfill must use :func:`run_blocking_snapshot` per store
+    (stream suspended) or read both stores AS OF a silver version after
+    COMPLETED (time travel).
+
+    Resume/pause/stop semantics are the single-table ones, applied to
+    the whole group (one progress file keyed by ``signal_id``)."""
+    sid = signal_id or f"adhoc-{uuid.uuid4().hex[:12]}"
+    names = sorted(tables)
+    coord = tables[names[0]]["path"]
+    sources = {}
+    for t in names:
+        st = tables[t]["source_table"]
+        cond = tables[t].get("additional_condition")
+        sources[t] = st.filter(F.expr(cond)) if cond else st
+    done, bounds = _read_progress_multi(coord, sid)
+    _AGG = "Incremental Snapshot"
+    if bounds is None:
+        bounds = {
+            t: plan_snapshot_chunks(sources[t], tables[t]["order_col"],
+                                    n_chunks)
+            for t in names
+        }
+        _write_progress_multi(coord, sid, done, bounds)
+        emit_notification(coord, _AGG, "STARTED", {
+            "signal_id": sid, "tables": names,
+            "total_chunks": sum(len(b) for b in bounds.values()),
+        })
+    else:
+        emit_notification(coord, _AGG, "RESUMED", {
+            "signal_id": sid, "tables": names, "chunks_done": len(done),
+        })
+    merged = 0
+    paused = stopped = False
+    max_chunks = max(len(b) for b in bounds.values())
+    for i in range(max_chunks):
+        if _stop_requested(coord, sid):
+            stopped = True
+            break
+        if _paused(coord):
+            paused = True
+            break
+        for t in names:
+            if i >= len(bounds[t]) or (t, i) in done:
+                continue
+            lo, hi = bounds[t][i]
+            order_col = tables[t]["order_col"]
+            chunk = (
+                sources[t].filter(_chunk_pred(order_col, lo, hi))
+                .withColumn(op_col, F.lit("r"))
+                .withColumn(version_col, F.lit(watermark_version))
+                .withColumn(tiebreak_col, F.lit(-1).cast("long"))
+            )
+            keys = tables[t]["keys"]
+
+            def merge_fn(current, prepared, _k=keys):
+                return apply_cdc(
+                    prepared, keys=_k, version_col=version_col,
+                    tiebreak_col=tiebreak_col, op_col=op_col,
+                    delete_mode="rewrite", current=current,
+                )
+
+            _touched_bucket_merge(
+                chunk, tables[t]["path"], keys, n_buckets,
+                prepare=lambda b: b, merge_fn=merge_fn,
+                legacy_mode="migrate",
+            )
+            done.add((t, i))
+            _write_progress_multi(coord, sid, done, bounds)
+            merged += 1
+            emit_notification(coord, _AGG, "IN_PROGRESS", {
+                "signal_id": sid, "table": t, "chunk_index": i,
+                "chunks_done": len(done),
+                "total_chunks": sum(len(b) for b in bounds.values()),
+            })
+        if interleave_hook is not None and not (paused or stopped):
+            interleave_hook(i)
+    if paused:
+        emit_notification(coord, _AGG, "PAUSED",
+                          {"signal_id": sid, "chunks_done": len(done)})
+    elif stopped:
+        emit_notification(coord, _AGG, "ABORTED",
+                          {"signal_id": sid, "chunks_done": len(done)})
+    else:
+        for t in names:
+            emit_notification(coord, _AGG, "TABLE_SCAN_COMPLETED",
+                              {"signal_id": sid, "table": t,
+                               "total_chunks": len(bounds[t])})
+        emit_notification(coord, _AGG, "COMPLETED",
+                          {"signal_id": sid, "tables": names})
+    if not paused:
+        _clear_progress(coord, sid)
+    return merged

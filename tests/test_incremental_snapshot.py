@@ -691,3 +691,139 @@ def test_blocking_snapshot_plan_failure_no_orphan_aborted(spark, dirs):
     kinds = [n["type"] for n in read_notifications(dirs["silver"])
              if n["aggregate_type"] == "Blocking Snapshot"]
     assert kinds == ["STARTED", "COMPLETED"]
+
+
+# ------------------------------------------------------------------
+# r17 (verdict item 7): multi-table snapshot × cross-table txn stream
+# ------------------------------------------------------------------
+
+MULTI_SCHEMA = T.StructType([
+    T.StructField("table", T.StringType()),
+    T.StructField("op", T.StringType()),
+    T.StructField("hk", T.LongType()),
+    T.StructField("hval", T.StringType()),
+    T.StructField("dk", T.LongType()),
+    T.StructField("dval", T.LongType()),
+    T.StructField("ts_ms", T.LongType()),
+    T.StructField("offset", T.LongType()),
+    T.StructField("txn_id", T.StringType()),
+    T.StructField("txn_order", T.LongType()),
+    T.StructField("txn_total", T.LongType()),
+])
+
+
+def _multi_stores(dirs):
+    return {
+        "det": {"path": dirs["silver"] + "_det", "keys": ["dk"],
+                "version_col": "ts_ms", "tiebreak_col": "offset",
+                "columns": ["dk", "dval", "ts_ms", "offset"]},
+        "hdr": {"path": dirs["silver"] + "_hdr", "keys": ["hk"],
+                "version_col": "ts_ms", "tiebreak_col": "offset",
+                "columns": ["hk", "hval", "ts_ms", "offset"]},
+    }
+
+
+def _run_multi_txn(spark, dirs, rows, tag):
+    spark.createDataFrame(rows, MULTI_SCHEMA).coalesce(1).write.mode(
+        "append").json(dirs["src"] + f"/{tag}")
+    stream = spark.readStream.schema(MULTI_SCHEMA).json(
+        dirs["src"] + f"/{tag}")
+    q = pl.silver_txn_multi_upsert_stream(
+        stream, _multi_stores(dirs), dirs["ckpt"] + f"/{tag}",
+        pending_path=dirs["silver"] + "_txn_pending",
+        available_now=True, n_buckets=4,
+    )
+    assert q.awaitTermination(120)
+
+
+def test_multi_table_snapshot_while_txns_stream(spark, dirs):
+    """The composition: run_incremental_snapshot_multi backfills the
+    hdr+det stores IN LOCKSTEP while cross-table transactions stream
+    through silver_txn_multi_upsert_stream mid-snapshot.  Pins (a) the
+    lockstep order (chunk i of every table before any chunk i+1), (b)
+    final-state convergence on both stores (mid-snapshot atomic txn
+    beats chunk rows key-by-key, snapshot backfills the rest), (c) the
+    notification stream."""
+    import json
+    import os
+
+    from postgres_debezium_clickhouse_spark.streaming.snapshot import (
+        _progress_path,
+        run_incremental_snapshot_multi,
+    )
+
+    NH = 8
+    # seed (pre-watermark): odd headers arrive as atomic hdr+2-det txns
+    seed = []
+    for i in range(1, NH + 1, 2):
+        seed += [
+            ("hdr", "c", i, f"S{i}", None, None, 100, i * 100,
+             f"A{i}", 0, None),
+            ("det", "c", None, None, i * 10, i * 10, 100, i * 100 + 1,
+             f"A{i}", 1, None),
+            ("det", "c", None, None, i * 10 + 1, i * 10 + 1, 100,
+             i * 100 + 2, f"A{i}", 2, None),
+            (None, None, None, None, None, None, 100, i * 100 + 9,
+             f"A{i}", 99, 3),
+        ]
+    _run_multi_txn(spark, dirs, seed, "seed")
+
+    st = _multi_stores(dirs)
+    W = 500
+    hdr_truth = spark.createDataFrame(
+        [(i, f"H{i}") for i in range(1, NH + 1)], "hk long, hval string")
+    det_truth = spark.createDataFrame(
+        [(i * 10 + j, i * 10 + j) for i in range(1, NH + 1)
+         for j in (0, 1)], "dk long, dval long")
+
+    sid = "multi-test"
+    coord = st["det"]["path"]                       # first sorted name
+    seen_cycles = []
+
+    def hook(i):
+        # lockstep pin: after cycle i, BOTH tables' chunks 0..i are done
+        with open(_progress_path(coord, sid)) as fh:
+            comp = {tuple(c) for c in json.load(fh)["completed"]}
+        for c in range(i + 1):
+            assert ("det", c) in comp and ("hdr", c) in comp
+        seen_cycles.append(i)
+        if i == 1:
+            # mid-snapshot CROSS-TABLE txn: hdr 4 + det 40 atomically
+            mid = [
+                ("hdr", "u", 4, "X4", None, None, 700, 9001, "M", 0, None),
+                ("det", "u", None, None, 40, 999, 700, 9002, "M", 1, None),
+                (None, None, None, None, None, None, 700, 9009, "M", 9, 2),
+            ]
+            _run_multi_txn(spark, dirs, mid, "mid")
+
+    n = run_incremental_snapshot_multi(
+        {
+            "hdr": {"source_table": hdr_truth, "path": st["hdr"]["path"],
+                    "keys": ["hk"], "order_col": "hk"},
+            "det": {"source_table": det_truth, "path": st["det"]["path"],
+                    "keys": ["dk"], "order_col": "dk"},
+        },
+        watermark_version=W, n_chunks=4, signal_id=sid, interleave_hook=hook,
+    )
+    assert n == 8 and seen_cycles == [0, 1, 2, 3]
+
+    hdr = {r.hk: (r.hval, r.ts_ms)
+           for r in pl.read_silver(spark, st["hdr"]["path"]).collect()}
+    det = {r.dk: (r.dval, r.ts_ms)
+           for r in pl.read_silver(spark, st["det"]["path"]).collect()}
+    # every header backfilled; the mid-txn update beats its chunk row
+    assert hdr == {i: (("X4", 700) if i == 4 else (f"H{i}", W))
+                   for i in range(1, NH + 1)}
+    assert det == {i * 10 + j: ((999, 700) if i * 10 + j == 40
+                                else (i * 10 + j, W))
+                   for i in range(1, NH + 1) for j in (0, 1)}
+    # notifications: STARTED lists both tables, per-table scan-complete
+    npath = os.path.join(coord, "_notifications.jsonl")
+    recs = [json.loads(x) for x in open(npath)]
+    types = [r["type"] for r in recs]
+    assert types[0] == "STARTED"
+    assert recs[0]["additional_data"]["tables"] == ["det", "hdr"]
+    assert types.count("TABLE_SCAN_COMPLETED") == 2
+    assert types[-1] == "COMPLETED"
+    # progress cleared on completion
+    assert not os.path.exists(_progress_path(coord, sid))
