@@ -49,72 +49,21 @@ def entry(spark: SparkSession) -> DataFrame:
 _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries, analytics)
 
 _FRONT = (
-    # round-16 additions (never driver-checked), newest first, inserted
+    # round-17 additions (never driver-checked), newest first, inserted
     # here as they land.
-    "multimodal_office_meta",        # r16: ZIP/OPC/EPUB walk
-    "corpus_sitemap_discovery",      # r16: sitemap/frontier parse
-    "corpus_robots_policy",          # r16: RFC 9309 crawl policy
-    "multimodal_pdf_meta",           # r16: classic-xref PDF walk
-    "multimodal_audio_flac_meta",    # r16: FLAC STREAMINFO/tags walk
-    "multimodal_audio_mp3_meta",     # r16: MP3 frame walk + ID3v2
-    "text_5gram_kneser_ney",         # r16: KenLM-order interpolated KN
-    "object_store_avro_registry_ingest",  # r16: Confluent wire format
-    "stream_txn_multi_state",        # r16: cross-table txn visibility
-    "multimodal_decode_jpeg",        # fixture now 50% PROGRESSIVE (r16)
-    # r15 additions the r15 driver window cut off before reaching
-    "cdc_header_to_value",
-    "cdc_partition_route",
-    "cdc_timezone_convert",
-    # steady-state cycling (oldest driver evidence first — recomputed
-    # r16 from CORRECTNESS_r01..r15): the r15 window consumed exactly
-    # the 50-name r15-additions head, so the oldest-evidence cohort is
-    # still the 40-name r9 tail below, then the r10 head.  With 13
-    # never-driver-checked names above (10 r16 additions + the 3
-    # window-cut r15 names), the ~50 window reaches ~37 of the r9 tail
-    # — never-checked ranks above oldest-checked by the standing
-    # least-driver-validated-first policy; the r9 remainder leads r17.
-    # (synthetic_transactions stays in _BACK by standing policy.)
-    "dedup_image_dhash",  # r9
-    "dedup_minhash_lsh",  # r9
-    "dedup_semantic",  # r9
-    "events_hourly_gapfill",  # r9
-    "events_uniq_upto",  # r9
-    "events_window_funnel",  # r9
-    "llm_curation_pipeline",  # r9
-    "multimodal_decode",  # r9
-    "multimodal_features",  # r9
-    "multimodal_video_frames",  # r9
-    "pack_chunks",  # r9
-    "pack_greedy",  # r9
-    "products_usable_vw",  # r9
-    "quality_classifier_score",  # r9
-    "quality_gopher_rules",  # r9
-    "silver_projection_scan",  # r9
-    "silver_ttl_rollup",  # r9
-    "silver_version_diff",  # r9
-    "similarity_ann_ivf_table",  # r9
-    "similarity_ann_ivf_topk",  # r9
-    "similarity_ann_lsh_buckets",  # r9
-    "similarity_ann_lsh_topk",  # r9
-    "similarity_cosine_topk",  # r9
-    "star_join_revenue",  # r9
-    "stream_agg_argmax_state",  # r9
-    "stream_agg_kmv_state",  # r9
-    "stream_agg_state",  # r9
-    "stream_collapsing_state",  # r9
-    "stream_filter_report",  # r9
-    "stream_image_dedup_gate",  # r9
-    "stream_schema_drift",  # r9
-    "stream_schema_evolution",  # r9
-    "stream_vcollapsing_state",  # r9
-    "text_boilerplate",  # r9
-    "text_lm_perplexity",  # r9
-    "text_pii_scrub",  # r9
-    "text_repetition",  # r9
+    "cdc_snapshot_multi_table",      # r17: multi-table snapshot x txn sink
+    "text_langid_trained",           # r17: trained multinomial lang-ID
+    "text_main_content",             # r17: boilerpipe main-content
+    "multimodal_webp_meta",          # r17: WebP header walk
+    "multimodal_video_mp4_meta",     # r17: MP4/ISOBMFF walk
+    # the 3 names the r16 window cut off at 50 (still r9 evidence)
     "text_tfidf_top_terms",  # r9
     "token_length_histogram",  # r9
     "trn_passport_current",  # r9
-    # r10-evidence head — pads the window to >=50
+    # steady-state cycling (oldest driver evidence first — recomputed
+    # r17 from CORRECTNESS_r01..r16): the full r10-evidence cohort.
+    # With 8 names above, the ~50 window reaches ~42 of these 49;
+    # the remainder leads r18.
     "buyer_segment_setops",  # r10
     "cdc_bronze_stats",  # r10
     "cdc_change_feed",  # r10
@@ -125,6 +74,45 @@ _FRONT = (
     "cdc_multiplex_route",  # r10
     "cdc_rewrite_mode",  # r10
     "check_violation_counts",  # r10
+    "chunk_content_defined",  # r10
+    "corpus_domain_blocklist",  # r10
+    "corpus_shard_manifest",  # r10
+    "corpus_training_order",  # r10
+    "corpus_vocab_coverage",  # r10
+    "customer_order_counts_outer",  # r10
+    "customers_with_orders_semi",  # r10
+    "customers_without_orders",  # r10
+    "dedup_chunks_crossdoc",  # r10
+    "events_hll_uniques",  # r10
+    "events_qsample_quantiles",  # r10
+    "latest_order_per_customer",  # r10
+    "line_totals_computed",  # r10
+    "lineitem_cube",  # r10
+    "lineitem_version_dedup",  # r10
+    "max_order",  # r10
+    "multimodal_audio_adpcm",  # r10
+    "multimodal_audio_features",  # r10
+    "multimodal_audio_g711",  # r10
+    "multimodal_audio_msadpcm",  # r10
+    "multimodal_decode_deadletter",  # r10
+    "multimodal_decode_formats",  # r10
+    "multimodal_decode_gif",  # r10
+    "multimodal_resize_real",  # r10
+    "nation_supplier_full_outer",  # r10
+    "object_store_avro_ingest",  # r10
+    "order_price_buckets",  # r10
+    "order_totals",  # r10
+    "orders_running_totals",  # r10
+    "orders_status_dedup",  # r10
+    "orders_status_pivot",  # r10
+    "pricing_summary",  # r10
+    "recent_orders_interval",  # r10
+    "silver_projection_route",  # r10
+    "stream_agg_hll_state",  # r10
+    "stream_agg_quantile_state",  # r10
+    "stream_agg_topk_state",  # r10
+    "stream_projection_maintained",  # r10
+    "stream_txn_consistent_state",  # r10
 )
 
 # Oracle-inexpressible by the reference's own randomness contract

@@ -62,6 +62,13 @@ HEADLINE = [
                                 # + per-doc interval-union window)
     "dedup_substring_removal",  # LLM: the spans' rewrite composition (r12 —
                                 # merged-interval fold re-emitting cleaned text)
+    "multimodal_pdf_meta",      # media walk (r17 headline add, verdict item 5:
+                                # the mapInPandas media suites were not
+                                # perf-regression-guarded; PDF is the heaviest
+                                # per-blob walk — encoder + xref/objstm parse)
+    "corpus_bpe_encode",        # tokenizer (r17 headline add: Arrow-batched
+                                # BPE encode over the corpus — the other
+                                # unguarded mapInPandas family)
 ]
 
 PASSES = 3
