@@ -1013,6 +1013,26 @@ def decode_image(blob: bytes) -> dict:
         return pnm_decode(blob)
     if blob[:2] in (b"P1", b"P4") and blob[2:3] in _PNM_WS + b"#":
         raise NotImplementedError("PBM 1-bit bitmaps not supported")
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+        if blob[12:16] == b"VP8L":
+            # full lossless decode (r17, operators/vp8l.py); ARGB →
+            # the decode contract's channel planes
+            import struct as _struct
+
+            from .vp8l import vp8l_decode
+
+            size = _struct.unpack("<I", blob[16:20])[0]
+            d = vp8l_decode(blob[20:20 + size])
+            px = d["pixels"]
+            flat = bytearray()
+            for p in px:
+                flat += bytes(((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF))
+            return {"format": "webp", "width": d["width"],
+                    "height": d["height"], "channels": 3,
+                    "pixels": bytes(flat)}
+        raise NotImplementedError(
+            "lossy/extended WebP pixel decode needs a VP8 codec; "
+            "the header walk (operators/webp.py) still triages it")
     raise NotImplementedError("no stdlib codec for this format; wire in Pillow/pyav")
 
 

