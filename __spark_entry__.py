@@ -51,6 +51,8 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 _FRONT = (
     # round-17 additions (never driver-checked), newest first, inserted
     # here as they land.
+    "multimodal_pdf_text",           # r17: PDF content-stream text extraction
+    "text_main_content_pipeline",    # r17: main-content -> quality composition
     "multimodal_decode_vp8l",        # r17: FULL VP8L lossless pixel decode
     "multimodal_webm_meta",          # r17: WebM/Matroska EBML walk
     "cdc_snapshot_multi_table",      # r17: multi-table snapshot x txn sink

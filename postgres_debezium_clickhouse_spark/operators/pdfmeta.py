@@ -366,7 +366,11 @@ def pdf_meta_walk(blob: bytes) -> dict:
         raise ValueError(f"corrupt PDF ({type(e).__name__})") from e
 
 
-def _pdf_meta_walk_impl(blob: bytes) -> dict:
+def _pdf_open(blob: bytes):
+    """Shared open: header check, xref chain walk (classic, stream and
+    hybrid forms), object resolver.  Returns (version, trailer,
+    entries, resolve) — used by both the metadata walk and the r17
+    text extraction."""
     m = re.match(rb"%PDF-(\d+\.\d+)", blob[:16])
     if not m:
         raise ValueError("not a PDF (bad header)")
@@ -455,6 +459,11 @@ def _pdf_meta_walk_impl(blob: bytes) -> dict:
                 v, _ = _parse_object(data, first + pairs[idx][1])
         return v
 
+    return version, trailer, entries, resolve
+
+
+def _pdf_meta_walk_impl(blob: bytes) -> dict:
+    version, trailer, entries, resolve = _pdf_open(blob)
     root = resolve(trailer.get("/Root"))
     if not isinstance(root, dict):
         raise ValueError("PDF trailer has no /Root catalog")
@@ -483,30 +492,53 @@ def pdf_encode_meta_fixture(
     author: str | None = None,
     incremental: bool = False,
     version: str = "1.4",
+    page_texts: "list[str] | None" = None,
+    compress_text: bool = False,
+    contents_array: bool = False,
+    type0_font: bool = False,
 ) -> bytes:
     """Byte-offset-correct classic-xref PDF: catalog, page tree with
-    ``n_pages`` leaf pages (each an empty media box — valid structure,
-    no content streams), optional /Info, and optionally ONE incremental
-    update that appends a replacement /Info object plus a second xref
-    section chained via /Prev (title suffixed ' v2') — the structure a
-    'save' in a real editor produces."""
+    ``n_pages`` leaf pages, optional /Info, and optionally ONE
+    incremental update that appends a replacement /Info object plus a
+    second xref section chained via /Prev (title suffixed ' v2') — the
+    structure a 'save' in a real editor produces.
+
+    ``page_texts`` (r17, text extraction): per-page strings rendered as
+    real content streams — ``BT /F1 12 Tf (line) Tj 0 -14 Td … ET``
+    with one Td line-advance per newline, a shared /Type1 /Helvetica
+    font in each page's /Resources, optionally FlateDecode-compressed
+    (``compress_text``) or split into a TWO-stream /Contents array
+    (``contents_array``).  ``type0_font`` swaps the font for a
+    composite /Type0 — the extraction dead-letter class."""
     objs: list[bytes] = []
 
     def esc(s: str) -> str:
         return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
+    has_info = title is not None or author is not None
+    font_num = cont_base = None
+    per_page = 2 if contents_array else 1
+    if page_texts is not None:
+        if len(page_texts) != n_pages:
+            raise ValueError("page_texts must have one entry per page")
+        font_num = 3 + n_pages + (1 if has_info else 0)
+        cont_base = font_num + 1
     kids = " ".join(f"{3 + i} 0 R" for i in range(n_pages))
     objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
     objs.append(
         f"<< /Type /Pages /Count {n_pages} /Kids [ {kids} ] >>".encode()
     )
-    for _ in range(n_pages):
-        objs.append(
-            b"<< /Type /Page /Parent 2 0 R"
-            b" /MediaBox [ 0 0 612 792 ] >>"
-        )
+    for i in range(n_pages):
+        page = "<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ]"
+        if page_texts is not None:
+            c0 = cont_base + i * per_page
+            contents = (f"[ {c0} 0 R {c0 + 1} 0 R ]" if contents_array
+                        else f"{c0} 0 R")
+            page += (f" /Resources << /Font << /F1 {font_num} 0 R >> >>"
+                     f" /Contents {contents}")
+        objs.append((page + " >>").encode())
     info_num = None
-    if title is not None or author is not None:
+    if has_info:
         parts = []
         if title is not None:
             parts.append(f"/Title ({esc(title)})")
@@ -515,6 +547,48 @@ def pdf_encode_meta_fixture(
         parts.append("/Producer (pdc-spark)")
         objs.append(f"<< {' '.join(parts)} >>".encode())
         info_num = len(objs)
+
+    if page_texts is not None:
+        import zlib as _zlib
+
+        subtype = "/Type0" if type0_font else "/Type1"
+        objs.append(
+            f"<< /Type /Font /Subtype {subtype}"
+            f" /BaseFont /Helvetica >>".encode()
+        )
+        assert len(objs) == font_num
+
+        def content_stream(src: str, continuation: bool = False) -> bytes:
+            lines = src.split("\n")
+            lead = "0 -14 Td " if continuation else ""
+            ops = [f"BT /F1 12 Tf {lead}({esc(lines[0])}) Tj"]
+            for ln in lines[1:]:
+                ops.append(f"0 -14 Td ({esc(ln)}) Tj")
+            data = (" ".join(ops) + " ET").encode("latin-1")
+            if compress_text:
+                z = _zlib.compress(data)
+                return (f"<< /Length {len(z)} /Filter /FlateDecode"
+                        f" >>\nstream\n".encode() + z + b"\nendstream")
+            return (f"<< /Length {len(data)} >>\nstream\n".encode()
+                    + data + b"\nendstream")
+
+        for i, text in enumerate(page_texts):
+            if contents_array:
+                # split at a LINE boundary (mid-word splits would change
+                # the extracted text under the Td→newline heuristic —
+                # that loss is inherent to untagged PDFs, not a fixture
+                # property we want); single-line pages duplicate the
+                # stream pair with an empty continuation
+                cut = text.find("\n")
+                head = text[:cut] if cut > 0 else text
+                tail = text[cut + 1:] if cut > 0 else ""
+                objs.append(content_stream(head))
+                if tail:
+                    objs.append(content_stream(tail, continuation=True))
+                else:
+                    objs.append(content_stream(""))   # empty () Tj
+            else:
+                objs.append(content_stream(text))
 
     out = bytearray(f"%PDF-{version}\n".encode())
     offsets = [0]                                   # object 0: free
@@ -737,3 +811,191 @@ def pdf_encode_xrefstream_fixture(
     else:
         out.extend(f"startxref\n{xref_off}\n%%EOF\n".encode())
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Text extraction (r17) — PDFs are a large share of quality tokens in
+# public corpora; after the metadata triage, the next pipeline step is
+# pulling the text itself out of page content streams.
+# --------------------------------------------------------------------------
+
+_OP_RE = re.compile(rb"[A-Za-z'\"*][A-Za-z0-9'\"*]{0,2}")
+
+
+def _content_text(data: bytes) -> str:
+    """Text-show operators out of ONE decoded content stream: a postfix
+    token walk collecting operands, emitting on Tj / ' / \" / TJ, with
+    the line-advance operators (Td/TD/T*/'/\") contributing newlines —
+    the standard reading-order heuristic for untagged PDFs."""
+    parts: list[str] = []
+    pending: list = []
+    p = 0
+    n = len(data)
+    while p < n:
+        p = _skip_ws(data, p)
+        if p >= n:
+            break
+        c = data[p:p + 1]
+        if c in b"(<[/" or c in b"+-." or c.isdigit():
+            try:
+                val, p = _parse_object(data, p)
+            except ValueError:
+                p += 1
+                continue
+            pending.append(val)
+            continue
+        m = _OP_RE.match(data, p)
+        if not m:
+            raise ValueError("bad PDF content-stream token")
+        op = m.group(0)
+        p = m.end()
+        if op == b"Tj":
+            if pending and isinstance(pending[-1], str):
+                parts.append(pending[-1])
+        elif op in (b"'", b'"'):
+            if pending and isinstance(pending[-1], str):
+                parts.append("\n")
+                parts.append(pending[-1])
+        elif op == b"TJ":
+            if pending and isinstance(pending[-1], list):
+                parts.extend(s for s in pending[-1] if isinstance(s, str))
+        elif op in (b"Td", b"TD", b"T*"):
+            if parts:
+                parts.append("\n")
+        pending.clear()
+    text = "".join(parts)
+    return re.sub(r"\n+", "\n", text).strip("\n")
+
+
+def pdf_text_walk(blob: bytes) -> dict:
+    """{page_count, texts: [per-page str]} — page-tree walk, /Contents
+    streams decoded (Flate or raw) and lexed for text-show operators.
+
+    Honest scope: simple 8-bit fonts only — a page whose /Resources
+    declares a /Subtype /Type0 (CID/composite) font raises
+    NotImplementedError (the dead-letter class: extracting those needs
+    the font's CMap); encrypted PDFs raise upstream in _pdf_open."""
+    try:
+        return _pdf_text_walk_impl(blob)
+    except (ValueError, NotImplementedError):
+        raise
+    except (IndexError, KeyError, TypeError, AttributeError,
+            OverflowError, RecursionError) as e:
+        raise ValueError(f"corrupt PDF ({type(e).__name__})") from e
+
+
+def _pdf_text_walk_impl(blob: bytes) -> dict:
+    _version, trailer, entries, resolve = _pdf_open(blob)
+    root = resolve(trailer.get("/Root"))
+    if not isinstance(root, dict):
+        raise ValueError("PDF trailer has no /Root catalog")
+    pages_node = resolve(root.get("/Pages"))
+    if not isinstance(pages_node, dict):
+        raise ValueError("PDF catalog has no /Pages tree")
+
+    def page_refs(node: dict, depth: int = 0) -> list:
+        if depth > 32:
+            raise ValueError("PDF page tree too deep")
+        out = []
+        for kid_ref in resolve(node.get("/Kids")) or []:
+            kid = resolve(kid_ref)
+            if not isinstance(kid, dict):
+                raise ValueError("bad /Kids entry")
+            if kid.get("/Type") == "/Pages":
+                out.extend(page_refs(kid, depth + 1))
+            else:
+                out.append(kid)
+        return out
+
+    def stream_bytes(ref) -> bytes:
+        if isinstance(ref, _Ref):
+            ent = entries.get(ref.num)
+            if ent is None or ent[0] != "r":
+                raise ValueError("content stream has no direct offset")
+            d, raw = _read_stream(blob, ent[1])
+            return _decode_stream(d, raw)
+        raise ValueError("page /Contents is not a stream reference")
+
+    texts = []
+    for page in page_refs(pages_node):
+        res = resolve(page.get("/Resources"))
+        if isinstance(res, dict):
+            fonts = resolve(res.get("/Font"))
+            if isinstance(fonts, dict):
+                for fref in fonts.values():
+                    fd = resolve(fref)
+                    if isinstance(fd, dict) and fd.get("/Subtype") == "/Type0":
+                        raise NotImplementedError(
+                            "composite (Type0/CID) font text extraction")
+        contents = resolve(page.get("/Contents"))
+        if contents is None:
+            texts.append("")
+            continue
+        if isinstance(contents, list):
+            data = b"\n".join(stream_bytes(r) for r in contents)
+        else:
+            # a direct single stream: /Contents resolves to its DICT;
+            # re-read through the entry so the raw bytes come along
+            data = stream_bytes(page.get("/Contents"))
+        texts.append(_content_text(data))
+    return {"page_count": len(texts), "texts": texts}
+
+
+PDF_TEXT_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("page", T.IntegerType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("n_chars", T.IntegerType()),
+])
+
+
+def pdf_page_text(media_df: DataFrame, id_col: str = "doc_id",
+                  media_col: str = "media") -> DataFrame:
+    """``pdf_text_walk`` over a binary column via ``mapInPandas`` — one
+    row per PAGE (the row-expansion shape of decode_video_frames)."""
+
+    def _walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {f.name: [] for f in PDF_TEXT_SCHEMA.fields}
+            for doc_id, blob in zip(pdf[id_col], pdf[media_col]):
+                t = pdf_text_walk(bytes(blob))
+                for i, text in enumerate(t["texts"]):
+                    rows["doc_id"].append(int(doc_id))
+                    rows["page"].append(i)
+                    rows["text"].append(text)
+                    rows["n_chars"].append(len(text))
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(_walk, schema=PDF_TEXT_SCHEMA)
+
+
+def synth_pdf_text_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """PDF-with-content-streams fixture, closed-form in doc_id ``d``:
+    1 + d%3 pages; page ``p`` carries 2 + (d+p)%2 lines, line ``l`` =
+    ``"doc {d} page {p} line {l}"``; FlateDecode on odd docs, a
+    two-stream /Contents array on d%4==2."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                np_ = 1 + d % 3
+                texts = [
+                    "\n".join(f"doc {d} page {p} line {line}"
+                              for line in range(2 + (d + p) % 2))
+                    for p in range(np_)
+                ]
+                ids.append(d)
+                blobs.append(pdf_encode_meta_fixture(
+                    np_, page_texts=texts,
+                    compress_text=d % 2 == 1,
+                    contents_array=d % 4 == 2,
+                ))
+            yield pd.DataFrame({"doc_id": ids, "media": blobs})
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media", T.BinaryType()),
+    ])
+    return ids_df.select(id_col).mapInPandas(_synth, schema=schema)

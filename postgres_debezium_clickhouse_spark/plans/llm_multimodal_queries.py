@@ -563,6 +563,22 @@ def q_multimodal_decode_vp8l(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vp8l_pixel_stats(synth_vp8l_docs(docs))
 
 
+def q_multimodal_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r17 — PDF TEXT EXTRACTION (operators/pdfmeta.py pdf_text_walk):
+    after the metadata triage, the step a training pipeline actually
+    needs from the highest-volume document format — page-tree walk,
+    /Contents streams (FlateDecode and raw, single and two-stream
+    arrays) lexed as postfix content programs: Tj / ' / " / TJ shows,
+    Td/TD/T* line advances → newlines.  Composite (Type0/CID) fonts
+    dead-letter honestly — extracting those needs the font CMap.  One
+    row per PAGE (the row-expansion shape); the oracle restates every
+    page's full text string closed-form."""
+    from ..operators.pdfmeta import pdf_page_text, synth_pdf_text_docs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return pdf_page_text(synth_pdf_text_docs(docs))
+
+
 def q_multimodal_office_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r16 — ZIP container walk + Office/EPUB metadata
     (operators/containers.py): docx/xlsx/pptx are OPC zips and epub is
@@ -607,6 +623,7 @@ QUERIES = {
     "multimodal_webp_meta": q_multimodal_webp_meta,
     "multimodal_webm_meta": q_multimodal_webm_meta,
     "multimodal_decode_vp8l": q_multimodal_decode_vp8l,
+    "multimodal_pdf_text": q_multimodal_pdf_text,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_resize_real": q_multimodal_resize,
     "multimodal_video_frames": q_multimodal_video,
@@ -1295,6 +1312,29 @@ ORACLES["multimodal_decode_vp8l"] = """
            CAST(COUNT(DISTINCT a * 16777216 + r * 65536 + g * 256 + b)
                 AS INT) AS n_distinct
     FROM ch GROUP BY doc_id
+"""
+
+ORACLES["multimodal_pdf_text"] = """
+    WITH p AS (
+        SELECT doc_id, CAST(1 + doc_id % 3 AS INT) AS np FROM documents
+    ),
+    pg AS (
+        SELECT p.doc_id, CAST(j.j AS INT) AS page
+        FROM p CROSS JOIN LATERAL (SELECT unnest(range(0, p.np))) j(j)
+    ),
+    t AS (
+        SELECT doc_id, page,
+               'doc ' || doc_id || ' page ' || page || ' line 0'
+               || chr(10)
+               || 'doc ' || doc_id || ' page ' || page || ' line 1'
+               || CASE WHEN (doc_id + page) % 2 = 1
+                       THEN chr(10) || 'doc ' || doc_id || ' page '
+                            || page || ' line 2'
+                       ELSE '' END AS text
+        FROM pg
+    )
+    SELECT doc_id, page, text, CAST(length(text) AS INT) AS n_chars
+    FROM t
 """
 
 ORACLES["multimodal_office_meta"] = """

@@ -34,6 +34,53 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(load_table(spark, sf_dir, "documents"))
 
 
+def q_text_main_content_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r17 — the COMPOSITION the r16 verdict's item-3 done-criterion
+    names: main-content extraction feeding quality scoring, exactly
+    where real curation runs it (extract article → THEN score).  The
+    fixture is the chrome-vs-article page with VARIED article words
+    ('w'||(t%13) at global token position t, so diversity/length are
+    non-degenerate); main_content keeps h1+paragraphs, quality_score
+    runs over the EXTRACTED text only, and the oracle restates every
+    quality column from the closed-form token stream — chrome leaking
+    into the extraction would flip len_ok/diversity and fail the
+    hash."""
+    from ..operators.text import main_content, quality_score
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    h = F.lit(2) + F.col("doc_id") % 4
+    np_ = F.lit(1) + F.col("doc_id") % 3
+    wc = F.lit(18) + (F.col("doc_id") % 5) * 2
+    docs = (docs.withColumn("__h", h).withColumn("__np", np_)
+            .withColumn("__wc", wc))
+    h1 = F.expr("concat_ws(' ', transform(sequence(0, __h - 1),"
+                " i -> concat('w', i % 13)))")
+    paras = F.expr(
+        "concat_ws('', transform(sequence(0, __np - 1),"
+        " p -> concat('<p>', concat_ws(' ', transform("
+        "sequence(0, __wc - 1),"
+        " i -> concat('w', (__h + p * __wc + i) % 13))), '</p>')))"
+    )
+    html = F.concat(
+        F.lit("<nav><a>n1</a> <a>n2</a> <a>n3</a></nav><h1>"), h1,
+        F.lit("</h1>"), paras,
+        F.lit("<div><a>r r</a> x</div>"
+              "<footer><a>f</a> <a>f2</a></footer>"),
+    )
+    main = main_content(docs.withColumn("html", html))
+    qual = quality_score(
+        main.select("doc_id", F.col("main_text").alias("text"),
+                    "n_content_blocks", "n_words_main"),
+        text_col="text",
+    )
+    return (
+        main.select("doc_id", "n_content_blocks", "n_words_main")
+        .join(qual, "doc_id")
+        .select("doc_id", "n_content_blocks", "n_words_main",
+                "token_diversity", "stopword_ratio", "len_ok", "keep")
+    )
+
+
 def q_text_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r17 — TRAINED language ID (operators/classifier.py
     train_langid_classifier/langid_score): replaces the stopword-marker
@@ -63,7 +110,12 @@ def q_text_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("lang", lang_c)
         .withColumn("text", F.concat_ws(" ", *shared, *langw))
     )
-    models = train_langid_classifier(docs, langs)
+    # train on a bounded SAMPLE (the operator's design: the per-bucket
+    # count features are O(dim·tokens) per row and exist only at
+    # training time); score the FULL corpus map-only.  doc_id is dense
+    # from 0, so this is a deterministic 20k-doc cap at any SF.
+    models = train_langid_classifier(
+        docs.filter(F.col("doc_id") < 20_000), langs)
     return langid_score(docs, models).select("doc_id", "detected_lang")
 
 
@@ -520,6 +572,7 @@ QUERIES = {
     "text_repetition": q_repetition,
     "text_boilerplate": q_text_boilerplate,
     "text_main_content": q_text_main_content,
+    "text_main_content_pipeline": q_text_main_content_pipeline,
     "text_pii_scrub": q_pii_scrub,
     "text_tfidf_top_terms": q_tfidf,
     "text_bm25_topk": q_text_bm25_topk,
@@ -1387,6 +1440,28 @@ ORACLES = {
                      [array_to_string(tk[i:i+2], ' ')
                       for i in range(1, len(tk) - 1)] AS sh
               FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents))
+    """,
+    "text_main_content_pipeline": """
+        WITH p AS (
+            SELECT doc_id,
+                   (2 + doc_id % 4)
+                   + (1 + doc_id % 3) * (18 + 2 * (doc_id % 5)) AS n
+            FROM documents
+        ),
+        q AS (
+            SELECT doc_id, n,
+                   3 * n - 1 + 3 * (n // 13)
+                   + GREATEST(0, n % 13 - 10) AS len
+            FROM p
+        )
+        SELECT doc_id,
+               CAST(2 + doc_id % 3 AS INT) AS n_content_blocks,
+               CAST(n AS BIGINT) AS n_words_main,
+               ROUND(13.0 / n, 4) AS token_diversity,
+               0.0 AS stopword_ratio,
+               len BETWEEN 100 AND 1000 AS len_ok,
+               len BETWEEN 100 AND 1000 AS keep
+        FROM q
     """,
     "text_main_content": """
         SELECT doc_id,

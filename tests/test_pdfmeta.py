@@ -156,3 +156,42 @@ def test_hybrid_reference_xrefstm_precedence():
             pdf_meta_walk(bytes(bb))
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_pdf_text_extraction():
+    # r17: content-stream text extraction — Tj/Td lexing, FlateDecode,
+    # two-stream /Contents arrays, escapes, Type0 dead-letter, and the
+    # metadata walk still green over content-bearing files.
+    import random as _random
+
+    from postgres_debezium_clickhouse_spark.operators.pdfmeta import (
+        pdf_encode_meta_fixture,
+        pdf_text_walk,
+    )
+
+    texts = ["hello world\nsecond line", "page two text"]
+    for kw in ({}, {"compress_text": True}, {"contents_array": True},
+               {"compress_text": True, "contents_array": True}):
+        b = pdf_encode_meta_fixture(2, "t", "a", page_texts=texts, **kw)
+        assert pdf_meta_walk(b)["page_count"] == 2
+        assert pdf_text_walk(b)["texts"] == texts, kw
+    with pytest.raises(NotImplementedError, match="Type0"):
+        pdf_text_walk(pdf_encode_meta_fixture(
+            1, page_texts=["x"], type0_font=True))
+    b = pdf_encode_meta_fixture(1, page_texts=["par(en) and \\ back"])
+    assert pdf_text_walk(b)["texts"][0] == "par(en) and \\ back"
+    # pages without contents extract as empty, not as errors
+    assert pdf_text_walk(pdf_encode_meta_fixture(3, "t", "a"))["texts"] \
+        == ["", "", ""]
+    # fuzz: wrong answers never escape, only dead-letter
+    rng = _random.Random(23)
+    base = pdf_encode_meta_fixture(2, "t", "a", page_texts=texts,
+                                   compress_text=True)
+    for _ in range(2000):
+        bb = bytearray(base)
+        for _f in range(rng.randint(1, 3)):
+            bb[rng.randrange(len(bb))] = rng.randrange(256)
+        try:
+            pdf_text_walk(bytes(bb))
+        except (ValueError, NotImplementedError):
+            pass
