@@ -204,7 +204,8 @@ def langid_score(
             f" cast({_bucket_expr('t', dim)} + 1 as int))),"
             f" cast({int(bias)} as bigint), (a, x) -> a + x)"
         )
-    mx = F.greatest(*[margins[lang] for lang in langs])
+    cols = [margins[lang] for lang in langs]
+    mx = cols[0] if len(cols) == 1 else F.greatest(*cols)
     chain = F.when(F.lit(False), "und")
     for lang in langs:
         chain = chain.when(margins[lang] == mx, lang)

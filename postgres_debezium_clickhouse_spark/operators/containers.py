@@ -49,8 +49,12 @@ _LFH = b"PK\x03\x04"
 
 def zip_walk(blob: bytes) -> dict:
     """{n_members, members: [{name, method, usize, csize, crc}]} from
-    the central directory (the authoritative index — appended junk or
-    data descriptors never confuse it)."""
+    the central directory (the authoritative index — data descriptors
+    never confuse it).  The EOCD scan is STRICT (r17): every candidate
+    must run exactly to end-of-blob per its comment length, so a
+    comment containing the EOCD signature cannot empty the archive —
+    and, deliberately, trailing junk appended past the EOCD now
+    dead-letters as ValueError instead of being silently ignored."""
     try:
         return _zip_walk_impl(blob)
     except (ValueError, NotImplementedError):

@@ -1016,19 +1016,24 @@ def decode_image(blob: bytes) -> dict:
     if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
         if blob[12:16] == b"VP8L":
             # full lossless decode (r17, operators/vp8l.py); ARGB →
-            # the decode contract's channel planes
-            import struct as _struct
-
+            # the decode contract's sample stream (RGB, or RGBA when
+            # the header declares an alpha plane — the PNG convention)
             from .vp8l import vp8l_decode
 
-            size = _struct.unpack("<I", blob[16:20])[0]
+            size = struct.unpack("<I", blob[16:20])[0]
             d = vp8l_decode(blob[20:20 + size])
-            px = d["pixels"]
             flat = bytearray()
-            for p in px:
-                flat += bytes(((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF))
+            if d["has_alpha"]:
+                for p in d["pixels"]:
+                    flat += bytes(((p >> 16) & 0xFF, (p >> 8) & 0xFF,
+                                   p & 0xFF, (p >> 24) & 0xFF))
+            else:
+                for p in d["pixels"]:
+                    flat += bytes(((p >> 16) & 0xFF, (p >> 8) & 0xFF,
+                                   p & 0xFF))
             return {"format": "webp", "width": d["width"],
-                    "height": d["height"], "channels": 3,
+                    "height": d["height"],
+                    "channels": 4 if d["has_alpha"] else 3,
                     "pixels": bytes(flat)}
         raise NotImplementedError(
             "lossy/extended WebP pixel decode needs a VP8 codec; "

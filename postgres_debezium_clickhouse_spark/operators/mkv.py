@@ -171,11 +171,14 @@ def _mkv_meta_walk_impl(blob: bytes) -> dict:
                                 if eid3 == _CONTENT_ENCRYPTION:
                                     raise NotImplementedError(
                                         "encrypted Matroska track")
-                if ttype == 1:
-                    video_codec = video_codec or codec
+                if ttype == 1 and video_codec is None:
+                    # FIRST video track wins as a unit — codec and dims
+                    # must come from the same TrackEntry (a trailing
+                    # thumbnail track must not overwrite the dims)
+                    video_codec = codec
                     width, height = tw, th
-                elif ttype == 2:
-                    audio_codec = audio_codec or codec
+                elif ttype == 2 and audio_codec is None:
+                    audio_codec = codec
     if timescale == 0:
         raise ValueError("zero TimestampScale")
     if n_tracks == 0:

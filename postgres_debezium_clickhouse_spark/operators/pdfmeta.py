@@ -849,6 +849,12 @@ def _content_text(data: bytes) -> str:
             raise ValueError("bad PDF content-stream token")
         op = m.group(0)
         p = m.end()
+        if op == b"BI":
+            # inline image: ID is followed by raw binary the lexer
+            # cannot skip without parsing the image dict — honest
+            # unsupported class, not 'corrupt'
+            raise NotImplementedError("inline image (BI/ID/EI) in "
+                                      "PDF content stream")
         if op == b"Tj":
             if pending and isinstance(pending[-1], str):
                 parts.append(pending[-1])
@@ -871,10 +877,12 @@ def pdf_text_walk(blob: bytes) -> dict:
     """{page_count, texts: [per-page str]} — page-tree walk, /Contents
     streams decoded (Flate or raw) and lexed for text-show operators.
 
-    Honest scope: simple 8-bit fonts only — a page whose /Resources
+    Honest scope: simple 8-bit fonts only — a page whose effective
+    /Resources (own or INHERITED through the page tree, §7.7.3.4)
     declares a /Subtype /Type0 (CID/composite) font raises
-    NotImplementedError (the dead-letter class: extracting those needs
-    the font's CMap); encrypted PDFs raise upstream in _pdf_open."""
+    NotImplementedError (extracting those needs the font's CMap), as
+    do inline images (BI/ID/EI — raw binary the text lexer cannot
+    skip); encrypted PDFs raise upstream in _pdf_open."""
     try:
         return _pdf_text_walk_impl(blob)
     except (ValueError, NotImplementedError):
@@ -893,18 +901,25 @@ def _pdf_text_walk_impl(blob: bytes) -> dict:
     if not isinstance(pages_node, dict):
         raise ValueError("PDF catalog has no /Pages tree")
 
-    def page_refs(node: dict, depth: int = 0) -> list:
+    def page_refs(node: dict, inherited_res=None, depth: int = 0) -> list:
+        # /Resources is an INHERITABLE page attribute (ISO 32000-1
+        # §7.7.3.4): a page without its own dict uses the nearest
+        # ancestor's — the Type0 dead-letter check must see it
         if depth > 32:
             raise ValueError("PDF page tree too deep")
+        res = resolve(node.get("/Resources"))
+        if not isinstance(res, dict):
+            res = inherited_res
         out = []
         for kid_ref in resolve(node.get("/Kids")) or []:
             kid = resolve(kid_ref)
             if not isinstance(kid, dict):
                 raise ValueError("bad /Kids entry")
             if kid.get("/Type") == "/Pages":
-                out.extend(page_refs(kid, depth + 1))
+                out.extend(page_refs(kid, res, depth + 1))
             else:
-                out.append(kid)
+                kres = resolve(kid.get("/Resources"))
+                out.append((kid, kres if isinstance(kres, dict) else res))
         return out
 
     def stream_bytes(ref) -> bytes:
@@ -917,8 +932,7 @@ def _pdf_text_walk_impl(blob: bytes) -> dict:
         raise ValueError("page /Contents is not a stream reference")
 
     texts = []
-    for page in page_refs(pages_node):
-        res = resolve(page.get("/Resources"))
+    for page, res in page_refs(pages_node):
         if isinstance(res, dict):
             fonts = resolve(res.get("/Font"))
             if isinstance(fonts, dict):

@@ -2410,7 +2410,7 @@ def main_content(documents: DataFrame, id_col: str = "doc_id",
     blocks = blocks.withColumn("__keep", is_content)
     kept = F.when(F.col("__keep"),
                   F.struct(F.col("__bidx"), F.col("__clean")))
-    return blocks.groupBy(id_col).agg(
+    agg = blocks.groupBy(id_col).agg(
         F.concat_ws(" ", F.transform(
             F.array_sort(F.collect_list(kept)), lambda s: s["__clean"]
         )).alias("main_text"),
@@ -2421,4 +2421,17 @@ def main_content(documents: DataFrame, id_col: str = "doc_id",
             .cast("long").alias("n_words_main"),
         F.sum(F.when(~F.col("__keep"), F.col("__nw")).otherwise(0))
             .cast("long").alias("n_words_boiler"),
+    )
+    # a document with zero non-empty blocks (empty/NULL/pure-markup
+    # html) must still come out — as an empty row, not silently dropped
+    # from the corpus
+    return documents.select(F.col(id_col)).join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("main_text", F.lit("")).alias("main_text"),
+        F.coalesce("n_blocks", F.lit(0)).alias("n_blocks"),
+        F.coalesce("n_content_blocks", F.lit(0)).alias("n_content_blocks"),
+        F.coalesce("n_words_main", F.lit(0).cast("long"))
+            .alias("n_words_main"),
+        F.coalesce("n_words_boiler", F.lit(0).cast("long"))
+            .alias("n_words_boiler"),
     )

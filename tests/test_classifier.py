@@ -161,3 +161,18 @@ def test_langid_trained_recovers_planted_and_follows_label_flip(spark):
         F.col("lang"))).where(
         F.col("detected_lang") != F.col("expect")).count()
     assert mismatch == 0
+
+
+def test_langid_score_single_language(spark):
+    # r17 review fix: one-language models (binary detect) must not
+    # crash F.greatest
+    from pyspark.sql import functions as F
+
+    from postgres_debezium_clickhouse_spark.operators.classifier import (
+        langid_score,
+    )
+
+    df = spark.range(5).withColumnRenamed("id", "doc_id").withColumn(
+        "text", F.lit("hello world"))
+    out = langid_score(df, {"en": ([10] * 16, 0)}).collect()
+    assert all(r.detected_lang == "en" for r in out)

@@ -981,3 +981,19 @@ def test_main_content_rules_and_planted_contrast(spark):
     df3 = spark.createDataFrame([(3, html3)], "doc_id long, html string")
     row3 = main_content(df3).collect()[0]
     assert row3["n_blocks"] == 3 and row3["n_content_blocks"] == 0
+
+
+def test_main_content_empty_docs_not_dropped(spark):
+    # r17 review fix: zero-non-empty-block docs come out as EMPTY rows,
+    # never silently vanish from the corpus
+    from postgres_debezium_clickhouse_spark.operators.text import main_content
+
+    df = spark.createDataFrame(
+        [(1, "<div></div><nav></nav>"), (2, ""),
+         (3, "<p>" + " ".join(f"t{i}" for i in range(20)) + "</p>")],
+        "doc_id long, html string")
+    rows = {r.doc_id: r for r in main_content(df).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].main_text == "" and rows[1].n_blocks == 0
+    assert rows[2].n_words_main == 0 and rows[2].n_words_boiler == 0
+    assert rows[3].n_content_blocks == 1
