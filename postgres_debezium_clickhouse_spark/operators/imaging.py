@@ -1020,6 +1020,8 @@ def decode_image(blob: bytes) -> dict:
             # the header declares an alpha plane — the PNG convention)
             from .vp8l import vp8l_decode
 
+            if len(blob) < 20:
+                raise ValueError("truncated WebP VP8L chunk header")
             size = struct.unpack("<I", blob[16:20])[0]
             d = vp8l_decode(blob[20:20 + size])
             flat = bytearray()

@@ -242,8 +242,12 @@ def mkv_encode_meta_fixture(
         + _el_uint(0x4287, 4)          # DocTypeVersion
         + _el_uint(0x4285, 2)          # DocTypeReadVersion
     ))
+    # spec default (1_000_000 ns) → element OMITTED, so the walk's
+    # absent-element default path carries fixture coverage (r17 review)
+    ts_el = (b"" if timescale_ns == 1_000_000
+             else _el_uint(_TIMESTAMP_SCALE, timescale_ns))
     info = _el(_INFO, (
-        _el_uint(_TIMESTAMP_SCALE, timescale_ns)
+        ts_el
         + _el(_DURATION, struct.pack(">d", duration_ticks))
         + _el(0x4D80, b"pdc-spark")    # MuxingApp
         + _el(0x5741, b"pdc-spark")    # WritingApp

@@ -833,14 +833,19 @@ class _Encoder:
 
     def _write_meta_literal_groups(self, bw: _BitWriter, pixels: list[int],
                                    width: int, mb: int) -> None:
-        """Two literal-only prefix-code groups selected per block by
-        ``(bx+by) % 2`` — exercises the decoder's meta-code lookup."""
+        """Literal-only prefix-code groups selected per block by
+        ``(bx+by) % 2`` — exercises the decoder's meta-code lookup.
+        The decoder reads ``max(meta)+1`` bundles, so the bundle count
+        must match the groups the block grid actually REACHES (a
+        single-block grid reaches only group 0 — emitting two bundles
+        would desync the stream)."""
         def group_of(i: int) -> int:
             x, y = i % width, i // width
             return ((x >> mb) + (y >> mb)) % 2
 
+        n_groups = max(group_of(i) for i in range(len(pixels))) + 1
         hists = [
-            {"g": {}, "r": {}, "b": {}, "a": {}} for _ in range(2)
+            {"g": {}, "r": {}, "b": {}, "a": {}} for _ in range(n_groups)
         ]
         for i, p in enumerate(pixels):
             hh = hists[group_of(i)]

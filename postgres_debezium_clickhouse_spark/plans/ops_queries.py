@@ -2604,7 +2604,7 @@ def cdc_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     1. Connector life with ``snapshot.mode=never``: only ODD orderkeys
        ever got a 'c' (ts 1e6); updates flow for all keys ≡0 mod 3
-       (ts 2e6+k, +100 'U'); keys ≡0 mod 9 get a second update AFTER the
+       (ts 2e6+k%1e6, +100 'U' — clamped BELOW the watermark at every scale; 2e6+k would cross W=5e6 once orderkeys reach 3e6); keys ≡0 mod 9 get a second update AFTER the
        watermark but BEFORE any chunk merges (ts 6e6+k, +70 more, 'V') —
        the window-dedup case: their chunk rows must lose.
     2. Signal at watermark W=5e6.  Table truth at W: base + the mod-3
@@ -2662,7 +2662,7 @@ def cdc_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev(orders.filter(k % 2 == 1), F.col("o_orderstatus"), base,
                "c", F.lit(1_000_000), 0)
             .unionByName(ev(orders.filter(k % 3 == 0), F.lit("U"),
-                            base + 100, "u", F.lit(2_000_000) + k, 1))
+                            base + 100, "u", F.lit(2_000_000) + k % 1_000_000, 1))
             .unionByName(ev(orders.filter(k % 9 == 0), F.lit("V"),
                             base + 170, "u", F.lit(6_000_000) + k, 2))
         )
@@ -2717,7 +2717,7 @@ def cdc_snapshot_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     1. Seed via the MULTI-TABLE txn sink: odd orderkeys arrive as one
        atomic transaction each — the 'hdr' row plus that order's
        lineitem rows (ts 1e6); headers ≡0 mod 3 then get a status-U /
-       +100 update txn (ts 2e6+k).
+       +100 update txn (ts 2e6+k%1e6, clamped below W at every scale).
     2. Signal at watermark W=5e6 over BOTH tables (hdr truth = orders
        with the mod-3 update; det truth = lineitem).  6 lockstep chunk
        cycles; after cycle 2 a mid-snapshot CROSS-TABLE txn batch lands:
@@ -2836,10 +2836,10 @@ def cdc_snapshot_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                              dval=F.col("l_quantity")))
             .unionByName(mux(odd_marker, None, None, F.lit(1_000_000),
                              F.lit(99), k * 100 + 99, total=F.col("__tot")))
-            .unionByName(mux(upd, "hdr", "u", F.lit(2_000_000) + k,
+            .unionByName(mux(upd, "hdr", "u", F.lit(2_000_000) + k % 1_000_000,
                              F.lit(0), k * 100 + 1, hval=F.lit("U"),
                              price=F.col("o_totalprice") + 100))
-            .unionByName(mux(upd, None, None, F.lit(2_000_000) + k,
+            .unionByName(mux(upd, None, None, F.lit(2_000_000) + k % 1_000_000,
                              F.lit(99), k * 100 + 98, total=F.lit(1)))
         )
         stream_txns(seed, "seed")
@@ -3033,7 +3033,7 @@ def cdc_snapshot_pause_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev(orders.filter(k % 2 == 1), F.col("o_orderstatus"), base,
                "c", F.lit(1_000_000), 0)
             .unionByName(ev(orders.filter(k % 3 == 0), F.lit("U"),
-                            base + 100, "u", F.lit(2_000_000) + k, 1))
+                            base + 100, "u", F.lit(2_000_000) + k % 1_000_000, 1))
             .unionByName(ev(orders.filter(k % 9 == 0), F.lit("V"),
                             base + 170, "u", F.lit(6_000_000) + k, 2))
         )
@@ -3155,7 +3155,7 @@ def cdc_snapshot_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev(orders.filter(k % 2 == 1), F.col("o_orderstatus"), base,
                "c", F.lit(1_000_000), 0)
             .unionByName(ev(orders.filter(k % 3 == 0), F.lit("U"),
-                            base + 100, "u", F.lit(2_000_000) + k, 1))
+                            base + 100, "u", F.lit(2_000_000) + k % 1_000_000, 1))
             .unionByName(ev(orders.filter(k % 9 == 0), F.lit("V"),
                             base + 170, "u", F.lit(6_000_000) + k, 2))
         )
@@ -3283,7 +3283,7 @@ def cdc_snapshot_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev(orders.filter(k % 2 == 1), F.col("o_orderstatus"), base,
                "c", F.lit(1_000_000), 0)
             .unionByName(ev(orders.filter(k % 3 == 0), F.lit("U"),
-                            base + 100, "u", F.lit(2_000_000) + k, 1))
+                            base + 100, "u", F.lit(2_000_000) + k % 1_000_000, 1))
             .unionByName(ev(orders.filter(k % 9 == 0), F.lit("V"),
                             base + 170, "u", F.lit(6_000_000) + k, 2))
         )

@@ -863,6 +863,14 @@ def run_incremental_snapshot_multi(
     for i in range(max_chunks):
         if _stop_requested(coord, sid):
             stopped = True
+            # consume-once: the stop marker cancels THIS run; a later
+            # re-backfill under the same signal_id must not be
+            # stillborn (the single-table flow drains markers through
+            # process_signals, which direct multi runs never transit)
+            try:
+                os.unlink(os.path.join(coord, SIGNAL_DIR, f"{sid}.stop"))
+            except FileNotFoundError:
+                pass
             break
         if _paused(coord):
             paused = True

@@ -827,3 +827,29 @@ def test_multi_table_snapshot_while_txns_stream(spark, dirs):
     assert types[-1] == "COMPLETED"
     # progress cleared on completion
     assert not os.path.exists(_progress_path(coord, sid))
+
+
+def test_multi_snapshot_stop_marker_consumed(spark, dirs):
+    # r17 second-pass review: honoring a stop must CONSUME the marker —
+    # a later re-backfill under the same signal_id runs instead of
+    # aborting stillborn
+    from postgres_debezium_clickhouse_spark.streaming.snapshot import (
+        run_incremental_snapshot_multi,
+        signal_stop_snapshot,
+    )
+
+    st = _multi_stores(dirs)
+    hdr = spark.createDataFrame([(i, f"H{i}") for i in range(8)],
+                                "hk long, hval string")
+    tables = {
+        "hdr": {"source_table": hdr, "path": st["hdr"]["path"],
+                "keys": ["hk"], "order_col": "hk"},
+    }
+    # coordinator = the first (sorted) table's path — 'hdr', the only one
+    signal_stop_snapshot(st["hdr"]["path"], "bf-1")
+    n = run_incremental_snapshot_multi(
+        tables, watermark_version=100, n_chunks=2, signal_id="bf-1")
+    assert n == 0                                    # stopped run
+    n2 = run_incremental_snapshot_multi(
+        tables, watermark_version=100, n_chunks=2, signal_id="bf-1")
+    assert n2 == 2                                   # marker consumed

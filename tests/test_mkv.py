@@ -70,3 +70,13 @@ def test_fuzz_never_wrong_only_deadletter():
             mkv_meta_walk(b[:cut])
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_default_timescale_element_absent():
+    # r17 second-pass review: the spec-default timescale is now encoded
+    # by OMITTING the element, so the walk's absent-element default
+    # path carries real fixture coverage
+    b = mkv_encode_meta_fixture("webm", 64, 36, duration_ticks=1250.0)
+    assert bytes.fromhex("2AD7B1") not in b
+    m = mkv_meta_walk(b)
+    assert m["timescale_ns"] == 1_000_000 and m["duration_ms"] == 1250

@@ -259,3 +259,13 @@ def test_fuzz_never_wrong_only_deadletter():
                 vp8l_decode(b[:cut])
             except ValueError:
                 pass
+
+
+def test_meta_groups_single_block_grid():
+    # r17 second-pass review: a meta grid of ONE block reaches only
+    # group 0 — the encoder must emit exactly max(meta)+1 bundles or
+    # the stream desyncs
+    rng = random.Random(9)
+    px = [(0xFF << 24) | rng.randrange(1 << 24) for _ in range(8 * 8)]
+    b = vp8l_encode_fixture(8, 8, px, meta_bits=5, use_lz77=False)
+    assert vp8l_decode(b)["pixels"] == px
