@@ -792,7 +792,18 @@ def id3v2_decode(blob: bytes) -> tuple[dict, int]:
                 tags[fid.decode("latin-1")] = text.split(b"\x00")[0].decode(
                     "utf-8", "replace"
                 )
-            # UTF-16 variants (1/2) skipped: fixture-free, rare in crawl
+            elif enc in (1, 2):
+                # UTF-16 (r17): enc 1 = BOM-prefixed (the Windows
+                # encoder default — common in the wild, not rare),
+                # enc 2 = BE without BOM (v2.4); terminator is the
+                # 16-bit NUL pair at an even offset
+                raw = text
+                for q in range(0, len(raw) - 1, 2):
+                    if raw[q:q + 2] == b"\x00\x00":
+                        raw = raw[:q]
+                        break
+                codec = "utf-16" if enc == 1 else "utf-16-be"
+                tags[fid.decode("latin-1")] = raw.decode(codec, "replace")
         p += 10 + fsize
     return tags, end
 

@@ -469,3 +469,44 @@ def test_mp3_trailing_id3v1_tag_terminates_walk_cleanly():
     # mid-stream 'TAG' bytes that are NOT a trailing block still raise
     with _pytest.raises(ValueError):
         mp3_meta_walk(base + id3v1 + b"junk")
+
+
+def test_id3v2_utf16_text_frames():
+    # r17: enc=1 (UTF-16 with BOM, both endiannesses — the Windows
+    # encoder default) and enc=2 (UTF-16BE, v2.4) decode; 16-bit NUL
+    # terminates
+    from postgres_debezium_clickhouse_spark.operators.audio import (
+        id3v2_decode,
+        mp3_encode_meta_fixture,
+        mp3_meta_walk,
+    )
+
+    def frame(fid, enc, payload):
+        body = bytes([enc]) + payload
+        return (fid.encode() + len(body).to_bytes(4, "big")
+                + b"\x00\x00" + body)
+
+    def tag(*frames):
+        body = b"".join(frames)
+        sz = len(body)
+        syncsafe = bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                          (sz >> 7) & 0x7F, sz & 0x7F])
+        return b"ID3\x03\x00\x00" + syncsafe + body
+
+    t = tag(
+        frame("TIT2", 1, "Tïtle".encode("utf-16")),          # LE BOM
+        frame("TPE1", 1, b"\xfe\xff" + "Ärtist".encode("utf-16-be")),  # BE BOM
+        frame("TALB", 2, "Albüm".encode("utf-16-be")
+              + b"\x00\x00trailing"),                        # NUL-terminated
+        frame("TCON", 0, b"Rock"),
+    )
+    tags, end = id3v2_decode(t)
+    assert tags["TIT2"] == "Tïtle"
+    assert tags["TPE1"] == "Ärtist"
+    assert tags["TALB"] == "Albüm"
+    assert tags["TCON"] == "Rock"
+    assert end == len(t)
+    # rides through the full walk on a real frame stream
+    stream = t + mp3_encode_meta_fixture(3)
+    m = mp3_meta_walk(stream)
+    assert m["tags"]["TIT2"] == "Tïtle" and m["n_frames"] == 3
