@@ -70,7 +70,16 @@ def plan_snapshot_chunks(
         return [(None, None)]
     probs = [i / n_chunks for i in range(1, n_chunks)]
     qs = table.approxQuantile(order_col, probs, 0.001)
-    cuts: list[float] = []
+    # approxQuantile returns floats; for an INTEGRAL order column the
+    # cut must go back to the column's type, or every chunk predicate
+    # compares `cast(col as double) >= <float>` — which BLOCKS parquet
+    # filter pushdown and turns each chunk scan into a full-table read
+    # (r17 plan pin caught this: PushedFilters carried only IsNotNull)
+    if dict(table.dtypes).get(order_col) in (
+        "bigint", "int", "smallint", "tinyint"
+    ):
+        qs = [int(q) for q in qs]
+    cuts: list = []
     for q in qs:
         if not cuts or q > cuts[-1]:
             cuts.append(q)
