@@ -836,6 +836,12 @@ def _content_text(data: bytes) -> str:
         if p >= n:
             break
         c = data[p:p + 1]
+        if c == b"%":
+            # %-comments are legal wherever whitespace may appear in a
+            # content stream (ISO 32000-1 §7.2.4) — skip to end-of-line
+            while p < n and data[p] not in b"\r\n":
+                p += 1
+            continue
         if c in b"(<[/" or c in b"+-." or c.isdigit():
             try:
                 val, p = _parse_object(data, p)
@@ -846,7 +852,11 @@ def _content_text(data: bytes) -> str:
             continue
         m = _OP_RE.match(data, p)
         if not m:
-            raise ValueError("bad PDF content-stream token")
+            # an unmatchable byte (stray delimiter, writer quirk) is not
+            # evidence of corruption — skip it; BI/ID/EI stays the one
+            # explicit NotImplementedError class below
+            p += 1
+            continue
         op = m.group(0)
         p = m.end()
         if op == b"BI":

@@ -516,9 +516,12 @@ def _apply_color_transform_inverse(px: list[int], w: int, h: int,
     for i in range(w * h):
         x, y = i % w, i // w
         e = elems[(y >> size_bits) * bw + (x >> size_bits)]
-        g2r = (e >> 16) & 0xFF                       # red byte of element
-        g2b = (e >> 8) & 0xFF                        # green byte
-        r2b = e & 0xFF                               # blue byte
+        # Spec §4.2.2 / libwebp ColorCodeToMultipliers: green_to_red lives in
+        # the BLUE byte (bits 0-7), green_to_blue in GREEN (8-15),
+        # red_to_blue in RED (16-23).
+        g2r = e & 0xFF
+        g2b = (e >> 8) & 0xFF
+        r2b = (e >> 16) & 0xFF
         p = px[i]
         a, r, g, b = _channels(p)
         r = (r + _ct_delta(g2r, g)) & 0xFF
@@ -777,9 +780,11 @@ class _Encoder:
 
     @staticmethod
     def _fwd_color(p: int, elem: int) -> int:
-        g2r = (elem >> 16) & 0xFF
+        # Mirror of _apply_color_transform_inverse: g2r=bits 0-7,
+        # g2b=bits 8-15, r2b=bits 16-23 (spec byte order, not RGB order).
+        g2r = elem & 0xFF
         g2b = (elem >> 8) & 0xFF
-        r2b = elem & 0xFF
+        r2b = (elem >> 16) & 0xFF
         a, r, g, b = _channels(p)
         r_res = (r - _ct_delta(g2r, g)) & 0xFF
         b_res = (b - _ct_delta(g2b, g) - _ct_delta(r2b, r)) & 0xFF

@@ -42,6 +42,8 @@ the resume is exactly-once-effective without coordination.
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import fcntl
 import json
 import os
@@ -55,6 +57,7 @@ from ..operators.upsert import apply_cdc
 from .pipeline import DEFAULT_SILVER_BUCKETS, _touched_bucket_merge
 
 SIGNAL_DIR = "_signals"
+_EPOCH_DATE = datetime.date(1970, 1, 1)
 
 
 def plan_snapshot_chunks(
@@ -69,20 +72,39 @@ def plan_snapshot_chunks(
     if n_chunks == 1:
         return [(None, None)]
     probs = [i / n_chunks for i in range(1, n_chunks)]
-    qs = table.approxQuantile(order_col, probs, 0.001)
-    # approxQuantile returns floats; for an INTEGRAL order column the
-    # cut must go back to the column's type, or every chunk predicate
-    # compares `cast(col as double) >= <float>` — which BLOCKS parquet
-    # filter pushdown and turns each chunk scan into a full-table read
-    # (r17 plan pin caught this: PushedFilters carried only IsNotNull)
-    if dict(table.dtypes).get(order_col) in (
-        "bigint", "int", "smallint", "tinyint"
-    ):
-        qs = [int(q) for q in qs]
+    dtype = dict(table.dtypes).get(order_col)
+    # approxQuantile returns floats; the cut must go back to the
+    # column's type, or every chunk predicate compares
+    # `cast(col as double) >= <float>` — which BLOCKS parquet filter
+    # pushdown and turns each chunk scan into a full-table read (r17
+    # plan pin caught this for integral PKs; r18 extends it to the
+    # other common Debezium ordering types, decimal(p,s) and date).
+    if dtype == "date":
+        # approxQuantile has no DateType support — quantile the
+        # epoch-day projection, convert cuts back to dates
+        qs = table.select(
+            F.unix_date(F.col(order_col)).alias("__oc")
+        ).approxQuantile("__oc", probs, 0.001)
+        qs = [_EPOCH_DATE + datetime.timedelta(days=int(q)) for q in qs]
+    else:
+        qs = table.approxQuantile(order_col, probs, 0.001)
+        if dtype in ("bigint", "int", "smallint", "tinyint"):
+            qs = [int(q) for q in qs]
+        elif dtype is not None and dtype.startswith("decimal"):
+            scale = int(dtype.rstrip(")").split(",")[1])
+            quant = decimal.Decimal(1).scaleb(-scale)
+            qs = [decimal.Decimal(repr(q)).quantize(
+                quant, rounding=decimal.ROUND_HALF_EVEN) for q in qs]
     cuts: list = []
     for q in qs:
         if not cuts or q > cuts[-1]:
             cuts.append(q)
+    # bounds round-trip through the JSON progress file (resume contract)
+    # — date/decimal cuts travel as strings; _chunk_pred's dtype cast
+    # re-types the literal (constant-folded, still pushdown-eligible)
+    cuts = [c.isoformat() if isinstance(c, datetime.date)
+            else str(c) if isinstance(c, decimal.Decimal) else c
+            for c in cuts]
     bounds: list[tuple[float | None, float | None]] = []
     lo: float | None = None
     for c in cuts:
@@ -92,15 +114,20 @@ def plan_snapshot_chunks(
     return bounds
 
 
-def _chunk_pred(order_col: str, lo: float | None, hi: float | None):
+def _chunk_pred(order_col: str, lo, hi, dtype: str | None = None):
+    """Half-open range predicate; ``dtype`` (the order column's Spark
+    type string) casts the literals to the column's exact type so the
+    comparison stays pushdown-eligible — a Python Decimal otherwise
+    becomes decimal(38,18) and a cast lands on the COLUMN instead."""
     col = F.col(order_col)
+    lit = (lambda v: F.lit(v).cast(dtype)) if dtype else F.lit
     if lo is None and hi is None:
         return F.lit(True)
     if lo is None:
-        return col < F.lit(hi)
+        return col < lit(hi)
     if hi is None:
-        return col >= F.lit(lo)
-    return (col >= F.lit(lo)) & (col < F.lit(hi))
+        return col >= lit(lo)
+    return (col >= lit(lo)) & (col < lit(hi))
 
 
 def signal_snapshot(
@@ -340,6 +367,7 @@ def run_incremental_snapshot(
                           {"signal_id": sid, "chunks_done": len(done)})
     merged = 0
     paused = stopped = False
+    order_dtype = dict(source_table.dtypes).get(order_col)
     for i, (lo, hi) in enumerate(bounds):
         if _stop_requested(path, sid):
             stopped = True
@@ -350,7 +378,7 @@ def run_incremental_snapshot(
         if i in done:
             continue
         chunk = (
-            source_table.filter(_chunk_pred(order_col, lo, hi))
+            source_table.filter(_chunk_pred(order_col, lo, hi, order_dtype))
             .withColumn(op_col, F.lit("r"))
             .withColumn(version_col, F.lit(watermark_version))
             .withColumn(tiebreak_col, F.lit(-1).cast("long"))
@@ -460,9 +488,11 @@ def run_blocking_snapshot(
         emit_notification(path, "Blocking Snapshot", "STARTED",
                           {"total_chunks": len(bounds)})
         started = True
+        order_dtype = dict(source_table.dtypes).get(order_col)
         for i, (lo, hi) in enumerate(bounds):
             chunk = (
-                source_table.filter(_chunk_pred(order_col, lo, hi))
+                source_table.filter(
+                    _chunk_pred(order_col, lo, hi, order_dtype))
                 .withColumn(op_col, F.lit("r"))
                 .withColumn(version_col, F.lit(watermark_version))
                 .withColumn(tiebreak_col, F.lit(-1).cast("long"))
@@ -889,8 +919,10 @@ def run_incremental_snapshot_multi(
                 continue
             lo, hi = bounds[t][i]
             order_col = tables[t]["order_col"]
+            order_dtype = dict(sources[t].dtypes).get(order_col)
             chunk = (
-                sources[t].filter(_chunk_pred(order_col, lo, hi))
+                sources[t].filter(
+                    _chunk_pred(order_col, lo, hi, order_dtype))
                 .withColumn(op_col, F.lit("r"))
                 .withColumn(version_col, F.lit(watermark_version))
                 .withColumn(tiebreak_col, F.lit(-1).cast("long"))

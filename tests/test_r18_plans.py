@@ -1,0 +1,68 @@
+"""Executed-plan pins for the r18 fixes — chunk-range pushdown must
+hold for the non-integral Debezium ordering types too (decimal(p,s)
+and date order columns), and the bounds must stay JSON-round-trippable
+for the resume contract."""
+
+from __future__ import annotations
+
+import json
+import re
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _pushed(plan: str) -> str:
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    return m.group(1) if m else ""
+
+
+def test_snapshot_chunk_pushdown_decimal_order_col(spark, tmp_path):
+    """r18 (ADVICE low): a decimal(p,s) order column — a common
+    Debezium PK type — must produce typed literals that reach
+    PushedFilters, not double-cast full scans."""
+    from postgres_debezium_clickhouse_spark.streaming.snapshot import (
+        _chunk_pred, plan_snapshot_chunks)
+
+    for dtype, expr in (
+        ("decimal(10,0)", F.col("id").cast("decimal(10,0)")),
+        ("decimal(12,2)", (F.col("id") / F.lit(4)).cast("decimal(12,2)")),
+    ):
+        p = str(tmp_path / dtype.replace("(", "_").replace(",", "_"))
+        spark.range(0, 1000).select(
+            expr.alias("k"), (F.col("id") * 2).alias("v")
+        ).write.parquet(p)
+        t = spark.read.parquet(p)
+        bounds = plan_snapshot_chunks(t, "k", 4)
+        # bounds must survive the JSON progress file round-trip
+        assert json.loads(json.dumps(bounds)) == [list(b) for b in bounds]
+        lo, hi = bounds[1]
+        pushed = _pushed(_plan(t.filter(_chunk_pred("k", lo, hi, dtype))))
+        assert "GreaterThanOrEqual" in pushed and "LessThan" in pushed, (
+            dtype, pushed)
+        assert sum(t.filter(_chunk_pred("k", lo_, hi_, dtype)).count()
+                   for lo_, hi_ in bounds) == 1000
+
+
+def test_snapshot_chunk_pushdown_date_order_col(spark, tmp_path):
+    from postgres_debezium_clickhouse_spark.streaming.snapshot import (
+        _chunk_pred, plan_snapshot_chunks)
+
+    p = str(tmp_path / "dt")
+    spark.range(0, 1000).select(
+        F.date_add(F.lit("2020-01-01").cast("date"),
+                   F.col("id").cast("int")).alias("k"),
+        F.col("id").alias("v"),
+    ).write.parquet(p)
+    t = spark.read.parquet(p)
+    bounds = plan_snapshot_chunks(t, "k", 4)
+    assert json.loads(json.dumps(bounds)) == [list(b) for b in bounds]
+    assert all(isinstance(v, str) for lo, hi in bounds[1:-1] for v in (lo, hi))
+    lo, hi = bounds[1]
+    pushed = _pushed(_plan(t.filter(_chunk_pred("k", lo, hi, "date"))))
+    assert "GreaterThanOrEqual" in pushed and "LessThan" in pushed, pushed
+    assert sum(t.filter(_chunk_pred("k", lo_, hi_, "date")).count()
+               for lo_, hi_ in bounds) == 1000

@@ -180,6 +180,39 @@ def test_hand_built_color_cache_reference():
     assert d["pixels"] == [P, Q, P]
 
 
+def test_hand_built_color_transform_asymmetric_element():
+    # r18 (ADVICE high): the transform element packs green_to_red in the
+    # BLUE byte, green_to_blue in GREEN, red_to_blue in RED (spec
+    # §4.2.2 / libwebp ColorCodeToMultipliers) — an asymmetric element
+    # (g2r != r2b) with pixels computed from the spec formulas, NOT the
+    # fixture encoder, so a byte-swapped reading cannot pass.
+    G2R, G2B, R2B = 0x40, 0x00, 0x20
+    Rc, G, Bc, A = 0x10, 0x20, 0x30, 0xFF
+    # spec: delta(t,c) = int8(t)*int8(c) >> 5, red updated before blue
+    r_fin = (Rc + ((G2R * G) >> 5)) & 0xFF          # 0x10 + 64 = 0x50
+    b_fin = (Bc + ((G2B * G) >> 5) + ((R2B * r_fin) >> 5)) & 0xFF  # 0x80
+    assert (r_fin, b_fin) == (0x50, 0x80)
+    bits = _Bits()
+    _header(bits, 1, 1)
+    bits.w(1, 1)                      # transform present
+    bits.w(1, 2)                      # type 1 = color transform
+    bits.w(0, 3)                      # size_bits = 2 → 1x1 block grid
+    # --- transform subimage (1x1): element pixel B=g2r, G=g2b, R=r2b
+    bits.w(0, 1)                      # no color cache
+    for sym in (G2B, R2B, G2R, A):    # green, red, blue, alpha codes
+        bits.w(1, 1); bits.w(0, 1); bits.w(1, 1); bits.w(sym, 8)
+    bits.w(1, 1); bits.w(0, 1); bits.w(0, 1); bits.w(0, 1)   # distance
+    # --- main image
+    bits.w(0, 1)                      # no more transforms
+    bits.w(0, 1)                      # no color cache
+    bits.w(0, 1)                      # no meta prefix codes
+    for sym in (G, Rc, Bc, A):
+        bits.w(1, 1); bits.w(0, 1); bits.w(1, 1); bits.w(sym, 8)
+    bits.w(1, 1); bits.w(0, 1); bits.w(0, 1); bits.w(0, 1)   # distance
+    d = vp8l_decode(bytes(bits.out))
+    assert d["pixels"] == [(A << 24) | (r_fin << 16) | (G << 8) | b_fin]
+
+
 def test_predictor_value_pins():
     # Select / ClampAddSubtract pinned against hand-computed values
     # from the spec pseudocode.
