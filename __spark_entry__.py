@@ -49,63 +49,14 @@ def entry(spark: SparkSession) -> DataFrame:
 _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries, analytics)
 
 _FRONT = (
-    # round-17 additions (never driver-checked), newest first, inserted
+    # round-18 additions (never driver-checked), newest first, inserted
     # here as they land.
-    "multimodal_pdf_text",           # r17: PDF content-stream text extraction
-    "text_main_content_pipeline",    # r17: main-content -> quality composition
-    "multimodal_decode_vp8l",        # r17: FULL VP8L lossless pixel decode
-    "multimodal_webm_meta",          # r17: WebM/Matroska EBML walk
-    "cdc_snapshot_multi_table",      # r17: multi-table snapshot x txn sink
-    "text_langid_trained",           # r17: trained multinomial lang-ID
-    "text_main_content",             # r17: boilerpipe main-content
-    "multimodal_webp_meta",          # r17: WebP header walk
-    "multimodal_video_mp4_meta",     # r17: MP4/ISOBMFF walk
-    # the 3 names the r16 window cut off at 50 (still r9 evidence)
-    "text_tfidf_top_terms",  # r9
-    "token_length_histogram",  # r9
-    "trn_passport_current",  # r9
+    "multimodal_video_fmp4_meta",    # r18: fragmented MP4 accounting
+    "multimodal_image_avif_meta",    # r18: AVIF/HEIF item-layer walk
+    "multimodal_audio_ogg_meta",     # r18: Ogg Vorbis/Opus walk
     # steady-state cycling (oldest driver evidence first — recomputed
-    # r17 from CORRECTNESS_r01..r16): the full r10-evidence cohort.
-    # With 8 names above, the ~50 window reaches ~42 of these 49;
-    # the remainder leads r18.
-    "buyer_segment_setops",  # r10
-    "cdc_bronze_stats",  # r10
-    "cdc_change_feed",  # r10
-    "cdc_deadletter_stats",  # r10
-    "cdc_first_image",  # r10
-    "cdc_json_extract_path",  # r10
-    "cdc_masked_customers",  # r10
-    "cdc_multiplex_route",  # r10
-    "cdc_rewrite_mode",  # r10
-    "check_violation_counts",  # r10
-    "chunk_content_defined",  # r10
-    "corpus_domain_blocklist",  # r10
-    "corpus_shard_manifest",  # r10
-    "corpus_training_order",  # r10
-    "corpus_vocab_coverage",  # r10
-    "customer_order_counts_outer",  # r10
-    "customers_with_orders_semi",  # r10
-    "customers_without_orders",  # r10
-    "dedup_chunks_crossdoc",  # r10
-    "events_hll_uniques",  # r10
-    "events_qsample_quantiles",  # r10
-    "latest_order_per_customer",  # r10
-    "line_totals_computed",  # r10
-    "lineitem_cube",  # r10
-    "lineitem_version_dedup",  # r10
-    "max_order",  # r10
-    "multimodal_audio_adpcm",  # r10
-    "multimodal_audio_features",  # r10
-    "multimodal_audio_g711",  # r10
-    "multimodal_audio_msadpcm",  # r10
-    "multimodal_decode_deadletter",  # r10
-    "multimodal_decode_formats",  # r10
-    "multimodal_decode_gif",  # r10
-    "multimodal_resize_real",  # r10
-    "nation_supplier_full_outer",  # r10
-    "object_store_avro_ingest",  # r10
-    "order_price_buckets",  # r10
-    "order_totals",  # r10
+    # r18 from CORRECTNESS_r01..r17): the 11-name r10-evidence
+    # remainder the r17 window cut, then the r11-evidence cohort.
     "orders_running_totals",  # r10
     "orders_status_dedup",  # r10
     "orders_status_pivot",  # r10
@@ -117,6 +68,54 @@ _FRONT = (
     "stream_agg_topk_state",  # r10
     "stream_projection_maintained",  # r10
     "stream_txn_consistent_state",  # r10
+    "cdc_hotkey_state",  # r11
+    "cdc_incremental_snapshot",  # r11
+    "cdc_replay_from_bronze",  # r11
+    "ch_array_join",  # r11
+    "ch_running_diff_neighbor",  # r11
+    "corpus_bpe_encode",  # r11
+    "corpus_bpe_merges",  # r11
+    "corpus_dedup_report",  # r11
+    "corpus_domain_pagerank",  # r11
+    "corpus_domain_quality",  # r11
+    "corpus_unigram_encode",  # r11
+    "corpus_unigram_vocab",  # r11
+    "corpus_weighted_sample",  # r11
+    "dedup_substring_spans",  # r11
+    "events_value_histogram",  # r11
+    "events_weighted_quantiles",  # r11
+    "events_window_funnel_strict",  # r11
+    "llm_multimodal_pipeline",  # r11
+    "multimodal_frames",  # r11
+    "multimodal_thumbnails",  # r11
+    "object_store_proto_ingest",  # r11
+    "object_store_tsv_ingest",  # r11
+    "quality_classifier_auc",  # r11
+    "revenue_rollup",  # r11
+    "salted_customer_revenue",  # r11
+    "segment_distinct_stats",  # r11
+    "segment_stats",  # r11
+    "silver_cross_table_revenue",  # r11
+    "similarity_ann_ivf_index",  # r11
+    "similarity_ann_ivfpq_topk",  # r11
+    "similarity_ivf_recall",  # r11
+    "similarity_pq_adc_topk",  # r11
+    "similarity_truncated_recall",  # r11
+    "stream_agg_bitmap_state",  # r11
+    "stream_agg_sortedarray_state",  # r11
+    "stream_agg_summap_state",  # r11
+    "stream_ann_assign",  # r11
+    "stream_dedup_new_docs",  # r11
+    "stream_drift_quarantine",  # r11
+    "stream_pq_dedup_gate",  # r11
+    "supplier_balance_ranks",  # r11
+    "text_commonness_separation",  # r11
+    "text_html_extract",  # r11
+    "text_langid_separation",  # r11
+    "text_normalize_unicode",  # r11
+    "text_perplexity_separation",  # r11
+    "text_quality_separation",  # r11
+    "text_url_extract",  # r11
 )
 
 # Oracle-inexpressible by the reference's own randomness contract

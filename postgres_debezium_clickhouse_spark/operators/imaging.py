@@ -1040,6 +1040,15 @@ def decode_image(blob: bytes) -> dict:
         raise NotImplementedError(
             "lossy/extended WebP pixel decode needs a VP8 codec; "
             "the header walk (operators/webp.py) still triages it")
+    from .heif import is_heif
+
+    if is_heif(blob):
+        # r18: route avif/heic to their honest class instead of
+        # "unknown format" — the header walk (operators/heif.py)
+        # still triages dims/depth/alpha/grid
+        raise NotImplementedError(
+            "AVIF/HEIF pixel decode needs an AV1/HEVC codec; "
+            "the header walk (operators/heif.py) still triages it")
     raise NotImplementedError("no stdlib codec for this format; wire in Pillow/pyav")
 
 

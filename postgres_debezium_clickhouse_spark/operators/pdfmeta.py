@@ -107,13 +107,21 @@ def _parse_object(b: bytes, p: int):
                           b"(": 40, b")": 41, b"\\": 92}
                 if e in mapped:
                     out.append(mapped[e])
-                elif e.isdigit():                   # octal (1-3 digits)
+                elif e in b"01234567":              # octal (1-3 digits)
                     oct_s = e
                     while (len(oct_s) < 3 and p + 1 < len(b)
-                           and b[p + 1:p + 2].isdigit()):
+                           and b[p + 1:p + 2] in b"01234567"):
                         p += 1
                         oct_s += b[p:p + 1]
                     out.append(int(oct_s, 8) & 0xFF)
+                elif e in (b"\r", b"\n"):           # line continuation:
+                    if e == b"\r" and b[p + 1:p + 2] == b"\n":
+                        p += 1                      # \CRLF drops both
+                else:
+                    # ISO 32000-1 Table 3: an unrecognized escape keeps
+                    # the CHARACTER, only the backslash is dropped
+                    # (includes \8 \9, which are not octal)
+                    out.append(e[0])
                 p += 1
                 continue
             if ch == 0x28:
@@ -496,6 +504,7 @@ def pdf_encode_meta_fixture(
     compress_text: bool = False,
     contents_array: bool = False,
     type0_font: bool = False,
+    gnarly_text: bool = False,
 ) -> bytes:
     """Byte-offset-correct classic-xref PDF: catalog, page tree with
     ``n_pages`` leaf pages, optional /Info, and optionally ONE
@@ -558,12 +567,43 @@ def pdf_encode_meta_fixture(
         )
         assert len(objs) == font_num
 
-        def content_stream(src: str, continuation: bool = False) -> bytes:
+        def gnarly_str(s: str) -> str:
+            # r18 escape-coverage audit (r17 verdict item 7): same
+            # decoded text, adversarial wire form — octal escapes,
+            # an unknown escape (\d → 'd'), a mid-string \<EOL> line
+            # continuation
+            out = []
+            for i, ch in enumerate(s):
+                if ch == " ":
+                    out.append(r"\040")
+                elif ch == "e":
+                    out.append(r"\145")
+                elif ch == "d":
+                    out.append(r"\d")
+                elif ch in "()\\":
+                    out.append("\\" + ch)
+                else:
+                    out.append(ch)
+                if i == 7:
+                    out.append("\\\n")
+            return "".join(out)
+
+        def content_stream(src: str, continuation: bool = False,
+                           gnarly: bool = False) -> bytes:
             lines = src.split("\n")
             lead = "0 -14 Td " if continuation else ""
-            ops = [f"BT /F1 12 Tf {lead}({esc(lines[0])}) Tj"]
-            for ln in lines[1:]:
-                ops.append(f"0 -14 Td ({esc(ln)}) Tj")
+            if gnarly:
+                # %-comment after BT (legal wherever whitespace is),
+                # gnarly-escaped first line, HEX-string show for the rest
+                ops = [f"BT % gnarly wire form\n/F1 12 Tf {lead}"
+                       f"({gnarly_str(lines[0])}) Tj"]
+                for ln in lines[1:]:
+                    hx = ln.encode("latin-1").hex()
+                    ops.append(f"0 -14 Td <{hx}> Tj")
+            else:
+                ops = [f"BT /F1 12 Tf {lead}({esc(lines[0])}) Tj"]
+                for ln in lines[1:]:
+                    ops.append(f"0 -14 Td ({esc(ln)}) Tj")
             data = (" ".join(ops) + " ET").encode("latin-1")
             if compress_text:
                 z = _zlib.compress(data)
@@ -582,13 +622,14 @@ def pdf_encode_meta_fixture(
                 cut = text.find("\n")
                 head = text[:cut] if cut > 0 else text
                 tail = text[cut + 1:] if cut > 0 else ""
-                objs.append(content_stream(head))
+                objs.append(content_stream(head, gnarly=gnarly_text))
                 if tail:
-                    objs.append(content_stream(tail, continuation=True))
+                    objs.append(content_stream(tail, continuation=True,
+                                               gnarly=gnarly_text))
                 else:
                     objs.append(content_stream(""))   # empty () Tj
             else:
-                objs.append(content_stream(text))
+                objs.append(content_stream(text, gnarly=gnarly_text))
 
     out = bytearray(f"%PDF-{version}\n".encode())
     offsets = [0]                                   # object 0: free
@@ -997,7 +1038,11 @@ def synth_pdf_text_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """PDF-with-content-streams fixture, closed-form in doc_id ``d``:
     1 + d%3 pages; page ``p`` carries 2 + (d+p)%2 lines, line ``l`` =
     ``"doc {d} page {p} line {l}"``; FlateDecode on odd docs, a
-    two-stream /Contents array on d%4==2."""
+    two-stream /Contents array on d%4==2; every 5th-mod-1 doc is
+    rendered in the ADVERSARIAL wire form (octal escapes, an unknown
+    escape, a mid-string line continuation, a %-comment, hex-string
+    shows — r18 escape audit) with the SAME decoded text, so the
+    oracle is unchanged while the lexer paths are on the oracle gate."""
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1015,6 +1060,7 @@ def synth_pdf_text_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     np_, page_texts=texts,
                     compress_text=d % 2 == 1,
                     contents_array=d % 4 == 2,
+                    gnarly_text=d % 5 == 1,
                 ))
             yield pd.DataFrame({"doc_id": ids, "media": blobs})
 

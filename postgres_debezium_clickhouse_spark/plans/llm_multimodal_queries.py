@@ -503,9 +503,9 @@ def q_multimodal_video_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     duration (both v0 and v1 64-bit layouts — every 4th doc), per-trak
     tkhd 16.16 dims, hdlr vide/soun routing, stsd codec fourcc
     (avc1/hvc1/mp4a), stts/stsz sample counts cross-checked.
-    Fragmented (moof/mvex) and encrypted (pssh/encv) files dead-letter
-    honestly.  Spec-shaped fixtures; every column restated by the
-    DuckDB closed form."""
+    Encrypted (pssh/encv) files dead-letter honestly; fragmented files
+    are walked since r18 (see multimodal_video_fmp4_meta).  Spec-shaped
+    fixtures; every column restated by the DuckDB closed form."""
     from ..operators.mp4 import mp4_metadata, synth_mp4_docs
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -542,6 +542,62 @@ def q_multimodal_webm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return mkv_metadata(synth_mkv_docs(docs))
+
+
+def q_multimodal_audio_ogg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r18 — Ogg container metadata walk (operators/ogg.py): the one
+    common crawl audio container that had zero triage (Vorbis/Opus
+    podcasts were invisible while MP3/FLAC/WAV/MP4-audio all had
+    walks; r17 verdict item 2).  RFC 3533 page grammar with CRC
+    verification (poly 0x04C11DB7 MSB-first) and cross-page packet
+    reassembly via lacing + continuation flags; Vorbis I identification
+    + comment headers and RFC 7845 OpusHead/OpusTags; duration from
+    the last granule position (PCM samples for vorbis, 48 kHz ticks
+    minus pre-skip for opus).  Every 5th fixture doc spans its comment
+    packet across two pages — the reassembly path is on the oracle
+    path, not just unit-tested.  Chained/grouped streams and
+    non-Vorbis/Opus codecs dead-letter honestly.  Every column
+    restated by the DuckDB closed form."""
+    from ..operators.ogg import ogg_metadata, synth_ogg_docs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return ogg_metadata(synth_ogg_docs(docs))
+
+
+def q_multimodal_video_fmp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r18 — FRAGMENTED MP4 (DASH/CMAF) accounting (operators/mp4.py,
+    r17 verdict item 4): segmented video is a large share of real
+    crawled video and used to dead-letter.  The walk now reads
+    moov/mvex (trex per-track defaults, optional mehd declared total)
+    and sums sample counts + durations across every moof/traf/trun —
+    per-sample trun durations, tfhd default, and trex default are all
+    on the fixture path (even/odd/override fragments), and the mehd
+    total is cross-checked against the trun sum (mismatch = corrupt,
+    the stts/stsz discipline).  Encrypted fragments (senc) stay an
+    honest refusal.  Every column restated by the DuckDB closed
+    form."""
+    from ..operators.mp4 import fmp4_metadata, synth_fmp4_docs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return fmp4_metadata(synth_fmp4_docs(docs))
+
+
+def q_multimodal_image_avif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r18 — AVIF/HEIF header walk (operators/heif.py): the fastest-
+    growing modern image formats are ISOBMFF files (r17 verdict
+    item 3); the box iterator is reused from the MP4 walk and the HEIF
+    item layer (ISO/IEC 23008-12) is read on top: ftyp brand routing
+    (avif → av01, heic → hvc1), pitm primary item, iinf/infe item
+    types, ispe dims + pixi bit depth through the ipma property-
+    association table, iref auxl (alpha) / dimg (grid tiles) / cdsc
+    (EXIF) references.  AV1/HEVC payload decode stays an honest
+    refusal, and decode_image now routes these brands there instead of
+    'unknown format'.  Every column restated by the DuckDB closed
+    form."""
+    from ..operators.heif import heif_metadata, synth_heif_docs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return heif_metadata(synth_heif_docs(docs))
 
 
 def q_multimodal_decode_vp8l(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -622,6 +678,9 @@ QUERIES = {
     "multimodal_video_mp4_meta": q_multimodal_video_mp4_meta,
     "multimodal_webp_meta": q_multimodal_webp_meta,
     "multimodal_webm_meta": q_multimodal_webm_meta,
+    "multimodal_audio_ogg_meta": q_multimodal_audio_ogg_meta,
+    "multimodal_image_avif_meta": q_multimodal_image_avif_meta,
+    "multimodal_video_fmp4_meta": q_multimodal_video_fmp4_meta,
     "multimodal_decode_vp8l": q_multimodal_decode_vp8l,
     "multimodal_pdf_text": q_multimodal_pdf_text,
     "multimodal_audio_features": q_multimodal_audio_features,
@@ -1275,6 +1334,69 @@ ORACLES["multimodal_webm_meta"] = """
            CASE WHEN doc_id % 3 = 0 THEN 'A_OPUS' END AS audio_codec,
            CAST(64 * (1 + doc_id % 5) AS INT) AS width,
            CAST(36 * (1 + doc_id % 4) AS INT) AS height
+    FROM documents
+"""
+
+ORACLES["multimodal_audio_ogg_meta"] = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'vorbis' ELSE 'opus' END
+               AS codec,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(CASE WHEN doc_id % 2 = 0
+                     THEN ([8000, 44100, 48000])[1 + doc_id % 3]
+                     ELSE ([48000, 44100, 16000])[1 + doc_id % 3]
+                END AS INT) AS sample_rate,
+           CAST(CASE WHEN doc_id % 2 = 1
+                     THEN 312 + 100 * (doc_id % 4) END AS INT)
+               AS pre_skip,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 500 * (1 + doc_id % 7)
+                     ELSE 20 * (1 + doc_id % 9) END AS BIGINT)
+               AS duration_ms,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 4 ELSE 3 END AS INT)
+               AS page_count,
+           CASE WHEN doc_id % 3 = 0 THEN 'ogg ' || doc_id END AS title,
+           CASE WHEN doc_id % 3 = 0
+                THEN 'artist ' || (doc_id % 5) END AS artist
+    FROM documents
+"""
+
+ORACLES["multimodal_video_fmp4_meta"] = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+           CAST(600 * (1 + doc_id % 3) AS INT) AS timescale,
+           CAST(400 * (1 + doc_id % 6) AS BIGINT) AS duration_ms,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS INT)
+               AS n_tracks,
+           CAST(16 * (1 + doc_id % 4) AS INT) AS width,
+           CAST(16 * (1 + doc_id % 3) AS INT) AS height,
+           CASE WHEN doc_id % 5 != 0 THEN 'avc1' ELSE 'hvc1' END
+               AS video_codec,
+           CASE WHEN doc_id % 4 = 0 THEN 'mp4a' END AS audio_codec,
+           CAST(2 + doc_id % 9 AS INT) AS n_video_samples,
+           TRUE AS fragmented,
+           CAST(least(1 + doc_id % 4, 2 + doc_id % 9) AS INT)
+               AS n_fragments
+    FROM documents
+"""
+
+ORACLES["multimodal_image_avif_meta"] = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'avif' ELSE 'heic' END AS brand,
+           CASE WHEN doc_id % 7 = 0 THEN 'grid'
+                WHEN doc_id % 2 = 0 THEN 'av01'
+                ELSE 'hvc1' END AS primary_type,
+           CAST(64 * (1 + doc_id % 5) AS INT) AS width,
+           CAST(48 * (1 + doc_id % 4) AS INT) AS height,
+           CAST(([8, 10, 12])[1 + doc_id % 3] AS INT) AS bit_depth,
+           CAST(3 AS INT) AS n_channels,
+           CAST(1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                  + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
+                  + CASE WHEN doc_id % 7 = 0 THEN 2 + doc_id % 3
+                         ELSE 0 END AS INT) AS n_items,
+           doc_id % 3 = 0 AS has_alpha,
+           CAST(CASE WHEN doc_id % 7 = 0 THEN 2 + doc_id % 3
+                     ELSE 0 END AS INT) AS n_grid_tiles,
+           doc_id % 4 = 0 AS has_exif
     FROM documents
 """
 

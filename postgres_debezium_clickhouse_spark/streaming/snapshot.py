@@ -261,6 +261,71 @@ def _progress_path(path: str, sid: str) -> str:
     return os.path.join(path, SIGNAL_DIR, f"{sid}.progress")
 
 
+# --------------------------------------------------- consistency vectors
+
+def _vector_path(coord: str, sid: str) -> str:
+    return os.path.join(coord, SIGNAL_DIR, f"{sid}.vector.json")
+
+
+def _append_vector(coord: str, sid: str, entry: dict) -> None:
+    p = _vector_path(coord, sid)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    vectors = snapshot_consistency_vectors(coord, sid)
+    vectors.append(entry)
+    tmp = f"{p}.{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(vectors, fh)
+    os.rename(tmp, p)
+
+
+def snapshot_consistency_vectors(coord: str, sid: str) -> list[dict]:
+    """The cross-store version vectors a multi-table snapshot records at
+    every lockstep boundary (r18, verdict item 6): entry ``i`` holds
+    ``{"chunk_index": i, "versions": {table: silver_version}}`` captured
+    when chunk ``i`` of EVERY table had committed — the strongest
+    consistency points the Debezium-parity contract admits mid-backfill
+    (all stores at the same chunk frontier).  The final entry carries
+    ``"completed": true``.  Vectors OUTLIVE the progress file so
+    post-completion readers can still pin the cut."""
+    try:
+        with open(_vector_path(coord, sid)) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return []
+
+
+def read_snapshot_consistent(
+    spark,
+    paths: dict[str, str],
+    coord: str,
+    sid: str,
+    boundary: int = -1,
+) -> dict:
+    """Atomic multi-store read of a co-captured snapshot: every store is
+    read AS OF the version its vector entry pinned (time travel), so the
+    result is a cross-table-consistent cut at a lockstep chunk boundary
+    — the opt-in escape from the documented mid-backfill skew
+    (run_incremental_snapshot_multi's visibility contract).  ``boundary``
+    indexes the recorded vectors (default -1 = newest).  Requires the
+    pinned versions to still be un-vacuumed (read_silver fails loudly
+    otherwise, never returns partial state)."""
+    from .pipeline import read_silver
+
+    vectors = snapshot_consistency_vectors(coord, sid)
+    if not vectors:
+        raise ValueError(
+            f"no consistency vectors recorded for signal {sid!r} at "
+            f"{coord!r}")
+    entry = vectors[boundary]
+    out = {}
+    for t, path in sorted(paths.items()):
+        v = entry["versions"].get(t)
+        if v is None:
+            raise ValueError(f"vector has no version for table {t!r}")
+        out[t] = read_silver(spark, path, as_of_version=v)
+    return out
+
+
 def _read_progress(
     path: str, sid: str
 ) -> tuple[set[int], list[tuple[float | None, float | None]] | None]:
@@ -949,6 +1014,18 @@ def run_incremental_snapshot_multi(
                 "chunks_done": len(done),
                 "total_chunks": sum(len(b) for b in bounds.values()),
             })
+        if not (paused or stopped):
+            # r18 (verdict item 6): record the cross-store version
+            # vector at this lockstep boundary — every table now has
+            # chunks 0..i applied, the consistency point
+            # read_snapshot_consistent() pins via time travel
+            _append_vector(coord, sid, {
+                "chunk_index": i,
+                "versions": {
+                    t: (_manifest_version(tables[t]["path"]))
+                    for t in names
+                },
+            })
         if interleave_hook is not None and not (paused or stopped):
             interleave_hook(i)
     if paused:
@@ -964,6 +1041,21 @@ def run_incremental_snapshot_multi(
                                "total_chunks": len(bounds[t])})
         emit_notification(coord, _AGG, "COMPLETED",
                           {"signal_id": sid, "tables": names})
+        _append_vector(coord, sid, {
+            "chunk_index": max_chunks - 1,
+            "completed": True,
+            "versions": {t: _manifest_version(tables[t]["path"])
+                         for t in names},
+        })
     if not paused:
         _clear_progress(coord, sid)
     return merged
+
+
+def _manifest_version(path: str) -> int:
+    from .pipeline import _read_manifest
+
+    m = _read_manifest(path)
+    if m is None or "version" not in m:
+        raise ValueError(f"no committed manifest at {path!r}")
+    return m["version"]

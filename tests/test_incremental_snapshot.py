@@ -853,3 +853,121 @@ def test_multi_snapshot_stop_marker_consumed(spark, dirs):
     n2 = run_incremental_snapshot_multi(
         tables, watermark_version=100, n_chunks=2, signal_id="bf-1")
     assert n2 == 2                                   # marker consumed
+
+
+def test_multi_snapshot_consistency_vector_read(spark, dirs):
+    """r18 (verdict item 6): the multi-table snapshot records a
+    cross-store version vector at every lockstep boundary, and
+    read_snapshot_consistent() time-travels every store to that cut —
+    an ATOMIC multi-table read mid-backfill: both stores at the same
+    chunk frontier, a mid-snapshot txn either visible in ALL stores of
+    a boundary or in none."""
+    import json as _json
+
+    from postgres_debezium_clickhouse_spark.streaming.snapshot import (
+        plan_snapshot_chunks,
+        read_snapshot_consistent,
+        run_incremental_snapshot_multi,
+        snapshot_consistency_vectors,
+    )
+
+    NH = 8
+    seed = []
+    for i in range(1, NH + 1, 2):
+        seed += [
+            ("hdr", "c", i, f"S{i}", None, None, 100, i * 100,
+             f"A{i}", 0, None),
+            ("det", "c", None, None, i * 10, i * 10, 100, i * 100 + 1,
+             f"A{i}", 1, None),
+            (None, None, None, None, None, None, 100, i * 100 + 9,
+             f"A{i}", 99, 2),
+        ]
+    _run_multi_txn(spark, dirs, seed, "seed")
+
+    st = _multi_stores(dirs)
+    W = 500
+    hdr_truth = spark.createDataFrame(
+        [(i, f"H{i}") for i in range(1, NH + 1)], "hk long, hval string")
+    det_truth = spark.createDataFrame(
+        [(i * 10, i * 10) for i in range(1, NH + 1)], "dk long, dval long")
+
+    sid = "vector-test"
+    coord = st["det"]["path"]
+
+    def hook(i):
+        if i == 1:
+            mid = [
+                ("hdr", "u", 4, "X4", None, None, 700, 9001, "M", 0, None),
+                ("det", "u", None, None, 40, 999, 700, 9002, "M", 1, None),
+                (None, None, None, None, None, None, 700, 9009, "M", 9, 2),
+            ]
+            _run_multi_txn(spark, dirs, mid, "mid")
+
+    tables = {
+        "hdr": {"source_table": hdr_truth, "path": st["hdr"]["path"],
+                "keys": ["hk"], "order_col": "hk"},
+        "det": {"source_table": det_truth, "path": st["det"]["path"],
+                "keys": ["dk"], "order_col": "dk"},
+    }
+    run_incremental_snapshot_multi(
+        tables, watermark_version=W, n_chunks=4, signal_id=sid,
+        interleave_hook=hook)
+
+    vectors = snapshot_consistency_vectors(coord, sid)
+    # one per lockstep cycle + the completed entry; vectors OUTLIVE the
+    # progress file
+    n_cycles = max(
+        len(plan_snapshot_chunks(hdr_truth, "hk", 4)),
+        len(plan_snapshot_chunks(det_truth, "dk", 4)))
+    assert len(vectors) == n_cycles + 1
+    assert vectors[-1].get("completed") is True
+    assert [v["chunk_index"] for v in vectors[:-1]] == list(range(n_cycles))
+
+    hdr_bounds = plan_snapshot_chunks(hdr_truth, "hk", 4)
+    det_bounds = plan_snapshot_chunks(det_truth, "dk", 4)
+
+    def backfilled(bounds, keys, upto):
+        out = set()
+        for lo, hi in bounds[:upto + 1]:
+            out |= {k for k in keys
+                    if (lo is None or k >= lo) and (hi is None or k < hi)}
+        return out
+
+    paths = {"hdr": st["hdr"]["path"], "det": st["det"]["path"]}
+    for b in range(n_cycles):
+        cut = read_snapshot_consistent(spark, paths, coord, sid,
+                                       boundary=b)
+        hdr = {r.hk: (r.hval, r.ts_ms) for r in cut["hdr"].collect()}
+        det = {r.dk: (r.dval, r.ts_ms) for r in cut["det"].collect()}
+        hkeys = backfilled(hdr_bounds, range(1, NH + 1), b)
+        dkeys = backfilled(det_bounds, [i * 10 for i in range(1, NH + 1)],
+                           b)
+        # the vector is captured BEFORE the cycle's interleave hook, so
+        # the mid-txn (injected after cycle 1) is visible from boundary
+        # 2 on — in BOTH stores or in NEITHER
+        txn_visible = b >= 2
+        exp_hdr = {}
+        for k in range(1, NH + 1):
+            if k == 4 and txn_visible:
+                exp_hdr[k] = ("X4", 700)
+            elif k in hkeys:
+                exp_hdr[k] = (f"H{k}", W)
+            elif k % 2 == 1:
+                exp_hdr[k] = (f"S{k}", 100)
+        exp_det = {}
+        for k in [i * 10 for i in range(1, NH + 1)]:
+            if k == 40 and txn_visible:
+                exp_det[k] = (999, 700)
+            elif k in dkeys:
+                exp_det[k] = (k, W)
+            elif (k // 10) % 2 == 1:
+                exp_det[k] = (k, 100)
+        assert hdr == exp_hdr, (b, hdr)
+        assert det == exp_det, (b, det)
+
+    # the completed vector equals the live read
+    final = read_snapshot_consistent(spark, paths, coord, sid)
+    live_hdr = {r.hk: (r.hval, r.ts_ms)
+                for r in pl.read_silver(spark, st["hdr"]["path"]).collect()}
+    got_hdr = {r.hk: (r.hval, r.ts_ms) for r in final["hdr"].collect()}
+    assert got_hdr == live_hdr

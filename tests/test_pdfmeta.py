@@ -195,3 +195,36 @@ def test_pdf_text_extraction():
             pdf_text_walk(bytes(bb))
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_content_stream_escape_audit_r18():
+    # r18 (verdict item 7 + ADVICE low): octal escapes, unknown escapes
+    # (spec Table 3: keep the char), \8 \9 are NOT octal, line
+    # continuations (\LF, \CRLF), %-comments inside content streams,
+    # hex-string shows, and the gnarly fixture wire form — all decode
+    # to the same text
+    from postgres_debezium_clickhouse_spark.operators.pdfmeta import (
+        _content_text,
+        pdf_encode_meta_fixture,
+        pdf_text_walk,
+    )
+
+    assert _content_text(
+        rb"BT (doc\040A\145\d) Tj ET") == "doc Aed"
+    assert _content_text(rb"BT (a\8b\9c) Tj ET") == "a8b9c"
+    assert _content_text(b"BT (he\\\nllo) Tj ET") == "hello"
+    assert _content_text(b"BT (he\\\r\nllo) Tj ET") == "hello"
+    assert _content_text(
+        b"BT % a comment\n(x) Tj % tail comment\nET") == "x"
+    assert _content_text(b"BT <68656c6c6f> Tj ET") == "hello"
+    assert _content_text(rb"BT (\245\377) Tj ET") == "\xa5\xff"
+    # balanced unescaped parens nest
+    assert _content_text(b"BT (a (nested (deep)) b) Tj ET") \
+        == "a (nested (deep)) b"
+    # the gnarly fixture form round-trips to the SAME text in every
+    # structural combination
+    texts = ["doc 6 page 0 line 0\ndoc 6 page 0 line 1", "page two here"]
+    for kw in ({}, {"compress_text": True}, {"contents_array": True}):
+        b = pdf_encode_meta_fixture(2, page_texts=texts,
+                                    gnarly_text=True, **kw)
+        assert pdf_text_walk(b)["texts"] == texts, kw
