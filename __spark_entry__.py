@@ -51,6 +51,9 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 _FRONT = (
     # round-18 additions (never driver-checked), newest first, inserted
     # here as they land.
+    "corpus_feed_discovery",         # r18: RSS/Atom frontier parsing
+    "multimodal_subtitles_meta",     # r18: SRT/WebVTT parsing
+    "multimodal_exif_meta",          # r18: EXIF IFD extraction
     "multimodal_video_fmp4_meta",    # r18: fragmented MP4 accounting
     "multimodal_image_avif_meta",    # r18: AVIF/HEIF item-layer walk
     "multimodal_audio_ogg_meta",     # r18: Ogg Vorbis/Opus walk

@@ -1441,3 +1441,52 @@ def parse_sitemaps(
             F.expr("xpath_string(__x, '//lastmod/text()')"), F.lit("")
         ).alias("lastmod"),
     )
+
+
+def parse_feeds(
+    feeds: DataFrame,
+    domain_col: str = "domain",
+    xml_col: str = "feed_xml",
+) -> DataFrame:
+    """RSS 2.0 / Atom feed XML → one row per item/entry (r18): the
+    third leg of the crawl-frontier story next to robots_decisions and
+    parse_sitemaps — feeds are how fresh pages announce themselves
+    between sitemap crawls.
+
+    Handles BOTH public formats: RSS ``<item>`` (title / ``<link>``
+    text / pubDate / guid) and Atom ``<entry>`` (title / ``<link
+    href=..>`` attribute / published-falling-back-to-updated / id).
+    Same execution idiom as parse_sitemaps: one DOTALL
+    ``regexp_extract_all`` isolates item fragments (optional fields
+    can never misalign across items), each fragment re-wrapped and
+    field-extracted with the built-in ``xpath_string`` — entirely JVM
+    expressions, no Python, no shuffle beyond the explode."""
+    kind = F.when(
+        F.col(xml_col).rlike("<feed[\\s>]"), F.lit("atom")
+    ).otherwise(F.lit("rss"))
+    frags = F.expr(
+        f"regexp_extract_all({xml_col},"
+        " '(?s)<(?:item|entry)(?:\\\\s[^>]*)?>(.*?)</(?:item|entry)>', 1)"
+    )
+    exploded = feeds.select(
+        F.col(domain_col), kind.alias("kind"), F.explode(frags).alias("__f")
+    ).withColumn("__x", F.concat(F.lit("<e>"), F.col("__f"), F.lit("</e>")))
+    nz = lambda e: F.nullif(F.expr(e), F.lit(""))  # noqa: E731
+    return exploded.select(
+        domain_col,
+        "kind",
+        nz("xpath_string(__x, '//title/text()')").alias("title"),
+        F.coalesce(
+            nz("xpath_string(__x, '//link/@href')"),
+            nz("xpath_string(__x, '//link/text()')"),
+        ).alias("link"),
+        F.coalesce(
+            nz("xpath_string(__x, '//pubDate/text()')"),
+            nz("xpath_string(__x, '//published/text()')"),
+            nz("xpath_string(__x, '//updated/text()')"),
+        ).alias("published"),
+        F.coalesce(
+            nz("xpath_string(__x, '//guid/text()')"),
+            nz("xpath_string(__x, '//id/text()')"),
+        ).alias("guid"),
+    )

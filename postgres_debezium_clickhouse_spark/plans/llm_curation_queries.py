@@ -415,9 +415,63 @@ def q_corpus_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return from_robots.unionByName(parse_sitemaps(site))
 
 
+def q_corpus_feed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r18 — RSS/Atom feed parsing (operators/curation.parse_feeds):
+    the third crawl-frontier leg next to robots policy and sitemap
+    discovery — feeds announce fresh pages between sitemap crawls.
+    Both formats on the oracle path: RSS items (link as element TEXT,
+    pubDate, optional guid) and Atom entries (link as href ATTRIBUTE,
+    published with the updated-element fallback, optional id); optional
+    fields planted on modular schedules so misalignment anywhere fails
+    the hash.  Same JVM idiom as parse_sitemaps: DOTALL
+    regexp_extract_all fragment isolation + xpath_string fields, no
+    Python."""
+    from ..operators.curation import parse_feeds
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    dom = F.concat(F.lit("dom"), d)
+    rss = F.concat(
+        F.lit('<rss version="2.0"><channel><title>c</title>'),
+        F.expr(
+            "array_join(transform(sequence(0, cast(doc_id % 4 as int)),"
+            " j -> concat('<item><title>post ', doc_id, '-', j,"
+            " '</title><link>https://dom', doc_id, '/p', j, '</link>',"
+            " if(j % 2 = 0, concat('<pubDate>Mon, 0', j + 1,"
+            " ' Jan 2026 00:00:00 GMT</pubDate>'), ''),"
+            " if(j % 3 = 0, concat('<guid>g-', doc_id, '-', j,"
+            " '</guid>'), ''), '</item>')), '')"
+        ),
+        F.lit("</channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom">'
+              "<title>f</title>"),
+        F.expr(
+            "array_join(transform(sequence(0, cast(doc_id % 4 as int)),"
+            " j -> concat('<entry><title>post ', doc_id, '-', j,"
+            " '</title><link href=\"https://dom', doc_id, '/p', j,"
+            " '\"/>',"
+            " if(j % 2 = 0, concat('<published>2026-01-0', j + 1,"
+            " 'T00:00:00Z</published>'),"
+            " concat('<updated>2026-02-0', j + 1,"
+            " 'T00:00:00Z</updated>')),"
+            " if(j % 3 = 0, concat('<id>tag:', doc_id, ',', j,"
+            " '</id>'), ''), '</entry>')), '')"
+        ),
+        F.lit("</feed>"),
+    )
+    feeds = docs.select(
+        dom.alias("domain"),
+        F.when(d % 3 == 0, atom).otherwise(rss).alias("feed_xml"),
+    )
+    return parse_feeds(feeds)
+
+
 QUERIES = {
     "corpus_robots_policy": q_corpus_robots_policy,
     "corpus_sitemap_discovery": q_corpus_sitemap_discovery,
+    "corpus_feed_discovery": q_corpus_feed_discovery,
     "corpus_fim_transform": q_corpus_fim_transform,
     "corpus_dsir_weights": q_corpus_dsir_weights,
     "corpus_split": q_corpus_split,
@@ -914,6 +968,32 @@ ORACLES["corpus_robots_policy"] = """
            CASE WHEN NOT star_dom
                 THEN CAST(k % 5 AS DOUBLE) END AS crawl_delay
     FROM p
+"""
+
+ORACLES["corpus_feed_discovery"] = """
+    WITH d AS (SELECT doc_id, 'dom' || doc_id AS domain FROM documents),
+    items AS (
+        SELECT d.doc_id, d.domain, j.j
+        FROM d CROSS JOIN LATERAL (
+            SELECT unnest(range(0, CAST(doc_id % 4 AS INT) + 1))) j(j)
+    )
+    SELECT domain,
+           CASE WHEN doc_id % 3 = 0 THEN 'atom' ELSE 'rss' END AS kind,
+           'post ' || doc_id || '-' || j AS title,
+           'https://' || domain || '/p' || j AS link,
+           CASE WHEN doc_id % 3 = 0 THEN
+                    CASE WHEN j % 2 = 0
+                         THEN '2026-01-0' || (j + 1) || 'T00:00:00Z'
+                         ELSE '2026-02-0' || (j + 1) || 'T00:00:00Z' END
+                WHEN j % 2 = 0
+                     THEN 'Mon, 0' || (j + 1) || ' Jan 2026 00:00:00 GMT'
+           END AS published,
+           CASE WHEN j % 3 = 0 THEN
+                    CASE WHEN doc_id % 3 = 0
+                         THEN 'tag:' || doc_id || ',' || j
+                         ELSE 'g-' || doc_id || '-' || j END
+           END AS guid
+    FROM items
 """
 
 ORACLES["corpus_sitemap_discovery"] = """

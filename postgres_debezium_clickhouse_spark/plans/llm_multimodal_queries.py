@@ -564,6 +564,44 @@ def q_multimodal_audio_ogg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ogg_metadata(synth_ogg_docs(docs))
 
 
+def q_multimodal_subtitles_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r18 — SRT/WebVTT subtitle parsing (operators/subtitles.py): the
+    text-from-video modality — subtitle sidecars are the highest-
+    quality aligned text crawled video carries, and none of it was
+    extractable before.  SubRip blocks (numeric index, comma-millis
+    timings, multi-line text) and W3C WebVTT (signature, dot-millis
+    with optional hours, cue identifiers, cue settings after the
+    arrow, NOTE blocks skipped, ``<b>/<c.class>/<v>``/karaoke markup
+    stripped); timing sanity enforced (end>start, SRT monotonic
+    starts, 59-capped fields).  Per-doc stats: cue count, first/last
+    timestamps, total speech time, joined text.  Every column restated
+    by the DuckDB closed form (the VTT markup-strip and SRT multi-line
+    join land on the same canonical text)."""
+    from ..operators.subtitles import subtitle_stats, synth_subtitle_docs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return subtitle_stats(synth_subtitle_docs(docs))
+
+
+def q_multimodal_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r18 — EXIF extraction (operators/exif.py): the camera/provenance
+    plane the imaging suite only FLAGGED until now (webp/heif carry
+    has_exif booleans; nothing read the IFDs).  TIFF 6.0 IFD grammar in
+    both byte orders, inline-vs-offset values, IFD0 (make/model/
+    orientation) → Exif sub-IFD (capture time, ISO, rationals exposed
+    as exact integer micro-units — f_number_x100, exposure_us,
+    focal_mm_x10 — zero float risk in the oracle) → GPS-IFD presence
+    (a PII curation signal); embedded via all four public container
+    routes: JPEG APP1 'Exif\\0\\0', bare TIFF, WebP EXIF chunk, PNG
+    eXIf.  EXIF ABSENCE is data (has_exif=false, NULL fields), not an
+    error — most crawled images carry none.  Every column restated by
+    the DuckDB closed form."""
+    from ..operators.exif import exif_metadata, synth_exif_docs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return exif_metadata(synth_exif_docs(docs))
+
+
 def q_multimodal_video_fmp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r18 — FRAGMENTED MP4 (DASH/CMAF) accounting (operators/mp4.py,
     r17 verdict item 4): segmented video is a large share of real
@@ -681,6 +719,8 @@ QUERIES = {
     "multimodal_audio_ogg_meta": q_multimodal_audio_ogg_meta,
     "multimodal_image_avif_meta": q_multimodal_image_avif_meta,
     "multimodal_video_fmp4_meta": q_multimodal_video_fmp4_meta,
+    "multimodal_exif_meta": q_multimodal_exif_meta,
+    "multimodal_subtitles_meta": q_multimodal_subtitles_meta,
     "multimodal_decode_vp8l": q_multimodal_decode_vp8l,
     "multimodal_pdf_text": q_multimodal_pdf_text,
     "multimodal_audio_features": q_multimodal_audio_features,
@@ -1358,6 +1398,69 @@ ORACLES["multimodal_audio_ogg_meta"] = """
            CASE WHEN doc_id % 3 = 0
                 THEN 'artist ' || (doc_id % 5) END AS artist
     FROM documents
+"""
+
+ORACLES["multimodal_subtitles_meta"] = """
+    WITH p AS (
+        SELECT doc_id, 2 + doc_id % 5 AS n, 100 * (doc_id % 7) AS base
+        FROM documents
+    ),
+    cues AS (
+        SELECT p.doc_id, p.n, p.base, j.c,
+               900 + 100 * (j.c % 3) AS dur
+        FROM p CROSS JOIN LATERAL (
+            SELECT unnest(range(0, p.n))) j(c)
+    ),
+    agg AS (
+        SELECT doc_id, MIN(n) AS n, MIN(base) AS base,
+               CAST(SUM(dur) AS BIGINT) AS speech_ms,
+               string_agg('doc ' || doc_id || ' cue ' || c, ' '
+                          ORDER BY c) AS text
+        FROM cues GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'srt' ELSE 'vtt' END AS format,
+           CAST(n AS INT) AS n_cues,
+           CAST(base AS BIGINT) AS first_start_ms,
+           CAST(2000 * (n - 1) + base + 900 + 100 * ((n - 1) % 3)
+                AS BIGINT) AS last_end_ms,
+           speech_ms,
+           CAST(length(text) AS INT) AS n_chars,
+           text
+    FROM agg
+"""
+
+ORACLES["multimodal_exif_meta"] = """
+    WITH p AS (
+        SELECT doc_id,
+               (['jpeg', 'tiff', 'webp', 'png'])[1 + doc_id % 4] AS c,
+               NOT (doc_id % 7 = 0
+                    AND (['jpeg', 'tiff', 'webp', 'png'])[1 + doc_id % 4]
+                        != 'tiff') AS hx
+        FROM documents
+    )
+    SELECT doc_id, c AS container, hx AS has_exif,
+           CASE WHEN hx THEN 'maker ' || (doc_id % 3) END AS make,
+           CASE WHEN hx THEN 'cam ' || (doc_id % 5) END AS model,
+           CAST(CASE WHEN hx THEN 1 + doc_id % 8 END AS INT)
+               AS orientation,
+           CASE WHEN hx THEN '2021:0' || (1 + doc_id % 9)
+                || ':15 12:00:0' || (doc_id % 10) END
+               AS datetime_original,
+           CAST(CASE WHEN hx THEN 100 * (1 + doc_id % 32) END AS INT)
+               AS iso,
+           CAST(CASE WHEN hx THEN (14 + doc_id % 9) * 20 END AS BIGINT)
+               AS f_number_x100,
+           CAST(CASE WHEN hx THEN 40000 // (1 + doc_id % 6) END
+                AS BIGINT) AS exposure_us,
+           CAST(CASE WHEN hx THEN (35 + doc_id % 11) * 5 END AS BIGINT)
+               AS focal_mm_x10,
+           CAST(CASE WHEN hx THEN 64 * (1 + doc_id % 5) END AS INT)
+               AS pixel_x,
+           CAST(CASE WHEN hx THEN 48 * (1 + doc_id % 4) END AS INT)
+               AS pixel_y,
+           CASE WHEN hx THEN doc_id % 3 = 0 END AS gps_present
+    FROM p
 """
 
 ORACLES["multimodal_video_fmp4_meta"] = """

@@ -1102,3 +1102,46 @@ def test_robots_decisions_property_vs_reference(spark):
         assert r.allowed == exp_allowed, (r.domain, r.path, exp_rule)
         if exp_rule is None:
             assert r.matched_rule is None, (r.domain, r.path)
+
+
+def test_feed_parse_rss_and_atom(spark):
+    # r18: RSS item fields vs Atom entry fields, optional-field
+    # alignment, published/updated fallback, link-as-text vs
+    # link-as-href
+    from postgres_debezium_clickhouse_spark.operators.curation import (
+        parse_feeds)
+
+    rss = (
+        "<rss version=\"2.0\"><channel><title>chan</title>"
+        "<item><title>a1</title><link>https://x/a1</link>"
+        "<pubDate>Mon, 01 Jan 2026 00:00:00 GMT</pubDate>"
+        "<guid>g-a1</guid></item>"
+        "<item><title>a2</title><link>https://x/a2</link></item>"
+        "</channel></rss>"
+    )
+    atom = (
+        "<feed xmlns=\"http://www.w3.org/2005/Atom\">"
+        "<title>feed</title>"
+        "<entry><title>b1</title>"
+        "<link href=\"https://y/b1\"/>"
+        "<published>2026-01-02T00:00:00Z</published>"
+        "<id>tag:y,b1</id></entry>"
+        "<entry><title>b2</title><link href=\"https://y/b2\"/>"
+        "<updated>2026-01-03T00:00:00Z</updated></entry>"
+        "</feed>"
+    )
+    df = spark.createDataFrame(
+        [("x", rss), ("y", atom)], "domain string, feed_xml string")
+    rows = {(r.domain, r.title): r for r in parse_feeds(df).collect()}
+    assert len(rows) == 4
+    r = rows[("x", "a1")]
+    assert r.kind == "rss" and r.link == "https://x/a1"
+    assert r.published == "Mon, 01 Jan 2026 00:00:00 GMT"
+    assert r.guid == "g-a1"
+    r = rows[("x", "a2")]
+    assert r.published is None and r.guid is None
+    r = rows[("y", "b1")]
+    assert r.kind == "atom" and r.link == "https://y/b1"
+    assert r.published == "2026-01-02T00:00:00Z" and r.guid == "tag:y,b1"
+    r = rows[("y", "b2")]
+    assert r.published == "2026-01-03T00:00:00Z"  # updated fallback

@@ -66,3 +66,50 @@ def test_snapshot_chunk_pushdown_date_order_col(spark, tmp_path):
     assert "GreaterThanOrEqual" in pushed and "LessThan" in pushed, pushed
     assert sum(t.filter(_chunk_pred("k", lo_, hi_, "date")).count()
                for lo_, hi_ in bounds) == 1000
+
+
+def test_r18_walks_are_shuffle_free(spark):
+    """Every r18 walk (ogg/heif/fmp4/exif/subtitles) over a pre-built
+    column must plan as a fused mapInPandas chain with ZERO exchanges —
+    per-blob work never shuffles (the r17 media-walk discipline)."""
+    from postgres_debezium_clickhouse_spark.operators.exif import (
+        exif_metadata, synth_exif_docs)
+    from postgres_debezium_clickhouse_spark.operators.heif import (
+        heif_metadata, synth_heif_docs)
+    from postgres_debezium_clickhouse_spark.operators.mp4 import (
+        fmp4_metadata, synth_fmp4_docs)
+    from postgres_debezium_clickhouse_spark.operators.ogg import (
+        ogg_metadata, synth_ogg_docs)
+    from postgres_debezium_clickhouse_spark.operators.subtitles import (
+        subtitle_stats, synth_subtitle_docs)
+
+    ids = spark.range(0, 64, 1, 4).withColumnRenamed("id", "doc_id")
+    for walk, synth in (
+        (ogg_metadata, synth_ogg_docs),
+        (heif_metadata, synth_heif_docs),
+        (fmp4_metadata, synth_fmp4_docs),
+        (exif_metadata, synth_exif_docs),
+        (subtitle_stats, synth_subtitle_docs),
+    ):
+        df = walk(synth(ids))
+        plan = _plan(df)
+        assert "Exchange" not in plan, (walk.__name__, plan)
+        assert plan.count("MapInPandas") == 2, walk.__name__
+        assert df.count() >= 64
+
+
+def test_feed_parse_is_jvm_side(spark):
+    """parse_feeds must contain no Python evaluation (BatchEvalPython /
+    MapInPandas) — regexp + xpath are JVM expressions."""
+    from pyspark.sql import functions as F
+
+    from postgres_debezium_clickhouse_spark.operators.curation import (
+        parse_feeds)
+
+    df = spark.range(0, 8).select(
+        F.concat(F.lit("d"), F.col("id")).alias("domain"),
+        F.lit("<rss><channel><item><title>t</title>"
+              "<link>u</link></item></channel></rss>").alias("feed_xml"))
+    plan = _plan(parse_feeds(df))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "Exchange" not in plan
