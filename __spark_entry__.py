@@ -51,6 +51,7 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 _FRONT = (
     # round-18 additions (never driver-checked), newest first, inserted
     # here as they land.
+    "corpus_html_index_signals",     # r18: robots-meta + canonical
     "corpus_feed_discovery",         # r18: RSS/Atom frontier parsing
     "multimodal_subtitles_meta",     # r18: SRT/WebVTT parsing
     "multimodal_exif_meta",          # r18: EXIF IFD extraction

@@ -1490,3 +1490,55 @@ def parse_feeds(
             nz("xpath_string(__x, '//id/text()')"),
         ).alias("guid"),
     )
+
+
+def html_index_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+) -> DataFrame:
+    """Page-level indexing signals (r18) — the in-document complement
+    to robots.txt: a crawl that honors only the server policy still
+    trains on pages their authors marked ``noindex``, and URL-level
+    dedup without ``rel=canonical`` keeps every syndicated copy.
+
+    Extracts, entirely JVM-side (case-insensitive regexes with
+    LOOKAHEAD for attribute order, both quote styles):
+
+    - ``<meta name=robots content=...>`` → ``noindex`` / ``nofollow``
+      token flags (comma-separated token semantics, ``none`` = both,
+      per the public robots-meta convention)
+    - ``<link rel=canonical href=...>`` → ``canonical_url``
+      (NULL when absent)
+
+    No Python, no shuffle — three regexp_extracts over the html
+    column."""
+    d = F.col(html_col)
+
+    def _attr(tag_pat: str, attr: str):
+        # quoted and unquoted attribute forms as separate extracts —
+        # a single alternation would need multi-group regexp_extract
+        quoted = F.nullif(F.regexp_extract(
+            d, tag_pat + r"[^>]*\b" + attr
+            + r"\s*=\s*[\"']([^\"'>]*)", 1), F.lit(""))
+        bare = F.nullif(F.regexp_extract(
+            d, tag_pat + r"[^>]*\b" + attr
+            + r"\s*=\s*([^\s\"'>]+)", 1), F.lit(""))
+        return F.coalesce(quoted, bare)
+
+    meta_pat = (r"(?is)<meta\b"
+                r"(?=[^>]*\bname\s*=\s*[\"']?robots[\"'\s>])")
+    robots_content = F.lower(F.coalesce(_attr(meta_pat, "content"),
+                                        F.lit("")))
+    tokens = F.split(F.regexp_replace(robots_content, r"\s", ""), ",")
+    has = lambda t: (F.array_contains(tokens, t)  # noqa: E731
+                     | F.array_contains(tokens, "none"))
+    link_pat = (r"(?is)<link\b"
+                r"(?=[^>]*\brel\s*=\s*[\"']?canonical[\"'\s>])")
+    canonical = _attr(link_pat, "href")
+    return docs.select(
+        id_col,
+        has("noindex").alias("noindex"),
+        has("nofollow").alias("nofollow"),
+        canonical.alias("canonical_url"),
+    )

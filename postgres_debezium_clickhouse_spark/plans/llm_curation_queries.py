@@ -468,10 +468,49 @@ def q_corpus_feed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_feeds(feeds)
 
 
+def q_corpus_html_index_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r18 — page-level indexing signals (operators/curation.
+    html_index_signals): the in-document complement to robots.txt —
+    noindex/nofollow robots-meta token flags (``none`` = both) and the
+    ``rel=canonical`` URL for syndication dedup.  Fixture cycles
+    attribute ORDER, quote styles (double/single/unquoted), and
+    presence schedules so every regex branch is on the oracle path;
+    all JVM (lookahead regexes), no Python, no shuffle."""
+    from ..operators.curation import html_index_signals
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    robots = (
+        F.when(d % 4 == 0,
+               F.lit('<meta name="robots" content="noindex">'))
+        .when(d % 4 == 1,
+              F.lit("<meta content='nofollow' name='robots'>"))
+        .when(d % 4 == 2, F.lit("<meta name=robots content=none>"))
+        .otherwise(F.lit('<meta name="viewport" content="width=1">'))
+    )
+    canon = F.when(
+        d % 3 != 0,
+        F.when(
+            d % 2 == 0,
+            F.concat(F.lit('<link rel="canonical" href="https://dom'),
+                     d, F.lit('/c">')),
+        ).otherwise(
+            F.concat(F.lit("<link href='https://dom"), d,
+                     F.lit("/c' rel='canonical'>")),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>t</title>"), robots, canon,
+        F.lit("</head><body>doc "), d, F.lit("</body></html>"),
+    )
+    return html_index_signals(docs.select("doc_id", html.alias("html")))
+
+
 QUERIES = {
     "corpus_robots_policy": q_corpus_robots_policy,
     "corpus_sitemap_discovery": q_corpus_sitemap_discovery,
     "corpus_feed_discovery": q_corpus_feed_discovery,
+    "corpus_html_index_signals": q_corpus_html_index_signals,
     "corpus_fim_transform": q_corpus_fim_transform,
     "corpus_dsir_weights": q_corpus_dsir_weights,
     "corpus_split": q_corpus_split,
@@ -968,6 +1007,15 @@ ORACLES["corpus_robots_policy"] = """
            CASE WHEN NOT star_dom
                 THEN CAST(k % 5 AS DOUBLE) END AS crawl_delay
     FROM p
+"""
+
+ORACLES["corpus_html_index_signals"] = """
+    SELECT doc_id,
+           doc_id % 4 IN (0, 2) AS noindex,
+           doc_id % 4 IN (1, 2) AS nofollow,
+           CASE WHEN doc_id % 3 != 0
+                THEN 'https://dom' || doc_id || '/c' END AS canonical_url
+    FROM documents
 """
 
 ORACLES["corpus_feed_discovery"] = """

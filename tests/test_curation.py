@@ -1145,3 +1145,35 @@ def test_feed_parse_rss_and_atom(spark):
     assert r.published == "2026-01-02T00:00:00Z" and r.guid == "tag:y,b1"
     r = rows[("y", "b2")]
     assert r.published == "2026-01-03T00:00:00Z"  # updated fallback
+
+
+def test_html_index_signals(spark):
+    # r18: attribute-order variance, quote styles, token semantics
+    # (none = noindex+nofollow), absence → false/NULL
+    from postgres_debezium_clickhouse_spark.operators.curation import (
+        html_index_signals)
+
+    rows = [
+        (0, '<meta name="robots" content="noindex, nofollow">'),
+        (1, "<meta content='NOINDEX' name='robots'>"),       # swapped
+        (2, '<meta name=robots content=none>'),              # unquoted
+        (3, '<meta name="robots" content="index, follow">'),
+        (4, '<link rel="canonical" href="https://x/a">'),
+        (5, "<link href='https://x/b' rel='canonical'>"),    # swapped
+        (6, '<meta name="viewport" content="noindex">'),     # wrong meta
+        (7, "plain page"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    out = {r.doc_id: r for r in html_index_signals(df).collect()}
+    assert out[0].noindex and out[0].nofollow
+    assert out[1].noindex and not out[1].nofollow
+    assert out[2].noindex and out[2].nofollow                # none
+    assert not out[3].noindex and not out[3].nofollow
+    assert out[4].canonical_url == "https://x/a"
+    assert out[5].canonical_url == "https://x/b"
+    assert not out[6].noindex
+    assert not out[7].noindex and out[7].canonical_url is None
+    # JVM-side, shuffle-free
+    plan = html_index_signals(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "Exchange" not in plan
