@@ -1506,36 +1506,41 @@ def html_index_signals(
     LOOKAHEAD for attribute order, both quote styles):
 
     - ``<meta name=robots content=...>`` → ``noindex`` / ``nofollow``
-      token flags (comma-separated token semantics, ``none`` = both,
-      per the public robots-meta convention)
+      token flags (comma- OR space-separated token semantics,
+      ``none`` = both, per the public robots-meta convention)
     - ``<link rel=canonical href=...>`` → ``canonical_url``
-      (NULL when absent)
+      (NULL when absent; ``rel`` treated as the token LIST it is)
 
-    No Python, no shuffle — three regexp_extracts over the html
-    column."""
-    d = F.col(html_col)
+    Robustness (r18 self-review): HTML comments are stripped first so
+    commented-out markup is never a live signal; each attribute value
+    is captured in ONE scan (quoted branches per quote char + a bare
+    branch that stops before a self-closing ``/>``), so the FIRST
+    matching tag wins and ``data-content``-style attributes cannot
+    hijack the value (names must follow whitespace or a quote, not a
+    hyphen).  No Python, no shuffle."""
+    d = F.regexp_replace(F.col(html_col), r"(?s)<!--.*?-->", " ")
 
     def _attr(tag_pat: str, attr: str):
-        # quoted and unquoted attribute forms as separate extracts —
-        # a single alternation would need multi-group regexp_extract
-        quoted = F.nullif(F.regexp_extract(
-            d, tag_pat + r"[^>]*\b" + attr
-            + r"\s*=\s*[\"']([^\"'>]*)", 1), F.lit(""))
-        bare = F.nullif(F.regexp_extract(
-            d, tag_pat + r"[^>]*\b" + attr
-            + r"\s*=\s*([^\s\"'>]+)", 1), F.lit(""))
-        return F.coalesce(quoted, bare)
+        # one scan, first tag wins; value = "..." | '...' | bare token
+        # (bare stops before whitespace, '>' or a self-closing '/>')
+        raw = F.nullif(F.regexp_extract(
+            d, tag_pat + r"[^>]*?[\s\"']" + attr
+            + r"\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s\"'>]+?(?=[\s>]|/>))",
+            1), F.lit(""))
+        return F.regexp_replace(raw, "^[\"']|[\"']$", "")
 
-    meta_pat = (r"(?is)<meta\b"
-                r"(?=[^>]*\bname\s*=\s*[\"']?robots[\"'\s>])")
+    meta_pat = (r"(?is)<meta\b(?=[^>]*[\s\"']name\s*=\s*"
+                r"(?:\"robots\"|'robots'|robots[\s/>]))")
     robots_content = F.lower(F.coalesce(_attr(meta_pat, "content"),
                                         F.lit("")))
-    tokens = F.split(F.regexp_replace(robots_content, r"\s", ""), ",")
+    tokens = F.split(F.trim(robots_content), r"[,\s]+")
     has = lambda t: (F.array_contains(tokens, t)  # noqa: E731
                      | F.array_contains(tokens, "none"))
-    link_pat = (r"(?is)<link\b"
-                r"(?=[^>]*\brel\s*=\s*[\"']?canonical[\"'\s>])")
-    canonical = _attr(link_pat, "href")
+    link_pat = (r"(?is)<link\b(?=[^>]*[\s\"']rel\s*=\s*"
+                r"(?:\"[^\">]*\bcanonical\b[^\">]*\""
+                r"|'[^'>]*\bcanonical\b[^'>]*'"
+                r"|canonical[\s/>]))")
+    canonical = F.nullif(_attr(link_pat, "href"), F.lit(""))
     return docs.select(
         id_col,
         has("noindex").alias("noindex"),

@@ -1177,3 +1177,47 @@ def test_html_index_signals(spark):
     plan = html_index_signals(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan and "Exchange" not in plan
+
+
+def test_html_index_signals_adversarial(spark):
+    # r18 self-review findings: comments, attribute hijack,
+    # self-closing bare values, first-declaration-wins, rel token
+    # lists, space-separated robots tokens, apostrophes in URLs
+    from postgres_debezium_clickhouse_spark.operators.curation import (
+        html_index_signals)
+
+    rows = [
+        # commented-out markup is NOT a live signal
+        (0, '<!-- <meta name="robots" content="noindex"> -->'
+            '<!-- <link rel="canonical" href="https://x/dead"> -->ok'),
+        # data-content after the real content must not hijack
+        (1, '<meta name="robots" content="noindex" data-content="x">'),
+        # data-name is not name
+        (2, '<meta data-name="robots" content="noindex">'),
+        # self-closing unquoted value keeps the token clean
+        (3, '<meta name=robots content=noindex/>'),
+        (4, "<link rel=canonical href=https://x/a/>"),
+        # FIRST robots declaration wins across quote styles
+        (5, '<meta name=robots content=none>'
+            '<meta name="robots" content="index">'),
+        # rel is a token list — canonical not first
+        (6, '<link rel="alternate canonical" href="https://x/c">'),
+        # space-separated robots tokens
+        (7, '<meta name="robots" content="noindex nofollow">'),
+        # apostrophe inside a double-quoted URL survives
+        (8, '<link rel="canonical" href="https://x/o\'brien">'),
+        # unquoted href keeps its slashes (no self-close)
+        (9, "<link rel=canonical href=https://x/deep/path>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    out = {r.doc_id: r for r in html_index_signals(df).collect()}
+    assert not out[0].noindex and out[0].canonical_url is None
+    assert out[1].noindex
+    assert not out[2].noindex
+    assert out[3].noindex
+    assert out[4].canonical_url == "https://x/a"
+    assert out[5].noindex and out[5].nofollow
+    assert out[6].canonical_url == "https://x/c"
+    assert out[7].noindex and out[7].nofollow
+    assert out[8].canonical_url == "https://x/o'brien"
+    assert out[9].canonical_url == "https://x/deep/path"
