@@ -228,6 +228,14 @@ def spark_digest(sdf) -> tuple[int, int]:
 
 
 def duck_digest(con, sql: str, spark_schema) -> tuple[int, int]:
+    # column-set parity is part of the gate even in digest mode — an
+    # oracle with extra/missing columns must FAIL, not silently render
+    # only the Spark columns (r18 self-review)
+    ocols = sorted(r[0] for r in con.execute(f"DESCRIBE ({sql})").fetchall())
+    scols = sorted(f.name for f in spark_schema.fields)
+    if ocols != scols:
+        raise ValueError(
+            f"columns differ: spark={scols} oracle={ocols}")
     fields = sorted(spark_schema.fields, key=lambda f: f.name)
     cells = [
         f"coalesce({_duck_cell(f.name, f.dataType.simpleString())},"

@@ -1015,6 +1015,38 @@ def synth_mp3_streams(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 # ---------------------------------------------------------------- FLAC meta
 
+def parse_vorbis_comments(data: bytes, what: str = "vorbis") -> dict[str, str]:
+    """The shared VORBIS_COMMENT wire lexer (xiph.org: little-endian
+    length-prefixed vendor string, entry count, ``KEY=value`` entries)
+    — used by the FLAC block walk here and the Ogg Vorbis/Opus comment
+    headers (operators/ogg.py); one implementation so the walks cannot
+    diverge (r18 self-review)."""
+    tags: dict[str, str] = {}
+    p = 0
+    if p + 4 > len(data):
+        raise ValueError(f"truncated {what} comment")
+    vlen = int.from_bytes(data[p:p + 4], "little")
+    p += 4 + vlen                                   # vendor string
+    if p + 4 > len(data):
+        raise ValueError(f"truncated {what} comment")
+    n = int.from_bytes(data[p:p + 4], "little")
+    p += 4
+    for _ in range(n):
+        if p + 4 > len(data):
+            raise ValueError(f"truncated {what} comment entry")
+        clen = int.from_bytes(data[p:p + 4], "little")
+        p += 4
+        entry = data[p:p + clen]
+        if len(entry) != clen:
+            raise ValueError(f"truncated {what} comment entry")
+        p += clen
+        if b"=" in entry:
+            k, v = entry.split(b"=", 1)
+            tags[k.decode("utf-8", "replace").upper()] = \
+                v.decode("utf-8", "replace")
+    return tags
+
+
 def flac_meta_walk(blob: bytes) -> dict:
     """FLAC metadata walk (public format spec, xiph.org: ``fLaC`` magic,
     then metadata blocks — 1-byte header = last-flag bit + 7-bit type,
@@ -1060,29 +1092,7 @@ def flac_meta_walk(blob: bytes) -> dict:
                 "duration_ms": total * 1000 // sample_rate,
             }
         elif btype == 4:                            # VORBIS_COMMENT
-            p = 0
-            if p + 4 > blen:
-                raise ValueError("truncated vorbis comment")
-            vlen = int.from_bytes(body[p:p + 4], "little")
-            p += 4 + vlen                           # vendor string
-            if p + 4 > blen:
-                raise ValueError("truncated vorbis comment")
-            n = int.from_bytes(body[p:p + 4], "little")
-            p += 4
-            for _ in range(n):
-                if p + 4 > blen:
-                    raise ValueError("truncated vorbis comment entry")
-                clen = int.from_bytes(body[p:p + 4], "little")
-                p += 4
-                entry = body[p:p + clen]
-                if len(entry) != clen:
-                    raise ValueError("truncated vorbis comment entry")
-                p += clen
-                if b"=" in entry:
-                    k, v = entry.split(b"=", 1)
-                    tags[k.decode("utf-8", "replace").upper()] = v.decode(
-                        "utf-8", "replace"
-                    )
+            tags.update(parse_vorbis_comments(body, "vorbis"))
         elif btype == 127:
             raise ValueError("invalid FLAC metadata block type 127")
         pos += 4 + blen

@@ -1520,26 +1520,35 @@ def html_index_signals(
     hyphen).  No Python, no shuffle."""
     d = F.regexp_replace(F.col(html_col), r"(?s)<!--.*?-->", " ")
 
+    # one WHOLE attribute (name, optionally = quoted-or-bare value):
+    # scanning through tags attribute-by-attribute means a target name
+    # can only ever match at a true attribute POSITION — a 'content='
+    # or 'name=robots' embedded inside another attribute's quoted
+    # value is consumed as part of that attribute (r18 self-review,
+    # second pass)
+    _ATTR = (r"(?:\s+[-:.\w]+"
+             r"(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>]+))?)")
+
     def _attr(tag_pat: str, attr: str):
-        # one scan, first tag wins; value = "..." | '...' | bare token
+        # first matching tag wins; value = "..." | '...' | bare token
         # (bare stops before whitespace, '>' or a self-closing '/>')
         raw = F.nullif(F.regexp_extract(
-            d, tag_pat + r"[^>]*?[\s\"']" + attr
+            d, tag_pat + _ATTR + r"*?\s+" + attr
             + r"\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s\"'>]+?(?=[\s>]|/>))",
             1), F.lit(""))
         return F.regexp_replace(raw, "^[\"']|[\"']$", "")
 
-    meta_pat = (r"(?is)<meta\b(?=[^>]*[\s\"']name\s*=\s*"
-                r"(?:\"robots\"|'robots'|robots[\s/>]))")
+    meta_pat = (r"(?is)<meta(?=" + _ATTR + r"*\s+name\s*=\s*"
+                r"(?:\"robots\"|'robots'|robots(?=[\s/>])))")
     robots_content = F.lower(F.coalesce(_attr(meta_pat, "content"),
                                         F.lit("")))
     tokens = F.split(F.trim(robots_content), r"[,\s]+")
     has = lambda t: (F.array_contains(tokens, t)  # noqa: E731
                      | F.array_contains(tokens, "none"))
-    link_pat = (r"(?is)<link\b(?=[^>]*[\s\"']rel\s*=\s*"
+    link_pat = (r"(?is)<link(?=" + _ATTR + r"*\s+rel\s*=\s*"
                 r"(?:\"[^\">]*\bcanonical\b[^\">]*\""
                 r"|'[^'>]*\bcanonical\b[^'>]*'"
-                r"|canonical[\s/>]))")
+                r"|[^\s>\"']*\bcanonical\b[^\s>\"']*(?=[\s/>])))")
     canonical = F.nullif(_attr(link_pat, "href"), F.lit(""))
     return docs.select(
         id_col,

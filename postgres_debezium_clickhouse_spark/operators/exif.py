@@ -158,6 +158,10 @@ def _jpeg_exif_payload(blob: bytes) -> bytes | None:
     while p + 4 <= len(blob):
         if blob[p] != 0xFF:
             raise ValueError("bad JPEG marker stream")
+        # 0xFF fill bytes before a marker are legal (ITU T.81
+        # B.1.1.2) — skip them (r18 self-review)
+        while blob[p + 1] == 0xFF and p + 4 <= len(blob):
+            p += 1
         marker = blob[p + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             p += 2

@@ -90,7 +90,7 @@ def _heif_meta_walk_impl(blob: bytes) -> dict:
     assoc: dict[int, list[int]] = {}
     auxl_to: list[int] = []
     dimg_from: dict[int, int] = {}
-    cdsc_exif_to: list[int] = []
+    cdsc_refs: list[tuple[int, list[int]]] = []
 
     for typ, ps, pe in _boxes(blob, ms, me):
         if typ == b"pitm":
@@ -159,14 +159,17 @@ def _heif_meta_walk_impl(blob: bytes) -> dict:
                 elif rtyp == b"dimg":
                     dimg_from[from_id] = rc
                 elif rtyp == b"cdsc":
-                    cdsc_exif_to.extend(
-                        t for t in to_ids if items.get(from_id) == "Exif")
+                    # resolved AFTER the loop — ISO 23008-12 does not
+                    # mandate iinf-before-iref order (r18 self-review)
+                    cdsc_refs.append((from_id, to_ids))
 
     if primary_id is None:
         raise ValueError("HEIF meta has no pitm")
     if primary_id not in items:
         raise ValueError("HEIF primary item not in iinf")
     primary_type = items[primary_id]
+    cdsc_exif_to = [t for from_id, to_ids in cdsc_refs
+                    if items.get(from_id) == "Exif" for t in to_ids]
 
     width = height = None
     bit_depth = n_channels = None

@@ -171,15 +171,25 @@ def _mp4_meta_walk_impl(blob: bytes) -> dict:
     if fragmented:
         frag_samples, frag_dur = _walk_fragments(
             blob, moofs, video_track_id, trex_defaults)
-        n_video_samples = (n_video_samples or 0) + frag_samples
+        if video_track_id is not None:
+            # keep None for 'no video track' — the same sentinel the
+            # unfragmented path reports (r18 self-review)
+            n_video_samples = (n_video_samples or 0) + frag_samples
         media_ts = video_media_timescale or timescale
         if frag_dur is not None:
             frag_ms = frag_dur * 1000 // media_ts
             if mehd_duration is not None:
                 mehd_ms = mehd_duration * 1000 // timescale
-                # cross-check like stts/stsz: a declared total that
-                # disagrees with the per-fragment sum is corrupt
-                if moofs and mehd_ms != frag_ms:
+                # cross-check like stts/stsz — but mehd is declared in
+                # the MOVIE timescale while the trun sum lives in the
+                # MEDIA timescale, so when they differ a spec-valid
+                # writer may round up to the next movie tick: tolerate
+                # one movie tick (ceil) + 1 ms of floor error, and be
+                # exact only when the timescales coincide (r18
+                # self-review)
+                tol = (0 if media_ts == timescale
+                       else (1000 + timescale - 1) // timescale + 1)
+                if moofs and abs(mehd_ms - frag_ms) > tol:
                     raise ValueError(
                         "mehd/fragment duration mismatch")
                 duration_ms = mehd_ms
@@ -229,15 +239,18 @@ def _walk_fragments(blob: bytes, moofs, video_track_id,
             tfhd_dur = None
             if flags & 0x08:                         # default duration
                 tfhd_dur = int.from_bytes(blob[p:p + 4], "big")
+            # the encrypted-fragment refusal applies to EVERY traf —
+            # a clear video track next to an encrypted audio track is
+            # the common DRM shape (r18 self-review)
+            if _child(blob, ps, pe, b"senc") is not None:
+                raise NotImplementedError(
+                    "encrypted MP4 fragment (senc)")
             if tid != video_track_id:
                 continue
             saw_video = True
             default_dur = (tfhd_dur if tfhd_dur is not None
                            else trex_defaults.get(tid))
             for rt, rs, re_ in _boxes(blob, ps, pe):
-                if rt == b"senc":
-                    raise NotImplementedError(
-                        "encrypted MP4 fragment (senc)")
                 if rt != b"trun":
                     continue
                 tflags = int.from_bytes(blob[rs + 1:rs + 4], "big")

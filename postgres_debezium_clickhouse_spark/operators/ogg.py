@@ -42,6 +42,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+# the comment-block lexer is SHARED with the FLAC walk — one
+# implementation of the xiph wire format (r18 self-review)
+from .audio import parse_vorbis_comments as _parse_vorbis_comments
+
 # ------------------------------------------------------------- page CRC
 
 _CRC_POLY = 0x04C11DB7
@@ -120,33 +124,6 @@ def _page_packets(lacing: bytes, body: bytes) -> tuple[list[bytes], bytes, bool]
         elif i == len(lacing) - 1:
             open_tail = True
     return packets, bytes(cur), open_tail
-
-
-def _parse_vorbis_comments(data: bytes, what: str) -> dict[str, str]:
-    tags: dict[str, str] = {}
-    p = 0
-    if p + 4 > len(data):
-        raise ValueError(f"truncated {what} comment block")
-    vlen = int.from_bytes(data[p:p + 4], "little")
-    p += 4 + vlen
-    if p + 4 > len(data):
-        raise ValueError(f"truncated {what} comment block")
-    n = int.from_bytes(data[p:p + 4], "little")
-    p += 4
-    for _ in range(n):
-        if p + 4 > len(data):
-            raise ValueError(f"truncated {what} comment entry")
-        clen = int.from_bytes(data[p:p + 4], "little")
-        p += 4
-        entry = data[p:p + clen]
-        if len(entry) != clen:
-            raise ValueError(f"truncated {what} comment entry")
-        p += clen
-        if b"=" in entry:
-            k, v = entry.split(b"=", 1)
-            tags[k.decode("utf-8", "replace").upper()] = \
-                v.decode("utf-8", "replace")
-    return tags
 
 
 def ogg_meta_walk(blob: bytes) -> dict:

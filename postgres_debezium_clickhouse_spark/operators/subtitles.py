@@ -91,13 +91,23 @@ def vtt_parse(text: str) -> list[dict]:
         raise ValueError("missing WEBVTT signature")
     blocks = re.split(r"\r?\n\s*\r?\n", body.strip())
     cues: list[dict] = []
-    for blk in blocks[1:] if blocks and blocks[0].startswith("WEBVTT") \
-            else blocks:
+    # the signature line may share its block with the first cue (no
+    # blank line after WEBVTT is spec-legal) — strip the line, keep
+    # the remainder (r18 self-review: it was silently dropped)
+    first_rest = blocks[0].split("\n", 1)
+    blocks = (
+        [first_rest[1]]
+        if len(first_rest) > 1 and "-->" in first_rest[1] else []
+        # (no '-->' → those are header TEXT lines, part of the header)
+    ) + blocks[1:]
+    for blk in blocks:
         lines = blk.splitlines()
-        if not lines:
+        if not lines or not any(ln.strip() for ln in lines):
             continue
         head = lines[0].strip()
-        if head.startswith(("NOTE", "STYLE", "REGION")):
+        # NOTE/STYLE/REGION only as WHOLE keywords — an identifier
+        # like 'NOTES-1' is a cue, not a comment (r18 self-review)
+        if re.match(r"(NOTE|STYLE|REGION)(\s|$)", head):
             continue
         ti = 0
         if "-->" not in lines[0]:

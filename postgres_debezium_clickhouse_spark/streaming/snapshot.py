@@ -268,14 +268,29 @@ def _vector_path(coord: str, sid: str) -> str:
 
 
 def _append_vector(coord: str, sid: str, entry: dict) -> None:
+    """Keep-FIRST per boundary: a resumed run re-walks earlier cycles
+    (chunks skipped via the progress set) and must not overwrite the
+    original frontier's versions with post-resume state (r18
+    self-review); the ``completed`` entry is its own slot."""
     p = _vector_path(coord, sid)
     os.makedirs(os.path.dirname(p), exist_ok=True)
     vectors = snapshot_consistency_vectors(coord, sid)
+    key = ("completed" if entry.get("completed") else entry["chunk_index"])
+    for v in vectors:
+        if ("completed" if v.get("completed") else v["chunk_index"]) == key:
+            return
     vectors.append(entry)
     tmp = f"{p}.{uuid.uuid4().hex[:8]}.tmp"
     with open(tmp, "w") as fh:
         json.dump(vectors, fh)
     os.rename(tmp, p)
+
+
+def _clear_vectors(coord: str, sid: str) -> None:
+    try:
+        os.unlink(_vector_path(coord, sid))
+    except FileNotFoundError:
+        pass
 
 
 def snapshot_consistency_vectors(coord: str, sid: str) -> list[dict]:
@@ -306,9 +321,12 @@ def read_snapshot_consistent(
     result is a cross-table-consistent cut at a lockstep chunk boundary
     — the opt-in escape from the documented mid-backfill skew
     (run_incremental_snapshot_multi's visibility contract).  ``boundary``
-    indexes the recorded vectors (default -1 = newest).  Requires the
-    pinned versions to still be un-vacuumed (read_silver fails loudly
-    otherwise, never returns partial state)."""
+    >= 0 selects the entry recorded for that CHUNK INDEX (not a list
+    position — a paused/resumed run records boundaries keep-first);
+    the default -1 selects the newest entry (the ``completed`` one
+    after a finished snapshot).  Requires the pinned versions to still
+    be un-vacuumed (read_silver fails loudly otherwise, never returns
+    partial state)."""
     from .pipeline import read_silver
 
     vectors = snapshot_consistency_vectors(coord, sid)
@@ -316,7 +334,16 @@ def read_snapshot_consistent(
         raise ValueError(
             f"no consistency vectors recorded for signal {sid!r} at "
             f"{coord!r}")
-    entry = vectors[boundary]
+    if boundary < 0:
+        entry = vectors[boundary]
+    else:
+        matches = [v for v in vectors
+                   if not v.get("completed")
+                   and v.get("chunk_index") == boundary]
+        if not matches:
+            raise ValueError(
+                f"no vector recorded for chunk boundary {boundary}")
+        entry = matches[0]
     out = {}
     for t, path in sorted(paths.items()):
         v = entry["versions"].get(t)
@@ -953,6 +980,9 @@ def run_incremental_snapshot_multi(
             for t in names
         }
         _write_progress_multi(coord, sid, done, bounds)
+        # a FRESH run under a reused signal_id must not inherit the
+        # previous backfill's vectors (keep-first would pin stale cuts)
+        _clear_vectors(coord, sid)
         emit_notification(coord, _AGG, "STARTED", {
             "signal_id": sid, "tables": names,
             "total_chunks": sum(len(b) for b in bounds.values()),

@@ -1221,3 +1221,25 @@ def test_html_index_signals_adversarial(spark):
     assert out[7].noindex and out[7].nofollow
     assert out[8].canonical_url == "https://x/o'brien"
     assert out[9].canonical_url == "https://x/deep/path"
+
+
+def test_html_index_signals_value_embedding(spark):
+    # r18 second-pass review: attribute names embedded inside OTHER
+    # attributes' quoted values must never match
+    from postgres_debezium_clickhouse_spark.operators.curation import (
+        html_index_signals)
+
+    rows = [
+        (0, '<meta name="robots" data-x="content=evil stuff"'
+            ' content="noindex">'),
+        (1, '<meta data-x="name=robots junk" content="noindex">'),
+        (2, '<link data-y="rel=canonical" href="https://x/fake">'),
+        (3, '<link rel="canonical" data-y="href=https://x/bad"'
+            ' href="https://x/good">'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    out = {r.doc_id: r for r in html_index_signals(df).collect()}
+    assert out[0].noindex                        # real content wins
+    assert not out[1].noindex                    # fake name ignored
+    assert out[2].canonical_url is None          # fake rel ignored
+    assert out[3].canonical_url == "https://x/good"

@@ -165,3 +165,29 @@ def test_spark_plumbing_and_closed_form(spark):
         assert r["primary_type"] == (
             "grid" if d % 7 == 0
             else ("av01" if d % 2 == 0 else "hvc1"))
+
+
+def test_iref_before_iinf_box_order():
+    # r18 self-review: ISO 23008-12 does not mandate child order —
+    # cdsc/Exif resolution must not depend on iinf preceding iref
+    b = heif_encode_fixture("avif", 64, 48, exif=True)
+    # rebuild the meta box with iref moved to the FRONT of its children
+    meta_off = b.index(b"meta") - 4
+    meta_size = int.from_bytes(b[meta_off:meta_off + 4], "big")
+    meta_payload = b[meta_off + 12:meta_off + meta_size]  # skip fullbox
+    children = []
+    p = 0
+    while p < len(meta_payload):
+        size = int.from_bytes(meta_payload[p:p + 4], "big")
+        children.append(meta_payload[p:p + size])
+        p += size
+    iref = [c for c in children if c[4:8] == b"iref"]
+    rest = [c for c in children if c[4:8] != b"iref"]
+    assert iref
+    new_payload = b"".join(iref + rest)
+    new_meta = (meta_size).to_bytes(4, "big") + b"meta" \
+        + b[meta_off + 8:meta_off + 12] + new_payload
+    blob = b[:meta_off] + new_meta + b[meta_off + meta_size:]
+    m = heif_meta_walk(blob)
+    assert m["has_exif"] is True
+    assert heif_meta_walk(b) == m

@@ -117,3 +117,21 @@ def test_spark_plumbing_and_closed_form(spark):
                                      for c in range(n))
         assert r["text"] == " ".join(f"doc {d} cue {c}"
                                      for c in range(n))
+
+
+def test_vtt_edge_blocks_r18_review():
+    # no blank line after the signature: the first cue must not drop
+    cues = vtt_parse("WEBVTT\n00:01.000 --> 00:02.000\nhello\n\n"
+                     "00:03.000 --> 00:04.000\nworld\n")
+    assert len(cues) == 2 and cues[0]["text"] == "hello"
+    # header TEXT lines (no -->) stay header, not cues
+    cues = vtt_parse("WEBVTT - x\nKind: captions\n\n"
+                     "00:01.000 --> 00:02.000\nhi\n")
+    assert len(cues) == 1
+    # an identifier that merely STARTS with NOTE is a cue
+    cues = vtt_parse("WEBVTT\n\nNOTES-1\n00:01.000 --> 00:02.000\nkept\n")
+    assert len(cues) == 1 and cues[0]["text"] == "kept"
+    # whole-keyword NOTE with trailing text on the same line is skipped
+    cues = vtt_parse("WEBVTT\n\nNOTE a comment\n\n"
+                     "00:01.000 --> 00:02.000\nok\n")
+    assert len(cues) == 1 and cues[0]["text"] == "ok"
