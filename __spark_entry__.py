@@ -51,6 +51,9 @@ _MODULES = (llm_queries, ops_queries, staging_queries, sql_surface, cdc_queries,
 _FRONT = (
     # round-18 additions (never driver-checked), newest first, inserted
     # here as they land.
+    "stream_exif_pii_gate",          # r18: streaming media-walk PII gate
+    "multimodal_gzip_members",       # r18: gzip member walk
+    "multimodal_zstd_frames",        # r18: zstd frame walk
     "corpus_html_index_signals",     # r18: robots-meta + canonical
     "corpus_feed_discovery",         # r18: RSS/Atom frontier parsing
     "multimodal_subtitles_meta",     # r18: SRT/WebVTT parsing

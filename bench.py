@@ -69,6 +69,11 @@ HEADLINE = [
     "corpus_bpe_encode",        # tokenizer (r17 headline add: Arrow-batched
                                 # BPE encode over the corpus — the other
                                 # unguarded mapInPandas family)
+    "multimodal_exif_meta",     # r18 headline add: the round's walk family
+                                # representative (4-container dispatch + TIFF
+                                # IFD parse); ogg/heif/fmp4/subtitles/gzip/
+                                # zstd share the per-blob mapInPandas shape
+                                # and ride the same guard
 ]
 
 PASSES = 3

@@ -564,6 +564,40 @@ def q_multimodal_audio_ogg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ogg_metadata(synth_ogg_docs(docs))
 
 
+def q_multimodal_gzip_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r18 — gzip member walk (operators/compressed.py): bare .gz
+    payload triage (RFC 1952) — FLG field grammar, multi-member files
+    (spec-legal concatenations), deflate bodies skipped via raw zlib
+    (no length prefix exists), CRC32 + ISIZE trailers VERIFIED against
+    the inflated bytes.  Cross-validated against stdlib gzip in both
+    directions (our writer read by gzip.decompress, gzip.compress read
+    by our walk).  total_compressed is deflate-dependent and excluded
+    from the oracle projection; every other column restated
+    closed-form."""
+    from ..operators.compressed import gzip_metadata, synth_gzip_docs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return gzip_metadata(synth_gzip_docs(docs)).drop("total_compressed")
+
+
+def q_multimodal_zstd_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r18 — Zstandard frame walk (operators/compressed.py): .zst is
+    the fastest-growing archive envelope in public dumps and had zero
+    triage.  RFC 8878 structure with NO decompression: frame-header
+    descriptor field grammar (single-segment, dict-id widths, content-
+    size flag incl. the 2-byte minus-256 form), window descriptor →
+    window_log, block chain stepped via 3-byte headers (raw/RLE/
+    compressed; reserved dead-letters), optional checksum, skippable
+    frames counted.  No zstd codec exists in this container
+    (env-blocked like libwebp) — fixtures are RAW-block frames any
+    real zstd decodes, written from the spec field tables.  Every
+    column restated by the DuckDB closed form."""
+    from ..operators.compressed import synth_zstd_docs, zstd_metadata
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return zstd_metadata(synth_zstd_docs(docs))
+
+
 def q_multimodal_subtitles_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r18 — SRT/WebVTT subtitle parsing (operators/subtitles.py): the
     text-from-video modality — subtitle sidecars are the highest-
@@ -721,6 +755,8 @@ QUERIES = {
     "multimodal_video_fmp4_meta": q_multimodal_video_fmp4_meta,
     "multimodal_exif_meta": q_multimodal_exif_meta,
     "multimodal_subtitles_meta": q_multimodal_subtitles_meta,
+    "multimodal_gzip_members": q_multimodal_gzip_members,
+    "multimodal_zstd_frames": q_multimodal_zstd_frames,
     "multimodal_decode_vp8l": q_multimodal_decode_vp8l,
     "multimodal_pdf_text": q_multimodal_pdf_text,
     "multimodal_audio_features": q_multimodal_audio_features,
@@ -1398,6 +1434,50 @@ ORACLES["multimodal_audio_ogg_meta"] = """
            CASE WHEN doc_id % 3 = 0
                 THEN 'artist ' || (doc_id % 5) END AS artist
     FROM documents
+"""
+
+ORACLES["multimodal_gzip_members"] = """
+    WITH p AS (
+        SELECT doc_id,
+               14 + length(CAST(doc_id AS VARCHAR)) AS L,
+               1 + doc_id % 3 AS n
+        FROM documents
+    ),
+    mem AS (
+        SELECT p.doc_id, p.n, j.m, p.L * (4 + (p.doc_id + j.m) % 5) AS sz
+        FROM p CROSS JOIN LATERAL (
+            SELECT unnest(range(0, p.n))) j(m)
+    )
+    SELECT doc_id,
+           CAST(MIN(n) AS INT) AS n_members,
+           'm0.txt' AS first_name,
+           CAST(1700000000 + doc_id AS BIGINT) AS mtime_first,
+           CAST(3 AS INT) AS os_first,
+           CAST(SUM(sz) AS BIGINT) AS total_uncompressed
+    FROM mem GROUP BY doc_id
+"""
+
+ORACLES["multimodal_zstd_frames"] = """
+    WITH p AS (
+        SELECT doc_id,
+               (13 + length(CAST(doc_id AS VARCHAR)))
+                   * (8 + doc_id % 7) AS L,
+               1 + doc_id % 2 AS nf
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(nf AS INT) AS n_frames,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INT)
+               AS n_skippable,
+           CAST(CASE WHEN doc_id % 5 != 0 THEN nf * L END AS BIGINT)
+               AS content_size,
+           CAST(CASE WHEN doc_id % 5 = 0 OR L > 255 THEN 21 END AS INT)
+               AS window_log,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 100 + doc_id % 50 END
+                AS BIGINT) AS dict_id,
+           doc_id % 2 = 1 AS has_checksum,
+           CAST(nf * ((L + 63) // 64) AS INT) AS n_blocks
+    FROM p
 """
 
 ORACLES["multimodal_subtitles_meta"] = """

@@ -610,7 +610,29 @@ def stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mv_replay(spark, "dsirgate", incoming, gate)
 
 
+def stream_exif_pii_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r18 — streaming PII quarantine over a MEDIA walk: the EXIF
+    extractor (operators/exif.py) run inside a registered MV on a
+    multi-micro-batch blob replay, quarantining every image whose
+    GPS-IFD is present (location PII a curation pipeline must strip
+    before training) — the composition of streaming ingest × per-blob
+    walk × gate that a real crawl pipeline runs continuously.
+    Append-mode MV: per-row mapInPandas walk, no state, no shuffle —
+    the cheapest streaming shape at any scale.  Oracle states the
+    quarantined set closed-form from the fixture schedules."""
+    from ..operators.exif import exif_metadata, synth_exif_docs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return _mv_replay(
+        spark, "exifgate", docs,
+        lambda df: exif_metadata(synth_exif_docs(df))
+        .filter(F.col("gps_present"))
+        .select("doc_id", "container", "make", "orientation"),
+    )
+
+
 QUERIES = {
+    "stream_exif_pii_gate": stream_exif_pii_gate,
     "stream_pq_dedup_gate": stream_pq_dedup_gate,
     "stream_dsir_gate": stream_dsir_gate,
     "stream_image_dedup_gate": stream_image_dedup_gate,
@@ -624,6 +646,18 @@ QUERIES = {
 }
 
 ORACLES: dict[str, str] = {
+    "stream_exif_pii_gate": """
+        SELECT doc_id,
+               (['jpeg', 'tiff', 'webp', 'png'])[1 + doc_id % 4]
+                   AS container,
+               'maker ' || (doc_id % 3) AS make,
+               CAST(1 + doc_id % 8 AS INT) AS orientation
+        FROM documents
+        WHERE doc_id % 3 = 0
+          AND NOT (doc_id % 7 = 0
+                   AND (['jpeg', 'tiff', 'webp', 'png'])[1 + doc_id % 4]
+                       != 'tiff')
+    """,
     "stream_dsir_gate": """
         WITH w AS (
             SELECT doc_id,

@@ -82,6 +82,8 @@ def test_r18_walks_are_shuffle_free(spark):
         ogg_metadata, synth_ogg_docs)
     from postgres_debezium_clickhouse_spark.operators.subtitles import (
         subtitle_stats, synth_subtitle_docs)
+    from postgres_debezium_clickhouse_spark.operators.compressed import (
+        gzip_metadata, synth_gzip_docs, synth_zstd_docs, zstd_metadata)
 
     ids = spark.range(0, 64, 1, 4).withColumnRenamed("id", "doc_id")
     for walk, synth in (
@@ -90,6 +92,8 @@ def test_r18_walks_are_shuffle_free(spark):
         (fmp4_metadata, synth_fmp4_docs),
         (exif_metadata, synth_exif_docs),
         (subtitle_stats, synth_subtitle_docs),
+        (gzip_metadata, synth_gzip_docs),
+        (zstd_metadata, synth_zstd_docs),
     ):
         df = walk(synth(ids))
         plan = _plan(df)
