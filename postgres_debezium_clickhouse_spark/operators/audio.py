@@ -19,6 +19,8 @@ bytes, not rows — see operators/multimodal.py's sizing notes.
 
 from __future__ import annotations
 
+from .dedup import spread_for_compute as _spread
+
 import io
 import struct
 import wave
@@ -675,7 +677,7 @@ def synth_g711_waveforms(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame
                 )
             yield pd.DataFrame({"doc_id": ids, "media": blobs})
 
-    return ids_df.select(id_col).mapInPandas(_synth, schema=WAV_BLOB_SCHEMA)
+    return _spread(ids_df.select(id_col)).mapInPandas(_synth, schema=WAV_BLOB_SCHEMA)
 
 
 def synth_aiff_waveforms(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -704,7 +706,7 @@ def synth_aiff_waveforms(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame
                 blobs.append(aiff_encode(samples, rate, ch))
             yield pd.DataFrame({"doc_id": ids, "media": blobs})
 
-    return ids_df.select(id_col).mapInPandas(_synth, schema=WAV_BLOB_SCHEMA)
+    return _spread(ids_df.select(id_col)).mapInPandas(_synth, schema=WAV_BLOB_SCHEMA)
 
 
 def synth_waveforms(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -730,7 +732,7 @@ def synth_waveforms(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 blobs.append(wav_encode(samples, rate, ch))
             yield pd.DataFrame({"doc_id": ids, "media": blobs})
 
-    return ids_df.select(id_col).mapInPandas(_synth, schema=WAV_BLOB_SCHEMA)
+    return _spread(ids_df.select(id_col)).mapInPandas(_synth, schema=WAV_BLOB_SCHEMA)
 
 
 # ---------------------------------------------------------------- MP3 meta
@@ -1008,7 +1010,7 @@ def synth_mp3_streams(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 ))
             yield pd.DataFrame({id_col: ids, "media": blobs})
 
-    return ids_df.select(id_col).mapInPandas(
+    return _spread(ids_df.select(id_col)).mapInPandas(
         _synth, schema=f"{id_col} long, media binary"
     )
 
@@ -1199,6 +1201,6 @@ def synth_flac_streams(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 ))
             yield pd.DataFrame({id_col: ids, "media": blobs})
 
-    return ids_df.select(id_col).mapInPandas(
+    return _spread(ids_df.select(id_col)).mapInPandas(
         _synth, schema=f"{id_col} long, media binary"
     )

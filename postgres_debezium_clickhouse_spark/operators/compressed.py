@@ -31,6 +31,8 @@ LLM-training-pipeline extension surface.
 
 from __future__ import annotations
 
+from .dedup import spread_for_compute as _spread
+
 import struct
 import zlib
 from collections.abc import Iterator
@@ -365,7 +367,7 @@ def synth_gzip_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 blobs.append(bytes(out))
             yield pd.DataFrame({id_col: ids, "media": blobs})
 
-    return ids_df.select(id_col).mapInPandas(
+    return _spread(ids_df.select(id_col)).mapInPandas(
         _synth, schema=f"{id_col} long, media binary")
 
 
@@ -397,5 +399,5 @@ def synth_zstd_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 blobs.append(bytes(out))
             yield pd.DataFrame({id_col: ids, "media": blobs})
 
-    return ids_df.select(id_col).mapInPandas(
+    return _spread(ids_df.select(id_col)).mapInPandas(
         _synth, schema=f"{id_col} long, media binary")

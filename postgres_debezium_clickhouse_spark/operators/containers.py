@@ -31,6 +31,8 @@ writer, not a self round-trip.
 
 from __future__ import annotations
 
+from .dedup import spread_for_compute as _spread
+
 import re
 import struct
 import zlib
@@ -326,6 +328,6 @@ def synth_office_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 blobs.append(buf.getvalue())
             yield pd.DataFrame({id_col: ids, "media": blobs})
 
-    return ids_df.select(id_col).mapInPandas(
+    return _spread(ids_df.select(id_col)).mapInPandas(
         _synth, schema=f"{id_col} long, media binary"
     )

@@ -282,7 +282,21 @@ def connected_components(
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     edges = edges.repartition(F.col("b")).localCheckpoint(eager=True)
-    labels = edges.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+    # seed labels with round 1's RESULT directly: label(u) = min(u, min
+    # neighbors) is one groupBy over the symmetric edge set — no join, no
+    # union — and is exactly what the first propagation round would
+    # produce from identity labels (r18: saves one full join round; for
+    # the near-clique dup graphs this path serves, the loop then only
+    # runs the confirming rounds).  Fixpoint and result are unchanged:
+    # every seed label is a reachable node id ≥ the component minimum.
+    labels = (
+        edges.groupBy("a")
+        .agg(F.min("b").alias("__mb"))
+        .select(
+            F.col("a").alias("node"),
+            F.least(F.col("__mb"), F.col("a")).alias("label"),
+        )
+    )
     for _ in range(max_iter):
         nbr = edges.join(
             labels.select(F.col("node").alias("b"), F.col("label").alias("l")), "b"
@@ -535,18 +549,33 @@ def _gram_positions(
     on the one corpus-sized shuffle, measured 6.9s → see BASELINE.md).
     Collision risk is n²/2⁶⁴ across total corpus positions (≈5×10⁻⁸ at
     10⁹ grams) — the same class of assumption as the md5-keyed sketches;
-    a collision can only mark one extra position duplicated."""
-    grams = F.expr(
+    a collision can only mark one extra position duplicated.
+
+    Execution shape (r18): explode the position sequence FIRST, then hash
+    in a plain projection.  The old form hashed inside a ``transform``
+    lambda; higher-order functions are interpreted (no whole-stage
+    codegen), so every position paid boxed per-element expression eval.
+    ``Generate(explode) → Project(xxhash64(substring))`` fuses into one
+    codegen loop — bit-identical hashes (same xxhash64, seed 42), same
+    rows, ~3× less CPU per position (measured on the spans/removal
+    bench pair).  The text column rides the Generate only inside the
+    codegen stage (consumed by the projection, never shuffled)."""
+    positions = F.expr(
         f"CASE WHEN length({text_col}) >= {min_len} "
-        f"THEN transform(sequence(1, length({text_col}) - {min_len} + 1), "
-        f"p -> xxhash64(substring({text_col}, p, {min_len}))) "
+        f"THEN sequence(1, length({text_col}) - {min_len} + 1) "
         f"ELSE array() END"
     )
     # the gram build is CPU-bound at ~|text| hashes per row — spread the
     # (often few-file) document scan across the cluster first
-    return spread_for_compute(documents).select(
-        F.col(id_col), F.posexplode(grams).alias("__pp", "h")
-    ).select(F.col(id_col), (F.col("__pp") + 1).cast("long").alias("p"), "h")
+    return (
+        spread_for_compute(documents)
+        .select(F.col(id_col), F.col(text_col), F.explode(positions).alias("__p"))
+        .select(
+            F.col(id_col),
+            F.col("__p").cast("long").alias("p"),
+            F.expr(f"xxhash64(substring({text_col}, __p, {min_len}))").alias("h"),
+        )
+    )
 
 
 def substring_duplication(

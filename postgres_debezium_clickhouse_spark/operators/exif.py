@@ -30,6 +30,8 @@ LLM-training-pipeline extension surface.
 
 from __future__ import annotations
 
+from .dedup import spread_for_compute as _spread
+
 import struct
 from collections.abc import Iterator
 
@@ -462,6 +464,6 @@ def synth_exif_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 blobs.append(exif_wrap(container, tiff))
             yield pd.DataFrame({id_col: ids, "media": blobs})
 
-    return ids_df.select(id_col).mapInPandas(
+    return _spread(ids_df.select(id_col)).mapInPandas(
         _synth, schema=f"{id_col} long, media binary"
     )

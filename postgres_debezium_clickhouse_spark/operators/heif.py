@@ -32,6 +32,8 @@ LLM-training-pipeline extension surface.
 
 from __future__ import annotations
 
+from .dedup import spread_for_compute as _spread
+
 import struct
 from collections.abc import Iterator
 
@@ -362,6 +364,6 @@ def synth_heif_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 ))
             yield pd.DataFrame({id_col: ids, "media": blobs})
 
-    return ids_df.select(id_col).mapInPandas(
+    return _spread(ids_df.select(id_col)).mapInPandas(
         _synth, schema=f"{id_col} long, media binary"
     )

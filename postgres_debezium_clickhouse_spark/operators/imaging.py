@@ -34,6 +34,8 @@ scalar wire columns.
 
 from __future__ import annotations
 
+from .dedup import spread_for_compute as _spread
+
 import struct
 import zlib
 from binascii import crc32
@@ -1279,7 +1281,7 @@ def synth_images(ids_df: DataFrame, id_col: str = "doc_id",
                 blobs.append(blob)
             yield pd.DataFrame({"doc_id": ids, "media": blobs})
 
-    return ids_df.select(id_col).mapInPandas(_synth, schema=MEDIA_BLOB_SCHEMA)
+    return _spread(ids_df.select(id_col)).mapInPandas(_synth, schema=MEDIA_BLOB_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -1524,7 +1526,7 @@ def synth_multiformat_images(ids_df: DataFrame, id_col: str = "doc_id") -> DataF
                 blobs.append(blob)
             yield pd.DataFrame({id_col: ids, "media": blobs})
 
-    return ids_df.mapInPandas(_synth, schema=f"{id_col} long, media binary")
+    return _spread(ids_df).mapInPandas(_synth, schema=f"{id_col} long, media binary")
 
 
 def synth_netpbm_images(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1555,7 +1557,7 @@ def synth_netpbm_images(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 ids.append(d)
             yield pd.DataFrame({id_col: ids, "media": blobs})
 
-    return ids_df.mapInPandas(_synth, schema=f"{id_col} long, media binary")
+    return _spread(ids_df).mapInPandas(_synth, schema=f"{id_col} long, media binary")
 
 
 def synth_gif_images(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1582,7 +1584,7 @@ def synth_gif_images(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 blobs.append(gif_encode(w, h, idx, pal, interlace=(d % 3 == 0)))
             yield pd.DataFrame({id_col: ids, "media": blobs})
 
-    return ids_df.mapInPandas(_synth, schema=f"{id_col} long, media binary")
+    return _spread(ids_df).mapInPandas(_synth, schema=f"{id_col} long, media binary")
 
 
 def synth_jpeg_images(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1624,7 +1626,7 @@ def synth_jpeg_images(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 blobs.append(enc(w, h, px, 3))
             yield pd.DataFrame({id_col: ids, "media": blobs})
 
-    return ids_df.mapInPandas(_synth, schema=f"{id_col} long, media binary")
+    return _spread(ids_df).mapInPandas(_synth, schema=f"{id_col} long, media binary")
 
 
 def jpeg_roundtrip_check(media_df: DataFrame, id_col: str = "doc_id",
@@ -1713,7 +1715,7 @@ def synth_dhash_images(ids_df: DataFrame, id_col: str = "doc_id",
                 blobs.append(png_encode(w, h, px, 3))
             yield pd.DataFrame({"doc_id": ids, "media": blobs})
 
-    return ids_df.select(id_col).mapInPandas(_synth, schema=MEDIA_BLOB_SCHEMA)
+    return _spread(ids_df.select(id_col)).mapInPandas(_synth, schema=MEDIA_BLOB_SCHEMA)
 
 
 def synth_text_pngs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1749,7 +1751,7 @@ def synth_text_pngs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 blobs.append(png_encode(w, h, px, 3, text_chunks=chunks))
             yield pd.DataFrame({id_col: ids, "media": blobs})
 
-    return ids_df.mapInPandas(_synth, schema=f"{id_col} long, media binary")
+    return _spread(ids_df).mapInPandas(_synth, schema=f"{id_col} long, media binary")
 
 
 def png_metadata_rows(media_df: DataFrame, id_col: str = "doc_id",
@@ -2021,7 +2023,7 @@ def synth_exif_jpegs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 blobs.append(blob)
             yield pd.DataFrame({id_col: ids, "media": blobs})
 
-    return ids_df.mapInPandas(_synth, schema=f"{id_col} long, media binary")
+    return _spread(ids_df).mapInPandas(_synth, schema=f"{id_col} long, media binary")
 
 
 def jpeg_exif_rows(media_df: DataFrame, id_col: str = "doc_id",

@@ -32,6 +32,8 @@ Scale: per-blob byte-bounded walk in ``mapInPandas`` — no shuffle.
 
 from __future__ import annotations
 
+from .dedup import spread_for_compute as _spread
+
 import struct
 from collections.abc import Iterator
 
@@ -348,4 +350,4 @@ def synth_mkv_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 ids.append(d)
             yield pd.DataFrame({"doc_id": ids, "media": blobs})
 
-    return ids_df.select(id_col).mapInPandas(_synth, schema=MKV_BLOB_SCHEMA)
+    return _spread(ids_df.select(id_col)).mapInPandas(_synth, schema=MKV_BLOB_SCHEMA)

@@ -40,6 +40,8 @@ is part of the LLM-training-data extension surface the brief asks for.
 
 from __future__ import annotations
 
+from .dedup import spread_for_compute as _spread
+
 import struct
 from collections.abc import Iterator
 
@@ -578,7 +580,7 @@ def synth_mp4_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 ids.append(d)
             yield pd.DataFrame({"doc_id": ids, "media": blobs})
 
-    return ids_df.select(id_col).mapInPandas(_synth, schema=MP4_BLOB_SCHEMA)
+    return _spread(ids_df.select(id_col)).mapInPandas(_synth, schema=MP4_BLOB_SCHEMA)
 
 
 FMP4_META_SCHEMA = T.StructType(MP4_META_SCHEMA.fields + [
@@ -644,4 +646,4 @@ def synth_fmp4_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 ids.append(d)
             yield pd.DataFrame({"doc_id": ids, "media": blobs})
 
-    return ids_df.select(id_col).mapInPandas(_synth, schema=MP4_BLOB_SCHEMA)
+    return _spread(ids_df.select(id_col)).mapInPandas(_synth, schema=MP4_BLOB_SCHEMA)

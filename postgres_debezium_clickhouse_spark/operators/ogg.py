@@ -35,6 +35,8 @@ Scale: per-blob byte-bounded walk in ``mapInPandas`` — no shuffle.
 
 from __future__ import annotations
 
+from .dedup import spread_for_compute as _spread
+
 import struct
 from collections.abc import Iterator
 
@@ -403,6 +405,6 @@ def synth_ogg_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 blobs.append(blob)
             yield pd.DataFrame({id_col: ids, "media": blobs})
 
-    return ids_df.select(id_col).mapInPandas(
+    return _spread(ids_df.select(id_col)).mapInPandas(
         _synth, schema=f"{id_col} long, media binary"
     )

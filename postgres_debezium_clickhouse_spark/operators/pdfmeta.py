@@ -29,6 +29,8 @@ every media walk (operators/audio.py mp3/flac twins).
 
 from __future__ import annotations
 
+from .dedup import spread_for_compute as _spread
+
 import re
 from collections.abc import Iterator
 
@@ -730,7 +732,7 @@ def synth_pdf_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     ))
             yield pd.DataFrame({id_col: ids, "media": blobs})
 
-    return ids_df.select(id_col).mapInPandas(
+    return _spread(ids_df.select(id_col)).mapInPandas(
         _synth, schema=f"{id_col} long, media binary"
     )
 
@@ -1068,4 +1070,4 @@ def synth_pdf_text_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         T.StructField("doc_id", T.LongType()),
         T.StructField("media", T.BinaryType()),
     ])
-    return ids_df.select(id_col).mapInPandas(_synth, schema=schema)
+    return _spread(ids_df.select(id_col)).mapInPandas(_synth, schema=schema)

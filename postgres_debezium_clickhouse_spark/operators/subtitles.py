@@ -27,6 +27,8 @@ computed in the same pass as the parse.
 
 from __future__ import annotations
 
+from .dedup import spread_for_compute as _spread
+
 import re
 from collections.abc import Iterator
 
@@ -244,6 +246,6 @@ def synth_subtitle_docs(ids_df: DataFrame,
                 subs.append(sub)
             yield pd.DataFrame({id_col: ids, "subtitle": subs})
 
-    return ids_df.select(id_col).mapInPandas(
+    return _spread(ids_df.select(id_col)).mapInPandas(
         _synth, schema=f"{id_col} long, subtitle string"
     )

@@ -135,6 +135,12 @@ def bpe_top_merges(
     syms = words.select(sy.alias("syms"), "cnt").localCheckpoint(
         eager=True
     )
+    # lineage is truncated every CHECKPOINT_EVERY rounds, not every round:
+    # each skipped checkpoint saves one materialization job per round (the
+    # r18-opt job-count cut — the small-k oracle queries run zero extra
+    # checkpoints), while production-K runs still bound plan depth at
+    # CHECKPOINT_EVERY nested merge folds.
+    CHECKPOINT_EVERY = 8
     merges: list[tuple] = []
     for rank in range(1, k + 1):
         pair = F.expr(
@@ -155,7 +161,9 @@ def bpe_top_merges(
         merges.append((rank, l, r, l + r, n))
         syms = syms.select(
             _apply_merge(F.col("syms"), l, r).alias("syms"), "cnt"
-        ).localCheckpoint(eager=True)
+        )
+        if rank % CHECKPOINT_EVERY == 0:
+            syms = syms.localCheckpoint(eager=True)
     return spark.createDataFrame(merges, MERGES_SCHEMA)
 
 

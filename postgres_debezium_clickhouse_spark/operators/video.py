@@ -20,6 +20,8 @@ Scale: one blob → n_frames rows is the video path's row-expansion shape
 
 from __future__ import annotations
 
+from .dedup import spread_for_compute as _spread
+
 from collections.abc import Iterator
 
 import pandas as pd
@@ -189,4 +191,4 @@ def synth_videos(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 blobs.append(y4m_encode(w, h, frames))
             yield pd.DataFrame({"doc_id": ids, "media": blobs})
 
-    return ids_df.select(id_col).mapInPandas(_synth, schema=VIDEO_BLOB_SCHEMA)
+    return _spread(ids_df.select(id_col)).mapInPandas(_synth, schema=VIDEO_BLOB_SCHEMA)

@@ -40,6 +40,8 @@ imaging suite's shuffle-free shape.
 
 from __future__ import annotations
 
+from .dedup import spread_for_compute as _spread
+
 import struct
 from collections.abc import Iterator
 
@@ -1090,4 +1092,4 @@ def synth_vp8l_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         T.StructField("doc_id", T.LongType()),
         T.StructField("media", T.BinaryType()),
     ])
-    return ids_df.select(id_col).mapInPandas(_synth, schema=schema)
+    return _spread(ids_df.select(id_col)).mapInPandas(_synth, schema=schema)

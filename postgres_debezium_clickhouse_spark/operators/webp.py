@@ -33,6 +33,8 @@ pipeline has no media path).
 
 from __future__ import annotations
 
+from .dedup import spread_for_compute as _spread
+
 import struct
 from collections.abc import Iterator
 
@@ -275,4 +277,4 @@ def synth_webp_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 blobs.append(b)
             yield pd.DataFrame({"doc_id": ids, "media": blobs})
 
-    return ids_df.select(id_col).mapInPandas(_synth, schema=WEBP_BLOB_SCHEMA)
+    return _spread(ids_df.select(id_col)).mapInPandas(_synth, schema=WEBP_BLOB_SCHEMA)

@@ -68,10 +68,26 @@ def test_snapshot_chunk_pushdown_date_order_col(spark, tmp_path):
                for lo_, hi_ in bounds) == 1000
 
 
+def _assert_blob_shuffle_free(plan: str, name: str) -> None:
+    """The media-walk discipline, r18-opt form: per-BLOB work never
+    shuffles.  The only Exchange allowed is the round-robin SEED spread
+    below the synth mapInPandas (it moves 8-byte ids so the CPU-bound
+    synth+walk parallelize — the hollow-split fix); any Exchange above a
+    MapInPandas node would move generated blobs and fails the pin."""
+    lines = plan.splitlines()
+    mip = [i for i, ln in enumerate(lines) if "MapInPandas" in ln]
+    assert mip, name
+    for i, ln in enumerate(lines):
+        if "Exchange" in ln:
+            assert i > max(mip), (name, ln)
+            assert "RoundRobinPartitioning" in ln, (name, ln)
+
+
 def test_r18_walks_are_shuffle_free(spark):
     """Every r18 walk (ogg/heif/fmp4/exif/subtitles) over a pre-built
-    column must plan as a fused mapInPandas chain with ZERO exchanges —
-    per-blob work never shuffles (the r17 media-walk discipline)."""
+    column must plan as a fused mapInPandas chain whose only exchange is
+    the seed spread below it — per-blob work never shuffles (the r17
+    media-walk discipline + the r18-opt parallel seed fix)."""
     from postgres_debezium_clickhouse_spark.operators.exif import (
         exif_metadata, synth_exif_docs)
     from postgres_debezium_clickhouse_spark.operators.heif import (
@@ -97,7 +113,7 @@ def test_r18_walks_are_shuffle_free(spark):
     ):
         df = walk(synth(ids))
         plan = _plan(df)
-        assert "Exchange" not in plan, (walk.__name__, plan)
+        _assert_blob_shuffle_free(plan, walk.__name__)
         assert plan.count("MapInPandas") == 2, walk.__name__
         assert df.count() >= 64
 
