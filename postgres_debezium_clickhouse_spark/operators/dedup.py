@@ -203,6 +203,12 @@ def lsh_candidate_pairs(
         "__salt",
         F.when(bucket_n <= max_bucket_size, F.lit(0)).otherwise(h16.cast("long") % n_sub),
     )
+    # both self-join sides reference this frame: materialize it ONCE
+    # (r18-opt) — without the checkpoint each side re-runs the signature
+    # transforms AND the band-key census shuffle+sort (the executed plan
+    # carried the whole subtree twice).  The frame is docs×N_BANDS rows of
+    # (id, b, bkey, salt) — index-sized, strictly smaller than the corpus.
+    capped = capped.localCheckpoint(eager=True)
     left = capped.alias("l")
     right = capped.alias("r")
     return (

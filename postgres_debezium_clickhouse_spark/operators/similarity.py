@@ -614,7 +614,15 @@ def with_ivf_cell(df: DataFrame, centroids: list[list[float]], vec_col: str = "v
         d2 = f"aggregate(zip_with({vec_col}, {lit}, (x, y) -> (x - y) * (x - y)), cast(0 as double), (a, v) -> a + v)"
         dists.append(f"struct({d2} as d, {i} as i)")
     argmin = f"array_min(array({', '.join(dists)})).i"
-    return df.withColumn(out, F.expr(argmin).cast("int"))
+    # r18-opt: emit the assignment through a one-element explode, not a
+    # plain projection.  A downstream equi-join on ``out`` injects an
+    # isnotnull(out) filter that Catalyst pushes below the projection,
+    # duplicating this whole k·dim interpreted argmin into the scan-side
+    # Filter (two evaluations per row — seen in the executed ivf_ann_topk
+    # plan).  Filters on a generated column cannot cross the Generate, so
+    # the argmin is evaluated exactly once; rows and values are unchanged
+    # (a 1-element array explode is row-preserving, nulls included).
+    return df.withColumn(out, F.explode(F.array(F.expr(argmin).cast("int"))))
 
 
 def ivf_ann_topk(
