@@ -51,7 +51,15 @@ def spread_for_compute(df: DataFrame, size_threshold: int = 4 << 30) -> DataFram
     hollow-split parallelism collapse on a per-char CPU stage costs the
     core count.  Above the threshold the scan's partitioning is trusted —
     at 100 TB real writers cap row groups (~128 MB), so splits are
-    genuinely parallel and a full-corpus shuffle must not be added."""
+    genuinely parallel and a full-corpus shuffle must not be added.
+
+    Streaming frames pass through untouched: micro-batch partitioning is
+    the source's (maxFilesPerTrigger-bounded, already parallel), the
+    stream gates are plan-pinned zero-shuffle, and the stats/.rdd probes
+    below are illegal on an unstarted streaming plan (AnalysisException:
+    "must be executed with writeStream.start()")."""
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:

@@ -562,3 +562,15 @@ def test_bloom_filter_no_false_negatives_and_bounded_state(spark):
     again = {r.doc_id: (r.bloom_hit, r.exact_hit) for r in
              bloom_filter_dedup(seen, inc, "text").collect()}
     assert again == {d: (r.bloom_hit, r.exact_hit) for d, r in out.items()}
+
+
+def test_spread_for_compute_streaming_passthrough(spark):
+    """r18 regression: spread_for_compute must pass streaming frames
+    through untouched — the stats/.rdd probes it uses to size the
+    repartition are illegal on an unstarted streaming plan (the
+    stream_exif_pii_gate AnalysisException), and the stream gates are
+    plan-pinned zero-shuffle, so no repartition may be added either."""
+    from postgres_debezium_clickhouse_spark.operators.dedup import spread_for_compute
+
+    stream = spark.readStream.format("rate").load()
+    assert spread_for_compute(stream) is stream
