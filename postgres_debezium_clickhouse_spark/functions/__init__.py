@@ -25,6 +25,7 @@ __all__ = [
     "json_extract_long",
     "json_has",
     "json_extract_struct",
+    "eval_once_barrier",
     "to_int32",
     "to_float64",
     "to_datetime64",
@@ -75,6 +76,26 @@ def json_extract_struct(col: Column | str, partial_schema) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.from_json(c, partial_schema)
+
+
+def eval_once_barrier(df, col_name: str):
+    """r18-opt (guide §4.4's duplication, for built-in expressions) —
+    re-emit a derived column through a one-element explode so a downstream
+    filter on it cannot be pushed below the projection that computes it.
+
+    Catalyst pushes any deterministic filter through a Project by
+    substituting the alias's defining expression — a filter on a
+    ``from_json``-derived column therefore re-evaluates the WHOLE parse in
+    the pushed-down Filter (seen live in the executed
+    ``cdc_json_extract_path`` plan: two Jackson parses per row, the
+    dominant cost of the query).  Built-ins cannot be marked
+    non-deterministic the way UDFs can, but filters on a GENERATED column
+    cannot cross the Generate, so ``explode(array(col))`` pins exactly one
+    evaluation.  A 1-element array explode is row-preserving (nulls ride
+    the array) and value-identical; filters on OTHER columns still push
+    through a Generate, so scan pushdown for non-derived predicates is
+    unaffected.  Same idiom as ``similarity.with_ivf_cell``'s argmin."""
+    return df.withColumn(col_name, F.explode(F.array(F.col(col_name))))
 
 
 def to_int32(col: Column | str) -> Column:

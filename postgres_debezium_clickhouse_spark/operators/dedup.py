@@ -571,9 +571,13 @@ def _gram_positions(
     codegen), so every position paid boxed per-element expression eval.
     ``Generate(explode) → Project(xxhash64(substring))`` fuses into one
     codegen loop — bit-identical hashes (same xxhash64, seed 42), same
-    rows, ~3× less CPU per position (measured on the spans/removal
-    bench pair).  The text column rides the Generate only inside the
-    codegen stage (consumed by the projection, never shuffled)."""
+    rows.  Honest magnitude (r18 same-session A/B, JIT-converged floors
+    at sf0.1): spans 11.09 → 10.46 CPU-s, removal 10.89 → 9.98 — a ~6%
+    query-level win, NOT a large one: the queries are dominated by the
+    40-byte substring copies + hash itself (identical in both forms) and
+    the downstream shuffle/window, not by the lambda-eval overhead this
+    removes.  The text column rides the Generate only inside the codegen
+    stage (consumed by the projection, never shuffled)."""
     positions = F.expr(
         f"CASE WHEN length({text_col}) >= {min_len} "
         f"THEN sequence(1, length({text_col}) - {min_len} + 1) "

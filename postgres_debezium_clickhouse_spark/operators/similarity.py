@@ -507,16 +507,33 @@ def l2_topk(
 
 
 def assign_ivf_cells(
-    df: DataFrame, centroids_df: DataFrame, vec_col: str = "v", out: str = "cell"
+    df: DataFrame, centroids_df: DataFrame | None, vec_col: str = "v",
+    out: str = "cell", carr: DataFrame | None = None,
 ) -> DataFrame:
     """Nearest-centroid assignment against a centroid TABLE: one broadcast
     exchange, zero shuffle of ``df``, ties broken toward the lowest cell
-    index (same ordering as the literal variant's struct array_min)."""
+    index (same ordering as the literal variant's struct array_min).
+
+    ``carr`` (r18-opt) — pass a prebuilt/materialized ``_centroid_array``
+    frame to share ONE centroid fold between the assign and probe sides
+    (the executed ivf_ann_topk_table plan carried the whole
+    collect_list+Exchange subtree twice, once per side).
+
+    r18-opt: the assignment is emitted through a one-element explode, not
+    a plain projection — a downstream equi-join on ``out`` injects an
+    isnotnull(out) filter that Catalyst pushes into the broadcast join's
+    condition, duplicating the whole k·dim interpreted argmin (TWO
+    evaluations per corpus row, seen in the executed ivf_ann_topk_table
+    plan — the literal variant had the same bug, fixed in with_ivf_cell).
+    Filters on a generated column cannot cross the Generate; rows and
+    values are unchanged (1-element array explode is row-preserving)."""
     d2 = D2.format(a=vec_col, b="s.ctr")
     argmin = f"array_min(transform(__cents, s -> struct({d2} as d, s.i as i))).i"
+    if carr is None:
+        carr = _centroid_array(centroids_df)
     return (
-        df.join(F.broadcast(_centroid_array(centroids_df)))
-        .withColumn(out, F.expr(argmin).cast("int"))
+        df.join(F.broadcast(carr))
+        .withColumn(out, F.explode(F.array(F.expr(argmin).cast("int"))))
         .drop("__cents")
     )
 
@@ -588,10 +605,16 @@ def ivf_ann_topk_table(
         if centroids_df is not None
         else ivf_centroids_df(corpus, n_centroids, id_col).localCheckpoint()
     )
+    # r18-opt: fold the k-row centroid table into its 1-row broadcast array
+    # ONCE and hand it to both sides — the executed plan previously carried
+    # the collect_list + SinglePartition Exchange subtree twice (assign and
+    # probe each rebuilt it).  1 row of index metadata: trivially safe to
+    # materialize at any scale.
+    carr = _centroid_array(cents).localCheckpoint(eager=True)
     c = assign_ivf_cells(
-        as_double_vec(spread_for_compute(corpus)), cents
+        as_double_vec(spread_for_compute(corpus)), None, carr=carr
     ).select(F.col(id_col), F.col("v").alias("cv"), "cell")
-    q = _probe_cells(queries, _centroid_array(cents), n_probe, query_id_col)
+    q = _probe_cells(queries, carr, n_probe, query_id_col)
     return _score_topk(c, q, k, id_col, query_id_col)
 
 

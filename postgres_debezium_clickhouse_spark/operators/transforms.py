@@ -46,7 +46,15 @@ def unwrap_envelope(parsed: DataFrame, drop_deletes: bool = True, keep_transacti
     taken from ``before`` (rewrite mode).  ``keep_transaction=True`` carries
     the T9 transaction-metadata struct (``provide.transaction.metadata``,
     abcsvb-connector-secure.json:50; value.json:731-754) as ``__txn``.
+
+    The existence filter below references the parsed column, so without a
+    barrier Catalyst pushes it under the parse projection and evaluates
+    ``from_json`` twice per row (guide §4.4's duplication, r18-opt) —
+    ``eval_once_barrier`` pins one evaluation.
     """
+    from ..functions import eval_once_barrier
+
+    parsed = eval_once_barrier(parsed, "j")
     p = F.col("j.payload")
     is_delete = p.op == F.lit("d")
     txn_cols = [p.transaction.alias("__txn")] if keep_transaction else []

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import (
+    eval_once_barrier,
     json_extract_struct,
     micros_to_ts,
     to_float64,
@@ -126,7 +127,10 @@ def cdc_json_extract_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = orders_cdc_events(spark, sf_dir)
     x = F.col("x")
     flat = (
-        raw.withColumn("x", json_extract_struct("value", partial))
+        # eval_once_barrier: without it the JSONHas filter is pushed below
+        # the projection and the whole from_json runs TWICE per row (seen
+        # in the executed plan; the parse is this query's dominant cost)
+        eval_once_barrier(raw.withColumn("x", json_extract_struct("value", partial)), "x")
         .filter(x.getField("payload").getField("after").isNotNull())  # JSONHas
         .select(
             x["payload"]["after"]["o_orderkey"].alias("o_orderkey"),
@@ -264,7 +268,8 @@ def cdc_timezone_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = F.col("j.payload")
     ev = (
-        parse_envelope(products_cdc_events(spark, sf_dir), env)
+        # barrier: the existence filter would otherwise duplicate the parse
+        eval_once_barrier(parse_envelope(products_cdc_events(spark, sf_dir), env), "j")
         .filter(p.after.isNotNull())
         .select(
             p.after["id"].cast("int").alias("id"),

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import json_extract_struct
+from ..functions import eval_once_barrier, json_extract_struct
 from ..operators.upsert import latest_wins
 from ..sources.cdc import PASSPORT_ENVELOPE_WIRE, passport_cdc_events
 
@@ -66,7 +66,10 @@ def trn_passport_current(spark: SparkSession, sf_dir: str) -> DataFrame:
     even when its source clock is behind (offset is the only version)."""
     staging = passport_staging(spark, sf_dir)
     flat = (
-        staging.withColumn("j", json_extract_struct("value_json", PASSPORT_ENVELOPE_WIRE))
+        # eval_once_barrier: the JSONHas filter must not duplicate the parse
+        eval_once_barrier(
+            staging.withColumn("j", json_extract_struct("value_json", PASSPORT_ENVELOPE_WIRE)), "j"
+        )
         .filter(F.col("j.payload.after").isNotNull())  # JSONHas(...'after')
         .select("j.payload.after.*", "offset")
     )
@@ -81,7 +84,9 @@ def trn_passport_ts_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     different final state from trn_passport_current by construction."""
     staging = passport_staging(spark, sf_dir)
     flat = (
-        staging.withColumn("j", json_extract_struct("value_json", PASSPORT_ENVELOPE_WIRE))
+        eval_once_barrier(
+            staging.withColumn("j", json_extract_struct("value_json", PASSPORT_ENVELOPE_WIRE)), "j"
+        )
         .filter(F.col("j.payload.after").isNotNull())
         .select(
             F.col("j.payload.after.trn_id").alias("trn_id"),
