@@ -26,6 +26,7 @@ __all__ = [
     "json_has",
     "json_extract_struct",
     "eval_once_barrier",
+    "count_rows_keeping",
     "to_int32",
     "to_float64",
     "to_datetime64",
@@ -96,6 +97,27 @@ def eval_once_barrier(df, col_name: str):
     through a Generate, so scan pushdown for non-derived predicates is
     unaffected.  Same idiom as ``similarity.with_ivf_cell``'s argmin."""
     return df.withColumn(col_name, F.explode(F.array(F.col(col_name))))
+
+
+def count_rows_keeping(col: Column | str) -> Column:
+    """r18-opt (guide §2.4 remove shuffles outright) — ``count(1)``
+    spelled so ``col`` stays a required input of the aggregation.
+
+    Sibling aggregations fanning out from one shared table only share a
+    single shuffle stage (AQE exchange reuse) when every branch's copy
+    of that table canonicalizes identically.  A plain ``count(1)`` lets
+    the optimizer drop the parent's count column in count-only branches
+    (column pruning, then RemoveRedundantAggregates collapses the chain
+    into a per-branch distinct), so each branch plans a DIFFERENT
+    subtree and re-reads and re-aggregates the source from scratch.
+    Counting ``nullif(col, -1)`` is the same row count whenever ``col``
+    is a count column (always >= 1: never null, never -1), but the
+    optimizer cannot prove the nullif non-null — a bare
+    ``count(non-null col)`` is rewritten straight back to ``count(1)``
+    — so ``col`` stays required and the shared subtree stays
+    canonically identical across branches."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.count(F.nullif(c, F.lit(-1).cast("long")))
 
 
 def to_int32(col: Column | str) -> Column:

@@ -826,7 +826,12 @@ def lm_bigram_stupid_backoff(
     toks = documents.select(
         F.col(id_col), F.explode(words).alias("token")
     )
-    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("ucnt"))
+    # No-op isNotNull filter (split tokens are never null) aligning the
+    # three uni copies' inferred join-key isnotnull sets so they share
+    # one shuffle stage (r18-opt, the lm_5gram_kneser_ney shape).
+    uni = toks.filter(F.col("token").isNotNull()).groupBy("token").agg(
+        F.count(F.lit(1)).alias("ucnt")
+    )
     tot = uni.groupBy().agg(F.sum("ucnt").alias("__total"))
     bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bcnt"))
     u1 = uni.select(F.col("token").alias("w1"), F.col("ucnt").alias("c1"))
@@ -1026,9 +1031,17 @@ def lm_trigram_stupid_backoff(
         .select("p.w1", "p.w2")
     )
     toks = docs_w.select(F.explode("__w").alias("token"))
-    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("ucnt"))
+    # No-op isNotNull filters (split tokens are never null) aligning
+    # each fan-out branch's inferred join-key isnotnull set so the
+    # uni (3 copies) and bi (2 copies) subtrees share one shuffle stage
+    # each (r18-opt, the lm_5gram_kneser_ney shape).
+    uni = toks.filter(F.col("token").isNotNull()).groupBy("token").agg(
+        F.count(F.lit(1)).alias("ucnt")
+    )
     tot = uni.groupBy().agg(F.sum("ucnt").alias("__total"))
-    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bcnt"))
+    bi = pairs.filter(
+        F.col("w1").isNotNull() & F.col("w2").isNotNull()
+    ).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bcnt"))
     tri = tris.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("tcnt"))
     b12 = bi.select(F.col("w1"), F.col("w2"), F.col("bcnt").alias("c12"))
     b23 = bi.select(F.col("w1").alias("w2"), F.col("w2").alias("w3"),
@@ -1183,7 +1196,12 @@ def lm_bigram_interpolated(
         F.col(id_col),
         F.explode(words).alias("token"),
     )
-    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("ucnt"))
+    # No-op isNotNull filter (split tokens are never null) aligning the
+    # three uni copies' inferred join-key isnotnull sets so they share
+    # one shuffle stage (r18-opt, the lm_5gram_kneser_ney shape).
+    uni = toks.filter(F.col("token").isNotNull()).groupBy("token").agg(
+        F.count(F.lit(1)).alias("ucnt")
+    )
     tot = uni.groupBy().agg(F.sum("ucnt").alias("__total"))
     bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bcnt"))
     u1 = uni.select(F.col("token").alias("w1"), F.col("ucnt").alias("c1"))
@@ -1270,7 +1288,13 @@ def lm_bigram_witten_bell(
             .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         )
 
-    bi = to_pairs(train_docs).groupBy("w1", "w2").agg(
+    # No-op isNotNull filters (split tokens are never null) aligning
+    # each fan-out branch's inferred join-key isnotnull set so the
+    # bi and uni subtrees share one shuffle stage per table (r18-opt,
+    # the lm_5gram_kneser_ney shape).
+    bi = to_pairs(train_docs).filter(
+        F.col("w1").isNotNull() & F.col("w2").isNotNull()
+    ).groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("bcnt")
     )
     left_tab = bi.groupBy("w1").agg(
@@ -1280,6 +1304,7 @@ def lm_bigram_witten_bell(
     uni = (
         train_docs.withColumn("__w", words)
         .select(F.explode("__w").alias("w2"))
+        .filter(F.col("w2").isNotNull())
         .groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
     )
     tot = uni.groupBy().agg(F.sum("c2").alias("__total"))
@@ -1409,7 +1434,14 @@ def lm_bigram_modified_kneser_ney(
             .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         )
 
-    bi = to_pairs(train_docs).groupBy("w1", "w2").agg(
+    from ..functions import count_rows_keeping
+
+    # No-op filter (split tokens are never null) aligning each branch's
+    # inferred isnotnull set so the five bi copies share one shuffle
+    # stage (r18-opt, the lm_5gram_kneser_ney shape).
+    bi = to_pairs(train_docs).filter(
+        F.col("w1").isNotNull() & F.col("w2").isNotNull()
+    ).groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("bcnt")
     )
     left_tab = bi.groupBy("w1").agg(
@@ -1418,8 +1450,8 @@ def lm_bigram_modified_kneser_ney(
         F.sum((F.col("bcnt") == 2).cast("long")).alias("nd2"),
         F.sum((F.col("bcnt") >= 3).cast("long")).alias("nd3p"),
     )
-    right_tab = bi.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_r"))
-    types = bi.groupBy().agg(F.count(F.lit(1)).alias("n_types"))
+    right_tab = bi.groupBy("w2").agg(count_rows_keeping("bcnt").alias("n1p_r"))
+    types = bi.groupBy().agg(count_rows_keeping("bcnt").alias("n_types"))
     cc = bi.groupBy().agg(
         F.sum((F.col("bcnt") == 1).cast("long")).alias("n1"),
         F.sum((F.col("bcnt") == 2).cast("long")).alias("n2"),
@@ -1623,15 +1655,22 @@ def lm_bigram_kneser_ney(
             .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         )
 
-    bi = to_pairs(train_docs).groupBy("w1", "w2").agg(
+    from ..functions import count_rows_keeping
+
+    # No-op filter (split tokens are never null) aligning each branch's
+    # inferred isnotnull set so the four bi copies share one shuffle
+    # stage (r18-opt, the lm_5gram_kneser_ney shape).
+    bi = to_pairs(train_docs).filter(
+        F.col("w1").isNotNull() & F.col("w2").isNotNull()
+    ).groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("bcnt")
     )
     left_tab = bi.groupBy("w1").agg(
         F.sum("bcnt").alias("n_w1"),
         F.count(F.lit(1)).alias("n1p_l"),
     )
-    right_tab = bi.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_r"))
-    types = bi.groupBy().agg(F.count(F.lit(1)).alias("n_types"))
+    right_tab = bi.groupBy("w2").agg(count_rows_keeping("bcnt").alias("n1p_r"))
+    types = bi.groupBy().agg(count_rows_keeping("bcnt").alias("n_types"))
 
     d = repr(float(discount))
     # ONE fully-parenthesized op dag, mirrored verbatim in the oracle SQL
@@ -1760,7 +1799,16 @@ def lm_trigram_kneser_ney(
             .select(id_col, "t.w1", "t.w2", "t.w3")
         )
 
-    tri = to_triples(train_docs).groupBy("w1", "w2", "w3").agg(
+    from ..functions import count_rows_keeping
+
+    # No-op filter (split tokens are never null) that aligns every
+    # fan-out branch's inferred join-key isnotnull set, so the shared
+    # tri/cont subtrees canonicalize identically and AQE reuses one
+    # shuffle stage per table (r18-opt, the lm_5gram_kneser_ney shape).
+    tri = to_triples(train_docs).filter(
+        F.col("w1").isNotNull() & F.col("w2").isNotNull()
+        & F.col("w3").isNotNull()
+    ).groupBy("w1", "w2", "w3").agg(
         F.count(F.lit(1)).alias("tcnt")
     )
     # top-level context stats: totals + distinct continuations
@@ -1769,13 +1817,15 @@ def lm_trigram_kneser_ney(
         F.count(F.lit(1)).alias("n1p_ctx"),
     )
     # middle level: continuation counts c'(w2,w3) = distinct w1
-    cont = tri.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("ccnt"))
+    cont = tri.groupBy("w2", "w3").agg(
+        count_rows_keeping("tcnt").alias("ccnt")
+    )
     mid = cont.groupBy("w2").agg(
         F.sum("ccnt").alias("n_midctx"),
         F.count(F.lit(1)).alias("n1p_mid"),
     )
-    low = cont.groupBy("w3").agg(F.count(F.lit(1)).alias("n1p_low"))
-    types2 = cont.groupBy().agg(F.count(F.lit(1)).alias("n_types2"))
+    low = cont.groupBy("w3").agg(count_rows_keeping("ccnt").alias("n1p_low"))
+    types2 = cont.groupBy().agg(count_rows_keeping("ccnt").alias("n_types2"))
 
     d = repr(float(discount))
     pm = (
@@ -1888,9 +1938,16 @@ def lm_5gram_kneser_ney(
     eval 5-grams, nothing all-pairs, no window.  The derived tables all
     re-aggregate from the declarative t5 expression (the family keeps
     plans pure — no persist, so the driver gate never holds executor
-    memory between queries); a production order-5 trainer would
-    ``persist()`` the 5-gram count table once before fanning out the
-    level aggregations — one line, same plan below it."""
+    memory between queries), but each shared ladder table materializes
+    its shuffle ONCE: every fan-out copy of t5/c4/c3/c2 is kept
+    canonically identical (``count_rows_keeping`` pins the parent count
+    column against pruning; the explicit all-five ``isNotNull`` filter
+    on the train gram stream absorbs the per-branch join-key isnotnull
+    sets that InferFiltersFromConstraints would otherwise push into
+    each copy), so AQE exchange reuse collapses the r18-before shape of
+    23 shuffle stages / 24 parquet scans into 11 stages / 3 scans —
+    the corpus is scanned and exploded once for training, once for
+    scoring (r18-opt, guide §2.4)."""
     if train_docs is None:
         train_docs = documents
     words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
@@ -1914,7 +1971,17 @@ def lm_5gram_kneser_ney(
             .select(id_col, "t.w1", "t.w2", "t.w3", "t.w4", "t.w5")
         )
 
-    t5 = to_fives(train_docs).groupBy("w1", "w2", "w3", "w4", "w5").agg(
+    from ..functions import count_rows_keeping
+
+    # The isNotNull filter keeps nothing out (split tokens are never
+    # null): it exists so every fan-out branch's inferred join-key
+    # isnotnull set is absorbed by the same superset and the t5 subtree
+    # canonicalizes identically in all ten copies (AQE exchange reuse).
+    t5 = to_fives(train_docs).filter(
+        F.col("w1").isNotNull() & F.col("w2").isNotNull()
+        & F.col("w3").isNotNull() & F.col("w4").isNotNull()
+        & F.col("w5").isNotNull()
+    ).groupBy("w1", "w2", "w3", "w4", "w5").agg(
         F.count(F.lit(1)).alias("tcnt")
     )
     ctx = t5.groupBy("w1", "w2", "w3", "w4").agg(
@@ -1922,21 +1989,25 @@ def lm_5gram_kneser_ney(
         F.count(F.lit(1)).alias("n1p_ctx"),
     )
     c4 = t5.groupBy("w2", "w3", "w4", "w5").agg(
-        F.count(F.lit(1)).alias("ccnt4")
+        count_rows_keeping("tcnt").alias("ccnt4")
     )
     m4 = c4.groupBy("w2", "w3", "w4").agg(
         F.sum("ccnt4").alias("n4ctx"), F.count(F.lit(1)).alias("n1p4")
     )
-    c3 = c4.groupBy("w3", "w4", "w5").agg(F.count(F.lit(1)).alias("ccnt3"))
+    c3 = c4.groupBy("w3", "w4", "w5").agg(
+        count_rows_keeping("ccnt4").alias("ccnt3")
+    )
     m3 = c3.groupBy("w3", "w4").agg(
         F.sum("ccnt3").alias("n3ctx"), F.count(F.lit(1)).alias("n1p3")
     )
-    c2 = c3.groupBy("w4", "w5").agg(F.count(F.lit(1)).alias("ccnt2"))
+    c2 = c3.groupBy("w4", "w5").agg(
+        count_rows_keeping("ccnt3").alias("ccnt2")
+    )
     m2 = c2.groupBy("w4").agg(
         F.sum("ccnt2").alias("n2ctx"), F.count(F.lit(1)).alias("n1p2")
     )
-    low = c2.groupBy("w5").agg(F.count(F.lit(1)).alias("n1p_low"))
-    types2 = c2.groupBy().agg(F.count(F.lit(1)).alias("n_types2"))
+    low = c2.groupBy("w5").agg(count_rows_keeping("ccnt2").alias("n1p_low"))
+    types2 = c2.groupBy().agg(count_rows_keeping("ccnt2").alias("n_types2"))
 
     d = repr(float(discount))
 
@@ -2069,7 +2140,15 @@ def lm_trigram_witten_bell(
         )
 
     train_w = train_docs.withColumn("__w", words)
-    tri = to_triples(train_docs).groupBy("w1", "w2", "w3").agg(
+    # The isNotNull filters keep nothing out (split tokens are never
+    # null): they align each fan-out branch's inferred join-key
+    # isnotnull set so the tri/bi/uni subtrees canonicalize identically
+    # across their two copies each and AQE reuses one shuffle stage per
+    # table (r18-opt, the lm_5gram_kneser_ney shape).
+    tri = to_triples(train_docs).filter(
+        F.col("w1").isNotNull() & F.col("w2").isNotNull()
+        & F.col("w3").isNotNull()
+    ).groupBy("w1", "w2", "w3").agg(
         F.count(F.lit(1)).alias("tcnt")
     )
     ctx12 = tri.groupBy("w1", "w2").agg(
@@ -2079,6 +2158,7 @@ def lm_trigram_witten_bell(
     bi = (
         train_w.select(F.explode(pair_arr).alias("p"))
         .select("p.w2", "p.w3")
+        .filter(F.col("w2").isNotNull() & F.col("w3").isNotNull())
         .groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("bcnt"))
     )
     ctx2 = bi.groupBy("w2").agg(
@@ -2087,6 +2167,7 @@ def lm_trigram_witten_bell(
     )
     uni = (
         train_w.select(F.explode("__w").alias("w3"))
+        .filter(F.col("w3").isNotNull())
         .groupBy("w3").agg(F.count(F.lit(1)).alias("c3"))
     )
     tot = uni.groupBy().agg(F.sum("c3").alias("__total"))
@@ -2202,20 +2283,31 @@ def lm_trigram_interpolated(
         eval_w.select(F.col(id_col), F.explode(tri_arr).alias("t"))
         .select(id_col, "t.w1", "t.w2", "t.w3")
     )
+    # The isNotNull filters keep nothing out (split tokens are never
+    # null): they align each fan-out branch's inferred join-key
+    # isnotnull set so the ttr/tbi/uni subtrees canonicalize
+    # identically across their two copies each and AQE reuses one
+    # shuffle stage per table (r18-opt, the lm_5gram_kneser_ney shape).
     ttr = (
         train_w.select(F.explode(tri_arr).alias("t"))
         .select("t.w1", "t.w2", "t.w3")
+        .filter(
+            F.col("w1").isNotNull() & F.col("w2").isNotNull()
+            & F.col("w3").isNotNull()
+        )
         .groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("tcnt"))
     )
     c12 = ttr.groupBy("w1", "w2").agg(F.sum("tcnt").alias("n12"))
     tbi = (
         train_w.select(F.explode(pair_arr).alias("p"))
         .select("p.w2", "p.w3")
+        .filter(F.col("w2").isNotNull() & F.col("w3").isNotNull())
         .groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("bcnt"))
     )
     c2 = tbi.groupBy("w2").agg(F.sum("bcnt").alias("n2"))
     uni = (
         train_w.select(F.explode("__w").alias("w3"))
+        .filter(F.col("w3").isNotNull())
         .groupBy("w3").agg(F.count(F.lit(1)).alias("c3"))
     )
     tot = uni.groupBy().agg(
