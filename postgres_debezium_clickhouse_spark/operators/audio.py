@@ -19,6 +19,7 @@ bytes, not rows — see operators/multimodal.py's sizing notes.
 
 from __future__ import annotations
 
+from ._pipe import pipe_map
 from .dedup import spread_for_compute as _spread
 
 import io
@@ -588,7 +589,7 @@ def decode_waveforms(media_df: DataFrame, id_col: str = "doc_id",
                     rows["err"].append(None)
             yield pd.DataFrame(rows)
 
-    return media_df.mapInPandas(_decode, schema=schema)
+    return pipe_map(media_df, _decode, schema=schema)
 
 
 AUDIO_ENERGY_SCHEMA = T.StructType([
@@ -643,7 +644,7 @@ def audio_energy_windows(media_df: DataFrame, window_frames: int = 16,
                         rows["err"].append(None)
             yield pd.DataFrame(rows)
 
-    return media_df.mapInPandas(_extract, schema=schema)
+    return pipe_map(media_df, _extract, schema=schema)
 
 
 WAV_BLOB_SCHEMA = T.StructType([
@@ -677,7 +678,7 @@ def synth_g711_waveforms(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame
                 )
             yield pd.DataFrame({"doc_id": ids, "media": blobs})
 
-    return _spread(ids_df.select(id_col)).mapInPandas(_synth, schema=WAV_BLOB_SCHEMA)
+    return pipe_map(_spread(ids_df.select(id_col)), _synth, schema=WAV_BLOB_SCHEMA)
 
 
 def synth_aiff_waveforms(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -706,7 +707,7 @@ def synth_aiff_waveforms(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame
                 blobs.append(aiff_encode(samples, rate, ch))
             yield pd.DataFrame({"doc_id": ids, "media": blobs})
 
-    return _spread(ids_df.select(id_col)).mapInPandas(_synth, schema=WAV_BLOB_SCHEMA)
+    return pipe_map(_spread(ids_df.select(id_col)), _synth, schema=WAV_BLOB_SCHEMA)
 
 
 def synth_waveforms(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -732,7 +733,7 @@ def synth_waveforms(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 blobs.append(wav_encode(samples, rate, ch))
             yield pd.DataFrame({"doc_id": ids, "media": blobs})
 
-    return _spread(ids_df.select(id_col)).mapInPandas(_synth, schema=WAV_BLOB_SCHEMA)
+    return pipe_map(_spread(ids_df.select(id_col)), _synth, schema=WAV_BLOB_SCHEMA)
 
 
 # ---------------------------------------------------------------- MP3 meta
@@ -988,7 +989,7 @@ def mp3_metadata(media_df: DataFrame, id_col: str = "doc_id",
                     rows[k].append(m[k])
             yield pd.DataFrame(rows)
 
-    return media_df.mapInPandas(_walk, schema=MP3_META_SCHEMA)
+    return pipe_map(media_df, _walk, schema=MP3_META_SCHEMA)
 
 
 def synth_mp3_streams(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1010,9 +1011,7 @@ def synth_mp3_streams(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 ))
             yield pd.DataFrame({id_col: ids, "media": blobs})
 
-    return _spread(ids_df.select(id_col)).mapInPandas(
-        _synth, schema=f"{id_col} long, media binary"
-    )
+    return pipe_map(_spread(ids_df.select(id_col)), _synth, schema=f"{id_col} long, media binary")
 
 
 # ---------------------------------------------------------------- FLAC meta
@@ -1175,7 +1174,7 @@ def flac_metadata(media_df: DataFrame, id_col: str = "doc_id",
                     rows[k].append(m[k])
             yield pd.DataFrame(rows)
 
-    return media_df.mapInPandas(_walk, schema=FLAC_META_SCHEMA)
+    return pipe_map(media_df, _walk, schema=FLAC_META_SCHEMA)
 
 
 def synth_flac_streams(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1201,6 +1200,4 @@ def synth_flac_streams(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 ))
             yield pd.DataFrame({id_col: ids, "media": blobs})
 
-    return _spread(ids_df.select(id_col)).mapInPandas(
-        _synth, schema=f"{id_col} long, media binary"
-    )
+    return pipe_map(_spread(ids_df.select(id_col)), _synth, schema=f"{id_col} long, media binary")

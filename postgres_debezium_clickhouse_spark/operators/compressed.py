@@ -31,6 +31,7 @@ LLM-training-pipeline extension surface.
 
 from __future__ import annotations
 
+from ._pipe import pipe_map
 from .dedup import spread_for_compute as _spread
 
 import struct
@@ -323,7 +324,7 @@ def gzip_metadata(media_df: DataFrame, id_col: str = "doc_id",
                 rows["total_compressed"].append(m["total_compressed"])
             yield pd.DataFrame(rows)
 
-    return media_df.mapInPandas(_walk, schema=GZIP_META_SCHEMA)
+    return pipe_map(media_df, _walk, schema=GZIP_META_SCHEMA)
 
 
 def zstd_metadata(media_df: DataFrame, id_col: str = "doc_id",
@@ -340,7 +341,7 @@ def zstd_metadata(media_df: DataFrame, id_col: str = "doc_id",
                     rows[k].append(m[k])
             yield pd.DataFrame(rows)
 
-    return media_df.mapInPandas(_walk, schema=ZSTD_META_SCHEMA)
+    return pipe_map(media_df, _walk, schema=ZSTD_META_SCHEMA)
 
 
 def synth_gzip_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -367,8 +368,7 @@ def synth_gzip_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 blobs.append(bytes(out))
             yield pd.DataFrame({id_col: ids, "media": blobs})
 
-    return _spread(ids_df.select(id_col)).mapInPandas(
-        _synth, schema=f"{id_col} long, media binary")
+    return pipe_map(_spread(ids_df.select(id_col), rows_per_task=1024), _synth, schema=f"{id_col} long, media binary")
 
 
 def synth_zstd_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -399,5 +399,4 @@ def synth_zstd_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 blobs.append(bytes(out))
             yield pd.DataFrame({id_col: ids, "media": blobs})
 
-    return _spread(ids_df.select(id_col)).mapInPandas(
-        _synth, schema=f"{id_col} long, media binary")
+    return pipe_map(_spread(ids_df.select(id_col), rows_per_task=1024), _synth, schema=f"{id_col} long, media binary")

@@ -31,6 +31,7 @@ writer, not a self round-trip.
 
 from __future__ import annotations
 
+from ._pipe import pipe_map
 from .dedup import spread_for_compute as _spread
 
 import re
@@ -273,7 +274,7 @@ def office_metadata(media_df: DataFrame, id_col: str = "doc_id",
                 rows["creator"].append(m["creator"])
             yield pd.DataFrame(rows)
 
-    return media_df.mapInPandas(_walk, schema=OFFICE_META_SCHEMA)
+    return pipe_map(media_df, _walk, schema=OFFICE_META_SCHEMA)
 
 
 def synth_office_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -328,6 +329,4 @@ def synth_office_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 blobs.append(buf.getvalue())
             yield pd.DataFrame({id_col: ids, "media": blobs})
 
-    return _spread(ids_df.select(id_col)).mapInPandas(
-        _synth, schema=f"{id_col} long, media binary"
-    )
+    return pipe_map(_spread(ids_df.select(id_col), rows_per_task=256), _synth, schema=f"{id_col} long, media binary")

@@ -30,6 +30,7 @@ LLM-training-pipeline extension surface.
 
 from __future__ import annotations
 
+from ._pipe import pipe_map
 from .dedup import spread_for_compute as _spread
 
 import struct
@@ -420,7 +421,7 @@ def exif_metadata(media_df: DataFrame, id_col: str = "doc_id",
                     rows[k].append(m.get(k))
             yield pd.DataFrame(rows)
 
-    return media_df.mapInPandas(_walk, schema=EXIF_META_SCHEMA)
+    return pipe_map(media_df, _walk, schema=EXIF_META_SCHEMA)
 
 
 def synth_exif_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -464,6 +465,4 @@ def synth_exif_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 blobs.append(exif_wrap(container, tiff))
             yield pd.DataFrame({id_col: ids, "media": blobs})
 
-    return _spread(ids_df.select(id_col)).mapInPandas(
-        _synth, schema=f"{id_col} long, media binary"
-    )
+    return pipe_map(_spread(ids_df.select(id_col), rows_per_task=1024), _synth, schema=f"{id_col} long, media binary")

@@ -34,6 +34,7 @@ scalar wire columns.
 
 from __future__ import annotations
 
+from ._pipe import pipe_map
 from .dedup import spread_for_compute as _spread
 
 import struct
@@ -1139,7 +1140,7 @@ def decode_images(media_df: DataFrame, id_col: str = "doc_id",
                     rows["err"].append(None)
             yield pd.DataFrame(rows)
 
-    return media_df.mapInPandas(_decode, schema=schema)
+    return pipe_map(media_df, _decode, schema=schema)
 
 
 RESIZE_SCHEMA = T.StructType([
@@ -1224,7 +1225,7 @@ def resize_images(media_df: DataFrame, width: int, height: int,
                     rows["err"].append(None)
             yield pd.DataFrame(rows)
 
-    return media_df.mapInPandas(_resize, schema=schema)
+    return pipe_map(media_df, _resize, schema=schema)
 
 
 MEDIA_BLOB_SCHEMA = T.StructType([
@@ -1281,7 +1282,7 @@ def synth_images(ids_df: DataFrame, id_col: str = "doc_id",
                 blobs.append(blob)
             yield pd.DataFrame({"doc_id": ids, "media": blobs})
 
-    return _spread(ids_df.select(id_col)).mapInPandas(_synth, schema=MEDIA_BLOB_SCHEMA)
+    return pipe_map(_spread(ids_df.select(id_col)), _synth, schema=MEDIA_BLOB_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -1380,7 +1381,7 @@ def dhash_images(media_df: DataFrame, id_col: str = "doc_id",
                     rows["err"].append(None)
             yield pd.DataFrame(rows)
 
-    return media_df.mapInPandas(_hash, schema=schema)
+    return pipe_map(media_df, _hash, schema=schema)
 
 
 def dhash_band_keys(hashes: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1526,7 +1527,7 @@ def synth_multiformat_images(ids_df: DataFrame, id_col: str = "doc_id") -> DataF
                 blobs.append(blob)
             yield pd.DataFrame({id_col: ids, "media": blobs})
 
-    return _spread(ids_df).mapInPandas(_synth, schema=f"{id_col} long, media binary")
+    return pipe_map(_spread(ids_df), _synth, schema=f"{id_col} long, media binary")
 
 
 def synth_netpbm_images(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1557,7 +1558,7 @@ def synth_netpbm_images(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 ids.append(d)
             yield pd.DataFrame({id_col: ids, "media": blobs})
 
-    return _spread(ids_df).mapInPandas(_synth, schema=f"{id_col} long, media binary")
+    return pipe_map(_spread(ids_df), _synth, schema=f"{id_col} long, media binary")
 
 
 def synth_gif_images(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1584,7 +1585,7 @@ def synth_gif_images(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 blobs.append(gif_encode(w, h, idx, pal, interlace=(d % 3 == 0)))
             yield pd.DataFrame({id_col: ids, "media": blobs})
 
-    return _spread(ids_df).mapInPandas(_synth, schema=f"{id_col} long, media binary")
+    return pipe_map(_spread(ids_df), _synth, schema=f"{id_col} long, media binary")
 
 
 def synth_jpeg_images(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1626,7 +1627,7 @@ def synth_jpeg_images(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 blobs.append(enc(w, h, px, 3))
             yield pd.DataFrame({id_col: ids, "media": blobs})
 
-    return _spread(ids_df).mapInPandas(_synth, schema=f"{id_col} long, media binary")
+    return pipe_map(_spread(ids_df), _synth, schema=f"{id_col} long, media binary")
 
 
 def jpeg_roundtrip_check(media_df: DataFrame, id_col: str = "doc_id",
@@ -1680,7 +1681,7 @@ def jpeg_roundtrip_check(media_df: DataFrame, id_col: str = "doc_id",
                 rows["pixels_ok"].append(bool(ok))
             yield pd.DataFrame(rows)
 
-    return media_df.mapInPandas(_check, schema=schema)
+    return pipe_map(media_df, _check, schema=schema)
 
 
 def synth_dhash_images(ids_df: DataFrame, id_col: str = "doc_id",
@@ -1715,7 +1716,7 @@ def synth_dhash_images(ids_df: DataFrame, id_col: str = "doc_id",
                 blobs.append(png_encode(w, h, px, 3))
             yield pd.DataFrame({"doc_id": ids, "media": blobs})
 
-    return _spread(ids_df.select(id_col)).mapInPandas(_synth, schema=MEDIA_BLOB_SCHEMA)
+    return pipe_map(_spread(ids_df.select(id_col)), _synth, schema=MEDIA_BLOB_SCHEMA)
 
 
 def synth_text_pngs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1751,7 +1752,7 @@ def synth_text_pngs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 blobs.append(png_encode(w, h, px, 3, text_chunks=chunks))
             yield pd.DataFrame({id_col: ids, "media": blobs})
 
-    return _spread(ids_df).mapInPandas(_synth, schema=f"{id_col} long, media binary")
+    return pipe_map(_spread(ids_df), _synth, schema=f"{id_col} long, media binary")
 
 
 def png_metadata_rows(media_df: DataFrame, id_col: str = "doc_id",
@@ -1780,11 +1781,9 @@ def png_metadata_rows(media_df: DataFrame, id_col: str = "doc_id",
                 })
             yield pd.DataFrame(rows)
 
-    return media_df.mapInPandas(
-        _run,
+    return pipe_map(media_df, _run,
         schema=(f"{id_col} long, n_text int, keywords string, "
-                "title string, comment string, description string"),
-    )
+                "title string, comment string, description string"),)
 
 
 # ---------------------------------------------------------------------------
@@ -2023,7 +2022,7 @@ def synth_exif_jpegs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 blobs.append(blob)
             yield pd.DataFrame({id_col: ids, "media": blobs})
 
-    return _spread(ids_df).mapInPandas(_synth, schema=f"{id_col} long, media binary")
+    return pipe_map(_spread(ids_df), _synth, schema=f"{id_col} long, media binary")
 
 
 def jpeg_exif_rows(media_df: DataFrame, id_col: str = "doc_id",
@@ -2044,10 +2043,8 @@ def jpeg_exif_rows(media_df: DataFrame, id_col: str = "doc_id",
                 rows.append(m)
             yield pd.DataFrame(rows)
 
-    return media_df.mapInPandas(
-        _run,
+    return pipe_map(media_df, _run,
         schema=(f"{id_col} long, has_exif boolean, byte_order string, "
                 "n_ifd0 int, orientation int, make string, model string, "
                 "datetime string, datetime_original string, "
-                "exposure_num bigint, exposure_den bigint, has_gps boolean"),
-    )
+                "exposure_num bigint, exposure_den bigint, has_gps boolean"),)

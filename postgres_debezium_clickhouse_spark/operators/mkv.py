@@ -32,6 +32,7 @@ Scale: per-blob byte-bounded walk in ``mapInPandas`` — no shuffle.
 
 from __future__ import annotations
 
+from ._pipe import pipe_map
 from .dedup import spread_for_compute as _spread
 
 import struct
@@ -311,7 +312,7 @@ def mkv_metadata(media_df: DataFrame, id_col: str = "doc_id",
                     rows[k].append(m[k])
             yield pd.DataFrame(rows)
 
-    return media_df.mapInPandas(_walk, schema=MKV_META_SCHEMA)
+    return pipe_map(media_df, _walk, schema=MKV_META_SCHEMA)
 
 
 MKV_BLOB_SCHEMA = T.StructType([
@@ -350,4 +351,4 @@ def synth_mkv_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 ids.append(d)
             yield pd.DataFrame({"doc_id": ids, "media": blobs})
 
-    return _spread(ids_df.select(id_col)).mapInPandas(_synth, schema=MKV_BLOB_SCHEMA)
+    return pipe_map(_spread(ids_df.select(id_col), rows_per_task=256), _synth, schema=MKV_BLOB_SCHEMA)

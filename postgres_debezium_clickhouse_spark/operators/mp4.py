@@ -40,6 +40,7 @@ is part of the LLM-training-data extension surface the brief asks for.
 
 from __future__ import annotations
 
+from ._pipe import pipe_map
 from .dedup import spread_for_compute as _spread
 
 import struct
@@ -538,7 +539,7 @@ def mp4_metadata(media_df: DataFrame, id_col: str = "doc_id",
                     rows[k].append(m[k])
             yield pd.DataFrame(rows)
 
-    return media_df.mapInPandas(_walk, schema=MP4_META_SCHEMA)
+    return pipe_map(media_df, _walk, schema=MP4_META_SCHEMA)
 
 
 MP4_BLOB_SCHEMA = T.StructType([
@@ -580,7 +581,7 @@ def synth_mp4_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 ids.append(d)
             yield pd.DataFrame({"doc_id": ids, "media": blobs})
 
-    return _spread(ids_df.select(id_col)).mapInPandas(_synth, schema=MP4_BLOB_SCHEMA)
+    return pipe_map(_spread(ids_df.select(id_col), rows_per_task=256), _synth, schema=MP4_BLOB_SCHEMA)
 
 
 FMP4_META_SCHEMA = T.StructType(MP4_META_SCHEMA.fields + [
@@ -607,7 +608,7 @@ def fmp4_metadata(media_df: DataFrame, id_col: str = "doc_id",
                     rows[k].append(m[k])
             yield pd.DataFrame(rows)
 
-    return media_df.mapInPandas(_walk, schema=FMP4_META_SCHEMA)
+    return pipe_map(media_df, _walk, schema=FMP4_META_SCHEMA)
 
 
 def synth_fmp4_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -646,4 +647,4 @@ def synth_fmp4_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 ids.append(d)
             yield pd.DataFrame({"doc_id": ids, "media": blobs})
 
-    return _spread(ids_df.select(id_col)).mapInPandas(_synth, schema=MP4_BLOB_SCHEMA)
+    return pipe_map(_spread(ids_df.select(id_col), rows_per_task=256), _synth, schema=MP4_BLOB_SCHEMA)

@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from ._pipe import pipe_map
 
 #: typed metadata carried next to every media blob.
 MEDIA_META = T.StructType(
@@ -114,7 +115,7 @@ def extract_features(media_df: DataFrame, batch_hint: int = 1024) -> DataFrame:
                 }
             )
 
-    return media_df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+    return pipe_map(media_df, _extract, schema=FEATURE_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType(
@@ -147,7 +148,7 @@ def resize_media(media_df: DataFrame, width: int = 8, height: int = 8) -> DataFr
                 }
             )
 
-    return media_df.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+    return pipe_map(media_df, _resize, schema=RESIZED_SCHEMA)
 
 
 FRAME_SCHEMA = T.StructType(
@@ -180,7 +181,7 @@ def sample_frames(media_df: DataFrame, n_frames: int = 4) -> DataFrame:
                     frames.append(b[i * step : i * step + step] or b[-step:])
             yield pd.DataFrame({"doc_id": ids, "frame_index": idxs, "frame": frames})
 
-    return media_df.mapInPandas(_sample, schema=FRAME_SCHEMA)
+    return pipe_map(media_df, _sample, schema=FRAME_SCHEMA)
 
 
 def media_byte_stats(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame:

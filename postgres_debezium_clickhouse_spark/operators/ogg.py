@@ -35,6 +35,7 @@ Scale: per-blob byte-bounded walk in ``mapInPandas`` — no shuffle.
 
 from __future__ import annotations
 
+from ._pipe import pipe_map
 from .dedup import spread_for_compute as _spread
 
 import struct
@@ -359,7 +360,7 @@ def ogg_metadata(media_df: DataFrame, id_col: str = "doc_id",
                 rows["artist"].append(m["tags"].get("ARTIST"))
             yield pd.DataFrame(rows)
 
-    return media_df.mapInPandas(_walk, schema=OGG_META_SCHEMA)
+    return pipe_map(media_df, _walk, schema=OGG_META_SCHEMA)
 
 
 def synth_ogg_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -405,6 +406,4 @@ def synth_ogg_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 blobs.append(blob)
             yield pd.DataFrame({id_col: ids, "media": blobs})
 
-    return _spread(ids_df.select(id_col)).mapInPandas(
-        _synth, schema=f"{id_col} long, media binary"
-    )
+    return pipe_map(_spread(ids_df.select(id_col), rows_per_task=256), _synth, schema=f"{id_col} long, media binary")

@@ -29,6 +29,7 @@ every media walk (operators/audio.py mp3/flac twins).
 
 from __future__ import annotations
 
+from ._pipe import pipe_map
 from .dedup import spread_for_compute as _spread
 
 import re
@@ -698,7 +699,7 @@ def pdf_metadata(media_df: DataFrame, id_col: str = "doc_id",
                     rows[k].append(m[k])
             yield pd.DataFrame(rows)
 
-    return media_df.mapInPandas(_walk, schema=PDF_META_SCHEMA)
+    return pipe_map(media_df, _walk, schema=PDF_META_SCHEMA)
 
 
 def synth_pdf_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -732,9 +733,7 @@ def synth_pdf_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     ))
             yield pd.DataFrame({id_col: ids, "media": blobs})
 
-    return _spread(ids_df.select(id_col)).mapInPandas(
-        _synth, schema=f"{id_col} long, media binary"
-    )
+    return pipe_map(_spread(ids_df.select(id_col)), _synth, schema=f"{id_col} long, media binary")
 
 
 def pdf_encode_xrefstream_fixture(
@@ -1033,7 +1032,7 @@ def pdf_page_text(media_df: DataFrame, id_col: str = "doc_id",
                     rows["n_chars"].append(len(text))
             yield pd.DataFrame(rows)
 
-    return media_df.mapInPandas(_walk, schema=PDF_TEXT_SCHEMA)
+    return pipe_map(media_df, _walk, schema=PDF_TEXT_SCHEMA)
 
 
 def synth_pdf_text_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1070,4 +1069,4 @@ def synth_pdf_text_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         T.StructField("doc_id", T.LongType()),
         T.StructField("media", T.BinaryType()),
     ])
-    return _spread(ids_df.select(id_col)).mapInPandas(_synth, schema=schema)
+    return pipe_map(_spread(ids_df.select(id_col)), _synth, schema=schema)

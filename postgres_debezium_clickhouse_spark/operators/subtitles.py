@@ -27,6 +27,7 @@ computed in the same pass as the parse.
 
 from __future__ import annotations
 
+from ._pipe import pipe_map
 from .dedup import spread_for_compute as _spread
 
 import re
@@ -183,7 +184,7 @@ def subtitle_stats(docs_df: DataFrame, id_col: str = "doc_id",
                     rows[k].append(m[k])
             yield pd.DataFrame(rows)
 
-    return docs_df.mapInPandas(_walk, schema=SUBTITLE_SCHEMA)
+    return pipe_map(docs_df, _walk, schema=SUBTITLE_SCHEMA)
 
 
 def _fmt_srt(ms: int) -> str:
@@ -246,6 +247,4 @@ def synth_subtitle_docs(ids_df: DataFrame,
                 subs.append(sub)
             yield pd.DataFrame({id_col: ids, "subtitle": subs})
 
-    return _spread(ids_df.select(id_col)).mapInPandas(
-        _synth, schema=f"{id_col} long, subtitle string"
-    )
+    return pipe_map(_spread(ids_df.select(id_col), rows_per_task=1024), _synth, schema=f"{id_col} long, subtitle string")

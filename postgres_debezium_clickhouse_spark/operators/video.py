@@ -20,6 +20,7 @@ Scale: one blob → n_frames rows is the video path's row-expansion shape
 
 from __future__ import annotations
 
+from ._pipe import pipe_map
 from .dedup import spread_for_compute as _spread
 
 from collections.abc import Iterator
@@ -157,7 +158,7 @@ def decode_video_frames(media_df: DataFrame, id_col: str = "doc_id",
                         rows["err"].append(None)
             yield pd.DataFrame(rows)
 
-    return media_df.mapInPandas(_decode, schema=schema)
+    return pipe_map(media_df, _decode, schema=schema)
 
 
 VIDEO_BLOB_SCHEMA = T.StructType([
@@ -191,4 +192,4 @@ def synth_videos(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 blobs.append(y4m_encode(w, h, frames))
             yield pd.DataFrame({"doc_id": ids, "media": blobs})
 
-    return _spread(ids_df.select(id_col)).mapInPandas(_synth, schema=VIDEO_BLOB_SCHEMA)
+    return pipe_map(_spread(ids_df.select(id_col)), _synth, schema=VIDEO_BLOB_SCHEMA)

@@ -40,6 +40,7 @@ imaging suite's shuffle-free shape.
 
 from __future__ import annotations
 
+from ._pipe import pipe_map
 from .dedup import spread_for_compute as _spread
 
 import struct
@@ -1036,7 +1037,7 @@ def vp8l_pixel_stats(media_df: DataFrame, id_col: str = "doc_id",
                 rows["n_distinct"].append(len(set(px)))
             yield pd.DataFrame(rows)
 
-    return media_df.mapInPandas(_decode, schema=VP8L_STATS_SCHEMA)
+    return pipe_map(media_df, _decode, schema=VP8L_STATS_SCHEMA)
 
 
 def synth_vp8l_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1092,4 +1093,4 @@ def synth_vp8l_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         T.StructField("doc_id", T.LongType()),
         T.StructField("media", T.BinaryType()),
     ])
-    return _spread(ids_df.select(id_col)).mapInPandas(_synth, schema=schema)
+    return pipe_map(_spread(ids_df.select(id_col)), _synth, schema=schema)

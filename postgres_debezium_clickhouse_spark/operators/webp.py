@@ -33,6 +33,7 @@ pipeline has no media path).
 
 from __future__ import annotations
 
+from ._pipe import pipe_map
 from .dedup import spread_for_compute as _spread
 
 import struct
@@ -236,7 +237,7 @@ def webp_metadata(media_df: DataFrame, id_col: str = "doc_id",
                     rows[k].append(m[k])
             yield pd.DataFrame(rows)
 
-    return media_df.mapInPandas(_walk, schema=WEBP_META_SCHEMA)
+    return pipe_map(media_df, _walk, schema=WEBP_META_SCHEMA)
 
 
 WEBP_BLOB_SCHEMA = T.StructType([
@@ -277,4 +278,4 @@ def synth_webp_docs(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 blobs.append(b)
             yield pd.DataFrame({"doc_id": ids, "media": blobs})
 
-    return _spread(ids_df.select(id_col)).mapInPandas(_synth, schema=WEBP_BLOB_SCHEMA)
+    return pipe_map(_spread(ids_df.select(id_col), rows_per_task=1024), _synth, schema=WEBP_BLOB_SCHEMA)

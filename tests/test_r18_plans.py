@@ -114,7 +114,8 @@ def test_r18_walks_are_shuffle_free(spark):
         df = walk(synth(ids))
         plan = _plan(df)
         _assert_blob_shuffle_free(plan, walk.__name__)
-        assert plan.count("MapInPandas") == 2, walk.__name__
+        # r19-opt: synth + walk compose into ONE Python eval (pipe_map)
+        assert plan.count("MapInPandas") == 1, walk.__name__
         assert df.count() >= 64
 
 
