@@ -1063,6 +1063,7 @@ def ivfpq_rerank_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    shortlist_df: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage retrieval (Jégou et al. 2011 §V.C, the standard refine
     step every production PQ deployment adds): the cheap residual-ADC
@@ -1080,10 +1081,16 @@ def ivfpq_rerank_topk(
     construction — the broadcast side bounds the join), so no
     ``bounded_query_topk`` pre-cut is needed.  Returns
     (query_id, neighbor_id, exact_d2, adc_d2) with the repo's round-6
-    float-ordering discipline; ties break on neighbor id."""
+    float-ordering discipline; ties break on neighbor id.
+
+    ``shortlist_df`` (r19-opt): a composite that already ran the ADC
+    shortlist pass can hand it in and skip the internal one — it must be
+    exactly ``ivfpq_adc_topk(..., k=shortlist)`` over the same inputs
+    (the rerank-recall query shares one materialized shortlist between
+    its adc and rerank branches this way)."""
     from pyspark.sql import Window
 
-    short = ivfpq_adc_topk(
+    short = shortlist_df if shortlist_df is not None else ivfpq_adc_topk(
         queries, encoded, coarse, books, k=shortlist, m=m, ks=ks, dim=dim,
         n_probe=n_probe, id_col=id_col, query_id_col=query_id_col,
     )
@@ -1127,30 +1134,59 @@ def ivfpq_encode(
     concentrate near the origin, so the same code budget quantizes far
     finer than coding raw vectors.  Returns ``(encoded, books)`` with
     ``encoded = (id, cell, codes)`` and ``books`` the residual-space PQ
-    codebooks.  Two broadcast map passes over the corpus, no shuffle."""
+    codebooks.  One broadcast map pass over the corpus, no shuffle.
+
+    r19-opt (guide §2.4 remove shuffles outright): the original shape was
+    ``pq_encode(res, books).join(res.select(id, cell), id)`` — a
+    corpus×corpus sort-merge join whose only purpose was re-attaching the
+    ``cell`` column pq_encode drops, with the residual argmin pass
+    re-planned under BOTH join sides.  The codes are now projected
+    directly on ``res`` (same argmin expression, cell kept in place), and
+    with ``refine_iters=0`` the codebook init — which needs only the
+    ``ks`` lowest-id residuals — is derived from a TakeOrdered over the
+    ids instead of a third full argmin pass.  Values are identical by
+    construction: same rows, same expressions, no join to reorder them."""
+    def residuals(frame: DataFrame) -> DataFrame:
+        assigned = assign_ivf_cells(frame, coarse)
+        return (
+            assigned.join(
+                F.broadcast(coarse.select("cell", F.col("cv").alias("__ctr"))),
+                "cell",
+            )
+            .select(
+                F.col(id_col), "cell",
+                F.expr("zip_with(v, __ctr, (x, y) -> x - y)").alias("rv"),
+            )
+        )
+
     vecs = as_double_vec(corpus).select(id_col, "v")
-    assigned = assign_ivf_cells(vecs, coarse)
-    res = (
-        assigned.join(
-            F.broadcast(coarse.select("cell", F.col("cv").alias("__ctr"))),
-            "cell",
+    res = residuals(vecs)
+    if refine_iters:
+        # the Lloyd refinement iterates over every residual — hand
+        # pq_codebooks the full frame
+        books = pq_codebooks(
+            res, m=m, ks=ks, dim=dim, id_col=id_col,
+            refine_iters=refine_iters, vec_col="rv",
         )
-        .select(
-            F.col(id_col), "cell",
-            F.expr("zip_with(v, __ctr, (x, y) -> x - y)").alias("rv"),
+    else:
+        # init-only codebooks touch just the ks lowest-id residuals
+        books = pq_codebooks(
+            residuals(vecs.orderBy(F.col(id_col).asc()).limit(ks)),
+            m=m, ks=ks, dim=dim, id_col=id_col,
+            refine_iters=0, vec_col="rv",
         )
+    sub = dim // m
+    code_j = (
+        "transform(sequence(0, {m} - 1), j -> "
+        "array_min(transform(filter(__cb, s -> s.j = j), s -> "
+        "struct(" + D2.format(a=f"slice(rv, j * {sub} + 1, {sub})", b="s.ctr")
+        + " as d, s.cell as c))).c)"
+    ).format(m=m, sub=sub)
+    encoded = (
+        res.join(F.broadcast(_cb_row(books)))
+        .select(F.col(id_col), "cell", F.expr(code_j).alias("codes"))
     )
-    books = pq_codebooks(
-        res, m=m, ks=ks, dim=dim, id_col=id_col,
-        refine_iters=refine_iters, vec_col="rv",
-    )
-    encoded = pq_encode(res, books, m=m, dim=dim, id_col=id_col, vec_col="rv")
-    return (
-        encoded.join(res.select(id_col, "cell"), id_col).select(
-            id_col, "cell", "codes"
-        ),
-        books,
-    )
+    return encoded, books
 
 
 def ivfpq_adc_topk(

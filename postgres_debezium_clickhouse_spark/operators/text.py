@@ -169,23 +169,45 @@ def language_id(documents: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
-def quality_score(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Composite quality gate: length bounds, token diversity, stopword
-    ratio — the standard cheap pre-filter before expensive dedup/training."""
-    df = documents.withColumn("__tk", _tokens(text_col))
-    n_tokens = F.size("__tk").cast("long")
-    n_distinct = F.size(F.array_distinct("__tk")).cast("long")
-    stop = F.size(F.expr(f"filter(__tk, x -> x IN ({', '.join(repr(s) for s in STOPWORDS)}))")).cast("long")
+def _quality_cols(text_col: str = "text") -> dict[str, F.Column]:
+    """The quality-gate signal columns — the ONE definition, shared by
+    :func:`quality_score` and the single-pass funnel restructure in
+    llm_curation_queries (r19-opt).  ``filter(split(...))`` spells the
+    tokenization inline because CollapseProject inlines the ``__tk``
+    alias into every use anyway; whole-stage codegen's common
+    subexpression elimination dedupes the split either way."""
+    tk = _tokens(text_col)
+    n_tokens = F.size(tk).cast("long")
+    n_distinct = F.size(F.array_distinct(tk)).cast("long")
+    stop = F.size(
+        F.expr(
+            f"filter(split({text_col}, ' '), "
+            f"x -> x IN ({', '.join(repr(s) for s in STOPWORDS)}))"
+        )
+    ).cast("long")
     diversity = F.round(n_distinct * 1.0 / n_tokens, 4)
     stop_ratio = F.round(stop * 1.0 / n_tokens, 4)
     len_ok = (F.length(text_col) >= 100) & (F.length(text_col) <= 1000)
     keep = len_ok & (diversity >= F.lit(0.15)) & (stop_ratio <= F.lit(0.5))
-    return df.select(
+    return {
+        "token_diversity": diversity,
+        "stopword_ratio": stop_ratio,
+        "len_ok": len_ok,
+        "keep": keep,
+        "n_tokens": n_tokens,
+    }
+
+
+def quality_score(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Composite quality gate: length bounds, token diversity, stopword
+    ratio — the standard cheap pre-filter before expensive dedup/training."""
+    qc = _quality_cols(text_col)
+    return documents.select(
         F.col(id_col),
-        diversity.alias("token_diversity"),
-        stop_ratio.alias("stopword_ratio"),
-        len_ok.alias("len_ok"),
-        keep.alias("keep"),
+        qc["token_diversity"].alias("token_diversity"),
+        qc["stopword_ratio"].alias("stopword_ratio"),
+        qc["len_ok"].alias("len_ok"),
+        qc["keep"].alias("keep"),
     )
 
 
@@ -579,6 +601,34 @@ def gopher_rules(
     )
 
 
+def _threshold_from_counts(
+    d: DataFrame,
+    pct_num: int = 1,
+    pct_den: int = 10,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ ``(stratum, threshold_tokens)`` from a precomputed
+    ``(id, stratum, n_tokens)`` frame — the order-statistic core of
+    :func:`adaptive_length_threshold`, factored out (r19-opt) so the
+    single-pass funnel can derive thresholds from its one metadata pass
+    instead of re-tokenizing the corpus.  Contract: ``n_tokens`` must be
+    the same ``size(split(text, ' '))`` count the public operator
+    computes; one row per stratum is guaranteed (``ceil(cnt·p) ≤ cnt``)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(F.col("n_tokens").asc(), F.col(id_col).asc())
+    ranked = d.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__cnt", F.count(F.lit(1)).over(Window.partitionBy(stratum_col))
+    )
+    # ceil(cnt·num/den) in exact integer arithmetic
+    idx = F.floor((F.col("__cnt") * pct_num + (pct_den - 1)) / pct_den)
+    return (
+        ranked.filter(F.col("__rn") == F.greatest(idx, F.lit(1)))
+        .select(F.col(stratum_col), F.col("n_tokens").alias("threshold_tokens"))
+    )
+
+
 def adaptive_length_threshold(
     documents: DataFrame,
     pct_num: int = 1,
@@ -598,20 +648,9 @@ def adaptive_length_threshold(
     engine-portable.  One window per stratum (rank by token count) + one
     grouped agg; at 100 TB shard the stratum finer (lang×source) if one
     stratum exceeds a single executor's window capacity."""
-    from pyspark.sql import Window
-
     n = F.size(_tokens(text_col)).cast("long")
     d = documents.select(F.col(id_col), F.col(stratum_col), n.alias("n_tokens"))
-    w = Window.partitionBy(stratum_col).orderBy(F.col("n_tokens").asc(), F.col(id_col).asc())
-    ranked = d.withColumn("__rn", F.row_number().over(w)).withColumn(
-        "__cnt", F.count(F.lit(1)).over(Window.partitionBy(stratum_col))
-    )
-    # ceil(cnt·num/den) in exact integer arithmetic
-    idx = F.floor((F.col("__cnt") * pct_num + (pct_den - 1)) / pct_den)
-    thresholds = (
-        ranked.filter(F.col("__rn") == F.greatest(idx, F.lit(1)))
-        .select(F.col(stratum_col), F.col("n_tokens").alias("threshold_tokens"))
-    )
+    thresholds = _threshold_from_counts(d, pct_num, pct_den, stratum_col, id_col)
     return (
         d.join(thresholds, stratum_col)
         .groupBy(stratum_col)

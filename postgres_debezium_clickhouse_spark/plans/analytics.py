@@ -475,18 +475,31 @@ def events_window_funnel_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase p (earliest in [c, c+24h]) only if no signup OR click falls
     strictly between c and p.  Each break check is one filtered per-user
     min-aggregate — same join lattice as the base mode, all map-side
-    combinable."""
+    combinable.
+
+    r19-opt (guide §5 cache-when-reused): each cascade level is consumed
+    by 2+ downstream branches, and the lazy composition re-planned the
+    whole upstream lattice under every consumer — the executed plan
+    scanned `events` 20× with zero exchange reuse (pruned column sets and
+    inferred filters diverge per consumer, so AQE never canonicalizes the
+    subtrees equal).  The reused levels are per-user aggregates
+    (≤ |users| rows × 2-3 columns — index-sized, the r18 LSH-band-key
+    materialization class), so each gets one eager localCheckpoint:
+    events is scanned once per funnel step, inside the timed region, per
+    run."""
     ev = load_table(spark, sf_dir, "events")
     win = F.expr("INTERVAL 24 HOURS")
     s1 = (
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id").agg(F.min("ts").alias("t1"))
+        .localCheckpoint(eager=True)  # consumed by s2 and the final join
     )
     s2 = (
         ev.filter(F.col("event_type") == "click")
         .join(s1, "user_id")
         .filter((F.col("ts") >= F.col("t1")) & (F.col("ts") <= F.col("t1") + win))
         .groupBy("user_id").agg(F.min("ts").alias("t2"), F.min("t1").alias("t1k"))
+        .localCheckpoint(eager=True)  # consumed by b2 and s2ok
     )
     # dedup break for step 2: another signup strictly inside (t1, t2)
     b2 = (
@@ -495,12 +508,16 @@ def events_window_funnel_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("ts") > F.col("t1k")) & (F.col("ts") < F.col("t2")))
         .select("user_id").distinct().withColumn("__b2", F.lit(1))
     )
-    s2ok = s2.join(b2, "user_id", "left").filter(F.col("__b2").isNull())
+    s2ok = (
+        s2.join(b2, "user_id", "left").filter(F.col("__b2").isNull())
+        .localCheckpoint(eager=True)  # consumed by s3 and the final join
+    )
     s3 = (
         ev.filter(F.col("event_type") == "purchase")
         .join(s2ok.select("user_id", "t2"), "user_id")
         .filter((F.col("ts") >= F.col("t2")) & (F.col("ts") <= F.col("t2") + win))
         .groupBy("user_id").agg(F.min("ts").alias("t3"), F.min("t2").alias("t2k"))
+        .localCheckpoint(eager=True)  # consumed by b3 and s3ok
     )
     # dedup break for step 3: a signup or click strictly inside (t2, t3)
     b3 = (

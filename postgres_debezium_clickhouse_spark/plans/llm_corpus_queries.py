@@ -1031,8 +1031,14 @@ def q_corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.explode(F.split("text", " ")).alias("token"))
         .filter(F.col("token") != "")
     )
-    est = kmv_jaccard(kmv_sketch(toks, "source", "token", k=256), "source", k=256)
     distinct = toks.distinct()
+    # r19-opt (guide §2.4 share one exchange): KMV keeps the K smallest
+    # DISTINCT hashes — its level-1 collect_set dedupes anyway, so the
+    # sketch over the distinct (source, token) pairs is value-identical
+    # to the sketch over raw tokens.  Feeding it `distinct` lets AQE
+    # reuse the exact side's distinct exchange: the corpus is scanned
+    # and exploded ONCE, and the hash runs over distinct tokens only.
+    est = kmv_jaccard(kmv_sketch(distinct, "source", "token", k=256), "source", k=256)
     a = distinct.select(F.col("source").alias("group_a"), "token")
     b = distinct.select(F.col("source").alias("group_b"), "token")
     inter = (

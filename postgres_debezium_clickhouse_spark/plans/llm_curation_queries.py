@@ -232,24 +232,41 @@ def q_llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_llm_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation funnel report: per-stage survivor counts as the corpus
     flows raw → quality gate → adaptive per-lang length cutoff → exact
-    dedup — the one-page answer to "where did my tokens go?".  Composes
-    quality_score, adaptive_length_threshold and exact_dedup; every stage
-    count is a map-side-combinable aggregate."""
-    from ..operators.text import adaptive_length_threshold, quality_score
+    dedup — the one-page answer to "where did my tokens go?".
+
+    r19-opt (guide §8 decide-with-small-rows): the lazy composition of
+    quality_score + adaptive_length_threshold + exact_dedup re-planned
+    the whole upstream chain under every stage count — the executed plan
+    scanned `documents` 30× and re-tokenized it ~5×.  Every decision the
+    funnel makes depends only on (doc_id, lang, keep, n_tokens,
+    text_hash), so ONE corpus pass computes that per-doc metadata frame
+    (same signal definitions: text._quality_cols / _threshold_from_counts
+    / dedup.normalize_text) and an eager localCheckpoint materializes it
+    — index-sized, 5 narrow columns per doc, the r18 LSH-band-key class.
+    Every stage count is a tiny aggregate over the checkpointed frame;
+    the corpus text is read exactly once."""
+    from ..operators.dedup import normalize_text
+    from ..operators.text import _quality_cols, _threshold_from_counts
 
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    gated = docs.join(
-        quality_score(docs).filter(F.col("keep")).select("doc_id"), "doc_id"
-    )
-    thr = adaptive_length_threshold(gated).select("lang", "threshold_tokens")
+    meta = docs.select(
+        "doc_id",
+        "lang",
+        _quality_cols("text")["keep"].alias("keep"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.sha2(normalize_text("text"), 256).alias("text_hash"),
+    ).localCheckpoint(eager=True)
+    gated = meta.filter(F.col("keep"))
+    thr = _threshold_from_counts(gated.select("doc_id", "lang", "n_tokens"))
     gated2 = (
-        gated.withColumn("n_tokens", F.size(F.split("text", " ")).cast("long"))
-        .join(thr, "lang")
+        gated.join(F.broadcast(thr), "lang")
         .filter(F.col("n_tokens") >= F.col("threshold_tokens"))
     )
-    deduped = exact_dedup(gated2)
+    # exact_dedup ≡ one row per distinct normalized-text hash among the
+    # stage-2 survivors — the hash is already on the metadata frame
+    deduped = gated2.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
 
     def stage(i: int, name: str, df: DataFrame) -> DataFrame:
         return df.agg(
@@ -259,7 +276,7 @@ def q_llm_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     union = (
-        stage(0, "raw", docs)
+        stage(0, "raw", meta)
         .unionByName(stage(1, "quality_gate", gated))
         .unionByName(stage(2, "adaptive_length", gated2))
         .unionByName(stage(3, "exact_dedup", deduped))
