@@ -333,7 +333,13 @@ def tfidf_top_terms(
     corpus scale."""
     from pyspark.sql import Window
 
-    toks = documents.select(F.col(id_col), F.explode(_tokens(text_col)).alias("token"))
+    from .dedup import spread_for_compute
+
+    # r19-opt (guide §2.5): spread the sub-4GB corpus scan before the
+    # CPU-bound explode+partial-agg map stage (see lm_5gram_kneser_ney)
+    toks = spread_for_compute(documents.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("token")
+    )
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     # N as an IN-PLAN count-star branch, not a driver-side
@@ -432,7 +438,13 @@ def lm_unigram_logprob(
     corpus-total token count folds FROM the unigram table (vocabulary-sized
     input, one row out) — no second corpus scan, and ``ln(total)`` is
     applied once per doc, not per token."""
-    toks = documents.select(F.col(id_col), F.explode(_tokens(text_col)).alias("token"))
+    # r19-opt (guide §2.5): spread the sub-4GB corpus scan before the
+    # CPU-bound explode+partial-agg map stages (see lm_5gram_kneser_ney)
+    from .dedup import spread_for_compute
+
+    toks = spread_for_compute(documents.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("token")
+    )
     uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     tot = uni.groupBy().agg(F.sum("cnt").alias("__total"))
     per = (
@@ -761,7 +773,11 @@ def bm25_topk(
     from pyspark.sql import Window
 
     spark = documents.sparkSession
-    toks = documents.select(
+    from .dedup import spread_for_compute
+
+    # r19-opt (guide §2.5): spread the sub-4GB corpus scan before the
+    # CPU-bound explode+partial-agg map stage (see lm_5gram_kneser_ney)
+    toks = spread_for_compute(documents.select(id_col, text_col)).select(
         F.col(id_col), F.explode(_tokens(text_col)).alias("token")
     )
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
@@ -857,12 +873,19 @@ def lm_bigram_stupid_backoff(
         " slice(__w, 2, greatest(size(__w) - 1, 0)),"
         " (a, b) -> struct(a as w1, b as w2))"
     )
+    # r19-opt (guide §2.5): spread the sub-4GB corpus scan before the
+    # CPU-bound explode+partial-agg map stages (see lm_5gram_kneser_ney);
+    # both gram streams derive from the ONE spread frame so its exchange
+    # is shared
+    from .dedup import spread_for_compute
+
+    d = spread_for_compute(documents.select(id_col, text_col))
     pairs = (
-        documents.withColumn("__w", words)
+        d.withColumn("__w", words)
         .select(F.col(id_col), F.explode(pairs_arr).alias("p"))
         .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
-    toks = documents.select(
+    toks = d.select(
         F.col(id_col), F.explode(words).alias("token")
     )
     # No-op isNotNull filter (split tokens are never null) aligning the
@@ -988,7 +1011,13 @@ def zipf_fit(
     sort) — the window rank runs on the bounded ``top_n``-row set."""
     from pyspark.sql import Window
 
-    toks = documents.select(F.explode(_tokens(text_col)).alias("token"))
+    from .dedup import spread_for_compute
+
+    # r19-opt (guide §2.5): spread the sub-4GB corpus scan before the
+    # CPU-bound explode+partial-agg map stage (see lm_5gram_kneser_ney)
+    toks = spread_for_compute(documents.select(text_col)).select(
+        F.explode(_tokens(text_col)).alias("token")
+    )
     freqs = toks.groupBy("token").agg(F.count("*").alias("freq"))
     top = freqs.orderBy(F.col("freq").desc(), F.col("token").asc()).limit(top_n)
     w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
@@ -1060,7 +1089,13 @@ def lm_trigram_stupid_backoff(
         " slice(__w, 2, greatest(size(__w) - 1, 0)),"
         " (a, b) -> struct(a as w1, b as w2))"
     )
-    docs_w = documents.withColumn("__w", words)
+    # r19-opt (guide §2.5): spread the sub-4GB corpus scan before the
+    # CPU-bound explode+partial-agg map stages (see lm_5gram_kneser_ney)
+    from .dedup import spread_for_compute
+
+    docs_w = spread_for_compute(
+        documents.select(id_col, text_col)
+    ).withColumn("__w", words)
     tris = (
         docs_w.select(F.col(id_col), F.explode(tri_arr).alias("t"))
         .select(id_col, "t.w1", "t.w2", "t.w3")
@@ -1226,12 +1261,19 @@ def lm_bigram_interpolated(
         " slice(__w, 2, greatest(size(__w) - 1, 0)),"
         " (a, b) -> struct(a as w1, b as w2))"
     )
+    # r19-opt (guide §2.5): spread the sub-4GB corpus scan before the
+    # CPU-bound explode+partial-agg map stages (see lm_5gram_kneser_ney);
+    # both gram streams derive from the ONE spread frame so its exchange
+    # is shared
+    from .dedup import spread_for_compute
+
+    d = spread_for_compute(documents.select(id_col, text_col))
     pairs = (
-        documents.withColumn("__w", words)
+        d.withColumn("__w", words)
         .select(F.col(id_col), F.explode(pairs_arr).alias("p"))
         .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
-    toks = documents.select(
+    toks = d.select(
         F.col(id_col),
         F.explode(words).alias("token"),
     )
@@ -1321,8 +1363,13 @@ def lm_bigram_witten_bell(
     )
 
     def to_pairs(df: DataFrame) -> DataFrame:
+        # r19-opt (guide §2.5): spread the sub-4GB corpus scan before the
+        # CPU-bound explode+partial-agg map stage (see lm_5gram_kneser_ney)
+        from .dedup import spread_for_compute
+
         return (
-            df.withColumn("__w", words)
+            spread_for_compute(df.select(id_col, text_col))
+            .withColumn("__w", words)
             .select(F.col(id_col), F.explode(pairs_arr).alias("p"))
             .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         )
@@ -1467,8 +1514,13 @@ def lm_bigram_modified_kneser_ney(
     )
 
     def to_pairs(df: DataFrame) -> DataFrame:
+        # r19-opt (guide §2.5): spread the sub-4GB corpus scan before the
+        # CPU-bound explode+partial-agg map stage (see lm_5gram_kneser_ney)
+        from .dedup import spread_for_compute
+
         return (
-            df.withColumn("__w", words)
+            spread_for_compute(df.select(id_col, text_col))
+            .withColumn("__w", words)
             .select(F.col(id_col), F.explode(pairs_arr).alias("p"))
             .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         )
@@ -1688,8 +1740,13 @@ def lm_bigram_kneser_ney(
     )
 
     def to_pairs(df: DataFrame) -> DataFrame:
+        # r19-opt (guide §2.5): spread the sub-4GB corpus scan before the
+        # CPU-bound explode+partial-agg map stage (see lm_5gram_kneser_ney)
+        from .dedup import spread_for_compute
+
         return (
-            df.withColumn("__w", words)
+            spread_for_compute(df.select(id_col, text_col))
+            .withColumn("__w", words)
             .select(F.col(id_col), F.explode(pairs_arr).alias("p"))
             .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         )
@@ -1832,8 +1889,13 @@ def lm_trigram_kneser_ney(
     )
 
     def to_triples(df: DataFrame) -> DataFrame:
+        # r19-opt (guide §2.5): spread the sub-4GB corpus scan before the
+        # CPU-bound explode+partial-agg map stage (see lm_5gram_kneser_ney)
+        from .dedup import spread_for_compute
+
         return (
-            df.withColumn("__w", words)
+            spread_for_compute(df.select(id_col, text_col))
+            .withColumn("__w", words)
             .select(F.col(id_col), F.explode(tri_arr).alias("t"))
             .select(id_col, "t.w1", "t.w2", "t.w3")
         )
@@ -2004,8 +2066,18 @@ def lm_5gram_kneser_ney(
     )
 
     def to_fives(df: DataFrame) -> DataFrame:
+        # r19-opt (guide §2.5 input skew): a small corpus parquet scans as
+        # 1-2 splits and AQE's byte-based coalescing keeps it that narrow,
+        # so the explode+hash+partial-agg map stage — the ladder's heavy
+        # pass — ran serial (sf1: 4.7 effective cores on local[32]).
+        # spread_for_compute repartitions only sub-4GB inputs; at the
+        # 100 TB target the scan's own splits are trusted (no corpus
+        # shuffle is added).
+        from .dedup import spread_for_compute
+
         return (
-            df.withColumn("__w", words)
+            spread_for_compute(df.select(id_col, text_col))
+            .withColumn("__w", words)
             .select(F.col(id_col), F.explode(five_arr).alias("t"))
             .select(id_col, "t.w1", "t.w2", "t.w3", "t.w4", "t.w5")
         )
@@ -2172,8 +2244,13 @@ def lm_trigram_witten_bell(
     )
 
     def to_triples(df: DataFrame) -> DataFrame:
+        # r19-opt (guide §2.5): spread the sub-4GB corpus scan before the
+        # CPU-bound explode+partial-agg map stage (see lm_5gram_kneser_ney)
+        from .dedup import spread_for_compute
+
         return (
-            df.withColumn("__w", words)
+            spread_for_compute(df.select(id_col, text_col))
+            .withColumn("__w", words)
             .select(F.col(id_col), F.explode(tri_arr).alias("t"))
             .select(id_col, "t.w1", "t.w2", "t.w3")
         )
@@ -2316,8 +2393,16 @@ def lm_trigram_interpolated(
         " slice(__w, 2, greatest(size(__w) - 1, 0)),"
         " (a, b) -> struct(a as w2, b as w3))"
     )
-    eval_w = documents.withColumn("__w", words)
-    train_w = train.withColumn("__w", words)
+    # r19-opt (guide §2.5): spread the sub-4GB corpus scans before the
+    # CPU-bound explode+partial-agg map stages (see lm_5gram_kneser_ney)
+    from .dedup import spread_for_compute
+
+    eval_w = spread_for_compute(
+        documents.select(id_col, text_col)
+    ).withColumn("__w", words)
+    train_w = spread_for_compute(
+        train.select(id_col, text_col)
+    ).withColumn("__w", words)
     tr = (
         eval_w.select(F.col(id_col), F.explode(tri_arr).alias("t"))
         .select(id_col, "t.w1", "t.w2", "t.w3")
