@@ -26,7 +26,8 @@ __all__ = [
     "json_has",
     "json_extract_struct",
     "eval_once_barrier",
-    "count_rows_keeping",
+    # count_rows_keeping is deliberately NOT exported (ADVICE r18): its
+    # contract is count-columns-only — see its docstring
     "to_int32",
     "to_float64",
     "to_datetime64",
@@ -102,6 +103,13 @@ def eval_once_barrier(df, col_name: str):
 def count_rows_keeping(col: Column | str) -> Column:
     """r18-opt (guide §2.4 remove shuffles outright) — ``count(1)``
     spelled so ``col`` stays a required input of the aggregation.
+
+    CONTRACT (ADVICE r18 — not a general row counter): ``col`` MUST be a
+    count-typed column that is never NULL and never −1 (grouped
+    ``count(...)`` outputs are always ≥ 1).  Passed anything nullable or
+    −1-valued it silently UNDERCOUNTS.  It is intentionally absent from
+    ``__all__``; use it only for the exchange-reuse alignment pattern
+    below, inside this package.
 
     Sibling aggregations fanning out from one shared table only share a
     single shuffle stage (AQE exchange reuse) when every branch's copy

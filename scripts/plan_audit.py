@@ -4,7 +4,14 @@ import __spark_entry__ as e
 from postgres_debezium_clickhouse_spark.session import get_spark
 
 spark = get_spark('plan-audit'); spark.sparkContext.setLogLevel('ERROR')
-sf = '/root/testdata/sf0.001'   # smallest: staged/stream queries run fastest
+# scale path as CLI arg (ADVICE r18); smallest default — staged/stream
+# queries run fastest there.  NOTE (r19): these are PRE-execution
+# formatted plans — with AQE the runtime exchange reuse is invisible
+# here, so exchange counts OVERSTATE executed shuffles (measured r19:
+# corpus_source_overlap audits at 12 but executes 1 corpus scan + 4
+# ReusedExchange).  Use scripts/r19_outliers.py-style collected
+# executed plans before acting on a count.
+sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.001'
 qs = e.queries()
 out = {}
 t_start = time.time()
